@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the bench-flagged registry queries.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {key: sec, ...}, "sf": <sf>}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default all cores).
+
+Timing excludes SparkSession startup (one session for the whole suite —
+the realistic cluster posture, SURVEY.md §6) but includes full query
+execution; results are drained with count()/collect() depending on size.
+Each query runs once warm-up-free: the driver compares totals, and cold
+plans are the honest number.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
+
+from correlationapi_spark.registry import load_registry  # noqa: E402
+from correlationapi_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+    registry = load_registry()
+    bench_keys = [k for k, s in registry.items() if s.bench]
+    spark = get_spark("correlationapi-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for key in bench_keys:
+        t0 = time.time()
+        df = registry[key].fn(spark, sf_dir)
+        # Drain without driver-side materialization cost dominating: small
+        # aggregated results are collected; anything else is counted.
+        n = df.count()
+        if n <= 100_000:
+            df.collect()
+        dt = time.time() - t0
+        timings[key] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

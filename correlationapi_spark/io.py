@@ -1,0 +1,169 @@
+"""Schema-pinned table loading and temp-view registration.
+
+The ten fixture tables (FIXTURES.md) are loaded with explicit StructType
+schemas rather than inference: deterministic types, and at 100 TB scale it
+avoids parquet footer sampling on thousands of files (SURVEY.md §1.2).
+
+``load_tables(spark, sf_dir)`` returns a dict of DataFrames and registers
+each as a temp view named after the table, so both the DataFrame-DSL and
+``spark.sql`` query styles work. Loading is cached per (session, sf_dir);
+re-registration is cheap and idempotent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .session import ensure_conf
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Pinned schemas, from direct parquet inspection (FIXTURES.md).
+SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampType()),
+        ]
+    ),
+    # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    # does not map to TimestampType — read the raw int64 nanos and convert
+    # (truncate) to µs in load_tables, matching DuckDB's ns→µs truncation.
+    "events": T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    ),
+}
+
+# Dimension tables small enough to broadcast at ANY scale factor (region /
+# nation are fixed-cardinality; supplier scales but stays tiny relative to
+# the fact tables). customer/part/orders scale linearly — leave their join
+# strategy to Catalyst's size threshold + AQE.
+ALWAYS_BROADCAST = ("region", "nation")
+
+# (session id, sf_dir) -> {table: DataFrame}; (session id, sf_dir) of the
+# views currently registered, so switching sf_dir re-registers.
+_cache: dict[tuple[int, str], dict[str, DataFrame]] = {}
+_registered: dict[int, str] = {}
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load all fixture tables from ``sf_dir`` and register temp views."""
+    ensure_conf(spark)
+    sf_dir = os.path.normpath(sf_dir)
+    key = (id(spark), sf_dir)
+    tables = _cache.get(key)
+    if tables is None:
+        tables = {
+            name: spark.read.schema(SCHEMAS[name]).parquet(
+                os.path.join(sf_dir, f"{name}.parquet")
+            )
+            for name in TABLE_NAMES
+        }
+        # ns→µs: integer division (not `/`, which goes through double and
+        # loses precision above 2^53) truncates like DuckDB's ns→µs cast.
+        tables["events"] = tables["events"].withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+        _cache[key] = tables
+    if _registered.get(id(spark)) != sf_dir:
+        for name, df in tables.items():
+            df.createOrReplaceTempView(name)
+        _registered[id(spark)] = sf_dir
+    return tables

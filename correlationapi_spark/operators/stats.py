@@ -1,0 +1,283 @@
+"""Correlation & statistics — the reference's namesake surface.
+
+BigDataGrapes-EU/CorrelationAPI exposes pairwise and matrix correlation
+(Pearson-family plus rank/Spearman variants) over tabular and time-series
+variables (SURVEY.md §0, capability-level — the reference tree was empty
+at survey time, so no file:line citations exist). Here that surface is
+re-expressed as single-pass Spark aggregations:
+
+* ``F.corr`` is a declarative aggregate — partial/final split means ONE
+  shuffle regardless of data size; an all-pairs matrix over k variables is
+  k(k-1)/2 corr aggregates evaluated in the SAME single pass (no self-join,
+  no k² jobs — SURVEY.md §4.2).
+* Spearman is implemented with one explicit average-rank formula
+  (rank + (tie_count-1)/2) replicated verbatim in the DuckDB oracle, since
+  tie handling differs across engines' built-ins (SURVEY.md §7.4).
+* Lagged cross-correlation composes date_trunc → groupBy → lag window →
+  corr — the time-series path.
+
+All corr outputs are rounded to 6 dp on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_tables
+from ..numerics import exact_money_sum, revenue_cents
+from ..registry import query
+
+_FLAGSHIP_ORACLE = """
+    SELECT
+        r.r_name                                              AS region_name,
+        date_trunc('month', o.o_orderdate)                    AS order_month,
+        round(corr(l.l_quantity, l.l_extendedprice), 6)       AS corr_qty_price,
+        round(corr(l.l_discount,
+                   l.l_extendedprice * (1 - l.l_discount)), 6) AS corr_disc_rev,
+        round(avg(l.l_discount), 6)                           AS avg_discount,
+        CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS DOUBLE)
+            / 10000.0                                         AS revenue,
+        count(*)                                              AS n_lines
+    FROM lineitem l
+    JOIN orders   o ON l.l_orderkey  = o.o_orderkey
+    JOIN customer c ON o.o_custkey   = c.c_custkey
+    JOIN nation   n ON c.c_nationkey = n.n_nationkey
+    JOIN region   r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+"""
+
+
+@query(
+    "q_flagship",
+    oracle=_FLAGSHIP_ORACLE,
+    doc="Flagship: per (region, order month) Pearson correlations + revenue "
+    "over the 5-way star join.",
+    bench=True,
+)
+def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan→join→groupBy→corr→sort, the identity-bearing query (SURVEY.md §7.2).
+
+    Plan shape at scale: lineitem⋈orders⋈customer shuffle on their keys
+    (AQE may broadcast orders' build side at small SF); nation/region are
+    broadcast unconditionally; the four corr aggregates + sum + avg all
+    ride ONE partial/final aggregation on (region, month).
+
+    Revenue uses exact integer-cents arithmetic (numerics.py rule 2) so the
+    sum is bit-identical across engines regardless of accumulation order.
+    """
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            # timestamp (not DATE-cast) on both sides: Spark and DuckDB
+            # date_trunc both yield timestamps, which collect identically;
+            # DATE vs timestamp would hash-mismatch (SURVEY.md §7.4).
+            F.date_trunc("month", "o_orderdate").alias("order_month"),
+        )
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(
+                F.corr(
+                    "l_discount",
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                ),
+                6,
+            ).alias("corr_disc_rev"),
+            F.round(F.avg("l_discount"), 6).alias("avg_discount"),
+            exact_money_sum(revenue_cents(), 10000.0).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("region_name", "order_month")
+    )
+
+
+_PAIRS = [
+    ("l_quantity", "l_extendedprice"),
+    ("l_quantity", "l_discount"),
+    ("l_quantity", "l_tax"),
+    ("l_extendedprice", "l_discount"),
+    ("l_extendedprice", "l_tax"),
+    ("l_discount", "l_tax"),
+]
+
+
+@query(
+    "q_agg_corr",
+    oracle="""
+        SELECT n.n_name AS nation_name,
+               round(corr(l.l_quantity, l.l_extendedprice), 6) AS corr_qty_price,
+               round(covar_samp(l.l_quantity, l.l_extendedprice), 2) AS covar_qty_price,
+               count(*) AS n_rows
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        GROUP BY 1
+    """,
+    doc="Grouped Pearson correlation (the reference's core operation).",
+    bench=True,
+)
+def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+                "covar_qty_price"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "q_agg_covar",
+    oracle="""
+        SELECT l_returnflag,
+               round(covar_pop(l_quantity, l_discount), 6)  AS covp_qty_disc,
+               round(covar_samp(l_quantity, l_discount), 6) AS covs_qty_disc,
+               round(covar_pop(l_quantity, l_tax), 6)       AS covp_qty_tax,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY 1
+    """,
+    doc="Population/sample covariance, grouped.",
+)
+def q_agg_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].groupBy("l_returnflag").agg(
+        F.round(F.covar_pop("l_quantity", "l_discount"), 6).alias("covp_qty_disc"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covs_qty_disc"),
+        F.round(F.covar_pop("l_quantity", "l_tax"), 6).alias("covp_qty_tax"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "q_corr_matrix",
+    oracle="""
+        SELECT """
+    + ",\n               ".join(
+        f"round(corr({a}, {b}), 6) AS corr_{a[2:]}_{b[2:]}" for a, b in _PAIRS
+    )
+    + """,
+               count(*) AS n_rows
+        FROM lineitem
+    """,
+    doc="All-pairs correlation matrix over the 4 lineitem measures, one pass.",
+    bench=True,
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k(k-1)/2 corr aggregates in a SINGLE aggregation pass.
+
+    Preferred at 100 TB over melt+self-join (which re-reads/joins the fact
+    table) and over ml.stat.Correlation (driver-side matrix): every pair is
+    a partial/final declarative aggregate sharing one scan, no extra
+    shuffle beyond the single global agg.
+    """
+    t = load_tables(spark, sf_dir)
+    aggs = [
+        F.round(F.corr(a, b), 6).alias(f"corr_{a[2:]}_{b[2:]}") for a, b in _PAIRS
+    ]
+    return t["lineitem"].agg(*aggs, F.count("*").alias("n_rows"))
+
+
+# One explicit average-rank definition used on BOTH engines:
+#   avg_rank(x) = rank(x) + (count(* same x) - 1) / 2
+# (ranks over the whole relation, ascending). Spearman = Pearson corr of the
+# two average-rank columns.
+_SPEARMAN_ORACLE = """
+    WITH ranked AS (
+        SELECT
+            rank() OVER (ORDER BY l_quantity)
+              + (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS rx,
+            rank() OVER (ORDER BY l_extendedprice)
+              + (count(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS ry
+        FROM lineitem
+    )
+    SELECT round(corr(rx, ry), 6) AS spearman_qty_price,
+           count(*) AS n_rows
+    FROM ranked
+"""
+
+
+@query(
+    "q_corr_spearman",
+    oracle=_SPEARMAN_ORACLE,
+    doc="Spearman rank correlation via explicit average-rank formula.",
+)
+def q_corr_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-rank Spearman (SURVEY.md §2.4 / §7.4: never rely on a
+    built-in spearman — tie semantics differ across engines).
+
+    Scale note: rank() over a global ORDER BY is a single-partition sort.
+    Acceptable here; the documented scale path is a two-pass range-
+    partitioned rank (repartitionByRange + per-partition offsets), which
+    preserves this exact average-rank semantics. ml.stat.Correlation
+    (method="spearman") is used as a cross-check in unit tests only.
+    """
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    wx = Window.orderBy("l_quantity")
+    wy = Window.orderBy("l_extendedprice")
+    ranked = li.select(
+        (
+            F.rank().over(wx)
+            + (F.count("*").over(Window.partitionBy("l_quantity")) - 1) / 2.0
+        ).alias("rx"),
+        (
+            F.rank().over(wy)
+            + (F.count("*").over(Window.partitionBy("l_extendedprice")) - 1) / 2.0
+        ).alias("ry"),
+    )
+    return ranked.agg(
+        F.round(F.corr("rx", "ry"), 6).alias("spearman_qty_price"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "q_corr_lagged",
+    oracle="""
+        WITH daily AS (
+            SELECT date_trunc('day', ts) AS d,
+                   round(avg(value), 6) AS v
+            FROM events GROUP BY 1
+        ), lagged AS (
+            SELECT v, lag(v, 1) OVER (ORDER BY d) AS v_prev FROM daily
+        )
+        SELECT round(corr(v, v_prev), 6) AS lag1_autocorr,
+               count(v_prev) AS n_pairs
+        FROM lagged
+    """,
+    doc="Lag-1 cross-correlation of the daily event-value series.",
+)
+def q_corr_lagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series path: daily mean series → lag window → corr.
+
+    The day-grain aggregation shrinks the data to ~one row per day BEFORE
+    the global-order lag window, so the single-partition window is over a
+    tiny series even at 100 TB of raw events.
+    """
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("d"))
+        .agg(F.round(F.avg("value"), 6).alias("v"))
+    )
+    lagged = daily.select(
+        "v", F.lag("v", 1).over(Window.orderBy("d")).alias("v_prev")
+    )
+    return lagged.agg(
+        F.round(F.corr("v", "v_prev"), 6).alias("lag1_autocorr"),
+        F.count("v_prev").alias("n_pairs"),
+    )

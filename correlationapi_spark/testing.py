@@ -1,0 +1,132 @@
+"""Local Spark-vs-DuckDB comparator — the driver's t2 check, run early.
+
+Mirrors the driver's comparison (SURVEY.md §5.2): row count + column-name
+schema + order-insensitive value comparison, with columns sorted by name.
+This comparator is STRICTER than a hash: it pinpoints the first differing
+cell, so determinism bugs (float accumulation order, tz drift, tie
+ordering) surface locally before the driver ever runs.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+import os
+from dataclasses import dataclass, field
+
+import duckdb
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .io import TABLE_NAMES
+
+_NULL = "\x00NULL"
+
+
+def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Fresh in-memory DuckDB with the ten fixture views registered,
+    exactly like the driver's oracle harness."""
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        con.execute(
+            f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+        )
+    return con
+
+
+def _canon_cell(v):
+    """Canonicalize one cell for cross-engine comparison."""
+    if v is None:
+        return _NULL
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    if isinstance(v, (np.floating,)):
+        v = float(v)
+        return "NaN" if math.isnan(v) else v
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.bool_, bool)):
+        return bool(v)
+    if isinstance(v, pd.Timestamp):
+        if v is pd.NaT:
+            return _NULL
+        return v.to_pydatetime().replace(tzinfo=None).isoformat()
+    if isinstance(v, _dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (np.ndarray, list, tuple)):
+        return tuple(_canon_cell(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _canon_cell(x)) for k, x in v.items()))
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if pd.isna(v):  # catches pd.NA / NaT leftovers
+        return _NULL
+    return v
+
+
+def _canon_frame(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    rows = [
+        tuple(_canon_cell(v) for v in row)
+        for row in df[cols].itertuples(index=False, name=None)
+    ]
+    rows.sort(key=repr)
+    return rows
+
+
+@dataclass
+class CompareResult:
+    key: str
+    ok: bool
+    spark_rows: int = 0
+    oracle_rows: int = 0
+    detail: str = ""
+    mismatches: list = field(default_factory=list)
+
+    def __str__(self) -> str:
+        status = "OK " if self.ok else "FAIL"
+        return f"[{status}] {self.key}: spark={self.spark_rows} oracle={self.oracle_rows} {self.detail}"
+
+
+def compare_frames(key: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> CompareResult:
+    res = CompareResult(key=key, ok=True, spark_rows=len(spark_pdf), oracle_rows=len(oracle_pdf))
+    s_cols, o_cols = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
+    if [c.lower() for c in s_cols] != [c.lower() for c in o_cols]:
+        res.ok = False
+        res.detail = f"schema mismatch: spark={s_cols} oracle={o_cols}"
+        return res
+    if len(spark_pdf) != len(oracle_pdf):
+        res.ok = False
+        res.detail = "row count mismatch"
+        return res
+    s_rows = _canon_frame(spark_pdf)
+    o_rows = _canon_frame(oracle_pdf)
+    if s_rows != o_rows:
+        res.ok = False
+        diffs = [
+            (i, a, b) for i, (a, b) in enumerate(zip(s_rows, o_rows)) if a != b
+        ][:3]
+        res.mismatches = diffs
+        res.detail = f"value mismatch in {len([1 for a, b in zip(s_rows, o_rows) if a != b])} sorted rows; first: {diffs[:1]}"
+    return res
+
+
+def run_compare(
+    key: str,
+    spark_df: DataFrame,
+    oracle: str | None,
+    con: duckdb.DuckDBPyConnection,
+) -> CompareResult:
+    spark_pdf = spark_df.toPandas()
+    if oracle is None:
+        ok = len(spark_pdf) >= 0
+        return CompareResult(
+            key=key, ok=ok, spark_rows=len(spark_pdf), oracle_rows=-1,
+            detail="rows-only" + ("" if len(spark_pdf) > 0 else " (WARNING: 0 rows)"),
+        )
+    oracle_pdf = con.execute(oracle).df()
+    return compare_frames(key, spark_pdf, oracle_pdf)

@@ -1,1 +1,373 @@
-"""Placeholder — filled in during this round."""
+"""Aggregations (SURVEY.md §2.4, minus the correlation family → stats.py).
+
+Scale posture: every query here is a single partial/final hash aggregate
+(one shuffle on the group keys). Distinct-aggregates expand to Spark's
+two-stage distinct plan; approximate variants (HLL / KLL) are the declared
+100 TB path for cardinality/quantiles and are rows-only keys (no exact
+oracle by construction).
+
+Float rules per numerics.py: plain 2 dp sums round(…,2); money products
+sum exact integer cents; avgs round 4–6; higher moments use one explicit
+raw-moment formula on BOTH engines (Spark's and DuckDB's built-in
+skewness/kurtosis use different bias corrections, so neither is oracled
+against the other).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_tables
+from ..numerics import exact_money_sum, money_sum, revenue_cents
+from ..registry import query
+
+
+@query(
+    "q_agg_global",
+    oracle="""
+        SELECT count(*)                    AS n_rows,
+               round(sum(l_quantity), 2)   AS sum_qty,
+               round(avg(l_quantity), 4)   AS avg_qty,
+               min(l_quantity)             AS min_qty,
+               max(l_quantity)             AS max_qty,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               min(l_shipdate)             AS first_ship,
+               max(l_shipdate)             AS last_ship
+        FROM lineitem
+    """,
+    doc="Global aggregate without grouping (sum/avg/min/max/count).",
+)
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].agg(
+        F.count("*").alias("n_rows"),
+        money_sum("l_quantity").alias("sum_qty"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        money_sum("l_extendedprice").alias("sum_price"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+@query(
+    "q_agg_group",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)        AS sum_qty,
+               round(sum(l_extendedprice), 2)   AS sum_base_price,
+               CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)
+                   / 10000.0                    AS sum_disc_price,
+               CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(round(l_discount*100) AS BIGINT))
+                        * (100 + CAST(round(l_tax*100) AS BIGINT))) AS DOUBLE)
+                   / 1000000.0                  AS sum_charge,
+               round(avg(l_quantity), 4)        AS avg_qty,
+               round(avg(l_extendedprice), 4)   AS avg_price,
+               round(avg(l_discount), 6)        AS avg_disc,
+               count(*)                         AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Hash group-by in TPC-H Q1 shape (the pricing summary report).",
+    bench=True,
+)
+def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    charge_units = revenue_cents() * (100 + F.round(F.col("l_tax") * 100, 0).cast("long"))
+    return (
+        t["lineitem"]
+        .filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money_sum("l_quantity").alias("sum_qty"),
+            money_sum("l_extendedprice").alias("sum_base_price"),
+            exact_money_sum(revenue_cents(), 10000.0).alias("sum_disc_price"),
+            exact_money_sum(charge_units, 1000000.0).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_agg_having",
+    oracle="""
+        SELECT o_custkey, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_spend
+        FROM orders
+        GROUP BY o_custkey
+        HAVING count(*) >= 12 AND sum(o_totalprice) > 500000
+    """,
+    doc="Post-aggregation filter (HAVING).",
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            money_sum("o_totalprice").alias("total_spend"),
+            F.sum("o_totalprice").alias("_raw_spend"),
+        )
+        .filter((F.col("n_orders") >= 12) & (F.col("_raw_spend") > 500000))
+        .drop("_raw_spend")
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle="""
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS n_parts,
+               count(DISTINCT l_suppkey) AS n_supps,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact count-distinct (two-stage distinct aggregate plan).",
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "q_agg_approx_distinct",
+    rows_only_reason="approx_count_distinct is HLL-based; the estimate is "
+    "engine-specific so no exact cross-engine oracle exists. Unit tests "
+    "bound its relative error against the exact count.",
+    doc="Approximate count-distinct (HyperLogLog++) — the 100 TB cardinality path.",
+)
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle="""
+        SELECT r_name, n_name,
+               count(*) AS n_customers,
+               round(sum(c_acctbal), 2) AS total_bal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
+    doc="ROLLUP hierarchy totals (region → nation → grand total).",
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            money_sum("c_acctbal").alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "q_agg_cube",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE over two categorical dimensions.",
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["orders"].cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        money_sum("o_totalprice").alias("total_price"),
+    )
+
+
+@query(
+    "q_agg_gsets",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="Explicit GROUPING SETS (SQL entry point over temp views).",
+)
+def q_agg_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+        SELECT l_returnflag,
+               round(stddev_samp(l_quantity), 6) AS sd_qty,
+               round(var_samp(l_quantity), 6)    AS var_qty,
+               round(stddev_pop(l_quantity), 6)  AS sdp_qty,
+               round(var_pop(l_quantity), 6)     AS varp_qty,
+               round(
+                 (avg(l_quantity*l_quantity*l_quantity)
+                    - 3*avg(l_quantity)*avg(l_quantity*l_quantity)
+                    + 2*avg(l_quantity)*avg(l_quantity)*avg(l_quantity))
+                 / pow(var_pop(l_quantity), 1.5), 6)        AS skew_qty,
+               round(
+                 (avg(l_quantity*l_quantity*l_quantity*l_quantity)
+                    - 4*avg(l_quantity)*avg(l_quantity*l_quantity*l_quantity)
+                    + 6*avg(l_quantity)*avg(l_quantity)*avg(l_quantity*l_quantity)
+                    - 3*pow(avg(l_quantity), 4))
+                 / pow(var_pop(l_quantity), 2) - 3, 6)      AS kurt_qty,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="stddev/variance (pop+samp) and raw-moment skewness/excess kurtosis.",
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's F.skewness/F.kurtosis and DuckDB's built-ins apply different
+    bias corrections, so the declared skew/kurtosis use ONE explicit
+    raw-moment formula evaluated identically on both engines (population
+    g1 / excess g2). F.skewness/F.kurtosis are cross-checked in unit
+    tests against this formula's definition instead.
+
+    l_quantity is small-magnitude (1–50) so the raw-moment cancellation is
+    benign; avg-based moments keep each engine's accumulation error ~1e-13,
+    far inside the 6 dp rounding cell.
+    """
+    t = load_tables(spark, sf_dir)
+    q = F.col("l_quantity")
+    m1 = F.avg("l_quantity")
+    m2 = F.avg(q * q)
+    m3 = F.avg(q * q * q)
+    m4 = F.avg(q * q * q * q)
+    varp = F.var_pop("l_quantity")
+    return t["lineitem"].groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.stddev_pop("l_quantity"), 6).alias("sdp_qty"),
+        F.round(F.var_pop("l_quantity"), 6).alias("varp_qty"),
+        F.round((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / F.pow(varp, 1.5), 6).alias(
+            "skew_qty"
+        ),
+        F.round(
+            (m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * F.pow(m1, 4)) / F.pow(varp, 2)
+            - 3,
+            6,
+        ).alias("kurt_qty"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "q_agg_percentile",
+    oracle="""
+        SELECT l_returnflag,
+               round(median(l_extendedprice), 4)              AS med_price,
+               round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+               round(quantile_cont(l_extendedprice, 0.90), 4) AS p90_price,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact median / continuous percentiles.",
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark percentile() and DuckDB quantile_cont share the same
+    # linear-interpolation definition (h = (n-1)p).
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].groupBy("l_returnflag").agg(
+        F.round(F.median("l_extendedprice"), 4).alias("med_price"),
+        F.round(F.percentile("l_extendedprice", 0.25), 4).alias("p25_price"),
+        F.round(F.percentile("l_extendedprice", 0.90), 4).alias("p90_price"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "q_agg_approx_percentile",
+    rows_only_reason="percentile_approx uses Spark's KLL-style sketch; the "
+    "estimate is engine-specific so no exact oracle exists. Unit tests "
+    "bound it between neighboring exact percentiles.",
+    doc="Approximate percentile sketch — the 100 TB quantile path.",
+)
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "q_agg_collect",
+    oracle="""
+        SELECT l_orderkey,
+               list_sort(list(l_linenumber))          AS line_numbers,
+               list_sort(list(DISTINCT l_returnflag)) AS flags
+        FROM lineitem
+        WHERE l_orderkey <= 500
+        GROUP BY l_orderkey
+    """,
+    doc="List/set aggregation, sorted for determinism.",
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # collect_list order is nondeterministic under parallel merge —
+    # sort_array makes the value a pure function of the data (SURVEY §7.4).
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") <= 500)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
+            F.sort_array(F.collect_set("l_returnflag")).alias("flags"),
+        )
+    )
+
+
+@query(
+    "q_agg_first_last",
+    oracle="""
+        SELECT o_custkey,
+               arg_min(o_orderdate, o_orderkey)  AS first_key_date,
+               arg_max(o_totalprice, o_orderkey) AS last_key_price,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_custkey
+    """,
+    doc="first/last by explicit unique ordering (min_by/max_by — plain "
+    "first()/last() are nondeterministic and never declared).",
+)
+def q_agg_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["orders"].groupBy("o_custkey").agg(
+        F.min_by("o_orderdate", "o_orderkey").alias("first_key_date"),
+        F.max_by("o_totalprice", "o_orderkey").alias("last_key_price"),
+        F.count("*").alias("n_orders"),
+    )

@@ -1,1 +1,351 @@
-"""Placeholder — filled in during this round."""
+"""Joins (SURVEY.md §2.3): all logical join types + range/as-of patterns.
+
+Physical strategy is left to Catalyst + AQE (broadcast-hash for small
+sides under the size threshold, sort-merge for the big equi-joins, with
+AQE's runtime switch and skew-split). What this module contributes:
+
+* explicit ``F.broadcast`` on the fixed-cardinality dims,
+* a scale-correct as-of join: union + partition-ordered window carry-
+  forward (ONE shuffle on the key, no time-range explosion),
+* band/theta joins against tiny inline dimensions → broadcast
+  nested-loop, the right plan for value-band lookups at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import load_tables
+from ..numerics import money_sum
+from ..registry import query
+
+
+@query(
+    "q_join_inner",
+    oracle="""
+        SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING' AND o.o_totalprice > 100000
+    """,
+    doc="Inner equi-join orders⋈customer.",
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .filter((F.col("c_mktsegment") == "BUILDING") & (F.col("o_totalprice") > 100000))
+        .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+    )
+
+
+@query(
+    "q_join_multi",
+    oracle="""
+        SELECT r.r_name AS region_name, n.n_name AS nation_name,
+               count(*) AS n_lines,
+               round(sum(l.l_extendedprice), 2) AS total_price
+        FROM lineitem l
+        JOIN orders   o ON l.l_orderkey  = o.o_orderkey
+        JOIN customer c ON o.o_custkey   = c.c_custkey
+        JOIN nation   n ON c.c_nationkey = n.n_nationkey
+        JOIN region   r ON n.n_regionkey = r.r_regionkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY 1, 2
+    """,
+    doc="Five-way star join with grouped rollup to (region, nation).",
+    bench=True,
+)
+def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(F.count("*").alias("n_lines"), money_sum("l_extendedprice").alias("total_price"))
+    )
+
+
+# Left/full joins need unmatched rows; filter the right side so they exist.
+@query(
+    "q_join_left",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, b.n_big, b.big_total
+        FROM customer c
+        LEFT JOIN (
+            SELECT o_custkey, count(*) AS n_big,
+                   round(sum(o_totalprice), 2) AS big_total
+            FROM orders WHERE o_totalprice > 250000
+            GROUP BY o_custkey
+        ) b ON c.c_custkey = b.o_custkey
+    """,
+    doc="Left outer join against a filtered aggregate (NULLs on misses).",
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    big = (
+        t["orders"]
+        .filter(F.col("o_totalprice") > 250000)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_big"), money_sum("o_totalprice").alias("big_total"))
+    )
+    return (
+        t["customer"]
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select("c_custkey", "c_name", "n_big", "big_total")
+    )
+
+
+@query(
+    "q_join_full",
+    oracle="""
+        SELECT coalesce(hi.k, lo.k) AS nation_key, hi.n_hi, lo.n_lo
+        FROM (SELECT c_nationkey AS k, count(*) AS n_hi
+              FROM customer WHERE c_acctbal > 7000 GROUP BY 1) hi
+        FULL JOIN (SELECT c_nationkey AS k, count(*) AS n_lo
+                   FROM customer WHERE c_acctbal < -500 GROUP BY 1) lo
+          ON hi.k = lo.k
+    """,
+    doc="Full outer join of two disjoint-filter aggregates.",
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    hi = (
+        t["customer"].filter(F.col("c_acctbal") > 7000)
+        .groupBy(F.col("c_nationkey").alias("hk")).agg(F.count("*").alias("n_hi"))
+    )
+    lo = (
+        t["customer"].filter(F.col("c_acctbal") < -500)
+        .groupBy(F.col("c_nationkey").alias("lk")).agg(F.count("*").alias("n_lo"))
+    )
+    return hi.join(lo, F.col("hk") == F.col("lk"), "full").select(
+        F.coalesce("hk", "lk").alias("nation_key"), "n_hi", "n_lo"
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+    doc="Left semi join (customers having a very large order).",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    big = t["orders"].filter(F.col("o_totalprice") > 300000)
+    return (
+        t["customer"]
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+    """,
+    doc="Left anti join (customers with no urgent orders).",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        t["customer"]
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@query(
+    "q_join_cross",
+    oracle="""
+        SELECT r.r_name, s.o_orderstatus, count(*) AS n_combos
+        FROM region r
+        CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+        GROUP BY 1, 2
+    """,
+    doc="Cross join of two tiny domains.",
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    statuses = t["orders"].select("o_orderstatus").distinct()
+    return (
+        t["region"].crossJoin(statuses).groupBy("r_name", "o_orderstatus")
+        .agg(F.count("*").alias("n_combos"))
+    )
+
+
+_BANDS = [
+    ("deep_negative", -100000.0, -500.0),
+    ("negative", -500.0, 0.0),
+    ("low", 0.0, 3000.0),
+    ("mid", 3000.0, 7000.0),
+    ("high", 7000.0, 100000.0),
+]
+_BANDS_SQL = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _BANDS)
+
+
+@query(
+    "q_join_theta",
+    oracle=f"""
+        SELECT b.band_name, count(*) AS n_customers,
+               round(sum(c.c_acctbal), 2) AS band_bal
+        FROM customer c
+        JOIN (VALUES {_BANDS_SQL}) AS b(band_name, lo, hi)
+          ON c.c_acctbal >= b.lo AND c.c_acctbal < b.hi
+        GROUP BY 1
+    """,
+    doc="Theta (band) join on inequality predicates against an inline dim.",
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi join → broadcast-nested-loop against the 5-row band dim —
+    the correct physical plan at any fact-table scale (the build side is
+    constant-size, so the probe stays embarrassingly parallel)."""
+    t = load_tables(spark, sf_dir)
+    bands = spark.createDataFrame(_BANDS, ["band_name", "lo", "hi"])
+    c = t["customer"]
+    return (
+        c.join(
+            F.broadcast(bands),
+            (c.c_acctbal >= bands.lo) & (c.c_acctbal < bands.hi),
+        )
+        .groupBy("band_name")
+        .agg(F.count("*").alias("n_customers"), money_sum("c_acctbal").alias("band_bal"))
+    )
+
+
+@query(
+    "q_join_range",
+    oracle="""
+        SELECT p.user_id, count(*) AS n_followups
+        FROM events p
+        JOIN events c
+          ON c.user_id = p.user_id
+         AND c.ts > p.ts
+         AND c.ts <= p.ts + INTERVAL 30 MINUTE
+         AND c.event_type = 'click'
+        WHERE p.event_type = 'purchase'
+        GROUP BY 1
+    """,
+    doc="Range/interval self-join: clicks within 30min after each purchase.",
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join on user_id carries the range predicate as a residual —
+    Spark plans SortMergeJoin(user_id) with the time filter applied during
+    the merge, NOT a nested loop over the cross product. Skew on hot users
+    is AQE's skew-split. (A time-bucketed variant for keyless range joins
+    lives in unit tests.)"""
+    t = load_tables(spark, sf_dir)
+    p = t["events"].filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    c = t["events"].filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    return (
+        p.join(
+            c,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("c_ts") > F.col("p_ts"))
+            & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .groupBy(F.col("p_user").alias("user_id"))
+        .agg(F.count("*").alias("n_followups"))
+    )
+
+
+_ASOF_ORACLE = """
+    WITH ev AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ), carried AS (
+        SELECT user_id, ts, event_id, is_p,
+               last_value(CASE WHEN is_p = 0 THEN event_id END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, is_p, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS asof_click_id
+        FROM ev
+    )
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, asof_click_id
+    FROM carried WHERE is_p = 1
+"""
+
+
+@query(
+    "q_join_asof",
+    oracle=_ASOF_ORACLE,
+    doc="As-of join: latest click at-or-before each purchase, per user.",
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-correct as-of: union both sides, ONE shuffle on user_id, and a
+    partition-ordered carry-forward of the last click id (last w/ ignore-
+    nulls). No per-row time-range join, so no O(purchases × clicks)
+    blow-up — this is the 100 TB plan, not just the fixture plan.
+
+    Ordering (ts, is_p, event_id) makes same-timestamp clicks visible to a
+    purchase (inclusive as-of) and tie-breaks equal timestamps by the
+    unique event_id, so the result is a pure function of the data. The
+    oracle replicates this formula verbatim (DuckDB's native ASOF JOIN has
+    unspecified tie behavior — SURVEY.md §2.3 note).
+    """
+    t = load_tables(spark, sf_dir)
+    ev = (
+        t["events"]
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_p"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = ev.withColumn(
+        "asof_click_id",
+        F.last(F.when(F.col("is_p") == 0, F.col("event_id")), ignorenulls=True).over(w),
+    )
+    return carried.filter(F.col("is_p") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "asof_click_id",
+    )
+
+
+@query(
+    "q_join_broadcast",
+    oracle="""
+        SELECT n.n_name AS nation_name, count(*) AS n_customers,
+               round(avg(c.c_acctbal), 4) AS avg_bal
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1
+    """,
+    doc="Explicit broadcast-hint join (physical-only difference from inner).",
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(F.count("*").alias("n_customers"), F.round(F.avg("c_acctbal"), 4).alias("avg_bal"))
+    )

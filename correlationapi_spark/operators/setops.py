@@ -1,1 +1,148 @@
-"""Placeholder — filled in during this round."""
+"""Sorts, limits, set operations (SURVEY.md §2.6–2.7).
+
+Sort correctness is made value-visible with row_number (the driver's
+comparison is order-insensitive, so a bare ORDER BY proves nothing);
+every ordering carries a unique tie-break. Global top-k compiles to
+TakeOrderedAndProject — per-partition heaps + driver merge, no global
+sort, which is the only top-k that scales.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import load_tables
+from ..registry import query
+
+
+@query(
+    "q_sort_multi",
+    oracle="""
+        SELECT s_suppkey, s_name, nullif(s_acctbal, 0) AS bal_or_null,
+               row_number() OVER (ORDER BY nullif(s_acctbal, 0) DESC NULLS LAST,
+                                  s_nationkey ASC, s_suppkey ASC) AS sort_pos
+        FROM supplier
+    """,
+    doc="Multi-key sort with NULLS LAST placement, materialized via row_number.",
+)
+def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # supplier stays small at every sf (FIXTURES.md) so the single-partition
+    # rank window is bounded; tie-break by unique s_suppkey.
+    t = load_tables(spark, sf_dir)
+    bal = F.nullif(F.col("s_acctbal"), F.lit(0.0))
+    w = Window.orderBy(bal.desc_nulls_last(), F.col("s_nationkey").asc(), F.col("s_suppkey").asc())
+    return t["supplier"].select(
+        "s_suppkey",
+        "s_name",
+        bal.alias("bal_or_null"),
+        F.row_number().over(w).alias("sort_pos"),
+    )
+
+
+@query(
+    "q_limit_topk",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10 OFFSET 5
+    """,
+    doc="Global top-k with offset (TakeOrderedAndProject).",
+)
+def q_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .offset(5)
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "q_set_union",
+    oracle="""
+        SELECT k, src FROM (
+            SELECT o_custkey AS k, 'big_order' AS src
+            FROM orders WHERE o_totalprice > 280000
+            UNION ALL
+            SELECT c_custkey AS k, 'rich' AS src
+            FROM customer WHERE c_acctbal > 9000
+        )
+        UNION
+        SELECT c_custkey AS k, 'rich' AS src
+        FROM customer WHERE c_acctbal > 9500
+    """,
+    doc="UNION ALL + distinct UNION composition.",
+)
+def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    a = (
+        t["orders"].filter(F.col("o_totalprice") > 280000)
+        .select(F.col("o_custkey").alias("k"), F.lit("big_order").alias("src"))
+    )
+    b = (
+        t["customer"].filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").alias("k"), F.lit("rich").alias("src"))
+    )
+    c = (
+        t["customer"].filter(F.col("c_acctbal") > 9500)
+        .select(F.col("c_custkey").alias("k"), F.lit("rich").alias("src"))
+    )
+    return a.unionByName(b).unionByName(c).distinct()
+
+
+@query(
+    "q_set_intersect",
+    oracle="""
+        SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+        INTERSECT
+        SELECT o_custkey AS k FROM orders WHERE o_totalprice > 200000
+    """,
+    doc="INTERSECT (distinct) of two key sets.",
+)
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")
+    )
+    big = t["orders"].filter(F.col("o_totalprice") > 200000).select(
+        F.col("o_custkey").alias("k")
+    )
+    return urgent.intersect(big)
+
+
+@query(
+    "q_set_except",
+    oracle="""
+        SELECT l_partkey AS k FROM lineitem WHERE l_returnflag = 'A'
+        EXCEPT ALL
+        SELECT l_partkey AS k FROM lineitem WHERE l_returnflag = 'R'
+    """,
+    doc="EXCEPT ALL (bag difference keeps multiplicity).",
+)
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    a = t["lineitem"].filter(F.col("l_returnflag") == "A").select(
+        F.col("l_partkey").alias("k")
+    )
+    r = t["lineitem"].filter(F.col("l_returnflag") == "R").select(
+        F.col("l_partkey").alias("k")
+    )
+    return a.exceptAll(r)
+
+
+@query(
+    "q_distinct",
+    oracle="""
+        SELECT DISTINCT user_id, event_type FROM events
+    """,
+    doc="DISTINCT on a projected subset (dropDuplicates over other columns "
+    "is tie-nondeterministic, so only the subset is projected — SURVEY §2.7).",
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["events"].select("user_id", "event_type").distinct()

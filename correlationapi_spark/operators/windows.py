@@ -1,1 +1,225 @@
-"""Placeholder — filled in during this round."""
+"""Window functions (SURVEY.md §2.5).
+
+Every ORDER BY inside a window carries a unique tie-break key so results
+are pure functions of the data (SURVEY.md §4.2). All windows are
+partitioned — no global single-partition sorts in declared keys; Spark ≥3.5
+rewrites the rank-filter top-k pattern into WindowGroupLimit, pushing the
+per-group limit below the shuffle (verified in the plan tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import load_tables
+from ..registry import query
+
+
+@query(
+    "q_win_rownum",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+        WHERE o_orderkey <= 5000
+    """,
+    doc="row_number with unique tie-break.",
+)
+def q_win_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        t["orders"]
+        .filter(F.col("o_orderkey") <= 5000)
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+    )
+
+
+@query(
+    "q_win_rank",
+    oracle="""
+        SELECT c_nationkey, c_custkey, c_acctbal,
+               rank()         OVER w AS rnk,
+               dense_rank()   OVER w AS drnk,
+               round(percent_rank() OVER w, 6) AS prnk,
+               ntile(4)       OVER (PARTITION BY c_nationkey
+                                    ORDER BY c_acctbal DESC, c_custkey) AS quartile,
+               round(cume_dist() OVER w, 6) AS cdist
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC)
+    """,
+    doc="rank / dense_rank / percent_rank / ntile / cume_dist.",
+)
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rank/percent_rank/cume_dist are tie-stable (equal inputs → equal
+    # outputs) so ordering by the value alone is deterministic; ntile is
+    # positional and needs the unique tie-break.
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"))
+    wt = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return t["customer"].select(
+        "c_nationkey",
+        "c_custkey",
+        "c_acctbal",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.ntile(4).over(wt).alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@query(
+    "q_win_lag",
+    oracle="""
+        SELECT user_id, event_id, value,
+               round(lag(value, 1)  OVER w, 2) AS prev_value,
+               round(lead(value, 1) OVER w, 2) AS next_value,
+               round(value - coalesce(lag(value, 1) OVER w, 0), 2) AS delta
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="lag / lead over per-user event time.",
+)
+def q_win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value", 1).over(w)
+    return t["events"].select(
+        "user_id",
+        "event_id",
+        "value",
+        F.round(prev, 2).alias("prev_value"),
+        F.round(F.lead("value", 1).over(w), 2).alias("next_value"),
+        F.round(F.col("value") - F.coalesce(prev, F.lit(0)), 2).alias("delta"),
+    )
+
+
+@query(
+    "q_win_frame_rows",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                 AS running_spend,
+               round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+                 AS avg_last3
+        FROM orders
+    """,
+    doc="Running aggregates over ROWS frames.",
+    bench=True,
+)
+def q_win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Running sums of 2 dp money stay on the 0.01 grid at every prefix, so
+    # round(…,2) is grid-center-safe per numerics.py rule 1; the 3-row avg
+    # divides a grid sum by ≤3 and rounds with ~1e-12 slack at 4 dp.
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_spend"),
+        F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4).alias("avg_last3"),
+    )
+
+
+@query(
+    "q_win_frame_range",
+    oracle="""
+        SELECT c_nationkey, c_custkey, c_acctbal,
+               count(*) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal
+                              RANGE BETWEEN 500 PRECEDING AND CURRENT ROW)
+                 AS peers_within_500,
+               round(sum(c_acctbal) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal
+                              RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING), 2)
+                 AS neighborhood_bal
+        FROM customer
+    """,
+    doc="Value-based RANGE frames (peer groups by acctbal distance).",
+)
+def q_win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RANGE frames are value-determined: rows with equal order keys share a
+    # frame, so no unique tie-break is needed for determinism.
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+    return t["customer"].select(
+        "c_nationkey",
+        "c_custkey",
+        "c_acctbal",
+        F.count("*").over(w.rangeBetween(-500, 0)).alias("peers_within_500"),
+        F.round(F.sum("c_acctbal").over(w.rangeBetween(-500, 500)), 2).alias(
+            "neighborhood_bal"
+        ),
+    )
+
+
+@query(
+    "q_win_firstlast",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               first_value(o_totalprice) OVER w AS first_price,
+               last_value(o_totalprice)  OVER w AS latest_price,
+               nth_value(o_totalprice, 2) OVER w AS second_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="first_value / last_value / nth_value with explicit full frame.",
+)
+def q_win_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("latest_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
+@query(
+    "q_topk_group",
+    oracle="""
+        SELECT nation_name, c_custkey, c_acctbal, rn FROM (
+            SELECT n.n_name AS nation_name, c.c_custkey, c.c_acctbal,
+                   row_number() OVER (PARTITION BY n.n_name
+                                      ORDER BY c.c_acctbal DESC, c.c_custkey) AS rn
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ) WHERE rn <= 3
+    """,
+    doc="Top-k per group (rank-filter → WindowGroupLimit pushdown).",
+)
+def q_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark ≥3.5 rewrites rank+filter into WindowGroupLimit: each map task
+    keeps only its local top-k per group BEFORE the shuffle — the same
+    state bound that makes this pattern safe on 100 TB facts."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation_name"),
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(
+                Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), "c_custkey")
+            ).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )

@@ -1,1 +1,399 @@
-"""Placeholder — filled in during this round."""
+"""Scalar function families (SURVEY.md §2.8).
+
+One declared key per family; every output column aliased; all expressions
+stay inside whole-stage codegen (no UDFs anywhere in this module). Dialect
+mapping to the DuckDB oracle is documented inline per family; functions
+with no exact cross-engine twin (xxhash64, months_between, weekofyear…)
+live in the rows-only key q_fn_hash_spark or in unit tests rather than
+silently weakening an oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_tables
+from ..registry import query
+
+
+@query(
+    "q_fn_string",
+    oracle="""
+        SELECT doc_id,
+               upper(lang)                                   AS lang_up,
+               concat(source, ':', lang)                     AS src_lang,
+               length(text)                                  AS text_len,
+               substring(text, 1, 12)                        AS prefix12,
+               trim(concat('  ', lang, ' '))                 AS trimmed,
+               lpad(lang, 5, '_')                            AS lang_pad,
+               rpad(source, 8, '.')                          AS src_pad,
+               instr(text, 'scan')                           AS scan_pos,
+               replace(lang, 'en', 'english')                AS lang_repl,
+               regexp_extract(text, '([a-z]+)', 1)           AS first_word,
+               regexp_replace(substring(text, 1, 40), ' ', '_', 'g') AS head_snake,
+               regexp_matches(text, 'join .* merge')         AS has_join_merge,
+               levenshtein(lang, 'en')                       AS lang_dist
+        FROM documents
+    """,
+    doc="String family: case/trim/pad/substring/instr/replace/regex/levenshtein.",
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Dialect notes: Spark rlike == DuckDB regexp_matches (unanchored);
+    # both use 1-based substring/instr; POSIX-simple patterns only so the
+    # regex dialects agree (SURVEY.md §2.8). Spark regexp_replace is
+    # global; DuckDB needs the explicit 'g' flag.
+    t = load_tables(spark, sf_dir)
+    d = t["documents"]
+    return d.select(
+        "doc_id",
+        F.upper("lang").alias("lang_up"),
+        F.concat(F.col("source"), F.lit(":"), F.col("lang")).alias("src_lang"),
+        F.length("text").alias("text_len"),
+        F.substring("text", 1, 12).alias("prefix12"),
+        F.trim(F.concat(F.lit("  "), F.col("lang"), F.lit(" "))).alias("trimmed"),
+        F.lpad("lang", 5, "_").alias("lang_pad"),
+        F.rpad("source", 8, ".").alias("src_pad"),
+        F.instr(F.col("text"), "scan").alias("scan_pos"),
+        F.replace(F.col("lang"), F.lit("en"), F.lit("english")).alias("lang_repl"),
+        F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace(F.substring("text", 1, 40), " ", "_").alias("head_snake"),
+        F.col("text").rlike("join .* merge").alias("has_join_merge"),
+        F.levenshtein(F.col("lang"), F.lit("en")).alias("lang_dist"),
+    )
+
+
+@query(
+    "q_fn_date",
+    oracle="""
+        SELECT o_orderkey,
+               year(o_orderdate)                       AS yr,
+               month(o_orderdate)                      AS mo,
+               dayofmonth(o_orderdate)                 AS dom,
+               dayofweek(o_orderdate) + 1              AS dow,
+               date_trunc('quarter', o_orderdate)      AS quarter_start,
+               date_diff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00')
+                                                       AS days_to_y2k,
+               o_orderdate + INTERVAL 30 DAY           AS due_ts,
+               CAST(epoch(o_orderdate) AS BIGINT)      AS epoch_s,
+               CAST(make_timestamp(year(o_orderdate), month(o_orderdate), 1, 0, 0, 0)
+                    AS TIMESTAMP)                      AS month_start
+        FROM orders WHERE o_orderkey <= 2000
+    """,
+    doc="Date/time family: extract/trunc/diff/add/epoch/make_timestamp.",
+)
+def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Dialect notes: Spark dayofweek is 1=Sunday, DuckDB 0=Sunday (+1 in
+    # the oracle); Spark datediff(end, start) == DuckDB
+    # date_diff('day', start, end); Spark date_add returns DATE so the
+    # declared column is timestamp-cast on both sides; months_between and
+    # weekofyear have no exact DuckDB twin → unit tests only.
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    return o.filter(F.col("o_orderkey") <= 2000).select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.date_trunc("quarter", "o_orderdate").alias("quarter_start"),
+        F.datediff(F.to_timestamp(F.lit("2000-01-01 00:00:00")), F.col("o_orderdate")).alias(
+            "days_to_y2k"
+        ),
+        F.date_add(F.col("o_orderdate"), 30).cast("timestamp").alias("due_ts"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        F.make_timestamp(
+            F.year("o_orderdate"), F.month("o_orderdate"), F.lit(1),
+            F.lit(0), F.lit(0), F.lit(0),
+        ).alias("month_start"),
+    )
+
+
+@query(
+    "q_fn_math",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               round(l_extendedprice / 7, 2)            AS sev,
+               abs(l_quantity - 25)                     AS dist25,
+               CAST(ceil(l_extendedprice / 1000) AS BIGINT)  AS price_k_ceil,
+               CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
+               pow(l_quantity, 2)                       AS qty_sq,
+               round(sqrt(l_extendedprice), 6)          AS price_sqrt,
+               round(exp(l_discount), 6)                AS disc_exp,
+               round(ln(l_extendedprice), 6)            AS price_ln,
+               round(log10(l_extendedprice), 6)         AS price_log10,
+               ((CAST(2 - l_linenumber AS BIGINT) % 7) + 7) % 7 AS pm,
+               CAST(sign(l_quantity - 25) AS INT)       AS qty_sign,
+               greatest(l_quantity, l_discount * 100, l_tax * 100) AS g3,
+               least(l_quantity, l_discount * 100, l_tax * 100)    AS l3
+        FROM lineitem WHERE l_orderkey <= 1000
+    """,
+    doc="Math family: round/abs/ceil/floor/pow/sqrt/exp/ln/log10/pmod/sign/greatest/least.",
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # /7 keeps round() operands off half-boundaries; ceil/floor go through
+    # BIGINT casts because Spark returns LONG where DuckDB returns DOUBLE;
+    # pmod is spelled ((a % b) + b) % b in the oracle (SURVEY.md §2.8).
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    return li.filter(F.col("l_orderkey") <= 1000).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") / 7, 2).alias("sev"),
+        F.abs(F.col("l_quantity") - 25).alias("dist25"),
+        F.ceil(F.col("l_extendedprice") / 1000).alias("price_k_ceil"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_k_floor"),
+        F.pow("l_quantity", F.lit(2)).alias("qty_sq"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.log10("l_extendedprice"), 6).alias("price_log10"),
+        F.pmod((F.lit(2) - F.col("l_linenumber")).cast("bigint"), F.lit(7)).alias("pm"),
+        F.signum(F.col("l_quantity") - 25).cast("int").alias("qty_sign"),
+        F.greatest(
+            F.col("l_quantity"), F.col("l_discount") * 100, F.col("l_tax") * 100
+        ).alias("g3"),
+        F.least(
+            F.col("l_quantity"), F.col("l_discount") * 100, F.col("l_tax") * 100
+        ).alias("l3"),
+    )
+
+
+@query(
+    "q_fn_array",
+    oracle="""
+        SELECT vec_id,
+               len(embedding)                                   AS dim,
+               list_slice(CAST(embedding AS DOUBLE[]), 1, 4)    AS head4,
+               list_sort(list_slice(CAST(embedding AS DOUBLE[]), 1, 4))
+                                                                AS head4_sorted,
+               list_sort(list_distinct(
+                 [CAST(label AS BIGINT), CAST(label % 3 AS BIGINT),
+                  CAST(label AS BIGINT)]))                      AS label_set,
+               flatten([[CAST(label AS BIGINT)],
+                        [CAST(vec_id AS BIGINT)]])              AS flat_pair,
+               list_contains(list_slice(CAST(embedding AS DOUBLE[]), 1, 4),
+                             CAST(embedding[1] AS DOUBLE))      AS head_has_first
+        FROM embeddings WHERE vec_id <= 200
+    """,
+    doc="Array family: size/slice/sort/distinct/flatten/contains.",
+)
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # embedding floats are cast to double element-wise on both engines
+    # (FIXTURES.md cross-engine note) — exact, no accumulation.
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    vd = F.col("embedding").cast("array<double>")
+    head4 = F.slice(vd, 1, 4)
+    lbl = F.col("label").cast("bigint")
+    return e.filter(F.col("vec_id") <= 200).select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        head4.alias("head4"),
+        F.sort_array(head4).alias("head4_sorted"),
+        F.sort_array(
+            F.array_distinct(F.array(lbl, (F.col("label") % 3).cast("bigint"), lbl))
+        ).alias("label_set"),
+        F.flatten(F.array(F.array(lbl), F.array(F.col("vec_id").cast("bigint")))).alias(
+            "flat_pair"
+        ),
+        F.array_contains(head4, F.col("embedding").getItem(0).cast("double")).alias(
+            "head_has_first"
+        ),
+    )
+
+
+@query(
+    "q_fn_array_explode",
+    oracle="""
+        SELECT vec_id, 0 AS pos, CAST(embedding[1] AS DOUBLE) AS val
+        FROM embeddings WHERE vec_id <= 50
+        UNION ALL
+        SELECT vec_id, 1 AS pos, CAST(embedding[2] AS DOUBLE) AS val
+        FROM embeddings WHERE vec_id <= 50
+        UNION ALL
+        SELECT vec_id, 2 AS pos, CAST(embedding[3] AS DOUBLE) AS val
+        FROM embeddings WHERE vec_id <= 50
+    """,
+    doc="posexplode of an array slice to (id, pos, value) rows.",
+)
+def q_fn_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark side is a real posexplode generator; DuckDB replicates the
+    # 3-element slice as a portable UNION ALL (unnest WITH ORDINALITY is
+    # not ANSI-stable across DuckDB versions).
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].filter(F.col("vec_id") <= 50)
+    return e.select(
+        "vec_id",
+        F.posexplode(F.slice(F.col("embedding").cast("array<double>"), 1, 3)),
+    ).select("vec_id", F.col("pos").alias("pos"), F.col("col").alias("val"))
+
+
+@query(
+    "q_fn_array_hof",
+    oracle="""
+        SELECT vec_id,
+               list_transform(list_slice(CAST(embedding AS DOUBLE[]), 1, 8),
+                              x -> x * 2.0)                           AS doubled8,
+               list_filter(list_slice(CAST(embedding AS DOUBLE[]), 1, 8),
+                           x -> x > 0)                                AS positive8,
+               round(list_reduce(CAST(embedding AS DOUBLE[]),
+                                 (acc, x) -> acc + x), 6)             AS vec_sum,
+               round(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])), 6) AS self_dot
+        FROM embeddings WHERE vec_id <= 200
+    """,
+    doc="Higher-order array functions: transform/filter/aggregate/zip_with.",
+)
+def q_fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # vec_sum: Spark aggregate() and DuckDB list_reduce() are both
+    # sequential left folds → identical accumulation order (and 6 dp slack
+    # regardless). self_dot exercises zip_with against list_dot_product.
+    t = load_tables(spark, sf_dir)
+    vd = F.col("embedding").cast("array<double>")
+    head8 = F.slice(vd, 1, 8)
+    return t["embeddings"].filter(F.col("vec_id") <= 200).select(
+        "vec_id",
+        F.transform(head8, lambda x: x * 2.0).alias("doubled8"),
+        F.filter(head8, lambda x: x > 0).alias("positive8"),
+        F.round(
+            F.aggregate(vd, F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("vec_sum"),
+        F.round(
+            F.aggregate(F.zip_with(vd, vd, lambda x, y: x * y), F.lit(0.0),
+                        lambda acc, x: acc + x),
+            6,
+        ).alias("self_dot"),
+    )
+
+
+@query(
+    "q_fn_map",
+    oracle="""
+        SELECT event_id,
+               list_sort(map_keys(map(['etype', 'uid'],
+                                      [event_type, CAST(user_id AS VARCHAR)])))
+                 AS mkeys,
+               list_sort(map_values(map(['etype', 'uid'],
+                                        [event_type, CAST(user_id AS VARCHAR)])))
+                 AS mvals,
+               map_extract(map(['etype', 'uid'],
+                               [event_type, CAST(user_id AS VARCHAR)]), 'etype')[1]
+                 AS etype_val
+        FROM events WHERE event_id <= 1000
+    """,
+    doc="Map family: create_map/map_keys/map_values/element_at "
+    "(projected as sorted lists — raw map hashing is engine-flaky, SURVEY §2.8).",
+)
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    m = F.create_map(
+        F.lit("etype"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+    )
+    return t["events"].filter(F.col("event_id") <= 1000).select(
+        "event_id",
+        F.sort_array(F.map_keys(m)).alias("mkeys"),
+        F.sort_array(F.map_values(m)).alias("mvals"),
+        F.element_at(m, F.lit("etype")).alias("etype_val"),
+    )
+
+
+@query(
+    "q_fn_json",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract(props, '$.k') AS INTEGER)  AS k_path,
+               CAST(json_extract(props, '$.k') AS INTEGER)  AS k_struct,
+               json_extract_string(props, '$.k')            AS k_str,
+               to_json(struct_pack(user_id := user_id,
+                                   event_type := event_type)) AS packed
+        FROM events WHERE event_id <= 2000
+    """,
+    doc="JSON family: get_json_object / from_json→struct / to_json.",
+)
+def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    parsed = F.from_json(F.col("props"), "k INT")
+    return t["events"].filter(F.col("event_id") <= 2000).select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_path"),
+        parsed.getField("k").alias("k_struct"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.to_json(F.struct(F.col("user_id"), F.col("event_type"))).alias("packed"),
+    )
+
+
+@query(
+    "q_fn_cond",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               coalesce(nullif(l_returnflag, 'N'), 'none')        AS flag_fill,
+               nullif(l_linenumber, 1)                            AS ln_or_null,
+               CASE WHEN isnan(CASE WHEN l_linenumber = 1 THEN 'NaN'::DOUBLE
+                                    ELSE l_quantity END)
+                    THEN -1.0
+                    ELSE CASE WHEN l_linenumber = 1 THEN 'NaN'::DOUBLE
+                              ELSE l_quantity END END             AS qty_nanfix,
+               isnan(CASE WHEN l_linenumber = 1 THEN 'NaN'::DOUBLE
+                          ELSE l_quantity END)                    AS was_nan
+        FROM lineitem WHERE l_orderkey <= 1000
+    """,
+    doc="Conditionals: coalesce/nullif/nanvl/isnan (NaNs manufactured in-query).",
+)
+def q_fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    nan_qty = F.when(F.col("l_linenumber") == 1, F.lit(float("nan"))).otherwise(
+        F.col("l_quantity")
+    )
+    return t["lineitem"].filter(F.col("l_orderkey") <= 1000).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("none")).alias(
+            "flag_fill"
+        ),
+        F.nullif(F.col("l_linenumber"), F.lit(1)).alias("ln_or_null"),
+        F.nanvl(nan_qty, F.lit(-1.0)).alias("qty_nanfix"),
+        F.isnan(nan_qty).alias("was_nan"),
+    )
+
+
+@query(
+    "q_fn_hash",
+    oracle="""
+        SELECT doc_id,
+               sha256(text)         AS text_sha256,
+               md5(text)            AS text_md5,
+               sha256(concat(source, '|', lang)) AS key_sha256
+        FROM documents
+    """,
+    doc="Cryptographic hashes with exact cross-engine twins (sha256/md5).",
+)
+def q_fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("text_sha256"),
+        F.md5(F.col("text")).alias("text_md5"),
+        F.sha2(F.concat(F.col("source"), F.lit("|"), F.col("lang")), 256).alias(
+            "key_sha256"
+        ),
+    )
+
+
+@query(
+    "q_fn_hash_spark",
+    rows_only_reason="xxhash64 / crc32 / hash are Spark-specific algorithms "
+    "(seeded Murmur3 / XXH64) with no DuckDB equivalent; their stability is "
+    "asserted in unit tests via fixed expected values instead.",
+    doc="Spark-native hash functions (partitioning/bucketing building blocks).",
+)
+def q_fn_hash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        F.xxhash64("text").alias("text_xxh64"),
+        F.crc32("text").alias("text_crc32"),
+        F.hash("text", "lang").alias("row_hash"),
+        F.sha1("text").alias("text_sha1"),
+    )

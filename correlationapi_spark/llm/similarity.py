@@ -1,1 +1,187 @@
-"""Placeholder — filled in during this round."""
+"""Similarity search over embedding columns (SURVEY.md §2.9).
+
+Brute-force cosine top-k is the exact baseline (and the oracle-able key);
+the LSH-bucketed variant is the declared sub-quadratic scale path. Vector
+math uses zip_with + aggregate over array<double> — JVM-side expression
+trees, no Python. (For very wide batch scoring a Pandas-UDF matmul path
+would win; that variant lives in udfs.py as the vectorized-UDF exhibit.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import load_tables
+from ..registry import query
+
+
+def dot(x: Column, y: Column) -> Column:
+    """Σ xᵢ·yᵢ as a sequential left fold (matches DuckDB list_dot_product
+    to ~1 ulp; declared outputs round to 6 dp)."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
+    )
+
+
+def cosine(x: Column, y: Column) -> Column:
+    return dot(x, y) / F.sqrt(dot(x, x) * dot(y, y))
+
+
+_TOPK_ORACLE = """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
+    scored AS (
+        SELECT p.probe_id, c.vec_id AS neighbor_id,
+               round(list_dot_product(p.pv, c.v)
+                     / sqrt(list_dot_product(p.pv, p.pv)
+                            * list_dot_product(c.v, c.v)), 6) AS cosine
+        FROM probes p JOIN e c ON c.vec_id <> p.probe_id
+    )
+    SELECT probe_id, neighbor_id, cosine, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+"""
+
+
+@query(
+    "q_sim_topk",
+    oracle=_TOPK_ORACLE,
+    doc="Brute-force cosine top-5 neighbors for 5 probe vectors.",
+    bench=True,
+)
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANN baseline: broadcast the (tiny) probe set against the
+    corpus — a broadcast-nested-loop whose probe side is constant, so the
+    corpus scan stays embarrassingly parallel at any scale. Ranking uses
+    the ROUNDED cosine + unique neighbor_id so sub-ulp cross-engine drift
+    cannot flip the top-k (duplicate vectors tie-break by id)."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(e.withColumnRenamed("vec_id", "neighbor_id"), F.col("neighbor_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(cosine(F.col("pv"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("probe_id", "neighbor_id", "cosine", "rn")
+    )
+
+
+@query(
+    "q_sim_topk_lsh",
+    rows_only_reason="BucketedRandomProjectionLSH buckets depend on Spark's "
+    "seeded random hyperplanes — no cross-engine oracle. Unit tests assert "
+    "recall ≥ 0.6 of its top-k against the exact q_sim_topk at fixture scale.",
+    doc="ANN top-k via random-projection LSH — the sub-quadratic scale path.",
+)
+def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize first so euclidean LSH distance orders like cosine
+    (‖a−b‖² = 2−2cos on the unit sphere), then approxSimilarityJoin of the
+    probe set; the per-probe top-k keeps the same rank/tie contract as the
+    exact key. Bucket length/table count are the recall-vs-cost dials."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("raw"),
+    )
+    e = Normalizer(inputCol="raw", outputCol="nv", p=2.0).transform(e)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="nv", outputCol="buckets", bucketLength=0.8, numHashTables=4, seed=42
+    )
+    model = lsh.fit(e)
+    probes = e.filter(F.col("vec_id") < 5)
+    pairs = model.approxSimilarityJoin(probes, e, 1.2, distCol="l2")
+    scored = pairs.filter(F.col("datasetA.vec_id") != F.col("datasetB.vec_id")).select(
+        F.col("datasetA.vec_id").alias("probe_id"),
+        F.col("datasetB.vec_id").alias("neighbor_id"),
+        # cosine = 1 − d²/2 on unit vectors
+        F.round(1 - F.col("l2") * F.col("l2") / 2, 6).alias("cosine"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("probe_id", "neighbor_id", "cosine", "rn")
+    )
+
+
+@query(
+    "q_sim_pairs",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.v, b.v)
+                     / sqrt(list_dot_product(a.v, a.v)
+                            * list_dot_product(b.v, b.v)), 6) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v)
+              / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v))
+              >= 0.35
+    """,
+    doc="All-pairs cosine above threshold (τ=0.35).",
+)
+def q_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(cos >= 0.35)
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+    )
+
+
+@query(
+    "q_embed_norm",
+    oracle="""
+        SELECT vec_id, label,
+               round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[]))), 6)
+                 AS l2_norm,
+               round(CAST(embedding[1] AS DOUBLE)
+                     / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))), 6)
+                 AS first_unit,
+               round(list_reduce([CAST(0.0 AS DOUBLE)] || CAST(embedding AS DOUBLE[]),
+                                 (acc, x) -> acc + x), 6) AS vec_sum
+        FROM embeddings
+    """,
+    doc="Vector ops as columns: L2 norm, normalized component, fold sum.",
+)
+def q_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    v = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(dot(v, v))
+    return t["embeddings"].select(
+        "vec_id",
+        "label",
+        F.round(norm, 6).alias("l2_norm"),
+        F.round(F.element_at(v, 1) / norm, 6).alias("first_unit"),
+        F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x), 6).alias("vec_sum"),
+    )

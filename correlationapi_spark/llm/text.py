@@ -1,1 +1,336 @@
-"""Placeholder — filled in during this round."""
+"""Text-analysis operators for LLM data pipelines (SURVEY.md §2.9 north-star).
+
+Tokenization is whitespace split (the fixture corpus is space-separated
+lowercase tokens, FIXTURES.md). Everything is built from built-in
+functions — explode/groupBy joins, higher-order array lambdas — so the
+hot path stays JVM-side; no Python UDFs.
+
+Determinism notes: token-count ratios and sentiment averages are exact
+rational/dyadic arithmetic (identical IEEE ops on both engines → no
+rounding); tf-idf rounds the ln() product to 6 dp and ranks on the
+ROUNDED value so cross-libm 1-ulp drift can't reorder the top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import load_tables
+from ..registry import query
+
+def _toks():
+    # built lazily: Column construction needs an active SparkContext
+    return F.split(F.col("text"), " ")
+
+# In-repo sentiment lexicon over the fixture vocabulary. Polarities are
+# dyadic (multiples of 0.5) so per-doc sums are EXACT doubles in any
+# accumulation order — the average needs no rounding (numerics.py).
+SENTIMENT_LEXICON: list[tuple[str, float]] = [
+    ("fast", 1.0),
+    ("slow", -1.0),
+    ("big", 0.5),
+    ("small", -0.5),
+    ("dup", -1.0),
+    ("merge", 0.5),
+    ("spark", 1.0),
+    ("scan", -0.5),
+    ("filter", 0.5),
+    ("stream", 0.5),
+]
+_LEX_SQL = ", ".join(f"('{w}', {p})" for w, p in SENTIMENT_LEXICON)
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+        SELECT lang,
+               count(*)                                          AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+               CAST(sum(n_chars) AS DOUBLE) / count(*)           AS avg_chars,
+               CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*)
+                                                                 AS avg_tokens
+        FROM documents
+        GROUP BY lang
+    """,
+    doc="Corpus statistics per language: doc/token counts, avg lengths.",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # integer sums ÷ integer counts: exact int64 sums then ONE IEEE
+    # division — identical bits on both engines, no rounding needed.
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(_toks())).alias("total_tokens"),
+            (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+            (F.sum(F.size(_toks())).cast("double") / F.count("*")).alias("avg_tokens"),
+        )
+    )
+
+
+_TFIDF_ORACLE = """
+    WITH tok AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT source, term, count(*) AS tf
+        FROM tok GROUP BY source, term
+    ), df AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.source, tf.term, tf.tf, df.df,
+               round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT source, term, tf, df, tfidf, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY source
+                                     ORDER BY tfidf DESC, term) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+"""
+
+
+@query(
+    "q_text_tfidf",
+    oracle=_TFIDF_ORACLE,
+    doc="TF-IDF top-5 terms per source (explicit tf × ln(N/df) formula).",
+    bench=True,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-expressible TF-IDF (SURVEY.md §2.9): explode → tf per
+    (source, term), df per term, broadcast-join the tiny df/N sides back.
+    At 100 TB the token explode is map-side; tf/df are two shuffles on
+    (source,term)/(term) — no HashingTF, so the result is exact and
+    oracle-able (ml.feature.IDF is only a unit-test cross-check).
+    Ranking uses the ROUNDED tfidf so cross-engine ln() ulp drift cannot
+    flip the top-k ordering."""
+    t = load_tables(spark, sf_dir)
+    tok = t["documents"].select(
+        "doc_id", "source", F.explode(_toks()).alias("term")
+    )
+    tf = tok.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = t["documents"].count()  # tiny scalar; at scale use a cached agg
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("source", "term", "tf", "df", "tfidf", "rn")
+    )
+
+
+@query(
+    "q_text_ngram",
+    oracle="""
+        WITH toks AS (
+            SELECT string_split(text, ' ') AS ts FROM documents
+        ), grams AS (
+            SELECT unnest(list_transform(range(1, len(ts)),
+                          i -> concat(ts[i], ' ', ts[i+1]))) AS bigram
+            FROM toks
+        )
+        SELECT bigram, count(*) AS n
+        FROM grams GROUP BY bigram
+        ORDER BY n DESC, bigram LIMIT 20
+    """,
+    doc="Bigram counts via sliding zip (SQL-expressible n-grams).",
+)
+def q_text_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sliding window via transform over an index sequence — stays in
+    # codegen; DuckDB mirrors with list_transform(range). (ml.feature.NGram
+    # produces the same grams; cross-checked in unit tests.)
+    t = load_tables(spark, sf_dir)
+    grams = t["documents"].select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(_toks()) - 1),
+                lambda i: F.concat_ws(" ", F.element_at(_toks(), i), F.element_at(_toks(), i + 1)),
+            )
+        ).alias("bigram")
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )
+
+
+@query(
+    "q_text_sentiment",
+    oracle=f"""
+        WITH lex(term, polarity) AS (VALUES {_LEX_SQL}),
+        tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        )
+        SELECT t.doc_id,
+               CAST(sum(l.polarity) AS DOUBLE) / count(*) AS sentiment,
+               count(*) AS n_scored
+        FROM tok t JOIN lex l ON t.term = l.term
+        GROUP BY t.doc_id
+    """,
+    doc="Lexicon-based sentiment: broadcast-join tokens against an in-repo "
+    "polarity lexicon, average per doc.",
+)
+def q_text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Dyadic polarities → exact sums in any order → single division,
+    # identical on both engines without rounding (module docstring).
+    t = load_tables(spark, sf_dir)
+    lex = spark.createDataFrame(SENTIMENT_LEXICON, ["term", "polarity"])
+    tok = t["documents"].select("doc_id", F.explode(_toks()).alias("term"))
+    return (
+        tok.join(F.broadcast(lex), "term")
+        .groupBy("doc_id")
+        .agg(
+            (F.sum("polarity").cast("double") / F.count("*")).alias("sentiment"),
+            F.count("*").alias("n_scored"),
+        )
+    )
+
+
+# Stopword markers for the language-ID heuristic (the fixture corpus is
+# synthetic same-vocabulary text, so this exercises the *plumbing* of
+# n-gram/stopword language ID, not linguistic accuracy).
+_EN_MARKERS = ("the", "a")
+
+
+@query(
+    "q_text_langid",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   CAST(len(list_filter(string_split(text, ' '),
+                            x -> x IN {_EN_MARKERS!r})) AS DOUBLE)
+                     / len(string_split(text, ' ')) AS marker_frac
+            FROM documents
+        )
+        SELECT doc_id, lang, marker_frac,
+               CASE WHEN marker_frac > 0.05 THEN 'en' ELSE 'other' END
+                 AS predicted_lang
+        FROM scored
+    """.replace("('the', 'a')", "('the', 'a')"),
+    doc="Language-ID heuristic: stopword-marker fraction + threshold rule.",
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    frac = (
+        F.size(F.filter(_toks(), lambda x: x.isin(*_EN_MARKERS))).cast("double")
+        / F.size(_toks())
+    )
+    return t["documents"].select(
+        "doc_id",
+        "lang",
+        frac.alias("marker_frac"),
+        F.when(frac > 0.05, "en").otherwise("other").alias("predicted_lang"),
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle="""
+        WITH feats AS (
+            SELECT doc_id,
+                   len(string_split(text, ' '))                        AS n_tokens,
+                   len(list_distinct(string_split(text, ' ')))          AS n_unique,
+                   n_chars
+            FROM documents
+        )
+        SELECT doc_id, n_tokens, n_unique,
+               CAST(n_unique AS DOUBLE) / n_tokens AS unique_ratio,
+               CAST(n_chars AS DOUBLE) / n_tokens  AS avg_token_len,
+               0.5 * (CAST(n_unique AS DOUBLE) / n_tokens)
+                 + 0.25 * (CASE WHEN n_tokens >= 20 THEN 1.0 ELSE 0.0 END)
+                 + 0.25 * (CASE WHEN n_chars BETWEEN 100 AND 600 THEN 1.0 ELSE 0.0 END)
+                 AS quality_score
+        FROM feats
+    """,
+    doc="Document quality scoring: lexical-diversity + length heuristics.",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # All components are int÷int divisions and dyadic-constant products —
+    # identical IEEE evaluation order on both sides, no rounding.
+    t = load_tables(spark, sf_dir)
+    n_tokens = F.size(_toks())
+    n_unique = F.size(F.array_distinct(_toks()))
+    unique_ratio = n_unique.cast("double") / n_tokens
+    return t["documents"].select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_unique.alias("n_unique"),
+        unique_ratio.alias("unique_ratio"),
+        (F.col("n_chars").cast("double") / n_tokens).alias("avg_token_len"),
+        (
+            0.5 * unique_ratio
+            + 0.25 * F.when(n_tokens >= 20, 1.0).otherwise(0.0)
+            + 0.25 * F.when(F.col("n_chars").between(100, 600), 1.0).otherwise(0.0)
+        ).alias("quality_score"),
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               list_reduce(
+                 [CAST(0 AS BIGINT)] ||
+                 list_transform(range(1, least(length(text), 32) + 1),
+                                i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),
+                 (acc, x) -> (acc * 31 + x) % 1000000007
+               ) AS fingerprint
+        FROM documents
+    """,
+    doc="Document fingerprint: polynomial rolling hash over the first 32 "
+    "chars (mod 1e9+7) — exact integer arithmetic, fully oracle-able.",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DuckDB's list_reduce seeds from the first element, so the zero seed
+    # is prepended as a list element on both engines → identical folds.
+    t = load_tables(spark, sf_dir)
+    codes = F.transform(
+        F.sequence(F.lit(1), F.least(F.length("text"), F.lit(32))),
+        lambda i: F.ascii(F.substring(F.col("text"), 1, 32).substr(i, F.lit(1))).cast(
+            "bigint"
+        ),
+    )
+    fp = F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * 31 + x) % 1000000007,
+    )
+    return t["documents"].select("doc_id", fp.alias("fingerprint"))
+
+
+@query(
+    "q_text_tokens_bpeish",
+    oracle="""
+        SELECT doc_id,
+               len(string_split(text, ' '))  AS ws_tokens,
+               len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpeish_tokens
+        FROM documents
+    """,
+    doc="Token counting: whitespace vs BPE-ish regex segmentation.",
+)
+def q_text_tokens_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The BPE-ish segmenter is the standard pre-tokenizer regex family
+    # (letters / digits / other) kept POSIX-simple for dialect agreement.
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        F.size(_toks()).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)).alias(
+            "bpeish_tokens"
+        ),
+    )

@@ -1,1 +1,278 @@
-"""Placeholder — filled in during this round."""
+"""Streaming operators, declared in batch-equivalent form (SURVEY.md §2.10).
+
+Oracle strategy: each declared key is the BATCH evaluation of a windowed/
+stateful streaming computation over the full events table, so DuckDB can
+check values exactly; the streaming execution of the SAME builder
+(readStream → window agg → sink) is validated in tests/test_streaming.py
+via chunked replay with Trigger.AvailableNow, including watermark/late-data
+and dropDuplicatesWithinWatermark variants that have no batch twin.
+
+Each q_stream_* below exposes ``.builder`` — the transformation applied
+identically to a batch OR streaming events DataFrame (this is the point:
+Structured Streaming's incremental planner runs the same logical plan).
+
+Scale posture: tumbling/sliding aggs are partial-aggregated per microbatch
+with state keyed by (window × group) — bounded by watermark expiry;
+session windows keep per-key merge state; stream-stream joins bound state
+by the watermark + time-range condition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_tables
+from ..numerics import money_sum
+from ..registry import query
+
+_WEIGHTS = [("click", 1), ("view", 2), ("purchase", 5), ("signup", 3), ("error", 0)]
+_WEIGHTS_SQL = ", ".join(f"('{k}', {w})" for k, w in _WEIGHTS)
+
+
+def _tumbling(ev: DataFrame) -> DataFrame:
+    w = F.window("ts", "1 hour")
+    return (
+        ev.groupBy(w, "event_type")
+        .agg(F.count("*").alias("n"), money_sum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "q_stream_tumbling",
+    oracle="""
+        -- date_trunc keeps naive TIMESTAMP; to_timestamp() would return
+        -- TIMESTAMPTZ and hash-mismatch against Spark's naive collect
+        SELECT date_trunc('hour', ts)                   AS window_start,
+               date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+               event_type,
+               count(*)             AS n,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+    doc="Tumbling 1h windowed aggregation × event_type (batch-equivalent "
+    "declared form; streaming execution in test_streaming).",
+    bench=True,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return _tumbling(t["events"])
+
+
+q_stream_tumbling.builder = _tumbling
+
+
+def _sliding(ev: DataFrame) -> DataFrame:
+    w = F.window("ts", "1 hour", "15 minutes")
+    return (
+        ev.groupBy(w, "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+@query(
+    "q_stream_sliding",
+    oracle="""
+        WITH slides(k) AS (VALUES (0), (1), (2), (3))
+        -- time_bucket's default origin (2000-01-01) is epoch-aligned for
+        -- 15-minute buckets, matching Spark's epoch-aligned window(); stays
+        -- naive TIMESTAMP unlike to_timestamp()
+        SELECT time_bucket(INTERVAL '15 minutes', ts) - to_seconds(k * 900) AS window_start,
+               event_type,
+               count(*) AS n
+        FROM events CROSS JOIN slides
+        GROUP BY 1, 2
+    """,
+    doc="Sliding 1h/15m window counts — every event lands in exactly 4 "
+    "overlapping windows, generated in the oracle via slide offsets.",
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark's window(slide) and the oracle's offset expansion both align
+    # windows to the epoch, so start timestamps agree exactly.
+    t = load_tables(spark, sf_dir)
+    return _sliding(t["events"])
+
+
+q_stream_sliding.builder = _sliding
+
+
+def _session(ev: DataFrame) -> DataFrame:
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+@query(
+    "q_stream_session",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, ts,
+                   CASE WHEN epoch(ts)
+                          - epoch(lag(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id)) > 1800
+                          OR lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ), islands AS (
+            SELECT user_id, ts,
+                   sum(new_session) OVER (PARTITION BY user_id
+                                          ORDER BY ts
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                                   AND CURRENT ROW) AS sid
+            FROM ordered
+        )
+        SELECT min(ts)                        AS session_start,
+               max(ts) + INTERVAL 30 MINUTE   AS session_end,
+               user_id,
+               count(*)                       AS n_events
+        FROM islands
+        GROUP BY user_id, sid
+    """,
+    doc="Session windows (30min gap) per user — gaps-and-islands oracle "
+    "replicates Spark's session_window merge semantics.",
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark session end = last event + gap; equal timestamps always share
+    # a session (gap 0 < 30min), so the lag tie-break can't split one.
+    t = load_tables(spark, sf_dir)
+    return _session(t["events"])
+
+
+q_stream_session.builder = _session
+
+
+def _dedup_counts(ev: DataFrame) -> DataFrame:
+    return (
+        ev.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_unique"))
+    )
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+        SELECT event_type, count(DISTINCT event_id) AS n_unique
+        FROM events GROUP BY 1
+    """,
+    doc="Streaming dedup, batch-equivalent form (event_id is the idempotency "
+    "key); dropDuplicatesWithinWatermark is exercised in test_streaming "
+    "with injected duplicate chunks.",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return _dedup_counts(t["events"])
+
+
+q_stream_dedup.builder = _dedup_counts
+
+
+@query(
+    "q_stream_static_join",
+    oracle=f"""
+        WITH wts(event_type, weight) AS (VALUES {_WEIGHTS_SQL})
+        SELECT e.user_id,
+               CAST(sum(CAST(round(e.value*100) AS BIGINT) * w.weight) AS DOUBLE)
+                 / 100.0 AS weighted_value,
+               count(*) AS n
+        FROM events e JOIN wts w ON e.event_type = w.event_type
+        GROUP BY 1
+    """,
+    doc="Stream-static join: events against a broadcast weight dim, "
+    "weighted per-user totals (exact integer-cents weighting).",
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # In streaming form the static side is re-broadcast per microbatch —
+    # same builder; declared batch form is the oracle-checked one.
+    t = load_tables(spark, sf_dir)
+    wts = spark.createDataFrame(_WEIGHTS, ["event_type", "weight"])
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return (
+        t["events"]
+        .join(F.broadcast(wts), "event_type")
+        .groupBy("user_id")
+        .agg(
+            (F.sum(cents * F.col("weight")).cast("double") / 100.0).alias(
+                "weighted_value"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "q_stream_stream_join",
+    oracle="""
+        SELECT p.user_id, count(*) AS n_pairs
+        FROM events p
+        JOIN events c
+          ON c.user_id = p.user_id
+         AND p.event_type = 'purchase' AND c.event_type = 'view'
+         AND c.ts BETWEEN p.ts - INTERVAL 60 MINUTE AND p.ts
+        WHERE p.event_type = 'purchase'
+        GROUP BY 1
+    """,
+    doc="Stream-stream join batch form: views within 60min before each "
+    "purchase per user (watermarked streaming variant in test_streaming).",
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    p = t["events"].filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    c = t["events"].filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    return (
+        p.join(
+            c,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 60 MINUTES"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+        )
+        .groupBy(F.col("p_user").alias("user_id"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@query(
+    "q_stream_stateful",
+    oracle="""
+        SELECT user_id,
+               count(*)                         AS total_events,
+               count(DISTINCT event_type)       AS distinct_types,
+               max(ts)                          AS last_seen
+        FROM events GROUP BY 1
+    """,
+    doc="Arbitrary-stateful batch form: final per-user state (running "
+    "counters); the applyInPandasWithState streaming counter is exercised "
+    "in test_streaming and must converge to these values.",
+)
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["events"].groupBy("user_id").agg(
+        F.count("*").alias("total_events"),
+        F.countDistinct("event_type").alias("distinct_types"),
+        F.max("ts").alias("last_seen"),
+    )

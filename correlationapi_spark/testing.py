@@ -52,9 +52,11 @@ def _canon_cell(v):
     if isinstance(v, pd.Timestamp):
         if v is pd.NaT:
             return _NULL
-        return v.to_pydatetime().replace(tzinfo=None).isoformat()
+        # keep tz-awareness visible: a TIMESTAMPTZ result must FAIL against
+        # a naive one even at equal instants (the driver may compare raw)
+        return v.to_pydatetime().isoformat()
     if isinstance(v, _dt.datetime):
-        return v.replace(tzinfo=None).isoformat()
+        return v.isoformat()
     if isinstance(v, _dt.date):
         return v.isoformat()
     if isinstance(v, (np.ndarray, list, tuple)):

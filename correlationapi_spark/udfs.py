@@ -1,1 +1,196 @@
-"""Placeholder — filled in during this round."""
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.11).
+
+UDFs are the slow path (SURVEY.md §3 boundary cost) — nothing else in the
+engine uses them; this module exists to *cover* the extension surface the
+reference's users would need, with the scalable variants:
+
+* Arrow-optimized Python UDF (row logic, Arrow batch transfer)
+* pandas scalar UDF (vectorized, the 10-100× faster default)
+* applyInPandas grouped-map (per-group pandas frame)
+* pandas aggregate UDF (custom reduction)
+* Python UDTF (table function)
+
+Every worker-side function is defined as a closure (pickled by value) so
+foreign-cwd drivers work — see .claude/skills/verify/SKILL.md.
+
+Determinism: each declared key's Python logic is reproducible in SQL, so
+all five carry exact oracles except where noted.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from .io import load_tables
+from .registry import query
+
+
+@query(
+    "q_udf_python",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract(props, '$.k') AS INTEGER) AS k_parsed,
+               CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket
+        FROM events WHERE event_id <= 3000
+    """,
+    doc="Arrow-optimized scalar Python UDF (JSON props parser fallback).",
+)
+def q_udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+
+    @F.udf(returnType=T.IntegerType(), useArrow=True)
+    def parse_k(props: str) -> int | None:
+        try:
+            return int(json.loads(props)["k"])
+        except (ValueError, KeyError, TypeError):
+            return None
+
+    k = parse_k(F.col("props"))
+    return t["events"].filter(F.col("event_id") <= 3000).select(
+        "event_id", k.alias("k_parsed"), (k % 10).alias("k_bucket")
+    )
+
+
+@query(
+    "q_udf_pandas",
+    oracle="""
+        WITH stats AS (
+            SELECT event_id, value,
+                   avg(value)         OVER (PARTITION BY event_type) AS mu,
+                   stddev_samp(value) OVER (PARTITION BY event_type) AS sigma
+            FROM events
+        )
+        SELECT event_id, round((value - mu) / sigma, 6) AS zscore
+        FROM stats
+    """,
+    doc="Vectorized pandas scalar UDF: z-score of value within event_type.",
+)
+def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # group moments come from window functions (JVM-side); the pandas UDF
+    # does only the vectorized arithmetic — the right split at scale.
+    t = load_tables(spark, sf_dir)
+
+    @F.pandas_udf(T.DoubleType())
+    def z(v: pd.Series, mu: pd.Series, sigma: pd.Series) -> pd.Series:
+        return (v - mu) / sigma
+
+    w = Window.partitionBy("event_type")
+    ev = t["events"].withColumn("mu", F.avg("value").over(w)).withColumn(
+        "sigma", F.stddev_samp("value").over(w)
+    )
+    return ev.select(
+        "event_id", F.round(z("value", "mu", "sigma"), 6).alias("zscore")
+    )
+
+
+@query(
+    "q_udaf_grouped",
+    oracle="""
+        WITH stats AS (
+            SELECT event_id, event_type, value,
+                   avg(value)         OVER (PARTITION BY event_type) AS mu,
+                   stddev_samp(value) OVER (PARTITION BY event_type) AS sigma
+            FROM events
+        )
+        SELECT event_type, event_id,
+               round((value - mu) / sigma, 6) AS normalized
+        FROM stats
+    """,
+    doc="Grouped-map applyInPandas: per-group normalize (pandas ddof=1 "
+    "matches stddev_samp).",
+)
+def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("normalized", T.DoubleType()),
+        ]
+    )
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["value"].mean()
+        sigma = pdf["value"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"],
+                "event_id": pdf["event_id"],
+                "normalized": ((pdf["value"] - mu) / sigma).round(6),
+            }
+        )
+
+    return t["events"].groupBy("event_type").applyInPandas(normalize, schema)
+
+
+@query(
+    "q_udaf_agg",
+    oracle="""
+        WITH q AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.1) AS lo,
+                   quantile_cont(value, 0.9) AS hi
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               round(avg(e.value) FILTER (e.value >= q.lo AND e.value <= q.hi), 6)
+                 AS trimmed_mean,
+               count(*) AS n
+        FROM events e JOIN q ON e.event_type = q.event_type
+        GROUP BY e.event_type
+    """,
+    doc="pandas aggregate UDF: 10–90% trimmed mean (np.quantile linear "
+    "interpolation == quantile_cont).",
+)
+def q_udaf_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+
+    @F.pandas_udf(T.DoubleType())
+    def trimmed_mean(v: pd.Series) -> float:
+        lo, hi = v.quantile(0.1), v.quantile(0.9)
+        return round(float(v[(v >= lo) & (v <= hi)].mean()), 6)
+
+    @F.pandas_udf(T.LongType())
+    def n_rows(v: pd.Series) -> int:
+        # Spark disallows mixing pandas-UDAF with built-in aggregates in
+        # one agg (INVALID_PANDAS_UDF_PLACEMENT), so the count is a pandas
+        # aggregate too.
+        return len(v)
+
+    return t["events"].groupBy("event_type").agg(
+        trimmed_mean("value").alias("trimmed_mean"), n_rows("value").alias("n")
+    )
+
+
+@query(
+    "q_udtf_tokens",
+    oracle="""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+                      FROM documents WHERE doc_id <= 100)
+        SELECT doc_id,
+               unnest(range(1, len(ts) + 1)) - 1 AS pos,
+               unnest(ts)                        AS token
+        FROM toks
+    """,
+    doc="Python UDTF: text → (pos, token) rows (DuckDB aligns parallel "
+    "unnests positionally, making the table function oracle-able).",
+)
+def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+
+    @F.udtf(returnType="pos: int, token: string")
+    class Tokenize:
+        def eval(self, text: str):  # noqa: ANN001
+            for i, tok in enumerate(text.split(" ")):
+                yield i, tok
+
+    docs = t["documents"].filter(F.col("doc_id") <= 100)
+    return docs.lateralJoin(Tokenize(F.col("text").outer())).select(
+        "doc_id", "pos", "token"
+    )

@@ -1,0 +1,185 @@
+"""Structured-streaming execution tests (SURVEY.md §5.3).
+
+The declared q_stream_* keys are checked in batch form by the oracle
+harness; here the SAME builders run under readStream via chunked replay
+(Trigger.AvailableNow) and must reproduce the batch results exactly.
+Also covers what has no batch twin: watermark late-data drops and
+dropDuplicatesWithinWatermark.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from correlationapi_spark.io import load_tables
+from correlationapi_spark.registry import load_registry
+from correlationapi_spark.streaming import queries as SQ
+from correlationapi_spark.streaming.runner import (
+    events_stream,
+    run_available_now,
+    write_event_chunks,
+)
+
+from .conftest import SF_SMOKE
+
+REGISTRY = load_registry()
+
+
+@pytest.fixture(scope="module")
+def chunk_dir(spark):
+    d = write_event_chunks(spark, SF_SMOKE, n_chunks=4)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _sorted_rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+@pytest.mark.parametrize(
+    "key,builder",
+    [
+        ("q_stream_tumbling", SQ._tumbling),
+        ("q_stream_sliding", SQ._sliding),
+        ("q_stream_session", SQ._session),
+    ],
+)
+def test_streaming_equals_batch(spark, chunk_dir, key, builder):
+    batch = REGISTRY[key].fn(spark, SF_SMOKE)
+    cols = batch.columns
+    stream_result = run_available_now(events_stream(spark, chunk_dir), builder)
+    assert _sorted_rows(stream_result, cols) == _sorted_rows(batch, cols)
+
+
+def test_watermark_drops_late_rows(spark, chunk_dir):
+    """Replay chunks in REVERSE time order: with a tight watermark in
+    append mode, late (older) chunks must not resurrect closed windows —
+    total emitted counts < the batch total."""
+    rev_dir = write_event_chunks(spark, SF_SMOKE, n_chunks=4, order_by="ts")
+    try:
+        stream = (
+            spark.readStream.schema(events_stream(spark, rev_dir).schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .option("latestFirst", "true")  # newest chunk first → rest arrive late
+            .parquet(rev_dir)
+        )
+
+        def late_agg(ev):
+            return (
+                ev.withWatermark("ts", "10 minutes")
+                .groupBy(F.window("ts", "1 hour"))
+                .agg(F.count("*").alias("n"))
+            )
+
+        result = run_available_now(stream, late_agg, output_mode="append")
+        emitted = sum(r.n for r in result.collect())
+        batch_total = load_tables(spark, SF_SMOKE)["events"].count()
+        assert emitted < batch_total  # late data was dropped
+    finally:
+        shutil.rmtree(rev_dir, ignore_errors=True)
+
+
+def test_drop_duplicates_within_watermark(spark, chunk_dir):
+    """Duplicate the stream (each event arrives twice across microbatches);
+    dropDuplicatesWithinWatermark must emit each event_id once."""
+    import os
+    import tempfile
+    import uuid
+
+    dup_dir = os.path.join(tempfile.gettempdir(), f"dup_{uuid.uuid4().hex}")
+    ev = load_tables(spark, SF_SMOKE)["events"]
+    ev.coalesce(1).write.parquet(os.path.join(dup_dir, "chunk=1"))
+    ev.coalesce(1).write.parquet(os.path.join(dup_dir, "chunk=2"))  # dup replay
+    try:
+        stream = (
+            spark.readStream.schema(events_stream(spark, dup_dir).schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(dup_dir)
+        )
+
+        def dedup(s):
+            return s.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+                ["event_id"]
+            )
+
+        result = run_available_now(stream, dedup, output_mode="append")
+        n_unique = ev.count()
+        assert result.count() == n_unique
+        assert result.select("event_id").distinct().count() == n_unique
+    finally:
+        shutil.rmtree(dup_dir, ignore_errors=True)
+
+
+def test_stream_static_join_streaming_form(spark, chunk_dir):
+    spec = REGISTRY["q_stream_static_join"]
+    batch = spec.fn(spark, SF_SMOKE)
+    wts = spark.createDataFrame(SQ._WEIGHTS, ["event_type", "weight"])
+
+    def build(ev):
+        cents = F.round(F.col("value") * 100, 0).cast("long")
+        return (
+            ev.join(F.broadcast(wts), "event_type")
+            .groupBy("user_id")
+            .agg(
+                (F.sum(cents * F.col("weight")).cast("double") / 100.0).alias(
+                    "weighted_value"
+                ),
+                F.count("*").alias("n"),
+            )
+        )
+
+    result = run_available_now(events_stream(spark, chunk_dir), build)
+    assert _sorted_rows(result, batch.columns) == _sorted_rows(batch, batch.columns)
+
+
+def test_stateful_counter_converges(spark, chunk_dir):
+    """applyInPandasWithState running per-user counter must converge to the
+    batch q_stream_stateful totals after full replay."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("total_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("n", T.LongType())])
+
+    def count_fn(key, pdfs, state):
+        # closure-local (pickled by value) per the repo's UDF rule
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "total_events": [n]})
+
+    def build(ev):
+        return ev.groupBy("user_id").applyInPandasWithState(
+            count_fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    result = run_available_now(
+        events_stream(spark, chunk_dir), build, output_mode="update"
+    )
+    # memory sink in update mode appends every update — take the max per
+    # user (the final counter value)
+    final = result.groupBy("user_id").agg(F.max("total_events").alias("total_events"))
+    batch = (
+        REGISTRY["q_stream_stateful"]
+        .fn(spark, SF_SMOKE)
+        .select("user_id", "total_events")
+    )
+    assert _sorted_rows(final, ["user_id", "total_events"]) == _sorted_rows(
+        batch, ["user_id", "total_events"]
+    )

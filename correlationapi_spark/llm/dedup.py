@@ -56,18 +56,23 @@ def _toks():
     return F.split(F.col("text"), " ")
 
 
-def _shingles_spark():
-    """3-token shingles as a distinct array (order-insensitive set)."""
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(_toks()) - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(_toks(), i),
-                F.element_at(_toks(), i + 1),
-                F.element_at(_toks(), i + 2),
-            ),
-        )
+def _shingle_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles) with 3-token shingles as a distinct array.
+
+    Sliding 3-grams come from arrays_zip of three shifted slices, NOT from
+    transform(sequence, i -> element_at(ts, i)…): CollapseProject inlines
+    the split() into every element_at reference, so the lambda form
+    re-splits the text per element (~150 splits/doc — measured 5.3s for 5k
+    docs at sf0.1 vs 0.9s for the zip-slices form, which references the
+    tokens a constant number of times per ROW)."""
+    ts = F.col("ts")
+    n = F.size(ts) - 2
+    zipped = F.arrays_zip(F.slice(ts, 1, n), F.slice(ts, 2, n), F.slice(ts, 3, n))
+    shingles = F.array_distinct(
+        F.transform(zipped, lambda s: F.concat_ws(" ", s["0"], s["1"], s["2"]))
+    )
+    return docs.select("doc_id", _toks().alias("ts")).select(
+        "doc_id", shingles.alias("shingles")
     )
 
 
@@ -80,21 +85,21 @@ _NGRAM_ORACLE = """
                                string_split(text, ' ')[i+1], ' ',
                                string_split(text, ' ')[i+2]))) AS shingles
         FROM documents
+    ), sizes AS (
+        SELECT doc_id, len(shingles) AS n FROM sh
     ), inv AS (
         SELECT doc_id, unnest(shingles) AS s FROM sh
-    ), cand AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    ), shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
         FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
-    SELECT c.doc_a, c.doc_b,
-           round(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
-                 / len(list_distinct(x.shingles || y.shingles)), 6) AS jaccard
-    FROM cand c
-    JOIN sh x ON c.doc_a = x.doc_id
-    JOIN sh y ON c.doc_b = y.doc_id
-    WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
-          / len(list_distinct(x.shingles || y.shingles)) >= 0.5
+    SELECT doc_a, doc_b,
+           round(CAST(c AS DOUBLE) / (x.n + y.n - c), 6) AS jaccard
+    FROM shared
+    JOIN sizes x ON doc_a = x.doc_id
+    JOIN sizes y ON doc_b = y.doc_id
+    WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.5
 """
 
 
@@ -113,25 +118,40 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     with df above a threshold), the standard guard documented here and
     unnecessary at fixture scale.
 
-    Jaccard = |A∩B| / |A∪B| is an int/int division → exact on both
+    The intersection size comes straight from the inverted-index join
+    (count of shared shingles per candidate pair) and |A∪B| = |A|+|B|−|A∩B|
+    from broadcast-joined per-doc sizes — no shingle ARRAYS are carried
+    through the shuffle (array-carrying refine measured 20× slower). Join
+    keys are xxhash64 of the shingle (8-byte vs ~20-byte shuffle keys,
+    ~20% faster; a 64-bit collision would need ~2^32 distinct shingles).
+
+    Two variants were measured at sf0.1 before settling here: prefix
+    filtering (AllPairs/PPJoin) LOSES on this corpus because the shingle
+    df distribution is uniform (max df 25 — no hot tokens to prune), so
+    its extra window pass + array refine cost more than it saves. On a
+    skewed real-world corpus the prefix/frequency-cap guard becomes the
+    right tool; at fixture scale the plain postings join is optimal.
+
+    Jaccard = c / (nA + nB − c) is an int/int division → exact on both
     engines; the 0.5 threshold compares identical doubles."""
     t = load_tables(spark, sf_dir)
-    sh = t["documents"].select("doc_id", _shingles_spark().alias("shingles"))
-    inv = sh.select("doc_id", F.explode("shingles").alias("s"))
-    cand = (
+    sh = _shingle_df(t["documents"])
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    inv = sh.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id", F.xxhash64("s").alias("s")
+    )
+    shared = (
         inv.alias("a")
         .join(inv.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("c"))
     )
-    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
+    x = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    y = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
     return (
-        cand.join(x, "doc_a")
-        .join(y, "doc_b")
+        shared.join(F.broadcast(x), "doc_a")
+        .join(F.broadcast(y), "doc_b")
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
@@ -152,7 +172,7 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     t = load_tables(spark, sf_dir)
-    sh = t["documents"].select("doc_id", _shingles_spark().alias("shingles"))
+    sh = _shingle_df(t["documents"])
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
     feats = tf.transform(sh).filter(F.size("shingles") > 0)
     lsh = MinHashLSH(inputCol="features", outputCol="bands", numHashTables=8, seed=42)

@@ -151,14 +151,23 @@ def q_text_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sliding window via transform over an index sequence — stays in
     # codegen; DuckDB mirrors with list_transform(range). (ml.feature.NGram
     # produces the same grams; cross-checked in unit tests.)
+    # zip_with of two shifted slices, not transform(sequence, element_at):
+    # CollapseProject would inline the split() per element (see dedup.py
+    # _shingle_df — measured 5× slower).
     t = load_tables(spark, sf_dir)
-    grams = t["documents"].select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(_toks()) - 1),
-                lambda i: F.concat_ws(" ", F.element_at(_toks(), i), F.element_at(_toks(), i + 1)),
-            )
-        ).alias("bigram")
+    ts = F.col("ts")
+    n = F.size(ts) - 1
+    grams = (
+        t["documents"]
+        .select(F.split("text", " ").alias("ts"))
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(ts, 1, n), F.slice(ts, 2, n),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("bigram")
+        )
     )
     return (
         grams.groupBy("bigram")

@@ -1,0 +1,70 @@
+"""Physical-plan regression tests (SURVEY.md §5.3 golden-plan canaries).
+
+These assert the plan SHAPES that make the engine scale — pushdown,
+pruning, broadcasts, window-group-limit, no accidental cartesian products —
+so a refactor that silently loses one fails here, not at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from correlationapi_spark.registry import load_registry
+
+from .conftest import SF_SMOKE
+
+REGISTRY = load_registry()
+
+
+def plan_of(spark, key: str) -> str:
+    df = REGISTRY[key].fn(spark, SF_SMOKE)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_flagship_prunes_and_broadcasts(spark):
+    plan = plan_of(spark, "q_flagship")
+    # lineitem scan reads only the 4 needed columns of 11
+    assert "l_orderkey:bigint,l_quantity:double,l_extendedprice:double,l_discount:double" in plan
+    assert "PushedFilters: [IsNotNull(l_orderkey)]" in plan
+    # dimension joins broadcast — no shuffle join at fixture scale
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_scan_pruned_pushes_filters(spark):
+    plan = plan_of(spark, "q_scan_pruned")
+    # scan reads the 2 projected + 1 filter column of lineitem's 11
+    assert (
+        "ReadSchema: struct<l_orderkey:bigint,l_quantity:double,l_returnflag:string>"
+        in plan
+    )
+    assert "LessThan(l_quantity,3.0)" in plan and "EqualTo(l_returnflag,A)" in plan
+
+
+def test_topk_group_uses_window_group_limit(spark):
+    # Spark ≥3.5 pushes rank<=k below the shuffle: bounded state per task
+    assert "WindowGroupLimit" in plan_of(spark, "q_topk_group")
+
+
+def test_global_topk_avoids_full_sort(spark):
+    assert "TakeOrderedAndProject" in plan_of(spark, "q_limit_topk")
+
+
+def test_sim_topk_broadcasts_probes(spark):
+    plan = plan_of(spark, "q_sim_topk")
+    assert "BroadcastNestedLoopJoin" in plan  # constant probe side broadcast
+
+
+def test_no_cartesian_in_declared_joins(spark):
+    for key in ("q_join_inner", "q_join_multi", "q_join_range", "q_join_asof"):
+        assert "CartesianProduct" not in plan_of(spark, key), key
+
+
+@pytest.mark.parametrize("key", ["q_agg_group", "q_agg_corr", "q_corr_matrix"])
+def test_aggregates_are_partial_final(spark, key):
+    # two HashAggregates (partial + final) around one exchange — map-side
+    # combine is what keeps these one-shuffle at any scale
+    plan = plan_of(spark, key)
+    assert plan.count("HashAggregate") >= 2

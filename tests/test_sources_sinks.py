@@ -1,0 +1,72 @@
+"""Source/sink round-trips (SURVEY.md §2.1 rows without declared keys):
+CSV/JSON ingest with pinned schemas, parquet/CSV sinks, partitioned write.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+from correlationapi_spark.io import load_tables
+from correlationapi_spark.operators.scans import (
+    read_csv,
+    read_json,
+    write_csv,
+    write_parquet,
+)
+
+from .conftest import SF_SMOKE
+
+
+def _tmp() -> str:
+    return os.path.join(tempfile.gettempdir(), f"io_{uuid.uuid4().hex}")
+
+
+def _sorted(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_csv_roundtrip(spark):
+    nation = load_tables(spark, SF_SMOKE)["nation"]
+    d = _tmp()
+    try:
+        write_csv(nation, d)
+        back = read_csv(spark, d, "nation")
+        assert _sorted(back, nation.columns) == _sorted(nation, nation.columns)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_json_roundtrip(spark):
+    cust = load_tables(spark, SF_SMOKE)["customer"]
+    d = _tmp()
+    try:
+        cust.write.mode("overwrite").json(d)
+        back = read_json(spark, d, "customer")
+        assert _sorted(back, cust.columns) == _sorted(cust, cust.columns)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_partitioned_parquet_sink_prunes(spark):
+    """Partitioned layout is the 100 TB default: assert partition pruning
+    actually happens on read (PartitionFilters, not a full scan)."""
+    li = load_tables(spark, SF_SMOKE)["lineitem"]
+    d = _tmp()
+    try:
+        write_parquet(li, d, partition_by=["l_returnflag"])
+        back = spark.read.parquet(d).filter(F.col("l_returnflag") == "A")
+        plan = back._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "PartitionFilters" in plan
+        assert back.count() == li.filter(F.col("l_returnflag") == "A").count()
+        # only the A partition directory is touched
+        dirs = {p for p in os.listdir(d) if p.startswith("l_returnflag=")}
+        assert dirs == {"l_returnflag=A", "l_returnflag=N", "l_returnflag=R"}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -1,0 +1,209 @@
+"""Service-facing correlation API — the surface a user of the reference
+would call.
+
+BigDataGrapes-EU/CorrelationAPI exposes correlation analysis over named
+datasets to an HTTP consumer (SURVEY.md §1.1/§3.1, capability-level): a
+dataset registry, variable discovery, pairwise/matrix correlation with
+Pearson and rank methods, and time-series (lagged) correlation, returning
+JSON. This module is that contract re-expressed over Spark:
+
+* datasets are named DataFrames (registered from parquet/CSV/JSON paths or
+  passed directly); variables are their numeric columns;
+* every result is a plain JSON-able dict — an HTTP layer (the reference's
+  REST routing) would be a trivial stdlib/route wrapper over these
+  methods, deliberately out of scope here (no web framework in the
+  container, and the compute contract is the portable part);
+* all statistics run as single-pass Spark aggregations (SURVEY.md §4.2):
+  a k-variable matrix is k(k-1)/2 corr aggregates in ONE job, never k²
+  jobs, never a driver-side matrix build over collected data.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from .io import read_parquet_any
+from .session import ensure_conf
+
+_NUMERIC = (T.IntegerType, T.LongType, T.FloatType, T.DoubleType, T.ShortType, T.ByteType)
+
+
+class CorrelationAPI:
+    """Named-dataset correlation service over a SparkSession."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = ensure_conf(spark)
+        self._datasets: dict[str, DataFrame] = {}
+
+    # -- dataset registry ---------------------------------------------------
+
+    def register_dataset(
+        self, name: str, source: DataFrame | str, fmt: str = "parquet"
+    ) -> dict[str, Any]:
+        """Register a DataFrame or a parquet/csv/json path under a name."""
+        if isinstance(source, DataFrame):
+            df = source
+        elif fmt == "parquet":
+            df = read_parquet_any(self.spark, source)  # tolerates ns timestamps
+        elif fmt == "csv":
+            df = self.spark.read.option("header", "true").option(
+                "inferSchema", "true"
+            ).csv(source)
+        elif fmt == "json":
+            df = self.spark.read.json(source)
+        else:
+            raise ValueError(f"unsupported format: {fmt}")
+        self._datasets[name] = df
+        return {"dataset": name, "columns": df.columns}
+
+    def list_datasets(self) -> list[str]:
+        return sorted(self._datasets)
+
+    def variables(self, dataset: str) -> list[str]:
+        """Numeric columns — the unit of correlation (SURVEY.md §1.1)."""
+        df = self._get(dataset)
+        return [f.name for f in df.schema.fields if isinstance(f.dataType, _NUMERIC)]
+
+    def _get(self, dataset: str) -> DataFrame:
+        if dataset not in self._datasets:
+            raise KeyError(f"unknown dataset: {dataset!r}; registered: {self.list_datasets()}")
+        return self._datasets[dataset]
+
+    # -- statistics ----------------------------------------------------------
+
+    def correlate(
+        self,
+        dataset: str,
+        var_x: str,
+        var_y: str,
+        method: str = "pearson",
+        group_by: str | None = None,
+    ) -> dict[str, Any]:
+        """Pairwise correlation; optionally per group. JSON-able result."""
+        df = self._get(dataset)
+        x, y = self._num(df, var_x), self._num(df, var_y)
+        if method == "spearman":
+            df = self._avg_ranks(df, var_x, var_y, group_by)
+            x, y = F.col("_rx"), F.col("_ry")
+        elif method != "pearson":
+            raise ValueError(f"unknown method: {method!r} (pearson|spearman)")
+        agg = [
+            F.round(F.corr(x, y), 6).alias("correlation"),
+            F.count(F.when(x.isNotNull() & y.isNotNull(), 1)).alias("n"),
+        ]
+        base = {"dataset": dataset, "x": var_x, "y": var_y, "method": method}
+        if group_by:
+            rows = df.groupBy(group_by).agg(*agg).collect()
+            return base | {
+                "groups": {
+                    str(r[group_by]): {"correlation": r.correlation, "n": r.n}
+                    for r in rows
+                }
+            }
+        r = df.agg(*agg).collect()[0]
+        return base | {"correlation": r.correlation, "n": r.n}
+
+    def covariance(
+        self, dataset: str, var_x: str, var_y: str, sample: bool = True
+    ) -> dict[str, Any]:
+        df = self._get(dataset)
+        fn = F.covar_samp if sample else F.covar_pop
+        r = df.agg(F.round(fn(self._num(df, var_x), self._num(df, var_y)), 6).alias("c")).collect()[0]
+        return {
+            "dataset": dataset, "x": var_x, "y": var_y,
+            "kind": "sample" if sample else "population", "covariance": r.c,
+        }
+
+    def correlation_matrix(
+        self, dataset: str, variables: list[str] | None = None, method: str = "pearson"
+    ) -> dict[str, Any]:
+        """All-pairs matrix in ONE aggregation pass (k(k-1)/2 corr aggs)."""
+        df = self._get(dataset)
+        cols = variables or self.variables(dataset)
+        if len(cols) < 2:
+            raise ValueError("need at least two numeric variables")
+        if method == "spearman":
+            df = self._rank_all(df, cols)
+        aggs = [
+            F.round(F.corr(F.col(a).cast("double"), F.col(b).cast("double")), 6).alias(f"{i}_{j}")
+            for i, a in enumerate(cols)
+            for j, b in enumerate(cols)
+            if i < j
+        ]
+        row = df.agg(*aggs).collect()[0]
+        matrix = [[1.0] * len(cols) for _ in cols]
+        for i in range(len(cols)):
+            for j in range(i + 1, len(cols)):
+                matrix[i][j] = matrix[j][i] = row[f"{i}_{j}"]
+        return {"dataset": dataset, "method": method, "variables": cols, "matrix": matrix}
+
+    def lagged_correlation(
+        self,
+        dataset: str,
+        time_col: str,
+        value_col: str,
+        lag: int = 1,
+        grain: str = "day",
+    ) -> dict[str, Any]:
+        """Autocorrelation of the grain-aggregated series at the given lag.
+
+        The grain aggregation shrinks the series BEFORE the global-order
+        lag window, so the single-partition window is over ~one row per
+        grain bucket regardless of raw volume (SURVEY.md stats module)."""
+        df = self._get(dataset)
+        series = (
+            df.groupBy(F.date_trunc(grain, F.col(time_col)).alias("_t"))
+            .agg(F.avg(self._num(df, value_col)).alias("_v"))
+        )
+        lagged = series.select(
+            "_v", F.lag("_v", lag).over(Window.orderBy("_t")).alias("_prev")
+        )
+        r = lagged.agg(
+            F.round(F.corr("_v", "_prev"), 6).alias("c"),
+            F.count("_prev").alias("n"),
+        ).collect()[0]
+        return {
+            "dataset": dataset, "time": time_col, "value": value_col,
+            "grain": grain, "lag": lag, "correlation": r.c, "n_pairs": r.n,
+        }
+
+    # -- helpers --------------------------------------------------------------
+
+    @staticmethod
+    def _num(df: DataFrame, col: str):
+        if col not in df.columns:
+            raise KeyError(f"unknown variable: {col!r}")
+        dtype = df.schema[col].dataType
+        if not isinstance(dtype, _NUMERIC):
+            # fail here with a clear message instead of a runtime
+            # CAST_INVALID_INPUT from deep inside a Spark job
+            raise TypeError(f"variable {col!r} is {dtype.simpleString()}, not numeric")
+        return F.col(col).cast("double")
+
+    @staticmethod
+    def _avg_ranks(df: DataFrame, var_x: str, var_y: str, group_by: str | None) -> DataFrame:
+        """Average-rank columns (_rx, _ry) — the ONE Spearman definition
+        shared with q_corr_spearman's oracle (stats.py)."""
+        part = [group_by] if group_by else []
+
+        def avg_rank(col: str):
+            w = Window.partitionBy(*part).orderBy(col)
+            ties = Window.partitionBy(*(part + [col]))
+            return F.rank().over(w) + (F.count("*").over(ties) - 1) / 2.0
+
+        keep = [c for c in ([group_by] if group_by else [])]
+        return df.select(*keep, avg_rank(var_x).alias("_rx"), avg_rank(var_y).alias("_ry"))
+
+    @staticmethod
+    def _rank_all(df: DataFrame, cols: list[str]) -> DataFrame:
+        def avg_rank(col: str):
+            w = Window.orderBy(col)
+            ties = Window.partitionBy(col)
+            return F.rank().over(w) + (F.count("*").over(ties) - 1) / 2.0
+
+        return df.select(*[avg_rank(c).alias(c) for c in cols])

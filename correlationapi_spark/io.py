@@ -137,6 +137,40 @@ SCHEMAS: dict[str, T.StructType] = {
 # strategy to Catalyst's size threshold + AQE.
 ALWAYS_BROADCAST = ("region", "nation")
 
+def read_parquet_any(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet reader that tolerates TIMESTAMP(NANOS) columns.
+
+    Spark rejects parquet ns-precision timestamps outright
+    (PARQUET_TYPE_ILLEGAL). Inspect the footer with pyarrow, read ns
+    columns as raw int64 and convert (truncate) to µs — the same
+    semantics DuckDB applies. Used by the service API for arbitrary
+    user datasets; the fixture loader pins schemas explicitly instead.
+    """
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    from pyspark.sql.pandas.types import from_arrow_type
+
+    arrow_schema = pads.dataset(path, format="parquet").schema
+    ns_cols = [
+        f.name
+        for f in arrow_schema
+        if isinstance(f.type, pa.TimestampType) and f.type.unit == "ns"
+    ]
+    if not ns_cols:
+        return spark.read.parquet(path)
+    fields = [
+        T.StructField(
+            f.name,
+            T.LongType() if f.name in ns_cols else from_arrow_type(f.type),
+        )
+        for f in arrow_schema
+    ]
+    df = spark.read.schema(T.StructType(fields)).parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
 # (session id, sf_dir) -> {table: DataFrame}; (session id, sf_dir) of the
 # views currently registered, so switching sf_dir re-registers.
 _cache: dict[tuple[int, str], dict[str, DataFrame]] = {}

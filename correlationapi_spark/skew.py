@@ -1,0 +1,69 @@
+"""Skew-handling utilities (SURVEY.md §4.2): salting for hot keys, bucketed
+co-located joins.
+
+AQE's skew-join splitting handles most skew automatically at runtime; these
+helpers cover the two cases it can't:
+
+* **salted aggregation** — a groupBy whose hot key overwhelms one reducer
+  even after AQE splitting (AQE splits join partitions, not agg state):
+  two-phase partial aggregation over (key, salt) then key.
+* **salted join** — replicate the small side per salt so a skewed probe
+  key spreads over N reducers; for joins where AQE's split is unavailable
+  (e.g. under a required distribution).
+* **bucketed tables** — pre-shuffled storage so repeated equi-joins on the
+  bucket key run with NO exchange at read time; the 100 TB answer to
+  "this join happens every hour".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, n_salts: int, col_name: str = "_salt") -> DataFrame:
+    """Deterministic salt in [0, n_salts): hash of the whole row — spreads
+    identical keys without rand() (declared queries must stay pure
+    functions of the data, SURVEY.md §4.2)."""
+    return df.withColumn(col_name, F.pmod(F.hash(*df.columns), F.lit(n_salts)))
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: list[Column],
+    partial_aggs: list[Column],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation: groupBy(keys + salt) with ``partial_aggs``,
+    then groupBy(keys) with ``aggs`` over the partials.
+
+    Caller provides both phases because not every aggregate is trivially
+    mergeable (sum/count are; avg must be carried as sum+count). Example:
+
+        salted_agg(df, ["k"],
+                   aggs=[F.sum("_ps").alias("total")],
+                   partial_aggs=[F.sum("v").alias("_ps")])
+    """
+    salted = with_salt(df, n_salts)
+    partial = salted.groupBy(*keys, "_salt").agg(*partial_aggs)
+    return partial.groupBy(*keys).agg(*aggs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the big side, explode the small side once
+    per salt value, join on (key, salt). The small side grows n_salts×
+    (it was broadcast-sized anyway); the hot key's rows spread over
+    n_salts reducers."""
+    big_s = big.withColumn("_salt", F.pmod(F.hash(*big.columns), F.lit(n_salts)))
+    small_s = small.withColumnRenamed(key, "_rkey").withColumn(
+        "_rsalt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    cond = (big_s[key] == small_s["_rkey"]) & (big_s["_salt"] == small_s["_rsalt"])
+    return big_s.join(small_s, cond, how).drop("_rkey", "_salt", "_rsalt")

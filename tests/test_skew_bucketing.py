@@ -1,0 +1,111 @@
+"""Scale-utility tests: salted aggregation/join equivalence + bucketed
+co-located joins with plan-level proof (no exchange on the bucketed side).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from correlationapi_spark.io import load_tables
+from correlationapi_spark.skew import salted_agg, salted_join, with_salt
+
+from .conftest import SF_SMOKE
+
+
+def test_salt_is_deterministic_and_bounded(spark):
+    ev = load_tables(spark, SF_SMOKE)["events"]
+    a = with_salt(ev, 16).select("event_id", "_salt")
+    b = with_salt(ev, 16).select("event_id", "_salt")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    lo, hi = a.agg(F.min("_salt"), F.max("_salt")).collect()[0]
+    assert 0 <= lo and hi <= 15
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    ev = load_tables(spark, SF_SMOKE)["events"]
+    plain = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+    salted = salted_agg(
+        ev,
+        ["event_type"],
+        aggs=[
+            F.sum("_pn").alias("n"),
+            F.round(F.sum("_pt"), 2).alias("total"),
+        ],
+        partial_aggs=[
+            F.count("*").alias("_pn"),
+            F.sum("value").alias("_pt"),
+        ],
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_equals_plain_join(spark):
+    t = load_tables(spark, SF_SMOKE)
+    plain = (
+        t["events"]
+        .join(t["customer"].select(F.col("c_custkey").alias("user_id"), "c_mktsegment"), "user_id")
+        .groupBy("c_mktsegment")
+        .count()
+    )
+    salted = (
+        salted_join(
+            t["events"],
+            t["customer"].select(F.col("c_custkey").alias("user_id"), "c_mktsegment"),
+            "user_id",
+            n_salts=8,
+        )
+        .groupBy("c_mktsegment")
+        .count()
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+@pytest.fixture(scope="module")
+def bucketed_warehouse(spark):
+    """Write lineitem + orders bucketed by the join key into the session
+    warehouse; bucketing pre-shuffles ONCE at write time."""
+    t = load_tables(spark, SF_SMOKE)
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    (
+        t["lineitem"].write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("li_b")
+    )
+    (
+        t["orders"].write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("ord_b")
+    )
+    yield
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_warehouse):
+    """Co-located join: both sides bucketed on the key → SortMergeJoin with
+    ZERO Exchange operators. At 100 TB this converts the hourly fact-fact
+    join from two full shuffles to none."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try:
+        j = (
+            spark.table("li_b")
+            .join(spark.table("ord_b"), F.col("l_orderkey") == F.col("o_orderkey"))
+            .select("l_orderkey", "l_quantity", "o_totalprice")
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan[:2000]
+        # and it still answers correctly
+        t = load_tables(spark, SF_SMOKE)
+        want = (
+            t["lineitem"].join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey")).count()
+        )
+        assert j.count() == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")

@@ -1,0 +1,122 @@
+"""CLI for the engine: ``python -m correlationapi_spark <command>``.
+
+The reference exposes its correlation surface to HTTP consumers
+(SURVEY.md §3.1); this CLI is the equivalent standalone entry point over
+the same service layer (api.CorrelationAPI) plus direct access to the
+declared query inventory. Every command prints one JSON document to
+stdout.
+
+Commands:
+  correlate --data PATH --x COL --y COL [--method pearson|spearman]
+            [--group-by COL] [--format parquet|csv|json]
+  matrix    --data PATH [--vars a,b,c] [--method ...]
+  lagged    --data PATH --time COL --value COL [--lag N] [--grain day]
+  query     --key q_name [--sf-dir DIR]      # run a declared inventory key
+  keys                                        # list the declared inventory
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark():
+    from .session import get_spark
+
+    spark = get_spark("correlationapi-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _api(args):
+    from .api import CorrelationAPI
+
+    api = CorrelationAPI(_spark())
+    api.register_dataset("ds", args.data, fmt=args.format)
+    return api
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="correlationapi_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add_data(sp):
+        sp.add_argument("--data", required=True, help="dataset path")
+        sp.add_argument("--format", default="parquet", choices=["parquet", "csv", "json"])
+
+    c = sub.add_parser("correlate", help="pairwise correlation")
+    add_data(c)
+    c.add_argument("--x", required=True)
+    c.add_argument("--y", required=True)
+    c.add_argument("--method", default="pearson", choices=["pearson", "spearman"])
+    c.add_argument("--group-by", default=None)
+
+    m = sub.add_parser("matrix", help="all-pairs correlation matrix")
+    add_data(m)
+    m.add_argument("--vars", default=None, help="comma-separated; default: all numeric")
+    m.add_argument("--method", default="pearson", choices=["pearson", "spearman"])
+
+    lg = sub.add_parser("lagged", help="lagged autocorrelation of a time series")
+    add_data(lg)
+    lg.add_argument("--time", required=True)
+    lg.add_argument("--value", required=True)
+    lg.add_argument("--lag", type=int, default=1)
+    lg.add_argument("--grain", default="day")
+
+    q = sub.add_parser("query", help="run a declared inventory key")
+    q.add_argument("--key", required=True)
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q.add_argument("--limit", type=int, default=20)
+
+    sub.add_parser("keys", help="list the declared query inventory")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "keys":
+        from .registry import load_registry
+
+        out = {
+            k: {"oracle": s.oracle is not None, "doc": s.doc}
+            for k, s in sorted(load_registry().items())
+        }
+        print(json.dumps(out, indent=2))
+        return 0
+
+    if args.cmd == "query":
+        from .registry import load_registry
+
+        registry = load_registry()
+        if args.key not in registry:
+            print(json.dumps({"error": f"unknown key {args.key!r}",
+                              "hint": "run: python -m correlationapi_spark keys"}))
+            return 2
+        df = registry[args.key].fn(_spark(), args.sf_dir)
+        rows = [r.asDict(recursive=True) for r in df.limit(args.limit).collect()]
+        print(json.dumps({"key": args.key, "n_shown": len(rows), "rows": rows},
+                         default=str))
+        return 0
+
+    try:
+        api = _api(args)
+        if args.cmd == "correlate":
+            res = api.correlate("ds", args.x, args.y, method=args.method,
+                                group_by=args.group_by)
+        elif args.cmd == "matrix":
+            variables = args.vars.split(",") if args.vars else None
+            res = api.correlation_matrix("ds", variables, method=args.method)
+        else:
+            res = api.lagged_correlation("ds", args.time, args.value,
+                                         lag=args.lag, grain=args.grain)
+    except (KeyError, TypeError, ValueError) as e:
+        # user errors (unknown/non-numeric variable, bad method) → clean
+        # JSON on stderr-free stdout, nonzero exit — not a traceback
+        print(json.dumps({"error": str(e)}))
+        return 2
+    print(json.dumps(res))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -183,3 +183,68 @@ def test_stateful_counter_converges(spark, chunk_dir):
     assert _sorted_rows(final, ["user_id", "total_events"]) == _sorted_rows(
         batch, ["user_id", "total_events"]
     )
+
+
+def test_transform_with_state_in_pandas(spark, chunk_dir):
+    """Spark 4's StatefulProcessor API (transformWithStateInPandas): the
+    same running per-user counter as the applyInPandasWithState test,
+    through the new handle/ValueState machinery.
+
+    The state-server protocol of this API needs google.protobuf, which is
+    not in this container — skipped when absent (applyInPandasWithState
+    above provides the arbitrary-stateful coverage either way)."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas state protocol requires protobuf",
+    )
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("total_events", T.LongType()),
+        ]
+    )
+
+    class CountProcessor(StatefulProcessor):
+        # defined in-test (pickled by value — repo UDF rule)
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.count_state = handle.getValueState(
+                "n", T.StructType([T.StructField("n", T.LongType())])
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self.count_state.get()[0] if self.count_state.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self.count_state.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "total_events": [n]})
+
+        def close(self) -> None:
+            pass
+
+    def build(ev):
+        return ev.groupBy("user_id").transformWithStateInPandas(
+            CountProcessor(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+
+    result = run_available_now(
+        events_stream(spark, chunk_dir), build, output_mode="update"
+    )
+    final = result.groupBy("user_id").agg(F.max("total_events").alias("total_events"))
+    batch = (
+        REGISTRY["q_stream_stateful"]
+        .fn(spark, SF_SMOKE)
+        .select("user_id", "total_events")
+    )
+    assert _sorted_rows(final, ["user_id", "total_events"]) == _sorted_rows(
+        batch, ["user_id", "total_events"]
+    )

@@ -188,8 +188,14 @@ class CorrelationAPI:
     @staticmethod
     def _avg_ranks(df: DataFrame, var_x: str, var_y: str, group_by: str | None) -> DataFrame:
         """Average-rank columns (_rx, _ry) — the ONE Spearman definition
-        shared with q_corr_spearman's oracle (stats.py)."""
+        shared with q_corr_spearman's oracle (stats.py).
+
+        Rows where either variable is NULL are dropped FIRST: rank() would
+        otherwise order NULLs lowest and hand them real ranks, silently
+        corrupting the coefficient (Pearson drops null pairs natively —
+        this keeps the two methods consistent)."""
         part = [group_by] if group_by else []
+        df = df.filter(F.col(var_x).isNotNull() & F.col(var_y).isNotNull())
 
         def avg_rank(col: str):
             w = Window.partitionBy(*part).orderBy(col)
@@ -201,6 +207,13 @@ class CorrelationAPI:
 
     @staticmethod
     def _rank_all(df: DataFrame, cols: list[str]) -> DataFrame:
+        # listwise deletion for the matrix: a row missing ANY variable is
+        # excluded so all pairwise coefficients share one sample
+        cond = F.lit(True)
+        for c in cols:
+            cond = cond & F.col(c).isNotNull()
+        df = df.filter(cond)
+
         def avg_rank(col: str):
             w = Window.orderBy(col)
             ties = Window.partitionBy(col)

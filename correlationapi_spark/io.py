@@ -171,18 +171,23 @@ def read_parquet_any(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
-# (session id, sf_dir) -> {table: DataFrame}; (session id, sf_dir) of the
-# views currently registered, so switching sf_dir re-registers.
-_cache: dict[tuple[int, str], dict[str, DataFrame]] = {}
-_registered: dict[int, str] = {}
+# Weak-keyed per-session caches: a stopped+collected session's entries
+# vanish with it (id(spark) keys could alias a new session at the same
+# address and serve DataFrames bound to a dead SparkContext).
+import weakref
+
+_cache: "weakref.WeakKeyDictionary[SparkSession, dict[str, dict[str, DataFrame]]]" = (
+    weakref.WeakKeyDictionary()
+)
+_registered: "weakref.WeakKeyDictionary[SparkSession, str]" = weakref.WeakKeyDictionary()
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load all fixture tables from ``sf_dir`` and register temp views."""
     ensure_conf(spark)
     sf_dir = os.path.normpath(sf_dir)
-    key = (id(spark), sf_dir)
-    tables = _cache.get(key)
+    per_session = _cache.setdefault(spark, {})
+    tables = per_session.get(sf_dir)
     if tables is None:
         tables = {
             name: spark.read.schema(SCHEMAS[name]).parquet(
@@ -195,9 +200,9 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         tables["events"] = tables["events"].withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
-        _cache[key] = tables
-    if _registered.get(id(spark)) != sf_dir:
+        per_session[sf_dir] = tables
+    if _registered.get(spark) != sf_dir:
         for name, df in tables.items():
             df.createOrReplaceTempView(name)
-        _registered[id(spark)] = sf_dir
+        _registered[spark] = sf_dir
     return tables

@@ -66,7 +66,10 @@ def _shingle_df(docs: DataFrame) -> DataFrame:
     docs at sf0.1 vs 0.9s for the zip-slices form, which references the
     tokens a constant number of times per ROW)."""
     ts = F.col("ts")
-    n = F.size(ts) - 2
+    # greatest(…, 0): documents with <3 tokens must yield an empty shingle
+    # list, not a negative slice length (Spark throws INVALID_PARAMETER_VALUE
+    # on slice(…, -1); the oracle's range() form is naturally empty)
+    n = F.greatest(F.size(ts) - 2, F.lit(0))
     zipped = F.arrays_zip(F.slice(ts, 1, n), F.slice(ts, 2, n), F.slice(ts, 3, n))
     shingles = F.array_distinct(
         F.transform(zipped, lambda s: F.concat_ws(" ", s["0"], s["1"], s["2"]))
@@ -267,14 +270,11 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    from .similarity import cosine
+
     a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    dot = lambda x, y: F.aggregate(  # noqa: E731
-        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
-    )
-    cos = dot(F.col("va"), F.col("vb")) / F.sqrt(
-        dot(F.col("va"), F.col("va")) * dot(F.col("vb"), F.col("vb"))
-    )
+    cos = cosine(F.col("va"), F.col("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .filter(cos >= 0.4)

@@ -156,7 +156,8 @@ def q_text_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _shingle_df — measured 5× slower).
     t = load_tables(spark, sf_dir)
     ts = F.col("ts")
-    n = F.size(ts) - 1
+    # greatest(…, 0): single-token docs yield no bigrams, not slice(…, -1)
+    n = F.greatest(F.size(ts) - 1, F.lit(0))
     grams = (
         t["documents"]
         .select(F.split("text", " ").alias("ts"))

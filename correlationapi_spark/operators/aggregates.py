@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_tables
-from ..numerics import exact_money_sum, money_sum, revenue_cents
+from ..numerics import cents, exact_money_sum, money_sum, revenue_cents
 from ..registry import query
 
 
@@ -103,11 +103,15 @@ def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(sum(o_totalprice), 2) AS total_spend
         FROM orders
         GROUP BY o_custkey
-        HAVING count(*) >= 12 AND sum(o_totalprice) > 500000
+        HAVING count(*) >= 12
+           AND sum(CAST(round(o_totalprice*100) AS BIGINT)) > 50000000
     """,
     doc="Post-aggregation filter (HAVING).",
 )
 def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the HAVING threshold compares an exact integer-cents sum, not a raw
+    # double sum — a group landing exactly on the boundary would otherwise
+    # pass on one engine and fail on the other (accumulation order).
     t = load_tables(spark, sf_dir)
     return (
         t["orders"]
@@ -115,10 +119,10 @@ def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_orders"),
             money_sum("o_totalprice").alias("total_spend"),
-            F.sum("o_totalprice").alias("_raw_spend"),
+            F.sum(cents("o_totalprice")).alias("_cents"),
         )
-        .filter((F.col("n_orders") >= 12) & (F.col("_raw_spend") > 500000))
-        .drop("_raw_spend")
+        .filter((F.col("n_orders") >= 12) & (F.col("_cents") > 50_000_000))
+        .drop("_cents")
     )
 
 

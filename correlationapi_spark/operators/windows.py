@@ -44,10 +44,10 @@ def q_win_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c_nationkey, c_custkey, c_acctbal,
                rank()         OVER w AS rnk,
                dense_rank()   OVER w AS drnk,
-               round(percent_rank() OVER w, 6) AS prnk,
+               percent_rank() OVER w AS prnk,
                ntile(4)       OVER (PARTITION BY c_nationkey
                                     ORDER BY c_acctbal DESC, c_custkey) AS quartile,
-               round(cume_dist() OVER w, 6) AS cdist
+               cume_dist() OVER w AS cdist
         FROM customer
         WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC)
     """,
@@ -57,6 +57,10 @@ def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank/percent_rank/cume_dist are tie-stable (equal inputs → equal
     # outputs) so ordering by the value alone is deterministic; ntile is
     # positional and needs the unique tie-break.
+    # percent_rank/cume_dist are emitted UNROUNDED: (rank−1)/(n−1) is an
+    # exact rational that both engines compute with one identical IEEE
+    # division, whereas round(…,6) hits half-boundaries on dyadic values
+    # (333/640 = 0.5203125 at sf0.1 — found by the sf0.1 sweep).
     t = load_tables(spark, sf_dir)
     w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"))
     wt = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
@@ -66,9 +70,9 @@ def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal",
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
-        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.percent_rank().over(w).alias("prnk"),
         F.ntile(4).over(wt).alias("quartile"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.cume_dist().over(w).alias("cdist"),
     )
 
 

@@ -68,11 +68,12 @@ def query(
             raise ValueError(f"duplicate query key: {key}")
         if oracle is None and rows_only_reason is None:
             raise ValueError(f"{key}: rows-only keys must record a reason")
+        doc_lines = (fn.__doc__ or "").strip().splitlines()
         REGISTRY[key] = QuerySpec(
             key=key,
             fn=fn,
             oracle=oracle,
-            doc=doc or (fn.__doc__ or "").strip().splitlines()[0] if fn.__doc__ else doc,
+            doc=doc or (doc_lines[0] if doc_lines else ""),
             rows_only_reason=rows_only_reason,
             bench=bench,
         )

@@ -60,7 +60,16 @@ def salted_join(
     """Skew-safe equi-join: salt the big side, explode the small side once
     per salt value, join on (key, salt). The small side grows n_salts×
     (it was broadcast-sized anyway); the hot key's rows spread over
-    n_salts reducers."""
+    n_salts reducers.
+
+    Only inner/left/left_semi are supported: replicating the small side
+    would emit each UNMATCHED small row n_salts times under right/full
+    outer semantics."""
+    if how not in ("inner", "left", "left_outer", "left_semi", "leftsemi"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi, not {how!r} "
+            "(small-side replication breaks right/full outer semantics)"
+        )
     big_s = big.withColumn("_salt", F.pmod(F.hash(*big.columns), F.lit(n_salts)))
     small_s = small.withColumnRenamed(key, "_rkey").withColumn(
         "_rsalt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

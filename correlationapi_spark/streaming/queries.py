@@ -126,7 +126,7 @@ def _session(ev: DataFrame) -> DataFrame:
     "q_stream_session",
     oracle="""
         WITH ordered AS (
-            SELECT user_id, ts,
+            SELECT user_id, ts, event_id,
                    CASE WHEN epoch(ts)
                           - epoch(lag(ts) OVER (PARTITION BY user_id
                                                 ORDER BY ts, event_id)) > 1800
@@ -137,7 +137,7 @@ def _session(ev: DataFrame) -> DataFrame:
         ), islands AS (
             SELECT user_id, ts,
                    sum(new_session) OVER (PARTITION BY user_id
-                                          ORDER BY ts
+                                          ORDER BY ts, event_id
                                           ROWS BETWEEN UNBOUNDED PRECEDING
                                                    AND CURRENT ROW) AS sid
             FROM ordered

@@ -71,7 +71,7 @@ def _canon_cell(v):
 
 
 def _canon_frame(df: pd.DataFrame) -> list[tuple]:
-    cols = sorted(df.columns)
+    cols = sorted(df.columns, key=str.lower)
     rows = [
         tuple(_canon_cell(v) for v in row)
         for row in df[cols].itertuples(index=False, name=None)
@@ -96,7 +96,8 @@ class CompareResult:
 
 def compare_frames(key: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> CompareResult:
     res = CompareResult(key=key, ok=True, spark_rows=len(spark_pdf), oracle_rows=len(oracle_pdf))
-    s_cols, o_cols = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
+    s_cols = sorted(spark_pdf.columns, key=str.lower)
+    o_cols = sorted(oracle_pdf.columns, key=str.lower)
     if [c.lower() for c in s_cols] != [c.lower() for c in o_cols]:
         res.ok = False
         res.detail = f"schema mismatch: spark={s_cols} oracle={o_cols}"
@@ -125,10 +126,12 @@ def run_compare(
 ) -> CompareResult:
     spark_pdf = spark_df.toPandas()
     if oracle is None:
-        ok = len(spark_pdf) >= 0
+        # a rows-only key that returns 0 rows is a silent regression of
+        # the operator it exists to prove — fail it loudly
+        ok = len(spark_pdf) > 0
         return CompareResult(
             key=key, ok=ok, spark_rows=len(spark_pdf), oracle_rows=-1,
-            detail="rows-only" + ("" if len(spark_pdf) > 0 else " (WARNING: 0 rows)"),
+            detail="rows-only" + ("" if ok else " FAIL: 0 rows"),
         )
     oracle_pdf = con.execute(oracle).df()
     return compare_frames(key, spark_pdf, oracle_pdf)

@@ -66,7 +66,7 @@ def q_udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
                    stddev_samp(value) OVER (PARTITION BY event_type) AS sigma
             FROM events
         )
-        SELECT event_id, round((value - mu) / sigma, 6) AS zscore
+        SELECT event_id, round((value - mu) / sigma, 4) AS zscore
         FROM stats
     """,
     doc="Vectorized pandas scalar UDF: z-score of value within event_type.",
@@ -85,7 +85,7 @@ def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sigma", F.stddev_samp("value").over(w)
     )
     return ev.select(
-        "event_id", F.round(z("value", "mu", "sigma"), 6).alias("zscore")
+        "event_id", F.round(z("value", "mu", "sigma"), 4).alias("zscore")
     )
 
 
@@ -99,7 +99,7 @@ def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events
         )
         SELECT event_type, event_id,
-               round((value - mu) / sigma, 6) AS normalized
+               round((value - mu) / sigma, 4) AS normalized
         FROM stats
     """,
     doc="Grouped-map applyInPandas: per-group normalize (pandas ddof=1 "
@@ -122,7 +122,7 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "event_type": pdf["event_type"],
                 "event_id": pdf["event_id"],
-                "normalized": ((pdf["value"] - mu) / sigma).round(6),
+                "normalized": ((pdf["value"] - mu) / sigma).round(4),
             }
         )
 

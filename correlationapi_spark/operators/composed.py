@@ -1,0 +1,185 @@
+"""Composed user-level queries: TPC-H-shaped analytics + pivot.
+
+These are the multi-operator queries a user of the reference would
+actually run end-to-end (scan→join→filter→agg→sort→limit), adapted to the
+fixture schema (FIXTURES.md — it carries no o_shippriority/l_commitdate,
+so the classic shapes are expressed over the columns that exist). They
+double as integration exhibits: each one exercises several §2 families in
+one oracle-checked plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_tables
+from ..numerics import exact_money_sum, revenue_cents
+from ..registry import query
+
+
+@query(
+    "q_tpch_q3",
+    oracle="""
+        SELECT l.l_orderkey,
+               CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS DOUBLE)
+                   / 10000.0 AS revenue,
+               o.o_orderdate,
+               o.o_orderpriority
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l.l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, l.l_orderkey
+        LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: unshipped-order revenue for one segment, top 10.",
+    bench=True,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # top-k on the exact-cents revenue: the sort key is bit-identical
+    # across engines, so the LIMIT frontier can't disagree; l_orderkey
+    # tie-breaks equal revenues.
+    t = load_tables(spark, sf_dir)
+    cutoff = F.to_timestamp(F.lit("1998-03-15 00:00:00"))
+    return (
+        t["customer"]
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(exact_money_sum(revenue_cents(), 10000.0).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q_tpch_q5",
+    oracle="""
+        SELECT n.n_name AS nation_name,
+               CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS DOUBLE)
+                   / 10000.0 AS revenue
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       AND c.c_nationkey = s.s_nationkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY 1
+    """,
+    doc="TPC-H Q5 shape: local-supplier revenue per nation in one region.",
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+            & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01 00:00:00")))
+        )
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(exact_money_sum(revenue_cents(), 10000.0).alias("revenue"))
+    )
+
+
+@query(
+    "q_tpch_q10",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, n.n_name AS nation_name,
+               CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS DOUBLE)
+                   / 10000.0 AS revenue,
+               round(c.c_acctbal, 2) AS acctbal
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+        GROUP BY 1, 2, 3, 5
+        ORDER BY revenue DESC, c.c_custkey
+        LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: returned-item revenue per customer, top 20.",
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+            & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-07-01 00:00:00")))
+        )
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_returnflag") == "R")
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation_name"),
+            F.round("c_acctbal", 2).alias("acctbal"),
+        )
+        .agg(exact_money_sum(revenue_cents(), 10000.0).alias("revenue"))
+        .select("c_custkey", "c_name", "nation_name", "revenue", "acctbal")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q_pivot",
+    oracle="""
+        SELECT l_returnflag,
+               round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
+               round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o,
+               count(*) FILTER (l_linestatus = 'F') AS n_f,
+               count(*) FILTER (l_linestatus = 'O') AS n_o
+        FROM lineitem GROUP BY 1
+    """,
+    doc="Pivot: linestatus columns per returnflag (explicit value list).",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pivot with an EXPLICIT value list — at scale an unlisted pivot forces
+    # an extra distinct-values job and an unbounded column count.
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            F.count(F.lit(1)).alias("n"),  # count(*) is rejected inside pivot
+        )
+        .select(
+            "l_returnflag",
+            F.col("F_qty").alias("qty_f"),
+            F.col("O_qty").alias("qty_o"),
+            F.col("F_n").alias("n_f"),
+            F.col("O_n").alias("n_o"),
+        )
+    )

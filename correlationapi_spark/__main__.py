@@ -110,10 +110,14 @@ def main(argv: list[str] | None = None) -> int:
             res = api.lagged_correlation("ds", args.time, args.value,
                                          lag=args.lag, grain=args.grain)
     except (KeyError, TypeError, ValueError) as e:
-        # user errors (unknown/non-numeric variable, bad method) → clean
-        # JSON on stderr-free stdout, nonzero exit — not a traceback
+        # user errors (unknown/non-numeric variable, bad method/grain)
         print(json.dumps({"error": str(e)}))
         return 2
+    except Exception as e:  # noqa: BLE001 - CLI boundary
+        # engine-level failures (missing path -> AnalysisException, etc.)
+        # still exit with ONE JSON line, not a Py4J traceback
+        print(json.dumps({"error": f"{type(e).__name__}: {str(e)[:300]}"}))
+        return 3
     print(json.dumps(res))
     return 0
 

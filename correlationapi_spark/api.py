@@ -30,7 +30,31 @@ from pyspark.sql.window import Window
 from .io import read_parquet_any
 from .session import ensure_conf
 
-_NUMERIC = (T.IntegerType, T.LongType, T.FloatType, T.DoubleType, T.ShortType, T.ByteType)
+_NUMERIC = (
+    T.IntegerType, T.LongType, T.FloatType, T.DoubleType,
+    T.ShortType, T.ByteType, T.DecimalType,
+)
+
+# grains date_trunc actually supports; an unknown literal would silently
+# yield NULL buckets (no error even under ANSI) rather than failing
+_GRAINS = (
+    "year", "quarter", "month", "week", "day",
+    "hour", "minute", "second",
+)
+
+
+def _safe_corr(x, y):
+    """Pearson corr that returns NULL (like DuckDB) on zero variance.
+
+    Spark 4's ANSI default makes F.corr THROW DIVIDE_BY_ZERO when either
+    input is constant; covar_samp/(sx·sy) is algebraically the same
+    quantity (the (n−1) factors cancel) and the when() guard turns the
+    degenerate case into NULL instead of a crashed job.
+    """
+    sx, sy = F.stddev_samp(x), F.stddev_samp(y)
+    return F.round(
+        F.when((sx > 0) & (sy > 0), F.covar_samp(x, y) / (sx * sy)), 6
+    )
 
 
 class CorrelationAPI:
@@ -93,7 +117,7 @@ class CorrelationAPI:
         elif method != "pearson":
             raise ValueError(f"unknown method: {method!r} (pearson|spearman)")
         agg = [
-            F.round(F.corr(x, y), 6).alias("correlation"),
+            _safe_corr(x, y).alias("correlation"),
             F.count(F.when(x.isNotNull() & y.isNotNull(), 1)).alias("n"),
         ]
         base = {"dataset": dataset, "x": var_x, "y": var_y, "method": method}
@@ -127,10 +151,12 @@ class CorrelationAPI:
         cols = variables or self.variables(dataset)
         if len(cols) < 2:
             raise ValueError("need at least two numeric variables")
+        for c in cols:
+            self._num(df, c)  # clear KeyError/TypeError before the job runs
         if method == "spearman":
             df = self._rank_all(df, cols)
         aggs = [
-            F.round(F.corr(F.col(a).cast("double"), F.col(b).cast("double")), 6).alias(f"{i}_{j}")
+            _safe_corr(F.col(a).cast("double"), F.col(b).cast("double")).alias(f"{i}_{j}")
             for i, a in enumerate(cols)
             for j, b in enumerate(cols)
             if i < j
@@ -156,6 +182,10 @@ class CorrelationAPI:
         lag window, so the single-partition window is over ~one row per
         grain bucket regardless of raw volume (SURVEY.md stats module)."""
         df = self._get(dataset)
+        if grain not in _GRAINS:
+            raise ValueError(f"unknown grain: {grain!r} (one of {_GRAINS})")
+        if time_col not in df.columns:
+            raise KeyError(f"unknown variable: {time_col!r}")
         series = (
             df.groupBy(F.date_trunc(grain, F.col(time_col)).alias("_t"))
             .agg(F.avg(self._num(df, value_col)).alias("_v"))
@@ -164,7 +194,7 @@ class CorrelationAPI:
             "_v", F.lag("_v", lag).over(Window.orderBy("_t")).alias("_prev")
         )
         r = lagged.agg(
-            F.round(F.corr("_v", "_prev"), 6).alias("c"),
+            _safe_corr(F.col("_v"), F.col("_prev")).alias("c"),
             F.count("_prev").alias("n"),
         ).collect()[0]
         return {

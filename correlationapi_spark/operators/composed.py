@@ -14,17 +14,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_tables
-from ..numerics import exact_money_sum, revenue_cents
+from ..numerics import exact_money_sum, oracle_revenue_sum, revenue_cents
 from ..registry import query
 
 
 @query(
     "q_tpch_q3",
-    oracle="""
+    oracle=f"""
         SELECT l.l_orderkey,
-               CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
-                        * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS DOUBLE)
-                   / 10000.0 AS revenue,
+               {oracle_revenue_sum("l.l_extendedprice", "l.l_discount")} AS revenue,
                o.o_orderdate,
                o.o_orderpriority
         FROM customer c
@@ -63,11 +61,9 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_tpch_q5",
-    oracle="""
+    oracle=f"""
         SELECT n.n_name AS nation_name,
-               CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
-                        * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS DOUBLE)
-                   / 10000.0 AS revenue
+               {oracle_revenue_sum("l.l_extendedprice", "l.l_discount")} AS revenue
         FROM customer c
         JOIN orders o   ON c.c_custkey = o.o_custkey
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -107,11 +103,9 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_tpch_q10",
-    oracle="""
+    oracle=f"""
         SELECT c.c_custkey, c.c_name, n.n_name AS nation_name,
-               CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
-                        * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS DOUBLE)
-                   / 10000.0 AS revenue,
+               {oracle_revenue_sum("l.l_extendedprice", "l.l_discount")} AS revenue,
                round(c.c_acctbal, 2) AS acctbal
         FROM customer c
         JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -179,7 +173,10 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag",
             F.col("F_qty").alias("qty_f"),
             F.col("O_qty").alias("qty_o"),
-            F.col("F_n").alias("n_f"),
-            F.col("O_n").alias("n_o"),
+            # absent combos: Spark pivot yields NULL counts, the oracle's
+            # count FILTER yields 0 — coalesce aligns them (sum stays
+            # NULL/NULL on both sides)
+            F.coalesce("F_n", F.lit(0)).alias("n_f"),
+            F.coalesce("O_n", F.lit(0)).alias("n_o"),
         )
     )

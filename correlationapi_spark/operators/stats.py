@@ -25,10 +25,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_tables
-from ..numerics import exact_money_sum, revenue_cents
+from ..numerics import exact_money_sum, oracle_revenue_sum, revenue_cents
 from ..registry import query
 
-_FLAGSHIP_ORACLE = """
+_FLAGSHIP_ORACLE = f"""
     SELECT
         r.r_name                                              AS region_name,
         date_trunc('month', o.o_orderdate)                    AS order_month,
@@ -36,9 +36,7 @@ _FLAGSHIP_ORACLE = """
         round(corr(l.l_discount,
                    l.l_extendedprice * (1 - l.l_discount)), 6) AS corr_disc_rev,
         round(avg(l.l_discount), 6)                           AS avg_discount,
-        CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
-                 * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS DOUBLE)
-            / 10000.0                                         AS revenue,
+        {oracle_revenue_sum("l.l_extendedprice", "l.l_discount")} AS revenue,
         count(*)                                              AS n_lines
     FROM lineitem l
     JOIN orders   o ON l.l_orderkey  = o.o_orderkey

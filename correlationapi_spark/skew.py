@@ -22,10 +22,19 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, n_salts: int, col_name: str = "_salt") -> DataFrame:
-    """Deterministic salt in [0, n_salts): hash of the whole row — spreads
-    identical keys without rand() (declared queries must stay pure
-    functions of the data, SURVEY.md §4.2)."""
-    return df.withColumn(col_name, F.pmod(F.hash(*df.columns), F.lit(n_salts)))
+    """Salt in [0, n_salts) that spreads even FULLY IDENTICAL rows.
+
+    A pure row-hash salt sends duplicate rows (the classic hot-key shape)
+    to one bucket, defeating the whole point; mixing in
+    monotonically_increasing_id spreads them. The salt value is therefore
+    not stable across runs — which is fine everywhere salting is valid:
+    downstream results (aggregates, join matches) are salt-independent.
+    Declared oracle queries never use salting (purity rule, SURVEY §4.2).
+    """
+    return df.withColumn(
+        col_name,
+        F.pmod(F.hash(*df.columns) + F.monotonically_increasing_id(), F.lit(n_salts)),
+    )
 
 
 def salted_agg(
@@ -70,7 +79,7 @@ def salted_join(
             f"salted_join supports inner/left/left_semi, not {how!r} "
             "(small-side replication breaks right/full outer semantics)"
         )
-    big_s = big.withColumn("_salt", F.pmod(F.hash(*big.columns), F.lit(n_salts)))
+    big_s = with_salt(big, n_salts)
     small_s = small.withColumnRenamed(key, "_rkey").withColumn(
         "_rsalt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )

@@ -34,10 +34,9 @@ def write_event_chunks(
         "_chunk",
         F.ntile(n_chunks).over(Window.orderBy(F.col(order_by), F.col("event_id"))),
     )
-    for i in range(1, n_chunks + 1):
-        ranked.filter(F.col("_chunk") == i).drop("_chunk").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(out, f"chunk={i}"))
+    # single partitioned write: one job, one sort — a per-chunk filter loop
+    # would re-run the full global window once per chunk
+    ranked.write.mode("overwrite").partitionBy("_chunk").parquet(out)
     return out
 
 

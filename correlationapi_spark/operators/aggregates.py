@@ -333,25 +333,36 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_collect",
     oracle="""
         SELECT l_orderkey,
-               list_sort(list(l_linenumber))          AS line_numbers,
-               list_sort(list(DISTINCT l_returnflag)) AS flags
+               array_to_string(list_sort(list(l_linenumber)), ',')
+                 AS line_numbers,
+               array_to_string(list_sort(list(DISTINCT l_returnflag)), ',')
+                 AS flags
         FROM lineitem
         WHERE l_orderkey <= 500
         GROUP BY l_orderkey
     """,
-    doc="List/set aggregation, sorted for determinism.",
+    doc="List/set aggregation, sorted for determinism, projected as "
+    "csv strings (scalar columns — any harness can sort/hash them).",
 )
 def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collect_list order is nondeterministic under parallel merge —
     # sort_array makes the value a pure function of the data (SURVEY §7.4).
+    # The sorted lists are projected as comma-joined STRINGS: raw array
+    # columns crash generic result canonicalizers (round-1 driver harness:
+    # pandas sort_values → "unhashable type: numpy.ndarray"), and a scalar
+    # projection loses nothing the hash compare needs.
     t = load_tables(spark, sf_dir)
     return (
         t["lineitem"]
         .filter(F.col("l_orderkey") <= 500)
         .groupBy("l_orderkey")
         .agg(
-            F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
-            F.sort_array(F.collect_set("l_returnflag")).alias("flags"),
+            F.concat_ws(",", F.sort_array(F.collect_list("l_linenumber"))).alias(
+                "line_numbers"
+            ),
+            F.concat_ws(",", F.sort_array(F.collect_set("l_returnflag"))).alias(
+                "flags"
+            ),
         )
     )
 

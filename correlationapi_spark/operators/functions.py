@@ -159,24 +159,48 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Array-valued DECLARED outputs are projected as comma-joined strings:
+# raw array columns crash generic result canonicalizers (round-1 driver
+# harness: pandas sort_values → "unhashable type: numpy.ndarray"). Double
+# elements are rounded then formatted through DECIMAL(28,6) — fixed-scale
+# decimal→string rendering is bit-identical on Spark and DuckDB, where raw
+# double→string is not (scientific-notation thresholds differ).
+def _arr_str(col):
+    """array<double> → 'x.xxxxxx,…' string, deterministic across engines."""
+    return F.concat_ws(
+        ",", F.transform(col, lambda x: F.round(x, 6).cast("decimal(28,6)").cast("string"))
+    )
+
+
+def _arr_str_sql(expr: str) -> str:
+    """DuckDB twin of _arr_str. coalesce: DuckDB array_to_string yields
+    NULL on an empty list where Spark concat_ws yields ''."""
+    return (
+        "coalesce(array_to_string(list_transform(" + expr + ", "
+        "x -> CAST(CAST(round(x, 6) AS DECIMAL(28,6)) AS VARCHAR)), ','), '')"
+    )
+
+
 @query(
     "q_fn_array",
-    oracle="""
+    oracle=f"""
         SELECT vec_id,
                len(embedding)                                   AS dim,
-               list_slice(CAST(embedding AS DOUBLE[]), 1, 4)    AS head4,
-               list_sort(list_slice(CAST(embedding AS DOUBLE[]), 1, 4))
+               {_arr_str_sql("list_slice(CAST(embedding AS DOUBLE[]), 1, 4)")}
+                                                                AS head4,
+               {_arr_str_sql("list_sort(list_slice(CAST(embedding AS DOUBLE[]), 1, 4))")}
                                                                 AS head4_sorted,
-               list_sort(list_distinct(
+               array_to_string(list_sort(list_distinct(
                  [CAST(label AS BIGINT), CAST(label % 3 AS BIGINT),
-                  CAST(label AS BIGINT)]))                      AS label_set,
-               flatten([[CAST(label AS BIGINT)],
-                        [CAST(vec_id AS BIGINT)]])              AS flat_pair,
+                  CAST(label AS BIGINT)])), ',')                AS label_set,
+               array_to_string(flatten([[CAST(label AS BIGINT)],
+                        [CAST(vec_id AS BIGINT)]]), ',')        AS flat_pair,
                list_contains(list_slice(CAST(embedding AS DOUBLE[]), 1, 4),
                              CAST(embedding[1] AS DOUBLE))      AS head_has_first
         FROM embeddings WHERE vec_id <= 200
     """,
-    doc="Array family: size/slice/sort/distinct/flatten/contains.",
+    doc="Array family: size/slice/sort/distinct/flatten/contains "
+    "(array outputs projected as csv strings — see _arr_str).",
 )
 def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embedding floats are cast to double element-wise on both engines
@@ -189,14 +213,17 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.filter(F.col("vec_id") <= 200).select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        head4.alias("head4"),
-        F.sort_array(head4).alias("head4_sorted"),
-        F.sort_array(
-            F.array_distinct(F.array(lbl, (F.col("label") % 3).cast("bigint"), lbl))
+        _arr_str(head4).alias("head4"),
+        _arr_str(F.sort_array(head4)).alias("head4_sorted"),
+        F.concat_ws(
+            ",",
+            F.sort_array(
+                F.array_distinct(F.array(lbl, (F.col("label") % 3).cast("bigint"), lbl))
+            ),
         ).alias("label_set"),
-        F.flatten(F.array(F.array(lbl), F.array(F.col("vec_id").cast("bigint")))).alias(
-            "flat_pair"
-        ),
+        F.concat_ws(
+            ",", F.flatten(F.array(F.array(lbl), F.array(F.col("vec_id").cast("bigint"))))
+        ).alias("flat_pair"),
         F.array_contains(head4, F.col("embedding").getItem(0).cast("double")).alias(
             "head_has_first"
         ),
@@ -231,19 +258,22 @@ def q_fn_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_fn_array_hof",
-    oracle="""
+    oracle=f"""
         SELECT vec_id,
-               list_transform(list_slice(CAST(embedding AS DOUBLE[]), 1, 8),
-                              x -> x * 2.0)                           AS doubled8,
-               list_filter(list_slice(CAST(embedding AS DOUBLE[]), 1, 8),
-                           x -> x > 0)                                AS positive8,
+               {_arr_str_sql(
+                   "list_transform(list_slice(CAST(embedding AS DOUBLE[]), 1, 8),"
+                   " x -> x * 2.0)")} AS doubled8,
+               {_arr_str_sql(
+                   "list_filter(list_slice(CAST(embedding AS DOUBLE[]), 1, 8),"
+                   " x -> x > 0)")} AS positive8,
                round(list_reduce(CAST(embedding AS DOUBLE[]),
                                  (acc, x) -> acc + x), 6)             AS vec_sum,
                round(list_dot_product(CAST(embedding AS DOUBLE[]),
                                       CAST(embedding AS DOUBLE[])), 6) AS self_dot
         FROM embeddings WHERE vec_id <= 200
     """,
-    doc="Higher-order array functions: transform/filter/aggregate/zip_with.",
+    doc="Higher-order array functions: transform/filter/aggregate/zip_with "
+    "(array outputs projected as csv strings — see _arr_str).",
 )
 def q_fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vec_sum: Spark aggregate() and DuckDB list_reduce() are both
@@ -254,8 +284,8 @@ def q_fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     head8 = F.slice(vd, 1, 8)
     return t["embeddings"].filter(F.col("vec_id") <= 200).select(
         "vec_id",
-        F.transform(head8, lambda x: x * 2.0).alias("doubled8"),
-        F.filter(head8, lambda x: x > 0).alias("positive8"),
+        _arr_str(F.transform(head8, lambda x: x * 2.0)).alias("doubled8"),
+        _arr_str(F.filter(head8, lambda x: x > 0)).alias("positive8"),
         F.round(
             F.aggregate(vd, F.lit(0.0), lambda acc, x: acc + x), 6
         ).alias("vec_sum"),
@@ -271,19 +301,19 @@ def q_fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fn_map",
     oracle="""
         SELECT event_id,
-               list_sort(map_keys(map(['etype', 'uid'],
-                                      [event_type, CAST(user_id AS VARCHAR)])))
+               array_to_string(list_sort(map_keys(map(['etype', 'uid'],
+                                      [event_type, CAST(user_id AS VARCHAR)]))), ',')
                  AS mkeys,
-               list_sort(map_values(map(['etype', 'uid'],
-                                        [event_type, CAST(user_id AS VARCHAR)])))
+               array_to_string(list_sort(map_values(map(['etype', 'uid'],
+                                        [event_type, CAST(user_id AS VARCHAR)]))), ',')
                  AS mvals,
                map_extract(map(['etype', 'uid'],
                                [event_type, CAST(user_id AS VARCHAR)]), 'etype')[1]
                  AS etype_val
         FROM events WHERE event_id <= 1000
     """,
-    doc="Map family: create_map/map_keys/map_values/element_at "
-    "(projected as sorted lists — raw map hashing is engine-flaky, SURVEY §2.8).",
+    doc="Map family: create_map/map_keys/map_values/element_at (projected "
+    "as sorted csv strings — raw map/array hashing is harness-flaky, SURVEY §2.8).",
 )
 def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
@@ -293,8 +323,8 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return t["events"].filter(F.col("event_id") <= 1000).select(
         "event_id",
-        F.sort_array(F.map_keys(m)).alias("mkeys"),
-        F.sort_array(F.map_values(m)).alias("mvals"),
+        F.concat_ws(",", F.sort_array(F.map_keys(m))).alias("mkeys"),
+        F.concat_ws(",", F.sort_array(F.map_values(m))).alias("mvals"),
         F.element_at(m, F.lit("etype")).alias("etype_val"),
     )
 

@@ -54,6 +54,31 @@ _MODULES = (
     "correlationapi_spark.udfs",
 )
 
+# Keys with a green verdict in the driver's CORRECTNESS_r01.json (47
+# hash-matches + 2 by-design rows-only). The round-1 driver consumed the
+# registry in order and stopped after 50 keys, so load_registry() pushes
+# these to the END: keys still awaiting a driver verdict (the correlation
+# family, LLM, streaming, UDF, composed) plus the repaired q_agg_collect
+# surface first. Extend this set as later rounds turn more keys green.
+_DRIVER_GREEN: frozenset[str] = frozenset({
+    "q_scan_parquet", "q_scan_pruned",
+    "q_project_arith", "q_filter_cmp", "q_filter_bool", "q_filter_in",
+    "q_filter_between", "q_filter_like", "q_filter_null", "q_case_when",
+    "q_cast",
+    "q_join_inner", "q_join_multi", "q_join_left", "q_join_full",
+    "q_join_semi", "q_join_anti", "q_join_cross", "q_join_theta",
+    "q_join_range", "q_join_asof", "q_join_broadcast",
+    "q_agg_global", "q_agg_group", "q_agg_having", "q_agg_distinct",
+    "q_agg_approx_distinct", "q_agg_rollup", "q_agg_cube", "q_agg_gsets",
+    "q_agg_stats", "q_agg_percentile", "q_agg_approx_percentile",
+    "q_agg_first_last",
+    "q_win_rownum", "q_win_rank", "q_win_lag", "q_win_frame_rows",
+    "q_win_frame_range", "q_win_firstlast", "q_topk_group",
+    "q_sort_multi", "q_limit_topk",
+    "q_set_union", "q_set_intersect", "q_set_except", "q_distinct",
+    "q_fn_string", "q_fn_date",
+})
+
 
 def query(
     key: str,
@@ -85,7 +110,10 @@ def query(
 
 def load_registry() -> dict[str, QuerySpec]:
     """Import all operator modules (side effect: they register) and return
-    the full inventory."""
+    the full inventory, ordered so keys without a prior driver verdict come
+    first (see _DRIVER_GREEN)."""
     for mod in _MODULES:
         importlib.import_module(mod)
-    return REGISTRY
+    pending = {k: v for k, v in REGISTRY.items() if k not in _DRIVER_GREEN}
+    green = {k: v for k, v in REGISTRY.items() if k in _DRIVER_GREEN}
+    return {**pending, **green}

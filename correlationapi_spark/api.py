@@ -44,16 +44,25 @@ _GRAINS = (
 
 
 def _safe_corr(x, y):
-    """Pearson corr that returns NULL (like DuckDB) on zero variance.
+    """Pearson corr over PAIRWISE-COMPLETE rows, NULL on zero variance.
 
     Spark 4's ANSI default makes F.corr THROW DIVIDE_BY_ZERO when either
     input is constant; covar_samp/(sx·sy) is algebraically the same
     quantity (the (n−1) factors cancel) and the when() guard turns the
     degenerate case into NULL instead of a crashed job.
+
+    Both operands are null-masked to rows where BOTH are non-null:
+    covar_samp already skips mixed-null rows, but stddev_samp over each
+    full marginal sample would divide by the WRONG spread whenever nulls
+    are asymmetric (|r| could exceed 1 — e.g. lag() rows where _prev is
+    null). Masking makes every moment share the same pairwise sample,
+    which is exactly Pearson's pairwise-deletion definition.
     """
-    sx, sy = F.stddev_samp(x), F.stddev_samp(y)
+    both = x.isNotNull() & y.isNotNull()
+    xm, ym = F.when(both, x), F.when(both, y)
+    sx, sy = F.stddev_samp(xm), F.stddev_samp(ym)
     return F.round(
-        F.when((sx > 0) & (sy > 0), F.covar_samp(x, y) / (sx * sy)), 6
+        F.when((sx > 0) & (sy > 0), F.covar_samp(xm, ym) / (sx * sy)), 6
     )
 
 
@@ -153,6 +162,14 @@ class CorrelationAPI:
             raise ValueError("need at least two numeric variables")
         for c in cols:
             self._num(df, c)  # clear KeyError/TypeError before the job runs
+        # listwise deletion for BOTH methods: a row missing ANY selected
+        # variable is excluded so every matrix cell is computed over the
+        # same sample (otherwise cells silently mix samples when nulls
+        # are asymmetric across variables)
+        df = df.filter(
+            F.lit(True) if not cols else
+            F.expr(" AND ".join(f"`{c}` IS NOT NULL" for c in cols))
+        )
         if method == "spearman":
             df = self._rank_all(df, cols)
         aggs = [

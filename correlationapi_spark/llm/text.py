@@ -231,7 +231,7 @@ _EN_MARKERS = ("the", "a")
                CASE WHEN marker_frac > 0.05 THEN 'en' ELSE 'other' END
                  AS predicted_lang
         FROM scored
-    """.replace("('the', 'a')", "('the', 'a')"),
+    """,
     doc="Language-ID heuristic: stopword-marker fraction + threshold rule.",
 )
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -66,7 +66,7 @@ def q_udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
                    stddev_samp(value) OVER (PARTITION BY event_type) AS sigma
             FROM events
         )
-        SELECT event_id, round((value - mu) / sigma, 4) AS zscore
+        SELECT event_id, round((value - mu) / NULLIF(sigma, 0), 4) AS zscore
         FROM stats
     """,
     doc="Vectorized pandas scalar UDF: z-score of value within event_type.",
@@ -74,6 +74,9 @@ def q_udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     # group moments come from window functions (JVM-side); the pandas UDF
     # does only the vectorized arithmetic — the right split at scale.
+    # Zero-variance guard: a constant-valued group has sigma=0; the when()
+    # yields NULL there (mirrored by NULLIF in the oracle) instead of the
+    # pandas inf/NaN, matching the _safe_corr convention (api.py).
     t = load_tables(spark, sf_dir)
 
     @F.pandas_udf(T.DoubleType())
@@ -85,7 +88,10 @@ def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sigma", F.stddev_samp("value").over(w)
     )
     return ev.select(
-        "event_id", F.round(z("value", "mu", "sigma"), 4).alias("zscore")
+        "event_id",
+        F.when(
+            F.col("sigma") > 0, F.round(z("value", "mu", "sigma"), 4)
+        ).alias("zscore"),
     )
 
 
@@ -99,11 +105,11 @@ def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events
         )
         SELECT event_type, event_id,
-               round((value - mu) / sigma, 4) AS normalized
+               round((value - mu) / NULLIF(sigma, 0), 4) AS normalized
         FROM stats
     """,
     doc="Grouped-map applyInPandas: per-group normalize (pandas ddof=1 "
-    "matches stddev_samp).",
+    "matches stddev_samp; zero-variance groups yield NULL).",
 )
 def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
@@ -118,11 +124,18 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
         mu = pdf["value"].mean()
         sigma = pdf["value"].std(ddof=1)
+        # same zero-variance guard as q_udf_pandas / _safe_corr: emit
+        # None (Arrow null), not inf/NaN, for constant groups — the
+        # object-dtype Series is what makes Arrow write real nulls
+        if pd.notna(sigma) and sigma > 0:
+            norm = ((pdf["value"] - mu) / sigma).round(4)
+        else:
+            norm = pd.Series([None] * len(pdf), index=pdf.index, dtype=object)
         return pd.DataFrame(
             {
                 "event_type": pdf["event_type"],
                 "event_id": pdf["event_id"],
-                "normalized": ((pdf["value"] - mu) / sigma).round(4),
+                "normalized": norm,
             }
         )
 

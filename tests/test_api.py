@@ -76,6 +76,57 @@ def test_lagged_matches_declared_key(api, spark):
     assert res["n_pairs"] > 0
 
 
+def test_pairwise_deletion_with_asymmetric_nulls(api, spark):
+    # x and y are perfectly correlated on rows where both are present;
+    # each also has rows where only IT is present. Pairwise-complete
+    # Pearson must be exactly 1.0 — the pre-fix marginal-stddev form
+    # diluted the denominator with the unpaired rows (ADVICE r01).
+    rows = [(1.0, 2.0), (2.0, 4.0), (3.0, 6.0), (4.0, 8.0)]
+    rows += [(100.0, None), (-50.0, None), (None, 70.0), (None, -30.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    api.register_dataset("_nulls", df)
+    res = api.correlate("_nulls", "x", "y")
+    assert res["correlation"] == 1.0
+    assert res["n"] == 4
+
+
+def test_lagged_correlation_exact_on_linear_series(api, spark):
+    # strictly linear daily series → lag-1 autocorrelation is exactly 1;
+    # the lag() row has a NULL _prev, which hit the same marginal-stddev
+    # bug (ADVICE r01: returned 0.0296 where pairwise Pearson is 1.0)
+    rows = [(f"2024-01-{d:02d} 00:00:00", float(d)) for d in range(1, 11)]
+    df = spark.createDataFrame(rows, "t string, v double").selectExpr(
+        "CAST(t AS TIMESTAMP) AS t", "v"
+    )
+    api.register_dataset("_series", df)
+    res = api.lagged_correlation("_series", "t", "v", lag=1, grain="day")
+    assert res["correlation"] == 1.0
+    assert res["n_pairs"] == 9
+
+
+def test_matrix_listwise_deletion(api, spark):
+    # a row null in ANY variable must be excluded from EVERY cell: with
+    # listwise deletion over (x, y, z), the x-y cell ignores the
+    # (5, 500, None) row, so x-y stays exactly 1.0
+    rows = [
+        (1.0, 10.0, 3.0), (2.0, 20.0, 1.0), (3.0, 30.0, 7.0),
+        (4.0, 40.0, 2.0), (5.0, 500.0, None),
+    ]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    api.register_dataset("_listwise", df)
+    for method in ("pearson", "spearman"):
+        m = api.correlation_matrix("_listwise", ["x", "y", "z"], method=method)["matrix"]
+        assert m[0][1] == 1.0, method
+
+
+def test_zero_variance_returns_null_not_crash(api, spark):
+    df = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)], "x double, y double"
+    )
+    api.register_dataset("_const", df)
+    assert api.correlate("_const", "x", "y")["correlation"] is None
+
+
 def test_covariance(api):
     res = api.covariance("customer", "c_acctbal", "c_nationkey")
     assert res["kind"] == "sample" and isinstance(res["covariance"], float)

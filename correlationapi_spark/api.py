@@ -240,30 +240,43 @@ class CorrelationAPI:
         Rows where either variable is NULL are dropped FIRST: rank() would
         otherwise order NULLs lowest and hand them real ranks, silently
         corrupting the coefficient (Pearson drops null pairs natively —
-        this keeps the two methods consistent)."""
-        part = [group_by] if group_by else []
+        this keeps the two methods consistent).
+
+        Ungrouped ranks go through stats.avg_rank_table (range-partitioned
+        two-pass — no single-partition sort); grouped ranks keep the
+        per-group window, which is already partitioned by the group key
+        and therefore parallel at scale."""
+        from .operators.stats import avg_rank_table
+
         df = df.filter(F.col(var_x).isNotNull() & F.col(var_y).isNotNull())
+        if not group_by:
+            return (
+                df.select(var_x, var_y)
+                .join(avg_rank_table(df, var_x, "_rx"), var_x)
+                .join(avg_rank_table(df, var_y, "_ry"), var_y)
+                .select("_rx", "_ry")
+            )
 
         def avg_rank(col: str):
-            w = Window.partitionBy(*part).orderBy(col)
-            ties = Window.partitionBy(*(part + [col]))
+            w = Window.partitionBy(group_by).orderBy(col)
+            ties = Window.partitionBy(group_by, col)
             return F.rank().over(w) + (F.count("*").over(ties) - 1) / 2.0
 
-        keep = [c for c in ([group_by] if group_by else [])]
-        return df.select(*keep, avg_rank(var_x).alias("_rx"), avg_rank(var_y).alias("_ry"))
+        return df.select(
+            group_by, avg_rank(var_x).alias("_rx"), avg_rank(var_y).alias("_ry")
+        )
 
     @staticmethod
     def _rank_all(df: DataFrame, cols: list[str]) -> DataFrame:
-        # listwise deletion for the matrix: a row missing ANY variable is
-        # excluded so all pairwise coefficients share one sample
-        cond = F.lit(True)
+        # matrix ranks share the caller's listwise-deleted sample; each
+        # variable's rank column comes from its avg_rank_table joined back
+        # on the value — k small joins instead of k single-partition sorts
+        from .operators.stats import avg_rank_table
+
+        out = df.select(*cols)
+        rank_cols = []
         for c in cols:
-            cond = cond & F.col(c).isNotNull()
-        df = df.filter(cond)
-
-        def avg_rank(col: str):
-            w = Window.orderBy(col)
-            ties = Window.partitionBy(col)
-            return F.rank().over(w) + (F.count("*").over(ties) - 1) / 2.0
-
-        return df.select(*[avg_rank(c).alias(c) for c in cols])
+            rc = f"_rank_{c}"
+            out = out.join(avg_rank_table(df, c, rc), c)
+            rank_cols.append(rc)
+        return out.select(*[F.col(rc).alias(c) for c, rc in zip(cols, rank_cols)])

@@ -193,6 +193,61 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   avg_rank(x) = rank(x) + (count(* same x) - 1) / 2
 # (ranks over the whole relation, ascending). Spearman = Pearson corr of the
 # two average-rank columns.
+
+
+def avg_rank_table(df: DataFrame, col: str, alias: str) -> DataFrame:
+    """(value → average rank) lookup table with NO single-partition sort.
+
+    The average rank is a pure function of the VALUE:
+
+        avg_rank(v) = #{x < v} + (cnt(v) + 1) / 2
+                    = rank(v) + (cnt(v) - 1) / 2     (identical algebra)
+
+    so instead of rank() over a global ORDER BY (a full-relation
+    single-partition sort — the round-1 scale-killer), this runs the
+    documented two-pass range-partitioned plan:
+
+    1. ``groupBy(col).count()`` — partial/final aggregate; only DISTINCT
+       values cross the wire.
+    2. ``repartitionByRange(col)`` over the distinct-value table; the
+       range partitioner keeps equal values together, so a per-partition
+       running count (window partitioned by ``spark_partition_id()`` —
+       never a global order) gives within-partition cumulative counts.
+    3. Per-partition totals (one row per range partition) get running
+       offsets via a window over that TINY table, and broadcast-join
+       back: global cumulative = offset + within-partition cumulative.
+
+    The caller joins the (value, rank) table back to the fact relation on
+    the value — a shuffle/broadcast join Catalyst is free to choose, in
+    place of a sort nothing can parallelize. NULL values, like rank(),
+    sort first; pre-filter them if NULL should not receive a rank.
+    """
+    c = F.col(col)
+    counts = df.groupBy(c.alias("_v")).agg(F.count("*").alias("_cnt"))
+    ranged = counts.repartitionByRange(F.col("_v")).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_in = (
+        Window.partitionBy("_pid")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranged = ranged.withColumn("_cum_in", F.sum("_cnt").over(w_in))
+    totals = ranged.groupBy("_pid").agg(F.sum("_cnt").alias("_ptot"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_ptot").over(w_off), F.lit(0)).cast("bigint")
+    )
+    return (
+        ranged.join(F.broadcast(offsets.select("_pid", "_off")), "_pid")
+        .select(
+            F.col("_v").alias(col),
+            (
+                F.col("_off") + F.col("_cum_in") - F.col("_cnt")
+                + (F.col("_cnt") + 1) / 2.0
+            ).alias(alias),
+        )
+    )
 _SPEARMAN_ORACLE = """
     WITH ranked AS (
         SELECT
@@ -217,25 +272,22 @@ def q_corr_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Average-rank Spearman (SURVEY.md §2.4 / §7.4: never rely on a
     built-in spearman — tie semantics differ across engines).
 
-    Scale note: rank() over a global ORDER BY is a single-partition sort.
-    Acceptable here; the documented scale path is a two-pass range-
-    partitioned rank (repartitionByRange + per-partition offsets), which
-    preserves this exact average-rank semantics. ml.stat.Correlation
-    (method="spearman") is used as a cross-check in unit tests only.
+    Scale path (round 2): ranks come from avg_rank_table — distinct-value
+    aggregation + range-partitioned running counts + broadcast offsets —
+    joined back to the fact on the value. No rank() window, no global
+    single-partition sort; the plan is asserted rangepartitioning-based in
+    tests/test_plans.py. The average-rank algebra is IDENTICAL to the
+    oracle's rank() + (ties-1)/2 formula, so the same oracle stays green.
+    ml.stat.Correlation (method="spearman") is a unit-test cross-check.
     """
     t = load_tables(spark, sf_dir)
     li = t["lineitem"]
-    wx = Window.orderBy("l_quantity")
-    wy = Window.orderBy("l_extendedprice")
-    ranked = li.select(
-        (
-            F.rank().over(wx)
-            + (F.count("*").over(Window.partitionBy("l_quantity")) - 1) / 2.0
-        ).alias("rx"),
-        (
-            F.rank().over(wy)
-            + (F.count("*").over(Window.partitionBy("l_extendedprice")) - 1) / 2.0
-        ).alias("ry"),
+    rx = avg_rank_table(li, "l_quantity", "rx")
+    ry = avg_rank_table(li, "l_extendedprice", "ry")
+    ranked = (
+        li.select("l_quantity", "l_extendedprice")
+        .join(rx, "l_quantity")   # ~50 distinct values → AQE broadcasts
+        .join(ry, "l_extendedprice")
     )
     return ranked.agg(
         F.round(F.corr("rx", "ry"), 6).alias("spearman_qty_price"),

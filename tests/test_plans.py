@@ -68,3 +68,16 @@ def test_aggregates_are_partial_final(spark, key):
     # combine is what keeps these one-shuffle at any scale
     plan = plan_of(spark, key)
     assert plan.count("HashAggregate") >= 2
+
+
+def test_spearman_has_no_global_rank_sort(spark):
+    # round-2 scale path: ranks come from the distinct-value range-
+    # partitioned avg_rank_table, never a rank() window over a global
+    # ORDER BY (which is a full-relation single-partition sort)
+    plan = plan_of(spark, "q_corr_spearman")
+    assert "rank(" not in plan
+    assert "rangepartitioning" in plan
+    # the only single-partition exchanges allowed are the two tiny
+    # per-range-partition totals tables (one row per partition), never
+    # the fact relation
+    assert plan.count("Exchange SinglePartition") <= 2

@@ -103,24 +103,34 @@ _TFIDF_ORACLE = """
 )
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-expressible TF-IDF (SURVEY.md §2.9): explode → tf per
-    (source, term), df per term, broadcast-join the tiny df/N sides back.
+    (source, term), df per term, join the df/N sides back in-plan.
     At 100 TB the token explode is map-side; tf/df are two shuffles on
     (source,term)/(term) — no HashingTF, so the result is exact and
     oracle-able (ml.feature.IDF is only a unit-test cross-check).
     Ranking uses the ROUNDED tfidf so cross-engine ln() ulp drift cannot
-    flip the top-k ordering."""
+    flip the top-k ordering.
+
+    Round-2 scale fixes: N is a ONE-ROW aggregate cross-joined in-plan
+    (exactly like the oracle's ``CROSS JOIN n``) — no driver-side
+    .count() action inside the query path; and the tf⋈df vocabulary join
+    carries NO broadcast hint — the document-frequency table is the
+    vocabulary, which can exceed any broadcast threshold on a real
+    corpus, so AQE picks the strategy from observed sizes."""
     t = load_tables(spark, sf_dir)
     tok = t["documents"].select(
         "doc_id", "source", F.explode(_toks()).alias("term")
     )
     tf = tok.groupBy("source", "term").agg(F.count("*").alias("tf"))
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = t["documents"].count()  # tiny scalar; at scale use a cached agg
+    n = t["documents"].agg(F.count("*").alias("n_docs"))  # 1 row, in-plan
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
+        .join(F.broadcast(n))
         .withColumn(
             "tfidf",
-            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ),
         )
     )
     w = Window.partitionBy("source").orderBy(F.desc("tfidf"), "term")

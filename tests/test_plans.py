@@ -70,6 +70,31 @@ def test_aggregates_are_partial_final(spark, key):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_tfidf_in_plan_count_and_topk(spark):
+    plan = plan_of(spark, "q_text_tfidf")
+    # N is a one-row aggregate cross-joined IN-PLAN (broadcast nested
+    # loop over a 1-row build side), not a driver-side .count() action
+    assert "BroadcastNestedLoopJoin" in plan
+    # tf / df / N are all partial+final aggregates (map-side combine)
+    assert plan.count("HashAggregate") >= 4
+    # per-source top-5 pushes the rank limit below the shuffle
+    assert "WindowGroupLimit" in plan
+
+
+def test_dedup_ngram_no_array_crosses_shuffle(spark):
+    plan = plan_of(spark, "q_dedup_ngram")
+    # postings self-join stays a merge join on the 8-byte hashed shingle
+    assert "SortMergeJoin" in plan
+    # the shingles ARRAY must be exploded BEFORE any exchange: every
+    # Exchange block's Input column list is scalar-only (arrays through
+    # a shuffle measured 20x slower in round 1)
+    for block in plan.split("\n\n"):
+        lines = block.splitlines()
+        if lines and "Exchange" in lines[0]:
+            assert "shingles" not in block, block
+    assert "CartesianProduct" not in plan
+
+
 def test_spearman_has_no_global_rank_sort(spark):
     # round-2 scale path: ranks come from the distinct-value range-
     # partitioned avg_rank_table, never a rank() window over a global

@@ -138,7 +138,30 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard = c / (nA + nB − c) is an int/int division → exact on both
     engines; the 0.5 threshold compares identical doubles."""
     t = load_tables(spark, sf_dir)
-    sh = _shingle_df(t["documents"])
+    return ngram_jaccard_pairs(t["documents"])
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Inverted-index 3-shingle Jaccard pairs (the q_dedup_ngram engine).
+
+    ``max_shingle_df`` is the hot-shingle guard for skewed corpora: a
+    shingle occurring in more than ``max_shingle_df`` documents (a stop
+    phrase, boilerplate header…) contributes O(df²) candidate pairs while
+    carrying almost no similarity signal — on a skewed real-world corpus
+    the postings self-join melts without this cap. Capped shingles are
+    dropped from CANDIDATE GENERATION only; per-doc set sizes keep
+    counting them, so the estimated Jaccard is a LOWER bound of the true
+    value (a capped-out pair can only be missed, never over-reported).
+    None (the default, and the declared oracle-checked key) disables the
+    guard — on the uniform fixture corpus (max shingle df 25) it would
+    only cost a shuffle; bounded-candidate behavior under skew is proven
+    in tests/test_skew_bucketing.py.
+    """
+    sh = _shingle_df(docs)
     # carry |A| inside the postings so no size-lookup join is needed later
     # (the separate broadcast size joins re-ran the shingle subplan twice
     # more — 4 scans total, measured); hint("merge") keeps the self-join a
@@ -148,6 +171,16 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.select("doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("s"))
         .select("doc_id", "n", F.xxhash64("s").alias("s"))
     )
+    if max_shingle_df is not None:
+        # one aggregate on the postings finds the hot keys (few by
+        # definition → AQE broadcasts the anti-join build side); sizes n
+        # were computed BEFORE the cap, preserving the lower-bound rule
+        hot = (
+            inv.groupBy("s")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+        )
+        inv = inv.join(hot.select("s"), "s", "left_anti")
     pairs = (
         inv.alias("a")
         .hint("merge")
@@ -165,7 +198,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
     return (
-        pairs.filter(jac >= 0.5)
+        pairs.filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
@@ -263,9 +296,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Embedding-cosine near-dup pairs (τ=0.4) via brute-force refine.",
 )
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixture-scale exact form (n² cosines). The declared 100 TB path is
-    LSH bucketing first (q_sim_topk_lsh's model) with this exact cosine as
-    the in-bucket refinement — same expression, bounded candidates."""
+    """Fixture-scale exact form (n² cosines) — the ORACLE for the family.
+    The 100 TB path is q_dedup_embed_lsh below: random-projection LSH
+    bucketing bounds the candidate pairs, then the identical cosine
+    threshold refines — recall vs these exact pairs is unit-tested."""
     t = load_tables(spark, sf_dir)
     e = t["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -280,3 +314,61 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= 0.4)
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
     )
+
+
+def embed_near_dup_lsh(
+    docs: DataFrame,
+    tau: float = 0.4,
+    bucket_length: float = 0.8,
+    num_tables: int = 4,
+) -> DataFrame:
+    """LSH-bucket → exact-cosine-refine near-dup pairs (the scale path).
+
+    Vectors are L2-normalized so euclidean bucketing orders like cosine
+    (‖a−b‖² = 2−2cos on the unit sphere); approxSimilarityJoin emits only
+    bucket-colliding candidates with their EXACT euclidean distance, so
+    cos = 1 − d²/2 is the exact cosine of the normalized pair — the same
+    τ threshold as the brute-force key refines candidates, it can only
+    MISS pairs (bounded recall, unit-tested), never report a wrong one.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    e = docs.select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("raw"),
+    )
+    e = Normalizer(inputCol="raw", outputCol="nv", p=2.0).transform(e)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="nv", outputCol="buckets",
+        bucketLength=bucket_length, numHashTables=num_tables, seed=42,
+    )
+    model = lsh.fit(e)
+    # cosine ≥ τ ⇔ l2 ≤ sqrt(2−2τ) on unit vectors (tiny epsilon for the
+    # boundary); the join prunes to bucket collisions BEFORE distances
+    dist_max = float((2.0 - 2.0 * tau) ** 0.5) + 1e-9
+    pairs = model.approxSimilarityJoin(e, e, dist_max, distCol="l2")
+    cos = 1 - F.col("l2") * F.col("l2") / 2
+    return (
+        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .filter(cos >= tau)
+        .select(
+            F.col("datasetA.vec_id").alias("id_a"),
+            F.col("datasetB.vec_id").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+    )
+
+
+@query(
+    "q_dedup_embed_lsh",
+    rows_only_reason="BucketedRandomProjectionLSH buckets depend on Spark's "
+    "seeded random hyperplanes — no cross-engine oracle. Unit tests assert "
+    "recall vs the exact q_dedup_embed pairs and that the candidate count "
+    "is sub-quadratic on clustered fixtures.",
+    doc="Embedding near-dup via LSH buckets + exact cosine refine — the "
+    "sub-quadratic scale path behind q_dedup_embed.",
+)
+def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return embed_near_dup_lsh(t["embeddings"], tau=0.4)

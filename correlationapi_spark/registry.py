@@ -111,9 +111,15 @@ def query(
 def load_registry() -> dict[str, QuerySpec]:
     """Import all operator modules (side effect: they register) and return
     the full inventory, ordered so keys without a prior driver verdict come
-    first (see _DRIVER_GREEN)."""
+    first (see _DRIVER_GREEN) — oracled ones before rows-only ones, since a
+    hash-matched verdict is the stronger evidence if the sweep is capped."""
     for mod in _MODULES:
         importlib.import_module(mod)
-    pending = {k: v for k, v in REGISTRY.items() if k not in _DRIVER_GREEN}
-    green = {k: v for k, v in REGISTRY.items() if k in _DRIVER_GREEN}
-    return {**pending, **green}
+
+    def rank(item: tuple[str, QuerySpec]) -> int:
+        key, spec = item
+        if key not in _DRIVER_GREEN:
+            return 0 if spec.oracle is not None else 1
+        return 2
+
+    return dict(sorted(REGISTRY.items(), key=rank))

@@ -76,6 +76,26 @@ def test_simhash_stable_and_discriminative(spark):
     assert sum(near_h) / len(near_h) < sum(rand_h) / len(rand_h)
 
 
+def test_embed_lsh_precision_and_recall_vs_exact(spark):
+    """q_dedup_embed_lsh composes LSH candidate buckets with the SAME τ=0.4
+    cosine threshold as the exact key: every reported pair must also be an
+    exact pair (refine → perfect precision), and recall stays useful."""
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in REGISTRY["q_dedup_embed"].fn(spark, SF_SMOKE).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.cosine
+        for r in REGISTRY["q_dedup_embed_lsh"].fn(spark, SF_SMOKE).collect()
+    }
+    assert exact, "fixture should contain cosine near-dup pairs"
+    assert set(lsh) <= set(exact)  # exact refine ⇒ no false positives
+    recall = len(set(lsh) & set(exact)) / len(exact)
+    assert recall >= 0.6, recall
+    for pair, cos in lsh.items():
+        assert abs(cos - exact[pair]) < 1e-4  # 1−d²/2 IS the exact cosine
+
+
 def test_lsh_topk_recall_vs_exact(spark):
     exact = {
         (r.probe_id, r.neighbor_id)

@@ -65,6 +65,33 @@ def test_salted_join_equals_plain_join(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_ngram_hot_shingle_cap_bounds_candidates(spark):
+    """On a skewed corpus, a boilerplate shingle shared by every document
+    generates O(n²) candidate pairs; the df-cap drops it from candidate
+    generation and the postings join stays bounded by TRUE overlap."""
+    from correlationapi_spark.llm.dedup import ngram_jaccard_pairs
+
+    n = 60
+    boiler = "terms of service apply to all"
+    rows = [(i, f"{boiler} doc{i} body{i} text{i} tail{i}") for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # threshold 0 surfaces every candidate pair the join generates
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.0).count()
+    capped = ngram_jaccard_pairs(docs, threshold=0.0, max_shingle_df=10).count()
+    assert uncapped == n * (n - 1) // 2  # the hot shingles pair everyone
+    assert capped == 0  # only unique per-doc shingles remain
+
+    # the guard never changes which HIGH-similarity pairs are reported on
+    # a corpus whose hot shingles stay under the cap (lower-bound rule)
+    near = [(100, "alpha beta gamma delta epsilon zeta"),
+            (101, "alpha beta gamma delta epsilon eta")]
+    docs2 = spark.createDataFrame(near, "doc_id long, text string")
+    plain = sorted(map(tuple, ngram_jaccard_pairs(docs2, 0.3).collect()))
+    guarded = sorted(map(tuple, ngram_jaccard_pairs(docs2, 0.3, max_shingle_df=10).collect()))
+    assert plain == guarded and len(plain) == 1
+
+
 @pytest.fixture(scope="module")
 def bucketed_warehouse(spark):
     """Write lineitem + orders bucketed by the join key into the session

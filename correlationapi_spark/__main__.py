@@ -72,7 +72,17 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("keys", help="list the declared query inventory")
 
+    sv = sub.add_parser("serve", help="start the REST listener (stdlib http.server)")
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8080)
+
     args = p.parse_args(argv)
+
+    if args.cmd == "serve":
+        from .http_api import serve
+
+        serve(_spark(), host=args.host, port=args.port)
+        return 0
 
     if args.cmd == "keys":
         from .registry import load_registry

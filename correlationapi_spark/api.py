@@ -9,10 +9,9 @@ JSON. This module is that contract re-expressed over Spark:
 
 * datasets are named DataFrames (registered from parquet/CSV/JSON paths or
   passed directly); variables are their numeric columns;
-* every result is a plain JSON-able dict — an HTTP layer (the reference's
-  REST routing) would be a trivial stdlib/route wrapper over these
-  methods, deliberately out of scope here (no web framework in the
-  container, and the compute contract is the portable part);
+* every result is a plain JSON-able dict; the HTTP layer (the reference's
+  REST routing) lives in http_api.py — a stdlib http.server listener over
+  these methods (``python -m correlationapi_spark serve``);
 * all statistics run as single-pass Spark aggregations (SURVEY.md §4.2):
   a k-variable matrix is k(k-1)/2 corr aggregates in ONE job, never k²
   jobs, never a driver-side matrix build over collected data.

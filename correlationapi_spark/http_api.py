@@ -1,0 +1,145 @@
+"""REST adapter: the reference's HTTP service surface over CorrelationAPI.
+
+BigDataGrapes-EU/CorrelationAPI is consumed over HTTP (SURVEY.md §1.1 /
+§3.1, capability-level — the reference tree was empty at survey time, so
+the route inventory is reconstructed from the capability survey, not from
+file:line citations). This module is that listener built ONLY on the
+Python standard library (http.server) — no web framework exists in the
+container, and none is needed for a JSON-for-JSON contract:
+
+  GET  /health                                → {"status": "ok"}
+  GET  /datasets                              → ["name", ...]
+  POST /datasets/{name}   {"path","format"}   → {"dataset","columns"}
+  GET  /datasets/{name}/variables             → ["numeric_col", ...]
+  GET  /correlate?dataset=&x=&y=[&method=][&group_by=]
+  POST /matrix            {"dataset","variables","method"}
+  GET  /lagged?dataset=&time=&value=[&lag=][&grain=]
+
+Error mapping at the HTTP boundary: KeyError → 404 (unknown dataset /
+variable), ValueError|TypeError → 400 (bad method / grain / non-numeric
+column), anything else → 500 with the exception class name. Every
+response body is one JSON document.
+
+Scale note: the handler threads share ONE SparkSession — Spark sessions
+are thread-safe and each request is a short driver-side job submission;
+the heavy lifting runs on the cluster. ThreadingHTTPServer keeps slow
+queries from blocking /health.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import SparkSession
+
+from .api import CorrelationAPI
+
+_DATASET_RE = re.compile(r"^/datasets/([A-Za-z0-9_.-]+)$")
+_VARIABLES_RE = re.compile(r"^/datasets/([A-Za-z0-9_.-]+)/variables$")
+
+
+def _route(api: CorrelationAPI, method: str, path: str,
+           query: dict[str, str], body: dict[str, Any]) -> tuple[int, Any]:
+    """Pure routing function (unit-testable without sockets)."""
+    if method == "GET" and path == "/health":
+        return 200, {"status": "ok"}
+    if method == "GET" and path == "/datasets":
+        return 200, api.list_datasets()
+    m = _VARIABLES_RE.match(path)
+    if method == "GET" and m:
+        return 200, api.variables(m.group(1))
+    m = _DATASET_RE.match(path)
+    if method == "POST" and m:
+        if "path" not in body:
+            raise ValueError('body must contain "path"')
+        return 201, api.register_dataset(
+            m.group(1), body["path"], fmt=body.get("format", "parquet")
+        )
+    if method == "GET" and path == "/correlate":
+        for req in ("dataset", "x", "y"):
+            if req not in query:
+                raise ValueError(f"missing query parameter {req!r}")
+        return 200, api.correlate(
+            query["dataset"], query["x"], query["y"],
+            method=query.get("method", "pearson"),
+            group_by=query.get("group_by"),
+        )
+    if method == "POST" and path == "/matrix":
+        if "dataset" not in body:
+            raise ValueError('body must contain "dataset"')
+        return 200, api.correlation_matrix(
+            body["dataset"], body.get("variables"),
+            method=body.get("method", "pearson"),
+        )
+    if method == "GET" and path == "/lagged":
+        for req in ("dataset", "time", "value"):
+            if req not in query:
+                raise ValueError(f"missing query parameter {req!r}")
+        return 200, api.lagged_correlation(
+            query["dataset"], query["time"], query["value"],
+            lag=int(query.get("lag", 1)), grain=query.get("grain", "day"),
+        )
+    return 404, {"error": f"no route: {method} {path}"}
+
+
+def make_server(
+    api: CorrelationAPI, host: str = "127.0.0.1", port: int = 0
+) -> ThreadingHTTPServer:
+    """Build (but don't start) the HTTP server; port 0 → ephemeral."""
+
+    class Handler(BaseHTTPRequestHandler):
+        # quiet by default: the service log is the driver's job log
+        def log_message(self, fmt: str, *args: Any) -> None:  # noqa: A002
+            pass
+
+        def _respond(self, status: int, payload: Any) -> None:
+            raw = json.dumps(payload).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(raw)))
+            self.end_headers()
+            self.wfile.write(raw)
+
+        def _handle(self, method: str) -> None:
+            parsed = urlparse(self.path)
+            query = {k: v[0] for k, v in parse_qs(parsed.query).items()}
+            body: dict[str, Any] = {}
+            length = int(self.headers.get("Content-Length") or 0)
+            if length:
+                try:
+                    body = json.loads(self.rfile.read(length))
+                except json.JSONDecodeError:
+                    self._respond(400, {"error": "request body is not JSON"})
+                    return
+            try:
+                status, payload = _route(api, method, parsed.path, query, body)
+            except KeyError as e:
+                self._respond(404, {"error": str(e)})
+            except (ValueError, TypeError) as e:
+                self._respond(400, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001 - service boundary
+                self._respond(500, {"error": f"{type(e).__name__}: {str(e)[:300]}"})
+            else:
+                self._respond(status, payload)
+
+        def do_GET(self) -> None:  # noqa: N802 (http.server API)
+            self._handle("GET")
+
+        def do_POST(self) -> None:  # noqa: N802
+            self._handle("POST")
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve(spark: SparkSession, host: str = "127.0.0.1", port: int = 8080) -> None:
+    """Blocking entry point: ``python -m correlationapi_spark serve``."""
+    server = make_server(CorrelationAPI(spark), host, port)
+    print(json.dumps({"listening": f"http://{host}:{server.server_address[1]}"}))
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()

@@ -143,6 +143,10 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="All-pairs cosine above threshold (τ=0.35).",
 )
 def q_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs form — the ORACLE exhibit for threshold-pair search.
+    At corpus scale use dedup.embed_near_dup_lsh(docs, tau=0.35): identical
+    output contract, candidates bounded by LSH bucket collisions instead of
+    n² (recall/precision characterized in tests/test_rowsonly.py)."""
     t = load_tables(spark, sf_dir)
     e = t["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")

@@ -36,18 +36,27 @@ def main() -> None:
     except ValueError:
         sf = -1.0
     registry = load_registry()
-    bench_keys = [k for k, s in registry.items() if s.bench]
+    # FIXED sorted order: registry order changes as driver-verification
+    # priorities move (round 2), which silently reshuffled which query
+    # paid the first-query warm-up tail — sorted keys keep per-query
+    # timings comparable across rounds.
+    bench_keys = sorted(k for k, s in registry.items() if s.bench)
     spark = get_spark("correlationapi-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM (codegen, parquet reader, shuffle machinery) outside the
     # timed region — session startup is excluded by design (SURVEY.md §6),
     # and the first job otherwise pays one-time init that no steady-state
-    # cluster query would.
+    # cluster query would. q_tpch_q10 (NOT a bench key) exercises the
+    # broadcast-join + shuffle-agg + sort machinery end to end; measured:
+    # without it the first bench query absorbs ~1.7 s of one-time cost.
     from correlationapi_spark.io import load_tables
 
     load_tables(spark, sf_dir)["region"].count()
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    registry["q_tpch_q10"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     total = 0.0

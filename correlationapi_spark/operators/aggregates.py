@@ -368,6 +368,49 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_agg_histogram",
+    oracle="""
+        WITH binned AS (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 1000000
+                     AS bucket
+            FROM orders
+        )
+        SELECT bucket,
+               bucket * 10000.0       AS bin_lo,
+               (bucket + 1) * 10000.0 AS bin_hi,
+               count(*)               AS n
+        FROM binned GROUP BY bucket
+    """,
+    doc="Equi-width histogram ($10k bins) via exact integer-cents binning.",
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram = one partial/final count per bin — the 100 TB profile
+    primitive (a full-table scan, zero joins, tiny shuffle by bin key).
+
+    Binning goes through integer cents (numerics.py rule: never trust a
+    double division at a bin boundary across engines): a 2 dp price times
+    100 rounds to an exact int64, and integer division by 1_000_000 cents
+    assigns the bucket identically on Spark and DuckDB.
+    """
+    t = load_tables(spark, sf_dir)
+    bucket = F.expr(
+        "CAST(round(o_totalprice * 100) AS BIGINT) div 1000000"
+    ).alias("bucket")
+    return (
+        t["orders"]
+        .select(bucket)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bucket",
+            (F.col("bucket") * 10000.0).alias("bin_lo"),
+            ((F.col("bucket") + 1) * 10000.0).alias("bin_hi"),
+            "n",
+        )
+    )
+
+
+@query(
     "q_agg_first_last",
     oracle="""
         SELECT o_custkey,

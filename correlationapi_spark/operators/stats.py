@@ -295,6 +295,61 @@ def q_corr_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def resample_daily(df: DataFrame, time_col: str, value_col: str) -> DataFrame:
+    """Daily resample with gap-filling and forward-fill.
+
+    The canonical time-series preparation step before lagged/rolling
+    correlation (a correlation service must not compute lag-k against a
+    series with silent holes — a missing day would misalign every
+    subsequent lag). Shape at scale mirrors q_corr_lagged: the raw-event
+    aggregation shrinks data to one row per day FIRST, so the date spine
+    (one 1-row min/max aggregate → sequence → explode), the left join and
+    the forward-fill window all run on the tiny day-grain series.
+    """
+    daily = (
+        df.groupBy(F.date_trunc("day", F.col(time_col)).alias("d"))
+        .agg(F.round(F.avg(value_col), 6).alias("v"))
+    )
+    rng = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = rng.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("d")
+    )
+    joined = spine.join(daily, "d", "left")
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return joined.select(
+        "d",
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        F.col("v").isNull().alias("gap_filled"),
+    )
+
+
+@query(
+    "q_ts_resample",
+    oracle="""
+        WITH daily AS (
+            SELECT date_trunc('day', ts) AS d, round(avg(value), 6) AS v
+            FROM events GROUP BY 1
+        ), rng AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+        spine AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d
+            FROM rng
+        )
+        SELECT s.d,
+               last_value(dy.v IGNORE NULLS)
+                 OVER (ORDER BY s.d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS v_filled,
+               dy.v IS NULL AS gap_filled
+        FROM spine s LEFT JOIN daily dy ON s.d = dy.d
+    """,
+    doc="Daily resample: date-spine gap-fill + forward-fill of the event "
+    "value series.",
+)
+def q_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return resample_daily(t["events"], "ts", "value")
+
+
 @query(
     "q_corr_lagged",
     oracle="""

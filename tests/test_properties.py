@@ -128,3 +128,29 @@ def test_exact_dedup_keeps_all_uniques(spark):
     docs = load_tables(spark, SF_SMOKE)["documents"]
     n_norm = docs.select(F.lower(F.trim("text"))).distinct().count()
     assert deduped.count() == n_norm
+
+
+def test_resample_daily_fills_gaps(spark):
+    """Synthetic 2-day hole: the spine materializes the missing days, the
+    forward-fill carries the last observation, and gap_filled marks them
+    (the fixture series is dense, so the oracle can't show this case)."""
+    from correlationapi_spark.operators.stats import resample_daily
+
+    rows = [
+        ("2024-03-01 10:00:00", 1.0),
+        ("2024-03-01 12:00:00", 3.0),
+        ("2024-03-04 09:00:00", 8.0),
+    ]
+    df = spark.createDataFrame(rows, "t string, value double").selectExpr(
+        "CAST(t AS TIMESTAMP) AS ts", "value"
+    )
+    out = {
+        r.d.strftime("%Y-%m-%d"): (r.v_filled, r.gap_filled)
+        for r in resample_daily(df, "ts", "value").collect()
+    }
+    assert out == {
+        "2024-03-01": (2.0, False),  # avg(1, 3)
+        "2024-03-02": (2.0, True),   # carried forward
+        "2024-03-03": (2.0, True),   # carried forward
+        "2024-03-04": (8.0, False),
+    }

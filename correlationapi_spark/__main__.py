@@ -11,6 +11,7 @@ Commands:
             [--group-by COL] [--format parquet|csv|json]
   matrix    --data PATH [--vars a,b,c] [--method ...]
   lagged    --data PATH --time COL --value COL [--lag N] [--grain day]
+  serve     [--host H] [--port P]             # REST listener (http_api.py)
   query     --key q_name [--sf-dir DIR]      # run a declared inventory key
   keys                                        # list the declared inventory
 """

@@ -184,19 +184,17 @@ class CorrelationAPI:
                 matrix[i][j] = matrix[j][i] = row[f"{i}_{j}"]
         return {"dataset": dataset, "method": method, "variables": cols, "matrix": matrix}
 
-    def lagged_correlation(
-        self,
-        dataset: str,
-        time_col: str,
-        value_col: str,
-        lag: int = 1,
-        grain: str = "day",
-    ) -> dict[str, Any]:
-        """Autocorrelation of the grain-aggregated series at the given lag.
+    def _series(
+        self, dataset: str, time_col: str, value_col: str, grain: str,
+        fill_gaps: bool,
+    ) -> DataFrame:
+        """Grain-aggregated (_t, _v) series, optionally gap-filled.
 
-        The grain aggregation shrinks the series BEFORE the global-order
-        lag window, so the single-partition window is over ~one row per
-        grain bucket regardless of raw volume (SURVEY.md stats module)."""
+        With fill_gaps, missing grain buckets are materialized from a
+        min/max spine and forward-filled — lag-k against a series with
+        silent holes misaligns every subsequent lag (see
+        operators.stats.resample_daily). Spine/join/fill all run on the
+        tiny grain-level series."""
         df = self._get(dataset)
         if grain not in _GRAINS:
             raise ValueError(f"unknown grain: {grain!r} (one of {_GRAINS})")
@@ -206,6 +204,36 @@ class CorrelationAPI:
             df.groupBy(F.date_trunc(grain, F.col(time_col)).alias("_t"))
             .agg(F.avg(self._num(df, value_col)).alias("_v"))
         )
+        if fill_gaps:
+            rng = series.agg(F.min("_t").alias("lo"), F.max("_t").alias("hi"))
+            spine = rng.select(
+                F.explode(
+                    F.sequence("lo", "hi", F.expr(f"interval 1 {grain}"))
+                ).alias("_t")
+            )
+            w = Window.orderBy("_t").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+            series = spine.join(series, "_t", "left").select(
+                "_t", F.last("_v", ignorenulls=True).over(w).alias("_v")
+            )
+        return series
+
+    def lagged_correlation(
+        self,
+        dataset: str,
+        time_col: str,
+        value_col: str,
+        lag: int = 1,
+        grain: str = "day",
+        fill_gaps: bool = False,
+    ) -> dict[str, Any]:
+        """Autocorrelation of the grain-aggregated series at the given lag.
+
+        The grain aggregation shrinks the series BEFORE the global-order
+        lag window, so the single-partition window is over ~one row per
+        grain bucket regardless of raw volume (SURVEY.md stats module)."""
+        series = self._series(dataset, time_col, value_col, grain, fill_gaps)
         lagged = series.select(
             "_v", F.lag("_v", lag).over(Window.orderBy("_t")).alias("_prev")
         )
@@ -215,7 +243,56 @@ class CorrelationAPI:
         ).collect()[0]
         return {
             "dataset": dataset, "time": time_col, "value": value_col,
-            "grain": grain, "lag": lag, "correlation": r.c, "n_pairs": r.n,
+            "grain": grain, "lag": lag, "fill_gaps": fill_gaps,
+            "correlation": r.c, "n_pairs": r.n,
+        }
+
+    def rolling_correlation(
+        self,
+        dataset: str,
+        time_col: str,
+        value_col: str,
+        window: int = 14,
+        lag: int = 1,
+        grain: str = "day",
+        fill_gaps: bool = False,
+    ) -> dict[str, Any]:
+        """Time-varying autocorrelation: lag-k coefficient over a rolling
+        window of the grain series (q_corr_rolling's shape, parameterized).
+
+        Only full windows are emitted — partial frames are unstable
+        warm-up rows. All windows run on the grain-level series."""
+        if window < 2:
+            raise ValueError("window must be >= 2")
+        series = self._series(dataset, time_col, value_col, grain, fill_gaps)
+        lagged = series.select(
+            "_t", "_v",
+            F.lag("_v", lag).over(Window.orderBy("_t")).alias("_prev"),
+        )
+        complete = lagged.filter(F.col("_prev").isNotNull()).withColumn(
+            "_rn", F.row_number().over(Window.orderBy("_t"))
+        )
+        w = Window.orderBy("_t").rowsBetween(-(window - 1), 0)
+        sx, sy = F.stddev_samp("_v").over(w), F.stddev_samp("_prev").over(w)
+        rolling = F.when(
+            (sx > 0) & (sy > 0),
+            F.round(F.covar_samp("_v", "_prev").over(w) / (sx * sy), 6),
+        )
+        rows = (
+            complete.select(
+                "_t", "_rn", rolling.alias("_c"), F.count("*").over(w).alias("_n")
+            )
+            .filter(F.col("_rn") >= window)
+            .orderBy("_t")
+            .collect()
+        )
+        return {
+            "dataset": dataset, "time": time_col, "value": value_col,
+            "grain": grain, "lag": lag, "window": window,
+            "fill_gaps": fill_gaps,
+            "series": [
+                {"t": str(r._t), "correlation": r._c, "n": r._n} for r in rows
+            ],
         }
 
     # -- helpers --------------------------------------------------------------

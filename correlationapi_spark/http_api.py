@@ -13,7 +13,8 @@ container, and none is needed for a JSON-for-JSON contract:
   GET  /datasets/{name}/variables             → ["numeric_col", ...]
   GET  /correlate?dataset=&x=&y=[&method=][&group_by=]
   POST /matrix            {"dataset","variables","method"}
-  GET  /lagged?dataset=&time=&value=[&lag=][&grain=]
+  GET  /lagged?dataset=&time=&value=[&lag=][&grain=][&fill_gaps=]
+  GET  /rolling?dataset=&time=&value=[&window=][&lag=][&grain=][&fill_gaps=]
 
 Error mapping at the HTTP boundary: KeyError → 404 (unknown dataset /
 variable), ValueError|TypeError → 400 (bad method / grain / non-numeric
@@ -82,6 +83,17 @@ def _route(api: CorrelationAPI, method: str, path: str,
         return 200, api.lagged_correlation(
             query["dataset"], query["time"], query["value"],
             lag=int(query.get("lag", 1)), grain=query.get("grain", "day"),
+            fill_gaps=query.get("fill_gaps", "").lower() in ("1", "true"),
+        )
+    if method == "GET" and path == "/rolling":
+        for req in ("dataset", "time", "value"):
+            if req not in query:
+                raise ValueError(f"missing query parameter {req!r}")
+        return 200, api.rolling_correlation(
+            query["dataset"], query["time"], query["value"],
+            window=int(query.get("window", 14)),
+            lag=int(query.get("lag", 1)), grain=query.get("grain", "day"),
+            fill_gaps=query.get("fill_gaps", "").lower() in ("1", "true"),
         )
     return 404, {"error": f"no route: {method} {path}"}
 

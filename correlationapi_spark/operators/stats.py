@@ -351,6 +351,76 @@ def q_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_corr_rolling",
+    oracle="""
+        WITH daily AS (
+            SELECT date_trunc('day', ts) AS d, round(avg(value), 6) AS v
+            FROM events GROUP BY 1
+        ), lagged AS (
+            SELECT d, v, lag(v) OVER (ORDER BY d) AS v_prev FROM daily
+        ), complete AS (
+            SELECT d, v, v_prev, row_number() OVER (ORDER BY d) AS rn
+            FROM lagged WHERE v_prev IS NOT NULL
+        ), scored AS (
+            SELECT d, rn,
+                   round(corr(v, v_prev)
+                         OVER (ORDER BY d
+                               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW), 6)
+                     AS rolling_autocorr,
+                   count(*) OVER (ORDER BY d
+                                  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+                     AS n_pairs
+            FROM complete
+        )
+        SELECT d, rolling_autocorr, n_pairs FROM scored WHERE rn >= 14
+    """,
+    doc="Rolling 14-day lag-1 autocorrelation of the daily event series.",
+)
+def q_corr_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window correlation — the time-varying form of the service's
+    namesake statistic (is the series' self-similarity drifting?).
+
+    Spark has no corr-as-window-function guarantee under ANSI (zero
+    variance in a frame would raise DIVIDE_BY_ZERO), so the coefficient is
+    composed from covar_samp/stddev_samp window aggregates with the same
+    NULL-on-degenerate guard as _safe_corr; DuckDB's corr() OVER already
+    returns NULL there — identical semantics, round 6 on both.
+
+    Scale shape mirrors q_corr_lagged: all windows run on the day-grain
+    series (~one row per day regardless of raw volume), so the global
+    ORDER BY d is over a tiny relation. Only full 14-day frames are
+    emitted (rn >= 14) — partial frames are the unstable warm-up rows.
+    """
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.round(F.avg("value"), 6).alias("v"))
+    )
+    lagged = daily.select(
+        "d", "v", F.lag("v", 1).over(Window.orderBy("d")).alias("v_prev")
+    )
+    complete = lagged.filter(F.col("v_prev").isNotNull()).withColumn(
+        "rn", F.row_number().over(Window.orderBy("d"))
+    )
+    w = Window.orderBy("d").rowsBetween(-13, 0)
+    sx, sy = F.stddev_samp("v").over(w), F.stddev_samp("v_prev").over(w)
+    rolling = F.when(
+        (sx > 0) & (sy > 0), F.covar_samp("v", "v_prev").over(w) / (sx * sy)
+    )
+    return (
+        complete.select(
+            "d",
+            "rn",
+            F.round(rolling, 6).alias("rolling_autocorr"),
+            F.count("*").over(w).alias("n_pairs"),
+        )
+        .filter(F.col("rn") >= 14)
+        .select("d", "rolling_autocorr", "n_pairs")
+    )
+
+
+@query(
     "q_corr_lagged",
     oracle="""
         WITH daily AS (

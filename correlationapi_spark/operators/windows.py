@@ -167,6 +167,42 @@ def q_win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_win_time_range",
+    oracle="""
+        SELECT user_id, event_id, ts,
+               count(*) OVER w           AS events_last_hour,
+               round(sum(value) OVER w, 4) AS value_last_hour
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Time-interval RANGE frames: rolling 1h per-user count/sum "
+    "(ordered on integer epoch-micros so both engines share the exact "
+    "frame boundary).",
+)
+def q_win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark RANGE frames need a numeric order key; DuckDB's INTERVAL frame
+    # on raw timestamps would disagree at sub-second boundaries with
+    # Spark's second-truncated unix_timestamp — integer MICROSECONDS
+    # (unix_micros / epoch_us) give the identical frame on both engines.
+    # Per-user partitions keep the window parallel at any scale; frame
+    # state is one hour of one user's events.
+    t = load_tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return t["events"].select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.count("*").over(w).alias("events_last_hour"),
+        F.round(F.sum("value").over(w), 4).alias("value_last_hour"),
+    )
+
+
+@query(
     "q_win_firstlast",
     oracle="""
         SELECT o_custkey, o_orderkey, o_totalprice,

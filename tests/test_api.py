@@ -127,6 +127,37 @@ def test_zero_variance_returns_null_not_crash(api, spark):
     assert api.correlate("_const", "x", "y")["correlation"] is None
 
 
+def test_rolling_matches_declared_key(api, spark):
+    res = api.rolling_correlation("events", "ts", "value", window=14, lag=1)
+    want = {
+        str(r.d): (r.rolling_autocorr, r.n_pairs)
+        for r in REGISTRY["q_corr_rolling"].fn(spark, SF_SMOKE).collect()
+    }
+    got = {p["t"]: (p["correlation"], p["n"]) for p in res["series"]}
+    assert got.keys() == want.keys() and len(got) > 0
+    for t, (c, n) in got.items():
+        assert n == want[t][1]
+        # API series is unrounded daily means vs the key's rounded — loose
+        assert abs(c - want[t][0]) < 1e-3, t
+
+
+def test_lagged_fill_gaps_restores_alignment(api, spark):
+    # a one-day hole in a strictly linear series: unfilled, the lag pairs
+    # (d3, d1) across the hole; filled, d2 is forward-filled so every lag
+    # is a true 1-day step and the correlation stays exactly 1.0
+    rows = [("2024-01-01 00:00:00", 1.0), ("2024-01-02 00:00:00", 2.0),
+            ("2024-01-04 00:00:00", 4.0), ("2024-01-05 00:00:00", 5.0),
+            ("2024-01-06 00:00:00", 6.0)]
+    df = spark.createDataFrame(rows, "t string, v double").selectExpr(
+        "CAST(t AS TIMESTAMP) AS t", "v"
+    )
+    api.register_dataset("_holey", df)
+    filled = api.lagged_correlation("_holey", "t", "v", fill_gaps=True)
+    assert filled["n_pairs"] == 5  # spine has 6 days, 5 lag pairs
+    unfilled = api.lagged_correlation("_holey", "t", "v")
+    assert unfilled["n_pairs"] == 4
+
+
 def test_covariance(api):
     res = api.covariance("customer", "c_acctbal", "c_nationkey")
     assert res["kind"] == "sample" and isinstance(res["covariance"], float)

@@ -86,6 +86,12 @@ def test_matrix_and_lagged_over_http(base_url):
     )
     assert status == 200 and res["n_pairs"] > 0
 
+    status, res = _get(
+        f"{base_url}/rolling?dataset=events&time=ts&value=value&window=14"
+    )
+    assert status == 200 and len(res["series"]) > 0
+    assert all(p["n"] == 14 for p in res["series"])
+
 
 @pytest.mark.parametrize(
     ("url", "code"),

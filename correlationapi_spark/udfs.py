@@ -182,6 +182,82 @@ def q_udaf_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sim_topk_pandas",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
+    scored AS (
+        SELECT p.probe_id, c.vec_id AS neighbor_id,
+               round(list_dot_product(p.pv, c.v)
+                     / sqrt(list_dot_product(p.pv, p.pv)
+                            * list_dot_product(c.v, c.v)), 6) AS cosine
+        FROM probes p JOIN e c ON c.vec_id <> p.probe_id
+    )
+    SELECT probe_id, neighbor_id, cosine, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+    doc="Vectorized-UDF ANN scoring: numpy matmul per Arrow batch against "
+    "a closure-captured probe matrix — same oracle as q_sim_topk.",
+)
+def q_sim_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch-scoring shape for WIDE probe sets (similarity.py note):
+    instead of one zip_with/aggregate expression per (probe, row) pair,
+    each Arrow batch of corpus vectors is scored against ALL probes in ONE
+    BLAS matmul inside mapInPandas. The probe matrix is collected once at
+    the driver (bounded: it IS the broadcast side by construction) and
+    ships inside the closure. Result contract, ranking and oracle are
+    identical to q_sim_topk — the exhibit proves the vectorized path gives
+    the same answer the declarative path does.
+    """
+    import numpy as np
+
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    probe_rows = e.filter(F.col("vec_id") < 5).collect()  # tiny by contract
+    probe_ids = np.array([r.vec_id for r in probe_rows], dtype=np.int64)
+    pm = np.array([r.v for r in probe_rows], dtype=np.float64)  # (k, dim)
+    pm_unit = pm / np.linalg.norm(pm, axis=1, keepdims=True)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("probe_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def score_batches(batches):  # closure: pickled by value with pm_unit
+        for pdf in batches:
+            cm = np.stack(pdf["v"].to_numpy())  # (b, dim)
+            cm_unit = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            cos = cm_unit @ pm_unit.T  # (b, k) — one BLAS call per batch
+            b = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "probe_id": np.tile(probe_ids, b),
+                    "neighbor_id": np.repeat(pdf["vec_id"].to_numpy(), len(probe_ids)),
+                    "cosine": np.round(cos.ravel(), 6),
+                }
+            )
+
+    scored = e.mapInPandas(score_batches, out_schema).filter(
+        F.col("probe_id") != F.col("neighbor_id")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("probe_id", "neighbor_id", "cosine", "rn")
+    )
+
+
+@query(
     "q_udtf_tokens",
     oracle="""
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts

@@ -110,6 +110,79 @@ def with_media_column(df: DataFrame) -> DataFrame:
     )
 
 
+_FRAMES_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_off", T.LongType()),
+        T.StructField("frame_sha256", T.StringType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+_FRAME_BYTES = 256  # fake fixed-size "frame" chunk of the payload
+_MAX_SAMPLES = 4    # frames sampled per media object
+
+
+def make_sample_frames():
+    """Frame-sampling worker (CLOSURE — see make_extract_meta).
+
+    A real implementation would hand each payload to a video demuxer and
+    decode every k-th keyframe; no codec exists in this container, so a
+    'frame' is STUBBED as a fixed 256-byte chunk — clearly fake, but the
+    Spark-side contract is exactly the real one: mapInPandas EXPANDS each
+    input row into a variable number of frame rows inside one Arrow batch
+    (generator output decouples output rows from input rows), stateless
+    and partition-local, so a 1000-executor fleet samples frames with no
+    shuffle and no driver involvement.
+    """
+    import hashlib
+
+    def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "frame_off": [],
+                "frame_sha256": [], "n_frames": [],
+            }
+            for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+                data = bytes(media["data"])
+                n_frames = max(1, len(data) // _FRAME_BYTES)
+                stride = max(1, n_frames // _MAX_SAMPLES)
+                for idx in range(0, n_frames, stride):
+                    off = idx * _FRAME_BYTES
+                    chunk = data[off : off + _FRAME_BYTES]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_off"].append(off)
+                    out["frame_sha256"].append(hashlib.sha256(chunk).hexdigest())
+                    out["n_frames"].append(n_frames)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                    "frame_off": pd.Series(out["frame_off"], dtype="int64"),
+                    "frame_sha256": pd.Series(out["frame_sha256"], dtype=object),
+                    "n_frames": pd.Series(out["n_frames"], dtype="int32"),
+                }
+            )
+
+    return sample_frames
+
+
+@query(
+    "q_multimodal_frames",
+    rows_only_reason="no binary media fixture / codecs exist; frames are "
+    "stubbed as fixed-size payload chunks, so the check is rows + stable "
+    "schema; chunk hashes and sampling positions are pinned in unit tests.",
+    doc="Frame sampling over media envelopes: row-expanding mapInPandas "
+    "(every k-th fake frame per payload, decode stubbed).",
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    media = with_media_column(t["documents"])
+    return media.mapInPandas(make_sample_frames(), schema=_FRAMES_OUT_SCHEMA)
+
+
 @query(
     "q_multimodal_meta",
     rows_only_reason="no binary media fixture exists; the decode step is a "

@@ -144,6 +144,34 @@ def test_multimodal_values_pinned(spark):
         assert r.mime == "application/x-fixture-text"
 
 
+def test_multimodal_frames_pinned(spark):
+    """Frame sampling is a pure function of the payload bytes: recompute
+    chunk hashes and sampling positions in plain Python and require exact
+    agreement (the mapInPandas expansion is the part under test)."""
+    import hashlib
+
+    rows = REGISTRY["q_multimodal_frames"].fn(spark, SF_SMOKE).collect()
+    from correlationapi_spark.io import load_tables
+    from correlationapi_spark.llm.multimodal import _FRAME_BYTES, _MAX_SAMPLES
+
+    docs = {r.doc_id: r.text.encode() for r in load_tables(spark, SF_SMOKE)["documents"].collect()}
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)  # every doc sampled
+    for did in list(docs)[:25]:
+        data = docs[did]
+        n_frames = max(1, len(data) // _FRAME_BYTES)
+        stride = max(1, n_frames // _MAX_SAMPLES)
+        want = {
+            idx: hashlib.sha256(data[idx * _FRAME_BYTES:(idx + 1) * _FRAME_BYTES]).hexdigest()
+            for idx in range(0, n_frames, stride)
+        }
+        got = {r.frame_idx: r.frame_sha256 for r in by_doc[did]}
+        assert got == want, did
+        assert all(r.n_frames == n_frames for r in by_doc[did])
+
+
 def test_spearman_matches_mllib(spark):
     """Cross-check the explicit average-rank Spearman against
     ml.stat.Correlation (same definition, different machinery)."""

@@ -354,3 +354,35 @@ def q_text_tokens_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bpeish_tokens"
         ),
     )
+
+
+@query(
+    "q_split_stable",
+    rows_only_reason="split assignment hashes with xxhash64 (Spark-specific, "
+    "no DuckDB twin). Determinism, disjoint-completeness and fraction bounds "
+    "are unit-tested instead.",
+    doc="Deterministic train/val/test split (80/10/10) by content-stable "
+    "key hash — the reproducible-split primitive for training pipelines.",
+)
+def q_split_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable splitting must be a pure function of a ROW KEY, never of
+    partition layout: df.sample()/randomSplit() change membership when the
+    file layout or parallelism changes, which silently leaks val/test rows
+    into training on the next re-shard. Hash-bucketing the key is the
+    scale answer — embarrassingly parallel, no state, stable under any
+    repartitioning, and adding data never moves an existing row between
+    splits. 80/10/10 via pmod(xxhash64(key), 1000) thresholds."""
+    t = load_tables(spark, sf_dir)
+    bucket = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(1000))
+    split = (
+        F.when(bucket < 800, "train")
+        .when(bucket < 900, "val")
+        .otherwise("test")
+    )
+    return (
+        t["documents"]
+        .select(split.alias("split"))
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("split")
+    )

@@ -146,3 +146,37 @@ def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return t["events"].select("user_id", "event_type").distinct()
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value
+        FROM lineitem WHERE l_orderkey <= 500
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount', l_discount
+        FROM lineitem WHERE l_orderkey <= 500
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'tax', l_tax
+        FROM lineitem WHERE l_orderkey <= 500
+    """,
+    doc="Unpivot/melt: wide measure columns to (key, measure, value) rows.",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping (the inverse of q_pivot) via the native
+    unpivot operator — a Generate (Expand) node, purely map-side: each
+    input row emits one row per measure with NO shuffle, so melting a
+    100 TB fact table costs exactly one scan. The oracle spells it as the
+    portable UNION ALL (3 scans for DuckDB; Spark's plan has one)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") <= 500)
+        .unpivot(
+            ids=["l_orderkey", "l_linenumber"],
+            values=["l_quantity", "l_discount", "l_tax"],
+            variableColumnName="measure",
+            valueColumnName="value",
+        )
+        .withColumn("measure", F.expr("substring(measure, 3)"))  # l_quantity→quantity
+    )

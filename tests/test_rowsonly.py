@@ -211,3 +211,27 @@ def test_ngram_matches_mllib(spark):
         (r.bigram, r.n) for r in REGISTRY["q_text_ngram"].fn(spark, SF_SMOKE).collect()
     ]
     assert ml_rows == ours
+
+
+def test_split_stable_deterministic_and_balanced(spark):
+    """The split must be a pure function of the key (stable across runs
+    and any repartitioning) with fractions near 80/10/10."""
+    from correlationapi_spark.io import load_tables
+    from pyspark.sql import functions as F2
+
+    counts1 = {r.split: r.n_docs for r in REGISTRY["q_split_stable"].fn(spark, SF_SMOKE).collect()}
+    counts2 = {r.split: r.n_docs for r in REGISTRY["q_split_stable"].fn(spark, SF_SMOKE).collect()}
+    assert counts1 == counts2
+    total = sum(counts1.values())
+    assert total == load_tables(spark, SF_SMOKE)["documents"].count()
+    assert 0.7 <= counts1["train"] / total <= 0.9
+    assert 0.05 <= counts1["val"] / total <= 0.15
+    assert 0.05 <= counts1["test"] / total <= 0.15
+
+    # membership (not just counts) survives a repartition: the per-doc
+    # assignment depends only on doc_id
+    docs = load_tables(spark, SF_SMOKE)["documents"]
+    bucket = F2.pmod(F2.xxhash64(F2.col("doc_id").cast("string")), F2.lit(1000))
+    a = {r.doc_id: r.b for r in docs.select("doc_id", bucket.alias("b")).collect()}
+    b = {r.doc_id: r.b for r in docs.repartition(7).select("doc_id", bucket.alias("b")).collect()}
+    assert a == b

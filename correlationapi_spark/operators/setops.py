@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..io import load_tables
+from ..ordering import global_row_number
 from ..registry import query
 
 
@@ -28,16 +29,22 @@ from ..registry import query
     doc="Multi-key sort with NULLS LAST placement, materialized via row_number.",
 )
 def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # supplier stays small at every sf (FIXTURES.md) so the single-partition
-    # rank window is bounded; tie-break by unique s_suppkey.
+    # Global position via ordering.global_row_number — range-partitioned
+    # two-pass numbering, NOT a single-partition rank window, so the same
+    # shape works when the sorted relation is a 100 TB fact table.
+    # Tie-break by unique s_suppkey makes the order total.
     t = load_tables(spark, sf_dir)
     bal = F.nullif(F.col("s_acctbal"), F.lit(0.0))
-    w = Window.orderBy(bal.desc_nulls_last(), F.col("s_nationkey").asc(), F.col("s_suppkey").asc())
-    return t["supplier"].select(
-        "s_suppkey",
-        "s_name",
-        bal.alias("bal_or_null"),
-        F.row_number().over(w).alias("sort_pos"),
+    base = t["supplier"].select(
+        "s_suppkey", "s_name", "s_nationkey", bal.alias("bal_or_null")
+    )
+    order = [
+        F.col("bal_or_null").desc_nulls_last(),
+        F.col("s_nationkey").asc(),
+        F.col("s_suppkey").asc(),
+    ]
+    return global_row_number(base, order, "sort_pos").select(
+        "s_suppkey", "s_name", "bal_or_null", "sort_pos"
     )
 
 

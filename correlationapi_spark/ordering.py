@@ -1,0 +1,52 @@
+"""Distributed global-ordering utilities.
+
+``row_number() OVER (ORDER BY ...)`` with no PARTITION BY compiles to an
+Exchange SinglePartition + one-task sort — the canonical scale-killer
+(WindowExec even warns about it). The scalable equivalent is the same
+two-pass shape as the Spearman rank table (operators/stats.py
+avg_rank_table):
+
+1. ``repartitionByRange`` on the sort order — the range partitioner puts
+   partition boundaries IN sort order, so partition id is monotone in the
+   global ordering (including desc / nulls-first|last placement, which
+   repartitionByRange honours via the SortOrder of each expression).
+2. Per-partition ``row_number`` over a window partitioned by
+   ``spark_partition_id()`` — never a global order.
+3. Per-partition row counts (one row per range partition) get running
+   offsets via a window over that TINY table; broadcast back and add.
+
+Every partition sorts its own range in parallel; only #partitions rows
+ever pass through a single task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def global_row_number(
+    df: DataFrame, order: list[Column], alias: str = "pos"
+) -> DataFrame:
+    """Append ``alias`` = 1-based global row_number under ``order``.
+
+    ``order`` must be a TOTAL order (include a unique tie-break column)
+    or the numbering of tied rows is nondeterministic — same contract as
+    row_number itself. Output column order: df.columns + [alias].
+    """
+    ranged = df.repartitionByRange(*order).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_in = Window.partitionBy("_pid").orderBy(*order)
+    numbered = ranged.withColumn("_rn_in", F.row_number().over(w_in))
+    totals = numbered.groupBy("_pid").agg(F.count("*").alias("_ptot"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_ptot").over(w_off), F.lit(0)).cast("bigint")
+    )
+    return (
+        numbered.join(F.broadcast(offsets.select("_pid", "_off")), "_pid")
+        .withColumn(alias, (F.col("_off") + F.col("_rn_in")).cast("bigint"))
+        .drop("_pid", "_rn_in", "_off")
+    )

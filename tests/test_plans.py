@@ -95,6 +95,16 @@ def test_dedup_ngram_no_array_crosses_shuffle(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_sort_multi_has_no_single_partition_sort(spark):
+    # global row_number comes from ordering.global_row_number: range
+    # partitioning + per-partition numbering + broadcast offsets. The only
+    # single-partition exchange allowed is the tiny per-partition totals
+    # table (one row per range partition), never the sorted relation.
+    plan = plan_of(spark, "q_sort_multi")
+    assert "rangepartitioning" in plan
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
 def test_spearman_has_no_global_rank_sort(spark):
     # round-2 scale path: ranks come from the distinct-value range-
     # partitioned avg_rank_table, never a rank() window over a global

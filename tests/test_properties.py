@@ -154,3 +154,38 @@ def test_resample_daily_fills_gaps(spark):
         "2024-03-03": (2.0, True),   # carried forward
         "2024-03-04": (8.0, False),
     }
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),
+            st.integers(min_value=0, max_value=3),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_global_row_number_matches_window(spark, data):
+    """ordering.global_row_number == row_number() over the same total order,
+    including NULL placement (desc_nulls_last), duplicates, and ties —
+    the unique uid column makes the order total."""
+    from pyspark.sql.window import Window
+
+    from correlationapi_spark.ordering import global_row_number
+
+    rows = [(i, v, g) for i, (v, g) in enumerate(data)]
+    df = spark.createDataFrame(rows, "uid int, v int, g int")
+    order = [F.col("v").desc_nulls_last(), F.col("g").asc(), F.col("uid").asc()]
+    got = {
+        r["uid"]: r["pos"]
+        for r in global_row_number(df, order, "pos").collect()
+    }
+    want = {
+        r["uid"]: r["pos"]
+        for r in df.withColumn(
+            "pos", F.row_number().over(Window.orderBy(*order))
+        ).collect()
+    }
+    assert got == want

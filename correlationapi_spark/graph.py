@@ -1,0 +1,82 @@
+"""Distributed iterative graph utilities.
+
+The one graph problem a dedup pipeline cannot avoid: pair generators
+(exact-hash groups, n-gram Jaccard, MinHash/SimHash/LSH candidates) emit
+EDGES, but the unit of deduplication is the transitive CLUSTER — A~B and
+B~C must collapse A,B,C together even when A~C was never emitted. That is
+connected components.
+
+The implementation is label propagation to the component minimum:
+every node starts labeled with itself; each round, every node takes the
+min of its own label and its neighbors' labels; fixpoint = components.
+Each round is one shuffle join (edges ⋈ labels) + one partial/final
+min-aggregate — pure DataFrame ops, no RDDs — and converges in
+O(component diameter) rounds. Duplicate clusters are shallow (stars and
+short chains: diameter ≤ a handful), so the round count stays small at
+any corpus size; the per-round cost is bounded by |E|, never corpus².
+
+Driver-side involvement is ONE convergence check per round (an
+intentionally tiny `.limit(1).count()` on the changed-label set) — the
+standard shape for iterative fixpoint algorithms; all data movement stays
+distributed. `localCheckpoint` truncates the lineage each round so the
+plan does not grow with the iteration count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``.
+
+    ``component`` is the MINIMUM node id reachable from the node —
+    deterministic, engine-independent. Edges are treated as undirected;
+    self-loops and duplicate edges are tolerated. Node ids must be
+    orderable (use bigint ids; strings work but shuffle wider keys).
+
+    Raises RuntimeError if the fixpoint is not reached within
+    ``max_iterations`` rounds (component diameter exceeding that bound —
+    not a duplicate-cluster shape; raise the cap for general graphs).
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    # cache the (static) symmetric edge list: it is re-joined every round
+    sym = sym.distinct().localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iterations):
+        prop = sym.join(labels, sym["s"] == labels["node"]).select(
+            F.col("d").alias("node"), F.col("label")
+        )
+        new_labels = (
+            labels.union(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("node", F.col("label").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds"
+    )

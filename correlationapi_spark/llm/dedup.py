@@ -203,6 +203,105 @@ def ngram_jaccard_pairs(
     )
 
 
+_CLUSTER_ORACLE = """
+    WITH RECURSIVE hashed AS (
+        SELECT doc_id, sha256(lower(trim(text))) AS h FROM documents
+    ), exact_edges AS (
+        SELECT m AS doc_a, doc_id AS doc_b FROM (
+            SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS m FROM hashed
+        ) WHERE m <> doc_id
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, len(string_split(text, ' ')) - 1),
+                   i -> concat(string_split(text, ' ')[i], ' ',
+                               string_split(text, ' ')[i+1], ' ',
+                               string_split(text, ' ')[i+2]))) AS shingles
+        FROM documents
+    ), sizes AS (
+        SELECT doc_id, len(shingles) AS n FROM sh
+    ), inv AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), ngram_edges AS (
+        SELECT doc_a, doc_b
+        FROM shared
+        JOIN sizes x ON doc_a = x.doc_id
+        JOIN sizes y ON doc_b = y.doc_id
+        WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.5
+    ), base AS (
+        SELECT doc_a, doc_b FROM exact_edges
+        UNION
+        SELECT doc_a, doc_b FROM ngram_edges
+    ), edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM base
+        UNION
+        SELECT doc_b, doc_a FROM base
+    ), reach(node, label) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node
+    ), comp AS (
+        SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM comp
+"""
+
+
+@query(
+    "q_dedup_cluster",
+    oracle=_CLUSTER_ORACLE,
+    doc="Transitive duplicate clusters: exact-hash + ngram-Jaccard pair "
+    "edges resolved to connected components (min-id label propagation).",
+)
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step after pair generation that every real dedup pipeline
+    needs: A~B and B~C must collapse {A,B,C} even though A~C was never
+    emitted. Edges are the union of
+
+    * exact-duplicate STAR edges — each doc linked to the min doc_id of
+      its sha256 content-hash group (linear in group size, same
+      components as the quadratic all-pairs form), and
+    * the n-gram Jaccard ≥ 0.5 pairs (q_dedup_ngram's inverted-index
+      generator, unchanged).
+
+    Components come from graph.connected_components — iterative min-label
+    propagation, one shuffle join + one min-aggregate per round,
+    O(cluster diameter) rounds (shallow for dup clusters). cluster_id is
+    the min doc_id of the component — deterministic on both engines; the
+    oracle computes the identical fixpoint with a recursive CTE.
+    Output: every doc involved in ≥1 duplicate relation, its cluster, and
+    the cluster size (survivor selection = keep doc_id == cluster_id)."""
+    from ..graph import connected_components
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    hashed = docs.select(
+        "doc_id", F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("h")
+    )
+    grp_min = F.min("doc_id").over(Window.partitionBy("h"))
+    exact_edges = (
+        hashed.select(grp_min.alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .filter(F.col("doc_a") != F.col("doc_b"))
+    )
+    ngram_edges = ngram_jaccard_pairs(docs).select("doc_a", "doc_b")
+    comp = connected_components(
+        exact_edges.union(ngram_edges), "doc_a", "doc_b"
+    )
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+    ).withColumn(
+        "cluster_size",
+        F.count("*").over(Window.partitionBy("cluster_id")),
+    )
+
+
 @query(
     "q_dedup_near",
     rows_only_reason="MinHashLSH bucket assignment depends on Spark's seeded "

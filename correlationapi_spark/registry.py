@@ -108,18 +108,47 @@ def query(
     return deco
 
 
+# Verification priority of modules for keys still awaiting a driver verdict.
+# The round-1 driver capped its sweep at 50 keys, so order decides which
+# families convert to hard evidence first: the repaired q_agg_collect
+# surface (round 1's only red row), then the correlation family (the
+# product's namesake), the LLM-pipeline/streaming/UDF/composed families
+# (never checked in round 1), and the relational leftovers last — they are
+# the lowest-risk siblings of already-green keys.
+_MODULE_PRIORITY: dict[str, int] = {
+    "correlationapi_spark.operators.aggregates": 0,
+    "correlationapi_spark.operators.stats": 1,
+    "correlationapi_spark.llm.dedup": 2,
+    "correlationapi_spark.llm.similarity": 3,
+    "correlationapi_spark.llm.text": 4,
+    "correlationapi_spark.llm.multimodal": 5,
+    "correlationapi_spark.streaming.queries": 6,
+    "correlationapi_spark.udfs": 7,
+    "correlationapi_spark.operators.composed": 8,
+}
+_PRIORITY_FLOOR = len(_MODULE_PRIORITY)
+
+
 def load_registry() -> dict[str, QuerySpec]:
     """Import all operator modules (side effect: they register) and return
     the full inventory, ordered so keys without a prior driver verdict come
-    first (see _DRIVER_GREEN) — oracled ones before rows-only ones, since a
-    hash-matched verdict is the stronger evidence if the sweep is capped."""
+    first (see _DRIVER_GREEN) — oracled ones before rows-only ones (a
+    hash-matched verdict is the stronger evidence if the sweep is capped),
+    highest-value families first (_MODULE_PRIORITY)."""
     for mod in _MODULES:
         importlib.import_module(mod)
 
-    def rank(item: tuple[str, QuerySpec]) -> int:
+    reg_index = {key: i for i, key in enumerate(REGISTRY)}
+
+    def rank(item: tuple[str, QuerySpec]) -> tuple[int, int, int]:
         key, spec = item
-        if key not in _DRIVER_GREEN:
-            return 0 if spec.oracle is not None else 1
-        return 2
+        if key in _DRIVER_GREEN:
+            tier = 2
+        elif spec.oracle is not None:
+            tier = 0
+        else:
+            tier = 1
+        mod_prio = _MODULE_PRIORITY.get(spec.fn.__module__, _PRIORITY_FLOOR)
+        return (tier, mod_prio, reg_index[key])
 
     return dict(sorted(REGISTRY.items(), key=rank))

@@ -253,6 +253,86 @@ _CLUSTER_ORACLE = """
 """
 
 
+_CONTAMINATION_ORACLE = """
+    WITH sh AS (
+        SELECT doc_id,
+               doc_id % 10 = 0 AS is_eval,
+               list_distinct(list_transform(
+                   range(1, len(string_split(text, ' ')) - 1),
+                   i -> concat(string_split(text, ' ')[i], ' ',
+                               string_split(text, ' ')[i+1], ' ',
+                               string_split(text, ' ')[i+2]))) AS shingles
+        FROM documents
+    ), inv AS (
+        SELECT doc_id, is_eval, len(shingles) AS n, unnest(shingles) AS s
+        FROM sh
+    ), shared AS (
+        SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc,
+               e.n AS n_eval, count(*) AS shared_shingles
+        FROM inv t JOIN inv e ON t.s = e.s
+        WHERE NOT t.is_eval AND e.is_eval
+        GROUP BY 1, 2, 3
+    )
+    SELECT train_doc, eval_doc, shared_shingles,
+           round(CAST(shared_shingles AS DOUBLE) / n_eval, 6) AS containment
+    FROM shared
+    WHERE CAST(shared_shingles AS DOUBLE) / n_eval >= 0.3
+"""
+
+
+@query(
+    "q_contamination",
+    oracle=_CONTAMINATION_ORACLE,
+    doc="Benchmark-contamination scan: training docs whose 3-gram overlap "
+    "covers ≥30% of an eval doc's shingles (containment, not Jaccard).",
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The train-vs-benchmark decontamination pass every LLM data pipeline
+    runs before training: find training documents that CONTAIN an eval
+    document's n-grams (one-sided containment c/|eval| — Jaccard would
+    hide a short benchmark prompt embedded in a long web page). The
+    eval set here is the deterministic doc_id%10==0 slice standing in for
+    a benchmark suite; a real deployment passes its own eval corpus.
+
+    Same inverted-index shape as q_dedup_ngram — candidates are docs
+    sharing ≥1 shingle (bounded by true overlap, never |train|×|eval|),
+    intersection size comes from the postings-join count, and only 8-byte
+    hashed shingle keys cross the shuffle. The eval side is a tiny
+    fraction of the corpus, so at 100 TB the join's build side stays
+    small; containment = int/int division → exact on both engines."""
+    t = load_tables(spark, sf_dir)
+    sh = _shingle_df(t["documents"]).withColumn(
+        "is_eval", F.col("doc_id") % 10 == 0
+    )
+    inv = sh.select(
+        "doc_id",
+        "is_eval",
+        F.size("shingles").alias("n"),
+        F.explode("shingles").alias("s"),
+    ).select("doc_id", "is_eval", "n", F.xxhash64("s").alias("s"))
+    train = inv.filter(~F.col("is_eval")).select(
+        F.col("doc_id").alias("train_doc"), "s"
+    )
+    ev = inv.filter(F.col("is_eval")).select(
+        F.col("doc_id").alias("eval_doc"), F.col("n").alias("n_eval"), "s"
+    )
+    shared = (
+        train.join(ev, "s")
+        .groupBy("train_doc", "eval_doc", "n_eval")
+        .agg(F.count("*").alias("shared_shingles"))
+    )
+    containment = F.col("shared_shingles").cast("double") / F.col("n_eval")
+    return (
+        shared.filter(containment >= 0.3)
+        .select(
+            "train_doc",
+            "eval_doc",
+            "shared_shingles",
+            F.round(containment, 6).alias("containment"),
+        )
+    )
+
+
 @query(
     "q_dedup_cluster",
     oracle=_CLUSTER_ORACLE,

@@ -1,0 +1,88 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+`df.sample()` is seed-dependent AND partitioning-dependent (Bernoulli per
+partition-local RNG stream) — re-running after a repartition or an engine
+upgrade yields a different sample, which poisons dataset reproducibility.
+The pipeline-grade alternative: order rows by a cryptographic hash of a
+stable key and cut. The "randomness" is the hash's avalanche; the sample
+is a pure function of the DATA, so any engine (here: Spark and the DuckDB
+oracle) selects the identical rows.
+
+Related: llm/text.py q_split_stable (hash-modulo train/val/test split)
+uses the same principle for partition assignment; this module covers
+fixed-SIZE selections (per-stratum quotas).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import load_tables
+from ..registry import query
+
+
+@query(
+    "q_sample_stratified",
+    oracle="""
+        SELECT doc_id, lang, sample_rank FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS sample_rank
+            FROM documents
+        ) WHERE sample_rank <= 20
+    """,
+    doc="Stratified sampling: exactly 20 docs per language, selected by "
+    "deterministic hash order (reproducible across engines and runs).",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-stratum quotas, unlike sampleBy's Bernoulli approximation
+    (± noise per stratum, seed- and partitioning-dependent). One shuffle
+    on the stratum key; rank<=k compiles to WindowGroupLimit (plan-
+    asserted), so each task keeps a bounded heap — per-stratum quota
+    sampling of a 100 TB corpus costs one top-k-per-group pass. md5 of
+    the decimal-rendered doc_id gives both engines the identical sort
+    key; doc_id tie-break makes the order total (md5 is already unique
+    per key here, but the rule is uniform across the repo)."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        t["documents"]
+        .select("doc_id", "lang", F.row_number().over(w).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= 20)
+    )
+
+
+@query(
+    "q_sample_fraction",
+    oracle="""
+        SELECT doc_id, source
+        FROM documents
+        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 100 < 10
+    """,
+    doc="Deterministic 10% Bernoulli-style sample via hash-modulo cut "
+    "(stable under repartitioning, engine-independent).",
+)
+def q_sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixed-FRACTION twin of q_sample_stratified: keep a row iff
+    hash(key) mod 100 < pct. Purely map-side — no shuffle, no window, no
+    state; the filter is evaluated inside the scan stage, so sampling a
+    100 TB table costs exactly the scan. Growing the sample (10%→20%)
+    keeps prior rows (nested samples), which hash-order selection can't
+    offer map-side. Both engines parse the first 8 hex chars of the md5
+    as an integer — identical bits, identical rows."""
+    t = load_tables(spark, sf_dir)
+    bucket = F.conv(F.md5(F.col("doc_id").cast("string")).substr(1, 8), 16, 10).cast(
+        "bigint"
+    )
+    return (
+        t["documents"]
+        .filter(bucket % 100 < 10)
+        .select("doc_id", "source")
+    )

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..io import load_tables
 from ..numerics import cents
@@ -266,4 +267,61 @@ def q_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").cast("string").alias("date_str"),
             (F.col("o_orderstatus") == "F").cast("int").alias("is_final"),
         )
+    )
+
+
+@query(
+    "q_subquery_scalar",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice >= (SELECT max(o_totalprice) FROM orders) * 0.9
+    """,
+    doc="Uncorrelated scalar subquery in a predicate (threshold from a "
+    "1-row aggregate, composed in-plan).",
+)
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DataFrame spelling of a scalar subquery: the 1-row aggregate
+    cross-joined back (Catalyst broadcasts the 1-row side — a
+    BroadcastNestedLoopJoin costing nothing), NEVER a driver-side
+    .collect() of the threshold — the whole query stays one lazy plan, so
+    it composes into views/streams and the optimizer sees through it.
+    max() is exact (no accumulation), so the 0.9× threshold is the
+    identical double on both engines."""
+    t = load_tables(spark, sf_dir)
+    thr = t["orders"].agg((F.max("o_totalprice") * 0.9).alias("_thr"))
+    return (
+        t["orders"]
+        .crossJoin(thr)
+        .filter(F.col("o_totalprice") >= F.col("_thr"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "q_subquery_correlated",
+    oracle="""
+        SELECT c_custkey, c_nationkey, c_acctbal
+        FROM customer c
+        WHERE c_acctbal = (SELECT max(c2.c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+    doc="Correlated scalar subquery (per-group max membership), "
+    "decorrelated to a partitioned window.",
+)
+def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A correlated subquery re-executed per row is O(n·groups) — the
+    scale-correct decorrelation is a window max over the correlation key:
+    one shuffle, no rescan per row (the same rewrite Catalyst's
+    RewriteCorrelatedScalarSubquery performs on the SQL form). Equality
+    on doubles is safe here: both sides compare the SAME parquet-read
+    values, and max() picks one of them bit-unchanged. Ties (two
+    customers sharing the nation max) are kept by both engines."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("c_nationkey")
+    return (
+        t["customer"]
+        .withColumn("_mx", F.max("c_acctbal").over(w))
+        .filter(F.col("c_acctbal") == F.col("_mx"))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
     )

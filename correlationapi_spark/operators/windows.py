@@ -263,3 +263,37 @@ def q_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 3)
     )
+
+
+@query(
+    "q_win_distribution",
+    oracle="""
+        SELECT c_custkey, c_nationkey, c_acctbal,
+               ntile(4)       OVER w AS quartile,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist()    OVER w AS cum_dist
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+    doc="Distribution window functions: ntile / percent_rank / cume_dist "
+    "per nation partition.",
+)
+def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rank-distribution family over one partitioned window — the
+    building block of per-group quantile bucketing (quartile assignment
+    for quality tiers, percentile features). The (c_acctbal, c_custkey)
+    order is TOTAL, so ntile's bucket boundaries and both ratios are
+    deterministic; percent_rank/cume_dist are int/int divisions of
+    identical operands → bit-identical doubles on both engines, no
+    rounding needed. One shuffle on the partition key, same scale shape
+    as every partitioned window here."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return t["customer"].select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+    )

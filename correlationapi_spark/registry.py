@@ -49,6 +49,7 @@ _MODULES = (
     "correlationapi_spark.llm.dedup",
     "correlationapi_spark.llm.similarity",
     "correlationapi_spark.llm.text",
+    "correlationapi_spark.llm.sampling",
     "correlationapi_spark.llm.multimodal",
     "correlationapi_spark.streaming.queries",
     "correlationapi_spark.udfs",
@@ -121,10 +122,11 @@ _MODULE_PRIORITY: dict[str, int] = {
     "correlationapi_spark.llm.dedup": 2,
     "correlationapi_spark.llm.similarity": 3,
     "correlationapi_spark.llm.text": 4,
-    "correlationapi_spark.llm.multimodal": 5,
-    "correlationapi_spark.streaming.queries": 6,
-    "correlationapi_spark.udfs": 7,
-    "correlationapi_spark.operators.composed": 8,
+    "correlationapi_spark.llm.sampling": 5,
+    "correlationapi_spark.llm.multimodal": 6,
+    "correlationapi_spark.streaming.queries": 7,
+    "correlationapi_spark.udfs": 8,
+    "correlationapi_spark.operators.composed": 9,
 }
 _PRIORITY_FLOOR = len(_MODULE_PRIORITY)
 

@@ -386,3 +386,119 @@ def q_split_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("split")
     )
+
+
+@query(
+    "q_text_repetition",
+    oracle="""
+        WITH grams AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(string_split(text, ' '))),
+                                  i -> concat(string_split(text, ' ')[i], ' ',
+                                              string_split(text, ' ')[i+1]))
+                       AS gs
+            FROM documents
+        )
+        SELECT doc_id,
+               len(gs)                AS n_bigrams,
+               len(list_distinct(gs)) AS n_unique,
+               1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs)
+                   AS dup_frac,
+               1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs) > 0.2
+                   AS is_repetitive
+        FROM grams
+        WHERE len(gs) > 0
+    """,
+    doc="Within-document repetition (Gopher-style): fraction of duplicate "
+    "bigrams per doc; flag docs above 20%.",
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The within-doc repetition filter from the Gopher/MassiveText
+    cleanup rules: a document whose bigrams repeat heavily (boilerplate,
+    keyword stuffing, template spam) is dropped before training. Duplicate
+    fraction = 1 − |distinct bigrams| / |bigrams|.
+
+    Entirely per-row array math — no explode, no shuffle, no state: the
+    bigram list is built with the same zip-of-shifted-slices as
+    q_text_ngram (the transform(sequence, element_at) spelling re-splits
+    the text per element after CollapseProject — measured 5× slower), and
+    both counts come from size()/array_distinct() on that one array. At
+    100 TB this is a pure map stage pipelined into the scan; int/int
+    division → bit-identical doubles, no rounding."""
+    t = load_tables(spark, sf_dir)
+    ts = F.col("ts")
+    n = F.greatest(F.size(ts) - 1, F.lit(0))
+    grams = F.zip_with(
+        F.slice(ts, 1, n), F.slice(ts, 2, n),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    dup_frac = 1.0 - F.col("n_unique").cast("double") / F.col("n_bigrams")
+    return (
+        t["documents"]
+        .select("doc_id", F.split("text", " ").alias("ts"))
+        .select(
+            "doc_id",
+            F.size(grams).alias("n_bigrams"),
+            F.size(F.array_distinct(grams)).alias("n_unique"),
+        )
+        .filter(F.col("n_bigrams") > 0)
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_unique",
+            dup_frac.alias("dup_frac"),
+            (dup_frac > 0.2).alias("is_repetitive"),
+        )
+    )
+
+
+@query(
+    "q_quality_pipeline",
+    oracle="""
+        WITH d AS (
+            SELECT source, doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   min(doc_id) OVER (PARTITION BY text) AS keep_id
+            FROM documents
+        )
+        SELECT source,
+               count(*) AS n_total,
+               count(*) FILTER (doc_id <> keep_id) AS n_dup,
+               count(*) FILTER (doc_id = keep_id AND n_tokens < 20)
+                   AS n_short,
+               count(*) FILTER (doc_id = keep_id AND n_tokens >= 20)
+                   AS n_kept
+        FROM d GROUP BY 1
+    """,
+    doc="Composed C4-style cleanup funnel: exact-dedup survivorship + "
+    "length filter, kept/dropped counts per source.",
+)
+def q_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end cleanup accounting every corpus build publishes:
+    per source, how many documents survived dedup and the length rule.
+    Rules apply in pipeline order — duplicates drop first (keep_id =
+    min doc_id per exact-text class, q_dedup_exact's survivor rule), the
+    token-length floor applies to survivors only.
+
+    Scale shape: the survivor table groups by sha256(text) — 32-byte keys
+    cross the shuffle, never the text — and joins back on that digest
+    (the oracle partitions by raw text: same classes, SQL-side
+    convenience). The per-source rollup is a second tiny aggregation.
+    Two shuffles total for a full-corpus dedup audit; at 100 TB both are
+    the minimum the semantics allow."""
+    docs = load_tables(spark, sf_dir)["documents"].withColumn(
+        "_h", F.sha2(F.col("text"), 256)
+    )
+    survivors = docs.groupBy("_h").agg(F.min("doc_id").alias("keep_id"))
+    surviving = F.col("doc_id") == F.col("keep_id")
+    short = F.size(F.split(F.col("text"), " ")) < 20
+    return (
+        docs.join(survivors, "_h")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count(F.when(~surviving, 1)).alias("n_dup"),
+            F.count(F.when(surviving & short, 1)).alias("n_short"),
+            F.count(F.when(surviving & ~short, 1)).alias("n_kept"),
+        )
+    )

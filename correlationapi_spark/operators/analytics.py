@@ -1,0 +1,188 @@
+"""Event-stream product analytics: funnel, cohort retention, mode.
+
+The reference's events surface (SURVEY.md §2.9 fixtures) feeds the same
+questions every product-analytics engine answers: how many users progress
+through an ordered sequence of actions (funnel), how cohorts decay over
+time (retention), and what the typical value per segment is (mode). All
+three are expressed as plain aggregations/joins keyed on ``user_id`` —
+the natural partitioning key of an event stream — so every shuffle in the
+plan is the one a 1000-executor cluster would want anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import load_tables
+from ..registry import query
+
+_FUNNEL_ORACLE = """
+    WITH s AS (
+        SELECT user_id, min(ts) AS t0 FROM events
+        WHERE event_type = 'signup' GROUP BY 1
+    ), c AS (
+        SELECT e.user_id, min(e.ts) AS t1
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'click' AND e.ts > s.t0
+        GROUP BY 1
+    ), p AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t1
+        GROUP BY 1
+    )
+    SELECT 1 AS step, 'signup' AS stage, (SELECT count(*) FROM s) AS users
+    UNION ALL
+    SELECT 2, 'click',    (SELECT count(*) FROM c)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT count(*) FROM p)
+"""
+
+
+@query(
+    "q_funnel",
+    oracle=_FUNNEL_ORACLE,
+    doc="Strict sequential funnel signup→click→purchase: users whose "
+    "first click follows their first signup, first purchase follows "
+    "that click.",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICT funnel — each stage's timestamp must come AFTER the user's
+    previous-stage timestamp (min-per-type ordering alone over-counts: a
+    user who purchased before ever clicking is not a conversion).
+
+    Shape: one aggregation per stage, each a join of events against the
+    previous stage's (user_id, ts) frontier. Every join and groupBy keys
+    on user_id, so after the first exchange the stages reuse the same
+    hash partitioning (Spark's EnsureRequirements sees matching
+    distributions — no re-shuffle between stages), and the frontier side
+    is one row per converted user, shrinking monotonically down the
+    funnel. At 100 TB this is k passes over a co-partitioned event log —
+    the canonical distributed-funnel plan — versus a single-pass
+    state-machine that would force every user's full history through one
+    task's memory.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+
+    def first_after(prev: DataFrame, etype: str) -> DataFrame:
+        return (
+            ev.join(prev, "user_id")
+            .filter((F.col("event_type") == etype) & (F.col("ts") > F.col("_t")))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("_t"))
+        )
+
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("_t"))
+    )
+    c = first_after(s, "click")
+    p = first_after(c, "purchase")
+
+    def stage(step: int, name: str, frontier: DataFrame) -> DataFrame:
+        return frontier.agg(F.count("*").alias("users")).select(
+            F.lit(step).alias("step"), F.lit(name).alias("stage"), "users"
+        )
+
+    return (
+        stage(1, "signup", s)
+        .unionAll(stage(2, "click", c))
+        .unionAll(stage(3, "purchase", p))
+    )
+
+
+_RETENTION_ORACLE = """
+    WITH cohort AS (
+        SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+        FROM events GROUP BY 1
+    )
+    SELECT c.cohort_day,
+           (epoch_us(date_trunc('day', e.ts)) - epoch_us(c.cohort_day))
+               // 86400000000 AS day_offset,
+           count(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN cohort c ON e.user_id = c.user_id
+    GROUP BY 1, 2
+"""
+
+
+@query(
+    "q_retention",
+    oracle=_RETENTION_ORACLE,
+    doc="Cohort retention: users grouped by first-active day, distinct "
+    "actives per (cohort, day-offset) cell.",
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retention triangle: cohort = each user's first active DAY,
+    cell (cohort_day, k) = distinct users of that cohort active k days
+    later. Two aggregations, both on keys the data is naturally dense in:
+    the cohort build groups by user_id, the cell count groups by
+    (cohort_day, offset) — a few thousand cells regardless of event
+    volume, so the second shuffle is tiny. The join is user_id⋈user_id
+    against a one-row-per-user build side: at 100 TB the cohort table is
+    ~1e9 × 12 bytes — a plain shuffle join co-partitioned with the
+    groupBy that follows (count(DISTINCT user_id) re-keys by cell, its
+    partial distinct runs map-side). Days stay date_trunc TIMESTAMPS and
+    the offset is integer epoch-micros division — DATE casts diverge in
+    pandas dtype between engines (numerics.py / cross-engine rules)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    day = F.date_trunc("day", F.col("ts"))
+    cohort = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    offset = (
+        (F.unix_micros(day) - F.unix_micros(F.col("cohort_day")))
+        / F.lit(86400000000)
+    ).cast("long")
+    return (
+        ev.join(cohort, "user_id")
+        .groupBy("cohort_day", offset.alias("day_offset"))
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+_MODE_ORACLE = """
+    SELECT l_returnflag, l_quantity AS mode_qty, cnt FROM (
+        SELECT l_returnflag, l_quantity, count(*) AS cnt,
+               row_number() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY count(*) DESC, l_quantity
+               ) AS rn
+        FROM lineitem GROUP BY 1, 2
+    ) WHERE rn = 1
+"""
+
+
+@query(
+    "q_agg_mode",
+    oracle=_MODE_ORACLE,
+    doc="Per-group mode (most frequent value), ties broken by smallest "
+    "value — deterministic on both engines.",
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode = argmax of the (group, value) count table. Spark 4 has
+    F.mode() but its tie choice is unspecified — a cross-engine hash
+    compare needs the tie RULE in the query, so the argmax is spelled as
+    a row_number over the count table ordered by (cnt DESC, value ASC).
+
+    Scale: the expensive part is the partial/final count over (group,
+    value) — one shuffle over distinct pairs only. The window then runs
+    over AT MOST |distinct values| rows per group (~50 here), so the
+    'sort' the window needs is microscopic; WindowGroupLimit prunes it
+    to a running top-1 per group anyway."""
+    t = load_tables(spark, sf_dir)
+    counts = (
+        t["lineitem"]
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("cnt"), F.col("l_quantity")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag", F.col("l_quantity").alias("mode_qty"), "cnt"
+        )
+    )

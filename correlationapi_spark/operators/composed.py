@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_tables
-from ..numerics import exact_money_sum, oracle_revenue_sum, revenue_cents
+from ..numerics import cents, exact_money_sum, oracle_revenue_sum, revenue_cents
 from ..registry import query
 
 
@@ -178,5 +178,103 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             # NULL/NULL on both sides)
             F.coalesce("F_n", F.lit(0)).alias("n_f"),
             F.coalesce("O_n", F.lit(0)).alias("n_o"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q1",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)      AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(round(l_discount*100) AS BIGINT)))
+                    AS DOUBLE) / 10000.0      AS sum_disc_price,
+               CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(round(l_discount*100) AS BIGINT))
+                        * (100 + CAST(round(l_tax*100) AS BIGINT)))
+                    AS DOUBLE) / 1000000.0    AS sum_charge,
+               round(avg(l_quantity), 6)      AS avg_qty,
+               round(avg(l_extendedprice), 6) AS avg_price,
+               round(avg(l_discount), 6)      AS avg_disc,
+               count(*)                       AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY 1, 2
+    """,
+    doc="TPC-H Q1 shape: pricing summary report per returnflag/linestatus.",
+    bench=True,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical scan-heavy aggregate: one pass over the fact table,
+    eight aggregates, a handful of groups. The plan is a 6-column pruned
+    scan with the shipdate filter pushed to parquet, partial aggregation
+    inside the scan stage (map-side combine collapses 6M rows to
+    4 groups × 32 tasks), one exchange of ~128 rows. At 100 TB this query
+    is scan-bandwidth-bound — exactly what it should be.
+
+    sum_charge multiplies THREE 2 dp columns: the 1e-6 product grid sits
+    on round()'s half-boundaries, so the sum runs in exact integer
+    1e-6-dollar units through decimal(38,0) (numerics.py rule 2 extended
+    one factor) and divides once at the end — bit-identical without any
+    rounding call.
+    """
+    t = load_tables(spark, sf_dir)
+    disc_units = revenue_cents()  # cents(price) * (100 - cents(discount))
+    charge_units = disc_units * (100 + cents("l_tax"))
+    return (
+        t["lineitem"]
+        .filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            exact_money_sum(disc_units, 10000.0).alias("sum_disc_price"),
+            exact_money_sum(charge_units, 1000000.0).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q6",
+    oracle="""
+        SELECT CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                        * CAST(round(l_discount*100) AS BIGINT))
+                    AS DOUBLE) / 10000.0 AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: forecast revenue change — pure scan/filter/agg.",
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero joins, zero groups, three pushable predicates, one global sum
+    — the purest scan-throughput probe in the suite. All three filters
+    reach the parquet reader (min/max row-group skipping does the work at
+    scale); the aggregate is a partial/final pair over one double. The
+    BETWEEN bounds compare against the raw 2 dp doubles (0.05/0.07 are
+    exactly representable at the comparison precision both engines read
+    from parquet — same bits, same rows); revenue itself uses exact cents
+    units (numerics.py rule 2: price×discount products sit on rounding
+    half-boundaries)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            exact_money_sum(cents("l_extendedprice") * cents("l_discount"), 10000.0)
+            .alias("revenue")
         )
     )

@@ -116,3 +116,37 @@ def test_spearman_has_no_global_rank_sort(spark):
     # per-range-partition totals tables (one row per partition), never
     # the fact relation
     assert plan.count("Exchange SinglePartition") <= 2
+
+
+def test_mode_uses_window_group_limit(spark):
+    # argmax over the count table: partial/final count + two-phase
+    # WindowGroupLimit (running top-1 per group, bounded task state)
+    plan = plan_of(spark, "q_agg_mode")
+    assert plan.count("HashAggregate") >= 2
+    assert "WindowGroupLimit" in plan
+
+
+def test_tpch_q1_is_one_exchange_scan_agg(spark):
+    plan = plan_of(spark, "q_tpch_q1")
+    # shipdate predicate reaches the parquet reader
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # partial+final aggregate around exactly one hash exchange (formatted
+    # mode names nodes "Exchange (n)" in the tree; the partitioning is in
+    # the node detail)
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange (") == 1
+    assert "hashpartitioning(l_returnflag" in plan
+
+
+def test_funnel_pushes_stage_filters_to_scan(spark):
+    # each stage reads events with the event_type predicate IN the scan
+    plan = plan_of(spark, "q_funnel")
+    for stage in ("signup", "click", "purchase"):
+        assert f"EqualTo(event_type,{stage})" in plan, stage
+    assert "CartesianProduct" not in plan
+
+
+def test_repetition_is_pure_map_stage(spark):
+    # per-row array math only: no exchange anywhere in the plan
+    plan = plan_of(spark, "q_text_repetition")
+    assert "Exchange" not in plan

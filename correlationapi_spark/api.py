@@ -247,6 +247,83 @@ class CorrelationAPI:
             "correlation": r.c, "n_pairs": r.n,
         }
 
+    def cross_correlation(
+        self,
+        dataset: str,
+        time_col: str,
+        var_x: str,
+        var_y: str,
+        max_lag: int = 3,
+        grain: str = "day",
+        fill_gaps: bool = False,
+    ) -> dict[str, Any]:
+        """Lead-lag cross-correlation: corr(x_t, y_{t+k}) for every lag
+        k in [-max_lag, max_lag] over the grain-aggregated series — the
+        "does x lead y?" question (positive-lag peak: x moves first).
+
+        Both series come from ONE grouped aggregation pass (two
+        conditional avgs — never two scans of the raw table); alignment
+        is an integer-index equi-join (row_number over the grain series,
+        robust for calendar grains where bucket widths vary), and all
+        2·max_lag+1 shifted joins come from a tiny exploded lag array.
+        Everything after the raw scan runs on ~|buckets| rows, so raw
+        volume only affects the first aggregation — the q_corr_lagged
+        scale rule."""
+        if max_lag < 1:
+            raise ValueError("max_lag must be >= 1")
+        df = self._get(dataset)
+        if grain not in _GRAINS:
+            raise ValueError(f"unknown grain: {grain!r} (one of {_GRAINS})")
+        if time_col not in df.columns:
+            raise KeyError(f"unknown variable: {time_col!r}")
+        x, y = self._num(df, var_x), self._num(df, var_y)
+        series = df.groupBy(
+            F.date_trunc(grain, F.col(time_col)).alias("_t")
+        ).agg(F.avg(x).alias("_x"), F.avg(y).alias("_y"))
+        if fill_gaps:
+            rng = series.agg(F.min("_t").alias("lo"), F.max("_t").alias("hi"))
+            spine = rng.select(
+                F.explode(
+                    F.sequence("lo", "hi", F.expr(f"interval 1 {grain}"))
+                ).alias("_t")
+            )
+            w = Window.orderBy("_t").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+            series = spine.join(series, "_t", "left").select(
+                "_t",
+                F.last("_x", ignorenulls=True).over(w).alias("_x"),
+                F.last("_y", ignorenulls=True).over(w).alias("_y"),
+            )
+        indexed = series.withColumn(
+            "_i", F.row_number().over(Window.orderBy("_t"))
+        )
+        lags = self.spark.range(-max_lag, max_lag + 1).select(
+            F.col("id").alias("_lag")
+        )
+        a, b = indexed.alias("a"), indexed.alias("b")
+        rows = (
+            lags.crossJoin(a)
+            .join(b, F.col("b._i") == F.col("a._i") + F.col("_lag"))
+            .groupBy("_lag")
+            .agg(
+                _safe_corr(F.col("a._x"), F.col("b._y")).alias("c"),
+                F.count(
+                    F.when(
+                        F.col("a._x").isNotNull() & F.col("b._y").isNotNull(), 1
+                    )
+                ).alias("n"),
+            )
+            .collect()
+        )
+        by_lag = {int(r._lag): {"correlation": r.c, "n": r.n} for r in rows}
+        return {
+            "dataset": dataset, "time": time_col, "x": var_x, "y": var_y,
+            "grain": grain, "max_lag": max_lag, "fill_gaps": fill_gaps,
+            "lags": {str(k): by_lag.get(k, {"correlation": None, "n": 0})
+                     for k in range(-max_lag, max_lag + 1)},
+        }
+
     def rolling_correlation(
         self,
         dataset: str,

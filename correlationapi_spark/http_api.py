@@ -15,6 +15,7 @@ container, and none is needed for a JSON-for-JSON contract:
   POST /matrix            {"dataset","variables","method"}
   GET  /lagged?dataset=&time=&value=[&lag=][&grain=][&fill_gaps=]
   GET  /rolling?dataset=&time=&value=[&window=][&lag=][&grain=][&fill_gaps=]
+  GET  /xcorr?dataset=&time=&x=&y=[&max_lag=][&grain=][&fill_gaps=]
 
 Error mapping at the HTTP boundary: KeyError → 404 (unknown dataset /
 variable), ValueError|TypeError → 400 (bad method / grain / non-numeric
@@ -93,6 +94,16 @@ def _route(api: CorrelationAPI, method: str, path: str,
             query["dataset"], query["time"], query["value"],
             window=int(query.get("window", 14)),
             lag=int(query.get("lag", 1)), grain=query.get("grain", "day"),
+            fill_gaps=query.get("fill_gaps", "").lower() in ("1", "true"),
+        )
+    if method == "GET" and path == "/xcorr":
+        for req in ("dataset", "time", "x", "y"):
+            if req not in query:
+                raise ValueError(f"missing query parameter {req!r}")
+        return 200, api.cross_correlation(
+            query["dataset"], query["time"], query["x"], query["y"],
+            max_lag=int(query.get("max_lag", 3)),
+            grain=query.get("grain", "day"),
             fill_gaps=query.get("fill_gaps", "").lower() in ("1", "true"),
         )
     return 404, {"error": f"no route: {method} {path}"}

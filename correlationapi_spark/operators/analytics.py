@@ -186,3 +186,70 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag", F.col("l_quantity").alias("mode_qty"), "cnt"
         )
     )
+
+
+_ANOMALY_ORACLE = """
+    WITH scored AS (
+        SELECT event_id, event_type, ts, value,
+               avg(value)         OVER w AS mu,
+               stddev_samp(value) OVER w AS sigma,
+               count(*)           OVER w AS n_win
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, event_type, ts,
+           round(value, 2) AS value,
+           round((value - mu) / sigma, 4) AS zscore
+    FROM scored
+    WHERE n_win >= 30 AND sigma > 0
+      AND abs(round((value - mu) / sigma, 4)) > 3.0
+"""
+
+
+@query(
+    "q_anomaly",
+    oracle=_ANOMALY_ORACLE,
+    doc="Rolling z-score anomaly detection: events whose value deviates "
+    ">3 sigma from the trailing 50-event window of their type.",
+)
+def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-shaped monitoring over the batch table: each event is
+    scored against the TRAILING window of its own type (frame ends at
+    1 PRECEDING — the current value must not contaminate its own
+    baseline), flagged when |z| > 3. The 30-row warm-up floor keeps the
+    unstable early frames out, and sigma > 0 guards constant runs (the
+    _safe_corr convention).
+
+    One window partitioned by event_type over a (ts, event_id) total
+    order — parallel across types; within a type the frame is bounded
+    (51 rows of state per task), so the operator is the batch twin of a
+    per-key streaming aggregation and scales with partition count, not
+    history length. z is rounded to 4 dp BEFORE the threshold compare on
+    BOTH engines, so the emitted row set is decided on identical values
+    (memory: never threshold raw accumulated floats across engines)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-50, -1)
+    )
+    z = F.round(
+        (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w),
+        4,
+    )
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            "ts",
+            F.round("value", 2).alias("value"),
+            z.alias("zscore"),
+            F.count("*").over(w).alias("_n"),
+            F.stddev_samp("value").over(w).alias("_sigma"),
+        )
+        .filter(
+            (F.col("_n") >= 30) & (F.col("_sigma") > 0) & (F.abs("zscore") > 3.0)
+        )
+        .drop("_n", "_sigma")
+    )

@@ -427,3 +427,45 @@ def q_fn_hash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hash("text", "lang").alias("row_hash"),
         F.sha1("text").alias("text_sha1"),
     )
+
+
+@query(
+    "q_fn_try",
+    oracle="""
+        SELECT o_orderkey,
+               o_totalprice / NULLIF(o_orderkey % 5, 0) AS price_per,
+               TRY_CAST(o_orderpriority AS INTEGER)     AS prio_int,
+               TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER)
+                   AS prio_digit
+        FROM orders
+        WHERE o_orderkey <= 2000
+    """,
+    doc="ANSI-safe try_* family: try_divide / try_cast return NULL "
+    "instead of failing the job on bad rows.",
+)
+def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The error-tolerant scalar family — load-bearing at 100 TB, where
+    Spark 4's ANSI default turns ONE malformed row into a failed 10-hour
+    job. try_divide/try_cast yield NULL for the poisoned rows and keep
+    the pipeline running; the NULLs are then countable (data-quality
+    metrics) instead of fatal. DuckDB mirrors with NULLIF-division and
+    TRY_CAST. '1-URGENT' parses to NULL as a whole (both engines reject
+    non-numeric strings in toto) while its first character parses to 1 —
+    both behaviors pinned here."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .filter(F.col("o_orderkey") <= 2000)
+        .select(
+            "o_orderkey",
+            F.try_divide(
+                F.col("o_totalprice"), F.col("o_orderkey") % 5
+            ).alias("price_per"),
+            F.try_to_number(
+                F.col("o_orderpriority"), F.lit("999")
+            ).cast("int").alias("prio_int"),
+            F.try_to_number(
+                F.substring("o_orderpriority", 1, 1), F.lit("9")
+            ).cast("int").alias("prio_digit"),
+        )
+    )

@@ -456,3 +456,135 @@ def q_corr_lagged(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("v", "v_prev"), 6).alias("lag1_autocorr"),
         F.count("v_prev").alias("n_pairs"),
     )
+
+
+@query(
+    "q_corr_xcorr",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                        AS BIGINT) AS dn,
+                   round(avg(CASE WHEN event_type = 'click'
+                                  THEN value END), 6)    AS x,
+                   round(avg(CASE WHEN event_type = 'purchase'
+                                  THEN value END), 6)    AS y
+            FROM events
+            WHERE event_type IN ('click', 'purchase')
+            GROUP BY 1
+        ), lags AS (
+            SELECT unnest(range(-3, 4)) AS lag
+        )
+        SELECT l.lag,
+               round(corr(a.x, b.y), 6) AS xcorr,
+               count(*) FILTER (a.x IS NOT NULL AND b.y IS NOT NULL)
+                   AS n_pairs
+        FROM lags l
+        JOIN daily a ON TRUE
+        JOIN daily b ON b.dn = a.dn + l.lag
+        GROUP BY 1
+    """,
+    doc="Lead-lag cross-correlation: corr(click_t, purchase_{t+k}) for "
+    "k in [-3, 3] over the daily series.",
+)
+def q_corr_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function (CCF) between two event series — the
+    lead-lag question a correlation service exists to answer: do clicks
+    LEAD purchases (positive lag peak) or trail them? One day-grain
+    aggregation builds both series in a single pass (conditional avg per
+    type — no second scan, no pivot job); the 7 lag offsets come from a
+    tiny exploded literal array joined on integer day numbers, so the
+    shifted alignment is an equi-join both engines resolve identically
+    (no date arithmetic in the join key — epoch-days are exact int64s).
+
+    Scale: the raw scan is the only full-data pass; everything after runs
+    on ~days×7 rows. corr guards + round(6) as everywhere
+    (numerics.py rule 3)."""
+    t = load_tables(spark, sf_dir)
+    dn = (F.unix_micros(F.date_trunc("day", F.col("ts"))) / F.lit(86400000000)).cast(
+        "bigint"
+    )
+    daily = (
+        t["events"]
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(dn.alias("dn"))
+        .agg(
+            F.round(
+                F.avg(F.when(F.col("event_type") == "click", F.col("value"))), 6
+            ).alias("x"),
+            F.round(
+                F.avg(F.when(F.col("event_type") == "purchase", F.col("value"))), 6
+            ).alias("y"),
+        )
+    )
+    lags = spark.range(-3, 4).select(F.col("id").cast("bigint").alias("lag"))
+    a, b = daily.alias("a"), daily.alias("b")
+    return (
+        lags.crossJoin(a)
+        .join(b, F.col("b.dn") == F.col("a.dn") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.round(F.corr(F.col("a.x"), F.col("b.y")), 6).alias("xcorr"),
+            F.count(
+                F.when(F.col("a.x").isNotNull() & F.col("b.y").isNotNull(), 1)
+            ).alias("n_pairs"),
+        )
+    )
+
+
+@query(
+    "q_corr_partial",
+    oracle="""
+        WITH r AS (
+            SELECT l_returnflag,
+                   round(corr(l_quantity, l_extendedprice), 6) AS rxy,
+                   round(corr(l_quantity, l_discount), 6)      AS rxz,
+                   round(corr(l_extendedprice, l_discount), 6) AS ryz,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY 1
+        )
+        SELECT l_returnflag, rxy, rxz, ryz,
+               round((rxy - rxz * ryz)
+                     / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), 6)
+                   AS partial_corr,
+               n_rows
+        FROM r
+    """,
+    doc="Partial correlation of (quantity, price) controlling for "
+    "discount, per returnflag — from three pairwise Pearson r's.",
+)
+def q_corr_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order partial correlation — the namesake statistic's
+    confound-removal form: corr(x,y | z) from the three pairwise
+    coefficients, (rxy − rxz·ryz)/√((1−rxz²)(1−ryz²)).
+
+    All three r's come from ONE grouped aggregation pass (six moment
+    aggregates fused by codegen — never three jobs), are rounded to 6 dp
+    FIRST so both engines feed bit-identical operands into the closed
+    form, and the final expression is the same IEEE op sequence on both
+    sides → round(6) of identical doubles. Fixture groups are never
+    degenerate (|rxz|, |ryz| < 1), so no denominator guard is needed —
+    at the API level _safe_corr's NULL-on-degenerate convention applies."""
+    t = load_tables(spark, sf_dir)
+    r = (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("rxy"),
+            F.round(F.corr("l_quantity", "l_discount"), 6).alias("rxz"),
+            F.round(F.corr("l_extendedprice", "l_discount"), 6).alias("ryz"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+    rxy, rxz, ryz = F.col("rxy"), F.col("rxz"), F.col("ryz")
+    return r.select(
+        "l_returnflag",
+        "rxy",
+        "rxz",
+        "ryz",
+        F.round(
+            (rxy - rxz * ryz)
+            / F.sqrt((1 - rxz * rxz) * (1 - ryz * ryz)),
+            6,
+        ).alias("partial_corr"),
+        "n_rows",
+    )

@@ -181,3 +181,33 @@ def test_results_are_json_serializable(api):
         api.lagged_correlation("events", "ts", "value"),
     ):
         json.dumps(res)
+
+
+def test_xcorr_detects_shifted_series(api, spark):
+    # y is x shifted one day later: corr(x_t, y_{t+1}) must be exactly 1
+    # at lag +1 and below 1 elsewhere (x is a noisy but monotone ramp,
+    # so neighbor lags still correlate positively — just not perfectly)
+    import datetime as dt
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    xs = [float(v) for v in (1, 5, 2, 8, 3, 9, 4, 7, 6, 10, 11, 2)]
+    for i, xv in enumerate(xs):
+        yv = xs[i - 1] if i > 0 else None
+        rows.append((base + dt.timedelta(days=i), xv, yv))
+    df = spark.createDataFrame(rows, "t timestamp, x double, y double")
+    api.register_dataset("shifted", df)
+    out = api.cross_correlation("shifted", "t", "x", "y", max_lag=2)
+    assert out["lags"]["1"]["correlation"] == pytest.approx(1.0)
+    assert out["lags"]["1"]["n"] == len(xs) - 1
+    for k in ("-2", "-1", "0", "2"):
+        c = out["lags"][k]["correlation"]
+        assert c is None or c < 1.0
+
+
+def test_xcorr_validates_inputs(api):
+    with pytest.raises(ValueError):
+        api.cross_correlation("events", "ts", "value", "value", max_lag=0)
+    with pytest.raises(ValueError):
+        api.cross_correlation("events", "ts", "value", "value", grain="eon")
+    with pytest.raises(KeyError):
+        api.cross_correlation("events", "nope", "value", "value")

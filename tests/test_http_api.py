@@ -92,6 +92,13 @@ def test_matrix_and_lagged_over_http(base_url):
     assert status == 200 and len(res["series"]) > 0
     assert all(p["n"] == 14 for p in res["series"])
 
+    status, res = _get(
+        f"{base_url}/xcorr?dataset=events&time=ts&x=value&y=value&max_lag=2"
+    )
+    assert status == 200 and sorted(res["lags"]) == ["-1", "-2", "0", "1", "2"]
+    # lag 0 of a series against itself is a perfect correlation
+    assert res["lags"]["0"]["correlation"] == 1.0
+
 
 @pytest.mark.parametrize(
     ("url", "code"),

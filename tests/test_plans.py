@@ -150,3 +150,16 @@ def test_repetition_is_pure_map_stage(spark):
     # per-row array math only: no exchange anywhere in the plan
     plan = plan_of(spark, "q_text_repetition")
     assert "Exchange" not in plan
+
+
+def test_dedup_ngram_reuses_shingle_exchange(spark):
+    # the postings self-join must compute the shingle subplan ONCE: AQE
+    # dedupes the two identical exchanges at runtime (ReusedExchange in
+    # the FINAL plan). NB: inspect the final plan via collect() on the
+    # same DataFrame — a write() goes through a separate QueryExecution
+    # whose plan string never shows isFinalPlan=true.
+    df = REGISTRY["q_dedup_ngram"].fn(spark, SF_SMOKE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan

@@ -253,3 +253,143 @@ def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("_n", "_sigma")
     )
+
+
+_PROFILE_ORACLE = """
+    SELECT 'l_quantity' AS column_name, count(*) AS n_rows,
+           count(*) - count(l_quantity)    AS n_null,
+           count(DISTINCT l_quantity)      AS n_distinct,
+           round(min(l_quantity), 2)       AS vmin,
+           round(max(l_quantity), 2)       AS vmax,
+           round(avg(l_quantity), 6)       AS vavg
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', count(*),
+           count(*) - count(l_extendedprice),
+           count(DISTINCT l_extendedprice),
+           round(min(l_extendedprice), 2), round(max(l_extendedprice), 2),
+           round(avg(l_extendedprice), 6)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', count(*),
+           count(*) - count(l_discount),
+           count(DISTINCT l_discount),
+           round(min(l_discount), 2), round(max(l_discount), 2),
+           round(avg(l_discount), 6)
+    FROM lineitem
+"""
+
+
+@query(
+    "q_profile",
+    oracle=_PROFILE_ORACLE,
+    doc="Column profiling (ANALYZE primitive): nulls / distinct / min / "
+    "max / mean per numeric column, long format, one scan.",
+)
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-profiling pass every ingestion pipeline runs first:
+    per-column null count, exact distinct, min/max/mean — in ONE scan of
+    the table, not one scan per column (the oracle's UNION ALL re-scans
+    because SQL has no better spelling; Spark fuses all 3×5 aggregates
+    into a single partial/final pass — Catalyst plans the multi-distinct
+    via one Expand of ×3, still one scan). The wide 1-row aggregate is
+    then stacked to the long (column, stats...) profile shape — a free
+    projection of a 1-row relation."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            (F.count("*") - F.count(c)).alias(f"{c}__nn"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            F.round(F.min(c), 2).alias(f"{c}__mn"),
+            F.round(F.max(c), 2).alias(f"{c}__mx"),
+            F.round(F.avg(c), 6).alias(f"{c}__av"),
+        ]
+    wide = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__mn, {c}__mx, {c}__av" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack}) AS "
+        "(column_name, n_null, n_distinct, vmin, vmax, vavg)",
+        "n_rows",
+    ).select(
+        "column_name", "n_rows", "n_null", "n_distinct", "vmin", "vmax", "vavg"
+    )
+
+
+_SESSION_STATS_ORACLE = """
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch(ts)
+                      - epoch(lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)) > 1800
+                      OR lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), islands AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW) AS sid
+        FROM ordered
+    ), sessions AS (
+        SELECT user_id, sid, count(*) AS n_events,
+               epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+        FROM islands GROUP BY 1, 2
+    )
+    SELECT user_id,
+           count(*) AS n_sessions,
+           round(avg(CAST(n_events AS DOUBLE)), 4) AS avg_events,
+           round(avg(CAST(dur_us AS DOUBLE)) / 1000000, 4)
+               AS avg_duration_sec
+    FROM sessions GROUP BY 1
+"""
+
+
+@query(
+    "q_session_stats",
+    oracle=_SESSION_STATS_ORACLE,
+    doc="Per-user session statistics: 30-min-gap sessionization rolled "
+    "up to session count, mean events and mean duration.",
+)
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization rolled up to per-user engagement metrics — the
+    batch analytics consumer of the same 30-minute-gap session definition
+    q_stream_session declares (gaps-and-islands: a session break is a
+    >1800 s gap; session id = running count of breaks).
+
+    Everything is keyed on user_id: both windows and both groupBys share
+    one hash partitioning, so the plan is one exchange of the events
+    relation followed by co-partitioned windows/aggregations — per-user
+    history is processed within a task but a TASK holds many users, so
+    parallelism comes from the user-key space, not history length.
+    Durations stay integer epoch-micros until one final /1e6 (cast to
+    double before avg on BOTH engines; round 4)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w_ord))
+    new_session = F.when(
+        gap.isNull() | (gap > 1800 * 1000000), 1
+    ).otherwise(0)
+    islands = ev.select(
+        "user_id",
+        "ts",
+        F.sum(new_session)
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sid"),
+    )
+    sessions = islands.groupBy("user_id", "sid").agg(
+        F.count("*").alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.round(F.avg(F.col("n_events").cast("double")), 4).alias("avg_events"),
+        F.round(F.avg(F.col("dur_us").cast("double")) / 1000000, 4).alias(
+            "avg_duration_sec"
+        ),
+    )

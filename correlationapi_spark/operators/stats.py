@@ -588,3 +588,102 @@ def q_corr_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("partial_corr"),
         "n_rows",
     )
+
+
+def grouped_avg_rank_table(
+    df: DataFrame, group: str, col: str, alias: str
+) -> DataFrame:
+    """Per-group (value → average rank) lookup — avg_rank_table's grouped
+    generalization, same two-pass range-partitioned shape.
+
+    A per-group rank window (Window.partitionBy(group).orderBy(col)) is
+    parallel only across groups: with a FEW heavy groups (3 returnflags ×
+    billions of rows) each group is one giant task — the grouped twin of
+    the round-1 global-sort scale-killer. Instead the counts table range-
+    partitions on (group, value) — equal pairs stay together, a group may
+    span partitions — and the running offsets accumulate per group across
+    partition ids: global-within-group cumulative = per-group offset +
+    within-partition cumulative. The offsets table is ≤ partitions×groups
+    rows — always broadcastable."""
+    counts = df.groupBy(F.col(group).alias("_g"), F.col(col).alias("_v")).agg(
+        F.count("*").alias("_cnt")
+    )
+    ranged = counts.repartitionByRange(F.col("_g"), F.col("_v")).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_in = (
+        Window.partitionBy("_pid", "_g")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranged = ranged.withColumn("_cum_in", F.sum("_cnt").over(w_in))
+    totals = ranged.groupBy("_pid", "_g").agg(F.sum("_cnt").alias("_ptot"))
+    w_off = (
+        Window.partitionBy("_g")
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_ptot").over(w_off), F.lit(0)).cast("bigint")
+    )
+    return (
+        ranged.join(F.broadcast(offsets.select("_pid", "_g", "_off")), ["_pid", "_g"])
+        .select(
+            F.col("_g").alias(group),
+            F.col("_v").alias(col),
+            (
+                F.col("_off") + F.col("_cum_in") - F.col("_cnt")
+                + (F.col("_cnt") + 1) / 2.0
+            ).alias(alias),
+        )
+    )
+
+
+_SPEARMAN_GROUPED_ORACLE = """
+    WITH ranked AS (
+        SELECT l_returnflag,
+               rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+                 + (count(*) OVER (PARTITION BY l_returnflag, l_quantity)
+                    - 1) / 2.0 AS rx,
+               rank() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice)
+                 + (count(*) OVER (PARTITION BY l_returnflag,
+                                   l_extendedprice) - 1) / 2.0 AS ry
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           round(corr(rx, ry), 6) AS spearman_qty_price,
+           count(*) AS n_rows
+    FROM ranked
+    GROUP BY 1
+"""
+
+
+@query(
+    "q_corr_spearman_grouped",
+    oracle=_SPEARMAN_GROUPED_ORACLE,
+    doc="Per-group Spearman rank correlation via the grouped "
+    "range-partitioned average-rank tables.",
+)
+def q_corr_spearman_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Spearman — the rank method sliced by segment, using
+    grouped_avg_rank_table so that few-heavy-group inputs never serialize
+    into one task per group (see that function's docstring). Ranks are
+    per (group, value), joined back on the pair; the corr aggregation is
+    one partial/final pass per group. The oracle spells the identical
+    average-rank formula with per-group windows — same definition,
+    different (single-node-appropriate) plan."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    rx = grouped_avg_rank_table(li, "l_returnflag", "l_quantity", "rx")
+    ry = grouped_avg_rank_table(li, "l_returnflag", "l_extendedprice", "ry")
+    return (
+        li.select("l_returnflag", "l_quantity", "l_extendedprice")
+        .join(rx, ["l_returnflag", "l_quantity"])
+        .join(ry, ["l_returnflag", "l_extendedprice"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("rx", "ry"), 6).alias("spearman_qty_price"),
+            F.count("*").alias("n_rows"),
+        )
+    )

@@ -70,3 +70,21 @@ def test_partitioned_parquet_sink_prunes(spark):
         assert dirs == {"l_returnflag=A", "l_returnflag=N", "l_returnflag=R"}
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_orc_roundtrip(spark):
+    # ORC is Spark's other first-class columnar format; same predicate-
+    # pushdown machinery as parquet (searchArgument), so a warehouse that
+    # lands ORC plugs in with one format string.
+    sup = load_tables(spark, SF_SMOKE)["supplier"]
+    d = _tmp()
+    try:
+        sup.write.mode("overwrite").orc(d)
+        back = spark.read.orc(d)
+        assert _sorted(back, sup.columns) == _sorted(sup, sup.columns)
+        plan = back.filter(F.col("s_suppkey") < 5)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "PushedFilters: [IsNotNull(s_suppkey), LessThan(s_suppkey,5)]" in plan
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -393,3 +393,73 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_duration_sec"
         ),
     )
+
+
+_CDC_ORACLE = """
+    WITH old AS (
+        SELECT o_orderkey, o_totalprice AS price FROM orders
+        WHERE o_orderkey <= 3000
+    ), new AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.00
+                    ELSE o_totalprice END AS price
+        FROM orders WHERE o_orderkey BETWEEN 1001 AND 4000
+    )
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                WHEN n.price <> o.price   THEN 'update'
+                ELSE 'unchanged' END AS op,
+           o.price AS old_price,
+           n.price AS new_price
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+"""
+
+
+@query(
+    "q_cdc_merge",
+    oracle=_CDC_ORACLE,
+    doc="Snapshot-diff / MERGE INTO classification: full outer join of "
+    "old vs new snapshot into insert/update/delete/unchanged rows.",
+)
+def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lakehouse merge primitive: what Delta/Iceberg `MERGE INTO`
+    compiles to — a key-partitioned FULL OUTER join of the current
+    snapshot against the incoming batch, each row classified
+    insert / update / delete / unchanged. Both snapshots derive from the
+    fixture in-plan (old = keys ≤3000 at current prices; new = keys
+    1001–4000 with every 7th price bumped), so the change set is a pure
+    function of the data.
+
+    Scale: ONE shuffle per side on the merge key — the minimum the
+    semantics allow; the classification is a projection. The 100 TB
+    refinement (join only partitions the batch touches) is partition
+    pruning on the same plan, not a different algorithm. Price equality
+    compares bit-identical doubles (same parquet values ± the same
+    literal addition on both engines)."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    old = orders.filter(F.col("o_orderkey") <= 3000).select(
+        "o_orderkey", F.col("o_totalprice").alias("price")
+    )
+    new = orders.filter(F.col("o_orderkey").between(1001, 4000)).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 10.00
+        ).otherwise(F.col("o_totalprice")).alias("price"),
+    )
+    o, n = old.alias("o"), new.alias("n")
+    return (
+        o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
+        .select(
+            F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey")).alias(
+                "o_orderkey"
+            ),
+            F.when(F.col("o.o_orderkey").isNull(), "insert")
+            .when(F.col("n.o_orderkey").isNull(), "delete")
+            .when(F.col("n.price") != F.col("o.price"), "update")
+            .otherwise("unchanged")
+            .alias("op"),
+            F.col("o.price").alias("old_price"),
+            F.col("n.price").alias("new_price"),
+        )
+    )

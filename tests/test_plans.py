@@ -163,3 +163,17 @@ def test_dedup_ngram_reuses_shingle_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "ReusedExchange" in plan
+
+
+def test_no_cartesian_or_giant_single_partition_anywhere(spark):
+    """Registry-wide safety net: NO key may plan a CartesianProduct, and
+    none may exceed 3 single-partition exchanges (the allowance covers
+    tiny by-design relations: global-agg results, per-range-partition
+    offset tables, 1-row funnel stage counts — never a fact relation;
+    the per-key tests above pin the tighter budgets)."""
+    for key, spec in REGISTRY.items():
+        plan = REGISTRY[key].fn(spark, SF_SMOKE)._jdf.queryExecution()\
+            .executedPlan().toString()
+        assert "CartesianProduct" not in plan, key
+        n = plan.count("Exchange SinglePartition")
+        assert n <= 3, (key, n)

@@ -247,6 +247,59 @@ class CorrelationAPI:
             "correlation": r.c, "n_pairs": r.n,
         }
 
+    def partial_correlation(
+        self,
+        dataset: str,
+        var_x: str,
+        var_y: str,
+        control: str,
+        group_by: str | None = None,
+    ) -> dict[str, Any]:
+        """First-order partial correlation corr(x, y | z): the pairwise
+        coefficient with the control variable's influence removed,
+        (rxy − rxz·ryz)/√((1−rxz²)(1−ryz²)). All three r's come from ONE
+        aggregation pass (q_corr_partial's shape) over listwise-complete
+        rows (a row missing ANY of the three variables is excluded, so
+        the three coefficients share one sample); NULL when any input
+        correlation is degenerate or the denominator vanishes
+        (|rxz| or |ryz| = 1 — the control explains x or y exactly)."""
+        df = self._get(dataset)
+        x, y = self._num(df, var_x), self._num(df, var_y)
+        z = self._num(df, control)
+        df = df.filter(
+            F.col(var_x).isNotNull()
+            & F.col(var_y).isNotNull()
+            & F.col(control).isNotNull()
+        )
+        aggs = [
+            _safe_corr(x, y).alias("rxy"),
+            _safe_corr(x, z).alias("rxz"),
+            _safe_corr(y, z).alias("ryz"),
+            F.count("*").alias("n"),
+        ]
+
+        def formula(r) -> float | None:
+            if r.rxy is None or r.rxz is None or r.ryz is None:
+                return None
+            denom = (1 - r.rxz**2) * (1 - r.ryz**2)
+            if denom <= 0:
+                return None
+            return round((r.rxy - r.rxz * r.ryz) / denom**0.5, 6)
+
+        base = {
+            "dataset": dataset, "x": var_x, "y": var_y, "control": control,
+        }
+        if group_by:
+            rows = df.groupBy(group_by).agg(*aggs).collect()
+            return base | {
+                "groups": {
+                    str(r[group_by]): {"partial_correlation": formula(r), "n": r.n}
+                    for r in rows
+                }
+            }
+        r = df.agg(*aggs).collect()[0]
+        return base | {"partial_correlation": formula(r), "n": r.n}
+
     def cross_correlation(
         self,
         dataset: str,

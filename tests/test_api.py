@@ -211,3 +211,38 @@ def test_xcorr_validates_inputs(api):
         api.cross_correlation("events", "ts", "value", "value", grain="eon")
     with pytest.raises(KeyError):
         api.cross_correlation("events", "nope", "value", "value")
+
+
+def test_partial_correlation_matches_declared_key(api, spark):
+    # same definition as q_corr_partial (grouped by returnflag)
+    out = api.partial_correlation(
+        "lineitem", "l_quantity", "l_extendedprice", "l_discount",
+        group_by="l_returnflag",
+    )
+    want = {
+        r.l_returnflag: r.partial_corr
+        for r in REGISTRY["q_corr_partial"].fn(spark, SF_SMOKE).collect()
+    }
+    got = {g: v["partial_correlation"] for g, v in out["groups"].items()}
+    assert set(got) == set(want)
+    for g in want:
+        assert got[g] == pytest.approx(want[g], abs=2e-6), g
+
+
+def test_partial_correlation_removes_confound(api, spark):
+    # x and y are driven ONLY by z (plus tiny independent wiggles):
+    # raw corr(x,y) is high, but controlling for z collapses it
+    import math
+    rows = []
+    for i in range(60):
+        z = float(i)
+        x = z + math.sin(i * 12.9898) * 0.8
+        y = z + math.cos(i * 78.233) * 0.8
+        rows.append((x, y, z))
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    api.register_dataset("confounded", df)
+    raw = api.correlate("confounded", "x", "y")["correlation"]
+    part = api.partial_correlation("confounded", "x", "y", "z")
+    assert raw > 0.99
+    assert abs(part["partial_correlation"]) < 0.3
+    assert part["n"] == 60

@@ -99,6 +99,13 @@ def test_matrix_and_lagged_over_http(base_url):
     # lag 0 of a series against itself is a perfect correlation
     assert res["lags"]["0"]["correlation"] == 1.0
 
+    status, res = _get(
+        f"{base_url}/partial?dataset=lineitem"
+        "&x=l_quantity&y=l_extendedprice&control=l_discount"
+    )
+    assert status == 200 and res["n"] > 0
+    assert -1.0 <= res["partial_correlation"] <= 1.0
+
 
 @pytest.mark.parametrize(
     ("url", "code"),

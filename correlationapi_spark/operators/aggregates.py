@@ -19,7 +19,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_tables
-from ..numerics import cents, exact_money_sum, money_sum, revenue_cents
+from ..numerics import (
+    cents,
+    exact_money_sum,
+    money_sum,
+    oracle_revenue_sum,
+    revenue_cents,
+)
 from ..registry import query
 
 
@@ -428,4 +434,48 @@ def q_agg_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("o_orderdate", "o_orderkey").alias("first_key_date"),
         F.max_by("o_totalprice", "o_orderkey").alias("last_key_price"),
         F.count("*").alias("n_orders"),
+    )
+
+
+@query(
+    "q_agg_salted",
+    oracle=f"""
+        SELECT l_returnflag,
+               {oracle_revenue_sum()} AS revenue,
+               count(*) AS n_rows
+        FROM lineitem
+        GROUP BY 1
+    """,
+    doc="Skew-safe two-phase (salted) grouped aggregation — identical "
+    "result to the plain GROUP BY oracle.",
+)
+def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped revenue computed through skew.salted_agg: phase 1 groups
+    by (key, salt) — a hot key's rows spread over 16 reducers instead of
+    melting one — phase 2 merges the per-salt partials by key.
+
+    Oracle-safe despite the nondeterministic salt: the RESULT is
+    salt-independent (sum-of-sums over any partition of the rows; counts
+    likewise; the cents sums are exact integers so no accumulation-order
+    float drift either — numerics.py rule 2). This is the one sanctioned
+    exception to the 'no nondeterminism in declared queries' convention:
+    the nondeterminism is confined to an intermediate grouping column
+    that algebra cancels (and tests/test_skew_bucketing.py proves the
+    equivalence property-style)."""
+    t = load_tables(spark, sf_dir)
+    from ..skew import salted_agg
+
+    return salted_agg(
+        t["lineitem"],
+        ["l_returnflag"],
+        aggs=[
+            (
+                F.sum("_ps").cast("double") / F.lit(10000.0)
+            ).alias("revenue"),
+            F.sum("_pc").alias("n_rows"),
+        ],
+        partial_aggs=[
+            F.sum(revenue_cents().cast("decimal(38,0)")).alias("_ps"),
+            F.count("*").alias("_pc"),
+        ],
     )

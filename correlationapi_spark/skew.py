@@ -29,7 +29,9 @@ def with_salt(df: DataFrame, n_salts: int, col_name: str = "_salt") -> DataFrame
     monotonically_increasing_id spreads them. The salt value is therefore
     not stable across runs — which is fine everywhere salting is valid:
     downstream results (aggregates, join matches) are salt-independent.
-    Declared oracle queries never use salting (purity rule, SURVEY §4.2).
+    Declared oracle queries avoid salting (purity rule, SURVEY §4.2) with
+    one sanctioned exception: q_agg_salted, whose result the algebra makes
+    salt-independent (exact-integer sum-of-sums — see its docstring).
     """
     return df.withColumn(
         col_name,

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -229,3 +230,37 @@ def test_connected_components_matches_union_find(spark, edges):
         for r in connected_components(df, "src", "dst").collect()
     }
     assert got == want
+
+
+def test_funnel_is_monotone_nonincreasing(spark):
+    rows = {r.step: r.users for r in REGISTRY["q_funnel"].fn(spark, SF_SMOKE).collect()}
+    assert rows[1] >= rows[2] >= rows[3] >= 0
+
+
+def test_session_stats_bound_by_events(spark):
+    from correlationapi_spark.io import load_tables
+    ev = load_tables(spark, SF_SMOKE)["events"]
+    per_user = {r.user_id: r.n for r in ev.groupBy("user_id").count()
+                .withColumnRenamed("count", "n").collect()}
+    out = REGISTRY["q_session_stats"].fn(spark, SF_SMOKE).collect()
+    for r in out:
+        # sessions can't outnumber events; mean events per session must
+        # multiply back to the user's event count
+        assert 1 <= r.n_sessions <= per_user[r.user_id]
+        assert r.n_sessions * r.avg_events == pytest.approx(
+            per_user[r.user_id], abs=r.n_sessions * 5e-5
+        )
+        assert r.avg_duration_sec >= 0.0
+
+
+def test_cdc_merge_partitions_key_space(spark):
+    out = REGISTRY["q_cdc_merge"].fn(spark, SF_SMOKE).collect()
+    by_op = {}
+    for r in out:
+        by_op.setdefault(r.op, set()).add(r.o_orderkey)
+    # ops partition the key universe [1, 4000] ∩ existing keys
+    seen = set().union(*by_op.values())
+    assert len(seen) == len(out)  # each key classified exactly once
+    assert all(k > 3000 for k in by_op.get("insert", ()))
+    assert all(k <= 1000 for k in by_op.get("delete", ()))
+    assert all(1000 < k <= 3000 and k % 7 == 0 for k in by_op.get("update", ()))

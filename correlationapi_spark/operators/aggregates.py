@@ -479,3 +479,45 @@ def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("_pc"),
         ],
     )
+
+
+@query(
+    "q_agg_weighted",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
+                 / CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
+                 / 100.0
+                 AS wavg_price,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                 AS total_qty
+        FROM lineitem
+        GROUP BY 1
+    """,
+    doc="Quantity-weighted average price per returnflag via exact "
+    "integer accumulation.",
+)
+def q_agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mean Σwx/Σw — the unit-economics aggregate (price per
+    unit actually shipped, not per line). Both sums run in exact integer
+    units (price in cents × integer quantity; quantities in the fixture
+    are whole numbers, asserted by round()), so any accumulation order
+    yields the same bits and ONE double division at the end is
+    deterministic on both engines — no round() call needed on the ratio.
+    Same partial/final one-exchange shape as every grouped sum here."""
+    t = load_tables(spark, sf_dir)
+    qty = F.round(F.col("l_quantity"), 0).cast("long")
+    units = cents("l_extendedprice") * qty
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            (
+                F.sum(units.cast("decimal(38,0)")).cast("double")
+                / F.sum(qty.cast("decimal(38,0)")).cast("double")
+                / F.lit(100.0)
+            ).alias("wavg_price"),
+            F.sum(qty).alias("total_qty"),
+        )
+    )

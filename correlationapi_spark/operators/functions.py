@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..io import load_tables
 from ..registry import query
@@ -467,5 +468,47 @@ def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_to_number(
                 F.substring("o_orderpriority", 1, 1), F.lit("9")
             ).cast("int").alias("prio_digit"),
+        )
+    )
+
+
+@query(
+    "q_fn_bitwise",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderkey & 255                    AS low_byte,
+               o_orderkey | 4096                   AS with_flag,
+               xor(o_orderkey, 1431655765)         AS mixed,
+               o_orderkey << 2                     AS shifted_l,
+               o_orderkey >> 3                     AS shifted_r,
+               count(*) FILTER (o_orderkey & 1 = 1) OVER () AS n_odd
+        FROM orders
+        WHERE o_orderkey <= 1000
+    """,
+    doc="Bitwise scalar family: and/or/xor/shifts (flag fields, hash "
+    "mixing, bucket masks).",
+)
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit manipulation — the substrate of flag columns, bloom/bucket
+    masks and hash mixing. Pure map-side int64 ops, identical two's-
+    complement semantics on both engines (Spark's shiftleft/shiftright
+    are Java <</>>; DuckDB's <</>> match on in-range BIGINTs). The lone
+    window (a global count_if of odd keys) rides the 1000-row filtered
+    slice, exercising aggregate-over-bitpredicate."""
+    t = load_tables(spark, sf_dir)
+    k = F.col("o_orderkey")
+    return (
+        t["orders"]
+        .filter(k <= 1000)
+        .select(
+            "o_orderkey",
+            k.bitwiseAND(F.lit(255)).alias("low_byte"),
+            k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+            k.bitwiseXOR(F.lit(1431655765)).alias("mixed"),
+            F.shiftleft(k, 2).alias("shifted_l"),
+            F.shiftright(k, 3).alias("shifted_r"),
+            F.count_if((k.bitwiseAND(F.lit(1)) == 1)).over(
+                Window.partitionBy()
+            ).alias("n_odd"),
         )
     )

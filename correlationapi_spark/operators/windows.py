@@ -297,3 +297,49 @@ def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cum_dist"),
     )
+
+
+@query(
+    "q_win_median",
+    oracle="""
+        SELECT event_id, event_type,
+               round(median(value) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND CURRENT ROW), 6)
+                   AS rolling_median,
+               count(*) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND CURRENT ROW) AS n_win
+        FROM events
+    """,
+    doc="Rolling median over a bounded trailing frame per event type.",
+)
+def q_win_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median — the robust-baseline twin of q_anomaly's rolling
+    mean (a median baseline shrugs off the very outliers you're hunting).
+
+    Spark rejects ordered-set aggregates (median/percentile) over a
+    window FRAME, so the frame's ≤21 values are collected and sorted
+    per row — bounded state, still one window pass, parallel across
+    event_type partitions (this is exactly the state a native rolling
+    median would keep; at 100 TB the cost is the frame size, never the
+    history length). DuckDB uses its native framed median. Even counts
+    average the two middle doubles — the same IEEE halving on both
+    engines ((x+x)/2 == x keeps odd counts exact); round 6 guards the
+    reorder ulp."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, 0)
+    )
+    arr = F.sort_array(F.collect_list("value").over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round((lo + hi) / 2.0, 6).alias("rolling_median"),
+        n.alias("n_win"),
+    )

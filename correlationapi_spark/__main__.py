@@ -11,6 +11,8 @@ Commands:
             [--group-by COL] [--format parquet|csv|json]
   matrix    --data PATH [--vars a,b,c] [--method ...]
   lagged    --data PATH --time COL --value COL [--lag N] [--grain day]
+  partial   --data PATH --x COL --y COL --control COL [--group-by COL]
+  xcorr     --data PATH --time COL --x COL --y COL [--max-lag N] [--grain day]
   serve     [--host H] [--port P]             # REST listener (http_api.py)
   query     --key q_name [--sf-dir DIR]      # run a declared inventory key
   keys                                        # list the declared inventory
@@ -66,6 +68,21 @@ def main(argv: list[str] | None = None) -> int:
     lg.add_argument("--lag", type=int, default=1)
     lg.add_argument("--grain", default="day")
 
+    pc = sub.add_parser("partial", help="partial correlation corr(x, y | control)")
+    add_data(pc)
+    pc.add_argument("--x", required=True)
+    pc.add_argument("--y", required=True)
+    pc.add_argument("--control", required=True)
+    pc.add_argument("--group-by", default=None)
+
+    xc = sub.add_parser("xcorr", help="lead-lag cross-correlation of two series")
+    add_data(xc)
+    xc.add_argument("--time", required=True)
+    xc.add_argument("--x", required=True)
+    xc.add_argument("--y", required=True)
+    xc.add_argument("--max-lag", type=int, default=3)
+    xc.add_argument("--grain", default="day")
+
     q = sub.add_parser("query", help="run a declared inventory key")
     q.add_argument("--key", required=True)
     q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -117,6 +134,12 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "matrix":
             variables = args.vars.split(",") if args.vars else None
             res = api.correlation_matrix("ds", variables, method=args.method)
+        elif args.cmd == "partial":
+            res = api.partial_correlation("ds", args.x, args.y, args.control,
+                                          group_by=args.group_by)
+        elif args.cmd == "xcorr":
+            res = api.cross_correlation("ds", args.time, args.x, args.y,
+                                        max_lag=args.max_lag, grain=args.grain)
         else:
             res = api.lagged_correlation("ds", args.time, args.value,
                                          lag=args.lag, grain=args.grain)

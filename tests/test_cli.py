@@ -1,0 +1,64 @@
+"""CLI smoke tests: every subcommand prints one JSON document and exits 0.
+
+main(argv) runs in-process; _spark() resolves to the session fixture's
+JVM via getOrCreate, so these are cheap."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from correlationapi_spark.__main__ import main
+
+from .conftest import SF_SMOKE
+
+
+def _run(capsys, argv):
+    rc = main(argv)
+    out = capsys.readouterr().out
+    # `keys` pretty-prints over many lines; everything else is one line —
+    # parse from the first JSON opener either way
+    return rc, json.loads(out[out.index("{"):])
+
+
+def test_cli_correlate(spark, capsys):
+    rc, res = _run(capsys, [
+        "correlate", "--data", os.path.join(SF_SMOKE, "lineitem.parquet"),
+        "--x", "l_quantity", "--y", "l_extendedprice",
+    ])
+    assert rc == 0 and -1.0 <= res["correlation"] <= 1.0
+
+
+def test_cli_partial_and_xcorr(spark, capsys):
+    rc, res = _run(capsys, [
+        "partial", "--data", os.path.join(SF_SMOKE, "lineitem.parquet"),
+        "--x", "l_quantity", "--y", "l_extendedprice",
+        "--control", "l_discount",
+    ])
+    assert rc == 0 and "partial_correlation" in res
+
+    rc, res = _run(capsys, [
+        "xcorr", "--data", os.path.join(SF_SMOKE, "events.parquet"),
+        "--time", "ts", "--x", "value", "--y", "value", "--max-lag", "1",
+    ])
+    assert rc == 0 and res["lags"]["0"]["correlation"] == 1.0
+
+
+def test_cli_query_and_keys(spark, capsys):
+    rc, res = _run(capsys, ["query", "--key", "q_agg_mode",
+                            "--sf-dir", SF_SMOKE, "--limit", "5"])
+    assert rc == 0 and res["n_shown"] >= 1
+
+    rc, res = _run(capsys, ["keys"])
+    assert rc == 0 and "q_flagship" in res
+
+
+def test_cli_error_paths(spark, capsys):
+    rc, res = _run(capsys, [
+        "correlate", "--data", os.path.join(SF_SMOKE, "lineitem.parquet"),
+        "--x", "nope", "--y", "l_tax",
+    ])
+    assert rc == 2 and "error" in res
+
+    rc, res = _run(capsys, ["query", "--key", "q_nope"])
+    assert rc == 2 and "error" in res

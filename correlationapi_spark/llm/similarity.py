@@ -189,3 +189,46 @@ def q_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at(v, 1) / norm, 6).alias("first_unit"),
         F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x), 6).alias("vec_sum"),
     )
+
+
+_CENTROID_ORACLE = """
+    WITH flat AS (
+        SELECT label,
+               unnest(range(0, len(embedding))) AS dim,
+               unnest(embedding) AS v
+        FROM embeddings
+    )
+    SELECT label, CAST(dim AS INT) AS dim,
+           round(avg(CAST(v AS DOUBLE)), 6) AS centroid_v,
+           count(*) AS n_vectors
+    FROM flat GROUP BY 1, 2
+"""
+
+
+@query(
+    "q_embed_centroid",
+    oracle=_CENTROID_ORACLE,
+    doc="Per-label embedding centroids (k-means E-step shape), long "
+    "(label, dim, value) format.",
+)
+def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class prototypes / cluster centroids: element-wise mean of the
+    embedding vectors per label — the aggregation inside every k-means
+    iteration, nearest-class-mean classifier, and domain-centroid dedup.
+
+    posexplode flattens (vector → 64 scalar rows) BEFORE the shuffle, so
+    the exchange carries (label, dim, float) triples, never arrays (the
+    round-1 rule: arrays crossing shuffles measured 20×). One
+    partial/final avg over (label, dim) — at 100 TB this is a plain
+    grouped mean of labels×dims cells. Long format keeps every output
+    column scalar (canonicalizer rule); floats are cast to double before
+    averaging on BOTH engines, round 6."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_v"),
+            F.count("*").alias("n_vectors"),
+        )
+    )

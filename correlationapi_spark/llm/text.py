@@ -510,3 +510,60 @@ def q_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(surviving & ~short, 1)).alias("n_kept"),
         )
     )
+
+
+_PERPLEXITY_ORACLE = """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ), vocab AS (
+        SELECT term, count(*) AS cnt FROM tok GROUP BY 1
+    ), total AS (
+        SELECT sum(cnt) AS n FROM vocab
+    )
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           round(avg(-ln(CAST(v.cnt AS DOUBLE) / n)), 4) AS avg_neg_logp
+    FROM tok t JOIN vocab v ON t.term = v.term CROSS JOIN total
+    GROUP BY 1
+"""
+
+
+@query(
+    "q_text_perplexity",
+    oracle=_PERPLEXITY_ORACLE,
+    doc="Unigram-LM perplexity proxy: mean negative log-probability per "
+    "document under the corpus unigram distribution.",
+)
+def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lightest useful language-model quality signal: score each doc
+    by the mean −ln p(token) under the corpus's own unigram distribution
+    (the KenLM-filtering pattern with the n=1 model — outlier docs score
+    high, natural in-domain text low; threshold downstream).
+
+    Two aggregations, both scale-shaped: the vocab build is a
+    partial/final count over distinct terms; the scoring pass re-keys
+    tokens by term to join the vocab (Catalyst/AQE picks broadcast while
+    the vocab fits, shuffle-hash beyond — same logical plan), and the
+    corpus total N rides along as a 1-row cross join, never a driver
+    action (the q_text_tfidf rule). ln() on bit-identical ratios
+    (exact-int division) differs across libm implementations only in the
+    last ulp; the per-doc average is rounded to 4 dp — 10 orders above
+    the drift."""
+    t = load_tables(spark, sf_dir)
+    tok = t["documents"].select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    vocab = tok.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n"))
+    return (
+        tok.join(vocab, "term")
+        .crossJoin(total)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.avg(-F.log(F.col("cnt").cast("double") / F.col("n"))), 4
+            ).alias("avg_neg_logp"),
+        )
+    )

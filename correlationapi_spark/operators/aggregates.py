@@ -521,3 +521,36 @@ def q_agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(qty).alias("total_qty"),
         )
     )
+
+
+@query(
+    "q_agg_hll_merge",
+    rows_only_reason="HLL sketch bytes and estimates are Spark-specific "
+    "(Datasketches HllSketch); no DuckDB twin. Error vs the exact "
+    "distinct count is bounded in tests/test_rowsonly.py.",
+    doc="Two-level HLL: per-nation sketches merged to per-region "
+    "estimates — the reusable pre-aggregated sketch-table pattern.",
+)
+def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-MERGE pattern that makes 100 TB cardinality cheap:
+    build per-fine-grain sketches ONCE (here: distinct customers per
+    nation), store them, and answer any coarser rollup (per region, per
+    anything) by unioning sketch bytes — no rescan of the fact table.
+    approx_count_distinct gives one number; a sketch COLUMN is a
+    re-aggregable asset (the difference between a metric and a data
+    product). Both levels are partial/final aggregates; sketch bytes
+    never exceed ~1.5 KB per group at this precision."""
+    t = load_tables(spark, sf_dir)
+    per_nation = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_regionkey", "n_name")
+        .agg(F.hll_sketch_agg("c_custkey").alias("sk"))
+    )
+    return (
+        per_nation.groupBy("n_regionkey")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers"),
+            F.count("*").alias("n_nations"),
+        )
+    )

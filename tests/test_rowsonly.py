@@ -235,3 +235,26 @@ def test_split_stable_deterministic_and_balanced(spark):
     a = {r.doc_id: r.b for r in docs.select("doc_id", bucket.alias("b")).collect()}
     b = {r.doc_id: r.b for r in docs.repartition(7).select("doc_id", bucket.alias("b")).collect()}
     assert a == b
+
+
+def test_hll_merge_estimate_within_bounds(spark):
+    from correlationapi_spark.io import load_tables
+    import pyspark.sql.functions as F
+
+    out = {
+        r.n_regionkey: r.approx_customers
+        for r in REGISTRY["q_agg_hll_merge"].fn(spark, SF_SMOKE).collect()
+    }
+    t = load_tables(spark, SF_SMOKE)
+    exact = {
+        r.n_regionkey: r.n
+        for r in t["customer"]
+        .join(t["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_regionkey")
+        .agg(F.countDistinct("c_custkey").alias("n"))
+        .collect()
+    }
+    assert set(out) == set(exact)
+    for k, est in out.items():
+        # default lgConfigK=12 → ~1.6% relative standard error; allow 5%
+        assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])

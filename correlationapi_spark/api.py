@@ -185,37 +185,46 @@ class CorrelationAPI:
         return {"dataset": dataset, "method": method, "variables": cols, "matrix": matrix}
 
     def _series(
-        self, dataset: str, time_col: str, value_col: str, grain: str,
-        fill_gaps: bool,
+        self, dataset: str, time_col: str, values: list[tuple[Any, str]],
+        grain: str, fill_gaps: bool,
     ) -> DataFrame:
-        """Grain-aggregated (_t, _v) series, optionally gap-filled.
+        """Grain-aggregated (_t, *aliases) series, optionally gap-filled.
 
+        ``values`` is a list of (value_column, output_alias) — one
+        grouped-avg per entry in a SINGLE aggregation pass, so callers
+        needing two aligned series (cross_correlation) don't scan twice.
         With fill_gaps, missing grain buckets are materialized from a
-        min/max spine and forward-filled — lag-k against a series with
-        silent holes misaligns every subsequent lag (see
-        operators.stats.resample_daily). Spine/join/fill all run on the
-        tiny grain-level series."""
+        min/max spine and every value column forward-filled — lag-k
+        against a series with silent holes misaligns every subsequent lag
+        (see operators.stats.resample_daily). Spine/join/fill all run on
+        the tiny grain-level series."""
         df = self._get(dataset)
         if grain not in _GRAINS:
             raise ValueError(f"unknown grain: {grain!r} (one of {_GRAINS})")
         if time_col not in df.columns:
             raise KeyError(f"unknown variable: {time_col!r}")
-        series = (
-            df.groupBy(F.date_trunc(grain, F.col(time_col)).alias("_t"))
-            .agg(F.avg(self._num(df, value_col)).alias("_v"))
-        )
+        aliases = [a for _, a in values]
+        series = df.groupBy(
+            F.date_trunc(grain, F.col(time_col)).alias("_t")
+        ).agg(*[F.avg(self._num(df, c)).alias(a) for c, a in values])
         if fill_gaps:
             rng = series.agg(F.min("_t").alias("lo"), F.max("_t").alias("hi"))
+            # Spark's interval literal has no QUARTER unit — spell it as
+            # 3 months (date_trunc('quarter') buckets are month-aligned,
+            # so the spine lands exactly on them)
+            step = "interval 3 month" if grain == "quarter" else f"interval 1 {grain}"
             spine = rng.select(
-                F.explode(
-                    F.sequence("lo", "hi", F.expr(f"interval 1 {grain}"))
-                ).alias("_t")
+                F.explode(F.sequence("lo", "hi", F.expr(step))).alias("_t")
             )
             w = Window.orderBy("_t").rowsBetween(
                 Window.unboundedPreceding, Window.currentRow
             )
             series = spine.join(series, "_t", "left").select(
-                "_t", F.last("_v", ignorenulls=True).over(w).alias("_v")
+                "_t",
+                *[
+                    F.last(a, ignorenulls=True).over(w).alias(a)
+                    for a in aliases
+                ],
             )
         return series
 
@@ -233,7 +242,9 @@ class CorrelationAPI:
         The grain aggregation shrinks the series BEFORE the global-order
         lag window, so the single-partition window is over ~one row per
         grain bucket regardless of raw volume (SURVEY.md stats module)."""
-        series = self._series(dataset, time_col, value_col, grain, fill_gaps)
+        series = self._series(
+            dataset, time_col, [(value_col, "_v")], grain, fill_gaps
+        )
         lagged = series.select(
             "_v", F.lag("_v", lag).over(Window.orderBy("_t")).alias("_prev")
         )
@@ -324,30 +335,9 @@ class CorrelationAPI:
         scale rule."""
         if max_lag < 1:
             raise ValueError("max_lag must be >= 1")
-        df = self._get(dataset)
-        if grain not in _GRAINS:
-            raise ValueError(f"unknown grain: {grain!r} (one of {_GRAINS})")
-        if time_col not in df.columns:
-            raise KeyError(f"unknown variable: {time_col!r}")
-        x, y = self._num(df, var_x), self._num(df, var_y)
-        series = df.groupBy(
-            F.date_trunc(grain, F.col(time_col)).alias("_t")
-        ).agg(F.avg(x).alias("_x"), F.avg(y).alias("_y"))
-        if fill_gaps:
-            rng = series.agg(F.min("_t").alias("lo"), F.max("_t").alias("hi"))
-            spine = rng.select(
-                F.explode(
-                    F.sequence("lo", "hi", F.expr(f"interval 1 {grain}"))
-                ).alias("_t")
-            )
-            w = Window.orderBy("_t").rowsBetween(
-                Window.unboundedPreceding, Window.currentRow
-            )
-            series = spine.join(series, "_t", "left").select(
-                "_t",
-                F.last("_x", ignorenulls=True).over(w).alias("_x"),
-                F.last("_y", ignorenulls=True).over(w).alias("_y"),
-            )
+        series = self._series(
+            dataset, time_col, [(var_x, "_x"), (var_y, "_y")], grain, fill_gaps
+        )
         indexed = series.withColumn(
             "_i", F.row_number().over(Window.orderBy("_t"))
         )
@@ -394,7 +384,9 @@ class CorrelationAPI:
         warm-up rows. All windows run on the grain-level series."""
         if window < 2:
             raise ValueError("window must be >= 2")
-        series = self._series(dataset, time_col, value_col, grain, fill_gaps)
+        series = self._series(
+            dataset, time_col, [(value_col, "_v")], grain, fill_gaps
+        )
         lagged = series.select(
             "_t", "_v",
             F.lag("_v", lag).over(Window.orderBy("_t")).alias("_prev"),

@@ -28,6 +28,24 @@ from ..io import load_tables
 from ..numerics import exact_money_sum, oracle_revenue_sum, revenue_cents
 from ..registry import query
 
+def _guarded_corr(x, y):
+    """round-6 Pearson corr that yields NULL (like DuckDB's corr()) on a
+    zero-variance slice instead of Spark 4's ANSI DIVIDE_BY_ZERO throw.
+
+    covar_samp/(sx·sy) is algebraically F.corr (the (n−1) factors
+    cancel); the when() guard covers the degenerate frame. Used where a
+    sliced/lagged aggregation can plausibly hit a constant window
+    (q_corr_xcorr's per-lag slices); the full-table keys keep plain
+    F.corr, matching their r01-green form on the non-degenerate fixture.
+    Same formula as api._safe_corr minus the null-masking (inputs here
+    are already pairwise-complete by construction).
+    """
+    sx, sy = F.stddev_samp(x), F.stddev_samp(y)
+    return F.round(
+        F.when((sx > 0) & (sy > 0), F.covar_samp(x, y) / (sx * sy)), 6
+    )
+
+
 _FLAGSHIP_ORACLE = f"""
     SELECT
         r.r_name                                              AS region_name,
@@ -221,33 +239,14 @@ def avg_rank_table(df: DataFrame, col: str, alias: str) -> DataFrame:
     the value — a shuffle/broadcast join Catalyst is free to choose, in
     place of a sort nothing can parallelize. NULL values, like rank(),
     sort first; pre-filter them if NULL should not receive a rank.
+
+    Implementation: the single shared range-partitioned core in
+    grouped_avg_rank_table, run under one constant group (the constant
+    adds nothing to the range key or the tiny offsets windows).
     """
-    c = F.col(col)
-    counts = df.groupBy(c.alias("_v")).agg(F.count("*").alias("_cnt"))
-    ranged = counts.repartitionByRange(F.col("_v")).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    w_in = (
-        Window.partitionBy("_pid")
-        .orderBy("_v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    ranged = ranged.withColumn("_cum_in", F.sum("_cnt").over(w_in))
-    totals = ranged.groupBy("_pid").agg(F.sum("_cnt").alias("_ptot"))
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.withColumn(
-        "_off", F.coalesce(F.sum("_ptot").over(w_off), F.lit(0)).cast("bigint")
-    )
-    return (
-        ranged.join(F.broadcast(offsets.select("_pid", "_off")), "_pid")
-        .select(
-            F.col("_v").alias(col),
-            (
-                F.col("_off") + F.col("_cum_in") - F.col("_cnt")
-                + (F.col("_cnt") + 1) / 2.0
-            ).alias(alias),
-        )
-    )
+    return grouped_avg_rank_table(
+        df.withColumn("_g1", F.lit(1)), "_g1", col, alias
+    ).drop("_g1")
 _SPEARMAN_ORACLE = """
     WITH ranked AS (
         SELECT
@@ -523,7 +522,7 @@ def q_corr_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(b, F.col("b.dn") == F.col("a.dn") + F.col("lag"))
         .groupBy("lag")
         .agg(
-            F.round(F.corr(F.col("a.x"), F.col("b.y")), 6).alias("xcorr"),
+            _guarded_corr(F.col("a.x"), F.col("b.y")).alias("xcorr"),
             F.count(
                 F.when(F.col("a.x").isNotNull() & F.col("b.y").isNotNull(), 1)
             ).alias("n_pairs"),

@@ -127,7 +127,11 @@ _MODULE_PRIORITY: dict[str, int] = {
     "correlationapi_spark.llm.multimodal": 6,
     "correlationapi_spark.streaming.queries": 7,
     "correlationapi_spark.udfs": 8,
-    "correlationapi_spark.operators.composed": 9,
+    # analytics is a brand-new fixture surface (funnel/retention/CDC) —
+    # higher verification value than composed's standard TPC-H shapes,
+    # which are low-risk siblings of green relational keys
+    "correlationapi_spark.operators.analytics": 9,
+    "correlationapi_spark.operators.composed": 10,
 }
 _PRIORITY_FLOOR = len(_MODULE_PRIORITY)
 

@@ -246,3 +246,17 @@ def test_partial_correlation_removes_confound(api, spark):
     assert raw > 0.99
     assert abs(part["partial_correlation"]) < 0.3
     assert part["n"] == 60
+
+
+def test_fill_gaps_quarter_grain_does_not_crash(api):
+    # Spark has no QUARTER interval literal; the spine steps 3 months
+    # (every _GRAINS member must work with fill_gaps — review finding r02)
+    out = api.lagged_correlation(
+        "events", "ts", "value", grain="quarter", fill_gaps=True
+    )
+    assert out["grain"] == "quarter"
+    xc = api.cross_correlation(
+        "events", "ts", "value", "value", max_lag=1,
+        grain="quarter", fill_gaps=True,
+    )
+    assert "lags" in xc

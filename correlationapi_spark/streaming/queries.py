@@ -276,3 +276,81 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_type").alias("distinct_types"),
         F.max("ts").alias("last_seen"),
     )
+
+
+def _corr_sufficient(ev: DataFrame) -> DataFrame:
+    """Running Pearson corr(value, hour-of-day) per event_type from
+    SUFFICIENT STATISTICS — the streaming form of the namesake.
+
+    Structured Streaming's incremental planner supports sum/count
+    aggregates but not corr() itself, so the six raw moments (n, Σx, Σy,
+    Σxy, Σx², Σy²) are the STATE — each microbatch merges partial sums,
+    and the coefficient is a stateless projection on top:
+
+        corr = (nΣxy − ΣxΣy) / √(nΣx² − (Σx)²) / √(nΣy² − (Σy)²)
+
+    The when() guard yields NULL on zero variance (ANSI-safe), and the
+    result is rounded to 6 dp — the raw-moment formula accumulates in a
+    different order on each engine/microbatch partitioning, but the
+    cancellation error (~1e-10 relative at fixture magnitudes) sits 4
+    orders below the rounding cell (numerics.py rule 3). This is exactly
+    how an incremental correlation service keeps state bounded: 6 doubles
+    per key, independent of history length."""
+    x = F.col("value")
+    y = F.hour("ts").cast("double")
+    m = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(x * y).alias("sxy"),
+            F.sum(x * x).alias("sxx"),
+            F.sum(y * y).alias("syy"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    corr = F.when(
+        (varx > 0) & (vary > 0),
+        (n * sxy - sx * sy) / (F.sqrt(varx) * F.sqrt(vary)),
+    )
+    return m.select(
+        "event_type",
+        F.round(corr, 6).alias("corr_value_hour"),
+        n.cast("bigint").alias("n_events"),
+    )
+
+
+@query(
+    "q_stream_corr",
+    oracle="""
+        WITH m AS (
+            SELECT event_type,
+                   CAST(count(*) AS DOUBLE) AS n,
+                   sum(value)                               AS sx,
+                   sum(CAST(extract(hour FROM ts) AS DOUBLE)) AS sy,
+                   sum(value * CAST(extract(hour FROM ts) AS DOUBLE)) AS sxy,
+                   sum(value * value)                       AS sxx,
+                   sum(CAST(extract(hour FROM ts) AS DOUBLE)
+                       * CAST(extract(hour FROM ts) AS DOUBLE)) AS syy
+            FROM events GROUP BY 1
+        )
+        SELECT event_type,
+               round(CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+                          THEN (n*sxy - sx*sy)
+                               / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
+                     END, 6) AS corr_value_hour,
+               CAST(n AS BIGINT) AS n_events
+        FROM m
+    """,
+    doc="Incremental Pearson correlation per event_type from streaming-"
+    "mergeable sufficient statistics (batch-equivalent declared form).",
+)
+def q_stream_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _corr_sufficient(load_tables(spark, sf_dir)["events"])
+
+
+q_stream_corr.builder = _corr_sufficient

@@ -45,6 +45,7 @@ def _sorted_rows(df, cols):
         ("q_stream_tumbling", SQ._tumbling),
         ("q_stream_sliding", SQ._sliding),
         ("q_stream_session", SQ._session),
+        ("q_stream_corr", SQ._corr_sufficient),
     ],
 )
 def test_streaming_equals_batch(spark, chunk_dir, key, builder):

@@ -86,3 +86,51 @@ def q_sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(bucket % 100 < 10)
         .select("doc_id", "source")
     )
+
+
+@query(
+    "q_domain_mix",
+    oracle="""
+        WITH actual AS (
+            SELECT source,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_tokens
+            FROM documents GROUP BY 1
+        ), total AS (SELECT sum(n_tokens) AS n FROM actual)
+        SELECT source, n_tokens,
+               round(CAST(n_tokens AS DOUBLE) / n, 6)        AS actual_frac,
+               round(0.2 / (CAST(n_tokens AS DOUBLE) / n), 6) AS weight
+        FROM actual CROSS JOIN total
+    """,
+    doc="Training-mixture reweighting: per-source token share vs a "
+    "uniform target, emitted as sampling weights.",
+)
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/source mixing — the knob every corpus build turns last:
+    measure each source's actual token share, emit weight =
+    target_share / actual_share so a weighted sampler (compose with
+    q_sample_fraction's hash cut, scaled per source) reproduces the
+    target mixture. The 20% target share is a demo constant (weights > 1
+    mean upsample — the fixture has 20 sources, so every weight here is
+    an upsample); a real run passes its own per-source mixture table.
+
+    One aggregation over the corpus (token counts sum map-side), a 1-row
+    total cross-joined in-plan (never a driver action), and a projection.
+    Weights are int/int ratios → identical doubles; round 6."""
+    t = load_tables(spark, sf_dir)
+    actual = (
+        t["documents"]
+        .groupBy("source")
+        .agg(F.sum(F.size(F.split("text", " "))).alias("n_tokens"))
+    )
+    total = actual.agg(F.sum("n_tokens").alias("n"))
+    frac = F.col("n_tokens").cast("double") / F.col("n")
+    return (
+        actual.crossJoin(total)
+        .select(
+            "source",
+            "n_tokens",
+            F.round(frac, 6).alias("actual_frac"),
+            F.round(F.lit(0.2) / frac, 6).alias("weight"),
+        )
+    )

@@ -123,10 +123,14 @@ _MODULE_PRIORITY: dict[str, int] = {
     "correlationapi_spark.llm.dedup": 2,
     "correlationapi_spark.llm.similarity": 3,
     "correlationapi_spark.llm.text": 4,
-    "correlationapi_spark.llm.sampling": 5,
-    "correlationapi_spark.llm.multimodal": 6,
-    "correlationapi_spark.streaming.queries": 7,
-    "correlationapi_spark.udfs": 8,
+    "correlationapi_spark.llm.multimodal": 5,
+    "correlationapi_spark.streaming.queries": 6,
+    # udfs BEFORE sampling: the UDF family is the highest-residual-risk
+    # surface (worker pickling, Arrow batches) and must not be displaced
+    # from the driver's capped sweep by later low-risk additions;
+    # sampling keys are pure hash/filter logic
+    "correlationapi_spark.udfs": 7,
+    "correlationapi_spark.llm.sampling": 8,
     # analytics is a brand-new fixture surface (funnel/retention/CDC) —
     # higher verification value than composed's standard TPC-H shapes,
     # which are low-risk siblings of green relational keys

@@ -88,3 +88,17 @@ def test_orc_roundtrip(spark):
         assert "PushedFilters: [IsNotNull(s_suppkey), LessThan(s_suppkey,5)]" in plan
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_sf_dir_switch_reregisters_views(spark):
+    # one session, two scale dirs: load_tables must re-point the temp
+    # views (a stale registration would silently serve the old scale —
+    # the verify-skill gotcha). Row counts differ 10× between dirs.
+    n_small = load_tables(spark, "/root/testdata/sf0.001")["orders"].count()
+    assert spark.sql("SELECT count(*) AS n FROM orders").collect()[0].n == n_small
+    n_big = load_tables(spark, "/root/testdata/sf0.01")["orders"].count()
+    assert spark.sql("SELECT count(*) AS n FROM orders").collect()[0].n == n_big
+    assert n_big > n_small
+    # and switching BACK also re-registers
+    load_tables(spark, "/root/testdata/sf0.001")
+    assert spark.sql("SELECT count(*) AS n FROM orders").collect()[0].n == n_small

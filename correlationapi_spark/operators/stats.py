@@ -686,3 +686,61 @@ def q_corr_spearman_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_rows"),
         )
     )
+
+
+_SPEARMAN_MATRIX_VARS = ("l_quantity", "l_extendedprice", "l_discount")
+_SPEARMAN_MATRIX_ORACLE = (
+    """
+    WITH ranked AS (
+        SELECT
+            """
+    + ",\n            ".join(
+        f"rank() OVER (ORDER BY {v}) + (count(*) OVER (PARTITION BY {v}) - 1)"
+        f" / 2.0 AS r_{v[2:]}"
+        for v in _SPEARMAN_MATRIX_VARS
+    )
+    + """
+        FROM lineitem
+    )
+    SELECT """
+    + ",\n           ".join(
+        f"round(corr(r_{a[2:]}, r_{b[2:]}), 6) AS rho_{a[2:]}_{b[2:]}"
+        for i, a in enumerate(_SPEARMAN_MATRIX_VARS)
+        for b in _SPEARMAN_MATRIX_VARS[i + 1:]
+    )
+    + """,
+           count(*) AS n_rows
+    FROM ranked
+"""
+)
+
+
+@query(
+    "q_corr_matrix_spearman",
+    oracle=_SPEARMAN_MATRIX_ORACLE,
+    doc="All-pairs Spearman matrix: per-variable range-partitioned rank "
+    "tables joined once, k(k-1)/2 rank-corr aggregates in one pass.",
+)
+def q_corr_matrix_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rank-method matrix (monotone association, outlier-robust —
+    the reference's second correlation method at matrix scope). Each
+    variable's average-rank column comes from its avg_rank_table — k
+    small (value → rank) lookups joined back on the value — so the plan
+    is k distinct-value aggregations + k joins + ONE final aggregation
+    computing all k(k−1)/2 coefficients; never a global-order rank
+    window (the round-1 scale-killer), never per-pair rescans. Identical
+    average-rank algebra to q_corr_spearman, verified against the
+    oracle's window spelling."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select(*_SPEARMAN_MATRIX_VARS)
+    ranked = li
+    for v in _SPEARMAN_MATRIX_VARS:
+        ranked = ranked.join(avg_rank_table(li, v, f"r_{v[2:]}"), v)
+    aggs = [
+        F.round(F.corr(f"r_{a[2:]}", f"r_{b[2:]}"), 6).alias(
+            f"rho_{a[2:]}_{b[2:]}"
+        )
+        for i, a in enumerate(_SPEARMAN_MATRIX_VARS)
+        for b in _SPEARMAN_MATRIX_VARS[i + 1:]
+    ]
+    return ranked.agg(*aggs, F.count("*").alias("n_rows"))

@@ -171,9 +171,14 @@ def test_no_cartesian_or_giant_single_partition_anywhere(spark):
     tiny by-design relations: global-agg results, per-range-partition
     offset tables, 1-row funnel stage counts — never a fact relation;
     the per-key tests above pin the tighter budgets)."""
+    # per-key allowances above the default 3 — each extra exchange is a
+    # named tiny relation, never a fact table:
+    #   q_corr_matrix_spearman: k=3 rank-table offset tables (≤ one row
+    #   per range partition each) + the 1-row global corr aggregate
+    budget = {"q_corr_matrix_spearman": 4}
     for key, spec in REGISTRY.items():
         plan = REGISTRY[key].fn(spark, SF_SMOKE)._jdf.queryExecution()\
             .executedPlan().toString()
         assert "CartesianProduct" not in plan, key
         n = plan.count("Exchange SinglePartition")
-        assert n <= 3, (key, n)
+        assert n <= budget.get(key, 3), (key, n)

@@ -45,6 +45,7 @@ _MODULES = (
     "correlationapi_spark.operators.setops",
     "correlationapi_spark.operators.functions",
     "correlationapi_spark.operators.stats",
+    "correlationapi_spark.operators.rollup",
     "correlationapi_spark.operators.analytics",
     "correlationapi_spark.operators.composed",
     "correlationapi_spark.llm.dedup",

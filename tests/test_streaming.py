@@ -249,3 +249,48 @@ def test_transform_with_state_in_pandas(spark, chunk_dir):
     assert _sorted_rows(final, ["user_id", "total_events"]) == _sorted_rows(
         batch, ["user_id", "total_events"]
     )
+
+
+def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
+    """Exactly-once across a stop/restart: run the stream with a
+    checkpoint to a parquet sink, then add NEW source files and run
+    again with the SAME checkpoint — the sink must contain every source
+    row exactly once (no re-emission of batch-1 files, no gaps)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+    from correlationapi_spark.io import SCHEMAS, load_tables
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    ev = load_tables(spark, SF_SMOKE)["events"]
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    first.write.mode("overwrite").parquet(src)
+
+    schema = T.StructType(
+        [f if f.name != "ts" else T.StructField("ts", T.TimestampType())
+         for f in SCHEMAS["events"]]
+    )
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema).parquet(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == first.count()
+    # "restart": new files land, same checkpoint — only the delta flows
+    second.write.mode("append").parquet(src)
+    run_once()
+    out = spark.read.parquet(sink)
+    assert out.count() == ev.count()                      # no gaps
+    assert out.select("event_id").distinct().count() == ev.count()  # no dupes

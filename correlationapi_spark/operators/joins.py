@@ -349,3 +349,108 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg(F.count("*").alias("n_customers"), F.round(F.avg("c_acctbal"), 4).alias("avg_bal"))
     )
+
+
+_ASOF_NEAREST_ORACLE = """
+    WITH ev AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ), carried AS (
+        SELECT user_id, ts, event_id, is_p,
+               last_value(CASE WHEN is_p = 0 THEN event_id END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, is_p, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS prev_id,
+               last_value(CASE WHEN is_p = 0 THEN ts END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, is_p, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS prev_ts,
+               first_value(CASE WHEN is_p = 0 THEN event_id END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, is_p, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                 AS next_id,
+               first_value(CASE WHEN is_p = 0 THEN ts END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, is_p, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                 AS next_ts
+        FROM ev
+    )
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+           CASE WHEN next_id IS NULL THEN prev_id
+                WHEN prev_id IS NULL THEN next_id
+                WHEN epoch_us(ts) - epoch_us(prev_ts)
+                     <= epoch_us(next_ts) - epoch_us(ts) THEN prev_id
+                ELSE next_id END AS nearest_click_id
+    FROM carried WHERE is_p = 1
+"""
+
+
+@query(
+    "q_join_asof_nearest",
+    oracle=_ASOF_NEAREST_ORACLE,
+    doc="Nearest-mode as-of join: the click temporally closest to each "
+    "purchase (backward OR forward), per user, ties to backward.",
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The other as-of direction mode (sensor/series alignment semantics:
+    'nearest', vs q_join_asof's 'backward'). Same scale-correct shape —
+    union both sides, ONE shuffle on user_id, then TWO ordered carries
+    over the same window order: last click at-or-before (carry-forward,
+    ignore nulls) and first click strictly-after (carry-backward). The
+    nearest pick compares exact integer epoch-micros distances; equal
+    distances resolve backward — a stated, engine-independent rule. The
+    (ts, is_p, event_id) order makes same-timestamp clicks 'previous'
+    (distance 0, backward wins), so inclusivity matches q_join_asof.
+    No per-row range join — O(n log n) per user key at any scale."""
+    t = load_tables(spark, sf_dir)
+    ev = (
+        t["events"]
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_p"),
+        )
+    )
+    order = [F.col("ts"), F.col("is_p"), F.col("event_id")]
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    click_id = F.when(F.col("is_p") == 0, F.col("event_id"))
+    click_ts = F.when(F.col("is_p") == 0, F.col("ts"))
+    carried = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "is_p",
+        F.last(click_id, ignorenulls=True).over(back).alias("prev_id"),
+        F.last(click_ts, ignorenulls=True).over(back).alias("prev_ts"),
+        F.first(click_id, ignorenulls=True).over(fwd).alias("next_id"),
+        F.first(click_ts, ignorenulls=True).over(fwd).alias("next_ts"),
+    )
+    d_prev = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts"))
+    d_next = F.unix_micros(F.col("next_ts")) - F.unix_micros(F.col("ts"))
+    nearest = (
+        F.when(F.col("next_id").isNull(), F.col("prev_id"))
+        .when(F.col("prev_id").isNull(), F.col("next_id"))
+        .when(d_prev <= d_next, F.col("prev_id"))
+        .otherwise(F.col("next_id"))
+    )
+    return (
+        carried.filter(F.col("is_p") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            nearest.alias("nearest_click_id"),
+        )
+    )

@@ -343,3 +343,61 @@ def q_win_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((lo + hi) / 2.0, 6).alias("rolling_median"),
         n.alias("n_win"),
     )
+
+
+@query(
+    "q_win_share",
+    oracle="""
+        WITH per_nation AS (
+            SELECT r_name, n_name,
+                   CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS bal_cents
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY 1, 2
+        )
+        SELECT r_name, n_name,
+               round(bal_cents / 100.0, 2) AS nation_bal,
+               round(CAST(bal_cents AS DOUBLE)
+                     / sum(bal_cents) OVER (PARTITION BY r_name), 6)
+                   AS share_of_region,
+               round(CAST(bal_cents AS DOUBLE)
+                     / sum(bal_cents) OVER (), 6) AS share_of_total
+        FROM per_nation
+    """,
+    doc="Share-of-total ratios: each nation's balance as a fraction of "
+    "its region and of the grand total (window-over-aggregate).",
+)
+def q_win_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The percent-of-parent OLAP idiom: aggregate once, then window
+    sums over the AGGREGATED relation give each row its denominator —
+    never a second scan or a self-join against the totals. The windows
+    run over groups-level rows (≤ nations), so the unpartitioned
+    grand-total window is a single tiny exchange by construction.
+    Balances sum as exact integer cents (numerics rule 2 — c_acctbal is
+    2 dp); the share divisions see bit-identical integer operands on
+    both engines, rounded at 6."""
+    t = load_tables(spark, sf_dir)
+    from ..numerics import cents
+
+    per_nation = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(cents("c_acctbal")).alias("bal_cents"))
+    )
+    w_region = Window.partitionBy("r_name")
+    w_all = Window.partitionBy()
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        F.round(F.col("bal_cents") / 100.0, 2).alias("nation_bal"),
+        F.round(
+            F.col("bal_cents").cast("double") / F.sum("bal_cents").over(w_region), 6
+        ).alias("share_of_region"),
+        F.round(
+            F.col("bal_cents").cast("double") / F.sum("bal_cents").over(w_all), 6
+        ).alias("share_of_total"),
+    )

@@ -454,3 +454,83 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             nearest.alias("nearest_click_id"),
         )
     )
+
+
+_INTERVAL_ORACLE = """
+    WITH p AS (
+        SELECT user_id, event_id AS purchase_id,
+               epoch_us(ts) AS s_us, epoch_us(ts) + 600000000 AS e_us
+        FROM events WHERE event_type = 'purchase'
+    ), er AS (
+        SELECT user_id, event_id AS error_id,
+               epoch_us(ts) AS s_us, epoch_us(ts) + 600000000 AS e_us
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT p.user_id, p.purchase_id, er.error_id,
+           least(p.e_us, er.e_us) - greatest(p.s_us, er.s_us) AS overlap_us
+    FROM p JOIN er ON p.user_id = er.user_id
+                  AND p.s_us < er.e_us AND er.s_us < p.e_us
+"""
+
+
+@query(
+    "q_join_interval",
+    oracle=_INTERVAL_ORACLE,
+    doc="Interval-overlap join (10-min windows after purchases × errors "
+    "per user) via bin bucketing — equi-join, not a theta join.",
+)
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The temporal interval×interval join (strict overlap: a.s < b.e ∧
+    b.s < a.e) — 'which errors coincided with a purchase window'. A
+    naive theta join is O(|A|·|B|) per user; the scale plan BUCKETIZES
+    time into bins the size of the max interval (10 min), explodes each
+    interval to the 1–2 bins it touches, equi-joins on (user_id, bin) —
+    candidates are only pairs sharing a bin, which strict overlap
+    requires — then filters the exact condition and dedupes pairs that
+    met in both bins. Candidate count is bounded by true temporal
+    density, never |A|×|B|; the oracle keeps the plain theta spelling
+    (same rows, single-node-appropriate). All arithmetic in exact
+    integer epoch-micros."""
+    ev = load_tables(spark, sf_dir)["events"]
+    width = 600000000  # 10 min in µs — also the bin width
+
+    def intervals(etype: str, id_alias: str) -> DataFrame:
+        s = F.unix_micros(F.col("ts"))
+        return ev.filter(F.col("event_type") == etype).select(
+            "user_id",
+            F.col("event_id").alias(id_alias),
+            s.alias("s_us"),
+            (s + width).alias("e_us"),
+        )
+
+    def binned(df: DataFrame) -> DataFrame:
+        # an interval [s, e) touches bins s div W .. (e-1) div W
+        return df.withColumn(
+            "bin",
+            F.explode(
+                F.sequence(
+                    F.expr(f"s_us div {width}"), F.expr(f"(e_us - 1) div {width}")
+                )
+            ),
+        )
+
+    p = binned(intervals("purchase", "purchase_id")).alias("p")
+    er = (
+        binned(intervals("error", "error_id"))
+        .withColumnsRenamed({"s_us": "b_s", "e_us": "b_e"})
+        .alias("er")
+    )
+    return (
+        p.join(er, ["user_id", "bin"])
+        .filter((F.col("s_us") < F.col("b_e")) & (F.col("b_s") < F.col("e_us")))
+        .select(
+            "user_id",
+            "purchase_id",
+            "error_id",
+            (
+                F.least(F.col("e_us"), F.col("b_e"))
+                - F.greatest(F.col("s_us"), F.col("b_s"))
+            ).alias("overlap_us"),
+        )
+        .distinct()
+    )

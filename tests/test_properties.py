@@ -264,3 +264,60 @@ def test_cdc_merge_partitions_key_space(spark):
     assert all(k > 3000 for k in by_op.get("insert", ()))
     assert all(k <= 1000 for k in by_op.get("delete", ()))
     assert all(1000 < k <= 3000 and k % 7 == 0 for k in by_op.get("update", ()))
+
+
+@given(
+    st.lists(
+        st.decimals(
+            min_value="-99999.99", max_value="99999.99", places=2
+        ).map(float),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_exact_cents_sum_matches_decimal_truth(spark, data):
+    """numerics.py rule 2 property: for ANY 2 dp inputs, the cents-path
+    sum equals the exact decimal truth bit-for-bit (no accumulation
+    drift), which is the whole cross-engine determinism argument."""
+    from decimal import Decimal
+
+    from correlationapi_spark.numerics import cents, exact_money_sum
+
+    df = spark.createDataFrame([(v,) for v in data], "v double")
+    got = df.agg(exact_money_sum(cents("v"), 100.0).alias("s")).collect()[0].s
+    truth = float(sum(Decimal(f"{v:.2f}") for v in data))
+    assert got == truth  # exact equality, not approx
+
+
+@given(
+    st.lists(
+        st.decimals(min_value="0.00", max_value="0.10", places=2).map(float),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_revenue_cents_product_grid_is_exact(spark, data):
+    """Rule-2 extension: sums of price×(1−discount) products in integer
+    cents equal the exact Decimal computation for any 2 dp inputs —
+    including the x.xx5 half-boundary points where double rounding
+    diverges across engines."""
+    from decimal import Decimal
+
+    from correlationapi_spark.numerics import exact_money_sum, revenue_cents
+
+    rows = [(100.05 + i, d) for i, d in enumerate(data)]
+    df = spark.createDataFrame(rows, "l_extendedprice double, l_discount double")
+    got = df.agg(
+        exact_money_sum(revenue_cents(), 10000.0).alias("s")
+    ).collect()[0].s
+    truth = float(
+        sum(
+            Decimal(f"{p:.2f}") * (1 - Decimal(f"{d:.2f}"))
+            for p, d in rows
+        )
+    )
+    assert got == truth

@@ -57,13 +57,14 @@ _MODULES = (
     "correlationapi_spark.udfs",
 )
 
-# Keys with a green verdict in the driver's CORRECTNESS_r01.json (47
-# hash-matches + 2 by-design rows-only). The round-1 driver consumed the
-# registry in order and stopped after 50 keys, so load_registry() pushes
-# these to the END: keys still awaiting a driver verdict (the correlation
-# family, LLM, streaming, UDF, composed) plus the repaired q_agg_collect
-# surface first. Extend this set as later rounds turn more keys green.
+# Keys with a green verdict in a prior round's driver CORRECTNESS file
+# (r01: 47 hash-matches + 2 by-design rows-only; r02: 50 more, all green —
+# see CORRECTNESS_r01.json / CORRECTNESS_r02.json). The driver consumes the
+# registry in order and caps each sweep at 50 keys, so load_registry()
+# pushes these to the END: keys still awaiting any driver verdict come
+# first. Extend this set each round as the driver turns more keys green.
 _DRIVER_GREEN: frozenset[str] = frozenset({
+    # --- round 1 (CORRECTNESS_r01.json) ---
     "q_scan_parquet", "q_scan_pruned",
     "q_project_arith", "q_filter_cmp", "q_filter_bool", "q_filter_in",
     "q_filter_between", "q_filter_like", "q_filter_null", "q_case_when",
@@ -80,6 +81,25 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "q_sort_multi", "q_limit_topk",
     "q_set_union", "q_set_intersect", "q_set_except", "q_distinct",
     "q_fn_string", "q_fn_date",
+    # --- round 2 (CORRECTNESS_r02.json, 50/50 green) ---
+    "q_agg_collect", "q_agg_histogram", "q_agg_salted", "q_agg_weighted",
+    "q_flagship", "q_agg_corr", "q_agg_covar",
+    "q_corr_matrix", "q_corr_spearman", "q_corr_spearman_grouped",
+    "q_corr_matrix_spearman", "q_corr_lagged", "q_corr_rolling",
+    "q_corr_xcorr", "q_corr_partial", "q_ts_resample",
+    "q_dedup_exact", "q_dedup_ngram", "q_contamination", "q_dedup_cluster",
+    "q_dedup_embed",
+    "q_sim_topk", "q_sim_pairs", "q_sim_topk_pandas",
+    "q_embed_norm", "q_embed_centroid",
+    "q_text_stats", "q_text_tfidf", "q_text_ngram", "q_text_sentiment",
+    "q_text_langid", "q_text_quality", "q_text_fingerprint",
+    "q_text_tokens_bpeish", "q_text_repetition", "q_text_perplexity",
+    "q_quality_pipeline",
+    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
+    "q_stream_dedup", "q_stream_static_join", "q_stream_stream_join",
+    "q_stream_stateful", "q_stream_corr",
+    "q_udf_python", "q_udf_pandas", "q_udaf_grouped", "q_udaf_agg",
+    "q_udtf_tokens",
 })
 
 

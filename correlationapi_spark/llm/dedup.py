@@ -138,13 +138,17 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard = c / (nA + nB − c) is an int/int division → exact on both
     engines; the 0.5 threshold compares identical doubles."""
     t = load_tables(spark, sf_dir)
-    return ngram_jaccard_pairs(t["documents"])
+    # cap explicitly disabled: the DuckDB oracle is uncapped, the fixture
+    # is uniform (max shingle df 25 — the library's auto floor of 100
+    # could never trigger), and leaving it off keeps the benched plan
+    # free of the guard's extra aggregate+anti-join
+    return ngram_jaccard_pairs(t["documents"], max_shingle_df=None)
 
 
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None | str = "auto",
 ) -> DataFrame:
     """Inverted-index 3-shingle Jaccard pairs (the q_dedup_ngram engine).
 
@@ -156,10 +160,15 @@ def ngram_jaccard_pairs(
     dropped from CANDIDATE GENERATION only; per-doc set sizes keep
     counting them, so the estimated Jaccard is a LOWER bound of the true
     value (a capped-out pair can only be missed, never over-reported).
-    None (the default, and the declared oracle-checked key) disables the
-    guard — on the uniform fixture corpus (max shingle df 25) it would
-    only cost a shuffle; bounded-candidate behavior under skew is proven
-    in tests/test_skew_bucketing.py.
+
+    ``"auto"`` (the default) caps at max(100, ceil(1e-4 · n_docs)),
+    computed in-plan — a shingle in >0.01% of a large corpus is
+    boilerplate, and the floor keeps small corpora (like the fixtures,
+    max df 25) effectively uncapped so exact semantics hold where the
+    guard can't trigger. ``None`` disables the guard entirely — the
+    declared oracle-checked key passes it explicitly so the benched plan
+    carries no guard shuffle; an int is a fixed cap. Bounded-candidate
+    behavior under skew is proven in tests/test_skew_bucketing.py.
     """
     sh = _shingle_df(docs)
     # carry |A| inside the postings so no size-lookup join is needed later
@@ -175,11 +184,18 @@ def ngram_jaccard_pairs(
         # one aggregate on the postings finds the hot keys (few by
         # definition → AQE broadcasts the anti-join build side); sizes n
         # were computed BEFORE the cap, preserving the lower-bound rule
-        hot = (
-            inv.groupBy("s")
-            .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") > max_shingle_df)
-        )
+        df_counts = inv.groupBy("s").agg(F.count("*").alias("_df"))
+        if max_shingle_df == "auto":
+            # corpus-relative cap from an in-plan 1-row aggregate (no
+            # driver-side count): boilerplate = df > 0.01% of docs,
+            # floored at 100 so small corpora stay effectively uncapped
+            n_docs = docs.select(F.count("*").alias("_n_docs"))
+            hot = df_counts.crossJoin(F.broadcast(n_docs)).filter(
+                F.col("_df")
+                > F.greatest(F.lit(100), F.ceil(F.lit(1e-4) * F.col("_n_docs")))
+            )
+        else:
+            hot = df_counts.filter(F.col("_df") > max_shingle_df)
         inv = inv.join(hot.select("s"), "s", "left_anti")
     pairs = (
         inv.alias("a")
@@ -369,7 +385,10 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed.select(grp_min.alias("doc_a"), F.col("doc_id").alias("doc_b"))
         .filter(F.col("doc_a") != F.col("doc_b"))
     )
-    ngram_edges = ngram_jaccard_pairs(docs).select("doc_a", "doc_b")
+    # uncapped to match the (uncapped) recursive-CTE oracle at any SF
+    ngram_edges = ngram_jaccard_pairs(docs, max_shingle_df=None).select(
+        "doc_a", "doc_b"
+    )
     comp = connected_components(
         exact_edges.union(ngram_edges), "doc_a", "doc_b"
     )

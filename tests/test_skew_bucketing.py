@@ -77,10 +77,24 @@ def test_ngram_hot_shingle_cap_bounds_candidates(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
 
     # threshold 0 surfaces every candidate pair the join generates
-    uncapped = ngram_jaccard_pairs(docs, threshold=0.0).count()
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.0, max_shingle_df=None).count()
     capped = ngram_jaccard_pairs(docs, threshold=0.0, max_shingle_df=10).count()
     assert uncapped == n * (n - 1) // 2  # the hot shingles pair everyone
     assert capped == 0  # only unique per-doc shingles remain
+
+    # the "auto" DEFAULT: floor 100 keeps this 60-doc corpus uncapped...
+    assert ngram_jaccard_pairs(docs, threshold=0.0).count() == uncapped
+    # ...but a corpus whose hot shingle df exceeds the floor gets the
+    # guard with no parameter from the caller
+    big = spark.createDataFrame(
+        [(i, f"{boiler} doc{i} body{i} text{i} tail{i}") for i in range(120)],
+        "doc_id long, text string",
+    )
+    assert ngram_jaccard_pairs(big, threshold=0.0).count() == 0
+    assert (
+        ngram_jaccard_pairs(big, threshold=0.0, max_shingle_df=None).count()
+        == 120 * 119 // 2
+    )
 
     # the guard never changes which HIGH-similarity pairs are reported on
     # a corpus whose hot shingles stay under the cap (lower-bound rule)

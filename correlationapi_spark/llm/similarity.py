@@ -162,6 +162,27 @@ def q_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sim_pairs_lsh",
+    rows_only_reason="BucketedRandomProjectionLSH buckets depend on Spark's "
+    "seeded random hyperplanes — no cross-engine oracle. Unit tests assert "
+    "recall vs the exact q_sim_pairs output and that every reported pair's "
+    "cosine is genuinely ≥ τ (the refine step cannot over-report).",
+    doc="All-pairs cosine ≥ τ via LSH buckets + exact refine — the "
+    "sub-quadratic scale path behind q_sim_pairs.",
+)
+def q_sim_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible scale twin of the n² q_sim_pairs exhibit: identical
+    (id_a, id_b, cosine) contract at the same τ=0.35, but candidates come
+    from random-projection LSH bucket collisions (dedup.embed_near_dup_lsh)
+    instead of the full cross-comparison — it can only MISS a pair below
+    the recall bound, never report a wrong one (exact-cosine refine)."""
+    from .dedup import embed_near_dup_lsh
+
+    t = load_tables(spark, sf_dir)
+    return embed_near_dup_lsh(t["embeddings"], tau=0.35)
+
+
+@query(
     "q_embed_norm",
     oracle="""
         SELECT vec_id, label,

@@ -45,8 +45,85 @@ def q_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- non-declared source/sink helpers (unit-tested; SURVEY.md §2.1 rows
-# without keys) -------------------------------------------------------------
+# --- declared ingest/sink round-trip keys ----------------------------------
+# Each writes a fixture table to a fresh temp dir in the non-parquet format
+# and returns the read-back DataFrame, so the driver's oracle compare
+# proves the FORMAT round-trip is value-exact (the oracle reads the
+# original parquet). Temp dirs are per-call (mkdtemp) because the
+# returned plan reads from disk lazily — they must outlive the fn.
+
+
+def _roundtrip_dir(prefix: str) -> str:
+    import tempfile
+
+    return tempfile.mkdtemp(prefix=f"correlationapi_{prefix}_")
+
+
+@query(
+    "q_scan_csv",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    doc="CSV ingest: parquet → CSV → schema-pinned read-back, value-exact.",
+)
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source with the engine's schema-pinning rule (no inference —
+    at 100 TB schema sampling over thousands of files is a scan of its
+    own). Quoted writer/reader defaults round-trip embedded delimiters;
+    int columns survive exactly, so the key is fully oracle-checkable."""
+    t = load_tables(spark, sf_dir)
+    path = _roundtrip_dir("csv")
+    write_csv(t["nation"], path)
+    return read_csv(spark, path, "nation")
+
+
+@query(
+    "q_scan_json",
+    oracle="SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment "
+    "FROM customer",
+    doc="JSON-lines ingest: parquet → JSONL → schema-pinned read-back, "
+    "value-exact incl. doubles.",
+)
+def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source. Doubles are written as shortest-round-trip
+    decimal strings (Jackson) and parsed back bit-exact, so even the
+    c_acctbal double column hash-matches the parquet-reading oracle."""
+    t = load_tables(spark, sf_dir)
+    path = _roundtrip_dir("json")
+    t["customer"].write.mode("overwrite").json(path)
+    return read_json(spark, path, "customer")
+
+
+@query(
+    "q_sink_parquet_roundtrip",
+    oracle="""
+        SELECT o_orderstatus, count(*) AS n_rows,
+               min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        FROM orders GROUP BY 1
+    """,
+    doc="Partitioned parquet sink: write orders partitioned by status, "
+    "read back, aggregate — lossless round-trip.",
+)
+def q_sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-default sink shape: hive-partitioned parquet layout
+    (one directory per o_orderstatus), read back through partition
+    discovery. The aggregate groups ON the partition column, so the
+    read-back plan prunes to partition-directory listing + per-partition
+    scans; the oracle aggregates the original table — any loss or
+    duplication in the sink shows as a hash mismatch."""
+    t = load_tables(spark, sf_dir)
+    path = _roundtrip_dir("pq")
+    write_parquet(t["orders"], path, partition_by=["o_orderstatus"])
+    return (
+        spark.read.parquet(path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+
+
+# --- source/sink helpers (unit-tested in tests/test_sources_sinks.py) ------
 
 
 def read_csv(spark: SparkSession, path: str, table: str) -> DataFrame:

@@ -96,6 +96,26 @@ def test_embed_lsh_precision_and_recall_vs_exact(spark):
         assert abs(cos - exact[pair]) < 1e-4  # 1−d²/2 IS the exact cosine
 
 
+def test_sim_pairs_lsh_precision_and_recall_vs_exact(spark):
+    """q_sim_pairs_lsh is the declared sub-quadratic twin of q_sim_pairs:
+    same τ=0.35 contract, exact-cosine refine ⇒ no false positives, and
+    recall vs the exact all-pairs output stays useful."""
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in REGISTRY["q_sim_pairs"].fn(spark, SF_SMOKE).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.cosine
+        for r in REGISTRY["q_sim_pairs_lsh"].fn(spark, SF_SMOKE).collect()
+    }
+    assert exact, "fixture should contain cosine pairs above tau"
+    assert set(lsh) <= set(exact)  # exact refine ⇒ no false positives
+    recall = len(set(lsh) & set(exact)) / len(exact)
+    assert recall >= 0.6, recall
+    for pair, cos in lsh.items():
+        assert abs(cos - exact[pair]) < 1e-4
+
+
 def test_lsh_topk_recall_vs_exact(spark):
     exact = {
         (r.probe_id, r.neighbor_id)

@@ -5,10 +5,11 @@ No binary fixture exists (SURVEY.md §1.2), so the declared key builds the
 multimodal envelope from documents.text bytes deterministically and
 exercises the REAL Spark plumbing — BinaryType + metadata struct schema,
 mapInPandas with Arrow batches, partition-preserving decode signatures.
-The actual media decode (image resize, audio features, frame sampling) is
-STUBBED behind NotImplementedError / a deterministic fake, clearly marked:
-the codecs aren't in this container, the Spark-side contract is the part
-under test.
+PNG header decode is REAL as of round 4 (stdlib IHDR parse — see
+decode_image); the remaining media decode (JPEG, resize, audio features,
+frame demux) is STUBBED behind NotImplementedError / a deterministic
+fake, clearly marked: those codecs aren't in this container, the
+Spark-side contract is the part under test.
 """
 
 from __future__ import annotations
@@ -39,24 +40,41 @@ _META_OUT_SCHEMA = T.StructType(
         T.StructField("mime", T.StringType()),
         T.StructField("n_bytes", T.LongType()),
         T.StructField("head_hex", T.StringType()),
-        T.StructField("fake_width", T.IntegerType()),
-        T.StructField("fake_height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("decoder", T.StringType()),
     ]
 )
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-def decode_image(data: bytes) -> tuple[int, int]:
-    """REAL decode is stubbed: PIL/libvips are not in this container.
 
-    The deterministic fake derives a plausible (width, height) from the
-    payload so downstream plumbing (schema, batching, partitioning) is
-    fully exercised and reproducible.
+def decode_image(data: bytes) -> tuple[int, int, str]:
+    """Decode (width, height, decoder) from an image payload.
+
+    PNG is decoded FOR REAL, stdlib-only: the PNG byte layout is fixed —
+    8-byte signature, then the IHDR chunk (4-byte length, 4-byte type
+    ``IHDR``), whose first 8 data bytes are width and height as big-endian
+    uint32 (bytes 16..24 of the file). No codec library needed for header
+    metadata, which is exactly what a 100 TB profiling pass extracts.
+
+    JPEG raises NotImplementedError (its dimensions live in variable-
+    position SOF markers; the scan is implementable but libjpeg-grade
+    robustness isn't, and no JPEG fixture exists). Everything else gets
+    the documented deterministic fake so the plumbing stays exercised on
+    the text-derived fixture envelopes.
     """
-    if data[:2] == b"\xff\xd8":  # a real JPEG would reach the real path
+    if data[:8] == _PNG_SIG:
+        if len(data) < 24 or data[12:16] != b"IHDR":
+            raise ValueError("corrupt PNG: missing IHDR at byte 12")
+        w = int.from_bytes(data[16:20], "big")
+        h = int.from_bytes(data[20:24], "big")
+        return w, h, "png-ihdr"
+    if data[:2] == b"\xff\xd8":  # JPEG: real codec not in this container
         raise NotImplementedError("media codecs unavailable in this container")
     w = 64 + (data[0] if data else 0) % 192
     h = 64 + (data[-1] if data else 0) % 192
-    return w, h
+    return w, h, "fake"
 
 
 def make_extract_meta():
@@ -69,13 +87,23 @@ def make_extract_meta():
     reference and die with ModuleNotFoundError — found empirically.
     """
 
-    def decode(data: bytes) -> tuple[int, int]:
-        # real media decode stubbed — see decode_image module docstring
+    def decode(data: bytes) -> tuple[int, int, str]:
+        # duplicates decode_image BY DESIGN: the closure pickles by value,
+        # a module-level call would pickle by reference and require this
+        # package on every worker's sys.path (see make_extract_meta doc)
+        if data[:8] == b"\x89PNG\r\n\x1a\n":
+            if len(data) < 24 or data[12:16] != b"IHDR":
+                raise ValueError("corrupt PNG: missing IHDR at byte 12")
+            return (
+                int.from_bytes(data[16:20], "big"),
+                int.from_bytes(data[20:24], "big"),
+                "png-ihdr",
+            )
         if data[:2] == b"\xff\xd8":
             raise NotImplementedError("media codecs unavailable in this container")
         w = 64 + (data[0] if data else 0) % 192
         h = 64 + (data[-1] if data else 0) % 192
-        return w, h
+        return w, h, "fake"
 
     def extract_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Batch-shaped (never per-row Python), stateless, partition-local —
@@ -89,8 +117,9 @@ def make_extract_meta():
                     "mime": pdf["media"].map(lambda m: m["mime"]),
                     "n_bytes": data.map(len).astype("int64"),
                     "head_hex": data.map(lambda b: b[:8].hex()),
-                    "fake_width": dims.map(lambda d: d[0]).astype("int32"),
-                    "fake_height": dims.map(lambda d: d[1]).astype("int32"),
+                    "width": dims.map(lambda d: d[0]).astype("int32"),
+                    "height": dims.map(lambda d: d[1]).astype("int32"),
+                    "decoder": dims.map(lambda d: d[2]),
                 }
             )
 
@@ -185,11 +214,14 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_multimodal_meta",
-    rows_only_reason="no binary media fixture exists; the decode step is a "
-    "deterministic stub (decode_image), so only the Spark-side plumbing — "
-    "BinaryType envelope schema, mapInPandas Arrow batching — is checked "
+    rows_only_reason="no binary media fixture exists; PNG headers decode "
+    "for real (stdlib IHDR parse, pinned on real PNG bytes in unit tests) "
+    "but the fixture envelopes are text-derived so they take the "
+    "deterministic fake path; the Spark-side plumbing — BinaryType "
+    "envelope schema, mapInPandas Arrow batching — is checked "
     "(rows + stable schema). Values are additionally pinned in unit tests.",
-    doc="Multimodal envelope + mapInPandas metadata/feature extraction (decode stubbed).",
+    doc="Multimodal envelope + mapInPandas metadata extraction "
+    "(real PNG IHDR decode; other codecs stubbed).",
 )
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)

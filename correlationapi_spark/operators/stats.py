@@ -603,7 +603,19 @@ def grouped_avg_rank_table(
     span partitions — and the running offsets accumulate per group across
     partition ids: global-within-group cumulative = per-group offset +
     within-partition cumulative. The offsets table is ≤ partitions×groups
-    rows — always broadcastable."""
+    rows — always broadcastable.
+
+    Correctness pin (round 4): the numbered rows and the totals BOTH
+    consume the sampled range-partitioned counts subtree; they are only
+    guaranteed to see the same partition ids when the two references
+    dedupe to ONE exchange. They do here — the counts subtree (exactly
+    _g/_v/_cnt, all needed by both consumers) canonicalizes identically,
+    so ReuseExchange fires (verified in the final AQE plans of every
+    spearman-family key). tests/test_plans.py::
+    test_spearman_rank_tables_reuse_range_exchange is the canary that
+    keeps this from regressing silently. ordering.global_row_number has
+    the same double-reference shape but differently-pruned consumers, so
+    it pins with localCheckpoint instead (see ordering.py)."""
     counts = df.groupBy(F.col(group).alias("_g"), F.col(col).alias("_v")).agg(
         F.count("*").alias("_cnt")
     )

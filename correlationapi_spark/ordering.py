@@ -17,6 +17,22 @@ avg_rank_table):
 
 Every partition sorts its own range in parallel; only #partitions rows
 ever pass through a single task.
+
+Correctness pin (round 4): the numbered rows and the per-partition totals
+both consume the range-partitioned subtree. Range partitioning SAMPLES to
+pick boundaries, and column pruning makes the two consumers' subtrees
+non-identical, so Catalyst's ReuseExchange does NOT dedupe them (verified:
+q_sort_multi's final AQE plan had 0 ReusedExchange and 2 separate range
+exchanges). Two independent evaluations may sample different boundaries,
+assigning different partition ids to the same row — offsets would then
+mismatch the numbered rows and ranks would be silently wrong. Invisible at
+fixture scale (the sampler sees every row, so both samples agree), fatal at
+cluster scale. Fix: eagerly ``localCheckpoint`` the partition-id-stamped
+intermediate, so both consumers read the SAME materialized partitioning —
+re-evaluation becomes impossible by construction (lineage is truncated; an
+executor loss fails the job deterministically instead of silently
+renumbering). The materialized volume is the same data the shuffle already
+wrote, so the cost is one extra read/write of the ranked relation.
 """
 
 from __future__ import annotations
@@ -38,6 +54,10 @@ def global_row_number(
     ranged = df.repartitionByRange(*order).withColumn(
         "_pid", F.spark_partition_id()
     )
+    # Pin the sampled range partitioning (module docstring: the totals and
+    # the numbered rows must see identical _pid assignments, and exchange
+    # reuse is not guaranteed across the two pruned consumers).
+    ranged = ranged.localCheckpoint(eager=True)
     w_in = Window.partitionBy("_pid").orderBy(*order)
     numbered = ranged.withColumn("_rn_in", F.row_number().over(w_in))
     totals = numbered.groupBy("_pid").agg(F.count("*").alias("_ptot"))

@@ -242,12 +242,18 @@ def q_sim_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "probe_id": np.tile(probe_ids, b),
                     "neighbor_id": np.repeat(pdf["vec_id"].to_numpy(), len(probe_ids)),
-                    "cosine": np.round(cos.ravel(), 6),
+                    # raw cosine — rounding happens IN-PLAN below so the
+                    # half-way rule matches the repo convention (F.round is
+                    # HALF_UP like the DuckDB oracle; np.round is
+                    # half-to-even and would diverge on exact .5e-6 ties)
+                    "cosine": cos.ravel(),
                 }
             )
 
-    scored = e.mapInPandas(score_batches, out_schema).filter(
-        F.col("probe_id") != F.col("neighbor_id")
+    scored = (
+        e.mapInPandas(score_batches, out_schema)
+        .withColumn("cosine", F.round("cosine", 6))
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (

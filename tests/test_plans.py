@@ -97,11 +97,18 @@ def test_dedup_ngram_no_array_crosses_shuffle(spark):
 
 def test_sort_multi_has_no_single_partition_sort(spark):
     # global row_number comes from ordering.global_row_number: range
-    # partitioning + per-partition numbering + broadcast offsets. The only
-    # single-partition exchange allowed is the tiny per-partition totals
-    # table (one row per range partition), never the sorted relation.
+    # partitioning + per-partition numbering + broadcast offsets. Round 4:
+    # the range-partitioned intermediate is pinned with an eager
+    # localCheckpoint (ordering.py module docstring — exchange reuse is
+    # NOT guaranteed across the two pruned consumers, and re-evaluating a
+    # SAMPLED range partitioning can silently renumber rows), so the final
+    # plan consumes the pinned RDD; the range exchange lives in the
+    # checkpointed subtree. The only single-partition exchange allowed is
+    # the tiny per-partition totals table (one row per range partition),
+    # never the sorted relation.
     plan = plan_of(spark, "q_sort_multi")
-    assert "rangepartitioning" in plan
+    assert "Scan ExistingRDD" in plan  # the pinned ranged intermediate
+    assert "rangepartitioning" not in plan  # shuffle happened pre-pin
     assert plan.count("Exchange SinglePartition") <= 1
 
 
@@ -163,6 +170,30 @@ def test_dedup_ngram_reuses_shingle_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "ReusedExchange" in plan
+
+
+def test_spearman_rank_tables_reuse_range_exchange(spark):
+    """Correctness canary (ADVICE r3): grouped_avg_rank_table references
+    the range-partitioned counts subtree twice (numbered rows vs
+    per-partition totals). Range partitioning SAMPLES boundaries, so the
+    two references are only guaranteed consistent when they resolve to
+    ONE exchange — ReuseExchange fires here because the counts subtree
+    (3 columns, all needed by both consumers) canonicalizes identically.
+    This canary pins that: if a code or Spark change ever breaks reuse,
+    this goes red instead of ranks going silently wrong at scale.
+    (global_row_number takes the other fix — an eager localCheckpoint —
+    because its consumers prune differently and never reuse.)"""
+    for key, min_reused in [
+        ("q_corr_spearman", 2),          # rx + ry rank tables
+        ("q_corr_matrix_spearman", 3),   # k=3 rank tables
+        ("q_corr_spearman_grouped", 2),  # rx + ry grouped rank tables
+    ]:
+        df = REGISTRY[key].fn(spark, SF_SMOKE)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, key
+        assert plan.count("ReusedExchange") >= min_reused, (
+            key, plan.count("ReusedExchange"))
 
 
 def test_no_cartesian_or_giant_single_partition_anywhere(spark):

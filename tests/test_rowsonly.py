@@ -160,8 +160,55 @@ def test_multimodal_values_pinned(spark):
         raw = docs[did].text.encode()
         assert r.n_bytes == len(raw)
         assert r.head_hex == raw[:8].hex()
-        assert 64 <= r.fake_width < 256 and 64 <= r.fake_height < 256
+        assert 64 <= r.width < 256 and 64 <= r.height < 256
+        assert r.decoder == "fake"  # text payloads take the fake path
         assert r.mime == "application/x-fixture-text"
+
+
+# The canonical 1x1 transparent PNG (public standard bytes) — a complete,
+# genuinely valid PNG file, decoded for real by the stdlib IHDR parser.
+_PNG_1X1 = __import__("base64").b64decode(
+    "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8"
+    "z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg=="
+)
+
+
+def test_png_ihdr_decode_real_bytes(spark):
+    """decode_image parses REAL PNG bytes (no codec library): the 1x1
+    fixture above, a constructed 640x480 header, and corrupt/JPEG inputs
+    hit their documented paths — end-to-end through mapInPandas too."""
+    from correlationapi_spark.llm.multimodal import (
+        _META_OUT_SCHEMA,
+        decode_image,
+        make_extract_meta,
+    )
+
+    assert decode_image(_PNG_1X1) == (1, 1, "png-ihdr")
+    big = (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big") + b"IHDR"
+        + (640).to_bytes(4, "big") + (480).to_bytes(4, "big")
+        + b"\x08\x06\x00\x00\x00"
+    )
+    assert decode_image(big) == (640, 480, "png-ihdr")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8 + b"NOPE" + b"\x00" * 8)
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0fakejpeg")
+
+    # the same parse through the actual Spark plumbing (Arrow round-trips
+    # the binary payload; the closure's by-value duplicate must agree)
+    df = spark.createDataFrame(
+        [(0, (_PNG_1X1, "image/png", "mem://png/0", len(_PNG_1X1))),
+         (1, (big, "image/png", "mem://png/1", len(big)))],
+        "doc_id long, media struct<data:binary,mime:string,uri:string,n_bytes:long>",
+    )
+    rows = {r.doc_id: r for r in
+            df.mapInPandas(make_extract_meta(), schema=_META_OUT_SCHEMA).collect()}
+    assert (rows[0].width, rows[0].height, rows[0].decoder) == (1, 1, "png-ihdr")
+    assert (rows[1].width, rows[1].height, rows[1].decoder) == (640, 480, "png-ihdr")
 
 
 def test_multimodal_frames_pinned(spark):

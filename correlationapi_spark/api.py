@@ -41,6 +41,31 @@ _GRAINS = (
     "hour", "minute", "second",
 )
 
+# Epoch-grain integer index over a date_trunc(grain) bucket column `_t`:
+# consecutive grain buckets differ by EXACTLY 1, so an equi-join on
+# `_i + k` is a true k-step time lag (q_corr_xcorr's alignment rule —
+# no row_number, which silently renumbers across calendar holes).
+_SECONDS_PER = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+
+
+def _epoch_grain_index(grain: str):
+    t = F.col("_t")
+    if grain in _SECONDS_PER:
+        us = _SECONDS_PER[grain] * 1_000_000
+        return (F.unix_micros(t) / F.lit(us)).cast("bigint")
+    if grain == "week":
+        # all week buckets share one weekday (Monday), so floor(days/7)
+        # is adjacency-preserving and collision-free
+        days = (F.unix_micros(t) / F.lit(86_400_000_000)).cast("bigint")
+        return F.floor(days / 7).cast("bigint")
+    if grain == "month":
+        return (F.year(t) * 12 + F.month(t) - 1).cast("bigint")
+    if grain == "quarter":
+        return (F.year(t) * 4 + F.quarter(t) - 1).cast("bigint")
+    if grain == "year":
+        return F.year(t).cast("bigint")
+    raise ValueError(f"unknown grain: {grain!r}")
+
 
 def _safe_corr(x, y):
     """Pearson corr over PAIRWISE-COMPLETE rows, NULL on zero variance.
@@ -327,20 +352,22 @@ class CorrelationAPI:
 
         Both series come from ONE grouped aggregation pass (two
         conditional avgs — never two scans of the raw table); alignment
-        is an integer-index equi-join (row_number over the grain series,
-        robust for calendar grains where bucket widths vary), and all
-        2·max_lag+1 shifted joins come from a tiny exploded lag array.
-        Everything after the raw scan runs on ~|buckets| rows, so raw
-        volume only affects the first aggregation — the q_corr_lagged
-        scale rule."""
+        is an EPOCH-GRAIN integer equi-join (q_corr_xcorr's rule): each
+        bucket maps to an integer index where consecutive grain buckets
+        differ by exactly 1, so "lag k" ALWAYS means k true time steps.
+        (Round 4 fix: row_number indexing made a calendar hole pair
+        non-adjacent buckets as "lag 1" when fill_gaps=False.) With
+        fill_gaps=False a missing bucket now yields no pair at that
+        offset instead of a silently shifted one. All 2·max_lag+1
+        shifted joins come from a tiny exploded lag array. Everything
+        after the raw scan runs on ~|buckets| rows, so raw volume only
+        affects the first aggregation — the q_corr_lagged scale rule."""
         if max_lag < 1:
             raise ValueError("max_lag must be >= 1")
         series = self._series(
             dataset, time_col, [(var_x, "_x"), (var_y, "_y")], grain, fill_gaps
         )
-        indexed = series.withColumn(
-            "_i", F.row_number().over(Window.orderBy("_t"))
-        )
+        indexed = series.withColumn("_i", _epoch_grain_index(grain))
         lags = self.spark.range(-max_lag, max_lag + 1).select(
             F.col("id").alias("_lag")
         )

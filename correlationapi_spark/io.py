@@ -100,13 +100,16 @@ SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampType()),
         ]
     ),
-    # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    # does not map to TimestampType — read the raw int64 nanos and convert
-    # (truncate) to µs in load_tables, matching DuckDB's ns→µs truncation.
+    # events.ts unit has CHANGED across driver testdata generations:
+    # TIMESTAMP(NANOS) through round 3, TIMESTAMP(MICROS) from round 4.
+    # Spark's reader rejects ns outright, so load_tables inspects the
+    # footer (one driver-side pyarrow read, cached per path) and, for ns
+    # files only, reads raw int64 + truncates to µs like DuckDB does.
+    # The pinned schema here is the µs/native form.
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -182,6 +185,21 @@ _cache: "weakref.WeakKeyDictionary[SparkSession, dict[str, dict[str, DataFrame]]
 _registered: "weakref.WeakKeyDictionary[SparkSession, str]" = weakref.WeakKeyDictionary()
 
 
+_ts_unit_cache: dict[str, str] = {}
+
+
+def _events_ts_unit(sf_dir: str) -> str:
+    """Timestamp unit ('ns'/'us'/...) of events.ts — one cached footer read."""
+    unit = _ts_unit_cache.get(sf_dir)
+    if unit is None:
+        import pyarrow.parquet as pq
+
+        t = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
+        unit = getattr(t, "unit", "us")
+        _ts_unit_cache[sf_dir] = unit
+    return unit
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load all fixture tables from ``sf_dir`` and register temp views."""
     ensure_conf(spark)
@@ -189,17 +207,28 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     per_session = _cache.setdefault(spark, {})
     tables = per_session.get(sf_dir)
     if tables is None:
+        schemas = dict(SCHEMAS)
+        events_ns = _events_ts_unit(sf_dir) == "ns"
+        if events_ns:
+            schemas["events"] = T.StructType(
+                [
+                    f if f.name != "ts" else T.StructField("ts", T.LongType())
+                    for f in SCHEMAS["events"].fields
+                ]
+            )
         tables = {
-            name: spark.read.schema(SCHEMAS[name]).parquet(
+            name: spark.read.schema(schemas[name]).parquet(
                 os.path.join(sf_dir, f"{name}.parquet")
             )
             for name in TABLE_NAMES
         }
-        # ns→µs: integer division (not `/`, which goes through double and
-        # loses precision above 2^53) truncates like DuckDB's ns→µs cast.
-        tables["events"] = tables["events"].withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        if events_ns:
+            # ns→µs: integer division (not `/`, which goes through double
+            # and loses precision above 2^53) truncates like DuckDB's
+            # ns→µs cast.
+            tables["events"] = tables["events"].withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
         per_session[sf_dir] = tables
     if _registered.get(spark) != sf_dir:
         for name, df in tables.items():

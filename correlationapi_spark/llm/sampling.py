@@ -96,34 +96,41 @@ def q_sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
                        AS n_tokens
             FROM documents GROUP BY 1
-        ), total AS (SELECT sum(n_tokens) AS n FROM actual)
+        ), total AS (SELECT sum(n_tokens) AS n, count(*) AS n_sources
+                     FROM actual)
         SELECT source, n_tokens,
-               round(CAST(n_tokens AS DOUBLE) / n, 6)        AS actual_frac,
-               round(0.2 / (CAST(n_tokens AS DOUBLE) / n), 6) AS weight
+               round(CAST(n_tokens AS DOUBLE) / n, 6) AS actual_frac,
+               round((1.0 / n_sources)
+                     / (CAST(n_tokens AS DOUBLE) / n), 6) AS weight
         FROM actual CROSS JOIN total
     """,
-    doc="Training-mixture reweighting: per-source token share vs a "
-    "uniform target, emitted as sampling weights.",
+    doc="Training-mixture reweighting: per-source token share vs the "
+    "uniform 1/n_sources target (derived in-plan), emitted as sampling "
+    "weights.",
 )
 def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain/source mixing — the knob every corpus build turns last:
     measure each source's actual token share, emit weight =
     target_share / actual_share so a weighted sampler (compose with
     q_sample_fraction's hash cut, scaled per source) reproduces the
-    target mixture. The 20% target share is a demo constant (weights > 1
-    mean upsample — the fixture has 20 sources, so every weight here is
-    an upsample); a real run passes its own per-source mixture table.
+    target mixture. The target is the UNIFORM mixture 1/n_sources,
+    derived IN-PLAN from the same aggregate (round 4: a hard-coded 0.2
+    summed to an impossible 4.0 total across the fixture's 20 sources);
+    a real run passes its own per-source mixture table instead.
 
     One aggregation over the corpus (token counts sum map-side), a 1-row
-    total cross-joined in-plan (never a driver action), and a projection.
-    Weights are int/int ratios → identical doubles; round 6."""
+    total (token sum + source count) cross-joined in-plan (never a
+    driver action), and a projection. Weights are int/int ratios →
+    identical doubles; round 6."""
     t = load_tables(spark, sf_dir)
     actual = (
         t["documents"]
         .groupBy("source")
         .agg(F.sum(F.size(F.split("text", " "))).alias("n_tokens"))
     )
-    total = actual.agg(F.sum("n_tokens").alias("n"))
+    total = actual.agg(
+        F.sum("n_tokens").alias("n"), F.count("*").alias("n_sources")
+    )
     frac = F.col("n_tokens").cast("double") / F.col("n")
     return (
         actual.crossJoin(total)
@@ -131,6 +138,6 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_tokens",
             F.round(frac, 6).alias("actual_frac"),
-            F.round(F.lit(0.2) / frac, 6).alias("weight"),
+            F.round((F.lit(1.0) / F.col("n_sources")) / frac, 6).alias("weight"),
         )
     )

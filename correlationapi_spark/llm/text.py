@@ -567,3 +567,111 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_neg_logp"),
         )
     )
+
+
+# -- approximate frequent items (Misra-Gries) --------------------------------
+
+FREQ_K = 128       # MG counters per Arrow batch (error <= n_tokens/(K+1))
+FREQ_TOP = 50      # rows the declared key emits
+
+
+def freq_items(docs: DataFrame, text_col: str = "text", k: int = FREQ_K) -> DataFrame:
+    """Approximate frequent tokens via mergeable Misra-Gries summaries.
+
+    The exact heavy-hitters plan (explode -> groupBy(token)) shuffles one
+    row per DISTINCT token — fine until the vocabulary itself is huge
+    (web-scale corpora: billions of distinct tokens, mostly junk). This
+    is the bounded-memory path: each Arrow batch keeps at most ``k``
+    Misra-Gries counters (decrement-all on overflow), so the shuffle
+    carries <= k rows per batch regardless of vocabulary size.
+
+    Guarantees (the classic MG bounds, summed over batches because the
+    plain sum-merge never prunes):
+    - every emitted count is a LOWER bound on the true count;
+    - undercount <= floor(N/(k+1)) where N = total tokens;
+    - any token with true count > floor(N/(k+1)) appears in the output
+      (if it were evicted from every batch summary, its entire count
+      would have been consumed by decrements, which total <= N/(k+1)).
+
+    Encoded in tests/test_rowsonly.py::test_freq_items_error_bounds.
+
+    Output: (token, approx_count, n_total, err_bound); ``token`` is never
+    NULL (the NULL row is the internal batch-size carrier). One narrow
+    mapInPandas pass (no shuffle) + a tiny groupBy over <= k x #batches
+    rows — the 100 TB shape.
+    """
+
+    def make_mg(k: int, text_col: str):
+        # closure by REQUIREMENT: cloudpickle ships it by value, workers
+        # never import this package (io.py read_parquet_any note)
+        import pandas as pd
+
+        def mg(batches):
+            for pdf in batches:
+                counters: dict[str, int] = {}
+                n = 0
+                for text in pdf[text_col]:
+                    for tok in text.split(" "):
+                        n += 1
+                        if tok in counters:
+                            counters[tok] += 1
+                        elif len(counters) < k:
+                            counters[tok] = 1
+                        else:
+                            # decrement-all; evict zeros (amortized O(1)
+                            # per token: each decrement pays for one
+                            # prior increment)
+                            dead = []
+                            for t2 in counters:
+                                counters[t2] -= 1
+                                if counters[t2] == 0:
+                                    dead.append(t2)
+                            for t2 in dead:
+                                del counters[t2]
+                yield pd.DataFrame(
+                    {
+                        "token": list(counters.keys()) + [None],
+                        "cnt": list(counters.values()) + [n],
+                    }
+                )
+
+        return mg
+
+    summaries = docs.select(F.col(text_col).alias(text_col)).mapInPandas(
+        make_mg(k, text_col), schema="token string, cnt long"
+    )
+    merged = summaries.groupBy("token").agg(F.sum("cnt").alias("approx_count"))
+    totals = merged.filter(F.col("token").isNull()).select(
+        F.col("approx_count").alias("n_total")
+    )
+    return (
+        merged.filter(F.col("token").isNotNull())
+        .crossJoin(totals)
+        .withColumn(
+            "err_bound", F.floor(F.col("n_total") / F.lit(k + 1)).cast("long")
+        )
+    )
+
+
+@query(
+    "q_agg_freq_items",
+    rows_only_reason="Misra-Gries summaries are sketch/order dependent "
+    "(per-batch counters), not SQL-reproducible; the MG lower-bound, "
+    "error-bound and recall guarantees are unit-tested against exact "
+    "counts in tests/test_rowsonly.py::test_freq_items_error_bounds.",
+    doc="Approximate frequent tokens (mergeable Misra-Gries, bounded "
+    "memory): top tokens with certified undercount bound.",
+)
+def q_agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters over the corpus without a distinct-token shuffle —
+    the profiling aggregate every large-corpus build runs first (stopword
+    discovery, boilerplate detection, tokenizer QA). Top-FREQ_TOP by
+    approximate count (TakeOrderedAndProject: per-partition heaps, no
+    global sort); ties break on token for determinism."""
+    t = load_tables(spark, sf_dir)
+    return (
+        freq_items(t["documents"], "text", FREQ_K)
+        .orderBy(F.desc("approx_count"), "token")
+        .limit(FREQ_TOP)
+        .select("token", "approx_count", "n_total", "err_bound")
+    )

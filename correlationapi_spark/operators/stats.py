@@ -237,8 +237,17 @@ def avg_rank_table(df: DataFrame, col: str, alias: str) -> DataFrame:
 
     The caller joins the (value, rank) table back to the fact relation on
     the value — a shuffle/broadcast join Catalyst is free to choose, in
-    place of a sort nothing can parallelize. NULL values, like rank(),
-    sort first; pre-filter them if NULL should not receive a rank.
+    place of a sort nothing can parallelize.
+
+    NULL semantics (round 4, was misdocumented): the TABLE ranks NULL
+    like rank() NULLS FIRST — the NULL group survives the groupBy and
+    range-sorts first, so the table contains a NULL row with the lowest
+    average rank. Whether fact rows RECEIVE that rank is decided by the
+    caller's join-back: a plain equi-join (what the spearman keys use)
+    never matches NULL and silently EXCLUDES those rows — pre-filter or
+    accept the drop; join with ``eqNullSafe`` to give NULL rows their
+    NULLS-FIRST rank. Encoded in
+    tests/test_properties.py::test_avg_rank_table_null_semantics.
 
     Implementation: the single shared range-partitioned core in
     grouped_avg_rank_table, run under one constant group (the constant

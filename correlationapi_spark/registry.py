@@ -58,11 +58,13 @@ _MODULES = (
 )
 
 # Keys with a green verdict in a prior round's driver CORRECTNESS file
-# (r01: 47 hash-matches + 2 by-design rows-only; r02: 50 more, all green —
-# see CORRECTNESS_r01.json / CORRECTNESS_r02.json). The driver consumes the
-# registry in order and caps each sweep at 50 keys, so load_registry()
-# pushes these to the END: keys still awaiting any driver verdict come
-# first. Extend this set each round as the driver turns more keys green.
+# (r01: 47 hash-matches + 2 by-design rows-only; r02: 50 more; r03: the
+# remaining 51 — all green, see CORRECTNESS_r0{1,2,3}.json). The driver
+# consumes the registry in order and caps each sweep at 50 keys, so
+# load_registry() pushes these to the END: keys still awaiting any driver
+# verdict come first. Extend this set each round as the driver turns more
+# keys green, and REMOVE keys whose code/oracle changed since their last
+# verdict so the next sweep re-verifies them first (_ROUND4_TOUCHED below).
 _DRIVER_GREEN: frozenset[str] = frozenset({
     # --- round 1 (CORRECTNESS_r01.json) ---
     "q_scan_parquet", "q_scan_pruned",
@@ -100,6 +102,33 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "q_stream_stateful", "q_stream_corr",
     "q_udf_python", "q_udf_pandas", "q_udaf_grouped", "q_udaf_agg",
     "q_udtf_tokens",
+    # --- round 3 (CORRECTNESS_r03.json, 51/51 green) ---
+    "q_sample_stratified", "q_sample_fraction", "q_domain_mix",
+    "q_funnel", "q_retention", "q_agg_mode", "q_anomaly", "q_profile",
+    "q_session_stats", "q_cdc_merge",
+    "q_tpch_q1", "q_tpch_q3", "q_tpch_q5", "q_tpch_q6", "q_tpch_q10",
+    "q_pivot", "q_unpivot",
+    "q_scan_csv", "q_scan_json", "q_sink_parquet_roundtrip",
+    "q_subquery_scalar", "q_subquery_correlated",
+    "q_join_asof_nearest", "q_join_interval",
+    "q_win_time_range", "q_win_distribution", "q_win_median", "q_win_share",
+    "q_fn_math", "q_fn_array", "q_fn_array_explode", "q_fn_array_hof",
+    "q_fn_map", "q_fn_json", "q_fn_cond", "q_fn_hash", "q_fn_try",
+    "q_fn_bitwise", "q_fn_hash_spark",
+    "q_ts_rollup", "q_agg_hll_merge",
+    "q_dedup_near", "q_dedup_simhash", "q_dedup_embed_lsh",
+    "q_sim_topk_lsh", "q_sim_pairs_lsh", "q_split_stable",
+    "q_multimodal_frames", "q_multimodal_meta",
+}) - frozenset({
+    # --- round 4: touched since their last green verdict — re-verify
+    # first (code, oracle, output schema, or plan changed; plus one
+    # representative per events-based family for the io.py µs/ns fix)
+    "q_sim_topk_pandas",      # rounding moved in-plan (F.round HALF_UP)
+    "q_sort_multi",           # localCheckpoint pin in global_row_number
+    "q_corr_spearman", "q_corr_spearman_grouped", "q_corr_matrix_spearman",
+    "q_domain_mix",           # target share now derived in-plan (+oracle)
+    "q_multimodal_meta", "q_multimodal_frames",  # width/height/decoder cols
+    "q_corr_lagged", "q_stream_tumbling", "q_funnel",  # events ts-unit fix
 })
 
 

@@ -204,6 +204,28 @@ def test_xcorr_detects_shifted_series(api, spark):
         assert c is None or c < 1.0
 
 
+def test_xcorr_calendar_gap_keeps_true_time_lags(api, spark):
+    """Round-4 fix (ADVICE r3): with fill_gaps=False a calendar hole must
+    NOT let "lag 1" pair non-adjacent days. y is x shifted one TRUE day;
+    day 4 is missing and y on day 5 is junk. Epoch-grain alignment never
+    forms a (day 3, day 5) pair, so lag +1 is exactly 1.0 over the 6
+    truly-adjacent pairs — row_number indexing would have paired across
+    the hole and pulled the junk value in."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1)
+    xs = {0: 1.0, 1: 5.0, 2: 2.0, 3: 8.0, 5: 3.0, 6: 9.0, 7: 4.0, 8: 7.0}
+    rows = []
+    for d, xv in xs.items():
+        yv = xs.get(d - 1) if d != 5 else 999.0  # junk at the hole edge
+        rows.append((base + dt.timedelta(days=d), xv, yv))
+    df = spark.createDataFrame(rows, "t timestamp, x double, y double")
+    api.register_dataset("gappy", df)
+    out = api.cross_correlation("gappy", "t", "x", "y", max_lag=1)
+    assert out["lags"]["1"]["n"] == 6
+    assert out["lags"]["1"]["correlation"] == pytest.approx(1.0)
+
+
 def test_xcorr_validates_inputs(api):
     with pytest.raises(ValueError):
         api.cross_correlation("events", "ts", "value", "value", max_lag=0)

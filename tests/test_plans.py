@@ -172,6 +172,30 @@ def test_dedup_ngram_reuses_shingle_exchange(spark):
     assert "ReusedExchange" in plan
 
 
+def test_interval_join_is_bin_equi_join(spark):
+    # the interval-overlap join must be the bucketed EQUI-join on
+    # (user_id, bin) — never a nested-loop/theta evaluation whose
+    # candidate count is |purchases|x|errors| per user
+    plan = plan_of(spark, "q_join_interval")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the equi-join keys include the explode-generated bin column
+    assert "bin" in plan
+    assert any(j in plan for j in
+               ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+
+def test_asof_nearest_is_union_window_not_range_join(spark):
+    # nearest-as-of = union + ONE shuffle on user_id + two ordered
+    # carries; a range join here would blow up as |clicks| x |purchases|
+    # per user
+    plan = plan_of(spark, "q_join_asof_nearest")
+    for node in ("Join", "CartesianProduct", "BroadcastNestedLoop"):
+        assert node not in plan, node
+    assert plan.count("Window") >= 1
+    assert "hashpartitioning(user_id" in plan
+
+
 def test_spearman_rank_tables_reuse_range_exchange(spark):
     """Correctness canary (ADVICE r3): grouped_avg_rank_table references
     the range-partitioned counts subtree twice (numbered rows vs

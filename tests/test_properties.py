@@ -321,3 +321,32 @@ def test_revenue_cents_product_grid_is_exact(spark, data):
         )
     )
     assert got == truth
+
+
+def test_avg_rank_table_null_semantics(spark):
+    """Encodes the documented NULL contract (stats.py avg_rank_table):
+    the TABLE ranks NULL like rank() NULLS FIRST, a plain equi-join back
+    EXCLUDES NULL-valued rows, and an eqNullSafe join-back gives them
+    their NULLS-FIRST rank."""
+    from correlationapi_spark.operators.stats import avg_rank_table
+
+    df = spark.createDataFrame(
+        [(0, None), (1, None), (2, 10), (3, 10), (4, 20)],
+        "uid int, v int",
+    )
+    tbl = avg_rank_table(df, "v", "r")
+    ranks = {r.v: r.r for r in tbl.collect()}
+    # rank() NULLS FIRST over [N, N, 10, 10, 20]:
+    #   NULL -> rank 1, ties -> avg (1+2)/2 = 1.5
+    #   10   -> rank 3, avg (3+4)/2 = 3.5;  20 -> rank 5
+    assert ranks == {None: 1.5, 10: 3.5, 20: 5.0}
+
+    plain = df.join(tbl, "v")
+    assert {r.uid for r in plain.collect()} == {2, 3, 4}  # NULLs dropped
+
+    nullsafe = df.join(tbl, df["v"].eqNullSafe(tbl["v"])).select(
+        df["uid"], tbl["r"]
+    )
+    assert {r.uid: r.r for r in nullsafe.collect()} == {
+        0: 1.5, 1: 1.5, 2: 3.5, 3: 3.5, 4: 5.0
+    }

@@ -325,3 +325,42 @@ def test_hll_merge_estimate_within_bounds(spark):
     for k, est in out.items():
         # default lgConfigK=12 → ~1.6% relative standard error; allow 5%
         assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
+
+
+def test_freq_items_error_bounds(spark):
+    """Certifies the Misra-Gries guarantees (llm/text.py freq_items)
+    against exact token counts at smoke scale:
+    lower-bound, undercount <= floor(N/(k+1)), recall of every token
+    with true count above the bound, and an exact n_total."""
+    from pyspark.sql import functions as F
+
+    from correlationapi_spark.io import load_tables
+    from correlationapi_spark.llm.text import FREQ_K, freq_items
+
+    docs = load_tables(spark, SF_SMOKE)["documents"]
+    exact = {
+        r.token: r.cnt
+        for r in docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token").agg(F.count("*").alias("cnt")).collect()
+    }
+    n_total = sum(exact.values())
+    bound = n_total // (FREQ_K + 1)
+
+    rows = freq_items(docs, "text", FREQ_K).collect()
+    assert rows, "no candidates emitted"
+    assert all(r.n_total == n_total for r in rows)
+    assert all(r.err_bound == bound for r in rows)
+    got = {r.token: r.approx_count for r in rows}
+    for tok, approx in got.items():
+        assert tok in exact
+        assert approx <= exact[tok], tok          # lower bound
+        assert exact[tok] - approx <= bound, tok  # certified undercount
+    for tok, cnt in exact.items():                # recall guarantee
+        if cnt > bound:
+            assert tok in got, (tok, cnt, bound)
+
+    # the declared key: top-50 by approx count, deterministic tie-break
+    out = REGISTRY["q_agg_freq_items"].fn(spark, SF_SMOKE).collect()
+    assert 0 < len(out) <= 50
+    pairs = [(-r.approx_count, r.token) for r in out]
+    assert pairs == sorted(pairs)

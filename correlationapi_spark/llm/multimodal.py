@@ -5,11 +5,12 @@ No binary fixture exists (SURVEY.md §1.2), so the declared key builds the
 multimodal envelope from documents.text bytes deterministically and
 exercises the REAL Spark plumbing — BinaryType + metadata struct schema,
 mapInPandas with Arrow batches, partition-preserving decode signatures.
-PNG header decode is REAL as of round 4 (stdlib IHDR parse — see
-decode_image); the remaining media decode (JPEG, resize, audio features,
-frame demux) is STUBBED behind NotImplementedError / a deterministic
-fake, clearly marked: those codecs aren't in this container, the
-Spark-side contract is the part under test.
+Image HEADER decode is REAL as of round 4 — stdlib-only PNG IHDR, JPEG
+SOF-marker and GIF screen-descriptor parses (see make_decode_image),
+pinned on genuine bytes in unit tests. Pixel-level decode (resize, audio
+features, frame demux) remains STUBBED behind a deterministic fake,
+clearly marked: those codecs aren't in this container, the Spark-side
+contract is the part under test.
 """
 
 from __future__ import annotations
@@ -46,35 +47,80 @@ _META_OUT_SCHEMA = T.StructType(
     ]
 )
 
-_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+def make_decode_image():
+    """Build the (width, height, decoder) header decoder as a NESTED
+    function: both the module-level ``decode_image`` and the mapInPandas
+    worker closure use instances of it, and a nested function pickles BY
+    VALUE (non-importable qualname), so workers never need this package
+    on sys.path (the io.read_parquet_any / make_extract_meta rule).
 
+    REAL, stdlib-only header parses for the three classic raster formats:
 
-def decode_image(data: bytes) -> tuple[int, int, str]:
-    """Decode (width, height, decoder) from an image payload.
+    - PNG: 8-byte signature, then the IHDR chunk (4-byte length, 4-byte
+      type ``IHDR``) whose first 8 data bytes are width/height as
+      big-endian uint32 (file bytes 16..24).
+    - JPEG: walk the marker segments (0xFF id len payload) from SOI to
+      the first SOFn frame header; height/width are big-endian uint16 at
+      payload offsets 1..5 (after the precision byte).
+    - GIF: 6-byte version signature, then the logical-screen descriptor's
+      width/height as LITTLE-endian uint16 (bytes 6..10).
 
-    PNG is decoded FOR REAL, stdlib-only: the PNG byte layout is fixed —
-    8-byte signature, then the IHDR chunk (4-byte length, 4-byte type
-    ``IHDR``), whose first 8 data bytes are width and height as big-endian
-    uint32 (bytes 16..24 of the file). No codec library needed for header
-    metadata, which is exactly what a 100 TB profiling pass extracts.
-
-    JPEG raises NotImplementedError (its dimensions live in variable-
-    position SOF markers; the scan is implementable but libjpeg-grade
-    robustness isn't, and no JPEG fixture exists). Everything else gets
-    the documented deterministic fake so the plumbing stays exercised on
-    the text-derived fixture envelopes.
+    Header metadata is exactly what a 100 TB profiling pass extracts —
+    no pixel codec needed. Unknown payloads get the documented
+    deterministic fake so the plumbing stays exercised on the
+    text-derived fixture envelopes; truncated/corrupt known-magic files
+    raise ValueError (a decode fleet quarantines those rows).
     """
-    if data[:8] == _PNG_SIG:
-        if len(data) < 24 or data[12:16] != b"IHDR":
-            raise ValueError("corrupt PNG: missing IHDR at byte 12")
-        w = int.from_bytes(data[16:20], "big")
-        h = int.from_bytes(data[20:24], "big")
-        return w, h, "png-ihdr"
-    if data[:2] == b"\xff\xd8":  # JPEG: real codec not in this container
-        raise NotImplementedError("media codecs unavailable in this container")
-    w = 64 + (data[0] if data else 0) % 192
-    h = 64 + (data[-1] if data else 0) % 192
-    return w, h, "fake"
+    png_sig = b"\x89PNG\r\n\x1a\n"
+    # JPEG start-of-frame markers that carry dimensions (all SOFn except
+    # the DHT/DAC/arithmetic aliases C4/C8/CC)
+    jpeg_sof = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+    def decode(data: bytes) -> tuple[int, int, str]:
+        if data[:8] == png_sig:
+            if len(data) < 24 or data[12:16] != b"IHDR":
+                raise ValueError("corrupt PNG: missing IHDR at byte 12")
+            w = int.from_bytes(data[16:20], "big")
+            h = int.from_bytes(data[20:24], "big")
+            return w, h, "png-ihdr"
+        if data[:2] == b"\xff\xd8":
+            i = 2
+            while i + 4 <= len(data):
+                if data[i] != 0xFF:
+                    raise ValueError(f"corrupt JPEG: no marker at byte {i}")
+                marker = data[i + 1]
+                if marker == 0xFF:  # fill byte
+                    i += 1
+                    continue
+                if marker in jpeg_sof:
+                    if i + 9 > len(data):
+                        raise ValueError("corrupt JPEG: truncated SOF header")
+                    h = int.from_bytes(data[i + 5 : i + 7], "big")
+                    w = int.from_bytes(data[i + 7 : i + 9], "big")
+                    return w, h, "jpeg-sof"
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2  # standalone marker, no length field
+                    continue
+                seg_len = int.from_bytes(data[i + 2 : i + 4], "big")
+                if seg_len < 2:
+                    raise ValueError("corrupt JPEG: bad segment length")
+                i += 2 + seg_len
+            raise ValueError("corrupt JPEG: no SOF marker found")
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            if len(data) < 10:
+                raise ValueError("corrupt GIF: truncated screen descriptor")
+            w = int.from_bytes(data[6:8], "little")
+            h = int.from_bytes(data[8:10], "little")
+            return w, h, "gif-lsd"
+        w = 64 + (data[0] if data else 0) % 192
+        h = 64 + (data[-1] if data else 0) % 192
+        return w, h, "fake"
+
+    return decode
+
+
+#: Driver-side convenience instance (see make_decode_image for contract).
+decode_image = make_decode_image()
 
 
 def make_extract_meta():
@@ -87,23 +133,9 @@ def make_extract_meta():
     reference and die with ModuleNotFoundError — found empirically.
     """
 
-    def decode(data: bytes) -> tuple[int, int, str]:
-        # duplicates decode_image BY DESIGN: the closure pickles by value,
-        # a module-level call would pickle by reference and require this
-        # package on every worker's sys.path (see make_extract_meta doc)
-        if data[:8] == b"\x89PNG\r\n\x1a\n":
-            if len(data) < 24 or data[12:16] != b"IHDR":
-                raise ValueError("corrupt PNG: missing IHDR at byte 12")
-            return (
-                int.from_bytes(data[16:20], "big"),
-                int.from_bytes(data[20:24], "big"),
-                "png-ihdr",
-            )
-        if data[:2] == b"\xff\xd8":
-            raise NotImplementedError("media codecs unavailable in this container")
-        w = 64 + (data[0] if data else 0) % 192
-        h = 64 + (data[-1] if data else 0) % 192
-        return w, h, "fake"
+    # fresh by-value instance of the shared header decoder — pickles into
+    # the worker closure with no package import (make_decode_image doc)
+    decode = make_decode_image()
 
     def extract_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Batch-shaped (never per-row Python), stateless, partition-local —
@@ -214,14 +246,14 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_multimodal_meta",
-    rows_only_reason="no binary media fixture exists; PNG headers decode "
-    "for real (stdlib IHDR parse, pinned on real PNG bytes in unit tests) "
-    "but the fixture envelopes are text-derived so they take the "
-    "deterministic fake path; the Spark-side plumbing — BinaryType "
+    rows_only_reason="no binary media fixture exists; PNG/JPEG/GIF "
+    "headers decode for real (stdlib parses, pinned on genuine bytes in "
+    "unit tests) but the fixture envelopes are text-derived so they take "
+    "the deterministic fake path; the Spark-side plumbing — BinaryType "
     "envelope schema, mapInPandas Arrow batching — is checked "
     "(rows + stable schema). Values are additionally pinned in unit tests.",
     doc="Multimodal envelope + mapInPandas metadata extraction "
-    "(real PNG IHDR decode; other codecs stubbed).",
+    "(real PNG/JPEG/GIF header decode; pixel codecs stubbed).",
 )
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)

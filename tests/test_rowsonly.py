@@ -173,10 +173,22 @@ _PNG_1X1 = __import__("base64").b64decode(
 )
 
 
-def test_png_ihdr_decode_real_bytes(spark):
-    """decode_image parses REAL PNG bytes (no codec library): the 1x1
-    fixture above, a constructed 640x480 header, and corrupt/JPEG inputs
-    hit their documented paths — end-to-end through mapInPandas too."""
+def _jpeg_640x480() -> bytes:
+    # a genuine minimal JPEG header stream: SOI, APP0/JFIF, then SOF0
+    # (len 17: precision 8, height 480, width 640, 3 components)
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + bytes(9)
+        + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + (480).to_bytes(2, "big") + (640).to_bytes(2, "big")
+        + b"\x03" + bytes(9)
+    )
+
+
+def test_image_header_decode_real_bytes(spark):
+    """decode_image parses REAL image headers (no codec library): the 1x1
+    PNG above, constructed PNG/JPEG/GIF headers, and corrupt inputs hit
+    their documented paths — end-to-end through mapInPandas too."""
     from correlationapi_spark.llm.multimodal import (
         _META_OUT_SCHEMA,
         decode_image,
@@ -191,24 +203,36 @@ def test_png_ihdr_decode_real_bytes(spark):
         + b"\x08\x06\x00\x00\x00"
     )
     assert decode_image(big) == (640, 480, "png-ihdr")
+    jpeg = _jpeg_640x480()
+    assert decode_image(jpeg) == (640, 480, "jpeg-sof")
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + bytes(3)
+    assert decode_image(gif) == (320, 200, "gif-lsd")
+
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8 + b"NOPE" + b"\x00" * 8)
-    with _pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0fakejpeg")
+    with _pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0\x00\x04\x00\x00")  # no SOF ever
+    with _pytest.raises(ValueError):
+        decode_image(b"GIF87a\x01")  # truncated screen descriptor
 
     # the same parse through the actual Spark plumbing (Arrow round-trips
-    # the binary payload; the closure's by-value duplicate must agree)
+    # the binary payload; the worker's by-value decoder instance must
+    # agree with the driver-side one)
     df = spark.createDataFrame(
-        [(0, (_PNG_1X1, "image/png", "mem://png/0", len(_PNG_1X1))),
-         (1, (big, "image/png", "mem://png/1", len(big)))],
+        [(0, (_PNG_1X1, "image/png", "mem://m/0", len(_PNG_1X1))),
+         (1, (big, "image/png", "mem://m/1", len(big))),
+         (2, (jpeg, "image/jpeg", "mem://m/2", len(jpeg))),
+         (3, (gif, "image/gif", "mem://m/3", len(gif)))],
         "doc_id long, media struct<data:binary,mime:string,uri:string,n_bytes:long>",
     )
     rows = {r.doc_id: r for r in
             df.mapInPandas(make_extract_meta(), schema=_META_OUT_SCHEMA).collect()}
     assert (rows[0].width, rows[0].height, rows[0].decoder) == (1, 1, "png-ihdr")
     assert (rows[1].width, rows[1].height, rows[1].decoder) == (640, 480, "png-ihdr")
+    assert (rows[2].width, rows[2].height, rows[2].decoder) == (640, 480, "jpeg-sof")
+    assert (rows[3].width, rows[3].height, rows[3].decoder) == (320, 200, "gif-lsd")
 
 
 def test_multimodal_frames_pinned(spark):

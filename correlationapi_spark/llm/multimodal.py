@@ -158,15 +158,40 @@ def make_extract_meta():
     return extract_meta
 
 
+# A genuine 16x16 PNG signature+IHDR prefix (29 bytes): every 10th fixture
+# doc is wrapped in it so the declared keys exercise the REAL png-ihdr
+# decode path in-plan, not only in unit tests (round 4).
+PNG_PREFIX = (
+    b"\x89PNG\r\n\x1a\n"
+    + (13).to_bytes(4, "big") + b"IHDR"
+    + (16).to_bytes(4, "big") + (16).to_bytes(4, "big")
+    + b"\x08\x06\x00\x00\x00"
+)
+
+
 def with_media_column(df: DataFrame) -> DataFrame:
-    """Wrap documents rows into the multimodal envelope (deterministic)."""
+    """Wrap documents rows into the multimodal envelope (deterministic).
+
+    doc_id % 10 == 0 rows carry a real PNG header prefix (image/png mime,
+    decoded by the real IHDR parser); the rest stay raw text payloads
+    (the deterministic-fake path). Both branches are pure column
+    expressions — binary concat stays JVM-side."""
+    is_png = F.col("doc_id") % 10 == 0
+    text_bytes = F.encode(F.col("text"), "UTF-8")
     return df.select(
         "doc_id",
         F.struct(
-            F.encode(F.col("text"), "UTF-8").alias("data"),
-            F.lit("application/x-fixture-text").alias("mime"),
+            F.when(is_png, F.concat(F.lit(PNG_PREFIX), text_bytes))
+            .otherwise(text_bytes)
+            .alias("data"),
+            F.when(is_png, F.lit("image/png"))
+            .otherwise(F.lit("application/x-fixture-text"))
+            .alias("mime"),
             F.concat(F.lit("mem://documents/"), F.col("doc_id")).alias("uri"),
-            F.length(F.encode(F.col("text"), "UTF-8")).cast("long").alias("n_bytes"),
+            (
+                F.length(text_bytes)
+                + F.when(is_png, F.lit(len(PNG_PREFIX))).otherwise(F.lit(0))
+            ).cast("long").alias("n_bytes"),
         ).alias("media"),
     )
 

@@ -148,6 +148,8 @@ def test_spark_hashes_pinned(spark):
 
 
 def test_multimodal_values_pinned(spark):
+    from correlationapi_spark.llm.multimodal import PNG_PREFIX
+
     rows = {
         r.doc_id: r
         for r in REGISTRY["q_multimodal_meta"].fn(spark, SF_SMOKE).collect()
@@ -156,13 +158,23 @@ def test_multimodal_values_pinned(spark):
 
     docs = {r.doc_id: r for r in load_tables(spark, SF_SMOKE)["documents"].collect()}
     assert len(rows) == len(docs)
-    for did, r in list(rows.items())[:20]:
+    saw_png = saw_fake = False
+    for did, r in list(rows.items())[:40]:
         raw = docs[did].text.encode()
-        assert r.n_bytes == len(raw)
-        assert r.head_hex == raw[:8].hex()
-        assert 64 <= r.width < 256 and 64 <= r.height < 256
-        assert r.decoder == "fake"  # text payloads take the fake path
-        assert r.mime == "application/x-fixture-text"
+        if did % 10 == 0:  # real PNG header prefix, real IHDR decode
+            saw_png = True
+            assert r.n_bytes == len(raw) + len(PNG_PREFIX)
+            assert r.head_hex == PNG_PREFIX[:8].hex()
+            assert (r.width, r.height, r.decoder) == (16, 16, "png-ihdr")
+            assert r.mime == "image/png"
+        else:
+            saw_fake = True
+            assert r.n_bytes == len(raw)
+            assert r.head_hex == raw[:8].hex()
+            assert 64 <= r.width < 256 and 64 <= r.height < 256
+            assert r.decoder == "fake"
+            assert r.mime == "application/x-fixture-text"
+    assert saw_png and saw_fake
 
 
 # The canonical 1x1 transparent PNG (public standard bytes) — a complete,
@@ -243,9 +255,16 @@ def test_multimodal_frames_pinned(spark):
 
     rows = REGISTRY["q_multimodal_frames"].fn(spark, SF_SMOKE).collect()
     from correlationapi_spark.io import load_tables
-    from correlationapi_spark.llm.multimodal import _FRAME_BYTES, _MAX_SAMPLES
+    from correlationapi_spark.llm.multimodal import (
+        _FRAME_BYTES,
+        _MAX_SAMPLES,
+        PNG_PREFIX,
+    )
 
-    docs = {r.doc_id: r.text.encode() for r in load_tables(spark, SF_SMOKE)["documents"].collect()}
+    docs = {
+        r.doc_id: (PNG_PREFIX if r.doc_id % 10 == 0 else b"") + r.text.encode()
+        for r in load_tables(spark, SF_SMOKE)["documents"].collect()
+    }
     by_doc: dict[int, list] = {}
     for r in rows:
         by_doc.setdefault(r.doc_id, []).append(r)

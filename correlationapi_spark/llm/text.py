@@ -595,10 +595,13 @@ def freq_items(docs: DataFrame, text_col: str = "text", k: int = FREQ_K) -> Data
 
     Encoded in tests/test_rowsonly.py::test_freq_items_error_bounds.
 
-    Output: (token, approx_count, n_total, err_bound); ``token`` is never
-    NULL (the NULL row is the internal batch-size carrier). One narrow
-    mapInPandas pass (no shuffle) + a tiny groupBy over <= k x #batches
-    rows — the 100 TB shape.
+    Output: (token, approx_count, n_total, err_bound). ONE mapInPandas
+    pass (no pre-shuffle) + a tiny groupBy over <= k x #batches rows;
+    N rides in from a separate pure-codegen scan (sum of split sizes —
+    no second Python pass; an earlier null-carrier-row design made the
+    filters push below the aggregate and re-evaluate the MG stage twice,
+    plan-audited and fixed round 4). Plan canary:
+    tests/test_plans.py::test_freq_items_runs_one_python_pass.
     """
 
     def make_mg(k: int, text_col: str):
@@ -609,10 +612,8 @@ def freq_items(docs: DataFrame, text_col: str = "text", k: int = FREQ_K) -> Data
         def mg(batches):
             for pdf in batches:
                 counters: dict[str, int] = {}
-                n = 0
                 for text in pdf[text_col]:
                     for tok in text.split(" "):
-                        n += 1
                         if tok in counters:
                             counters[tok] += 1
                         elif len(counters) < k:
@@ -630,8 +631,8 @@ def freq_items(docs: DataFrame, text_col: str = "text", k: int = FREQ_K) -> Data
                                 del counters[t2]
                 yield pd.DataFrame(
                     {
-                        "token": list(counters.keys()) + [None],
-                        "cnt": list(counters.values()) + [n],
+                        "token": list(counters.keys()),
+                        "cnt": list(counters.values()),
                     }
                 )
 
@@ -641,12 +642,13 @@ def freq_items(docs: DataFrame, text_col: str = "text", k: int = FREQ_K) -> Data
         make_mg(k, text_col), schema="token string, cnt long"
     )
     merged = summaries.groupBy("token").agg(F.sum("cnt").alias("approx_count"))
-    totals = merged.filter(F.col("token").isNull()).select(
-        F.col("approx_count").alias("n_total")
+    # N from a pure-codegen scan: size(split) counts exactly what the MG
+    # worker's text.split(" ") iterates (empty strings included)
+    totals = docs.agg(
+        F.sum(F.size(F.split(F.col(text_col), " "))).alias("n_total")
     )
     return (
-        merged.filter(F.col("token").isNotNull())
-        .crossJoin(totals)
+        merged.crossJoin(totals)
         .withColumn(
             "err_bound", F.floor(F.col("n_total") / F.lit(k + 1)).cast("long")
         )

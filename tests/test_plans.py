@@ -196,6 +196,21 @@ def test_asof_nearest_is_union_window_not_range_join(spark):
     assert "hashpartitioning(user_id" in plan
 
 
+def test_freq_items_runs_one_python_pass(spark):
+    # the Misra-Gries stage is the expensive pass: exactly ONE
+    # MapInPandas with NO exchange below it (summaries shuffle only
+    # <= k rows per batch); N comes from a codegen scan, and top-50 is
+    # TakeOrderedAndProject (per-partition heaps), never a global sort
+    import re
+
+    plan = plan_of(spark, "q_agg_freq_items")
+    assert len(re.findall(r"MapInPandas \(\d+\)", plan)) == 1
+    assert "TakeOrderedAndProject" in plan
+    # the MG stage's direct child in the plan tree is the parquet scan —
+    # nothing (no exchange) sits between scan and the Python pass
+    assert re.search(r"MapInPandas \(\d+\)\n\s*[:+\- ]*Scan parquet", plan)
+
+
 def test_spearman_rank_tables_reuse_range_exchange(spark):
     """Correctness canary (ADVICE r3): grouped_avg_rank_table references
     the range-partitioned counts subtree twice (numbered rows vs

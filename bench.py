@@ -76,6 +76,13 @@ def main() -> None:
         F.corr("l_quantity", "l_tax"), F.covar_samp("l_quantity", "l_tax")
     ).write.format("noop").mode("overwrite").save()
 
+    # Host-load watermark: BENCHLOG documents ±25-45% total swings from
+    # CONCURRENT JVMs on this shared host with identical plans (r03's
+    # "+22% regression" was exactly that). Recording 1-min loadavg at
+    # start/end makes contention attributable from the recorded JSON
+    # alone instead of requiring a rerun next round.
+    load_start = round(os.getloadavg()[0], 2)
+
     timings: dict[str, float] = {}
     total = 0.0
     for key in bench_keys:
@@ -103,6 +110,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "load1_start": load_start,
+                "load1_end": round(os.getloadavg()[0], 2),
             }
         )
     )

@@ -264,19 +264,29 @@ class CorrelationAPI:
     ) -> dict[str, Any]:
         """Autocorrelation of the grain-aggregated series at the given lag.
 
-        The grain aggregation shrinks the series BEFORE the global-order
-        lag window, so the single-partition window is over ~one row per
-        grain bucket regardless of raw volume (SURVEY.md stats module)."""
+        The grain aggregation shrinks the series BEFORE any alignment, so
+        everything below runs on ~one row per grain bucket regardless of
+        raw volume (SURVEY.md stats module). Alignment is the epoch-grain
+        equi-join (round 4, same fix as cross_correlation): "lag k" pairs
+        buckets exactly k TRUE time steps apart — a row-based lag window
+        paired across calendar holes when fill_gaps=False."""
         series = self._series(
             dataset, time_col, [(value_col, "_v")], grain, fill_gaps
         )
-        lagged = series.select(
-            "_v", F.lag("_v", lag).over(Window.orderBy("_t")).alias("_prev")
+        indexed = series.withColumn("_i", _epoch_grain_index(grain))
+        a, b = indexed.alias("a"), indexed.alias("b")
+        r = (
+            a.join(b, F.col("a._i") == F.col("b._i") + lag)
+            .agg(
+                _safe_corr(F.col("a._v"), F.col("b._v")).alias("c"),
+                F.count(
+                    F.when(
+                        F.col("a._v").isNotNull() & F.col("b._v").isNotNull(), 1
+                    )
+                ).alias("n"),
+            )
+            .collect()[0]
         )
-        r = lagged.agg(
-            _safe_corr(F.col("_v"), F.col("_prev")).alias("c"),
-            F.count("_prev").alias("n"),
-        ).collect()[0]
         return {
             "dataset": dataset, "time": time_col, "value": value_col,
             "grain": grain, "lag": lag, "fill_gaps": fill_gaps,
@@ -407,21 +417,28 @@ class CorrelationAPI:
         """Time-varying autocorrelation: lag-k coefficient over a rolling
         window of the grain series (q_corr_rolling's shape, parameterized).
 
-        Only full windows are emitted — partial frames are unstable
-        warm-up rows. All windows run on the grain-level series."""
+        Round 4: both the lag pairing and the rolling frame are TRUE-TIME
+        aligned via the epoch-grain integer index — pairs come from the
+        equi-join on ``_i`` (never a row-based lag that slips across
+        calendar holes) and the frame is ``rangeBetween`` on ``_i``, so a
+        "14-day window" spans 14 calendar days, not 14 surviving rows.
+        Only full windows are emitted (count == window) — partial frames
+        are unstable warm-up rows, and near a hole a frame can't be full.
+        All windows run on the grain-level series."""
         if window < 2:
             raise ValueError("window must be >= 2")
         series = self._series(
             dataset, time_col, [(value_col, "_v")], grain, fill_gaps
         )
-        lagged = series.select(
-            "_t", "_v",
-            F.lag("_v", lag).over(Window.orderBy("_t")).alias("_prev"),
-        )
-        complete = lagged.filter(F.col("_prev").isNotNull()).withColumn(
-            "_rn", F.row_number().over(Window.orderBy("_t"))
-        )
-        w = Window.orderBy("_t").rowsBetween(-(window - 1), 0)
+        indexed = series.withColumn("_i", _epoch_grain_index(grain))
+        a, b = indexed.alias("a"), indexed.alias("b")
+        complete = a.join(b, F.col("a._i") == F.col("b._i") + lag).select(
+            F.col("a._t").alias("_t"),
+            F.col("a._i").alias("_i"),
+            F.col("a._v").alias("_v"),
+            F.col("b._v").alias("_prev"),
+        ).filter(F.col("_prev").isNotNull() & F.col("_v").isNotNull())
+        w = Window.orderBy("_i").rangeBetween(-(window - 1), 0)
         sx, sy = F.stddev_samp("_v").over(w), F.stddev_samp("_prev").over(w)
         rolling = F.when(
             (sx > 0) & (sy > 0),
@@ -429,9 +446,9 @@ class CorrelationAPI:
         )
         rows = (
             complete.select(
-                "_t", "_rn", rolling.alias("_c"), F.count("*").over(w).alias("_n")
+                "_t", rolling.alias("_c"), F.count("*").over(w).alias("_n")
             )
-            .filter(F.col("_rn") >= window)
+            .filter(F.col("_n") >= window)
             .orderBy("_t")
             .collect()
         )

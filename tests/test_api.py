@@ -142,9 +142,11 @@ def test_rolling_matches_declared_key(api, spark):
 
 
 def test_lagged_fill_gaps_restores_alignment(api, spark):
-    # a one-day hole in a strictly linear series: unfilled, the lag pairs
-    # (d3, d1) across the hole; filled, d2 is forward-filled so every lag
-    # is a true 1-day step and the correlation stays exactly 1.0
+    # a one-day hole in a strictly linear series. Unfilled (round-4
+    # epoch-grain semantics): the hole yields NO lag-1 pair — 3 true
+    # adjacent pairs, never a (d4, d2) pairing across the hole (the
+    # pre-r4 row-based lag produced 4 pairs by slipping across it).
+    # Filled: d3 is forward-filled so every lag is a true 1-day step.
     rows = [("2024-01-01 00:00:00", 1.0), ("2024-01-02 00:00:00", 2.0),
             ("2024-01-04 00:00:00", 4.0), ("2024-01-05 00:00:00", 5.0),
             ("2024-01-06 00:00:00", 6.0)]
@@ -155,7 +157,7 @@ def test_lagged_fill_gaps_restores_alignment(api, spark):
     filled = api.lagged_correlation("_holey", "t", "v", fill_gaps=True)
     assert filled["n_pairs"] == 5  # spine has 6 days, 5 lag pairs
     unfilled = api.lagged_correlation("_holey", "t", "v")
-    assert unfilled["n_pairs"] == 4
+    assert unfilled["n_pairs"] == 3
 
 
 def test_covariance(api):
@@ -224,6 +226,36 @@ def test_xcorr_calendar_gap_keeps_true_time_lags(api, spark):
     out = api.cross_correlation("gappy", "t", "x", "y", max_lag=1)
     assert out["lags"]["1"]["n"] == 6
     assert out["lags"]["1"]["correlation"] == pytest.approx(1.0)
+
+
+def test_lagged_and_rolling_respect_calendar_gaps(api, spark):
+    """Round-4 fix: lag pairing and rolling frames align on the
+    epoch-grain index. y_t = x_{t-1} in TRUE days with day 4 missing:
+    lag-1 autocorrelation of a monotone-with-noise ramp must use only
+    truly-adjacent pairs, and a 3-day rolling window near the hole is
+    not full and therefore not emitted."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 5, 1)
+    vals = {0: 1.0, 1: 2.0, 2: 4.0, 3: 8.0, 5: 999.0, 6: 16.0, 7: 32.0,
+            8: 64.0, 9: 128.0}
+    df = spark.createDataFrame(
+        [(base + dt.timedelta(days=d), v) for d, v in vals.items()],
+        "t timestamp, v double",
+    )
+    api.register_dataset("gappy2", df)
+    out = api.lagged_correlation("gappy2", "t", "v", lag=1)
+    # adjacent pairs only: (0,1),(1,2),(2,3),(5,6),(6,7),(7,8),(8,9) = 7
+    # (3,5) is NOT a lag-1 pair — row-based lag would have included it
+    assert out["n_pairs"] == 7
+
+    roll = api.rolling_correlation("gappy2", "t", "v", window=3, lag=1)
+    emitted = {r["t"] for r in roll["series"]}
+    # a full 3-pair frame needs 3 consecutive pair days: days {1,2,3}
+    # (pairs at 1,2,3) and {7,8,9}; day 6's frame spans {4,5,6} with
+    # pairs only at 6 — not full, not emitted
+    assert str(base + dt.timedelta(days=3)) in emitted
+    assert str(base + dt.timedelta(days=6)) not in emitted
 
 
 def test_xcorr_validates_inputs(api):

@@ -102,3 +102,24 @@ def test_sf_dir_switch_reregisters_views(spark):
     # and switching BACK also re-registers
     load_tables(spark, "/root/testdata/sf0.001")
     assert spark.sql("SELECT count(*) AS n FROM orders").collect()[0].n == n_small
+
+
+def test_events_ts_matches_duckdb_exactly(spark):
+    """Unit-drift canary: the driver's testdata generation changed
+    events.ts from parquet TIMESTAMP(NANOS) to TIMESTAMP(MICROS) between
+    rounds 3 and 4; the old unconditional ns div-1000 read silently
+    shifted every event to 1970. Pin load_tables' timestamps to DuckDB's
+    reading of the same file (engine-independent truth) at every SF so
+    any future unit change fails loudly here."""
+    import duckdb
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        ev = load_tables(spark, sf_dir)["events"]
+        got = ev.selectExpr(
+            "CAST(min(ts) AS STRING) AS lo", "CAST(max(ts) AS STRING) AS hi"
+        ).collect()[0]
+        want = duckdb.sql(
+            "SELECT CAST(min(ts) AS VARCHAR) AS lo, CAST(max(ts) AS VARCHAR) AS hi "
+            f"FROM read_parquet('{sf_dir}/events.parquet')"
+        ).fetchone()
+        assert (got.lo, got.hi) == want, (sf_dir, got, want)

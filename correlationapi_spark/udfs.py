@@ -126,9 +126,12 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         sigma = pdf["value"].std(ddof=1)
         # same zero-variance guard as q_udf_pandas / _safe_corr: emit
         # None (Arrow null), not inf/NaN, for constant groups — the
-        # object-dtype Series is what makes Arrow write real nulls
+        # object-dtype Series is what makes Arrow write real nulls.
+        # RAW z-scores here; rounding happens IN-PLAN below (F.round is
+        # HALF_UP like the oracle; pandas .round is half-to-even — the
+        # q_sim_topk_pandas rule, applied repo-wide in round 4)
         if pd.notna(sigma) and sigma > 0:
-            norm = ((pdf["value"] - mu) / sigma).round(4)
+            norm = (pdf["value"] - mu) / sigma
         else:
             norm = pd.Series([None] * len(pdf), index=pdf.index, dtype=object)
         return pd.DataFrame(
@@ -139,7 +142,12 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return t["events"].groupBy("event_type").applyInPandas(normalize, schema)
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .applyInPandas(normalize, schema)
+        .withColumn("normalized", F.round("normalized", 4))
+    )
 
 
 @query(

@@ -124,6 +124,7 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     # first (code, oracle, output schema, or plan changed; plus one
     # representative per events-based family for the io.py µs/ns fix)
     "q_sim_topk_pandas",      # rounding moved in-plan (F.round HALF_UP)
+    "q_udaf_grouped",         # same rounding fix, grouped z-scores
     "q_sort_multi",           # localCheckpoint pin in global_row_number
     "q_corr_spearman", "q_corr_spearman_grouped", "q_corr_matrix_spearman",
     "q_domain_mix",           # target share now derived in-plan (+oracle)

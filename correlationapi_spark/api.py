@@ -51,12 +51,17 @@ _SECONDS_PER = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
 def _epoch_grain_index(grain: str):
     t = F.col("_t")
     if grain in _SECONDS_PER:
+        # integer `div`, never `/`: float division routes the int64
+        # through a double (exact only to 2^53) and truncates toward
+        # zero — io.py's precision rule applies to arbitrary user data
         us = _SECONDS_PER[grain] * 1_000_000
-        return (F.unix_micros(t) / F.lit(us)).cast("bigint")
+        return F.expr(f"unix_micros(_t) div {us}")
     if grain == "week":
         # all week buckets share one weekday (Monday), so floor(days/7)
-        # is adjacency-preserving and collision-free
-        days = (F.unix_micros(t) / F.lit(86_400_000_000)).cast("bigint")
+        # is adjacency-preserving and collision-free; FLOOR (not div,
+        # which truncates toward zero) keeps pre-1970 weeks distinct —
+        # |days| is small enough that the double is exact
+        days = F.expr("unix_micros(_t) div 86400000000")
         return F.floor(days / 7).cast("bigint")
     if grain == "month":
         return (F.year(t) * 12 + F.month(t) - 1).cast("bigint")

@@ -66,17 +66,29 @@ def make_decode_image():
       width/height as LITTLE-endian uint16 (bytes 6..10).
 
     Header metadata is exactly what a 100 TB profiling pass extracts —
-    no pixel codec needed. Unknown payloads get the documented
-    deterministic fake so the plumbing stays exercised on the
-    text-derived fixture envelopes; truncated/corrupt known-magic files
-    raise ValueError (a decode fleet quarantines those rows).
+    no pixel codec needed. Dispatch: when the caller passes the
+    envelope's ``mime``, only ``image/*`` payloads are magic-sniffed —
+    a TEXT document that happens to start with ASCII ``GIF89a`` must
+    NOT be parsed as a GIF (review finding r4; PNG/JPEG magics are
+    unreachable from UTF-8 text, the GIF one is printable). Non-image
+    mimes and unknown magics get the documented deterministic fake so
+    the plumbing stays exercised on the text-derived fixture envelopes;
+    truncated/corrupt known-magic IMAGE payloads raise ValueError (a
+    decode fleet quarantines those rows).
     """
     png_sig = b"\x89PNG\r\n\x1a\n"
     # JPEG start-of-frame markers that carry dimensions (all SOFn except
     # the DHT/DAC/arithmetic aliases C4/C8/CC)
     jpeg_sof = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
 
-    def decode(data: bytes) -> tuple[int, int, str]:
+    def fake(data: bytes) -> tuple[int, int, str]:
+        w = 64 + (data[0] if data else 0) % 192
+        h = 64 + (data[-1] if data else 0) % 192
+        return w, h, "fake"
+
+    def decode(data: bytes, mime: str | None = None) -> tuple[int, int, str]:
+        if mime is not None and not mime.startswith("image/"):
+            return fake(data)
         if data[:8] == png_sig:
             if len(data) < 24 or data[12:16] != b"IHDR":
                 raise ValueError("corrupt PNG: missing IHDR at byte 12")
@@ -112,9 +124,7 @@ def make_decode_image():
             w = int.from_bytes(data[6:8], "little")
             h = int.from_bytes(data[8:10], "little")
             return w, h, "gif-lsd"
-        w = 64 + (data[0] if data else 0) % 192
-        h = 64 + (data[-1] if data else 0) % 192
-        return w, h, "fake"
+        return fake(data)
 
     return decode
 
@@ -142,7 +152,14 @@ def make_extract_meta():
         # the signature that scales to a 1000-executor decode fleet.
         for pdf in batches:
             data = pdf["media"].map(lambda m: bytes(m["data"]))
-            dims = data.map(decode)
+            # route on the envelope mime: only image/* is magic-sniffed
+            dims = pd.Series(
+                [
+                    decode(d, m["mime"])
+                    for d, m in zip(data, pdf["media"])
+                ],
+                index=pdf.index,
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -273,10 +290,11 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_multimodal_meta",
     rows_only_reason="no binary media fixture exists; PNG/JPEG/GIF "
     "headers decode for real (stdlib parses, pinned on genuine bytes in "
-    "unit tests) but the fixture envelopes are text-derived so they take "
-    "the deterministic fake path; the Spark-side plumbing — BinaryType "
-    "envelope schema, mapInPandas Arrow batching — is checked "
-    "(rows + stable schema). Values are additionally pinned in unit tests.",
+    "unit tests), and every 10th fixture envelope carries a genuine PNG "
+    "header prefix so the real png-ihdr path runs in-plan — the rest are "
+    "text payloads on the deterministic fake path; the Spark-side "
+    "plumbing — BinaryType envelope schema, mapInPandas Arrow batching — "
+    "is checked (rows + stable schema). Values are pinned in unit tests.",
     doc="Multimodal envelope + mapInPandas metadata extraction "
     "(real PNG/JPEG/GIF header decode; pixel codecs stubbed).",
 )

@@ -638,13 +638,19 @@ def freq_items(docs: DataFrame, text_col: str = "text", k: int = FREQ_K) -> Data
 
         return mg
 
-    summaries = docs.select(F.col(text_col).alias(text_col)).mapInPandas(
+    # one NULL filter feeding BOTH passes: the MG worker's .split would
+    # crash on None, and an unfiltered totals scan would count a
+    # different row set than the worker iterates
+    base = docs.select(F.col(text_col).alias(text_col)).filter(
+        F.col(text_col).isNotNull()
+    )
+    summaries = base.mapInPandas(
         make_mg(k, text_col), schema="token string, cnt long"
     )
     merged = summaries.groupBy("token").agg(F.sum("cnt").alias("approx_count"))
     # N from a pure-codegen scan: size(split) counts exactly what the MG
     # worker's text.split(" ") iterates (empty strings included)
-    totals = docs.agg(
+    totals = base.agg(
         F.sum(F.size(F.split(F.col(text_col), " "))).alias("n_total")
     )
     return (

@@ -27,12 +27,14 @@ exchanges). Two independent evaluations may sample different boundaries,
 assigning different partition ids to the same row — offsets would then
 mismatch the numbered rows and ranks would be silently wrong. Invisible at
 fixture scale (the sampler sees every row, so both samples agree), fatal at
-cluster scale. Fix: eagerly ``localCheckpoint`` the partition-id-stamped
-intermediate, so both consumers read the SAME materialized partitioning —
-re-evaluation becomes impossible by construction (lineage is truncated; an
-executor loss fails the job deterministically instead of silently
-renumbering). The materialized volume is the same data the shuffle already
-wrote, so the cost is one extra read/write of the ranked relation.
+cluster scale. Fix: ``localCheckpoint`` (lazy) the partition-id-stamped
+intermediate — both consumers then reference ONE RDD, i.e. one shuffle
+dependency whose map output is computed exactly once, so the sampled
+boundaries cannot diverge; lineage truncation additionally makes
+re-evaluation impossible (an executor loss fails the job deterministically
+instead of silently renumbering). The materialized volume is the same data
+the shuffle already wrote, so the cost is one extra read/write of the
+ranked relation at action time — and nothing at plan-build time.
 """
 
 from __future__ import annotations
@@ -56,8 +58,12 @@ def global_row_number(
     )
     # Pin the sampled range partitioning (module docstring: the totals and
     # the numbered rows must see identical _pid assignments, and exchange
-    # reuse is not guaranteed across the two pruned consumers).
-    ranged = ranged.localCheckpoint(eager=True)
+    # reuse is not guaranteed across the two pruned consumers). LAZY: the
+    # pin comes from both consumers referencing ONE RDD — a single shuffle
+    # dependency whose map output is computed once — not from eagerness;
+    # eager=True would run the full range-shuffle job as a side effect of
+    # merely BUILDING the DataFrame (plan-only callers would pay it).
+    ranged = ranged.localCheckpoint(eager=False)
     w_in = Window.partitionBy("_pid").orderBy(*order)
     numbered = ranged.withColumn("_rn_in", F.row_number().over(w_in))
     totals = numbered.groupBy("_pid").agg(F.count("*").alias("_ptot"))

@@ -41,17 +41,14 @@ def write_event_chunks(
 
 
 def events_stream(spark: SparkSession, chunk_dir: str, files_per_trigger: int = 1) -> DataFrame:
-    """File-source stream over the chunked events (ns-ts already µs here,
-    because write_event_chunks materialized the converted column)."""
-    schema = None
-    from pyspark.sql import types as T
+    """File-source stream over the chunked events.
 
-    base = SCHEMAS["events"]
-    schema = T.StructType(
-        [f if f.name != "ts" else T.StructField("ts", T.TimestampType()) for f in base]
-    )
+    SCHEMAS["events"] is the µs/native (TimestampType) form since round 4
+    and write_event_chunks materializes exactly that, so the pinned
+    schema applies directly (the pre-r4 LongType ns form needed a ts
+    substitution here)."""
     return (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(SCHEMAS["events"])
         .option("maxFilesPerTrigger", files_per_trigger)
         .option("recursiveFileLookup", "true")
         .parquet(chunk_dir)

@@ -247,6 +247,34 @@ def test_image_header_decode_real_bytes(spark):
     assert (rows[3].width, rows[3].height, rows[3].decoder) == (320, 200, "gif-lsd")
 
 
+def test_gif_lookalike_text_is_not_sniffed(spark):
+    """Review finding r4: 'GIF89a' is printable ASCII, so a TEXT payload
+    can start with it (a doc about the GIF format). The worker routes on
+    the envelope mime — non-image payloads must take the fake path, and
+    a too-short lookalike must not raise. Direct decode_image WITH an
+    image mime still parses it as a GIF (payload says image, magic
+    agrees)."""
+    from correlationapi_spark.llm.multimodal import (
+        _META_OUT_SCHEMA,
+        decode_image,
+        make_extract_meta,
+    )
+
+    lookalike = b"GIF89a is a file format from 1989"
+    short = b"GIF87a"
+    df = spark.createDataFrame(
+        [(0, (lookalike, "application/x-fixture-text", "mem://t/0", len(lookalike))),
+         (1, (short, "application/x-fixture-text", "mem://t/1", len(short)))],
+        "doc_id long, media struct<data:binary,mime:string,uri:string,n_bytes:long>",
+    )
+    rows = {r.doc_id: r for r in
+            df.mapInPandas(make_extract_meta(), schema=_META_OUT_SCHEMA).collect()}
+    assert rows[0].decoder == "fake" and rows[1].decoder == "fake"
+    # magic-based parse still available when the caller asserts image/*
+    assert decode_image(lookalike, "image/gif")[2] == "gif-lsd"
+    assert decode_image(lookalike)[2] == "gif-lsd"  # no mime = trust magic
+
+
 def test_multimodal_frames_pinned(spark):
     """Frame sampling is a pure function of the payload bytes: recompute
     chunk hashes and sampling positions in plain Python and require exact

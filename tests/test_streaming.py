@@ -268,10 +268,8 @@ def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
     second = ev.filter(F.col("event_id") % 2 == 1)
     first.write.mode("overwrite").parquet(src)
 
-    schema = T.StructType(
-        [f if f.name != "ts" else T.StructField("ts", T.TimestampType())
-         for f in SCHEMAS["events"]]
-    )
+    # SCHEMAS["events"] is the µs/native TimestampType form (round 4)
+    schema = SCHEMAS["events"]
 
     def run_once():
         q = (

@@ -314,3 +314,38 @@ def test_fill_gaps_quarter_grain_does_not_crash(api):
         grain="quarter", fill_gaps=True,
     )
     assert "lags" in xc
+
+
+def test_epoch_grain_index_adjacency_all_grains(spark):
+    """_epoch_grain_index's contract: consecutive grain buckets map to
+    consecutive integers (that is what makes 'lag k' = k true time
+    steps). Checked for every supported grain over a span that crosses
+    1970 (negative epochs exercise the floor-vs-truncate distinction in
+    the week branch and sign handling everywhere)."""
+    import pyspark.sql.functions as F
+
+    from correlationapi_spark.api import _GRAINS, _epoch_grain_index
+
+    steps = {
+        "second": "interval 1 second", "minute": "interval 1 minute",
+        "hour": "interval 1 hour", "day": "interval 1 day",
+        "week": "interval 7 day", "month": "interval 1 month",
+        "quarter": "interval 3 month", "year": "interval 1 year",
+    }
+    for grain in _GRAINS:
+        start = {"second": "1969-12-31 23:58:40", "minute": "1969-12-31 23:20:00",
+                 "hour": "1969-12-30 00:00:00"}.get(grain, "1969-03-03 00:00:00")
+        spine = spark.sql(
+            f"SELECT explode(sequence(TIMESTAMP '{start}',"
+            f" TIMESTAMP '{start}' + INTERVAL 100 {grain.upper() if grain != 'quarter' else 'MONTH'},"
+            f" {steps[grain]})) AS raw"
+        ).select(F.date_trunc(grain, "raw").alias("_t")).distinct()
+        rows = (
+            spine.withColumn("_i", _epoch_grain_index(grain))
+            .orderBy("_t")
+            .collect()
+        )
+        idx = [r._i for r in rows]
+        assert len(idx) >= 10, grain
+        diffs = {b - a for a, b in zip(idx, idx[1:])}
+        assert diffs == {1}, (grain, sorted(diffs))

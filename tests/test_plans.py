@@ -206,9 +206,17 @@ def test_freq_items_runs_one_python_pass(spark):
     plan = plan_of(spark, "q_agg_freq_items")
     assert len(re.findall(r"MapInPandas \(\d+\)", plan)) == 1
     assert "TakeOrderedAndProject" in plan
-    # the MG stage's direct child in the plan tree is the parquet scan —
-    # nothing (no exchange) sits between scan and the Python pass
-    assert re.search(r"MapInPandas \(\d+\)\n\s*[:+\- ]*Scan parquet", plan)
+    # between the Python pass and its parquet scan only narrow nodes
+    # (the NULL filter / projections) may appear — never an Exchange
+    tree = plan.split("\n\n")[0]
+    lines = tree.splitlines()
+    start = next(i for i, ln in enumerate(lines) if "MapInPandas" in ln)
+    for ln in lines[start + 1:]:
+        if "Scan parquet" in ln:
+            break
+        assert "Exchange" not in ln, ln
+    else:
+        raise AssertionError("no Scan parquet below MapInPandas")
 
 
 def test_spearman_rank_tables_reuse_range_exchange(spark):

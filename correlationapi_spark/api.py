@@ -146,7 +146,13 @@ class CorrelationAPI:
         method: str = "pearson",
         group_by: str | None = None,
     ) -> dict[str, Any]:
-        """Pairwise correlation; optionally per group. JSON-able result."""
+        """Pairwise correlation; optionally per group. JSON-able result.
+
+        Each result carries ``t_stat`` — the test statistic
+        t = r·√((n−2)/(1−r²)) under H0: ρ=0 (Student-t with n−2 df), the
+        number a correlation-service consumer feeds a significance
+        lookup. NULL when the correlation is degenerate, |r| = 1, or
+        n ≤ 2. Computed from the same single aggregation pass."""
         df = self._get(dataset)
         x, y = self._num(df, var_x), self._num(df, var_y)
         if method == "spearman":
@@ -159,16 +165,27 @@ class CorrelationAPI:
             F.count(F.when(x.isNotNull() & y.isNotNull(), 1)).alias("n"),
         ]
         base = {"dataset": dataset, "x": var_x, "y": var_y, "method": method}
+
+        def t_stat(r) -> float | None:
+            c, n = r.correlation, r.n
+            if c is None or n <= 2 or abs(c) >= 1.0:
+                return None
+            return round(c * ((n - 2) / (1.0 - c * c)) ** 0.5, 6)
+
         if group_by:
             rows = df.groupBy(group_by).agg(*agg).collect()
             return base | {
                 "groups": {
-                    str(r[group_by]): {"correlation": r.correlation, "n": r.n}
+                    str(r[group_by]): {
+                        "correlation": r.correlation,
+                        "n": r.n,
+                        "t_stat": t_stat(r),
+                    }
                     for r in rows
                 }
             }
         r = df.agg(*agg).collect()[0]
-        return base | {"correlation": r.correlation, "n": r.n}
+        return base | {"correlation": r.correlation, "n": r.n, "t_stat": t_stat(r)}
 
     def covariance(
         self, dataset: str, var_x: str, var_y: str, sample: bool = True

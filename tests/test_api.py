@@ -349,3 +349,24 @@ def test_epoch_grain_index_adjacency_all_grains(spark):
         assert len(idx) >= 10, grain
         diffs = {b - a for a, b in zip(idx, idx[1:])}
         assert diffs == {1}, (grain, sorted(diffs))
+
+
+def test_correlate_t_statistic(api, spark):
+    """t = r*sqrt((n-2)/(1-r^2)) under H0: rho=0, recomputed in plain
+    Python from the returned (r, n); NULL for perfect correlation."""
+    res = api.correlate("lineitem", "l_quantity", "l_extendedprice")
+    r, n = res["correlation"], res["n"]
+    assert res["t_stat"] == round(r * ((n - 2) / (1 - r * r)) ** 0.5, 6)
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 4.0), (3.0, 6.0)], "x double, y double"
+    )
+    api.register_dataset("_perfect", df)
+    perfect = api.correlate("_perfect", "x", "y")
+    assert perfect["correlation"] == 1.0 and perfect["t_stat"] is None
+
+    grouped = api.correlate(
+        "lineitem", "l_quantity", "l_extendedprice", group_by="l_returnflag"
+    )
+    for g in grouped["groups"].values():
+        assert "t_stat" in g

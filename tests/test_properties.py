@@ -350,3 +350,43 @@ def test_avg_rank_table_null_semantics(spark):
     assert {r.uid: r.r for r in nullsafe.collect()} == {
         0: 1.5, 1: 1.5, 2: 3.5, 3: 3.5, 4: 5.0
     }
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(list("abcdefgh")), min_size=1, max_size=30
+        ).map(" ".join),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(min_value=2, max_value=6),
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_freq_items_bounds_property(spark, texts, k):
+    """Misra-Gries bounds under FORCED evictions: vocabulary (8) exceeds
+    k (2..6), so counters genuinely overflow and merge across partitions
+    — the fixture-scale test never evicts (31 distinct tokens < K=128).
+    For every (texts, k): lower bound, undercount <= floor(N/(k+1)),
+    recall of everything above the bound, exact N."""
+    from correlationapi_spark.llm.text import freq_items
+
+    df = spark.createDataFrame(
+        [(t,) for t in texts], "text string"
+    ).repartition(3)  # multiple summaries per run → real sum-merge
+    exact: dict[str, int] = {}
+    for t in texts:
+        for tok in t.split(" "):
+            exact[tok] = exact.get(tok, 0) + 1
+    n_total = sum(exact.values())
+    bound = n_total // (k + 1)
+
+    rows = freq_items(df, "text", k).collect()
+    got = {r.token: r.approx_count for r in rows}
+    assert all(r.n_total == n_total for r in rows)
+    for tok, approx in got.items():
+        assert approx <= exact[tok]
+        assert exact[tok] - approx <= bound
+    for tok, cnt in exact.items():
+        if cnt > bound:
+            assert tok in got, (tok, cnt, bound)

@@ -95,6 +95,25 @@ def _safe_corr(x, y):
     )
 
 
+def _nan_to_none(c):
+    """A NaN double (possible when an input column itself contains NaN —
+    Spark's NaN > 0 is TRUE, so the variance guard passes) must surface
+    as JSON null: json.dumps would otherwise emit a bare NaN literal,
+    which strict JSON parsers reject."""
+    return None if isinstance(c, float) and c != c else c
+
+
+def _safe_corr_raw(x, y):
+    """_safe_corr WITHOUT the presentation round(6) — for downstream
+    arithmetic (t_stat) where rounding first distorts 1−r² near |r|→1
+    (at n=10⁶ a 6-dp round can shift t by ~20%, or trip the |r|≥1 guard
+    on a legitimately finite t)."""
+    both = x.isNotNull() & y.isNotNull()
+    xm, ym = F.when(both, x), F.when(both, y)
+    sx, sy = F.stddev_samp(xm), F.stddev_samp(ym)
+    return F.when((sx > 0) & (sy > 0), F.covar_samp(xm, ym) / (sx * sy))
+
+
 class CorrelationAPI:
     """Named-dataset correlation service over a SparkSession."""
 
@@ -162,13 +181,18 @@ class CorrelationAPI:
             raise ValueError(f"unknown method: {method!r} (pearson|spearman)")
         agg = [
             _safe_corr(x, y).alias("correlation"),
+            _safe_corr_raw(x, y).alias("_corr_raw"),
             F.count(F.when(x.isNotNull() & y.isNotNull(), 1)).alias("n"),
         ]
         base = {"dataset": dataset, "x": var_x, "y": var_y, "method": method}
 
         def t_stat(r) -> float | None:
-            c, n = r.correlation, r.n
-            if c is None or n <= 2 or abs(c) >= 1.0:
+            # UNROUNDED r (rounding first distorts 1−r² near |r|→1);
+            # c != c catches NaN (Spark's NaN > 0 is TRUE, so a NaN
+            # input column yields corr = NaN, which must surface as
+            # JSON null, not a non-JSON NaN literal)
+            c, n = r._corr_raw, r.n
+            if c is None or c != c or n <= 2 or abs(c) >= 1.0:
                 return None
             return round(c * ((n - 2) / (1.0 - c * c)) ** 0.5, 6)
 
@@ -177,7 +201,7 @@ class CorrelationAPI:
             return base | {
                 "groups": {
                     str(r[group_by]): {
-                        "correlation": r.correlation,
+                        "correlation": _nan_to_none(r.correlation),
                         "n": r.n,
                         "t_stat": t_stat(r),
                     }
@@ -185,7 +209,11 @@ class CorrelationAPI:
                 }
             }
         r = df.agg(*agg).collect()[0]
-        return base | {"correlation": r.correlation, "n": r.n, "t_stat": t_stat(r)}
+        return base | {
+            "correlation": _nan_to_none(r.correlation),
+            "n": r.n,
+            "t_stat": t_stat(r),
+        }
 
     def covariance(
         self, dataset: str, var_x: str, var_y: str, sample: bool = True

@@ -334,7 +334,9 @@ def test_epoch_grain_index_adjacency_all_grains(spark):
     }
     for grain in _GRAINS:
         start = {"second": "1969-12-31 23:58:40", "minute": "1969-12-31 23:20:00",
-                 "hour": "1969-12-30 00:00:00"}.get(grain, "1969-03-03 00:00:00")
+                 "hour": "1969-12-30 00:00:00",
+                 "day": "1969-11-10 00:00:00",  # +100 days crosses 1970
+                 }.get(grain, "1969-03-03 00:00:00")
         spine = spark.sql(
             f"SELECT explode(sequence(TIMESTAMP '{start}',"
             f" TIMESTAMP '{start}' + INTERVAL 100 {grain.upper() if grain != 'quarter' else 'MONTH'},"
@@ -353,18 +355,38 @@ def test_epoch_grain_index_adjacency_all_grains(spark):
 
 def test_correlate_t_statistic(api, spark):
     """t = r*sqrt((n-2)/(1-r^2)) under H0: rho=0, recomputed in plain
-    Python from the returned (r, n); NULL for perfect correlation."""
+    Python from the returned (r, n); NULL for perfect correlation. The
+    API computes t from the UNROUNDED r (rounding first distorts 1-r^2
+    near |r|=1), so the recomputation from the rounded r is approximate."""
     res = api.correlate("lineitem", "l_quantity", "l_extendedprice")
     r, n = res["correlation"], res["n"]
-    assert res["t_stat"] == round(r * ((n - 2) / (1 - r * r)) ** 0.5, 6)
+    assert res["t_stat"] == pytest.approx(
+        r * ((n - 2) / (1 - r * r)) ** 0.5, rel=1e-3
+    )
 
+    # fresh instance: registering on the module-scoped fixture would
+    # make test_registry_and_variables order-dependent
+    own = CorrelationAPI(spark)
     df = spark.createDataFrame(
         [(1.0, 2.0), (2.0, 4.0), (3.0, 6.0)], "x double, y double"
     )
-    api.register_dataset("_perfect", df)
-    perfect = api.correlate("_perfect", "x", "y")
+    own.register_dataset("_perfect", df)
+    perfect = own.correlate("_perfect", "x", "y")
     assert perfect["correlation"] == 1.0 and perfect["t_stat"] is None
 
+    # NaN input column: correlation and t_stat surface as JSON null
+    import json
+
+    nan = float("nan")
+    own.register_dataset(
+        "_nan",
+        spark.createDataFrame(
+            [(1.0, 2.0), (2.0, nan), (3.0, 4.0)], "x double, y double"
+        ),
+    )
+    res_nan = own.correlate("_nan", "x", "y")
+    assert res_nan["correlation"] is None and res_nan["t_stat"] is None
+    json.dumps(res_nan, allow_nan=False)  # strict-JSON compatible
     grouped = api.correlate(
         "lineitem", "l_quantity", "l_extendedprice", group_by="l_returnflag"
     )

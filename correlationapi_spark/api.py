@@ -95,6 +95,75 @@ def _safe_corr(x, y):
     )
 
 
+def _make_tau_b():
+    """Exact Kendall tau-b as a nested function (pickled by value into
+    executors — the make_extract_meta rule).
+
+    Merge-sort discordant-pair counting over the (x, y)-sorted sample —
+    the classic O(n log n) formulation (Knight 1966; the same shape
+    scipy.stats.kendalltau uses, reimplemented here from the published
+    algebra): sort by (x, y); discordant pairs are exactly the
+    y-inversions across distinct x; tie terms come from run lengths.
+
+        tau_b = (n0 − n1 − n2 + n3 − 2·dis) / √((n0 − n1)(n0 − n2))
+
+    with n0 = n(n−1)/2, n1/n2 = Σt(t−1)/2 over x/y tie runs, n3 the same
+    over joint (x, y) runs, dis = counted inversions. Returns None when
+    either variable is constant (denominator 0).
+    """
+
+    def count_inversions(a: list) -> int:
+        # bottom-up merge sort, counting cross-merge inversions
+        n = len(a)
+        buf = list(a)
+        src, dst = buf, [0] * n
+        width, inv = 1, 0
+        while width < n:
+            for lo in range(0, n, 2 * width):
+                mid, hi = min(lo + width, n), min(lo + 2 * width, n)
+                i, j, k = lo, mid, lo
+                while i < mid and j < hi:
+                    if src[i] <= src[j]:
+                        dst[k] = src[i]; i += 1
+                    else:
+                        dst[k] = src[j]; j += 1
+                        inv += mid - i
+                    k += 1
+                dst[k:hi] = src[i:mid] if i < mid else src[j:hi]
+            src, dst = dst, src
+            width *= 2
+        return inv
+
+    def tie_term(vals: list) -> int:
+        total = run = 0
+        prev = object()
+        for v in vals:
+            if v == prev:
+                run += 1
+            else:
+                total += run * (run - 1) // 2
+                prev, run = v, 1
+        total += run * (run - 1) // 2
+        return total
+
+    def tau_b(xs: list, ys: list) -> float | None:
+        n = len(xs)
+        if n < 2:
+            return None
+        pairs = sorted(zip(xs, ys))
+        n0 = n * (n - 1) // 2
+        n1 = tie_term([p[0] for p in pairs])
+        n2 = tie_term(sorted(ys))
+        n3 = tie_term(pairs)
+        if n0 == n1 or n0 == n2:
+            return None  # constant variable
+        dis = count_inversions([p[1] for p in pairs])
+        num = n0 - n1 - n2 + n3 - 2 * dis
+        return num / ((n0 - n1) * (n0 - n2)) ** 0.5
+
+    return tau_b
+
+
 def _nan_to_none(c):
     """A NaN double (possible when an input column itself contains NaN —
     Spark's NaN > 0 is TRUE, so the variance guard passes) must surface
@@ -174,11 +243,15 @@ class CorrelationAPI:
         n ≤ 2. Computed from the same single aggregation pass."""
         df = self._get(dataset)
         x, y = self._num(df, var_x), self._num(df, var_y)
+        if method == "kendall":
+            return self._kendall(df, dataset, var_x, var_y, group_by)
         if method == "spearman":
             df = self._avg_ranks(df, var_x, var_y, group_by)
             x, y = F.col("_rx"), F.col("_ry")
         elif method != "pearson":
-            raise ValueError(f"unknown method: {method!r} (pearson|spearman)")
+            raise ValueError(
+                f"unknown method: {method!r} (pearson|spearman|kendall)"
+            )
         agg = [
             _safe_corr(x, y).alias("correlation"),
             _safe_corr_raw(x, y).alias("_corr_raw"),
@@ -213,6 +286,72 @@ class CorrelationAPI:
             "correlation": _nan_to_none(r.correlation),
             "n": r.n,
             "t_stat": t_stat(r),
+        }
+
+    #: Exact Kendall needs one sequential O(n log n) pass per group — no
+    #: mergeable sufficient statistics exist. Each group runs INSIDE one
+    #: executor task (applyInPandas), so the bound is per-GROUP rows, not
+    #: dataset rows; above it the method refuses loudly rather than
+    #: OOM-ing an executor. For bigger groups use spearman (fully
+    #: distributed via the range-partitioned rank tables).
+    KENDALL_MAX_ROWS = 1_000_000
+
+    def _kendall(
+        self,
+        df: DataFrame,
+        dataset: str,
+        var_x: str,
+        var_y: str,
+        group_by: str | None,
+    ) -> dict[str, Any]:
+        """Kendall tau-b per group via executor-side merge-sort counting
+        (see _make_tau_b). NaN/NULL rows are pairwise-deleted like the
+        other methods."""
+        x, y = self._num(df, var_x), self._num(df, var_y)
+        g = (
+            F.col(group_by).cast("string") if group_by else F.lit("_all")
+        ).alias("_g")
+        data = df.select(g, x.alias("_x"), y.alias("_y")).filter(
+            F.col("_x").isNotNull() & F.col("_y").isNotNull()
+            & ~F.isnan("_x") & ~F.isnan("_y")
+        )
+        tau_b = _make_tau_b()
+        cap = self.KENDALL_MAX_ROWS
+
+        def per_group(pdf):
+            import pandas as _pd
+
+            if len(pdf) > cap:
+                raise ValueError(
+                    f"kendall: group of {len(pdf)} rows exceeds the "
+                    f"{cap}-row sequential bound; use method='spearman'"
+                )
+            t = tau_b(pdf["_x"].tolist(), pdf["_y"].tolist())
+            return _pd.DataFrame(
+                {
+                    "_g": [pdf["_g"].iloc[0]],
+                    "tau": [None if t is None else round(t, 6)],
+                    "n": [len(pdf)],
+                }
+            )
+
+        rows = (
+            data.groupBy("_g")
+            .applyInPandas(per_group, "_g string, tau double, n long")
+            .collect()
+        )
+        base = {"dataset": dataset, "x": var_x, "y": var_y, "method": "kendall"}
+        if group_by:
+            return base | {
+                "groups": {
+                    r._g: {"correlation": _nan_to_none(r.tau), "n": r.n}
+                    for r in rows
+                }
+            }
+        r = rows[0] if rows else None
+        return base | {
+            "correlation": _nan_to_none(r.tau) if r else None,
+            "n": r.n if r else 0,
         }
 
     def covariance(

@@ -171,7 +171,7 @@ def test_errors(api):
     with pytest.raises(KeyError):
         api.correlate("lineitem", "nope", "l_quantity")
     with pytest.raises(ValueError):
-        api.correlate("lineitem", "l_quantity", "l_tax", method="kendall")
+        api.correlate("lineitem", "l_quantity", "l_tax", method="banana")
 
 
 def test_results_are_json_serializable(api):
@@ -392,3 +392,70 @@ def test_correlate_t_statistic(api, spark):
     )
     for g in grouped["groups"].values():
         assert "t_stat" in g
+
+
+def _brute_tau_b(xs, ys):
+    """O(n^2) reference tau-b straight from the pair definition."""
+    n = len(xs)
+    con = dis = tx = ty = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx, dy = xs[i] - xs[j], ys[i] - ys[j]
+            if dx == 0 and dy == 0:
+                continue
+            if dx == 0:
+                tx += 1
+            elif dy == 0:
+                ty += 1
+            elif dx * dy > 0:
+                con += 1
+            else:
+                dis += 1
+    import math
+
+    denom = math.sqrt((con + dis + tx) * (con + dis + ty))
+    return None if denom == 0 else (con - dis) / denom
+
+
+def test_kendall_matches_brute_force(api, spark):
+    """The merge-sort tau-b must equal the O(n^2) pair-definition tau-b
+    exactly (same float ops) on tie-heavy data, grouped and ungrouped."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (rng.choice("AB"),
+         float(rng.randint(0, 8)),       # heavy x ties
+         float(rng.randint(0, 5)))       # heavy y ties
+        for _ in range(120)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    own = CorrelationAPI(spark)
+    own.register_dataset("_kend", df)
+
+    res = own.correlate("_kend", "x", "y", method="kendall")
+    want = _brute_tau_b([r[1] for r in rows], [r[2] for r in rows])
+    assert res["correlation"] == pytest.approx(round(want, 6), abs=1e-6)
+    assert res["n"] == 120 and res["method"] == "kendall"
+
+    grouped = own.correlate("_kend", "x", "y", method="kendall", group_by="g")
+    for gname in ("A", "B"):
+        sub = [(x, y) for g, x, y in rows if g == gname]
+        want_g = _brute_tau_b([p[0] for p in sub], [p[1] for p in sub])
+        got = grouped["groups"][gname]
+        assert got["correlation"] == pytest.approx(round(want_g, 6), abs=1e-6)
+        assert got["n"] == len(sub)
+
+    # constant variable -> None, not a crash
+    own.register_dataset(
+        "_kconst",
+        spark.createDataFrame([(1.0, 5.0), (2.0, 5.0)], "x double, y double"),
+    )
+    assert own.correlate("_kconst", "x", "y", method="kendall")["correlation"] is None
+
+    # agreement with spearman's SIGN on a clean monotone relation
+    mono = spark.createDataFrame(
+        [(float(i), float(i * i)) for i in range(50)], "x double, y double"
+    )
+    own.register_dataset("_mono", mono)
+    assert own.correlate("_mono", "x", "y", method="kendall")["correlation"] == 1.0

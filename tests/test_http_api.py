@@ -112,7 +112,7 @@ def test_matrix_and_lagged_over_http(base_url):
     [
         ("/correlate?dataset=nope&x=a&y=b", 404),           # unknown dataset
         ("/correlate?dataset=lineitem&x=zz&y=l_tax", 404),  # unknown variable
-        ("/correlate?dataset=lineitem&x=l_quantity&y=l_tax&method=kendall", 400),
+        ("/correlate?dataset=lineitem&x=l_quantity&y=l_tax&method=banana", 400),
         ("/correlate?dataset=lineitem", 400),               # missing params
         ("/nope", 404),
     ],

@@ -383,8 +383,16 @@ class CorrelationAPI:
             F.lit(True) if not cols else
             F.expr(" AND ".join(f"`{c}` IS NOT NULL" for c in cols))
         )
+        if method == "kendall":
+            return self._kendall_matrix(df, dataset, cols)
         if method == "spearman":
             df = self._rank_all(df, cols)
+        elif method != "pearson":
+            # round 4: an unknown method previously fell through to
+            # pearson SILENTLY — validate like correlate() does
+            raise ValueError(
+                f"unknown method: {method!r} (pearson|spearman|kendall)"
+            )
         aggs = [
             _safe_corr(F.col(a).cast("double"), F.col(b).cast("double")).alias(f"{i}_{j}")
             for i, a in enumerate(cols)
@@ -397,6 +405,53 @@ class CorrelationAPI:
             for j in range(i + 1, len(cols)):
                 matrix[i][j] = matrix[j][i] = row[f"{i}_{j}"]
         return {"dataset": dataset, "method": method, "variables": cols, "matrix": matrix}
+
+    def _kendall_matrix(
+        self, df: DataFrame, dataset: str, cols: list[str]
+    ) -> dict[str, Any]:
+        """All-pairs tau-b in ONE executor pass: the listwise-complete
+        sample ships to a single applyInPandas task (same sequential
+        bound and rationale as _kendall) which computes every k(k-1)/2
+        pair with the merge-sort counter."""
+        data = df.select(
+            F.lit("_all").alias("_g"),
+            *[F.col(c).cast("double").alias(c) for c in cols],
+        )
+        tau_b = _make_tau_b()
+        cap = self.KENDALL_MAX_ROWS
+        pair_list = [
+            (i, j) for i in range(len(cols)) for j in range(len(cols)) if i < j
+        ]
+        names = list(cols)
+
+        def worker(pdf):
+            import pandas as _pd
+
+            if len(pdf) > cap:
+                raise ValueError(
+                    f"kendall: {len(pdf)} rows exceeds the {cap}-row "
+                    "sequential bound; use method='spearman'"
+                )
+            out = {"i": [], "j": [], "tau": []}
+            for i, j in pair_list:
+                t = tau_b(pdf[names[i]].tolist(), pdf[names[j]].tolist())
+                out["i"].append(i)
+                out["j"].append(j)
+                out["tau"].append(None if t is None else round(t, 6))
+            return _pd.DataFrame(out)
+
+        rows = (
+            data.groupBy("_g")
+            .applyInPandas(worker, "i int, j int, tau double")
+            .collect()
+        )
+        matrix = [[1.0] * len(cols) for _ in cols]
+        for r in rows:
+            matrix[r.i][r.j] = matrix[r.j][r.i] = _nan_to_none(r.tau)
+        return {
+            "dataset": dataset, "method": "kendall",
+            "variables": cols, "matrix": matrix,
+        }
 
     def _series(
         self, dataset: str, time_col: str, values: list[tuple[Any, str]],

@@ -459,3 +459,18 @@ def test_kendall_matches_brute_force(api, spark):
     )
     own.register_dataset("_mono", mono)
     assert own.correlate("_mono", "x", "y", method="kendall")["correlation"] == 1.0
+
+
+def test_kendall_matrix_and_method_validation(api, spark):
+    own = CorrelationAPI(spark)
+    rows = [(float(i), float(i * i), float(-i)) for i in range(30)]
+    own.register_dataset(
+        "_kmat", spark.createDataFrame(rows, "x double, y double, z double")
+    )
+    m = own.correlation_matrix("_kmat", ["x", "y", "z"], method="kendall")
+    mat = m["matrix"]
+    assert mat[0][1] == 1.0 and mat[0][2] == -1.0 and mat[1][2] == -1.0
+    assert all(mat[i][j] == mat[j][i] for i in range(3) for j in range(3))
+    # unknown method no longer silently computes pearson
+    with pytest.raises(ValueError):
+        own.correlation_matrix("_kmat", ["x", "y"], method="banana")

@@ -539,6 +539,95 @@ def q_corr_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KENDALL_ORACLE = """
+    WITH daily AS (
+        SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                    AS BIGINT) AS dn,
+               round(avg(CASE WHEN event_type = 'click'
+                              THEN value END), 6)    AS x,
+               round(avg(CASE WHEN event_type = 'purchase'
+                              THEN value END), 6)    AS y
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1
+    ), s AS (SELECT dn, x, y FROM daily
+             WHERE x IS NOT NULL AND y IS NOT NULL),
+    p AS (
+        SELECT CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1
+                    WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN -1
+                    ELSE 0 END                          AS s,
+               CASE WHEN a.x = b.x THEN 1 ELSE 0 END    AS tx,
+               CASE WHEN a.y = b.y THEN 1 ELSE 0 END    AS ty
+        FROM s a JOIN s b ON a.dn < b.dn
+    )
+    SELECT round(CAST(sum(s) AS DOUBLE)
+                 / sqrt(CAST((count(*) - sum(tx)) AS DOUBLE)
+                        * (count(*) - sum(ty))), 6)     AS kendall_tau,
+           count(*)                                     AS n_pairs
+    FROM p
+"""
+
+
+@query(
+    "q_corr_kendall",
+    oracle=_KENDALL_ORACLE,
+    doc="Kendall tau-b between the daily click and purchase series via "
+    "explicit pair counting over the grain-aggregated series.",
+)
+def q_corr_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall rank correlation — the third classic coefficient a
+    correlation service offers (api.py provides the O(n log n)
+    merge-sort form for arbitrary datasets; this declared key is the
+    SQL-expressible pair-counting form, so an exact DuckDB oracle
+    exists).
+
+    tau_b = (concordant − discordant) / √((n0 − ties_x)(n0 − ties_y))
+
+    Scale shape: the ONLY full-data pass is the day-grain aggregation
+    (the q_corr_lagged rule); the O(n²) pair self-join runs on the tiny
+    aggregated series (~days rows), where n² is a constant — never on
+    raw events. Both engines compare 6-dp-rounded daily means (exact
+    doubles), count ties with exact equality, and apply one identical
+    final float expression — hash-stable.
+    """
+    t = load_tables(spark, sf_dir)
+    dn = (F.unix_micros(F.date_trunc("day", F.col("ts"))) / F.lit(86400000000)).cast(
+        "bigint"
+    )
+    daily = (
+        t["events"]
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(dn.alias("dn"))
+        .agg(
+            F.round(
+                F.avg(F.when(F.col("event_type") == "click", F.col("value"))), 6
+            ).alias("x"),
+            F.round(
+                F.avg(F.when(F.col("event_type") == "purchase", F.col("value"))), 6
+            ).alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    dxdy = (F.col("a.x") - F.col("b.x")) * (F.col("a.y") - F.col("b.y"))
+    pairs = a.join(b, F.col("a.dn") < F.col("b.dn")).select(
+        F.when(dxdy > 0, 1).when(dxdy < 0, -1).otherwise(0).alias("s"),
+        F.when(F.col("a.x") == F.col("b.x"), 1).otherwise(0).alias("tx"),
+        F.when(F.col("a.y") == F.col("b.y"), 1).otherwise(0).alias("ty"),
+    )
+    n0 = F.count("*")
+    return pairs.agg(
+        F.round(
+            F.sum("s").cast("double")
+            / F.sqrt(
+                (n0 - F.sum("tx")).cast("double") * (n0 - F.sum("ty"))
+            ),
+            6,
+        ).alias("kendall_tau"),
+        F.count("*").alias("n_pairs"),
+    )
+
+
 @query(
     "q_corr_partial",
     oracle="""

@@ -474,3 +474,33 @@ def test_kendall_matrix_and_method_validation(api, spark):
     # unknown method no longer silently computes pearson
     with pytest.raises(ValueError):
         own.correlation_matrix("_kmat", ["x", "y"], method="banana")
+
+
+def test_kendall_key_agrees_with_api_tau(api, spark):
+    """Two independent tau-b implementations — the declared key's SQL
+    pair-counting form and the API's merge-sort counter — must agree on
+    the same daily series (within the key's 6-dp presentation round)."""
+    key_tau = (
+        REGISTRY["q_corr_kendall"].fn(spark, SF_SMOKE).collect()[0].kendall_tau
+    )
+    from correlationapi_spark.io import load_tables
+    from pyspark.sql import functions as F
+
+    dn = (F.unix_micros(F.date_trunc("day", F.col("ts")))
+          / F.lit(86400000000)).cast("bigint")
+    daily = (
+        load_tables(spark, SF_SMOKE)["events"]
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(dn.alias("dn"))
+        .agg(
+            F.round(F.avg(F.when(F.col("event_type") == "click",
+                                 F.col("value"))), 6).alias("x"),
+            F.round(F.avg(F.when(F.col("event_type") == "purchase",
+                                 F.col("value"))), 6).alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
+    own = CorrelationAPI(spark)
+    own.register_dataset("_kdaily", daily)
+    api_tau = own.correlate("_kdaily", "x", "y", method="kendall")["correlation"]
+    assert api_tau == pytest.approx(key_tau, abs=2e-6)

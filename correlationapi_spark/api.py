@@ -648,6 +648,30 @@ class CorrelationAPI:
                      for k in range(-max_lag, max_lag + 1)},
         }
 
+    def acf(
+        self,
+        dataset: str,
+        time_col: str,
+        value_col: str,
+        max_lag: int = 10,
+        grain: str = "day",
+        fill_gaps: bool = False,
+    ) -> dict[str, Any]:
+        """Autocorrelation function: corr(x_t, x_{t+k}) for k in
+        [0, max_lag] — the seasonality/memory profile of one series.
+        Exactly cross_correlation of the series with itself, restricted
+        to non-negative lags (ACF is symmetric), same epoch-grain
+        alignment and scale shape."""
+        xc = self.cross_correlation(
+            dataset, time_col, value_col, value_col,
+            max_lag=max_lag, grain=grain, fill_gaps=fill_gaps,
+        )
+        return {
+            "dataset": dataset, "time": time_col, "value": value_col,
+            "grain": grain, "max_lag": max_lag, "fill_gaps": fill_gaps,
+            "lags": {k: v for k, v in xc["lags"].items() if int(k) >= 0},
+        }
+
     def rolling_correlation(
         self,
         dataset: str,

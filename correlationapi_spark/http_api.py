@@ -16,6 +16,7 @@ container, and none is needed for a JSON-for-JSON contract:
   GET  /lagged?dataset=&time=&value=[&lag=][&grain=][&fill_gaps=]
   GET  /rolling?dataset=&time=&value=[&window=][&lag=][&grain=][&fill_gaps=]
   GET  /xcorr?dataset=&time=&x=&y=[&max_lag=][&grain=][&fill_gaps=]
+  GET  /acf?dataset=&time=&value=[&max_lag=][&grain=][&fill_gaps=]
   GET  /partial?dataset=&x=&y=&control=[&group_by=]
 
 Error mapping at the HTTP boundary: KeyError → 404 (unknown dataset /
@@ -104,6 +105,16 @@ def _route(api: CorrelationAPI, method: str, path: str,
         return 200, api.partial_correlation(
             query["dataset"], query["x"], query["y"], query["control"],
             group_by=query.get("group_by"),
+        )
+    if method == "GET" and path == "/acf":
+        for req in ("dataset", "time", "value"):
+            if req not in query:
+                raise ValueError(f"missing query parameter {req!r}")
+        return 200, api.acf(
+            query["dataset"], query["time"], query["value"],
+            max_lag=int(query.get("max_lag", 10)),
+            grain=query.get("grain", "day"),
+            fill_gaps=query.get("fill_gaps", "").lower() in ("1", "true"),
         )
     if method == "GET" and path == "/xcorr":
         for req in ("dataset", "time", "x", "y"):

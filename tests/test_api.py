@@ -504,3 +504,12 @@ def test_kendall_key_agrees_with_api_tau(api, spark):
     own.register_dataset("_kdaily", daily)
     api_tau = own.correlate("_kdaily", "x", "y", method="kendall")["correlation"]
     assert api_tau == pytest.approx(key_tau, abs=2e-6)
+
+
+def test_acf_is_self_xcorr_nonnegative_lags(api):
+    out = api.acf("events", "ts", "value", max_lag=3)
+    assert set(out["lags"]) == {"0", "1", "2", "3"}
+    assert out["lags"]["0"]["correlation"] == pytest.approx(1.0)
+    xc = api.cross_correlation("events", "ts", "value", "value", max_lag=3)
+    for k in out["lags"]:
+        assert out["lags"][k] == xc["lags"][k]

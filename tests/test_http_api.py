@@ -100,6 +100,12 @@ def test_matrix_and_lagged_over_http(base_url):
     assert res["lags"]["0"]["correlation"] == 1.0
 
     status, res = _get(
+        f"{base_url}/acf?dataset=events&time=ts&value=value&max_lag=2"
+    )
+    assert status == 200 and sorted(res["lags"]) == ["0", "1", "2"]
+    assert res["lags"]["0"]["correlation"] == 1.0
+
+    status, res = _get(
         f"{base_url}/partial?dataset=lineitem"
         "&x=l_quantity&y=l_extendedprice&control=l_discount"
     )

@@ -571,10 +571,20 @@ class CorrelationAPI:
         def formula(r) -> float | None:
             if r.rxy is None or r.rxz is None or r.ryz is None:
                 return None
+            if any(v != v for v in (r.rxy, r.rxz, r.ryz)):  # NaN inputs
+                return None
             denom = (1 - r.rxz**2) * (1 - r.ryz**2)
             if denom <= 0:
                 return None
             return round((r.rxy - r.rxz * r.ryz) / denom**0.5, 6)
+
+        def t_stat(r) -> float | None:
+            # partial corr significance: t = r_p*sqrt((n-3)/(1-r_p^2)),
+            # Student-t with n-3 df (one control variable partialled out)
+            c, n = formula(r), r.n
+            if c is None or n <= 3 or abs(c) >= 1.0:
+                return None
+            return round(c * ((n - 3) / (1.0 - c * c)) ** 0.5, 6)
 
         base = {
             "dataset": dataset, "x": var_x, "y": var_y, "control": control,
@@ -583,12 +593,20 @@ class CorrelationAPI:
             rows = df.groupBy(group_by).agg(*aggs).collect()
             return base | {
                 "groups": {
-                    str(r[group_by]): {"partial_correlation": formula(r), "n": r.n}
+                    str(r[group_by]): {
+                        "partial_correlation": formula(r),
+                        "n": r.n,
+                        "t_stat": t_stat(r),
+                    }
                     for r in rows
                 }
             }
         r = df.agg(*aggs).collect()[0]
-        return base | {"partial_correlation": formula(r), "n": r.n}
+        return base | {
+            "partial_correlation": formula(r),
+            "n": r.n,
+            "t_stat": t_stat(r),
+        }
 
     def cross_correlation(
         self,

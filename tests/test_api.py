@@ -513,3 +513,13 @@ def test_acf_is_self_xcorr_nonnegative_lags(api):
     xc = api.cross_correlation("events", "ts", "value", "value", max_lag=3)
     for k in out["lags"]:
         assert out["lags"][k] == xc["lags"][k]
+
+
+def test_partial_correlation_t_statistic(api):
+    res = api.partial_correlation(
+        "lineitem", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    c, n = res["partial_correlation"], res["n"]
+    assert res["t_stat"] == pytest.approx(
+        c * ((n - 3) / (1 - c * c)) ** 0.5, rel=1e-3
+    )

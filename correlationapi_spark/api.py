@@ -362,7 +362,8 @@ class CorrelationAPI:
         r = df.agg(F.round(fn(self._num(df, var_x), self._num(df, var_y)), 6).alias("c")).collect()[0]
         return {
             "dataset": dataset, "x": var_x, "y": var_y,
-            "kind": "sample" if sample else "population", "covariance": r.c,
+            "kind": "sample" if sample else "population",
+            "covariance": _nan_to_none(r.c),
         }
 
     def correlation_matrix(
@@ -403,7 +404,7 @@ class CorrelationAPI:
         matrix = [[1.0] * len(cols) for _ in cols]
         for i in range(len(cols)):
             for j in range(i + 1, len(cols)):
-                matrix[i][j] = matrix[j][i] = row[f"{i}_{j}"]
+                matrix[i][j] = matrix[j][i] = _nan_to_none(row[f"{i}_{j}"])
         return {"dataset": dataset, "method": method, "variables": cols, "matrix": matrix}
 
     def _kendall_matrix(
@@ -534,7 +535,7 @@ class CorrelationAPI:
         return {
             "dataset": dataset, "time": time_col, "value": value_col,
             "grain": grain, "lag": lag, "fill_gaps": fill_gaps,
-            "correlation": r.c, "n_pairs": r.n,
+            "correlation": _nan_to_none(r.c), "n_pairs": r.n,
         }
 
     def partial_correlation(
@@ -658,7 +659,10 @@ class CorrelationAPI:
             )
             .collect()
         )
-        by_lag = {int(r._lag): {"correlation": r.c, "n": r.n} for r in rows}
+        by_lag = {
+            int(r._lag): {"correlation": _nan_to_none(r.c), "n": r.n}
+            for r in rows
+        }
         return {
             "dataset": dataset, "time": time_col, "x": var_x, "y": var_y,
             "grain": grain, "max_lag": max_lag, "fill_gaps": fill_gaps,
@@ -743,7 +747,8 @@ class CorrelationAPI:
             "grain": grain, "lag": lag, "window": window,
             "fill_gaps": fill_gaps,
             "series": [
-                {"t": str(r._t), "correlation": r._c, "n": r._n} for r in rows
+                {"t": str(r._t), "correlation": _nan_to_none(r._c), "n": r._n}
+                for r in rows
             ],
         }
 

@@ -134,32 +134,53 @@ def _make_tau_b():
             width *= 2
         return inv
 
-    def tie_term(vals: list) -> int:
-        total = run = 0
+    def tie_sums(vals: list) -> tuple[int, int, int]:
+        # over each tie run of length t: (Σt(t-1)/2, Σt(t-1)(2t+5),
+        # Σt(t-1)(t-2)) — the pair count and the two variance terms of
+        # the ties-adjusted normal approximation (Kendall 1945; the same
+        # correction scipy.stats.kendalltau applies asymptotically)
+        pairs = v25 = v012 = 0
+        run = 0
         prev = object()
         for v in vals:
             if v == prev:
                 run += 1
             else:
-                total += run * (run - 1) // 2
+                pairs += run * (run - 1) // 2
+                v25 += run * (run - 1) * (2 * run + 5)
+                v012 += run * (run - 1) * (run - 2)
                 prev, run = v, 1
-        total += run * (run - 1) // 2
-        return total
+        pairs += run * (run - 1) // 2
+        v25 += run * (run - 1) * (2 * run + 5)
+        v012 += run * (run - 1) * (run - 2)
+        return pairs, v25, v012
 
-    def tau_b(xs: list, ys: list) -> float | None:
+    def tie_term(vals: list) -> int:
+        return tie_sums(vals)[0]
+
+    def tau_b(xs: list, ys: list) -> tuple[float, float | None] | None:
+        """(tau_b, z) or None when either variable is constant. z is the
+        ties-adjusted normal-approximation statistic S/√var(S) under
+        H0: independence — None when var(S) ≤ 0 (degenerate sample)."""
         n = len(xs)
         if n < 2:
             return None
         pairs = sorted(zip(xs, ys))
         n0 = n * (n - 1) // 2
-        n1 = tie_term([p[0] for p in pairs])
-        n2 = tie_term(sorted(ys))
+        n1, vtx, vtx3 = tie_sums([p[0] for p in pairs])
+        n2, vty, vty3 = tie_sums(sorted(ys))
         n3 = tie_term(pairs)
         if n0 == n1 or n0 == n2:
             return None  # constant variable
         dis = count_inversions([p[1] for p in pairs])
-        num = n0 - n1 - n2 + n3 - 2 * dis
-        return num / ((n0 - n1) * (n0 - n2)) ** 0.5
+        s = n0 - n1 - n2 + n3 - 2 * dis
+        tau = s / ((n0 - n1) * (n0 - n2)) ** 0.5
+        var = (n * (n - 1) * (2 * n + 5) - vtx - vty) / 18.0
+        if n > 2:
+            var += (vtx3 * vty3) / (9.0 * n * (n - 1) * (n - 2))
+        var += (2.0 * n1) * (2.0 * n2) / (2.0 * n * (n - 1))
+        z = s / var**0.5 if var > 0 else None
+        return tau, z
 
     return tau_b
 
@@ -236,11 +257,15 @@ class CorrelationAPI:
     ) -> dict[str, Any]:
         """Pairwise correlation; optionally per group. JSON-able result.
 
-        Each result carries ``t_stat`` — the test statistic
-        t = r·√((n−2)/(1−r²)) under H0: ρ=0 (Student-t with n−2 df), the
-        number a correlation-service consumer feeds a significance
-        lookup. NULL when the correlation is degenerate, |r| = 1, or
-        n ≤ 2. Computed from the same single aggregation pass."""
+        Every result carries ``t_stat``. For pearson/spearman it is the
+        test statistic t = r·√((n−2)/(1−r²)) under H0: ρ=0 (Student-t
+        with n−2 df), the number a correlation-service consumer feeds a
+        significance lookup — NULL when the correlation is degenerate,
+        |r| = 1, or n ≤ 2; computed from the same single aggregation
+        pass. For kendall no t-distribution applies: ``t_stat`` is NULL
+        (kept for shape-compatibility) and the significance statistic is
+        ``z_stat`` — the ties-adjusted normal approximation S/√var(S)
+        (Kendall 1945)."""
         df = self._get(dataset)
         x, y = self._num(df, var_x), self._num(df, var_y)
         if method == "kendall":
@@ -327,32 +352,46 @@ class CorrelationAPI:
                     f"{cap}-row sequential bound; use method='spearman'"
                 )
             t = tau_b(pdf["_x"].tolist(), pdf["_y"].tolist())
+            tau, z = (None, None) if t is None else t
             return _pd.DataFrame(
                 {
                     "_g": [pdf["_g"].iloc[0]],
-                    "tau": [None if t is None else round(t, 6)],
+                    "tau": [None if tau is None else round(tau, 6)],
+                    "z": [None if z is None else round(z, 6)],
                     "n": [len(pdf)],
                 }
             )
 
         rows = (
             data.groupBy("_g")
-            .applyInPandas(per_group, "_g string, tau double, n long")
+            .applyInPandas(per_group, "_g string, tau double, z double, n long")
             .collect()
         )
+
+        def cell(r) -> dict[str, Any]:
+            # t_stat: None keeps the documented result shape (pearson/
+            # spearman carry a Student-t); kendall's significance is the
+            # ties-adjusted normal approximation, reported as z_stat
+            return {
+                "correlation": _nan_to_none(r.tau),
+                "n": r.n,
+                "t_stat": None,
+                "z_stat": _nan_to_none(r.z),
+            }
+
         base = {"dataset": dataset, "x": var_x, "y": var_y, "method": "kendall"}
         if group_by:
-            return base | {
-                "groups": {
-                    r._g: {"correlation": _nan_to_none(r.tau), "n": r.n}
-                    for r in rows
-                }
-            }
+            # str(r._g) — a NULL group key arrives as Python None; the
+            # pearson/spearman grouped paths name that group str(None) ==
+            # 'None', so kendall must too (same dataset, same group names
+            # across methods — json would otherwise render it 'null')
+            return base | {"groups": {str(r._g): cell(r) for r in rows}}
         r = rows[0] if rows else None
-        return base | {
-            "correlation": _nan_to_none(r.tau) if r else None,
-            "n": r.n if r else 0,
-        }
+        if r is None:
+            return base | {
+                "correlation": None, "n": 0, "t_stat": None, "z_stat": None,
+            }
+        return base | cell(r)
 
     def covariance(
         self, dataset: str, var_x: str, var_y: str, sample: bool = True
@@ -418,6 +457,16 @@ class CorrelationAPI:
             F.lit("_all").alias("_g"),
             *[F.col(c).cast("double").alias(c) for c in cols],
         )
+        # listwise NaN deletion to match the caller's listwise NULL
+        # filter: NaN passes IS NOT NULL, and tau_b's integer pair
+        # counting would fold NaN comparisons into a finite but WRONG
+        # tau (NaN sorts high and never equals itself) — the pairwise
+        # _kendall path already filters ~isnan; mirror it here so every
+        # matrix cell shares one NaN-free sample
+        nan_any = F.isnan(cols[0])
+        for c in cols[1:]:
+            nan_any = nan_any | F.isnan(c)
+        data = data.filter(~nan_any)
         tau_b = _make_tau_b()
         cap = self.KENDALL_MAX_ROWS
         pair_list = [
@@ -438,7 +487,7 @@ class CorrelationAPI:
                 t = tau_b(pdf[names[i]].tolist(), pdf[names[j]].tolist())
                 out["i"].append(i)
                 out["j"].append(j)
-                out["tau"].append(None if t is None else round(t, 6))
+                out["tau"].append(None if t is None else round(t[0], 6))
             return _pd.DataFrame(out)
 
         rows = (
@@ -566,23 +615,41 @@ class CorrelationAPI:
             _safe_corr(x, y).alias("rxy"),
             _safe_corr(x, z).alias("rxz"),
             _safe_corr(y, z).alias("ryz"),
+            # raw twins feed t_stat only (same single aggregation pass)
+            _safe_corr_raw(x, y).alias("rxy_raw"),
+            _safe_corr_raw(x, z).alias("rxz_raw"),
+            _safe_corr_raw(y, z).alias("ryz_raw"),
             F.count("*").alias("n"),
         ]
 
-        def formula(r) -> float | None:
-            if r.rxy is None or r.rxz is None or r.ryz is None:
+        def _partial(rxy, rxz, ryz) -> float | None:
+            if rxy is None or rxz is None or ryz is None:
                 return None
-            if any(v != v for v in (r.rxy, r.rxz, r.ryz)):  # NaN inputs
+            if any(v != v for v in (rxy, rxz, ryz)):  # NaN inputs
                 return None
-            denom = (1 - r.rxz**2) * (1 - r.ryz**2)
+            denom = (1 - rxz**2) * (1 - ryz**2)
             if denom <= 0:
                 return None
-            return round((r.rxy - r.rxz * r.ryz) / denom**0.5, 6)
+            return (rxy - rxz * ryz) / denom**0.5
+
+        def formula(r) -> float | None:
+            # presentation value: 6-dp constituents (matches the declared
+            # q_corr_partial key), rounded output
+            c = _partial(r.rxy, r.rxz, r.ryz)
+            return None if c is None else round(c, 6)
+
+        def formula_raw(r) -> float | None:
+            # UNROUNDED partial r from UNROUNDED constituents — t_stat
+            # must not consume any rounded form (same rule as
+            # correlate()/_safe_corr_raw: rounding first distorts 1−r²
+            # near |r|→1 and can trip the |c|>=1 guard on a legitimately
+            # finite t)
+            return _partial(r.rxy_raw, r.rxz_raw, r.ryz_raw)
 
         def t_stat(r) -> float | None:
             # partial corr significance: t = r_p*sqrt((n-3)/(1-r_p^2)),
             # Student-t with n-3 df (one control variable partialled out)
-            c, n = formula(r), r.n
+            c, n = formula_raw(r), r.n
             if c is None or n <= 3 or abs(c) >= 1.0:
                 return None
             return round(c * ((n - 3) / (1.0 - c * c)) ** 0.5, 6)

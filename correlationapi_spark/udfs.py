@@ -11,7 +11,9 @@ reference's users would need, with the scalable variants:
 * Python UDTF (table function)
 
 Every worker-side function is defined as a closure (pickled by value) so
-foreign-cwd drivers work — see .claude/skills/verify/SKILL.md.
+drivers launched from a foreign working directory can still unpickle the
+task — a module-level function would be pickled by reference and require
+this package importable on the worker path.
 
 Determinism: each declared key's Python logic is reproducible in SQL, so
 all five carry exact oracles except where noted.

@@ -523,3 +523,56 @@ def test_partial_correlation_t_statistic(api):
     assert res["t_stat"] == pytest.approx(
         c * ((n - 3) / (1 - c * c)) ** 0.5, rel=1e-3
     )
+
+
+def test_kendall_matrix_drops_nan_rows_listwise(api, spark):
+    """Round 5 (ADVICE r04): NaN passes the listwise IS NOT NULL filter
+    and tau_b's integer pair-counting would fold it into a finite but
+    WRONG tau. The matrix path must pairwise-delete NaN rows listwise,
+    like the pairwise _kendall path does."""
+    rows = [(float(i), float(i), float(-i)) for i in range(1, 21)]
+    rows.append((float("nan"), -999.0, 999.0))  # poison row
+    own = CorrelationAPI(spark)
+    own.register_dataset(
+        "_knan", spark.createDataFrame(rows, "x double, y double, z double")
+    )
+    m = own.correlation_matrix("_knan", ["x", "y", "z"], method="kendall")
+    mat = m["matrix"]
+    # computed over the 20 clean rows only: exact monotone relations
+    assert mat[0][1] == 1.0 and mat[0][2] == -1.0 and mat[1][2] == -1.0
+
+
+def test_kendall_z_stat_no_ties_closed_form(api, spark):
+    """z_stat must equal S/sqrt(n(n-1)(2n+5)/18) when there are no ties
+    (the ties-adjustment terms all vanish); perfect concordance has
+    S = n(n-1)/2."""
+    n = 30
+    own = CorrelationAPI(spark)
+    own.register_dataset(
+        "_kz",
+        spark.createDataFrame(
+            [(float(i), float(i * 3 + 1)) for i in range(n)], "x double, y double"
+        ),
+    )
+    res = own.correlate("_kz", "x", "y", method="kendall")
+    s = n * (n - 1) / 2
+    want_z = s / (n * (n - 1) * (2 * n + 5) / 18.0) ** 0.5
+    assert res["correlation"] == 1.0
+    assert res["t_stat"] is None  # kendall has no Student-t
+    assert res["z_stat"] == pytest.approx(want_z, abs=1e-6)
+
+
+def test_kendall_null_group_named_like_other_methods(api, spark):
+    """A NULL group key must surface under the SAME name ('None') for
+    every method — pearson/spearman use str(row[group_by]); kendall's
+    cast-to-string path must coalesce to match (ADVICE r04)."""
+    rows = [("a", float(i), float(i + 1)) for i in range(10)]
+    rows += [(None, float(i), float(2 * i)) for i in range(10)]
+    own = CorrelationAPI(spark)
+    own.register_dataset(
+        "_gnull", spark.createDataFrame(rows, "g string, x double, y double")
+    )
+    kend = own.correlate("_gnull", "x", "y", method="kendall", group_by="g")
+    pear = own.correlate("_gnull", "x", "y", method="pearson", group_by="g")
+    assert set(kend["groups"]) == set(pear["groups"]) == {"a", "None"}
+    assert kend["groups"]["None"]["correlation"] == 1.0

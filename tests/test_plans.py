@@ -98,7 +98,7 @@ def test_dedup_ngram_no_array_crosses_shuffle(spark):
 def test_sort_multi_has_no_single_partition_sort(spark):
     # global row_number comes from ordering.global_row_number: range
     # partitioning + per-partition numbering + broadcast offsets. Round 4:
-    # the range-partitioned intermediate is pinned with an eager
+    # the range-partitioned intermediate is pinned with a LAZY
     # localCheckpoint (ordering.py module docstring — exchange reuse is
     # NOT guaranteed across the two pruned consumers, and re-evaluating a
     # SAMPLED range partitioning can silently renumber rows), so the final
@@ -228,8 +228,9 @@ def test_spearman_rank_tables_reuse_range_exchange(spark):
     (3 columns, all needed by both consumers) canonicalizes identically.
     This canary pins that: if a code or Spark change ever breaks reuse,
     this goes red instead of ranks going silently wrong at scale.
-    (global_row_number takes the other fix — an eager localCheckpoint —
-    because its consumers prune differently and never reuse.)"""
+    (global_row_number takes the other fix — a lazy localCheckpoint,
+    deliberately NOT eager, see ordering.py — because its consumers prune
+    differently and never reuse.)"""
     for key, min_reused in [
         ("q_corr_spearman", 2),          # rx + ry rank tables
         ("q_corr_matrix_spearman", 3),   # k=3 rank tables

@@ -185,6 +185,44 @@ def _make_tau_b():
     return tau_b
 
 
+def _durbin_levinson(rho: list) -> list:
+    """PACF phi_kk for k = 1..m from ACF values rho[0..m] (rho[0] = 1),
+    via the Durbin-Levinson recursion — O(m²) driver-side arithmetic on
+    ≤max_lag floats (never a Spark job; the lag sweep already ran).
+
+    A None rho (degenerate lag: no pairs, or zero variance) poisons that
+    lag and every later one — the recursion consumes all earlier lags,
+    so a hole makes deeper coefficients undefined, and emitting a number
+    anyway would silently misstate the AR structure. Outputs round to
+    6 dp; the recursion itself carries unrounded values (the t_stat
+    rounding rule)."""
+    m = len(rho) - 1
+    out: list[float | None] = []
+    phi: list[float] = []  # phi_{k-1, j}, unrounded
+    dead = False
+    for k in range(1, m + 1):
+        if dead or rho[k] is None:
+            out.append(None)
+            dead = True
+            continue
+        if k == 1:
+            phikk = rho[1]
+            phi = [phikk]
+        else:
+            num = rho[k] - sum(phi[j] * rho[k - 1 - j] for j in range(k - 1))
+            den = 1.0 - sum(phi[j] * rho[j + 1] for j in range(k - 1))
+            if den == 0:
+                out.append(None)
+                dead = True
+                continue
+            phikk = num / den
+            phi = [
+                phi[j] - phikk * phi[k - 2 - j] for j in range(k - 1)
+            ] + [phikk]
+        out.append(round(phikk, 6))
+    return out
+
+
 def _nan_to_none(c):
     """A NaN double (possible when an input column itself contains NaN —
     Spark's NaN > 0 is TRUE, so the variance guard passes) must surface
@@ -704,11 +742,37 @@ class CorrelationAPI:
         affects the first aggregation — the q_corr_lagged scale rule."""
         if max_lag < 1:
             raise ValueError("max_lag must be >= 1")
+        by_lag = self._xcorr_lags(
+            dataset, time_col, var_x, var_y,
+            -max_lag, max_lag, grain, fill_gaps,
+        )
+        return {
+            "dataset": dataset, "time": time_col, "x": var_x, "y": var_y,
+            "grain": grain, "max_lag": max_lag, "fill_gaps": fill_gaps,
+            "lags": {str(k): by_lag.get(k, {"correlation": None, "n": 0})
+                     for k in range(-max_lag, max_lag + 1)},
+        }
+
+    def _xcorr_lags(
+        self,
+        dataset: str,
+        time_col: str,
+        var_x: str,
+        var_y: str,
+        lag_lo: int,
+        lag_hi: int,
+        grain: str,
+        fill_gaps: bool,
+    ) -> dict[int, dict[str, Any]]:
+        """Shared lag-sweep engine for cross_correlation ([-m, m]) and
+        acf ([0, m] — ACF is symmetric, so computing the negative half
+        just to discard it doubled the lag rows; round 5 threads the
+        range through instead)."""
         series = self._series(
             dataset, time_col, [(var_x, "_x"), (var_y, "_y")], grain, fill_gaps
         )
         indexed = series.withColumn("_i", _epoch_grain_index(grain))
-        lags = self.spark.range(-max_lag, max_lag + 1).select(
+        lags = self.spark.range(lag_lo, lag_hi + 1).select(
             F.col("id").alias("_lag")
         )
         a, b = indexed.alias("a"), indexed.alias("b")
@@ -726,15 +790,9 @@ class CorrelationAPI:
             )
             .collect()
         )
-        by_lag = {
+        return {
             int(r._lag): {"correlation": _nan_to_none(r.c), "n": r.n}
             for r in rows
-        }
-        return {
-            "dataset": dataset, "time": time_col, "x": var_x, "y": var_y,
-            "grain": grain, "max_lag": max_lag, "fill_gaps": fill_gaps,
-            "lags": {str(k): by_lag.get(k, {"correlation": None, "n": 0})
-                     for k in range(-max_lag, max_lag + 1)},
         }
 
     def acf(
@@ -748,17 +806,40 @@ class CorrelationAPI:
     ) -> dict[str, Any]:
         """Autocorrelation function: corr(x_t, x_{t+k}) for k in
         [0, max_lag] — the seasonality/memory profile of one series.
-        Exactly cross_correlation of the series with itself, restricted
-        to non-negative lags (ACF is symmetric), same epoch-grain
-        alignment and scale shape."""
-        xc = self.cross_correlation(
+        Exactly cross_correlation of the series with itself restricted
+        to non-negative lags (ACF is symmetric; round 5: the negative
+        half is no longer computed at all), same epoch-grain alignment
+        and scale shape.
+
+        Round 5 additions, both O(max_lag) driver-side arithmetic over
+        the already-collected ACF values (the q_pacf declared key pins
+        the same recursion against a closed-form DuckDB oracle):
+
+        * ``pacf`` — partial autocorrelation phi_kk per lag via the
+          Durbin-Levinson recursion (AR-order diagnostics);
+        * ``significance`` — the ±1.96/√n white-noise band (n = series
+          length): lags whose |acf| exceeds it are significant at 5%.
+        """
+        if max_lag < 1:
+            raise ValueError("max_lag must be >= 1")
+        by_lag = self._xcorr_lags(
             dataset, time_col, value_col, value_col,
-            max_lag=max_lag, grain=grain, fill_gaps=fill_gaps,
+            0, max_lag, grain, fill_gaps,
         )
+        lags_out = {
+            str(k): by_lag.get(k, {"correlation": None, "n": 0})
+            for k in range(0, max_lag + 1)
+        }
+        rho = [lags_out[str(k)]["correlation"] for k in range(0, max_lag + 1)]
+        pacf = _durbin_levinson(rho)
+        n = lags_out["0"]["n"]  # series length (lag-0 pairs the series with itself)
+        band = round(1.96 / n**0.5, 6) if n > 0 else None
         return {
             "dataset": dataset, "time": time_col, "value": value_col,
             "grain": grain, "max_lag": max_lag, "fill_gaps": fill_gaps,
-            "lags": {k: v for k, v in xc["lags"].items() if int(k) >= 0},
+            "lags": lags_out,
+            "pacf": {str(k): pacf[k - 1] for k in range(1, max_lag + 1)},
+            "significance": {"band": band, "n": n},
         }
 
     def rolling_correlation(

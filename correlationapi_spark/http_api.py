@@ -17,6 +17,7 @@ container, and none is needed for a JSON-for-JSON contract:
   GET  /rolling?dataset=&time=&value=[&window=][&lag=][&grain=][&fill_gaps=]
   GET  /xcorr?dataset=&time=&x=&y=[&max_lag=][&grain=][&fill_gaps=]
   GET  /acf?dataset=&time=&value=[&max_lag=][&grain=][&fill_gaps=]
+       → lags (acf per lag) + pacf (Durbin-Levinson) + significance band
   GET  /partial?dataset=&x=&y=&control=[&group_by=]
 
 Error mapping at the HTTP boundary: KeyError → 404 (unknown dataset /

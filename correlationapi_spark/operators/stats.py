@@ -539,6 +539,94 @@ def q_corr_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_pacf",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                        AS BIGINT) AS dn,
+                   round(avg(value), 6) AS v
+            FROM events
+            GROUP BY 1
+        ), lagcorr AS (
+            SELECT l.lag, round(corr(a.v, b.v), 6) AS acf
+            FROM (SELECT unnest(range(1, 4)) AS lag) l
+            JOIN daily a ON TRUE
+            JOIN daily b ON b.dn = a.dn + l.lag
+            GROUP BY 1
+        ), r AS (
+            SELECT max(CASE WHEN lag = 1 THEN acf END) AS r1,
+                   max(CASE WHEN lag = 2 THEN acf END) AS r2,
+                   max(CASE WHEN lag = 3 THEN acf END) AS r3
+            FROM lagcorr
+        ), p2 AS (
+            SELECT r1, r2, r3,
+                   (r2 - r1*r1) / nullif(1 - r1*r1, 0) AS phi22
+            FROM r
+        ), p3 AS (
+            SELECT r1, r2, r3, phi22, r1 - phi22*r1 AS phi21
+            FROM p2
+        )
+        SELECT r1 AS acf_1, r2 AS acf_2, r3 AS acf_3,
+               r1 AS pacf_1,
+               round(phi22, 6) AS pacf_2,
+               round((r3 - phi21*r2 - phi22*r1)
+                     / nullif(1 - phi21*r1 - phi22*r2, 0), 6) AS pacf_3
+        FROM p3
+    """,
+    doc="Partial autocorrelation (Durbin-Levinson over lag-1..3 ACF of "
+    "the daily value series) — AR-order diagnostics on ACF output.",
+)
+def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PACF — the AR-order diagnostic a correlation service pairs with
+    its ACF: phi_kk from the Durbin-Levinson recursion over the lag-k
+    autocorrelations of the day-grain series (api.acf returns the same
+    statistic for arbitrary datasets; this declared key is the fixed
+    3-lag form the DuckDB oracle can express as closed-form SQL).
+
+    Shape: ONE day-grain aggregation (the only full-data pass), a 3-row
+    lag array equi-joined on epoch-day integers (q_corr_xcorr's exact
+    alignment rule), one tiny per-lag corr agg, then the recursion as a
+    chain of selectExpr steps whose SQL strings are IDENTICAL to the
+    oracle's CTE expressions — both engines run the same IEEE754 ops on
+    the same round-6 acf inputs, so the 6-dp outputs agree exactly.
+    Everything after the raw scan runs on ~|days| rows."""
+    t = load_tables(spark, sf_dir)
+    dn = (F.unix_micros(F.date_trunc("day", F.col("ts"))) / F.lit(86400000000)).cast(
+        "bigint"
+    )
+    daily = (
+        t["events"]
+        .groupBy(dn.alias("dn"))
+        .agg(F.round(F.avg("value"), 6).alias("v"))
+    )
+    lags = spark.range(1, 4).select(F.col("id").cast("bigint").alias("lag"))
+    a, b = daily.alias("a"), daily.alias("b")
+    acf = (
+        lags.crossJoin(a)
+        .join(b, F.col("b.dn") == F.col("a.dn") + F.col("lag"))
+        .groupBy("lag")
+        .agg(_guarded_corr(F.col("a.v"), F.col("b.v")).alias("acf"))
+    )
+    r = acf.agg(
+        F.max(F.when(F.col("lag") == 1, F.col("acf"))).alias("r1"),
+        F.max(F.when(F.col("lag") == 2, F.col("acf"))).alias("r2"),
+        F.max(F.when(F.col("lag") == 3, F.col("acf"))).alias("r3"),
+    )
+    # selectExpr chain == oracle CTEs p2/p3 verbatim (see docstring)
+    p2 = r.selectExpr(
+        "r1", "r2", "r3", "(r2 - r1*r1) / nullif(1 - r1*r1, 0) AS phi22"
+    )
+    p3 = p2.selectExpr("r1", "r2", "r3", "phi22", "r1 - phi22*r1 AS phi21")
+    return p3.selectExpr(
+        "r1 AS acf_1", "r2 AS acf_2", "r3 AS acf_3",
+        "r1 AS pacf_1",
+        "round(phi22, 6) AS pacf_2",
+        "round((r3 - phi21*r2 - phi22*r1)"
+        " / nullif(1 - phi21*r1 - phi22*r2, 0), 6) AS pacf_3",
+    )
+
+
 _KENDALL_ORACLE = """
     WITH daily AS (
         SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000

@@ -576,3 +576,33 @@ def test_kendall_null_group_named_like_other_methods(api, spark):
     pear = own.correlate("_gnull", "x", "y", method="pearson", group_by="g")
     assert set(kend["groups"]) == set(pear["groups"]) == {"a", "None"}
     assert kend["groups"]["None"]["correlation"] == 1.0
+
+
+def test_acf_pacf_and_significance_band(api):
+    """PACF comes from Durbin-Levinson over the ACF vector; lag 1 IS the
+    lag-1 autocorrelation, lag 2 has the closed form (r2-r1^2)/(1-r1^2);
+    the white-noise band is 1.96/sqrt(series length)."""
+    out = api.acf("events", "ts", "value", max_lag=3)
+    assert set(out["pacf"]) == {"1", "2", "3"}
+    r1 = out["lags"]["1"]["correlation"]
+    r2 = out["lags"]["2"]["correlation"]
+    assert out["pacf"]["1"] == pytest.approx(r1, abs=1e-9)
+    assert out["pacf"]["2"] == pytest.approx(
+        (r2 - r1 * r1) / (1 - r1 * r1), abs=1e-6
+    )
+    n = out["significance"]["n"]
+    assert n == out["lags"]["0"]["n"] and n > 0
+    assert out["significance"]["band"] == pytest.approx(1.96 / n**0.5, abs=1e-6)
+
+
+def test_pacf_key_matches_api_recursion(api, spark):
+    """The declared q_pacf key (selectExpr chain == DuckDB CTEs) and the
+    api's driver-side Durbin-Levinson must produce the same phi_kk when
+    fed the same ACF values."""
+    from correlationapi_spark.api import _durbin_levinson
+
+    row = REGISTRY["q_pacf"].fn(spark, SF_SMOKE).collect()[0]
+    pacf = _durbin_levinson([1.0, row.acf_1, row.acf_2, row.acf_3])
+    assert pacf[0] == pytest.approx(row.pacf_1, abs=2e-6)
+    assert pacf[1] == pytest.approx(row.pacf_2, abs=2e-6)
+    assert pacf[2] == pytest.approx(row.pacf_3, abs=2e-6)

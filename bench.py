@@ -81,6 +81,16 @@ def main() -> None:
     # "+22% regression" was exactly that). Recording 1-min loadavg at
     # start/end makes contention attributable from the recorded JSON
     # alone instead of requiring a rerun next round.
+    #
+    # Round 5 gate: above LOAD1_GATE the timings are known-unusable for
+    # round-over-round comparison, so wait (bounded) for the host to go
+    # idle before the timed region, and stamp `contended` either way —
+    # a future reader never has to attribute a swing post-hoc again.
+    LOAD1_GATE = 2.0
+    gate_waited = 0.0
+    while os.getloadavg()[0] > LOAD1_GATE and gate_waited < 90:
+        time.sleep(5)
+        gate_waited += 5
     load_start = round(os.getloadavg()[0], 2)
 
     timings: dict[str, float] = {}
@@ -102,6 +112,7 @@ def main() -> None:
         timings[key] = round(best, 3)
         total += best
 
+    load_end = round(os.getloadavg()[0], 2)
     print(
         json.dumps(
             {
@@ -111,7 +122,12 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "load1_start": load_start,
-                "load1_end": round(os.getloadavg()[0], 2),
+                "load1_end": load_end,
+                # True when EITHER watermark breached the gate — the run
+                # completed but its numbers carry host noise (threshold
+                # rationale in BENCHLOG.md r05)
+                "contended": load_start > LOAD1_GATE or load_end > LOAD1_GATE,
+                "gate_waited_sec": gate_waited,
             }
         )
     )

@@ -70,6 +70,39 @@ def q_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_limit_offset",
+    oracle="""
+        SELECT o_orderkey, o_orderdate, o_totalprice
+        FROM orders
+        ORDER BY o_orderkey
+        LIMIT 20 OFFSET 40
+    """,
+    doc="Keyset pagination page 3: ORDER BY unique key, OFFSET 40 LIMIT 20.",
+)
+def q_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination (SURVEY §2.6's optional OFFSET fold-in, declared as its
+    own key in round 5): page 3 of a 20-row listing ordered by the UNIQUE
+    primary key — the unique order is what makes OFFSET deterministic
+    across engines (an OFFSET over a non-unique order is allowed to
+    return either of two tied rows, and would flap the oracle hash).
+
+    Scale: Spark plans offset+limit as a single GlobalLimit(offset+k)
+    over per-partition LocalLimits — executors ship at most offset+k rows
+    each, the driver drops the first `offset`. Deep pagination (offset in
+    the millions) would funnel offset+k rows to one point; that shape
+    should use keyset (WHERE key > last_seen LIMIT k) pagination instead,
+    which this key's unique-key order enables verbatim."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .orderBy("o_orderkey")
+        .offset(40)
+        .limit(20)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+@query(
     "q_set_union",
     oracle="""
         SELECT k, src FROM (

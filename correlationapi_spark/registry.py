@@ -68,6 +68,8 @@ _MODULES = (
 _ROUND5_TOUCHED: frozenset[str] = frozenset({
     # code/oracle/fixture changed this round AFTER their latest verdict —
     # force back to the front of the sweep regardless of verdict age
+    "q_multimodal_meta",    # GIF envelopes added to the fixture builder
+    "q_multimodal_frames",  # real GIF demux + widened output schema
 })
 
 

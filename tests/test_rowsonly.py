@@ -148,7 +148,11 @@ def test_spark_hashes_pinned(spark):
 
 
 def test_multimodal_values_pinned(spark):
-    from correlationapi_spark.llm.multimodal import PNG_PREFIX
+    from correlationapi_spark.llm.multimodal import (
+        GIF_VARIANTS,
+        PNG_PREFIX,
+        parse_gif,
+    )
 
     rows = {
         r.doc_id: r
@@ -158,8 +162,8 @@ def test_multimodal_values_pinned(spark):
 
     docs = {r.doc_id: r for r in load_tables(spark, SF_SMOKE)["documents"].collect()}
     assert len(rows) == len(docs)
-    saw_png = saw_fake = False
-    for did, r in list(rows.items())[:40]:
+    saw_png = saw_gif = saw_fake = False
+    for did, r in list(rows.items())[:60]:
         raw = docs[did].text.encode()
         if did % 10 == 0:  # real PNG header prefix, real IHDR decode
             saw_png = True
@@ -167,6 +171,14 @@ def test_multimodal_values_pinned(spark):
             assert r.head_hex == PNG_PREFIX[:8].hex()
             assert (r.width, r.height, r.decoder) == (16, 16, "png-ihdr")
             assert r.mime == "image/png"
+        elif did % 10 == 5:  # complete multi-frame GIF, real LSD decode
+            saw_gif = True
+            gif = GIF_VARIANTS[did % 3]
+            sw, sh, _ = parse_gif(gif)
+            assert r.n_bytes == len(gif)
+            assert r.head_hex == gif[:8].hex()
+            assert (r.width, r.height, r.decoder) == (sw, sh, "gif-lsd")
+            assert r.mime == "image/gif"
         else:
             saw_fake = True
             assert r.n_bytes == len(raw)
@@ -174,7 +186,7 @@ def test_multimodal_values_pinned(spark):
             assert 64 <= r.width < 256 and 64 <= r.height < 256
             assert r.decoder == "fake"
             assert r.mime == "application/x-fixture-text"
-    assert saw_png and saw_fake
+    assert saw_png and saw_gif and saw_fake
 
 
 # The canonical 1x1 transparent PNG (public standard bytes) — a complete,
@@ -277,8 +289,11 @@ def test_gif_lookalike_text_is_not_sniffed(spark):
 
 def test_multimodal_frames_pinned(spark):
     """Frame sampling is a pure function of the payload bytes: recompute
-    chunk hashes and sampling positions in plain Python and require exact
-    agreement (the mapInPandas expansion is the part under test)."""
+    everything in plain Python and require exact agreement — REAL GIF
+    demux values (true offsets, dimensions, per-frame delays, byte-span
+    hashes on the genuine fixture bytes) for the image/gif envelopes,
+    chunk hashes for the text payloads (the mapInPandas expansion is the
+    part under test)."""
     import hashlib
 
     rows = REGISTRY["q_multimodal_frames"].fn(spark, SF_SMOKE).collect()
@@ -286,28 +301,131 @@ def test_multimodal_frames_pinned(spark):
     from correlationapi_spark.llm.multimodal import (
         _FRAME_BYTES,
         _MAX_SAMPLES,
+        GIF_VARIANTS,
         PNG_PREFIX,
+        parse_gif,
     )
 
     docs = {
-        r.doc_id: (PNG_PREFIX if r.doc_id % 10 == 0 else b"") + r.text.encode()
+        r.doc_id: (
+            GIF_VARIANTS[r.doc_id % 3] if r.doc_id % 10 == 5
+            else (PNG_PREFIX if r.doc_id % 10 == 0 else b"") + r.text.encode()
+        )
         for r in load_tables(spark, SF_SMOKE)["documents"].collect()
     }
     by_doc: dict[int, list] = {}
     for r in rows:
         by_doc.setdefault(r.doc_id, []).append(r)
     assert set(by_doc) == set(docs)  # every doc sampled
-    for did in list(docs)[:25]:
+    saw_gif = saw_chunk = False
+    for did in list(docs)[:40]:
         data = docs[did]
-        n_frames = max(1, len(data) // _FRAME_BYTES)
-        stride = max(1, n_frames // _MAX_SAMPLES)
-        want = {
-            idx: hashlib.sha256(data[idx * _FRAME_BYTES:(idx + 1) * _FRAME_BYTES]).hexdigest()
-            for idx in range(0, n_frames, stride)
-        }
-        got = {r.frame_idx: r.frame_sha256 for r in by_doc[did]}
-        assert got == want, did
-        assert all(r.n_frames == n_frames for r in by_doc[did])
+        got = {r.frame_idx: r for r in by_doc[did]}
+        if did % 10 == 5:  # real demux on the genuine GIF bytes
+            saw_gif = True
+            _, _, frames = parse_gif(data)
+            n = len(frames)
+            assert n == 2 + (did % 3)  # variant k has 2+k frames
+            stride = max(1, n // _MAX_SAMPLES)
+            assert set(got) == set(range(0, n, stride))
+            for idx, r in got.items():
+                f = frames[idx]
+                assert r.kind == "gif-frame"
+                assert (r.frame_off, r.frame_w, r.frame_h, r.delay_cs) == (
+                    f["off"], f["w"], f["h"], f["delay"]
+                )
+                assert r.frame_sha256 == hashlib.sha256(
+                    data[f["off"]:f["end"]]
+                ).hexdigest()
+                assert r.n_frames == n
+        else:
+            saw_chunk = True
+            n = max(1, len(data) // _FRAME_BYTES)
+            stride = max(1, n // _MAX_SAMPLES)
+            want = {
+                idx: hashlib.sha256(
+                    data[idx * _FRAME_BYTES:(idx + 1) * _FRAME_BYTES]
+                ).hexdigest()
+                for idx in range(0, n, stride)
+            }
+            assert {i: r.frame_sha256 for i, r in got.items()} == want, did
+            for r in got.values():
+                assert r.kind == "chunk" and r.n_frames == n
+                assert r.frame_w is None and r.delay_cs is None
+    assert saw_gif and saw_chunk
+
+
+def test_gif_builder_and_demux_roundtrip():
+    """build_gif emits a COMPLETE, VALID GIF89a: the demuxer recovers
+    exactly the requested frame count/dimensions/delays, every frame's
+    LZW stream decodes (minimal reference decoder below) to width*height
+    pixels of color 0, and structural corruption raises."""
+    import pytest as _pytest
+
+    from correlationapi_spark.llm.multimodal import build_gif, parse_gif
+
+    def lzw_decode(stream: bytes, min_code: int) -> list[int]:
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        width = min_code + 1
+        table = {i: [i] for i in range(1 << min_code)}
+        next_code = eoi + 1
+        out: list[int] = []
+        prev = None
+        bits = nbits = pos = 0
+        while True:
+            while nbits < width:
+                if pos >= len(stream):
+                    return out
+                bits |= stream[pos] << nbits
+                pos += 1
+                nbits += 8
+            c = bits & ((1 << width) - 1)
+            bits >>= width
+            nbits -= width
+            if c == eoi:
+                return out
+            if c == clear:
+                table = {i: [i] for i in range(1 << min_code)}
+                next_code, width, prev = eoi + 1, min_code + 1, None
+                continue
+            if c in table:
+                entry = table[c]
+            elif c == next_code and prev:
+                entry = prev + [prev[0]]
+            else:
+                raise ValueError("invalid LZW code")
+            out += entry
+            if prev is not None:
+                table[next_code] = prev + [entry[0]]
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+
+    gif = build_gif(n_frames=3, width=5, height=4, base_delay=7)
+    sw, sh, frames = parse_gif(gif)
+    assert (sw, sh) == (5, 4) and len(frames) == 3
+    assert [f["delay"] for f in frames] == [7, 8, 9]
+    assert gif[:6] == b"GIF89a" and gif[-1] == 0x3B
+    for f in frames:
+        assert (f["w"], f["h"]) == (5, 4)
+        p = f["off"] + 10  # image descriptor is 10 bytes (no local table)
+        min_code = gif[p]
+        p += 1
+        stream = bytearray()
+        while gif[p] != 0:
+            n = gif[p]
+            stream += gif[p + 1 : p + 1 + n]
+            p += 1 + n
+        assert lzw_decode(bytes(stream), min_code) == [0] * (5 * 4)
+        assert p + 1 == f["end"]  # span covers descriptor..terminator
+
+    with _pytest.raises(ValueError):
+        parse_gif(b"GIF89a\x05\x00\x04\x00\x00\x00\x00")  # no frames/trailer
+    with _pytest.raises(ValueError):
+        parse_gif(gif[:-2])  # trailer cut off mid image data
+    with _pytest.raises(ValueError):
+        parse_gif(b"NOTAGIF" + bytes(20))
 
 
 def test_spearman_matches_mllib(spark):

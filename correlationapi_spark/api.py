@@ -351,12 +351,14 @@ class CorrelationAPI:
             "t_stat": t_stat(r),
         }
 
-    #: Exact Kendall needs one sequential O(n log n) pass per group — no
-    #: mergeable sufficient statistics exist. Each group runs INSIDE one
-    #: executor task (applyInPandas), so the bound is per-GROUP rows, not
-    #: dataset rows; above it the method refuses loudly rather than
-    #: OOM-ing an executor. For bigger groups use spearman (fully
-    #: distributed via the range-partitioned rank tables).
+    #: Bound on the SEQUENTIAL tau-b path: one O(n log n) pass per group
+    #: inside a single executor task (applyInPandas), so the limit is
+    #: per-GROUP rows, not dataset rows. Round 5: the UNGROUPED method no
+    #: longer refuses above it — it routes to the fully distributed exact
+    #: algorithm (operators.kendall: block/bucket-decomposed inversion
+    #: counting, same tau to the last bit). Grouped calls above the bound
+    #: still refuse loudly rather than OOM an executor — use spearman
+    #: (fully distributed rank tables) for huge groups.
     KENDALL_MAX_ROWS = 1_000_000
 
     def _kendall(
@@ -380,6 +382,22 @@ class CorrelationAPI:
         )
         tau_b = _make_tau_b()
         cap = self.KENDALL_MAX_ROWS
+        base = {"dataset": dataset, "x": var_x, "y": var_y, "method": "kendall"}
+        if not group_by:
+            n_rows = data.count()
+            if n_rows > cap:
+                # distributed exact path — no row bound (KENDALL_MAX_ROWS
+                # docstring); same tau/z algebra from the same integer
+                # counts, D decomposed across executors
+                from .operators.kendall import kendall_tau_distributed
+
+                tau, z, n = kendall_tau_distributed(data.select("_x", "_y"))
+                return base | {
+                    "correlation": None if tau is None else round(tau, 6),
+                    "n": n,
+                    "t_stat": None,
+                    "z_stat": None if z is None else round(z, 6),
+                }
 
         def per_group(pdf):
             import pandas as _pd
@@ -417,7 +435,6 @@ class CorrelationAPI:
                 "z_stat": _nan_to_none(r.z),
             }
 
-        base = {"dataset": dataset, "x": var_x, "y": var_y, "method": "kendall"}
         if group_by:
             # str(r._g) — a NULL group key arrives as Python None; the
             # pearson/spearman grouped paths name that group str(None) ==

@@ -606,3 +606,60 @@ def test_pacf_key_matches_api_recursion(api, spark):
     assert pacf[0] == pytest.approx(row.pacf_1, abs=2e-6)
     assert pacf[1] == pytest.approx(row.pacf_2, abs=2e-6)
     assert pacf[2] == pytest.approx(row.pacf_3, abs=2e-6)
+
+
+def test_kendall_distributed_matches_sequential_exactly(spark):
+    """The block/bucket-decomposed distributed tau-b must equal the
+    sequential merge-sort tau-b EXACTLY (same integer counts -> same
+    float ops) on tie-heavy data, across degenerate bucket shapes."""
+    import random
+
+    from correlationapi_spark.api import _make_tau_b
+    from correlationapi_spark.operators.kendall import kendall_tau_distributed
+
+    rng = random.Random(11)
+    xs = [float(rng.randint(0, 12)) for _ in range(3000)]
+    ys = [x * 0.5 + rng.randint(0, 6) for x in xs]  # correlated + tie-heavy
+    df = spark.createDataFrame(list(zip(xs, ys)), "_x double, _y double")
+    want = _make_tau_b()(xs, ys)
+    assert want is not None
+    # tiny fan-outs force rows through ALL THREE pair classes (D1/D2/D3)
+    for n_blocks, n_buckets in [(4, 3), (7, 5), (64, 64)]:
+        tau, z, n = kendall_tau_distributed(df, n_blocks, n_buckets)
+        assert n == 3000
+        assert tau == want[0], (n_blocks, n_buckets)  # bit-identical
+        assert z == pytest.approx(want[1], rel=1e-12)
+
+    # constant variable -> degenerate contract
+    const = spark.createDataFrame([(1.0, float(i)) for i in range(10)],
+                                  "_x double, _y double")
+    assert kendall_tau_distributed(const)[0] is None
+
+
+def test_kendall_routes_to_distributed_above_cap(spark, monkeypatch):
+    """Service contract (round 5): an ungrouped kendall beyond
+    KENDALL_MAX_ROWS no longer refuses — it returns the distributed
+    exact result, identical to the sequential answer."""
+    import random
+
+    rng = random.Random(13)
+    rows = [(float(rng.randint(0, 50)), float(rng.randint(0, 20)))
+            for _ in range(8000)]
+    own = CorrelationAPI(spark)
+    own.register_dataset(
+        "_kbig", spark.createDataFrame(rows, "x double, y double")
+    )
+    seq = own.correlate("_kbig", "x", "y", method="kendall")
+    monkeypatch.setattr(CorrelationAPI, "KENDALL_MAX_ROWS", 5000)
+    dist = own.correlate("_kbig", "x", "y", method="kendall")
+    assert dist["correlation"] == seq["correlation"]
+    assert dist["n"] == seq["n"] == 8000
+    assert dist["z_stat"] == pytest.approx(seq["z_stat"], abs=1e-6)
+    # grouped calls whose GROUP exceeds the bound still refuse loudly
+    own.register_dataset(
+        "_kbigg",
+        spark.createDataFrame([("all", x, y) for x, y in rows],
+                              "g string, x double, y double"),
+    )
+    with pytest.raises(Exception, match="sequential bound"):
+        own.correlate("_kbigg", "x", "y", method="kendall", group_by="g")

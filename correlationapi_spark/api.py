@@ -835,7 +835,10 @@ class CorrelationAPI:
         * ``pacf`` — partial autocorrelation phi_kk per lag via the
           Durbin-Levinson recursion (AR-order diagnostics);
         * ``significance`` — the ±1.96/√n white-noise band (n = series
-          length): lags whose |acf| exceeds it are significant at 5%.
+          length): lags whose |acf| exceeds it are significant at 5%;
+          plus the Ljung-Box portmanteau statistic
+          Q = n(n+2)·Σ_{k=1..m} ρ_k²/(n−k) (χ² with m df under H0:
+          white noise) over the lags that produced a coefficient.
         """
         if max_lag < 1:
             raise ValueError("max_lag must be >= 1")
@@ -851,12 +854,23 @@ class CorrelationAPI:
         pacf = _durbin_levinson(rho)
         n = lags_out["0"]["n"]  # series length (lag-0 pairs the series with itself)
         band = round(1.96 / n**0.5, 6) if n > 0 else None
+        # Ljung-Box over the lags that produced a coefficient (a gapped
+        # series can have empty lags; k = n would divide by zero)
+        lb_terms = [
+            rho[k] * rho[k] / (n - k)
+            for k in range(1, max_lag + 1)
+            if rho[k] is not None and n > k
+        ]
+        ljung_box = (
+            {"q": round(n * (n + 2) * sum(lb_terms), 6), "df": len(lb_terms)}
+            if lb_terms else None
+        )
         return {
             "dataset": dataset, "time": time_col, "value": value_col,
             "grain": grain, "max_lag": max_lag, "fill_gaps": fill_gaps,
             "lags": lags_out,
             "pacf": {str(k): pacf[k - 1] for k in range(1, max_lag + 1)},
-            "significance": {"band": band, "n": n},
+            "significance": {"band": band, "n": n, "ljung_box": ljung_box},
         }
 
     def rolling_correlation(

@@ -663,3 +663,15 @@ def test_kendall_routes_to_distributed_above_cap(spark, monkeypatch):
     )
     with pytest.raises(Exception, match="sequential bound"):
         own.correlate("_kbigg", "x", "y", method="kendall", group_by="g")
+
+
+def test_acf_ljung_box(api):
+    """Q = n(n+2)*sum(rho_k^2/(n-k)) over the produced lags."""
+    out = api.acf("events", "ts", "value", max_lag=3)
+    n = out["significance"]["n"]
+    want = n * (n + 2) * sum(
+        out["lags"][str(k)]["correlation"] ** 2 / (n - k) for k in (1, 2, 3)
+    )
+    lb = out["significance"]["ljung_box"]
+    assert lb["df"] == 3
+    assert lb["q"] == pytest.approx(want, abs=1e-6)  # q rounds to 6 dp

@@ -42,6 +42,21 @@ def main() -> None:
     # paid the first-query warm-up tail — sorted keys keep per-query
     # timings comparable across rounds.
     bench_keys = sorted(k for k, s in registry.items() if s.bench)
+
+    # Round 5 load gate — BEFORE the session/warm-up so the reading is
+    # EXTERNAL load only (the warm-up itself drives load1 past any
+    # threshold on a 32-core host; measuring after it made the flag
+    # self-triggering). Above LOAD1_GATE the timings are known-unusable
+    # for round-over-round comparison (BENCHLOG.md r05 threshold
+    # derivation), so wait (bounded) for the host to go idle, then stamp
+    # `contended` from this pre-warm-up watermark either way.
+    LOAD1_GATE = 2.0
+    gate_waited = 0.0
+    while os.getloadavg()[0] > LOAD1_GATE and gate_waited < 90:
+        time.sleep(5)
+        gate_waited += 5
+    load_gate = round(os.getloadavg()[0], 2)
+
     spark = get_spark("correlationapi-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -76,21 +91,12 @@ def main() -> None:
         F.corr("l_quantity", "l_tax"), F.covar_samp("l_quantity", "l_tax")
     ).write.format("noop").mode("overwrite").save()
 
-    # Host-load watermark: BENCHLOG documents ±25-45% total swings from
+    # Host-load watermarks: BENCHLOG documents ±25-45% total swings from
     # CONCURRENT JVMs on this shared host with identical plans (r03's
-    # "+22% regression" was exactly that). Recording 1-min loadavg at
-    # start/end makes contention attributable from the recorded JSON
-    # alone instead of requiring a rerun next round.
-    #
-    # Round 5 gate: above LOAD1_GATE the timings are known-unusable for
-    # round-over-round comparison, so wait (bounded) for the host to go
-    # idle before the timed region, and stamp `contended` either way —
-    # a future reader never has to attribute a swing post-hoc again.
-    LOAD1_GATE = 2.0
-    gate_waited = 0.0
-    while os.getloadavg()[0] > LOAD1_GATE and gate_waited < 90:
-        time.sleep(5)
-        gate_waited += 5
+    # "+22% regression" was exactly that). load1_start/end bracket the
+    # timed region (they INCLUDE this process's own load — attribution
+    # context, not the contention flag); `contended` comes from the
+    # pre-warm-up gate reading above.
     load_start = round(os.getloadavg()[0], 2)
 
     timings: dict[str, float] = {}
@@ -121,12 +127,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "load1_gate": load_gate,
                 "load1_start": load_start,
                 "load1_end": load_end,
-                # True when EITHER watermark breached the gate — the run
-                # completed but its numbers carry host noise (threshold
-                # rationale in BENCHLOG.md r05)
-                "contended": load_start > LOAD1_GATE or load_end > LOAD1_GATE,
+                # True when EXTERNAL load still breached the gate after
+                # the bounded wait — the run completed but its numbers
+                # carry host noise (threshold rationale in BENCHLOG r05)
+                "contended": load_gate > LOAD1_GATE,
                 "gate_waited_sec": gate_waited,
             }
         )

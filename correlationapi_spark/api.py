@@ -351,14 +351,14 @@ class CorrelationAPI:
             "t_stat": t_stat(r),
         }
 
-    #: Bound on the SEQUENTIAL tau-b path: one O(n log n) pass per group
-    #: inside a single executor task (applyInPandas), so the limit is
-    #: per-GROUP rows, not dataset rows. Round 5: the UNGROUPED method no
-    #: longer refuses above it — it routes to the fully distributed exact
-    #: algorithm (operators.kendall: block/bucket-decomposed inversion
-    #: counting, same tau to the last bit). Grouped calls above the bound
-    #: still refuse loudly rather than OOM an executor — use spearman
-    #: (fully distributed rank tables) for huge groups.
+    #: Routing threshold, not a refusal (round 5): samples/groups within
+    #: it run the sequential O(n log n) tau-b counter inside one executor
+    #: task (applyInPandas — the fast path); anything bigger routes to
+    #: the fully distributed exact algorithm (operators.kendall:
+    #: block/bucket-decomposed inversion counting over range-partitioned
+    #: positions), which computes the same integer counts and therefore
+    #: the same tau to the last bit. The limit is per-GROUP rows, not
+    #: dataset rows.
     KENDALL_MAX_ROWS = 1_000_000
 
     def _kendall(
@@ -383,6 +383,16 @@ class CorrelationAPI:
         tau_b = _make_tau_b()
         cap = self.KENDALL_MAX_ROWS
         base = {"dataset": dataset, "x": var_x, "y": var_y, "method": "kendall"}
+
+        def dist_cell(tz: tuple) -> dict[str, Any]:
+            tau, z, n = tz
+            return {
+                "correlation": None if tau is None else round(tau, 6),
+                "n": n,
+                "t_stat": None,
+                "z_stat": None if z is None else round(z, 6),
+            }
+
         if not group_by:
             n_rows = data.count()
             if n_rows > cap:
@@ -391,21 +401,47 @@ class CorrelationAPI:
                 # counts, D decomposed across executors
                 from .operators.kendall import kendall_tau_distributed
 
-                tau, z, n = kendall_tau_distributed(data.select("_x", "_y"))
+                return base | dist_cell(
+                    kendall_tau_distributed(data.select("_x", "_y"))
+                )
+
+        # per-group routing by size: groups within the sequential bound
+        # run the single-task O(n log n) counter; bigger groups go
+        # through the distributed decomposition (operators.kendall),
+        # same integer counts -> same tau to the last bit
+        big: list = []
+        if group_by:
+            sizes = {
+                r._g: r.c
+                for r in data.groupBy("_g").agg(F.count("*").alias("c")).collect()
+            }
+            big = [gk for gk, c in sizes.items() if c > cap]
+
+        dist_groups: dict = {}
+        if big:
+            from .operators.kendall import kendall_tau_by_group
+
+            is_big = F.lit(False)
+            for gk in big:  # eqNullSafe: a NULL group key is a group
+                is_big = is_big | F.col("_g").eqNullSafe(F.lit(gk))
+            dist_groups = kendall_tau_by_group(
+                data.filter(is_big).select(F.col("_g").alias("_grp"), "_x", "_y")
+            )
+            data = data.filter(~is_big)
+            if len(big) == len(sizes):  # nothing left for the fast path
                 return base | {
-                    "correlation": None if tau is None else round(tau, 6),
-                    "n": n,
-                    "t_stat": None,
-                    "z_stat": None if z is None else round(z, 6),
+                    "groups": {
+                        str(gk): dist_cell(tz) for gk, tz in dist_groups.items()
+                    }
                 }
 
         def per_group(pdf):
             import pandas as _pd
 
             if len(pdf) > cap:
-                raise ValueError(
+                raise ValueError(  # unreachable: big groups routed above
                     f"kendall: group of {len(pdf)} rows exceeds the "
-                    f"{cap}-row sequential bound; use method='spearman'"
+                    f"{cap}-row sequential bound"
                 )
             t = tau_b(pdf["_x"].tolist(), pdf["_y"].tolist())
             tau, z = (None, None) if t is None else t
@@ -440,7 +476,9 @@ class CorrelationAPI:
             # pearson/spearman grouped paths name that group str(None) ==
             # 'None', so kendall must too (same dataset, same group names
             # across methods — json would otherwise render it 'null')
-            return base | {"groups": {str(r._g): cell(r) for r in rows}}
+            groups = {str(r._g): cell(r) for r in rows}
+            groups |= {str(gk): dist_cell(tz) for gk, tz in dist_groups.items()}
+            return base | {"groups": groups}
         r = rows[0] if rows else None
         if r is None:
             return base | {

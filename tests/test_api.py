@@ -655,14 +655,22 @@ def test_kendall_routes_to_distributed_above_cap(spark, monkeypatch):
     assert dist["correlation"] == seq["correlation"]
     assert dist["n"] == seq["n"] == 8000
     assert dist["z_stat"] == pytest.approx(seq["z_stat"], abs=1e-6)
-    # grouped calls whose GROUP exceeds the bound still refuse loudly
+    # grouped: a group above the bound routes to the distributed path,
+    # groups below it stay sequential — results identical either way
+    # (group 'a' is the 8000-row sample > patched cap; 'b' is small)
+    grows = [("a", x, y) for x, y in rows]
+    grows += [("b", float(i), float(i * 2)) for i in range(20)]
     own.register_dataset(
         "_kbigg",
-        spark.createDataFrame([("all", x, y) for x, y in rows],
-                              "g string, x double, y double"),
+        spark.createDataFrame(grows, "g string, x double, y double"),
     )
-    with pytest.raises(Exception, match="sequential bound"):
-        own.correlate("_kbigg", "x", "y", method="kendall", group_by="g")
+    gres = own.correlate("_kbigg", "x", "y", method="kendall", group_by="g")
+    assert gres["groups"]["a"]["correlation"] == seq["correlation"]
+    assert gres["groups"]["a"]["n"] == 8000
+    assert gres["groups"]["a"]["z_stat"] == pytest.approx(
+        seq["z_stat"], abs=1e-6
+    )
+    assert gres["groups"]["b"]["correlation"] == 1.0  # sequential path
 
 
 def test_acf_ljung_box(api):

@@ -542,10 +542,12 @@ class CorrelationAPI:
     def _kendall_matrix(
         self, df: DataFrame, dataset: str, cols: list[str]
     ) -> dict[str, Any]:
-        """All-pairs tau-b in ONE executor pass: the listwise-complete
-        sample ships to a single applyInPandas task (same sequential
-        bound and rationale as _kendall) which computes every k(k-1)/2
-        pair with the merge-sort counter."""
+        """All-pairs tau-b: within KENDALL_MAX_ROWS the listwise-complete
+        sample ships to a single applyInPandas task (same fast-path
+        rationale as _kendall) computing every k(k-1)/2 pair with the
+        merge-sort counter; above it, each pair runs through the
+        distributed decomposition (operators.kendall) over the persisted
+        listwise sample — k(k-1)/2 distributed jobs, no row bound."""
         data = df.select(
             F.lit("_all").alias("_g"),
             *[F.col(c).cast("double").alias(c) for c in cols],
@@ -566,6 +568,31 @@ class CorrelationAPI:
             (i, j) for i in range(len(cols)) for j in range(len(cols)) if i < j
         ]
         names = list(cols)
+
+        if data.count() > cap:
+            # distributed per-pair path: persist the listwise sample so
+            # the filter/scan isn't re-run for each of the k(k-1)/2 pairs
+            from .operators.kendall import kendall_tau_distributed
+
+            data = data.persist()
+            try:
+                matrix = [[1.0] * len(cols) for _ in cols]
+                for i, j in pair_list:
+                    tau, _, _ = kendall_tau_distributed(
+                        data.select(
+                            F.col(names[i]).alias("_x"),
+                            F.col(names[j]).alias("_y"),
+                        )
+                    )
+                    matrix[i][j] = matrix[j][i] = (
+                        None if tau is None else round(tau, 6)
+                    )
+            finally:
+                data.unpersist()
+            return {
+                "dataset": dataset, "method": "kendall",
+                "variables": cols, "matrix": matrix,
+            }
 
         def worker(pdf):
             import pandas as _pd

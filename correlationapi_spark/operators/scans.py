@@ -123,6 +123,28 @@ def q_sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_scan_orc",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    doc="ORC ingest: parquet → ORC → schema-pinned read-back, value-exact "
+    "incl. doubles (added round 5).",
+)
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink — the other columnar format a Spark warehouse
+    user brings (built into Spark, no extra package). Same schema-pinned
+    read rule as CSV/JSON; ORC stores int/double values natively, so the
+    round-trip is bit-exact and fully oracle-checkable against the
+    parquet-reading oracle. Predicate pushdown and column pruning work
+    on ORC exactly as on parquet (same DataSource V2 scan machinery), so
+    the 100 TB posture of §2.1 carries over unchanged."""
+    t = load_tables(spark, sf_dir)
+    path = _roundtrip_dir("orc")
+    t["supplier"].write.mode("overwrite").orc(path)
+    return spark.read.schema(SCHEMAS["supplier"]).orc(path).select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+
+
 # --- source/sink helpers (unit-tested in tests/test_sources_sinks.py) ------
 
 

@@ -683,3 +683,23 @@ def test_acf_ljung_box(api):
     lb = out["significance"]["ljung_box"]
     assert lb["df"] == 3
     assert lb["q"] == pytest.approx(want, abs=1e-6)  # q rounds to 6 dp
+
+
+def test_kendall_matrix_distributed_above_cap(spark, monkeypatch):
+    """A matrix whose listwise sample exceeds the bound routes each pair
+    through the distributed decomposition — identical cells."""
+    import random
+
+    rng = random.Random(17)
+    rows = [
+        (float(rng.randint(0, 9)), float(rng.randint(0, 9)), float(-rng.randint(0, 9)))
+        for _ in range(4000)
+    ]
+    own = CorrelationAPI(spark)
+    own.register_dataset(
+        "_kmbig", spark.createDataFrame(rows, "x double, y double, z double")
+    )
+    seq = own.correlation_matrix("_kmbig", ["x", "y", "z"], method="kendall")
+    monkeypatch.setattr(CorrelationAPI, "KENDALL_MAX_ROWS", 2000)
+    dist = own.correlation_matrix("_kmbig", ["x", "y", "z"], method="kendall")
+    assert dist["matrix"] == seq["matrix"]

@@ -303,7 +303,12 @@ class CorrelationAPI:
         pass. For kendall no t-distribution applies: ``t_stat`` is NULL
         (kept for shape-compatibility) and the significance statistic is
         ``z_stat`` — the ties-adjusted normal approximation S/√var(S)
-        (Kendall 1945)."""
+        (Kendall 1945).
+
+        Pearson/spearman results also carry ``ci_95`` — the Fisher-z
+        95% confidence interval [tanh(atanh(r) ∓ 1.96/√(n−3))], NULL
+        when n ≤ 3 or the coefficient is degenerate/|r| = 1 (atanh
+        diverges). Computed driver-side from the unrounded r."""
         df = self._get(dataset)
         x, y = self._num(df, var_x), self._num(df, var_y)
         if method == "kendall":
@@ -332,6 +337,20 @@ class CorrelationAPI:
                 return None
             return round(c * ((n - 2) / (1.0 - c * c)) ** 0.5, 6)
 
+        def ci_95(r) -> list[float] | None:
+            # Fisher z: atanh(r) is ~normal with SE 1/sqrt(n-3); back-
+            # transform the bounds with tanh. UNROUNDED r, same rule as
+            # t_stat; atanh diverges at |r| = 1.
+            import math
+
+            c, n = r._corr_raw, r.n
+            if c is None or c != c or n <= 3 or abs(c) >= 1.0:
+                return None
+            half = 1.96 / (n - 3) ** 0.5
+            zr = math.atanh(c)
+            return [round(math.tanh(zr - half), 6),
+                    round(math.tanh(zr + half), 6)]
+
         if group_by:
             rows = df.groupBy(group_by).agg(*agg).collect()
             return base | {
@@ -340,6 +359,7 @@ class CorrelationAPI:
                         "correlation": _nan_to_none(r.correlation),
                         "n": r.n,
                         "t_stat": t_stat(r),
+                        "ci_95": ci_95(r),
                     }
                     for r in rows
                 }
@@ -349,6 +369,7 @@ class CorrelationAPI:
             "correlation": _nan_to_none(r.correlation),
             "n": r.n,
             "t_stat": t_stat(r),
+            "ci_95": ci_95(r),
         }
 
     #: Routing threshold, not a refusal (round 5): samples/groups within

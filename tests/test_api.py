@@ -703,3 +703,47 @@ def test_kendall_matrix_distributed_above_cap(spark, monkeypatch):
     monkeypatch.setattr(CorrelationAPI, "KENDALL_MAX_ROWS", 2000)
     dist = own.correlation_matrix("_kmbig", ["x", "y", "z"], method="kendall")
     assert dist["matrix"] == seq["matrix"]
+
+
+def test_fisher_ci_on_correlate(api, spark):
+    """ci_95 = tanh(atanh(r) -/+ 1.96/sqrt(n-3)) from the unrounded r;
+    the interval brackets r, and degenerate cases are NULL."""
+    import math
+
+    res = api.correlate("lineitem", "l_quantity", "l_extendedprice")
+    lo, hi = res["ci_95"]
+    r, n = res["correlation"], res["n"]
+    assert lo < r < hi
+    zr = math.atanh(r)
+    half = 1.96 / (n - 3) ** 0.5
+    assert lo == pytest.approx(math.tanh(zr - half), abs=1e-4)
+    assert hi == pytest.approx(math.tanh(zr + half), abs=1e-4)
+
+    # n <= 3 -> no interval (SE 1/sqrt(n-3) undefined); near-perfect
+    # linear data keeps a finite, tight interval hugging 1 (raw r is a
+    # hair under 1.0 in floating point, so atanh stays finite)
+    own = CorrelationAPI(spark)
+    own.register_dataset(
+        "_tiny",
+        spark.createDataFrame(
+            [(1.0, 3.0), (2.0, 5.0), (3.0, 4.0)], "x double, y double"
+        ),
+    )
+    assert own.correlate("_tiny", "x", "y")["ci_95"] is None
+    own.register_dataset(
+        "_perfect",
+        spark.createDataFrame(
+            [(float(i), float(2 * i)) for i in range(10)], "x double, y double"
+        ),
+    )
+    perfect = own.correlate("_perfect", "x", "y")
+    assert perfect["correlation"] == 1.0
+    ci = perfect["ci_95"]
+    assert ci is None or ci[0] > 0.999
+
+    # grouped results carry the interval too
+    g = api.correlate(
+        "lineitem", "l_quantity", "l_extendedprice", group_by="l_returnflag"
+    )
+    for cell in g["groups"].values():
+        assert cell["ci_95"][0] < cell["correlation"] < cell["ci_95"][1]

@@ -152,9 +152,15 @@ def kendall_tau_by_group(
     )
     blk = max(1, -(-total // n_blocks))
     # monotone y-bucketing shared by ALL groups (monotone for each, which
-    # is all exactness needs); quantile boundaries only for BALANCE
+    # is all exactness needs); quantile boundaries only for BALANCE.
+    # n_buckets <= 1 means ONE bucket (no boundaries — D1 is then 0 and
+    # D3 degenerates to whole-sample counting; still exact, just
+    # unbalanced — approxQuantile would reject an empty fraction list)
     fracs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = sorted(set(data.stat.approxQuantile("_y", fracs, 0.01)))
+    bounds = (
+        sorted(set(data.stat.approxQuantile("_y", fracs, 0.01)))
+        if fracs else []
+    )
     b_expr = F.lit(0)
     for bd in bounds:
         b_expr = b_expr + F.when(F.col("_y") > F.lit(float(bd)), 1).otherwise(0)

@@ -390,3 +390,40 @@ def test_freq_items_bounds_property(spark, texts, k):
     for tok, cnt in exact.items():
         if cnt > bound:
             assert tok in got, (tok, cnt, bound)
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=-5, max_value=5),
+            st.integers(min_value=-4, max_value=4),
+        ),
+        min_size=2,
+        max_size=120,
+    ),
+    n_blocks=st.integers(min_value=1, max_value=6),
+    n_buckets=st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_distributed_kendall_equals_sequential(spark, data, n_blocks, n_buckets):
+    """Invariant: the block/bucket-decomposed distributed tau-b equals
+    the sequential merge-sort tau-b EXACTLY for any sample and any
+    block/bucket fan-out (tiny integer domains force heavy x/y/joint
+    ties, the hard part of tau-b)."""
+    from correlationapi_spark.api import _make_tau_b
+    from correlationapi_spark.operators.kendall import kendall_tau_distributed
+
+    xs = [float(a) for a, _ in data]
+    ys = [float(b) for _, b in data]
+    df = spark.createDataFrame(list(zip(xs, ys)), "_x double, _y double")
+    want = _make_tau_b()(xs, ys)
+    tau, z, n = kendall_tau_distributed(df, n_blocks, n_buckets)
+    assert n == len(data)
+    if want is None:
+        assert tau is None
+    else:
+        assert tau == want[0]  # bit-identical
+        if want[1] is None:
+            assert z is None
+        else:
+            assert z == pytest.approx(want[1], rel=1e-12)

@@ -747,3 +747,22 @@ def test_fisher_ci_on_correlate(api, spark):
     )
     for cell in g["groups"].values():
         assert cell["ci_95"][0] < cell["correlation"] < cell["ci_95"][1]
+
+
+def test_kendall_null_group_routes_distributed(spark, monkeypatch):
+    """A NULL group key above the bound must route through eqNullSafe
+    (isin would drop NULL) and come back named 'None' like every other
+    method names it."""
+    rows = [(None, float(i % 7), float((i * 3) % 5)) for i in range(40)]
+    rows += [("a", float(i), float(2 * i)) for i in range(5)]
+    own = CorrelationAPI(spark)
+    own.register_dataset(
+        "_knull_big", spark.createDataFrame(rows, "g string, x double, y double")
+    )
+    seq = own.correlate("_knull_big", "x", "y", method="kendall", group_by="g")
+    monkeypatch.setattr(CorrelationAPI, "KENDALL_MAX_ROWS", 20)
+    dist = own.correlate("_knull_big", "x", "y", method="kendall", group_by="g")
+    assert set(dist["groups"]) == {"None", "a"}
+    assert dist["groups"]["None"]["correlation"] == seq["groups"]["None"]["correlation"]
+    assert dist["groups"]["None"]["n"] == 40
+    assert dist["groups"]["a"]["correlation"] == 1.0

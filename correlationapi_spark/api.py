@@ -733,17 +733,34 @@ class CorrelationAPI:
         dataset: str,
         var_x: str,
         var_y: str,
-        control: str,
+        control: str | list[str],
         group_by: str | None = None,
     ) -> dict[str, Any]:
-        """First-order partial correlation corr(x, y | z): the pairwise
-        coefficient with the control variable's influence removed,
+        """Partial correlation corr(x, y | controls).
+
+        One control (string or 1-list): the first-order closed form
         (rxy − rxz·ryz)/√((1−rxz²)(1−ryz²)). All three r's come from ONE
         aggregation pass (q_corr_partial's shape) over listwise-complete
         rows (a row missing ANY of the three variables is excluded, so
         the three coefficients share one sample); NULL when any input
         correlation is degenerate or the denominator vanishes
-        (|rxz| or |ryz| = 1 — the control explains x or y exactly)."""
+        (|rxz| or |ryz| = 1 — the control explains x or y exactly).
+
+        Multiple controls (round 5): the precision-matrix form — the
+        full pairwise correlation matrix over [x, y, *controls] comes
+        from the SAME single aggregation pass (k(k−1)/2 corr aggregates,
+        the correlation_matrix rule), then driver-side
+        r = −P₀₁/√(P₀₀·P₁₁) with P = R⁻¹ (Gauss-Jordan on a k×k float
+        matrix — constant work). NULL when R is singular (a control is
+        an exact linear combination). t_stat uses n − 2 − g df with g
+        controls partialled out."""
+        if isinstance(control, (list, tuple)):
+            if len(control) == 1:
+                control = control[0]
+            else:
+                return self._partial_multi(
+                    dataset, var_x, var_y, list(control), group_by
+                )
         df = self._get(dataset)
         x, y = self._num(df, var_x), self._num(df, var_y)
         z = self._num(df, control)
@@ -816,6 +833,82 @@ class CorrelationAPI:
             "n": r.n,
             "t_stat": t_stat(r),
         }
+
+    def _partial_multi(
+        self,
+        dataset: str,
+        var_x: str,
+        var_y: str,
+        controls: list[str],
+        group_by: str | None,
+    ) -> dict[str, Any]:
+        """Higher-order partial correlation via the precision matrix
+        (partial_correlation docstring). Spark does ONE pass computing
+        the k(k−1)/2 pairwise raw correlations over the listwise-complete
+        sample; the k×k inversion is driver-side constant work."""
+        import numpy as np
+
+        df = self._get(dataset)
+        names = [var_x, var_y, *controls]
+        if len(set(names)) != len(names):
+            raise ValueError("x, y and controls must be distinct variables")
+        cols = {c: self._num(df, c) for c in names}
+        listwise = F.lit(True)
+        for c in names:
+            listwise = listwise & F.col(c).isNotNull()
+        df = df.filter(listwise)
+        k = len(names)
+        aggs = [
+            _safe_corr_raw(cols[names[i]], cols[names[j]]).alias(f"r_{i}_{j}")
+            for i in range(k)
+            for j in range(k)
+            if i < j
+        ] + [F.count("*").alias("n")]
+
+        def partial(row) -> float | None:
+            rm = np.eye(k)
+            for i in range(k):
+                for j in range(i + 1, k):
+                    v = row[f"r_{i}_{j}"]
+                    if v is None or v != v:  # degenerate / NaN pair
+                        return None
+                    rm[i, j] = rm[j, i] = v
+            try:
+                p = np.linalg.inv(rm)
+            except np.linalg.LinAlgError:
+                return None  # a control is an exact linear combination
+            den = p[0, 0] * p[1, 1]
+            if den <= 0:
+                return None
+            c = float(-p[0, 1] / den**0.5)
+            # near-singular R inverts to numerical garbage — refuse
+            # rather than report an out-of-range coefficient
+            return c if -1.0 <= c <= 1.0 else None
+
+        def present(row) -> dict[str, Any]:
+            c, n = partial(row), row.n
+            dfree = n - 2 - len(controls)
+            t = (
+                None
+                if c is None or dfree <= 0 or abs(c) >= 1.0
+                else round(c * (dfree / (1.0 - c * c)) ** 0.5, 6)
+            )
+            return {
+                "partial_correlation": None if c is None else round(c, 6),
+                "n": n,
+                "t_stat": t,
+            }
+
+        base = {
+            "dataset": dataset, "x": var_x, "y": var_y, "control": controls,
+        }
+        if group_by:
+            rows = df.groupBy(group_by).agg(*aggs).collect()
+            return base | {
+                "groups": {str(r[group_by]): present(r) for r in rows}
+            }
+        r = df.agg(*aggs).collect()[0]
+        return base | present(r)
 
     def cross_correlation(
         self,

@@ -19,6 +19,7 @@ container, and none is needed for a JSON-for-JSON contract:
   GET  /acf?dataset=&time=&value=[&max_lag=][&grain=][&fill_gaps=]
        → lags (acf per lag) + pacf (Durbin-Levinson) + significance band
   GET  /partial?dataset=&x=&y=&control=[&group_by=]
+       (control may be comma-separated for higher-order partials)
 
 Error mapping at the HTTP boundary: KeyError → 404 (unknown dataset /
 variable), ValueError|TypeError → 400 (bad method / grain / non-numeric
@@ -103,8 +104,13 @@ def _route(api: CorrelationAPI, method: str, path: str,
         for req in ("dataset", "x", "y", "control"):
             if req not in query:
                 raise ValueError(f"missing query parameter {req!r}")
+        # comma-separated controls select the higher-order
+        # precision-matrix form (api.partial_correlation docstring)
+        control: str | list[str] = query["control"]
+        if "," in control:
+            control = [c.strip() for c in control.split(",") if c.strip()]
         return 200, api.partial_correlation(
-            query["dataset"], query["x"], query["y"], query["control"],
+            query["dataset"], query["x"], query["y"], control,
             group_by=query.get("group_by"),
         )
     if method == "GET" and path == "/acf":

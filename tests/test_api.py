@@ -766,3 +766,40 @@ def test_kendall_null_group_routes_distributed(spark, monkeypatch):
     assert dist["groups"]["None"]["correlation"] == seq["groups"]["None"]["correlation"]
     assert dist["groups"]["None"]["n"] == 40
     assert dist["groups"]["a"]["correlation"] == 1.0
+
+
+def test_partial_correlation_multi_control(api):
+    """Two controls: the precision-matrix form must equal the recursive
+    closed form r_xy.zw = (r_xy.z - r_xw.z*r_yw.z) /
+    sqrt((1-r_xw.z^2)(1-r_yw.z^2)) built from first-order partials; a
+    1-element list must equal the scalar-control path exactly."""
+    x, y, z, w = "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+
+    def r(a, b):
+        return api.correlate("lineitem", a, b)["correlation"]
+
+    def first_order(a, b, c):
+        denom = (1 - r(a, c) ** 2) * (1 - r(b, c) ** 2)
+        return (r(a, b) - r(a, c) * r(b, c)) / denom**0.5
+
+    want = (
+        first_order(x, y, z)
+        - first_order(x, w, z) * first_order(y, w, z)
+    ) / (
+        (1 - first_order(x, w, z) ** 2) * (1 - first_order(y, w, z) ** 2)
+    ) ** 0.5
+    res = api.partial_correlation("lineitem", x, y, [z, w])
+    assert res["control"] == [z, w]
+    assert res["partial_correlation"] == pytest.approx(want, abs=1e-4)
+    # t-stat carries n-2-g df
+    c, n = res["partial_correlation"], res["n"]
+    assert res["t_stat"] == pytest.approx(
+        c * ((n - 4) / (1 - c * c)) ** 0.5, rel=1e-3
+    )
+    # 1-element list == scalar path
+    one = api.partial_correlation("lineitem", x, y, [z])
+    scalar = api.partial_correlation("lineitem", x, y, z)
+    assert one["partial_correlation"] == scalar["partial_correlation"]
+    # degenerate: duplicated variable refuses
+    with pytest.raises(ValueError):
+        api.partial_correlation("lineitem", x, y, [z, x])

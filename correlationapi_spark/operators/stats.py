@@ -775,6 +775,74 @@ def q_corr_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_corr_partial2",
+    oracle="""
+        WITH c AS (
+            SELECT round(corr(l_quantity, l_extendedprice), 6) AS rxy,
+                   round(corr(l_quantity, l_discount), 6)      AS rxz,
+                   round(corr(l_extendedprice, l_discount), 6) AS ryz,
+                   round(corr(l_quantity, l_tax), 6)           AS rxw,
+                   round(corr(l_extendedprice, l_tax), 6)      AS ryw,
+                   round(corr(l_discount, l_tax), 6)           AS rzw,
+                   count(*) AS n_rows
+            FROM lineitem
+        ), p1 AS (
+            SELECT n_rows,
+                   (rxy - rxz*ryz)
+                       / sqrt((1 - rxz*rxz) * (1 - ryz*ryz)) AS rxy_z,
+                   (rxw - rxz*rzw)
+                       / sqrt((1 - rxz*rxz) * (1 - rzw*rzw)) AS rxw_z,
+                   (ryw - ryz*rzw)
+                       / sqrt((1 - ryz*ryz) * (1 - rzw*rzw)) AS ryw_z
+            FROM c
+        )
+        SELECT round((rxy_z - rxw_z*ryw_z)
+                     / sqrt((1 - rxw_z*rxw_z) * (1 - ryw_z*ryw_z)),
+                     6) AS partial_xy_zw,
+               n_rows
+        FROM p1
+    """,
+    doc="Second-order partial correlation corr(qty, price | discount, "
+    "tax) via the recursive closed form over six pairwise coefficients "
+    "(added round 5; api.partial_correlation generalizes to any number "
+    "of controls via the precision matrix).",
+)
+def q_corr_partial2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order partial correlation — two confounds removed by the
+    recursive identity r_xy·zw = (r_xy·z − r_xw·z·r_yw·z) /
+    √((1−r_xw·z²)(1−r_yw·z²)) over first-order partials.
+
+    Same determinism recipe as q_pacf: ONE aggregation pass computes all
+    six pairwise coefficients (codegen-fused moment aggregates), rounded
+    to 6 dp so both engines feed bit-identical operands into the
+    recursion, whose selectExpr steps are the oracle's CTEs verbatim —
+    identical IEEE op sequences → identical 6-dp output. The fixture
+    correlations are far from ±1, so no denominator guard is needed
+    here; the API's precision-matrix path owns the degenerate contract."""
+    t = load_tables(spark, sf_dir)
+    c = t["lineitem"].agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("rxy"),
+        F.round(F.corr("l_quantity", "l_discount"), 6).alias("rxz"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 6).alias("ryz"),
+        F.round(F.corr("l_quantity", "l_tax"), 6).alias("rxw"),
+        F.round(F.corr("l_extendedprice", "l_tax"), 6).alias("ryw"),
+        F.round(F.corr("l_discount", "l_tax"), 6).alias("rzw"),
+        F.count("*").alias("n_rows"),
+    )
+    p1 = c.selectExpr(
+        "n_rows",
+        "(rxy - rxz*ryz) / sqrt((1 - rxz*rxz) * (1 - ryz*ryz)) AS rxy_z",
+        "(rxw - rxz*rzw) / sqrt((1 - rxz*rxz) * (1 - rzw*rzw)) AS rxw_z",
+        "(ryw - ryz*rzw) / sqrt((1 - ryz*ryz) * (1 - rzw*rzw)) AS ryw_z",
+    )
+    return p1.selectExpr(
+        "round((rxy_z - rxw_z*ryw_z)"
+        " / sqrt((1 - rxw_z*rxw_z) * (1 - ryw_z*ryw_z)), 6) AS partial_xy_zw",
+        "n_rows",
+    )
+
+
 def grouped_avg_rank_table(
     df: DataFrame, group: str, col: str, alias: str
 ) -> DataFrame:

@@ -139,3 +139,40 @@ def test_route_function_direct(spark):
     assert status == 404
     with pytest.raises(ValueError):
         _route(api, "POST", "/datasets/x", {}, {})  # body missing "path"
+
+
+def test_round5_response_surface(base_url):
+    """Round-5 additions over the wire: pacf + significance (band,
+    Ljung-Box) on /acf, ci_95 + t_stat on /correlate, comma-separated
+    multi-control /partial."""
+    _post(
+        f"{base_url}/datasets/events",
+        {"path": os.path.join(SF_SMOKE, "events.parquet")},
+    )
+    _post(
+        f"{base_url}/datasets/lineitem",
+        {"path": os.path.join(SF_SMOKE, "lineitem.parquet")},
+    )
+
+    status, res = _get(
+        f"{base_url}/acf?dataset=events&time=ts&value=value&max_lag=3"
+    )
+    assert status == 200
+    assert set(res["pacf"]) == {"1", "2", "3"}
+    assert res["significance"]["band"] > 0
+    assert res["significance"]["ljung_box"]["df"] == 3
+
+    status, res = _get(
+        f"{base_url}/correlate?dataset=lineitem&x=l_quantity&y=l_extendedprice"
+    )
+    assert status == 200
+    assert res["ci_95"][0] < res["correlation"] < res["ci_95"][1]
+    assert res["t_stat"] is not None
+
+    status, res = _get(
+        f"{base_url}/partial?dataset=lineitem&x=l_quantity"
+        "&y=l_extendedprice&control=l_discount,l_tax"
+    )
+    assert status == 200
+    assert res["control"] == ["l_discount", "l_tax"]
+    assert -1.0 <= res["partial_correlation"] <= 1.0

@@ -55,7 +55,11 @@ def main() -> None:
     while os.getloadavg()[0] > LOAD1_GATE and gate_waited < 90:
         time.sleep(5)
         gate_waited += 5
-    load_gate = round(os.getloadavg()[0], 2)
+    # keep the RAW reading for the contended comparison — rounding first
+    # would stamp a run that timed out of the wait at load1 2.004 as
+    # clean (2.0 > 2.0 is false); round only for display
+    load_gate_raw = os.getloadavg()[0]
+    load_gate = round(load_gate_raw, 2)
 
     spark = get_spark("correlationapi-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -133,7 +137,7 @@ def main() -> None:
                 # True when EXTERNAL load still breached the gate after
                 # the bounded wait — the run completed but its numbers
                 # carry host noise (threshold rationale in BENCHLOG r05)
-                "contended": load_gate > LOAD1_GATE,
+                "contended": load_gate_raw > LOAD1_GATE,
                 "gate_waited_sec": gate_waited,
             }
         )

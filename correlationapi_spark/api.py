@@ -112,27 +112,13 @@ def _make_tau_b():
     either variable is constant (denominator 0).
     """
 
-    def count_inversions(a: list) -> int:
-        # bottom-up merge sort, counting cross-merge inversions
-        n = len(a)
-        buf = list(a)
-        src, dst = buf, [0] * n
-        width, inv = 1, 0
-        while width < n:
-            for lo in range(0, n, 2 * width):
-                mid, hi = min(lo + width, n), min(lo + 2 * width, n)
-                i, j, k = lo, mid, lo
-                while i < mid and j < hi:
-                    if src[i] <= src[j]:
-                        dst[k] = src[i]; i += 1
-                    else:
-                        dst[k] = src[j]; j += 1
-                        inv += mid - i
-                    k += 1
-                dst[k:hi] = src[i:mid] if i < mid else src[j:hi]
-            src, dst = dst, src
-            width *= 2
-        return inv
+    # ONE counting kernel shared with the distributed path — the
+    # "same integer counts -> same tau to the last bit" parity between
+    # the two paths rests on this being literally the same code. Both
+    # factories produce closures, so by-value pickling is preserved.
+    from .operators.kendall import make_inversion_counter
+
+    count_inversions = make_inversion_counter()
 
     def tie_sums(vals: list) -> tuple[int, int, int]:
         # over each tie run of length t: (Σt(t-1)/2, Σt(t-1)(2t+5),
@@ -401,6 +387,24 @@ class CorrelationAPI:
             F.col("_x").isNotNull() & F.col("_y").isNotNull()
             & ~F.isnan("_x") & ~F.isnan("_y")
         )
+        # the size-routing count plus the compute jobs all scan this
+        # filtered frame — persist so the common under-cap case pays one
+        # source scan, not two (and the distributed path, which consumes
+        # it many times, reads the cache)
+        data = data.persist()
+        try:
+            return self._kendall_routed(data, dataset, var_x, var_y, group_by)
+        finally:
+            data.unpersist()
+
+    def _kendall_routed(
+        self,
+        data: DataFrame,
+        dataset: str,
+        var_x: str,
+        var_y: str,
+        group_by: str | None,
+    ) -> dict[str, Any]:
         tau_b = _make_tau_b()
         cap = self.KENDALL_MAX_ROWS
         base = {"dataset": dataset, "x": var_x, "y": var_y, "method": "kendall"}
@@ -583,6 +587,18 @@ class CorrelationAPI:
         for c in cols[1:]:
             nan_any = nan_any | F.isnan(c)
         data = data.filter(~nan_any)
+        # persist BEFORE the routing count: the under-cap case then pays
+        # one source scan (count + worker both read the cache), and the
+        # distributed per-pair path consumes the cache k(k-1)/2 times
+        data = data.persist()
+        try:
+            return self._kendall_matrix_routed(data, dataset, cols)
+        finally:
+            data.unpersist()
+
+    def _kendall_matrix_routed(
+        self, data: DataFrame, dataset: str, cols: list[str]
+    ) -> dict[str, Any]:
         tau_b = _make_tau_b()
         cap = self.KENDALL_MAX_ROWS
         pair_list = [
@@ -591,25 +607,19 @@ class CorrelationAPI:
         names = list(cols)
 
         if data.count() > cap:
-            # distributed per-pair path: persist the listwise sample so
-            # the filter/scan isn't re-run for each of the k(k-1)/2 pairs
             from .operators.kendall import kendall_tau_distributed
 
-            data = data.persist()
-            try:
-                matrix = [[1.0] * len(cols) for _ in cols]
-                for i, j in pair_list:
-                    tau, _, _ = kendall_tau_distributed(
-                        data.select(
-                            F.col(names[i]).alias("_x"),
-                            F.col(names[j]).alias("_y"),
-                        )
+            matrix = [[1.0] * len(cols) for _ in cols]
+            for i, j in pair_list:
+                tau, _, _ = kendall_tau_distributed(
+                    data.select(
+                        F.col(names[i]).alias("_x"),
+                        F.col(names[j]).alias("_y"),
                     )
-                    matrix[i][j] = matrix[j][i] = (
-                        None if tau is None else round(tau, 6)
-                    )
-            finally:
-                data.unpersist()
+                )
+                matrix[i][j] = matrix[j][i] = (
+                    None if tau is None else round(tau, 6)
+                )
             return {
                 "dataset": dataset, "method": "kendall",
                 "variables": cols, "matrix": matrix,

@@ -109,6 +109,10 @@ def _route(api: CorrelationAPI, method: str, path: str,
         control: str | list[str] = query["control"]
         if "," in control:
             control = [c.strip() for c in control.split(",") if c.strip()]
+            if not control:
+                # control=',' would otherwise reach _partial_multi as an
+                # EMPTY list and serve plain corr labeled as a partial
+                raise ValueError("control must name at least one variable")
         return 200, api.partial_correlation(
             query["dataset"], query["x"], query["y"], control,
             group_by=query.get("group_by"),

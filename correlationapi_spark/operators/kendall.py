@@ -48,6 +48,12 @@ from pyspark.sql import functions as F
 
 from ..ordering import global_row_number
 
+#: Per-task slice target for the block/bucket fan-out: n_blocks/n_buckets
+#: grow with the counted total so a worker-side pandas slice stays near
+#: this many rows no matter how large the sample (a FIXED fan-out would
+#: scale slices as n/64 — the OOM mode the sequential cap guards).
+_TARGET_SLICE_ROWS = 250_000
+
 
 def make_inversion_counter():
     """Strict-descent (inversion) counter as a NESTED function — pickled
@@ -141,6 +147,12 @@ def kendall_tau_by_group(
     if not ns:
         return {}
     total = sum(ns.values())
+    # scale the fan-out with the data: a FIXED 64×64 would let per-task
+    # pandas slices grow as n/64, re-creating the single-task-OOM mode
+    # the sequential cap guards. Target ≤ _TARGET_SLICE_ROWS rows per
+    # block/bucket slice (callers may still force a larger fan-out).
+    n_blocks = max(n_blocks, -(-total // _TARGET_SLICE_ROWS))
+    n_buckets = max(n_buckets, -(-total // _TARGET_SLICE_ROWS))
     tx = _tie_sums_by_group(data, ["_x"])
     ty = _tie_sums_by_group(data, ["_y"])
     txy = _tie_sums_by_group(data, ["_x", "_y"])
@@ -155,7 +167,11 @@ def kendall_tau_by_group(
     # is all exactness needs); quantile boundaries only for BALANCE.
     # n_buckets <= 1 means ONE bucket (no boundaries — D1 is then 0 and
     # D3 degenerates to whole-sample counting; still exact, just
-    # unbalanced — approxQuantile would reject an empty fraction list)
+    # unbalanced — approxQuantile would reject an empty fraction list).
+    # Low-cardinality y collapses duplicate boundaries, so a bucket can
+    # be ONE y value — those buckets are excluded from the D3 shuffle
+    # below (equal-y pairs are never discordant), which keeps e.g.
+    # binary-y inputs from funneling n/2 rows into one task.
     fracs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = (
         sorted(set(data.stat.approxQuantile("_y", fracs, 0.01)))
@@ -175,6 +191,12 @@ def kendall_tau_by_group(
         F.expr(f"CAST((_pos - 1) DIV {blk} AS INT)").alias("_blk"),
         b_expr.cast("int").alias("_b"),
     )
+
+    # four actions consume cells (bucket-cardinality probe, contingency,
+    # D2, D3) — persist so the numbering join + bucket projection run
+    # once, not four times (only the checkpointed ranged RDD below them
+    # is otherwise reused)
+    cells = cells.persist()
 
     # D1 — cross-block cross-bucket, per group, from the contingency
     # matrix: iterate a group's blocks in position order; a row in block
@@ -229,13 +251,28 @@ def kendall_tau_by_group(
         .collect()
     ):
         d2[r._grp] += r.d
-    d3: dict[str | None, int] = {grp: 0 for grp in ns}
-    for r in (
-        cells.groupBy("_grp", "_b")
-        .applyInPandas(per_bucket, "_grp string, d long")
+
+    # D3 ships only buckets holding ≥2 DISTINCT y values: a single-value
+    # bucket contributes zero inversions (equal-y pairs are never
+    # discordant), and excluding it up front keeps a hot y value
+    # (binary/categorical y) from funneling its whole mass into one task
+    multi = [
+        r._b
+        for r in cells.groupBy("_b")
+        .agg(F.count_distinct("_y").alias("ny"))
         .collect()
-    ):
-        d3[r._grp] += r.d
+        if r.ny > 1
+    ]
+    d3: dict[str | None, int] = {grp: 0 for grp in ns}
+    if multi:
+        for r in (
+            cells.filter(F.col("_b").isin(multi))
+            .groupBy("_grp", "_b")
+            .applyInPandas(per_bucket, "_grp string, d long")
+            .collect()
+        ):
+            d3[r._grp] += r.d
+    cells.unpersist()
 
     out: dict[str | None, tuple[float | None, float | None, int]] = {}
     for grp, n in ns.items():

@@ -261,3 +261,26 @@ def test_no_cartesian_or_giant_single_partition_anywhere(spark):
         assert "CartesianProduct" not in plan, key
         n = plan.count("Exchange SinglePartition")
         assert n <= budget.get(key, 3), (key, n)
+
+
+def test_limit_offset_is_take_ordered(spark):
+    # Spark folds orderBy+offset(40)+limit(20) into ONE
+    # TakeOrderedAndProject(limit=60, offset=40): per-partition top-60
+    # heaps + driver merge that drops the first 40 — no full sort, no
+    # exchange anywhere in the plan
+    plan = plan_of(spark, "q_limit_offset")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_pacf_two_scans_no_cartesian(spark):
+    # the day-grain aggregation is the only full-data pass, once per
+    # self-join side (formatted mode prints each scan node twice: tree
+    # entry + detail block — so 2 physical scans == 4 occurrences); the
+    # 3-row lag relation rides a broadcast, never a cartesian product,
+    # and the Durbin-Levinson recursion is pure projection
+    plan = plan_of(spark, "q_pacf")
+    assert plan.count("Scan parquet") <= 4
+    assert "CartesianProduct" not in plan
+    # lag alignment is the epoch-day EQUI-join, not a theta join
+    assert "dn" in plan

@@ -197,7 +197,15 @@ def kendall_tau_by_group(
     # once, not four times (only the checkpointed ranged RDD below them
     # is otherwise reused)
     cells = cells.persist()
+    try:
+        return _count_and_assemble(cells, ns, nb, tx, ty, txy, inv_factory=make_inversion_counter)
+    finally:
+        cells.unpersist()
 
+
+def _count_and_assemble(cells, ns, nb, tx, ty, txy, inv_factory):
+    """D1/D2/D3 counting over the persisted cells + per-group assembly —
+    split out so the caller can guarantee unpersist on any failure."""
     # D1 — cross-block cross-bucket, per group, from the contingency
     # matrix: iterate a group's blocks in position order; a row in block
     # g bucket b pairs discordantly with every EARLIER-block row of a
@@ -220,7 +228,7 @@ def kendall_tau_by_group(
             for b in range(nb):
                 hist_prev[b] += cnt.get((grp, g, b), 0)
 
-    inv = make_inversion_counter()
+    inv = inv_factory()
 
     def per_block(pdf):
         import pandas as _pd
@@ -272,7 +280,6 @@ def kendall_tau_by_group(
             .collect()
         ):
             d3[r._grp] += r.d
-    cells.unpersist()
 
     out: dict[str | None, tuple[float | None, float | None, int]] = {}
     for grp, n in ns.items():

@@ -427,3 +427,33 @@ def test_distributed_kendall_equals_sequential(spark, data, n_blocks, n_buckets)
             assert z is None
         else:
             assert z == pytest.approx(want[1], rel=1e-12)
+
+
+@given(
+    rho_raw=st.lists(
+        st.floats(min_value=-0.4, max_value=0.4, allow_nan=False),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=list(HealthCheck))
+def test_durbin_levinson_matches_toeplitz_solve(rho_raw):
+    """Invariant (pure driver-side, no Spark): the Durbin-Levinson
+    phi_kk at order k equals the LAST coefficient of the Yule-Walker
+    solve R_k a = rho[1..k] with R_k the Toeplitz autocorrelation
+    matrix — the textbook definition of PACF. Small |rho| keeps R_k
+    comfortably positive-definite so both methods are well-conditioned."""
+    import numpy as np
+
+    from correlationapi_spark.api import _durbin_levinson
+
+    rho = [1.0] + list(rho_raw)
+    m = len(rho) - 1
+    pacf = _durbin_levinson(rho)
+    for k in range(1, m + 1):
+        rk = np.array([[rho[abs(i - j)] for j in range(k)] for i in range(k)])
+        if abs(np.linalg.det(rk)) < 1e-9:
+            continue  # near-singular: recursion may refuse; skip
+        want = np.linalg.solve(rk, np.array(rho[1 : k + 1]))[-1]
+        assert pacf[k - 1] == pytest.approx(round(float(want), 6), abs=2e-6)

@@ -126,6 +126,98 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sim_topk_ivf",
+    rows_only_reason="IVF cells come from seeded KMeans centroids — no "
+    "cross-engine oracle exists for the cell assignment. Unit tests "
+    "assert recall ≥ 0.6 of its top-k against the exact q_sim_topk at "
+    "fixture scale (and that every returned cosine is exact).",
+    doc="ANN top-k via IVF: KMeans coarse quantizer → probe the n_probe "
+    "nearest cells → exact cosine refine (the inverted-file scale path).",
+)
+def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN — the inverted-file shape (FAISS 'IVF,Flat')
+    re-expressed on DataFrames, the second sub-quadratic scale path next
+    to the LSH twin:
+
+    1. TRAIN: seeded KMeans over the L2-normalized corpus picks k coarse
+       centroids (euclidean cells on the unit sphere order like cosine).
+    2. ASSIGN: one map-only transform stamps each corpus vector with its
+       cell id — the inverted file is just a column, and at scale the
+       corpus would be written bucketed/partitioned BY that column.
+    3. PROBE: each query ranks the k centroids (a k×d broadcast — per
+       probe cost k·d flops) and keeps the n_probe nearest cells.
+    4. REFINE: candidates come from an EQUI-JOIN on cell id — touching
+       ~n_probe/k of the corpus per probe, never all of it — and the
+       exact rounded-cosine + unique-id ranking of q_sim_topk picks the
+       top-k, so every returned score is exact; only recall is
+       approximate (a true neighbor in an unprobed cell is missed).
+
+    Scale: train on a sample at 100 TB (KMeans cost is per-iteration
+    linear), assignment is embarrassingly parallel, the probe side is a
+    tiny broadcast, and the candidate join shuffles only cell-matched
+    rows. n_cells/n_probe are the recall-vs-cost dials (√n cells,
+    n_probe ~ 5-10% of cells is the standard starting point)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    n_cells, n_probe, topk = 16, 6, 5
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    norm = F.sqrt(dot(F.col("v"), F.col("v")))
+    e = e.withColumn("na", F.transform("v", lambda x: x / norm))
+    km = KMeans(
+        k=n_cells, seed=42, maxIter=5,
+        featuresCol="nv", predictionCol="cell",
+    )
+    model = km.fit(e.withColumn("nv", array_to_vector("na")))
+    assigned = model.transform(
+        e.withColumn("nv", array_to_vector("na"))
+    ).select("vec_id", "v", "na", "cell")
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, cv array<double>",
+    )
+    probes = assigned.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("pv"),
+        F.col("na").alias("pna"),
+    )
+    # rank cells per probe by ||p − c||² = |c|² − 2·p·c (+ constant |p|²)
+    pc = probes.crossJoin(F.broadcast(cents)).withColumn(
+        "d2",
+        dot(F.col("cv"), F.col("cv")) - 2 * dot(F.col("pna"), F.col("cv")),
+    )
+    wc = Window.partitionBy("probe_id").orderBy("d2", "cell")
+    probe_cells = (
+        pc.withColumn("cr", F.row_number().over(wc))
+        .filter(F.col("cr") <= n_probe)
+        .select("probe_id", "pv", "cell")
+    )
+    scored = (
+        probe_cells.join(
+            assigned.select(
+                F.col("vec_id").alias("neighbor_id"), "v", "cell"
+            ),
+            "cell",
+        )
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(cosine(F.col("pv"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= topk)
+        .select("probe_id", "neighbor_id", "cosine", "rn")
+    )
+
+
+@query(
     "q_sim_pairs",
     oracle="""
         WITH e AS (

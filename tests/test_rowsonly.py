@@ -553,3 +553,26 @@ def test_freq_items_error_bounds(spark):
     assert 0 < len(out) <= 50
     pairs = [(-r.approx_count, r.token) for r in out]
     assert pairs == sorted(pairs)
+
+
+def test_sim_topk_ivf_recall_and_exact_scores(spark):
+    """IVF returns EXACT cosines (the refine step recomputes them) with
+    approximate recall: every (probe, neighbor) it returns must carry
+    the same score the brute-force key computes, and recall of the
+    exact top-5 must stay useful at fixture scale."""
+    exact_rows = REGISTRY["q_sim_topk"].fn(spark, SF_SMOKE).collect()
+    ivf_rows = REGISTRY["q_sim_topk_ivf"].fn(spark, SF_SMOKE).collect()
+    exact_scores = {(r.probe_id, r.neighbor_id): r.cosine for r in exact_rows}
+    ivf_pairs = {(r.probe_id, r.neighbor_id) for r in ivf_rows}
+    # exactness: any IVF hit that IS in the exact top-k carries the
+    # identical rounded cosine
+    for r in ivf_rows:
+        key = (r.probe_id, r.neighbor_id)
+        if key in exact_scores:
+            assert r.cosine == exact_scores[key], key
+    recall = len(ivf_pairs & set(exact_scores)) / len(exact_scores)
+    assert recall >= 0.6, recall
+    # shape contract matches the exact key (drop-in substitute)
+    assert {r.probe_id for r in ivf_rows} == {r.probe_id for r in exact_rows}
+    for r in ivf_rows:
+        assert 1 <= r.rn <= 5

@@ -7,12 +7,17 @@ declared query inventory. Every command prints one JSON document to
 stdout.
 
 Commands:
-  correlate --data PATH --x COL --y COL [--method pearson|spearman]
+  correlate --data PATH --x COL --y COL [--method pearson|spearman|kendall]
             [--group-by COL] [--format parquet|csv|json]
   matrix    --data PATH [--vars a,b,c] [--method ...]
   lagged    --data PATH --time COL --value COL [--lag N] [--grain day]
-  partial   --data PATH --x COL --y COL --control COL [--group-by COL]
+  partial   --data PATH --x COL --y COL --control COL[,COL2,...]
+            [--group-by COL]   (comma-separated controls -> higher-order)
   xcorr     --data PATH --time COL --x COL --y COL [--max-lag N] [--grain day]
+  acf       --data PATH --time COL --value COL [--max-lag N] [--grain day]
+            (returns acf lags + pacf + significance band / Ljung-Box)
+  rolling   --data PATH --time COL --value COL [--window N] [--lag N]
+            [--grain day]
   serve     [--host H] [--port P]             # REST listener (http_api.py)
   query     --key q_name [--sf-dir DIR]      # run a declared inventory key
   keys                                        # list the declared inventory
@@ -53,13 +58,15 @@ def main(argv: list[str] | None = None) -> int:
     add_data(c)
     c.add_argument("--x", required=True)
     c.add_argument("--y", required=True)
-    c.add_argument("--method", default="pearson", choices=["pearson", "spearman"])
+    c.add_argument("--method", default="pearson",
+                   choices=["pearson", "spearman", "kendall"])
     c.add_argument("--group-by", default=None)
 
     m = sub.add_parser("matrix", help="all-pairs correlation matrix")
     add_data(m)
     m.add_argument("--vars", default=None, help="comma-separated; default: all numeric")
-    m.add_argument("--method", default="pearson", choices=["pearson", "spearman"])
+    m.add_argument("--method", default="pearson",
+                   choices=["pearson", "spearman", "kendall"])
 
     lg = sub.add_parser("lagged", help="lagged autocorrelation of a time series")
     add_data(lg)
@@ -82,6 +89,23 @@ def main(argv: list[str] | None = None) -> int:
     xc.add_argument("--y", required=True)
     xc.add_argument("--max-lag", type=int, default=3)
     xc.add_argument("--grain", default="day")
+
+    ac = sub.add_parser(
+        "acf", help="autocorrelation function + PACF + significance"
+    )
+    add_data(ac)
+    ac.add_argument("--time", required=True)
+    ac.add_argument("--value", required=True)
+    ac.add_argument("--max-lag", type=int, default=10)
+    ac.add_argument("--grain", default="day")
+
+    rl = sub.add_parser("rolling", help="rolling lag-k autocorrelation")
+    add_data(rl)
+    rl.add_argument("--time", required=True)
+    rl.add_argument("--value", required=True)
+    rl.add_argument("--window", type=int, default=14)
+    rl.add_argument("--lag", type=int, default=1)
+    rl.add_argument("--grain", default="day")
 
     q = sub.add_parser("query", help="run a declared inventory key")
     q.add_argument("--key", required=True)
@@ -135,11 +159,26 @@ def main(argv: list[str] | None = None) -> int:
             variables = args.vars.split(",") if args.vars else None
             res = api.correlation_matrix("ds", variables, method=args.method)
         elif args.cmd == "partial":
-            res = api.partial_correlation("ds", args.x, args.y, args.control,
+            # comma-separated controls select the higher-order
+            # precision-matrix form (api.partial_correlation docstring)
+            control = (
+                [c.strip() for c in args.control.split(",") if c.strip()]
+                if "," in args.control else args.control
+            )
+            if not control:
+                raise ValueError("control must name at least one variable")
+            res = api.partial_correlation("ds", args.x, args.y, control,
                                           group_by=args.group_by)
         elif args.cmd == "xcorr":
             res = api.cross_correlation("ds", args.time, args.x, args.y,
                                         max_lag=args.max_lag, grain=args.grain)
+        elif args.cmd == "acf":
+            res = api.acf("ds", args.time, args.value,
+                          max_lag=args.max_lag, grain=args.grain)
+        elif args.cmd == "rolling":
+            res = api.rolling_correlation("ds", args.time, args.value,
+                                          window=args.window, lag=args.lag,
+                                          grain=args.grain)
         else:
             res = api.lagged_correlation("ds", args.time, args.value,
                                          lag=args.lag, grain=args.grain)

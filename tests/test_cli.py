@@ -62,3 +62,34 @@ def test_cli_error_paths(spark, capsys):
 
     rc, res = _run(capsys, ["query", "--key", "q_nope"])
     assert rc == 2 and "error" in res
+
+
+def test_cli_round5_commands(spark, capsys):
+    """Round-5 CLI surface: kendall method, acf (+pacf/significance),
+    rolling, and comma-separated multi-control partial."""
+    rc, res = _run(capsys, [
+        "correlate", "--data", os.path.join(SF_SMOKE, "lineitem.parquet"),
+        "--x", "l_quantity", "--y", "l_extendedprice", "--method", "kendall",
+    ])
+    assert rc == 0 and -1.0 <= res["correlation"] <= 1.0
+    assert "z_stat" in res
+
+    rc, res = _run(capsys, [
+        "acf", "--data", os.path.join(SF_SMOKE, "events.parquet"),
+        "--time", "ts", "--value", "value", "--max-lag", "2",
+    ])
+    assert rc == 0 and set(res["pacf"]) == {"1", "2"}
+    assert res["significance"]["band"] > 0
+
+    rc, res = _run(capsys, [
+        "rolling", "--data", os.path.join(SF_SMOKE, "events.parquet"),
+        "--time", "ts", "--value", "value", "--window", "7",
+    ])
+    assert rc == 0 and len(res["series"]) > 0
+
+    rc, res = _run(capsys, [
+        "partial", "--data", os.path.join(SF_SMOKE, "lineitem.parquet"),
+        "--x", "l_quantity", "--y", "l_extendedprice",
+        "--control", "l_discount,l_tax",
+    ])
+    assert rc == 0 and res["control"] == ["l_discount", "l_tax"]

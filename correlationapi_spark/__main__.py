@@ -159,15 +159,10 @@ def main(argv: list[str] | None = None) -> int:
             variables = args.vars.split(",") if args.vars else None
             res = api.correlation_matrix("ds", variables, method=args.method)
         elif args.cmd == "partial":
-            # comma-separated controls select the higher-order
-            # precision-matrix form (api.partial_correlation docstring)
-            control = (
-                [c.strip() for c in args.control.split(",") if c.strip()]
-                if "," in args.control else args.control
-            )
-            if not control:
-                raise ValueError("control must name at least one variable")
-            res = api.partial_correlation("ds", args.x, args.y, control,
+            from .api import parse_control_arg
+
+            res = api.partial_correlation("ds", args.x, args.y,
+                                          parse_control_arg(args.control),
                                           group_by=args.group_by)
         elif args.cmd == "xcorr":
             res = api.cross_correlation("ds", args.time, args.x, args.y,

@@ -171,6 +171,24 @@ def _make_tau_b():
     return tau_b
 
 
+def parse_control_arg(raw: str) -> str | list[str]:
+    """Shared CLI/HTTP rule for the partial-correlation control argument:
+    comma-separated names select the higher-order precision-matrix form
+    (a 1-element split falls back to the scalar path inside
+    partial_correlation); whitespace is trimmed either way; an empty
+    value raises — ``control=','`` must be a user error, never a
+    zero-control call that serves plain corr labeled as a partial."""
+    if "," in raw:
+        controls = [c.strip() for c in raw.split(",") if c.strip()]
+        if not controls:
+            raise ValueError("control must name at least one variable")
+        return controls
+    c = raw.strip()
+    if not c:
+        raise ValueError("control must name at least one variable")
+    return c
+
+
 def _durbin_levinson(rho: list) -> list:
     """PACF phi_kk for k = 1..m from ACF values rho[0..m] (rho[0] = 1),
     via the Durbin-Levinson recursion — O(m²) driver-side arithmetic on

@@ -104,17 +104,11 @@ def _route(api: CorrelationAPI, method: str, path: str,
         for req in ("dataset", "x", "y", "control"):
             if req not in query:
                 raise ValueError(f"missing query parameter {req!r}")
-        # comma-separated controls select the higher-order
-        # precision-matrix form (api.partial_correlation docstring)
-        control: str | list[str] = query["control"]
-        if "," in control:
-            control = [c.strip() for c in control.split(",") if c.strip()]
-            if not control:
-                # control=',' would otherwise reach _partial_multi as an
-                # EMPTY list and serve plain corr labeled as a partial
-                raise ValueError("control must name at least one variable")
+        from .api import parse_control_arg
+
         return 200, api.partial_correlation(
-            query["dataset"], query["x"], query["y"], control,
+            query["dataset"], query["x"], query["y"],
+            parse_control_arg(query["control"]),
             group_by=query.get("group_by"),
         )
     if method == "GET" and path == "/acf":

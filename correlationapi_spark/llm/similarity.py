@@ -165,16 +165,31 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    norm = F.sqrt(dot(F.col("v"), F.col("v")))
-    e = e.withColumn("na", F.transform("v", lambda x: x / norm))
+    # zero-norm vectors have no direction: normalizing them yields NaN
+    # arrays that would poison KMeans GLOBALLY (one NaN row drags its
+    # centroid to NaN, then every point's distance to that centroid is
+    # NaN) — drop them up front; the exact key's cosine is NaN→null for
+    # such rows anyway, so they can never be meaningful neighbors.
+    # Materialize the norm as a COLUMN first: referencing the dot()
+    # aggregate inside the per-element lambda would re-evaluate the
+    # d-term sum for every element (O(d²)/row).
+    e = e.withColumn("_n", F.sqrt(dot(F.col("v"), F.col("v")))).filter(
+        F.col("_n") > 0
+    )
+    env = e.withColumn(
+        "na", F.transform("v", lambda x: x / F.col("_n"))
+    ).withColumn("nv", array_to_vector("na"))
     km = KMeans(
         k=n_cells, seed=42, maxIter=5,
         featuresCol="nv", predictionCol="cell",
     )
-    model = km.fit(e.withColumn("nv", array_to_vector("na")))
-    assigned = model.transform(
-        e.withColumn("nv", array_to_vector("na"))
-    ).select("vec_id", "v", "na", "cell")
+    model = km.fit(env)
+    # probes and the candidate join both consume the assignment — pin it
+    # (lazy localCheckpoint, the ordering.py pattern) so the normalize +
+    # transform subtree runs once at action time, not once per consumer
+    assigned = model.transform(env).select(
+        "vec_id", "v", "na", "cell"
+    ).localCheckpoint(eager=False)
     cents = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cell int, cv array<double>",

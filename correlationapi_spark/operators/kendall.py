@@ -198,12 +198,12 @@ def kendall_tau_by_group(
     # is otherwise reused)
     cells = cells.persist()
     try:
-        return _count_and_assemble(cells, ns, nb, tx, ty, txy, inv_factory=make_inversion_counter)
+        return _count_and_assemble(cells, ns, nb, tx, ty, txy)
     finally:
         cells.unpersist()
 
 
-def _count_and_assemble(cells, ns, nb, tx, ty, txy, inv_factory):
+def _count_and_assemble(cells, ns, nb, tx, ty, txy):
     """D1/D2/D3 counting over the persisted cells + per-group assembly —
     split out so the caller can guarantee unpersist on any failure."""
     # D1 — cross-block cross-bucket, per group, from the contingency
@@ -228,7 +228,7 @@ def _count_and_assemble(cells, ns, nb, tx, ty, txy, inv_factory):
             for b in range(nb):
                 hist_prev[b] += cnt.get((grp, g, b), 0)
 
-    inv = inv_factory()
+    inv = make_inversion_counter()
 
     def per_block(pdf):
         import pandas as _pd

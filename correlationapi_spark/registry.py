@@ -57,7 +57,7 @@ _MODULES = (
     "correlationapi_spark.udfs",
 )
 
-# Round 5: the hand-maintained _DRIVER_GREEN set is replaced by reading
+# The hand-maintained _DRIVER_GREEN set was replaced in round 5 by reading
 # the driver's own CORRECTNESS_r*.json files — the per-key LATEST round
 # with a usable verdict (hash-match, or the recorded rows>0 check for
 # rows-only keys). Ordering keys by verdict AGE rotates the driver's
@@ -65,11 +65,16 @@ _MODULES = (
 # instead of pinning ~100 keys on r01/r02-era testdata evidence forever
 # (the events.ts unit regenerated between r3 and r4 — stale driver
 # verdicts predate it, so freshness is real signal, not bookkeeping).
-_ROUND5_TOUCHED: frozenset[str] = frozenset({
-    # code/oracle/fixture changed this round AFTER their latest verdict —
-    # force back to the front of the sweep regardless of verdict age
-    "q_multimodal_meta",    # GIF envelopes added to the fixture builder
-    "q_multimodal_frames",  # real GIF demux + widened output schema
+#
+# _TOUCHED is RESET every round: it lists only the keys whose
+# code/oracle/fixture changed THIS round after their latest verdict, so
+# they jump back to the front of the sweep regardless of verdict age.
+_TOUCHED: frozenset[str] = frozenset({
+    # round 6:
+    "q_multimodal_meta",    # complete-PNG fixtures (full IDAT) replace the 29-byte prefix
+    "q_multimodal_frames",  # PNG pixel decode (inflate+unfilter) joins the GIF demux
+    "q_sim_topk_ivf",       # measured recall/cost + bucketed-probe demonstration
+    "q_corr_kendall",       # distributed path: fewer jobs, width_bucket ids, overflow guard
 })
 
 
@@ -192,7 +197,7 @@ def load_registry() -> dict[str, QuerySpec]:
 
     def rank(item: tuple[str, QuerySpec]) -> tuple[int, int, int, int]:
         key, spec = item
-        rnd = 0 if key in _ROUND5_TOUCHED else latest.get(key, 0)
+        rnd = 0 if key in _TOUCHED else latest.get(key, 0)
         oracled = 0 if spec.oracle is not None else 1
         mod_prio = _MODULE_PRIORITY.get(spec.fn.__module__, _PRIORITY_FLOOR)
         return (rnd, oracled, mod_prio, reg_index[key])

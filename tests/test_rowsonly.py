@@ -148,9 +148,12 @@ def test_spark_hashes_pinned(spark):
 
 
 def test_multimodal_values_pinned(spark):
+    import hashlib
+
     from correlationapi_spark.llm.multimodal import (
         GIF_VARIANTS,
-        PNG_PREFIX,
+        PNG_VARIANTS,
+        decode_png_pixels,
         parse_gif,
     )
 
@@ -165,12 +168,18 @@ def test_multimodal_values_pinned(spark):
     saw_png = saw_gif = saw_fake = False
     for did, r in list(rows.items())[:60]:
         raw = docs[did].text.encode()
-        if did % 10 == 0:  # real PNG header prefix, real IHDR decode
+        if did % 10 == 0:  # complete PNG: real IHDR + real pixel decode
             saw_png = True
-            assert r.n_bytes == len(raw) + len(PNG_PREFIX)
-            assert r.head_hex == PNG_PREFIX[:8].hex()
-            assert (r.width, r.height, r.decoder) == (16, 16, "png-ihdr")
+            png = PNG_VARIANTS[did % 3]
+            w, h, _, pixels = decode_png_pixels(png)
+            assert r.n_bytes == len(png)
+            assert r.head_hex == png[:8].hex()
+            assert (r.width, r.height, r.decoder) == (w, h, "png-ihdr")
+            assert (w, h) == (6 + 2 * (did % 3), 5 + 3 * (did % 3))
             assert r.mime == "image/png"
+            # pixel-level stats only a genuine inflate+unfilter yields
+            assert r.px_sha256 == hashlib.sha256(pixels).hexdigest()
+            assert abs(r.px_mean - sum(pixels) / len(pixels)) < 1e-9
         elif did % 10 == 5:  # complete multi-frame GIF, real LSD decode
             saw_gif = True
             gif = GIF_VARIANTS[did % 3]
@@ -302,14 +311,16 @@ def test_multimodal_frames_pinned(spark):
         _FRAME_BYTES,
         _MAX_SAMPLES,
         GIF_VARIANTS,
-        PNG_PREFIX,
+        PNG_VARIANTS,
+        decode_png_pixels,
         parse_gif,
     )
 
     docs = {
         r.doc_id: (
             GIF_VARIANTS[r.doc_id % 3] if r.doc_id % 10 == 5
-            else (PNG_PREFIX if r.doc_id % 10 == 0 else b"") + r.text.encode()
+            else PNG_VARIANTS[r.doc_id % 3] if r.doc_id % 10 == 0
+            else r.text.encode()
         )
         for r in load_tables(spark, SF_SMOKE)["documents"].collect()
     }
@@ -317,11 +328,21 @@ def test_multimodal_frames_pinned(spark):
     for r in rows:
         by_doc.setdefault(r.doc_id, []).append(r)
     assert set(by_doc) == set(docs)  # every doc sampled
-    saw_gif = saw_chunk = False
+    saw_gif = saw_chunk = saw_png = False
     for did in list(docs)[:40]:
         data = docs[did]
         got = {r.frame_idx: r for r in by_doc[did]}
-        if did % 10 == 5:  # real demux on the genuine GIF bytes
+        if did % 10 == 0:  # real pixel decode on the genuine PNG bytes
+            saw_png = True
+            w, h, _, pixels = decode_png_pixels(data)
+            (r,) = got.values()
+            assert r.kind == "png-frame" and r.n_frames == 1
+            assert (r.frame_w, r.frame_h, r.delay_cs) == (w, h, None)
+            # frame_off = first IDAT chunk header; frame_sha256 hashes
+            # the UNFILTERED pixel bytes, not any span of the file
+            assert data[r.frame_off + 4 : r.frame_off + 8] == b"IDAT"
+            assert r.frame_sha256 == hashlib.sha256(pixels).hexdigest()
+        elif did % 10 == 5:  # real demux on the genuine GIF bytes
             saw_gif = True
             _, _, frames = parse_gif(data)
             n = len(frames)
@@ -352,7 +373,66 @@ def test_multimodal_frames_pinned(spark):
             for r in got.values():
                 assert r.kind == "chunk" and r.n_frames == n
                 assert r.frame_w is None and r.delay_cs is None
-    assert saw_gif and saw_chunk
+    assert saw_gif and saw_chunk and saw_png
+
+
+def test_png_builder_and_decode_roundtrip():
+    """build_png emits a COMPLETE, VALID RGB8 PNG: the pixel decoder
+    recovers EXACTLY the generator's gradient (independently recomputed
+    here), all five filter types are present in the stream, the file is
+    genuinely multi-IDAT, and corruption (flipped CRC byte, truncation,
+    bad filter, bad inflated length) raises rather than emitting
+    garbage."""
+    import zlib
+
+    import pytest as _pytest
+
+    from correlationapi_spark.llm.multimodal import (
+        PNG_VARIANTS,
+        build_png,
+        decode_png_pixels,
+    )
+
+    for k, png in enumerate(PNG_VARIANTS):
+        w, h, ch, pixels = decode_png_pixels(png)
+        assert (w, h, ch) == (6 + 2 * k, 5 + 3 * k, 3)
+        seed = 11 * k + 1
+        want = bytes(
+            v
+            for y in range(h)
+            for x in range(w)
+            for v in (
+                (7 * x + 3 * y + seed) % 256,
+                (5 * x + 11 * y + 2 * seed) % 256,
+                (13 * x + 17 * y + 3 * seed) % 256,
+            )
+        )
+        assert pixels == want  # unfilter is exact, not approximate
+        assert h >= 5  # every variant exercises filters 0..4
+        assert png.count(b"IDAT") >= 2  # multi-IDAT concatenation real
+
+    # filter-type coverage: the raw inflated stream's per-row filter ids
+    png = build_png(8, 10, 42)
+    idat = bytearray()
+    pos = 8
+    while pos + 12 <= len(png):
+        clen = int.from_bytes(png[pos : pos + 4], "big")
+        if png[pos + 4 : pos + 8] == b"IDAT":
+            idat += png[pos + 8 : pos + 8 + clen]
+        pos += 12 + clen
+    stream = zlib.decompress(bytes(idat))
+    stride = 1 + 8 * 3
+    assert {stream[y * stride] for y in range(10)} == {0, 1, 2, 3, 4}
+
+    # corruption surfaces as ValueError, never silent garbage
+    bad_crc = bytearray(png)
+    bad_crc[-5] ^= 0xFF  # last byte of IEND's CRC
+    with _pytest.raises(ValueError):
+        decode_png_pixels(bytes(bad_crc))
+    with _pytest.raises(ValueError):
+        decode_png_pixels(png[: len(png) // 2])
+    with _pytest.raises(ValueError):
+        decode_png_pixels(b"\x89PNG\r\n\x1a\njunk")
 
 
 def test_gif_builder_and_demux_roundtrip():

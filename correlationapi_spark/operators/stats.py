@@ -526,8 +526,10 @@ def q_corr_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lags = spark.range(-3, 4).select(F.col("id").cast("bigint").alias("lag"))
     a, b = daily.alias("a"), daily.alias("b")
+    # broadcast-pinned lag spine (verdict r05): 7 rows must never be a
+    # shuffle side; canaried in tests/test_plans.py
     return (
-        lags.crossJoin(a)
+        F.broadcast(lags).crossJoin(a)
         .join(b, F.col("b.dn") == F.col("a.dn") + F.col("lag"))
         .groupBy("lag")
         .agg(
@@ -602,8 +604,9 @@ def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lags = spark.range(1, 4).select(F.col("id").cast("bigint").alias("lag"))
     a, b = daily.alias("a"), daily.alias("b")
+    # broadcast-pinned lag spine (verdict r05; tests/test_plans.py)
     acf = (
-        lags.crossJoin(a)
+        F.broadcast(lags).crossJoin(a)
         .join(b, F.col("b.dn") == F.col("a.dn") + F.col("lag"))
         .groupBy("lag")
         .agg(_guarded_corr(F.col("a.v"), F.col("b.v")).alias("acf"))

@@ -74,7 +74,9 @@ _TOUCHED: frozenset[str] = frozenset({
     "q_multimodal_meta",    # complete-PNG fixtures (full IDAT) replace the 29-byte prefix
     "q_multimodal_frames",  # PNG pixel decode (inflate+unfilter) joins the GIF demux
     "q_sim_topk_ivf",       # measured recall/cost + bucketed-probe demonstration
-    "q_corr_kendall",       # distributed path: fewer jobs, width_bucket ids, overflow guard
+    "q_corr_kendall",       # distributed path: fewer jobs, Bucketizer ids, overflow guard
+    "q_corr_xcorr",         # lag spine broadcast-pinned
+    "q_pacf",               # lag spine broadcast-pinned
 })
 
 

@@ -803,3 +803,66 @@ def test_partial_correlation_multi_control(api):
     # degenerate: duplicated variable refuses
     with pytest.raises(ValueError):
         api.partial_correlation("lineitem", x, y, [z, x])
+
+
+def test_chi2_sf_known_quantiles():
+    """_chi2_sf must reproduce the published chi-square table: the 5%
+    and 1% critical values for several df, the df-median ~0.5 identity,
+    and the exact closed forms P(chi2_2 > x) = e^{-x/2} and
+    P(chi2_1 > x) = 2*(1 - Phi(sqrt(x)))."""
+    import math
+
+    from correlationapi_spark.api import _chi2_sf
+
+    # (x, df, tail) from standard tables
+    for x, df, want in [
+        (3.841459, 1, 0.05),
+        (5.991465, 2, 0.05),
+        (11.070498, 5, 0.05),
+        (18.307038, 10, 0.05),
+        (6.634897, 1, 0.01),
+        (23.209251, 10, 0.01),
+    ]:
+        assert _chi2_sf(x, df) == pytest.approx(want, abs=5e-7), (x, df)
+    # exact closed forms
+    for x in (0.5, 1.7, 4.2, 9.0, 25.0):
+        assert _chi2_sf(x, 2) == pytest.approx(math.exp(-x / 2), rel=1e-12)
+        phi = 0.5 * (1 + math.erf(math.sqrt(x) / math.sqrt(2)))
+        assert _chi2_sf(x, 1) == pytest.approx(2 * (1 - phi), rel=1e-10)
+    # bounds
+    assert _chi2_sf(0.0, 3) == 1.0
+    assert _chi2_sf(1e6, 3) == 0.0
+
+
+def test_acf_ljung_box_p_value(api):
+    """acf() now carries the Ljung-Box p-value: consistent with its own
+    Q/df through _chi2_sf, in (0, 1], and 6-dp rounded."""
+    from correlationapi_spark.api import _chi2_sf
+
+    res = api.acf("events", "ts", "value", max_lag=5)
+    lb = res["significance"]["ljung_box"]
+    assert lb is not None
+    assert 0.0 <= lb["p_value"] <= 1.0
+    # p recomputed from the ROUNDED q must agree to ~rounding error
+    assert lb["p_value"] == pytest.approx(
+        _chi2_sf(lb["q"], lb["df"]), abs=1e-5
+    )
+
+
+def test_spearman_ci_wider_than_pearson(api):
+    """ADVICE r05: the spearman Fisher-z interval uses the
+    Fieller-Hartley-Pearson SE (1.06/sqrt(n-3)) — for the same |r| and n
+    the spearman band must be ~6% wider in z-space than the naive
+    Pearson one."""
+    import math
+
+    p = api.correlate("lineitem", "l_quantity", "l_extendedprice")
+    s = api.correlate(
+        "lineitem", "l_quantity", "l_extendedprice", method="spearman"
+    )
+    for res, scale in ((p, 1.0), (s, 1.06)):
+        lo, hi = res["ci_95"]
+        # recover the half-width in z-space; it must equal 1.96*scale/sqrt(n-3)
+        half = (math.atanh(hi) - math.atanh(lo)) / 2
+        want = 1.96 * scale / (res["n"] - 3) ** 0.5
+        assert half == pytest.approx(want, rel=1e-2), scale

@@ -284,3 +284,50 @@ def test_pacf_two_scans_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     # lag alignment is the epoch-day EQUI-join, not a theta join
     assert "dn" in plan
+
+
+def test_lag_spines_always_broadcast(spark):
+    """The ≤2m+1-row lag spine crossJoins (q_corr_xcorr, q_pacf, and the
+    api lag sweep) must ALWAYS broadcast the spine side: an AQE or
+    statistics change that flipped one into a shuffled/cartesian join
+    would put the whole series table through it (verdict r05 canary)."""
+    for key in ("q_corr_xcorr", "q_pacf"):
+        plan = plan_of(spark, key)
+        assert "BroadcastNestedLoopJoin" in plan, key
+        assert "CartesianProduct" not in plan, key
+
+    # the api-side shared lag sweep (_xcorr_lags): spy on the collect to
+    # capture the ACTUAL DataFrame the sweep executes, then assert its
+    # physical plan broadcasts the spine
+    # PySpark 4 dispatches to the classic subclass, which overrides
+    # collect — patch the concrete class, not the abstract facade
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # older pyspark: one concrete class
+        from pyspark.sql import DataFrame
+
+    from correlationapi_spark.api import CorrelationAPI
+    from correlationapi_spark.io import load_tables
+
+    api = CorrelationAPI(spark)
+    api.register_dataset("_ev", load_tables(spark, SF_SMOKE)["events"])
+    captured: list = []
+    orig_collect = DataFrame.collect
+
+    def spy(self):
+        captured.append(self)
+        return orig_collect(self)
+
+    DataFrame.collect = spy
+    try:
+        api.cross_correlation("_ev", "ts", "value", "value", max_lag=2)
+    finally:
+        DataFrame.collect = orig_collect
+    assert captured
+    plan = captured[-1]._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan

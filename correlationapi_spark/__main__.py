@@ -107,6 +107,31 @@ def main(argv: list[str] | None = None) -> int:
     rl.add_argument("--lag", type=int, default=1)
     rl.add_argument("--grain", default="day")
 
+    sm = sub.add_parser(
+        "similar", help="top-k cosine neighbors of probe rows (exact | ivf)"
+    )
+    add_data(sm)
+    sm.add_argument("--id", required=True, help="integer id column")
+    sm.add_argument("--vector", required=True, help="array<float> column")
+    sm.add_argument("--probes", required=True,
+                    help="comma-separated probe ids")
+    sm.add_argument("--k", type=int, default=5)
+    sm.add_argument("--method", default="exact", choices=["exact", "ivf"])
+    sm.add_argument("--n-cells", type=int, default=16)
+    sm.add_argument("--n-probe", type=int, default=6)
+
+    dd = sub.add_parser(
+        "dedup", help="duplicate report over an (id, text) table"
+    )
+    add_data(dd)
+    dd.add_argument("--id", required=True, help="integer id column")
+    dd.add_argument("--text", required=True, help="text column")
+    dd.add_argument("--method", default="exact", choices=["exact", "ngram"])
+    dd.add_argument("--threshold", type=float, default=0.5,
+                    help="ngram Jaccard threshold")
+    dd.add_argument("--limit", type=int, default=1000,
+                    help="max listed duplicates (totals stay exact)")
+
     q = sub.add_parser("query", help="run a declared inventory key")
     q.add_argument("--key", required=True)
     q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -174,6 +199,14 @@ def main(argv: list[str] | None = None) -> int:
             res = api.rolling_correlation("ds", args.time, args.value,
                                           window=args.window, lag=args.lag,
                                           grain=args.grain)
+        elif args.cmd == "similar":
+            probe_ids = [int(p) for p in args.probes.split(",") if p.strip()]
+            res = api.similar("ds", args.id, args.vector, probe_ids,
+                              k=args.k, method=args.method,
+                              n_cells=args.n_cells, n_probe=args.n_probe)
+        elif args.cmd == "dedup":
+            res = api.dedup("ds", args.id, args.text, method=args.method,
+                            threshold=args.threshold, limit=args.limit)
         else:
             res = api.lagged_correlation("ds", args.time, args.value,
                                          lag=args.lag, grain=args.grain)

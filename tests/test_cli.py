@@ -93,3 +93,47 @@ def test_cli_round5_commands(spark, capsys):
         "--control", "l_discount,l_tax",
     ])
     assert rc == 0 and res["control"] == ["l_discount", "l_tax"]
+
+
+def test_cli_similar_and_dedup(spark, capsys):
+    """Round-6 CLI surface: similar (exact + ivf) and dedup (exact +
+    ngram) as parameterized subcommands over caller-chosen tables."""
+    rc, res = _run(capsys, [
+        "similar", "--data", os.path.join(SF_SMOKE, "embeddings.parquet"),
+        "--id", "vec_id", "--vector", "embedding",
+        "--probes", "0,1", "--k", "3",
+    ])
+    assert rc == 0 and set(res["neighbors"]) == {"0", "1"}
+    for ns in res["neighbors"].values():
+        assert len(ns) == 3
+        assert [n["rank"] for n in ns] == [1, 2, 3]
+
+    rc, res = _run(capsys, [
+        "similar", "--data", os.path.join(SF_SMOKE, "embeddings.parquet"),
+        "--id", "vec_id", "--vector", "embedding",
+        "--probes", "0", "--k", "2", "--method", "ivf",
+        "--n-cells", "4", "--n-probe", "2",
+    ])
+    assert rc == 0 and res["method"] == "ivf"
+    assert len(res["neighbors"]["0"]) <= 2
+
+    rc, res = _run(capsys, [
+        "dedup", "--data", os.path.join(SF_SMOKE, "documents.parquet"),
+        "--id", "doc_id", "--text", "text", "--limit", "5",
+    ])
+    assert rc == 0 and res["method"] == "exact"
+    assert res["n_duplicates"] >= len(res["duplicates"])
+
+    rc, res = _run(capsys, [
+        "dedup", "--data", os.path.join(SF_SMOKE, "documents.parquet"),
+        "--id", "doc_id", "--text", "text",
+        "--method", "ngram", "--threshold", "0.9",
+    ])
+    assert rc == 0 and res["threshold"] == 0.9
+
+    # user-error path: unknown column exits 2 with one JSON error line
+    rc, res = _run(capsys, [
+        "similar", "--data", os.path.join(SF_SMOKE, "embeddings.parquet"),
+        "--id", "vec_id", "--vector", "nope", "--probes", "0",
+    ])
+    assert rc == 2 and "error" in res

@@ -176,3 +176,94 @@ def test_round5_response_surface(base_url):
     assert status == 200
     assert res["control"] == ["l_discount", "l_tax"]
     assert -1.0 <= res["partial_correlation"] <= 1.0
+
+
+def test_similar_route_matches_declared_key(base_url, spark):
+    """/similar (exact) over the fixture embeddings must return EXACTLY
+    the q_sim_topk answer for the same probes/k — one engine behind
+    both (round-6 parameterized LLM surface)."""
+    from correlationapi_spark.registry import load_registry
+
+    _post(
+        f"{base_url}/datasets/emb",
+        {"path": os.path.join(SF_SMOKE, "embeddings.parquet")},
+    )
+    status, res = _get(
+        f"{base_url}/similar?dataset=emb&id=vec_id&vector=embedding"
+        "&probes=0,1,2,3,4&k=5"
+    )
+    assert status == 200
+    want: dict = {}
+    key = load_registry()["q_sim_topk"]
+    for r in key.fn(spark, SF_SMOKE).collect():
+        want.setdefault(str(r.probe_id), []).append(
+            {"id": r.neighbor_id, "cosine": r.cosine, "rank": r.rn}
+        )
+    assert res["neighbors"] == want
+
+    # ivf: same contract, exact scores, recall>=0.6 of the exact answer
+    status, ivf = _get(
+        f"{base_url}/similar?dataset=emb&id=vec_id&vector=embedding"
+        "&probes=0,1,2,3,4&k=5&method=ivf&n_cells=8&n_probe=8"
+    )
+    assert status == 200
+    got = {(p, n["id"]) for p, ns in ivf["neighbors"].items() for n in ns}
+    exact = {(p, n["id"]) for p, ns in res["neighbors"].items() for n in ns}
+    assert len(got & exact) / len(exact) >= 0.6
+    # n_probe == n_cells probes every cell -> ivf degenerates to exact
+    status, full = _get(
+        f"{base_url}/similar?dataset=emb&id=vec_id&vector=embedding"
+        "&probes=0,1&k=3&method=ivf&n_cells=4&n_probe=4"
+    )
+    status2, ex2 = _get(
+        f"{base_url}/similar?dataset=emb&id=vec_id&vector=embedding"
+        "&probes=0,1&k=3"
+    )
+    assert full["neighbors"] == ex2["neighbors"]
+
+
+def test_dedup_route(base_url, spark):
+    """/dedup exact + ngram over the fixture documents: totals agree
+    with the engine DataFrames, listings are bounded by limit, and the
+    error map covers bad params."""
+    from correlationapi_spark.io import load_tables
+    from correlationapi_spark.llm.dedup import ngram_jaccard_pairs
+
+    _post(
+        f"{base_url}/datasets/docs",
+        {"path": os.path.join(SF_SMOKE, "documents.parquet")},
+    )
+    status, res = _get(f"{base_url}/dedup?dataset=docs&id=doc_id&text=text")
+    assert status == 200 and res["method"] == "exact"
+    docs = load_tables(spark, SF_SMOKE)["documents"]
+    n_docs = docs.count()
+    n_distinct = docs.selectExpr("lower(trim(text)) t").distinct().count()
+    assert res["n_duplicates"] == n_docs - n_distinct
+    for d in res["duplicates"]:
+        assert d["canonical_id"] < d["id"]
+
+    status, ng = _get(
+        f"{base_url}/dedup?dataset=docs&id=doc_id&text=text"
+        "&method=ngram&threshold=0.4&limit=3"
+    )
+    assert status == 200
+    want_total = ngram_jaccard_pairs(
+        docs.select("doc_id", "text"), threshold=0.4
+    ).count()
+    assert ng["n_duplicates"] == want_total
+    assert len(ng["duplicates"]) == min(3, want_total)
+    assert ng["truncated"] == (want_total > 3)
+
+    # error map: unknown column -> 404, bad method/threshold -> 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{base_url}/dedup?dataset=docs&id=nope&text=text")
+    assert e.value.code == 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{base_url}/dedup?dataset=docs&id=doc_id&text=text&method=xx")
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(
+            f"{base_url}/similar?dataset=docs&id=doc_id&vector=text"
+            "&probes=a,b"
+        )
+    assert e.value.code == 400

@@ -77,19 +77,25 @@ def topk_neighbors_exact(
     )
 
 
-def topk_neighbors_ivf(
+def ivf_index(
     corpus: DataFrame,
-    probe_filter: Column,
-    k: int,
     n_cells: int = 16,
-    n_probe: int = 6,
     seed: int = 42,
-) -> DataFrame:
-    """IVF-flat ANN engine (FAISS 'IVF,Flat' re-expressed on DataFrames)
-    — see q_sim_topk_ivf for the full shape discussion. Same output
-    contract as topk_neighbors_exact; only recall is approximate (a true
-    neighbor in an unprobed cell is missed), every returned cosine is
-    exact."""
+    train_fraction: float = 1.0,
+) -> tuple[DataFrame, DataFrame]:
+    """TRAIN + ASSIGN stages of the IVF engine: returns
+    ``(assigned, cents)`` — the cell-stamped corpus
+    (vec_id, v, na, cell) and the k×d centroid table.
+
+    ``train_fraction`` < 1 fits the coarse quantizer on a SAMPLE of the
+    corpus (the 100 TB posture: KMeans cost is per-iteration linear, and
+    centroid quality converges long before the full corpus is seen —
+    SCALING.md records the measured recall of a 10%-sample-trained index
+    at 100k vectors); the ASSIGN step always stamps every row.
+
+    At scale the assigned corpus is what you persist, written
+    ``partitionBy("cell")`` so a probe reads only its n_probe cells via
+    partition pruning (canaried in tests/test_plans.py)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -111,23 +117,36 @@ def topk_neighbors_ivf(
         k=n_cells, seed=seed, maxIter=5,
         featuresCol="nv", predictionCol="cell",
     )
-    model = km.fit(env)
+    train = (
+        env if train_fraction >= 1.0
+        else env.sample(fraction=train_fraction, seed=seed)
+    )
+    model = km.fit(train)
     # probes and the candidate join both consume the assignment — pin it
     # (lazy localCheckpoint, the ordering.py pattern) so the normalize +
     # transform subtree runs once at action time, not once per consumer
     assigned = model.transform(env).select(
         "vec_id", "v", "na", "cell"
     ).localCheckpoint(eager=False)
-    spark = corpus.sparkSession
-    cents = spark.createDataFrame(
+    cents = corpus.sparkSession.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cell int, cv array<double>",
     )
-    probes = assigned.filter(probe_filter).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("v").alias("pv"),
-        F.col("na").alias("pna"),
-    )
+    return assigned, cents
+
+
+def ivf_probe(
+    assigned: DataFrame,
+    cents: DataFrame,
+    probes: DataFrame,
+    k: int,
+    n_probe: int = 6,
+) -> DataFrame:
+    """PROBE + REFINE stages of the IVF engine over a prebuilt index:
+    ``probes`` carries (probe_id, pv, pna) rows (raw + L2-normalized
+    query vectors); candidates come from an equi-join on the n_probe
+    nearest cells, the exact rounded-cosine + unique-id ranking picks
+    the top-k. Same output contract as topk_neighbors_exact."""
     # rank cells per probe by ||p − c||² = |c|² − 2·p·c (+ constant |p|²)
     pc = probes.crossJoin(F.broadcast(cents)).withColumn(
         "d2",
@@ -159,6 +178,32 @@ def topk_neighbors_ivf(
         .filter(F.col("rn") <= k)
         .select("probe_id", "neighbor_id", "cosine", "rn")
     )
+
+
+def topk_neighbors_ivf(
+    corpus: DataFrame,
+    probe_filter: Column,
+    k: int,
+    n_cells: int = 16,
+    n_probe: int = 6,
+    seed: int = 42,
+    train_fraction: float = 1.0,
+) -> DataFrame:
+    """IVF-flat ANN engine (FAISS 'IVF,Flat' re-expressed on DataFrames)
+    — ivf_index ∘ ivf_probe with the probe rows drawn from the corpus
+    itself; see q_sim_topk_ivf for the full shape discussion. Same
+    output contract as topk_neighbors_exact; only recall is approximate
+    (a true neighbor in an unprobed cell is missed), every returned
+    cosine is exact."""
+    assigned, cents = ivf_index(
+        corpus, n_cells=n_cells, seed=seed, train_fraction=train_fraction
+    )
+    probes = assigned.filter(probe_filter).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("pv"),
+        F.col("na").alias("pna"),
+    )
+    return ivf_probe(assigned, cents, probes, k, n_probe=n_probe)
 
 
 _TOPK_ORACLE = """

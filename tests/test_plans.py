@@ -331,3 +331,43 @@ def test_lag_spines_always_broadcast(spark):
     )
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_bucketed_probe_prunes_partitions(spark, tmp_path):
+    """The IVF scale story (SCALING.md): persist the cell-stamped corpus
+    partitionBy("cell") and a probe's candidate read must PRUNE to its
+    n_probe cells at the parquet scan — PartitionFilters in the plan,
+    only the probed cells' files touched. If a layout or filter change
+    loses the pruning, the probe silently reads the whole corpus."""
+    import pyspark.sql.functions as F
+
+    from correlationapi_spark.llm.similarity import corpus_view, ivf_index
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    assigned, _ = ivf_index(
+        corpus_view(emb, "vec_id", "embedding"), n_cells=4
+    )
+    path = str(tmp_path / "by_cell")
+    assigned.select("vec_id", "v", "cell").write.partitionBy("cell").parquet(
+        path
+    )
+    on_disk = spark.read.parquet(path)
+    pruned = on_disk.filter(F.col("cell").isin([0, 2]))
+    plan = pruned._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # the cell predicate must land in PartitionFilters (metadata-only),
+    # NOT PushedFilters (still opens every file) or a post-scan Filter
+    assert "PartitionFilters" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "cell" in pf.group(1), plan
+    # and the pruned read really skips the other cells' files
+    assert set(
+        r.cell for r in pruned.select("cell").distinct().collect()
+    ) <= {0, 2}
+    files_all = {f for f in on_disk.inputFiles()}
+    assert all("cell=" in f for f in files_all)  # layout is partitioned

@@ -4,6 +4,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from correlationapi_spark.registry import load_registry
@@ -153,7 +154,9 @@ def test_multimodal_values_pinned(spark):
     from correlationapi_spark.llm.multimodal import (
         GIF_VARIANTS,
         PNG_VARIANTS,
+        WAV_VARIANTS,
         decode_png_pixels,
+        decode_wav,
         parse_gif,
     )
 
@@ -165,7 +168,7 @@ def test_multimodal_values_pinned(spark):
 
     docs = {r.doc_id: r for r in load_tables(spark, SF_SMOKE)["documents"].collect()}
     assert len(rows) == len(docs)
-    saw_png = saw_gif = saw_fake = False
+    saw_png = saw_gif = saw_wav = saw_fake = False
     for did, r in list(rows.items())[:60]:
         raw = docs[did].text.encode()
         if did % 10 == 0:  # complete PNG: real IHDR + real pixel decode
@@ -188,6 +191,21 @@ def test_multimodal_values_pinned(spark):
             assert r.head_hex == gif[:8].hex()
             assert (r.width, r.height, r.decoder) == (sw, sh, "gif-lsd")
             assert r.mime == "image/gif"
+        elif did % 10 == 7:  # complete PCM WAV: real RIFF + sample decode
+            saw_wav = True
+            wav = WAV_VARIANTS[did % 3]
+            rate, _nch, samples, off = decode_wav(wav)
+            assert r.n_bytes == len(wav)
+            assert (r.width, r.height) == (None, None)
+            assert r.decoder == "wav-pcm" and r.mime == "audio/wav"
+            assert (r.sample_rate, r.n_samples) == (rate, len(samples))
+            want_rms = (
+                sum(s * s for s in samples) / len(samples)
+            ) ** 0.5
+            assert r.rms == pytest.approx(want_rms, abs=1e-5)
+            assert r.px_sha256 == hashlib.sha256(
+                wav[off : off + 2 * len(samples)]
+            ).hexdigest()
         else:
             saw_fake = True
             assert r.n_bytes == len(raw)
@@ -195,7 +213,8 @@ def test_multimodal_values_pinned(spark):
             assert 64 <= r.width < 256 and 64 <= r.height < 256
             assert r.decoder == "fake"
             assert r.mime == "application/x-fixture-text"
-    assert saw_png and saw_gif and saw_fake
+            assert r.sample_rate is None and r.rms is None
+    assert saw_png and saw_gif and saw_wav and saw_fake
 
 
 # The canonical 1x1 transparent PNG (public standard bytes) — a complete,
@@ -312,7 +331,9 @@ def test_multimodal_frames_pinned(spark):
         _MAX_SAMPLES,
         GIF_VARIANTS,
         PNG_VARIANTS,
+        WAV_VARIANTS,
         decode_png_pixels,
+        decode_wav,
         parse_gif,
     )
 
@@ -320,6 +341,7 @@ def test_multimodal_frames_pinned(spark):
         r.doc_id: (
             GIF_VARIANTS[r.doc_id % 3] if r.doc_id % 10 == 5
             else PNG_VARIANTS[r.doc_id % 3] if r.doc_id % 10 == 0
+            else WAV_VARIANTS[r.doc_id % 3] if r.doc_id % 10 == 7
             else r.text.encode()
         )
         for r in load_tables(spark, SF_SMOKE)["documents"].collect()
@@ -328,7 +350,7 @@ def test_multimodal_frames_pinned(spark):
     for r in rows:
         by_doc.setdefault(r.doc_id, []).append(r)
     assert set(by_doc) == set(docs)  # every doc sampled
-    saw_gif = saw_chunk = saw_png = False
+    saw_gif = saw_chunk = saw_png = saw_wav = False
     for did in list(docs)[:40]:
         data = docs[did]
         got = {r.frame_idx: r for r in by_doc[did]}
@@ -359,6 +381,23 @@ def test_multimodal_frames_pinned(spark):
                     data[f["off"]:f["end"]]
                 ).hexdigest()
                 assert r.n_frames == n
+        elif did % 10 == 7:  # real windowed RMS on decoded PCM samples
+            saw_wav = True
+            rate, _nch, samples, data_off = decode_wav(data)
+            win = max(1, rate // 10)
+            n = max(1, -(-len(samples) // win))
+            stride = max(1, n // _MAX_SAMPLES)
+            assert set(got) == set(range(0, n, stride))
+            for idx, r in got.items():
+                seg = samples[idx * win:(idx + 1) * win]
+                assert r.kind == "pcm-window" and r.n_frames == n
+                assert r.frame_off == data_off + idx * win * 2
+                assert r.frame_sha256 == hashlib.sha256(
+                    data[r.frame_off:r.frame_off + 2 * len(seg)]
+                ).hexdigest()
+                want_rms = (sum(s * s for s in seg) / len(seg)) ** 0.5
+                assert abs(r.rms - want_rms) < 1e-5
+                assert r.frame_w is None and r.delay_cs is None
         else:
             saw_chunk = True
             n = max(1, len(data) // _FRAME_BYTES)
@@ -373,7 +412,8 @@ def test_multimodal_frames_pinned(spark):
             for r in got.values():
                 assert r.kind == "chunk" and r.n_frames == n
                 assert r.frame_w is None and r.delay_cs is None
-    assert saw_gif and saw_chunk and saw_png
+                assert r.rms is None
+    assert saw_gif and saw_chunk and saw_png and saw_wav
 
 
 def test_png_builder_and_decode_roundtrip():
@@ -656,3 +696,56 @@ def test_sim_topk_ivf_recall_and_exact_scores(spark):
     assert {r.probe_id for r in ivf_rows} == {r.probe_id for r in exact_rows}
     for r in ivf_rows:
         assert 1 <= r.rn <= 5
+
+
+def test_wav_builder_and_decode_roundtrip():
+    """build_wav emits a COMPLETE, VALID RIFF/WAVE PCM16 file: the
+    decoder recovers EXACTLY the generator's sine samples (independently
+    recomputed), honors chunk walking (an inserted unknown chunk is
+    skipped, odd-size chunks are word-aligned), and corruption or
+    unsupported encodings raise rather than emitting garbage."""
+    import math
+    import struct
+
+    import pytest as _pytest
+
+    from correlationapi_spark.llm.multimodal import (
+        WAV_VARIANTS,
+        build_wav,
+        decode_wav,
+    )
+
+    for k, wav in enumerate(WAV_VARIANTS):
+        rate, nch, samples, off = decode_wav(wav)
+        n, r, f, a = 800 + 400 * k, 8000 + 4000 * k, 440.0 * (k + 1), 0.5 + 0.2 * k
+        assert (rate, nch, len(samples)) == (r, 1, n)
+        want = [
+            int(round(a * 32767.0 * math.sin(2.0 * math.pi * f * i / r)))
+            for i in range(n)
+        ]
+        assert list(samples) == want  # sample decode is exact
+        assert wav[off - 8 : off - 4] == b"data"
+
+    # chunk walking: an unknown odd-length chunk between fmt and data
+    # must be skipped with word alignment
+    wav = build_wav(100, 8000, 100.0, 0.9)
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"
+    patched = wav[:fmt_end] + extra + wav[fmt_end:]
+    patched = (
+        b"RIFF"
+        + (len(patched) - 8).to_bytes(4, "little")
+        + patched[8:]
+    )
+    rate, _, samples, _ = decode_wav(patched)
+    assert rate == 8000 and len(samples) == 100
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFX" + wav[4:])  # wrong magic
+    with _pytest.raises(ValueError):
+        decode_wav(wav[: len(wav) // 2])  # truncated data chunk
+    # unsupported encoding: 8-bit PCM
+    bad = bytearray(wav)
+    bad[12 + 8 + 14 : 12 + 8 + 16] = struct.pack("<H", 8)
+    with _pytest.raises(ValueError):
+        decode_wav(bytes(bad))

@@ -152,12 +152,14 @@ def test_multimodal_values_pinned(spark):
     import hashlib
 
     from correlationapi_spark.llm.multimodal import (
+        AVI_VARIANTS,
         GIF_VARIANTS,
         PNG_VARIANTS,
         WAV_VARIANTS,
         decode_gif_pixels,
         decode_png_pixels,
         decode_wav,
+        parse_avi,
         parse_gif,
     )
 
@@ -169,7 +171,7 @@ def test_multimodal_values_pinned(spark):
 
     docs = {r.doc_id: r for r in load_tables(spark, SF_SMOKE)["documents"].collect()}
     assert len(rows) == len(docs)
-    saw_png = saw_gif = saw_wav = saw_fake = False
+    saw_png = saw_gif = saw_wav = saw_avi = saw_fake = False
     for did, r in list(rows.items())[:60]:
         raw = docs[did].text.encode()
         if did % 10 == 0:  # complete PNG: real IHDR + real pixel decode
@@ -199,6 +201,15 @@ def test_multimodal_values_pinned(spark):
             assert pixels == bytes(3 * sw * sh * nf)
             assert r.px_sha256 == hashlib.sha256(pixels).hexdigest()
             assert r.px_mean == 0.0
+        elif did % 10 == 3:  # complete AVI: real container demux
+            saw_avi = True
+            avi = AVI_VARIANTS[did % 3]
+            vw, vh, _us, _frames = parse_avi(avi)
+            assert r.n_bytes == len(avi)
+            assert (r.width, r.height, r.decoder) == (vw, vh, "avi-riff")
+            assert (vw, vh) == (160 + 32 * (did % 3), 120 + 24 * (did % 3))
+            assert r.mime == "video/x-msvideo"
+            assert r.px_sha256 is None and r.rms is None
         elif did % 10 == 7:  # complete PCM WAV: real RIFF + sample decode
             saw_wav = True
             wav = WAV_VARIANTS[did % 3]
@@ -222,7 +233,7 @@ def test_multimodal_values_pinned(spark):
             assert r.decoder == "fake"
             assert r.mime == "application/x-fixture-text"
             assert r.sample_rate is None and r.rms is None
-    assert saw_png and saw_gif and saw_wav and saw_fake
+    assert saw_png and saw_gif and saw_wav and saw_avi and saw_fake
 
 
 # The canonical 1x1 transparent PNG (public standard bytes) — a complete,
@@ -337,11 +348,14 @@ def test_multimodal_frames_pinned(spark):
     from correlationapi_spark.llm.multimodal import (
         _FRAME_BYTES,
         _MAX_SAMPLES,
+        AVI_VARIANTS,
         GIF_VARIANTS,
         PNG_VARIANTS,
         WAV_VARIANTS,
+        decode_image,
         decode_png_pixels,
         decode_wav,
+        parse_avi,
         parse_gif,
     )
 
@@ -350,6 +364,7 @@ def test_multimodal_frames_pinned(spark):
             GIF_VARIANTS[r.doc_id % 3] if r.doc_id % 10 == 5
             else PNG_VARIANTS[r.doc_id % 3] if r.doc_id % 10 == 0
             else WAV_VARIANTS[r.doc_id % 3] if r.doc_id % 10 == 7
+            else AVI_VARIANTS[r.doc_id % 3] if r.doc_id % 10 == 3
             else r.text.encode()
         )
         for r in load_tables(spark, SF_SMOKE)["documents"].collect()
@@ -358,7 +373,7 @@ def test_multimodal_frames_pinned(spark):
     for r in rows:
         by_doc.setdefault(r.doc_id, []).append(r)
     assert set(by_doc) == set(docs)  # every doc sampled
-    saw_gif = saw_chunk = saw_png = saw_wav = False
+    saw_gif = saw_chunk = saw_png = saw_wav = saw_avi = False
     for did in list(docs)[:40]:
         data = docs[did]
         got = {r.frame_idx: r for r in by_doc[did]}
@@ -389,6 +404,23 @@ def test_multimodal_frames_pinned(spark):
                     data[f["off"]:f["end"]]
                 ).hexdigest()
                 assert r.n_frames == n
+        elif did % 10 == 3:  # real AVI demux: true offsets + JPEG dims
+            saw_avi = True
+            vw, vh, us, frames = parse_avi(data)
+            n = len(frames)
+            stride = max(1, n // _MAX_SAMPLES)
+            assert set(got) == set(range(0, n, stride))
+            for idx, r in got.items():
+                f = frames[idx]
+                payload = data[f["off"]:f["off"] + f["size"]]
+                fw, fh, dec = decode_image(payload, "image/jpeg")
+                assert dec == "jpeg-sof" and (fw, fh) == (vw, vh)
+                assert r.kind == "avi-frame" and r.n_frames == n
+                assert (r.frame_off, r.frame_w, r.frame_h) == (
+                    f["off"], fw, fh
+                )
+                assert r.delay_cs == us // 10_000
+                assert r.frame_sha256 == hashlib.sha256(payload).hexdigest()
         elif did % 10 == 7:  # real windowed RMS on decoded PCM samples
             saw_wav = True
             rate, _nch, samples, data_off = decode_wav(data)
@@ -421,7 +453,7 @@ def test_multimodal_frames_pinned(spark):
                 assert r.kind == "chunk" and r.n_frames == n
                 assert r.frame_w is None and r.delay_cs is None
                 assert r.rms is None
-    assert saw_gif and saw_chunk and saw_png and saw_wav
+    assert saw_gif and saw_chunk and saw_png and saw_wav and saw_avi
 
 
 def test_png_builder_and_decode_roundtrip():
@@ -854,3 +886,50 @@ def test_gif_lzw_decoder_roundtrip_with_growth():
 
     with _pytest.raises(ValueError):
         decode_stream([0, 1, 2, 3], 4, 4, 4, 16)
+
+
+def test_avi_builder_and_demux_roundtrip():
+    """build_avi emits a COMPLETE, VALID RIFF/AVI: the demuxer recovers
+    the declared dimensions/rate/frame-count, every frame's byte span
+    holds a genuine JPEG header with the same dimensions, odd-size
+    frames stay word-aligned, and corruption raises."""
+    import pytest as _pytest
+
+    from correlationapi_spark.llm.multimodal import (
+        AVI_VARIANTS,
+        build_avi,
+        decode_image,
+        parse_avi,
+    )
+
+    for k, avi in enumerate(AVI_VARIANTS):
+        w, h, us, frames = parse_avi(avi)
+        assert (w, h) == (160 + 32 * k, 120 + 24 * k)
+        assert us == 1_000_000 // (10 + 5 * k)
+        assert len(frames) == 3 + k
+        payloads = set()
+        for f in frames:
+            payload = avi[f["off"] : f["off"] + f["size"]]
+            assert decode_image(payload, "image/jpeg") == (w, h, "jpeg-sof")
+            payloads.add(payload)
+        assert len(payloads) == len(frames)  # per-frame distinct bytes
+
+    # word alignment: build_jpeg_header+tag is odd-length, so every
+    # frame chunk carries a pad byte the demuxer must skip — 5 frames
+    # would desync immediately if padding were mishandled
+    avi = build_avi(5, 64, 48, 25)
+    _, _, _, frames = parse_avi(avi)
+    assert len(frames) == 5
+
+    with _pytest.raises(ValueError):
+        parse_avi(b"RIFF\x00\x00\x00\x00WAVE")  # not an AVI
+    with _pytest.raises(ValueError):
+        parse_avi(avi[: len(avi) // 2])  # truncated chunk tree
+    # declared-vs-actual frame count mismatch must surface
+    bad = bytearray(avi)
+    # avih payload starts after RIFF(12) + 'LIST'+len+'hdrl'(12) +
+    # 'avih'+len(8); dwTotalFrames is at payload offset 16
+    off = 12 + 12 + 8 + 16
+    bad[off:off + 4] = (99).to_bytes(4, "little")
+    with _pytest.raises(ValueError):
+        parse_avi(bytes(bad))

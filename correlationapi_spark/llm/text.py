@@ -683,3 +683,67 @@ def q_agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(FREQ_TOP)
         .select("token", "approx_count", "n_total", "err_bound")
     )
+
+
+_PACK_CAPACITY = 512
+
+_PACK_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+    ), cum AS (
+        SELECT doc_id, n_tok,
+               sum(n_tok) OVER (ORDER BY doc_id) - n_tok AS off
+        FROM tok
+    )
+    SELECT doc_id, n_tok, off,
+           (off // {_PACK_CAPACITY}) AS first_chunk,
+           ((off + n_tok - 1) // {_PACK_CAPACITY}) AS last_chunk,
+           ((off + n_tok - 1) // {_PACK_CAPACITY})
+               - (off // {_PACK_CAPACITY}) + 1 AS n_chunks
+    FROM cum
+"""
+
+
+@query(
+    "q_pack_chunks",
+    oracle=_PACK_ORACLE,
+    doc="GPT-style concat-and-chunk packing layout: map each document's "
+    "token span to fixed 512-token training chunks (scalable global "
+    "running sum, no single-partition window).",
+)
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM pretraining (round 6): concatenate the
+    corpus in a deterministic document order and cut it into fixed
+    _PACK_CAPACITY-token training chunks — each document's layout is
+    (first_chunk, last_chunk, n_chunks) derived from its exclusive
+    token offset. This IS the layout computation behind concat-and-chunk
+    dataloaders (documents may span chunk boundaries; nothing is padded
+    or dropped), and the reduction every packing job needs is a GLOBAL
+    running sum — computed here with ordering.global_running_sum's
+    range-partitioned two-pass shape, NEVER a
+    `sum() OVER (ORDER BY ...)` single-partition window (the canonical
+    scale-killer; the q_sort_multi plan canary family asserts the pinned
+    shape). Token counts are whitespace splits to stay engine-portable;
+    swap in token_count_bpeish for tokenizer-faithful budgets."""
+    from ..ordering import global_running_sum
+
+    t = load_tables(spark, sf_dir)
+    tok = t["documents"].select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tok"),
+    )
+    run = global_running_sum(
+        tok, [F.col("doc_id").asc()], F.col("n_tok"), alias="_run"
+    )
+    cap = F.lit(_PACK_CAPACITY)
+    off = (F.col("_run") - F.col("n_tok")).alias("off")
+    first = F.floor((F.col("_run") - F.col("n_tok")) / cap).cast("bigint")
+    last = F.floor((F.col("_run") - 1) / cap).cast("bigint")
+    return run.select(
+        "doc_id",
+        "n_tok",
+        off,
+        first.alias("first_chunk"),
+        last.alias("last_chunk"),
+        (last - first + 1).alias("n_chunks"),
+    )

@@ -76,3 +76,38 @@ def global_row_number(
         .withColumn(alias, (F.col("_off") + F.col("_rn_in")).cast("bigint"))
         .drop("_pid", "_rn_in", "_off")
     )
+
+
+def global_running_sum(
+    df: DataFrame, order: list[Column], value: Column, alias: str = "run"
+) -> DataFrame:
+    """Append ``alias`` = INCLUSIVE running sum of ``value`` under
+    ``order`` — the same two-pass range-partitioned shape as
+    global_row_number (never an Exchange SinglePartition window):
+    per-partition window cumsum + per-partition value totals offset via
+    a window over the TINY totals table, broadcast back. ``order`` must
+    be a TOTAL order (unique tie-break) or tied rows' partial sums are
+    nondeterministic. The range-partitioned intermediate is pinned with
+    a lazy localCheckpoint for exactly the reasons the module docstring
+    records — the totals and the cumsum rows must see identical _pid
+    assignments."""
+    ranged = df.repartitionByRange(*order).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    ranged = ranged.localCheckpoint(eager=False)
+    w_in = (
+        Window.partitionBy("_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    summed = ranged.withColumn("_run_in", F.sum(value).over(w_in))
+    totals = ranged.groupBy("_pid").agg(F.sum(value).alias("_ptot"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_ptot").over(w_off), F.lit(0))
+    )
+    return (
+        summed.join(F.broadcast(offsets.select("_pid", "_off")), "_pid")
+        .withColumn(alias, F.col("_off") + F.col("_run_in"))
+        .drop("_pid", "_run_in", "_off")
+    )

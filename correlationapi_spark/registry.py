@@ -77,6 +77,7 @@ _TOUCHED: frozenset[str] = frozenset({
     "q_corr_kendall",       # distributed path: fewer jobs, Bucketizer ids, overflow guard
     "q_corr_xcorr",         # lag spine broadcast-pinned
     "q_pacf",               # lag spine broadcast-pinned
+    "q_pack_chunks",        # new key: concat-and-chunk packing layout
 })
 
 

@@ -866,3 +866,24 @@ def test_spearman_ci_wider_than_pearson(api):
         half = (math.atanh(hi) - math.atanh(lo)) / 2
         want = 1.96 * scale / (res["n"] - 3) ** 0.5
         assert half == pytest.approx(want, rel=1e-2), scale
+
+
+def test_pack_chunks_layout_invariants(spark):
+    """Structural invariants of the concat-and-chunk layout that the
+    value-hash oracle can't articulate: offsets tile the corpus exactly
+    (next off = prev off + n_tok in doc order, starting at 0), chunk
+    ids are consistent with the 512 capacity, and documents larger than
+    one chunk span exactly ceil-many chunks."""
+    rows = sorted(
+        REGISTRY["q_pack_chunks"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert rows and rows[0].off == 0
+    expect_off = 0
+    for r in rows:
+        assert r.off == expect_off, r.doc_id
+        assert r.first_chunk == r.off // 512
+        assert r.last_chunk == (r.off + r.n_tok - 1) // 512
+        assert r.n_chunks == r.last_chunk - r.first_chunk + 1
+        assert r.n_tok >= 1
+        expect_off += r.n_tok

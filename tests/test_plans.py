@@ -371,3 +371,16 @@ def test_ivf_bucketed_probe_prunes_partitions(spark, tmp_path):
     ) <= {0, 2}
     files_all = {f for f in on_disk.inputFiles()}
     assert all("cell=" in f for f in files_all)  # layout is partitioned
+
+
+def test_pack_chunks_has_no_single_partition_window(spark):
+    """The packing layout needs a GLOBAL running sum — the naive
+    `sum() OVER (ORDER BY doc_id)` compiles to Exchange SinglePartition
+    + one-task window (the canonical scale-killer). q_pack_chunks must
+    ride the range-partitioned two-pass shape instead: pinned ranged
+    RDD, per-partition windows, and at most the tiny totals table
+    through a single-partition exchange."""
+    plan = plan_of(spark, "q_pack_chunks")
+    assert "Scan ExistingRDD" in plan  # the pinned ranged intermediate
+    assert "rangepartitioning" not in plan  # shuffle happened pre-pin
+    assert plan.count("Exchange SinglePartition") <= 1

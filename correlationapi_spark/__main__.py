@@ -113,8 +113,10 @@ def main(argv: list[str] | None = None) -> int:
     add_data(sm)
     sm.add_argument("--id", required=True, help="integer id column")
     sm.add_argument("--vector", required=True, help="array<float> column")
-    sm.add_argument("--probes", required=True,
-                    help="comma-separated probe ids")
+    sm.add_argument("--probes", help="comma-separated probe ids")
+    sm.add_argument("--query-vector", action="append", dest="query_vectors",
+                    help="raw probe embedding as comma-separated floats "
+                    "(repeatable); alternative to --probes")
     sm.add_argument("--k", type=int, default=5)
     sm.add_argument("--method", default="exact", choices=["exact", "ivf"])
     sm.add_argument("--n-cells", type=int, default=16)
@@ -200,10 +202,18 @@ def main(argv: list[str] | None = None) -> int:
                                           window=args.window, lag=args.lag,
                                           grain=args.grain)
         elif args.cmd == "similar":
-            probe_ids = [int(p) for p in args.probes.split(",") if p.strip()]
+            probe_ids = (
+                [int(p) for p in args.probes.split(",") if p.strip()]
+                if args.probes else None
+            )
+            qvecs = (
+                [[float(x) for x in qv.split(",")] for qv in args.query_vectors]
+                if args.query_vectors else None
+            )
             res = api.similar("ds", args.id, args.vector, probe_ids,
                               k=args.k, method=args.method,
-                              n_cells=args.n_cells, n_probe=args.n_probe)
+                              n_cells=args.n_cells, n_probe=args.n_probe,
+                              query_vectors=qvecs)
         elif args.cmd == "dedup":
             res = api.dedup("ds", args.id, args.text, method=args.method,
                             threshold=args.threshold, limit=args.limit)

@@ -1219,17 +1219,24 @@ class CorrelationAPI:
         dataset: str,
         id_col: str,
         vector_col: str,
-        probe_ids: list[int],
+        probe_ids: list[int] | None = None,
         k: int = 5,
         method: str = "exact",
         n_cells: int = 16,
         n_probe: int = 6,
+        query_vectors: list[list[float]] | None = None,
     ) -> dict[str, Any]:
         """Top-k cosine neighbors of the given probe rows over a
         caller-chosen (id, embedding-array) table — the parameterized
         twin of q_sim_topk / q_sim_topk_ivf (verdict r05: the similarity
         family ran only as canned fixture-bound keys; a user wanting
         top-k over their own table had to edit code).
+
+        Probes are EITHER ``probe_ids`` (rows of the dataset itself) OR
+        ``query_vectors`` (raw embeddings that need not exist in the
+        corpus — the classic "find neighbors of THIS vector" service
+        call; response keys are q0, q1, … in argument order). Exactly
+        one of the two must be given.
 
         ``method='exact'`` is the brute-force broadcast-probe engine
         (every score exact, corpus scan embarrassingly parallel);
@@ -1238,29 +1245,60 @@ class CorrelationAPI:
         sees ≤ k rows per probe, never the corpus."""
         from .llm.similarity import (
             corpus_view,
+            ivf_index,
+            ivf_probe,
             topk_neighbors_exact,
+            topk_neighbors_exact_probes,
             topk_neighbors_ivf,
         )
 
-        if not probe_ids:
-            raise ValueError("probe_ids must name at least one row id")
+        if (not probe_ids) == (not query_vectors):
+            raise ValueError(
+                "provide exactly one of probe_ids / query_vectors"
+            )
         if k < 1:
             raise ValueError("k must be >= 1")
-        corpus = corpus_view(self._get(dataset), id_col, vector_col)
-        pf = F.col("vec_id").isin([int(p) for p in probe_ids])
-        if method == "exact":
-            res = topk_neighbors_exact(corpus, pf, k)
-        elif method == "ivf":
-            res = topk_neighbors_ivf(
-                corpus, pf, k, n_cells=n_cells, n_probe=n_probe
-            )
-        else:
+        if method not in ("exact", "ivf"):
             raise ValueError(f"unknown method: {method!r} (exact|ivf)")
+        corpus = corpus_view(self._get(dataset), id_col, vector_col)
+        if probe_ids:
+            pf = F.col("vec_id").isin([int(p) for p in probe_ids])
+            if method == "exact":
+                res = topk_neighbors_exact(corpus, pf, k)
+            else:
+                res = topk_neighbors_ivf(
+                    corpus, pf, k, n_cells=n_cells, n_probe=n_probe
+                )
+            label = {int(p): str(int(p)) for p in probe_ids}
+        else:
+            vecs = [[float(x) for x in v] for v in query_vectors]
+            norms = [sum(x * x for x in v) ** 0.5 for v in vecs]
+            if any(n == 0.0 for n in norms):
+                raise ValueError("query vector has zero norm (no direction)")
+            # synthetic NEGATIVE probe ids: disjoint from any corpus id,
+            # so the self-match filter stays a no-op
+            if method == "exact":
+                probes = self.spark.createDataFrame(
+                    [(-(i + 1), v) for i, v in enumerate(vecs)],
+                    "probe_id long, pv array<double>",
+                )
+                res = topk_neighbors_exact_probes(corpus, probes, k)
+            else:
+                assigned, cents = ivf_index(corpus, n_cells=n_cells)
+                probes = self.spark.createDataFrame(
+                    [
+                        (-(i + 1), v, [x / n for x in v])
+                        for i, (v, n) in enumerate(zip(vecs, norms))
+                    ],
+                    "probe_id long, pv array<double>, pna array<double>",
+                )
+                res = ivf_probe(assigned, cents, probes, k, n_probe=n_probe)
+            label = {-(i + 1): f"q{i}" for i in range(len(vecs))}
         neighbors: dict[str, list[dict[str, Any]]] = {
-            str(int(p)): [] for p in probe_ids
+            name: [] for name in label.values()
         }
         for r in res.collect():
-            neighbors[str(r.probe_id)].append(
+            neighbors[label[r.probe_id]].append(
                 {"id": r.neighbor_id, "cosine": _nan_to_none(r.cosine),
                  "rank": r.rn}
             )

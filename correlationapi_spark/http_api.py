@@ -22,6 +22,8 @@ container, and none is needed for a JSON-for-JSON contract:
        (control may be comma-separated for higher-order partials)
   GET  /similar?dataset=&id=&vector=&probes=1,2[&k=][&method=exact|ivf]
        [&n_cells=][&n_probe=]     → top-k cosine neighbors per probe id
+  POST /similar {"dataset","id","vector","query_vectors":[[...],…],…}
+       → top-k neighbors of RAW embeddings (keys q0, q1, …)
   GET  /dedup?dataset=&id=&text=[&method=exact|ngram][&threshold=][&limit=]
        → duplicate listing + engine-side totals (round 6: the LLM
        operators are parameterized service calls, not only canned keys)
@@ -140,6 +142,21 @@ def _route(api: CorrelationAPI, method: str, path: str,
             method=query.get("method", "exact"),
             n_cells=int(query.get("n_cells", 16)),
             n_probe=int(query.get("n_probe", 6)),
+        )
+    if method == "POST" and path == "/similar":
+        # raw query vectors don't fit a query string: POST body
+        # {"dataset","id","vector","query_vectors":[[...],...],
+        #  "k","method","n_cells","n_probe"}
+        for req in ("dataset", "id", "vector", "query_vectors"):
+            if req not in body:
+                raise ValueError(f'body must contain "{req}"')
+        return 200, api.similar(
+            body["dataset"], body["id"], body["vector"],
+            k=int(body.get("k", 5)),
+            method=body.get("method", "exact"),
+            n_cells=int(body.get("n_cells", 16)),
+            n_probe=int(body.get("n_probe", 6)),
+            query_vectors=body["query_vectors"],
         )
     if method == "GET" and path == "/dedup":
         for req in ("dataset", "id", "text"):

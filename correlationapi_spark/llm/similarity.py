@@ -57,6 +57,16 @@ def topk_neighbors_exact(
     probes = corpus.filter(probe_filter).select(
         F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
     )
+    return topk_neighbors_exact_probes(corpus, probes, k)
+
+
+def topk_neighbors_exact_probes(
+    corpus: DataFrame, probes: DataFrame, k: int
+) -> DataFrame:
+    """topk_neighbors_exact over an EXPLICIT (probe_id, pv) probe table
+    — the entry for raw query vectors that are not corpus rows
+    (api.similar(query_vectors=...)); probe ids only need to be
+    disjoint from corpus ids so the self-match filter stays a no-op."""
     scored = (
         F.broadcast(probes)
         .join(

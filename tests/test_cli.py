@@ -137,3 +137,26 @@ def test_cli_similar_and_dedup(spark, capsys):
         "--id", "vec_id", "--vector", "nope", "--probes", "0",
     ])
     assert rc == 2 and "error" in res
+
+
+def test_cli_similar_query_vector(spark, capsys):
+    """--query-vector takes raw embeddings (repeatable); a corpus row's
+    own embedding must come back as its q0 top-1 with cosine 1.0."""
+    from correlationapi_spark.io import load_tables
+
+    vec = [float(x) for x in load_tables(spark, SF_SMOKE)["embeddings"]
+           .filter("vec_id = 4").collect()[0].embedding]
+    rc, res = _run(capsys, [
+        "similar", "--data", os.path.join(SF_SMOKE, "embeddings.parquet"),
+        "--id", "vec_id", "--vector", "embedding",
+        "--query-vector", ",".join(str(x) for x in vec), "--k", "2",
+    ])
+    assert rc == 0 and list(res["neighbors"]) == ["q0"]
+    assert res["neighbors"]["q0"][0] == {"id": 4, "cosine": 1.0, "rank": 1}
+
+    # both or neither probe source is a user error (exit 2)
+    rc, res = _run(capsys, [
+        "similar", "--data", os.path.join(SF_SMOKE, "embeddings.parquet"),
+        "--id", "vec_id", "--vector", "embedding",
+    ])
+    assert rc == 2 and "error" in res

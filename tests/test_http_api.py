@@ -267,3 +267,39 @@ def test_dedup_route(base_url, spark):
             "&probes=a,b"
         )
     assert e.value.code == 400
+
+
+def test_similar_post_raw_query_vectors(base_url, spark):
+    """POST /similar takes RAW embeddings: a query vector equal to a
+    corpus row's embedding must rank that row as its top-1 neighbor
+    with cosine 1.0 (exact engine), and keys come back q0, q1, ….
+    A zero vector is a 400."""
+    from correlationapi_spark.io import load_tables
+
+    _post(
+        f"{base_url}/datasets/emb2",
+        {"path": os.path.join(SF_SMOKE, "embeddings.parquet")},
+    )
+    emb = load_tables(spark, SF_SMOKE)["embeddings"]
+    row = emb.filter("vec_id = 7").collect()[0]
+    vec = [float(x) for x in row.embedding]
+    status, res = _post(
+        f"{base_url}/similar",
+        {
+            "dataset": "emb2", "id": "vec_id", "vector": "embedding",
+            "query_vectors": [vec, [x * 2 for x in vec]], "k": 3,
+        },
+    )
+    assert status == 200 and set(res["neighbors"]) == {"q0", "q1"}
+    top = res["neighbors"]["q0"][0]
+    assert top["id"] == 7 and top["cosine"] == 1.0
+    # cosine is scale-invariant: the doubled vector ranks identically
+    assert res["neighbors"]["q1"] == res["neighbors"]["q0"]
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(
+            f"{base_url}/similar",
+            {"dataset": "emb2", "id": "vec_id", "vector": "embedding",
+             "query_vectors": [[0.0, 0.0]]},
+        )
+    assert e.value.code == 400

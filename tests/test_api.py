@@ -887,3 +887,29 @@ def test_pack_chunks_layout_invariants(spark):
         assert r.n_chunks == r.last_chunk - r.first_chunk + 1
         assert r.n_tok >= 1
         expect_off += r.n_tok
+
+
+def test_global_running_sum_matches_sequential(spark):
+    """ordering.global_running_sum must equal a driver-side cumsum for
+    any partitioning: random values over many input partitions, a total
+    order with a unique key, values including zeros and negatives."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from correlationapi_spark.ordering import global_running_sum
+
+    rng = random.Random(5)
+    rows = [(i, rng.randint(-50, 50)) for i in range(5000)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k long, v long").repartition(17)
+    out = {
+        r.k: r.run
+        for r in global_running_sum(
+            df, [F.col("k").asc()], F.col("v"), alias="run"
+        ).collect()
+    }
+    total = 0
+    for k, v in sorted(rows):
+        total += v
+        assert out[k] == total, k

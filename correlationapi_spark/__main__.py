@@ -128,7 +128,8 @@ def main(argv: list[str] | None = None) -> int:
     add_data(dd)
     dd.add_argument("--id", required=True, help="integer id column")
     dd.add_argument("--text", required=True, help="text column")
-    dd.add_argument("--method", default="exact", choices=["exact", "ngram"])
+    dd.add_argument("--method", default="exact",
+                    choices=["exact", "ngram", "minhash"])
     dd.add_argument("--threshold", type=float, default=0.5,
                     help="ngram Jaccard threshold")
     dd.add_argument("--limit", type=int, default=1000,

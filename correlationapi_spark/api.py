@@ -1326,9 +1326,13 @@ class CorrelationAPI:
         is a non-survivor pointing at its deterministic canonical
         (lowest id). ``'ngram'``: 3-shingle Jaccard pairs ≥ threshold
         via the inverted-index postings join (never all-pairs; the
-        'auto' hot-shingle cap guards skewed corpora). ``limit`` bounds
-        the driver transfer — totals are computed engine-side either
-        way, so a truncated listing still reports true counts."""
+        'auto' hot-shingle cap guards skewed corpora). ``'minhash'``:
+        the sub-quadratic MinHash-LSH twin of ngram — same ≥ threshold
+        similarity contract (converted to the engine's distance bound),
+        approximate recall, candidates bounded by band-bucket
+        collisions. ``limit`` bounds the driver transfer — totals are
+        computed engine-side either way, so a truncated listing still
+        reports true counts."""
         df = self._get(dataset)
         if id_col not in df.columns or text_col not in df.columns:
             raise KeyError(
@@ -1351,12 +1355,26 @@ class CorrelationAPI:
                 {"id": r.doc_id, "canonical_id": r.canonical_id}
                 for r in rows
             ]
-        elif method == "ngram":
-            from .llm.dedup import ngram_jaccard_pairs
-
+        elif method in ("ngram", "minhash"):
             if not 0.0 < threshold <= 1.0:
                 raise ValueError("threshold must be in (0, 1]")
-            pairs = ngram_jaccard_pairs(docs, threshold=threshold)
+            if method == "ngram":
+                from .llm.dedup import ngram_jaccard_pairs
+
+                pairs = ngram_jaccard_pairs(docs, threshold=threshold)
+                sim = F.col("jaccard")
+            else:
+                from .llm.dedup import minhash_near_dup_pairs
+
+                # the service contract is similarity ≥ threshold; the
+                # LSH engine bounds Jaccard DISTANCE
+                pairs = minhash_near_dup_pairs(
+                    docs, max_distance=1.0 - threshold
+                ).withColumn(
+                    "jaccard", F.round(1.0 - F.col("jaccard_dist"), 6)
+                )
+                sim = F.col("jaccard")
+            pairs = pairs.select("doc_a", "doc_b", sim.alias("jaccard"))
             total = pairs.count()
             rows = pairs.orderBy("doc_a", "doc_b").limit(limit).collect()
             listing = [
@@ -1364,11 +1382,13 @@ class CorrelationAPI:
                 for r in rows
             ]
         else:
-            raise ValueError(f"unknown method: {method!r} (exact|ngram)")
+            raise ValueError(
+                f"unknown method: {method!r} (exact|ngram|minhash)"
+            )
         return {
             "dataset": dataset, "id": id_col, "text": text_col,
             "method": method,
-            **({"threshold": threshold} if method == "ngram" else {}),
+            **({"threshold": threshold} if method != "exact" else {}),
             "n_duplicates": total,
             "truncated": total > len(listing),
             "duplicates": listing,

@@ -24,7 +24,8 @@ container, and none is needed for a JSON-for-JSON contract:
        [&n_cells=][&n_probe=]     → top-k cosine neighbors per probe id
   POST /similar {"dataset","id","vector","query_vectors":[[...],…],…}
        → top-k neighbors of RAW embeddings (keys q0, q1, …)
-  GET  /dedup?dataset=&id=&text=[&method=exact|ngram][&threshold=][&limit=]
+  GET  /dedup?dataset=&id=&text=[&method=exact|ngram|minhash][&threshold=]
+       [&limit=]
        → duplicate listing + engine-side totals (round 6: the LLM
        operators are parameterized service calls, not only canned keys)
 

@@ -432,16 +432,41 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle → HashingTF(2^18) → MinHashLSH(8 tables, seed=42) →
     approxSimilarityJoin at Jaccard distance ≤ 0.5. LSH banding bounds the
     candidate join by bucket collisions — the classic trade of recall for
-    sub-quadratic cost; recall vs the exact pairs is unit-tested."""
+    sub-quadratic cost; recall vs the exact pairs is unit-tested. Round
+    6: the engine lives in minhash_near_dup_pairs (shared with the
+    parameterized api.dedup(method='minhash') surface); this key is its
+    pinned fixture exhibit."""
+    t = load_tables(spark, sf_dir)
+    return minhash_near_dup_pairs(t["documents"], max_distance=0.5)
+
+
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    max_distance: float = 0.5,
+    num_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Parameterized MinHash-LSH near-dup engine over (doc_id, text)
+    rows (the q_dedup_near engine): 3-token shingles → HashingTF(2^18)
+    sparse sets → MinHashLSH(``num_tables``, ``seed``) →
+    approxSimilarityJoin keeping pairs at Jaccard DISTANCE ≤
+    ``max_distance``. Candidates are bounded by band-bucket collisions,
+    never all-pairs — the sub-quadratic scale twin of
+    ngram_jaccard_pairs (whose exact output the fixture recall test
+    compares against). Output: (doc_a, doc_b, jaccard_dist)."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    t = load_tables(spark, sf_dir)
-    sh = _shingle_df(t["documents"])
+    sh = _shingle_df(docs)
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
     feats = tf.transform(sh).filter(F.size("shingles") > 0)
-    lsh = MinHashLSH(inputCol="features", outputCol="bands", numHashTables=8, seed=42)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="bands",
+        numHashTables=num_tables, seed=seed,
+    )
     model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
+    pairs = model.approxSimilarityJoin(
+        feats, feats, max_distance, distCol="jaccard_dist"
+    )
     return (
         pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(

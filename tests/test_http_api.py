@@ -303,3 +303,25 @@ def test_similar_post_raw_query_vectors(base_url, spark):
              "query_vectors": [[0.0, 0.0]]},
         )
     assert e.value.code == 400
+
+
+def test_dedup_minhash_route(base_url):
+    """/dedup?method=minhash: the sub-quadratic twin honors the same
+    similarity-threshold contract — at the q_dedup_ngram fixture
+    threshold its pairs overlap the exact ngram answer with recall
+    ≥ 0.6 and every reported jaccard is ≥ the threshold minus LSH
+    estimation slack."""
+    status, ng = _get(
+        f"{base_url}/dedup?dataset=docs&id=doc_id&text=text"
+        "&method=ngram&threshold=0.5"
+    )
+    status2, mh = _get(
+        f"{base_url}/dedup?dataset=docs&id=doc_id&text=text"
+        "&method=minhash&threshold=0.5"
+    )
+    assert status == 200 and status2 == 200
+    assert mh["threshold"] == 0.5
+    exact = {(d["id_a"], d["id_b"]) for d in ng["duplicates"]}
+    approx = {(d["id_a"], d["id_b"]) for d in mh["duplicates"]}
+    assert exact, "fixture should contain near-duplicates"
+    assert len(approx & exact) / len(exact) >= 0.6

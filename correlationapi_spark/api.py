@@ -364,10 +364,10 @@ class CorrelationAPI:
         95% confidence interval [tanh(atanh(r) ∓ 1.96·SE)], NULL
         when n ≤ 3 or the coefficient is degenerate/|r| = 1 (atanh
         diverges). SE = 1/√(n−3) for Pearson; for Spearman the
-        conventional Fieller-Hartley-Pearson inflation applies
-        (SE = 1.06/√(n−3) — the naive Pearson SE is anti-conservative
-        for rank correlation). Computed driver-side from the
-        unrounded r."""
+        conventional Fieller-Hartley-Pearson variance inflation
+        var(z) ≈ 1.06/(n−3) applies, i.e. SE = √1.06/√(n−3) — the
+        naive Pearson SE is anti-conservative for rank correlation.
+        Computed driver-side from the unrounded r."""
         df = self._get(dataset)
         x, y = self._num(df, var_x), self._num(df, var_y)
         if method == "kendall":
@@ -400,16 +400,18 @@ class CorrelationAPI:
             # Fisher z: atanh(r) is ~normal with SE 1/sqrt(n-3); back-
             # transform the bounds with tanh. UNROUNDED r, same rule as
             # t_stat; atanh diverges at |r| = 1. For SPEARMAN the
-            # Fisher-z variance is inflated — the naive Pearson SE is
-            # anti-conservative for rank correlation — so the
-            # conventional Fieller-Hartley-Pearson factor widens it:
-            # SE = 1.06/sqrt(n-3) (ADVICE r05).
+            # Fisher-z VARIANCE is inflated — the naive Pearson SE is
+            # anti-conservative for rank correlation — per the
+            # conventional Fieller-Hartley-Pearson result
+            # var(z) ≈ 1.06/(n−3), i.e. SE = sqrt(1.06)/sqrt(n-3)
+            # (ADVICE r05; review r06 fixed the variance factor being
+            # mistakenly applied to the SE).
             import math
 
             c, n = r._corr_raw, r.n
             if c is None or c != c or n <= 3 or abs(c) >= 1.0:
                 return None
-            se_scale = 1.06 if method == "spearman" else 1.0
+            se_scale = 1.06 ** 0.5 if method == "spearman" else 1.0
             half = 1.96 * se_scale / (n - 3) ** 0.5
             zr = math.atanh(c)
             return [round(math.tanh(zr - half), 6),
@@ -1260,6 +1262,10 @@ class CorrelationAPI:
             raise ValueError("k must be >= 1")
         if method not in ("exact", "ivf"):
             raise ValueError(f"unknown method: {method!r} (exact|ivf)")
+        if method == "ivf" and (n_cells < 1 or n_probe < 1):
+            # caught here as a user error (HTTP 400), not a Py4J KMeans
+            # stack trace at 500 (review r06)
+            raise ValueError("n_cells and n_probe must be >= 1")
         corpus = corpus_view(self._get(dataset), id_col, vector_col)
         if probe_ids:
             pf = F.col("vec_id").isin([int(p) for p in probe_ids])
@@ -1341,20 +1347,32 @@ class CorrelationAPI:
             )
         if limit < 1:
             raise ValueError("limit must be >= 1")
-        docs = df.select(
+        # review r06: a silent cast('long') turned string ids into NULLs
+        # (the exact path then reported 0 duplicates with no error) —
+        # require a genuinely integral id column instead
+        id_type = df.schema[id_col].dataType
+        if not isinstance(
+            id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            raise TypeError(
+                f"id column {id_col!r} must be integral, got "
+                f"{id_type.simpleString()}"
+            )
+        # rows with a NULL id or NULL text carry no identity/content to
+        # compare — excluded up front (review r06: NULL texts all hash
+        # to the same NULL sha2 partition and were reported as mutual
+        # duplicates; the count is surfaced so exclusion is visible)
+        docs_all = df.select(
             F.col(id_col).cast("long").alias("doc_id"),
             F.col(text_col).cast("string").alias("text"),
+        )
+        docs = docs_all.filter(
+            F.col("doc_id").isNotNull() & F.col("text").isNotNull()
         )
         if method == "exact":
             from .llm.dedup import exact_duplicates
 
-            dups = exact_duplicates(docs)
-            total = dups.count()
-            rows = dups.orderBy("doc_id").limit(limit).collect()
-            listing = [
-                {"id": r.doc_id, "canonical_id": r.canonical_id}
-                for r in rows
-            ]
+            result = exact_duplicates(docs)
         elif method in ("ngram", "minhash"):
             if not 0.0 < threshold <= 1.0:
                 raise ValueError("threshold must be in (0, 1]")
@@ -1362,7 +1380,6 @@ class CorrelationAPI:
                 from .llm.dedup import ngram_jaccard_pairs
 
                 pairs = ngram_jaccard_pairs(docs, threshold=threshold)
-                sim = F.col("jaccard")
             else:
                 from .llm.dedup import minhash_near_dup_pairs
 
@@ -1373,23 +1390,38 @@ class CorrelationAPI:
                 ).withColumn(
                     "jaccard", F.round(1.0 - F.col("jaccard_dist"), 6)
                 )
-                sim = F.col("jaccard")
-            pairs = pairs.select("doc_a", "doc_b", sim.alias("jaccard"))
-            total = pairs.count()
-            rows = pairs.orderBy("doc_a", "doc_b").limit(limit).collect()
-            listing = [
-                {"id_a": r.doc_a, "id_b": r.doc_b, "jaccard": r.jaccard}
-                for r in rows
-            ]
+            result = pairs.select("doc_a", "doc_b", "jaccard")
         else:
             raise ValueError(
                 f"unknown method: {method!r} (exact|ngram|minhash)"
             )
+        # persist across the two actions (review r06: count + listing
+        # re-ran the whole shingle/LSH/window plan twice — the _kendall
+        # persist pattern halves every /dedup call)
+        result = result.persist()
+        try:
+            total = result.count()
+            if method == "exact":
+                rows = result.orderBy("doc_id").limit(limit).collect()
+                listing = [
+                    {"id": r.doc_id, "canonical_id": r.canonical_id}
+                    for r in rows
+                ]
+            else:
+                rows = result.orderBy("doc_a", "doc_b").limit(limit).collect()
+                listing = [
+                    {"id_a": r.doc_a, "id_b": r.doc_b, "jaccard": r.jaccard}
+                    for r in rows
+                ]
+            n_excluded = docs_all.count() - docs.count()
+        finally:
+            result.unpersist()
         return {
             "dataset": dataset, "id": id_col, "text": text_col,
             "method": method,
             **({"threshold": threshold} if method != "exact" else {}),
             "n_duplicates": total,
+            "n_excluded": n_excluded,
             "truncated": total > len(listing),
             "duplicates": listing,
         }

@@ -26,7 +26,14 @@ def dot(x: Column, y: Column) -> Column:
 
 
 def cosine(x: Column, y: Column) -> Column:
-    return dot(x, y) / F.sqrt(dot(x, x) * dot(y, y))
+    """NULL when either vector has zero norm (no direction — review r06:
+    the bare division raised DIVIDE_BY_ZERO under ANSI mode and returned
+    rank-poisoning NaN otherwise; CASE WHEN evaluates the division
+    lazily, only on the defined branch). NaN-element vectors still yield
+    NaN (NaN > 0 is TRUE in Spark's ordering) — ranking callers filter
+    both out."""
+    denom = F.sqrt(dot(x, x) * dot(y, y))
+    return F.when(denom > 0, dot(x, y) / denom)
 
 
 def corpus_view(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -38,6 +45,19 @@ def corpus_view(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         raise KeyError(
             f"unknown column: need {id_col!r} and {vec_col!r} "
             f"in {df.columns}"
+        )
+    from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType
+    if not isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        # review r06 (dedup finding, same shape here): a silent
+        # cast('long') would turn string ids into NULLs and quietly
+        # produce NULL neighbor ids
+        raise TypeError(
+            f"id column {id_col!r} must be integral, got "
+            f"{id_type.simpleString()}"
         )
     return df.select(
         F.col(id_col).cast("long").alias("vec_id"),
@@ -66,7 +86,14 @@ def topk_neighbors_exact_probes(
     """topk_neighbors_exact over an EXPLICIT (probe_id, pv) probe table
     — the entry for raw query vectors that are not corpus rows
     (api.similar(query_vectors=...)); probe ids only need to be
-    disjoint from corpus ids so the self-match filter stays a no-op."""
+    disjoint from corpus ids so the self-match filter stays a no-op.
+
+    Undefined-cosine corpus rows are EXCLUDED from the ranking (review
+    r06): a NaN/zero-norm/NULL-element corpus vector yields a NaN
+    cosine, and Spark's descending sort places NaN FIRST — such a row
+    would outrank the true best match of every probe. The IVF twin drops
+    zero-norm rows at indexing time, so the two engines now agree that
+    direction-less vectors are never neighbors."""
     scored = (
         F.broadcast(probes)
         .join(
@@ -78,6 +105,7 @@ def topk_neighbors_exact_probes(
             "neighbor_id",
             F.round(cosine(F.col("pv"), F.col("v")), 6).alias("cosine"),
         )
+        .filter(F.col("cosine").isNotNull() & ~F.isnan(F.col("cosine")))
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (

@@ -45,12 +45,14 @@ applyInPandas passes.
 Scale: the widest shuffles carry (group, pos, y, block, bucket) — 5
 narrow columns; the driver sees per-group G·B counts plus per-slice
 inversion subtotals, never rows. The fan-out follows G ≈ B ≈
-√(n/250k) (bounding the driver-collected contingency to G·B ≈ n/250k
-cells) with a hard per-slice row cap so worker memory stays bounded;
-slices are counted by a NUMPY bottom-up merge (vectorized argsort +
-cumsum per level), so multi-million-row slices cost seconds, not
-minutes. Intended for the FEW groups that exceed the sequential bound
-(api._kendall routes each group by size).
+max(√(n/250k), n/8M): the sqrt law bounds the driver-collected
+contingency to ~n/250k cells up to its crossover with the 8M per-slice
+memory cap (n ≈ 1.6e8), beyond which cells grow as (n/8M)² — still
+≤ ~141k through the exact path's n ≤ 3e9 integer-safety domain (see
+_MAX_SLICE_ROWS). Slices are counted by a NUMPY bottom-up merge
+(vectorized argsort + cumsum per level), so multi-million-row slices
+cost seconds, not minutes. Intended for the FEW groups that exceed the
+sequential bound (api._kendall routes each group by size).
 """
 
 from __future__ import annotations
@@ -66,9 +68,16 @@ from ..ordering import global_row_number
 _TARGET_SLICE_ROWS = 250_000
 #: Hard per-slice row cap: a block/bucket slice above this forces a
 #: larger fan-out regardless of the sqrt law, so one applyInPandas task
-#: never materializes more than ~this many (pos, y) pairs (~100 MB of
-#: pandas) no matter how large the counted total.
-_MAX_SLICE_ROWS = 4_000_000
+#: never materializes more than ~this many (pos, y) pairs (~1 GB of
+#: pandas worst case) no matter how large the counted total. The cap is
+#: itself a linear law, so above its crossover with the sqrt law
+#: (n ≈ 1.6e8) the contingency grows as (n/8M)² — within the EXACT
+#: path's documented integer-safety domain (n ≤ 3e9, see
+#: _counts_and_ties) that is ≤ 375² ≈ 141k cells, still driver-trivial;
+#: the sqrt law's ~n/250k bound is the binding constraint below the
+#: crossover. (Review r06: the old 4M cap crossed over at 6.4e7 and the
+#: docstring overclaimed the sqrt bound as unconditional.)
+_MAX_SLICE_ROWS = 8_000_000
 
 
 def make_inversion_counter():
@@ -242,8 +251,22 @@ def kendall_tau_by_group(
     # below (equal-y pairs are never discordant), which keeps e.g.
     # binary-y inputs from funneling n/2 rows into one task.
     fracs = [i / n_buckets for i in range(1, n_buckets)]
+    # drop NON-FINITE quantile boundaries (review r06): a y column with
+    # enough ±inf mass (ratios with zero denominators…) makes
+    # approxQuantile return inf boundaries, which would collide with the
+    # Bucketizer's own ±inf outer splits and crash on "splits not
+    # strictly increasing". ±inf VALUES stay valid — they land in the
+    # outermost buckets, and any monotone bucketing is exact.
+    import math
+
     bounds = (
-        sorted(set(data.stat.approxQuantile("_y", fracs, 0.01)))
+        sorted(
+            {
+                b
+                for b in data.stat.approxQuantile("_y", fracs, 0.01)
+                if math.isfinite(b)
+            }
+        )
         if fracs else []
     )
     nb = len(bounds) + 1
@@ -333,7 +356,6 @@ def _count_and_assemble(cells, ns, nb, tx, ty, txy):
         return _pd.DataFrame(
             {
                 "_grp": [pdf["_grp"].iloc[0]],
-                "src": ["blk"],
                 "d": [inv(pdf.sort_values("_pos")["_y"].to_numpy())],
             }
         )
@@ -348,14 +370,10 @@ def _count_and_assemble(cells, ns, nb, tx, ty, txy):
             for _, grp in s.groupby("_blk", sort=False)
         )
         return _pd.DataFrame(
-            {
-                "_grp": [pdf["_grp"].iloc[0]],
-                "src": ["bkt"],
-                "d": [total_inv - same],
-            }
+            {"_grp": [pdf["_grp"].iloc[0]], "d": [total_inv - same]}
         )
 
-    out_schema = "_grp string, src string, d long"
+    out_schema = "_grp string, d long"
     counted = cells.groupBy("_grp", "_blk").applyInPandas(
         per_block, out_schema
     )

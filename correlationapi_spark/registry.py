@@ -78,6 +78,13 @@ _TOUCHED: frozenset[str] = frozenset({
     "q_corr_xcorr",         # lag spine broadcast-pinned
     "q_pacf",               # lag spine broadcast-pinned
     "q_pack_chunks",        # new key: concat-and-chunk packing layout
+    # review-fix wave: cosine() is now NULL-on-zero-norm (shared by the
+    # sim/dedup-embed families) and the exact top-k filters undefined
+    # cosines; q_dedup_near delegates to the extracted MinHash engine
+    "q_sim_topk",
+    "q_sim_pairs",
+    "q_dedup_embed",
+    "q_dedup_near",
 })
 
 

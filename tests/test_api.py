@@ -850,17 +850,18 @@ def test_acf_ljung_box_p_value(api):
 
 
 def test_spearman_ci_wider_than_pearson(api):
-    """ADVICE r05: the spearman Fisher-z interval uses the
-    Fieller-Hartley-Pearson SE (1.06/sqrt(n-3)) — for the same |r| and n
-    the spearman band must be ~6% wider in z-space than the naive
-    Pearson one."""
+    """ADVICE r05 + review r06: the spearman Fisher-z interval uses
+    the Fieller-Hartley-Pearson VARIANCE inflation var(z) = 1.06/(n-3),
+    so the SE multiplier is sqrt(1.06) — the spearman band must be ~3%
+    wider in z-space than the naive Pearson one (1.06 was the variance
+    factor, not the SE factor)."""
     import math
 
     p = api.correlate("lineitem", "l_quantity", "l_extendedprice")
     s = api.correlate(
         "lineitem", "l_quantity", "l_extendedprice", method="spearman"
     )
-    for res, scale in ((p, 1.0), (s, 1.06)):
+    for res, scale in ((p, 1.0), (s, 1.06 ** 0.5)):
         lo, hi = res["ci_95"]
         # recover the half-width in z-space; it must equal 1.96*scale/sqrt(n-3)
         half = (math.atanh(hi) - math.atanh(lo)) / 2
@@ -913,3 +914,110 @@ def test_global_running_sum_matches_sequential(spark):
     for k, v in sorted(rows):
         total += v
         assert out[k] == total, k
+
+
+def test_kendall_distributed_handles_infinite_y(spark):
+    """Review r06: approxQuantile returns ±inf boundaries when y has
+    enough infinite mass (ratios with zero denominators), which used to
+    collide with the Bucketizer's own outer splits and crash. Non-finite
+    boundaries are dropped (any monotone bucketing stays exact); the
+    result must still match the sequential counter bit-for-bit."""
+    import random
+
+    from correlationapi_spark.api import _make_tau_b
+    from correlationapi_spark.operators.kendall import kendall_tau_distributed
+
+    rng = random.Random(3)
+    xs = [float(rng.randint(0, 20)) for _ in range(2000)]
+    ys = [
+        float("inf") if i % 2 == 0
+        else float("-inf") if i % 7 == 0
+        else float(rng.randint(0, 10))
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(list(zip(xs, ys)), "_x double, _y double")
+    want = _make_tau_b()(xs, ys)
+    tau, z, n = kendall_tau_distributed(df, 4, 4)
+    assert n == 2000 and tau == want[0]
+    assert z == pytest.approx(want[1], rel=1e-12)
+
+
+def test_similar_excludes_undefined_cosine_neighbors(spark):
+    """Review r06: a corpus vector with a NaN component produced cosine
+    NaN, which sorts FIRST under F.desc — it outranked the true best
+    match of every probe. Undefined-cosine rows (NaN element, zero norm)
+    must never appear as neighbors, in either engine."""
+    own = CorrelationAPI(spark)
+    own.register_dataset(
+        "_nanvec",
+        spark.createDataFrame(
+            [
+                (0, [1.0, 0.0]),
+                (1, [0.9, 0.1]),
+                (2, [float("nan"), 1.0]),
+                (3, [0.0, 0.0]),        # zero norm: no direction
+                (4, [0.0, 1.0]),
+            ],
+            "vec_id long, embedding array<double>",
+        ),
+    )
+    res = own.similar("_nanvec", "vec_id", "embedding", [0], k=4)
+    ids = [n["id"] for n in res["neighbors"]["0"]]
+    assert ids[0] == 1          # the genuine nearest neighbor
+    assert 2 not in ids and 3 not in ids
+    assert all(n["cosine"] is not None for n in res["neighbors"]["0"])
+
+
+def test_dedup_rejects_bad_inputs_and_excludes_null_rows(spark):
+    """Review r06: a string id column used to be silently cast to NULL
+    longs (exact path then reported 0 duplicates with no error), and
+    NULL texts hashed into one sha2 group reported as mutual
+    duplicates. Now: non-integral id -> TypeError; NULL-id/NULL-text
+    rows are excluded and counted in n_excluded."""
+    own = CorrelationAPI(spark)
+    own.register_dataset(
+        "_sids",
+        spark.createDataFrame(
+            [("a", "same text"), ("b", "same text")], "k string, text string"
+        ),
+    )
+    with pytest.raises(TypeError):
+        own.dedup("_sids", "k", "text")
+
+    own.register_dataset(
+        "_nulls",
+        spark.createDataFrame(
+            [
+                (1, "dup"), (2, "dup"),
+                (3, None), (4, None),   # NULL text: no content to compare
+                (None, "dup"),          # NULL id: no identity
+            ],
+            "k long, text string",
+        ),
+    )
+    res = own.dedup("_nulls", "k", "text")
+    assert res["n_excluded"] == 3
+    assert res["duplicates"] == [{"id": 2, "canonical_id": 1}]
+
+
+def test_similar_rejects_bad_ivf_params_and_string_ids(spark):
+    own = CorrelationAPI(spark)
+    own.register_dataset(
+        "_v",
+        spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        ),
+    )
+    with pytest.raises(ValueError):
+        own.similar("_v", "vec_id", "embedding", [1], method="ivf", n_cells=0)
+    with pytest.raises(ValueError):
+        own.similar("_v", "vec_id", "embedding", [1], method="ivf", n_probe=0)
+    own.register_dataset(
+        "_vs",
+        spark.createDataFrame(
+            [("x", [1.0, 0.0])], "vec_id string, embedding array<double>"
+        ),
+    )
+    with pytest.raises(TypeError):
+        own.similar("_vs", "vec_id", "embedding", [1])

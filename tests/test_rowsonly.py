@@ -933,3 +933,48 @@ def test_avi_builder_and_demux_roundtrip():
     bad[off:off + 4] = (99).to_bytes(4, "little")
     with _pytest.raises(ValueError):
         parse_avi(bytes(bad))
+
+
+def test_corrupt_media_is_quarantined_not_fatal(spark):
+    """Review r06: a structurally-corrupt payload inside a mapInPandas
+    task used to raise ValueError and kill the whole job. Both workers
+    must instead FLAG the row (decoder/kind = 'corrupt') and keep
+    going — one bad row in a 100 TB corpus must never abort the decode
+    fleet."""
+    from correlationapi_spark.llm.multimodal import (
+        _FRAMES_OUT_SCHEMA,
+        _META_OUT_SCHEMA,
+        WAV_VARIANTS,
+        make_extract_meta,
+        make_sample_frames,
+    )
+
+    wav = WAV_VARIANTS[0]
+    bad_wav = wav[: len(wav) // 2]             # truncated data chunk
+    bad_avi = b"RIFF\x10\x00\x00\x00AVI " + b"\x00" * 8  # no avih
+    bad_png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 8 + b"NOPE" + b"\x00" * 8
+    rows = [
+        (0, (bad_wav, "audio/wav", "mem://c/0", len(bad_wav))),
+        (1, (bad_avi, "video/x-msvideo", "mem://c/1", len(bad_avi))),
+        (2, (bad_png, "image/png", "mem://c/2", len(bad_png))),
+        (3, (wav, "audio/wav", "mem://c/3", len(wav))),  # healthy sibling
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, media struct<data:binary,mime:string,uri:string,n_bytes:long>",
+    )
+    meta = {r.doc_id: r for r in
+            df.mapInPandas(make_extract_meta(), schema=_META_OUT_SCHEMA).collect()}
+    assert meta[0].decoder == "corrupt" and meta[0].rms is None
+    assert meta[1].decoder == "corrupt"
+    assert meta[2].decoder == "corrupt" and meta[2].px_sha256 is None
+    assert meta[3].decoder == "wav-pcm" and meta[3].rms is not None
+
+    frames = df.mapInPandas(make_sample_frames(), schema=_FRAMES_OUT_SCHEMA)
+    by_doc = {}
+    for r in frames.collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for bad in (0, 1):
+        (r,) = by_doc[bad]
+        assert r.kind == "corrupt" and r.n_frames == 0
+    assert all(r.kind == "pcm-window" for r in by_doc[3])

@@ -456,4 +456,10 @@ def test_durbin_levinson_matches_toeplitz_solve(rho_raw):
         if abs(np.linalg.det(rk)) < 1e-9:
             continue  # near-singular: recursion may refuse; skip
         want = np.linalg.solve(rk, np.array(rho[1 : k + 1]))[-1]
-        assert pacf[k - 1] == pytest.approx(round(float(want), 6), abs=2e-6)
+        # rel tolerance as well as abs (round-6 flake): an
+        # ill-conditioned R_k can pass the det guard yet yield a
+        # |phi_kk| ~ 1e6, where the two algorithms agree to ~1e-9
+        # RELATIVE but not to 2e-6 absolute
+        assert pacf[k - 1] == pytest.approx(
+            round(float(want), 6), abs=2e-6, rel=1e-6
+        )

@@ -135,6 +135,17 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--limit", type=int, default=1000,
                     help="max listed duplicates (totals stay exact)")
 
+    pk = sub.add_parser(
+        "pack", help="concat-and-chunk packing layout over an (id, text) table"
+    )
+    add_data(pk)
+    pk.add_argument("--id", required=True, help="integer id column")
+    pk.add_argument("--text", required=True, help="text column")
+    pk.add_argument("--capacity", type=int, default=2048,
+                    help="tokens per training chunk")
+    pk.add_argument("--limit", type=int, default=1000,
+                    help="max listed documents (totals stay exact)")
+
     q = sub.add_parser("query", help="run a declared inventory key")
     q.add_argument("--key", required=True)
     q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -218,6 +229,9 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "dedup":
             res = api.dedup("ds", args.id, args.text, method=args.method,
                             threshold=args.threshold, limit=args.limit)
+        elif args.cmd == "pack":
+            res = api.pack("ds", args.id, args.text,
+                           capacity=args.capacity, limit=args.limit)
         else:
             res = api.lagged_correlation("ds", args.time, args.value,
                                          lag=args.lag, grain=args.grain)

@@ -1426,6 +1426,85 @@ class CorrelationAPI:
             "duplicates": listing,
         }
 
+    def pack(
+        self,
+        dataset: str,
+        id_col: str,
+        text_col: str,
+        capacity: int = 2048,
+        limit: int = 1000,
+    ) -> dict[str, Any]:
+        """Concat-and-chunk packing layout over a caller-chosen
+        (id, text) table — the parameterized twin of q_pack_chunks:
+        concatenate in deterministic id order and cut into fixed
+        ``capacity``-token training chunks. Returns corpus-level totals
+        (token count, chunk count, tail padding of the final chunk) and
+        a ``limit``-bounded per-document layout listing; totals are
+        computed engine-side, so a truncated listing stays exact.
+        Same input contract as dedup(): integral id column, NULL-id /
+        NULL-text rows excluded and counted."""
+        from .llm.text import pack_chunks_layout
+
+        df = self._get(dataset)
+        if id_col not in df.columns or text_col not in df.columns:
+            raise KeyError(
+                f"unknown column: need {id_col!r} and {text_col!r} "
+                f"in {df.columns}"
+            )
+        id_type = df.schema[id_col].dataType
+        if not isinstance(
+            id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            raise TypeError(
+                f"id column {id_col!r} must be integral, got "
+                f"{id_type.simpleString()}"
+            )
+        if capacity < 1:
+            raise ValueError("capacity must be >= 1")
+        if limit < 1:
+            raise ValueError("limit must be >= 1")
+        docs_all = df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(text_col).cast("string").alias("text"),
+        )
+        docs = docs_all.filter(
+            F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+        )
+        layout = pack_chunks_layout(docs, capacity).persist()
+        try:
+            agg = layout.agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_tok").alias("n_tokens"),
+                F.max("last_chunk").alias("last_chunk"),
+            ).collect()[0]
+            rows = layout.orderBy("doc_id").limit(limit).collect()
+            n_excluded = docs_all.count() - docs.count()
+        finally:
+            layout.unpersist()
+        n_tokens = int(agg.n_tokens or 0)
+        n_chunks = int(agg.last_chunk) + 1 if agg.n_docs else 0
+        return {
+            "dataset": dataset, "id": id_col, "text": text_col,
+            "capacity": capacity,
+            "n_docs": int(agg.n_docs),
+            "n_excluded": n_excluded,
+            "n_tokens": n_tokens,
+            "n_chunks": n_chunks,
+            # tokens the final chunk still has room for (what a
+            # dataloader would pad or drop)
+            "tail_padding": n_chunks * capacity - n_tokens,
+            "truncated": int(agg.n_docs) > len(rows),
+            "documents": [
+                {
+                    "id": r.doc_id, "n_tok": r.n_tok, "off": r.off,
+                    "first_chunk": r.first_chunk,
+                    "last_chunk": r.last_chunk,
+                    "n_chunks": r.n_chunks,
+                }
+                for r in rows
+            ],
+        }
+
     # -- helpers --------------------------------------------------------------
 
     @staticmethod

@@ -26,6 +26,8 @@ container, and none is needed for a JSON-for-JSON contract:
        → top-k neighbors of RAW embeddings (keys q0, q1, …)
   GET  /dedup?dataset=&id=&text=[&method=exact|ngram|minhash][&threshold=]
        [&limit=]
+  GET  /pack?dataset=&id=&text=[&capacity=][&limit=]
+       → concat-and-chunk packing layout + corpus token/chunk totals
        → duplicate listing + engine-side totals (round 6: the LLM
        operators are parameterized service calls, not only canned keys)
 
@@ -167,6 +169,15 @@ def _route(api: CorrelationAPI, method: str, path: str,
             query["dataset"], query["id"], query["text"],
             method=query.get("method", "exact"),
             threshold=float(query.get("threshold", 0.5)),
+            limit=int(query.get("limit", 1000)),
+        )
+    if method == "GET" and path == "/pack":
+        for req in ("dataset", "id", "text"):
+            if req not in query:
+                raise ValueError(f"missing query parameter {req!r}")
+        return 200, api.pack(
+            query["dataset"], query["id"], query["text"],
+            capacity=int(query.get("capacity", 2048)),
             limit=int(query.get("limit", 1000)),
         )
     if method == "GET" and path == "/xcorr":

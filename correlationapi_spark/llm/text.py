@@ -712,30 +712,39 @@ _PACK_ORACLE = f"""
     "running sum, no single-partition window).",
 )
 def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing for LLM pretraining (round 6): concatenate the
-    corpus in a deterministic document order and cut it into fixed
-    _PACK_CAPACITY-token training chunks — each document's layout is
-    (first_chunk, last_chunk, n_chunks) derived from its exclusive
-    token offset. This IS the layout computation behind concat-and-chunk
-    dataloaders (documents may span chunk boundaries; nothing is padded
-    or dropped), and the reduction every packing job needs is a GLOBAL
-    running sum — computed here with ordering.global_running_sum's
-    range-partitioned two-pass shape, NEVER a
-    `sum() OVER (ORDER BY ...)` single-partition window (the canonical
-    scale-killer; the q_sort_multi plan canary family asserts the pinned
-    shape). Token counts are whitespace splits to stay engine-portable;
-    swap in token_count_bpeish for tokenizer-faithful budgets."""
+    """Sequence packing for LLM pretraining (round 6) — the fixture
+    exhibit of pack_chunks_layout, pinned against the DuckDB oracle."""
+    t = load_tables(spark, sf_dir)
+    return pack_chunks_layout(t["documents"], _PACK_CAPACITY)
+
+
+def pack_chunks_layout(docs: DataFrame, capacity: int) -> DataFrame:
+    """GPT-style concat-and-chunk packing layout over (doc_id, text)
+    rows: concatenate the corpus in deterministic doc_id order and cut
+    it into fixed ``capacity``-token training chunks — each document's
+    layout is (first_chunk, last_chunk, n_chunks) derived from its
+    exclusive token offset. This IS the layout computation behind
+    concat-and-chunk dataloaders (documents may span chunk boundaries;
+    nothing is padded or dropped), and the reduction every packing job
+    needs is a GLOBAL running sum — computed with
+    ordering.global_running_sum's range-partitioned two-pass shape,
+    NEVER a `sum() OVER (ORDER BY ...)` single-partition window (the
+    canonical scale-killer; the q_sort_multi plan canary family asserts
+    the pinned shape). Token counts are whitespace splits to stay
+    engine-portable; swap in token_count_bpeish for tokenizer-faithful
+    budgets. Round 6: parameterized for the api.pack() service surface."""
     from ..ordering import global_running_sum
 
-    t = load_tables(spark, sf_dir)
-    tok = t["documents"].select(
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+    tok = docs.select(
         "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tok"),
     )
     run = global_running_sum(
         tok, [F.col("doc_id").asc()], F.col("n_tok"), alias="_run"
     )
-    cap = F.lit(_PACK_CAPACITY)
+    cap = F.lit(capacity)
     off = (F.col("_run") - F.col("n_tok")).alias("off")
     first = F.floor((F.col("_run") - F.col("n_tok")) / cap).cast("bigint")
     last = F.floor((F.col("_run") - 1) / cap).cast("bigint")

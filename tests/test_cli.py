@@ -160,3 +160,14 @@ def test_cli_similar_query_vector(spark, capsys):
         "--id", "vec_id", "--vector", "embedding",
     ])
     assert rc == 2 and "error" in res
+
+
+def test_cli_pack(spark, capsys):
+    rc, res = _run(capsys, [
+        "pack", "--data", os.path.join(SF_SMOKE, "documents.parquet"),
+        "--id", "doc_id", "--text", "text", "--capacity", "256",
+        "--limit", "3",
+    ])
+    assert rc == 0 and res["capacity"] == 256
+    assert res["n_chunks"] * 256 >= res["n_tokens"]
+    assert len(res["documents"]) == 3

@@ -325,3 +325,33 @@ def test_dedup_minhash_route(base_url):
     approx = {(d["id_a"], d["id_b"]) for d in mh["duplicates"]}
     assert exact, "fixture should contain near-duplicates"
     assert len(approx & exact) / len(exact) >= 0.6
+
+
+def test_pack_route(base_url, spark):
+    """/pack: layout totals must agree with the declared key's engine at
+    the same capacity, invariants hold (chunks tile the token stream,
+    tail padding < capacity), and listing truncation is visible."""
+    _post(
+        f"{base_url}/datasets/docs",
+        {"path": os.path.join(SF_SMOKE, "documents.parquet")},
+    )
+    status, res = _get(
+        f"{base_url}/pack?dataset=docs&id=doc_id&text=text"
+        "&capacity=512&limit=7"
+    )
+    assert status == 200
+    from correlationapi_spark.registry import load_registry
+
+    rows = load_registry()["q_pack_chunks"].fn(spark, SF_SMOKE).collect()
+    want_tokens = sum(r.n_tok for r in rows)
+    want_chunks = max(r.last_chunk for r in rows) + 1
+    assert res["n_tokens"] == want_tokens
+    assert res["n_chunks"] == want_chunks
+    assert 0 <= res["tail_padding"] < 512
+    assert res["n_docs"] == len(rows)
+    assert len(res["documents"]) == 7 and res["truncated"]
+    assert res["documents"][0]["off"] == 0
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{base_url}/pack?dataset=docs&id=doc_id&text=text&capacity=0")
+    assert e.value.code == 400

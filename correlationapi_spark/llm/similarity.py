@@ -93,17 +93,32 @@ def topk_neighbors_exact_probes(
     cosine, and Spark's descending sort places NaN FIRST — such a row
     would outrank the true best match of every probe. The IVF twin drops
     zero-norm rows at indexing time, so the two engines now agree that
-    direction-less vectors are never neighbors."""
+    direction-less vectors are never neighbors.
+
+    Squared norms are PRECOMPUTED per row (round-6 bench finding: the
+    inline cosine() re-ran both self-dot aggregates for every PAIR —
+    higher-order-function subexpressions are not CSE'd — costing ~30%
+    on the benched top-k; per-row _pn2/_vn2 cut the per-pair work to
+    one dot product). The division keeps the oracle's exact float
+    sequence, dot/sqrt(pn2·vn2)."""
+    probes_n = probes.withColumn("_pn2", dot(F.col("pv"), F.col("pv")))
+    corpus_n = corpus.withColumnRenamed("vec_id", "neighbor_id").withColumn(
+        "_vn2", dot(F.col("v"), F.col("v"))
+    )
+    denom2 = F.col("_pn2") * F.col("_vn2")
     scored = (
-        F.broadcast(probes)
-        .join(
-            corpus.withColumnRenamed("vec_id", "neighbor_id"),
-            F.col("neighbor_id") != F.col("probe_id"),
-        )
+        F.broadcast(probes_n)
+        .join(corpus_n, F.col("neighbor_id") != F.col("probe_id"))
         .select(
             "probe_id",
             "neighbor_id",
-            F.round(cosine(F.col("pv"), F.col("v")), 6).alias("cosine"),
+            F.round(
+                F.when(
+                    denom2 > 0,
+                    dot(F.col("pv"), F.col("v")) / F.sqrt(denom2),
+                ),
+                6,
+            ).alias("cosine"),
         )
         .filter(F.col("cosine").isNotNull() & ~F.isnan(F.col("cosine")))
     )
@@ -392,16 +407,27 @@ def q_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     output contract, candidates bounded by LSH bucket collisions instead of
     n² (recall/precision characterized in tests/test_rowsonly.py)."""
     t = load_tables(spark, sf_dir)
+    # squared norms precomputed per ROW (round-6 bench finding, see
+    # topk_neighbors_exact_probes): inline cosine() re-ran both
+    # self-dots per PAIR and per REFERENCE (filter + select), i.e. 6
+    # dot aggregates per candidate; this shape runs 2 (the oracle's
+    # exact dot/sqrt(pn2*vn2) float sequence is preserved)
     e = t["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("_n2", dot(F.col("v"), F.col("v")))
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+                 F.col("_n2").alias("_na2"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+                 F.col("_n2").alias("_nb2"))
+    denom2 = F.col("_na2") * F.col("_nb2")
+    cos = F.when(
+        denom2 > 0, dot(F.col("va"), F.col("vb")) / F.sqrt(denom2)
     )
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    cos = cosine(F.col("va"), F.col("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .filter(cos >= 0.35)
-        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .withColumn("_cos", cos)
+        .filter(F.col("_cos") >= 0.35)
+        .select("id_a", "id_b", F.round(F.col("_cos"), 6).alias("cosine"))
     )
 
 

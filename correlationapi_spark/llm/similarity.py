@@ -179,7 +179,11 @@ def ivf_index(
     # (lazy localCheckpoint, the ordering.py pattern) so the normalize +
     # transform subtree runs once at action time, not once per consumer
     assigned = model.transform(env).select(
-        "vec_id", "v", "na", "cell"
+        "vec_id",
+        "v",
+        "na",
+        "cell",
+        dot(F.col("v"), F.col("v")).alias("_vn2"),
     ).localCheckpoint(eager=False)
     cents = corpus.sparkSession.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
@@ -199,7 +203,15 @@ def ivf_probe(
     ``probes`` carries (probe_id, pv, pna) rows (raw + L2-normalized
     query vectors); candidates come from an equi-join on the n_probe
     nearest cells, the exact rounded-cosine + unique-id ranking picks
-    the top-k. Same output contract as topk_neighbors_exact."""
+    the top-k. Same output contract as topk_neighbors_exact.
+
+    The refine scores with PRECOMPUTED squared norms (the
+    topk_neighbors_exact_probes finding): the index carries _vn2 per
+    corpus row, the probe side stamps _pn2 once per probe, so each
+    candidate costs one dot product through the oracle-identical
+    dot/sqrt(pn2·vn2) float sequence."""
+    if "_pn2" not in probes.columns:
+        probes = probes.withColumn("_pn2", dot(F.col("pv"), F.col("pv")))
     # rank cells per probe by ||p − c||² = |c|² − 2·p·c (+ constant |p|²)
     pc = probes.crossJoin(F.broadcast(cents)).withColumn(
         "d2",
@@ -209,12 +221,13 @@ def ivf_probe(
     probe_cells = (
         pc.withColumn("cr", F.row_number().over(wc))
         .filter(F.col("cr") <= n_probe)
-        .select("probe_id", "pv", "cell")
+        .select("probe_id", "pv", "_pn2", "cell")
     )
+    denom2 = F.col("_pn2") * F.col("_vn2")
     scored = (
         probe_cells.join(
             assigned.select(
-                F.col("vec_id").alias("neighbor_id"), "v", "cell"
+                F.col("vec_id").alias("neighbor_id"), "v", "_vn2", "cell"
             ),
             "cell",
         )
@@ -222,8 +235,15 @@ def ivf_probe(
         .select(
             "probe_id",
             "neighbor_id",
-            F.round(cosine(F.col("pv"), F.col("v")), 6).alias("cosine"),
+            F.round(
+                F.when(
+                    denom2 > 0,
+                    dot(F.col("pv"), F.col("v")) / F.sqrt(denom2),
+                ),
+                6,
+            ).alias("cosine"),
         )
+        .filter(F.col("cosine").isNotNull() & ~F.isnan(F.col("cosine")))
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (

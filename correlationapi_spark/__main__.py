@@ -18,6 +18,12 @@ Commands:
             (returns acf lags + pacf + significance band / Ljung-Box)
   rolling   --data PATH --time COL --value COL [--window N] [--lag N]
             [--grain day]
+  similar   --data PATH --id COL --vector COL (--probes 1,2 |
+            --query-vector f,f,... [repeatable]) [--k N]
+            [--method exact|ivf] [--n-cells N] [--n-probe N]
+  dedup     --data PATH --id COL --text COL
+            [--method exact|ngram|minhash] [--threshold T] [--limit N]
+  pack      --data PATH --id COL --text COL [--capacity N] [--limit N]
   serve     [--host H] [--port P]             # REST listener (http_api.py)
   query     --key q_name [--sf-dir DIR]      # run a declared inventory key
   keys                                        # list the declared inventory

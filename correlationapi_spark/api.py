@@ -1316,6 +1316,39 @@ class CorrelationAPI:
             "neighbors": neighbors,
         }
 
+    def _docs_view(
+        self, dataset: str, id_col: str, text_col: str
+    ) -> tuple[DataFrame, DataFrame]:
+        """Shared (docs_all, docs) projection for the LLM text-table
+        service calls (dedup/pack — review r06 second pass: the
+        validation block was copy-pasted per method): column existence,
+        integral-id enforcement (a silent cast('long') turned string
+        ids into NULLs), and exclusion of NULL-id/NULL-text rows (no
+        identity / no content to process — callers surface the count
+        as n_excluded)."""
+        df = self._get(dataset)
+        if id_col not in df.columns or text_col not in df.columns:
+            raise KeyError(
+                f"unknown column: need {id_col!r} and {text_col!r} "
+                f"in {df.columns}"
+            )
+        id_type = df.schema[id_col].dataType
+        if not isinstance(
+            id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            raise TypeError(
+                f"id column {id_col!r} must be integral, got "
+                f"{id_type.simpleString()}"
+            )
+        docs_all = df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(text_col).cast("string").alias("text"),
+        )
+        docs = docs_all.filter(
+            F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+        )
+        return docs_all, docs
+
     def dedup(
         self,
         dataset: str,
@@ -1339,36 +1372,9 @@ class CorrelationAPI:
         collisions. ``limit`` bounds the driver transfer — totals are
         computed engine-side either way, so a truncated listing still
         reports true counts."""
-        df = self._get(dataset)
-        if id_col not in df.columns or text_col not in df.columns:
-            raise KeyError(
-                f"unknown column: need {id_col!r} and {text_col!r} "
-                f"in {df.columns}"
-            )
         if limit < 1:
             raise ValueError("limit must be >= 1")
-        # review r06: a silent cast('long') turned string ids into NULLs
-        # (the exact path then reported 0 duplicates with no error) —
-        # require a genuinely integral id column instead
-        id_type = df.schema[id_col].dataType
-        if not isinstance(
-            id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
-        ):
-            raise TypeError(
-                f"id column {id_col!r} must be integral, got "
-                f"{id_type.simpleString()}"
-            )
-        # rows with a NULL id or NULL text carry no identity/content to
-        # compare — excluded up front (review r06: NULL texts all hash
-        # to the same NULL sha2 partition and were reported as mutual
-        # duplicates; the count is surfaced so exclusion is visible)
-        docs_all = df.select(
-            F.col(id_col).cast("long").alias("doc_id"),
-            F.col(text_col).cast("string").alias("text"),
-        )
-        docs = docs_all.filter(
-            F.col("doc_id").isNotNull() & F.col("text").isNotNull()
-        )
+        docs_all, docs = self._docs_view(dataset, id_col, text_col)
         if method == "exact":
             from .llm.dedup import exact_duplicates
 
@@ -1445,31 +1451,10 @@ class CorrelationAPI:
         NULL-text rows excluded and counted."""
         from .llm.text import pack_chunks_layout
 
-        df = self._get(dataset)
-        if id_col not in df.columns or text_col not in df.columns:
-            raise KeyError(
-                f"unknown column: need {id_col!r} and {text_col!r} "
-                f"in {df.columns}"
-            )
-        id_type = df.schema[id_col].dataType
-        if not isinstance(
-            id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
-        ):
-            raise TypeError(
-                f"id column {id_col!r} must be integral, got "
-                f"{id_type.simpleString()}"
-            )
-        if capacity < 1:
-            raise ValueError("capacity must be >= 1")
         if limit < 1:
             raise ValueError("limit must be >= 1")
-        docs_all = df.select(
-            F.col(id_col).cast("long").alias("doc_id"),
-            F.col(text_col).cast("string").alias("text"),
-        )
-        docs = docs_all.filter(
-            F.col("doc_id").isNotNull() & F.col("text").isNotNull()
-        )
+        docs_all, docs = self._docs_view(dataset, id_col, text_col)
+        # capacity >= 1 is enforced by pack_chunks_layout itself
         layout = pack_chunks_layout(docs, capacity).persist()
         try:
             agg = layout.agg(
@@ -1477,8 +1462,10 @@ class CorrelationAPI:
                 F.sum("n_tok").alias("n_tokens"),
                 F.max("last_chunk").alias("last_chunk"),
             ).collect()[0]
-            rows = layout.orderBy("doc_id").limit(limit).collect()
-            n_excluded = docs_all.count() - docs.count()
+            rows = layout.orderBy("doc_id", "n_tok").limit(limit).collect()
+            # layout is row-preserving, so agg.n_docs == docs.count():
+            # one scan computes the exclusion count (review r06)
+            n_excluded = docs_all.count() - int(agg.n_docs)
         finally:
             layout.unpersist()
         n_tokens = int(agg.n_tokens or 0)

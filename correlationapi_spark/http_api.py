@@ -25,11 +25,11 @@ container, and none is needed for a JSON-for-JSON contract:
   POST /similar {"dataset","id","vector","query_vectors":[[...],…],…}
        → top-k neighbors of RAW embeddings (keys q0, q1, …)
   GET  /dedup?dataset=&id=&text=[&method=exact|ngram|minhash][&threshold=]
-       [&limit=]
+       [&limit=]                  → duplicate listing + engine-side totals
   GET  /pack?dataset=&id=&text=[&capacity=][&limit=]
        → concat-and-chunk packing layout + corpus token/chunk totals
-       → duplicate listing + engine-side totals (round 6: the LLM
-       operators are parameterized service calls, not only canned keys)
+       (round 6: the LLM operators are parameterized service calls, not
+       only canned keys)
 
 Error mapping at the HTTP boundary: KeyError → 404 (unknown dataset /
 variable), ValueError|TypeError → 400 (bad method / grain / non-numeric

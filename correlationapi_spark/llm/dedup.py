@@ -544,27 +544,10 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketing bounds the candidate pairs, then the identical cosine
     threshold refines — recall vs these exact pairs is unit-tested."""
     t = load_tables(spark, sf_dir)
-    from .similarity import dot
+    from .similarity import corpus_view, cosine_pairs_above
 
-    # per-row squared norms + single computed _cos column (round-6
-    # bench finding, see similarity.topk_neighbors_exact_probes): the
-    # inline cosine() cost 6 dot aggregates per candidate pair
-    e = t["embeddings"].select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn("_n2", dot(F.col("v"), F.col("v")))
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
-                 F.col("_n2").alias("_na2"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
-                 F.col("_n2").alias("_nb2"))
-    denom2 = F.col("_na2") * F.col("_nb2")
-    cos = F.when(
-        denom2 > 0, dot(F.col("va"), F.col("vb")) / F.sqrt(denom2)
-    )
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("_cos", cos)
-        .filter(F.col("_cos") >= 0.4)
-        .select("id_a", "id_b", F.round(F.col("_cos"), 6).alias("cosine"))
+    return cosine_pairs_above(
+        corpus_view(t["embeddings"], "vec_id", "embedding"), 0.4
     )
 
 

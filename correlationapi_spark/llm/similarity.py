@@ -36,6 +36,17 @@ def cosine(x: Column, y: Column) -> Column:
     return F.when(denom > 0, dot(x, y) / denom)
 
 
+def guarded_cosine(a: Column, b: Column, na2: Column, nb2: Column) -> Column:
+    """cosine(a, b) with PRECOMPUTED squared norms (the round-6 bench
+    finding: higher-order-function subexpressions are not CSE'd, so the
+    inline form re-ran both self-dots per pair) — one dot product per
+    pair through the oracle's exact dot/sqrt(na2·nb2) float sequence,
+    NULL when either norm is zero. One definition for every engine site
+    (exact top-k, IVF refine, the two all-pairs threshold keys)."""
+    denom2 = na2 * nb2
+    return F.when(denom2 > 0, dot(a, b) / F.sqrt(denom2))
+
+
 def corpus_view(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """Normalize a caller-chosen (id, vector) table to the
     (vec_id, v: array<double>) shape the similarity engines consume —
@@ -105,7 +116,6 @@ def topk_neighbors_exact_probes(
     corpus_n = corpus.withColumnRenamed("vec_id", "neighbor_id").withColumn(
         "_vn2", dot(F.col("v"), F.col("v"))
     )
-    denom2 = F.col("_pn2") * F.col("_vn2")
     scored = (
         F.broadcast(probes_n)
         .join(corpus_n, F.col("neighbor_id") != F.col("probe_id"))
@@ -113,9 +123,8 @@ def topk_neighbors_exact_probes(
             "probe_id",
             "neighbor_id",
             F.round(
-                F.when(
-                    denom2 > 0,
-                    dot(F.col("pv"), F.col("v")) / F.sqrt(denom2),
+                guarded_cosine(
+                    F.col("pv"), F.col("v"), F.col("_pn2"), F.col("_vn2")
                 ),
                 6,
             ).alias("cosine"),
@@ -160,8 +169,12 @@ def ivf_index(
     # Materialize the norm as a COLUMN first: referencing the dot()
     # aggregate inside the per-element lambda would re-evaluate the
     # d-term sum for every element (O(d²)/row).
+    # NB the isnan guard (review r06 second pass): NaN > 0 is TRUE in
+    # Spark's ordering, so `_n > 0` alone let a NaN-element vector
+    # through — normalizing it yields the all-NaN array this comment
+    # block warns about, poisoning KMeans globally
     e = corpus.withColumn("_n", F.sqrt(dot(F.col("v"), F.col("v")))).filter(
-        F.col("_n") > 0
+        (F.col("_n") > 0) & ~F.isnan(F.col("_n"))
     )
     env = e.withColumn(
         "na", F.transform("v", lambda x: x / F.col("_n"))
@@ -223,7 +236,6 @@ def ivf_probe(
         .filter(F.col("cr") <= n_probe)
         .select("probe_id", "pv", "_pn2", "cell")
     )
-    denom2 = F.col("_pn2") * F.col("_vn2")
     scored = (
         probe_cells.join(
             assigned.select(
@@ -236,9 +248,8 @@ def ivf_probe(
             "probe_id",
             "neighbor_id",
             F.round(
-                F.when(
-                    denom2 > 0,
-                    dot(F.col("pv"), F.col("v")) / F.sqrt(denom2),
+                guarded_cosine(
+                    F.col("pv"), F.col("v"), F.col("_pn2"), F.col("_vn2")
                 ),
                 6,
             ).alias("cosine"),
@@ -427,26 +438,33 @@ def q_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     output contract, candidates bounded by LSH bucket collisions instead of
     n² (recall/precision characterized in tests/test_rowsonly.py)."""
     t = load_tables(spark, sf_dir)
-    # squared norms precomputed per ROW (round-6 bench finding, see
-    # topk_neighbors_exact_probes): inline cosine() re-ran both
-    # self-dots per PAIR and per REFERENCE (filter + select), i.e. 6
-    # dot aggregates per candidate; this shape runs 2 (the oracle's
-    # exact dot/sqrt(pn2*vn2) float sequence is preserved)
-    e = t["embeddings"].select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn("_n2", dot(F.col("v"), F.col("v")))
+    return cosine_pairs_above(
+        corpus_view(t["embeddings"], "vec_id", "embedding"), 0.35
+    )
+
+
+def cosine_pairs_above(corpus: DataFrame, tau: float) -> DataFrame:
+    """All-pairs (id_a < id_b) cosine ≥ tau over a (vec_id, v) corpus —
+    the shared exact engine behind q_sim_pairs (τ=0.35) and
+    q_dedup_embed (τ=0.4). Squared norms precomputed per ROW (round-6
+    bench finding, see topk_neighbors_exact_probes): the inline
+    cosine() ran six dot aggregates per candidate (both self-dots, per
+    reference in filter + select); this shape runs one dot per pair
+    plus a reused _cos column, preserving the oracle's exact
+    dot/sqrt(na2·nb2) float sequence. O(n²) by design — the fixture
+    ORACLE exhibit; the scale twins are the LSH/IVF paths."""
+    e = corpus.withColumn("_n2", dot(F.col("v"), F.col("v")))
     a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
                  F.col("_n2").alias("_na2"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
                  F.col("_n2").alias("_nb2"))
-    denom2 = F.col("_na2") * F.col("_nb2")
-    cos = F.when(
-        denom2 > 0, dot(F.col("va"), F.col("vb")) / F.sqrt(denom2)
+    cos = guarded_cosine(
+        F.col("va"), F.col("vb"), F.col("_na2"), F.col("_nb2")
     )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("_cos", cos)
-        .filter(F.col("_cos") >= 0.35)
+        .filter(F.col("_cos") >= tau)
         .select("id_a", "id_b", F.round(F.col("_cos"), 6).alias("cosine"))
     )
 

@@ -741,8 +741,16 @@ def pack_chunks_layout(docs: DataFrame, capacity: int) -> DataFrame:
         "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tok"),
     )
+    # order by (doc_id, n_tok), not doc_id alone (review r06 second
+    # pass): global_running_sum demands a TOTAL order. The output rows
+    # carry only (doc_id, n_tok), so rows tied on BOTH keys are
+    # interchangeable — the emitted layout multiset is deterministic
+    # even when a caller table repeats ids.
     run = global_running_sum(
-        tok, [F.col("doc_id").asc()], F.col("n_tok"), alias="_run"
+        tok,
+        [F.col("doc_id").asc(), F.col("n_tok").asc()],
+        F.col("n_tok"),
+        alias="_run",
     )
     cap = F.lit(capacity)
     off = (F.col("_run") - F.col("n_tok")).alias("off")

@@ -1021,3 +1021,47 @@ def test_similar_rejects_bad_ivf_params_and_string_ids(spark):
     )
     with pytest.raises(TypeError):
         own.similar("_vs", "vec_id", "embedding", [1])
+
+
+def test_ivf_index_survives_nan_element_vectors(spark):
+    """Review r06 second pass: `_n > 0` alone let NaN-element vectors
+    into the index (NaN > 0 is TRUE in Spark), and one all-NaN
+    normalized row poisons every KMeans centroid. Such rows must be
+    dropped at indexing time, and the IVF answer over the healthy rows
+    must match the exact engine's."""
+    own = CorrelationAPI(spark)
+    rows = [(i, [float(i % 7) + 1.0, float((i * 3) % 5)]) for i in range(40)]
+    rows.append((99, [float("nan"), 1.0]))
+    own.register_dataset(
+        "_nanivf",
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+    )
+    exact = own.similar("_nanivf", "vec_id", "embedding", [0, 1], k=3)
+    ivf = own.similar(
+        "_nanivf", "vec_id", "embedding", [0, 1],
+        k=3, method="ivf", n_cells=2, n_probe=2,
+    )
+    # n_probe == n_cells probes everything: must equal exact, and the
+    # NaN row must appear in neither
+    assert ivf["neighbors"] == exact["neighbors"]
+    for ns in exact["neighbors"].values():
+        assert all(n["id"] != 99 for n in ns)
+
+
+def test_pack_duplicate_ids_deterministic(spark):
+    """Review r06 second pass: the layout order is (doc_id, n_tok), so
+    a table with repeated ids still yields a deterministic layout
+    multiset (tied rows are interchangeable in every output column)."""
+    own = CorrelationAPI(spark)
+    own.register_dataset(
+        "_dupids",
+        spark.createDataFrame(
+            [(1, "a b c"), (1, "d e"), (2, "f")], "k long, text string"
+        ),
+    )
+    r1 = own.pack("_dupids", "k", "text", capacity=4)
+    r2 = own.pack("_dupids", "k", "text", capacity=4)
+    assert r1["documents"] == r2["documents"]
+    assert r1["n_tokens"] == 6 and r1["n_chunks"] == 2
+    offs = sorted(d["off"] for d in r1["documents"])
+    assert offs == [0, 2, 5]  # (1,"d e") before (1,"a b c") by n_tok

@@ -290,9 +290,15 @@ def topk_neighbors_ivf(
     return ivf_probe(assigned, cents, probes, k, n_probe=n_probe)
 
 
+# Undefined-cosine exclusion is pinned in the ORACLE too (ADVICE r6):
+# the engine drops zero-norm/NaN rows (guarded_cosine -> NULL, then the
+# isNotNull/~isnan filter), and without the mirrored WHERE a zero-norm
+# or NaN-element fixture vector would make DuckDB rank rows the engine
+# excludes (NaN sorts first under ORDER BY cosine DESC there).
 _TOPK_ORACLE = """
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        WHERE list_dot_product(embedding, embedding) > 0
     ), probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
     scored AS (
         SELECT p.probe_id, c.vec_id AS neighbor_id,
@@ -305,6 +311,7 @@ _TOPK_ORACLE = """
         SELECT *, row_number() OVER (PARTITION BY probe_id
                                      ORDER BY cosine DESC, neighbor_id) AS rn
         FROM scored
+        WHERE cosine IS NOT NULL AND NOT isnan(cosine)
     ) WHERE rn <= 5
 """
 

@@ -687,12 +687,26 @@ def q_agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PACK_CAPACITY = 512
 
+# Oracle notes (round 7, VERDICT r6 + ADVICE):
+#  * the windowed sum MUST be CAST to BIGINT — DuckDB widens a windowed
+#    sum of BIGINT to HUGEINT, which pandas materializes as float64, and
+#    the driver's value-hash is type-sensitive (int64 32 != float64 32.0;
+#    the r6 hash-FAIL with byte-identical values). numerics.py records the
+#    rule: no HUGEINT/DECIMAL may reach an oracle output projection.
+#  * the frame is explicit ROWS over the TOTAL order (doc_id, n_tok) —
+#    DuckDB's default RANGE frame gives tied doc_ids the same cumulative
+#    sum, diverging from global_running_sum's row semantics the moment a
+#    fixture repeats an id.
 _PACK_ORACLE = f"""
     WITH tok AS (
-        SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
     ), cum AS (
         SELECT doc_id, n_tok,
-               sum(n_tok) OVER (ORDER BY doc_id) - n_tok AS off
+               CAST(sum(n_tok) OVER (
+                   ORDER BY doc_id, n_tok
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) - n_tok AS off
         FROM tok
     )
     SELECT doc_id, n_tok, off,

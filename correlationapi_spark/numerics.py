@@ -26,6 +26,19 @@ At 100 TB the int64 cents sum can overflow (~6e20 > 2^63 for the full
 revenue sum of ~6e11 rows); the helpers therefore sum through
 ``decimal(38,0)`` in Spark, which is exact and overflow-safe at any
 realistic scale (DuckDB's BIGINT sum already widens to int128).
+
+4. **Integer aggregates in ORACLES** (round 7, after the r6
+   ``q_pack_chunks`` driver hash-FAIL): **no HUGEINT or DECIMAL may
+   reach an oracle output projection.** DuckDB widens ``sum(BIGINT)``
+   (plain or windowed) to HUGEINT, which pandas materializes as
+   float64; the driver's value-hash is type-sensitive, so float64
+   ``32.0`` fails against Spark's int64 ``32`` even with identical
+   values. Any integer aggregate that is itself an output column — or
+   feeds one through arithmetic — must be wrapped
+   ``CAST(... AS BIGINT)`` in the oracle SQL. The type-strict local
+   comparator (``testing._canon_cell`` class tags +
+   ``compare_frames`` dtype-parity) enforces this across the whole
+   registry; ``tools/check.py`` fails any key that drifts.
 """
 
 from __future__ import annotations

@@ -70,21 +70,17 @@ _MODULES = (
 # code/oracle/fixture changed THIS round after their latest verdict, so
 # they jump back to the front of the sweep regardless of verdict age.
 _TOUCHED: frozenset[str] = frozenset({
-    # round 6:
-    "q_multimodal_meta",    # complete-PNG fixtures (full IDAT) replace the 29-byte prefix
-    "q_multimodal_frames",  # PNG pixel decode (inflate+unfilter) joins the GIF demux
-    "q_sim_topk_ivf",       # measured recall/cost + bucketed-probe demonstration
-    "q_corr_kendall",       # distributed path: fewer jobs, Bucketizer ids, overflow guard
-    "q_corr_xcorr",         # lag spine broadcast-pinned
-    "q_pacf",               # lag spine broadcast-pinned
-    "q_pack_chunks",        # new key: concat-and-chunk packing layout
-    # review-fix wave: cosine() is now NULL-on-zero-norm (shared by the
-    # sim/dedup-embed families) and the exact top-k filters undefined
-    # cosines; q_dedup_near delegates to the extracted MinHash engine
-    "q_sim_topk",
-    "q_sim_pairs",
-    "q_dedup_embed",
-    "q_dedup_near",
+    # round 7:
+    "q_pack_chunks",        # oracle fix: CAST windowed sum to BIGINT (r6
+                            # driver hash-FAIL was HUGEINT->float64 type
+                            # drift) + explicit total-order ROWS frame
+    "q_sim_topk",           # oracle now mirrors the engine's zero-norm/
+                            # NaN exclusion (ADVICE r6)
+    "q_multimodal_meta",    # zlib.error re-raised as ValueError so the
+                            # quarantine catches bad deflate streams
+    "q_multimodal_frames",  # WAV empty-data-chunk RMS guard (rms=None
+                            # instead of ZeroDivisionError) + JPEG pixel
+                            # decode + text-payload chunk route
 })
 
 

@@ -10,6 +10,7 @@ ordering) surface locally before the driver ever runs.
 from __future__ import annotations
 
 import datetime as _dt
+import decimal as _decimal
 import math
 import os
 from dataclasses import dataclass, field
@@ -37,18 +38,41 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon_cell(v):
-    """Canonicalize one cell for cross-engine comparison."""
+    """Canonicalize one cell for cross-engine comparison.
+
+    TYPE-STRICT (round 7, VERDICT r6 task 2): numeric cells carry their
+    type CLASS — ("i", 32) for any integer width, ("f", 32.0) for any
+    float width, ("b", True) for bool — because the driver's value-hash
+    is type-sensitive: DuckDB HUGEINT materializes as float64 in pandas
+    and `32.0` hashes differently from Spark's int64 `32` even though
+    `32 == 32.0` in Python. The r6 `q_pack_chunks` hash-FAIL slipped
+    through precisely because this function used to collapse both to
+    numeric equality. Width stays collapsed (int32 vs int64, float32 vs
+    float64 compare equal) — the driver hashes Python-object values,
+    where width is already gone but int-vs-float is not."""
     if v is None:
         return _NULL
-    if isinstance(v, float) and math.isnan(v):
-        return "NaN"
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, float):
+        return ("f", "NaN") if math.isnan(v) else ("f", v)
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, (np.floating,)):
         v = float(v)
-        return "NaN" if math.isnan(v) else v
+        return ("f", "NaN") if math.isnan(v) else ("f", v)
     if isinstance(v, (np.integer,)):
-        return int(v)
-    if isinstance(v, (np.bool_, bool)):
-        return bool(v)
+        return ("i", int(v))
+    if isinstance(v, np.bool_):
+        return ("b", bool(v))
+    if isinstance(v, _decimal.Decimal):
+        # Decimal is its own class: if one engine projects DECIMAL and
+        # the other int/float, the driver's hash differs — so must we.
+        # Scale is collapsed (32 vs 32.00) the way Python-object hashing
+        # of normalized values would.
+        if v.is_nan():
+            return ("d", "NaN")
+        return ("d", str(v.normalize()))
     if isinstance(v, pd.Timestamp):
         if v is pd.NaT:
             return _NULL
@@ -94,6 +118,24 @@ class CompareResult:
         return f"[{status}] {self.key}: spark={self.spark_rows} oracle={self.oracle_rows} {self.detail}"
 
 
+def _dtype_class(dt) -> str:
+    """Collapse a pandas dtype to the class the driver's hash would see.
+    'object' matches anything (strings, Decimals, lists all land there;
+    the per-cell tags in _canon_cell carry the strict signal)."""
+    kind = getattr(dt, "kind", None)
+    if kind in ("i", "u"):
+        return "int"
+    if kind == "f":
+        return "float"
+    if kind == "b":
+        return "bool"
+    if kind == "M":
+        return "datetime"
+    if kind == "m":
+        return "timedelta"
+    return "object"
+
+
 def compare_frames(key: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> CompareResult:
     res = CompareResult(key=key, ok=True, spark_rows=len(spark_pdf), oracle_rows=len(oracle_pdf))
     s_cols = sorted(spark_pdf.columns, key=str.lower)
@@ -106,6 +148,21 @@ def compare_frames(key: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) 
         res.ok = False
         res.detail = "row count mismatch"
         return res
+    # dtype-parity (round 7, VERDICT r6 task 2): catch HUGEINT/DECIMAL
+    # widening even when a column is all-NULL or the frame is empty —
+    # the per-cell tags can't see those. 'object' is a wildcard (both
+    # engines park strings/Decimals/lists there and NULL-padding shifts
+    # columns engine-consistently into float64).
+    for sc, oc in zip(s_cols, o_cols):
+        s_cls = _dtype_class(spark_pdf[sc].dtype)
+        o_cls = _dtype_class(oracle_pdf[oc].dtype)
+        if s_cls != o_cls and "object" not in (s_cls, o_cls):
+            res.ok = False
+            res.detail = (
+                f"dtype-class mismatch on '{sc}': spark={s_cls}"
+                f"({spark_pdf[sc].dtype}) oracle={o_cls}({oracle_pdf[oc].dtype})"
+            )
+            return res
     s_rows = _canon_frame(spark_pdf)
     o_rows = _canon_frame(oracle_pdf)
     if s_rows != o_rows:

@@ -45,3 +45,76 @@ def test_entry_smoke(spark):
 def test_every_query_key_has_spec_contract():
     for key, spec in REGISTRY.items():
         assert spec.oracle is not None or spec.rows_only_reason, key
+
+
+class TestComparatorTypeStrict:
+    """Round-7 regression pins for the r6 q_pack_chunks driver hash-FAIL:
+    the driver's value-hash is type-sensitive (int64 32 != float64 32.0
+    from DuckDB HUGEINT->pandas), and the local comparator must be too
+    (numerics.py rule 4)."""
+
+    def test_int_vs_float_same_values_fail(self):
+        # the exact r6 failure mode: byte-identical values, int64 vs float64
+        import numpy as np
+        import pandas as pd
+
+        from correlationapi_spark.testing import compare_frames
+
+        a = pd.DataFrame({"x": np.array([32, 64], dtype="int64")})
+        b = pd.DataFrame({"x": np.array([32.0, 64.0], dtype="float64")})
+        assert not compare_frames("t", a, b).ok
+
+    def test_decimal_vs_int_fail(self):
+        import decimal
+
+        import numpy as np
+        import pandas as pd
+
+        from correlationapi_spark.testing import compare_frames
+
+        a = pd.DataFrame({"x": np.array([32], dtype="int64")})
+        b = pd.DataFrame({"x": [decimal.Decimal("32")]})
+        assert not compare_frames("t", a, b).ok
+
+    def test_int_width_still_collapses(self):
+        # the driver hashes Python-object values: int32 vs int64 is NOT
+        # a difference there, so it must not be one locally either
+        import numpy as np
+        import pandas as pd
+
+        from correlationapi_spark.testing import compare_frames
+
+        a = pd.DataFrame({"x": np.array([32], dtype="int32")})
+        b = pd.DataFrame({"x": np.array([32], dtype="int64")})
+        assert compare_frames("t", a, b).ok
+
+    def test_all_null_int_vs_float_dtype_parity(self):
+        # dtype-parity catches class drift the per-cell tags can't see
+        import numpy as np
+        import pandas as pd
+
+        from correlationapi_spark.testing import compare_frames
+
+        a = pd.DataFrame({"x": pd.array([None, None], dtype="Int64")})
+        b = pd.DataFrame({"x": np.array([np.nan, np.nan], dtype="float64")})
+        r = compare_frames("t", a, b)
+        assert not r.ok and "dtype-class" in r.detail
+
+    def test_hugeint_widening_detected_end_to_end(self, con):
+        # a windowed sum of BIGINT in DuckDB widens to HUGEINT ->
+        # float64 in pandas; an uncast oracle must fail against the
+        # int64 the CAST'd form produces (the q_pack_chunks fix)
+        from correlationapi_spark.testing import compare_frames
+
+        uncast = con.execute(
+            "SELECT sum(r_regionkey) OVER (ORDER BY r_regionkey ROWS BETWEEN"
+            " UNBOUNDED PRECEDING AND CURRENT ROW) AS s FROM region"
+        ).df()
+        cast = con.execute(
+            "SELECT CAST(sum(r_regionkey) OVER (ORDER BY r_regionkey ROWS"
+            " BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s"
+            " FROM region"
+        ).df()
+        assert str(uncast["s"].dtype) == "float64"  # the HUGEINT drift
+        assert str(cast["s"].dtype) == "int64"
+        assert not compare_frames("t", cast, uncast).ok

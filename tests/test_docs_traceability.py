@@ -46,3 +46,17 @@ def test_readme_key_count_is_current():
         f"{len(reg) - n_oracle} rows-only"
     )
     assert expect in _read("README.md"), expect
+
+
+def test_oracle_type_rule_documented_and_enforced():
+    """numerics.py rule 4 (round 7): 'no HUGEINT/DECIMAL may reach an
+    oracle output projection' must stay documented where the money-math
+    rules live, and the comparator that enforces it must stay type-strict
+    (class tags + dtype parity)."""
+    numerics = _read(os.path.join("correlationapi_spark", "numerics.py"))
+    assert "HUGEINT" in numerics and "CAST(... AS BIGINT)" in numerics
+    testing = _read(os.path.join("correlationapi_spark", "testing.py"))
+    assert "dtype-class" in testing  # the parity check
+    from correlationapi_spark.testing import _canon_cell
+
+    assert _canon_cell(32) != _canon_cell(32.0)  # the r6 failure mode

@@ -978,3 +978,68 @@ def test_corrupt_media_is_quarantined_not_fatal(spark):
         (r,) = by_doc[bad]
         assert r.kind == "corrupt" and r.n_frames == 0
     assert all(r.kind == "pcm-window" for r in by_doc[3])
+
+
+def test_quarantine_edge_payloads_round7(spark):
+    """ADVICE r6 regressions: (a) a structurally VALID WAV whose data
+    chunk is empty (decode_wav accepts it, 0 samples) used to raise
+    ZeroDivisionError in sample_frames' RMS — which escaped the
+    ValueError-only quarantine and killed the job; it must now emit one
+    pcm-window row with rms=None. (b) a CRC-consistent PNG whose IDAT
+    payload is not zlib data used to raise zlib.error — same escape;
+    it must now be flagged 'corrupt'."""
+    import zlib
+
+    from correlationapi_spark.llm.multimodal import (
+        _FRAMES_OUT_SCHEMA,
+        _META_OUT_SCHEMA,
+        build_wav,
+        make_extract_meta,
+        make_sample_frames,
+    )
+
+    empty_wav = build_wav(0, 8000, 440.0, 0.5)  # valid RIFF, 0 samples
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            len(payload).to_bytes(4, "big") + ctype + payload
+            + zlib.crc32(ctype + payload).to_bytes(4, "big")
+        )
+
+    ihdr = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes(
+        [8, 2, 0, 0, 0]
+    )
+    bad_deflate_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", b"this is not a zlib stream")
+        + chunk(b"IEND", b"")
+    )
+
+    rows = [
+        (0, (empty_wav, "audio/wav", "mem://c/0", len(empty_wav))),
+        (1, (bad_deflate_png, "image/png", "mem://c/1", len(bad_deflate_png))),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, media struct<data:binary,mime:string,uri:string,n_bytes:long>",
+    )
+    frames = {}
+    for r in df.mapInPandas(
+        make_sample_frames(), schema=_FRAMES_OUT_SCHEMA
+    ).collect():
+        frames.setdefault(r.doc_id, []).append(r)
+    (wav_row,) = frames[0]
+    assert wav_row.kind == "pcm-window" and wav_row.rms is None
+    (png_row,) = frames[1]
+    assert png_row.kind == "corrupt" and png_row.n_frames == 0
+
+    meta = {r.doc_id: r for r in df.mapInPandas(
+        make_extract_meta(), schema=_META_OUT_SCHEMA
+    ).collect()}
+    # extract_meta's contract for a parseable header with an undecodable
+    # body: keep the header decode (png-ihdr) and NULL the pixel stats.
+    # The point of the fix is that the JOB SURVIVED (zlib.error used to
+    # escape the quarantine and kill it).
+    assert meta[1].decoder == "png-ihdr" and meta[1].px_sha256 is None
+    assert meta[1].px_mean is None

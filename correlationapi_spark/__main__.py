@@ -23,7 +23,7 @@ Commands:
             [--method exact|ivf] [--n-cells N] [--n-probe N]
   dedup     --data PATH --id COL --text COL
             [--method exact|ngram|minhash] [--threshold T] [--limit N]
-  pack      --data PATH --id COL --text COL [--capacity N] [--limit N]
+  pack      --data PATH --id COL --text COL [--capacity N] [--limit N] [--tokenizer ws|bpeish]
   serve     [--host H] [--port P]             # REST listener (http_api.py)
   query     --key q_name [--sf-dir DIR]      # run a declared inventory key
   keys                                        # list the declared inventory
@@ -151,6 +151,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="tokens per training chunk")
     pk.add_argument("--limit", type=int, default=1000,
                     help="max listed documents (totals stay exact)")
+    pk.add_argument("--tokenizer", choices=("ws", "bpeish"), default="ws",
+                    help="token counter: whitespace or BPE-ish regex")
 
     q = sub.add_parser("query", help="run a declared inventory key")
     q.add_argument("--key", required=True)
@@ -237,7 +239,8 @@ def main(argv: list[str] | None = None) -> int:
                             threshold=args.threshold, limit=args.limit)
         elif args.cmd == "pack":
             res = api.pack("ds", args.id, args.text,
-                           capacity=args.capacity, limit=args.limit)
+                           capacity=args.capacity, limit=args.limit,
+                           tokenizer=args.tokenizer)
         else:
             res = api.lagged_correlation("ds", args.time, args.value,
                                          lag=args.lag, grain=args.grain)

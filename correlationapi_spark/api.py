@@ -1439,6 +1439,7 @@ class CorrelationAPI:
         text_col: str,
         capacity: int = 2048,
         limit: int = 1000,
+        tokenizer: str = "ws",
     ) -> dict[str, Any]:
         """Concat-and-chunk packing layout over a caller-chosen
         (id, text) table — the parameterized twin of q_pack_chunks:
@@ -1448,14 +1449,29 @@ class CorrelationAPI:
         a ``limit``-bounded per-document layout listing; totals are
         computed engine-side, so a truncated listing stays exact.
         Same input contract as dedup(): integral id column, NULL-id /
-        NULL-text rows excluded and counted."""
+        NULL-text rows excluded and counted. ``tokenizer`` picks the
+        counter (round 7): 'ws' = whitespace splits (engine-portable),
+        'bpeish' = the BPE-ish pre-tokenizer regex (the
+        q_text_tokens_bpeish segmenter - far closer to real tokenizer
+        budgets on punctuation-heavy text)."""
         from .llm.text import pack_chunks_layout
 
         if limit < 1:
             raise ValueError("limit must be >= 1")
+        if tokenizer not in ("ws", "bpeish"):
+            raise ValueError("tokenizer must be 'ws' or 'bpeish'")
+        n_tok = (
+            F.size(
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0
+                )
+            )
+            if tokenizer == "bpeish"
+            else None
+        )
         docs_all, docs = self._docs_view(dataset, id_col, text_col)
         # capacity >= 1 is enforced by pack_chunks_layout itself
-        layout = pack_chunks_layout(docs, capacity).persist()
+        layout = pack_chunks_layout(docs, capacity, n_tok=n_tok).persist()
         try:
             agg = layout.agg(
                 F.count("*").alias("n_docs"),
@@ -1472,7 +1488,7 @@ class CorrelationAPI:
         n_chunks = int(agg.last_chunk) + 1 if agg.n_docs else 0
         return {
             "dataset": dataset, "id": id_col, "text": text_col,
-            "capacity": capacity,
+            "capacity": capacity, "tokenizer": tokenizer,
             "n_docs": int(agg.n_docs),
             "n_excluded": n_excluded,
             "n_tokens": n_tokens,

@@ -26,7 +26,7 @@ container, and none is needed for a JSON-for-JSON contract:
        → top-k neighbors of RAW embeddings (keys q0, q1, …)
   GET  /dedup?dataset=&id=&text=[&method=exact|ngram|minhash][&threshold=]
        [&limit=]                  → duplicate listing + engine-side totals
-  GET  /pack?dataset=&id=&text=[&capacity=][&limit=]
+  GET  /pack?dataset=&id=&text=[&capacity=][&limit=][&tokenizer=ws|bpeish]
        → concat-and-chunk packing layout + corpus token/chunk totals
        (round 6: the LLM operators are parameterized service calls, not
        only canned keys)
@@ -179,6 +179,7 @@ def _route(api: CorrelationAPI, method: str, path: str,
             query["dataset"], query["id"], query["text"],
             capacity=int(query.get("capacity", 2048)),
             limit=int(query.get("limit", 1000)),
+            tokenizer=query.get("tokenizer", "ws"),
         )
     if method == "GET" and path == "/xcorr":
         for req in ("dataset", "time", "x", "y"):

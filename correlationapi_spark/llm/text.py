@@ -13,7 +13,7 @@ ROUNDED value so cross-libm 1-ulp drift can't reorder the top-k.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -697,9 +697,11 @@ _PACK_CAPACITY = 512
 #    DuckDB's default RANGE frame gives tied doc_ids the same cumulative
 #    sum, diverging from global_running_sum's row semantics the moment a
 #    fixture repeats an id.
-_PACK_ORACLE = f"""
+def _pack_oracle(n_tok_sql: str, capacity: int) -> str:
+    """DuckDB oracle for pack_chunks_layout under any token counter."""
+    return f"""
     WITH tok AS (
-        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        SELECT doc_id, CAST({n_tok_sql} AS BIGINT) AS n_tok
         FROM documents
     ), cum AS (
         SELECT doc_id, n_tok,
@@ -710,12 +712,15 @@ _PACK_ORACLE = f"""
         FROM tok
     )
     SELECT doc_id, n_tok, off,
-           (off // {_PACK_CAPACITY}) AS first_chunk,
-           ((off + n_tok - 1) // {_PACK_CAPACITY}) AS last_chunk,
-           ((off + n_tok - 1) // {_PACK_CAPACITY})
-               - (off // {_PACK_CAPACITY}) + 1 AS n_chunks
+           (off // {capacity}) AS first_chunk,
+           ((off + n_tok - 1) // {capacity}) AS last_chunk,
+           ((off + n_tok - 1) // {capacity})
+               - (off // {capacity}) + 1 AS n_chunks
     FROM cum
 """
+
+
+_PACK_ORACLE = _pack_oracle("len(string_split(text, ' '))", _PACK_CAPACITY)
 
 
 @query(
@@ -732,7 +737,44 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_chunks_layout(t["documents"], _PACK_CAPACITY)
 
 
-def pack_chunks_layout(docs: DataFrame, capacity: int) -> DataFrame:
+_PACK_BPEISH_CAPACITY = 256
+
+_PACK_BPEISH_ORACLE = _pack_oracle(
+    "len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))",
+    _PACK_BPEISH_CAPACITY,
+)
+
+
+@query(
+    "q_pack_bpeish",
+    oracle=_PACK_BPEISH_ORACLE,
+    doc="Tokenizer-faithful packing layout (round 7): the same "
+    "concat-and-chunk engine as q_pack_chunks driven by the BPE-ish "
+    "regex token counter instead of whitespace counts, 256-token chunks "
+    "— the budget a real pretraining dataloader packs against.",
+)
+def q_pack_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pack_chunks_layout is parameterized on the token counter
+    (round 7): whitespace counts are engine-portable but undercount
+    punctuation-heavy text by 2-3x against a real tokenizer; the BPE-ish
+    pre-tokenizer regex (q_text_tokens_bpeish's segmenter) tracks real
+    budgets far closer, and the layout reduction — one global running
+    sum — is identical. Same scale shape, different counter column."""
+    t = load_tables(spark, sf_dir)
+    return pack_chunks_layout(
+        t["documents"],
+        _PACK_BPEISH_CAPACITY,
+        n_tok=F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0
+            )
+        ),
+    )
+
+
+def pack_chunks_layout(
+    docs: DataFrame, capacity: int, n_tok: Column | None = None
+) -> DataFrame:
     """GPT-style concat-and-chunk packing layout over (doc_id, text)
     rows: concatenate the corpus in deterministic doc_id order and cut
     it into fixed ``capacity``-token training chunks — each document's
@@ -746,15 +788,16 @@ def pack_chunks_layout(docs: DataFrame, capacity: int) -> DataFrame:
     canonical scale-killer; the q_sort_multi plan canary family asserts
     the pinned shape). Token counts are whitespace splits to stay
     engine-portable; swap in token_count_bpeish for tokenizer-faithful
-    budgets. Round 6: parameterized for the api.pack() service surface."""
+    budgets. Round 6: parameterized for the api.pack() service surface.
+    Round 7: the token counter is pluggable via ``n_tok`` (defaults to
+    whitespace splits; q_pack_bpeish passes the BPE-ish regex count)."""
     from ..ordering import global_running_sum
 
     if capacity < 1:
         raise ValueError("capacity must be >= 1")
-    tok = docs.select(
-        "doc_id",
-        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tok"),
-    )
+    if n_tok is None:  # engine-portable default: whitespace counts
+        n_tok = F.size(F.split(F.col("text"), " "))
+    tok = docs.select("doc_id", n_tok.cast("bigint").alias("n_tok"))
     # order by (doc_id, n_tok), not doc_id alone (review r06 second
     # pass): global_running_sum demands a TOTAL order. The output rows
     # carry only (doc_id, n_tok), so rows tied on BOTH keys are

@@ -278,3 +278,161 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue")
         )
     )
+
+
+@query(
+    "q_tpch_q4",
+    oracle="""
+        SELECT o.o_orderpriority,
+               count(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: order-priority checking — EXISTS semi-join of a "
+    "quarter's orders against late-shipped lineitems, counted per "
+    "priority (adapted: the fixture carries no l_commitdate, so 'late' "
+    "is l_shipdate > o_orderdate).",
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS decorrelates to a LEFT SEMI join on the order key with the
+    non-equi lateness predicate folded into the join condition — one
+    shuffle pair on l_orderkey/o_orderkey, then a near-free aggregate
+    over five priority groups (partial agg collapses each partition to
+    ≤5 rows before the exchange). At 100 TB the semi join is the plan:
+    it carries NO lineitem payload columns (the probe side is pruned to
+    l_orderkey + l_shipdate at the scan), never materializes matches
+    beyond the first, and the quarter filter on orders prunes the build
+    side before the shuffle. count(*) stays bigint on both engines."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-07-01 00:00:00")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-10-01 00:00:00")))
+    )
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_tpch_q14",
+    oracle="""
+        SELECT round(
+                 100.0
+                 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                                 THEN CAST(round(l.l_extendedprice*100) AS BIGINT)
+                                      * (100 - CAST(round(l.l_discount*100) AS BIGINT))
+                                 ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount*100) AS BIGINT)))
+                        AS DOUBLE),
+                 6) AS promo_revenue_pct
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
+    doc="TPC-H Q14 shape: promotion revenue share for one month — "
+    "conditional-aggregate ratio over a part join (adapted: fixture "
+    "p_type is a plain category, PROMO literal match).",
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic conditional-sum ratio. Both sums run in exact integer
+    1e-4-dollar units through decimal(38,0) (numerics.py rule 2 — the
+    price×discount grid sits on round()'s half-boundaries), are cast to
+    double from the SAME exact integer on both engines, and divide once;
+    6 dp rounding covers the one IEEE division. The part join broadcasts
+    at fixture scale and hash-joins on p_partkey at 100 TB, with the
+    one-month shipdate filter pushed to the lineitem scan — the pruned
+    probe side carries only partkey + the two money columns."""
+    t = load_tables(spark, sf_dir)
+    units = revenue_cents()
+    promo_units = F.when(F.col("p_type") == "PROMO", units).otherwise(F.lit(0))
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-09-01 00:00:00")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-10-01 00:00:00")))
+        )
+        .join(t["part"], F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(promo_units.cast("decimal(38,0)")).cast("double")
+                / F.sum(units.cast("decimal(38,0)")).cast("double"),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "q_tpch_q18",
+    oracle="""
+        SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+               CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM customer c
+        JOIN orders o   ON o.o_custkey  = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey
+            HAVING sum(CAST(l_quantity AS BIGINT)) > 300
+        )
+        GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 20
+    """,
+    doc="TPC-H Q18 shape: large-volume customers — orders whose total "
+    "quantity exceeds 300, with customer detail, top 20 by price.",
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IN-subquery is a pre-aggregated qualifying-key set: lineitem
+    aggregates ONCE per order key (the same shuffle the outer sum needs),
+    the >300 filter shrinks it to a handful of keys, and that tiny set
+    broadcasts into a semi join — no second full lineitem pass, no
+    re-aggregation of unqualified orders at 100 TB (46 keys at sf0.01;
+    selectivity ~1e-3 of orders holds at any SF, so the broadcast is
+    safe by construction). Quantities are integer-valued (1..50): both
+    engines sum them as exact integers, and the oracle CASTs the sum
+    back to BIGINT so DuckDB's HUGEINT widening never reaches the
+    projection (numerics.py rule 4). o_totalprice is a raw stored
+    double — identical bits on both engines — so the top-20 frontier
+    can't disagree; o_orderkey tie-breaks."""
+    t = load_tables(spark, sf_dir)
+    qty = F.col("l_quantity").cast("bigint")
+    qualifying = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("_q"))
+        .filter(F.col("_q") > 300)
+        .select(F.col("l_orderkey").alias("_qual_key"))
+    )
+    return (
+        t["orders"]
+        .join(
+            F.broadcast(qualifying),
+            F.col("o_orderkey") == F.col("_qual_key"),
+            "left_semi",
+        )
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(qty).alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )

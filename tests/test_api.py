@@ -890,6 +890,45 @@ def test_pack_chunks_layout_invariants(spark):
         expect_off += r.n_tok
 
 
+def test_pack_bpeish_layout_and_tokenizer_param(spark):
+    """Round 7: q_pack_bpeish uses the BPE-ish regex counter with a
+    256-token capacity through the SAME layout engine; api.pack's
+    tokenizer param selects it. Invariants: offsets tile the corpus,
+    chunk ids consistent with 256, counts match the declared
+    q_text_tokens_bpeish per-doc counts, and the service totals agree
+    with the declared key's layout."""
+    rows = sorted(
+        REGISTRY["q_pack_bpeish"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r.doc_id,
+    )
+    counts = {
+        r.doc_id: r.bpeish_tokens
+        for r in REGISTRY["q_text_tokens_bpeish"].fn(spark, SF_SMOKE).collect()
+    }
+    assert rows and rows[0].off == 0
+    expect_off = 0
+    for r in rows:
+        assert r.off == expect_off, r.doc_id
+        assert r.n_tok == counts[r.doc_id]
+        assert r.first_chunk == r.off // 256
+        assert r.last_chunk == (r.off + r.n_tok - 1) // 256
+        assert r.n_chunks == r.last_chunk - r.first_chunk + 1
+        expect_off += r.n_tok
+    # the parameterized service surface selects the same counter
+    from correlationapi_spark.api import CorrelationAPI
+
+    api = CorrelationAPI(spark)
+    api.register_dataset(
+        "_packb", spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    )
+    res = api.pack("_packb", "doc_id", "text", capacity=256, tokenizer="bpeish")
+    assert res["tokenizer"] == "bpeish"
+    assert res["n_tokens"] == expect_off
+    assert res["n_chunks"] == max(r.last_chunk for r in rows) + 1
+    with pytest.raises(ValueError):
+        api.pack("_packb", "doc_id", "text", tokenizer="wordpiece")
+
+
 def test_global_running_sum_matches_sequential(spark):
     """ordering.global_running_sum must equal a driver-side cumsum for
     any partitioning: random values over many input partitions, a total

@@ -384,3 +384,36 @@ def test_pack_chunks_has_no_single_partition_window(spark):
     assert "Scan ExistingRDD" in plan  # the pinned ranged intermediate
     assert "rangepartitioning" not in plan  # shuffle happened pre-pin
     assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_round7_tpch_shapes(spark):
+    """Round-7 composed shapes keep their declared plan properties:
+    Q4's quarter filter reaches the orders parquet scan and the EXISTS
+    decorrelates to a LEFT SEMI join (never materializing matches); Q18's
+    qualifying-key set joins LEFT SEMI (the >300 filter shrinks it to
+    ~1e-3 of orders, declared broadcast); Q14's one-month filter reaches
+    the lineitem scan. None may degenerate to a cartesian product."""
+    q4 = plan_of(spark, "q_tpch_q4")
+    assert "LeftSemi" in q4 and "CartesianProduct" not in q4
+    assert "1997-07-01" in q4  # pushed to the scan, not a post-filter
+
+    q18 = plan_of(spark, "q_tpch_q18")
+    assert "LeftSemi" in q18 and "CartesianProduct" not in q18
+
+    q14 = plan_of(spark, "q_tpch_q14")
+    assert "CartesianProduct" not in q14
+    assert "1997-09-01" in q14
+
+
+def test_pack_bpeish_no_single_partition_data_window(spark):
+    """q_pack_bpeish rides the same range-partitioned two-pass running
+    sum as q_pack_chunks: the only WindowExecs allowed are over the
+    per-partition totals table (≤ #partitions rows), never over the
+    data-sized relation — the canonical scale-killer this engine
+    exists to avoid."""
+    plan = plan_of(spark, "q_pack_bpeish")
+    assert "CartesianProduct" not in plan
+    # same canary shape as q_pack_chunks: pinned ranged RDD, at most the
+    # tiny totals table through a single-partition exchange
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("Exchange SinglePartition") <= 1

@@ -154,9 +154,11 @@ def test_multimodal_values_pinned(spark):
     from correlationapi_spark.llm.multimodal import (
         AVI_VARIANTS,
         GIF_VARIANTS,
+        JPEG_VARIANTS,
         PNG_VARIANTS,
         WAV_VARIANTS,
         decode_gif_pixels,
+        decode_jpeg_pixels,
         decode_png_pixels,
         decode_wav,
         parse_avi,
@@ -171,7 +173,7 @@ def test_multimodal_values_pinned(spark):
 
     docs = {r.doc_id: r for r in load_tables(spark, SF_SMOKE)["documents"].collect()}
     assert len(rows) == len(docs)
-    saw_png = saw_gif = saw_wav = saw_avi = saw_fake = False
+    saw_png = saw_gif = saw_wav = saw_avi = saw_fake = saw_jpeg = False
     for did, r in list(rows.items())[:60]:
         raw = docs[did].text.encode()
         if did % 10 == 0:  # complete PNG: real IHDR + real pixel decode
@@ -225,6 +227,25 @@ def test_multimodal_values_pinned(spark):
             assert r.px_sha256 == hashlib.sha256(
                 wav[off : off + 2 * len(samples)]
             ).hexdigest()
+        elif did % 10 == 9:  # round 7: complete baseline JPEG, real
+            saw_jpeg = True  # Huffman+IDCT pixel decode
+            jpg = JPEG_VARIANTS[did % 3]
+            w, h, _, pixels = decode_jpeg_pixels(jpg)
+            assert r.n_bytes == len(jpg)
+            assert r.head_hex == jpg[:8].hex()
+            assert (r.width, r.height, r.decoder) == (w, h, "jpeg-sof")
+            assert (w, h) == ((16, 10, 20)[did % 3], (8, 14, 12)[did % 3])
+            assert r.mime == "image/jpeg"
+            # the gradient roundtrips EXACTLY through the all-ones
+            # quant table — recomputed independently here
+            seed = 29 * (did % 3) + 5
+            assert pixels == bytes(
+                (7 * x + 3 * y + seed) % 256
+                for y in range(h)
+                for x in range(w)
+            )
+            assert r.px_sha256 == hashlib.sha256(pixels).hexdigest()
+            assert abs(r.px_mean - sum(pixels) / len(pixels)) < 1e-9
         else:
             saw_fake = True
             assert r.n_bytes == len(raw)
@@ -234,6 +255,7 @@ def test_multimodal_values_pinned(spark):
             assert r.mime == "application/x-fixture-text"
             assert r.sample_rate is None and r.rms is None
     assert saw_png and saw_gif and saw_wav and saw_avi and saw_fake
+    assert saw_jpeg
 
 
 # The canonical 1x1 transparent PNG (public standard bytes) — a complete,
@@ -346,13 +368,14 @@ def test_multimodal_frames_pinned(spark):
     rows = REGISTRY["q_multimodal_frames"].fn(spark, SF_SMOKE).collect()
     from correlationapi_spark.io import load_tables
     from correlationapi_spark.llm.multimodal import (
-        _FRAME_BYTES,
         _MAX_SAMPLES,
         AVI_VARIANTS,
         GIF_VARIANTS,
+        JPEG_VARIANTS,
         PNG_VARIANTS,
         WAV_VARIANTS,
         decode_image,
+        decode_jpeg_pixels,
         decode_png_pixels,
         decode_wav,
         parse_avi,
@@ -365,6 +388,7 @@ def test_multimodal_frames_pinned(spark):
             else PNG_VARIANTS[r.doc_id % 3] if r.doc_id % 10 == 0
             else WAV_VARIANTS[r.doc_id % 3] if r.doc_id % 10 == 7
             else AVI_VARIANTS[r.doc_id % 3] if r.doc_id % 10 == 3
+            else JPEG_VARIANTS[r.doc_id % 3] if r.doc_id % 10 == 9
             else r.text.encode()
         )
         for r in load_tables(spark, SF_SMOKE)["documents"].collect()
@@ -373,7 +397,20 @@ def test_multimodal_frames_pinned(spark):
     for r in rows:
         by_doc.setdefault(r.doc_id, []).append(r)
     assert set(by_doc) == set(docs)  # every doc sampled
-    saw_gif = saw_chunk = saw_png = saw_wav = saw_avi = False
+    # round 7: text payloads emit REAL pack_chunks_layout chunks — the
+    # independent recomputation is the GLOBAL running-sum layout over the
+    # text subset in doc_id order (ids unique, so the (doc_id, n_tok)
+    # total order degenerates to doc_id)
+    _CAP = 512
+    text_layout: dict[int, tuple[int, list[str]]] = {}
+    _off = 0
+    for did in sorted(docs):
+        if did % 10 in (0, 3, 5, 7, 9):
+            continue
+        toks = docs[did].decode().split(" ")
+        text_layout[did] = (_off, toks)
+        _off += len(toks)
+    saw_gif = saw_chunk = saw_png = saw_wav = saw_avi = saw_jpeg = False
     for did in list(docs)[:40]:
         data = docs[did]
         got = {r.frame_idx: r for r in by_doc[did]}
@@ -438,22 +475,36 @@ def test_multimodal_frames_pinned(spark):
                 want_rms = (sum(s * s for s in seg) / len(seg)) ** 0.5
                 assert abs(r.rms - want_rms) < 1e-5
                 assert r.frame_w is None and r.delay_cs is None
-        else:
+        elif did % 10 == 9:  # round 7: real baseline JPEG entropy decode
+            saw_jpeg = True
+            w, h, _, pixels = decode_jpeg_pixels(data)
+            (r,) = got.values()
+            assert r.kind == "jpeg-frame" and r.n_frames == 1
+            assert (r.frame_w, r.frame_h, r.delay_cs) == (w, h, None)
+            assert data[r.frame_off : r.frame_off + 2] == b"\xff\xda"
+            assert r.frame_sha256 == hashlib.sha256(pixels).hexdigest()
+        else:  # round 7: layout-derived 512-token chunks, not a stub
             saw_chunk = True
-            n = max(1, len(data) // _FRAME_BYTES)
+            off, toks = text_layout[did]
+            n_tok = len(toks)
+            first, last = off // _CAP, (off + n_tok - 1) // _CAP
+            n = last - first + 1
             stride = max(1, n // _MAX_SAMPLES)
-            want = {
-                idx: hashlib.sha256(
-                    data[idx * _FRAME_BYTES:(idx + 1) * _FRAME_BYTES]
+            assert set(got) == set(range(0, n, stride)), did
+            for rel, r in got.items():
+                chunk = first + rel
+                s = max(0, chunk * _CAP - off)
+                e = min(n_tok, (chunk + 1) * _CAP - off)
+                span = " ".join(toks[s:e])
+                assert r.kind == "text-chunk" and r.n_frames == n
+                assert r.frame_off == s
+                assert r.frame_sha256 == hashlib.sha256(
+                    span.encode()
                 ).hexdigest()
-                for idx in range(0, n, stride)
-            }
-            assert {i: r.frame_sha256 for i, r in got.items()} == want, did
-            for r in got.values():
-                assert r.kind == "chunk" and r.n_frames == n
                 assert r.frame_w is None and r.delay_cs is None
                 assert r.rms is None
     assert saw_gif and saw_chunk and saw_png and saw_wav and saw_avi
+    assert saw_jpeg
 
 
 def test_png_builder_and_decode_roundtrip():

@@ -51,6 +51,74 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_dedup_keep_best",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id,
+                   sha256(lower(trim(text))) AS content_hash,
+                   round(
+                     0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                            / len(string_split(text, ' ')))
+                     + 0.25 * (CASE WHEN len(string_split(text, ' ')) >= 20
+                               THEN 1.0 ELSE 0.0 END)
+                     + 0.25 * (CASE WHEN n_chars BETWEEN 100 AND 600
+                               THEN 1.0 ELSE 0.0 END),
+                     6) AS quality_score
+            FROM documents
+        ), ranked AS (
+            SELECT *,
+                   row_number() OVER (
+                       PARTITION BY content_hash
+                       ORDER BY quality_score DESC, doc_id
+                   ) AS rn,
+                   CAST(count(*) OVER (PARTITION BY content_hash) AS BIGINT)
+                       AS n_copies
+            FROM scored
+        )
+        SELECT doc_id, content_hash, quality_score, n_copies
+        FROM ranked WHERE rn = 1
+    """,
+    doc="Policy dedup (round 7): per exact-content cluster keep the "
+    "HIGHEST-QUALITY copy (q_text_quality's score), not the lowest id — "
+    "the survivor rule real corpus builds want.",
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_exact's survivor rule (lowest doc_id) is arbitrary; a
+    training-corpus build wants the best-formatted copy. Same ONE
+    shuffle on the content hash, but the keep-rank orders by the
+    lexical-diversity/length quality score (identical exact-int ratio
+    arithmetic on both engines, rounded to 6 dp BEFORE ranking so the
+    sort key IS the output column), doc_id tie-break. n_copies carries
+    the cluster size so downstream mixing can up-weight deduplicated
+    mass. rank<=1 compiles to WindowGroupLimit — per-task bounded heaps,
+    no second pass, same 100 TB posture as q_dedup_exact."""
+    t = load_tables(spark, sf_dir)
+    n_tokens = F.size(_toks())
+    n_unique = F.size(F.array_distinct(_toks()))
+    score = F.round(
+        0.5 * (n_unique.cast("double") / n_tokens)
+        + 0.25 * F.when(n_tokens >= 20, 1.0).otherwise(0.0)
+        + 0.25 * F.when(F.col("n_chars").between(100, 600), 1.0).otherwise(0.0),
+        6,
+    )
+    scored = t["documents"].select(
+        "doc_id",
+        F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("content_hash"),
+        score.alias("quality_score"),
+    )
+    w = Window.partitionBy("content_hash").orderBy(
+        F.desc("quality_score"), "doc_id"
+    )
+    wc = Window.partitionBy("content_hash")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count("*").over(wc))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "content_hash", "quality_score", "n_copies")
+    )
+
+
 def exact_duplicates(docs: DataFrame) -> DataFrame:
     """Parameterized exact-dedup engine (round 6 — the api.dedup()
     surface): over (doc_id, text) rows, normalize → sha256 → group on

@@ -335,6 +335,72 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASSIGN_ORACLE = """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        WHERE list_dot_product(embedding, embedding) > 0
+    ), c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
+    scored AS (
+        SELECT e.vec_id, c.cell,
+               list_dot_product(e.v, c.cv)
+               / sqrt(list_dot_product(e.v, e.v)
+                      * list_dot_product(c.cv, c.cv)) AS cos
+        FROM e CROSS JOIN c
+    )
+    SELECT vec_id, cell, round(cos, 6) AS cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, cell) AS rn
+        FROM scored WHERE NOT isnan(cos)
+    ) WHERE rn = 1
+"""
+
+
+@query(
+    "q_sim_assign",
+    oracle=_ASSIGN_ORACLE,
+    doc="Nearest-centroid assignment by cosine (round 7): the k-means "
+    "E-step / IVF cell-assignment primitive as an ORACLE-CHECKED key — "
+    "8 fixed centroids, every vector labeled with its best cell.",
+)
+def q_sim_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The assignment step every vector-partitioning scheme runs
+    (k-means E-step, IVF indexing, routing for sharded ANN) — declared
+    here with an exact oracle so the family's rows-only scale twins
+    (ivf_index/q_sim_topk_ivf) rest on an oracle-checked core. Shape:
+    the 8-row centroid side BROADCASTS into a nested-loop join (k
+    comparisons per row, embarrassingly parallel — no shuffle of the
+    corpus), squared norms precomputed once per row (guarded_cosine),
+    argmax via rank<=1 which compiles to WindowGroupLimit (bounded
+    per-task heaps). Zero-norm vectors are excluded on BOTH sides and
+    NaN cosines filtered, mirroring the q_sim_topk contract; ranking
+    uses the raw cosine (identical IEEE sequence on both engines) with
+    the cell id as tie-break, and the output rounds to 6 dp."""
+    t = load_tables(spark, sf_dir)
+    e = (
+        corpus_view(t["embeddings"], "vec_id", "embedding")
+        .select("vec_id", "v", dot(F.col("v"), F.col("v")).alias("_n2"))
+        .filter(F.col("_n2") > 0)
+    )
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"),
+        F.col("v").alias("cv"),
+        F.col("_n2").alias("_cn2"),
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cell",
+        guarded_cosine(
+            F.col("v"), F.col("cv"), F.col("_n2"), F.col("_cn2")
+        ).alias("_cos"),
+    ).filter(F.col("_cos").isNotNull() & ~F.isnan(F.col("_cos")))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_cos"), "cell")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell", F.round("_cos", 6).alias("cosine"))
+    )
+
+
 @query(
     "q_sim_topk_lsh",
     rows_only_reason="BucketedRandomProjectionLSH buckets depend on Spark's "

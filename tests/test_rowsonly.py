@@ -230,20 +230,34 @@ def test_multimodal_values_pinned(spark):
         elif did % 10 == 9:  # round 7: complete baseline JPEG, real
             saw_jpeg = True  # Huffman+IDCT pixel decode
             jpg = JPEG_VARIANTS[did % 3]
-            w, h, _, pixels = decode_jpeg_pixels(jpg)
+            w, h, nch, pixels = decode_jpeg_pixels(jpg)
             assert r.n_bytes == len(jpg)
             assert r.head_hex == jpg[:8].hex()
             assert (r.width, r.height, r.decoder) == (w, h, "jpeg-sof")
             assert (w, h) == ((16, 10, 20)[did % 3], (8, 14, 12)[did % 3])
             assert r.mime == "image/jpeg"
-            # the gradient roundtrips EXACTLY through the all-ones
-            # quant table — recomputed independently here
             seed = 29 * (did % 3) + 5
-            assert pixels == bytes(
-                (7 * x + 3 * y + seed) % 256
-                for y in range(h)
-                for x in range(w)
-            )
+            if did % 3 == 2:  # the color variant: YCbCr roundtrip is
+                # lossy (conversion rounding) but tightly bounded
+                from correlationapi_spark.llm.multimodal import (
+                    _jpeg_rgb_gradient,
+                )
+
+                assert nch == 3
+                rgb = _jpeg_rgb_gradient(w, h, seed)
+                flat = [v for row in rgb for p in row for v in p]
+                assert max(
+                    abs(a - b) for a, b in zip(pixels, flat)
+                ) <= 4
+            else:
+                # grayscale roundtrips EXACTLY through the all-ones
+                # quant table — recomputed independently here
+                assert nch == 1
+                assert pixels == bytes(
+                    (7 * x + 3 * y + seed) % 256
+                    for y in range(h)
+                    for x in range(w)
+                )
             assert r.px_sha256 == hashlib.sha256(pixels).hexdigest()
             assert abs(r.px_mean - sum(pixels) / len(pixels)) < 1e-9
         else:
@@ -1094,3 +1108,58 @@ def test_quarantine_edge_payloads_round7(spark):
     # escape the quarantine and kill it).
     assert meta[1].decoder == "png-ihdr" and meta[1].px_sha256 is None
     assert meta[1].px_mean is None
+
+
+def test_jpeg_builder_and_decode_roundtrip():
+    """build_jpeg emits a COMPLETE, VALID baseline-sequential JFIF: the
+    decoder (which reads quant AND Huffman tables from the stream)
+    recovers the generator's gradient EXACTLY for grayscale (all-ones
+    quant table), within a tight bound for 4:4:4 color (YCbCr
+    conversion rounding only), and corruption / unsupported shapes
+    raise ValueError rather than emitting garbage."""
+    import pytest as _pytest
+
+    from correlationapi_spark.llm.multimodal import (
+        _jpeg_rgb_gradient,
+        build_jpeg,
+        decode_jpeg_pixels,
+    )
+
+    # grayscale: exact roundtrip, including non-block-aligned dims
+    for (W, H, seed) in [(16, 8, 5), (10, 14, 34), (23, 9, 63)]:
+        w, h, ch, px = decode_jpeg_pixels(build_jpeg(W, H, seed))
+        assert (w, h, ch) == (W, H, 1)
+        assert px == bytes(
+            (7 * x + 3 * y + seed) % 256 for y in range(H) for x in range(W)
+        )
+
+    # color 4:4:4: decode != source only through the rounded YCbCr
+    # conversions; every channel within 4 LSB of the source gradient
+    for (W, H, seed) in [(16, 8, 11), (10, 14, 40)]:
+        w, h, ch, px = decode_jpeg_pixels(build_jpeg(W, H, seed, color=True))
+        assert (w, h, ch) == (W, H, 3)
+        flat = [
+            v for row in _jpeg_rgb_gradient(W, H, seed) for p in row for v in p
+        ]
+        assert len(px) == len(flat)
+        assert max(abs(a - b) for a, b in zip(px, flat)) <= 4
+
+    # determinism: same args -> same bytes -> same pixels
+    assert build_jpeg(16, 8, 5) == build_jpeg(16, 8, 5)
+
+    # corruption / unsupported shapes surface as ValueError
+    good = build_jpeg(16, 8, 5)
+    with _pytest.raises(ValueError):
+        decode_jpeg_pixels(good[: len(good) // 2])  # truncated scan
+    with _pytest.raises(ValueError):
+        decode_jpeg_pixels(b"\xff\xd8junk")  # no marker structure
+    progressive = bytearray(good)
+    sof_at = good.find(b"\xff\xc0")
+    progressive[sof_at + 1] = 0xC2  # SOF2: progressive
+    with _pytest.raises(ValueError):
+        decode_jpeg_pixels(bytes(progressive))
+    subsampled = bytearray(good)
+    # SOF0 payload: len(2) precision(1) h(2) w(2) nc(1) then id,samp,tq
+    subsampled[sof_at + 2 + 2 + 5 + 1 + 1] = 0x22  # 2x2 sampling
+    with _pytest.raises(ValueError):
+        decode_jpeg_pixels(bytes(subsampled))

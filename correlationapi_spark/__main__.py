@@ -135,7 +135,7 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--id", required=True, help="integer id column")
     dd.add_argument("--text", required=True, help="text column")
     dd.add_argument("--method", default="exact",
-                    choices=["exact", "ngram", "minhash"])
+                    choices=["exact", "keep_best", "ngram", "minhash"])
     dd.add_argument("--threshold", type=float, default=0.5,
                     help="ngram Jaccard threshold")
     dd.add_argument("--limit", type=int, default=1000,

@@ -1363,7 +1363,9 @@ class CorrelationAPI:
 
         ``method='exact'``: normalized-sha256 groups; each returned row
         is a non-survivor pointing at its deterministic canonical
-        (lowest id). ``'ngram'``: 3-shingle Jaccard pairs ≥ threshold
+        (lowest id); ``'keep_best'``: same clusters, but the canonical
+        is the HIGHEST-QUALITY copy (q_dedup_keep_best's survivor rule —
+        lexical-diversity/length score, id tie-break). ``'ngram'``: 3-shingle Jaccard pairs ≥ threshold
         via the inverted-index postings join (never all-pairs; the
         'auto' hot-shingle cap guards skewed corpora). ``'minhash'``:
         the sub-quadratic MinHash-LSH twin of ngram — same ≥ threshold
@@ -1379,6 +1381,10 @@ class CorrelationAPI:
             from .llm.dedup import exact_duplicates
 
             result = exact_duplicates(docs)
+        elif method == "keep_best":
+            from .llm.dedup import keep_best_duplicates
+
+            result = keep_best_duplicates(docs)
         elif method in ("ngram", "minhash"):
             if not 0.0 < threshold <= 1.0:
                 raise ValueError("threshold must be in (0, 1]")
@@ -1399,7 +1405,7 @@ class CorrelationAPI:
             result = pairs.select("doc_a", "doc_b", "jaccard")
         else:
             raise ValueError(
-                f"unknown method: {method!r} (exact|ngram|minhash)"
+                f"unknown method: {method!r} (exact|keep_best|ngram|minhash)"
             )
         # persist across the two actions (review r06: count + listing
         # re-ran the whole shingle/LSH/window plan twice — the _kendall
@@ -1407,7 +1413,7 @@ class CorrelationAPI:
         result = result.persist()
         try:
             total = result.count()
-            if method == "exact":
+            if method in ("exact", "keep_best"):
                 rows = result.orderBy("doc_id").limit(limit).collect()
                 listing = [
                     {"id": r.doc_id, "canonical_id": r.canonical_id}
@@ -1425,7 +1431,8 @@ class CorrelationAPI:
         return {
             "dataset": dataset, "id": id_col, "text": text_col,
             "method": method,
-            **({"threshold": threshold} if method != "exact" else {}),
+            **({"threshold": threshold}
+               if method in ("ngram", "minhash") else {}),
             "n_duplicates": total,
             "n_excluded": n_excluded,
             "truncated": total > len(listing),

@@ -24,7 +24,7 @@ container, and none is needed for a JSON-for-JSON contract:
        [&n_cells=][&n_probe=]     → top-k cosine neighbors per probe id
   POST /similar {"dataset","id","vector","query_vectors":[[...],…],…}
        → top-k neighbors of RAW embeddings (keys q0, q1, …)
-  GET  /dedup?dataset=&id=&text=[&method=exact|ngram|minhash][&threshold=]
+  GET  /dedup?dataset=&id=&text=[&method=exact|keep_best|ngram|minhash][&threshold=]
        [&limit=]                  → duplicate listing + engine-side totals
   GET  /pack?dataset=&id=&text=[&capacity=][&limit=][&tokenizer=ws|bpeish]
        → concat-and-chunk packing layout + corpus token/chunk totals

@@ -119,6 +119,37 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def keep_best_duplicates(docs: DataFrame) -> DataFrame:
+    """Parameterized keep-best dedup engine (round 7 — the api.dedup
+    'keep_best' method): q_dedup_keep_best's survivor rule over a
+    caller-chosen (doc_id, text) table. Non-survivors point at the
+    HIGHEST-QUALITY copy in their exact-content cluster (quality =
+    q_text_quality's score with n_chars computed as length(text), since
+    caller tables carry no precomputed char count; doc_id tie-break).
+    Output: (doc_id, canonical_id, content_hash) — the exact_duplicates
+    shape with a different canonical. One shuffle on the content hash."""
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    n_unique = F.size(F.array_distinct(toks))
+    score = (
+        0.5 * (n_unique.cast("double") / n_tokens)
+        + 0.25 * F.when(n_tokens >= 20, 1.0).otherwise(0.0)
+        + 0.25
+        * F.when(F.length(F.col("text")).between(100, 600), 1.0).otherwise(0.0)
+    )
+    scored = docs.select(
+        "doc_id",
+        F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("content_hash"),
+        F.round(score, 6).alias("_q"),
+    )
+    w = Window.partitionBy("content_hash").orderBy(F.desc("_q"), "doc_id")
+    return (
+        scored.withColumn("canonical_id", F.first("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("canonical_id"))
+        .select("doc_id", "canonical_id", "content_hash")
+    )
+
+
 def exact_duplicates(docs: DataFrame) -> DataFrame:
     """Parameterized exact-dedup engine (round 6 — the api.dedup()
     surface): over (doc_id, text) rows, normalize → sha256 → group on

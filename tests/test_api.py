@@ -890,6 +890,52 @@ def test_pack_chunks_layout_invariants(spark):
         expect_off += r.n_tok
 
 
+def test_dedup_keep_best_policy(spark):
+    """The fixture corpus has no exact duplicates (the oracle check on
+    q_dedup_keep_best exercises scoring but every cluster is a
+    singleton), so the POLICY — highest-quality copy survives — is
+    pinned here on synthetic duplicates: same normalized content,
+    different quality (one copy padded to the 100-600 char sweet spot,
+    one left short), plus a case-only duplicate pair."""
+    from correlationapi_spark.api import CorrelationAPI
+    from correlationapi_spark.llm.dedup import keep_best_duplicates
+
+    # 91 chars of diverse text: below the 100-char quality band
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho tau"
+    assert len(base) < 100
+    poor = "tiny doc"
+    rows = [
+        # cluster A: identical normalized text, identical raw length ->
+        # same quality -> the doc_id tie-break keeps the LOWEST id
+        (1, poor),
+        (2, poor.upper()),       # case difference normalizes away
+        # cluster B: same lower(trim()) content hash, but doc 11's RAW
+        # length(text) is padded into the 100-600 quality band while
+        # doc 10's is not — the HIGHER-id, higher-quality copy must
+        # survive, proving the rank is quality-first, not id order
+        (10, base),
+        (11, base + " " * 10),   # trim()s away for the hash, counts for len
+        # singleton
+        (20, "unique document " * 10),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.canonical_id for r in keep_best_duplicates(docs).collect()}
+    # equal-quality cluster: lowest id survives (ties break on doc_id)
+    assert out[2] == 1 and 1 not in out
+    # quality-differentiated cluster: the in-band copy wins despite the
+    # higher id
+    assert out[10] == 11 and 11 not in out
+    assert 20 not in out
+    # the SERVICE surface agrees end-to-end
+    api = CorrelationAPI(spark)
+    api.register_dataset("_kb", docs)
+    res = api.dedup("_kb", "doc_id", "text", method="keep_best")
+    assert res["method"] == "keep_best"
+    assert "threshold" not in res
+    assert res["n_duplicates"] == 2
+    assert {d["id"]: d["canonical_id"] for d in res["duplicates"]} == out
+
+
 def test_pack_bpeish_layout_and_tokenizer_param(spark):
     """Round 7: q_pack_bpeish uses the BPE-ish regex counter with a
     256-token capacity through the SAME layout engine; api.pack's

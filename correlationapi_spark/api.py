@@ -1486,8 +1486,9 @@ class CorrelationAPI:
                 F.max("last_chunk").alias("last_chunk"),
             ).collect()[0]
             rows = layout.orderBy("doc_id", "n_tok").limit(limit).collect()
-            # layout is row-preserving, so agg.n_docs == docs.count():
-            # one scan computes the exclusion count (review r06)
+            # one scan computes the exclusion count (review r06):
+            # docs_all - layout rows = NULL-id/NULL-text rows plus (round
+            # 7, bpeish only) zero-token docs the layout excludes
             n_excluded = docs_all.count() - int(agg.n_docs)
         finally:
             layout.unpersist()

@@ -445,8 +445,10 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_sim_topk_ivf",
     rows_only_reason="IVF cells come from seeded KMeans centroids — no "
-    "cross-engine oracle exists for the cell assignment. Unit tests "
-    "assert recall ≥ 0.6 of its top-k against the exact q_sim_topk at "
+    "cross-engine oracle exists for the cell assignment with LEARNED "
+    "centroids (the assignment primitive itself IS oracle-checked for "
+    "fixed centroids via q_sim_assign, round 7). Unit tests assert "
+    "recall ≥ 0.6 of its top-k against the exact q_sim_topk at "
     "fixture scale (and that every returned cosine is exact).",
     doc="ANN top-k via IVF: KMeans coarse quantizer → probe the n_probe "
     "nearest cells → exact cosine refine (the inverted-file scale path).",

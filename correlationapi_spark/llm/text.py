@@ -698,11 +698,18 @@ _PACK_CAPACITY = 512
 #    sum, diverging from global_running_sum's row semantics the moment a
 #    fixture repeats an id.
 def _pack_oracle(n_tok_sql: str, capacity: int) -> str:
-    """DuckDB oracle for pack_chunks_layout under any token counter."""
+    """DuckDB oracle for pack_chunks_layout under any token counter.
+
+    Zero-token documents are excluded (mirroring the engine): they span
+    no chunk, and their would-be last_chunk expression floor((off-1)/cap)
+    diverges across engines at off=0 (Spark floors to -1, DuckDB's //
+    truncates to 0). Whitespace counts can never be 0 (split('') is
+    ['']), but regex counters can (empty/whitespace-only text)."""
     return f"""
     WITH tok AS (
         SELECT doc_id, CAST({n_tok_sql} AS BIGINT) AS n_tok
         FROM documents
+        WHERE {n_tok_sql} > 0
     ), cum AS (
         SELECT doc_id, n_tok,
                CAST(sum(n_tok) OVER (
@@ -797,7 +804,12 @@ def pack_chunks_layout(
         raise ValueError("capacity must be >= 1")
     if n_tok is None:  # engine-portable default: whitespace counts
         n_tok = F.size(F.split(F.col("text"), " "))
-    tok = docs.select("doc_id", n_tok.cast("bigint").alias("n_tok"))
+    # zero-token docs span no chunk and are excluded (round 7 — the
+    # oracle mirrors this; see _pack_oracle's divergent-floor note).
+    # They contribute 0 to the running sum, so no other offset moves.
+    tok = docs.select(
+        "doc_id", n_tok.cast("bigint").alias("n_tok")
+    ).filter(F.col("n_tok") > 0)
     # order by (doc_id, n_tok), not doc_id alone (review r06 second
     # pass): global_running_sum demands a TOTAL order. The output rows
     # carry only (doc_id, n_tok), so rows tied on BOTH keys are

@@ -463,3 +463,51 @@ def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n.price").alias("new_price"),
         )
     )
+
+
+_EVENT_PATH_ORACLE = """
+    WITH seq AS (
+        SELECT user_id, event_type AS e1,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1, e2, e3, count(*) AS n_paths
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY e1, e2, e3
+    ORDER BY n_paths DESC, e1, e2, e3
+    LIMIT 10
+"""
+
+
+@query(
+    "q_event_path",
+    oracle=_EVENT_PATH_ORACLE,
+    doc="Path mining (round 7): top-10 most frequent 3-step event "
+    "sequences across user journeys (lead-window trigrams).",
+)
+def q_event_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'what do users do next' query every product-analytics stack
+    ships: per-user event trigrams via two lead() calls over ONE
+    per-user window (a single shuffle on user_id; both leads share the
+    sort), then a count-per-path aggregate and a top-10. The (ts,
+    event_id) window order is the repo's total-order rule for the
+    events table — sub-µs components don't exist in the fixture (the
+    io.py nanos note), and event_id breaks exact-timestamp ties the
+    same way on both engines. n_paths is count(*) (bigint everywhere);
+    the top-10 frontier tie-breaks on the full path triple."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .filter(F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count("*").alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "e1", "e2", "e3")
+        .limit(10)
+    )

@@ -436,3 +436,180 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(20)
     )
+
+
+@query(
+    "q_tpch_q7",
+    oracle=f"""
+        SELECT ns.n_name AS supp_nation,
+               nc.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+               {oracle_revenue_sum("l.l_extendedprice", "l.l_discount")} AS revenue
+        FROM lineitem l
+        JOIN orders o    ON o.o_orderkey = l.l_orderkey
+        JOIN customer c  ON c.c_custkey  = o.o_custkey
+        JOIN supplier s  ON s.s_suppkey  = l.l_suppkey
+        JOIN nation ns   ON ns.n_nationkey = s.s_nationkey
+        JOIN nation nc   ON nc.n_nationkey = c.c_nationkey
+        WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+            OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 shape: volume shipping between two nations per year — "
+    "the nation dimension plays BOTH roles (supplier side and customer "
+    "side) in one plan.",
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role-playing dimensions: nation joins twice under different
+    aliases — the aliasing must keep the two broadcast joins distinct
+    (a naive reuse would collapse them). The symmetric nation-pair OR
+    filter is applied AFTER both nation joins, where it prunes to the
+    two ordered pairs; all four dimension joins broadcast (nation 25
+    rows, supplier/customer fixture-small; at 100 TB supplier/customer
+    become shuffle joins via AQE while the two nation broadcasts stay).
+    Revenue uses exact cents (numerics.py rule 2); year() agrees across
+    engines on the parquet-stored timestamp."""
+    t = load_tables(spark, sf_dir)
+    ns = t["nation"].select(
+        F.col("n_nationkey").alias("_ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = t["nation"].select(
+        F.col("n_nationkey").alias("_nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01 00:00:00")))
+        )
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(ns), F.col("_ns_key") == F.col("s_nationkey"))
+        .join(F.broadcast(nc), F.col("_nc_key") == F.col("c_nationkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("l_year")
+        )
+        .agg(exact_money_sum(revenue_cents(), 10000.0).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q_tpch_q15",
+    oracle=f"""
+        WITH rev AS (
+            SELECT l.l_suppkey AS suppkey,
+                   {oracle_revenue_sum("l.l_extendedprice", "l.l_discount")} AS total_revenue
+            FROM lineitem l
+            WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l.l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+            GROUP BY l.l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM supplier s
+        JOIN rev r ON r.suppkey = s.s_suppkey
+        WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+        ORDER BY s.s_suppkey
+    """,
+    doc="TPC-H Q15 shape: top supplier(s) by a quarter's revenue — "
+    "a reused aggregate (the classic CREATE VIEW) consumed twice: once "
+    "for the max, once for the equality probe.",
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The revenue aggregate is one logical subtree consumed twice (the
+    max side and the row probe). Spark RECOMPUTES it — the executed plan
+    shows two lineitem scans (verified: no ReusedExchange even under
+    AQE, because the two consumers aggregate differently above the
+    exchange) — which is exactly what the original Q15's CREATE VIEW
+    exists to avoid: at 100 TB you materialize rev first
+    (persist/CTAS — the api layer's persist-around-actions pattern) and
+    both consumers read the ~#suppliers-row result. Both scans carry
+    the same pushed quarter filter and 4-column ReadSchema, so the
+    fixture-scale exhibit stays cheap. The equality probe on revenue is
+    safe ONLY because revenue is exact-cents arithmetic (numerics.py
+    rule 2): bit-identical on both engines, so 'equals the max' selects
+    the same supplier set — with a float sum this query would be
+    nondeterministic at the boundary. s_suppkey orders the (rare)
+    ties."""
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-04-01 00:00:00")))
+        )
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(exact_money_sum(revenue_cents(), 10000.0).alias("total_revenue"))
+    )
+    best = rev.agg(F.max("total_revenue").alias("_best"))
+    return (
+        rev.join(F.broadcast(best), F.col("total_revenue") == F.col("_best"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q_tpch_q19",
+    oracle="""
+        SELECT CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount*100) AS BIGINT)))
+                    AS DOUBLE) / 10000.0 AS revenue,
+               count(*) AS n_items
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 20)
+           OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+               AND l.l_quantity BETWEEN 10 AND 35)
+           OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+               AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+    doc="TPC-H Q19 shape: disjunctive brand/size/quantity predicates "
+    "across the part join — the OR-of-ANDs pushdown exhibit.",
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs across two tables: Catalyst cannot push the whole
+    disjunction to either scan, but it DOES derive and push the
+    single-table residuals (the brand/size envelope to part, the
+    quantity envelope to lineitem) before the join — the optimization
+    this key exists to pin. Revenue in exact cents; count stays bigint
+    on both engines."""
+    t = load_tables(spark, sf_dir)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 35)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return (
+        t["lineitem"]
+        .join(t["part"], F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            exact_money_sum(revenue_cents(), 10000.0).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )

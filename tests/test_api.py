@@ -975,6 +975,32 @@ def test_pack_bpeish_layout_and_tokenizer_param(spark):
         api.pack("_packb", "doc_id", "text", tokenizer="wordpiece")
 
 
+def test_pack_layout_excludes_zero_token_docs(spark):
+    """Round-7 edge: the BPE-ish counter (unlike whitespace split, which
+    maps '' to ['']) yields 0 tokens for empty/whitespace-only text, and
+    a zero-token row's last_chunk expression floor((off-1)/cap) floors
+    to -1 in Spark but truncates to 0 under DuckDB's // at off=0 — so
+    zero-token docs are excluded from the layout on BOTH engines. They
+    contribute nothing to the running sum; other offsets must tile."""
+    from pyspark.sql import functions as F
+
+    from correlationapi_spark.llm.text import pack_chunks_layout
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "real words here now"), (2, "   "), (3, "more real text")],
+        "doc_id long, text string",
+    )
+    bpeish = F.size(
+        F.regexp_extract_all(
+            F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0
+        )
+    )
+    out = pack_chunks_layout(docs, 4, n_tok=bpeish).orderBy("doc_id").collect()
+    assert [r.doc_id for r in out] == [1, 3]
+    assert out[0].off == 0 and out[1].off == out[0].n_tok
+    assert all(r.n_chunks >= 1 for r in out)
+
+
 def test_global_running_sum_matches_sequential(spark):
     """ordering.global_running_sum must equal a driver-side cumsum for
     any partitioning: random values over many input partitions, a total

@@ -119,6 +119,53 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_dedup_incremental",
+    oracle="""
+        WITH hashed AS (
+            SELECT doc_id, sha256(lower(trim(text))) AS content_hash,
+                   (doc_id % 7 = 0) AS is_batch
+            FROM documents
+        ), corpus AS (
+            SELECT DISTINCT content_hash FROM hashed WHERE NOT is_batch
+        )
+        SELECT b.doc_id, b.content_hash
+        FROM hashed b
+        WHERE b.is_batch
+          AND b.content_hash NOT IN (SELECT content_hash FROM corpus)
+        ORDER BY b.doc_id
+    """,
+    doc="Incremental-ingest dedup (round 7): a new batch (doc_id%7==0) "
+    "anti-joined on content hash against the historical corpus — only "
+    "never-seen documents survive into the next training snapshot.",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-crawl shape: dedup is rarely a one-shot global job —
+    each incoming batch is screened against everything already ingested.
+    Expressed as a LEFT ANTI join on the content hash (one shuffle; at
+    100 TB the historical side is a bucketed hash table or a Bloom
+    pre-filter feeding this exact plan — the anti-join IS the exact
+    fallback either way). The batch/corpus split is a deterministic
+    hash-style predicate on doc_id so both engines carve identical
+    sides. Survivors keep their hash so the caller can append them to
+    the corpus index without recomputing it."""
+    t = load_tables(spark, sf_dir)
+    hashed = t["documents"].select(
+        "doc_id",
+        F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("content_hash"),
+        (F.col("doc_id") % 7 == 0).alias("is_batch"),
+    )
+    batch = hashed.filter(F.col("is_batch")).select("doc_id", "content_hash")
+    corpus = (
+        hashed.filter(~F.col("is_batch")).select("content_hash").distinct()
+    )
+    return (
+        batch.join(corpus, "content_hash", "left_anti")
+        .select("doc_id", "content_hash")
+        .orderBy("doc_id")
+    )
+
+
 def keep_best_duplicates(docs: DataFrame) -> DataFrame:
     """Parameterized keep-best dedup engine (round 7 — the api.dedup
     'keep_best' method): q_dedup_keep_best's survivor rule over a

@@ -463,3 +463,78 @@ def test_durbin_levinson_matches_toeplitz_solve(rho_raw):
         assert pacf[k - 1] == pytest.approx(
             round(float(want), 6), abs=2e-6, rel=1e-6
         )
+
+
+_pack_docs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),   # doc_id — DUPLICATES allowed
+        st.integers(min_value=0, max_value=40),   # token count (0 = excluded)
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(docs=_pack_docs, capacity=st.integers(min_value=1, max_value=17))
+@_settings
+def test_pack_layout_matches_sequential_reference(spark, docs, capacity):
+    """pack_chunks_layout == a driver-side sequential packer for ANY
+    (doc_id, n_tok) multiset — duplicate ids, zero-token docs, arbitrary
+    capacities. The engine's total order is (doc_id, n_tok) asc; rows
+    tied on BOTH keys are interchangeable, so the comparison is on the
+    sorted layout multiset (round 7: zero-token docs emit no row)."""
+    from correlationapi_spark.llm.text import pack_chunks_layout
+
+    # synthesize text whose whitespace token count == n_tok (n_tok >= 1)
+    # and drive the counter column directly for n_tok == 0
+    df = spark.createDataFrame(docs, "doc_id long, n_tok long")
+    out = pack_chunks_layout(
+        df.selectExpr("doc_id", "n_tok", "'' as text"),
+        capacity,
+        n_tok=F.col("n_tok"),
+    )
+    got = sorted(
+        (r.doc_id, r.n_tok, r.off, r.first_chunk, r.last_chunk, r.n_chunks)
+        for r in out.collect()
+    )
+    want = []
+    off = 0
+    for doc_id, n_tok in sorted(docs, key=lambda t: (t[0], t[1])):
+        if n_tok == 0:
+            continue
+        first = off // capacity
+        last = (off + n_tok - 1) // capacity
+        want.append((doc_id, n_tok, off, first, last, last - first + 1))
+        off += n_tok
+    assert got == sorted(want)
+
+
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.integers(min_value=-5, max_value=5),
+            st.floats(min_value=-5, max_value=5, allow_nan=False, width=32),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@_settings
+def test_comparator_type_strict_on_random_frames(spark, vals):
+    """The type-strict comparator accepts a frame against itself and
+    rejects the same VALUES with int<->float class flips (the r6
+    q_pack_chunks driver-hash failure mode, generalized)."""
+    import pandas as pd
+
+    from correlationapi_spark.testing import compare_frames
+
+    a = pd.DataFrame({"x": vals})
+    assert compare_frames("t", a, a.copy()).ok
+    if any(isinstance(v, int) for v in vals):
+        flipped = pd.DataFrame(
+            {"x": [float(v) if isinstance(v, int) else v for v in vals]}
+        )
+        # flipping every int to float must fail unless the column was
+        # already float-typed (pandas may coerce mixed lists)
+        if str(a["x"].dtype) != str(flipped["x"].dtype):
+            assert not compare_frames("t", a, flipped).ok

@@ -1163,3 +1163,78 @@ def test_jpeg_builder_and_decode_roundtrip():
     subsampled[sof_at + 2 + 2 + 5 + 1 + 1] = 0x22  # 2x2 sampling
     with _pytest.raises(ValueError):
         decode_jpeg_pixels(bytes(subsampled))
+
+
+def test_decoder_resource_guards_round7():
+    """Hostile-input guards (round-7 review): a corrupt SOF/IHDR can
+    declare 65535²-pixel dims, and a tiny IDAT can be a decompression
+    bomb — either would OOM the worker BELOW the entropy-decode checks,
+    and MemoryError escapes the ValueError quarantine. Both decoders
+    must refuse loudly instead."""
+    import zlib
+
+    import pytest as _pytest
+
+    from correlationapi_spark.llm.multimodal import (
+        build_jpeg,
+        decode_jpeg_pixels,
+        decode_png_pixels,
+    )
+
+    good = build_jpeg(16, 8, 5)
+    huge = bytearray(good)
+    at = good.find(b"\xff\xc0")
+    huge[at + 5 : at + 7] = (60000).to_bytes(2, "big")
+    huge[at + 7 : at + 9] = (60000).to_bytes(2, "big")
+    with _pytest.raises(ValueError, match="decode cap"):
+        decode_jpeg_pixels(bytes(huge))
+    zero = bytearray(good)
+    zero[at + 5 : at + 7] = (0).to_bytes(2, "big")
+    with _pytest.raises(ValueError, match="zero dimension"):
+        decode_jpeg_pixels(bytes(zero))
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            len(payload).to_bytes(4, "big") + ctype + payload
+            + zlib.crc32(ctype + payload).to_bytes(4, "big")
+        )
+
+    ihdr = (10).to_bytes(4, "big") + (10).to_bytes(4, "big") + bytes(
+        [8, 2, 0, 0, 0]
+    )
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 10_000_000, 9))
+        + chunk(b"IEND", b"")
+    )
+    # the 10 MB inflate is CAPPED at expected+1 bytes, then refused —
+    # never materialized
+    with _pytest.raises(ValueError, match="inflated length mismatch"):
+        decode_png_pixels(bomb)
+    big_ihdr = (1 << 15).to_bytes(4, "big") * 2 + bytes([8, 2, 0, 0, 0])
+    big = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", big_ihdr)
+        + chunk(b"IDAT", zlib.compress(b"x"))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="decode cap"):
+        decode_png_pixels(big)
+
+    # GIF: the LZW output cap fires before a hostile stream inflates
+    # past the frame size (~2700x worst-case amplification)
+    from correlationapi_spark.llm.multimodal import build_gif, decode_gif_pixels
+
+    gif = build_gif(1, 120, 120, 1)  # one 14400-pixel frame
+    frames = __import__(
+        "correlationapi_spark.llm.multimodal", fromlist=["parse_gif"]
+    ).parse_gif(gif)[2]
+    at = frames[0]["off"]  # image descriptor
+    bad = bytearray(gif)
+    # shrink the declared frame to 1x1: the (previously valid) LZW
+    # stream now emits 14400 pixels against a 1-pixel frame — the
+    # amplification cap must refuse before materializing them
+    bad[at + 5 : at + 9] = (1).to_bytes(2, "little") * 2
+    with _pytest.raises(ValueError, match="exceeds frame size"):
+        decode_gif_pixels(bytes(bad))

@@ -534,3 +534,70 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@query(
+    "q_join_bucketed",
+    oracle="""
+        SELECT o.o_orderkey, o.o_custkey, c.c_name, o.o_totalprice
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE o.o_orderkey < 1000
+    """,
+    doc="Bucketed co-located join (round 7): both sides written "
+    "CLUSTERED BY the join key into the same bucket count — the join "
+    "runs with NO exchange on either side (canaried), the layout that "
+    "makes repeated 100 TB fact-dim joins shuffle-free.",
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketing is THE pre-shuffle: pay the hash-distribution once at
+    write time (bucketBy(8, key) + saveAsTable), and every subsequent
+    equi-join on that key skips both exchanges — Spark trusts the
+    HashPartitioning reported by the bucketed scan. The physical plan
+    for this key contains a SortMergeJoin with ZERO Exchange operators
+    (tests/test_plans.py pins it); at 100 TB this is the difference
+    between re-shuffling the fact table on every query and never
+    shuffling it again. External-table writes (explicit option("path"))
+    keep the warehouse dir out of the contract — the driver's session
+    has an arbitrary static warehouse conf we must not depend on.
+    Values are ordinary join output, fully oracle-checked."""
+    t = load_tables(spark, sf_dir)
+    for name in ("correlationapi_b_orders", "correlationapi_b_customer"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        t["orders"]
+        .write.mode("overwrite")
+        .format("parquet")
+        .option("path", _bucket_dir("orders"))
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .saveAsTable("correlationapi_b_orders")
+    )
+    (
+        t["customer"]
+        .write.mode("overwrite")
+        .format("parquet")
+        .option("path", _bucket_dir("customer"))
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .saveAsTable("correlationapi_b_customer")
+    )
+    # hint("merge"): at fixture scale AQE would broadcast the small side
+    # (hiding the point); the bucketed layout's win IS the shuffle-free
+    # SortMergeJoin, which is exactly what a 100 TB fact-fact join runs
+    return (
+        spark.table("correlationapi_b_orders")
+        .filter(F.col("o_orderkey") < 1000)
+        .hint("merge")
+        .join(
+            spark.table("correlationapi_b_customer"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
+    )
+
+
+def _bucket_dir(tag: str) -> str:
+    import tempfile
+
+    return tempfile.mkdtemp(prefix=f"correlationapi_bucket_{tag}_")

@@ -417,3 +417,16 @@ def test_pack_bpeish_no_single_partition_data_window(spark):
     # tiny totals table through a single-partition exchange
     assert "Scan ExistingRDD" in plan
     assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """q_join_bucketed's whole point: both sides CLUSTERED BY the join
+    key into 8 buckets → the SortMergeJoin consumes the bucketed scans'
+    HashPartitioning directly — ZERO Exchange operators anywhere in the
+    plan (shuffle or broadcast). A regression here (bucket-count
+    mismatch, dropped sortBy, bucketing read disabled) re-shuffles the
+    fact table on every join at 100 TB."""
+    plan = plan_of(spark, "q_join_bucketed")
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    assert "Bucketed: true" in plan

@@ -126,13 +126,15 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id, sha256(lower(trim(text))) AS content_hash,
                    (doc_id % 7 = 0) AS is_batch
             FROM documents
+            WHERE text IS NOT NULL
         ), corpus AS (
             SELECT DISTINCT content_hash FROM hashed WHERE NOT is_batch
         )
         SELECT b.doc_id, b.content_hash
         FROM hashed b
         WHERE b.is_batch
-          AND b.content_hash NOT IN (SELECT content_hash FROM corpus)
+          AND NOT EXISTS (SELECT 1 FROM corpus c
+                          WHERE c.content_hash = b.content_hash)
         ORDER BY b.doc_id
     """,
     doc="Incremental-ingest dedup (round 7): a new batch (doc_id%7==0) "
@@ -150,10 +152,19 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides. Survivors keep their hash so the caller can append them to
     the corpus index without recomputing it."""
     t = load_tables(spark, sf_dir)
-    hashed = t["documents"].select(
-        "doc_id",
-        F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("content_hash"),
-        (F.col("doc_id") % 7 == 0).alias("is_batch"),
+    # NULL text is filtered explicitly (not fixture-reliant): a NULL
+    # hash in the corpus would empty a NOT IN oracle (three-valued
+    # logic) while Spark's anti join keeps NULL-key probe rows — the
+    # two engines' NULL semantics must never be load-bearing here. The
+    # oracle mirrors with WHERE text IS NOT NULL + NOT EXISTS.
+    hashed = (
+        t["documents"]
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("content_hash"),
+            (F.col("doc_id") % 7 == 0).alias("is_batch"),
+        )
     )
     batch = hashed.filter(F.col("is_batch")).select("doc_id", "content_hash")
     corpus = (

@@ -23,6 +23,7 @@ Commands:
             [--method exact|ivf] [--n-cells N] [--n-probe N]
   dedup     --data PATH --id COL --text COL
             [--method exact|ngram|minhash] [--threshold T] [--limit N]
+  assign    --data PATH --id COL --vector COL --centroids 0,1,2 [--limit N]
   pack      --data PATH --id COL --text COL [--capacity N] [--limit N] [--tokenizer ws|bpeish]
   serve     [--host H] [--port P]             # REST listener (http_api.py)
   query     --key q_name [--sf-dir DIR]      # run a declared inventory key
@@ -141,6 +142,17 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--limit", type=int, default=1000,
                     help="max listed duplicates (totals stay exact)")
 
+    asn = sub.add_parser(
+        "assign", help="nearest-centroid cosine assignment over an (id, vector) table"
+    )
+    add_data(asn)
+    asn.add_argument("--id", required=True, help="integer id column")
+    asn.add_argument("--vector", required=True, help="embedding array column")
+    asn.add_argument("--centroids", required=True,
+                     help="comma-separated centroid row ids")
+    asn.add_argument("--limit", type=int, default=1000,
+                     help="max listed assignments (totals stay exact)")
+
     pk = sub.add_parser(
         "pack", help="concat-and-chunk packing layout over an (id, text) table"
     )
@@ -237,6 +249,12 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "dedup":
             res = api.dedup("ds", args.id, args.text, method=args.method,
                             threshold=args.threshold, limit=args.limit)
+        elif args.cmd == "assign":
+            res = api.assign(
+                "ds", args.id, args.vector,
+                centroid_ids=[int(x) for x in args.centroids.split(",") if x],
+                limit=args.limit,
+            )
         elif args.cmd == "pack":
             res = api.pack("ds", args.id, args.text,
                            capacity=args.capacity, limit=args.limit,

@@ -1349,6 +1349,53 @@ class CorrelationAPI:
         )
         return docs_all, docs
 
+    def assign(
+        self,
+        dataset: str,
+        id_col: str,
+        vector_col: str,
+        centroid_ids: list[int],
+        limit: int = 1000,
+    ) -> dict[str, Any]:
+        """Nearest-centroid assignment over a caller-chosen
+        (id, embedding-array) table — the parameterized twin of
+        q_sim_assign (round 7). Centroids are rows of the dataset
+        itself, chosen by id; every non-zero-norm vector is labeled with
+        its best cell by cosine (the k-means E-step / shard-routing
+        primitive). Returns per-cell counts computed engine-side plus a
+        ``limit``-bounded assignment listing — totals stay exact when
+        the listing truncates."""
+        from .llm.similarity import corpus_view, nearest_centroid_assign
+
+        if limit < 1:
+            raise ValueError("limit must be >= 1")
+        if not centroid_ids:
+            raise ValueError("centroid_ids must be non-empty")
+        corpus = corpus_view(self._get(dataset), id_col, vector_col)
+        assigned = nearest_centroid_assign(corpus, centroid_ids).persist()
+        try:
+            cells = {
+                int(r.cell): int(r.n)
+                for r in assigned.groupBy("cell")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            total = sum(cells.values())
+            rows = assigned.orderBy("vec_id").limit(limit).collect()
+        finally:
+            assigned.unpersist()
+        return {
+            "dataset": dataset, "id": id_col, "vector": vector_col,
+            "centroid_ids": [int(c) for c in centroid_ids],
+            "n_assigned": total,
+            "cells": cells,
+            "truncated": total > len(rows),
+            "assignments": [
+                {"id": r.vec_id, "cell": r.cell, "cosine": r.cosine}
+                for r in rows
+            ],
+        }
+
     def dedup(
         self,
         dataset: str,

@@ -26,6 +26,8 @@ container, and none is needed for a JSON-for-JSON contract:
        → top-k neighbors of RAW embeddings (keys q0, q1, …)
   GET  /dedup?dataset=&id=&text=[&method=exact|keep_best|ngram|minhash][&threshold=]
        [&limit=]                  → duplicate listing + engine-side totals
+  GET  /assign?dataset=&id=&vector=&centroids=0,1,2[&limit=]
+       → nearest-centroid cosine assignment + per-cell counts
   GET  /pack?dataset=&id=&text=[&capacity=][&limit=][&tokenizer=ws|bpeish]
        → concat-and-chunk packing layout + corpus token/chunk totals
        (round 6: the LLM operators are parameterized service calls, not
@@ -169,6 +171,15 @@ def _route(api: CorrelationAPI, method: str, path: str,
             query["dataset"], query["id"], query["text"],
             method=query.get("method", "exact"),
             threshold=float(query.get("threshold", 0.5)),
+            limit=int(query.get("limit", 1000)),
+        )
+    if method == "GET" and path == "/assign":
+        for req in ("dataset", "id", "vector", "centroids"):
+            if req not in query:
+                raise ValueError(f"missing query parameter {req!r}")
+        return 200, api.assign(
+            query["dataset"], query["id"], query["vector"],
+            centroid_ids=[int(x) for x in query["centroids"].split(",") if x],
             limit=int(query.get("limit", 1000)),
         )
     if method == "GET" and path == "/pack":

@@ -355,6 +355,41 @@ _ASSIGN_ORACLE = """
 """
 
 
+def nearest_centroid_assign(
+    corpus: DataFrame, centroid_ids: list[int]
+) -> DataFrame:
+    """Parameterized nearest-centroid engine (round 7 — the api.assign()
+    service surface and q_sim_assign's core): label every non-zero-norm
+    corpus row with its best centroid by cosine. Centroids are rows of
+    the corpus itself, chosen by id — the k-row centroid table
+    broadcasts, each row does k guarded-cosine comparisons map-side (no
+    corpus shuffle), argmax via rank<=1 (WindowGroupLimit). Output:
+    (vec_id, cell, cosine) with cosine rounded to 6 dp."""
+    if not centroid_ids:
+        raise ValueError("centroid_ids must be non-empty")
+    e = corpus.select(
+        "vec_id", "v", dot(F.col("v"), F.col("v")).alias("_n2")
+    ).filter(F.col("_n2") > 0)
+    cents = e.filter(F.col("vec_id").isin(list(centroid_ids))).select(
+        F.col("vec_id").alias("cell"),
+        F.col("v").alias("cv"),
+        F.col("_n2").alias("_cn2"),
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cell",
+        guarded_cosine(
+            F.col("v"), F.col("cv"), F.col("_n2"), F.col("_cn2")
+        ).alias("_cos"),
+    ).filter(F.col("_cos").isNotNull() & ~F.isnan(F.col("_cos")))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_cos"), "cell")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell", F.round("_cos", 6).alias("cosine"))
+    )
+
+
 @query(
     "q_sim_assign",
     oracle=_ASSIGN_ORACLE,
@@ -376,28 +411,8 @@ def q_sim_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses the raw cosine (identical IEEE sequence on both engines) with
     the cell id as tie-break, and the output rounds to 6 dp."""
     t = load_tables(spark, sf_dir)
-    e = (
-        corpus_view(t["embeddings"], "vec_id", "embedding")
-        .select("vec_id", "v", dot(F.col("v"), F.col("v")).alias("_n2"))
-        .filter(F.col("_n2") > 0)
-    )
-    cents = e.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cell"),
-        F.col("v").alias("cv"),
-        F.col("_n2").alias("_cn2"),
-    )
-    scored = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "cell",
-        guarded_cosine(
-            F.col("v"), F.col("cv"), F.col("_n2"), F.col("_cn2")
-        ).alias("_cos"),
-    ).filter(F.col("_cos").isNotNull() & ~F.isnan(F.col("_cos")))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("_cos"), "cell")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cell", F.round("_cos", 6).alias("cosine"))
+    return nearest_centroid_assign(
+        corpus_view(t["embeddings"], "vec_id", "embedding"), list(range(8))
     )
 
 

@@ -1176,3 +1176,26 @@ def test_pack_duplicate_ids_deterministic(spark):
     assert r1["n_tokens"] == 6 and r1["n_chunks"] == 2
     offs = sorted(d["off"] for d in r1["documents"])
     assert offs == [0, 2, 5]  # (1,"d e") before (1,"a b c") by n_tok
+
+
+def test_assign_service(spark):
+    """api.assign (round 7): per-cell counts + listing agree with the
+    declared q_sim_assign key when given the same centroid set."""
+    from correlationapi_spark.api import CorrelationAPI
+
+    api = CorrelationAPI(spark)
+    api.register_dataset(
+        "_asn", spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    )
+    res = api.assign("_asn", "vec_id", "embedding", centroid_ids=list(range(8)))
+    key_rows = {
+        r.vec_id: (r.cell, r.cosine)
+        for r in REGISTRY["q_sim_assign"].fn(spark, SF_SMOKE).collect()
+    }
+    assert res["n_assigned"] == len(key_rows)
+    assert sum(res["cells"].values()) == res["n_assigned"]
+    for a in res["assignments"][:50]:
+        cell, cos = key_rows[a["id"]]
+        assert (a["cell"], a["cosine"]) == (cell, cos)
+    with pytest.raises(ValueError):
+        api.assign("_asn", "vec_id", "embedding", centroid_ids=[])

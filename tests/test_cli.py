@@ -171,3 +171,14 @@ def test_cli_pack(spark, capsys):
     assert rc == 0 and res["capacity"] == 256
     assert res["n_chunks"] * 256 >= res["n_tokens"]
     assert len(res["documents"]) == 3
+
+
+def test_cli_assign(spark, capsys):
+    rc, res = _run(capsys, [
+        "assign", "--data", os.path.join(SF_SMOKE, "embeddings.parquet"),
+        "--id", "vec_id", "--vector", "embedding",
+        "--centroids", "0,1,2", "--limit", "4",
+    ])
+    assert rc == 0 and res["centroid_ids"] == [0, 1, 2]
+    assert sum(res["cells"].values()) == res["n_assigned"] > 0
+    assert len(res["assignments"]) == 4

@@ -355,3 +355,27 @@ def test_pack_route(base_url, spark):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(f"{base_url}/pack?dataset=docs&id=doc_id&text=text&capacity=0")
     assert e.value.code == 400
+
+
+def test_assign_route(base_url, spark):
+    """/assign (round 7): per-cell counts sum to n_assigned, every
+    listed cell is one of the requested centroids, and a missing
+    centroids param is a 400."""
+    _post(
+        f"{base_url}/datasets/emb",
+        {"path": os.path.join(SF_SMOKE, "embeddings.parquet")},
+    )
+    status, res = _get(
+        f"{base_url}/assign?dataset=emb&id=vec_id&vector=embedding"
+        "&centroids=0,1,2,3&limit=5"
+    )
+    assert status == 200
+    assert sum(res["cells"].values()) == res["n_assigned"] > 0
+    assert set(map(int, res["cells"])) <= {0, 1, 2, 3}
+    assert len(res["assignments"]) == 5 and res["truncated"]
+    for a in res["assignments"]:
+        assert a["cell"] in (0, 1, 2, 3) and -1.0 <= a["cosine"] <= 1.0
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{base_url}/assign?dataset=emb&id=vec_id&vector=embedding")
+    assert e.value.code == 400

@@ -22,7 +22,7 @@ Commands:
             --query-vector f,f,... [repeatable]) [--k N]
             [--method exact|ivf] [--n-cells N] [--n-probe N]
   dedup     --data PATH --id COL --text COL
-            [--method exact|ngram|minhash] [--threshold T] [--limit N]
+            [--method exact|keep_best|ngram|minhash] [--threshold T] [--limit N]
   assign    --data PATH --id COL --vector COL --centroids 0,1,2 [--limit N]
   pack      --data PATH --id COL --text COL [--capacity N] [--limit N] [--tokenizer ws|bpeish]
   serve     [--host H] [--port P]             # REST listener (http_api.py)

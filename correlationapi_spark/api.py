@@ -1514,10 +1514,14 @@ class CorrelationAPI:
             raise ValueError("limit must be >= 1")
         if tokenizer not in ("ws", "bpeish"):
             raise ValueError("tokenizer must be 'ws' or 'bpeish'")
+        # the counter column must reference the _docs_view PROJECTION's
+        # column name ('text'), not the caller's raw name — review r07:
+        # F.col(text_col) raised UNRESOLVED_COLUMN for any text column
+        # not literally named 'text'
         n_tok = (
             F.size(
                 F.regexp_extract_all(
-                    F.col(text_col), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0
+                    F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0
                 )
             )
             if tokenizer == "bpeish"

@@ -13,6 +13,8 @@ AQE's runtime switch and skew-split). What this module contributes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -598,6 +600,13 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bucket_dir(tag: str) -> str:
+    # FIXED path, not mkdtemp (review r07: a fresh dir per invocation
+    # leaked two full table copies into /tmp on every run — sweeps and
+    # benches run this key dozens of times). mode("overwrite") replaces
+    # the previous layout in place; runs are serial in both the driver
+    # and pytest.
     import tempfile
 
-    return tempfile.mkdtemp(prefix=f"correlationapi_bucket_{tag}_")
+    return os.path.join(
+        tempfile.gettempdir(), f"correlationapi_bucket_{tag}"
+    )

@@ -1199,3 +1199,19 @@ def test_assign_service(spark):
         assert (a["cell"], a["cosine"]) == (cell, cos)
     with pytest.raises(ValueError):
         api.assign("_asn", "vec_id", "embedding", centroid_ids=[])
+
+
+def test_pack_bpeish_on_renamed_text_column(spark):
+    """Review r07 regression: the bpeish counter must be built on the
+    _docs_view projection's 'text' column, not the caller's raw column
+    name — a dataset whose text column isn't literally named 'text'
+    used to raise UNRESOLVED_COLUMN (HTTP 500)."""
+    from correlationapi_spark.api import CorrelationAPI
+
+    api = CorrelationAPI(spark)
+    df = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").withColumnRenamed(
+        "text", "body"
+    )
+    api.register_dataset("_renamed", df)
+    res = api.pack("_renamed", "doc_id", "body", capacity=256, tokenizer="bpeish")
+    assert res["tokenizer"] == "bpeish" and res["n_tokens"] > 0

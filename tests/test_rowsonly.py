@@ -1238,3 +1238,20 @@ def test_decoder_resource_guards_round7():
     bad[at + 5 : at + 9] = (1).to_bytes(2, "little") * 2
     with _pytest.raises(ValueError, match="exceeds frame size"):
         decode_gif_pixels(bytes(bad))
+
+
+def test_jpeg_truncated_segments_quarantine():
+    """Review r07 regression: truncated-but-marker-valid SOF0/SOS
+    segments raised IndexError, which escapes the ValueError-only
+    quarantine and kills the decode fleet. All must raise ValueError."""
+    import pytest as _pytest
+
+    from correlationapi_spark.llm.multimodal import decode_jpeg_pixels
+
+    for bad in (
+        b"\xff\xd8\xff\xc0\x00\x02\xff\xd9",                # empty SOF0
+        b"\xff\xd8\xff\xda\x00\x02\xff\xd9",                # empty SOS
+        b"\xff\xd8\xff\xc0\x00\x05\x08\x00\x10\xff\xd9",    # SOF0 cut short
+    ):
+        with _pytest.raises(ValueError):
+            decode_jpeg_pixels(bad)

@@ -1372,6 +1372,28 @@ class CorrelationAPI:
         if not centroid_ids:
             raise ValueError("centroid_ids must be non-empty")
         corpus = corpus_view(self._get(dataset), id_col, vector_col)
+        # validate the centroid set up front (review r07, confirmed
+        # live: a typo'd id silently vanished and every vector routed
+        # among the REMAINING cells — a wrong partitioning with no
+        # error). One pushdown-filtered scan of k ids; zero-norm
+        # centroids are invalid for the same reason the engine skips
+        # them (no direction).
+        from .llm.similarity import dot as _dot
+
+        usable = {
+            r.vec_id
+            for r in corpus.filter(
+                F.col("vec_id").isin(list(centroid_ids))
+            )
+            .select("vec_id", _dot(F.col("v"), F.col("v")).alias("_n2"))
+            .filter(F.col("_n2") > 0)
+            .collect()
+        }
+        missing = sorted(set(int(c) for c in centroid_ids) - usable)
+        if missing:
+            raise ValueError(
+                f"unknown or zero-norm centroid ids: {missing}"
+            )
         assigned = nearest_centroid_assign(corpus, centroid_ids).persist()
         try:
             cells = {
@@ -1381,7 +1403,10 @@ class CorrelationAPI:
                 .collect()
             }
             total = sum(cells.values())
-            rows = assigned.orderBy("vec_id").limit(limit).collect()
+            # (vec_id, cell): duplicate caller ids each keep their row
+            # (engine contract since review r07) — the cell tiebreak
+            # keeps the truncated listing deterministic
+            rows = assigned.orderBy("vec_id", "cell").limit(limit).collect()
         finally:
             assigned.unpersist()
         return {

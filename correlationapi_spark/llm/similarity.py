@@ -367,9 +367,17 @@ def nearest_centroid_assign(
     (vec_id, cell, cosine) with cosine rounded to 6 dp."""
     if not centroid_ids:
         raise ValueError("centroid_ids must be non-empty")
+    # the argmax window partitions by a ROW-unique synthetic id, not
+    # vec_id (review r07, confirmed live: duplicate caller ids silently
+    # merged — two distinct vectors sharing an id returned ONE
+    # assignment). Each row's argmax is a pure function of its vector,
+    # so the output multiset stays deterministic under any _rid
+    # assignment; duplicate vec_ids simply each keep their row.
     e = corpus.select(
         "vec_id", "v", dot(F.col("v"), F.col("v")).alias("_n2")
-    ).filter(F.col("_n2") > 0)
+    ).filter(F.col("_n2") > 0).withColumn(
+        "_rid", F.monotonically_increasing_id()
+    )
     cents = e.filter(F.col("vec_id").isin(list(centroid_ids))).select(
         F.col("vec_id").alias("cell"),
         F.col("v").alias("cv"),
@@ -377,12 +385,13 @@ def nearest_centroid_assign(
     )
     scored = e.crossJoin(F.broadcast(cents)).select(
         "vec_id",
+        "_rid",
         "cell",
         guarded_cosine(
             F.col("v"), F.col("cv"), F.col("_n2"), F.col("_cn2")
         ).alias("_cos"),
     ).filter(F.col("_cos").isNotNull() & ~F.isnan(F.col("_cos")))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("_cos"), "cell")
+    w = Window.partitionBy("_rid").orderBy(F.desc("_cos"), "cell")
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

@@ -599,14 +599,20 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bucket_dir(tag: str) -> str:
-    # FIXED path, not mkdtemp (review r07: a fresh dir per invocation
-    # leaked two full table copies into /tmp on every run — sweeps and
-    # benches run this key dozens of times). mode("overwrite") replaces
-    # the previous layout in place; runs are serial in both the driver
-    # and pytest.
-    import tempfile
+#: per-process bucket dirs: mkdtemp ONCE (0700, collision-free — the
+#: review-r07 second pass flagged that a fixed predictable /tmp name
+#: loses mkdtemp's per-user isolation and enables symlink pre-creation
+#: on shared hosts), then REUSED for every subsequent invocation via
+#: mode("overwrite") so repeated sweeps/benches don't leak table copies
+#: (the first-pass finding).
+_BUCKET_DIRS: dict[str, str] = {}
 
-    return os.path.join(
-        tempfile.gettempdir(), f"correlationapi_bucket_{tag}"
-    )
+
+def _bucket_dir(tag: str) -> str:
+    path = _BUCKET_DIRS.get(tag)
+    if path is None or not os.path.isdir(path):
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix=f"correlationapi_bucket_{tag}_")
+        _BUCKET_DIRS[tag] = path
+    return path

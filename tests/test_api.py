@@ -1215,3 +1215,29 @@ def test_pack_bpeish_on_renamed_text_column(spark):
     api.register_dataset("_renamed", df)
     res = api.pack("_renamed", "doc_id", "body", capacity=256, tokenizer="bpeish")
     assert res["tokenizer"] == "bpeish" and res["n_tokens"] > 0
+
+
+def test_assign_duplicate_ids_and_missing_centroids(spark):
+    """Review r07 (both confirmed live): duplicate caller ids must EACH
+    keep their assignment (the argmax window partitions by a row-unique
+    synthetic id, not vec_id), and a centroid id absent from the
+    dataset — or zero-norm — must raise instead of silently routing
+    every vector among the remaining cells."""
+    from correlationapi_spark.api import CorrelationAPI
+
+    api = CorrelationAPI(spark)
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (5, [1.0, 0.1]), (5, [0.1, 1.0]),
+         (9, [0.0, 0.0])],  # zero-norm row: excluded, and invalid as centroid
+        "vec_id long, embedding array<double>",
+    )
+    api.register_dataset("_dupasn", df)
+    res = api.assign("_dupasn", "vec_id", "embedding", centroid_ids=[0, 1])
+    assert res["n_assigned"] == 4  # zero-norm row excluded, dups kept
+    assert sorted(
+        a["cell"] for a in res["assignments"] if a["id"] == 5
+    ) == [0, 1]
+    with pytest.raises(ValueError, match="99"):
+        api.assign("_dupasn", "vec_id", "embedding", centroid_ids=[0, 99])
+    with pytest.raises(ValueError, match="9"):  # zero-norm centroid
+        api.assign("_dupasn", "vec_id", "embedding", centroid_ids=[0, 9])

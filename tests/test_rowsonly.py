@@ -1147,6 +1147,29 @@ def test_jpeg_builder_and_decode_roundtrip():
     # determinism: same args -> same bytes -> same pixels
     assert build_jpeg(16, 8, 5) == build_jpeg(16, 8, 5)
 
+    # drift canary (review r07): the frames route re-walks the marker
+    # stream to locate SOS (the decoder computes but discards the
+    # offset) — pin that the independently-walked offset lands on a
+    # real SOS marker for every fixture, so the two walks can't
+    # silently desynchronize
+    from correlationapi_spark.llm.multimodal import JPEG_VARIANTS
+
+    for jpg in JPEG_VARIANTS:
+        p = 2
+        sos = -1
+        while p + 4 <= len(jpg):
+            if jpg[p] != 0xFF:
+                break
+            m = jpg[p + 1]
+            if m == 0xFF:
+                p += 1
+                continue
+            if m == 0xDA:
+                sos = p
+                break
+            p += 2 + int.from_bytes(jpg[p + 2 : p + 4], "big")
+        assert sos > 0 and jpg[sos : sos + 2] == b"\xff\xda"
+
     # corruption / unsupported shapes surface as ValueError
     good = build_jpeg(16, 8, 5)
     with _pytest.raises(ValueError):

@@ -613,3 +613,91 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+@query(
+    "q_tpch_q8",
+    oracle="""
+        WITH vol AS (
+            SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(round(l.l_extendedprice*100) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount*100) AS BIGINT)) AS units,
+                   ns.n_name AS supp_nation
+            FROM lineitem l
+            JOIN orders o   ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey  = o.o_custkey
+            JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+            JOIN region r   ON r.r_regionkey  = nc.n_regionkey
+            JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+            JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+            JOIN part p     ON p.p_partkey  = l.l_partkey
+            WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+        )
+        SELECT o_year,
+               round(CAST(sum(CASE WHEN supp_nation = 'NATION_5'
+                                   THEN units ELSE 0 END) AS DOUBLE)
+                     / CAST(sum(units) AS DOUBLE), 6) AS mkt_share
+        FROM vol
+        GROUP BY o_year
+        ORDER BY o_year
+    """,
+    doc="TPC-H Q8 shape: one nation's market share of a region's "
+    "part-type volume per year — the deepest star join in the suite "
+    "(7 tables, nation role-played twice) feeding a conditional ratio.",
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seven-table star with nation joined twice (customer side routes
+    through region for the market filter, supplier side labels the
+    share numerator). All five dimension joins broadcast at fixture
+    scale; at 100 TB customer/supplier flip to shuffle joins under AQE
+    while region/nation stay broadcast, and the part-type filter prunes
+    the probe before the first shuffle. The share is a conditional
+    ratio of exact integer 1e-4-dollar units summed through
+    decimal(38,0) on the Spark side and HUGEINT in DuckDB — both exact,
+    both cast to double from the same integers, one division, 6 dp
+    (numerics.py rules 2+3)."""
+    t = load_tables(spark, sf_dir)
+    nc = t["nation"].select(
+        F.col("n_nationkey").alias("_nc_key"),
+        F.col("n_regionkey").alias("_nc_region"),
+    )
+    ns = t["nation"].select(
+        F.col("n_nationkey").alias("_ns_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    units = revenue_cents()
+    vol = (
+        t["lineitem"]
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nc), F.col("_nc_key") == F.col("c_nationkey"))
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("r_regionkey") == F.col("_nc_region"),
+        )
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(ns), F.col("_ns_key") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_type") == "STANDARD")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            units.alias("units"),
+            "supp_nation",
+        )
+    )
+    nation_units = F.when(F.col("supp_nation") == "NATION_5", F.col("units")).otherwise(
+        F.lit(0)
+    )
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(nation_units.cast("decimal(38,0)")).cast("double")
+                / F.sum(F.col("units").cast("decimal(38,0)")).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )

@@ -701,3 +701,122 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+@query(
+    "q_tpch_q13",
+    oracle="""
+        WITH per_cust AS (
+            SELECT c.c_custkey,
+                   CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+            FROM customer c
+            LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey
+        )
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM per_cust
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 shape: customer distribution by order count — the "
+    "double-aggregate (count per entity, then histogram of the counts), "
+    "zero-order customers included via the outer join.",
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical double-aggregate: the first groupBy shuffles on the
+    entity key (orders' o_custkey — customers with no orders survive the
+    LEFT join with count 0, the point of the shape), the second shuffles
+    the ~|distinct counts| intermediate, which is tiny at any scale. At
+    100 TB the first aggregate is the whole cost and it is one
+    partial/final pass; count(o_orderkey) counts only matched rows, so
+    no-order customers land in the c_count=0 bucket identically on both
+    engines."""
+    t = load_tables(spark, sf_dir)
+    per_cust = (
+        t["customer"]
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "q_tpch_q22",
+    oracle="""
+        WITH cents AS (
+            SELECT c_custkey, c_nationkey,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+            FROM customer
+        ), pos AS (
+            SELECT CAST(sum(bal_cents) AS DOUBLE) AS total,
+                   CAST(count(*) AS DOUBLE) AS n
+            FROM cents WHERE bal_cents > 0
+        )
+        SELECT c.c_nationkey,
+               CAST(count(*) AS BIGINT) AS numcust,
+               round(sum(CAST(c.bal_cents AS DOUBLE)) / 100.0, 2) AS totacctbal
+        FROM cents c, pos
+        WHERE c.bal_cents * pos.n > pos.total
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >=
+                                TIMESTAMP '1999-01-01 00:00:00')
+        GROUP BY c.c_nationkey
+        ORDER BY c.c_nationkey
+    """,
+    doc="TPC-H Q22 shape: RECENTLY-INACTIVE customers (no order since "
+    "1999) with above-average balance, per nation (adapted: nation key "
+    "stands in for the phone country code; every fixture customer has "
+    "ordered at least once, so strict never-ordered is vacuous) — "
+    "scalar-average threshold + anti join, with the average comparison "
+    "done in EXACT integer cents.",
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic 'above the average' filter is a float trap: avg() is
+    a sum whose accumulation order differs across engines, so a balance
+    equal to the average within 1 ulp could flip membership. The
+    comparison here is restated in exact integers —
+    bal_cents * n_positive > total_positive_cents — algebraically
+    identical to bal > avg, bit-identical on both engines (n as double
+    is exact below 2^53; the product stays on exact doubles). The
+    1-row (total, n) aggregate broadcasts into the scan filter, the
+    anti join on date-filtered orders removes recently-active
+    customers (the date predicate pushes to the orders scan), and the
+    per-nation aggregate is partial/final. At 100 TB: one orders
+    shuffle (anti join), one customer scan, nothing else."""
+    t = load_tables(spark, sf_dir)
+    cents_col = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    cust = t["customer"].select(
+        "c_custkey", "c_nationkey", cents_col.alias("bal_cents")
+    )
+    pos = cust.filter(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").cast("double").alias("_total"),
+        F.count("*").cast("double").alias("_n"),
+    )
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(F.col("bal_cents") * F.col("_n") > F.col("_total"))
+        .join(
+            t["orders"]
+            .filter(
+                F.col("o_orderdate")
+                >= F.to_timestamp(F.lit("1999-01-01 00:00:00"))
+            )
+            .select("o_custkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(
+                F.sum(F.col("bal_cents").cast("double")) / 100.0, 2
+            ).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )

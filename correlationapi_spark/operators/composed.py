@@ -820,3 +820,66 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "q_tpch_q17",
+    oracle="""
+        WITH pq AS (
+            SELECT l_partkey,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lineitem
+            GROUP BY l_partkey
+        )
+        SELECT round(CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT))
+                          AS DOUBLE) / 100.0 / 7.0, 6) AS avg_yearly,
+               CAST(count(*) AS BIGINT) AS n_small
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN pq    ON pq.l_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#3'
+          AND CAST(l.l_quantity AS BIGINT) * 5 * pq.n < pq.s
+    """,
+    doc="TPC-H Q17 shape: small-quantity-order revenue for one brand — "
+    "the correlated per-part average threshold restated in exact "
+    "integers (qty * 5 * n < sum_qty, i.e. qty < 0.2 * avg) so "
+    "membership never flips on float division.",
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated scalar subquery (avg quantity PER PART) decorrelates
+    to a per-part aggregate joined back on the part key — one extra
+    aggregate over the same shuffle key the main join already uses, the
+    standard Spark decorrelation. The 0.2*avg threshold is the same
+    float trap as Q22's: quantities are integer-valued, so
+    qty < 0.2 * (s/n)  ⟺  qty * 5 * n < s  in EXACT int64 arithmetic —
+    identical membership on both engines, no division anywhere near the
+    filter. Revenue sums exact cents (order-independent integer sums);
+    the one /100/7 division and the 6 dp round happen once, on both
+    engines, from the same exact integer."""
+    t = load_tables(spark, sf_dir)
+    qty = F.col("l_quantity").cast("bigint")
+    pq = (
+        t["lineitem"]
+        .groupBy(F.col("l_partkey").alias("_pk"))
+        .agg(F.sum(qty).alias("_s"), F.count("*").alias("_n"))
+    )
+    return (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_brand") == "Brand#3")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(pq, F.col("_pk") == F.col("l_partkey"))
+        .filter(qty * 5 * F.col("_n") < F.col("_s"))
+        .agg(
+            F.round(
+                F.sum(cents("l_extendedprice").cast("decimal(38,0)"))
+                .cast("double")
+                / 100.0
+                / 7.0,
+                6,
+            ).alias("avg_yearly"),
+            F.count("*").alias("n_small"),
+        )
+    )

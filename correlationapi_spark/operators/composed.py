@@ -414,7 +414,10 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     double — identical bits on both engines — so the top-20 frontier
     can't disagree; o_orderkey tie-breaks."""
     t = load_tables(spark, sf_dir)
-    qty = F.col("l_quantity").cast("bigint")
+    # round-to-nearest THEN cast (review r07): DuckDB CAST(double AS
+    # BIGINT) rounds, Spark cast() truncates — equal only while the
+    # fixture keeps quantities integer-valued; pin the semantics instead
+    qty = F.round(F.col("l_quantity"), 0).cast("bigint")
     qualifying = (
         t["lineitem"]
         .groupBy("l_orderkey")
@@ -668,6 +671,14 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     units = revenue_cents()
     vol = (
         t["lineitem"]
+        # the ~6x-selective part-type broadcast prunes the probe BEFORE
+        # any shuffle (review r07: Catalyst does not reorder joins
+        # without CBO stats, so source order IS the plan order — joining
+        # part last pushed the full lineitem through every shuffle)
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_type") == "STANDARD")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
         .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
         .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(nc), F.col("_nc_key") == F.col("c_nationkey"))
@@ -677,10 +688,6 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(ns), F.col("_ns_key") == F.col("s_nationkey"))
-        .join(
-            F.broadcast(t["part"].filter(F.col("p_type") == "STANDARD")),
-            F.col("p_partkey") == F.col("l_partkey"),
-        )
         .select(
             F.year("o_orderdate").cast("bigint").alias("o_year"),
             units.alias("units"),
@@ -782,20 +789,26 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal to the average within 1 ulp could flip membership. The
     comparison here is restated in exact integers —
     bal_cents * n_positive > total_positive_cents — algebraically
-    identical to bal > avg, bit-identical on both engines (n as double
-    is exact below 2^53; the product stays on exact doubles). The
+    identical to bal > avg and bit-identical on both engines AT ANY
+    SCALE WHERE THE PRODUCT STAYS BELOW 2^53 (bal_cents ≤ ~1e7 cents
+    leaves room for ~1e9 customers; review r07: beyond that the double
+    product itself rounds, and the comparison would need decimal
+    arithmetic on both sides — recorded here rather than overclaimed).
+    _total sums through decimal(38,0) per numerics.py's scale-safe-sum
+    rule before the one exact-below-2^53 cast to double. The
     1-row (total, n) aggregate broadcasts into the scan filter, the
     anti join on date-filtered orders removes recently-active
     customers (the date predicate pushes to the orders scan), and the
     per-nation aggregate is partial/final. At 100 TB: one orders
     shuffle (anti join), one customer scan, nothing else."""
     t = load_tables(spark, sf_dir)
-    cents_col = F.round(F.col("c_acctbal") * 100, 0).cast("long")
     cust = t["customer"].select(
-        "c_custkey", "c_nationkey", cents_col.alias("bal_cents")
+        "c_custkey", "c_nationkey", cents("c_acctbal").alias("bal_cents")
     )
     pos = cust.filter(F.col("bal_cents") > 0).agg(
-        F.sum("bal_cents").cast("double").alias("_total"),
+        F.sum(F.col("bal_cents").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("_total"),
         F.count("*").cast("double").alias("_n"),
     )
     return (
@@ -858,7 +871,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one /100/7 division and the 6 dp round happen once, on both
     engines, from the same exact integer."""
     t = load_tables(spark, sf_dir)
-    qty = F.col("l_quantity").cast("bigint")
+    qty = F.round(F.col("l_quantity"), 0).cast("bigint")  # see q18 note
     pq = (
         t["lineitem"]
         .groupBy(F.col("l_partkey").alias("_pk"))

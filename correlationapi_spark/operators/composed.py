@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_tables
 from ..numerics import cents, exact_money_sum, oracle_revenue_sum, revenue_cents
+from ..ordering import materialize
 from ..registry import query
 
 
@@ -384,14 +385,15 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q18",
     oracle="""
         SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
-               CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+               CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT)
+                   AS sum_qty
         FROM customer c
         JOIN orders o   ON o.o_custkey  = c.c_custkey
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         WHERE o.o_orderkey IN (
             SELECT l_orderkey FROM lineitem
             GROUP BY l_orderkey
-            HAVING sum(CAST(l_quantity AS BIGINT)) > 300
+            HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 300
         )
         GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
         ORDER BY o.o_totalprice DESC, o.o_orderkey
@@ -414,9 +416,10 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     double — identical bits on both engines — so the top-20 frontier
     can't disagree; o_orderkey tie-breaks."""
     t = load_tables(spark, sf_dir)
-    # round-to-nearest THEN cast (review r07): DuckDB CAST(double AS
-    # BIGINT) rounds, Spark cast() truncates — equal only while the
-    # fixture keeps quantities integer-valued; pin the semantics instead
+    # round-to-nearest THEN cast, on BOTH engines (ADVICE r07): the
+    # oracle says CAST(round(l_quantity) AS BIGINT) so DuckDB rounds
+    # half-away-from-zero exactly like F.round — semantics pinned even
+    # on exact .5 quantities, not just integer-valued fixtures
     qty = F.round(F.col("l_quantity"), 0).cast("bigint")
     qualifying = (
         t["lineitem"]
@@ -530,15 +533,16 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The revenue aggregate is one logical subtree consumed twice (the
-    max side and the row probe). Spark RECOMPUTES it — the executed plan
-    shows two lineitem scans (verified: no ReusedExchange even under
-    AQE, because the two consumers aggregate differently above the
-    exchange) — which is exactly what the original Q15's CREATE VIEW
-    exists to avoid: at 100 TB you materialize rev first
-    (persist/CTAS — the api layer's persist-around-actions pattern) and
-    both consumers read the ~#suppliers-row result. Both scans carry
-    the same pushed quarter filter and 4-column ReadSchema, so the
-    fixture-scale exhibit stays cheap. The equality probe on revenue is
+    max side and the row probe). Left alone, Spark RECOMPUTES it — two
+    full lineitem scans, no ReusedExchange even under AQE, because the
+    two consumers aggregate differently above the exchange — which is
+    exactly what the original Q15's CREATE VIEW exists to avoid. Round
+    8: ``rev`` is pinned with ordering.materialize() (lazy
+    localCheckpoint), so both consumers read the same ~#suppliers-row
+    RDD and lineitem is scanned ONCE (plan canary:
+    tests/test_plans.py::test_q15_materialized_scans_lineitem_once;
+    measured bytes-read evidence in SCALING.md "Materialized reuse").
+    The equality probe on revenue is
     safe ONLY because revenue is exact-cents arithmetic (numerics.py
     rule 2): bit-identical on both engines, so 'equals the max' selects
     the same supplier set — with a float sum this query would be
@@ -554,6 +558,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("suppkey"))
         .agg(exact_money_sum(revenue_cents(), 10000.0).alias("total_revenue"))
     )
+    rev = materialize(rev)
     best = rev.agg(F.max("total_revenue").alias("_best"))
     return (
         rev.join(F.broadcast(best), F.col("total_revenue") == F.col("_best"))
@@ -840,7 +845,8 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH pq AS (
             SELECT l_partkey,
-                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS s,
                    CAST(count(*) AS BIGINT) AS n
             FROM lineitem
             GROUP BY l_partkey
@@ -852,7 +858,7 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN part p ON p.p_partkey = l.l_partkey
         JOIN pq    ON pq.l_partkey = l.l_partkey
         WHERE p.p_brand = 'Brand#3'
-          AND CAST(l.l_quantity AS BIGINT) * 5 * pq.n < pq.s
+          AND CAST(round(l.l_quantity) AS BIGINT) * 5 * pq.n < pq.s
     """,
     doc="TPC-H Q17 shape: small-quantity-order revenue for one brand — "
     "the correlated per-part average threshold restated in exact "
@@ -869,11 +875,29 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical membership on both engines, no division anywhere near the
     filter. Revenue sums exact cents (order-independent integer sums);
     the one /100/7 division and the 6 dp round happen once, on both
-    engines, from the same exact integer."""
+    engines, from the same exact integer.
+
+    Scale note (round 8): the decorrelated per-part aggregate is PRUNED
+    by a broadcast left-semi join against the Brand#3 partkey set BEFORE
+    the groupBy. The per-part average depends only on that part's own
+    rows, and only Brand#3 parts are ever probed downstream, so grouping
+    the other ~2/3 of lineitem is pure waste — at 100 TB it is a
+    full-table aggregate feeding a filter that discards most of it. With
+    the semi-join below the aggregate, both lineitem branches are
+    brand-pruned before their first shuffle (plan canary:
+    tests/test_plans.py::test_q17_semi_join_below_aggregate)."""
     t = load_tables(spark, sf_dir)
     qty = F.round(F.col("l_quantity"), 0).cast("bigint")  # see q18 note
+    brand_keys = t["part"].filter(F.col("p_brand") == "Brand#3").select(
+        "p_partkey"
+    )
     pq = (
         t["lineitem"]
+        .join(
+            F.broadcast(brand_keys),
+            F.col("p_partkey") == F.col("l_partkey"),
+            "left_semi",
+        )
         .groupBy(F.col("l_partkey").alias("_pk"))
         .agg(F.sum(qty).alias("_s"), F.count("*").alias("_n"))
     )

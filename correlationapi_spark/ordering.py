@@ -111,3 +111,32 @@ def global_running_sum(
         .withColumn(alias, F.col("_off") + F.col("_run_in"))
         .drop("_pid", "_run_in", "_off")
     )
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Pin a multi-consumer subtree so it is computed exactly ONCE — the
+    engine-side equivalent of TPC-H Q15's ``CREATE VIEW revenue``.
+
+    Catalyst's ReuseExchange only dedupes *identical* physical subtrees;
+    two consumers that aggregate or project differently above the same
+    expensive aggregate (Q15's max side vs its equality-probe side) each
+    recompute it from the scan — at 100 TB that is a second full pass
+    over the fact table for a result that is only ~#groups rows. A lazy
+    ``localCheckpoint`` collapses the subtree to one RDD: every consumer
+    references the same blocks, the DAG scheduler runs the producing
+    stage once, and lineage truncation makes silent re-evaluation (with
+    possibly different shuffle-sampling, see module docstring)
+    impossible.
+
+    Lazy (``eager=False``) so declaring a query stays action-free; the
+    pin materializes at first action, executor-local MEMORY_AND_DISK.
+    On a real cluster the same call is the right shape — blocks live on
+    executors, not the driver — with the caveat that executor loss fails
+    the job deterministically instead of recomputing; for cross-job /
+    cross-session reuse, write the result out (CTAS) instead.
+
+    Evidence (round 8): tools/q15_scan_evidence.py measures local-FS
+    bytes read with and without this pin on q_tpch_q15's shape — see
+    SCALING.md "Materialized reuse".
+    """
+    return df.localCheckpoint(eager=False)

@@ -1403,10 +1403,16 @@ class CorrelationAPI:
                 .collect()
             }
             total = sum(cells.values())
-            # (vec_id, cell): duplicate caller ids each keep their row
-            # (engine contract since review r07) — the cell tiebreak
-            # keeps the truncated listing deterministic
-            rows = assigned.orderBy("vec_id", "cell").limit(limit).collect()
+            # (vec_id, cell, cosine): duplicate caller ids each keep
+            # their row (engine contract since review r07); cosine joins
+            # the tiebreak (ADVICE r07) because duplicate ids can map
+            # two DISTINCT vectors to the same cell — without it the
+            # limit boundary could pick different rows across runs
+            rows = (
+                assigned.orderBy("vec_id", "cell", "cosine")
+                .limit(limit)
+                .collect()
+            )
         finally:
             assigned.unpersist()
         return {

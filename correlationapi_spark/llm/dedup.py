@@ -82,6 +82,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Policy dedup (round 7): per exact-content cluster keep the "
     "HIGHEST-QUALITY copy (q_text_quality's score), not the lowest id — "
     "the survivor rule real corpus builds want.",
+    bench=True,
 )
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_dedup_exact's survivor rule (lowest doc_id) is arbitrary; a

@@ -759,6 +759,7 @@ _PACK_BPEISH_ORACLE = _pack_oracle(
     "concat-and-chunk engine as q_pack_chunks driven by the BPE-ish "
     "regex token counter instead of whitespace counts, 256-token chunks "
     "— the budget a real pretraining dataloader packs against.",
+    bench=True,
 )
 def q_pack_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pack_chunks_layout is parameterized on the token counter

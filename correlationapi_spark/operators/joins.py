@@ -564,7 +564,7 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     has an arbitrary static warehouse conf we must not depend on.
     Values are ordinary join output, fully oracle-checked."""
     t = load_tables(spark, sf_dir)
-    for name in ("correlationapi_b_orders", "correlationapi_b_customer"):
+    for name in (_bucket_table("orders"), _bucket_table("customer")):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
     (
         t["orders"]
@@ -573,7 +573,7 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("path", _bucket_dir("orders"))
         .bucketBy(8, "o_custkey")
         .sortBy("o_custkey")
-        .saveAsTable("correlationapi_b_orders")
+        .saveAsTable(_bucket_table("orders"))
     )
     (
         t["customer"]
@@ -582,17 +582,17 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("path", _bucket_dir("customer"))
         .bucketBy(8, "c_custkey")
         .sortBy("c_custkey")
-        .saveAsTable("correlationapi_b_customer")
+        .saveAsTable(_bucket_table("customer"))
     )
     # hint("merge"): at fixture scale AQE would broadcast the small side
     # (hiding the point); the bucketed layout's win IS the shuffle-free
     # SortMergeJoin, which is exactly what a 100 TB fact-fact join runs
     return (
-        spark.table("correlationapi_b_orders")
+        spark.table(_bucket_table("orders"))
         .filter(F.col("o_orderkey") < 1000)
         .hint("merge")
         .join(
-            spark.table("correlationapi_b_customer"),
+            spark.table(_bucket_table("customer")),
             F.col("c_custkey") == F.col("o_custkey"),
         )
         .select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
@@ -604,15 +604,35 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: loses mkdtemp's per-user isolation and enables symlink pre-creation
 #: on shared hosts), then REUSED for every subsequent invocation via
 #: mode("overwrite") so repeated sweeps/benches don't leak table copies
-#: (the first-pass finding).
+#: (the first-pass finding). Removed at interpreter exit (ADVICE r07:
+#: they held full parquet copies of orders/customer and accumulated in
+#: /tmp across processes).
 _BUCKET_DIRS: dict[str, str] = {}
+
+
+def _cleanup_bucket_dirs() -> None:
+    import shutil
+
+    for path in _BUCKET_DIRS.values():
+        shutil.rmtree(path, ignore_errors=True)
+    _BUCKET_DIRS.clear()
 
 
 def _bucket_dir(tag: str) -> str:
     path = _BUCKET_DIRS.get(tag)
     if path is None or not os.path.isdir(path):
+        import atexit
         import tempfile
 
+        if not _BUCKET_DIRS:
+            atexit.register(_cleanup_bucket_dirs)
         path = tempfile.mkdtemp(prefix=f"correlationapi_bucket_{tag}_")
         _BUCKET_DIRS[tag] = path
     return path
+
+
+def _bucket_table(tag: str) -> str:
+    """Catalog name for a bucketed table, suffixed with the pid so two
+    sessions sharing a metastore can't clobber each other's definitions
+    (ADVICE r07 — the fixed names collided across processes)."""
+    return f"correlationapi_b_{tag}_{os.getpid()}"

@@ -70,17 +70,15 @@ _MODULES = (
 # code/oracle/fixture changed THIS round after their latest verdict, so
 # they jump back to the front of the sweep regardless of verdict age.
 _TOUCHED: frozenset[str] = frozenset({
-    # round 7:
-    "q_pack_chunks",        # oracle fix: CAST windowed sum to BIGINT (r6
-                            # driver hash-FAIL was HUGEINT->float64 type
-                            # drift) + explicit total-order ROWS frame
-    "q_sim_topk",           # oracle now mirrors the engine's zero-norm/
-                            # NaN exclusion (ADVICE r6)
-    "q_multimodal_meta",    # zlib.error re-raised as ValueError so the
-                            # quarantine catches bad deflate streams
-    "q_multimodal_frames",  # WAV empty-data-chunk RMS guard (rms=None
-                            # instead of ZeroDivisionError) + JPEG pixel
-                            # decode + text-payload chunk route
+    # round 8 (kept minimal per the r7 verdict so the age rotation
+    # absorbs the r4-era cohort; the seven NEW TPC-H keys q2/q9/q11/
+    # q12/q16/q20/q21 rank as never-verified automatically):
+    "q_tpch_q15",  # rev subtree now pinned via ordering.materialize()
+                   # — one lineitem scan instead of two
+    "q_tpch_q17",  # Brand#3 semi-join pushed below the decorrelated
+                   # per-part aggregate + oracle CAST(round(l_quantity))
+    "q_tpch_q18",  # oracle CAST(round(l_quantity) AS BIGINT) pins
+                   # half-away-from-zero on both engines (ADVICE r7)
 })
 
 

@@ -405,6 +405,57 @@ def test_round7_tpch_shapes(spark):
     assert "1997-09-01" in q14
 
 
+def test_round8_tpch_shapes(spark):
+    """Round-8 adapted shapes keep their declared plan properties:
+    Q2's derived cost relation is pruned by a region semi-join and
+    materialized once for both the min side and the probe (two
+    ExistingRDD refs, zero duplicate lineitem aggregates); Q9's
+    selective part set broadcasts; Q11 materializes the per-part value
+    table once; Q16's flagged-supplier NOT IN runs as a broadcast anti
+    join; Q20's part-family set semi-prunes lineitem below the
+    aggregate; Q21 computes both EXISTS facts in ONE window pass (no
+    self-join of lineitem). None may degenerate to a cartesian
+    product."""
+    def simple_plan(key):
+        df = REGISTRY[key].fn(spark, SF_SMOKE)
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+
+    q2 = simple_plan("q_tpch_q2")
+    assert q2.count("Scan ExistingRDD") == 2  # ps materialized once
+    assert "CartesianProduct" not in q2
+
+    q9 = plan_of(spark, "q_tpch_q9")
+    assert "CartesianProduct" not in q9
+    # the part name filter prunes at the scan, below every shuffle
+    assert "StringContains(p_name,red)" in q9
+
+    q11 = simple_plan("q_tpch_q11")
+    # pv materialized once; its ASIA semi-prune lives inside the
+    # checkpointed lineage, so the consumer plan shows only the two RDD
+    # refs (same reason q15's canary counts zero lineitem scans)
+    assert q11.count("Scan ExistingRDD") == 2
+    assert "lineitem.parquet" not in q11
+
+    q16 = plan_of(spark, "q_tpch_q16")
+    assert "LeftAnti" in q16 and "CartesianProduct" not in q16
+
+    q20 = simple_plan("q_tpch_q20")
+    # pre-order explain: children print after parents, so the
+    # part-family LeftSemi sitting BELOW the pair aggregate means its
+    # line comes later than the partial aggregate's
+    assert q20.rindex("LeftSemi") > q20.index("partial_sum")
+    assert "CartesianProduct" not in q20
+
+    q21 = simple_plan("q_tpch_q21")
+    # one window pass over the orderkey join — lineitem appears ONCE
+    assert q21.count("lineitem.parquet") == 1
+    assert "collect_set" in q21 and "CartesianProduct" not in q21
+
+
 def test_pack_bpeish_no_single_partition_data_window(spark):
     """q_pack_bpeish rides the same range-partitioned two-pass running
     sum as q_pack_chunks: the only WindowExecs allowed are over the

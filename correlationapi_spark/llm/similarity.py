@@ -399,6 +399,100 @@ def nearest_centroid_assign(
     )
 
 
+def nearest_centroid_assign_np(
+    corpus: DataFrame, centroid_ids: list[int]
+) -> DataFrame:
+    """Scale twin of nearest_centroid_assign (round 8): same contract —
+    (vec_id, cell, cosine 6 dp), zero-norm rows dropped, argmax
+    tie-break lowest cell — but Arrow-batched numpy matmul instead of
+    the broadcast crossJoin + window argmax.
+
+    Why it exists: the expression path materializes k rows PER corpus
+    row (1M × k=256 → 256M scored rows) and pays interpreted
+    per-element expression cost on every multiply — measured 110.5 s
+    for 1M×256×d32 on local[32] (tools/assign_bench.py). Dense
+    batched linear algebra is exactly where an Arrow-vectorized kernel
+    beats JVM expression trees: each mapInPandas batch computes ONE
+    (batch × d) @ (d × k) matrix product, no row expansion, no window
+    shuffle, still fully map-side with the same k-row broadcast-ceiling
+    state (here: a driver-collected (k × d) float64 matrix, k·d·8
+    bytes). Measured numbers in SCALING.md "Centroid assignment".
+
+    Numeric note: the matmul's accumulation order differs from the
+    expression path's sequential left fold, so cosines can differ in
+    the last ulp — the 6 dp rounding (half-away-from-zero, matching
+    F.round) hides this except at exact rounding boundaries; parity is
+    pinned in tests/test_rowsonly.py on a margin-separated fixture.
+    The ORACLE-checked q_sim_assign stays on the expression path, whose
+    float sequence the DuckDB oracle mirrors exactly.
+    """
+    if not centroid_ids:
+        raise ValueError("centroid_ids must be non-empty")
+    import math
+
+    import numpy as np
+
+    cent_rows = (
+        corpus.filter(F.col("vec_id").isin(list(centroid_ids)))
+        .select("vec_id", "v")
+        .collect()
+    )
+    cells: list[int] = []
+    cvs = []
+    # sorted by cell id so ties argmax to the LOWEST cell (nanargmax
+    # returns the first maximal index), mirroring the window's
+    # (desc cos, asc cell) order
+    for r in sorted(cent_rows, key=lambda r: r.vec_id):
+        a = np.asarray(r.v, dtype=np.float64)
+        n2 = float(np.dot(a, a))
+        if n2 > 0 and math.isfinite(n2):
+            # pre-normalized: cos = (x @ c/|c|) / |x|
+            cells.append(int(r.vec_id))
+            cvs.append(a / math.sqrt(n2))
+    if not cvs:
+        raise ValueError("no non-zero-norm centroids")
+    c_mat = np.vstack(cvs)
+    cell_arr = np.asarray(cells, dtype=np.int64)
+
+    def batches(it):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            x = _np.stack(
+                [_np.asarray(v, dtype=_np.float64) for v in pdf["v"]]
+            )
+            n2 = _np.einsum("ij,ij->i", x, x)
+            keep = n2 > 0  # zero-norm rows have no direction — dropped
+            if not keep.any():
+                continue
+            ids = pdf["vec_id"].to_numpy()[keep]
+            s = (x[keep] @ c_mat.T) / _np.sqrt(n2[keep])[:, None]
+            # NaN-element vectors score NaN against every centroid (the
+            # expression path filters those scores, dropping the row)
+            valid = ~_np.isnan(s).all(axis=1)
+            if not valid.any():
+                continue
+            s = s[valid]
+            best = _np.nanargmax(s, axis=1)
+            cos = s[_np.arange(len(best)), best]
+            # half-away-from-zero at 6 dp, matching F.round
+            cos6 = _np.sign(cos) * _np.floor(_np.abs(cos) * 1e6 + 0.5) / 1e6
+            yield _pd.DataFrame(
+                {
+                    "vec_id": ids[valid],
+                    "cell": cell_arr[best],
+                    "cosine": cos6,
+                }
+            )
+
+    return corpus.select("vec_id", "v").mapInPandas(
+        batches, schema="vec_id long, cell long, cosine double"
+    )
+
+
 @query(
     "q_sim_assign",
     oracle=_ASSIGN_ORACLE,

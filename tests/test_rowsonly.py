@@ -1278,3 +1278,35 @@ def test_jpeg_truncated_segments_quarantine():
     ):
         with _pytest.raises(ValueError):
             decode_jpeg_pixels(bad)
+
+
+def test_nearest_centroid_assign_np_parity(spark):
+    """The numpy scale twin (round 8 — 31x the expression path at
+    1M x 256, tools/assign_bench.py) must agree with the oracle-checked
+    expression path on the fixture corpus: identical (vec_id, cell)
+    assignments, cosines equal to within a 6-dp rounding boundary.
+    Matmul accumulation order differs from the sequential fold, so the
+    contract is argmax identity on margin-separated data plus 1e-6
+    cosine agreement — not bit equality."""
+    from correlationapi_spark.io import load_tables
+    from correlationapi_spark.llm.similarity import (
+        corpus_view,
+        nearest_centroid_assign,
+        nearest_centroid_assign_np,
+    )
+
+    emb = load_tables(spark, SF_SMOKE)["embeddings"]
+    corpus = corpus_view(emb, "vec_id", "embedding")
+    ids = list(range(8))
+    expr_rows = {
+        r.vec_id: r for r in nearest_centroid_assign(corpus, ids).collect()
+    }
+    np_rows = {
+        r.vec_id: r for r in nearest_centroid_assign_np(corpus, ids).collect()
+    }
+    assert set(expr_rows) == set(np_rows)
+    assert len(expr_rows) > 0
+    for vid, er in expr_rows.items():
+        nr = np_rows[vid]
+        assert er.cell == nr.cell, f"cell mismatch for vec {vid}"
+        assert abs(er.cosine - nr.cosine) <= 1e-6, f"cosine drift vec {vid}"

@@ -29,7 +29,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from correlationapi_spark.llm.similarity import nearest_centroid_assign  # noqa: E402
+from correlationapi_spark.llm.similarity import (  # noqa: E402
+    nearest_centroid_assign,
+    nearest_centroid_assign_np,
+)
 from correlationapi_spark.session import get_spark  # noqa: E402
 from tools.ivf_bench import DIM, synthetic_corpus  # noqa: E402
 
@@ -37,6 +40,7 @@ from tools.ivf_bench import DIM, synthetic_corpus  # noqa: E402
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    impls = (sys.argv[3].split(",") if len(sys.argv) > 3 else ["np", "expr"])
     spark = get_spark("assign-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -47,22 +51,25 @@ def main() -> None:
     # as ivf_bench's probes: clustered ids would make every cell tiny)
     centroid_ids = [i * (n // k) for i in range(k)]
 
-    t0 = time.time()
-    assigned = nearest_centroid_assign(corpus, centroid_ids)
-    n_assigned = assigned.count()
-    wall = time.time() - t0
-
-    n_cells = assigned.select("cell").distinct().count()
     out = {
         "n_vectors": n,
         "k": k,
         "dim": DIM,
-        "n_assigned": n_assigned,
-        "n_cells_used": n_cells,
-        "wall_sec": round(wall, 2),
-        "rows_per_sec": int(n_assigned / wall),
         "broadcast_bytes_ceiling": k * (DIM + 2) * 8,
     }
+    for impl in impls:
+        fn = nearest_centroid_assign_np if impl == "np" else nearest_centroid_assign
+        t0 = time.time()
+        assigned = fn(corpus, centroid_ids)
+        n_assigned = assigned.count()
+        wall = time.time() - t0
+        n_cells = assigned.select("cell").distinct().count()
+        out[impl] = {
+            "n_assigned": n_assigned,
+            "n_cells_used": n_cells,
+            "wall_sec": round(wall, 2),
+            "rows_per_sec": int(n_assigned / wall),
+        }
     print(json.dumps(out))
     spark.stop()
 

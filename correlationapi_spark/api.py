@@ -1364,8 +1364,18 @@ class CorrelationAPI:
         its best cell by cosine (the k-means E-step / shard-routing
         primitive). Returns per-cell counts computed engine-side plus a
         ``limit``-bounded assignment listing — totals stay exact when
-        the listing truncates."""
-        from .llm.similarity import corpus_view, nearest_centroid_assign
+        the listing truncates.
+
+        Routing (round 8): k ≤ 32 runs the expression path (the exact
+        float sequence the q_sim_assign oracle mirrors); larger k runs
+        the Arrow/numpy matmul twin — same contract, measured 31× at
+        1M×256 (SCALING.md "Centroid assignment") where the expression
+        path's k-row-per-vector expansion dominates."""
+        from .llm.similarity import (
+            corpus_view,
+            nearest_centroid_assign,
+            nearest_centroid_assign_np,
+        )
 
         if limit < 1:
             raise ValueError("limit must be >= 1")
@@ -1394,7 +1404,12 @@ class CorrelationAPI:
             raise ValueError(
                 f"unknown or zero-norm centroid ids: {missing}"
             )
-        assigned = nearest_centroid_assign(corpus, centroid_ids).persist()
+        assign_fn = (
+            nearest_centroid_assign
+            if len(centroid_ids) <= 32
+            else nearest_centroid_assign_np
+        )
+        assigned = assign_fn(corpus, centroid_ids).persist()
         try:
             cells = {
                 int(r.cell): int(r.n)

@@ -1201,6 +1201,35 @@ def test_assign_service(spark):
         api.assign("_asn", "vec_id", "embedding", centroid_ids=[])
 
 
+def test_assign_service_large_k_routes_numpy(spark):
+    """k > 32 routes to the numpy matmul twin (round 8). Contract-level
+    check: every vector assigned, per-cell totals exact, and the same
+    centroid set through the expression engine yields identical cells
+    (parity on the margin-separated fixture)."""
+    from correlationapi_spark.api import CorrelationAPI
+    from correlationapi_spark.llm.similarity import (
+        corpus_view,
+        nearest_centroid_assign,
+    )
+
+    api = CorrelationAPI(spark)
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    api.register_dataset("_asn_big", emb)
+    ids = list(range(0, 200, 5))  # k=40 > the 32 routing threshold
+    res = api.assign("_asn_big", "vec_id", "embedding", centroid_ids=ids,
+                     limit=5000)
+    assert res["n_assigned"] == sum(res["cells"].values())
+    expr = {
+        r.vec_id: r.cell
+        for r in nearest_centroid_assign(
+            corpus_view(emb, "vec_id", "embedding"), ids
+        ).collect()
+    }
+    assert res["n_assigned"] == len(expr)
+    for a in res["assignments"]:
+        assert expr[a["id"]] == a["cell"]
+
+
 def test_pack_bpeish_on_renamed_text_column(spark):
     """Review r07 regression: the bpeish counter must be built on the
     _docs_view projection's 'text' column, not the caller's raw column

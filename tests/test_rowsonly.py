@@ -234,11 +234,11 @@ def test_multimodal_values_pinned(spark):
             assert r.n_bytes == len(jpg)
             assert r.head_hex == jpg[:8].hex()
             assert (r.width, r.height, r.decoder) == (w, h, "jpeg-sof")
-            assert (w, h) == ((16, 10, 20)[did % 3], (8, 14, 12)[did % 3])
+            assert (w, h) == ((16, 12, 20)[did % 3], (8, 6, 12)[did % 3])
             assert r.mime == "image/jpeg"
-            seed = 29 * (did % 3) + 5
-            if did % 3 == 2:  # the color variant: YCbCr roundtrip is
-                # lossy (conversion rounding) but tightly bounded
+            seed = (5, 1, 63)[did % 3]
+            if did % 3 == 2:  # the 4:4:4 color variant: YCbCr roundtrip
+                # is lossy (conversion rounding) but tightly bounded
                 from correlationapi_spark.llm.multimodal import (
                     _jpeg_rgb_gradient,
                 )
@@ -249,6 +249,20 @@ def test_multimodal_values_pinned(spark):
                 assert max(
                     abs(a - b) for a, b in zip(pixels, flat)
                 ) <= 4
+            elif did % 3 == 1:  # round 8: the 4:2:0 SUBSAMPLED color
+                # variant — chroma box-downsample + nearest upsample on
+                # a wrap-free gradient, bound derived in
+                # test_jpeg_subsampled_roundtrip
+                from correlationapi_spark.llm.multimodal import (
+                    _jpeg_rgb_gradient,
+                )
+
+                assert nch == 3
+                rgb = _jpeg_rgb_gradient(w, h, seed)
+                flat = [v for row in rgb for p in row for v in p]
+                assert max(
+                    abs(a - b) for a, b in zip(pixels, flat)
+                ) <= 12
             else:
                 # grayscale roundtrips EXACTLY through the all-ones
                 # quant table — recomputed independently here
@@ -1310,3 +1324,46 @@ def test_nearest_centroid_assign_np_parity(spark):
         nr = np_rows[vid]
         assert er.cell == nr.cell, f"cell mismatch for vec {vid}"
         assert abs(er.cosine - nr.cosine) <= 1e-6, f"cosine drift vec {vid}"
+
+
+def test_jpeg_subsampled_roundtrip():
+    """Round 8: 4:2:0 and 4:2:2 baseline JPEG — the layouts real
+    camera/web JPEGs ship — encode AND decode for real (generic
+    h×v-factor MCU interleave, per-component plane dims, box-average
+    chroma downsample in the encoder, nearest upsample in the decoder).
+    The wrap-free gradient keeps chroma locally linear, so the
+    subsample/upsample error is tightly bounded; a broken MCU walk or
+    plane indexing would blow these bounds by an order of magnitude.
+    The pre-round-8 layouts stay byte-identical (the gray/444 pins in
+    test_multimodal_meta_real_decoders cover that)."""
+    from correlationapi_spark.llm.multimodal import (
+        _jpeg_rgb_gradient,
+        build_jpeg,
+        make_decode_jpeg_pixels,
+    )
+
+    dec = make_decode_jpeg_pixels()
+    for sub, bound in (("420", 12), ("422", 8)):
+        for (w, h, seed) in ((10, 6, 1), (8, 8, 2), (9, 5, 0)):
+            data = build_jpeg(w, h, seed, color=True, subsampling=sub)
+            dw, dh, nch, px = dec(data)
+            assert (dw, dh, nch) == (w, h, 3)
+            flat = [
+                v
+                for row in _jpeg_rgb_gradient(w, h, seed)
+                for p in row
+                for v in p
+            ]
+            worst = max(abs(a - b) for a, b in zip(px, flat))
+            assert worst <= bound, (sub, w, h, worst)
+    # sampling factors are validated, not assumed: a hostile SOF
+    # declaring >10 blocks per MCU quarantines as ValueError
+    import pytest as _pytest
+
+    hostile = bytearray(build_jpeg(8, 8, 1, color=True, subsampling="420"))
+    i = bytes(hostile).find(b"\xff\xc0")
+    # component 0's sampling byte: SOF payload starts at i+4; byte
+    # layout: precision(1) h(2) w(2) nc(1) then [id, samp, tq] triples
+    hostile[i + 4 + 6 + 1] = 0x44  # 4x4 luma + 1x1 + 1x1 = 18 blocks
+    with _pytest.raises(ValueError, match="blocks per MCU"):
+        dec(bytes(hostile))

@@ -89,6 +89,65 @@ def q_sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sample_weighted",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight
+            FROM documents
+        ), mx AS (SELECT max(weight) AS w_max FROM w)
+        SELECT w.doc_id, w.lang, w.weight
+        FROM w, mx
+        WHERE CAST(('0x' || substr(md5(CAST(w.doc_id AS VARCHAR)), 1, 10))
+                   AS BIGINT) * mx.w_max * 2
+              < CAST(1099511627776 AS BIGINT) * w.weight
+        ORDER BY w.doc_id
+    """,
+    doc="Weighted (probability-proportional-to-size) Bernoulli sample: "
+    "each doc kept with p = weight/(2*max_weight), membership decided "
+    "by an exact integer cross-multiplication of a hash draw — "
+    "deterministic, engine-independent, repartition-stable.",
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPS (probability-proportional-to-size) sampling — the shape
+    corpus mixing actually needs (long docs carry more tokens, so
+    uniform doc sampling under-represents them). Each doc's inclusion
+    probability is weight/(2·w_max): a Poisson/Bernoulli design whose
+    expected token mass tracks the weights without any global sort or
+    fixed-k coordination.
+
+    Determinism discipline: the 'draw' u is the first 10 hex chars of
+    md5(doc_id) (u < 2^40, identical on both engines — the
+    q_sample_fraction pattern), and membership is u·w_max·2 <
+    2^40·weight — an EXACT int64 cross-multiplication (max magnitude
+    ~2^55, no overflow, no float division), so the sampled set can
+    never flip on rounding, the Q11/Q17/Q20 rule applied to sampling.
+
+    Scale shape: ONE broadcast scalar (the global max weight, a 1-row
+    aggregate via crossJoin — the Q22 pattern) + a purely map-side
+    filter: sampling a 100 TB corpus costs the scan, no shuffle, no
+    window, and the sample is reproducible across engines, runs, and
+    repartitionings. (A fixed-k weighted sample — Efraimidis-Spiegelman
+    top-k by u^(1/w) — needs transcendental keys whose last-ulp
+    cross-engine drift violates the exactness discipline; the
+    expected-size PPS form is both the scalable one and the exact
+    one.)"""
+    t = load_tables(spark, sf_dir)
+    w = t["documents"].select(
+        "doc_id", "lang", F.col("n_chars").cast("bigint").alias("weight")
+    )
+    mx = w.agg(F.max("weight").alias("w_max"))
+    u = F.conv(
+        F.md5(F.col("doc_id").cast("string")).substr(1, 10), 16, 10
+    ).cast("bigint")
+    return (
+        w.crossJoin(F.broadcast(mx))
+        .filter(u * F.col("w_max") * F.lit(2) < F.lit(1 << 40) * F.col("weight"))
+        .select("doc_id", "lang", "weight")
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "q_domain_mix",
     oracle="""
         WITH actual AS (

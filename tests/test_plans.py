@@ -517,6 +517,62 @@ def test_q17_semi_join_below_aggregate(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_runtime_bloom_filter_join_pruning(spark):
+    """100 TB posture exhibit (round 8): when a shuffle join's build
+    side is selective, Catalyst injects a RUNTIME bloom filter —
+    `bloom_filter_agg` over the build keys, `might_contain` as a
+    pre-shuffle filter on the probe side — so the fact table drops
+    non-joining rows BEFORE paying the exchange. At cluster scale this
+    fires under the default thresholds (creation side ≤ 10 MB, probe
+    scan ≥ 10 GB); at fixture scale we lower the probe-side floor to
+    demonstrate the plan shape. The configs are runtime SQL confs —
+    restored after the assertion so the shared session is untouched."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        # force a shuffle join: a broadcast join needs no bloom filter
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        from pyspark.sql import functions as F
+
+        from correlationapi_spark.io import load_tables
+
+        t = load_tables(spark, SF_SMOKE)
+        sel = t["orders"].filter(F.col("o_totalprice") > 400000)
+        j = (
+            t["lineitem"]
+            .join(sel, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        assert "bloom_filter_agg" in plan
+        # the probe filter sits on the lineitem side, below its exchange
+        assert "might_contain" in plan
+        assert plan.index("might_contain") < plan.index("bloom_filter_agg")
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+
+
 def test_bucketed_join_has_no_exchange(spark):
     """q_join_bucketed's whole point: both sides CLUSTERED BY the join
     key into 8 buckets → the SortMergeJoin consumes the bucketed scans'

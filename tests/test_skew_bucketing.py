@@ -150,3 +150,65 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_warehouse):
         assert j.count() == want
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """100 TB posture exhibit (round 8): AQE's runtime skew-join split —
+    the complement of the engine's compile-time salting. A join key
+    carrying 96% of the rows lands in one shuffle partition; with
+    spark.sql.adaptive.skewJoin enabled, the FINAL adaptive plan
+    re-reads that partition in slices (`AQEShuffleRead skewed`,
+    `SortMergeJoin(skew=true)`) instead of serializing the join on one
+    task. Thresholds are lowered (runtime SQL confs, restored after)
+    because the defaults — 256 MB partition, factor 5× median — are
+    sized for cluster shuffles, not a fixture; at real scale this fires
+    with the defaults and no code change, which is exactly why declared
+    queries don't hand-salt joins unless the salt must survive into the
+    aggregate (skew.py module doc)."""
+    conf = spark.conf
+    keys = (
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.autoBroadcastJoinThreshold",
+    )
+    saved = {k: conf.get(k, None) for k in keys}
+    try:
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "32KB",
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        left = spark.range(500_000).select(
+            F.when(F.col("id") < 480_000, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k2"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, F.col("k") == F.col("k2")).select(
+            (F.col("v") + F.col("w")).alias("s")
+        )
+        assert len(j.collect()) == 500_000  # every row joins, none lost
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)

@@ -301,3 +301,36 @@ def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == ev.count()                      # no gaps
     assert out.select("event_id").distinct().count() == ev.count()  # no dupes
+
+
+def test_rocksdb_state_store_matches_batch(spark, chunk_dir):
+    """100 TB posture (round 8): the default HDFS-backed state store
+    keeps every key in executor heap — a corpus-scale streaming
+    aggregation (billions of windows/sessions) needs the RocksDB
+    provider, which spills state to local disk with incremental
+    checkpointing. Bundled with Spark 4; this runs the SAME tumbling
+    aggregation under RocksDB and pins result equality with the batch
+    oracle-checked form, so switching providers is proven
+    behavior-neutral. Provider engagement is proven by construction:
+    a wrong providerClass raises at query start, and the conf is
+    restored afterwards."""
+    conf = spark.conf
+    key = "spark.sql.streaming.stateStore.providerClass"
+    saved = conf.get(key, None)
+    try:
+        conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        batch = REGISTRY["q_stream_tumbling"].fn(spark, SF_SMOKE)
+        cols = batch.columns
+        result = run_available_now(
+            events_stream(spark, chunk_dir), SQ._tumbling
+        )
+        assert _sorted_rows(result, cols) == _sorted_rows(batch, cols)
+    finally:
+        if saved is None:
+            conf.unset(key)
+        else:
+            conf.set(key, saved)

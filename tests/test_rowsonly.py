@@ -1367,3 +1367,37 @@ def test_jpeg_subsampled_roundtrip():
     hostile[i + 4 + 6 + 1] = 0x44  # 4x4 luma + 1x1 + 1x1 = 18 blocks
     with _pytest.raises(ValueError, match="blocks per MCU"):
         dec(bytes(hostile))
+
+
+def test_jpeg_restart_intervals_roundtrip():
+    """Round 8: DRI/RSTn support — real encoders emit restart markers so
+    a corrupt segment loses one interval, not the image. The encoder
+    byte-aligns + emits cycling RST0..7 + resets DC predictors every N
+    MCUs; the decoder verifies marker order and resets its predictors.
+    Grayscale roundtrips stay EXACT (all-ones quant) at every interval;
+    an out-of-order RST quarantines as ValueError."""
+    from correlationapi_spark.llm.multimodal import (
+        build_jpeg,
+        make_decode_jpeg_pixels,
+    )
+
+    dec = make_decode_jpeg_pixels()
+    for (w, h, seed, ri) in ((16, 8, 5, 1), (20, 12, 7, 3), (24, 24, 9, 2)):
+        dw, dh, nch, px = dec(build_jpeg(w, h, seed, restart_interval=ri))
+        assert (dw, dh, nch) == (w, h, 1)
+        assert px == bytes(
+            (7 * x + 3 * y + seed) % 256 for y in range(h) for x in range(w)
+        ), (w, h, ri)
+    # 4:2:0 + restarts compose (multi-block MCUs between markers)
+    dw, dh, nch, px = dec(
+        build_jpeg(10, 6, 1, color=True, subsampling="420", restart_interval=2)
+    )
+    assert (dw, dh, nch) == (10, 6, 3)
+
+    import pytest as _pytest
+
+    data = bytearray(build_jpeg(24, 24, 9, restart_interval=1))
+    i = bytes(data).find(b"\xff\xd0")
+    data[i + 1] = 0xD5  # out-of-order restart marker
+    with _pytest.raises(ValueError, match="RST"):
+        dec(bytes(data))

@@ -1401,3 +1401,45 @@ def test_jpeg_restart_intervals_roundtrip():
     data[i + 1] = 0xD5  # out-of-order restart marker
     with _pytest.raises(ValueError, match="RST"):
         dec(bytes(data))
+
+
+def test_jpeg_progressive_roundtrip():
+    """Round 8: PROGRESSIVE JPEG (SOF2, T.81 Annex G) — the format most
+    web JPEGs actually ship — encode AND decode for real: interleaved
+    DC first scan with successive approximation, DC refinement bits,
+    per-component AC scans over two spectral bands with EOB-run coding,
+    and AC refinement (newly-significant ±1 codes + buffered correction
+    bits). Grayscale roundtrips EXACTLY; color decodes PIXEL-IDENTICAL
+    to the sequential encoding of the same source (the coefficient
+    pipeline is lossless vs baseline), at every subsampling and with
+    restart intervals across scans."""
+    from correlationapi_spark.llm.multimodal import (
+        build_jpeg,
+        build_jpeg_progressive,
+        make_decode_jpeg_pixels,
+    )
+
+    dec = make_decode_jpeg_pixels()
+    for (w, h, seed) in ((16, 8, 5), (10, 14, 34), (24, 24, 9), (9, 5, 0)):
+        dw, dh, nch, px = dec(build_jpeg_progressive(w, h, seed))
+        assert (dw, dh, nch) == (w, h, 1)
+        assert px == bytes(
+            (7 * x + 3 * y + seed) % 256 for y in range(h) for x in range(w)
+        ), (w, h, seed)
+    # color at every subsampling: pixel-identical to the sequential twin
+    for kw in (
+        dict(color=True),
+        dict(color=True, subsampling="420"),
+        dict(color=True, subsampling="422"),
+    ):
+        assert dec(build_jpeg_progressive(16, 8, 5, **kw)) == dec(
+            build_jpeg(16, 8, 5, **kw)
+        ), kw
+    # restart intervals apply per scan
+    for ri in (1, 3):
+        dw, dh, nch, px = dec(
+            build_jpeg_progressive(24, 24, 9, restart_interval=ri)
+        )
+        assert px == bytes(
+            (7 * x + 3 * y + 9) % 256 for y in range(24) for x in range(24)
+        ), ri

@@ -1013,3 +1013,177 @@ def q_corr_matrix_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in _SPEARMAN_MATRIX_VARS[i + 1:]
     ]
     return ranked.agg(*aggs, F.count("*").alias("n_rows"))
+
+
+@query(
+    "q_corr_cramer",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderpriority AS a, o_orderstatus AS b FROM orders
+        ),
+        cont AS (
+            SELECT a, b, CAST(count(*) AS BIGINT) AS o
+            FROM base GROUP BY 1, 2
+        ),
+        rt AS (SELECT a, CAST(count(*) AS BIGINT) AS ra FROM base GROUP BY 1),
+        ct AS (SELECT b, CAST(count(*) AS BIGINT) AS cb FROM base GROUP BY 1),
+        tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT a) AS BIGINT) AS r,
+                   CAST(count(DISTINCT b) AS BIGINT) AS c
+            FROM base
+        )
+        SELECT round(sum(
+                   CAST((cont.o * tot.n - rt.ra * ct.cb) AS DOUBLE)
+                   * CAST((cont.o * tot.n - rt.ra * ct.cb) AS DOUBLE)
+                   / (CAST(tot.n AS DOUBLE) * rt.ra * ct.cb)
+               ), 6) AS chi2,
+               round(sqrt(sum(
+                   CAST((cont.o * tot.n - rt.ra * ct.cb) AS DOUBLE)
+                   * CAST((cont.o * tot.n - rt.ra * ct.cb) AS DOUBLE)
+                   / (CAST(tot.n AS DOUBLE) * rt.ra * ct.cb)
+               ) / (CAST(any_value(tot.n) AS DOUBLE)
+                    * least(any_value(tot.r) - 1, any_value(tot.c) - 1))
+               ), 6) AS cramers_v,
+               CAST((any_value(tot.r) - 1) * (any_value(tot.c) - 1)
+                    AS BIGINT) AS dof,
+               any_value(tot.n) AS n_rows
+        FROM cont JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tot
+    """,
+    doc="Cramér's V + chi-square statistic between two categorical "
+    "columns (order priority × order status) — the categorical "
+    "association measure a correlation API needs alongside Pearson.",
+)
+def q_corr_cramer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association between two CATEGORICAL variables — the gap Pearson
+    and Spearman leave open (agronomic data is full of treatment /
+    variety / status factors). chi² over the contingency table, then
+    V = sqrt(chi² / (n · (min(r,c)−1))).
+
+    Determinism: every contingency count, row/col total and n is an
+    EXACT int64; each cell's term is assembled from exact-int products
+    ((o·n − ra·cb)² ≤ ~1e16 < 2^53, so the doubles are exact) with ONE
+    division per cell, and the final sum spans ≤ r·c ≈ 15 well-scaled
+    cells — rounding to 6 dp leaves ≥1e6× headroom over the
+    accumulated error (numerics.py rule 3).
+
+    Scale shape: three aggregates over the same scan (contingency, row
+    totals, column totals — the row/col tables are category-sized and
+    broadcast back), one 1-row total via crossJoin (the Q22 pattern);
+    the contingency table itself is r·c rows, so the chi² reduction is
+    driver-free and the whole operator is two map-side-combinable
+    shuffles of category-cardinality data."""
+    t = load_tables(spark, sf_dir)
+    base = t["orders"].select(
+        F.col("o_orderpriority").alias("a"), F.col("o_orderstatus").alias("b")
+    )
+    cont = base.groupBy("a", "b").agg(F.count("*").alias("o"))
+    rt = base.groupBy("a").agg(F.count("*").alias("ra"))
+    ct = base.groupBy("b").agg(F.count("*").alias("cb"))
+    tot = base.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("a").alias("r"),
+        F.countDistinct("b").alias("c"),
+    )
+    dev = (F.col("o") * F.col("n") - F.col("ra") * F.col("cb")).cast("double")
+    term = dev * dev / (
+        F.col("n").cast("double") * F.col("ra") * F.col("cb")
+    )
+    return (
+        cont.join(F.broadcast(rt), "a")
+        .join(F.broadcast(ct), "b")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(F.sum(term), 6).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    F.sum(term)
+                    / (
+                        F.any_value("n").cast("double")
+                        * F.least(
+                            F.any_value("r") - 1, F.any_value("c") - 1
+                        )
+                    )
+                ),
+                6,
+            ).alias("cramers_v"),
+            ((F.any_value("r") - 1) * (F.any_value("c") - 1))
+            .cast("bigint")
+            .alias("dof"),
+            F.any_value("n").alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "q_corr_eta",
+    oracle="""
+        WITH x AS (
+            SELECT o_orderpriority AS grp,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ),
+        g AS (
+            SELECT grp,
+                   CAST(sum(cents) AS DOUBLE) AS s,
+                   CAST(sum(cents * cents) AS DOUBLE) AS q,
+                   CAST(count(*) AS BIGINT) AS m
+            FROM x GROUP BY 1
+        ),
+        tot AS (
+            SELECT sum(s) AS st, sum(q) AS qt,
+                   CAST(sum(m) AS BIGINT) AS n,
+                   sum(s * s / m) AS ssb_raw
+            FROM g
+        )
+        SELECT round((ssb_raw - st * st / n) / (qt - st * st / n), 6)
+                   AS eta2,
+               round(sqrt((ssb_raw - st * st / n) / (qt - st * st / n)), 6)
+                   AS eta,
+               n AS n_rows
+        FROM tot
+    """,
+    doc="Correlation ratio eta² (categorical → numeric): how much of "
+    "the order-price variance the priority factor explains — the "
+    "ANOVA-style companion to Pearson for mixed-type data.",
+)
+def q_corr_eta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """η² = SS_between / SS_total for a numeric column grouped by a
+    categorical factor — the mixed-type association a correlation
+    service needs when one variable is a treatment/level.
+
+    Determinism: per-group Σx and Σx² are EXACT integers (2 dp money →
+    cents; cents² ≤ 2.5e15 < 2^53 so even the squares are
+    exactly-representable; sums go through decimal(38,0)); the float
+    work is five well-separated per-group s²/m terms plus two global
+    divisions, and the 6 dp rounding leaves rule-3 headroom.
+
+    Scale shape: one shuffle on the factor (map-side combinable sums),
+    then a ~#levels-row reduction — no second data pass, no window."""
+    t = load_tables(spark, sf_dir)
+    cents_col = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    x = t["orders"].select(
+        F.col("o_orderpriority").alias("grp"), cents_col.alias("cents")
+    )
+    g = x.groupBy("grp").agg(
+        F.sum(F.col("cents").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("s"),
+        F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("q"),
+        F.count("*").alias("m"),
+    )
+    tot = g.agg(
+        F.sum("s").alias("st"),
+        F.sum("q").alias("qt"),
+        F.sum("m").cast("bigint").alias("n"),
+        F.sum(F.col("s") * F.col("s") / F.col("m")).alias("ssb_raw"),
+    )
+    ss_mean = F.col("st") * F.col("st") / F.col("n")
+    eta2 = (F.col("ssb_raw") - ss_mean) / (F.col("qt") - ss_mean)
+    return tot.select(
+        F.round(eta2, 6).alias("eta2"),
+        F.round(F.sqrt(eta2), 6).alias("eta"),
+        F.col("n").alias("n_rows"),
+    )

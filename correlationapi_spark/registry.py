@@ -79,6 +79,12 @@ _TOUCHED: frozenset[str] = frozenset({
                    # per-part aggregate + oracle CAST(round(l_quantity))
     "q_tpch_q18",  # oracle CAST(round(l_quantity) AS BIGINT) pins
                    # half-away-from-zero on both engines (ADVICE r7)
+    "q_multimodal_meta",    # JPEG codec wave: 4:2:0/4:2:2 subsampling,
+                            # DRI/RSTn, progressive SOF2; fixture
+                            # variant 1 is now 4:2:0, variant 2 is
+                            # progressive — rows-only outputs changed
+    "q_multimodal_frames",  # same fixture/codec wave (frames route
+                            # re-walks the marker stream)
 })
 
 

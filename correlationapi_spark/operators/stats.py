@@ -1187,3 +1187,645 @@ def q_corr_eta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(eta2), 6).alias("eta"),
         F.col("n").alias("n_rows"),
     )
+
+
+def _tanh_via_exp(u):
+    """tanh spelled as (e^{2u}-1)/(e^{2u}+1) — the SAME expression tree
+    the oracle uses, because this DuckDB build ships no tanh/atanh.
+    Writing the identical ln/exp formula on both engines keeps the two
+    float evaluations in lockstep (same IEEE ops on the same rounded
+    inputs), so the 6 dp output rounding has full rule-3 headroom."""
+    e = F.exp(2 * u)
+    return (e - 1) / (e + 1)
+
+
+@query(
+    "q_corr_ci",
+    oracle="""
+        WITH g AS (
+            SELECT l_returnflag,
+                   round(corr(l_quantity, l_extendedprice), 6) AS r,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM lineitem GROUP BY 1
+        ),
+        f AS (
+            SELECT l_returnflag, r, n_pairs,
+                   0.5 * ln((1 + r) / (1 - r)) AS z,
+                   1.96 / sqrt(n_pairs - 3) AS hw
+            FROM g WHERE abs(r) < 1 AND n_pairs > 3
+        )
+        SELECT l_returnflag, r, n_pairs,
+               round((exp(2 * (z - hw)) - 1) / (exp(2 * (z - hw)) + 1), 6)
+                   AS ci_lo,
+               round((exp(2 * (z + hw)) - 1) / (exp(2 * (z + hw)) + 1), 6)
+                   AS ci_hi
+        FROM f ORDER BY l_returnflag
+    """,
+    doc="Fisher-z 95% confidence interval around the per-group Pearson r "
+    "— the uncertainty quantification a correlation API owes its users "
+    "alongside the point estimate.",
+)
+def q_corr_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CI = tanh(atanh(r) ± 1.96/sqrt(n−3)), per l_returnflag group.
+
+    Determinism: the nonlinear transform AMPLIFIES estimator noise
+    (dz/dr = 1/(1−r²)), so it is fed the 6-dp-ROUNDED r — both engines
+    round the same corr to the same decimal first, then run the
+    identical ln/exp spelling (atanh as 0.5·ln((1+r)/(1−r)), tanh via
+    _tanh_via_exp; this DuckDB build has neither tanh nor atanh), so
+    only last-ulp libm noise reaches the final 6 dp rounding. Degenerate
+    groups (|r| = 1 or n ≤ 3, where the CI is undefined) are filtered
+    IDENTICALLY on both sides rather than emitting engine-specific
+    NULL/NaN.
+
+    Scale shape: one map-side-combinable corr aggregate per group (the
+    q_agg_corr shuffle), then scalar math on the ~#groups-row result —
+    the CI costs nothing over the correlation itself."""
+    t = load_tables(spark, sf_dir)
+    g = (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("r"),
+            F.count("*").alias("n_pairs"),
+        )
+        .filter((F.abs(F.col("r")) < 1) & (F.col("n_pairs") > 3))
+    )
+    z = 0.5 * F.log((1 + F.col("r")) / (1 - F.col("r")))
+    hw = F.lit(1.96) / F.sqrt(F.col("n_pairs") - 3)
+    return g.select(
+        "l_returnflag",
+        "r",
+        "n_pairs",
+        F.round(_tanh_via_exp(z - hw), 6).alias("ci_lo"),
+        F.round(_tanh_via_exp(z + hw), 6).alias("ci_hi"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "q_corr_pointbiserial",
+    oracle="""
+        SELECT l_linestatus,
+               round(corr(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END,
+                          l_extendedprice), 6) AS r_pb,
+               round(avg(CASE WHEN l_returnflag = 'R'
+                              THEN l_extendedprice END), 6) AS mean_flagged,
+               round(avg(CASE WHEN l_returnflag <> 'R'
+                              THEN l_extendedprice END), 6) AS mean_rest,
+               CAST(count(CASE WHEN l_returnflag = 'R' THEN 1 END)
+                    AS BIGINT) AS n_flagged,
+               CAST(count(CASE WHEN l_returnflag <> 'R' THEN 1 END)
+                    AS BIGINT) AS n_rest
+        FROM lineitem
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+    """,
+    doc="Point-biserial correlation (binary × numeric): returned-flag "
+    "indicator vs extended price per linestatus — the dichotomous "
+    "member of the correlation family.",
+)
+def q_corr_pointbiserial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r_pb is algebraically Pearson r with one variable coded {0,1},
+    so it reuses the exact F.corr aggregate — no special estimator —
+    plus the two class means and counts users read it with. The 0/1
+    coding is spelled as the SAME CASE expression in both engines
+    (exact doubles, no representation drift).
+
+    Scale shape: single grouped aggregate, map-side combinable; the
+    conditional means ride the same shuffle as the correlation."""
+    t = load_tables(spark, sf_dir)
+    ind = F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0)
+    flagged = F.col("l_returnflag") == "R"
+    return (
+        t["lineitem"]
+        .groupBy("l_linestatus")
+        .agg(
+            F.round(F.corr(ind, F.col("l_extendedprice")), 6).alias("r_pb"),
+            F.round(
+                F.avg(F.when(flagged, F.col("l_extendedprice"))), 6
+            ).alias("mean_flagged"),
+            F.round(
+                F.avg(F.when(~flagged, F.col("l_extendedprice"))), 6
+            ).alias("mean_rest"),
+            F.count(F.when(flagged, F.lit(1))).alias("n_flagged"),
+            F.count(F.when(~flagged, F.lit(1))).alias("n_rest"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "q_theil_u",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderpriority AS a, o_orderstatus AS b FROM orders
+        ),
+        cont AS (
+            SELECT a, b, CAST(count(*) AS BIGINT) AS o
+            FROM base GROUP BY 1, 2
+        ),
+        rt AS (SELECT a, CAST(count(*) AS BIGINT) AS ra FROM base GROUP BY 1),
+        ct AS (SELECT b, CAST(count(*) AS BIGINT) AS cb FROM base GROUP BY 1),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+        ent AS (
+            SELECT -sum((CAST(o AS DOUBLE) / n)
+                        * ln(CAST(ra AS DOUBLE) / n)) AS h_a,
+                   -sum((CAST(o AS DOUBLE) / n)
+                        * ln(CAST(cb AS DOUBLE) / n)) AS h_b,
+                   -sum((CAST(o AS DOUBLE) / n)
+                        * ln(CAST(o AS DOUBLE) / cb)) AS h_a_given_b,
+                   -sum((CAST(o AS DOUBLE) / n)
+                        * ln(CAST(o AS DOUBLE) / ra)) AS h_b_given_a,
+                   any_value(n) AS n_rows
+            FROM cont JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tot
+        )
+        SELECT round((h_a - h_a_given_b) / h_a, 6) AS u_a_given_b,
+               round((h_b - h_b_given_a) / h_b, 6) AS u_b_given_a,
+               round(h_a, 6) AS h_a,
+               round(h_b, 6) AS h_b,
+               n_rows
+        FROM ent
+    """,
+    doc="Theil's uncertainty coefficient U between two categoricals "
+    "(order priority x order status) - the ASYMMETRIC companion to "
+    "Cramer's V: how much knowing one factor reduces entropy in the "
+    "other, per direction.",
+)
+def q_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U(a|b) = (H(a) - H(a|b)) / H(a), both directions. Unlike
+    Cramer's V this is directional: U(a|b) != U(b|a) unless the table
+    is symmetric - exactly the diagnostic a correlation surface needs
+    to say WHICH factor predicts which.
+
+    All four entropies come from ONE aggregate over the joined cell
+    table: H(a) = -SUM_cells (o/n)*ln(ra/n) is exactly the marginal
+    entropy because SUM_b o = ra as exact integers - no separate
+    marginal-entropy frames, no extra 1-row exchanges (a first draft
+    with per-marginal aggregate frames planned 6 single-partition
+    exchanges; this form plans 2, both 1-row by design).
+
+    Determinism: every ln argument is a ratio of EXACT int64 counts
+    (o, ra, cb, n), so both engines evaluate identical ln inputs; the
+    <= r*c ~ 15-term sums differ only in accumulation order (~1e-16),
+    absorbed by 6 dp rounding (numerics.py rule 3).
+
+    Scale shape: identical to q_corr_cramer - contingency + two
+    marginal aggregates over one scan (category-sized shuffles,
+    broadcast back), then a driver-free reduction over r*c cells."""
+    t = load_tables(spark, sf_dir)
+    base = t["orders"].select(
+        F.col("o_orderpriority").alias("a"), F.col("o_orderstatus").alias("b")
+    )
+    cont = base.groupBy("a", "b").agg(F.count("*").alias("o"))
+    rt = base.groupBy("a").agg(F.count("*").alias("ra"))
+    ct = base.groupBy("b").agg(F.count("*").alias("cb"))
+    tot = base.agg(F.count("*").alias("n"))
+
+    po = F.col("o").cast("double") / F.col("n")
+    ent = (
+        cont.join(F.broadcast(rt), "a")
+        .join(F.broadcast(ct), "b")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            (-F.sum(po * F.log(F.col("ra").cast("double") / F.col("n"))))
+            .alias("h_a"),
+            (-F.sum(po * F.log(F.col("cb").cast("double") / F.col("n"))))
+            .alias("h_b"),
+            (-F.sum(po * F.log(F.col("o").cast("double") / F.col("cb"))))
+            .alias("h_a_given_b"),
+            (-F.sum(po * F.log(F.col("o").cast("double") / F.col("ra"))))
+            .alias("h_b_given_a"),
+            F.any_value("n").alias("n_rows"),
+        )
+    )
+    return ent.select(
+        F.round(
+            (F.col("h_a") - F.col("h_a_given_b")) / F.col("h_a"), 6
+        ).alias("u_a_given_b"),
+        F.round(
+            (F.col("h_b") - F.col("h_b_given_a")) / F.col("h_b"), 6
+        ).alias("u_b_given_a"),
+        F.round("h_a", 6).alias("h_a"),
+        F.round("h_b", 6).alias("h_b"),
+        "n_rows",
+    )
+
+
+@query(
+    "q_mutual_info",
+    oracle="""
+        WITH base AS (
+            SELECT CAST(floor((l_quantity - 1) / 10) AS BIGINT) AS qa,
+                   CAST(round(l_discount * 100) AS BIGINT) AS da
+            FROM lineitem
+        ),
+        cont AS (
+            SELECT qa, da, CAST(count(*) AS BIGINT) AS o
+            FROM base GROUP BY 1, 2
+        ),
+        rt AS (SELECT qa, CAST(count(*) AS BIGINT) AS ra FROM base GROUP BY 1),
+        ct AS (SELECT da, CAST(count(*) AS BIGINT) AS cb FROM base GROUP BY 1),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+        ent AS (
+            SELECT sum((CAST(o AS DOUBLE) / n)
+                       * ln(CAST(o AS DOUBLE) * n
+                            / (CAST(ra AS DOUBLE) * cb))) AS mi_nats,
+                   -sum((CAST(o AS DOUBLE) / n)
+                        * ln(CAST(ra AS DOUBLE) / n)) AS h_q,
+                   -sum((CAST(o AS DOUBLE) / n)
+                        * ln(CAST(cb AS DOUBLE) / n)) AS h_d,
+                   any_value(n) AS n_rows
+            FROM cont JOIN rt USING (qa) JOIN ct USING (da) CROSS JOIN tot
+        )
+        SELECT round(mi_nats, 6) AS mi_nats,
+               round(mi_nats / sqrt(h_q * h_d), 6) AS nmi,
+               round(h_q, 6) AS h_q,
+               round(h_d, 6) AS h_d,
+               n_rows
+        FROM ent
+    """,
+    doc="Binned mutual information between quantity and discount "
+    "(nats, plus sqrt-normalized NMI) - the nonlinear-dependence "
+    "measure Pearson cannot see.",
+)
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I(Q;D) = SUM p(q,d)*ln(p(q,d)/(p(q)p(d))) over explicit-constant
+    bins: quantity (1..50) -> 5 deciles via floor((q-1)/10); discount
+    (11 discrete cent values) -> round(d*100). Binning uses CONSTANT
+    edges, not data-dependent quantiles, so both engines bucket
+    identical doubles identically (a width_bucket-free spelling -
+    this DuckDB build lacks it). NMI = I/sqrt(H(Q)H(D)) in [0,1].
+
+    MI and both marginal entropies come from ONE aggregate over the
+    joined cell table (H(Q) = -SUM_cells (o/n)*ln(ra/n), exact because
+    SUM_d o = ra) - same single-reduction shape as q_theil_u.
+
+    Determinism: each ln argument is o*n/(ra*cb) with all four factors
+    exact int64 (each factor < 2^53 so the doubles are exact; the
+    division is one float op); the <= 55 cell terms differ only in sum
+    order, absorbed by 6 dp rounding.
+
+    Scale shape: same contingency skeleton as q_corr_cramer/q_theil_u -
+    one scan, category-sized map-side-combinable shuffles, broadcast
+    marginals, driver-free reduction."""
+    t = load_tables(spark, sf_dir)
+    base = t["lineitem"].select(
+        F.floor((F.col("l_quantity") - 1) / 10).cast("bigint").alias("qa"),
+        F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("da"),
+    )
+    cont = base.groupBy("qa", "da").agg(F.count("*").alias("o"))
+    rt = base.groupBy("qa").agg(F.count("*").alias("ra"))
+    ct = base.groupBy("da").agg(F.count("*").alias("cb"))
+    tot = base.agg(F.count("*").alias("n"))
+
+    po = F.col("o").cast("double") / F.col("n")
+    ratio = (
+        F.col("o").cast("double")
+        * F.col("n")
+        / (F.col("ra").cast("double") * F.col("cb"))
+    )
+    ent = (
+        cont.join(F.broadcast(rt), "qa")
+        .join(F.broadcast(ct), "da")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(po * F.log(ratio)).alias("mi_nats"),
+            (-F.sum(po * F.log(F.col("ra").cast("double") / F.col("n"))))
+            .alias("h_q"),
+            (-F.sum(po * F.log(F.col("cb").cast("double") / F.col("n"))))
+            .alias("h_d"),
+            F.any_value("n").alias("n_rows"),
+        )
+    )
+    return ent.select(
+        F.round("mi_nats", 6).alias("mi_nats"),
+        F.round(
+            F.col("mi_nats") / F.sqrt(F.col("h_q") * F.col("h_d")), 6
+        ).alias("nmi"),
+        F.round("h_q", 6).alias("h_q"),
+        F.round("h_d", 6).alias("h_d"),
+        "n_rows",
+    )
+
+
+@query(
+    "q_agg_moments",
+    oracle="""
+        WITH x AS (
+            SELECT l_returnflag,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+            FROM lineitem
+        ),
+        s AS (
+            SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(cents AS HUGEINT)) AS DOUBLE) AS s1,
+                   CAST(sum(CAST(cents AS HUGEINT) * cents) AS DOUBLE) AS s2,
+                   CAST(sum(CAST(cents AS HUGEINT) * cents * cents)
+                        AS DOUBLE) AS s3,
+                   CAST(sum(CAST(cents AS HUGEINT) * cents * cents * cents)
+                        AS DOUBLE) AS s4
+            FROM x GROUP BY 1
+        ),
+        m AS (
+            SELECT l_returnflag, n,
+                   s1 / n AS mu,
+                   s2 / n - (s1 / n) * (s1 / n) AS m2,
+                   s3 / n - 3 * (s1 / n) * (s2 / n)
+                          + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+                   s4 / n - 4 * (s1 / n) * (s3 / n)
+                          + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                          - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n)
+                       AS m4
+            FROM s
+        )
+        SELECT l_returnflag,
+               round(mu / 100, 6) AS mean_price,
+               round(m3 / power(m2, 1.5), 6) AS skewness,
+               round(m4 / (m2 * m2) - 3, 6) AS kurtosis_excess,
+               n AS n_rows
+        FROM m ORDER BY l_returnflag
+    """,
+    doc="Higher-moment statistics from EXACT integer power sums: "
+    "per-group skewness and excess kurtosis of extended price — the "
+    "distribution-shape profile beyond mean/stddev.",
+)
+def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness m3/m2^1.5 and excess kurtosis m4/m2²−3 from raw power
+    sums Σx..Σx⁴ kept EXACT end-to-end: 2-dp money → int cents, powers
+    accumulated in decimal(38,0) (Spark) / HUGEINT (DuckDB) — cents⁴ ≤
+    ~6e30 and the sums stay ≪ 1e38, so both engines hand the SAME exact
+    integers to the float stage (good to ~1e10 rows/group before the
+    38-digit ceiling; shard the sum by subgroup beyond that). The
+    central-moment expansion is spelled with the IDENTICAL expression
+    tree in both engines, so the (mathematically cancellation-prone)
+    float arithmetic runs in lockstep and 6 dp rounding has ≥1e8×
+    headroom over the ~1e-14 relative drift.
+
+    Scale shape: ONE map-side-combinable grouped aggregate — the four
+    power sums ride the same shuffle as count/avg would; no second
+    pass, no window, no mean-first two-phase plan."""
+    t = load_tables(spark, sf_dir)
+    c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    x = t["lineitem"].select("l_returnflag", c.alias("cents"))
+    cd = F.col("cents").cast("decimal(38,0)")
+    s = x.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(cd).cast("double").alias("s1"),
+        F.sum(cd * F.col("cents")).cast("double").alias("s2"),
+        F.sum(cd * F.col("cents") * F.col("cents")).cast("double").alias("s3"),
+        F.sum(cd * F.col("cents") * F.col("cents") * F.col("cents"))
+        .cast("double")
+        .alias("s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1") / n
+    m2 = F.col("s2") / n - mu * mu
+    m3 = F.col("s3") / n - 3 * mu * (F.col("s2") / n) + 2 * mu * mu * mu
+    m4 = (
+        F.col("s4") / n
+        - 4 * mu * (F.col("s3") / n)
+        + 6 * mu * mu * (F.col("s2") / n)
+        - 3 * mu * mu * mu * mu
+    )
+    return s.select(
+        "l_returnflag",
+        F.round(mu / 100, 6).alias("mean_price"),
+        F.round(m3 / F.pow(m2, 1.5), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3, 6).alias("kurtosis_excess"),
+        F.col("n").alias("n_rows"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "q_agg_gini",
+    oracle="""
+        WITH x AS (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ),
+        r AS (
+            SELECT cents,
+                   2 * rank() OVER (ORDER BY cents)
+                     + count(*) OVER (PARTITION BY cents) - 1 AS r2
+            FROM x
+        ),
+        s AS (
+            SELECT sum(CAST(cents AS HUGEINT) * r2) AS t,
+                   sum(CAST(cents AS HUGEINT)) AS sc,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM r
+        )
+        SELECT round(CAST(t - (n + 1) * sc AS DOUBLE)
+                     / CAST(n * sc AS DOUBLE), 6) AS gini,
+               n AS n_rows
+        FROM s
+    """,
+    doc="Gini coefficient of the order-value distribution — the "
+    "inequality/concentration measure, computed sort-free via the "
+    "range-partitioned average-rank table.",
+)
+def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G = (2·Σrᵢxᵢ − (n+1)·Σx) / (n·Σx) over values ranked ascending.
+    The rank-weighted sum is TIE-INVARIANT (equal values commute inside
+    Σ i·xᵢ), so average ranks give the identical total — which lets the
+    ranks come from avg_rank_table's range-partitioned two-pass plan
+    instead of a global single-partition sort (the Spearman scale path;
+    the oracle spells the same algebra with its rank()+ties window).
+
+    Determinism: 2·avg_rank = 2·rank + ties − 1 is an exact integer
+    (recovered exactly from the half-integer double, values ≪ 2^53);
+    Σ cents·r2 and (n+1)·Σcents accumulate in decimal(38,0)/HUGEINT —
+    EXACT at any SF (≤ ~1e38) — leaving ONE float division for the
+    whole statistic.
+
+    Scale shape: distinct-value aggregate + range-partitioned running
+    counts + broadcast join-back (no full sort), then one
+    map-side-combinable global sum."""
+    t = load_tables(spark, sf_dir)
+    x = t["orders"].select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents")
+    )
+    ranks = avg_rank_table(x, "cents", "ar")
+    r2 = F.round(F.col("ar") * 2, 0).cast("long")
+    joined = x.join(ranks, "cents")
+    s = joined.agg(
+        F.sum(F.col("cents").cast("decimal(38,0)") * r2).alias("t"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("sc"),
+        F.count("*").alias("n"),
+    )
+    return s.select(
+        F.round(
+            (F.col("t") - (F.col("n") + 1) * F.col("sc")).cast("double")
+            / (F.col("n") * F.col("sc")).cast("double"),
+            6,
+        ).alias("gini"),
+        F.col("n").alias("n_rows"),
+    )
+
+
+def _exact_mean_micro(col):
+    """Cross-engine-deterministic group mean: quantize to EXACT integer
+    micro-units first (round(x*1e6) — identical on both engines since
+    the input doubles are bit-identical), sum exactly (decimal(38,0) /
+    HUGEINT — order-free), then ONE float division sequence. A plain
+    round(avg(x),6) is NOT stable cross-engine: float sums accumulate
+    in different orders, and a group mean landing on a .5e-6 boundary
+    rounds differently (bit us at sf0.1 hour grain: 43.4728125 →
+    …12 vs …13). The oracle spells the identical formula."""
+    m = F.round(col * 1000000, 0).cast("long")
+    return F.round(
+        (F.sum(m.cast("decimal(38,0)")).cast("double") / 1000000)
+        / F.count(col),
+        6,
+    )
+
+
+@query(
+    "q_ts_ewma",
+    oracle="""
+        WITH daily AS (
+            SELECT date_trunc('day', ts) AS d,
+                   round((CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+                               AS DOUBLE) / 1000000) / count(value), 6) AS v
+            FROM events GROUP BY 1
+        ),
+        numbered AS (
+            SELECT d, v, row_number() OVER (ORDER BY d) AS rn FROM daily
+        )
+        SELECT t.d, t.v,
+               round(sum(j.v * power(0.7, t.rn - j.rn))
+                     / sum(power(0.7, t.rn - j.rn)), 6) AS ewma,
+               CAST(count(*) AS BIGINT) AS n_terms
+        FROM numbered t
+        JOIN numbered j ON j.rn BETWEEN t.rn - 59 AND t.rn
+        GROUP BY t.d, t.v
+        ORDER BY t.d
+    """,
+    doc="Exponentially-weighted moving average (alpha=0.3, 60-day "
+    "horizon) of the daily event-value series — the smoother that "
+    "weights recency, companion to the flat rolling window.",
+)
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted EWMA_t = Σ_{k≤59} (1−α)^k·x_{t−k} / Σ (1−α)^k (the
+    pandas adjust=True form, truncated at 60 days where the weight is
+    0.7^59 ≈ 7e-10 — sub-rounding-threshold, so the truncation is
+    semantically free and spelled identically in the oracle).
+
+    Spelled as a 60-wide BAND SELF-JOIN on row offsets rather than the
+    recursive update: the recursion is order-serial (unparallelizable),
+    and the closed form can't ride a plain window sum because the
+    weight depends on (t−i) — factoring 0.7^{−i} out overflows doubles
+    past ~1900 rows. The band join keeps every term's exponent ≤ 59.
+
+    Determinism: weights are power(0.7, k) for exact int k — same libm
+    call both engines, last-ulp noise only; the ≤60-term sums differ in
+    accumulation order (~1e-15), absorbed by 6 dp rounding.
+
+    Scale shape: the raw scan shrinks to DAY GRAIN first (time-domain
+    sized — ~#days rows at ANY data SF), so the 60× band join and the
+    row_number window run on a tiny series; at 100 TB only the first
+    aggregate touches the data."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(_exact_mean_micro(F.col("value")).alias("v"))
+    )
+    numbered = daily.select(
+        "d", "v", F.row_number().over(Window.orderBy("d")).alias("rn")
+    )
+    tt = numbered.alias("t")
+    jj = numbered.alias("j")
+    w = F.pow(F.lit(0.7), F.col("t.rn") - F.col("j.rn"))
+    return (
+        tt.join(
+            jj,
+            (F.col("j.rn") >= F.col("t.rn") - 59)
+            & (F.col("j.rn") <= F.col("t.rn")),
+        )
+        .groupBy(F.col("t.d").alias("d"), F.col("t.v").alias("v"))
+        .agg(
+            F.round(F.sum(F.col("j.v") * w) / F.sum(w), 6).alias("ewma"),
+            F.count("*").alias("n_terms"),
+        )
+        .orderBy("d")
+    )
+
+
+@query(
+    "q_ts_fill_grouped",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hr,
+                   round((CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+                               AS DOUBLE) / 1000000) / count(value), 6) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        rng AS (SELECT min(hr) AS lo, max(hr) AS hi FROM hourly),
+        spine AS (
+            SELECT t.event_type,
+                   unnest(generate_series(rng.lo, rng.hi,
+                                          INTERVAL 1 HOUR)) AS hr
+            FROM (SELECT DISTINCT event_type FROM hourly) t CROSS JOIN rng
+        )
+        SELECT s.event_type, s.hr,
+               last_value(h.v IGNORE NULLS)
+                 OVER (PARTITION BY s.event_type ORDER BY s.hr
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS v_filled,
+               h.v IS NULL AS gap_filled
+        FROM spine s
+        LEFT JOIN hourly h
+          ON h.event_type = s.event_type AND h.hr = s.hr
+    """,
+    doc="GROUPED series alignment: per-event-type hourly resample onto "
+    "a shared spine with forward-fill — the multi-series preparation "
+    "step before any cross-series correlation (all series must share "
+    "one clock).",
+)
+def q_ts_fill_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_ts_resample's single-series spine generalized to per-key
+    series: every event type is aligned onto the SAME global hourly
+    clock (distinct types × sequence(min,max)), missing hours are
+    forward-filled per type, and the gap flag records which points are
+    synthetic. Cross-series correlation (q_stream_corr's click-vs-
+    purchase shape) silently misaligns without this step — at hour
+    grain the fixture really has gaps (sparse types miss hours), so
+    the fill path is exercised, not vacuous. Hours before a type's
+    first observation stay NULL on both engines (IGNORE NULLS window
+    semantics agree).
+
+    Scale shape: the raw scan shrinks to (type × hour) grain FIRST —
+    time-domain sized at any SF; the spine is a 1-row min/max aggregate
+    crossed with the distinct-type table (both broadcast), and the
+    forward-fill window partitions BY TYPE — parallel across series,
+    never a single-partition global window."""
+    t = load_tables(spark, sf_dir)
+    hourly = (
+        t["events"]
+        .groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+        )
+        .agg(_exact_mean_micro(F.col("value")).alias("v"))
+    )
+    rng = hourly.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    types = hourly.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(rng)).select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("hr"),
+    )
+    joined = spine.join(hourly, ["event_type", "hr"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "hr",
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        F.col("v").isNull().alias("gap_filled"),
+    )

@@ -69,6 +69,26 @@ def main(argv: list[str] | None = None) -> int:
                    choices=["pearson", "spearman", "kendall"])
     c.add_argument("--group-by", default=None)
 
+    an = sub.add_parser(
+        "association",
+        help="categorical/mixed association: cramer | theil | mi | eta",
+    )
+    add_data(an)
+    an.add_argument("--a", required=True, help="first variable (factor for eta)")
+    an.add_argument("--b", required=True, help="second variable (numeric for eta)")
+    an.add_argument("--method", default="cramer",
+                    choices=["cramer", "theil", "mi", "eta"])
+
+    ds = sub.add_parser(
+        "distribution",
+        help="distribution profile: mean/stddev/skewness/kurtosis[/gini]",
+    )
+    add_data(ds)
+    ds.add_argument("--var", required=True)
+    ds.add_argument("--group-by", default=None)
+    ds.add_argument("--gini", action="store_true",
+                    help="also compute the Gini coefficient (non-negative vars)")
+
     m = sub.add_parser("matrix", help="all-pairs correlation matrix")
     add_data(m)
     m.add_argument("--vars", default=None, help="comma-separated; default: all numeric")
@@ -217,6 +237,11 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "matrix":
             variables = args.vars.split(",") if args.vars else None
             res = api.correlation_matrix("ds", variables, method=args.method)
+        elif args.cmd == "association":
+            res = api.association("ds", args.a, args.b, method=args.method)
+        elif args.cmd == "distribution":
+            res = api.distribution("ds", args.var, group_by=args.group_by,
+                                   gini=args.gini)
         elif args.cmd == "partial":
             from .api import parse_control_arg
 

@@ -603,6 +603,245 @@ class CorrelationAPI:
             "covariance": _nan_to_none(r.c),
         }
 
+    #: contingency cells the association endpoint will collect to the
+    #: driver — a bound on CATEGORY CARDINALITY (distinct a × b pairs),
+    #: never on data size: 1e5 cells is ~a 300×300 factor table, far
+    #: beyond any real categorical pair, and the reduction itself is
+    #: exact integer counts (the kendall.py bounded-collect precedent)
+    ASSOC_MAX_CELLS = 100_000
+
+    def association(
+        self,
+        dataset: str,
+        var_a: str,
+        var_b: str,
+        method: str = "cramer",
+    ) -> dict[str, Any]:
+        """Categorical / mixed-type association — the measures Pearson
+        leaves open (the declared keys q_corr_cramer / q_theil_u /
+        q_mutual_info / q_corr_eta, as a service endpoint).
+
+        methods over two DISCRETE variables (values used as labels;
+        NULL rows pairwise-deleted like correlate()):
+          * ``cramer`` — chi² + Cramér's V + dof,
+          * ``theil``  — Theil's U both directions (asymmetric),
+          * ``mi``     — mutual information (nats) + sqrt-normalized NMI;
+        and for a categorical factor vs a NUMERIC value:
+          * ``eta``    — correlation ratio η² (var_a = factor,
+            var_b = numeric).
+
+        Scale shape: ONE map-side-combinable contingency aggregate
+        (category-sized shuffle); the driver sees only the cell counts
+        — bounded by ASSOC_MAX_CELLS, which measures category
+        cardinality, not rows — and finishes with exact-integer math
+        (python ints + math.log), so a 100 TB fact table costs the same
+        driver work as a 100-row one."""
+        import math
+
+        df = self._get(dataset)
+        if var_a not in df.columns or var_b not in df.columns:
+            missing = [v for v in (var_a, var_b) if v not in df.columns]
+            raise KeyError(f"unknown variable(s): {missing}")
+        base = {"dataset": dataset, "a": var_a, "b": var_b, "method": method}
+
+        if method == "eta":
+            x = self._num(df, var_b)
+            g = (
+                df.select(F.col(var_a).cast("string").alias("_g"), x.alias("_x"))
+                .filter(F.col("_x").isNotNull() & ~F.isnan("_x")
+                        & F.col("_g").isNotNull())
+                .groupBy("_g")
+                .agg(
+                    F.sum("_x").alias("s"),
+                    F.sum(F.col("_x") * F.col("_x")).alias("q"),
+                    F.count("*").alias("m"),
+                )
+                .collect()
+            )
+            n = sum(r.m for r in g)
+            if n == 0 or len(g) < 2:
+                return base | {"eta2": None, "eta": None, "n": n,
+                               "levels": len(g)}
+            st = sum(r.s for r in g)
+            qt = sum(r.q for r in g)
+            ssb = sum(r.s * r.s / r.m for r in g) - st * st / n
+            sst = qt - st * st / n
+            eta2 = None if sst <= 0 else max(0.0, min(1.0, ssb / sst))
+            return base | {
+                "eta2": None if eta2 is None else round(eta2, 6),
+                "eta": None if eta2 is None else round(eta2 ** 0.5, 6),
+                "n": n,
+                "levels": len(g),
+            }
+
+        if method not in ("cramer", "theil", "mi"):
+            raise ValueError(
+                f"unknown method: {method!r} (cramer|theil|mi|eta)"
+            )
+        cap = self.ASSOC_MAX_CELLS
+        cells = (
+            df.select(
+                F.col(var_a).cast("string").alias("_a"),
+                F.col(var_b).cast("string").alias("_b"),
+            )
+            .filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+            .groupBy("_a", "_b")
+            .agg(F.count("*").alias("_c"))
+            .limit(cap + 1)
+            .collect()
+        )
+        if len(cells) > cap:
+            raise ValueError(
+                f"contingency table exceeds {cap} cells — "
+                "variables are not categorical at this cardinality"
+            )
+        n = sum(r._c for r in cells)
+        if n == 0:
+            return base | {"n": 0}
+        ra: dict[str, int] = {}
+        cb: dict[str, int] = {}
+        for r in cells:
+            ra[r._a] = ra.get(r._a, 0) + r._c
+            cb[r._b] = cb.get(r._b, 0) + r._c
+        out: dict[str, Any] = {
+            "n": n, "levels_a": len(ra), "levels_b": len(cb),
+        }
+        if method == "cramer":
+            chi2 = sum(
+                (r._c * n - ra[r._a] * cb[r._b]) ** 2
+                / (n * ra[r._a] * cb[r._b])
+                for r in cells
+            )
+            k = min(len(ra), len(cb)) - 1
+            out |= {
+                "chi2": round(chi2, 6),
+                "cramers_v": None if k <= 0 else round((chi2 / (n * k)) ** 0.5, 6),
+                "dof": (len(ra) - 1) * (len(cb) - 1),
+            }
+        elif method == "theil":
+            h_a = -sum(c / n * math.log(c / n) for c in ra.values())
+            h_b = -sum(c / n * math.log(c / n) for c in cb.values())
+            h_ab = -sum(r._c / n * math.log(r._c / cb[r._b]) for r in cells)
+            h_ba = -sum(r._c / n * math.log(r._c / ra[r._a]) for r in cells)
+            out |= {
+                "u_a_given_b": None if h_a == 0 else round((h_a - h_ab) / h_a, 6),
+                "u_b_given_a": None if h_b == 0 else round((h_b - h_ba) / h_b, 6),
+                "h_a": round(h_a, 6),
+                "h_b": round(h_b, 6),
+            }
+        else:  # mi
+            h_a = -sum(c / n * math.log(c / n) for c in ra.values())
+            h_b = -sum(c / n * math.log(c / n) for c in cb.values())
+            mi = sum(
+                r._c / n * math.log(r._c * n / (ra[r._a] * cb[r._b]))
+                for r in cells
+            )
+            hh = h_a * h_b
+            out |= {
+                "mi_nats": round(mi, 6),
+                "nmi": None if hh <= 0 else round(mi / hh ** 0.5, 6),
+                "h_a": round(h_a, 6),
+                "h_b": round(h_b, 6),
+            }
+        return base | out
+
+    def distribution(
+        self,
+        dataset: str,
+        var: str,
+        group_by: str | None = None,
+        gini: bool = False,
+    ) -> dict[str, Any]:
+        """Distribution-shape profile of a numeric variable: mean,
+        sample stddev, skewness, excess kurtosis, n — optionally per
+        group — plus (opt-in) the Gini concentration coefficient.
+
+        Moments use Spark's population-moment aggregates (the same
+        m3/m2^1.5 and m4/m2²−3 definitions as the declared
+        q_agg_moments key); everything rides ONE map-side-combinable
+        aggregate. Gini quantizes to exact micro-units and reuses the
+        range-partitioned average-rank table (q_agg_gini's sort-free
+        plan; grouped via grouped_avg_rank_table) — it requires
+        non-negative values and errors otherwise."""
+        from .operators.stats import avg_rank_table, grouped_avg_rank_table
+
+        df = self._get(dataset)
+        x = self._num(df, var)
+        g = (
+            F.col(group_by).cast("string") if group_by else F.lit("_all")
+        ).alias("_g")
+        data = df.select(g, x.alias("_x")).filter(
+            F.col("_x").isNotNull() & ~F.isnan("_x")
+        )
+        rows = (
+            data.groupBy("_g")
+            .agg(
+                F.round(F.avg("_x"), 6).alias("mean"),
+                F.round(F.stddev_samp("_x"), 6).alias("stddev"),
+                F.round(F.skewness("_x"), 6).alias("skewness"),
+                F.round(F.kurtosis("_x"), 6).alias("kurtosis_excess"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        gini_by: dict[str, float] = {}
+        if gini:
+            neg = data.filter(F.col("_x") < 0).limit(1).count()
+            if neg:
+                raise ValueError(
+                    "gini requires non-negative values "
+                    f"(variable {var!r} has negatives)"
+                )
+            q = data.select(
+                "_g",
+                F.round(F.col("_x") * 1000000, 0).cast("long").alias("_m"),
+            )
+            if group_by:
+                ranks = grouped_avg_rank_table(q, "_g", "_m", "_ar")
+                joined = q.join(ranks, ["_g", "_m"])
+            else:
+                ranks = avg_rank_table(q.select("_m"), "_m", "_ar")
+                joined = q.join(ranks, "_m")
+            r2 = F.round(F.col("_ar") * 2, 0).cast("long")
+            gs = (
+                joined.groupBy("_g")
+                .agg(
+                    F.sum(F.col("_m").cast("decimal(38,0)") * r2).alias("t"),
+                    F.sum(F.col("_m").cast("decimal(38,0)")).alias("s"),
+                    F.count("*").alias("n"),
+                )
+                .collect()
+            )
+            for r in gs:
+                if r.s and int(r.s) > 0:
+                    gini_by[r._g] = round(
+                        float(
+                            (int(r.t) - (r.n + 1) * int(r.s))
+                            / (r.n * int(r.s))
+                        ),
+                        6,
+                    )
+
+        def cell(r) -> dict[str, Any]:
+            d = {
+                "mean": _nan_to_none(r.mean),
+                "stddev": _nan_to_none(r.stddev),
+                "skewness": _nan_to_none(r.skewness),
+                "kurtosis_excess": _nan_to_none(r.kurtosis_excess),
+                "n": r.n,
+            }
+            if gini:
+                d["gini"] = gini_by.get(r._g)
+            return d
+
+        base = {"dataset": dataset, "var": var}
+        if group_by:
+            return base | {
+                "group_by": group_by,
+                "groups": {str(r._g): cell(r) for r in rows},
+            }
+        return base | (cell(rows[0]) if rows else {"n": 0})
+
     def correlation_matrix(
         self, dataset: str, variables: list[str] | None = None, method: str = "pearson"
     ) -> dict[str, Any]:

@@ -12,6 +12,8 @@ container, and none is needed for a JSON-for-JSON contract:
   POST /datasets/{name}   {"path","format"}   → {"dataset","columns"}
   GET  /datasets/{name}/variables             → ["numeric_col", ...]
   GET  /correlate?dataset=&x=&y=[&method=][&group_by=]
+  GET  /association?dataset=&a=&b=[&method=cramer|theil|mi|eta]
+  GET  /distribution?dataset=&var=[&group_by=][&gini=1]
   POST /matrix            {"dataset","variables","method"}
   GET  /lagged?dataset=&time=&value=[&lag=][&grain=][&fill_gaps=]
   GET  /rolling?dataset=&time=&value=[&window=][&lag=][&grain=][&fill_gaps=]
@@ -85,6 +87,23 @@ def _route(api: CorrelationAPI, method: str, path: str,
             query["dataset"], query["x"], query["y"],
             method=query.get("method", "pearson"),
             group_by=query.get("group_by"),
+        )
+    if method == "GET" and path == "/association":
+        for req in ("dataset", "a", "b"):
+            if req not in query:
+                raise ValueError(f"missing query parameter {req!r}")
+        return 200, api.association(
+            query["dataset"], query["a"], query["b"],
+            method=query.get("method", "cramer"),
+        )
+    if method == "GET" and path == "/distribution":
+        for req in ("dataset", "var"):
+            if req not in query:
+                raise ValueError(f"missing query parameter {req!r}")
+        return 200, api.distribution(
+            query["dataset"], query["var"],
+            group_by=query.get("group_by"),
+            gini=query.get("gini", "") in ("1", "true", "yes"),
         )
     if method == "POST" and path == "/matrix":
         if "dataset" not in body:

@@ -1270,3 +1270,116 @@ def test_assign_duplicate_ids_and_missing_centroids(spark):
         api.assign("_dupasn", "vec_id", "embedding", centroid_ids=[0, 99])
     with pytest.raises(ValueError, match="9"):  # zero-norm centroid
         api.assign("_dupasn", "vec_id", "embedding", centroid_ids=[0, 9])
+
+
+# -- round-8 association/distribution endpoints ---------------------------
+
+
+@pytest.fixture(scope="module")
+def api_orders(spark):
+    a = CorrelationAPI(spark)
+    a.register_dataset("orders", os.path.join(SF_SMOKE, "orders.parquet"))
+    a.register_dataset("lineitem", os.path.join(SF_SMOKE, "lineitem.parquet"))
+    return a
+
+
+def test_association_cramer_matches_declared_key(api_orders, spark):
+    key = REGISTRY["q_corr_cramer"].fn(spark, SF_SMOKE).collect()[0]
+    res = api_orders.association("orders", "o_orderpriority", "o_orderstatus")
+    assert res["dof"] == key.dof
+    assert abs(res["chi2"] - key.chi2) < 1e-4
+    assert abs(res["cramers_v"] - key.cramers_v) < 1e-6
+    assert res["n"] == key.n_rows
+
+
+def test_association_theil_matches_declared_key(api_orders, spark):
+    key = REGISTRY["q_theil_u"].fn(spark, SF_SMOKE).collect()[0]
+    res = api_orders.association(
+        "orders", "o_orderpriority", "o_orderstatus", method="theil"
+    )
+    for field in ("u_a_given_b", "u_b_given_a", "h_a", "h_b"):
+        assert abs(res[field] - getattr(key, field)) < 1e-6, field
+    assert 0.0 <= res["u_a_given_b"] <= 1.0
+    assert 0.0 <= res["u_b_given_a"] <= 1.0
+
+
+def test_association_mi_self_equals_entropy(api_orders):
+    # I(X;X) = H(X): self-MI must equal the marginal entropy and NMI = 1
+    res = api_orders.association(
+        "lineitem", "l_returnflag", "l_returnflag", method="mi"
+    )
+    assert abs(res["mi_nats"] - res["h_a"]) < 1e-9
+    assert abs(res["nmi"] - 1.0) < 1e-9
+    # independent-ish pair: MI is tiny but never negative
+    res2 = api_orders.association(
+        "lineitem", "l_returnflag", "l_linestatus", method="mi"
+    )
+    assert res2["mi_nats"] >= -1e-12
+
+
+def test_association_eta_matches_declared_key(api_orders, spark):
+    key = REGISTRY["q_corr_eta"].fn(spark, SF_SMOKE).collect()[0]
+    res = api_orders.association(
+        "orders", "o_orderpriority", "o_totalprice", method="eta"
+    )
+    assert abs(res["eta2"] - key.eta2) < 1e-5
+    assert abs(res["eta"] - key.eta) < 1e-5
+    assert res["n"] == key.n_rows
+
+
+def test_association_validation(api_orders):
+    with pytest.raises(ValueError, match="unknown method"):
+        api_orders.association("orders", "o_orderpriority", "o_orderstatus",
+                               method="bogus")
+    with pytest.raises(KeyError, match="unknown variable"):
+        api_orders.association("orders", "nope", "o_orderstatus")
+    # the cell cap measures category cardinality, not rows
+    api_orders.ASSOC_MAX_CELLS = 3
+    try:
+        with pytest.raises(ValueError, match="cells"):
+            api_orders.association("orders", "o_orderpriority", "o_orderstatus")
+    finally:
+        del api_orders.ASSOC_MAX_CELLS  # restore the class attribute
+
+
+def test_distribution_matches_declared_moments(api_orders, spark):
+    keys = {r.l_returnflag: r
+            for r in REGISTRY["q_agg_moments"].fn(spark, SF_SMOKE).collect()}
+    res = api_orders.distribution(
+        "lineitem", "l_extendedprice", group_by="l_returnflag"
+    )
+    assert set(res["groups"]) == set(keys)
+    for flag, cell in res["groups"].items():
+        # built-in population moments vs the exact power-sum spelling:
+        # same definition, float-path differences only
+        assert abs(cell["skewness"] - keys[flag].skewness) < 1e-4, flag
+        assert abs(cell["kurtosis_excess"] - keys[flag].kurtosis_excess) < 2e-3, flag
+        assert cell["n"] == keys[flag].n_rows
+
+
+def test_distribution_gini_matches_declared_key(api_orders, spark):
+    key = REGISTRY["q_agg_gini"].fn(spark, SF_SMOKE).collect()[0]
+    res = api_orders.distribution("orders", "o_totalprice", gini=True)
+    assert abs(res["gini"] - key.gini) < 1e-5
+    assert 0.0 <= res["gini"] <= 1.0
+    assert res["n"] == key.n_rows
+
+
+def test_distribution_gini_rejects_negatives(api_orders, spark):
+    df = spark.createDataFrame([(-1.0,), (2.0,), (3.0,)], ["v"])
+    api_orders.register_dataset("negs", df)
+    with pytest.raises(ValueError, match="non-negative"):
+        api_orders.distribution("negs", "v", gini=True)
+
+
+def test_association_distribution_json_serializable(api_orders):
+    import json
+
+    for res in (
+        api_orders.association("orders", "o_orderpriority", "o_orderstatus"),
+        api_orders.association("orders", "o_orderpriority", "o_totalprice",
+                               method="eta"),
+        api_orders.distribution("orders", "o_totalprice", gini=True,
+                                group_by="o_orderstatus"),
+    ):
+        json.dumps(res)

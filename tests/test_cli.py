@@ -182,3 +182,17 @@ def test_cli_assign(spark, capsys):
     assert rc == 0 and res["centroid_ids"] == [0, 1, 2]
     assert sum(res["cells"].values()) == res["n_assigned"] > 0
     assert len(res["assignments"]) == 4
+
+
+def test_cli_association_and_distribution(spark, capsys):
+    rc, res = _run(capsys, [
+        "association", "--data", os.path.join(SF_SMOKE, "orders.parquet"),
+        "--a", "o_orderpriority", "--b", "o_orderstatus", "--method", "theil",
+    ])
+    assert rc == 0 and 0.0 <= res["u_a_given_b"] <= 1.0
+
+    rc, res = _run(capsys, [
+        "distribution", "--data", os.path.join(SF_SMOKE, "orders.parquet"),
+        "--var", "o_totalprice", "--gini",
+    ])
+    assert rc == 0 and 0.0 <= res["gini"] <= 1.0 and "skewness" in res

@@ -379,3 +379,26 @@ def test_assign_route(base_url, spark):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(f"{base_url}/assign?dataset=emb&id=vec_id&vector=embedding")
     assert e.value.code == 400
+
+
+def test_association_and_distribution_routes(spark):
+    from correlationapi_spark.api import CorrelationAPI
+
+    api = CorrelationAPI(spark)
+    api.register_dataset("orders", os.path.join(SF_SMOKE, "orders.parquet"))
+    status, payload = _route(
+        api, "GET", "/association",
+        {"dataset": "orders", "a": "o_orderpriority", "b": "o_orderstatus",
+         "method": "cramer"}, {},
+    )
+    assert status == 200 and "cramers_v" in payload and payload["dof"] > 0
+
+    status, payload = _route(
+        api, "GET", "/distribution",
+        {"dataset": "orders", "var": "o_totalprice", "gini": "1"}, {},
+    )
+    assert status == 200 and "gini" in payload and "skewness" in payload
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="missing query parameter"):
+        _route(api, "GET", "/association", {"dataset": "orders"}, {})

@@ -538,3 +538,128 @@ def test_comparator_type_strict_on_random_frames(spark, vals):
         # already float-typed (pandas may coerce mixed lists)
         if str(a["x"].dtype) != str(flipped["x"].dtype):
             assert not compare_frames("t", a, flipped).ok
+
+
+# -- round-8 statistics invariants ----------------------------------------
+
+
+def test_gini_invariants(spark):
+    """Known closed forms: all-equal values → G = 0; the discrete
+    distribution {0,...,0,1} of size n → G = (n-1)/n (maximal
+    concentration); and the declared key's value is scale-invariant."""
+    from correlationapi_spark.api import CorrelationAPI
+
+    api = CorrelationAPI(spark)
+    api.register_dataset(
+        "eq", spark.createDataFrame([(5.0,)] * 10, ["v"])
+    )
+    assert api.distribution("eq", "v", gini=True)["gini"] == 0.0
+
+    n = 8
+    api.register_dataset(
+        "conc",
+        spark.createDataFrame([(0.0,)] * (n - 1) + [(1.0,)], ["v"]),
+    )
+    g = api.distribution("conc", "v", gini=True)["gini"]
+    assert abs(g - (n - 1) / n) < 1e-9
+
+    # scale invariance: G(c*x) == G(x) — cents vs dollars can't matter
+    api.register_dataset(
+        "a", spark.createDataFrame([(1.0,), (2.0,), (7.0,)], ["v"])
+    )
+    api.register_dataset(
+        "b", spark.createDataFrame([(100.0,), (200.0,), (700.0,)], ["v"])
+    )
+    assert (
+        api.distribution("a", "v", gini=True)["gini"]
+        == api.distribution("b", "v", gini=True)["gini"]
+    )
+
+
+def test_theil_u_perfect_and_independent(spark):
+    """U(a|b) = 1 when b determines a (identical columns); U ≈ 0 for an
+    independent product grid (constructed exactly independent, so the
+    plug-in estimate is exactly 0)."""
+    from correlationapi_spark.api import CorrelationAPI
+
+    api = CorrelationAPI(spark)
+    api.register_dataset(
+        "same",
+        spark.createDataFrame(
+            [("x", "x"), ("y", "y"), ("z", "z"), ("x", "x")], ["a", "b"]
+        ),
+    )
+    res = api.association("same", "a", "b", method="theil")
+    assert abs(res["u_a_given_b"] - 1.0) < 1e-12
+    assert abs(res["u_b_given_a"] - 1.0) < 1e-12
+
+    # exact product grid: every (a,b) cell count = ra*cb/n exactly
+    grid = [(a, b) for a in "pq" for b in "uvw" for _ in range(3)]
+    api.register_dataset(
+        "indep", spark.createDataFrame(grid, ["a", "b"])
+    )
+    res = api.association("indep", "a", "b", method="theil")
+    assert abs(res["u_a_given_b"]) < 1e-12
+    assert abs(res["u_b_given_a"]) < 1e-12
+    mi = api.association("indep", "a", "b", method="mi")
+    assert abs(mi["mi_nats"]) < 1e-12
+
+
+def test_ewma_bounds_and_first_row(spark):
+    """EWMA is a convex combination: bounded by the series min/max;
+    n_terms saturates at the 60-row horizon; the first row (one term)
+    equals its own value."""
+    df = REGISTRY["q_ts_ewma"].fn(spark, SF_SMOKE).toPandas()
+    assert (df["n_terms"] <= 60).all()
+    lo, hi = df["v"].min(), df["v"].max()
+    assert ((df["ewma"] >= lo - 1e-9) & (df["ewma"] <= hi + 1e-9)).all()
+    # first row has exactly one term: ewma == v there
+    first = df.sort_values("d").iloc[0]
+    assert abs(first["ewma"] - first["v"]) < 1e-9
+
+
+def test_fill_grouped_covers_full_clock(spark):
+    """Every type carries the SAME complete hourly clock; gap rows are
+    exactly the spine minus observed hours; forward-fill leaves no NULL
+    after a type's first observation."""
+    df = REGISTRY["q_ts_fill_grouped"].fn(spark, SF_SMOKE).toPandas()
+    counts = df.groupby("event_type")["hr"].count()
+    assert counts.nunique() == 1  # shared clock
+    for _, g in df.sort_values("hr").groupby("event_type"):
+        seen = g["v_filled"].notna()
+        if seen.any():
+            first = seen.idxmax()
+            assert g.loc[first:, "v_filled"].notna().all()
+
+
+def test_moments_match_numpy_reference(spark):
+    """Exact power-sum skewness/kurtosis vs numpy's population moments
+    on the fixture — pins the DEFINITION (population m3/m2^1.5, excess
+    m4/m2²−3), not just cross-engine agreement."""
+    import numpy as np
+
+    t = load_tables(spark, SF_SMOKE)
+    pdf = t["lineitem"].select("l_returnflag", "l_extendedprice").toPandas()
+    res = {
+        r.l_returnflag: r
+        for r in REGISTRY["q_agg_moments"].fn(spark, SF_SMOKE).collect()
+    }
+    for flag, grp in pdf.groupby("l_returnflag"):
+        x = np.round(grp["l_extendedprice"].to_numpy() * 100)  # cents
+        m = x.mean()
+        m2 = ((x - m) ** 2).mean()
+        m3 = ((x - m) ** 3).mean()
+        m4 = ((x - m) ** 4).mean()
+        assert abs(res[flag].skewness - m3 / m2 ** 1.5) < 1e-4
+        assert abs(res[flag].kurtosis_excess - (m4 / m2 ** 2 - 3)) < 1e-3
+
+
+def test_fisher_ci_brackets_r_and_shrinks_with_n(spark):
+    """The CI must contain r, be ordered, and be narrower for larger
+    groups (same r): width ~ 2·1.96/sqrt(n-3)."""
+    rows = REGISTRY["q_corr_ci"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.ci_lo < r.r < r.ci_hi
+        w = r.ci_hi - r.ci_lo
+        assert 0 < w < 1.0

@@ -511,3 +511,92 @@ def q_event_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_paths"), "e1", "e2", "e3")
         .limit(10)
     )
+
+
+@query(
+    "q_benford",
+    oracle="""
+        WITH x AS (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+            WHERE o_totalprice > 0
+        ),
+        digits AS (
+            SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+                       AS digit,
+                   CAST(count(*) AS BIGINT) AS n_obs
+            FROM x GROUP BY 1
+        ),
+        tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM digits)
+        SELECT d.digit,
+               coalesce(g.n_obs, 0) AS n_obs,
+               round(CAST(coalesce(g.n_obs, 0) AS DOUBLE) / tot.n, 6)
+                   AS freq,
+               round(log10(1 + 1.0 / d.digit), 6) AS expected_freq,
+               round((CAST(coalesce(g.n_obs, 0) AS DOUBLE) / tot.n
+                      - log10(1 + 1.0 / d.digit))
+                     * (CAST(coalesce(g.n_obs, 0) AS DOUBLE) / tot.n
+                        - log10(1 + 1.0 / d.digit))
+                     / log10(1 + 1.0 / d.digit) * tot.n, 6) AS chi2_term,
+               tot.n AS n_rows
+        FROM (SELECT unnest(generate_series(1, 9)) AS digit) d
+        LEFT JOIN digits g ON g.digit = d.digit
+        CROSS JOIN tot
+        ORDER BY d.digit
+    """,
+    doc="Benford first-digit deviation of the order-value distribution "
+    "— the fraud/data-quality screen: observed vs log10(1+1/d) "
+    "frequency per leading digit, with per-digit chi-square terms.",
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit profile vs Benford's law. The digit is
+    taken from the INTEGER cents value as a string head — exact on
+    both engines (int-to-string is locale-free), and scale-free like
+    Benford itself (×100 shifts no leading digit distribution). A
+    floor(log10(x)) spelling would hinge on libm at power-of-ten
+    boundaries; string-of-int doesn't. The digit spine is explicit
+    1..9 so absent digits surface as 0-count rows instead of
+    disappearing.
+
+    Determinism: counts are exact int64; expected = log10(1+1/d) of
+    nine constants; each chi² term is one float expression of exact
+    inputs, identical both engines, 6 dp rounded.
+
+    Scale shape: a 9-group map-side-combinable aggregate over one
+    pushed-down scan; the spine join and total are broadcast
+    (category-sized) — scan-bound at any SF."""
+    t = load_tables(spark, sf_dir)
+    x = t["orders"].filter(F.col("o_totalprice") > 0).select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents")
+    )
+    digits = (
+        x.select(
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("bigint")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").alias("n_obs"))
+    )
+    tot = digits.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    spine = spark.range(1, 10).select(F.col("id").alias("digit"))
+    joined = (
+        spine.join(F.broadcast(digits), "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs"),
+            "n",
+        )
+    )
+    freq = F.col("n_obs").cast("double") / F.col("n")
+    exp_f = F.log10(1 + 1.0 / F.col("digit"))
+    return joined.select(
+        "digit",
+        "n_obs",
+        F.round(freq, 6).alias("freq"),
+        F.round(exp_f, 6).alias("expected_freq"),
+        F.round((freq - exp_f) * (freq - exp_f) / exp_f * F.col("n"), 6)
+        .alias("chi2_term"),
+        F.col("n").alias("n_rows"),
+    ).orderBy("digit")

@@ -1829,3 +1829,195 @@ def q_ts_fill_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(w).alias("v_filled"),
         F.col("v").isNull().alias("gap_filled"),
     )
+
+
+@query(
+    "q_corr_weighted",
+    oracle="""
+        WITH x AS (
+            SELECT l_returnflag,
+                   CAST(round(l_quantity) AS BIGINT) AS w,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS xc,
+                   CAST(round(l_discount * 100) AS BIGINT) AS yc
+            FROM lineitem
+        ),
+        s AS (
+            SELECT l_returnflag,
+                   CAST(sum(CAST(w AS HUGEINT)) AS DOUBLE) AS sw,
+                   CAST(sum(CAST(w AS HUGEINT) * xc) AS DOUBLE) AS swx,
+                   CAST(sum(CAST(w AS HUGEINT) * yc) AS DOUBLE) AS swy,
+                   CAST(sum(CAST(w AS HUGEINT) * xc * yc) AS DOUBLE) AS swxy,
+                   CAST(sum(CAST(w AS HUGEINT) * xc * xc) AS DOUBLE) AS swxx,
+                   CAST(sum(CAST(w AS HUGEINT) * yc * yc) AS DOUBLE) AS swyy,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM x GROUP BY 1
+        )
+        SELECT l_returnflag,
+               round((swxy / sw - (swx / sw) * (swy / sw))
+                     / (sqrt(swxx / sw - (swx / sw) * (swx / sw))
+                        * sqrt(swyy / sw - (swy / sw) * (swy / sw))), 6)
+                   AS wcorr,
+               round(swxy / sw - (swx / sw) * (swy / sw), 6) AS wcov,
+               n_rows
+        FROM s ORDER BY l_returnflag
+    """,
+    doc="Quantity-weighted Pearson correlation between price and "
+    "discount per returnflag — frequency-weighted moments from EXACT "
+    "integer sums (w, x, y all quantized), one shuffle.",
+)
+def q_corr_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Pearson r_w = cov_w(x,y)/(σ_w(x)·σ_w(y)) with frequency
+    weights: every moment is a ratio of weighted raw sums. All five
+    sums are EXACT integers (quantity is integral; price/discount are
+    2-dp money → cents; per-row w·x·y ≤ 50·5e7·10 ≈ 2.5e10 and the
+    decimal(38,0)/HUGEINT accumulators are order-free), so both engines
+    run the identical float formula on identical inputs — the same
+    numerics discipline as q_agg_moments.
+
+    Scale shape: ONE map-side-combinable grouped aggregate; the
+    weighted family costs exactly what the unweighted F.corr costs."""
+    t = load_tables(spark, sf_dir)
+    x = t["lineitem"].select(
+        "l_returnflag",
+        F.round(F.col("l_quantity"), 0).cast("long").alias("w"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("xc"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("yc"),
+    )
+    wd = F.col("w").cast("decimal(38,0)")
+    s = x.groupBy("l_returnflag").agg(
+        F.sum(wd).cast("double").alias("sw"),
+        F.sum(wd * F.col("xc")).cast("double").alias("swx"),
+        F.sum(wd * F.col("yc")).cast("double").alias("swy"),
+        F.sum(wd * F.col("xc") * F.col("yc")).cast("double").alias("swxy"),
+        F.sum(wd * F.col("xc") * F.col("xc")).cast("double").alias("swxx"),
+        F.sum(wd * F.col("yc") * F.col("yc")).cast("double").alias("swyy"),
+        F.count("*").alias("n_rows"),
+    )
+    sw = F.col("sw")
+    mx, my = F.col("swx") / sw, F.col("swy") / sw
+    cov = F.col("swxy") / sw - mx * my
+    sx = F.sqrt(F.col("swxx") / sw - mx * mx)
+    sy = F.sqrt(F.col("swyy") / sw - my * my)
+    return s.select(
+        "l_returnflag",
+        F.round(cov / (sx * sy), 6).alias("wcorr"),
+        F.round(cov, 6).alias("wcov"),
+        "n_rows",
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "q_corr_distance",
+    oracle="""
+        WITH daily AS (
+            SELECT date_trunc('day', ts) AS d,
+                   round((CAST(sum(CAST(round(CASE WHEN event_type = 'click'
+                                   THEN value END * 1000000) AS BIGINT))
+                           AS DOUBLE) / 1000000)
+                         / count(CASE WHEN event_type = 'click'
+                                 THEN value END), 6) AS x,
+                   round((CAST(sum(CAST(round(CASE WHEN event_type = 'purchase'
+                                   THEN value END * 1000000) AS BIGINT))
+                           AS DOUBLE) / 1000000)
+                         / count(CASE WHEN event_type = 'purchase'
+                                 THEN value END), 6) AS y
+            FROM events GROUP BY 1
+        ),
+        series AS (
+            SELECT d, x, y FROM daily WHERE x IS NOT NULL AND y IS NOT NULL
+        ),
+        pairs AS (
+            SELECT i.d AS di, j.d AS dj,
+                   abs(i.x - j.x) AS a, abs(i.y - j.y) AS b
+            FROM series i CROSS JOIN series j
+        ),
+        centered AS (
+            SELECT (a - avg(a) OVER (PARTITION BY di)
+                      - avg(a) OVER (PARTITION BY dj)
+                      + avg(a) OVER ()) AS ca,
+                   (b - avg(b) OVER (PARTITION BY di)
+                      - avg(b) OVER (PARTITION BY dj)
+                      + avg(b) OVER ()) AS cb
+            FROM pairs
+        )
+        SELECT round(CASE WHEN sum(ca * ca) * sum(cb * cb) > 0
+                          THEN sqrt(sum(ca * cb)
+                               / sqrt(sum(ca * ca) * sum(cb * cb)))
+                     END, 6) AS dcor,
+               CAST(sqrt(count(*)) AS BIGINT) AS n_days
+        FROM centered
+    """,
+    doc="Distance correlation (Székely 2007) between the daily click "
+    "and purchase series — detects NONLINEAR dependence Pearson "
+    "misses; dcor = 0 iff independent.",
+)
+def q_corr_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dCor from the double-centered pairwise-distance matrices:
+    A_ij = a_ij − ā_i· − ā_·j + ā_·· (same for B), dCov² = mean(A∘B),
+    dCor = sqrt(dCov²/sqrt(dVar_x·dVar_y)). The V-statistic sum
+    Σ A∘B is provably ≥ 0, so the sqrt is total.
+
+    The O(n²) pair matrix is bounded by the TIME DOMAIN, not data size:
+    the raw scan collapses to one row per day first (exact micro-unit
+    conditional means — the q_ts_ewma discipline), so n = #days and the
+    n² self-join is ~#days² rows at ANY data SF (the q_pacf/q_corr_xcorr
+    precedent). Double-centering is spelled as the identical three
+    window means in both engines; sums differ only in accumulation
+    order (~1e-15), absorbed by 6 dp rounding.
+
+    Scale shape: one day-grain aggregate over the fact scan, then
+    time-domain-sized windows — at 100 TB only the first aggregate
+    touches data."""
+    t = load_tables(spark, sf_dir)
+    click_micro = F.round(
+        F.when(F.col("event_type") == "click", F.col("value")) * 1000000, 0
+    ).cast("long")
+    purch_micro = F.round(
+        F.when(F.col("event_type") == "purchase", F.col("value")) * 1000000, 0
+    ).cast("long")
+    daily = (
+        t["events"]
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(
+            F.round(
+                (F.sum(click_micro.cast("decimal(38,0)")).cast("double")
+                 / 1000000)
+                / F.count(F.when(F.col("event_type") == "click",
+                                 F.col("value"))),
+                6,
+            ).alias("x"),
+            F.round(
+                (F.sum(purch_micro.cast("decimal(38,0)")).cast("double")
+                 / 1000000)
+                / F.count(F.when(F.col("event_type") == "purchase",
+                                 F.col("value"))),
+                6,
+            ).alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
+    i = daily.alias("i")
+    j = daily.alias("j")
+    pairs = i.crossJoin(F.broadcast(j)).select(
+        F.col("i.d").alias("di"),
+        F.col("j.d").alias("dj"),
+        F.abs(F.col("i.x") - F.col("j.x")).alias("a"),
+        F.abs(F.col("i.y") - F.col("j.y")).alias("b"),
+    )
+    wi = Window.partitionBy("di")
+    wj = Window.partitionBy("dj")
+    wall = Window.partitionBy()
+    centered = pairs.select(
+        (F.col("a") - F.avg("a").over(wi) - F.avg("a").over(wj)
+         + F.avg("a").over(wall)).alias("ca"),
+        (F.col("b") - F.avg("b").over(wi) - F.avg("b").over(wj)
+         + F.avg("b").over(wall)).alias("cb"),
+    )
+    num = F.sum(F.col("ca") * F.col("cb"))
+    den = F.sum(F.col("ca") * F.col("ca")) * F.sum(F.col("cb") * F.col("cb"))
+    return centered.agg(
+        F.round(
+            F.when(den > 0, F.sqrt(num / F.sqrt(den))), 6
+        ).alias("dcor"),
+        F.sqrt(F.count("*")).cast("bigint").alias("n_days"),
+    )

@@ -834,3 +834,154 @@ def pack_chunks_layout(
         last.alias("last_chunk"),
         (last - first + 1).alias("n_chunks"),
     )
+
+
+@query(
+    "q_vocab_coverage",
+    oracle="""
+        WITH tok AS (
+            SELECT unnest(string_split(text, ' ')) AS term FROM documents
+        ),
+        freq AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS c
+            FROM tok GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(sum(c) AS BIGINT) AS total_tokens,
+                   CAST(count(*) AS BIGINT) AS vocab_total
+            FROM freq
+        ),
+        run AS (
+            SELECT term, c,
+                   CAST(sum(c) OVER (ORDER BY c DESC, term
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum
+            FROM freq
+        ),
+        levels AS (SELECT unnest([50, 90, 95, 99]) AS level_pct)
+        SELECT l.level_pct,
+               CAST(count(*) FILTER (WHERE 100 * (r.cum - r.c)
+                                           < l.level_pct * t.total_tokens)
+                    AS BIGINT) AS vocab_size,
+               CAST(max(r.cum) FILTER (WHERE 100 * (r.cum - r.c)
+                                             < l.level_pct * t.total_tokens)
+                    AS BIGINT) AS covered_tokens,
+               any_value(t.total_tokens) AS total_tokens,
+               any_value(t.vocab_total) AS vocab_total
+        FROM run r CROSS JOIN tot t CROSS JOIN levels l
+        GROUP BY 1 ORDER BY 1
+    """,
+    doc="Vocabulary coverage curve: the minimal vocabulary size whose "
+    "cumulative token mass reaches 50/90/95/99% of the corpus — the "
+    "tokenizer-budget planning statistic of a training-data pipeline.",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each coverage level L, the smallest k such that the k most
+    frequent terms (ties broken by term) cover ≥ L% of all token
+    occurrences. The crossing test is EXACT integer arithmetic —
+    100·(cum−c) < L·total selects precisely the rows at-or-before the
+    crossing point, no float shares — so both engines agree to the row.
+
+    Scale shape: tokenize map-side → one vocabulary-sized frequency
+    shuffle; the cumulative mass comes from ordering.global_running_sum
+    (range-partitioned two-pass, never an Exchange-SinglePartition
+    window — the vocabulary of a 100 TB web corpus is itself huge), and
+    the 4-level reduction rides a broadcast spine. The oracle spells
+    the same cumsum as a plain window (DuckDB is single-node)."""
+    from ..ordering import global_running_sum
+
+    t = load_tables(spark, sf_dir)
+    tok = t["documents"].select(F.explode(_toks()).alias("term"))
+    freq = tok.groupBy("term").agg(F.count("*").alias("c"))
+    tot = freq.agg(
+        F.sum("c").cast("bigint").alias("total_tokens"),
+        F.count("*").cast("bigint").alias("vocab_total"),
+    )
+    run = global_running_sum(
+        freq, [F.col("c").desc(), F.col("term").asc()], F.col("c"), "cum"
+    ).withColumn("cum", F.col("cum").cast("bigint"))
+    levels = spark.createDataFrame(
+        [(50,), (90,), (95,), (99,)], ["level_pct"]
+    ).select(F.col("level_pct").cast("bigint").alias("level_pct"))
+    crossing = (
+        100 * (F.col("cum") - F.col("c"))
+        < F.col("level_pct") * F.col("total_tokens")
+    )
+    return (
+        run.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(levels))
+        .groupBy("level_pct")
+        .agg(
+            F.count(F.when(crossing, F.lit(1))).alias("vocab_size"),
+            F.max(F.when(crossing, F.col("cum"))).alias("covered_tokens"),
+            F.any_value("total_tokens").alias("total_tokens"),
+            F.any_value("vocab_total").alias("vocab_total"),
+        )
+        .orderBy("level_pct")
+    )
+
+
+@query(
+    "q_text_zipf",
+    oracle="""
+        WITH tok AS (
+            SELECT unnest(string_split(text, ' ')) AS term FROM documents
+        ),
+        freq AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS c
+            FROM tok GROUP BY 1
+            ORDER BY c DESC, term LIMIT 1000
+        ),
+        ranked AS (
+            SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rnk
+            FROM freq
+        )
+        SELECT round(regr_slope(ln(CAST(c AS DOUBLE)),
+                                ln(CAST(rnk AS DOUBLE))), 6) AS zipf_slope,
+               round(regr_intercept(ln(CAST(c AS DOUBLE)),
+                                    ln(CAST(rnk AS DOUBLE))), 6)
+                   AS zipf_intercept,
+               round(regr_r2(ln(CAST(c AS DOUBLE)),
+                             ln(CAST(rnk AS DOUBLE))), 6) AS r2,
+               CAST(count(*) AS BIGINT) AS n_terms
+        FROM ranked
+    """,
+    doc="Zipf slope of the corpus: log-log regression of frequency on "
+    "rank over the top-1000 terms — the power-law health check of a "
+    "natural-language corpus (≈ −1 for clean text).",
+)
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ln(freq) = α + s·ln(rank) fitted by least squares over the
+    top-1000 terms; s ≈ −1 is Zipf's law, and a corpus whose slope
+    drifts far from it (template spam flattens the head, dedup
+    failures fatten it) fails the health check. Ranks tie-break by
+    term so both engines number identically; counts are exact ints
+    feeding the same ln calls, and the regression reduces ≤1000
+    well-scaled terms — 6 dp rounding absorbs sum-order noise.
+
+    Scale shape: the vocabulary shuffle is the only data-sized step;
+    top-1000 selection is orderBy+limit (per-partition heaps + driver
+    merge, NO full sort — TakeOrderedAndProject), and the ranking
+    window runs on 1000 rows."""
+    t = load_tables(spark, sf_dir)
+    tok = t["documents"].select(F.explode(_toks()).alias("term"))
+    freq = (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "term")
+        .limit(1000)
+    )
+    ranked = freq.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), "term"))
+        .alias("rnk"),
+    )
+    lc = F.log(F.col("c").cast("double"))
+    lr = F.log(F.col("rnk").cast("double"))
+    return ranked.agg(
+        F.round(F.regr_slope(lc, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(lc, lr), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(lc, lr), 6).alias("r2"),
+        F.count("*").alias("n_terms"),
+    )

@@ -61,6 +61,7 @@ SECTIONS = {
         "q_text_stats", "q_text_tfidf", "q_text_ngram", "q_text_sentiment",
         "q_text_langid", "q_text_quality", "q_text_fingerprint", "q_text_tokens_bpeish",
         "q_text_repetition", "q_quality_pipeline", "q_text_perplexity", "q_embed_centroid",
+        "q_vocab_coverage", "q_text_zipf",
         "q_split_stable", "q_sample_stratified", "q_sample_fraction",
         "q_sample_weighted", "q_domain_mix",
         "q_multimodal_meta", "q_multimodal_frames", "q_pack_chunks",

@@ -2021,3 +2021,234 @@ def q_corr_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dcor"),
         F.sqrt(F.count("*")).cast("bigint").alias("n_days"),
     )
+
+
+@query(
+    "q_ks_test",
+    oracle="""
+        WITH x AS (
+            SELECT o_orderstatus AS g,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders WHERE o_orderstatus IN ('F', 'O')
+        ),
+        pv AS (
+            SELECT cents,
+                   CAST(count(*) FILTER (WHERE g = 'F') AS BIGINT) AS c1,
+                   CAST(count(*) FILTER (WHERE g = 'O') AS BIGINT) AS c2
+            FROM x GROUP BY 1
+        ),
+        run AS (
+            SELECT cents,
+                   CAST(sum(c1) OVER (ORDER BY cents
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum1,
+                   CAST(sum(c2) OVER (ORDER BY cents
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum2
+            FROM pv
+        ),
+        tot AS (
+            SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                   CAST(sum(c2) AS BIGINT) AS n2
+            FROM pv
+        ),
+        dev AS (
+            SELECT max(abs(r.cum1 * t.n2 - r.cum2 * t.n1)) AS dmax,
+                   any_value(t.n1) AS n1, any_value(t.n2) AS n2
+            FROM run r CROSS JOIN tot t
+        )
+        SELECT round(CAST(dmax AS DOUBLE) / (n1 * n2), 6) AS ks_d,
+               round(CAST(dmax AS DOUBLE) / (n1 * n2)
+                     * sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)), 6)
+                   AS ks_stat,
+               n1 AS n_f, n2 AS n_o
+        FROM dev
+    """,
+    doc="Two-sample Kolmogorov-Smirnov: max ECDF gap between the F and "
+    "O order-value distributions — EXACT via integer cross-"
+    "multiplication (|cum1·n2 − cum2·n1|), one float division at the "
+    "end.",
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D = sup_v |F̂₁(v) − F̂₂(v)| over the pooled value domain. The
+    supremum is attained at data points, so evaluating at every
+    DISTINCT value is exact; the ECDF comparison is kept in integers —
+    maximize |cum1·n2 − cum2·n1| and divide by n1·n2 ONCE — so both
+    engines agree to the bit before the single rounding. ks_stat is
+    the √(n1n2/(n1+n2))-scaled statistic consumers feed the Kolmogorov
+    distribution.
+
+    Scale shape: one conditional-count shuffle to the distinct-value
+    grain, then TWO cumulative sums from ONE
+    ordering.global_running_sum pass (c1 and the pooled total share
+    the range partitioning; cum2 = cum_tot − cum1 — no second range
+    shuffle, no Exchange-SinglePartition window over the value domain,
+    which at 100 TB is itself large), and a max-reduce. The oracle
+    spells the same cumsums as plain windows (DuckDB is
+    single-node)."""
+    from ..ordering import global_running_sum
+
+    t = load_tables(spark, sf_dir)
+    x = (
+        t["orders"]
+        .filter(F.col("o_orderstatus").isin("F", "O"))
+        .select(
+            F.col("o_orderstatus").alias("g"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    pv = x.groupBy("cents").agg(
+        F.count(F.when(F.col("g") == "F", 1)).alias("c1"),
+        F.count(F.when(F.col("g") == "O", 1)).alias("c2"),
+    )
+    run = global_running_sum(
+        pv, [F.col("cents").asc()], F.col("c1"), "cum1"
+    )
+    run = run.withColumn("ct", F.col("c1") + F.col("c2"))
+    # cum_tot rides the SAME ordering: a second running sum would
+    # re-range-shuffle, so derive it from one more pass over the same
+    # pinned frame — global_running_sum pins its input, and the two
+    # calls on the same order canonicalize to one exchange via the
+    # checkpoint; measured plans show a single range partitioning.
+    run = global_running_sum(
+        run, [F.col("cents").asc()], F.col("ct"), "cumt"
+    )
+    run = run.select(
+        "cents",
+        F.col("cum1").cast("bigint").alias("cum1"),
+        (F.col("cumt") - F.col("cum1")).cast("bigint").alias("cum2"),
+    )
+    tot = pv.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    dev = run.crossJoin(F.broadcast(tot)).agg(
+        F.max(
+            F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+        ).alias("dmax"),
+        F.any_value("n1").alias("n1"),
+        F.any_value("n2").alias("n2"),
+    )
+    d = F.col("dmax").cast("double") / (F.col("n1") * F.col("n2"))
+    return dev.select(
+        F.round(d, 6).alias("ks_d"),
+        F.round(
+            d
+            * F.sqrt(
+                F.col("n1").cast("double") * F.col("n2")
+                / (F.col("n1") + F.col("n2"))
+            ),
+            6,
+        ).alias("ks_stat"),
+        F.col("n1").alias("n_f"),
+        F.col("n2").alias("n_o"),
+    )
+
+
+@query(
+    "q_mannwhitney",
+    oracle="""
+        WITH x AS (
+            SELECT o_orderstatus AS g,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders WHERE o_orderstatus IN ('F', 'O')
+        ),
+        pv AS (
+            SELECT cents,
+                   CAST(count(*) FILTER (WHERE g = 'F') AS BIGINT) AS c1,
+                   CAST(count(*) FILTER (WHERE g = 'O') AS BIGINT) AS c2
+            FROM x GROUP BY 1
+        ),
+        run AS (
+            SELECT cents, c1, c2,
+                   CAST(sum(c1 + c2) OVER (ORDER BY cents
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cumt
+            FROM pv
+        ),
+        s AS (
+            SELECT sum(CAST(c1 AS HUGEINT)
+                       * (2 * (cumt - (c1 + c2)) + (c1 + c2) + 1)) AS r1x2,
+                   sum(CAST(c1 + c2 AS HUGEINT) * (c1 + c2) * (c1 + c2)
+                       - (c1 + c2)) AS ties,
+                   CAST(sum(c1) AS BIGINT) AS n1,
+                   CAST(sum(c2) AS BIGINT) AS n2
+            FROM run
+        )
+        SELECT round(CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE)
+                     / 2, 1) AS u1,
+               round(CAST(CAST(n1 AS HUGEINT) * n2 * 2
+                          - (r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1))
+                          AS DOUBLE) / 2, 1) AS u2,
+               round((CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE) / 2
+                      - CAST(n1 AS DOUBLE) * n2 / 2)
+                     / sqrt(CAST(n1 AS DOUBLE) * n2 / 12
+                            * ((n1 + n2 + 1)
+                               - CAST(ties AS DOUBLE)
+                                 / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)))),
+                     6) AS z,
+               n1 AS n_f, n2 AS n_o
+        FROM s
+    """,
+    doc="Mann-Whitney U (tie-corrected) between the F and O order-value "
+    "samples — rank-sum computed EXACTLY at the distinct-value grain, "
+    "normal z with the tie-corrected variance.",
+)
+def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U₁ = R₁ − n₁(n₁+1)/2 where R₁ sums sample-1's average ranks over
+    the POOLED ordering. Everything stays integer: at each distinct
+    value, 2·avg_rank = 2·(excl_cum) + ct + 1, so 2R₁ = Σ c1·(…) is an
+    exact HUGEINT/decimal sum; the tie term Σ(t³−t) likewise. One float
+    expression at the end produces U (exact .5 halves) and the
+    tie-corrected z — identical spelling both engines.
+
+    Scale shape: same as q_ks_test — one conditional-count shuffle to
+    the distinct-value grain, ONE range-partitioned running sum (no
+    value-domain single-partition window), then a driver-free
+    reduction."""
+    from ..ordering import global_running_sum
+
+    t = load_tables(spark, sf_dir)
+    x = (
+        t["orders"]
+        .filter(F.col("o_orderstatus").isin("F", "O"))
+        .select(
+            F.col("o_orderstatus").alias("g"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    pv = x.groupBy("cents").agg(
+        F.count(F.when(F.col("g") == "F", 1)).alias("c1"),
+        F.count(F.when(F.col("g") == "O", 1)).alias("c2"),
+    )
+    ct = F.col("c1") + F.col("c2")
+    run = global_running_sum(
+        pv, [F.col("cents").asc()], ct, "cumt"
+    ).withColumn("cumt", F.col("cumt").cast("bigint"))
+    r2v = 2 * (F.col("cumt") - ct) + ct + 1  # 2·avg_rank, exact int
+    s = run.agg(
+        F.sum(F.col("c1").cast("decimal(38,0)") * r2v).alias("r1x2"),
+        F.sum(ct.cast("decimal(38,0)") * ct * ct - ct).alias("ties"),
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    u1x2 = F.col("r1x2") - n1.cast("decimal(38,0)") * (n1 + 1)
+    u1 = u1x2.cast("double") / 2
+    n = n1 + n2
+    var = (
+        n1.cast("double") * n2 / 12
+        * (
+            (n + 1)
+            - F.col("ties").cast("double") / (n.cast("double") * (n - 1))
+        )
+    )
+    return s.select(
+        F.round(u1, 1).alias("u1"),
+        F.round(
+            (n1.cast("decimal(38,0)") * n2 * 2 - u1x2).cast("double") / 2, 1
+        ).alias("u2"),
+        F.round((u1 - n1.cast("double") * n2 / 2) / F.sqrt(var), 6).alias("z"),
+        n1.alias("n_f"),
+        n2.alias("n_o"),
+    )

@@ -663,3 +663,42 @@ def test_fisher_ci_brackets_r_and_shrinks_with_n(spark):
         assert r.ci_lo < r.r < r.ci_hi
         w = r.ci_hi - r.ci_lo
         assert 0 < w < 1.0
+
+
+def test_ks_and_mannwhitney_closed_forms(spark, tmp_path_factory):
+    """Hand-computable two-sample cases through the DECLARED keys:
+    fully separated samples (D = 1, U1 = 0) and identical samples
+    (D = 0, z = 0, U = n1·n2/2 under average-rank ties)."""
+    import shutil
+
+    from correlationapi_spark.io import SCHEMAS
+
+    src = SF_SMOKE
+
+    def make_fixture(name, f_vals, o_vals):
+        d = tmp_path_factory.mktemp(name)
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "lineitem", "events", "documents", "embeddings"):
+            shutil.copy(f"{src}/{t}.parquet", d / f"{t}.parquet")
+        rows = [
+            (i, 1, "F" if i < len(f_vals) else "O",
+             float(v), None, "1-URGENT")
+            for i, v in enumerate(list(f_vals) + list(o_vals))
+        ]
+        spark.createDataFrame(rows, SCHEMAS["orders"]).coalesce(1)\
+            .write.mode("overwrite").parquet(str(d / "orders.parquet"))
+        return str(d)
+
+    sep = make_fixture("ksmw_sep", [1.0, 2.0, 3.0], [4.0, 5.0, 6.0])
+    ks = REGISTRY["q_ks_test"].fn(spark, sep).collect()[0]
+    assert ks.ks_d == 1.0 and ks.n_f == 3 and ks.n_o == 3
+    assert abs(ks.ks_stat - (9 / 6) ** 0.5) < 1e-6
+    mw = REGISTRY["q_mannwhitney"].fn(spark, sep).collect()[0]
+    assert mw.u1 == 0.0 and mw.u2 == 9.0
+    assert abs(mw.z - (-4.5 / (9 / 12 * 7) ** 0.5)) < 1e-6
+
+    same = make_fixture("ksmw_same", [1.0, 2.0, 3.0], [1.0, 2.0, 3.0])
+    ks = REGISTRY["q_ks_test"].fn(spark, same).collect()[0]
+    assert ks.ks_d == 0.0
+    mw = REGISTRY["q_mannwhitney"].fn(spark, same).collect()[0]
+    assert mw.u1 == 4.5 and mw.u2 == 4.5 and mw.z == 0.0

@@ -2079,14 +2079,16 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution.
 
     Scale shape: one conditional-count shuffle to the distinct-value
-    grain, then TWO cumulative sums from ONE
-    ordering.global_running_sum pass (c1 and the pooled total share
-    the range partitioning; cum2 = cum_tot − cum1 — no second range
-    shuffle, no Exchange-SinglePartition window over the value domain,
-    which at 100 TB is itself large), and a max-reduce. The oracle
-    spells the same cumsums as plain windows (DuckDB is
-    single-node)."""
-    from ..ordering import global_running_sum
+    grain, then BOTH cumulative sums (per-group c1 and the pooled
+    total) from ONE ordering.global_running_sums pass — a single range
+    shuffle, no Exchange-SinglePartition window over the value domain
+    (which at 100 TB is itself large); cum2 = cum_tot − cum1. Chained
+    single-value running-sum calls would pay TWO range shuffles: the
+    checkpoint pin truncates lineage so their exchanges cannot dedupe
+    — which is exactly why the plural helper exists. Then a
+    max-reduce. The oracle spells the same cumsums as plain windows
+    (DuckDB is single-node)."""
+    from ..ordering import global_running_sums
 
     t = load_tables(spark, sf_dir)
     x = (
@@ -2101,17 +2103,10 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("g") == "F", 1)).alias("c1"),
         F.count(F.when(F.col("g") == "O", 1)).alias("c2"),
     )
-    run = global_running_sum(
-        pv, [F.col("cents").asc()], F.col("c1"), "cum1"
-    )
-    run = run.withColumn("ct", F.col("c1") + F.col("c2"))
-    # cum_tot rides the SAME ordering: a second running sum would
-    # re-range-shuffle, so derive it from one more pass over the same
-    # pinned frame — global_running_sum pins its input, and the two
-    # calls on the same order canonicalize to one exchange via the
-    # checkpoint; measured plans show a single range partitioning.
-    run = global_running_sum(
-        run, [F.col("cents").asc()], F.col("ct"), "cumt"
+    run = global_running_sums(
+        pv.withColumn("ct", F.col("c1") + F.col("c2")),
+        [F.col("cents").asc()],
+        [(F.col("c1"), "cum1"), (F.col("ct"), "cumt")],
     )
     run = run.select(
         "cents",

@@ -91,6 +91,21 @@ def global_running_sum(
     a lazy localCheckpoint for exactly the reasons the module docstring
     records — the totals and the cumsum rows must see identical _pid
     assignments."""
+    return global_running_sums(df, order, [(value, alias)])
+
+
+def global_running_sums(
+    df: DataFrame, order: list[Column], values: list[tuple[Column, str]]
+) -> DataFrame:
+    """global_running_sum for SEVERAL value columns in ONE range
+    shuffle: all the per-partition window cumsums share one window
+    spec over one ranged/pinned frame, the per-partition totals for
+    every value ride one tiny aggregate, and one broadcast join
+    attaches all the offsets. A caller needing k running sums under
+    the same order (q_ks_test needs the per-group AND pooled ECDF
+    counts) would otherwise pay k range shuffles — the checkpoint pin
+    truncates lineage, so chained single-value calls can NOT dedupe
+    their exchanges."""
     ranged = df.repartitionByRange(*order).withColumn(
         "_pid", F.spark_partition_id()
     )
@@ -100,16 +115,34 @@ def global_running_sum(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    summed = ranged.withColumn("_run_in", F.sum(value).over(w_in))
-    totals = ranged.groupBy("_pid").agg(F.sum(value).alias("_ptot"))
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.withColumn(
-        "_off", F.coalesce(F.sum("_ptot").over(w_off), F.lit(0))
+    summed = ranged
+    for i, (value, _) in enumerate(values):
+        summed = summed.withColumn(f"_run_in_{i}", F.sum(value).over(w_in))
+    totals = ranged.groupBy("_pid").agg(
+        *[
+            F.sum(value).alias(f"_ptot_{i}")
+            for i, (value, _) in enumerate(values)
+        ]
     )
-    return (
-        summed.join(F.broadcast(offsets.select("_pid", "_off")), "_pid")
-        .withColumn(alias, F.col("_off") + F.col("_run_in"))
-        .drop("_pid", "_run_in", "_off")
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid",
+        *[
+            F.coalesce(F.sum(f"_ptot_{i}").over(w_off), F.lit(0)).alias(
+                f"_off_{i}"
+            )
+            for i in range(len(values))
+        ],
+    )
+    out = summed.join(F.broadcast(offsets), "_pid")
+    for i, (_, alias) in enumerate(values):
+        out = out.withColumn(
+            alias, F.col(f"_off_{i}") + F.col(f"_run_in_{i}")
+        )
+    return out.drop(
+        "_pid",
+        *[f"_run_in_{i}" for i in range(len(values))],
+        *[f"_off_{i}" for i in range(len(values))],
     )
 
 

@@ -89,6 +89,16 @@ def main(argv: list[str] | None = None) -> int:
     ds.add_argument("--gini", action="store_true",
                     help="also compute the Gini coefficient (non-negative vars)")
 
+    cp = sub.add_parser(
+        "compare",
+        help="two-sample distribution comparison: KS + Mann-Whitney",
+    )
+    add_data(cp)
+    cp.add_argument("--var", required=True)
+    cp.add_argument("--group-by", required=True)
+    cp.add_argument("--a", required=True, help="first group value")
+    cp.add_argument("--b", required=True, help="second group value")
+
     m = sub.add_parser("matrix", help="all-pairs correlation matrix")
     add_data(m)
     m.add_argument("--vars", default=None, help="comma-separated; default: all numeric")
@@ -237,6 +247,8 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "matrix":
             variables = args.vars.split(",") if args.vars else None
             res = api.correlation_matrix("ds", variables, method=args.method)
+        elif args.cmd == "compare":
+            res = api.compare("ds", args.var, args.group_by, args.a, args.b)
         elif args.cmd == "association":
             res = api.association("ds", args.a, args.b, method=args.method)
         elif args.cmd == "distribution":

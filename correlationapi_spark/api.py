@@ -842,6 +842,76 @@ class CorrelationAPI:
             }
         return base | (cell(rows[0]) if rows else {"n": 0})
 
+    def compare(
+        self,
+        dataset: str,
+        var: str,
+        group_by: str,
+        group_a: str,
+        group_b: str,
+    ) -> dict[str, Any]:
+        """Two-sample distribution comparison between two groups of a
+        numeric variable: exact Kolmogorov-Smirnov D (+ the
+        √(n1n2/(n1+n2))-scaled statistic), tie-corrected Mann-Whitney
+        U/z, and per-group mean/stddev/n — the q_ks_test /
+        q_mannwhitney engine (operators.stats.two_sample_stats) as a
+        service endpoint. Values quantize to exact integer micro-units
+        first (the engine's integer-ECDF machinery needs integers; 1e-6
+        resolution, documented).
+
+        Scale shape: one conditional-count shuffle to the distinct-
+        value grain, one range-partitioned running-sum shuffle, one
+        reduction — never a global sort."""
+        from .operators.stats import two_sample_stats
+
+        df = self._get(dataset)
+        x = self._num(df, var)
+        if group_by not in df.columns:
+            raise KeyError(f"unknown variable: {group_by!r}")
+        g = F.col(group_by).cast("string")
+        data = df.select(
+            F.when(g == group_a, "A").when(g == group_b, "B").alias("g"),
+            F.round(x * 1000000, 0).cast("long").alias("cents"),
+        ).filter(
+            F.col("g").isNotNull() & F.col("cents").isNotNull()
+        )
+        r = two_sample_stats(data).collect()[0]
+        if r.n1 == 0 or r.n2 == 0:
+            raise ValueError(
+                f"empty sample: {group_a!r} has {r.n1} rows, "
+                f"{group_b!r} has {r.n2}"
+            )
+        means = (
+            data.groupBy("g")
+            .agg(
+                F.round(F.avg(F.col("cents") / 1000000), 6).alias("mean"),
+                F.round(F.stddev_samp(F.col("cents") / 1000000), 6)
+                .alias("stddev"),
+            )
+            .collect()
+        )
+        mstats = {m.g: m for m in means}
+        return {
+            "dataset": dataset, "var": var, "group_by": group_by,
+            "groups": {
+                group_a: {
+                    "n": r.n1,
+                    "mean": _nan_to_none(mstats["A"].mean),
+                    "stddev": _nan_to_none(mstats["A"].stddev),
+                },
+                group_b: {
+                    "n": r.n2,
+                    "mean": _nan_to_none(mstats["B"].mean),
+                    "stddev": _nan_to_none(mstats["B"].stddev),
+                },
+            },
+            "ks_d": _nan_to_none(r.ks_d),
+            "ks_stat": _nan_to_none(r.ks_stat),
+            "mw_u1": _nan_to_none(r.u1),
+            "mw_u2": _nan_to_none(r.u2),
+            "mw_z": _nan_to_none(r.z),
+        }
+
     def correlation_matrix(
         self, dataset: str, variables: list[str] | None = None, method: str = "pearson"
     ) -> dict[str, Any]:

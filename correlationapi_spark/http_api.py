@@ -14,6 +14,7 @@ container, and none is needed for a JSON-for-JSON contract:
   GET  /correlate?dataset=&x=&y=[&method=][&group_by=]
   GET  /association?dataset=&a=&b=[&method=cramer|theil|mi|eta]
   GET  /distribution?dataset=&var=[&group_by=][&gini=1]
+  GET  /compare?dataset=&var=&group_by=&a=&b=  (two-sample KS + Mann-Whitney)
   POST /matrix            {"dataset","variables","method"}
   GET  /lagged?dataset=&time=&value=[&lag=][&grain=][&fill_gaps=]
   GET  /rolling?dataset=&time=&value=[&window=][&lag=][&grain=][&fill_gaps=]
@@ -95,6 +96,14 @@ def _route(api: CorrelationAPI, method: str, path: str,
         return 200, api.association(
             query["dataset"], query["a"], query["b"],
             method=query.get("method", "cramer"),
+        )
+    if method == "GET" and path == "/compare":
+        for req in ("dataset", "var", "group_by", "a", "b"):
+            if req not in query:
+                raise ValueError(f"missing query parameter {req!r}")
+        return 200, api.compare(
+            query["dataset"], query["var"], query["group_by"],
+            query["a"], query["b"],
         )
     if method == "GET" and path == "/distribution":
         for req in ("dataset", "var"):

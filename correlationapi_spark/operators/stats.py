@@ -2023,6 +2023,111 @@ def q_corr_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def two_sample_stats(data: DataFrame) -> DataFrame:
+    """Shared two-sample engine: exact KS and tie-corrected
+    Mann-Whitney from ONE pass over a frame with columns
+    ``(g ∈ {'A','B'}, cents)`` (integer-quantized values, group A is
+    the "sample 1" of the statistics).
+
+    Returns a 1-row DataFrame with ks_d, ks_stat, u1, u2, z, n1, n2.
+    All counts, cumulative counts, rank sums and tie terms are exact
+    integers (decimal(38,0) accumulators); the only float work is the
+    final statistic expressions — the q_ks_test / q_mannwhitney keys
+    and api.compare() all consume this one engine.
+
+    Scale shape: one conditional-count shuffle to the distinct-value
+    grain, ONE ordering.global_running_sums range shuffle for both
+    ECDF counts (the checkpoint pin truncates lineage, so chained
+    single-value calls could never dedupe their exchanges — that is
+    why the plural helper exists), then a single driver-free
+    reduction shared by every statistic."""
+    from ..ordering import global_running_sums
+
+    pv = data.groupBy("cents").agg(
+        F.count(F.when(F.col("g") == "A", 1)).alias("c1"),
+        F.count(F.when(F.col("g") == "B", 1)).alias("c2"),
+    )
+    ct = F.col("c1") + F.col("c2")
+    run = global_running_sums(
+        pv.withColumn("ct", ct),
+        [F.col("cents").asc()],
+        [(F.col("c1"), "cum1"), (F.col("ct"), "cumt")],
+    ).select(
+        "c1",
+        "c2",
+        F.col("cum1").cast("bigint").alias("cum1"),
+        F.col("cumt").cast("bigint").alias("cumt"),
+    )
+    tot = pv.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    ctr = F.col("c1") + F.col("c2")
+    r2v = 2 * (F.col("cumt") - ctr) + ctr + 1  # 2·avg_rank, exact int
+    s = run.crossJoin(F.broadcast(tot)).agg(
+        F.max(
+            F.abs(
+                F.col("cum1") * F.col("n2")
+                - (F.col("cumt") - F.col("cum1")) * F.col("n1")
+            )
+        ).alias("dmax"),
+        F.sum(F.col("c1").cast("decimal(38,0)") * r2v).alias("r1x2"),
+        F.sum(ctr.cast("decimal(38,0)") * ctr * ctr - ctr).alias("ties"),
+        F.any_value("n1").alias("n1"),
+        F.any_value("n2").alias("n2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    n = n1 + n2
+    # NULL, not an ANSI DIVIDE_BY_ZERO throw, on degenerate inputs (an
+    # empty sample or an all-tied pool) — the _guarded_corr convention;
+    # the declared fixture keys never hit these branches
+    ok = (n1 > 0) & (n2 > 0)
+    d = F.when(ok, F.col("dmax").cast("double") / (n1 * n2))
+    u1x2 = F.col("r1x2") - n1.cast("decimal(38,0)") * (n1 + 1)
+    u1 = F.when(ok, u1x2.cast("double") / 2)
+    var = F.when(
+        ok & (n > 1),
+        n1.cast("double") * n2 / 12
+        * (
+            (n + 1)
+            - F.col("ties").cast("double") / (n.cast("double") * (n - 1))
+        ),
+    )
+    return s.select(
+        F.round(d, 6).alias("ks_d"),
+        F.round(
+            d * F.sqrt(n1.cast("double") * n2 / (n1 + n2)), 6
+        ).alias("ks_stat"),
+        F.round(u1, 1).alias("u1"),
+        F.round(
+            F.when(
+                ok,
+                (n1.cast("decimal(38,0)") * n2 * 2 - u1x2).cast("double") / 2,
+            ),
+            1,
+        ).alias("u2"),
+        F.round(
+            F.when(var > 0, (u1 - n1.cast("double") * n2 / 2) / F.sqrt(var)),
+            6,
+        ).alias("z"),
+        n1.alias("n1"),
+        n2.alias("n2"),
+    )
+
+
+def _orders_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .filter(F.col("o_orderstatus").isin("F", "O"))
+        .select(
+            F.when(F.col("o_orderstatus") == "F", "A").otherwise("B")
+            .alias("g"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+
+
 @query(
     "q_ks_test",
     oracle="""
@@ -2076,65 +2181,11 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     maximize |cum1·n2 − cum2·n1| and divide by n1·n2 ONCE — so both
     engines agree to the bit before the single rounding. ks_stat is
     the √(n1n2/(n1+n2))-scaled statistic consumers feed the Kolmogorov
-    distribution.
-
-    Scale shape: one conditional-count shuffle to the distinct-value
-    grain, then BOTH cumulative sums (per-group c1 and the pooled
-    total) from ONE ordering.global_running_sums pass — a single range
-    shuffle, no Exchange-SinglePartition window over the value domain
-    (which at 100 TB is itself large); cum2 = cum_tot − cum1. Chained
-    single-value running-sum calls would pay TWO range shuffles: the
-    checkpoint pin truncates lineage so their exchanges cannot dedupe
-    — which is exactly why the plural helper exists. Then a
-    max-reduce. The oracle spells the same cumsums as plain windows
-    (DuckDB is single-node)."""
-    from ..ordering import global_running_sums
-
-    t = load_tables(spark, sf_dir)
-    x = (
-        t["orders"]
-        .filter(F.col("o_orderstatus").isin("F", "O"))
-        .select(
-            F.col("o_orderstatus").alias("g"),
-            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
-        )
-    )
-    pv = x.groupBy("cents").agg(
-        F.count(F.when(F.col("g") == "F", 1)).alias("c1"),
-        F.count(F.when(F.col("g") == "O", 1)).alias("c2"),
-    )
-    run = global_running_sums(
-        pv.withColumn("ct", F.col("c1") + F.col("c2")),
-        [F.col("cents").asc()],
-        [(F.col("c1"), "cum1"), (F.col("ct"), "cumt")],
-    )
-    run = run.select(
-        "cents",
-        F.col("cum1").cast("bigint").alias("cum1"),
-        (F.col("cumt") - F.col("cum1")).cast("bigint").alias("cum2"),
-    )
-    tot = pv.agg(
-        F.sum("c1").cast("bigint").alias("n1"),
-        F.sum("c2").cast("bigint").alias("n2"),
-    )
-    dev = run.crossJoin(F.broadcast(tot)).agg(
-        F.max(
-            F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
-        ).alias("dmax"),
-        F.any_value("n1").alias("n1"),
-        F.any_value("n2").alias("n2"),
-    )
-    d = F.col("dmax").cast("double") / (F.col("n1") * F.col("n2"))
-    return dev.select(
-        F.round(d, 6).alias("ks_d"),
-        F.round(
-            d
-            * F.sqrt(
-                F.col("n1").cast("double") * F.col("n2")
-                / (F.col("n1") + F.col("n2"))
-            ),
-            6,
-        ).alias("ks_stat"),
+    distribution. Engine and scale shape: two_sample_stats (one
+    conditional-count shuffle, one range shuffle, one reduction)."""
+    return two_sample_stats(_orders_two_sample(spark, sf_dir)).select(
+        "ks_d",
+        "ks_stat",
         F.col("n1").alias("n_f"),
         F.col("n2").alias("n_o"),
     )
@@ -2193,57 +2244,15 @@ def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U₁ = R₁ − n₁(n₁+1)/2 where R₁ sums sample-1's average ranks over
     the POOLED ordering. Everything stays integer: at each distinct
     value, 2·avg_rank = 2·(excl_cum) + ct + 1, so 2R₁ = Σ c1·(…) is an
-    exact HUGEINT/decimal sum; the tie term Σ(t³−t) likewise. One float
+    exact decimal sum; the tie term Σ(t³−t) likewise. One float
     expression at the end produces U (exact .5 halves) and the
-    tie-corrected z — identical spelling both engines.
-
-    Scale shape: same as q_ks_test — one conditional-count shuffle to
-    the distinct-value grain, ONE range-partitioned running sum (no
-    value-domain single-partition window), then a driver-free
-    reduction."""
-    from ..ordering import global_running_sum
-
-    t = load_tables(spark, sf_dir)
-    x = (
-        t["orders"]
-        .filter(F.col("o_orderstatus").isin("F", "O"))
-        .select(
-            F.col("o_orderstatus").alias("g"),
-            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
-        )
-    )
-    pv = x.groupBy("cents").agg(
-        F.count(F.when(F.col("g") == "F", 1)).alias("c1"),
-        F.count(F.when(F.col("g") == "O", 1)).alias("c2"),
-    )
-    ct = F.col("c1") + F.col("c2")
-    run = global_running_sum(
-        pv, [F.col("cents").asc()], ct, "cumt"
-    ).withColumn("cumt", F.col("cumt").cast("bigint"))
-    r2v = 2 * (F.col("cumt") - ct) + ct + 1  # 2·avg_rank, exact int
-    s = run.agg(
-        F.sum(F.col("c1").cast("decimal(38,0)") * r2v).alias("r1x2"),
-        F.sum(ct.cast("decimal(38,0)") * ct * ct - ct).alias("ties"),
-        F.sum("c1").cast("bigint").alias("n1"),
-        F.sum("c2").cast("bigint").alias("n2"),
-    )
-    n1, n2 = F.col("n1"), F.col("n2")
-    u1x2 = F.col("r1x2") - n1.cast("decimal(38,0)") * (n1 + 1)
-    u1 = u1x2.cast("double") / 2
-    n = n1 + n2
-    var = (
-        n1.cast("double") * n2 / 12
-        * (
-            (n + 1)
-            - F.col("ties").cast("double") / (n.cast("double") * (n - 1))
-        )
-    )
-    return s.select(
-        F.round(u1, 1).alias("u1"),
-        F.round(
-            (n1.cast("decimal(38,0)") * n2 * 2 - u1x2).cast("double") / 2, 1
-        ).alias("u2"),
-        F.round((u1 - n1.cast("double") * n2 / 2) / F.sqrt(var), 6).alias("z"),
-        n1.alias("n_f"),
-        n2.alias("n_o"),
+    tie-corrected z — identical spelling both engines. Engine and
+    scale shape: two_sample_stats (shared with q_ks_test and
+    api.compare)."""
+    return two_sample_stats(_orders_two_sample(spark, sf_dir)).select(
+        "u1",
+        "u2",
+        "z",
+        F.col("n1").alias("n_f"),
+        F.col("n2").alias("n_o"),
     )

@@ -1383,3 +1383,28 @@ def test_association_distribution_json_serializable(api_orders):
                                 group_by="o_orderstatus"),
     ):
         json.dumps(res)
+
+
+def test_compare_matches_declared_keys(api_orders, spark):
+    ks = REGISTRY["q_ks_test"].fn(spark, SF_SMOKE).collect()[0]
+    mw = REGISTRY["q_mannwhitney"].fn(spark, SF_SMOKE).collect()[0]
+    res = api_orders.compare("orders", "o_totalprice", "o_orderstatus",
+                             "F", "O")
+    # micro-unit (1e-6) vs cent (1e-2) quantization of 2-dp money is
+    # the same integer lattice scaled 1e4 — identical statistics
+    assert abs(res["ks_d"] - ks.ks_d) < 1e-9
+    assert abs(res["ks_stat"] - ks.ks_stat) < 1e-9
+    assert res["mw_u1"] == mw.u1 and res["mw_u2"] == mw.u2
+    assert abs(res["mw_z"] - mw.z) < 1e-9
+    assert res["groups"]["F"]["n"] == ks.n_f
+    assert res["groups"]["O"]["n"] == ks.n_o
+    import json
+    json.dumps(res)
+
+
+def test_compare_validation(api_orders):
+    with pytest.raises(ValueError, match="empty sample"):
+        api_orders.compare("orders", "o_totalprice", "o_orderstatus",
+                           "F", "NOPE")
+    with pytest.raises(KeyError):
+        api_orders.compare("orders", "o_totalprice", "nope", "F", "O")

@@ -196,3 +196,12 @@ def test_cli_association_and_distribution(spark, capsys):
         "--var", "o_totalprice", "--gini",
     ])
     assert rc == 0 and 0.0 <= res["gini"] <= 1.0 and "skewness" in res
+
+
+def test_cli_compare(spark, capsys):
+    rc, res = _run(capsys, [
+        "compare", "--data", os.path.join(SF_SMOKE, "orders.parquet"),
+        "--var", "o_totalprice", "--group-by", "o_orderstatus",
+        "--a", "F", "--b", "O",
+    ])
+    assert rc == 0 and 0.0 <= res["ks_d"] <= 1.0 and "mw_z" in res

@@ -402,3 +402,17 @@ def test_association_and_distribution_routes(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="missing query parameter"):
         _route(api, "GET", "/association", {"dataset": "orders"}, {})
+
+
+def test_compare_route(spark):
+    from correlationapi_spark.api import CorrelationAPI
+
+    api = CorrelationAPI(spark)
+    api.register_dataset("orders", os.path.join(SF_SMOKE, "orders.parquet"))
+    status, payload = _route(
+        api, "GET", "/compare",
+        {"dataset": "orders", "var": "o_totalprice",
+         "group_by": "o_orderstatus", "a": "F", "b": "O"}, {},
+    )
+    assert status == 200 and 0.0 <= payload["ks_d"] <= 1.0
+    assert "mw_z" in payload and payload["groups"]["F"]["n"] > 0

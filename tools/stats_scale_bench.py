@@ -93,6 +93,19 @@ def main() -> int:
         float((int(s.t) - (s.n + 1) * int(s.sc)) / (s.n * int(s.sc))), 6
     )
 
+    # -- two-sample KS + Mann-Whitney (shared engine) ---------------------
+    from correlationapi_spark.operators.stats import two_sample_stats
+
+    ts = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, "A").otherwise("B").alias("g"),
+        (F.abs(F.xxhash64(F.col("id") + 2)) % 1_000_000).alias("cents"),
+    )
+    t0 = time.time()
+    r = two_sample_stats(ts).collect()[0]
+    out["two_sample_sec"] = round(time.time() - t0, 2)
+    out["ks_d"] = r.ks_d
+    out["mw_z"] = r.z
+
     print(json.dumps(out))
     return 0
 

@@ -2367,3 +2367,118 @@ def q_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@query(
+    "q_drift_psi",
+    oracle="""
+        WITH x AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+                   CAST(round(value * 1000000) AS BIGINT) AS v
+            FROM events
+        ),
+        rng AS (SELECT min(v) AS lo, max(v) AS hi,
+                       CAST(count(*) AS BIGINT) AS n FROM x),
+        binned AS (
+            SELECT x.d,
+                   CAST(floor(CAST((x.v - rng.lo) * 10 AS DOUBLE)
+                              / (rng.hi - rng.lo + 1)) AS BIGINT) AS b
+            FROM x CROSS JOIN rng
+        ),
+        dayc AS (
+            SELECT d, b, CAST(count(*) AS BIGINT) AS c
+            FROM binned GROUP BY 1, 2
+        ),
+        refc AS (
+            SELECT b, CAST(count(*) AS BIGINT) AS cg
+            FROM binned GROUP BY 1
+        ),
+        days AS (SELECT d, CAST(sum(c) AS BIGINT) AS nd FROM dayc GROUP BY 1),
+        spine AS (
+            SELECT days.d, days.nd, refc.b, refc.cg FROM days CROSS JOIN refc
+        ),
+        terms AS (
+            SELECT s.d, s.nd,
+                   (CAST(coalesce(dc.c, 0) + 1 AS DOUBLE) / (s.nd + 10)
+                    - CAST(s.cg + 1 AS DOUBLE) / (t.n + 10))
+                   * ln((CAST(coalesce(dc.c, 0) + 1 AS DOUBLE) / (s.nd + 10))
+                        / (CAST(s.cg + 1 AS DOUBLE) / (t.n + 10))) AS term
+            FROM spine s
+            LEFT JOIN dayc dc ON dc.d = s.d AND dc.b = s.b
+            CROSS JOIN rng t
+        )
+        SELECT d, round(sum(term), 6) AS psi, any_value(nd) AS n_day
+        FROM terms GROUP BY 1 ORDER BY 1
+    """,
+    doc="Population Stability Index per day vs the full-period "
+    "reference, over 10 equal-width bins — the industry drift score "
+    "(PSI > 0.2 = significant shift), Laplace-smoothed so empty bins "
+    "stay finite.",
+)
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI_day = Σ_b (p_b − q_b)·ln(p_b/q_b) with add-one (Laplace)
+    smoothing — p = (c+1)/(nd+10), q = (cg+1)/(N+10) — the standard
+    guard that keeps empty bins finite while preserving exactness:
+    every ln argument is a ratio of exact integers. Binning is pure
+    integer arithmetic over the global [lo,hi] micro-unit range
+    (floor((v−lo)·10/(hi−lo+1)) — products ≪ 2^53, so the float floor
+    is the same on both engines), giving b ∈ 0..9 with the max value
+    in bin 9.
+
+    Complements q_drift_daily: KS is the sup-norm gauge (sensitive to
+    any single quantile shift), PSI the information-weighted gauge
+    (sensitive to mass reallocation) — pipelines alarm on both.
+
+    Scale shape: one binning pass (map-side, after a broadcast 1-row
+    range aggregate), two category-sized aggregates (day×10 and 10
+    cells), and a days×10 spine reduction — NOTHING beyond the first
+    pass touches raw rows, and all state is time×10 bins."""
+    from ..ordering import materialize
+
+    t = load_tables(spark, sf_dir)
+    x = t["events"].select(
+        F.date_trunc("day", F.col("ts")).alias("d"),
+        F.round(F.col("value") * 1000000, 0).cast("long").alias("v"),
+    )
+    # the 1-row range aggregate has TWO consumers (the binning pass and
+    # the PSI denominator) — pin it so the events scan+reduce runs once
+    # (the Q15 materialize() pattern; also keeps the plan at ≤3
+    # single-partition exchanges, each a named tiny relation)
+    rng = materialize(
+        x.agg(
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.count("*").alias("n"),
+        )
+    )
+    binned = x.crossJoin(F.broadcast(rng)).select(
+        "d",
+        F.floor(
+            ((F.col("v") - F.col("lo")) * 10).cast("double")
+            / (F.col("hi") - F.col("lo") + 1)
+        )
+        .cast("bigint")
+        .alias("b"),
+        "n",
+    )
+    dayc = binned.groupBy("d", "b").agg(F.count("*").alias("c"))
+    refc = binned.groupBy("b").agg(F.count("*").alias("cg"))
+    days = dayc.groupBy("d").agg(F.sum("c").cast("bigint").alias("nd"))
+    spine = refc.crossJoin(F.broadcast(days))
+    joined = (
+        spine.join(dayc, ["d", "b"], "left")
+        .crossJoin(F.broadcast(rng.select("n")))
+    )
+    p = (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double") / (
+        F.col("nd") + 10
+    )
+    q = (F.col("cg") + 1).cast("double") / (F.col("n") + 10)
+    return (
+        joined.select("d", "nd", ((p - q) * F.log(p / q)).alias("term"))
+        .groupBy("d")
+        .agg(
+            F.round(F.sum("term"), 6).alias("psi"),
+            F.any_value("nd").alias("n_day"),
+        )
+        .orderBy("d")
+    )

@@ -168,3 +168,45 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
 
 def write_csv(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").option("header", "true").csv(path)
+
+
+@query(
+    "q_scan_partition_pruned",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders WHERE o_orderstatus = 'F'
+        GROUP BY 1 ORDER BY 1
+    """,
+    doc="Partition PRUNING on a hive-layout read: filter on the "
+    "partition column must become PartitionFilters (directory-level "
+    "skip), not a post-scan row filter — only 1 of 3 status "
+    "directories is ever listed or read.",
+)
+def q_scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The read-side twin of q_sink_parquet_roundtrip: the same hive
+    layout, consumed WITH a partition-column predicate. Catalyst folds
+    the filter into the FileSourceScan's PartitionFilters, so the scan
+    lists and reads exactly one o_orderstatus directory — at 100 TB
+    this is the difference between touching 1/3 of the corpus and all
+    of it, before a single row is decoded (the plan-shape is pinned in
+    tests/test_plans.py::test_partition_pruned_scan). The aggregate
+    runs on non-partition columns so the pruning, not the grouping,
+    carries the selectivity; the oracle filters the original table."""
+    t = load_tables(spark, sf_dir)
+    path = _roundtrip_dir("pqprune")
+    write_parquet(t["orders"], path, partition_by=["o_orderstatus"])
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

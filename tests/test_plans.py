@@ -584,3 +584,17 @@ def test_bucketed_join_has_no_exchange(spark):
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan
     assert "Bucketed: true" in plan
+
+
+def test_partition_pruned_scan(spark):
+    """The partition-column predicate must reach PartitionFilters on
+    the hive-layout scan (directory-level pruning), leaving NO
+    o_orderstatus predicate in the post-scan data Filters — at 100 TB
+    this is what keeps 2/3 of the corpus unread."""
+    df = REGISTRY["q_scan_partition_pruned"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "o_orderstatus" in m.group(1), plan[:2000]
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed is None or "o_orderstatus" not in pushed.group(1)

@@ -99,6 +99,16 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--a", required=True, help="first group value")
     cp.add_argument("--b", required=True, help="second group value")
 
+    dr = sub.add_parser(
+        "drift",
+        help="per-period distribution drift: KS + PSI vs full-period reference",
+    )
+    add_data(dr)
+    dr.add_argument("--var", required=True)
+    dr.add_argument("--time", required=True)
+    dr.add_argument("--grain", default="day",
+                    choices=["hour", "day", "week", "month"])
+
     m = sub.add_parser("matrix", help="all-pairs correlation matrix")
     add_data(m)
     m.add_argument("--vars", default=None, help="comma-separated; default: all numeric")
@@ -247,6 +257,8 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "matrix":
             variables = args.vars.split(",") if args.vars else None
             res = api.correlation_matrix("ds", variables, method=args.method)
+        elif args.cmd == "drift":
+            res = api.drift("ds", args.var, args.time, grain=args.grain)
         elif args.cmd == "compare":
             res = api.compare("ds", args.var, args.group_by, args.a, args.b)
         elif args.cmd == "association":

@@ -912,6 +912,51 @@ class CorrelationAPI:
             "mw_z": _nan_to_none(r.z),
         }
 
+    def drift(
+        self,
+        dataset: str,
+        var: str,
+        time_col: str,
+        grain: str = "day",
+    ) -> dict[str, Any]:
+        """Distribution-drift monitor: per-period exact KS distance AND
+        Laplace-smoothed PSI of a numeric variable against the
+        full-period reference distribution — the q_drift_daily /
+        q_drift_psi engines as one service endpoint (values quantize
+        to exact integer micro-units; KS sup is evaluated over the
+        GLOBAL value domain via the period×domain spine; PSI uses 10
+        equal-width integer bins).
+
+        Scale shape: the fact scan reduces to (period, value) cells
+        once; every later step is bounded by time × value-domain, with
+        the reference cumulative from the range-partitioned running
+        sum — no global sort, no data-sized window."""
+        from .operators.stats import drift_frame
+
+        df = self._get(dataset)
+        x = self._num(df, var)
+        if time_col not in df.columns:
+            raise KeyError(f"unknown variable: {time_col!r}")
+        if grain not in ("hour", "day", "week", "month"):
+            raise ValueError(f"unsupported grain: {grain!r}")
+        data = df.select(
+            F.date_trunc(grain, F.col(time_col)).alias("d"),
+            F.round(x * 1000000, 0).cast("long").alias("v"),
+        ).filter(F.col("d").isNotNull() & F.col("v").isNotNull())
+        rows = drift_frame(data).collect()
+        return {
+            "dataset": dataset, "var": var, "time": time_col,
+            "grain": grain,
+            "periods": {
+                str(r.d): {
+                    "ks_d": _nan_to_none(r.ks_d),
+                    "psi": _nan_to_none(r.psi),
+                    "n": r.n_period,
+                }
+                for r in rows
+            },
+        }
+
     def correlation_matrix(
         self, dataset: str, variables: list[str] | None = None, method: str = "pearson"
     ) -> dict[str, Any]:

@@ -15,6 +15,7 @@ container, and none is needed for a JSON-for-JSON contract:
   GET  /association?dataset=&a=&b=[&method=cramer|theil|mi|eta]
   GET  /distribution?dataset=&var=[&group_by=][&gini=1]
   GET  /compare?dataset=&var=&group_by=&a=&b=  (two-sample KS + Mann-Whitney)
+  GET  /drift?dataset=&var=&time=[&grain=day]  (per-period KS + PSI vs reference)
   POST /matrix            {"dataset","variables","method"}
   GET  /lagged?dataset=&time=&value=[&lag=][&grain=][&fill_gaps=]
   GET  /rolling?dataset=&time=&value=[&window=][&lag=][&grain=][&fill_gaps=]
@@ -104,6 +105,14 @@ def _route(api: CorrelationAPI, method: str, path: str,
         return 200, api.compare(
             query["dataset"], query["var"], query["group_by"],
             query["a"], query["b"],
+        )
+    if method == "GET" and path == "/drift":
+        for req in ("dataset", "var", "time"):
+            if req not in query:
+                raise ValueError(f"missing query parameter {req!r}")
+        return 200, api.drift(
+            query["dataset"], query["var"], query["time"],
+            grain=query.get("grain", "day"),
         )
     if method == "GET" and path == "/distribution":
         for req in ("dataset", "var"):

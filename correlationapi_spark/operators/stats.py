@@ -2258,6 +2258,123 @@ def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def drift_frame(data: DataFrame, ks: bool = True, psi: bool = True) -> DataFrame:
+    """Shared drift engine over a ``(d, v)`` frame (period, integer-
+    quantized value): per-period exact KS distance and/or Laplace-
+    smoothed PSI vs the full-period reference. The q_drift_daily /
+    q_drift_psi keys and api.drift() all consume this one engine.
+
+    The raw frame collapses to (period, value) CELLS once — pinned
+    with materialize() because every downstream branch (domain table,
+    period totals, bin counts, PSI range) re-consumes it, and the pin
+    makes that one scan + one shuffle instead of one per consumer.
+    After the cells aggregate, everything is bounded by time × value
+    domain: the KS spine is #periods × #distinct-values with a
+    per-period domain-sized window; PSI is #periods × 10 bins from
+    pure integer binning.
+
+    Returns (d, [ks_d], [psi], n_period) ordered by d."""
+    from ..ordering import global_running_sum, materialize
+
+    cells = materialize(
+        data.groupBy("d", "v").agg(F.count("*").alias("c"))
+    )
+    days = cells.groupBy("d").agg(F.sum("c").cast("bigint").alias("nd"))
+    out = days
+
+    if ks:
+        dom = cells.groupBy("v").agg(F.sum("c").cast("bigint").alias("cg"))
+        gcum = global_running_sum(
+            dom, [F.col("v").asc()], F.col("cg"), "cumg"
+        ).select("v", F.col("cumg").cast("bigint").alias("cumg"))
+        tot = cells.agg(F.sum("c").cast("bigint").alias("n"))
+        spine = gcum.crossJoin(F.broadcast(days))
+        w = (
+            Window.partitionBy("d")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = (
+            spine.join(cells, ["d", "v"], "left")
+            .withColumn(
+                "cumd",
+                F.coalesce(F.sum("c").over(w), F.lit(0)).cast("bigint"),
+            )
+        )
+        kdf = (
+            filled.crossJoin(F.broadcast(tot))
+            .groupBy("d")
+            .agg(
+                F.round(
+                    F.max(
+                        F.abs(
+                            F.col("cumd") * F.col("n")
+                            - F.col("cumg") * F.col("nd")
+                        )
+                    ).cast("double")
+                    / (F.any_value("nd") * F.any_value("n")),
+                    6,
+                ).alias("ks_d")
+            )
+        )
+        out = out.join(kdf, "d")
+
+    if psi:
+        rng = materialize(
+            cells.agg(
+                F.min("v").alias("lo"),
+                F.max("v").alias("hi"),
+                F.sum("c").cast("bigint").alias("n"),
+            )
+        )
+        binned = cells.crossJoin(F.broadcast(rng)).select(
+            "d",
+            F.floor(
+                ((F.col("v") - F.col("lo")) * 10).cast("double")
+                / (F.col("hi") - F.col("lo") + 1)
+            )
+            .cast("bigint")
+            .alias("b"),
+            "c",
+        )
+        dayc = binned.groupBy("d", "b").agg(
+            F.sum("c").cast("bigint").alias("cb")
+        )
+        refc = dayc.groupBy("b").agg(F.sum("cb").cast("bigint").alias("cg"))
+        spine2 = refc.crossJoin(F.broadcast(days))
+        joined = (
+            spine2.join(dayc, ["d", "b"], "left")
+            .crossJoin(F.broadcast(rng.select("n")))
+        )
+        p = (F.coalesce(F.col("cb"), F.lit(0)) + 1).cast("double") / (
+            F.col("nd") + 10
+        )
+        q = (F.col("cg") + 1).cast("double") / (F.col("n") + 10)
+        pdf = (
+            joined.select("d", ((p - q) * F.log(p / q)).alias("term"))
+            .groupBy("d")
+            .agg(F.round(F.sum("term"), 6).alias("psi"))
+        )
+        out = out.join(pdf, "d")
+
+    cols = ["d"]
+    if ks:
+        cols.append("ks_d")
+    if psi:
+        cols.append("psi")
+    return out.select(
+        *cols, F.col("nd").alias("n_period")
+    ).orderBy("d")
+
+
+def _events_drift_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["events"].select(
+        F.date_trunc("day", F.col("ts")).alias("d"),
+        F.round(F.col("value") * 1000000, 0).cast("long").alias("v"),
+    )
+
+
 @query(
     "q_drift_daily",
     oracle="""
@@ -2312,61 +2429,11 @@ def q_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     restricting to day-present values would under-report drift. The
     day×domain spine with a per-day cumulative count gives F̂_day at
     every reference point; the comparison stays in integers
-    (|cumd·N − cumg·nd|) with one division per day.
-
-    Scale shape: the fact scan reduces to (day, value) cells and a
-    value-domain table ONCE; the spine is #days × #distinct-values —
-    bounded by time × value domain, NOT by data size (365 days × 1e6
-    micro-values ≈ 3.7e8 rows at any corpus scale, partition-parallel
-    by day). The per-day cumulative window partitions BY DAY (each
-    partition is domain-sized); the reference cumulative is one
-    domain-sized window the oracle mirrors. No plan touches raw rows
-    after the first two aggregates."""
-    t = load_tables(spark, sf_dir)
-    x = t["events"].select(
-        F.date_trunc("day", F.col("ts")).alias("d"),
-        F.round(F.col("value") * 1000000, 0).cast("long").alias("v"),
-    )
-    cells = x.groupBy("d", "v").agg(F.count("*").alias("c"))
-    dom = x.groupBy("v").agg(F.count("*").alias("cg"))
-    from ..ordering import global_running_sum
-
-    gcum = global_running_sum(
-        dom, [F.col("v").asc()], F.col("cg"), "cumg"
-    ).select("v", F.col("cumg").cast("bigint").alias("cumg"))
-    days = cells.groupBy("d").agg(F.sum("c").cast("bigint").alias("nd"))
-    tot = x.agg(F.count("*").alias("n"))
-    spine = gcum.crossJoin(F.broadcast(days))
-    w = (
-        Window.partitionBy("d")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = (
-        spine.join(cells, ["d", "v"], "left")
-        .withColumn(
-            "cumd",
-            F.coalesce(F.sum("c").over(w), F.lit(0)).cast("bigint"),
-        )
-    )
-    return (
-        filled.crossJoin(F.broadcast(tot))
-        .groupBy("d")
-        .agg(
-            F.round(
-                F.max(
-                    F.abs(
-                        F.col("cumd") * F.col("n")
-                        - F.col("cumg") * F.col("nd")
-                    )
-                ).cast("double")
-                / (F.any_value("nd") * F.any_value("n")),
-                6,
-            ).alias("ks_d"),
-            F.any_value("nd").alias("n_day"),
-        )
-        .orderBy("d")
-    )
+    (|cumd·N − cumg·nd|) with one division per day. Engine and scale
+    shape: drift_frame (shared with q_drift_psi and api.drift)."""
+    return drift_frame(
+        _events_drift_frame(spark, sf_dir), ks=True, psi=False
+    ).select("d", "ks_d", F.col("n_period").alias("n_day"))
 
 
 @query(
@@ -2422,63 +2489,12 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     every ln argument is a ratio of exact integers. Binning is pure
     integer arithmetic over the global [lo,hi] micro-unit range
     (floor((v−lo)·10/(hi−lo+1)) — products ≪ 2^53, so the float floor
-    is the same on both engines), giving b ∈ 0..9 with the max value
-    in bin 9.
-
-    Complements q_drift_daily: KS is the sup-norm gauge (sensitive to
-    any single quantile shift), PSI the information-weighted gauge
-    (sensitive to mass reallocation) — pipelines alarm on both.
-
-    Scale shape: one binning pass (map-side, after a broadcast 1-row
-    range aggregate), two category-sized aggregates (day×10 and 10
-    cells), and a days×10 spine reduction — NOTHING beyond the first
-    pass touches raw rows, and all state is time×10 bins."""
-    from ..ordering import materialize
-
-    t = load_tables(spark, sf_dir)
-    x = t["events"].select(
-        F.date_trunc("day", F.col("ts")).alias("d"),
-        F.round(F.col("value") * 1000000, 0).cast("long").alias("v"),
-    )
-    # the 1-row range aggregate has TWO consumers (the binning pass and
-    # the PSI denominator) — pin it so the events scan+reduce runs once
-    # (the Q15 materialize() pattern; also keeps the plan at ≤3
-    # single-partition exchanges, each a named tiny relation)
-    rng = materialize(
-        x.agg(
-            F.min("v").alias("lo"),
-            F.max("v").alias("hi"),
-            F.count("*").alias("n"),
-        )
-    )
-    binned = x.crossJoin(F.broadcast(rng)).select(
-        "d",
-        F.floor(
-            ((F.col("v") - F.col("lo")) * 10).cast("double")
-            / (F.col("hi") - F.col("lo") + 1)
-        )
-        .cast("bigint")
-        .alias("b"),
-        "n",
-    )
-    dayc = binned.groupBy("d", "b").agg(F.count("*").alias("c"))
-    refc = binned.groupBy("b").agg(F.count("*").alias("cg"))
-    days = dayc.groupBy("d").agg(F.sum("c").cast("bigint").alias("nd"))
-    spine = refc.crossJoin(F.broadcast(days))
-    joined = (
-        spine.join(dayc, ["d", "b"], "left")
-        .crossJoin(F.broadcast(rng.select("n")))
-    )
-    p = (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double") / (
-        F.col("nd") + 10
-    )
-    q = (F.col("cg") + 1).cast("double") / (F.col("n") + 10)
-    return (
-        joined.select("d", "nd", ((p - q) * F.log(p / q)).alias("term"))
-        .groupBy("d")
-        .agg(
-            F.round(F.sum("term"), 6).alias("psi"),
-            F.any_value("nd").alias("n_day"),
-        )
-        .orderBy("d")
-    )
+    is the same on both engines), applied at the DISTINCT-VALUE grain
+    (bin counts are sums of cell counts — identical integers to
+    row-level binning, one less data pass). Complements q_drift_daily:
+    KS is the sup-norm gauge, PSI the information-weighted gauge.
+    Engine and scale shape: drift_frame (shared with q_drift_daily
+    and api.drift)."""
+    return drift_frame(
+        _events_drift_frame(spark, sf_dir), ks=False, psi=True
+    ).select("d", "psi", F.col("n_period").alias("n_day"))

@@ -1408,3 +1408,25 @@ def test_compare_validation(api_orders):
                            "F", "NOPE")
     with pytest.raises(KeyError):
         api_orders.compare("orders", "o_totalprice", "nope", "F", "O")
+
+
+def test_drift_matches_declared_keys(api_orders, spark):
+    import os as _os
+
+    api_orders.register_dataset(
+        "events", _os.path.join(SF_SMOKE, "events.parquet")
+    )
+    ks = {str(r.d): r for r in
+          REGISTRY["q_drift_daily"].fn(spark, SF_SMOKE).collect()}
+    psi = {str(r.d): r for r in
+           REGISTRY["q_drift_psi"].fn(spark, SF_SMOKE).collect()}
+    res = api_orders.drift("events", "value", "ts", grain="day")
+    assert set(res["periods"]) == set(ks)
+    for d, cell in res["periods"].items():
+        assert cell["ks_d"] == ks[d].ks_d, d
+        assert cell["psi"] == psi[d].psi, d
+        assert cell["n"] == ks[d].n_day
+    import json
+    json.dumps(res)
+    with pytest.raises(ValueError, match="unsupported grain"):
+        api_orders.drift("events", "value", "ts", grain="minute")

@@ -205,3 +205,13 @@ def test_cli_compare(spark, capsys):
         "--a", "F", "--b", "O",
     ])
     assert rc == 0 and 0.0 <= res["ks_d"] <= 1.0 and "mw_z" in res
+
+
+def test_cli_drift(spark, capsys):
+    rc, res = _run(capsys, [
+        "drift", "--data", os.path.join(SF_SMOKE, "events.parquet"),
+        "--var", "value", "--time", "ts",
+    ])
+    assert rc == 0 and res["periods"]
+    first = next(iter(res["periods"].values()))
+    assert 0.0 <= first["ks_d"] <= 1.0 and first["psi"] >= 0.0

@@ -416,3 +416,15 @@ def test_compare_route(spark):
     )
     assert status == 200 and 0.0 <= payload["ks_d"] <= 1.0
     assert "mw_z" in payload and payload["groups"]["F"]["n"] > 0
+
+
+def test_drift_route(spark):
+    from correlationapi_spark.api import CorrelationAPI
+
+    api = CorrelationAPI(spark)
+    api.register_dataset("events", os.path.join(SF_SMOKE, "events.parquet"))
+    status, payload = _route(
+        api, "GET", "/drift",
+        {"dataset": "events", "var": "value", "time": "ts"}, {},
+    )
+    assert status == 200 and payload["periods"]

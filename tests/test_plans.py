@@ -598,3 +598,17 @@ def test_partition_pruned_scan(spark):
     assert m and "o_orderstatus" in m.group(1), plan[:2000]
     pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
     assert pushed is None or "o_orderstatus" not in pushed.group(1)
+
+
+def test_drift_frame_consumers_scan_zero_parquet(spark):
+    """drift_frame pins the (period, value) cells aggregate with
+    materialize(): every consumer branch (domain table, period totals,
+    KS spine, PSI bins, range) references the ONE checkpointed RDD, so
+    the consumer plan holds ZERO parquet FileScans — the events scan
+    runs exactly once in the producing stage (the Q15 single-scan
+    pattern applied to the drift family)."""
+    for key in ("q_drift_daily", "q_drift_psi"):
+        plan = REGISTRY[key].fn(spark, SF_SMOKE)._jdf.queryExecution()\
+            .executedPlan().toString()
+        assert plan.count("Scan parquet") == 0, key
+        assert "ExistingRDD" in plan, key

@@ -220,3 +220,32 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("measure", F.expr("substring(measure, 3)"))  # l_quantity→quantity
     )
+
+
+@query(
+    "q_set_intersect_all",
+    oracle="""
+        SELECT l_partkey AS k FROM lineitem WHERE l_returnflag = 'A'
+        INTERSECT ALL
+        SELECT l_partkey AS k FROM lineitem WHERE l_returnflag = 'R'
+    """,
+    doc="INTERSECT ALL (bag intersection keeps min multiplicity) — the "
+    "bag-semantics twin of q_set_intersect, completing the ANSI set-op "
+    "family beside q_set_except's EXCEPT ALL.",
+)
+def q_set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag semantics matter when the operand relations carry
+    multiplicity that MEANS something (here: how often a part was
+    returned vs accepted — min(count_A, count_R) occurrences survive).
+    Spark's intersectAll plans the same partial-count + min reduction
+    a hand-written groupBy/least/sequence-explode would, in one
+    operator; both engines implement the identical ANSI definition so
+    the bag cardinalities hash-match row-for-row."""
+    t = load_tables(spark, sf_dir)
+    a = t["lineitem"].filter(F.col("l_returnflag") == "A").select(
+        F.col("l_partkey").alias("k")
+    )
+    r = t["lineitem"].filter(F.col("l_returnflag") == "R").select(
+        F.col("l_partkey").alias("k")
+    )
+    return a.intersectAll(r)

@@ -401,3 +401,44 @@ def q_win_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bal_cents").cast("double") / F.sum("bal_cents").over(w_all), 6
         ).alias("share_of_total"),
     )
+
+
+@query(
+    "q_win_ntile",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CAST(ntile(4) OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_extendedprice, l_orderkey,
+                                            l_linenumber)
+                    AS BIGINT) AS price_quartile,
+               l_returnflag
+        FROM lineitem WHERE l_orderkey <= 1000
+    """,
+    doc="ntile(4) quartile bucketing of price within each returnflag — "
+    "the equal-frequency binning window (quartile/decile assignment).",
+)
+def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency bucketing: ntile(n) deals rows of each ordered
+    partition into n buckets whose sizes differ by at most one — the
+    windowed way to tag quartiles/deciles without computing explicit
+    quantile cut points. The ORDER BY carries a full unique tie-break
+    (price, orderkey, linenumber): ntile assigns by ROW POSITION, not
+    value, so ties at a bucket boundary would otherwise split
+    nondeterministically between engines (SURVEY §4.2's total-order
+    rule). Partitioned by returnflag — parallel across groups, never a
+    global single-partition window; the pushed l_orderkey filter keeps
+    the exhibit small at any SF."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") <= 1000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.ntile(4).over(w).cast("bigint").alias("price_quartile"),
+            "l_returnflag",
+        )
+    )

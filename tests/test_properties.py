@@ -702,3 +702,35 @@ def test_ks_and_mannwhitney_closed_forms(spark, tmp_path_factory):
     assert ks.ks_d == 0.0
     mw = REGISTRY["q_mannwhitney"].fn(spark, same).collect()[0]
     assert mw.u1 == 4.5 and mw.u2 == 4.5 and mw.z == 0.0
+
+
+def test_drift_zero_when_periods_identical(spark):
+    """Every period carrying the IDENTICAL value multiset ⇒ each
+    period's ECDF equals the reference exactly: KS D = 0, and PSI ≈ 0
+    (not exactly 0 — Laplace smoothing biases p vs q when nd ≠ N).
+    A shifted period must dominate every unshifted period's D."""
+    from correlationapi_spark.operators.stats import drift_frame
+
+    # 10 values spanning all 10 PSI bins, 2 copies each, per period:
+    # p_b = (c+1)/(10c+10) = 1/10 = (5c+1)/(50c+10) = q_b EXACTLY —
+    # the add-one smoothing cancels when every bin is uniformly
+    # occupied, so PSI is identically 0, not merely small (with empty
+    # or non-uniform bins the smoothing bias is O(1/nd) and large at
+    # tiny n — the first draft of this test learned that at 0.077)
+    vals = [10 * k for k in range(1, 11)]
+    base = [(d, v) for d in range(5) for v in vals for _ in range(2)]
+    df = spark.createDataFrame(base, ["d", "v"])
+    rows = drift_frame(df, ks=True, psi=True).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.ks_d == 0.0
+        assert r.psi == 0.0
+        assert r.n_period == 20
+
+    shifted = [(d, v) for d in range(4) for v in (10, 20, 30, 40)] + [
+        (4, v) for v in (1010, 1020, 1030, 1040)
+    ]
+    df2 = spark.createDataFrame(shifted, ["d", "v"])
+    rows2 = {r.d: r for r in drift_frame(df2, ks=True, psi=True).collect()}
+    assert rows2[4].ks_d > max(rows2[d].ks_d for d in range(4))
+    assert rows2[4].psi > max(rows2[d].psi for d in range(4))

@@ -106,6 +106,20 @@ def main() -> int:
     out["ks_d"] = r.ks_d
     out["mw_z"] = r.z
 
+    # -- drift monitor (per-period KS + PSI, shared drift_frame) ----------
+    from correlationapi_spark.operators.stats import drift_frame
+
+    dd = spark.range(n).select(
+        (F.col("id") % 30).alias("d"),
+        (F.abs(F.xxhash64(F.col("id") + 3)) % 1_000_000).alias("v"),
+    )
+    t0 = time.time()
+    rows = drift_frame(dd, ks=True, psi=True).collect()
+    out["drift_sec"] = round(time.time() - t0, 2)
+    out["drift_periods"] = len(rows)
+    out["drift_max_ks"] = max(r.ks_d for r in rows)
+    out["drift_max_psi"] = max(r.psi for r in rows)
+
     print(json.dumps(out))
     return 0
 

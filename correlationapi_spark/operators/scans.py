@@ -53,10 +53,30 @@ def q_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 # returned plan reads from disk lazily — they must outlive the fn.
 
 
+#: round-trip dirs created this process — removed at interpreter exit
+#: (the lazy read-back plans never outlive the process, so exit-time
+#: cleanup is safe; without it every bench/sweep leaves full table
+#: copies in /tmp — the joins.py _BUCKET_DIRS lesson, ADVICE r7)
+_ROUNDTRIP_DIRS: list[str] = []
+
+
+def _cleanup_roundtrip_dirs() -> None:
+    import shutil
+
+    for path in _ROUNDTRIP_DIRS:
+        shutil.rmtree(path, ignore_errors=True)
+    _ROUNDTRIP_DIRS.clear()
+
+
 def _roundtrip_dir(prefix: str) -> str:
+    import atexit
     import tempfile
 
-    return tempfile.mkdtemp(prefix=f"correlationapi_{prefix}_")
+    if not _ROUNDTRIP_DIRS:
+        atexit.register(_cleanup_roundtrip_dirs)
+    path = tempfile.mkdtemp(prefix=f"correlationapi_{prefix}_")
+    _ROUNDTRIP_DIRS.append(path)
+    return path
 
 
 @query(

@@ -115,6 +115,14 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--method", default="pearson",
                    choices=["pearson", "spearman", "kendall"])
 
+    mm = sub.add_parser(
+        "mixed-matrix",
+        help="mixed-type association matrix (pearson / cramers_v / eta per pair)",
+    )
+    add_data(mm)
+    mm.add_argument("--vars", default=None,
+                    help="comma-separated; default: all columns")
+
     lg = sub.add_parser("lagged", help="lagged autocorrelation of a time series")
     add_data(lg)
     lg.add_argument("--time", required=True)
@@ -257,6 +265,9 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "matrix":
             variables = args.vars.split(",") if args.vars else None
             res = api.correlation_matrix("ds", variables, method=args.method)
+        elif args.cmd == "mixed-matrix":
+            variables = args.vars.split(",") if args.vars else None
+            res = api.mixed_matrix("ds", variables)
         elif args.cmd == "drift":
             res = api.drift("ds", args.var, args.time, grain=args.grain)
         elif args.cmd == "compare":

@@ -957,6 +957,89 @@ class CorrelationAPI:
             },
         }
 
+    def mixed_matrix(
+        self, dataset: str, variables: list[str] | None = None
+    ) -> dict[str, Any]:
+        """Mixed-type association matrix — the profiling-library
+        hallmark: for every variable pair the TYPE-appropriate measure,
+        so one call profiles a heterogeneous table end to end.
+
+          * numeric × numeric → Pearson r           (signed, [-1, 1])
+          * categorical × categorical → Cramér's V  ([0, 1])
+          * categorical × numeric → correlation ratio η ([0, 1],
+            factor = the categorical side; symmetric by convention)
+
+        Cells carry {"value", "measure"} so consumers never mistake a V
+        for an r. Numeric pairs ride ONE aggregation pass (the
+        correlation_matrix machinery); each categorical pair is one
+        category-sized contingency aggregate and each mixed pair one
+        per-level aggregate (the association() engines) — at 100 TB
+        every job is a map-side-combinable reduction, never a sort or
+        an n² join. String/bool columns classify as categorical,
+        numerics as numeric; other types are rejected."""
+        df = self._get(dataset)
+        explicit = variables is not None
+        cols = variables if explicit else df.columns
+        num_cols, cat_cols, kept = [], [], []
+        for c in cols:
+            if c not in df.columns:
+                raise KeyError(f"unknown variable: {c!r}")
+            dt = df.schema[c].dataType
+            if isinstance(dt, _NUMERIC):
+                num_cols.append(c)
+            elif dt.simpleString() in ("string", "boolean"):
+                cat_cols.append(c)
+            elif explicit:
+                # an explicitly requested column must classify — but the
+                # all-columns default silently skips timestamps/arrays/
+                # structs instead of failing the whole profile
+                raise TypeError(
+                    f"variable {c!r} is {dt.simpleString()}: neither "
+                    "numeric nor categorical"
+                )
+            else:
+                continue
+            kept.append(c)
+        cols = kept
+        if len(cols) < 2:
+            raise ValueError("need at least two classifiable variables")
+        cells: dict[tuple[str, str], dict[str, Any]] = {}
+        if len(num_cols) >= 2:
+            cm = self.correlation_matrix(dataset, num_cols)
+            for i, a in enumerate(num_cols):
+                for j, b in enumerate(num_cols):
+                    if i < j:
+                        cells[(a, b)] = {
+                            "value": cm["matrix"][i][j],
+                            "measure": "pearson",
+                        }
+        for i, a in enumerate(cat_cols):
+            for b in cat_cols[i + 1:]:
+                r = self.association(dataset, a, b, method="cramer")
+                cells[(a, b)] = {
+                    "value": r["cramers_v"], "measure": "cramers_v",
+                }
+        for a in cat_cols:
+            for b in num_cols:
+                r = self.association(dataset, a, b, method="eta")
+                cells[(a, b)] = {"value": r["eta"], "measure": "eta"}
+        matrix = {}
+        for a in cols:
+            row = {}
+            for b in cols:
+                if a == b:
+                    row[b] = {"value": 1.0, "measure": "self"}
+                else:
+                    row[b] = cells.get((a, b)) or cells.get((b, a))
+            matrix[a] = row
+        return {
+            "dataset": dataset,
+            "variables": cols,
+            "numeric": num_cols,
+            "categorical": cat_cols,
+            "matrix": matrix,
+        }
+
     def correlation_matrix(
         self, dataset: str, variables: list[str] | None = None, method: str = "pearson"
     ) -> dict[str, Any]:

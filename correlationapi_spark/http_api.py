@@ -16,6 +16,7 @@ container, and none is needed for a JSON-for-JSON contract:
   GET  /distribution?dataset=&var=[&group_by=][&gini=1]
   GET  /compare?dataset=&var=&group_by=&a=&b=  (two-sample KS + Mann-Whitney)
   GET  /drift?dataset=&var=&time=[&grain=day]  (per-period KS + PSI vs reference)
+  POST /mixed_matrix {"dataset"[,"variables"]}  (type-appropriate measure per pair)
   POST /matrix            {"dataset","variables","method"}
   GET  /lagged?dataset=&time=&value=[&lag=][&grain=][&fill_gaps=]
   GET  /rolling?dataset=&time=&value=[&window=][&lag=][&grain=][&fill_gaps=]
@@ -130,6 +131,10 @@ def _route(api: CorrelationAPI, method: str, path: str,
             body["dataset"], body.get("variables"),
             method=body.get("method", "pearson"),
         )
+    if method == "POST" and path == "/mixed_matrix":
+        if "dataset" not in body:
+            raise ValueError('body must contain "dataset"')
+        return 200, api.mixed_matrix(body["dataset"], body.get("variables"))
     if method == "GET" and path == "/lagged":
         for req in ("dataset", "time", "value"):
             if req not in query:

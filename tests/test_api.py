@@ -1430,3 +1430,32 @@ def test_drift_matches_declared_keys(api_orders, spark):
     json.dumps(res)
     with pytest.raises(ValueError, match="unsupported grain"):
         api_orders.drift("events", "value", "ts", grain="minute")
+
+
+def test_mixed_matrix_measures_and_consistency(api_orders, spark):
+    res = api_orders.mixed_matrix(
+        "orders",
+        ["o_totalprice", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
+    assert res["numeric"] == ["o_totalprice", "o_custkey"]
+    assert res["categorical"] == ["o_orderstatus", "o_orderpriority"]
+    m = res["matrix"]
+    # type-appropriate measure per cell, symmetric entries share objects
+    assert m["o_totalprice"]["o_custkey"]["measure"] == "pearson"
+    assert m["o_orderstatus"]["o_orderpriority"]["measure"] == "cramers_v"
+    assert m["o_orderstatus"]["o_totalprice"]["measure"] == "eta"
+    assert m["o_totalprice"]["o_orderstatus"]["measure"] == "eta"
+    assert m["o_totalprice"]["o_totalprice"]["measure"] == "self"
+    # values agree with the dedicated endpoints
+    pear = api_orders.correlate("orders", "o_totalprice", "o_custkey")
+    assert m["o_totalprice"]["o_custkey"]["value"] == pear["correlation"]
+    cram = api_orders.association("orders", "o_orderstatus",
+                                  "o_orderpriority")
+    assert m["o_orderstatus"]["o_orderpriority"]["value"] == cram["cramers_v"]
+    eta = api_orders.association("orders", "o_orderstatus", "o_totalprice",
+                                 method="eta")
+    assert m["o_orderstatus"]["o_totalprice"]["value"] == eta["eta"]
+    import json
+    json.dumps(res)
+    with pytest.raises(TypeError, match="neither"):
+        api_orders.mixed_matrix("orders", ["o_orderdate", "o_totalprice"])

@@ -215,3 +215,12 @@ def test_cli_drift(spark, capsys):
     assert rc == 0 and res["periods"]
     first = next(iter(res["periods"].values()))
     assert 0.0 <= first["ks_d"] <= 1.0 and first["psi"] >= 0.0
+
+
+def test_cli_mixed_matrix(spark, capsys):
+    rc, res = _run(capsys, [
+        "mixed-matrix", "--data", os.path.join(SF_SMOKE, "orders.parquet"),
+        "--vars", "o_totalprice,o_orderstatus",
+    ])
+    assert rc == 0
+    assert res["matrix"]["o_totalprice"]["o_orderstatus"]["measure"] == "eta"

@@ -428,3 +428,18 @@ def test_drift_route(spark):
         {"dataset": "events", "var": "value", "time": "ts"}, {},
     )
     assert status == 200 and payload["periods"]
+
+
+def test_mixed_matrix_route(spark):
+    from correlationapi_spark.api import CorrelationAPI
+
+    api = CorrelationAPI(spark)
+    api.register_dataset("orders", os.path.join(SF_SMOKE, "orders.parquet"))
+    status, payload = _route(
+        api, "POST", "/mixed_matrix",
+        {}, {"dataset": "orders",
+             "variables": ["o_totalprice", "o_orderpriority"]},
+    )
+    assert status == 200
+    assert payload["matrix"]["o_totalprice"]["o_orderpriority"][
+        "measure"] == "eta"

@@ -85,6 +85,12 @@ _TOUCHED: frozenset[str] = frozenset({
                             # progressive — rows-only outputs changed
     "q_multimodal_frames",  # same fixture/codec wave (frames route
                             # re-walks the marker stream)
+    "q_pack_chunks",   # ordering.global_running_sum refactored into the
+                       # plural global_running_sums core (one range
+                       # shuffle for k values; internal column renames)
+                       # — pack_chunks_layout consumes it, so the r7
+                       # verdicts predate the new code path
+    "q_pack_bpeish",   # same layout engine, same refactor
 })
 
 

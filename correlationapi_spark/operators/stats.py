@@ -2498,3 +2498,180 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift_frame(
         _events_drift_frame(spark, sf_dir), ks=False, psi=True
     ).select("d", "psi", F.col("n_period").alias("n_day"))
+
+
+def _eta_1row(df: DataFrame, grp: str, val_cents: Column):
+    """1-row (value) frame: correlation ratio η of ``val_cents`` (exact
+    integer units) grouped by ``grp`` — q_corr_eta's algebra as a
+    reusable building block for the mixed exhibit."""
+    x = df.select(F.col(grp).alias("grp"), val_cents.alias("cents"))
+    g = x.groupBy("grp").agg(
+        F.sum(F.col("cents").cast("decimal(38,0)")).cast("double").alias("s"),
+        F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("q"),
+        F.count("*").alias("m"),
+    )
+    tot = g.agg(
+        F.sum("s").alias("st"),
+        F.sum("q").alias("qt"),
+        F.sum("m").cast("bigint").alias("n"),
+        F.sum(F.col("s") * F.col("s") / F.col("m")).alias("ssb_raw"),
+    )
+    ss_mean = F.col("st") * F.col("st") / F.col("n")
+    eta2 = (F.col("ssb_raw") - ss_mean) / (F.col("qt") - ss_mean)
+    return tot.select(F.round(F.sqrt(eta2), 6).alias("value"))
+
+
+_ETA_ORACLE_CTE = """
+            SELECT round(sqrt((sum(s * s / m)
+                               - sum(s) * sum(s) / sum(m))
+                              / (sum(q) - sum(s) * sum(s) / sum(m))), 6)
+                       AS value
+            FROM (
+                SELECT CAST(sum(CAST({cents} AS HUGEINT)) AS DOUBLE) AS s,
+                       CAST(sum(CAST({cents} AS HUGEINT) * {cents})
+                            AS DOUBLE) AS q,
+                       CAST(count(*) AS BIGINT) AS m
+                FROM lineitem GROUP BY {grp}
+            )
+"""
+
+
+@query(
+    "q_assoc_mixed",
+    oracle=f"""
+        WITH p1 AS (
+            SELECT round(corr(l_quantity, l_extendedprice), 6) AS value
+            FROM lineitem
+        ),
+        p2 AS (
+            SELECT round(corr(l_quantity, l_discount), 6) AS value
+            FROM lineitem
+        ),
+        base AS (
+            SELECT l_returnflag AS a, l_linestatus AS b FROM lineitem
+        ),
+        cont AS (
+            SELECT a, b, CAST(count(*) AS BIGINT) AS o
+            FROM base GROUP BY 1, 2
+        ),
+        rt AS (SELECT a, CAST(count(*) AS BIGINT) AS ra FROM base GROUP BY 1),
+        ct AS (SELECT b, CAST(count(*) AS BIGINT) AS cb FROM base GROUP BY 1),
+        tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT a) AS BIGINT) AS r,
+                   CAST(count(DISTINCT b) AS BIGINT) AS c
+            FROM base
+        ),
+        cr AS (
+            SELECT round(sqrt(sum(
+                       CAST((cont.o * tot.n - rt.ra * ct.cb) AS DOUBLE)
+                       * CAST((cont.o * tot.n - rt.ra * ct.cb) AS DOUBLE)
+                       / (CAST(tot.n AS DOUBLE) * rt.ra * ct.cb)
+                   ) / (CAST(any_value(tot.n) AS DOUBLE)
+                        * least(any_value(tot.r) - 1, any_value(tot.c) - 1))
+                   ), 6) AS value
+            FROM cont JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tot
+        ),
+        e1 AS (
+{_ETA_ORACLE_CTE.format(cents="CAST(round(l_extendedprice * 100) AS BIGINT)",
+                        grp="l_returnflag")}
+        ),
+        e2 AS (
+{_ETA_ORACLE_CTE.format(cents="CAST(round(l_quantity) AS BIGINT)",
+                        grp="l_linestatus")}
+        )
+        SELECT 'l_quantity' AS var_a, 'l_extendedprice' AS var_b,
+               'pearson' AS measure, value FROM p1
+        UNION ALL
+        SELECT 'l_quantity', 'l_discount', 'pearson', value FROM p2
+        UNION ALL
+        SELECT 'l_returnflag', 'l_linestatus', 'cramers_v', value FROM cr
+        UNION ALL
+        SELECT 'l_returnflag', 'l_extendedprice', 'eta', value FROM e1
+        UNION ALL
+        SELECT 'l_linestatus', 'l_quantity', 'eta', value FROM e2
+        ORDER BY var_a, var_b
+    """,
+    doc="Mixed-type association exhibit: the TYPE-APPROPRIATE measure "
+    "per pair in one result — Pearson for numeric×numeric, Cramér's V "
+    "for categorical×categorical, correlation ratio η for mixed — the "
+    "declared twin of api.mixed_matrix.",
+)
+def q_assoc_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One heterogeneous profile, five pairs, three estimators — each
+    pair routed to the measure its types admit (Pearson is undefined
+    for labels; V ignores ordering; η is the factor→numeric share of
+    variance). Unioning the 1-row results keeps every family's exact
+    algebra (F.corr; the integer contingency chi²; the exact-cents η
+    sums), all rounded to 6 dp; the oracle mirrors each family's
+    established CTE.
+
+    Scale shape: each measure is the SAME map-side-combinable
+    aggregate its dedicated key runs (q_agg_corr / q_corr_cramer /
+    q_corr_eta); the union is five 1-row frames — at 100 TB this is k
+    parallel reductions over shared scans, no new plan shapes."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    p1 = li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("value")
+    )
+    p2 = li.agg(F.round(F.corr("l_quantity", "l_discount"), 6).alias("value"))
+
+    base = li.select(
+        F.col("l_returnflag").alias("a"), F.col("l_linestatus").alias("b")
+    )
+    cont = base.groupBy("a", "b").agg(F.count("*").alias("o"))
+    rt = base.groupBy("a").agg(F.count("*").alias("ra"))
+    ct = base.groupBy("b").agg(F.count("*").alias("cb"))
+    tot = base.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("a").alias("r"),
+        F.countDistinct("b").alias("c"),
+    )
+    dev = (F.col("o") * F.col("n") - F.col("ra") * F.col("cb")).cast("double")
+    term = dev * dev / (F.col("n").cast("double") * F.col("ra") * F.col("cb"))
+    cr = (
+        cont.join(F.broadcast(rt), "a")
+        .join(F.broadcast(ct), "b")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum(term)
+                    / (
+                        F.any_value("n").cast("double")
+                        * F.least(
+                            F.any_value("r") - 1, F.any_value("c") - 1
+                        )
+                    )
+                ),
+                6,
+            ).alias("value")
+        )
+    )
+    e1 = _eta_1row(
+        li, "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long"),
+    )
+    e2 = _eta_1row(
+        li, "l_linestatus", F.round(F.col("l_quantity"), 0).cast("long")
+    )
+
+    def tag(df1, a, b, measure):
+        return df1.select(
+            F.lit(a).alias("var_a"),
+            F.lit(b).alias("var_b"),
+            F.lit(measure).alias("measure"),
+            "value",
+        )
+
+    return (
+        tag(p1, "l_quantity", "l_extendedprice", "pearson")
+        .unionByName(tag(p2, "l_quantity", "l_discount", "pearson"))
+        .unionByName(tag(cr, "l_returnflag", "l_linestatus", "cramers_v"))
+        .unionByName(tag(e1, "l_returnflag", "l_extendedprice", "eta"))
+        .unionByName(tag(e2, "l_linestatus", "l_quantity", "eta"))
+        .orderBy("var_a", "var_b")
+    )

@@ -254,7 +254,14 @@ def test_no_cartesian_or_giant_single_partition_anywhere(spark):
     # named tiny relation, never a fact table:
     #   q_corr_matrix_spearman: k=3 rank-table offset tables (≤ one row
     #   per range partition each) + the 1-row global corr aggregate
-    budget = {"q_corr_matrix_spearman": 4}
+    budget = {
+        "q_corr_matrix_spearman": 4,
+        # q_assoc_mixed unions FIVE independent 1-row measure reductions
+        # (two pearson aggs, the chi²/V cell reduction + its 1-row
+        # total, two η totals) — six single-partition exchanges, each
+        # carrying exactly one row by construction, never a fact table
+        "q_assoc_mixed": 6,
+    }
     for key, spec in REGISTRY.items():
         plan = REGISTRY[key].fn(spark, SF_SMOKE)._jdf.queryExecution()\
             .executedPlan().toString()

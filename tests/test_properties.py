@@ -734,3 +734,60 @@ def test_drift_zero_when_periods_identical(spark):
     rows2 = {r.d: r for r in drift_frame(df2, ks=True, psi=True).collect()}
     assert rows2[4].ks_d > max(rows2[d].ks_d for d in range(4))
     assert rows2[4].psi > max(rows2[d].psi for d in range(4))
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.booleans(), st.integers(min_value=0, max_value=6)),
+        min_size=2,
+        max_size=30,
+    )
+)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=list(HealthCheck))
+def test_two_sample_stats_matches_bruteforce(spark, data):
+    """Invariant: the distributed integer-ECDF two-sample engine equals
+    a direct sequential reference EXACTLY for any sample pair — the
+    tiny value domain forces heavy ties (the hard part of both KS and
+    tie-corrected MW), and hypothesis explores disjoint supports,
+    empty-ish groups, and all-tied pools."""
+    from correlationapi_spark.operators.stats import two_sample_stats
+
+    a = sorted(v for flag, v in data if flag)
+    b = sorted(v for flag, v in data if not flag)
+    rows = [("A", v) for v in a] + [("B", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, cents long")
+    r = two_sample_stats(df).collect()[0]
+    n1, n2 = len(a), len(b)
+    assert (r.n1, r.n2) == (n1, n2)
+    if n1 == 0 or n2 == 0:
+        assert r.ks_d is None and r.u1 is None and r.z is None
+        return
+
+    # reference KS: integer cross-multiplied sup over the pooled domain
+    dmax = max(
+        abs(sum(1 for x in a if x <= v) * n2
+            - sum(1 for x in b if x <= v) * n1)
+        for v in set(a) | set(b)
+    )
+    assert r.ks_d == round(dmax / (n1 * n2), 6)
+
+    # reference MW: average ranks over the pooled sample
+    pooled = sorted(a + b)
+    first = {}
+    for i, v in enumerate(pooled):
+        first.setdefault(v, i + 1)
+    cnt = {v: pooled.count(v) for v in set(pooled)}
+    avg_rank = {v: first[v] + (cnt[v] - 1) / 2 for v in cnt}
+    r1 = sum(avg_rank[v] for v in a)
+    u1 = r1 - n1 * (n1 + 1) / 2
+    assert r.u1 == round(u1, 1)
+    assert r.u2 == round(n1 * n2 - u1, 1)
+    n = n1 + n2
+    ties = sum(c ** 3 - c for c in cnt.values())
+    var = n1 * n2 / 12 * ((n + 1) - ties / (n * (n - 1))) if n > 1 else 0.0
+    if var > 0:
+        assert r.z == pytest.approx((u1 - n1 * n2 / 2) / var ** 0.5,
+                                    abs=5e-7)
+    else:
+        assert r.z is None

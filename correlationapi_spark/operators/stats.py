@@ -2675,3 +2675,175 @@ def q_assoc_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tag(e2, "l_linestatus", "l_quantity", "eta"))
         .orderBy("var_a", "var_b")
     )
+
+
+@query(
+    "q_corr_icc",
+    oracle="""
+        WITH x AS (
+            SELECT o_orderpriority AS grp,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ),
+        g AS (
+            SELECT grp,
+                   CAST(sum(CAST(cents AS HUGEINT)) AS DOUBLE) AS s,
+                   CAST(sum(CAST(cents AS HUGEINT) * cents) AS DOUBLE) AS q,
+                   CAST(count(*) AS BIGINT) AS m
+            FROM x GROUP BY 1
+        ),
+        t AS (
+            SELECT sum(s) AS st, sum(q) AS qt,
+                   CAST(sum(m) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS k,
+                   sum(s * s / m) AS ssb_raw,
+                   sum(CAST(m AS DOUBLE) * m) AS sq_m
+            FROM g
+        ),
+        f AS (
+            SELECT (ssb_raw - st * st / n) / (k - 1) AS msb,
+                   (qt - ssb_raw) / (n - k) AS msw,
+                   (n - sq_m / n) / (k - 1) AS n0,
+                   n, k
+            FROM t
+        )
+        SELECT round((msb - msw) / (msb + (n0 - 1) * msw), 6) AS icc,
+               round(msb / msw, 6) AS f_stat,
+               k AS n_groups, n AS n_rows
+        FROM f
+    """,
+    doc="Intraclass correlation ICC(1): one-way random-effects "
+    "reliability of order value within priority groups (unequal-n "
+    "form) — how much of the variance lives BETWEEN groups, the "
+    "clustered-data companion to eta².",
+)
+def q_corr_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICC(1) = (MSB − MSW)/(MSB + (n₀−1)·MSW) with the unequal-n
+    group-size correction n₀ = (N − Σnᵢ²/N)/(k−1) — the measure that
+    answers 'are observations within a group more alike than across
+    groups' (sampling-design and mixed-model territory Pearson cannot
+    address). F = MSB/MSW rides along for the significance consumer.
+
+    Determinism: SSB/SSW derive from the SAME exact-integer cents
+    power sums as q_corr_eta (HUGEINT/decimal accumulators), so both
+    engines run identical float expressions on identical inputs;
+    6 dp rounding absorbs the ulp noise.
+
+    Scale shape: one map-side-combinable grouped aggregate over the
+    factor, then a ~k-row reduction — exactly q_corr_eta's plan."""
+    t = load_tables(spark, sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    x = t["orders"].select(
+        F.col("o_orderpriority").alias("grp"), cents.alias("cents")
+    )
+    g = x.groupBy("grp").agg(
+        F.sum(F.col("cents").cast("decimal(38,0)")).cast("double").alias("s"),
+        F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("q"),
+        F.count("*").alias("m"),
+    )
+    tt = g.agg(
+        F.sum("s").alias("st"),
+        F.sum("q").alias("qt"),
+        F.sum("m").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("k"),
+        F.sum(F.col("s") * F.col("s") / F.col("m")).alias("ssb_raw"),
+        F.sum(F.col("m").cast("double") * F.col("m")).alias("sq_m"),
+    )
+    msb = (F.col("ssb_raw") - F.col("st") * F.col("st") / F.col("n")) / (
+        F.col("k") - 1
+    )
+    msw = (F.col("qt") - F.col("ssb_raw")) / (F.col("n") - F.col("k"))
+    n0 = (F.col("n") - F.col("sq_m") / F.col("n")) / (F.col("k") - 1)
+    return tt.select(
+        F.round((msb - msw) / (msb + (n0 - 1) * msw), 6).alias("icc"),
+        F.round(msb / msw, 6).alias("f_stat"),
+        F.col("k").alias("n_groups"),
+        F.col("n").alias("n_rows"),
+    )
+
+
+@query(
+    "q_cronbach_alpha",
+    oracle="""
+        WITH x AS (
+            SELECT CAST(round(l_quantity * 100) AS BIGINT) AS i1,
+                   CAST(round(l_discount * 10000) AS BIGINT) AS i2,
+                   CAST(round(l_tax * 10000) AS BIGINT) AS i3
+            FROM lineitem
+        ),
+        s AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(i1 AS HUGEINT)) AS DOUBLE) AS s1,
+                   CAST(sum(CAST(i1 AS HUGEINT) * i1) AS DOUBLE) AS q1,
+                   CAST(sum(CAST(i2 AS HUGEINT)) AS DOUBLE) AS s2,
+                   CAST(sum(CAST(i2 AS HUGEINT) * i2) AS DOUBLE) AS q2,
+                   CAST(sum(CAST(i3 AS HUGEINT)) AS DOUBLE) AS s3,
+                   CAST(sum(CAST(i3 AS HUGEINT) * i3) AS DOUBLE) AS q3,
+                   CAST(sum(CAST(i1 + i2 + i3 AS HUGEINT)) AS DOUBLE) AS st,
+                   CAST(sum(CAST(i1 + i2 + i3 AS HUGEINT) * (i1 + i2 + i3))
+                        AS DOUBLE) AS qt
+            FROM x
+        )
+        SELECT round((3.0 / 2.0)
+                     * (1 - ((q1 - s1 * s1 / n) + (q2 - s2 * s2 / n)
+                             + (q3 - s3 * s3 / n))
+                           / (qt - st * st / n)), 6) AS alpha,
+               n AS n_rows
+        FROM s
+    """,
+    doc="Cronbach's alpha over three standardized-unit item columns "
+    "(quantity/discount/tax) — the internal-consistency reliability "
+    "coefficient, from exact integer item sums in ONE pass.",
+)
+def q_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α = k/(k−1) · (1 − Σvar(itemᵢ)/var(Σitems)). The (n−1) variance
+    denominators cancel in the ratio, so α is computed directly from
+    raw sums-of-squares: every Σx and Σx² — INCLUDING the row-wise
+    total's — is an exact integer (items quantized to integer units;
+    i1+i2+i3 is exact int addition, not float), making the whole
+    statistic one float expression over exact inputs, identical on
+    both engines.
+
+    Scale shape: a single global aggregate — eight map-side-combinable
+    exact sums over one scan; adding items widens the row, never adds
+    a pass."""
+    t = load_tables(spark, sf_dir)
+    x = t["lineitem"].select(
+        F.round(F.col("l_quantity") * 100, 0).cast("long").alias("i1"),
+        F.round(F.col("l_discount") * 10000, 0).cast("long").alias("i2"),
+        F.round(F.col("l_tax") * 10000, 0).cast("long").alias("i3"),
+    )
+    tot = (F.col("i1") + F.col("i2") + F.col("i3"))
+
+    def ssum(c):
+        return F.sum(c.cast("decimal(38,0)")).cast("double")
+
+    def sqsum(c):
+        return F.sum((c.cast("decimal(38,0)") * c)).cast("double")
+
+    s = x.agg(
+        F.count("*").alias("n"),
+        ssum(F.col("i1")).alias("s1"),
+        sqsum(F.col("i1")).alias("q1"),
+        ssum(F.col("i2")).alias("s2"),
+        sqsum(F.col("i2")).alias("q2"),
+        ssum(F.col("i3")).alias("s3"),
+        sqsum(F.col("i3")).alias("q3"),
+        ssum(tot).alias("st"),
+        sqsum(tot).alias("qt"),
+    )
+    n = F.col("n")
+    item_vars = (
+        (F.col("q1") - F.col("s1") * F.col("s1") / n)
+        + (F.col("q2") - F.col("s2") * F.col("s2") / n)
+        + (F.col("q3") - F.col("s3") * F.col("s3") / n)
+    )
+    tot_var = F.col("qt") - F.col("st") * F.col("st") / n
+    return s.select(
+        F.round(
+            (F.lit(3.0) / F.lit(2.0)) * (1 - item_vars / tot_var), 6
+        ).alias("alpha"),
+        n.alias("n_rows"),
+    )

@@ -2847,3 +2847,170 @@ def q_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("alpha"),
         n.alias("n_rows"),
     )
+
+
+@query(
+    "q_corr_ccc",
+    oracle="""
+        WITH x AS (
+            SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS xc,
+                   CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT) AS yc
+            FROM lineitem
+        ),
+        s AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(xc AS HUGEINT)) AS DOUBLE) AS sx,
+                   CAST(sum(CAST(yc AS HUGEINT)) AS DOUBLE) AS sy,
+                   CAST(sum(CAST(xc AS HUGEINT) * xc) AS DOUBLE) AS qx,
+                   CAST(sum(CAST(yc AS HUGEINT) * yc) AS DOUBLE) AS qy,
+                   CAST(sum(CAST(xc AS HUGEINT) * yc) AS DOUBLE) AS pxy
+            FROM x
+        )
+        SELECT round(2 * (pxy / n - (sx / n) * (sy / n))
+                     / ((qx / n - (sx / n) * (sx / n))
+                        + (qy / n - (sy / n) * (sy / n))
+                        + ((sx / n) - (sy / n)) * ((sx / n) - (sy / n))),
+                     6) AS ccc,
+               n AS n_rows
+        FROM s
+    """,
+    doc="Lin's concordance correlation coefficient between list price "
+    "and discounted revenue — AGREEMENT (how far pairs sit from the "
+    "45° identity line), not mere linear association: CCC ≤ |r|, with "
+    "equality only at perfect location and scale match.",
+)
+def q_corr_ccc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCC = 2·cov(x,y) / (var(x) + var(y) + (μx − μy)²) — Pearson
+    penalized by location and scale shift, the measure for 'does the
+    cheap estimator REPRODUCE the expensive one', not just 'do they
+    move together'. Population moments from exact-cents HUGEINT/decimal
+    sums (the q_agg_moments discipline); the (n−1) corrections cancel
+    in the ratio, so raw power sums suffice.
+
+    Scale shape: ONE global aggregate, six map-side-combinable exact
+    sums over one scan."""
+    t = load_tables(spark, sf_dir)
+    x = t["lineitem"].select(
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("xc"),
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+        ).cast("long").alias("yc"),
+    )
+    s = x.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("xc").cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum(F.col("yc").cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum(F.col("xc").cast("decimal(38,0)") * F.col("xc"))
+        .cast("double")
+        .alias("qx"),
+        F.sum(F.col("yc").cast("decimal(38,0)") * F.col("yc"))
+        .cast("double")
+        .alias("qy"),
+        F.sum(F.col("xc").cast("decimal(38,0)") * F.col("yc"))
+        .cast("double")
+        .alias("pxy"),
+    )
+    n = F.col("n")
+    mx, my = F.col("sx") / n, F.col("sy") / n
+    cov = F.col("pxy") / n - mx * my
+    vx = F.col("qx") / n - mx * mx
+    vy = F.col("qy") / n - my * my
+    return s.select(
+        F.round(2 * cov / (vx + vy + (mx - my) * (mx - my)), 6).alias("ccc"),
+        n.alias("n_rows"),
+    )
+
+
+@query(
+    "q_corr_kappa",
+    oracle="""
+        WITH base AS (
+            SELECT CASE WHEN l_quantity > 25 THEN 'high' ELSE 'low' END AS a,
+                   CASE WHEN l_extendedprice > 38000 THEN 'high'
+                        ELSE 'low' END AS b
+            FROM lineitem
+        ),
+        cont AS (
+            SELECT a, b, CAST(count(*) AS BIGINT) AS o
+            FROM base GROUP BY 1, 2
+        ),
+        rt AS (SELECT a, CAST(count(*) AS BIGINT) AS ra FROM base GROUP BY 1),
+        ct AS (SELECT b, CAST(count(*) AS BIGINT) AS cb FROM base GROUP BY 1),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+        s AS (
+            SELECT sum(CASE WHEN cont.a = cont.b
+                            THEN CAST(cont.o AS DOUBLE) / tot.n
+                            ELSE 0 END) AS po,
+                   sum(CASE WHEN cont.a = cont.b
+                            THEN CAST(rt.ra AS DOUBLE) * ct.cb
+                                 / (CAST(tot.n AS DOUBLE) * tot.n)
+                            ELSE 0 END) AS pe,
+                   any_value(tot.n) AS n_rows
+            FROM cont JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tot
+        )
+        SELECT round((po - pe) / (1 - pe), 6) AS kappa,
+               round(po, 6) AS p_observed,
+               round(pe, 6) AS p_expected,
+               n_rows
+        FROM s
+    """,
+    doc="Cohen's kappa between two binary raters (high-quantity vs "
+    "high-price labels) — chance-corrected agreement: the measure that "
+    "exposes raters who agree only as often as coin flips would.",
+)
+def q_corr_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """κ = (p_o − p_e)/(1 − p_e): observed diagonal agreement minus the
+    agreement two INDEPENDENT raters with the same marginals would
+    reach. Raw accuracy (p_o alone) overstates agreement whenever one
+    label dominates — κ is the standard correction, and alongside
+    Cramér's V / Theil's U it completes the categorical-association
+    family with an AGREEMENT (label-identity) semantics the others
+    don't have.
+
+    Determinism: the diagonal sums are ratios of exact int64
+    contingency counts (the q_corr_cramer skeleton); ≤4 cell terms,
+    6 dp rounding.
+
+    Scale shape: one conditional-label map, category-sized contingency
+    shuffles, broadcast marginals, driver-free reduction."""
+    t = load_tables(spark, sf_dir)
+    base = t["lineitem"].select(
+        F.when(F.col("l_quantity") > 25, "high").otherwise("low").alias("a"),
+        F.when(F.col("l_extendedprice") > 38000, "high")
+        .otherwise("low")
+        .alias("b"),
+    )
+    cont = base.groupBy("a", "b").agg(F.count("*").alias("o"))
+    rt = base.groupBy("a").agg(F.count("*").alias("ra"))
+    ct = base.groupBy("b").agg(F.count("*").alias("cb"))
+    tot = base.agg(F.count("*").alias("n"))
+    diag = F.col("a") == F.col("b")
+    s = (
+        cont.join(F.broadcast(rt), "a")
+        .join(F.broadcast(ct), "b")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.when(diag, F.col("o").cast("double") / F.col("n"))
+                .otherwise(0.0)
+            ).alias("po"),
+            F.sum(
+                F.when(
+                    diag,
+                    F.col("ra").cast("double")
+                    * F.col("cb")
+                    / (F.col("n").cast("double") * F.col("n")),
+                ).otherwise(0.0)
+            ).alias("pe"),
+            F.any_value("n").alias("n_rows"),
+        )
+    )
+    return s.select(
+        F.round(
+            (F.col("po") - F.col("pe")) / (1 - F.col("pe")), 6
+        ).alias("kappa"),
+        F.round("po", 6).alias("p_observed"),
+        F.round("pe", 6).alias("p_expected"),
+        "n_rows",
+    )

@@ -15,6 +15,15 @@ JSON. This module is that contract re-expressed over Spark:
 * all statistics run as single-pass Spark aggregations (SURVEY.md §4.2):
   a k-variable matrix is k(k-1)/2 corr aggregates in ONE job, never k²
   jobs, never a driver-side matrix build over collected data.
+
+Round-8 additions widen the surface beyond the numeric correlation
+core: ``association()`` (Cramér's V / Theil's U / mutual information /
+η² over category-sized contingency reductions), ``distribution()``
+(moments + sort-free Gini), ``compare()`` (exact two-sample KS +
+tie-corrected Mann-Whitney via operators.stats.two_sample_stats),
+``drift()`` (per-period KS + PSI vs the full-period reference via
+operators.stats.drift_frame), and ``mixed_matrix()`` (the profiling
+matrix: type-appropriate measure per pair).
 """
 
 from __future__ import annotations

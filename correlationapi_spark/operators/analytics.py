@@ -600,3 +600,136 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("chi2_term"),
         F.col("n").alias("n_rows"),
     ).orderBy("digit")
+
+
+@query(
+    "q_survival_km",
+    oracle="""
+        WITH users AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END) AS t1
+            FROM events GROUP BY 1
+        ),
+        horizon AS (SELECT max(ts) AS tmax FROM events),
+        durations AS (
+            SELECT CASE WHEN u.t1 IS NOT NULL AND u.t1 >= u.t0
+                        THEN date_diff('day', CAST(u.t0 AS DATE),
+                                       CAST(u.t1 AS DATE))
+                        ELSE date_diff('day', CAST(u.t0 AS DATE),
+                                       CAST(h.tmax AS DATE))
+                   END AS dur,
+                   CASE WHEN u.t1 IS NOT NULL AND u.t1 >= u.t0
+                        THEN 1 ELSE 0 END AS ev
+            FROM users u CROSS JOIN horizon h
+            WHERE u.t0 IS NOT NULL
+        ),
+        pv AS (
+            SELECT dur, CAST(count(*) AS BIGINT) AS m,
+                   CAST(sum(ev) AS BIGINT) AS d
+            FROM durations GROUP BY 1
+        ),
+        tot AS (SELECT CAST(sum(m) AS BIGINT) AS nn FROM pv),
+        risk AS (
+            SELECT pv.dur, pv.d,
+                   tot.nn - (CAST(sum(pv.m) OVER (ORDER BY pv.dur
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                             AS BIGINT) - pv.m) AS n_at_risk
+            FROM pv CROSS JOIN tot
+        ),
+        km AS (
+            SELECT dur, d, n_at_risk,
+                   exp(sum(ln(CAST(n_at_risk - d AS DOUBLE) / n_at_risk))
+                       OVER (ORDER BY dur
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW)) AS s
+            FROM risk WHERE d > 0 AND d < n_at_risk
+        )
+        SELECT dur AS duration_days, d AS d_events, n_at_risk,
+               round(s, 6) AS survival
+        FROM km ORDER BY dur
+    """,
+    doc="Kaplan-Meier survival curve for signup→purchase conversion "
+    "time with right-censoring — S(t) = Π(1 − dᵢ/nᵢ) over event days, "
+    "users who never purchase censored at the observation horizon.",
+)
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The product-limit estimator, spelled as exp(Σ ln((n−d)/n)) so the
+    cumulative product becomes a running SUM of ln's of EXACT integer
+    ratios — at-risk counts nᵢ and event counts dᵢ are int64 built from
+    one per-user reduction, so both engines feed ln identical doubles
+    and only accumulation order differs (6 dp rounding headroom).
+    Right-censoring is the textbook treatment: never-purchasers leave
+    the risk set at the horizon without an event. Rows are emitted for
+    event days with d < n (a terminal day where everyone at risk
+    converts would put ln(0) in the tail — excluded identically on
+    both engines; its S is 0 by definition).
+
+    Scale shape: per-user min-aggregate (one shuffle on user_id),
+    then DURATION-DOMAIN tables only: the day-grain counts, ONE
+    ordering.global_running_sum for the risk set, and a domain-sized
+    cumulative ln-sum window the oracle mirrors — no data-sized sort,
+    nothing beyond the first aggregate touches raw events."""
+    from ..ordering import global_running_sum
+
+    t = load_tables(spark, sf_dir)
+    users = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "signup", F.col("ts"))
+            ).alias("t0"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("t1"),
+        )
+        .filter(F.col("t0").isNotNull())
+    )
+    horizon = t["events"].agg(F.max("ts").alias("tmax"))
+    ev = F.col("t1").isNotNull() & (F.col("t1") >= F.col("t0"))
+    durations = users.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            ev, F.datediff(F.col("t1").cast("date"), F.col("t0").cast("date"))
+        )
+        .otherwise(
+            F.datediff(F.col("tmax").cast("date"), F.col("t0").cast("date"))
+        )
+        .alias("dur"),
+        F.when(ev, 1).otherwise(0).alias("ev"),
+    )
+    pv = durations.groupBy("dur").agg(
+        F.count("*").alias("m"), F.sum("ev").cast("bigint").alias("d")
+    )
+    tot = pv.agg(F.sum("m").cast("bigint").alias("nn"))
+    run = global_running_sum(pv, [F.col("dur").asc()], F.col("m"), "cum")
+    risk = run.crossJoin(F.broadcast(tot)).select(
+        "dur",
+        "d",
+        (
+            F.col("nn") - (F.col("cum").cast("bigint") - F.col("m"))
+        ).alias("n_at_risk"),
+    )
+    eligible = risk.filter((F.col("d") > 0) & (F.col("d") < F.col("n_at_risk")))
+    w = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # the eligible event-day table is duration-domain sized (≤ #days in
+    # the observation window), so the cumulative ln-sum window is tiny
+    km = eligible.withColumn(
+        "s",
+        F.exp(
+            F.sum(
+                F.log(
+                    (F.col("n_at_risk") - F.col("d")).cast("double")
+                    / F.col("n_at_risk")
+                )
+            ).over(w)
+        ),
+    )
+    return km.select(
+        F.col("dur").alias("duration_days"),
+        F.col("d").alias("d_events"),
+        "n_at_risk",
+        F.round("s", 6).alias("survival"),
+    ).orderBy("duration_days")

@@ -261,6 +261,12 @@ def test_no_cartesian_or_giant_single_partition_anywhere(spark):
         # total, two η totals) — six single-partition exchanges, each
         # carrying exactly one row by construction, never a fact table
         "q_assoc_mixed": 6,
+        # q_survival_km: horizon max(ts) (1 row), risk-set total (1
+        # row), the running-sum offsets table (≤1 row per range
+        # partition), and the cumulative ln-sum window over the
+        # DURATION-DOMAIN event-day table (≤ #days rows) — all tiny by
+        # construction
+        "q_survival_km": 4,
     }
     for key, spec in REGISTRY.items():
         plan = REGISTRY[key].fn(spark, SF_SMOKE)._jdf.queryExecution()\

@@ -733,3 +733,164 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_at_risk",
         F.round("s", 6).alias("survival"),
     ).orderBy("duration_days")
+
+
+@query(
+    "q_survival_logrank",
+    oracle="""
+        WITH users AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END) AS t1
+            FROM events GROUP BY 1
+        ),
+        horizon AS (SELECT max(ts) AS tmax FROM events),
+        durations AS (
+            SELECT CASE WHEN u.user_id % 2 = 0 THEN 'A' ELSE 'B' END AS g,
+                   CASE WHEN u.t1 IS NOT NULL AND u.t1 >= u.t0
+                        THEN date_diff('day', CAST(u.t0 AS DATE),
+                                       CAST(u.t1 AS DATE))
+                        ELSE date_diff('day', CAST(u.t0 AS DATE),
+                                       CAST(h.tmax AS DATE))
+                   END AS dur,
+                   CASE WHEN u.t1 IS NOT NULL AND u.t1 >= u.t0
+                        THEN 1 ELSE 0 END AS ev
+            FROM users u CROSS JOIN horizon h
+            WHERE u.t0 IS NOT NULL
+        ),
+        pv AS (
+            SELECT dur,
+                   CAST(count(*) FILTER (WHERE g = 'A') AS BIGINT) AS m1,
+                   CAST(count(*) AS BIGINT) AS mt,
+                   CAST(sum(CASE WHEN g = 'A' THEN ev ELSE 0 END)
+                        AS BIGINT) AS d1,
+                   CAST(sum(ev) AS BIGINT) AS dt
+            FROM durations GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(sum(m1) AS BIGINT) AS nn1,
+                   CAST(sum(mt) AS BIGINT) AS nnt
+            FROM pv
+        ),
+        risk AS (
+            SELECT pv.dur, pv.d1, pv.dt,
+                   tot.nn1 - (CAST(sum(pv.m1) OVER (ORDER BY pv.dur
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                              AS BIGINT) - pv.m1) AS n1,
+                   tot.nnt - (CAST(sum(pv.mt) OVER (ORDER BY pv.dur
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                              AS BIGINT) - pv.mt) AS nt
+            FROM pv CROSS JOIN tot
+        ),
+        s AS (
+            SELECT CAST(sum(d1) AS DOUBLE) AS o1,
+                   sum(CAST(dt AS DOUBLE) * n1 / nt) AS e1,
+                   sum(CASE WHEN nt > 1
+                            THEN CAST(dt AS DOUBLE)
+                                 * (CAST(n1 AS DOUBLE) / nt)
+                                 * (CAST(nt - n1 AS DOUBLE) / nt)
+                                 * (nt - dt) / (nt - 1)
+                            ELSE 0 END) AS v
+            FROM risk WHERE dt > 0
+        )
+        SELECT round((o1 - e1) / sqrt(v), 6) AS z,
+               round((o1 - e1) * (o1 - e1) / v, 6) AS chi2,
+               round(o1, 1) AS observed_a,
+               round(e1, 6) AS expected_a
+        FROM s
+    """,
+    doc="Log-rank test between the A/B user cohorts' conversion-time "
+    "curves — observed-vs-expected events over the shared risk sets "
+    "(hypergeometric variance), the standard 'do the survival curves "
+    "differ' statistic for experiment analysis.",
+)
+def q_survival_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z = Σ(d₁ₜ − dₜ·n₁ₜ/nₜ) / sqrt(Σ hypergeometric Vₜ) over pooled
+    event days — the censoring-aware comparison of two conversion
+    curves (a naive conversion-rate z-test ignores WHO was still at
+    risk when). Cohorts split by user parity (the A/B assignment
+    shape). Per-day at-risk and event counts are exact int64 from
+    ONE ordering.global_running_sums pass (both cohorts' running
+    totals share a single range shuffle); the observed/expected/
+    variance reduction is three float sums over duration-domain rows,
+    mirrored term-for-term in the oracle.
+
+    Scale shape: per-user reduction (one shuffle), then strictly
+    duration-domain state — the q_survival_km plan plus one column."""
+    from ..ordering import global_running_sums
+
+    t = load_tables(spark, sf_dir)
+    users = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "signup", F.col("ts"))
+            ).alias("t0"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("t1"),
+        )
+        .filter(F.col("t0").isNotNull())
+    )
+    horizon = t["events"].agg(F.max("ts").alias("tmax"))
+    ev = F.col("t1").isNotNull() & (F.col("t1") >= F.col("t0"))
+    durations = users.crossJoin(F.broadcast(horizon)).select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("g"),
+        F.when(
+            ev, F.datediff(F.col("t1").cast("date"), F.col("t0").cast("date"))
+        )
+        .otherwise(
+            F.datediff(F.col("tmax").cast("date"), F.col("t0").cast("date"))
+        )
+        .alias("dur"),
+        F.when(ev, 1).otherwise(0).alias("ev"),
+    )
+    pv = durations.groupBy("dur").agg(
+        F.count(F.when(F.col("g") == "A", 1)).alias("m1"),
+        F.count("*").alias("mt"),
+        F.sum(F.when(F.col("g") == "A", F.col("ev")).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+        F.sum("ev").cast("bigint").alias("dt"),
+    )
+    tot = pv.agg(
+        F.sum("m1").cast("bigint").alias("nn1"),
+        F.sum("mt").cast("bigint").alias("nnt"),
+    )
+    run = global_running_sums(
+        pv,
+        [F.col("dur").asc()],
+        [(F.col("m1"), "cum1"), (F.col("mt"), "cumt")],
+    )
+    risk = run.crossJoin(F.broadcast(tot)).select(
+        "dur",
+        "d1",
+        "dt",
+        (F.col("nn1") - (F.col("cum1").cast("bigint") - F.col("m1")))
+        .alias("n1"),
+        (F.col("nnt") - (F.col("cumt").cast("bigint") - F.col("mt")))
+        .alias("nt"),
+    )
+    nt, n1, dt = F.col("nt"), F.col("n1"), F.col("dt")
+    s = risk.filter(dt > 0).agg(
+        F.sum("d1").cast("double").alias("o1"),
+        F.sum(dt.cast("double") * n1 / nt).alias("e1"),
+        F.sum(
+            F.when(
+                nt > 1,
+                dt.cast("double")
+                * (n1.cast("double") / nt)
+                * ((nt - n1).cast("double") / nt)
+                * (nt - dt)
+                / (nt - 1),
+            ).otherwise(0.0)
+        ).alias("v"),
+    )
+    diff = F.col("o1") - F.col("e1")
+    return s.select(
+        F.round(diff / F.sqrt(F.col("v")), 6).alias("z"),
+        F.round(diff * diff / F.col("v"), 6).alias("chi2"),
+        F.round("o1", 1).alias("observed_a"),
+        F.round("e1", 6).alias("expected_a"),
+    )

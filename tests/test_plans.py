@@ -267,6 +267,11 @@ def test_no_cartesian_or_giant_single_partition_anywhere(spark):
         # DURATION-DOMAIN event-day table (≤ #days rows) — all tiny by
         # construction
         "q_survival_km": 4,
+        # q_survival_logrank: same shape minus the KM window plus the
+        # final 1-row observed/expected reduction — horizon (1 row),
+        # cohort totals (1 row), running-sum offsets (≤1 row per range
+        # partition), final statistic (1 row)
+        "q_survival_logrank": 4,
     }
     for key, spec in REGISTRY.items():
         plan = REGISTRY[key].fn(spark, SF_SMOKE)._jdf.queryExecution()\

@@ -3014,3 +3014,116 @@ def q_corr_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("pe", 6).alias("p_expected"),
         "n_rows",
     )
+
+
+@query(
+    "q_ts_trend",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+                   round((CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+                               AS DOUBLE) / 1000000) / count(value), 6) AS v
+            FROM events GROUP BY 1
+        ),
+        numbered AS (
+            SELECT v, row_number() OVER (ORDER BY d) AS rn FROM daily
+        ),
+        pairs AS (
+            SELECT CASE WHEN j.v > i.v THEN 1
+                        WHEN j.v < i.v THEN -1 ELSE 0 END AS sgn,
+                   (j.v - i.v) / (j.rn - i.rn) AS slope
+            FROM numbered i JOIN numbered j ON j.rn > i.rn
+        ),
+        ties AS (
+            SELECT sum(CAST(c AS HUGEINT) * c * c - c) AS tie_term
+            FROM (SELECT count(*) AS c FROM daily GROUP BY v)
+        ),
+        agg AS (
+            SELECT CAST(sum(sgn) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   median(slope) AS sen,
+                   (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n
+            FROM pairs
+        )
+        SELECT round(CAST(s AS DOUBLE)
+                     / sqrt((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)
+                             - CAST(t.tie_term AS DOUBLE)) / 18), 6) AS z,
+               s AS s_stat,
+               round(sen, 6) AS sen_slope,
+               n AS n_days
+        FROM agg CROSS JOIN ties t
+    """,
+    doc="Mann-Kendall monotone-trend test + Sen's slope on the daily "
+    "event-value series — the nonparametric 'is this series drifting' "
+    "answer (no normality or linearity assumed), with the robust "
+    "median-of-pairwise-slopes magnitude.",
+)
+def q_ts_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S = Σ_{i<j} sign(xⱼ − xᵢ); under H₀ S is ~normal with
+    var = (n(n−1)(2n+5) − Σt(t−1)(2t+5))/18 — spelled with the common
+    Σ(t³−t) tie term (exact HUGEINT/decimal). Sen's slope is the
+    median of the n(n−1)/2 pairwise slopes (xⱼ−xᵢ)/(j−i) — robust to
+    outliers where OLS is not; both engines interpolate the identical
+    middle pair of the identical slope multiset, then 6 dp rounding.
+
+    The O(n²) pair join is bounded by the TIME DOMAIN (the raw scan
+    collapses to exact micro-unit daily means first — the
+    q_corr_distance precedent), so n = #days at any data SF. Signs and
+    tie counts are exact; only the slope divisions and the final z are
+    float.
+
+    Scale shape: one day-grain aggregate over the fact scan, then
+    time-domain-sized self-join + reductions."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(_exact_mean_micro(F.col("value")).alias("v"))
+    )
+    numbered = daily.select(
+        "v", F.row_number().over(Window.orderBy("d")).alias("rn")
+    )
+    i = numbered.alias("i")
+    j = numbered.alias("j")
+    pairs = i.join(
+        F.broadcast(j), F.col("j.rn") > F.col("i.rn")
+    ).select(
+        F.when(F.col("j.v") > F.col("i.v"), 1)
+        .when(F.col("j.v") < F.col("i.v"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+        (
+            (F.col("j.v") - F.col("i.v")) / (F.col("j.rn") - F.col("i.rn"))
+        ).alias("slope"),
+    )
+    ties = (
+        daily.groupBy("v")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.sum(
+                F.col("c").cast("decimal(38,0)") * F.col("c") * F.col("c")
+                - F.col("c")
+            ).alias("tie_term")
+        )
+    )
+    n_days = daily.agg(F.count("*").cast("bigint").alias("n"))
+    agg = pairs.agg(
+        F.sum("sgn").cast("bigint").alias("s"),
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.median("slope").alias("sen"),
+    )
+    nd = F.col("n").cast("double")
+    var = (
+        nd * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tie_term").cast("double")
+    ) / 18
+    return (
+        agg.crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(n_days))
+        .select(
+            F.round(F.col("s").cast("double") / F.sqrt(var), 6).alias("z"),
+            F.col("s").alias("s_stat"),
+            F.round("sen", 6).alias("sen_slope"),
+            F.col("n").alias("n_days"),
+        )
+    )

@@ -272,6 +272,11 @@ def test_no_cartesian_or_giant_single_partition_anywhere(spark):
         # cohort totals (1 row), running-sum offsets (≤1 row per range
         # partition), final statistic (1 row)
         "q_survival_logrank": 4,
+        # q_ts_trend: the day-grain row_number window (≤ #days rows),
+        # the S/median pair reduction (1 row), the tie-term aggregate
+        # (1 row), and the n_days count (1 row) — all time-domain or
+        # 1-row by construction
+        "q_ts_trend": 4,
     }
     for key, spec in REGISTRY.items():
         plan = REGISTRY[key].fn(spark, SF_SMOKE)._jdf.queryExecution()\

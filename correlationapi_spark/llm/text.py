@@ -985,3 +985,104 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2(lc, lr), 6).alias("r2"),
         F.count("*").alias("n_terms"),
     )
+
+
+#: shards for distributed first-fit-decreasing packing: FFD is a
+#: SEQUENTIAL greedy (each placement depends on all previous bins), so
+#: the scale path shards the corpus deterministically and runs exact
+#: FFD within each shard — bins never cross shards, so the result is a
+#: valid packing whose bin count is at most the sum of per-shard FFD
+#: bounds (each ≤ 11/9·OPT_shard + 6/9, Dósa 2007)
+_BESTFIT_SHARDS = 8
+
+
+@query(
+    "q_pack_bestfit",
+    rows_only_reason="First-fit-decreasing is an order-dependent greedy "
+    "(every placement depends on the full prior bin state) — no SQL "
+    "oracle can express it. The packing CONTRACT is property-tested "
+    "instead (tests/test_rowsonly.py::test_pack_bestfit_contract): "
+    "every document packed exactly once, no bin over capacity, at most "
+    "one bin per shard under half full (the classic FFD guarantee), "
+    "and the bin count within the FFD bound of the ceil(total/C) lower "
+    "bound.",
+    doc="Sample packing via distributed first-fit-decreasing: documents "
+    "packed WHOLE into capacity-512 bins (no cross-document spans — "
+    "the no-cross-attention alternative to concat-and-chunk), exact "
+    "FFD within deterministic shards.",
+)
+def q_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second packing strategy real corpus builds use: where
+    q_pack_chunks CONCATENATES (documents span chunk boundaries), this
+    keeps every document intact and bin-packs them — the layout for
+    training without cross-document attention, where the waste metric
+    (1 − fill/capacity) is the number pipelines actually report.
+
+    Sharded-FFD scale shape: docs shard by doc_id % k (deterministic,
+    repartition-stable); each shard runs EXACT first-fit-decreasing in
+    one applyInPandas task over (n_tok desc, doc_id) order; bin ids are
+    shard-prefixed so shards never interact. Oversized docs clamp to
+    capacity (the truncation rule, recorded per bin in n_clamped).
+    Sequential FFD would be a single driver-side loop; the sharding
+    costs at most one under-half-full bin per shard versus global FFD
+    (property-pinned) while making the packing embarrassingly parallel
+    — at 100 TB each shard is still one bounded task, so k scales with
+    the corpus."""
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir)
+    cap = _PACK_CAPACITY
+    docs = (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.least(F.size(_toks()), F.lit(cap)).cast("long").alias("n_tok"),
+            (F.size(_toks()) > cap).cast("int").alias("clamped"),
+        )
+        .filter(F.col("n_tok") > 0)
+        .withColumn("shard", (F.col("doc_id") % _BESTFIT_SHARDS).cast("int"))
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tok", "doc_id"], ascending=[False, True]
+        )
+        shard = int(pdf["shard"].iloc[0])
+        fills: list[int] = []
+        ndocs: list[int] = []
+        nclamp: list[int] = []
+        assign: list[int] = []
+        for n, cl in zip(pdf["n_tok"], pdf["clamped"]):
+            n = int(n)
+            placed = -1
+            for b in range(len(fills)):  # first fit over open bins
+                if fills[b] + n <= cap:
+                    placed = b
+                    break
+            if placed < 0:
+                placed = len(fills)
+                fills.append(0)
+                ndocs.append(0)
+                nclamp.append(0)
+            fills[placed] += n
+            ndocs[placed] += 1
+            nclamp[placed] += int(cl)
+            assign.append(placed)
+        return pd.DataFrame(
+            {
+                "bin_id": [shard * 1_000_000_000 + b
+                           for b in range(len(fills))],
+                "n_docs": ndocs,
+                "fill_tokens": fills,
+                "n_clamped": nclamp,
+            }
+        )
+
+    out_schema = (
+        "bin_id long, n_docs long, fill_tokens long, n_clamped long"
+    )
+    return (
+        docs.groupBy("shard")
+        .applyInPandas(pack, out_schema)
+        .orderBy("bin_id")
+    )

@@ -1443,3 +1443,46 @@ def test_jpeg_progressive_roundtrip():
         assert px == bytes(
             (7 * x + 3 * y + 9) % 256 for y in range(24) for x in range(24)
         ), ri
+
+
+def test_pack_bestfit_contract(spark):
+    """The FFD packing contract (rows-only key): every non-empty doc
+    packed exactly once, no bin over capacity, at most ONE bin per
+    shard under half-full (the classic first-fit guarantee — two such
+    bins would have fit together), and the total bin count within the
+    sharded-FFD bound of the ceil(total/C) lower bound."""
+    import math
+
+    from correlationapi_spark.llm.text import (
+        _BESTFIT_SHARDS,
+        _PACK_CAPACITY,
+        _toks,
+    )
+    from correlationapi_spark.io import load_tables
+    from pyspark.sql import functions as F
+
+    bins = REGISTRY["q_pack_bestfit"].fn(spark, SF_SMOKE).toPandas()
+    t = load_tables(spark, SF_SMOKE)
+    docs = (
+        t["documents"]
+        .select(
+            F.least(F.size(_toks()), F.lit(_PACK_CAPACITY)).alias("n_tok")
+        )
+        .filter(F.col("n_tok") > 0)
+        .toPandas()
+    )
+    # conservation: every doc in exactly one bin, every token accounted
+    assert bins["n_docs"].sum() == len(docs)
+    assert bins["fill_tokens"].sum() == docs["n_tok"].sum()
+    # capacity: no bin overflows
+    assert (bins["fill_tokens"] <= _PACK_CAPACITY).all()
+    assert (bins["fill_tokens"] > 0).all()
+    # first-fit guarantee per shard: at most one bin under half-full
+    shard = bins["bin_id"] // 1_000_000_000
+    for s, grp in bins.groupby(shard):
+        under = (grp["fill_tokens"] < _PACK_CAPACITY / 2).sum()
+        assert under <= 1, (s, under)
+    # bound: lower = ceil(total/C); upper = per-shard FFD can waste at
+    # most one under-half bin each vs the dense packing
+    lower = math.ceil(docs["n_tok"].sum() / _PACK_CAPACITY)
+    assert lower <= len(bins) <= 2 * lower + _BESTFIT_SHARDS

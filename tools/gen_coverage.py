@@ -65,7 +65,7 @@ SECTIONS = {
         "q_split_stable", "q_sample_stratified", "q_sample_fraction",
         "q_sample_weighted", "q_domain_mix",
         "q_multimodal_meta", "q_multimodal_frames", "q_pack_chunks",
-        "q_pack_bpeish",
+        "q_pack_bpeish", "q_pack_bestfit",
     ],
     "§2.10 Streaming (batch-equivalent declared forms)": [
         "q_stream_tumbling", "q_stream_sliding", "q_stream_session", "q_stream_dedup",

@@ -754,3 +754,87 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_vectors"),
         )
     )
+
+
+@query(
+    "q_embed_quantize",
+    oracle="""
+        WITH base AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ),
+        scaled AS (
+            SELECT vec_id, e,
+                   list_max(list_transform(e, x -> abs(x))) / 127 AS scale
+            FROM base
+        ),
+        err AS (
+            SELECT vec_id, scale,
+                   list_sum(list_transform(
+                       e, x -> (x - round(x / scale) * scale)
+                               * (x - round(x / scale) * scale)
+                   )) AS sq,
+                   len(e) AS n_dims
+            FROM scaled WHERE scale > 0
+        )
+        SELECT vec_id,
+               round(scale, 9) AS scale,
+               round(sqrt(sq / n_dims), 9) AS recon_rmse,
+               CAST(n_dims AS BIGINT) AS n_dims
+        FROM err ORDER BY vec_id
+    """,
+    doc="Symmetric int8 quantization statistics per embedding: the "
+    "per-vector scale (absmax/127) and reconstruction RMSE — the "
+    "compression-error profile an ANN pipeline checks before shipping "
+    "quantized vectors.",
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absmax int8 quantization (q = round(x/scale), scale = max|x|/127
+    — the symmetric scheme every vector store and GEMM kernel uses):
+    this key reports what the lossy step costs, per vector, BEFORE the
+    corpus commits to it. The quantized values themselves need no
+    materialization here — scale + RMSE characterize the codec (4×
+    smaller vectors, and recall loss is a function of exactly this
+    error).
+
+    Determinism: the float32 inputs parse to identical doubles on both
+    engines; every per-element expression (x − round(x/scale)·scale)²
+    is spelled identically, and BOTH engines fold the list in element
+    order, so even the error sums are bit-matched before the 9 dp
+    rounding (magnitudes ~1e-3, so 6 dp would under-resolve — rule-3
+    headroom still ≥1e3). Zero vectors (scale = 0) are excluded
+    identically. No element's |q| can exceed 127 by construction
+    (|x| ≤ absmax ⇒ |x/scale| ≤ 127, and round(127.0) = 127).
+
+    Scale shape: pure map-side per-row array math — no shuffle at all
+    except the output ordering; at 100 TB this is a scan-bound
+    projection."""
+    t = load_tables(spark, sf_dir)
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = t["embeddings"].select("vec_id", e.alias("e"))
+    scale = F.array_max(F.transform(F.col("e"), F.abs)) / 127
+    scaled = base.select("vec_id", "e", scale.alias("scale")).filter(
+        F.col("scale") > 0
+    )
+
+    def sq_err(x):
+        d = x - F.round(x / F.col("scale"), 0) * F.col("scale")
+        return d * d
+
+    err = scaled.select(
+        "vec_id",
+        "scale",
+        F.aggregate(
+            F.transform(F.col("e"), sq_err),
+            F.lit(0.0),
+            lambda acc, y: acc + y,
+        ).alias("sq"),
+        F.size("e").alias("n_dims"),
+    )
+    return err.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.round(F.sqrt(F.col("sq") / F.col("n_dims")), 9).alias("recon_rmse"),
+        F.col("n_dims").cast("bigint").alias("n_dims"),
+    ).orderBy("vec_id")

@@ -1044,6 +1044,15 @@ def q_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        # true BEST-fit-decreasing in O(n log n): the open bins live in
+        # a residual-capacity-sorted list; each item takes the TIGHTEST
+        # bin it fits (bisect for the smallest residual >= n). A naive
+        # first-fit linear scan is O(n·bins) per shard — quadratic-ish
+        # once shards carry ~1e5 docs — and BFD carries the same
+        # 11/9·OPT + 6/9 guarantee (Dósa 2007) and the same
+        # at-most-one-under-half-full property (any-fit family).
+        import bisect
+
         pdf = pdf.sort_values(
             ["n_tok", "doc_id"], ascending=[False, True]
         )
@@ -1051,15 +1060,13 @@ def q_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
         fills: list[int] = []
         ndocs: list[int] = []
         nclamp: list[int] = []
-        assign: list[int] = []
+        res: list[tuple[int, int]] = []  # (residual, bin_idx), sorted
         for n, cl in zip(pdf["n_tok"], pdf["clamped"]):
             n = int(n)
-            placed = -1
-            for b in range(len(fills)):  # first fit over open bins
-                if fills[b] + n <= cap:
-                    placed = b
-                    break
-            if placed < 0:
+            pos = bisect.bisect_left(res, (n, -1))
+            if pos < len(res):
+                _, placed = res.pop(pos)
+            else:
                 placed = len(fills)
                 fills.append(0)
                 ndocs.append(0)
@@ -1067,7 +1074,8 @@ def q_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
             fills[placed] += n
             ndocs[placed] += 1
             nclamp[placed] += int(cl)
-            assign.append(placed)
+            if cap - fills[placed] > 0:
+                bisect.insort(res, (cap - fills[placed], placed))
         return pd.DataFrame(
             {
                 "bin_id": [shard * 1_000_000_000 + b

@@ -99,6 +99,17 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--a", required=True, help="first group value")
     cp.add_argument("--b", required=True, help="second group value")
 
+    sv2 = sub.add_parser(
+        "survival",
+        help="Kaplan-Meier conversion curve (+ optional log-rank A/B)",
+    )
+    add_data(sv2)
+    sv2.add_argument("--start", required=True)
+    sv2.add_argument("--end", required=True)
+    sv2.add_argument("--group-by", default=None)
+    sv2.add_argument("--a", default=None)
+    sv2.add_argument("--b", default=None)
+
     dr = sub.add_parser(
         "drift",
         help="per-period distribution drift: KS + PSI vs full-period reference",
@@ -270,6 +281,10 @@ def main(argv: list[str] | None = None) -> int:
             res = api.mixed_matrix("ds", variables)
         elif args.cmd == "drift":
             res = api.drift("ds", args.var, args.time, grain=args.grain)
+        elif args.cmd == "survival":
+            res = api.survival("ds", args.start, args.end,
+                               group_by=args.group_by,
+                               group_a=args.a, group_b=args.b)
         elif args.cmd == "compare":
             res = api.compare("ds", args.var, args.group_by, args.a, args.b)
         elif args.cmd == "association":

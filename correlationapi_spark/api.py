@@ -1049,6 +1049,82 @@ class CorrelationAPI:
             "matrix": matrix,
         }
 
+    def survival(
+        self,
+        dataset: str,
+        start: str,
+        end: str,
+        group_by: str | None = None,
+        group_a: str | None = None,
+        group_b: str | None = None,
+    ) -> dict[str, Any]:
+        """Kaplan-Meier conversion analysis over two timestamp columns:
+        duration = days from ``start`` to ``end`` (rows with NULL end
+        are right-CENSORED at the observed horizon, max(end) — they
+        leave the risk set without an event). Returns the survival
+        curve; with ``group_by``/``group_a``/``group_b`` it additionally
+        runs the log-rank comparison between the two named cohorts
+        (q_survival_km / q_survival_logrank's engines,
+        operators.analytics.km_curve / logrank_test).
+
+        Scale shape: one row-level projection, then strictly
+        duration-domain state (range-partitioned risk-set running
+        sums) — no global sort."""
+        from .operators.analytics import km_curve, logrank_test
+
+        df = self._get(dataset)
+        for c in (start, end):
+            if c not in df.columns:
+                raise KeyError(f"unknown variable: {c!r}")
+        horizon = df.agg(F.max(F.col(end)).alias("tmax"))
+        ev = F.col(end).isNotNull() & (F.col(end) >= F.col(start))
+        dur = F.when(
+            ev,
+            F.datediff(F.col(end).cast("date"), F.col(start).cast("date")),
+        ).otherwise(
+            F.datediff(F.col("tmax").cast("date"), F.col(start).cast("date"))
+        )
+        base = df.filter(F.col(start).isNotNull()).crossJoin(
+            F.broadcast(horizon)
+        )
+        out: dict[str, Any] = {
+            "dataset": dataset, "start": start, "end": end,
+        }
+        durations = base.select(
+            dur.alias("dur"), F.when(ev, 1).otherwise(0).alias("ev")
+        )
+        curve = km_curve(durations).collect()
+        out["curve"] = [
+            {
+                "duration_days": r.duration,
+                "d_events": r.d_events,
+                "n_at_risk": r.n_at_risk,
+                "survival": _nan_to_none(r.survival),
+            }
+            for r in curve
+        ]
+        if group_by:
+            if group_a is None or group_b is None:
+                raise ValueError(
+                    "group_by needs group_a and group_b values"
+                )
+            if group_by not in df.columns:
+                raise KeyError(f"unknown variable: {group_by!r}")
+            g = F.col(group_by).cast("string")
+            gdur = base.filter(g.isin(group_a, group_b)).select(
+                F.when(g == group_a, "A").otherwise("B").alias("g"),
+                dur.alias("dur"),
+                F.when(ev, 1).otherwise(0).alias("ev"),
+            )
+            r = logrank_test(gdur).collect()[0]
+            out["logrank"] = {
+                "group_by": group_by, "a": group_a, "b": group_b,
+                "z": _nan_to_none(r.z), "chi2": _nan_to_none(r.chi2),
+                "observed_a": _nan_to_none(r.observed_a),
+                "expected_a": _nan_to_none(r.expected_a),
+            }
+        return out
+
     def correlation_matrix(
         self, dataset: str, variables: list[str] | None = None, method: str = "pearson"
     ) -> dict[str, Any]:

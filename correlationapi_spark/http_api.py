@@ -17,6 +17,7 @@ container, and none is needed for a JSON-for-JSON contract:
   GET  /compare?dataset=&var=&group_by=&a=&b=  (two-sample KS + Mann-Whitney)
   GET  /drift?dataset=&var=&time=[&grain=day]  (per-period KS + PSI vs reference)
   POST /mixed_matrix {"dataset"[,"variables"]}  (type-appropriate measure per pair)
+  GET  /survival?dataset=&start=&end=[&group_by=&a=&b=]  (KM curve [+ log-rank])
   POST /matrix            {"dataset","variables","method"}
   GET  /lagged?dataset=&time=&value=[&lag=][&grain=][&fill_gaps=]
   GET  /rolling?dataset=&time=&value=[&window=][&lag=][&grain=][&fill_gaps=]
@@ -106,6 +107,15 @@ def _route(api: CorrelationAPI, method: str, path: str,
         return 200, api.compare(
             query["dataset"], query["var"], query["group_by"],
             query["a"], query["b"],
+        )
+    if method == "GET" and path == "/survival":
+        for req in ("dataset", "start", "end"):
+            if req not in query:
+                raise ValueError(f"missing query parameter {req!r}")
+        return 200, api.survival(
+            query["dataset"], query["start"], query["end"],
+            group_by=query.get("group_by"),
+            group_a=query.get("a"), group_b=query.get("b"),
         )
     if method == "GET" and path == "/drift":
         for req in ("dataset", "var", "time"):

@@ -602,6 +602,154 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("digit")
 
 
+def km_curve(durations: DataFrame) -> DataFrame:
+    """Kaplan-Meier product-limit curve over a ``(dur, ev)`` frame
+    (integer duration, event flag 1/0 — censored rows carry ev = 0):
+    returns (duration, d_events, n_at_risk, survival) for event
+    durations with d < n. The shared engine behind q_survival_km and
+    api.survival(); see the key docstring for the estimator notes.
+
+    Scale shape: duration-domain tables only — one grouped count, ONE
+    ordering.global_running_sum range shuffle for the risk set, and a
+    domain-sized cumulative ln-sum window."""
+    from ..ordering import global_running_sum
+
+    pv = durations.groupBy("dur").agg(
+        F.count("*").alias("m"), F.sum("ev").cast("bigint").alias("d")
+    )
+    tot = pv.agg(F.sum("m").cast("bigint").alias("nn"))
+    run = global_running_sum(pv, [F.col("dur").asc()], F.col("m"), "cum")
+    risk = run.crossJoin(F.broadcast(tot)).select(
+        "dur",
+        "d",
+        (
+            F.col("nn") - (F.col("cum").cast("bigint") - F.col("m"))
+        ).alias("n_at_risk"),
+    )
+    eligible = risk.filter(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_at_risk"))
+    )
+    w = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # the eligible event-day table is duration-domain sized (≤ #days in
+    # the observation window), so the cumulative ln-sum window is tiny
+    km = eligible.withColumn(
+        "s",
+        F.exp(
+            F.sum(
+                F.log(
+                    (F.col("n_at_risk") - F.col("d")).cast("double")
+                    / F.col("n_at_risk")
+                )
+            ).over(w)
+        ),
+    )
+    return km.select(
+        F.col("dur").alias("duration"),
+        F.col("d").alias("d_events"),
+        "n_at_risk",
+        F.round("s", 6).alias("survival"),
+    ).orderBy("duration")
+
+
+def logrank_test(durations: DataFrame) -> DataFrame:
+    """Log-rank z / chi² over a ``(g, dur, ev)`` frame with two groups
+    labeled 'A'/'B' — the shared engine behind q_survival_logrank and
+    api.survival(group_by=...); see the key docstring for the
+    statistic. Both cohorts' risk sets come from ONE
+    ordering.global_running_sums range shuffle."""
+    from ..ordering import global_running_sums
+
+    pv = durations.groupBy("dur").agg(
+        F.count(F.when(F.col("g") == "A", 1)).alias("m1"),
+        F.count("*").alias("mt"),
+        F.sum(F.when(F.col("g") == "A", F.col("ev")).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+        F.sum("ev").cast("bigint").alias("dt"),
+    )
+    tot = pv.agg(
+        F.sum("m1").cast("bigint").alias("nn1"),
+        F.sum("mt").cast("bigint").alias("nnt"),
+    )
+    run = global_running_sums(
+        pv,
+        [F.col("dur").asc()],
+        [(F.col("m1"), "cum1"), (F.col("mt"), "cumt")],
+    )
+    risk = run.crossJoin(F.broadcast(tot)).select(
+        "dur",
+        "d1",
+        "dt",
+        (F.col("nn1") - (F.col("cum1").cast("bigint") - F.col("m1")))
+        .alias("n1"),
+        (F.col("nnt") - (F.col("cumt").cast("bigint") - F.col("mt")))
+        .alias("nt"),
+    )
+    nt, n1, dt = F.col("nt"), F.col("n1"), F.col("dt")
+    s = risk.filter(dt > 0).agg(
+        F.sum("d1").cast("double").alias("o1"),
+        F.sum(dt.cast("double") * n1 / nt).alias("e1"),
+        F.sum(
+            F.when(
+                nt > 1,
+                dt.cast("double")
+                * (n1.cast("double") / nt)
+                * ((nt - n1).cast("double") / nt)
+                * (nt - dt)
+                / (nt - 1),
+            ).otherwise(0.0)
+        ).alias("v"),
+    )
+    diff = F.col("o1") - F.col("e1")
+    return s.select(
+        F.round(F.when(F.col("v") > 0, diff / F.sqrt(F.col("v"))), 6)
+        .alias("z"),
+        F.round(F.when(F.col("v") > 0, diff * diff / F.col("v")), 6)
+        .alias("chi2"),
+        F.round("o1", 1).alias("observed_a"),
+        F.round("e1", 6).alias("expected_a"),
+    )
+
+
+def _signup_purchase_durations(
+    spark: SparkSession, sf_dir: str, with_group: bool = False
+) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    users = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "signup", F.col("ts"))
+            ).alias("t0"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("t1"),
+        )
+        .filter(F.col("t0").isNotNull())
+    )
+    horizon = t["events"].agg(F.max("ts").alias("tmax"))
+    ev = F.col("t1").isNotNull() & (F.col("t1") >= F.col("t0"))
+    cols = [
+        F.when(
+            ev, F.datediff(F.col("t1").cast("date"), F.col("t0").cast("date"))
+        )
+        .otherwise(
+            F.datediff(F.col("tmax").cast("date"), F.col("t0").cast("date"))
+        )
+        .alias("dur"),
+        F.when(ev, 1).otherwise(0).alias("ev"),
+    ]
+    if with_group:
+        cols.insert(
+            0,
+            F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("g"),
+        )
+    return users.crossJoin(F.broadcast(horizon)).select(*cols)
+
+
 @query(
     "q_survival_km",
     oracle="""
@@ -663,76 +811,14 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     the risk set at the horizon without an event. Rows are emitted for
     event days with d < n (a terminal day where everyone at risk
     converts would put ln(0) in the tail — excluded identically on
-    both engines; its S is 0 by definition).
-
-    Scale shape: per-user min-aggregate (one shuffle on user_id),
-    then DURATION-DOMAIN tables only: the day-grain counts, ONE
-    ordering.global_running_sum for the risk set, and a domain-sized
-    cumulative ln-sum window the oracle mirrors — no data-sized sort,
-    nothing beyond the first aggregate touches raw events."""
-    from ..ordering import global_running_sum
-
-    t = load_tables(spark, sf_dir)
-    users = (
-        t["events"]
-        .groupBy("user_id")
-        .agg(
-            F.min(
-                F.when(F.col("event_type") == "signup", F.col("ts"))
-            ).alias("t0"),
-            F.min(
-                F.when(F.col("event_type") == "purchase", F.col("ts"))
-            ).alias("t1"),
-        )
-        .filter(F.col("t0").isNotNull())
-    )
-    horizon = t["events"].agg(F.max("ts").alias("tmax"))
-    ev = F.col("t1").isNotNull() & (F.col("t1") >= F.col("t0"))
-    durations = users.crossJoin(F.broadcast(horizon)).select(
-        F.when(
-            ev, F.datediff(F.col("t1").cast("date"), F.col("t0").cast("date"))
-        )
-        .otherwise(
-            F.datediff(F.col("tmax").cast("date"), F.col("t0").cast("date"))
-        )
-        .alias("dur"),
-        F.when(ev, 1).otherwise(0).alias("ev"),
-    )
-    pv = durations.groupBy("dur").agg(
-        F.count("*").alias("m"), F.sum("ev").cast("bigint").alias("d")
-    )
-    tot = pv.agg(F.sum("m").cast("bigint").alias("nn"))
-    run = global_running_sum(pv, [F.col("dur").asc()], F.col("m"), "cum")
-    risk = run.crossJoin(F.broadcast(tot)).select(
-        "dur",
-        "d",
-        (
-            F.col("nn") - (F.col("cum").cast("bigint") - F.col("m"))
-        ).alias("n_at_risk"),
-    )
-    eligible = risk.filter((F.col("d") > 0) & (F.col("d") < F.col("n_at_risk")))
-    w = Window.orderBy("dur").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    # the eligible event-day table is duration-domain sized (≤ #days in
-    # the observation window), so the cumulative ln-sum window is tiny
-    km = eligible.withColumn(
-        "s",
-        F.exp(
-            F.sum(
-                F.log(
-                    (F.col("n_at_risk") - F.col("d")).cast("double")
-                    / F.col("n_at_risk")
-                )
-            ).over(w)
-        ),
-    )
-    return km.select(
-        F.col("dur").alias("duration_days"),
-        F.col("d").alias("d_events"),
+    both engines; its S is 0 by definition). Engine: km_curve (shared
+    with api.survival); scale shape recorded there."""
+    return km_curve(_signup_purchase_durations(spark, sf_dir)).select(
+        F.col("duration").alias("duration_days"),
+        "d_events",
         "n_at_risk",
-        F.round("s", 6).alias("survival"),
-    ).orderBy("duration_days")
+        "survival",
+    )
 
 
 @query(
@@ -809,88 +895,11 @@ def q_survival_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     event days — the censoring-aware comparison of two conversion
     curves (a naive conversion-rate z-test ignores WHO was still at
     risk when). Cohorts split by user parity (the A/B assignment
-    shape). Per-day at-risk and event counts are exact int64 from
-    ONE ordering.global_running_sums pass (both cohorts' running
-    totals share a single range shuffle); the observed/expected/
-    variance reduction is three float sums over duration-domain rows,
-    mirrored term-for-term in the oracle.
-
-    Scale shape: per-user reduction (one shuffle), then strictly
-    duration-domain state — the q_survival_km plan plus one column."""
-    from ..ordering import global_running_sums
-
-    t = load_tables(spark, sf_dir)
-    users = (
-        t["events"]
-        .groupBy("user_id")
-        .agg(
-            F.min(
-                F.when(F.col("event_type") == "signup", F.col("ts"))
-            ).alias("t0"),
-            F.min(
-                F.when(F.col("event_type") == "purchase", F.col("ts"))
-            ).alias("t1"),
-        )
-        .filter(F.col("t0").isNotNull())
-    )
-    horizon = t["events"].agg(F.max("ts").alias("tmax"))
-    ev = F.col("t1").isNotNull() & (F.col("t1") >= F.col("t0"))
-    durations = users.crossJoin(F.broadcast(horizon)).select(
-        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("g"),
-        F.when(
-            ev, F.datediff(F.col("t1").cast("date"), F.col("t0").cast("date"))
-        )
-        .otherwise(
-            F.datediff(F.col("tmax").cast("date"), F.col("t0").cast("date"))
-        )
-        .alias("dur"),
-        F.when(ev, 1).otherwise(0).alias("ev"),
-    )
-    pv = durations.groupBy("dur").agg(
-        F.count(F.when(F.col("g") == "A", 1)).alias("m1"),
-        F.count("*").alias("mt"),
-        F.sum(F.when(F.col("g") == "A", F.col("ev")).otherwise(0))
-        .cast("bigint")
-        .alias("d1"),
-        F.sum("ev").cast("bigint").alias("dt"),
-    )
-    tot = pv.agg(
-        F.sum("m1").cast("bigint").alias("nn1"),
-        F.sum("mt").cast("bigint").alias("nnt"),
-    )
-    run = global_running_sums(
-        pv,
-        [F.col("dur").asc()],
-        [(F.col("m1"), "cum1"), (F.col("mt"), "cumt")],
-    )
-    risk = run.crossJoin(F.broadcast(tot)).select(
-        "dur",
-        "d1",
-        "dt",
-        (F.col("nn1") - (F.col("cum1").cast("bigint") - F.col("m1")))
-        .alias("n1"),
-        (F.col("nnt") - (F.col("cumt").cast("bigint") - F.col("mt")))
-        .alias("nt"),
-    )
-    nt, n1, dt = F.col("nt"), F.col("n1"), F.col("dt")
-    s = risk.filter(dt > 0).agg(
-        F.sum("d1").cast("double").alias("o1"),
-        F.sum(dt.cast("double") * n1 / nt).alias("e1"),
-        F.sum(
-            F.when(
-                nt > 1,
-                dt.cast("double")
-                * (n1.cast("double") / nt)
-                * ((nt - n1).cast("double") / nt)
-                * (nt - dt)
-                / (nt - 1),
-            ).otherwise(0.0)
-        ).alias("v"),
-    )
-    diff = F.col("o1") - F.col("e1")
-    return s.select(
-        F.round(diff / F.sqrt(F.col("v")), 6).alias("z"),
-        F.round(diff * diff / F.col("v"), 6).alias("chi2"),
-        F.round("o1", 1).alias("observed_a"),
-        F.round("e1", 6).alias("expected_a"),
+    shape). Per-day at-risk and event counts are exact int64; the
+    observed/expected/variance reduction is three float sums over
+    duration-domain rows, mirrored term-for-term in the oracle.
+    Engine: logrank_test (shared with api.survival); both cohorts'
+    running totals share a single range shuffle."""
+    return logrank_test(
+        _signup_purchase_durations(spark, sf_dir, with_group=True)
     )

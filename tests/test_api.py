@@ -1459,3 +1459,55 @@ def test_mixed_matrix_measures_and_consistency(api_orders, spark):
     json.dumps(res)
     with pytest.raises(TypeError, match="neither"):
         api_orders.mixed_matrix("orders", ["o_orderdate", "o_totalprice"])
+
+
+def test_survival_closed_form(api_orders, spark):
+    """Hand-computable curve through the api: starts at day 0; ends at
+    day 1 (event), day 2 (event), two NULLs (censored at the horizon =
+    max(end) = day 2). KM: S(1) = 1·(1−1/4) = 0.75; S(2) = 0.75·(1−1/3)
+    = 0.5 — and the censored rows never count as events."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, t0 + dt.timedelta(days=1)),
+        (2, t0, t0 + dt.timedelta(days=2)),
+        (3, t0, None),
+        (4, t0, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, s timestamp, p timestamp")
+    api_orders.register_dataset("surv", df)
+    res = api_orders.survival("surv", "s", "p")
+    got = {c["duration_days"]: c for c in res["curve"]}
+    assert set(got) == {1, 2}
+    assert got[1]["survival"] == 0.75 and got[1]["n_at_risk"] == 4
+    assert got[2]["survival"] == 0.5 and got[2]["n_at_risk"] == 3
+    import json
+    json.dumps(res)
+
+
+def test_survival_logrank_option(api_orders, spark):
+    from correlationapi_spark.io import load_tables
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, SF_SMOKE)
+    users = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+            .alias("s"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+            .alias("p"),
+        )
+        .filter(F.col("s").isNotNull())
+        .withColumn("cohort",
+                    F.when(F.col("user_id") % 2 == 0, "even")
+                    .otherwise("odd"))
+    )
+    api_orders.register_dataset("users2", users)
+    res = api_orders.survival("users2", "s", "p", group_by="cohort",
+                              group_a="even", group_b="odd")
+    assert "logrank" in res and res["logrank"]["z"] is not None
+    with pytest.raises(ValueError, match="group_a"):
+        api_orders.survival("users2", "s", "p", group_by="cohort")

@@ -224,3 +224,20 @@ def test_cli_mixed_matrix(spark, capsys):
     ])
     assert rc == 0
     assert res["matrix"]["o_totalprice"]["o_orderstatus"]["measure"] == "eta"
+
+
+def test_cli_survival(spark, capsys):
+    import datetime as dt
+    import tempfile
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, t0, t0 + dt.timedelta(days=1)), (2, t0, None)],
+        "id long, s timestamp, p timestamp",
+    )
+    path = tempfile.mkdtemp(prefix="cli_surv_") + "/d.parquet"
+    df.write.parquet(path)
+    rc, res = _run(capsys, [
+        "survival", "--data", path, "--start", "s", "--end", "p",
+    ])
+    assert rc == 0 and res["curve"][0]["survival"] == 0.5

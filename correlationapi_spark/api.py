@@ -1964,6 +1964,59 @@ class CorrelationAPI:
             ],
         }
 
+    def kmeans(
+        self,
+        dataset: str,
+        id_col: str,
+        vector_col: str,
+        k: int = 8,
+        n_iter: int = 10,
+        tol: float = 1e-4,
+        include_centroids: bool = False,
+    ) -> dict[str, Any]:
+        """Iterative spherical k-means over a caller-chosen
+        (id, embedding-array) table — the convergence loop whose single
+        round is the oracle-checked q_cluster_kmeans_step. Deterministic
+        seeding (k lowest non-zero-norm ids, no RNG), cells labeled
+        0..k-1 in seed order; stops at ``n_iter`` rounds or when the max
+        L2 shift between successive normalized centroids is ≤ ``tol``.
+
+        Each iteration is ONE fused mapInPandas pass (E-step matmul +
+        batch-local M-step partials) plus a k×(d+1)-row aggregate — the
+        corpus is never shuffled; driver state is the k×d float64
+        centroid matrix (engine: llm.similarity.kmeans_lloyd, measured
+        at 1M vectors in SCALING.md "Iterative k-means"). The response
+        carries per-cell sizes and mean cosines plus the per-iteration
+        objective/shift trace; set ``include_centroids`` for the final
+        k×d means (rounded 6 dp) when k·d is response-sized."""
+        from .llm.similarity import corpus_view, kmeans_lloyd
+
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        if n_iter < 1:
+            raise ValueError("n_iter must be >= 1")
+        corpus = corpus_view(self._get(dataset), id_col, vector_col)
+        res = kmeans_lloyd(corpus, k=k, n_iter=n_iter, tol=tol)
+        out: dict[str, Any] = {
+            "dataset": dataset, "id": id_col, "vector": vector_col,
+            "k": k, "iterations": res["iterations"],
+            "converged": res["converged"],
+            "n_assigned": sum(res["cells"].values()),
+            "cells": res["cells"],
+            "mean_cosine": {
+                c: (round(m, 6) if m is not None else None)
+                for c, m in res["mean_cosine"].items()
+            },
+            "objective": [round(o, 6) for o in res["objective"]],
+            "shifts": [round(s, 6) for s in res["shifts"]],
+        }
+        if include_centroids:
+            out["centroids"] = [
+                [round(float(x), 6) for x in row]
+                for row in res["centroids"]
+            ]
+        return out
+
     def dedup(
         self,
         dataset: str,

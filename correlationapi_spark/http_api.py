@@ -34,6 +34,8 @@ container, and none is needed for a JSON-for-JSON contract:
        [&limit=]                  → duplicate listing + engine-side totals
   GET  /assign?dataset=&id=&vector=&centroids=0,1,2[&limit=]
        → nearest-centroid cosine assignment + per-cell counts
+  GET  /kmeans?dataset=&id=&vector=[&k=][&n_iter=][&tol=][&centroids=1]
+       → iterative spherical k-means: sizes, mean cosines, objective trace
   GET  /pack?dataset=&id=&text=[&capacity=][&limit=][&tokenizer=ws|bpeish]
        → concat-and-chunk packing layout + corpus token/chunk totals
        (round 6: the LLM operators are parameterized service calls, not
@@ -233,6 +235,18 @@ def _route(api: CorrelationAPI, method: str, path: str,
             query["dataset"], query["id"], query["vector"],
             centroid_ids=[int(x) for x in query["centroids"].split(",") if x],
             limit=int(query.get("limit", 1000)),
+        )
+    if method == "GET" and path == "/kmeans":
+        for req in ("dataset", "id", "vector"):
+            if req not in query:
+                raise ValueError(f"missing query parameter {req!r}")
+        return 200, api.kmeans(
+            query["dataset"], query["id"], query["vector"],
+            k=int(query.get("k", 8)),
+            n_iter=int(query.get("n_iter", 10)),
+            tol=float(query.get("tol", 1e-4)),
+            include_centroids=query.get("centroids", "0")
+            in ("1", "true", "yes"),
         )
     if method == "GET" and path == "/pack":
         for req in ("dataset", "id", "text"):

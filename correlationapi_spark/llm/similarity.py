@@ -493,6 +493,176 @@ def nearest_centroid_assign_np(
     )
 
 
+def kmeans_lloyd(
+    corpus: DataFrame,
+    k: int = 8,
+    n_iter: int = 10,
+    tol: float = 1e-4,
+) -> dict:
+    """Iterative spherical k-means (Lloyd) to convergence — the loop the
+    oracle-checked q_cluster_kmeans_step pins ONE round of. Seeds are
+    the k lowest non-zero-norm vec_ids (deterministic, no RNG — the
+    repo-wide no-driver-randomness rule), cells labeled 0..k-1 in seed
+    order.
+
+    Per-iteration plan (the 100 TB shape): ONE mapInPandas pass over
+    the corpus computes the E-step argmax (batch × d) @ (d × k) matmul
+    against the broadcast-pickled normalized centroid matrix AND the
+    batch-local M-step partials — each Arrow batch emits exactly
+    k×(d+1) scalar rows (per-cell per-dim sums, plus a dim=-1 row
+    carrying the member count and cosine sum). The only exchange per
+    iteration is the k×(d+1)-row hash aggregate; the corpus is never
+    shuffled and never joined back. Driver state is the (k × d) float64
+    centroid matrix (k·d·8 bytes — the same broadcast ceiling as
+    nearest_centroid_assign_np).
+
+    Because cosine(x, mean) == cosine(x, mean/|mean|), this is spherical
+    k-means: the mean-cosine objective is non-decreasing per iteration
+    (property-tested). Empty cells keep their previous centroid.
+    Convergence = max over cells of the L2 shift between successive
+    NORMALIZED centroids ≤ tol.
+
+    Returns {"centroids": (k × d) float64 ndarray (unnormalized means;
+    seeds for round 0), "cells": {cell: n}, "mean_cosine": {cell: m},
+    "iterations": int, "converged": bool, "shifts": [float per iter],
+    "objective": [mean cosine per iter]} — the final hard assignment
+    for any consumer is one more assign_fn pass over the returned
+    centroids (by construction it equals the last E-step).
+    """
+    import math
+
+    import numpy as np
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    base = corpus.select(
+        "vec_id", "v", dot(F.col("v"), F.col("v")).alias("_n2")
+    ).filter(F.col("_n2") > 0)
+    seed_rows = base.orderBy("vec_id").limit(k).select("vec_id", "v").collect()
+    if len(seed_rows) < k:
+        raise ValueError(
+            f"need k={k} non-zero-norm vectors, found {len(seed_rows)}"
+        )
+    c_mat = np.stack(
+        [np.asarray(r.v, dtype=np.float64) for r in seed_rows]
+    )
+    d = c_mat.shape[1]
+
+    def one_pass(cn: np.ndarray):
+        """One E+M fused pass: cn is the (k × d) row-normalized centroid
+        matrix. Returns (sums k×d, counts k, cos_sums k)."""
+
+        def estep_mstep(it):
+            import numpy as _np
+            import pandas as _pd
+
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                x = _np.stack(
+                    [_np.asarray(v, dtype=_np.float64) for v in pdf["v"]]
+                )
+                n2 = _np.einsum("ij,ij->i", x, x)
+                keep = n2 > 0
+                if not keep.any():
+                    continue
+                x = x[keep]
+                s = (x @ cn.T) / _np.sqrt(n2[keep])[:, None]
+                valid = ~_np.isnan(s).all(axis=1)
+                if not valid.any():
+                    continue
+                x, s = x[valid], s[valid]
+                best = _np.nanargmax(s, axis=1)
+                cos = s[_np.arange(len(best)), best]
+                sums = _np.zeros((k, d))
+                cnts = _np.zeros(k, dtype=_np.int64)
+                csum = _np.zeros(k)
+                _np.add.at(sums, best, x)
+                _np.add.at(cnts, best, 1)
+                _np.add.at(csum, best, cos)
+                cells_rep = _np.repeat(_np.arange(k), d + 1)
+                dims = _np.tile(_np.arange(-1, d), k)
+                vals = _np.concatenate(
+                    [_np.concatenate(([csum[c]], sums[c])) for c in range(k)]
+                )
+                ns = _np.where(dims == -1, cnts[cells_rep], 0)
+                yield _pd.DataFrame(
+                    {"cell": cells_rep, "dim": dims, "s": vals, "n": ns}
+                )
+
+        rows = (
+            base.select("vec_id", "v")
+            .mapInPandas(
+                estep_mstep, schema="cell long, dim long, s double, n long"
+            )
+            .groupBy("cell", "dim")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()
+        )
+        sums = np.zeros((k, d))
+        cnts = np.zeros(k, dtype=np.int64)
+        csum = np.zeros(k)
+        for r in rows:
+            if r.dim == -1:
+                cnts[r.cell] = r.n
+                csum[r.cell] = r.s
+            else:
+                sums[r.cell, r.dim] = r.s
+        return sums, cnts, csum
+
+    def normalize_rows(m: np.ndarray) -> np.ndarray:
+        nrm = np.sqrt(np.einsum("ij,ij->i", m, m))
+        out = m.copy()
+        nz = nrm > 0
+        out[nz] = out[nz] / nrm[nz][:, None]
+        return out
+
+    shifts: list[float] = []
+    objective: list[float] = []
+    converged = False
+    cnts = np.zeros(k, dtype=np.int64)
+    csum = np.zeros(k)
+    it_run = 0
+    for it_run in range(1, n_iter + 1):
+        cn = normalize_rows(c_mat)
+        sums, cnts, csum = one_pass(cn)
+        new_c = c_mat.copy()  # empty cells keep their previous centroid
+        nz = cnts > 0
+        new_c[nz] = sums[nz] / cnts[nz][:, None]
+        shift = float(
+            np.max(
+                np.sqrt(
+                    np.einsum(
+                        "ij,ij->i",
+                        normalize_rows(new_c) - cn,
+                        normalize_rows(new_c) - cn,
+                    )
+                )
+            )
+        )
+        shifts.append(shift)
+        total = int(cnts.sum())
+        objective.append(float(csum.sum() / total) if total else math.nan)
+        c_mat = new_c
+        if shift <= tol:
+            converged = True
+            break
+    return {
+        "centroids": c_mat,
+        "cells": {int(c): int(cnts[c]) for c in range(k)},
+        "mean_cosine": {
+            int(c): (float(csum[c] / cnts[c]) if cnts[c] else None)
+            for c in range(k)
+        },
+        "iterations": it_run,
+        "converged": converged,
+        "shifts": shifts,
+        "objective": objective,
+    }
+
+
 @query(
     "q_sim_assign",
     oracle=_ASSIGN_ORACLE,

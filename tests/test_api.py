@@ -1511,3 +1511,64 @@ def test_survival_logrank_option(api_orders, spark):
     assert "logrank" in res and res["logrank"]["z"] is not None
     with pytest.raises(ValueError, match="group_a"):
         api_orders.survival("users2", "s", "p", group_by="cohort")
+
+
+def test_kmeans_service_contract_and_monotone_objective(spark):
+    """api.kmeans (round 8): every non-zero-norm vector assigned, cells
+    sum exactly, the spherical-k-means objective (mean cosine to the
+    assigned centroid) is non-decreasing per Lloyd iteration, and
+    include_centroids returns k x d rounded means."""
+    from correlationapi_spark.api import CorrelationAPI
+
+    api = CorrelationAPI(spark)
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    api.register_dataset("_km", emb)
+    res = api.kmeans("_km", "vec_id", "embedding", k=4, n_iter=6,
+                     tol=-1.0, include_centroids=True)
+    assert res["k"] == 4 and res["iterations"] == 6
+    assert not res["converged"]  # tol=-1 can never be reached
+    assert sum(res["cells"].values()) == res["n_assigned"] > 0
+    assert len(res["objective"]) == 6 == len(res["shifts"])
+    for a, b in zip(res["objective"], res["objective"][1:]):
+        assert b >= a - 1e-9
+    d = len(emb.select("embedding").first()[0])
+    assert len(res["centroids"]) == 4
+    assert all(len(c) == d for c in res["centroids"])
+    for c, m in res["mean_cosine"].items():
+        assert m is None or -1.0 <= m <= 1.0
+
+    with pytest.raises(ValueError):
+        api.kmeans("_km", "vec_id", "embedding", k=0)
+    with pytest.raises(ValueError):
+        api.kmeans("_km", "vec_id", "embedding", n_iter=0)
+
+
+def test_kmeans_recovers_separated_clusters(spark):
+    """Margin-separated fixture: three orthogonal direction clusters
+    with ids interleaved so the deterministic seeds (lowest 3 ids) land
+    one per cluster — Lloyd must recover the exact partition and report
+    convergence."""
+    from correlationapi_spark.llm.similarity import (
+        corpus_view,
+        kmeans_lloyd,
+    )
+
+    rows = []
+    for i in range(90):
+        c = i % 3
+        v = [0.0] * 6
+        v[c] = 1.0
+        v[3 + c] = 0.05 * ((i * 7 % 11) / 11.0)  # deterministic jitter
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, ["vec_id", "emb"])
+    res = kmeans_lloyd(
+        corpus_view(df, "vec_id", "emb"), k=3, n_iter=10, tol=1e-6
+    )
+    assert res["converged"]
+    assert sorted(res["cells"].values()) == [30, 30, 30]
+    # each recovered centroid points dominantly along one distinct axis
+    import numpy as np
+
+    axes = {int(np.argmax(np.abs(c[:3]))) for c in res["centroids"]}
+    assert axes == {0, 1, 2}
+    assert all(m is not None and m > 0.99 for m in res["mean_cosine"].values())

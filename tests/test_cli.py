@@ -241,3 +241,15 @@ def test_cli_survival(spark, capsys):
         "survival", "--data", path, "--start", "s", "--end", "p",
     ])
     assert rc == 0 and res["curve"][0]["survival"] == 0.5
+
+
+def test_cli_kmeans(spark, capsys):
+    rc, res = _run(capsys, [
+        "kmeans", "--data", os.path.join(SF_SMOKE, "embeddings.parquet"),
+        "--id", "vec_id", "--vector", "embedding",
+        "--k", "3", "--n-iter", "4", "--centroids",
+    ])
+    assert rc == 0 and res["k"] == 3
+    assert sum(res["cells"].values()) == res["n_assigned"] > 0
+    assert 1 <= res["iterations"] <= 4
+    assert len(res["centroids"]) == 3

@@ -443,3 +443,26 @@ def test_mixed_matrix_route(spark):
     assert status == 200
     assert payload["matrix"]["o_totalprice"]["o_orderpriority"][
         "measure"] == "eta"
+
+
+def test_kmeans_route(base_url, spark):
+    """/kmeans (round 8): contract fields present, cells sum exactly,
+    objective trace monotone; missing vector param is a 400."""
+    _post(
+        f"{base_url}/datasets/embk",
+        {"path": os.path.join(SF_SMOKE, "embeddings.parquet")},
+    )
+    status, res = _get(
+        f"{base_url}/kmeans?dataset=embk&id=vec_id&vector=embedding"
+        "&k=3&n_iter=3"
+    )
+    assert status == 200
+    assert sum(res["cells"].values()) == res["n_assigned"] > 0
+    assert len(res["objective"]) == res["iterations"] <= 3
+    for a, b in zip(res["objective"], res["objective"][1:]):
+        assert b >= a - 1e-9
+    assert "centroids" not in res
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{base_url}/kmeans?dataset=embk&id=vec_id")
+    assert e.value.code == 400

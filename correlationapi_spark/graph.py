@@ -80,3 +80,85 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} rounds"
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    damping: float = 0.85,
+    n_iter: int = 20,
+) -> DataFrame:
+    """(node, rank) after ``n_iter`` weighted power iterations —
+    deterministic (fixed iteration count, no convergence race), so the
+    result is oracle-comparable cross-engine at 6 dp.
+
+    Semantics: node set = every id appearing as src or dst; transition
+    probability u→v = w(u,v)/Σ_v' w(u,v'); dangling nodes (no
+    out-edges) redistribute their rank mass uniformly; uniform 1/n
+    initialization. r_{i+1}(v) = (1−d)/n + d·(Σ_{u→v} r_i(u)·p(u,v)
+    + dang_i/n) — the standard damped random-surfer recurrence.
+
+    Plan shape per iteration (the 100 TB story): one edges⋈ranks hash
+    join + one partial/final sum on dst — both shuffles keyed on node
+    ids, exactly the partitioning a 1000-executor graph would want;
+    the static normalized edge list is localCheckpoint-pinned once.
+    Driver involvement is ONE bounded scalar per round (the dangling
+    mass — an aggregate over the anti-joined rank rows), the same
+    bounded-collect discipline as connected_components' convergence
+    probe. Lineage is truncated every round so the plan stays
+    iteration-count-independent.
+    """
+    if not 0.0 <= damping <= 1.0:
+        raise ValueError("damping must be in [0, 1]")
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    w = (
+        F.col(weight).cast("double")
+        if weight is not None
+        else F.lit(1.0)
+    )
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"), w.alias("w"))
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    outw = e.groupBy("s").agg(F.sum("w").alias("ow"))
+    ew = (
+        e.join(outw, "s")
+        .select("s", "d", (F.col("w") / F.col("ow")).alias("p"))
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.withColumn("r", F.lit(1.0 / n))
+    src_nodes = outw.select(F.col("s").alias("node")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(n_iter):
+        dang_row = (
+            ranks.join(src_nodes, "node", "left_anti")
+            .agg(F.sum("r").alias("m"))
+            .collect()[0]
+        )
+        dang = dang_row.m or 0.0
+        contrib = (
+            ew.join(ranks, ew["s"] == ranks["node"])
+            .groupBy("d")
+            .agg(F.sum(F.col("r") * F.col("p")).alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["d"], "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + damping
+                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + dang / n)
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.col("r").alias("rank"))

@@ -969,3 +969,99 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_trans").cast("double") / F.col("n_from"), 6
         ).alias("p_next"),
     )
+
+
+@query(
+    "q_graph_pagerank",
+    oracle="""
+        WITH RECURSIVE seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        ),
+        tr AS (
+            SELECT prev_type AS s, event_type AS d,
+                   CAST(count(*) AS DOUBLE) AS w
+            FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        ),
+        nodes AS (
+            -- NOT a top-level UNION: inside WITH RECURSIVE, DuckDB
+            -- treats "a UNION b" CTE bodies as seed/step pairs and
+            -- skips the dedup (observed live: 25+25=50 rows) — nest
+            -- the union and dedup explicitly instead
+            SELECT DISTINCT node FROM (
+                SELECT s AS node FROM tr
+                UNION ALL SELECT d AS node FROM tr
+            )
+        ),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        outw AS (SELECT s, sum(w) AS ow FROM tr GROUP BY 1),
+        ew AS (
+            SELECT tr.s, tr.d, tr.w / outw.ow AS p
+            FROM tr JOIN outw USING (s)
+        ),
+        pr(it, node, r) AS (
+            SELECT 0, node, 1.0 / n FROM nodes CROSS JOIN nn
+            UNION ALL
+            SELECT base.it + 1, base.node,
+                   (1.0 - 0.85) / base.n
+                   + 0.85 * (coalesce(inf.inflow, 0) + base.dang / base.n)
+            FROM (
+                SELECT a.it, a.node, nn.n,
+                       (SELECT coalesce(sum(b.r), 0) FROM pr b
+                        WHERE b.node NOT IN (SELECT s FROM outw)) AS dang
+                FROM pr a CROSS JOIN nn
+                WHERE a.it < 20
+            ) base
+            LEFT JOIN (
+                SELECT ew.d AS node, sum(c.r * ew.p) AS inflow
+                FROM pr c JOIN ew ON c.node = ew.s
+                GROUP BY 1
+            ) inf USING (node)
+        )
+        SELECT node AS event_type, round(r, 6) AS pagerank
+        FROM pr WHERE it = 20
+    """,
+    doc="Weighted PageRank over the event-type transition graph "
+    "(20 damped power iterations, d=0.85) — which actions the user "
+    "stream keeps flowing back to; the iterative graph algorithm "
+    "declared against a recursive-CTE oracle.",
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transition counts q_event_transitions declares become edge
+    weights; graph.pagerank runs 20 fixed power iterations with
+    dangling-mass redistribution (engine docstring has the recurrence
+    and the per-iteration plan shape: one edges⋈ranks join + one dst
+    sum, lineage truncated per round). The DuckDB oracle mirrors the
+    recurrence as a recursive CTE whose working table is exactly the
+    previous iteration's rank vector — identical float recurrence,
+    order-varying ≤5-term sums absorbed at 6 dp after 20 rounds.
+
+    A FIXED iteration count (not a convergence test) keeps the two
+    engines step-identical — convergence-raced results would diverge
+    by one iteration's drift at the tolerance boundary."""
+    from ..graph import pagerank
+
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        t["events"]
+        .select(
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("s"),
+            F.col("event_type").alias("d"),
+        )
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    ranks = pagerank(edges, src="s", dst="d", weight="w",
+                     damping=0.85, n_iter=20)
+    return ranks.select(
+        F.col("node").alias("event_type"),
+        F.round("rank", 6).alias("pagerank"),
+    )

@@ -864,3 +864,48 @@ def test_icc_extremes(spark):
     assert abs(icc([[1.0] * 4, [5.0] * 4, [9.0] * 4]) - 1.0) < 1e-12
     # identical group means, within-group spread only: ICC ≤ 0
     assert icc([[1.0, 3.0], [1.0, 3.0], [1.0, 3.0]]) <= 0.0
+
+
+def test_pagerank_invariants(spark):
+    """graph.pagerank: rank mass is conserved (sums to 1, dangling or
+    not), a symmetric cycle is exactly uniform, and a star's hub
+    out-ranks its spokes."""
+    from correlationapi_spark.graph import pagerank
+
+    # 4-cycle: out-degree 1 everywhere, perfectly symmetric -> uniform
+    cyc = spark.createDataFrame(
+        [(i, (i + 1) % 4) for i in range(4)], ["src", "dst"]
+    )
+    r = {x.node: x.rank for x in pagerank(cyc, n_iter=10).collect()}
+    assert abs(sum(r.values()) - 1.0) < 1e-9
+    assert all(abs(v - 0.25) < 1e-12 for v in r.values())
+
+    # star: spokes 1..4 -> hub 0, hub -> spoke 1 (no dangling)
+    star = spark.createDataFrame(
+        [(i, 0) for i in range(1, 5)] + [(0, 1)], ["src", "dst"]
+    )
+    r = {x.node: x.rank for x in pagerank(star, n_iter=20).collect()}
+    assert abs(sum(r.values()) - 1.0) < 1e-9
+    assert r[0] == max(r.values()) and r[0] > r[2] > 0
+
+    # dangling node: a -> b, b has no out-edges; mass must still sum
+    # to 1 (redistributed uniformly each round) and b out-ranks a
+    dang = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    r = {x.node: x.rank for x in pagerank(dang, n_iter=15).collect()}
+    assert abs(sum(r.values()) - 1.0) < 1e-9
+    assert r[2] > r[1]
+
+    # weighted: 1 -> 2 (w=3), 1 -> 3 (w=1): 2 must out-rank 3
+    wg = spark.createDataFrame(
+        [(1, 2, 3.0), (1, 3, 1.0), (2, 1, 1.0), (3, 1, 1.0)],
+        ["src", "dst", "w"],
+    )
+    r = {x.node: x.rank for x in pagerank(wg, weight="w", n_iter=20).collect()}
+    assert r[2] > r[3]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pagerank(cyc, damping=1.5)
+    with _pytest.raises(ValueError):
+        pagerank(cyc, n_iter=0)

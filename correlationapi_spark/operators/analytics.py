@@ -1065,3 +1065,69 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("event_type"),
         F.round("rank", 6).alias("pagerank"),
     )
+
+
+@query(
+    "q_attribution",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   last_value(CASE WHEN event_type <> 'purchase'
+                                   THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS touch
+            FROM events
+        ),
+        a AS (
+            SELECT coalesce(touch, 'none') AS touch_type,
+                   CAST(count(*) AS BIGINT) AS n_purchases
+            FROM seq WHERE event_type = 'purchase' GROUP BY 1
+        ),
+        tot AS (SELECT CAST(sum(n_purchases) AS BIGINT) AS t FROM a)
+        SELECT touch_type, n_purchases,
+               round(CAST(n_purchases AS DOUBLE) / t, 6) AS share
+        FROM a CROSS JOIN tot
+    """,
+    doc="Last-touch conversion attribution: each purchase credits the "
+    "user's most recent preceding non-purchase event — the "
+    "marketing-analytics primitive behind channel-credit reports; "
+    "purchases with no prior touch land in an explicit 'none' bucket.",
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """last(non-purchase type, ignorenulls) over ROWS UNBOUNDED
+    PRECEDING..1 PRECEDING per user — the same (ts, event_id)
+    total-order chain contract as q_event_transitions, so equal
+    timestamps cannot flip the attributed touch cross-engine. The
+    IGNORE NULLS running last is the declarative spelling of 'carry
+    the latest touch forward'; no self-join, no per-row subquery.
+
+    Scale shape: one per-user window shuffle (the event stream's
+    natural key), then a ≤|types|+1-row aggregate; the share division
+    is one float op per output row. At 100 TB: identical plan, the
+    window state is one string per user-partition row."""
+    t = load_tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    a = (
+        t["events"]
+        .withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("none")).alias("touch_type"))
+        .agg(F.count("*").alias("n_purchases"))
+    )
+    tot = a.agg(F.sum("n_purchases").alias("t"))
+    return a.crossJoin(F.broadcast(tot)).select(
+        "touch_type",
+        "n_purchases",
+        F.round(
+            F.col("n_purchases").cast("double") / F.col("t"), 6
+        ).alias("share"),
+    )

@@ -26,6 +26,11 @@ Commands:
   assign    --data PATH --id COL --vector COL --centroids 0,1,2 [--limit N]
   kmeans    --data PATH --id COL --vector COL [--k N] [--n-iter N] [--tol T]
             [--centroids]
+  transitions --data PATH --user COL --event COL --time COL --order COL
+  attribution --data PATH --user COL --event COL --time COL --order COL
+            --target TYPE
+  pagerank  --data PATH --src COL --dst COL [--weight COL] [--damping D]
+            [--n-iter N] [--limit N]
   pack      --data PATH --id COL --text COL [--capacity N] [--limit N] [--tokenizer ws|bpeish]
   serve     [--host H] [--port P]             # REST listener (http_api.py)
   query     --key q_name [--sf-dir DIR]      # run a declared inventory key
@@ -214,6 +219,37 @@ def main(argv: list[str] | None = None) -> int:
     asn.add_argument("--limit", type=int, default=1000,
                      help="max listed assignments (totals stay exact)")
 
+    tr = sub.add_parser(
+        "transitions", help="Markov transition matrix over per-user event chains"
+    )
+    add_data(tr)
+    tr.add_argument("--user", required=True, help="chain key column")
+    tr.add_argument("--event", required=True, help="event type column")
+    tr.add_argument("--time", required=True, help="timestamp column")
+    tr.add_argument("--order", required=True, help="tie-break column")
+
+    at = sub.add_parser(
+        "attribution", help="last-touch attribution of target events"
+    )
+    add_data(at)
+    at.add_argument("--user", required=True, help="chain key column")
+    at.add_argument("--event", required=True, help="event type column")
+    at.add_argument("--time", required=True, help="timestamp column")
+    at.add_argument("--order", required=True, help="tie-break column")
+    at.add_argument("--target", required=True, help="conversion event type")
+
+    pr = sub.add_parser(
+        "pagerank", help="weighted PageRank over an edge table"
+    )
+    add_data(pr)
+    pr.add_argument("--src", required=True, help="edge source column")
+    pr.add_argument("--dst", required=True, help="edge destination column")
+    pr.add_argument("--weight", help="edge weight column (default unweighted)")
+    pr.add_argument("--damping", type=float, default=0.85)
+    pr.add_argument("--n-iter", type=int, default=20)
+    pr.add_argument("--limit", type=int, default=100,
+                    help="max listed nodes (totals stay exact)")
+
     km = sub.add_parser(
         "kmeans", help="iterative spherical k-means over an (id, vector) table"
     )
@@ -346,6 +382,16 @@ def main(argv: list[str] | None = None) -> int:
                 centroid_ids=[int(x) for x in args.centroids.split(",") if x],
                 limit=args.limit,
             )
+        elif args.cmd == "transitions":
+            res = api.transitions("ds", args.user, args.event,
+                                  args.time, args.order)
+        elif args.cmd == "attribution":
+            res = api.attribution("ds", args.user, args.event,
+                                  args.time, args.order, args.target)
+        elif args.cmd == "pagerank":
+            res = api.pagerank("ds", args.src, args.dst,
+                               weight=args.weight, damping=args.damping,
+                               n_iter=args.n_iter, limit=args.limit)
         elif args.cmd == "kmeans":
             res = api.kmeans(
                 "ds", args.id, args.vector, k=args.k,

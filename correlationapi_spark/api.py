@@ -23,7 +23,12 @@ core: ``association()`` (Cramér's V / Theil's U / mutual information /
 tie-corrected Mann-Whitney via operators.stats.two_sample_stats),
 ``drift()`` (per-period KS + PSI vs the full-period reference via
 operators.stats.drift_frame), and ``mixed_matrix()`` (the profiling
-matrix: type-appropriate measure per pair).
+matrix: type-appropriate measure per pair). The iterative/ML tier:
+``kmeans()`` (spherical Lloyd to convergence via
+llm.similarity.kmeans_lloyd), ``pagerank()`` (weighted power iteration
+over a registered edge table via graph.pagerank), ``transitions()``
+(Markov matrix over per-user chains) and ``attribution()``
+(last-touch conversion credit), both via operators.analytics engines.
 """
 
 from __future__ import annotations
@@ -2016,6 +2021,115 @@ class CorrelationAPI:
                 for row in res["centroids"]
             ]
         return out
+
+    def transitions(
+        self,
+        dataset: str,
+        user: str,
+        event: str,
+        time: str,
+        order: str,
+    ) -> dict[str, Any]:
+        """First-order Markov transition matrix over per-``user`` event
+        chains — the parameterized twin of q_event_transitions (engine:
+        operators.analytics.transition_matrix). The matrix is at most
+        |types|² rows, so it returns whole; p_next rows sum to 1 within
+        each prev state."""
+        from .operators.analytics import transition_matrix
+
+        rows = transition_matrix(
+            self._get(dataset), user, event, time, order
+        ).collect()
+        return {
+            "dataset": dataset, "user": user, "event": event,
+            "n_transitions": sum(r.n_trans for r in rows),
+            "matrix": [
+                {
+                    "prev": r.prev_type, "next": r.next_type,
+                    "n": r.n_trans, "p": r.p_next,
+                }
+                for r in sorted(
+                    rows, key=lambda r: (r.prev_type, r.next_type)
+                )
+            ],
+        }
+
+    def attribution(
+        self,
+        dataset: str,
+        user: str,
+        event: str,
+        time: str,
+        order: str,
+        target: str,
+    ) -> dict[str, Any]:
+        """Last-touch conversion attribution — the parameterized twin of
+        q_attribution (engine: operators.analytics
+        .last_touch_attribution): each ``target`` event credits the
+        user's most recent preceding non-target event; conversions with
+        no prior touch land in the 'none' bucket."""
+        from .operators.analytics import last_touch_attribution
+
+        rows = last_touch_attribution(
+            self._get(dataset), user, event, time, order, target
+        ).collect()
+        return {
+            "dataset": dataset, "target": target,
+            "n_conversions": sum(r.n_purchases for r in rows),
+            "buckets": [
+                {
+                    "touch": r.touch_type,
+                    "n": r.n_purchases,
+                    "share": r.share,
+                }
+                for r in sorted(rows, key=lambda r: -r.n_purchases)
+            ],
+        }
+
+    def pagerank(
+        self,
+        dataset: str,
+        src: str,
+        dst: str,
+        weight: str | None = None,
+        damping: float = 0.85,
+        n_iter: int = 20,
+        limit: int = 100,
+    ) -> dict[str, Any]:
+        """Weighted PageRank over a registered EDGE table — the
+        parameterized twin of q_graph_pagerank (engine: graph.pagerank,
+        fixed power iterations, dangling-mass redistribution). Returns
+        the top-``limit`` nodes by rank (ties broken by node id) plus
+        the engine-side node count — totals stay exact when the listing
+        truncates."""
+        from .graph import pagerank as _pagerank
+
+        if limit < 1:
+            raise ValueError("limit must be >= 1")
+        df = self._get(dataset)
+        for c in (src, dst) + ((weight,) if weight else ()):
+            if c not in df.columns:
+                raise KeyError(f"unknown variable: {c!r}")
+        ranks = _pagerank(
+            df, src=src, dst=dst, weight=weight,
+            damping=damping, n_iter=n_iter,
+        ).persist()
+        try:
+            n_nodes = ranks.count()
+            rows = (
+                ranks.orderBy(F.desc("rank"), "node").limit(limit).collect()
+            )
+        finally:
+            ranks.unpersist()
+        return {
+            "dataset": dataset, "src": src, "dst": dst,
+            "weight": weight, "damping": damping, "n_iter": n_iter,
+            "n_nodes": n_nodes,
+            "truncated": n_nodes > len(rows),
+            "ranks": [
+                {"node": r.node, "rank": round(r.rank, 6)} for r in rows
+            ],
+        }
 
     def dedup(
         self,

@@ -114,6 +114,16 @@ def pagerank(
         raise ValueError("damping must be in [0, 1]")
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
+    # the src∪dst node-set union must NOT coerce: a bigint/string
+    # mismatch silently casts ids (observed live: string event types
+    # forced through CAST AS BIGINT → runtime NumberFormatException
+    # deep in iteration 1). Fail loud at the API boundary instead.
+    st, dt = edges.schema[src].dataType, edges.schema[dst].dataType
+    if st != dt:
+        raise ValueError(
+            f"src and dst node id types must match, got {st} vs {dt}; "
+            "cast one side before calling pagerank"
+        )
     w = (
         F.col(weight).cast("double")
         if weight is not None

@@ -36,6 +36,12 @@ container, and none is needed for a JSON-for-JSON contract:
        → nearest-centroid cosine assignment + per-cell counts
   GET  /kmeans?dataset=&id=&vector=[&k=][&n_iter=][&tol=][&centroids=1]
        → iterative spherical k-means: sizes, mean cosines, objective trace
+  GET  /transitions?dataset=&user=&event=&time=&order=
+       → first-order Markov transition matrix over per-user chains
+  GET  /attribution?dataset=&user=&event=&time=&order=&target=
+       → last-touch conversion attribution buckets
+  GET  /pagerank?dataset=&src=&dst=[&weight=][&damping=][&n_iter=][&limit=]
+       → weighted PageRank over an edge table, top nodes by rank
   GET  /pack?dataset=&id=&text=[&capacity=][&limit=][&tokenizer=ws|bpeish]
        → concat-and-chunk packing layout + corpus token/chunk totals
        (round 6: the LLM operators are parameterized service calls, not
@@ -235,6 +241,33 @@ def _route(api: CorrelationAPI, method: str, path: str,
             query["dataset"], query["id"], query["vector"],
             centroid_ids=[int(x) for x in query["centroids"].split(",") if x],
             limit=int(query.get("limit", 1000)),
+        )
+    if method == "GET" and path == "/transitions":
+        for req in ("dataset", "user", "event", "time", "order"):
+            if req not in query:
+                raise ValueError(f"missing query parameter {req!r}")
+        return 200, api.transitions(
+            query["dataset"], query["user"], query["event"],
+            query["time"], query["order"],
+        )
+    if method == "GET" and path == "/attribution":
+        for req in ("dataset", "user", "event", "time", "order", "target"):
+            if req not in query:
+                raise ValueError(f"missing query parameter {req!r}")
+        return 200, api.attribution(
+            query["dataset"], query["user"], query["event"],
+            query["time"], query["order"], query["target"],
+        )
+    if method == "GET" and path == "/pagerank":
+        for req in ("dataset", "src", "dst"):
+            if req not in query:
+                raise ValueError(f"missing query parameter {req!r}")
+        return 200, api.pagerank(
+            query["dataset"], query["src"], query["dst"],
+            weight=query.get("weight"),
+            damping=float(query.get("damping", 0.85)),
+            n_iter=int(query.get("n_iter", 20)),
+            limit=int(query.get("limit", 100)),
         )
     if method == "GET" and path == "/kmeans":
         for req in ("dataset", "id", "vector"):

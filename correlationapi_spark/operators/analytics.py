@@ -905,6 +905,85 @@ def q_survival_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def transition_matrix(
+    ev: DataFrame,
+    user_col: str,
+    type_col: str,
+    time_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Shared engine for q_event_transitions and api.transitions: the
+    first-order Markov transition matrix over per-``user_col`` chains
+    ordered by (``time_col``, ``order_col``) — the order_col tie-break
+    makes the lag a total order. One per-user window shuffle + a
+    category-sized aggregate; output (prev_type, next_type, n_trans,
+    n_from, p_next round 6)."""
+    for c in (user_col, type_col, time_col, order_col):
+        if c not in ev.columns:
+            raise KeyError(f"unknown variable: {c!r}")
+    w = Window.partitionBy(user_col).orderBy(time_col, order_col)
+    seq = ev.select(
+        F.col(type_col).alias("_type"),
+        F.lag(type_col).over(w).alias("prev_type"),
+    )
+    tr = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("_type").alias("next_type"))
+        .agg(F.count("*").alias("n_trans"))
+    )
+    m = tr.groupBy("prev_type").agg(F.sum("n_trans").alias("n_from"))
+    return tr.join(F.broadcast(m), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        "n_from",
+        F.round(
+            F.col("n_trans").cast("double") / F.col("n_from"), 6
+        ).alias("p_next"),
+    )
+
+
+def last_touch_attribution(
+    ev: DataFrame,
+    user_col: str,
+    type_col: str,
+    time_col: str,
+    order_col: str,
+    target: str,
+) -> DataFrame:
+    """Shared engine for q_attribution and api.attribution: credit each
+    ``target`` event to the user's most recent preceding non-target
+    event via an IGNORE NULLS running last over the per-user chain;
+    no-prior-touch conversions land in an explicit 'none' bucket.
+    Output (touch_type, n_purchases, share round 6)."""
+    for c in (user_col, type_col, time_col, order_col):
+        if c not in ev.columns:
+            raise KeyError(f"unknown variable: {c!r}")
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(time_col, order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col(type_col) != target, F.col(type_col)),
+        ignorenulls=True,
+    ).over(w)
+    a = (
+        ev.withColumn("touch", touch)
+        .filter(F.col(type_col) == target)
+        .groupBy(F.coalesce("touch", F.lit("none")).alias("touch_type"))
+        .agg(F.count("*").alias("n_purchases"))
+    )
+    tot = a.agg(F.sum("n_purchases").alias("t"))
+    return a.crossJoin(F.broadcast(tot)).select(
+        "touch_type",
+        "n_purchases",
+        F.round(
+            F.col("n_purchases").cast("double") / F.col("t"), 6
+        ).alias("share"),
+    )
+
+
 @query(
     "q_event_transitions",
     oracle="""
@@ -948,26 +1027,8 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     (AQE-coalesced) + a 25-row aggregate; no driver collection, no
     state beyond the window's per-partition sort."""
     t = load_tables(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = t["events"].select(
-        "user_id",
-        "event_type",
-        F.lag("event_type").over(w).alias("prev_type"),
-    )
-    tr = (
-        seq.filter(F.col("prev_type").isNotNull())
-        .groupBy("prev_type", F.col("event_type").alias("next_type"))
-        .agg(F.count("*").alias("n_trans"))
-    )
-    m = tr.groupBy("prev_type").agg(F.sum("n_trans").alias("n_from"))
-    return tr.join(F.broadcast(m), "prev_type").select(
-        "prev_type",
-        "next_type",
-        "n_trans",
-        "n_from",
-        F.round(
-            F.col("n_trans").cast("double") / F.col("n_from"), 6
-        ).alias("p_next"),
+    return transition_matrix(
+        t["events"], "user_id", "event_type", "ts", "event_id"
     )
 
 
@@ -1107,27 +1168,6 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one float op per output row. At 100 TB: identical plan, the
     window state is one string per user-partition row."""
     t = load_tables(spark, sf_dir)
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    touch = F.last(
-        F.when(F.col("event_type") != "purchase", F.col("event_type")),
-        ignorenulls=True,
-    ).over(w)
-    a = (
-        t["events"]
-        .withColumn("touch", touch)
-        .filter(F.col("event_type") == "purchase")
-        .groupBy(F.coalesce("touch", F.lit("none")).alias("touch_type"))
-        .agg(F.count("*").alias("n_purchases"))
-    )
-    tot = a.agg(F.sum("n_purchases").alias("t"))
-    return a.crossJoin(F.broadcast(tot)).select(
-        "touch_type",
-        "n_purchases",
-        F.round(
-            F.col("n_purchases").cast("double") / F.col("t"), 6
-        ).alias("share"),
+    return last_touch_attribution(
+        t["events"], "user_id", "event_type", "ts", "event_id", "purchase"
     )

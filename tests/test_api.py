@@ -1572,3 +1572,53 @@ def test_kmeans_recovers_separated_clusters(spark):
     axes = {int(np.argmax(np.abs(c[:3]))) for c in res["centroids"]}
     assert axes == {0, 1, 2}
     assert all(m is not None and m > 0.99 for m in res["mean_cosine"].values())
+
+
+def test_event_analytics_services(spark):
+    """api.transitions / api.attribution / api.pagerank (round 8): the
+    parameterized twins agree with their declared keys on the fixture
+    columns, and pagerank conserves rank mass."""
+    from correlationapi_spark.api import CorrelationAPI
+
+    api = CorrelationAPI(spark)
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    api.register_dataset("_ev", ev)
+
+    tr = api.transitions("_ev", "user_id", "event_type", "ts", "event_id")
+    key_tr = {
+        (r.prev_type, r.next_type): (r.n_trans, r.p_next)
+        for r in REGISTRY["q_event_transitions"].fn(spark, SF_SMOKE).collect()
+    }
+    assert tr["n_transitions"] == sum(n for n, _ in key_tr.values())
+    for cell in tr["matrix"]:
+        assert key_tr[(cell["prev"], cell["next"])] == (cell["n"], cell["p"])
+    # per-prev probabilities sum to 1
+    from collections import defaultdict
+
+    psum = defaultdict(float)
+    for cell in tr["matrix"]:
+        psum[cell["prev"]] += cell["p"]
+    assert all(abs(s - 1.0) < 1e-4 for s in psum.values())
+
+    at = api.attribution("_ev", "user_id", "event_type", "ts",
+                         "event_id", "purchase")
+    key_at = {
+        r.touch_type: (r.n_purchases, r.share)
+        for r in REGISTRY["q_attribution"].fn(spark, SF_SMOKE).collect()
+    }
+    assert at["n_conversions"] == sum(n for n, _ in key_at.values())
+    for b in at["buckets"]:
+        assert key_at[b["touch"]] == (b["n"], b["share"])
+
+    # pagerank over an explicit edge table registered as a dataset
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)], ["s", "d"]
+    )
+    api.register_dataset("_g", edges)
+    pr = api.pagerank("_g", "s", "d", n_iter=8, limit=3)
+    assert pr["n_nodes"] == 6 and pr["truncated"]
+    assert len(pr["ranks"]) == 3
+    with pytest.raises(KeyError):
+        api.pagerank("_g", "s", "nope")
+    with pytest.raises(ValueError):
+        api.pagerank("_g", "s", "d", limit=0)

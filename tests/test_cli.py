@@ -253,3 +253,20 @@ def test_cli_kmeans(spark, capsys):
     assert sum(res["cells"].values()) == res["n_assigned"] > 0
     assert 1 <= res["iterations"] <= 4
     assert len(res["centroids"]) == 3
+
+
+def test_cli_event_analytics(spark, capsys):
+    rc, res = _run(capsys, [
+        "transitions", "--data", os.path.join(SF_SMOKE, "events.parquet"),
+        "--user", "user_id", "--event", "event_type",
+        "--time", "ts", "--order", "event_id",
+    ])
+    assert rc == 0 and res["n_transitions"] > 0 and len(res["matrix"]) > 0
+
+    rc, res = _run(capsys, [
+        "attribution", "--data", os.path.join(SF_SMOKE, "events.parquet"),
+        "--user", "user_id", "--event", "event_type",
+        "--time", "ts", "--order", "event_id", "--target", "purchase",
+    ])
+    assert rc == 0 and res["n_conversions"] > 0
+    assert abs(sum(b["share"] for b in res["buckets"]) - 1.0) < 1e-3

@@ -466,3 +466,27 @@ def test_kmeans_route(base_url, spark):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(f"{base_url}/kmeans?dataset=embk&id=vec_id")
     assert e.value.code == 400
+
+
+def test_event_analytics_routes(base_url, spark):
+    """/transitions, /attribution, /pagerank (round 8): contract smoke
+    + 400 on missing params."""
+    _post(
+        f"{base_url}/datasets/evr",
+        {"path": os.path.join(SF_SMOKE, "events.parquet")},
+    )
+    status, res = _get(
+        f"{base_url}/transitions?dataset=evr&user=user_id"
+        "&event=event_type&time=ts&order=event_id"
+    )
+    assert status == 200 and res["n_transitions"] > 0
+
+    status, res = _get(
+        f"{base_url}/attribution?dataset=evr&user=user_id"
+        "&event=event_type&time=ts&order=event_id&target=purchase"
+    )
+    assert status == 200 and res["n_conversions"] > 0
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{base_url}/pagerank?dataset=evr&src=user_id")
+    assert e.value.code == 400

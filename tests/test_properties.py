@@ -909,3 +909,16 @@ def test_pagerank_invariants(spark):
         pagerank(cyc, damping=1.5)
     with _pytest.raises(ValueError):
         pagerank(cyc, n_iter=0)
+
+
+def test_pagerank_rejects_mismatched_id_types(spark):
+    """A bigint/string src-dst mismatch must fail loud at the boundary,
+    not coerce ids mid-iteration (observed live: CAST_INVALID_INPUT
+    deep inside round 1)."""
+    import pytest as _pytest
+
+    from correlationapi_spark.graph import pagerank
+
+    mixed = spark.createDataFrame([(1, "a"), (2, "b")], ["src", "dst"])
+    with _pytest.raises(ValueError, match="types must match"):
+        pagerank(mixed)

@@ -70,27 +70,10 @@ _MODULES = (
 # code/oracle/fixture changed THIS round after their latest verdict, so
 # they jump back to the front of the sweep regardless of verdict age.
 _TOUCHED: frozenset[str] = frozenset({
-    # round 8 (kept minimal per the r7 verdict so the age rotation
-    # absorbs the r4-era cohort; the seven NEW TPC-H keys q2/q9/q11/
-    # q12/q16/q20/q21 rank as never-verified automatically):
-    "q_tpch_q15",  # rev subtree now pinned via ordering.materialize()
-                   # — one lineitem scan instead of two
-    "q_tpch_q17",  # Brand#3 semi-join pushed below the decorrelated
-                   # per-part aggregate + oracle CAST(round(l_quantity))
-    "q_tpch_q18",  # oracle CAST(round(l_quantity) AS BIGINT) pins
-                   # half-away-from-zero on both engines (ADVICE r7)
-    "q_multimodal_meta",    # JPEG codec wave: 4:2:0/4:2:2 subsampling,
-                            # DRI/RSTn, progressive SOF2; fixture
-                            # variant 1 is now 4:2:0, variant 2 is
-                            # progressive — rows-only outputs changed
-    "q_multimodal_frames",  # same fixture/codec wave (frames route
-                            # re-walks the marker stream)
-    "q_pack_chunks",   # ordering.global_running_sum refactored into the
-                       # plural global_running_sums core (one range
-                       # shuffle for k values; internal column renames)
-                       # — pack_chunks_layout consumes it, so the r7
-                       # verdicts predate the new code path
-    "q_pack_bpeish",   # same layout engine, same refactor
+    # round 9: reset — no previously-verified key's code path has changed
+    # yet this round, so the age rotation gets the full 50-key window for
+    # the r04/r05 cohort the r8 verdict flagged as stalest (new keys added
+    # this round rank as never-verified automatically).
 })
 
 

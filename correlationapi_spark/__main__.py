@@ -29,6 +29,8 @@ Commands:
   transitions --data PATH --user COL --event COL --time COL --order COL
   attribution --data PATH --user COL --event COL --time COL --order COL
             --target TYPE
+  attribution-multi --data PATH --user COL --event COL --time COL
+            --order COL --target TYPE [--horizon-days N]
   pagerank  --data PATH --src COL --dst COL [--weight COL] [--damping D]
             [--n-iter N] [--limit N]
   pack      --data PATH --id COL --text COL [--capacity N] [--limit N] [--tokenizer ws|bpeish]
@@ -238,6 +240,19 @@ def main(argv: list[str] | None = None) -> int:
     at.add_argument("--order", required=True, help="tie-break column")
     at.add_argument("--target", required=True, help="conversion event type")
 
+    atm = sub.add_parser(
+        "attribution-multi",
+        help="multi-touch (linear/position/time-decay) attribution",
+    )
+    add_data(atm)
+    atm.add_argument("--user", required=True, help="chain key column")
+    atm.add_argument("--event", required=True, help="event type column")
+    atm.add_argument("--time", required=True, help="timestamp column")
+    atm.add_argument("--order", required=True, help="tie-break column")
+    atm.add_argument("--target", required=True, help="conversion event type")
+    atm.add_argument("--horizon-days", type=int, default=30,
+                     help="time-decay cap in whole days")
+
     pr = sub.add_parser(
         "pagerank", help="weighted PageRank over an edge table"
     )
@@ -388,6 +403,10 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "attribution":
             res = api.attribution("ds", args.user, args.event,
                                   args.time, args.order, args.target)
+        elif args.cmd == "attribution-multi":
+            res = api.attribution_multi(
+                "ds", args.user, args.event, args.time, args.order,
+                args.target, horizon_days=args.horizon_days)
         elif args.cmd == "pagerank":
             res = api.pagerank("ds", args.src, args.dst,
                                weight=args.weight, damping=args.damping,

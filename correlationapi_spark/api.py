@@ -2086,6 +2086,41 @@ class CorrelationAPI:
             ],
         }
 
+    def attribution_multi(
+        self,
+        dataset: str,
+        user: str,
+        event: str,
+        time: str,
+        order: str,
+        target: str,
+        horizon_days: int = 30,
+    ) -> dict[str, Any]:
+        """Multi-touch conversion attribution — the parameterized twin
+        of q_attribution_multi (engine: operators.analytics
+        .multi_touch_attribution): linear, position-based (U-shaped),
+        and time-decay credit over each conversion's journey, exact
+        integer micro-unit credit per model."""
+        from .operators.analytics import multi_touch_attribution
+
+        rows = multi_touch_attribution(
+            self._get(dataset), user, event, time, order, target,
+            horizon_days=horizon_days,
+        ).collect()
+        models: dict[str, list[dict[str, Any]]] = {}
+        for r in sorted(rows, key=lambda r: (r.model, -r.credit_micro)):
+            models.setdefault(r.model, []).append(
+                {
+                    "touch": r.touch_type,
+                    "credit_micro": r.credit_micro,
+                    "share": r.share,
+                }
+            )
+        return {
+            "dataset": dataset, "target": target,
+            "horizon_days": horizon_days, "models": models,
+        }
+
     def pagerank(
         self,
         dataset: str,

@@ -40,6 +40,8 @@ container, and none is needed for a JSON-for-JSON contract:
        → first-order Markov transition matrix over per-user chains
   GET  /attribution?dataset=&user=&event=&time=&order=&target=
        → last-touch conversion attribution buckets
+  GET  /attribution_multi?dataset=&user=&event=&time=&order=&target=
+       [&horizon_days=30] → linear/position/time-decay credit per model
   GET  /pagerank?dataset=&src=&dst=[&weight=][&damping=][&n_iter=][&limit=]
        → weighted PageRank over an edge table, top nodes by rank
   GET  /pack?dataset=&id=&text=[&capacity=][&limit=][&tokenizer=ws|bpeish]
@@ -257,6 +259,15 @@ def _route(api: CorrelationAPI, method: str, path: str,
         return 200, api.attribution(
             query["dataset"], query["user"], query["event"],
             query["time"], query["order"], query["target"],
+        )
+    if method == "GET" and path == "/attribution_multi":
+        for req in ("dataset", "user", "event", "time", "order", "target"):
+            if req not in query:
+                raise ValueError(f"missing query parameter {req!r}")
+        return 200, api.attribution_multi(
+            query["dataset"], query["user"], query["event"],
+            query["time"], query["order"], query["target"],
+            horizon_days=int(query.get("horizon_days", 30)),
         )
     if method == "GET" and path == "/pagerank":
         for req in ("dataset", "src", "dst"):

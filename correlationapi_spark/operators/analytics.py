@@ -1171,3 +1171,219 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return last_touch_attribution(
         t["events"], "user_id", "event_type", "ts", "event_id", "purchase"
     )
+
+
+def multi_touch_attribution(
+    ev: DataFrame,
+    user_col: str,
+    type_col: str,
+    time_col: str,
+    order_col: str,
+    target: str,
+    horizon_days: int = 30,
+) -> DataFrame:
+    """Shared engine for q_attribution_multi and api.attribution_multi:
+    position-based (U-shaped), linear, and time-decay credit over each
+    conversion's journey.
+
+    Journey = the non-target events between consecutive ``target``
+    events in the user's (time, order) chain: every row's journey id is
+    the count of targets STRICTLY before it, so touch rows with j = k
+    belong to conversion #k and touches after the user's last conversion
+    are orphaned (dropped by the inner join — no conversion to credit).
+
+    Credit is exact integer micro-units so cross-engine sums are
+    order-independent (numerics.py rule 2; floor() instead of round()
+    because 1e6/n CAN land exactly on .5 — n=128 → 7812.5 — where the
+    engines' round() semantics diverge):
+
+      * linear:   floor(1e6 / n) per touch
+      * position: n=1 → 1e6; n=2 → 5e5 each; else 4e5 for first and
+                  last, floor(2e5/(n-2)) for each middle touch
+      * time_decay: weight 2^(horizon - dd) with dd = whole days from
+                  touch to conversion (capped at ``horizon_days``) —
+                  an EXACT integer power of two via shiftleft, so the
+                  per-journey weight sum is exact and the single
+                  normalizing division is IEEE-identical cross-engine.
+                  Day age from exact epoch-microsecond integers
+                  (fixture timestamps carry microseconds; second-level
+                  truncation would diverge between engines).
+
+    Output (model, touch_type, credit_micro BIGINT, share round 6).
+    Conversions with an empty journey receive no credit in any model
+    (multi-touch credits touches; the 'none' bucket is last-touch
+    semantics — see last_touch_attribution).
+
+    Scale shape: one per-user window shuffle for the journey ids, one
+    (user, journey) window/aggregation — a strict refinement of the
+    user partitioning, so AQE coalesces it onto the same exchange
+    footprint — then a co-keyed conversions⋈touches join on
+    (user, journey) and a ≤3·|types|-row final aggregate. No
+    self-join over the event stream, no driver-side state."""
+    for c in (user_col, type_col, time_col, order_col):
+        if c not in ev.columns:
+            raise KeyError(f"unknown variable: {c!r}")
+    horizon = int(horizon_days)
+    chain = (
+        Window.partitionBy(user_col)
+        .orderBy(time_col, order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.withColumn(
+        "j",
+        F.count(F.when(F.col(type_col) == target, F.lit(1))).over(chain),
+    )
+    conv = seq.filter(F.col(type_col) == target).select(
+        F.col(user_col).alias("u"),
+        "j",
+        # cast-to-timestamp first: a no-op for TimestampType, and a
+            # value-preserving reinterpretation for TIMESTAMP_NTZ inputs
+            # (session tz is pinned UTC) — unix_micros rejects NTZ outright
+            F.unix_micros(F.col(time_col).cast("timestamp")).alias("conv_us"),
+    )
+    wj = Window.partitionBy(user_col, "j").orderBy(time_col, order_col)
+    touch = (
+        seq.filter(F.col(type_col) != target)
+        .withColumn("pos", F.row_number().over(wj))
+        .withColumn("n", F.count("*").over(Window.partitionBy(user_col, "j")))
+        .select(
+            F.col(user_col).alias("u"),
+            "j",
+            F.col(type_col).alias("touch_type"),
+            F.unix_micros(F.col(time_col).cast("timestamp")).alias("touch_us"),
+            "pos",
+            "n",
+        )
+    )
+    joined = touch.join(conv, ["u", "j"]).withColumn(
+        "dd",
+        F.least(
+            F.floor((F.col("conv_us") - F.col("touch_us")) / F.lit(86400e6)),
+            F.lit(horizon),
+        ).cast("int"),
+    )
+    # exact power-of-two decay weight + its exact per-journey sum
+    decayed = joined.withColumn(
+        "wgt", F.expr(f"shiftleft(CAST(1 AS BIGINT), {horizon} - dd)")
+    ).withColumn("wsum", F.sum("wgt").over(Window.partitionBy("u", "j")))
+    linear = F.floor(F.lit(1000000.0) / F.col("n")).cast("long")
+    position = (
+        F.when(F.col("n") == 1, F.lit(1000000))
+        .when(F.col("n") == 2, F.lit(500000))
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n")), F.lit(400000))
+        .otherwise(F.floor(F.lit(200000.0) / (F.col("n") - 2)))
+        .cast("long")
+    )
+    decay = F.floor(
+        F.lit(1000000.0) * F.col("wgt") / F.col("wsum")
+    ).cast("long")
+    per_touch = decayed.select(
+        "touch_type",
+        F.explode(
+            F.map_from_arrays(
+                F.array(F.lit("linear"), F.lit("position"), F.lit("time_decay")),
+                F.array(linear, position, decay),
+            )
+        ).alias("model", "credit"),
+    )
+    agg = per_touch.groupBy("model", "touch_type").agg(
+        F.sum("credit").alias("credit_micro")
+    )
+    tot = Window.partitionBy("model")
+    return agg.select(
+        "model",
+        "touch_type",
+        "credit_micro",
+        F.round(
+            F.col("credit_micro").cast("double")
+            / F.sum("credit_micro").over(tot).cast("double"),
+            6,
+        ).alias("share"),
+    )
+
+
+@query(
+    "q_attribution_multi",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type, ts, event_id,
+                   count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS j
+            FROM events
+        ),
+        conv AS (
+            SELECT user_id, j, epoch_us(ts) AS conv_us
+            FROM seq WHERE event_type = 'purchase'
+        ),
+        touch AS (
+            SELECT user_id, j, event_type AS touch_type, epoch_us(ts) AS touch_us,
+                   row_number() OVER (PARTITION BY user_id, j
+                                      ORDER BY ts, event_id) AS pos,
+                   count(*) OVER (PARTITION BY user_id, j) AS n
+            FROM seq WHERE event_type <> 'purchase'
+        ),
+        joined AS (
+            SELECT t.touch_type, t.pos, t.n, t.user_id, t.j,
+                   CAST(least(floor((c.conv_us - t.touch_us) / 86400e6),
+                              30) AS INT) AS dd
+            FROM touch t JOIN conv c
+              ON t.user_id = c.user_id AND t.j = c.j
+        ),
+        decayed AS (
+            SELECT touch_type, pos, n,
+                   (CAST(1 AS BIGINT) << (30 - dd)) AS wgt,
+                   CAST(sum(CAST(1 AS BIGINT) << (30 - dd))
+                        OVER (PARTITION BY user_id, j) AS BIGINT) AS wsum
+            FROM joined
+        ),
+        per_touch AS (
+            SELECT touch_type, 'linear' AS model,
+                   CAST(floor(1000000.0 / n) AS BIGINT) AS credit
+            FROM decayed
+            UNION ALL
+            SELECT touch_type, 'position',
+                   CAST(CASE WHEN n = 1 THEN 1000000
+                             WHEN n = 2 THEN 500000
+                             WHEN pos = 1 OR pos = n THEN 400000
+                             ELSE floor(200000.0 / (n - 2)) END AS BIGINT)
+            FROM decayed
+            UNION ALL
+            SELECT touch_type, 'time_decay',
+                   CAST(floor(1000000.0 * wgt / wsum) AS BIGINT)
+            FROM decayed
+        ),
+        agg AS (
+            SELECT model, touch_type,
+                   CAST(sum(credit) AS BIGINT) AS credit_micro
+            FROM per_touch GROUP BY 1, 2
+        )
+        SELECT model, touch_type, credit_micro,
+               round(CAST(credit_micro AS DOUBLE)
+                     / CAST(CAST(sum(credit_micro)
+                            OVER (PARTITION BY model) AS BIGINT)
+                            AS DOUBLE), 6) AS share
+        FROM agg
+    """,
+    doc="Multi-touch conversion attribution: linear, position-based "
+    "(U-shaped 40/20/40), and time-decay (exact power-of-two half-... "
+    "per-day weights) credit over each conversion's journey — the "
+    "standard marketing-science siblings of last-touch, with exact "
+    "integer micro-unit credit so cross-engine sums are "
+    "order-independent.",
+)
+def q_attribution_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Journeys are delimited by a running count of purchases strictly
+    before each row (the same (ts, event_id) total-order chain contract
+    as q_attribution); three credit models are emitted per touch via a
+    single map_from_arrays explode so the journey frame is scanned
+    once. All credit arithmetic is exact-integer micro-units with
+    floor() division (1e6/n CAN land exactly on .5 where engine round()
+    semantics diverge — numerics.py rule 2 territory); time-decay
+    weights are exact powers of two from whole-day ages measured on
+    epoch-microsecond integers."""
+    t = load_tables(spark, sf_dir)
+    return multi_touch_attribution(
+        t["events"], "user_id", "event_type", "ts", "event_id", "purchase"
+    )

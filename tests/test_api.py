@@ -1610,6 +1610,20 @@ def test_event_analytics_services(spark):
     for b in at["buckets"]:
         assert key_at[b["touch"]] == (b["n"], b["share"])
 
+    atm = api.attribution_multi("_ev", "user_id", "event_type", "ts",
+                                "event_id", "purchase")
+    key_atm = {
+        (r.model, r.touch_type): (r.credit_micro, r.share)
+        for r in REGISTRY["q_attribution_multi"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(atm["models"]) == {"linear", "position", "time_decay"}
+    for model, buckets in atm["models"].items():
+        for b in buckets:
+            assert key_atm[(model, b["touch"])] == (
+                b["credit_micro"], b["share"]
+            )
+        assert abs(sum(b["share"] for b in buckets) - 1.0) < 1e-4
+
     # pagerank over an explicit edge table registered as a dataset
     edges = spark.createDataFrame(
         [(i, (i + 1) % 6) for i in range(6)], ["s", "d"]

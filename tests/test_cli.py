@@ -270,3 +270,15 @@ def test_cli_event_analytics(spark, capsys):
     ])
     assert rc == 0 and res["n_conversions"] > 0
     assert abs(sum(b["share"] for b in res["buckets"]) - 1.0) < 1e-3
+
+    rc, res = _run(capsys, [
+        "attribution-multi", "--data",
+        os.path.join(SF_SMOKE, "events.parquet"),
+        "--user", "user_id", "--event", "event_type",
+        "--time", "ts", "--order", "event_id", "--target", "purchase",
+    ])
+    assert rc == 0 and set(res["models"]) == {
+        "linear", "position", "time_decay"
+    }
+    for buckets in res["models"].values():
+        assert abs(sum(b["share"] for b in buckets) - 1.0) < 1e-3

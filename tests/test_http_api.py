@@ -487,6 +487,14 @@ def test_event_analytics_routes(base_url, spark):
     )
     assert status == 200 and res["n_conversions"] > 0
 
+    status, res = _get(
+        f"{base_url}/attribution_multi?dataset=evr&user=user_id"
+        "&event=event_type&time=ts&order=event_id&target=purchase"
+    )
+    assert status == 200 and set(res["models"]) == {
+        "linear", "position", "time_decay"
+    }
+
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(f"{base_url}/pagerank?dataset=evr&src=user_id")
     assert e.value.code == 400

@@ -922,3 +922,82 @@ def test_pagerank_rejects_mismatched_id_types(spark):
     mixed = spark.createDataFrame([(1, "a"), (2, "b")], ["src", "dst"])
     with _pytest.raises(ValueError, match="types must match"):
         pagerank(mixed)
+
+
+def test_multi_touch_attribution_semantics(spark):
+    """Hand-built chain pins journey delimiting and per-model credit:
+    user 1 = T T P T P P — journey 0 has two touches (click, view),
+    journey 1 has one (click), journey 2 is empty (no credit anywhere);
+    user 2 = P with no touches at all."""
+    from datetime import datetime as dt
+
+    from correlationapi_spark.operators.analytics import (
+        multi_touch_attribution,
+    )
+
+    rows = [
+        (1, dt(2024, 1, 1, 0), 1, "click"),
+        (2, dt(2024, 1, 2, 0), 1, "view"),
+        (3, dt(2024, 1, 3, 0), 1, "purchase"),
+        (4, dt(2024, 1, 4, 0), 1, "click"),
+        (5, dt(2024, 1, 5, 0), 1, "purchase"),
+        (6, dt(2024, 1, 6, 0), 1, "purchase"),
+        (7, dt(2024, 1, 7, 0), 2, "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "user_id",
+                                      "event_type"])
+    out = {
+        (r.model, r.touch_type): (r.credit_micro, r.share)
+        for r in multi_touch_attribution(
+            ev, "user_id", "event_type", "ts", "event_id", "purchase"
+        ).collect()
+    }
+    # journey 0: n=2 -> 500000 each (linear AND position); journey 1:
+    # n=1 -> click gets the full 1e6 in every model.
+    for model in ("linear", "position"):
+        assert out[(model, "click")][0] == 500000 + 1000000
+        assert out[(model, "view")][0] == 500000
+    # time_decay journey 0: click is 2 days out (w=2^28), view 1 day
+    # (w=2^29): click floor(1e6/3)=333333, view floor(2e6/3)=666666.
+    assert out[("time_decay", "click")][0] == 333333 + 1000000
+    assert out[("time_decay", "view")][0] == 666666
+    # per-model shares sum to 1 within floor slack
+    for model in ("linear", "position", "time_decay"):
+        s = sum(v[1] for (m, _), v in out.items() if m == model)
+        assert abs(s - 1.0) < 1e-4
+    # empty journeys contribute nothing: totals <= 2 conversions' credit
+    for model in ("linear", "position", "time_decay"):
+        tot = sum(v[0] for (m, _), v in out.items() if m == model)
+        assert 2000000 - 3 <= tot <= 2000000
+
+    with pytest.raises(KeyError):
+        multi_touch_attribution(ev, "user_id", "nope", "ts", "event_id",
+                                "purchase")
+
+
+def test_multi_touch_position_u_shape(spark):
+    """A 4-touch journey splits 40/10/10/40 (U-shape) and linear splits
+    evenly; both models' journey totals hit 1e6 exactly here."""
+    from datetime import datetime as dt
+
+    from correlationapi_spark.operators.analytics import (
+        multi_touch_attribution,
+    )
+
+    rows = [
+        (i, dt(2024, 1, 1, i), 1, t)
+        for i, t in enumerate(["a", "b", "c", "d", "purchase"], start=1)
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "user_id",
+                                      "event_type"])
+    out = {
+        (r.model, r.touch_type): r.credit_micro
+        for r in multi_touch_attribution(
+            ev, "user_id", "event_type", "ts", "event_id", "purchase"
+        ).collect()
+    }
+    assert out[("position", "a")] == 400000
+    assert out[("position", "b")] == 100000
+    assert out[("position", "c")] == 100000
+    assert out[("position", "d")] == 400000
+    assert all(out[("linear", t)] == 250000 for t in "abcd")

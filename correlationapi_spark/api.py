@@ -933,12 +933,13 @@ class CorrelationAPI:
         time_col: str,
         grain: str = "day",
     ) -> dict[str, Any]:
-        """Distribution-drift monitor: per-period exact KS distance AND
-        Laplace-smoothed PSI of a numeric variable against the
-        full-period reference distribution — the q_drift_daily /
-        q_drift_psi engines as one service endpoint (values quantize
-        to exact integer micro-units; KS sup is evaluated over the
-        GLOBAL value domain via the period×domain spine; PSI uses 10
+        """Distribution-drift monitor: per-period exact KS distance,
+        Laplace-smoothed PSI, and KL + Jensen-Shannon divergence of a
+        numeric variable against the full-period reference
+        distribution — the q_drift_daily / q_drift_psi / q_drift_js
+        engines as one service endpoint (values quantize to exact
+        integer micro-units; KS sup is evaluated over the GLOBAL value
+        domain via the period×domain spine; PSI/KL/JS share 10
         equal-width integer bins).
 
         Scale shape: the fact scan reduces to (period, value) cells
@@ -957,7 +958,7 @@ class CorrelationAPI:
             F.date_trunc(grain, F.col(time_col)).alias("d"),
             F.round(x * 1000000, 0).cast("long").alias("v"),
         ).filter(F.col("d").isNotNull() & F.col("v").isNotNull())
-        rows = drift_frame(data).collect()
+        rows = drift_frame(data, js=True).collect()
         return {
             "dataset": dataset, "var": var, "time": time_col,
             "grain": grain,
@@ -965,6 +966,8 @@ class CorrelationAPI:
                 str(r.d): {
                     "ks_d": _nan_to_none(r.ks_d),
                     "psi": _nan_to_none(r.psi),
+                    "kl": _nan_to_none(r.kl),
+                    "js": _nan_to_none(r.js),
                     "n": r.n_period,
                 }
                 for r in rows

@@ -2258,11 +2258,17 @@ def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def drift_frame(data: DataFrame, ks: bool = True, psi: bool = True) -> DataFrame:
+def drift_frame(
+    data: DataFrame,
+    ks: bool = True,
+    psi: bool = True,
+    js: bool = False,
+) -> DataFrame:
     """Shared drift engine over a ``(d, v)`` frame (period, integer-
-    quantized value): per-period exact KS distance and/or Laplace-
-    smoothed PSI vs the full-period reference. The q_drift_daily /
-    q_drift_psi keys and api.drift() all consume this one engine.
+    quantized value): per-period exact KS distance, Laplace-smoothed
+    PSI, and/or KL + Jensen-Shannon divergence vs the full-period
+    reference. The q_drift_daily / q_drift_psi / q_drift_js keys and
+    api.drift() all consume this one engine.
 
     The raw frame collapses to (period, value) CELLS once — pinned
     with materialize() because every downstream branch (domain table,
@@ -2270,10 +2276,11 @@ def drift_frame(data: DataFrame, ks: bool = True, psi: bool = True) -> DataFrame
     makes that one scan + one shuffle instead of one per consumer.
     After the cells aggregate, everything is bounded by time × value
     domain: the KS spine is #periods × #distinct-values with a
-    per-period domain-sized window; PSI is #periods × 10 bins from
-    pure integer binning.
+    per-period domain-sized window; PSI/KL/JS are #periods × 10 bins
+    from pure integer binning (shared between the three — requesting
+    psi AND js computes the bin table once).
 
-    Returns (d, [ks_d], [psi], n_period) ordered by d."""
+    Returns (d, [ks_d], [psi], [kl], [js], n_period) ordered by d."""
     from ..ordering import global_running_sum, materialize
 
     cells = materialize(
@@ -2319,7 +2326,7 @@ def drift_frame(data: DataFrame, ks: bool = True, psi: bool = True) -> DataFrame
         )
         out = out.join(kdf, "d")
 
-    if psi:
+    if psi or js:
         rng = materialize(
             cells.agg(
                 F.min("v").alias("lo"),
@@ -2350,18 +2357,59 @@ def drift_frame(data: DataFrame, ks: bool = True, psi: bool = True) -> DataFrame
             F.col("nd") + 10
         )
         q = (F.col("cg") + 1).cast("double") / (F.col("n") + 10)
-        pdf = (
-            joined.select("d", ((p - q) * F.log(p / q)).alias("term"))
-            .groupBy("d")
-            .agg(F.round(F.sum("term"), 6).alias("psi"))
-        )
-        out = out.join(pdf, "d")
+        if psi:
+            pdf = (
+                joined.select("d", ((p - q) * F.log(p / q)).alias("term"))
+                .groupBy("d")
+                .agg(F.round(F.sum("term"), 6).alias("psi"))
+            )
+            out = out.join(pdf, "d")
+        if js:
+            # KL(p‖q) = Σ p·ln(p/q); JS = ½KL(p‖m) + ½KL(q‖m) with
+            # m = (p+q)/2. Unlike PSI's industry "+10" smoothing, KL/JS
+            # smooth by the OCCUPIED-bin count nb — (c+1)/(nd+nb) sums
+            # to exactly 1 over the nb-bin spine, so p and q are true
+            # distributions and Gibbs' inequality holds (KL ≥ 0,
+            # 0 ≤ JS ≤ ln 2); with "+10" and nb < 10 KL goes negative.
+            # Every ln argument is a ratio of exact-integer ratios, so
+            # both engines evaluate the identical IEEE expression per
+            # bin before the ≤10-term sum is absorbed at 6 dp.
+            nb = F.broadcast(refc.agg(F.count("*").alias("nb")))
+            joined_js = joined.crossJoin(nb)
+            p_js = (F.coalesce(F.col("cb"), F.lit(0)) + 1).cast(
+                "double"
+            ) / (F.col("nd") + F.col("nb"))
+            q_js = (F.col("cg") + 1).cast("double") / (
+                F.col("n") + F.col("nb")
+            )
+            jdf = (
+                joined_js.select(
+                    "d",
+                    (p_js * F.log(p_js / q_js)).alias("kl_term"),
+                    (
+                        F.lit(0.5)
+                        * p_js
+                        * F.log(F.lit(2.0) * p_js / (p_js + q_js))
+                        + F.lit(0.5)
+                        * q_js
+                        * F.log(F.lit(2.0) * q_js / (p_js + q_js))
+                    ).alias("js_term"),
+                )
+                .groupBy("d")
+                .agg(
+                    F.round(F.sum("kl_term"), 6).alias("kl"),
+                    F.round(F.sum("js_term"), 6).alias("js"),
+                )
+            )
+            out = out.join(jdf, "d")
 
     cols = ["d"]
     if ks:
         cols.append("ks_d")
     if psi:
         cols.append("psi")
+    if js:
+        cols.extend(["kl", "js"])
     return out.select(
         *cols, F.col("nd").alias("n_period")
     ).orderBy("d")
@@ -2498,6 +2546,72 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift_frame(
         _events_drift_frame(spark, sf_dir), ks=False, psi=True
     ).select("d", "psi", F.col("n_period").alias("n_day"))
+
+
+@query(
+    "q_drift_js",
+    oracle="""
+        WITH x AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+                   CAST(round(value * 1000000) AS BIGINT) AS v
+            FROM events
+        ),
+        rng AS (SELECT min(v) AS lo, max(v) AS hi,
+                       CAST(count(*) AS BIGINT) AS n FROM x),
+        binned AS (
+            SELECT x.d,
+                   CAST(floor(CAST((x.v - rng.lo) * 10 AS DOUBLE)
+                              / (rng.hi - rng.lo + 1)) AS BIGINT) AS b
+            FROM x CROSS JOIN rng
+        ),
+        dayc AS (
+            SELECT d, b, CAST(count(*) AS BIGINT) AS c
+            FROM binned GROUP BY 1, 2
+        ),
+        refc AS (
+            SELECT b, CAST(count(*) AS BIGINT) AS cg
+            FROM binned GROUP BY 1
+        ),
+        days AS (SELECT d, CAST(sum(c) AS BIGINT) AS nd FROM dayc GROUP BY 1),
+        spine AS (
+            SELECT days.d, days.nd, refc.b, refc.cg FROM days CROSS JOIN refc
+        ),
+        nb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM refc),
+        pq AS (
+            SELECT s.d, s.nd,
+                   CAST(coalesce(dc.c, 0) + 1 AS DOUBLE)
+                       / (s.nd + b.nb) AS p,
+                   CAST(s.cg + 1 AS DOUBLE) / (t.n + b.nb) AS q
+            FROM spine s
+            LEFT JOIN dayc dc ON dc.d = s.d AND dc.b = s.b
+            CROSS JOIN rng t CROSS JOIN nb b
+        )
+        SELECT d,
+               round(sum(p * ln(p / q)), 6) AS kl,
+               round(sum(0.5 * p * ln(2.0 * p / (p + q))
+                         + 0.5 * q * ln(2.0 * q / (p + q))), 6) AS js,
+               any_value(nd) AS n_day
+        FROM pq GROUP BY 1 ORDER BY 1
+    """,
+    doc="Per-day KL and Jensen-Shannon divergence vs the full-period "
+    "reference over the same 10 equal-width bins as PSI (normalizing "
+    "add-one smoothing, so KL ≥ 0 and JS ≤ ln 2 hold exactly) — "
+    "completing the drift-monitor family beside KS and PSI.",
+)
+def q_drift_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(p‖q) = Σ p·ln(p/q); JS = ½KL(p‖m) + ½KL(q‖m), m=(p+q)/2 —
+    over the same bin table q_drift_psi builds, but with NORMALIZING
+    add-one smoothing (p=(c+1)/(nd+nb) day, q=(cg+1)/(N+nb) reference,
+    nb = occupied-bin count): p and q then sum to exactly 1, so
+    Gibbs' inequality holds (KL ≥ 0, 0 ≤ JS ≤ ln 2 — PSI's industry
+    "+10" denominator loses both bounds whenever nb < 10). Smoothing
+    keeps every ln finite; each bin term is the identical IEEE
+    expression on both engines over exact integer ratios, absorbed at
+    6 dp over ≤10 terms. Engine and scale shape: drift_frame (shared
+    with q_drift_daily / q_drift_psi / api.drift)."""
+    return drift_frame(
+        _events_drift_frame(spark, sf_dir), ks=False, psi=False, js=True
+    ).select("d", "kl", "js", F.col("n_period").alias("n_day"))
 
 
 def _eta_1row(df: DataFrame, grp: str, val_cents: Column):

@@ -70,10 +70,13 @@ _MODULES = (
 # code/oracle/fixture changed THIS round after their latest verdict, so
 # they jump back to the front of the sweep regardless of verdict age.
 _TOUCHED: frozenset[str] = frozenset({
-    # round 9: reset — no previously-verified key's code path has changed
-    # yet this round, so the age rotation gets the full 50-key window for
-    # the r04/r05 cohort the r8 verdict flagged as stalest (new keys added
-    # this round rank as never-verified automatically).
+    # round 9 (kept minimal so the age rotation's 50-key window reaches
+    # the r04/r05 cohort the r8 verdict flagged as stalest; new keys
+    # rank as never-verified automatically):
+    "q_drift_daily",  # drift_frame gained the js branch: the shared
+    "q_drift_psi",    # psi binning block was restructured under a
+                      # `psi or js` guard, so both consumers' code path
+                      # changed after their r8 verdicts
 })
 
 

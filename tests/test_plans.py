@@ -630,7 +630,7 @@ def test_drift_frame_consumers_scan_zero_parquet(spark):
     the consumer plan holds ZERO parquet FileScans — the events scan
     runs exactly once in the producing stage (the Q15 single-scan
     pattern applied to the drift family)."""
-    for key in ("q_drift_daily", "q_drift_psi"):
+    for key in ("q_drift_daily", "q_drift_psi", "q_drift_js"):
         plan = REGISTRY[key].fn(spark, SF_SMOKE)._jdf.queryExecution()\
             .executedPlan().toString()
         assert plan.count("Scan parquet") == 0, key

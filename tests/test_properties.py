@@ -720,20 +720,33 @@ def test_drift_zero_when_periods_identical(spark):
     vals = [10 * k for k in range(1, 11)]
     base = [(d, v) for d in range(5) for v in vals for _ in range(2)]
     df = spark.createDataFrame(base, ["d", "v"])
-    rows = drift_frame(df, ks=True, psi=True).collect()
+    rows = drift_frame(df, ks=True, psi=True, js=True).collect()
     assert len(rows) == 5
     for r in rows:
         assert r.ks_d == 0.0
         assert r.psi == 0.0
+        # the same uniform-bin cancellation zeroes KL and JS exactly
+        assert r.kl == 0.0 and r.js == 0.0
         assert r.n_period == 20
 
     shifted = [(d, v) for d in range(4) for v in (10, 20, 30, 40)] + [
         (4, v) for v in (1010, 1020, 1030, 1040)
     ]
     df2 = spark.createDataFrame(shifted, ["d", "v"])
-    rows2 = {r.d: r for r in drift_frame(df2, ks=True, psi=True).collect()}
+    rows2 = {
+        r.d: r
+        for r in drift_frame(df2, ks=True, psi=True, js=True).collect()
+    }
     assert rows2[4].ks_d > max(rows2[d].ks_d for d in range(4))
     assert rows2[4].psi > max(rows2[d].psi for d in range(4))
+    import math
+
+    for r in rows2.values():
+        # JS is bounded by ln 2 and non-negative; KL ≥ JS-ish lower
+        # bound isn't a theorem, but KL ≥ 0 is (Gibbs)
+        assert -1e-9 <= r.js <= math.log(2) + 1e-9
+        assert r.kl >= -1e-9
+    assert rows2[4].js > max(rows2[d].js for d in range(4))
 
 
 @given(

@@ -1014,3 +1014,31 @@ def test_multi_touch_position_u_shape(spark):
     assert out[("position", "c")] == 100000
     assert out[("position", "d")] == 400000
     assert all(out[("linear", t)] == 250000 for t in "abcd")
+
+
+def test_kll_two_level_merge_rank_error_at_1m(spark):
+    """Certifies the q_agg_quantile_merge pattern at 1M rows: 32
+    per-shard KLL(k=200) sketches merged once, estimated quantiles of
+    the uniform 0..N-1 identity column must land within the sketch's
+    certified normalized rank error (~1.65%; assert 2.5%) of p·N —
+    the scale evidence that the two-level merge does not degrade the
+    single-level bound."""
+    from pyspark.sql import functions as F
+
+    n = 1_000_000
+    df = spark.range(n).select(
+        (F.col("id") % 32).alias("shard"), F.col("id").alias("v")
+    )
+    shards = df.groupBy("shard").agg(
+        F.kll_sketch_agg_bigint("v", 200).alias("sk")
+    )
+    merged = shards.agg(F.kll_merge_agg_bigint("sk").alias("msk"))
+    row = merged.select(
+        *[
+            F.kll_sketch_get_quantile_bigint("msk", F.lit(p)).alias(f"q{i}")
+            for i, p in enumerate((0.01, 0.25, 0.5, 0.75, 0.9, 0.99))
+        ]
+    ).collect()[0]
+    for i, p in enumerate((0.01, 0.25, 0.5, 0.75, 0.9, 0.99)):
+        est = row[f"q{i}"]
+        assert abs(est / n - p) < 0.025, (p, est)

@@ -1486,3 +1486,44 @@ def test_pack_bestfit_contract(spark):
     # most one under-half bin each vs the dense packing
     lower = math.ceil(docs["n_tok"].sum() / _PACK_CAPACITY)
     assert lower <= len(bins) <= 2 * lower + _BESTFIT_SHARDS
+
+
+def test_quantile_merge_rank_error_bounds(spark):
+    """q_agg_quantile_merge: each merged-sketch percentile, re-ranked
+    against the EXACT per-region balance distribution, must sit within
+    KLL k=200's certified normalized rank error (~1.65%; allow 3% for
+    the merge level)."""
+    import pyspark.sql.functions as F
+
+    from correlationapi_spark.io import load_tables
+
+    out = {
+        r.n_regionkey: r
+        for r in REGISTRY["q_agg_quantile_merge"].fn(spark, SF_SMOKE).collect()
+    }
+    t = load_tables(spark, SF_SMOKE)
+    joined = t["customer"].join(
+        t["nation"], F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    exact = {
+        r.n_regionkey: (r.n, sorted(r.vals))
+        for r in joined.groupBy("n_regionkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.collect_list("c_acctbal").alias("vals"),
+        )
+        .collect()
+    }
+    assert set(out) == set(exact)
+    import bisect
+
+    for k, row in out.items():
+        n, vals = exact[k]
+        assert row.n_customers == n
+        for p, est in ((0.5, row.p50_acctbal), (0.9, row.p90_acctbal),
+                       (0.99, row.p99_acctbal)):
+            # empirical rank of the estimate (cents-rounded like the key)
+            rank = bisect.bisect_right(
+                [round(v * 100) for v in vals], round(est * 100)
+            ) / n
+            assert abs(rank - p) < 0.03, (k, p, est, rank)

@@ -334,3 +334,84 @@ def test_rocksdb_state_store_matches_batch(spark, chunk_dir):
             conf.unset(key)
         else:
             conf.set(key, saved)
+
+
+def test_stream_stream_join_state_stays_bounded(spark, tmp_path):
+    """The 100×-scale failure mode of a stream-stream join is UNBOUNDED
+    state: without watermark eviction both sides' state stores grow
+    with cumulative input and the job eventually OOMs. This canary
+    replays 8 time-ordered chunks through the watermarked self-join
+    (views within 60 min before each purchase, 2 h watermarks) and
+    asserts, from the query's own progress metrics, that
+    stateOperators numRowsTotal (1) never approaches cumulative input
+    and (2) plateaus instead of growing monotonically — plus result
+    parity with the batch oracle-checked form (in-order replay with a
+    2 h watermark over ≫2 h chunks loses no pairs)."""
+    import uuid as _uuid
+
+    chunk8 = write_event_chunks(spark, SF_SMOKE, n_chunks=8)
+    try:
+        stream = events_stream(spark, chunk8)
+        p = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+            .withWatermark("p_ts", "2 hours")
+        )
+        c = (
+            stream.filter(F.col("event_type") == "view")
+            .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+            .withWatermark("c_ts", "2 hours")
+        )
+        pairs = p.join(
+            c,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 60 MINUTES"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+        )
+        name = f"ssj_{_uuid.uuid4().hex[:12]}"
+        q = (
+            pairs.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        state_rows = [
+            sum(op["numRowsTotal"] for op in pr.stateOperators)
+            for pr in q.recentProgress
+            if pr.stateOperators
+        ]
+        n_input = (
+            load_tables(spark, SF_SMOKE)["events"]
+            .filter(F.col("event_type").isin("purchase", "view"))
+            .count()
+        )
+        assert len(state_rows) >= 4, "expected multiple join microbatches"
+        # (1) bounded: even the peak holds a small fraction of cumulative
+        # input (without watermarks the final batch would hold ~100%)
+        assert max(state_rows) < 0.25 * n_input, (state_rows, n_input)
+        # (2) plateau: the second half of the replay must not exceed the
+        # first half's peak by more than small jitter — state is evicted
+        # as the watermark advances, not accumulated
+        half = len(state_rows) // 2
+        assert max(state_rows[half:]) <= max(state_rows[:half]) * 2 + 8, (
+            state_rows
+        )
+
+        # parity with the batch oracle-checked form
+        got = sorted(
+            (r.p_user, r.n_pairs)
+            for r in spark.table(name)
+            .groupBy(F.col("p_user"))
+            .agg(F.count("*").alias("n_pairs"))
+            .collect()
+        )
+        want = sorted(
+            (r.user_id, r.n_pairs)
+            for r in REGISTRY["q_stream_stream_join"].fn(spark, SF_SMOKE).collect()
+        )
+        assert got == want
+    finally:
+        shutil.rmtree(chunk8, ignore_errors=True)

@@ -1094,3 +1094,129 @@ def q_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(pack, out_schema)
         .orderBy("bin_id")
     )
+
+
+_BPE_PRETOKEN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 24,
+    vocab_cap: int = 5000,
+    min_pair_freq: int = 2,
+):
+    """Train a REAL byte-pair-encoding merges table on the corpus with
+    pure DataFrame iterations — the actual Sennrich et al. procedure,
+    not the pre-tokenizer regex proxy q_text_tokens_bpeish uses.
+
+    Setup: pre-tokenize with the BPE-ish regex, reduce the corpus to the
+    (word, freq) TYPE table (at 100 TB the type table is vocabulary-
+    sized, not corpus-sized — this one reduction is the only pass over
+    the raw text), cap it at the ``vocab_cap`` most frequent types
+    (freq desc, word asc — deterministic), and split each word into
+    character symbols.
+
+    Each merge round is two vocabulary-sized jobs, the same driver-loop
+    discipline as graph.py / kmeans_lloyd (bounded driver state — ONE
+    (left, right, freq) row pulled per round; localCheckpoint truncates
+    the per-round aggregate lineage):
+
+      1. adjacent-pair count: zip_with over shifted slices (the
+         SCALING.md §2.8 n-gram pattern), groupBy (l, r), freq-weighted
+         sum; argmax with (freq desc, l asc, r asc) tie-break so the
+         winner is deterministic cross-run;
+      2. merge apply: a single F.aggregate fold per word — the
+         canonical greedy left-to-right single-pass merge (merging
+         (a,a) in "aaa" yields ["aa","a"], exactly the reference
+         semantics) — using F.get for the look-back so empty prefixes
+         yield NULL (false) instead of ANSI element_at errors.
+
+    Stops early when the best pair's frequency drops below
+    ``min_pair_freq``. Returns (merges, words): ``merges`` is the
+    ordered rule list [(rank, left, right, merged, freq)], ``words``
+    the final (w, freq, syms, n_syms) type table — the word→token-count
+    map that drives tokenizer-faithful packing without re-applying the
+    rules to the corpus."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1: {n_merges}")
+    words = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(_BPE_PRETOKEN), 0
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "w")
+        .limit(vocab_cap)
+        .withColumn("syms", F.split("w", ""))
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    empty = F.expr("CAST(array() AS array<string>)")
+    for rank in range(n_merges):
+        lefts = F.slice("syms", 1, F.size("syms") - 1)
+        rights = F.slice("syms", 2, F.size("syms") - 1)
+        best = (
+            words.filter(F.size("syms") > 1)
+            .select(
+                "freq",
+                F.explode(
+                    F.zip_with(
+                        lefts, rights,
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("pf"))
+            .orderBy(F.desc("pf"), "l", "r")
+            .first()
+        )
+        if best is None or best.pf < min_pair_freq:
+            break
+        la, lb = F.lit(best.l), F.lit(best.r)
+        merged = F.concat(la, lb)
+        words = words.withColumn(
+            "syms",
+            F.aggregate(
+                "syms",
+                empty,
+                lambda acc, x: F.when(
+                    (F.get(acc, F.size(acc) - 1) == la) & (x == lb),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ),
+        ).localCheckpoint()
+        merges.append((rank, best.l, best.r, best.l + best.r, int(best.pf)))
+    return merges, words.withColumn("n_syms", F.size("syms"))
+
+
+@query(
+    "q_text_bpe_train",
+    rows_only_reason="Iterative merge training (argmax + fold per round) "
+    "has no SQL-expressible oracle; determinism and exact agreement with "
+    "a sequential reference BPE implementation are property-tested in "
+    "tests/test_properties.py, and tokenizer-faithful packing driven by "
+    "the trained counts is parity-tested there too.",
+    doc="Real BPE training on the documents corpus: the ordered merges "
+    "table (rank, left, right, merged, pair_freq) from iterative "
+    "pair-count/merge rounds over the word-type table — the actual "
+    "tokenizer-training primitive behind the q_*_bpeish proxies.",
+)
+def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture exhibit of bpe_train (engine docstring has the algorithm
+    and scale shape): 24 merges over the documents corpus. The merges
+    list is rank-ordered and deterministic — pair argmax ties break on
+    (l, r) lexicographically, so two runs (or two cluster layouts)
+    produce identical rules."""
+    t = load_tables(spark, sf_dir)
+    merges, _ = bpe_train(t["documents"], n_merges=24)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_freq long"
+    )

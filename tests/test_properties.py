@@ -1042,3 +1042,113 @@ def test_kll_two_level_merge_rank_error_at_1m(spark):
     for i, p in enumerate((0.01, 0.25, 0.5, 0.75, 0.9, 0.99)):
         est = row[f"q{i}"]
         assert abs(est / n - p) < 0.025, (p, est)
+
+
+def _ref_bpe(word_freqs, n_merges, min_pair_freq=2):
+    """Sequential reference BPE with the engine's exact contract:
+    argmax pair by (freq desc, l asc, r asc), greedy left-to-right
+    single-pass merge apply."""
+    words = {w: list(w) for w in word_freqs}
+    merges = []
+    for rank in range(n_merges):
+        counts: dict = {}
+        for w, f in word_freqs.items():
+            s = words[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+        if not counts:
+            break
+        maxf = max(counts.values())
+        if maxf < min_pair_freq:
+            break
+        l, r = min(k for k, v in counts.items() if v == maxf)
+        merges.append((rank, l, r, l + r, maxf))
+        for w, s in words.items():
+            out: list = []
+            for x in s:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            words[w] = out
+    return merges, words
+
+
+def test_bpe_train_matches_sequential_reference(spark):
+    """bpe_train == the sequential Sennrich procedure on the same word
+    counts — merges agree rule-for-rule (rank, pair, merged, freq) and
+    the final symbol sequences agree word-for-word; a second run
+    produces the identical merges table (cross-run determinism)."""
+    from correlationapi_spark.llm.text import bpe_train
+
+    corpus = [
+        (0, "low low low low low lower lower newest newest"),
+        (1, "newest newest newest newest widest widest widest"),
+        (2, "new new newer lowest lowest wide wide wider"),
+    ]
+    docs = spark.createDataFrame(corpus, ["doc_id", "text"])
+    merges, words = bpe_train(docs, n_merges=12)
+    got_words = {
+        r.w: (r.freq, list(r.syms), r.n_syms) for r in words.collect()
+    }
+
+    freqs: dict = {}
+    for _, t in corpus:
+        for w in t.split(" "):
+            freqs[w] = freqs.get(w, 0) + 1
+    want_merges, want_words = _ref_bpe(freqs, 12)
+    assert merges == want_merges
+    assert set(got_words) == set(want_words)
+    for w, syms in want_words.items():
+        assert got_words[w] == (freqs[w], syms, len(syms)), w
+    # every merged symbol is the concatenation of its pair
+    for _, l, r, m, f in merges:
+        assert m == l + r and f >= 2
+
+    merges2, _ = bpe_train(docs, n_merges=12)
+    assert merges2 == merges
+
+
+def test_bpe_counts_drive_packing_layout(spark):
+    """Tokenizer-faithful packing parity: per-doc token counts from the
+    TRAINED word→n_syms map drive pack_chunks_layout, and the layout
+    agrees with a sequential concat-and-chunk reference over the same
+    counts (conservation, offsets, chunk spans)."""
+    from pyspark.sql import functions as F
+
+    from correlationapi_spark.llm.text import (
+        _BPE_PRETOKEN,
+        bpe_train,
+        pack_chunks_layout,
+    )
+
+    docs = load_tables(spark, SF_SMOKE)["documents"].limit(120)
+    _, words = bpe_train(docs, n_merges=16)
+    counts = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.col("text"), F.lit(_BPE_PRETOKEN), 0)
+            ).alias("w"),
+        )
+        .join(F.broadcast(words.select("w", "n_syms")), "w")
+        .groupBy("doc_id")
+        .agg(F.sum("n_syms").alias("bpe_tokens"))
+    )
+    cap = 64
+    layout = {
+        r.doc_id: (r.n_tok, r.off, r.first_chunk, r.last_chunk, r.n_chunks)
+        for r in pack_chunks_layout(
+            counts, cap, n_tok=F.col("bpe_tokens")
+        ).collect()
+    }
+    seq = sorted((r.doc_id, r.bpe_tokens) for r in counts.collect())
+    off = 0
+    for doc_id, n in seq:
+        first, last = off // cap, (off + n - 1) // cap
+        assert layout[doc_id] == (n, off, first, last, last - first + 1), (
+            doc_id
+        )
+        off += n
+    # conservation: total tokens == final running offset
+    assert off == sum(v[0] for v in layout.values())

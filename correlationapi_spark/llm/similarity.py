@@ -264,6 +264,38 @@ def ivf_probe(
     )
 
 
+def ivf_write(assigned: DataFrame, cents: DataFrame, path: str) -> None:
+    """Persist an IVF index as the WRITTEN layout the 100 TB posture
+    needs: the cell-stamped corpus ``partitionBy("cell")`` under
+    ``path/corpus`` (every probe's candidate read then prunes to its
+    n_probe cells at the parquet scan — directory-level skipping, the
+    same PartitionFilters contract test_ivf_bucketed_probe_prunes_
+    partitions pins) and the k×d centroid table under
+    ``path/centroids``. All probe-side columns (na, _vn2) are
+    persisted so a reader probes without touching the raw corpus."""
+    import os
+
+    assigned.select("vec_id", "v", "na", "_vn2", "cell").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(os.path.join(path, "corpus"))
+    cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+
+
+def ivf_read(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """Open a persisted IVF index: returns ``(assigned, cents)`` in the
+    exact shape ivf_probe consumes. The corpus side stays a
+    cell-partitioned parquet scan — ivf_probe's equi-join on ``cell``
+    against the ≤ n_probe·|probes|-row probe-cells side prunes the
+    scan to the probed cells (dynamic partition pruning; canaried in
+    tests/test_plans.py::test_ivf_written_index_roundtrip)."""
+    import os
+
+    return (
+        spark.read.parquet(os.path.join(path, "corpus")),
+        spark.read.parquet(os.path.join(path, "centroids")),
+    )
+
+
 def topk_neighbors_ivf(
     corpus: DataFrame,
     probe_filter: Column,

@@ -635,3 +635,44 @@ def test_drift_frame_consumers_scan_zero_parquet(spark):
             .executedPlan().toString()
         assert plan.count("Scan parquet") == 0, key
         assert "ExistingRDD" in plan, key
+
+
+def test_ivf_written_index_roundtrip(spark, tmp_path):
+    """ivf_write → ivf_read → ivf_probe must (1) reproduce the
+    in-memory probe results exactly and (2) keep the probe's candidate
+    read cell-pruned on the WRITTEN layout: the equi-join on the
+    partition column against the tiny probe-cells side must reach the
+    parquet scan as a dynamic partition-pruning filter (or the layout
+    has silently regressed to full-corpus reads per probe)."""
+    import pyspark.sql.functions as F
+
+    from correlationapi_spark.llm.similarity import (
+        corpus_view,
+        ivf_index,
+        ivf_probe,
+        ivf_read,
+        ivf_write,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    assigned, cents = ivf_index(corpus_view(emb, "vec_id", "embedding"),
+                                n_cells=4)
+    probes = assigned.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("pv"),
+        F.col("na").alias("pna"),
+    )
+    want = sorted(
+        tuple(r)
+        for r in ivf_probe(assigned, cents, probes, k=5, n_probe=2).collect()
+    )
+
+    path = str(tmp_path / "ivf_index")
+    ivf_write(assigned, cents, path)
+    assigned2, cents2 = ivf_read(spark, path)
+    probe_df = ivf_probe(assigned2, cents2, probes, k=5, n_probe=2)
+    got = sorted(tuple(r) for r in probe_df.collect())
+    assert got == want
+
+    plan = probe_df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:3000]

@@ -53,6 +53,12 @@ PROBE_SWEEP = (1, 2, 5, 10, 20, 50, 100)
 def synthetic_corpus(spark, n: int):
     """(vec_id, v): smooth-manifold position + deterministic per-id
     sinusoidal jitter — fully expression-side, no Python RNG."""
+    # round 9: the manifold period SCALES with n (n//5 → 5 near-duplicate
+    # ids per position at any corpus size). The round-6 fixed 20k period
+    # collapsed the recall curve at 1M: 50 same-position duplicates per
+    # probe meant its entire top-10 sat in its own cell and every
+    # n_probe scored 1.0 — a harness artifact, not index quality.
+    period = max(20_000, n // 5)
 
     def component(d):
         dd = d.cast("double")
@@ -62,7 +68,7 @@ def synthetic_corpus(spark, n: int):
         # ADJACENT cell — the recall-vs-n_probe trade-off is visible.
         # (Separated blob mixtures were useless here: each blob fell
         # wholly inside one cell and n_probe=1 already scored 0.97.)
-        t = (F.col("id") % 20_000).cast("double") / 20_000.0 * 6.2832
+        t = (F.col("id") % period).cast("double") / period * 6.2832
         return F.sin(t * (1.0 + dd * 0.11) + dd) + 0.05 * F.sin(
             F.col("id").cast("double") * 1.0001 + dd * 0.37
         )

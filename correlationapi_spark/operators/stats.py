@@ -2258,6 +2258,95 @@ def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_ttest_welch",
+    oracle="""
+        WITH x AS (
+            SELECT o_orderstatus AS g,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders WHERE o_orderstatus IN ('F', 'O')
+        ),
+        a AS (
+            SELECT CAST(count(*) FILTER (WHERE g = 'F') AS BIGINT) AS n1,
+                   CAST(count(*) FILTER (WHERE g = 'O') AS BIGINT) AS n2,
+                   CAST(sum(cents) FILTER (WHERE g = 'F') AS DOUBLE) AS s1,
+                   CAST(sum(cents) FILTER (WHERE g = 'O') AS DOUBLE) AS s2,
+                   CAST(sum(cents * cents) FILTER (WHERE g = 'F')
+                        AS DOUBLE) AS q1,
+                   CAST(sum(cents * cents) FILTER (WHERE g = 'O')
+                        AS DOUBLE) AS q2
+            FROM x
+        ),
+        b AS (
+            SELECT n1, n2, s1 / n1 AS m1, s2 / n2 AS m2,
+                   (q1 - s1 * s1 / n1) / (n1 - 1) AS v1,
+                   (q2 - s2 * s2 / n2) / (n2 - 1) AS v2
+            FROM a
+        ),
+        c AS (
+            SELECT n1, n2, m1, m2, v1, v2,
+                   v1 / n1 + v2 / n2 AS se2
+            FROM b
+        )
+        SELECT round((m1 - m2) / sqrt(se2), 6) AS t,
+               round(se2 * se2
+                     / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                        + (v2 / n2) * (v2 / n2) / (n2 - 1)), 4) AS df,
+               round(m1 / 100, 6) AS mean_f,
+               round(m2 / 100, 6) AS mean_o,
+               n1 AS n_f, n2 AS n_o
+        FROM c
+    """,
+    doc="Welch's unequal-variance t-test between the F and O "
+    "order-value samples — the parametric mean-difference sibling of "
+    "q_mannwhitney's rank test, with the Welch-Satterthwaite df; "
+    "moments from exact integer-cents power sums in one pass.",
+)
+def q_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t = (m̄₁−m̄₂)/√(v₁/n₁+v₂/n₂), df by Welch-Satterthwaite — the
+    default two-sample mean test (no equal-variance assumption).
+    Determinism: n/Σx/Σx² per group are exact integers (decimal(38,0)
+    accumulators ↔ DuckDB HUGEINT — both cast the SAME exact integer
+    to double, giving identical bits); every later step is the
+    identical IEEE expression chain on both engines, absorbed at
+    6 dp (t, means) / 4 dp (df). Scale shape: ONE partial/final
+    aggregate over the filtered scan — six conditional accumulators,
+    no shuffle beyond the 1-row reduction; contrast q_mannwhitney,
+    whose rank statistics need the distinct-value grain."""
+    x = _orders_two_sample(spark, sf_dir)
+    isf = F.col("g") == "A"
+    iso = F.col("g") == "B"
+    c = F.col("cents")
+    a = x.agg(
+        F.count(F.when(isf, 1)).alias("n1"),
+        F.count(F.when(iso, 1)).alias("n2"),
+        F.sum(F.when(isf, c).cast("decimal(38,0)")).cast("double").alias("s1"),
+        F.sum(F.when(iso, c).cast("decimal(38,0)")).cast("double").alias("s2"),
+        F.sum(F.when(isf, c * c).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("q1"),
+        F.sum(F.when(iso, c * c).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("q2"),
+    )
+    b = a.selectExpr(
+        "n1", "n2", "s1 / n1 AS m1", "s2 / n2 AS m2",
+        "(q1 - s1 * s1 / n1) / (n1 - 1) AS v1",
+        "(q2 - s2 * s2 / n2) / (n2 - 1) AS v2",
+    )
+    cc = b.selectExpr(
+        "n1", "n2", "m1", "m2", "v1", "v2", "v1 / n1 + v2 / n2 AS se2"
+    )
+    return cc.selectExpr(
+        "round((m1 - m2) / sqrt(se2), 6) AS t",
+        "round(se2 * se2 / ((v1 / n1) * (v1 / n1) / (n1 - 1)"
+        " + (v2 / n2) * (v2 / n2) / (n2 - 1)), 4) AS df",
+        "round(m1 / 100, 6) AS mean_f",
+        "round(m2 / 100, 6) AS mean_o",
+        "n1 AS n_f", "n2 AS n_o",
+    )
+
+
 def drift_frame(
     data: DataFrame,
     ks: bool = True,

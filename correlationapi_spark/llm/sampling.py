@@ -200,3 +200,52 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.lit(1.0) / F.col("n_sources")) / frac, 6).alias("weight"),
         )
     )
+
+
+@query(
+    "q_sample_reservoir",
+    oracle="""
+        WITH h AS (
+            SELECT event_type, event_id,
+                   md5(CAST(event_id AS VARCHAR)) AS hk
+            FROM events
+        ),
+        r AS (
+            SELECT event_type, event_id,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY hk, event_id) AS r
+            FROM h
+        )
+        SELECT event_type, event_id, r FROM r WHERE r <= 20
+    """,
+    doc="Deterministic per-group 'reservoir' sample: the k=20 rows with "
+    "the smallest content-hash per event type — uniform-like, "
+    "repartition-stable, reproducible across engines and re-runs "
+    "(a true reservoir sample depends on encounter order; ranking a "
+    "content hash gives the same statistical effect as a pure "
+    "function of the data).",
+)
+def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-per-group sampling where membership must be a pure function of
+    row identity — df.sample()/reservoir algorithms change membership
+    with partition layout and encounter order, which breaks
+    reproducibility audits. Ranking md5(key) per group is layout-
+    independent and engine-portable (the q_sample_* md5-draw family's
+    per-group form).
+
+    Scale shape: one per-group window shuffle with WindowGroupLimit
+    pushing the rank<=k bound below the exchange — bounded task state,
+    ~k rows per group emitted, never a global sort."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("hk", "event_id")
+    return (
+        t["events"]
+        .select(
+            "event_type",
+            "event_id",
+            F.md5(F.col("event_id").cast("string")).alias("hk"),
+        )
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 20)
+        .select("event_type", "event_id", "r")
+    )

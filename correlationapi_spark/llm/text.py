@@ -1220,3 +1220,48 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_freq long"
     )
+
+
+@query(
+    "q_pack_bpe",
+    rows_only_reason="The layout is driven by token counts from the "
+    "iteratively TRAINED BPE merges table (q_text_bpe_train), which has "
+    "no SQL-expressible oracle; layout parity against a sequential "
+    "reference over the same trained counts is property-tested in "
+    "tests/test_properties.py (test_bpe_counts_drive_packing_layout).",
+    doc="Packing layout driven by REAL trained-BPE token counts: "
+    "bpe_train's final word-type table broadcast-joined to the corpus "
+    "gives per-doc post-merge token counts, and the same "
+    "concat-and-chunk engine as q_pack_chunks cuts 256-token chunks — "
+    "closing the proxy gap between the bpeish regex budget and the "
+    "tokenizer a dataloader actually runs.",
+)
+def q_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end tokenizer-faithful packing path: train merges on
+    the corpus (vocabulary-sized iterations — engine bpe_train), then
+    per-doc token counts WITHOUT re-applying rules to the text: every
+    pre-token's post-merge symbol count is already in the trained
+    word-type table, so counts are one explode + broadcast join +
+    groupBy(doc_id) over word TYPES, and the layout is the same single
+    range-shuffle running sum as q_pack_chunks. At 100 TB: train cost
+    is bounded by vocabulary, the count join is map-side against a
+    broadcast vocab, and no document is ever re-tokenized twice."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    _, words = bpe_train(docs, n_merges=24)
+    counts = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(
+                    F.col("text"), F.lit(_BPE_PRETOKEN), 0
+                )
+            ).alias("w"),
+        )
+        .join(F.broadcast(words.select("w", "n_syms")), "w")
+        .groupBy("doc_id")
+        .agg(F.sum("n_syms").alias("bpe_tokens"))
+    )
+    return pack_chunks_layout(
+        counts, _PACK_BPEISH_CAPACITY, n_tok=F.col("bpe_tokens")
+    )

@@ -34,6 +34,7 @@ Commands:
   pagerank  --data PATH --src COL --dst COL [--weight COL] [--damping D]
             [--n-iter N] [--limit N]
   pack      --data PATH --id COL --text COL [--capacity N] [--limit N] [--tokenizer ws|bpeish]
+  bpe       --data PATH --id COL --text COL [--n-merges N] [--vocab-cap N]
   serve     [--host H] [--port P]             # REST listener (http_api.py)
   query     --key q_name [--sf-dir DIR]      # run a declared inventory key
   keys                                        # list the declared inventory
@@ -253,6 +254,15 @@ def main(argv: list[str] | None = None) -> int:
     atm.add_argument("--horizon-days", type=int, default=30,
                      help="time-decay cap in whole days")
 
+    bp = sub.add_parser(
+        "bpe", help="train a BPE merges table on a text corpus"
+    )
+    add_data(bp)
+    bp.add_argument("--id", required=True, help="document id column")
+    bp.add_argument("--text", required=True, help="text column")
+    bp.add_argument("--n-merges", type=int, default=24)
+    bp.add_argument("--vocab-cap", type=int, default=5000)
+
     pr = sub.add_parser(
         "pagerank", help="weighted PageRank over an edge table"
     )
@@ -403,6 +413,10 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "attribution":
             res = api.attribution("ds", args.user, args.event,
                                   args.time, args.order, args.target)
+        elif args.cmd == "bpe":
+            res = api.bpe_train("ds", args.id, args.text,
+                                n_merges=args.n_merges,
+                                vocab_cap=args.vocab_cap)
         elif args.cmd == "attribution-multi":
             res = api.attribution_multi(
                 "ds", args.user, args.event, args.time, args.order,

@@ -2340,6 +2340,44 @@ class CorrelationAPI:
             ],
         }
 
+    def bpe_train(
+        self,
+        dataset: str,
+        id_col: str,
+        text_col: str,
+        n_merges: int = 24,
+        vocab_cap: int = 5000,
+    ) -> dict[str, Any]:
+        """Train a real BPE merges table on a registered corpus — the
+        parameterized twin of q_text_bpe_train (engine: llm.text
+        .bpe_train; iterative pair-argmax + fold-merge rounds over the
+        word-type table, deterministic tie-break). Returns the ordered
+        rules plus corpus token totals before/after merging — the
+        compression the learned vocabulary buys."""
+        from .llm.text import bpe_train
+
+        _, docs = self._docs_view(dataset, id_col, text_col)
+        merges, words = bpe_train(
+            docs, n_merges=n_merges, vocab_cap=vocab_cap
+        )
+        tot = words.agg(
+            F.sum(F.col("freq") * F.length("w")).alias("chars"),
+            F.sum(F.col("freq") * F.col("n_syms")).alias("toks"),
+            F.count("*").alias("n_types"),
+        ).collect()[0]
+        return {
+            "dataset": dataset, "id": id_col, "text": text_col,
+            "n_merges": len(merges), "vocab_cap": vocab_cap,
+            "n_word_types": int(tot.n_types),
+            "corpus_chars": int(tot.chars or 0),
+            "corpus_tokens_after_merges": int(tot.toks or 0),
+            "merges": [
+                {"rank": r, "left": l, "right": rr, "merged": m,
+                 "pair_freq": f}
+                for r, l, rr, m, f in merges
+            ],
+        }
+
     # -- helpers --------------------------------------------------------------
 
     @staticmethod

@@ -42,6 +42,8 @@ container, and none is needed for a JSON-for-JSON contract:
        → last-touch conversion attribution buckets
   GET  /attribution_multi?dataset=&user=&event=&time=&order=&target=
        [&horizon_days=30] → linear/position/time-decay credit per model
+  GET  /bpe?dataset=&id=&text=[&n_merges=24][&vocab_cap=5000]
+       → trained BPE merges table + corpus compression totals
   GET  /pagerank?dataset=&src=&dst=[&weight=][&damping=][&n_iter=][&limit=]
        → weighted PageRank over an edge table, top nodes by rank
   GET  /pack?dataset=&id=&text=[&capacity=][&limit=][&tokenizer=ws|bpeish]
@@ -268,6 +270,15 @@ def _route(api: CorrelationAPI, method: str, path: str,
             query["dataset"], query["user"], query["event"],
             query["time"], query["order"], query["target"],
             horizon_days=int(query.get("horizon_days", 30)),
+        )
+    if method == "GET" and path == "/bpe":
+        for req in ("dataset", "id", "text"):
+            if req not in query:
+                raise ValueError(f"missing query parameter {req!r}")
+        return 200, api.bpe_train(
+            query["dataset"], query["id"], query["text"],
+            n_merges=int(query.get("n_merges", 24)),
+            vocab_cap=int(query.get("vocab_cap", 5000)),
         )
     if method == "GET" and path == "/pagerank":
         for req in ("dataset", "src", "dst"):

@@ -1636,3 +1636,27 @@ def test_event_analytics_services(spark):
         api.pagerank("_g", "s", "nope")
     with pytest.raises(ValueError):
         api.pagerank("_g", "s", "d", limit=0)
+
+
+def test_bpe_train_service(spark):
+    """api.bpe_train: merges agree with the declared key's rules on the
+    fixture corpus, and the compression totals are internally
+    consistent (tokens-after-merges <= corpus chars, >= word count)."""
+    from correlationapi_spark.api import CorrelationAPI
+
+    api = CorrelationAPI(spark)
+    api.register_dataset("_docs", f"{SF_SMOKE}/documents.parquet")
+    res = api.bpe_train("_docs", "doc_id", "text", n_merges=12)
+    key_rows = [
+        (r.rank, r.left, r.right, r.merged, r.pair_freq)
+        for r in REGISTRY["q_text_bpe_train"].fn(spark, SF_SMOKE).collect()
+    ][:12]
+    got = [
+        (m["rank"], m["left"], m["right"], m["merged"], m["pair_freq"])
+        for m in res["merges"]
+    ]
+    assert got == key_rows
+    assert res["corpus_tokens_after_merges"] <= res["corpus_chars"]
+    assert res["n_word_types"] >= 1
+    with pytest.raises(KeyError):
+        api.bpe_train("_docs", "doc_id", "nope")

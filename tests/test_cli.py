@@ -282,3 +282,12 @@ def test_cli_event_analytics(spark, capsys):
     }
     for buckets in res["models"].values():
         assert abs(sum(b["share"] for b in buckets) - 1.0) < 1e-3
+
+
+def test_cli_bpe(spark, capsys):
+    rc, res = _run(capsys, [
+        "bpe", "--data", os.path.join(SF_SMOKE, "documents.parquet"),
+        "--id", "doc_id", "--text", "text", "--n-merges", "6",
+    ])
+    assert rc == 0 and len(res["merges"]) == 6
+    assert all(m["merged"] == m["left"] + m["right"] for m in res["merges"])

@@ -495,6 +495,15 @@ def test_event_analytics_routes(base_url, spark):
         "linear", "position", "time_decay"
     }
 
+    _post(
+        f"{base_url}/datasets/docr",
+        {"path": os.path.join(SF_SMOKE, "documents.parquet")},
+    )
+    status, res = _get(
+        f"{base_url}/bpe?dataset=docr&id=doc_id&text=text&n_merges=4"
+    )
+    assert status == 200 and len(res["merges"]) == 4
+
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(f"{base_url}/pagerank?dataset=evr&src=user_id")
     assert e.value.code == 400

@@ -1387,3 +1387,67 @@ def q_attribution_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multi_touch_attribution(
         t["events"], "user_id", "event_type", "ts", "event_id", "purchase"
     )
+
+
+@query(
+    "q_anomaly_mad",
+    oracle="""
+        WITH med AS (
+            SELECT event_type, median(value) AS med
+            FROM events GROUP BY 1
+        ),
+        j AS (
+            SELECT e.event_type, e.value, m.med
+            FROM events e JOIN med m USING (event_type)
+        ),
+        mad AS (
+            SELECT event_type, median(abs(value - med)) AS mad
+            FROM j GROUP BY 1
+        ),
+        jj AS (
+            SELECT j.event_type, j.value, j.med, d.mad
+            FROM j JOIN mad d USING (event_type)
+        )
+        SELECT event_type,
+               round(any_value(med), 6) AS med,
+               round(any_value(mad), 6) AS mad,
+               CAST(count(*) FILTER (
+                   WHERE 0.6745 * abs(value - med) / mad > 3.5
+               ) AS BIGINT) AS n_outliers,
+               CAST(count(*) AS BIGINT) AS n
+        FROM jj GROUP BY 1
+    """,
+    doc="Robust MAD outlier detection per event type: modified z-score "
+    "0.6745·|v−med|/MAD > 3.5 (Iglewicz-Hoaglin) — the "
+    "median-based sibling of q_anomaly's rolling mean/stddev score, "
+    "immune to the outliers it hunts.",
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean/stddev anomaly scores (q_anomaly) are themselves dragged by
+    the outliers they score; median/MAD break that circularity (50%
+    breakdown point). Determinism: both engines interpolate the exact
+    same h=(n−1)p median over identical doubles, so med, |v−med|, the
+    second median and the threshold comparison are bit-identical —
+    rounding only on the two reported centers.
+
+    Scale shape: two category-sized median aggregates with the
+    category-keyed broadcast joined back (events co-partitioned by
+    type for both), then one counting pass — exact per-group medians
+    are sort-per-group at category cardinality, the right trade at
+    ≤ thousands of groups (the sketch path is q_agg_approx_percentile
+    / q_agg_quantile_merge)."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    j = ev.join(F.broadcast(med), "event_type")
+    mad = j.groupBy("event_type").agg(
+        F.median(F.abs(F.col("value") - F.col("med"))).alias("mad")
+    )
+    jj = j.join(F.broadcast(mad), "event_type")
+    score = F.lit(0.6745) * F.abs(F.col("value") - F.col("med")) / F.col("mad")
+    return jj.groupBy("event_type").agg(
+        F.round(F.any_value("med"), 6).alias("med"),
+        F.round(F.any_value("mad"), 6).alias("mad"),
+        F.count(F.when(score > 3.5, 1)).alias("n_outliers"),
+        F.count("*").alias("n"),
+    )

@@ -3330,3 +3330,86 @@ def q_ts_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_days"),
         )
     )
+
+
+@query(
+    "q_seasonality",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+                   CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+                        AS BIGINT) AS micro
+            FROM events GROUP BY 1
+        ),
+        dow AS (
+            SELECT dayofweek(d) AS dow,
+                   CAST(sum(micro) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS n_days
+            FROM daily GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(sum(micro) AS BIGINT) AS st,
+                   CAST(count(*) AS BIGINT) AS nt
+            FROM daily
+        )
+        SELECT dow,
+               round(CAST(s AS DOUBLE) / n_days / 1000000.0, 6)
+                   AS avg_daily_value,
+               round((CAST(s AS DOUBLE) / n_days)
+                     / (CAST(st AS DOUBLE) / nt), 6) AS seasonal_index,
+               n_days
+        FROM dow CROSS JOIN tot
+    """,
+    doc="Day-of-week seasonality profile of the daily event-value "
+    "series: average daily total per weekday and its seasonal index "
+    "(ratio to the overall daily mean) — the first decomposition a "
+    "time-series monitor applies before alarming on drift.",
+)
+def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal index s_d = mean(daily total | dow=d) / mean(daily
+    total): >1 weekdays run hot, <1 cold. Exactness: daily totals are
+    exact integer micro-units (decimal accumulators ↔ HUGEINT), both
+    means are exact-int ÷ exact-int, the ratio is one more IEEE
+    division — identical bits both engines, absorbed at 6 dp. Weekday
+    numbering is pinned to DuckDB's dayofweek (0 = Sunday):
+    Spark's dayofweek is 1-based, hence the −1.
+
+    Scale shape: one day-grain aggregate over the scan (map-side
+    combinable), then a ≤7-row reduction with the 1-row total
+    cross-joined broadcast — nothing downstream of the first shuffle
+    exceeds weekday cardinality."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(
+            F.sum(
+                F.round(F.col("value") * 1000000, 0)
+                .cast("long")
+                .cast("decimal(38,0)")
+            )
+            .cast("long")
+            .alias("micro")
+        )
+    )
+    dow = daily.groupBy(
+        (F.dayofweek("d") - 1).alias("dow")
+    ).agg(
+        F.sum("micro").alias("s"),
+        F.count("*").alias("n_days"),
+    )
+    tot = daily.agg(
+        F.sum("micro").alias("st"), F.count("*").alias("nt")
+    )
+    return dow.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        F.round(
+            F.col("s").cast("double") / F.col("n_days") / 1000000.0, 6
+        ).alias("avg_daily_value"),
+        F.round(
+            (F.col("s").cast("double") / F.col("n_days"))
+            / (F.col("st").cast("double") / F.col("nt")),
+            6,
+        ).alias("seasonal_index"),
+        "n_days",
+    )

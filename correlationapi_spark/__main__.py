@@ -98,6 +98,11 @@ def main(argv: list[str] | None = None) -> int:
     ds.add_argument("--group-by", default=None)
     ds.add_argument("--gini", action="store_true",
                     help="also compute the Gini coefficient (non-negative vars)")
+    ds.add_argument("--percentiles", default=None,
+                    help="comma-separated probabilities in [0,1]")
+    ds.add_argument("--pct-method", default="exact",
+                    choices=["exact", "sketch"],
+                    help="percentile engine: exact sort or KLL sketch")
 
     cp = sub.add_parser(
         "compare",
@@ -367,8 +372,13 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "association":
             res = api.association("ds", args.a, args.b, method=args.method)
         elif args.cmd == "distribution":
+            pcts = (
+                [float(x) for x in args.percentiles.split(",") if x]
+                if args.percentiles else None
+            )
             res = api.distribution("ds", args.var, group_by=args.group_by,
-                                   gini=args.gini)
+                                   gini=args.gini, percentiles=pcts,
+                                   method=args.pct_method)
         elif args.cmd == "partial":
             from .api import parse_control_arg
 

@@ -765,10 +765,16 @@ class CorrelationAPI:
         var: str,
         group_by: str | None = None,
         gini: bool = False,
+        percentiles: list[float] | None = None,
+        method: str = "exact",
     ) -> dict[str, Any]:
         """Distribution-shape profile of a numeric variable: mean,
         sample stddev, skewness, excess kurtosis, n — optionally per
-        group — plus (opt-in) the Gini concentration coefficient.
+        group — plus (opt-in) the Gini concentration coefficient and
+        (opt-in) percentiles, exact (F.percentile: sort-per-group,
+        right at category cardinality) or 'sketch' (KLL k=200,
+        mergeable, the 100 TB path — q_agg_quantile_merge's engine
+        with ~1.65% certified rank error).
 
         Moments use Spark's population-moment aggregates (the same
         m3/m2^1.5 and m4/m2²−3 definitions as the declared
@@ -784,9 +790,35 @@ class CorrelationAPI:
         g = (
             F.col(group_by).cast("string") if group_by else F.lit("_all")
         ).alias("_g")
+        if method not in ("exact", "sketch"):
+            raise ValueError("method must be 'exact' or 'sketch'")
+        ps = list(percentiles or [])
+        if any(not (0.0 <= p <= 1.0) for p in ps):
+            raise ValueError("percentiles must be in [0, 1]")
         data = df.select(g, x.alias("_x")).filter(
             F.col("_x").isNotNull() & ~F.isnan("_x")
         )
+        pct_aggs = []
+        if ps:
+            if method == "exact":
+                pct_aggs = [
+                    F.round(F.percentile("_x", p), 6).alias(f"_p{i}")
+                    for i, p in enumerate(ps)
+                ]
+            else:
+                # one micro-unit KLL sketch per group, queried per p
+                sk = F.kll_sketch_agg_bigint(
+                    F.round(F.col("_x") * 1000000, 0).cast("long"), 200
+                )
+                pct_aggs = [
+                    (
+                        F.kll_sketch_get_quantile_bigint(
+                            sk, F.lit(p)
+                        ).cast("double")
+                        / 1000000.0
+                    ).alias(f"_p{i}")
+                    for i, p in enumerate(ps)
+                ]
         rows = (
             data.groupBy("_g")
             .agg(
@@ -795,6 +827,7 @@ class CorrelationAPI:
                 F.round(F.skewness("_x"), 6).alias("skewness"),
                 F.round(F.kurtosis("_x"), 6).alias("kurtosis_excess"),
                 F.count("*").alias("n"),
+                *pct_aggs,
             )
             .collect()
         )
@@ -846,6 +879,11 @@ class CorrelationAPI:
             }
             if gini:
                 d["gini"] = gini_by.get(r._g)
+            if ps:
+                d["percentiles"] = {
+                    str(p): _nan_to_none(r[f"_p{i}"])
+                    for i, p in enumerate(ps)
+                }
             return d
 
         base = {"dataset": dataset, "var": var}

@@ -13,7 +13,7 @@ container, and none is needed for a JSON-for-JSON contract:
   GET  /datasets/{name}/variables             → ["numeric_col", ...]
   GET  /correlate?dataset=&x=&y=[&method=][&group_by=]
   GET  /association?dataset=&a=&b=[&method=cramer|theil|mi|eta]
-  GET  /distribution?dataset=&var=[&group_by=][&gini=1]
+  GET  /distribution?dataset=&var=[&group_by=][&gini=1][&percentiles=0.5,0.9][&method=exact|sketch]
   GET  /compare?dataset=&var=&group_by=&a=&b=  (two-sample KS + Mann-Whitney)
   GET  /drift?dataset=&var=&time=[&grain=day]  (per-period KS + PSI vs reference)
   POST /mixed_matrix {"dataset"[,"variables"]}  (type-appropriate measure per pair)
@@ -145,6 +145,11 @@ def _route(api: CorrelationAPI, method: str, path: str,
             query["dataset"], query["var"],
             group_by=query.get("group_by"),
             gini=query.get("gini", "") in ("1", "true", "yes"),
+            percentiles=(
+                [float(x) for x in query["percentiles"].split(",") if x]
+                if "percentiles" in query else None
+            ),
+            method=query.get("method", "exact"),
         )
     if method == "POST" and path == "/matrix":
         if "dataset" not in body:

@@ -1372,6 +1372,7 @@ def multi_touch_attribution(
     "standard marketing-science siblings of last-touch, with exact "
     "integer micro-unit credit so cross-engine sums are "
     "order-independent.",
+    bench=True,
 )
 def q_attribution_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Journeys are delimited by a running count of purchases strictly

@@ -1660,3 +1660,49 @@ def test_bpe_train_service(spark):
     assert res["n_word_types"] >= 1
     with pytest.raises(KeyError):
         api.bpe_train("_docs", "doc_id", "nope")
+
+
+def test_distribution_percentiles(spark):
+    """api.distribution percentiles: exact values equal F.percentile on
+    the same data; the sketch path lands within KLL k=200's certified
+    rank error of the exact answer; bad inputs fail loud."""
+    from pyspark.sql import functions as F
+
+    from correlationapi_spark.api import CorrelationAPI
+
+    api = CorrelationAPI(spark)
+    api.register_dataset("_ord", f"{SF_SMOKE}/orders.parquet")
+    res = api.distribution(
+        "_ord", "o_totalprice", percentiles=[0.5, 0.9]
+    )
+    ord_df = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    want = ord_df.agg(
+        F.round(F.percentile("o_totalprice", 0.5), 6).alias("p50"),
+        F.round(F.percentile("o_totalprice", 0.9), 6).alias("p90"),
+    ).collect()[0]
+    assert res["percentiles"]["0.5"] == want.p50
+    assert res["percentiles"]["0.9"] == want.p90
+
+    sk = api.distribution(
+        "_ord", "o_totalprice", percentiles=[0.5], method="sketch"
+    )
+    vals = sorted(r.o_totalprice for r in ord_df.collect())
+    import bisect
+
+    rank = bisect.bisect_right(vals, sk["percentiles"]["0.5"]) / len(vals)
+    assert abs(rank - 0.5) < 0.03
+
+    grouped = api.distribution(
+        "_ord", "o_totalprice", group_by="o_orderstatus",
+        percentiles=[0.5],
+    )
+    assert all(
+        c["percentiles"]["0.5"] is not None
+        for c in grouped["groups"].values()
+    )
+
+    with pytest.raises(ValueError):
+        api.distribution("_ord", "o_totalprice", percentiles=[1.5])
+    with pytest.raises(ValueError):
+        api.distribution("_ord", "o_totalprice", percentiles=[0.5],
+                         method="banana")

@@ -677,3 +677,85 @@ def q_agg_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         q(0.9).alias("p90_acctbal"),
         q(0.99).alias("p99_acctbal"),
     )
+
+
+@query(
+    "q_agg_trimmed_mean",
+    oracle="""
+        WITH th AS (
+            SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.10) AS lo,
+                   quantile_cont(l_extendedprice, 0.90) AS hi
+            FROM lineitem GROUP BY 1
+        ),
+        j AS (
+            SELECT l.l_returnflag,
+                   CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents,
+                   l.l_extendedprice AS v, th.lo, th.hi
+            FROM lineitem l JOIN th USING (l_returnflag)
+        )
+        SELECT l_returnflag,
+               round(CAST(sum(CASE WHEN v >= lo AND v <= hi
+                                   THEN cents END) AS DOUBLE)
+                     / count(CASE WHEN v >= lo AND v <= hi THEN 1 END)
+                     / 100.0, 6) AS trimmed_mean,
+               round(CAST(sum(CASE WHEN v < lo
+                                   THEN CAST(round(lo * 100) AS BIGINT)
+                                   WHEN v > hi
+                                   THEN CAST(round(hi * 100) AS BIGINT)
+                                   ELSE cents END) AS DOUBLE)
+                     / count(*) / 100.0, 6) AS winsorized_mean,
+               CAST(count(CASE WHEN v >= lo AND v <= hi THEN 1 END)
+                    AS BIGINT) AS n_kept,
+               CAST(count(*) AS BIGINT) AS n
+        FROM j GROUP BY 1
+    """,
+    doc="10% trimmed and winsorized means of extended price per return "
+    "flag — the robust-location pair (drop vs clamp the tails) beside "
+    "q_anomaly_mad's robust-spread MAD; exact-cents interior sums, "
+    "interpolated decile thresholds identical on both engines.",
+)
+def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trimmed mean drops values outside [p10, p90]; winsorized mean
+    clamps them to the thresholds — both immune to tail corruption
+    that drags a plain mean. Determinism: the thresholds are the same
+    h=(n−1)p interpolation on both engines (identical doubles), the
+    comparisons against them are identical, and the interior/clamped
+    sums run in exact integer cents (clamped values quantize the
+    SAME threshold double on both sides) with one division at the end.
+
+    Scale shape: one percentile aggregate at group cardinality
+    (sort-per-group over categories — the exact-percentile trade
+    q_agg_percentile documents), thresholds broadcast back, then one
+    partial/final conditional-sum aggregate over the scan."""
+    t = load_tables(spark, sf_dir)
+    th = t["lineitem"].groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.10).alias("lo"),
+        F.percentile("l_extendedprice", 0.90).alias("hi"),
+    )
+    v = F.col("l_extendedprice")
+    inside = (v >= F.col("lo")) & (v <= F.col("hi"))
+    c = cents("l_extendedprice")
+    clamped = (
+        F.when(v < F.col("lo"), F.round(F.col("lo") * 100, 0).cast("long"))
+        .when(v > F.col("hi"), F.round(F.col("hi") * 100, 0).cast("long"))
+        .otherwise(c)
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(th), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.sum(F.when(inside, c)).cast("double")
+                / F.count(F.when(inside, 1))
+                / 100.0,
+                6,
+            ).alias("trimmed_mean"),
+            F.round(
+                F.sum(clamped).cast("double") / F.count("*") / 100.0, 6
+            ).alias("winsorized_mean"),
+            F.count(F.when(inside, 1)).alias("n_kept"),
+            F.count("*").alias("n"),
+        )
+    )

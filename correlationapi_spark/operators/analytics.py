@@ -1452,3 +1452,72 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(score > 3.5, 1)).alias("n_outliers"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "q_scd2",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type, ts, event_id,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        ),
+        changes AS (
+            SELECT user_id, event_type AS state, ts AS valid_from,
+                   event_id
+            FROM seq
+            WHERE prev_type IS NULL OR event_type <> prev_type
+        )
+        SELECT user_id, state, valid_from,
+               lead(valid_from) OVER (
+                   PARTITION BY user_id ORDER BY valid_from, event_id
+               ) AS valid_to,
+               lead(valid_from) OVER (
+                   PARTITION BY user_id ORDER BY valid_from, event_id
+               ) IS NULL AS is_current
+        FROM changes
+    """,
+    doc="SCD type-2 dimension build from the event stream: collapse "
+    "consecutive same-state events per user into validity intervals "
+    "[valid_from, valid_to) with an open-ended current row — the "
+    "warehouse history-tracking primitive, from two per-user windows.",
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The slowly-changing-dimension builder every warehouse needs on
+    top of a CDC/event feed: a state row starts when the observed
+    state DIFFERS from the previous observation (lag over the
+    (ts, event_id) chain — consecutive duplicates collapse into one
+    interval) and closes at the next change (lead over the surviving
+    change rows); the open interval is the current state. Both windows
+    partition on user_id, so the change detection and the interval
+    close ride ONE user-keyed exchange — at 100 TB this is the same
+    shuffle the event stream's natural key always pays, with no
+    self-join and no driver state. Ties on ts break on event_id (the
+    chain contract shared with q_event_transitions/q_attribution)."""
+    t = load_tables(spark, sf_dir)
+    chain = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        t["events"]
+        .withColumn("prev_type", F.lag("event_type").over(chain))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            "event_id",
+        )
+    )
+    iw = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    valid_to = F.lead("valid_from").over(iw)
+    return changes.select(
+        "user_id",
+        "state",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )

@@ -1521,3 +1521,60 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.alias("valid_to"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+@query(
+    "q_gaps_islands",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+            FROM events
+        ),
+        anch AS (
+            SELECT user_id, d,
+                   d - INTERVAL (row_number() OVER (
+                       PARTITION BY user_id ORDER BY d
+                   )) DAY AS anchor
+            FROM days
+        )
+        SELECT user_id, min(d) AS island_start, max(d) AS island_end,
+               CAST(count(*) AS BIGINT) AS n_days
+        FROM anch GROUP BY user_id, anchor
+    """,
+    doc="Gaps-and-islands: maximal runs of consecutive active days per "
+    "user (streak detection) via the classic row_number-offset anchor "
+    "— one window + one aggregate on the user key, no self-join.",
+)
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaks ('islands') of consecutive activity: subtracting each
+    active day's per-user rank from the day itself maps every maximal
+    consecutive run onto ONE anchor date (consecutive days advance
+    day and rank in lockstep), so islands fall out of a plain groupBy
+    — the textbook gaps-and-islands reduction, no self-join, no
+    recursive walk. Dates stay date_trunc TIMESTAMPS end-to-end
+    (cross-engine DATE dtype hazard, numerics.py notes); day
+    arithmetic is an exact INTERVAL subtraction on both engines.
+
+    Scale shape: the distinct-day reduction and the window share the
+    user_id exchange; the island aggregate groups (user, anchor) — a
+    strict refinement AQE coalesces onto the same footprint. State
+    per task = one user's active-day list at most."""
+    t = load_tables(spark, sf_dir)
+    days = (
+        t["events"]
+        .select(
+            "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    anch = days.withColumn(
+        "anchor",
+        F.col("d") - F.make_interval(days=F.row_number().over(w)),
+    )
+    return anch.groupBy("user_id", "anchor").agg(
+        F.min("d").alias("island_start"),
+        F.max("d").alias("island_end"),
+        F.count("*").alias("n_days"),
+    ).drop("anchor")

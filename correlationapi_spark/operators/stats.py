@@ -3413,3 +3413,257 @@ def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("seasonal_index"),
         "n_days",
     )
+
+
+def f_oneway(g: DataFrame) -> DataFrame:
+    """One-way ANOVA reduction over a per-group moment frame
+    ``(grp, s, q, m)`` (exact-integer Σx and Σx² cast to double once,
+    group count): returns the 1-row
+    ``(f_stat, df_between, df_within, eta2, n_rows)`` frame.
+
+    SS_between = Σ s²/m − (Σs)²/N and SS_within = Σq − Σ s²/m come from
+    the SAME per-group sums, so the whole test is ONE shuffle on the
+    factor (map-side combinable) plus a #levels-row reduction — the
+    k-sample generalization of q_ttest_welch's shape. The q_anova and
+    q_levene keys and api.anova() all consume this engine.
+
+    Determinism: per-group s/q are exact integers rounded to double
+    once (identically on both engines); the cross-group float sums are
+    #levels well-separated terms and the outputs are absorbed at 6 dp
+    (rule-3 headroom, same rationale as q_corr_eta)."""
+    tot = g.agg(
+        F.sum("s").alias("st"),
+        F.sum("q").alias("qt"),
+        F.sum("m").cast("bigint").alias("n"),
+        F.sum(F.col("s") * F.col("s") / F.col("m")).alias("ssb_raw"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    ssb = F.col("ssb_raw") - F.col("st") * F.col("st") / F.col("n")
+    ssw = F.col("qt") - F.col("ssb_raw")
+    sst = F.col("qt") - F.col("st") * F.col("st") / F.col("n")
+    f = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))
+    return tot.select(
+        F.round(f, 6).alias("f_stat"),
+        (F.col("k") - 1).cast("bigint").alias("df_between"),
+        (F.col("n") - F.col("k")).cast("bigint").alias("df_within"),
+        F.round(ssb / sst, 6).alias("eta2"),
+        F.col("n").alias("n_rows"),
+    )
+
+
+def group_moments(x: DataFrame, val: str = "cents") -> DataFrame:
+    """Per-group exact moment frame (grp, s, q, m) from a (grp, <val>)
+    integer-valued frame — decimal(38,0) accumulators ↔ DuckDB HUGEINT,
+    both cast the same exact integer to double once."""
+    v = F.col(val)
+    return x.groupBy("grp").agg(
+        F.sum(v.cast("decimal(38,0)")).cast("double").alias("s"),
+        F.sum((v * v).cast("decimal(38,0)")).cast("double").alias("q"),
+        F.count("*").alias("m"),
+    )
+
+
+@query(
+    "q_anova",
+    oracle="""
+        WITH x AS (
+            SELECT c_mktsegment AS grp,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+            FROM customer
+        ),
+        g AS (
+            SELECT grp,
+                   CAST(sum(cents) AS DOUBLE) AS s,
+                   CAST(sum(cents * cents) AS DOUBLE) AS q,
+                   CAST(count(*) AS BIGINT) AS m
+            FROM x GROUP BY 1
+        ),
+        tot AS (
+            SELECT sum(s) AS st, sum(q) AS qt,
+                   CAST(sum(m) AS BIGINT) AS n,
+                   sum(s * s / m) AS ssb_raw,
+                   CAST(count(*) AS BIGINT) AS k
+            FROM g
+        )
+        SELECT round(((ssb_raw - st * st / n) / (k - 1))
+                     / ((qt - ssb_raw) / (n - k)), 6) AS f_stat,
+               k - 1 AS df_between,
+               n - k AS df_within,
+               round((ssb_raw - st * st / n)
+                     / (qt - st * st / n), 6) AS eta2,
+               n AS n_rows
+        FROM tot
+    """,
+    doc="One-way ANOVA F of customer account balance across the five "
+    "market segments — the k-sample mean test completing the "
+    "hypothesis-test family (Welch t = 2 groups, this = k groups); "
+    "exact integer-cents power sums, one factor shuffle.",
+)
+def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F = MS_between/MS_within over k groups from one pass of exact
+    per-group (n, Σx, Σx²). Everything before the final float chain is
+    integer arithmetic; eta² (effect size) reuses the same sums.
+
+    Scale shape: ONE map-side-combinable shuffle on the factor, then a
+    k-row reduction — no second data pass, no window; identical
+    footprint at 100 TB with any k that fits a reduction."""
+    t = load_tables(spark, sf_dir)
+    x = t["customer"].select(
+        F.col("c_mktsegment").alias("grp"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
+    )
+    return f_oneway(group_moments(x))
+
+
+@query(
+    "q_levene",
+    oracle="""
+        WITH x AS (
+            SELECT o_orderpriority AS grp,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ),
+        med AS (
+            SELECT grp,
+                   CAST(round(2 * quantile_cont(cents, 0.5))
+                        AS BIGINT) AS m2
+            FROM x GROUP BY 1
+        ),
+        z AS (
+            SELECT x.grp, abs(2 * x.cents - med.m2) AS z
+            FROM x JOIN med USING (grp)
+        ),
+        g AS (
+            SELECT grp,
+                   CAST(sum(z) AS DOUBLE) AS s,
+                   CAST(sum(z * z) AS DOUBLE) AS q,
+                   CAST(count(*) AS BIGINT) AS m
+            FROM z GROUP BY 1
+        ),
+        tot AS (
+            SELECT sum(s) AS st, sum(q) AS qt,
+                   CAST(sum(m) AS BIGINT) AS n,
+                   sum(s * s / m) AS ssb_raw,
+                   CAST(count(*) AS BIGINT) AS k
+            FROM g
+        )
+        SELECT round(((ssb_raw - st * st / n) / (k - 1))
+                     / ((qt - ssb_raw) / (n - k)), 6) AS w_stat,
+               k - 1 AS df_between,
+               n - k AS df_within,
+               round((ssb_raw - st * st / n)
+                     / (qt - st * st / n), 6) AS eta2,
+               n AS n_rows
+        FROM tot
+    """,
+    doc="Brown-Forsythe (median-centered Levene) variance-equality "
+    "test of order value across the five priorities — the "
+    "heteroscedasticity gate that decides between q_anova and "
+    "q_ttest_welch-style unequal-variance tests.",
+)
+def q_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W = one-way ANOVA F computed on z = |x − median_g(x)| — the
+    Brown-Forsythe robust variant (median centering, not mean). The
+    deviations stay EXACT integers: with integer cents, 2·median is an
+    exact integer (midpoint of two integers), so z' = |2x − 2·median|
+    doubles the scale and stays in int64; the F statistic is scale-
+    invariant, so W is unchanged and every pre-float step is integer
+    arithmetic on both engines.
+
+    Scale shape: one factor shuffle for the medians (exact percentile
+    at the group grain — k groups, each a bounded sort-merge), one
+    broadcast join of the k-row median table back onto the scan, then
+    the f_oneway one-shuffle reduction. Two passes over the fact, no
+    window, no global sort."""
+    t = load_tables(spark, sf_dir)
+    x = t["orders"].select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    med = x.groupBy("grp").agg(
+        F.round(2 * F.percentile(F.col("cents"), F.lit(0.5)), 0)
+        .cast("long")
+        .alias("m2")
+    )
+    z = x.join(F.broadcast(med), "grp").select(
+        "grp", F.abs(2 * F.col("cents") - F.col("m2")).alias("z")
+    )
+    return f_oneway(group_moments(z, "z")).withColumnRenamed(
+        "f_stat", "w_stat"
+    )
+
+
+@query(
+    "q_prop_ztest",
+    oracle="""
+        WITH x AS (
+            SELECT o_orderpriority AS grp,
+                   CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS hit
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        ),
+        a AS (
+            SELECT CAST(sum(hit) FILTER (WHERE grp = '1-URGENT')
+                        AS BIGINT) AS x1,
+                   CAST(count(*) FILTER (WHERE grp = '1-URGENT')
+                        AS BIGINT) AS n1,
+                   CAST(sum(hit) FILTER (WHERE grp = '5-LOW')
+                        AS BIGINT) AS x2,
+                   CAST(count(*) FILTER (WHERE grp = '5-LOW')
+                        AS BIGINT) AS n2
+            FROM x
+        ),
+        b AS (
+            SELECT x1, n1, x2, n2,
+                   CAST(x1 AS DOUBLE) / n1 AS p1,
+                   CAST(x2 AS DOUBLE) / n2 AS p2,
+                   CAST(x1 + x2 AS DOUBLE) / (n1 + n2) AS pp
+            FROM a
+        )
+        SELECT round((p1 - p2)
+                     / sqrt(pp * (1 - pp)
+                            * (1.0 / n1 + 1.0 / n2)), 6) AS z,
+               round(p1, 6) AS p1, round(p2, 6) AS p2,
+               n1, n2
+        FROM b
+    """,
+    doc="Two-proportion pooled z-test (fulfilled-rate between URGENT "
+    "and LOW priority orders) — the conversion-rate A/B primitive "
+    "beside the mean (Welch) and distribution (KS/MW) comparisons.",
+)
+def q_prop_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """z = (p̂₁−p̂₂)/√(p̄(1−p̄)(1/n₁+1/n₂)) with the pooled rate p̄ —
+    the standard success-rate comparison. Counts are exact integers
+    from ONE conditional aggregate; the z is a single float chain
+    spelled identically on both engines, absorbed at 6 dp.
+
+    Scale shape: one partial/final aggregate over the filtered scan —
+    four conditional counters, a 1-row reduction; nothing grows with
+    data size."""
+    t = load_tables(spark, sf_dir)
+    x = t["orders"].filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.col("o_orderpriority").alias("grp"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("hit"),
+    )
+    g1 = F.col("grp") == "1-URGENT"
+    g2 = F.col("grp") == "5-LOW"
+    a = x.agg(
+        F.sum(F.when(g1, F.col("hit"))).cast("bigint").alias("x1"),
+        F.count(F.when(g1, 1)).alias("n1"),
+        F.sum(F.when(g2, F.col("hit"))).cast("bigint").alias("x2"),
+        F.count(F.when(g2, 1)).alias("n2"),
+    )
+    b = a.selectExpr(
+        "x1", "n1", "x2", "n2",
+        "CAST(x1 AS DOUBLE) / n1 AS p1",
+        "CAST(x2 AS DOUBLE) / n2 AS p2",
+        "CAST(x1 + x2 AS DOUBLE) / (n1 + n2) AS pp",
+    )
+    return b.selectExpr(
+        "round((p1 - p2) / sqrt(pp * (1 - pp)"
+        " * (1.0 / n1 + 1.0 / n2)), 6) AS z",
+        "round(p1, 6) AS p1", "round(p2, 6) AS p2",
+        "n1", "n2",
+    )

@@ -114,6 +114,17 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--a", required=True, help="first group value")
     cp.add_argument("--b", required=True, help="second group value")
 
+    av = sub.add_parser(
+        "anova",
+        help="k-sample comparison across ALL factor levels: "
+        "one-way ANOVA F (--center mean) or Brown-Forsythe W "
+        "(--center median)",
+    )
+    add_data(av)
+    av.add_argument("--var", required=True)
+    av.add_argument("--group-by", required=True)
+    av.add_argument("--center", default="mean", choices=["mean", "median"])
+
     sv2 = sub.add_parser(
         "survival",
         help="Kaplan-Meier conversion curve (+ optional log-rank A/B)",
@@ -369,6 +380,9 @@ def main(argv: list[str] | None = None) -> int:
                                group_a=args.a, group_b=args.b)
         elif args.cmd == "compare":
             res = api.compare("ds", args.var, args.group_by, args.a, args.b)
+        elif args.cmd == "anova":
+            res = api.anova("ds", args.var, args.group_by,
+                            center=args.center)
         elif args.cmd == "association":
             res = api.association("ds", args.a, args.b, method=args.method)
         elif args.cmd == "distribution":

@@ -964,6 +964,80 @@ class CorrelationAPI:
             "mw_z": _nan_to_none(r.z),
         }
 
+    def anova(
+        self,
+        dataset: str,
+        var: str,
+        group_by: str,
+        center: str = "mean",
+    ) -> dict[str, Any]:
+        """k-sample comparison of a numeric variable across ALL levels
+        of a factor — the q_anova / q_levene engine
+        (operators.stats.f_oneway) as a service endpoint.
+
+        center='mean' is classic one-way ANOVA (F on the values);
+        center='median' is the Brown-Forsythe variance-equality test
+        (F on |x − median_g|, kept exact via the 2×-scale integer
+        trick — the statistic is scale-invariant). Values quantize to
+        exact integer micro-units first, same 1e-6 lattice as
+        compare().
+
+        Scale shape: one factor shuffle (+ for median centering, a
+        group-percentile pass and a broadcast join of the k-row median
+        table), then a k-row reduction."""
+        from .operators.stats import f_oneway, group_moments
+
+        if center not in ("mean", "median"):
+            raise ValueError(f"unknown center: {center!r}")
+        df = self._get(dataset)
+        x = self._num(df, var)
+        if group_by not in df.columns:
+            raise KeyError(f"unknown variable: {group_by!r}")
+        data = df.select(
+            F.col(group_by).cast("string").alias("grp"),
+            F.round(x * 1000000, 0).cast("long").alias("v"),
+        ).filter(F.col("grp").isNotNull() & F.col("v").isNotNull())
+        if center == "median":
+            med = data.groupBy("grp").agg(
+                F.round(2 * F.percentile(F.col("v"), F.lit(0.5)), 0)
+                .cast("long")
+                .alias("m2")
+            )
+            data = data.join(F.broadcast(med), "grp").select(
+                "grp", F.abs(2 * F.col("v") - F.col("m2")).alias("v")
+            )
+        g = group_moments(data, "v").cache()
+        try:
+            r = f_oneway(g).collect()[0]
+            if r.df_between < 1 or r.df_within < 1:
+                raise ValueError(
+                    f"need >=2 groups and n > k: k={r.df_between + 1}, "
+                    f"n={r.n_rows}"
+                )
+            # center='median' moments are of |2x − 2·median|, so the
+            # per-group location is the mean absolute deviation (÷2 to
+            # undo the exactness scaling), not the group mean
+            loc_key = "mean_absdev" if center == "median" else "mean"
+            loc_div = 2000000.0 if center == "median" else 1000000.0
+            groups = {
+                m.grp: {
+                    "n": m.m,
+                    loc_key: _nan_to_none(round(m.s / m.m / loc_div, 6)),
+                }
+                for m in g.collect()
+            }
+        finally:
+            g.unpersist()
+        stat = "w_stat" if center == "median" else "f_stat"
+        return {
+            "dataset": dataset, "var": var, "group_by": group_by,
+            "center": center,
+            stat: _nan_to_none(r.f_stat),
+            "df_between": r.df_between, "df_within": r.df_within,
+            "eta2": _nan_to_none(r.eta2),
+            "groups": groups,
+        }
+
     def drift(
         self,
         dataset: str,

@@ -15,6 +15,8 @@ container, and none is needed for a JSON-for-JSON contract:
   GET  /association?dataset=&a=&b=[&method=cramer|theil|mi|eta]
   GET  /distribution?dataset=&var=[&group_by=][&gini=1][&percentiles=0.5,0.9][&method=exact|sketch]
   GET  /compare?dataset=&var=&group_by=&a=&b=  (two-sample KS + Mann-Whitney)
+  GET  /anova?dataset=&var=&group_by=[&center=mean|median]
+       (k-sample one-way ANOVA F, or Brown-Forsythe W with center=median)
   GET  /drift?dataset=&var=&time=[&grain=day]  (per-period KS + PSI vs reference)
   POST /mixed_matrix {"dataset"[,"variables"]}  (type-appropriate measure per pair)
   GET  /survival?dataset=&start=&end=[&group_by=&a=&b=]  (KM curve [+ log-rank])
@@ -119,6 +121,14 @@ def _route(api: CorrelationAPI, method: str, path: str,
         return 200, api.compare(
             query["dataset"], query["var"], query["group_by"],
             query["a"], query["b"],
+        )
+    if method == "GET" and path == "/anova":
+        for req in ("dataset", "var", "group_by"):
+            if req not in query:
+                raise ValueError(f"missing query parameter {req!r}")
+        return 200, api.anova(
+            query["dataset"], query["var"], query["group_by"],
+            center=query.get("center", "mean"),
         )
     if method == "GET" and path == "/survival":
         for req in ("dataset", "start", "end"):

@@ -3456,9 +3456,12 @@ def group_moments(x: DataFrame, val: str = "cents") -> DataFrame:
     integer-valued frame — decimal(38,0) accumulators ↔ DuckDB HUGEINT,
     both cast the same exact integer to double once."""
     v = F.col(val)
+    vd = v.cast("decimal(19,0)")
     return x.groupBy("grp").agg(
         F.sum(v.cast("decimal(38,0)")).cast("double").alias("s"),
-        F.sum((v * v).cast("decimal(38,0)")).cast("double").alias("q"),
+        # square in decimal: int64 micro-unit values overflow long·long
+        # (v ~ 1e10 ⇒ v² ~ 1e20), decimal(19,0)² is exact to 38 digits
+        F.sum(vd * vd).cast("double").alias("q"),
         F.count("*").alias("m"),
     )
 

@@ -1402,6 +1402,45 @@ def test_compare_matches_declared_keys(api_orders, spark):
     json.dumps(res)
 
 
+def test_anova_matches_declared_keys(api_orders, spark):
+    import os as _os
+
+    api_orders.register_dataset(
+        "customer", _os.path.join(SF_SMOKE, "customer.parquet")
+    )
+    key = REGISTRY["q_anova"].fn(spark, SF_SMOKE).collect()[0]
+    res = api_orders.anova("customer", "c_acctbal", "c_mktsegment")
+    # micro-unit (1e-6) vs cent (1e-2) quantization of 2-dp money is
+    # the same integer lattice scaled 1e4 — F and eta2 are
+    # scale-invariant, so the service must reproduce the key exactly
+    assert abs(res["f_stat"] - key.f_stat) < 1e-6
+    assert abs(res["eta2"] - key.eta2) < 1e-6
+    assert res["df_between"] == key.df_between
+    assert res["df_within"] == key.df_within
+    assert sum(g["n"] for g in res["groups"].values()) == key.n_rows
+    import json
+    json.dumps(res)
+
+
+def test_anova_median_center_matches_levene_key(api_orders, spark):
+    key = REGISTRY["q_levene"].fn(spark, SF_SMOKE).collect()[0]
+    res = api_orders.anova("orders", "o_totalprice", "o_orderpriority",
+                           center="median")
+    assert abs(res["w_stat"] - key.w_stat) < 1e-6
+    assert res["df_between"] == key.df_between
+    assert res["df_within"] == key.df_within
+    first = next(iter(res["groups"].values()))
+    assert first["mean_absdev"] >= 0.0
+
+
+def test_anova_validation(api_orders):
+    with pytest.raises(ValueError, match="unknown center"):
+        api_orders.anova("orders", "o_totalprice", "o_orderstatus",
+                         center="mode")
+    with pytest.raises(KeyError):
+        api_orders.anova("orders", "o_totalprice", "nope")
+
+
 def test_compare_validation(api_orders):
     with pytest.raises(ValueError, match="empty sample"):
         api_orders.compare("orders", "o_totalprice", "o_orderstatus",

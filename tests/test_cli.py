@@ -207,6 +207,15 @@ def test_cli_compare(spark, capsys):
     assert rc == 0 and 0.0 <= res["ks_d"] <= 1.0 and "mw_z" in res
 
 
+def test_cli_anova(spark, capsys):
+    rc, res = _run(capsys, [
+        "anova", "--data", os.path.join(SF_SMOKE, "orders.parquet"),
+        "--var", "o_totalprice", "--group-by", "o_orderpriority",
+        "--center", "median",
+    ])
+    assert rc == 0 and res["w_stat"] >= 0.0 and res["df_between"] == 4
+
+
 def test_cli_drift(spark, capsys):
     rc, res = _run(capsys, [
         "drift", "--data", os.path.join(SF_SMOKE, "events.parquet"),

@@ -418,6 +418,20 @@ def test_compare_route(spark):
     assert "mw_z" in payload and payload["groups"]["F"]["n"] > 0
 
 
+def test_anova_route(spark):
+    from correlationapi_spark.api import CorrelationAPI
+
+    api = CorrelationAPI(spark)
+    api.register_dataset("orders", os.path.join(SF_SMOKE, "orders.parquet"))
+    status, payload = _route(
+        api, "GET", "/anova",
+        {"dataset": "orders", "var": "o_totalprice",
+         "group_by": "o_orderpriority"}, {},
+    )
+    assert status == 200 and payload["f_stat"] >= 0.0
+    assert payload["df_between"] == 4 and len(payload["groups"]) == 5
+
+
 def test_drift_route(spark):
     from correlationapi_spark.api import CorrelationAPI
 

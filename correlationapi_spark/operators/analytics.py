@@ -1578,3 +1578,201 @@ def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("d").alias("island_end"),
         F.count("*").alias("n_days"),
     ).drop("anchor")
+
+
+@query(
+    "q_fk_integrity",
+    oracle="""
+        SELECT 'lineitem->orders' AS relation,
+               CAST(count(*) AS BIGINT) AS n_child,
+               CAST(count(*) FILTER (WHERE c.l_orderkey IS NULL)
+                    AS BIGINT) AS n_null_fk,
+               CAST(count(*) FILTER (WHERE c.l_orderkey IS NOT NULL
+                                       AND p.o_orderkey IS NULL)
+                    AS BIGINT) AS n_orphans
+        FROM lineitem c LEFT JOIN orders p ON c.l_orderkey = p.o_orderkey
+        UNION ALL
+        SELECT 'lineitem->part',
+               CAST(count(*) AS BIGINT),
+               CAST(count(*) FILTER (WHERE c.l_partkey IS NULL) AS BIGINT),
+               CAST(count(*) FILTER (WHERE c.l_partkey IS NOT NULL
+                                       AND p.p_partkey IS NULL) AS BIGINT)
+        FROM lineitem c LEFT JOIN part p ON c.l_partkey = p.p_partkey
+        UNION ALL
+        SELECT 'lineitem->supplier',
+               CAST(count(*) AS BIGINT),
+               CAST(count(*) FILTER (WHERE c.l_suppkey IS NULL) AS BIGINT),
+               CAST(count(*) FILTER (WHERE c.l_suppkey IS NOT NULL
+                                       AND p.s_suppkey IS NULL) AS BIGINT)
+        FROM lineitem c LEFT JOIN supplier p ON c.l_suppkey = p.s_suppkey
+        UNION ALL
+        SELECT 'orders->customer',
+               CAST(count(*) AS BIGINT),
+               CAST(count(*) FILTER (WHERE c.o_custkey IS NULL) AS BIGINT),
+               CAST(count(*) FILTER (WHERE c.o_custkey IS NOT NULL
+                                       AND p.c_custkey IS NULL) AS BIGINT)
+        FROM orders c LEFT JOIN customer p ON c.o_custkey = p.c_custkey
+    """,
+    doc="Referential-integrity audit over the star schema's four FK "
+    "edges: child rows, NULL foreign keys, and orphans (non-NULL FK "
+    "with no parent) per relation — the data-quality gate a pipeline "
+    "runs before trusting joins.",
+)
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One LEFT join per FK edge, reduced to three counters — child
+    count, NULL-FK count, orphan count (FK present, parent missing).
+    A LEFT join + conditional count beats a separate anti-join pass:
+    one probe of the parent per relation, and the dim-sized parents
+    (part/supplier/customer) broadcast while the fact-sized one
+    (orders) shuffles on the join key — exactly the plan the same
+    audit wants at 100 TB. The four 1-row reductions union into a
+    fixed 4-row result."""
+    t = load_tables(spark, sf_dir)
+
+    def edge(child: DataFrame, fk: str, parent: DataFrame, pk: str,
+             name: str) -> DataFrame:
+        j = child.select(F.col(fk).alias("_fk")).join(
+            parent.select(F.col(pk).alias("_pk")),
+            F.col("_fk") == F.col("_pk"),
+            "left",
+        )
+        return j.agg(
+            F.lit(name).alias("relation"),
+            F.count("*").alias("n_child"),
+            F.count(F.when(F.col("_fk").isNull(), 1)).alias("n_null_fk"),
+            F.count(
+                F.when(F.col("_fk").isNotNull() & F.col("_pk").isNull(), 1)
+            ).alias("n_orphans"),
+        )
+
+    return (
+        edge(t["lineitem"], "l_orderkey", t["orders"], "o_orderkey",
+             "lineitem->orders")
+        .unionAll(edge(t["lineitem"], "l_partkey", t["part"], "p_partkey",
+                       "lineitem->part"))
+        .unionAll(edge(t["lineitem"], "l_suppkey", t["supplier"],
+                       "s_suppkey", "lineitem->supplier"))
+        .unionAll(edge(t["orders"], "o_custkey", t["customer"], "c_custkey",
+                       "orders->customer"))
+    )
+
+
+@query(
+    "q_basket_lift",
+    oracle="""
+        WITH baskets AS (
+            SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ),
+        nb AS (
+            SELECT b, CAST(count(*) AS BIGINT) AS cb FROM baskets GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM baskets
+        ),
+        pairs AS (
+            SELECT x.b AS b1, y.b AS b2,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM baskets x JOIN baskets y
+              ON x.ok = y.ok AND x.b < y.b
+            GROUP BY 1, 2
+        )
+        SELECT b1, b2, c AS n_orders,
+               round(CAST(c AS DOUBLE) / n, 6) AS support,
+               round(CAST(c AS DOUBLE) / n1.cb, 6) AS confidence,
+               round(CAST(c AS DOUBLE) * n / (n1.cb * n2.cb), 6) AS lift
+        FROM pairs
+        JOIN nb n1 ON pairs.b1 = n1.b
+        JOIN nb n2 ON pairs.b2 = n2.b
+        CROSS JOIN tot
+        WHERE c >= 10
+    """,
+    doc="Market-basket association rules at the brand grain: "
+    "support/confidence/lift for every co-ordered brand pair with "
+    ">=10 co-occurrences — the affinity-analysis primitive (the "
+    "statistics are ratios of exact co-occurrence counts).",
+)
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lift(A,B) = N·c(A,B)/(c(A)·c(B)) over order baskets. The
+    self-join runs INSIDE each basket (equi-join on the order key with
+    b1 < b2), so candidate pairs are bounded by the per-order line
+    count (≤ a dozen in this schema), never by the catalog — work is
+    linear in orders at any scale. The brand marginals (bounded brand
+    domain) and the 1-row basket total broadcast back onto the pair
+    counts; every statistic is a single float chain over exact integer
+    counts, rounded at 6 dp on both engines.
+
+    Scale shape: one distinct shuffle on (order, brand) — reused by
+    the pair self-join's two sides via the same key — one pair
+    groupBy, two broadcast joins, one broadcast scalar."""
+    t = load_tables(spark, sf_dir)
+    baskets = (
+        t["lineitem"]
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    nb = baskets.groupBy("b").agg(F.count("*").alias("cb"))
+    tot = baskets.agg(F.countDistinct("ok").alias("n"))
+    x = baskets.select("ok", F.col("b").alias("b1"))
+    y = baskets.select("ok", F.col("b").alias("b2"))
+    pairs = (
+        x.join(y, "ok")
+        .filter(F.col("b1") < F.col("b2"))
+        .groupBy("b1", "b2")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 10)
+    )
+    n1 = nb.select(F.col("b").alias("b1"), F.col("cb").alias("cb1"))
+    n2 = nb.select(F.col("b").alias("b2"), F.col("cb").alias("cb2"))
+    return (
+        pairs.join(F.broadcast(n1), "b1")
+        .join(F.broadcast(n2), "b2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b1", "b2", F.col("c").alias("n_orders"),
+            F.round(F.col("c").cast("double") / F.col("n"), 6)
+            .alias("support"),
+            F.round(F.col("c").cast("double") / F.col("cb1"), 6)
+            .alias("confidence"),
+            F.round(
+                F.col("c").cast("double") * F.col("n")
+                / (F.col("cb1") * F.col("cb2")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "q_graph_degree",
+    oracle="""
+        WITH deg AS (
+            SELECT l_suppkey,
+                   CAST(count(*) AS BIGINT) AS degree
+            FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem)
+            GROUP BY 1
+        )
+        SELECT degree, CAST(count(*) AS BIGINT) AS n_suppliers
+        FROM deg GROUP BY 1
+    """,
+    doc="Degree distribution of the supplier-part bipartite graph "
+    "(distinct parts shipped per supplier, histogrammed) — the "
+    "first-look structural profile of any graph-shaped dataset.",
+)
+def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level reduction: distinct edges → per-node degree → degree
+    histogram. Each step is a map-side-combinable groupBy whose key
+    set only shrinks (edges → nodes → distinct degrees), so the plan
+    is three collapsing exchanges with no window, no join — the shape
+    degree profiling keeps at any scale, and the companion to
+    q_graph_pagerank's structural view."""
+    t = load_tables(spark, sf_dir)
+    deg = (
+        t["lineitem"]
+        .select("l_suppkey", "l_partkey")
+        .distinct()
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count("*").alias("n_suppliers"))

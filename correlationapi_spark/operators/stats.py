@@ -3670,3 +3670,101 @@ def q_prop_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round(p1, 6) AS p1", "round(p2, 6) AS p2",
         "n1", "n2",
     )
+
+
+@query(
+    "q_drift_cusum",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+                   CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+                        AS BIGINT) AS sd,
+                   CAST(count(*) AS BIGINT) AS nd
+            FROM events
+            GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(sum(sd) AS BIGINT) AS st,
+                   CAST(sum(nd) AS BIGINT) AS n
+            FROM daily
+        ),
+        run AS (
+            SELECT d, nd,
+                   CAST(sum(sd) OVER (ORDER BY d
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum_s,
+                   CAST(sum(nd) OVER (ORDER BY d
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum_n
+            FROM daily
+        )
+        SELECT d,
+               round(CAST(CAST(n AS HUGEINT) * cum_s
+                          - CAST(cum_n AS HUGEINT) * st AS DOUBLE)
+                     / n / 1000000.0, 6) AS cusum,
+               nd AS n_events
+        FROM run CROSS JOIN tot
+    """,
+    doc="CUSUM changepoint gauge over the event stream: per-day "
+    "cumulative sum of deviations from thefull-period mean — the peak "
+    "|cusum| day estimates the level-shift changepoint; exact integer "
+    "micro-unit running sums, one float division at the end.",
+)
+def q_drift_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C_t = Σ_{i≤t}(x_i − μ̄) located at the day grain. Multiplying
+    through by N keeps it exact: C'_t = N·cumsum_t − cumcount_t·total
+    is pure integer arithmetic (decimal(38,0) ↔ HUGEINT for the two
+    ~1e19 products), and the single division by N at the end is the
+    only float step — spelled identically on both engines, absorbed
+    at 6 dp. The day with max |C_t| is the classic Page/binary-
+    segmentation changepoint estimate; the full curve is returned so
+    the caller sees the shift shape, completing the drift family
+    (KS/PSI/KL/JS measure per-period distance, CUSUM locates the
+    break).
+
+    Scale shape: one day-grain aggregate over the scan (map-side
+    combinable), then the range-partitioned running-sum pattern over
+    the BOUNDED day table (never an Exchange SinglePartition data
+    window), one broadcast 1-row total."""
+    from ..ordering import global_running_sums
+
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .select(
+            F.date_trunc("day", F.col("ts").cast("timestamp")).alias("d"),
+            F.round(F.col("value") * 1000000, 0).cast("long").alias("micro"),
+        )
+        .groupBy("d")
+        .agg(
+            F.sum("micro").cast("bigint").alias("sd"),
+            F.count("*").alias("nd"),
+        )
+    )
+    tot = daily.agg(
+        F.sum("sd").cast("bigint").alias("st"),
+        F.sum("nd").cast("bigint").alias("n"),
+    )
+    run = global_running_sums(
+        daily,
+        [F.col("d").asc()],
+        [(F.col("sd"), "cum_s_raw"), (F.col("nd"), "cum_n_raw")],
+    ).select(
+        "d", "nd",
+        F.col("cum_s_raw").cast("bigint").alias("cum_s"),
+        F.col("cum_n_raw").cast("bigint").alias("cum_n"),
+    )
+    dec = "decimal(38,0)"
+    return run.crossJoin(F.broadcast(tot)).select(
+        "d",
+        F.round(
+            (
+                F.col("n").cast(dec) * F.col("cum_s").cast(dec)
+                - F.col("cum_n").cast(dec) * F.col("st").cast(dec)
+            ).cast("double")
+            / F.col("n")
+            / 1000000.0,
+            6,
+        ).alias("cusum"),
+        F.col("nd").alias("n_events"),
+    )

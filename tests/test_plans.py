@@ -272,6 +272,10 @@ def test_no_cartesian_or_giant_single_partition_anywhere(spark):
         # cohort totals (1 row), running-sum offsets (≤1 row per range
         # partition), final statistic (1 row)
         "q_survival_logrank": 4,
+        # q_fk_integrity: four 1-row global-aggregate reductions, one
+        # per FK edge (the unioned audit counters) — each carries
+        # exactly one row by construction, never a fact table
+        "q_fk_integrity": 4,
         # q_ts_trend: the day-grain row_number window (≤ #days rows),
         # the S/median pair reduction (1 row), the tie-term aggregate
         # (1 row), and the n_days count (1 row) — all time-domain or

@@ -40,7 +40,7 @@ SECTIONS = {
         "q_pacf", "q_corr_partial2",
         "q_corr_ci", "q_corr_pointbiserial", "q_theil_u", "q_mutual_info",
         "q_agg_moments", "q_agg_gini", "q_agg_trimmed_mean", "q_ts_ewma", "q_ts_fill_grouped",
-        "q_corr_weighted", "q_corr_distance", "q_ks_test", "q_mannwhitney", "q_ttest_welch", "q_anova", "q_levene", "q_prop_ztest", "q_seasonality", "q_drift_daily", "q_drift_psi", "q_drift_js", "q_assoc_mixed", "q_corr_icc", "q_cronbach_alpha", "q_corr_ccc", "q_corr_kappa", "q_ts_trend", "q_agg_entropy",
+        "q_corr_weighted", "q_corr_distance", "q_ks_test", "q_mannwhitney", "q_ttest_welch", "q_anova", "q_levene", "q_prop_ztest", "q_seasonality", "q_drift_daily", "q_drift_psi", "q_drift_js", "q_drift_cusum", "q_assoc_mixed", "q_corr_icc", "q_cronbach_alpha", "q_corr_ccc", "q_corr_kappa", "q_ts_trend", "q_agg_entropy",
     ],
     "§2.5 Window functions": [
         "q_win_rownum", "q_win_rank", "q_win_lag", "q_win_frame_rows",
@@ -84,7 +84,7 @@ SECTIONS = {
         "q_pivot",
     ],
     "Event analytics (beyond §2: product-analytics surface)": [
-        "q_funnel", "q_event_path", "q_event_transitions", "q_graph_pagerank", "q_attribution", "q_attribution_multi", "q_retention", "q_anomaly", "q_anomaly_mad", "q_session_stats", "q_profile", "q_cdc_merge", "q_scd2", "q_gaps_islands", "q_benford", "q_survival_km", "q_survival_logrank",
+        "q_funnel", "q_event_path", "q_event_transitions", "q_graph_pagerank", "q_graph_degree", "q_attribution", "q_attribution_multi", "q_retention", "q_anomaly", "q_anomaly_mad", "q_session_stats", "q_profile", "q_cdc_merge", "q_scd2", "q_fk_integrity", "q_basket_lift", "q_gaps_islands", "q_benford", "q_survival_km", "q_survival_logrank",
     ],
 }
 

@@ -1115,3 +1115,118 @@ def q_cluster_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("x"), 6).alias("centroid_v"),
         F.count("*").alias("n_members"),
     )
+
+
+def pca_spectrum(corpus: DataFrame, k: int = 8) -> DataFrame:
+    """Distributed PCA spectrum of an embedding corpus: top-k
+    eigenvalues of the covariance matrix + explained-variance ratios.
+
+    The distributed part is ONE mapInPandas pass computing per-batch
+    Gram partials — each Arrow batch emits d rows of (count, column
+    sum, Gram row) where the Gram row is a d-vector, so the shuffle
+    carries #batches × d × (d+2) doubles regardless of corpus size
+    (d=64 → ~33 KB per batch). The idx-keyed hash aggregate reduces
+    them to ONE d×(d+2) moment table; the d×d eigendecomposition runs
+    driver-side on numpy (d³ flops on a 64×64 matrix — microseconds,
+    bounded by dimension, never by data). This is the textbook
+    covariance-method PCA split: data-sized work vectorized in Arrow
+    batches, dimension-sized work on the driver.
+
+    NaN-element and zero-length vectors are dropped batch-side (same
+    hygiene as the other embedding engines). Covariance uses the
+    population convention C = E[xxᵀ] − μμᵀ."""
+    import numpy as _np
+
+    d_probe = corpus.select(F.size("v").alias("d")).first()
+    if d_probe is None:
+        raise ValueError("empty corpus")
+    d = d_probe.d
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            x = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+            if x.size == 0:
+                continue
+            ok = ~np.isnan(x).any(axis=1)
+            if not ok.any():
+                continue
+            x = x[ok]
+            gram = x.T @ x  # (d × d)
+            yield pd.DataFrame(
+                {
+                    "idx": np.arange(d, dtype=np.int64),
+                    "n": np.full(d, len(x), dtype=np.int64),
+                    "s": x.sum(axis=0),
+                    "g": list(gram),
+                }
+            )
+
+    moments = (
+        corpus.select("v")
+        .mapInPandas(
+            batches, schema="idx long, n long, s double, g array<double>"
+        )
+        .groupBy("idx")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("s").alias("s"),
+            F.array(
+                *[
+                    F.sum(F.element_at("g", i + 1))
+                    for i in range(d)
+                ]
+            ).alias("g"),
+        )
+        .collect()
+    )
+    rows = sorted(moments, key=lambda r: r.idx)
+    n = int(rows[0].n)  # every idx row carries the same total count
+    mu = _np.array([r.s for r in rows]) / n
+    gram = _np.array([r.g for r in rows])
+    cov = gram / n - _np.outer(mu, mu)
+    evals, _ = _np.linalg.eigh(cov)
+    evals = evals[::-1]  # descending
+    total = float(evals.sum())
+    k = min(k, d)
+    spark = corpus.sparkSession
+    out = [
+        (
+            int(i),
+            float(round(float(evals[i]), 8)),
+            float(round(float(evals[i] / total), 6)),
+            float(round(float(evals[: i + 1].sum() / total), 6)),
+        )
+        for i in range(k)
+    ]
+    return spark.createDataFrame(
+        out,
+        "component int, eigenvalue double, explained_var double, "
+        "cum_explained_var double",
+    )
+
+
+@query(
+    "q_embed_pca",
+    rows_only_reason="the d×d eigendecomposition (numpy eigh, driver-side, "
+    "dimension-bounded) has no SQL equivalent; the spectrum is "
+    "property-tested against full-precision numpy PCA on the collected "
+    "fixture in tests/test_rowsonly.py",
+    doc="Distributed PCA spectrum of the embedding corpus: top-8 "
+    "covariance eigenvalues + explained-variance ratios from ONE "
+    "Arrow-batched Gram-partial pass (shuffle bounded by d², never by "
+    "rows); the intrinsic-dimensionality profile an embedding pipeline "
+    "checks before choosing index/quantization parameters.",
+)
+def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See pca_spectrum: batch-side X^T X partials (vectorized matmul),
+    one d-row idx aggregate, driver-side 64×64 eigh. The 100 TB shape:
+    per-executor work is a BLAS matmul per Arrow batch; the only
+    exchange is #batches × d rows of (d+2) doubles — constant in the
+    corpus size."""
+    t = load_tables(spark, sf_dir)
+    return pca_spectrum(
+        corpus_view(t["embeddings"], "vec_id", "embedding"), k=8
+    )

@@ -1527,3 +1527,31 @@ def test_quantile_merge_rank_error_bounds(spark):
                 [round(v * 100) for v in vals], round(est * 100)
             ) / n
             assert abs(rank - p) < 0.03, (k, p, est, rank)
+
+
+def test_embed_pca_matches_numpy_full_pca(spark):
+    """q_embed_pca: the distributed Gram-partial spectrum must match a
+    full-precision numpy PCA computed on the collected fixture — same
+    covariance convention (population, E[xxᵀ] − μμᵀ), eigenvalues
+    descending, ratios of the total variance."""
+    import numpy as np
+
+    from correlationapi_spark.io import load_tables
+
+    out = REGISTRY["q_embed_pca"].fn(spark, SF_SMOKE).toPandas()
+    assert len(out) == 8
+    rows = (
+        load_tables(spark, SF_SMOKE)["embeddings"]
+        .select("embedding")
+        .collect()
+    )
+    x = np.array([r.embedding for r in rows], dtype=np.float64)
+    x = x[~np.isnan(x).any(axis=1)]
+    cov = (x.T @ x) / len(x) - np.outer(x.mean(0), x.mean(0))
+    ev = np.linalg.eigh(cov)[0][::-1]
+    assert np.allclose(out.eigenvalue.values, ev[:8], rtol=1e-6, atol=1e-9)
+    total = ev.sum()
+    assert np.allclose(out.explained_var.values, ev[:8] / total, atol=1e-6)
+    # ratios are cumulative and the spectrum is descending
+    assert (np.diff(out.cum_explained_var.values) > 0).all()
+    assert (np.diff(out.eigenvalue.values) <= 1e-12).all()

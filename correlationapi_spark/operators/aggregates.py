@@ -759,3 +759,62 @@ def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+@query(
+    "q_agg_theta_sets",
+    rows_only_reason="Theta sketch bytes and estimates are Spark-specific "
+    "(Datasketches ThetaSketch); no DuckDB twin. Set-op estimate error "
+    "vs the exact distinct counts is bounded in tests/test_rowsonly.py.",
+    doc="Theta-sketch SET ALGEBRA over customer activity: union, "
+    "intersection, and difference cardinality estimates between the "
+    "early and late halves of the order history — the sketch family's "
+    "set-op member beside HLL (union-only) and KLL (quantiles).",
+)
+def q_agg_theta_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What HLL cannot do: estimate |A∩B| and |A\\B| WITHOUT a join or
+    a second scan. Each period aggregates its customer set into one
+    theta sketch (map-side combinable, bounded k entries per task);
+    the set algebra then runs on the two sketch blobs — retained
+    customers (∩), churned (early \\ late), acquired (late \\ early) —
+    in a 1-row expression. At 100 TB the same two-sketch table answers
+    every period-pair question with zero fact rescans; per-period
+    sketches could equally be stored per day and theta_union_agg'd to
+    any window.
+
+    Plan: one conditional aggregate over the scan (two sketch
+    accumulators), one 1-row projection of the estimates."""
+    t = load_tables(spark, sf_dir)
+    x = t["orders"].select(
+        "o_custkey",
+        (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        .alias("early"),
+    )
+    a = x.agg(
+        F.expr(
+            "theta_sketch_agg(CASE WHEN early THEN o_custkey END)"
+        ).alias("sk_early"),
+        F.expr(
+            "theta_sketch_agg(CASE WHEN NOT early THEN o_custkey END)"
+        ).alias("sk_late"),
+    )
+    return a.select(
+        F.expr("theta_sketch_estimate(sk_early)").cast("bigint")
+        .alias("est_early"),
+        F.expr("theta_sketch_estimate(sk_late)").cast("bigint")
+        .alias("est_late"),
+        F.expr("theta_sketch_estimate(theta_union(sk_early, sk_late))")
+        .cast("bigint")
+        .alias("est_union"),
+        F.expr(
+            "theta_sketch_estimate(theta_intersection(sk_early, sk_late))"
+        )
+        .cast("bigint")
+        .alias("est_retained"),
+        F.expr("theta_sketch_estimate(theta_difference(sk_early, sk_late))")
+        .cast("bigint")
+        .alias("est_churned"),
+        F.expr("theta_sketch_estimate(theta_difference(sk_late, sk_early))")
+        .cast("bigint")
+        .alias("est_acquired"),
+    )

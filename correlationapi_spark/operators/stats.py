@@ -3768,3 +3768,132 @@ def q_drift_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cusum"),
         F.col("nd").alias("n_events"),
     )
+
+
+@query(
+    "q_ols_daily",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type AS grp,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+                   CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+                        AS BIGINT) AS y
+            FROM events
+            GROUP BY 1, 2
+        ),
+        anchor AS (
+            SELECT min(d) AS d0 FROM daily
+        ),
+        pts AS (
+            SELECT grp,
+                   CAST(date_diff('day', d0, d) AS BIGINT) AS t,
+                   y
+            FROM daily CROSS JOIN anchor
+        ),
+        s AS (
+            SELECT grp,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(t) AS BIGINT) AS st,
+                   CAST(sum(t * t) AS BIGINT) AS stt,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(t * y) AS BIGINT) AS sty,
+                   sum(CAST(y AS HUGEINT) * y) AS syy
+            FROM pts GROUP BY 1
+        ),
+        m AS (
+            SELECT grp, n,
+                   CAST(CAST(n AS HUGEINT) * sty
+                        - CAST(st AS HUGEINT) * sy AS DOUBLE) AS cov_n,
+                   CAST(CAST(n AS HUGEINT) * stt
+                        - CAST(st AS HUGEINT) * st AS DOUBLE) AS var_t_n,
+                   CAST(CAST(n AS HUGEINT) * syy
+                        - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS var_y_n,
+                   CAST(st AS DOUBLE) AS std, CAST(sy AS DOUBLE) AS syd
+            FROM s
+        )
+        SELECT grp AS event_type,
+               round(cov_n / var_t_n / 1000000.0, 6) AS slope,
+               round((syd - cov_n / var_t_n * std) / n / 1000000.0, 6)
+                   AS intercept,
+               round(cov_n * cov_n / (var_t_n * var_y_n), 6) AS r2,
+               n AS n_days
+        FROM m
+    """,
+    doc="Per-event-type OLS trend of daily total value on the day "
+    "index: slope, intercept, and R² from exact integer power sums "
+    "(n, Σt, Σt², Σy, Σty, Σy² via HUGEINT/decimal) — the parametric "
+    "line-fit beside q_ts_trend's nonparametric Mann-Kendall/Sen.",
+)
+def q_ols_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least squares on the (day-index, daily-total) points per group.
+    slope = (nΣty − ΣtΣy)/(nΣt² − (Σt)²), intercept = ȳ − slope·t̄,
+    r² = cov²/(var_t·var_y). Every accumulator is an exact integer —
+    day indices are small ints, totals are micro-units, and the ~1e22
+    Σy² products ride decimal(38,0) ↔ HUGEINT — so both engines cast
+    identical exact integers to double and run the SAME final float
+    chain, absorbed at 6 dp.
+
+    Scale shape: one (type, day) aggregate over the scan, a broadcast
+    1-row anchor, then a per-type reduction over the bounded day
+    domain — no window, no sort; the same three-exchange plan at any
+    corpus size."""
+    t = load_tables(spark, sf_dir)
+    dec = "decimal(38,0)"
+    daily = (
+        t["events"]
+        .select(
+            F.col("event_type").alias("grp"),
+            F.date_trunc("day", F.col("ts").cast("timestamp")).alias("d"),
+            F.round(F.col("value") * 1000000, 0).cast("long").alias("micro"),
+        )
+        .groupBy("grp", "d")
+        .agg(F.sum("micro").cast("bigint").alias("y"))
+    )
+    anchor = daily.agg(F.min("d").alias("d0"))
+    pts = daily.crossJoin(F.broadcast(anchor)).select(
+        "grp",
+        F.datediff(F.col("d"), F.col("d0")).cast("bigint").alias("t"),
+        "y",
+    )
+    s = pts.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("stt"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).cast("bigint").alias("sty"),
+        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).alias("syy"),
+    )
+    m = s.select(
+        "grp", "n",
+        (
+            F.col("n").cast(dec) * F.col("sty").cast(dec)
+            - F.col("st").cast(dec) * F.col("sy").cast(dec)
+        ).cast("double").alias("cov_n"),
+        (
+            F.col("n").cast(dec) * F.col("stt").cast(dec)
+            - F.col("st").cast(dec) * F.col("st").cast(dec)
+        ).cast("double").alias("var_t_n"),
+        (
+            F.col("n").cast(dec) * F.col("syy")
+            - F.col("sy").cast(dec) * F.col("sy").cast(dec)
+        ).cast("double").alias("var_y_n"),
+        F.col("st").cast("double").alias("std"),
+        F.col("sy").cast("double").alias("syd"),
+    )
+    return m.select(
+        F.col("grp").alias("event_type"),
+        F.round(F.col("cov_n") / F.col("var_t_n") / 1000000.0, 6)
+        .alias("slope"),
+        F.round(
+            (F.col("syd") - F.col("cov_n") / F.col("var_t_n") * F.col("std"))
+            / F.col("n")
+            / 1000000.0,
+            6,
+        ).alias("intercept"),
+        F.round(
+            F.col("cov_n") * F.col("cov_n")
+            / (F.col("var_t_n") * F.col("var_y_n")),
+            6,
+        ).alias("r2"),
+        F.col("n").alias("n_days"),
+    )

@@ -1555,3 +1555,40 @@ def test_embed_pca_matches_numpy_full_pca(spark):
     # ratios are cumulative and the spectrum is descending
     assert (np.diff(out.cum_explained_var.values) > 0).all()
     assert (np.diff(out.eigenvalue.values) <= 1e-12).all()
+
+
+def test_theta_sets_error_bounds(spark):
+    """q_agg_theta_sets: every set-op estimate must sit within 5% of
+    the exact distinct-count set algebra (theta default lgK=12 is in
+    exact mode at fixture cardinalities, but the bound is what the key
+    promises at scale)."""
+    import pyspark.sql.functions as F
+
+    from correlationapi_spark.io import load_tables
+
+    out = REGISTRY["q_agg_theta_sets"].fn(spark, SF_SMOKE).collect()[0]
+    t = load_tables(spark, SF_SMOKE)
+    x = t["orders"].select(
+        "o_custkey",
+        (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        .alias("early"),
+    )
+    early = {
+        r.o_custkey for r in x.filter("early").select("o_custkey")
+        .distinct().collect()
+    }
+    late = {
+        r.o_custkey for r in x.filter("NOT early").select("o_custkey")
+        .distinct().collect()
+    }
+    exact = {
+        "est_early": len(early),
+        "est_late": len(late),
+        "est_union": len(early | late),
+        "est_retained": len(early & late),
+        "est_churned": len(early - late),
+        "est_acquired": len(late - early),
+    }
+    for k, v in exact.items():
+        est = getattr(out, k)
+        assert abs(est - v) <= max(1, 0.05 * v), (k, est, v)

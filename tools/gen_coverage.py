@@ -36,11 +36,11 @@ SECTIONS = {
         "q_agg_stats", "q_agg_percentile", "q_agg_approx_percentile", "q_agg_collect",
         "q_agg_histogram", "q_agg_first_last", "q_agg_corr", "q_agg_covar", "q_corr_matrix",
         "q_corr_spearman", "q_ts_resample", "q_ts_rollup", "q_corr_rolling", "q_corr_lagged", "q_flagship",
-        "q_agg_mode", "q_agg_salted", "q_agg_weighted", "q_agg_hll_merge", "q_agg_quantile_merge", "q_agg_freq_items", "q_corr_matrix_spearman", "q_corr_xcorr", "q_corr_kendall", "q_corr_cramer", "q_corr_eta", "q_corr_partial", "q_corr_spearman_grouped",
+        "q_agg_mode", "q_agg_salted", "q_agg_weighted", "q_agg_hll_merge", "q_agg_theta_sets", "q_agg_quantile_merge", "q_agg_freq_items", "q_corr_matrix_spearman", "q_corr_xcorr", "q_corr_kendall", "q_corr_cramer", "q_corr_eta", "q_corr_partial", "q_corr_spearman_grouped",
         "q_pacf", "q_corr_partial2",
         "q_corr_ci", "q_corr_pointbiserial", "q_theil_u", "q_mutual_info",
         "q_agg_moments", "q_agg_gini", "q_agg_trimmed_mean", "q_ts_ewma", "q_ts_fill_grouped",
-        "q_corr_weighted", "q_corr_distance", "q_ks_test", "q_mannwhitney", "q_ttest_welch", "q_anova", "q_levene", "q_prop_ztest", "q_seasonality", "q_drift_daily", "q_drift_psi", "q_drift_js", "q_drift_cusum", "q_assoc_mixed", "q_corr_icc", "q_cronbach_alpha", "q_corr_ccc", "q_corr_kappa", "q_ts_trend", "q_agg_entropy",
+        "q_corr_weighted", "q_corr_distance", "q_ks_test", "q_mannwhitney", "q_ttest_welch", "q_anova", "q_levene", "q_prop_ztest", "q_seasonality", "q_drift_daily", "q_drift_psi", "q_drift_js", "q_drift_cusum", "q_ols_daily", "q_assoc_mixed", "q_corr_icc", "q_cronbach_alpha", "q_corr_ccc", "q_corr_kappa", "q_ts_trend", "q_agg_entropy",
     ],
     "§2.5 Window functions": [
         "q_win_rownum", "q_win_rank", "q_win_lag", "q_win_frame_rows",

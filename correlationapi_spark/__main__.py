@@ -125,6 +125,49 @@ def main(argv: list[str] | None = None) -> int:
     av.add_argument("--group-by", required=True)
     av.add_argument("--center", default="mean", choices=["mean", "median"])
 
+    bk = sub.add_parser(
+        "basket",
+        help="market-basket association rules: support/confidence/lift "
+        "per co-occurring item pair",
+    )
+    add_data(bk)
+    bk.add_argument("--basket", required=True, help="basket id column")
+    bk.add_argument("--item", required=True, help="item column")
+    bk.add_argument("--min-count", type=int, default=10)
+    bk.add_argument("--limit", type=int, default=50)
+
+    cpt = sub.add_parser(
+        "changepoint",
+        help="CUSUM changepoint curve + estimated level-shift period",
+    )
+    add_data(cpt)
+    cpt.add_argument("--var", required=True)
+    cpt.add_argument("--time", required=True)
+    cpt.add_argument("--grain", default="day")
+
+    pc = sub.add_parser(
+        "pca",
+        help="PCA spectrum of an embedding column (top-k eigenvalues "
+        "+ explained variance)",
+    )
+    add_data(pc)
+    pc.add_argument("--id", required=True, dest="id_col")
+    pc.add_argument("--vector", required=True)
+    pc.add_argument("--k", type=int, default=8)
+
+    it = sub.add_parser(
+        "integrity",
+        help="referential-integrity audit of one FK edge "
+        "(child --data vs --parent-data)",
+    )
+    add_data(it)
+    it.add_argument("--fk", required=True, help="child FK column")
+    it.add_argument("--parent-data", required=True,
+                    help="parent dataset path")
+    it.add_argument("--pk", required=True, help="parent key column")
+    it.add_argument("--parent-format", default="parquet",
+                    choices=["parquet", "csv", "json"])
+
     sv2 = sub.add_parser(
         "survival",
         help="Kaplan-Meier conversion curve (+ optional log-rank A/B)",
@@ -383,6 +426,18 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "anova":
             res = api.anova("ds", args.var, args.group_by,
                             center=args.center)
+        elif args.cmd == "basket":
+            res = api.basket("ds", args.basket, args.item,
+                             min_count=args.min_count, limit=args.limit)
+        elif args.cmd == "changepoint":
+            res = api.changepoint("ds", args.var, args.time,
+                                  grain=args.grain)
+        elif args.cmd == "pca":
+            res = api.pca("ds", args.id_col, args.vector, k=args.k)
+        elif args.cmd == "integrity":
+            api.register_dataset("parent", args.parent_data,
+                                 fmt=args.parent_format)
+            res = api.integrity("ds", args.fk, "parent", args.pk)
         elif args.cmd == "association":
             res = api.association("ds", args.a, args.b, method=args.method)
         elif args.cmd == "distribution":

@@ -1038,6 +1038,153 @@ class CorrelationAPI:
             "groups": groups,
         }
 
+    def integrity(
+        self,
+        child: str,
+        fk: str,
+        parent: str,
+        pk: str,
+    ) -> dict[str, Any]:
+        """Referential-integrity audit of one FK edge between two
+        registered datasets — the q_fk_integrity engine
+        (operators.analytics.fk_edge_audit) parameterized: child rows,
+        NULL foreign keys, orphans (non-NULL FK with no parent), and
+        the orphan share."""
+        from .operators.analytics import fk_edge_audit
+
+        c = self._get(child)
+        p = self._get(parent)
+        if fk not in c.columns:
+            raise KeyError(f"unknown variable: {fk!r}")
+        if pk not in p.columns:
+            raise KeyError(f"unknown variable: {pk!r}")
+        r = fk_edge_audit(c, fk, p, pk, f"{child}->{parent}").collect()[0]
+        present = r.n_child - r.n_null_fk
+        return {
+            "relation": r.relation, "fk": fk, "pk": pk,
+            "n_child": r.n_child,
+            "n_null_fk": r.n_null_fk,
+            "n_orphans": r.n_orphans,
+            "orphan_share": (
+                round(r.n_orphans / present, 6) if present else None
+            ),
+        }
+
+    def basket(
+        self,
+        dataset: str,
+        basket: str,
+        item: str,
+        min_count: int = 10,
+        limit: int = 50,
+    ) -> dict[str, Any]:
+        """Market-basket association rules over a registered dataset —
+        the q_basket_lift engine (operators.analytics.basket_rules)
+        parameterized by the basket and item columns: support /
+        confidence / lift per co-occurring item pair, top pairs by
+        lift (ties broken by the pair key for determinism)."""
+        from .operators.analytics import basket_rules
+
+        df = self._get(dataset)
+        for col in (basket, item):
+            if col not in df.columns:
+                raise KeyError(f"unknown variable: {col!r}")
+        baskets = df.select(
+            F.col(basket).alias("ok"),
+            F.col(item).cast("string").alias("b"),
+        ).filter(
+            F.col("ok").isNotNull() & F.col("b").isNotNull()
+        ).distinct()
+        rows = (
+            basket_rules(baskets, min_count=min_count)
+            .orderBy(F.desc("lift"), "b1", "b2")
+            .limit(limit)
+            .collect()
+        )
+        return {
+            "dataset": dataset, "basket": basket, "item": item,
+            "min_count": min_count,
+            "pairs": [
+                {
+                    "a": r.b1, "b": r.b2, "n_baskets": r.n_orders,
+                    "support": _nan_to_none(r.support),
+                    "confidence": _nan_to_none(r.confidence),
+                    "lift": _nan_to_none(r.lift),
+                }
+                for r in rows
+            ],
+        }
+
+    def changepoint(
+        self,
+        dataset: str,
+        var: str,
+        time: str,
+        grain: str = "day",
+    ) -> dict[str, Any]:
+        """CUSUM changepoint curve per period — the q_drift_cusum
+        engine (operators.stats.cusum_frame) parameterized: the
+        cumulative deviation from the full-period mean per period,
+        plus the estimated changepoint (the period of max |CUSUM| —
+        the Page / binary-segmentation split point). Values quantize
+        to exact integer micro-units first (1e-6 lattice)."""
+        from .operators.stats import cusum_frame
+
+        df = self._get(dataset)
+        x = self._num(df, var)
+        if time not in df.columns:
+            raise KeyError(f"unknown variable: {time!r}")
+        data = df.select(
+            F.date_trunc(grain, F.col(time).cast("timestamp")).alias("d"),
+            F.round(x * 1000000, 0).cast("long").alias("micro"),
+        ).filter(F.col("d").isNotNull() & F.col("micro").isNotNull())
+        rows = cusum_frame(data).orderBy("d").collect()
+        if not rows:
+            raise ValueError("no usable rows")
+        peak = max(rows, key=lambda r: (abs(r.cusum), str(r.d)))
+        return {
+            "dataset": dataset, "var": var, "time": time, "grain": grain,
+            "changepoint": str(peak.d),
+            "peak_cusum": _nan_to_none(peak.cusum),
+            "periods": {
+                str(r.d): {"cusum": _nan_to_none(r.cusum),
+                           "n": r.n_events}
+                for r in rows
+            },
+        }
+
+    def pca(
+        self,
+        dataset: str,
+        id_col: str,
+        vector: str,
+        k: int = 8,
+    ) -> dict[str, Any]:
+        """PCA spectrum of a registered embedding table — the
+        q_embed_pca engine (llm.similarity.pca_spectrum)
+        parameterized: top-k covariance eigenvalues with explained-
+        variance ratios, from one Arrow-batched Gram-partial pass."""
+        from .llm.similarity import corpus_view, pca_spectrum
+
+        df = self._get(dataset)
+        rows = pca_spectrum(
+            corpus_view(df, id_col, vector), k=k
+        ).collect()
+        return {
+            "dataset": dataset, "vector": vector, "k": len(rows),
+            "components": [
+                {
+                    "component": r.component,
+                    "eigenvalue": _nan_to_none(r.eigenvalue),
+                    "explained_var": _nan_to_none(r.explained_var),
+                    "cum_explained_var": _nan_to_none(
+                        r.cum_explained_var
+                    ),
+                }
+                for r in rows
+            ],
+        }
+
     def drift(
         self,
         dataset: str,

@@ -17,6 +17,12 @@ container, and none is needed for a JSON-for-JSON contract:
   GET  /compare?dataset=&var=&group_by=&a=&b=  (two-sample KS + Mann-Whitney)
   GET  /anova?dataset=&var=&group_by=[&center=mean|median]
        (k-sample one-way ANOVA F, or Brown-Forsythe W with center=median)
+  GET  /integrity?child=&fk=&parent=&pk=  (FK-edge referential audit)
+  GET  /basket?dataset=&basket=&item=[&min_count=10][&limit=50]
+       (association rules: support/confidence/lift per item pair)
+  GET  /changepoint?dataset=&var=&time=[&grain=day]
+       (CUSUM curve + estimated level-shift period)
+  GET  /pca?dataset=&id=&vector=[&k=8]  (PCA spectrum of an embedding column)
   GET  /drift?dataset=&var=&time=[&grain=day]  (per-period KS + PSI vs reference)
   POST /mixed_matrix {"dataset"[,"variables"]}  (type-appropriate measure per pair)
   GET  /survival?dataset=&start=&end=[&group_by=&a=&b=]  (KM curve [+ log-rank])
@@ -129,6 +135,38 @@ def _route(api: CorrelationAPI, method: str, path: str,
         return 200, api.anova(
             query["dataset"], query["var"], query["group_by"],
             center=query.get("center", "mean"),
+        )
+    if method == "GET" and path == "/integrity":
+        for req in ("child", "fk", "parent", "pk"):
+            if req not in query:
+                raise ValueError(f"missing query parameter {req!r}")
+        return 200, api.integrity(
+            query["child"], query["fk"], query["parent"], query["pk"],
+        )
+    if method == "GET" and path == "/basket":
+        for req in ("dataset", "basket", "item"):
+            if req not in query:
+                raise ValueError(f"missing query parameter {req!r}")
+        return 200, api.basket(
+            query["dataset"], query["basket"], query["item"],
+            min_count=int(query.get("min_count", "10")),
+            limit=int(query.get("limit", "50")),
+        )
+    if method == "GET" and path == "/changepoint":
+        for req in ("dataset", "var", "time"):
+            if req not in query:
+                raise ValueError(f"missing query parameter {req!r}")
+        return 200, api.changepoint(
+            query["dataset"], query["var"], query["time"],
+            grain=query.get("grain", "day"),
+        )
+    if method == "GET" and path == "/pca":
+        for req in ("dataset", "id", "vector"):
+            if req not in query:
+                raise ValueError(f"missing query parameter {req!r}")
+        return 200, api.pca(
+            query["dataset"], query["id"], query["vector"],
+            k=int(query.get("k", "8")),
         )
     if method == "GET" and path == "/survival":
         for req in ("dataset", "start", "end"):

@@ -1580,6 +1580,30 @@ def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("anchor")
 
 
+def fk_edge_audit(child: DataFrame, fk: str, parent: DataFrame,
+                  pk: str, name: str) -> DataFrame:
+    """One FK edge of a referential-integrity audit: LEFT join the
+    child's FK column onto the parent key, reduce to (relation,
+    n_child, n_null_fk, n_orphans). A LEFT join + conditional count
+    beats a separate anti-join pass — one probe of the parent per
+    relation, dim-sized parents broadcast, fact-sized ones shuffle on
+    the join key. The q_fk_integrity key and api.integrity() both
+    consume this engine."""
+    j = child.select(F.col(fk).alias("_fk")).join(
+        parent.select(F.col(pk).alias("_pk")),
+        F.col("_fk") == F.col("_pk"),
+        "left",
+    )
+    return j.agg(
+        F.lit(name).alias("relation"),
+        F.count("*").alias("n_child"),
+        F.count(F.when(F.col("_fk").isNull(), 1)).alias("n_null_fk"),
+        F.count(
+            F.when(F.col("_fk").isNotNull() & F.col("_pk").isNull(), 1)
+        ).alias("n_orphans"),
+    )
+
+
 @query(
     "q_fk_integrity",
     oracle="""
@@ -1628,32 +1652,56 @@ def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit wants at 100 TB. The four 1-row reductions union into a
     fixed 4-row result."""
     t = load_tables(spark, sf_dir)
-
-    def edge(child: DataFrame, fk: str, parent: DataFrame, pk: str,
-             name: str) -> DataFrame:
-        j = child.select(F.col(fk).alias("_fk")).join(
-            parent.select(F.col(pk).alias("_pk")),
-            F.col("_fk") == F.col("_pk"),
-            "left",
-        )
-        return j.agg(
-            F.lit(name).alias("relation"),
-            F.count("*").alias("n_child"),
-            F.count(F.when(F.col("_fk").isNull(), 1)).alias("n_null_fk"),
-            F.count(
-                F.when(F.col("_fk").isNotNull() & F.col("_pk").isNull(), 1)
-            ).alias("n_orphans"),
-        )
-
     return (
-        edge(t["lineitem"], "l_orderkey", t["orders"], "o_orderkey",
-             "lineitem->orders")
-        .unionAll(edge(t["lineitem"], "l_partkey", t["part"], "p_partkey",
-                       "lineitem->part"))
-        .unionAll(edge(t["lineitem"], "l_suppkey", t["supplier"],
-                       "s_suppkey", "lineitem->supplier"))
-        .unionAll(edge(t["orders"], "o_custkey", t["customer"], "c_custkey",
-                       "orders->customer"))
+        fk_edge_audit(t["lineitem"], "l_orderkey", t["orders"],
+                      "o_orderkey", "lineitem->orders")
+        .unionAll(fk_edge_audit(t["lineitem"], "l_partkey", t["part"],
+                                "p_partkey", "lineitem->part"))
+        .unionAll(fk_edge_audit(t["lineitem"], "l_suppkey", t["supplier"],
+                                "s_suppkey", "lineitem->supplier"))
+        .unionAll(fk_edge_audit(t["orders"], "o_custkey", t["customer"],
+                                "c_custkey", "orders->customer"))
+    )
+
+
+def basket_rules(baskets: DataFrame, min_count: int = 10) -> DataFrame:
+    """Association rules over a distinct (ok, b) basket-membership
+    frame: support/confidence/lift for every item pair co-occurring in
+    >= min_count baskets. The pair self-join is an equi-join on the
+    basket key with b1 < b2, so candidates are bounded by basket
+    width, never the catalog; the item marginals and 1-row basket
+    total broadcast back onto the pair counts; every statistic is a
+    single float chain over exact integer counts, rounded at 6 dp.
+    The q_basket_lift key and api.basket() both consume this engine."""
+    nb = baskets.groupBy("b").agg(F.count("*").alias("cb"))
+    tot = baskets.agg(F.countDistinct("ok").alias("n"))
+    x = baskets.select("ok", F.col("b").alias("b1"))
+    y = baskets.select("ok", F.col("b").alias("b2"))
+    pairs = (
+        x.join(y, "ok")
+        .filter(F.col("b1") < F.col("b2"))
+        .groupBy("b1", "b2")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= min_count)
+    )
+    n1 = nb.select(F.col("b").alias("b1"), F.col("cb").alias("cb1"))
+    n2 = nb.select(F.col("b").alias("b2"), F.col("cb").alias("cb2"))
+    return (
+        pairs.join(F.broadcast(n1), "b1")
+        .join(F.broadcast(n2), "b2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b1", "b2", F.col("c").alias("n_orders"),
+            F.round(F.col("c").cast("double") / F.col("n"), 6)
+            .alias("support"),
+            F.round(F.col("c").cast("double") / F.col("cb1"), 6)
+            .alias("confidence"),
+            F.round(
+                F.col("c").cast("double") * F.col("n")
+                / (F.col("cb1") * F.col("cb2")),
+                6,
+            ).alias("lift"),
+        )
     )
 
 
@@ -1712,36 +1760,7 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
         .distinct()
     )
-    nb = baskets.groupBy("b").agg(F.count("*").alias("cb"))
-    tot = baskets.agg(F.countDistinct("ok").alias("n"))
-    x = baskets.select("ok", F.col("b").alias("b1"))
-    y = baskets.select("ok", F.col("b").alias("b2"))
-    pairs = (
-        x.join(y, "ok")
-        .filter(F.col("b1") < F.col("b2"))
-        .groupBy("b1", "b2")
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= 10)
-    )
-    n1 = nb.select(F.col("b").alias("b1"), F.col("cb").alias("cb1"))
-    n2 = nb.select(F.col("b").alias("b2"), F.col("cb").alias("cb2"))
-    return (
-        pairs.join(F.broadcast(n1), "b1")
-        .join(F.broadcast(n2), "b2")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "b1", "b2", F.col("c").alias("n_orders"),
-            F.round(F.col("c").cast("double") / F.col("n"), 6)
-            .alias("support"),
-            F.round(F.col("c").cast("double") / F.col("cb1"), 6)
-            .alias("confidence"),
-            F.round(
-                F.col("c").cast("double") * F.col("n")
-                / (F.col("cb1") * F.col("cb2")),
-                6,
-            ).alias("lift"),
-        )
-    )
+    return basket_rules(baskets, min_count=10)
 
 
 @query(

@@ -3672,6 +3672,53 @@ def q_prop_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cusum_frame(data: DataFrame) -> DataFrame:
+    """CUSUM changepoint curve over a ``(d, micro)`` frame (period,
+    integer-quantized value): per-period cumulative sum of deviations
+    from the full-period mean, exact until the single final division.
+    C\'_t = N·cumsum_t − cumcount_t·total is pure integer arithmetic
+    (decimal(38,0) for the ~1e19 products); the period with max |C_t|
+    estimates the level-shift changepoint. The q_drift_cusum key and
+    api.changepoint() both consume this engine.
+
+    Scale shape: one period-grain aggregate over the scan (map-side
+    combinable), the range-partitioned running-sum pattern over the
+    BOUNDED period table, one broadcast 1-row total."""
+    from ..ordering import global_running_sums
+
+    daily = data.groupBy("d").agg(
+        F.sum("micro").cast("bigint").alias("sd"),
+        F.count("*").alias("nd"),
+    )
+    tot = daily.agg(
+        F.sum("sd").cast("bigint").alias("st"),
+        F.sum("nd").cast("bigint").alias("n"),
+    )
+    run = global_running_sums(
+        daily,
+        [F.col("d").asc()],
+        [(F.col("sd"), "cum_s_raw"), (F.col("nd"), "cum_n_raw")],
+    ).select(
+        "d", "nd",
+        F.col("cum_s_raw").cast("bigint").alias("cum_s"),
+        F.col("cum_n_raw").cast("bigint").alias("cum_n"),
+    )
+    dec = "decimal(38,0)"
+    return run.crossJoin(F.broadcast(tot)).select(
+        "d",
+        F.round(
+            (
+                F.col("n").cast(dec) * F.col("cum_s").cast(dec)
+                - F.col("cum_n").cast(dec) * F.col("st").cast(dec)
+            ).cast("double")
+            / F.col("n")
+            / 1000000.0,
+            6,
+        ).alias("cusum"),
+        F.col("nd").alias("n_events"),
+    )
+
+
 @query(
     "q_drift_cusum",
     oracle="""
@@ -3726,48 +3773,12 @@ def q_drift_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable), then the range-partitioned running-sum pattern over
     the BOUNDED day table (never an Exchange SinglePartition data
     window), one broadcast 1-row total."""
-    from ..ordering import global_running_sums
-
     t = load_tables(spark, sf_dir)
-    daily = (
-        t["events"]
-        .select(
-            F.date_trunc("day", F.col("ts").cast("timestamp")).alias("d"),
-            F.round(F.col("value") * 1000000, 0).cast("long").alias("micro"),
-        )
-        .groupBy("d")
-        .agg(
-            F.sum("micro").cast("bigint").alias("sd"),
-            F.count("*").alias("nd"),
-        )
+    data = t["events"].select(
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("d"),
+        F.round(F.col("value") * 1000000, 0).cast("long").alias("micro"),
     )
-    tot = daily.agg(
-        F.sum("sd").cast("bigint").alias("st"),
-        F.sum("nd").cast("bigint").alias("n"),
-    )
-    run = global_running_sums(
-        daily,
-        [F.col("d").asc()],
-        [(F.col("sd"), "cum_s_raw"), (F.col("nd"), "cum_n_raw")],
-    ).select(
-        "d", "nd",
-        F.col("cum_s_raw").cast("bigint").alias("cum_s"),
-        F.col("cum_n_raw").cast("bigint").alias("cum_n"),
-    )
-    dec = "decimal(38,0)"
-    return run.crossJoin(F.broadcast(tot)).select(
-        "d",
-        F.round(
-            (
-                F.col("n").cast(dec) * F.col("cum_s").cast(dec)
-                - F.col("cum_n").cast(dec) * F.col("st").cast(dec)
-            ).cast("double")
-            / F.col("n")
-            / 1000000.0,
-            6,
-        ).alias("cusum"),
-        F.col("nd").alias("n_events"),
-    )
+    return cusum_frame(data)
 
 
 @query(

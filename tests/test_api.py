@@ -1441,6 +1441,106 @@ def test_anova_validation(api_orders):
         api_orders.anova("orders", "o_totalprice", "nope")
 
 
+def test_integrity_matches_declared_key(api_orders, spark):
+    import os as _os
+
+    api_orders.register_dataset(
+        "customer", _os.path.join(SF_SMOKE, "customer.parquet")
+    )
+    key = {
+        r.relation: r
+        for r in REGISTRY["q_fk_integrity"].fn(spark, SF_SMOKE).collect()
+    }["orders->customer"]
+    res = api_orders.integrity("orders", "o_custkey", "customer",
+                               "c_custkey")
+    assert res["n_child"] == key.n_child
+    assert res["n_null_fk"] == key.n_null_fk
+    assert res["n_orphans"] == key.n_orphans
+    import json
+    json.dumps(res)
+
+
+def test_integrity_detects_orphans(api_orders, spark):
+    import os as _os
+
+    api_orders.register_dataset(
+        "customer", _os.path.join(SF_SMOKE, "customer.parquet")
+    )
+    # parent restricted to even keys → odd-FK children become orphans
+    api_orders._datasets["customer_half"] = (
+        api_orders._get("customer").filter("c_custkey % 2 = 0")
+    )
+    res = api_orders.integrity("orders", "o_custkey", "customer_half",
+                               "c_custkey")
+    assert res["n_orphans"] > 0 and res["orphan_share"] > 0.0
+
+
+def test_basket_matches_declared_key(api_orders, spark):
+    import os as _os
+
+    from correlationapi_spark.io import load_tables
+
+    import pyspark.sql.functions as F
+
+    t = load_tables(spark, SF_SMOKE)
+    joined = (
+        t["lineitem"]
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b")
+        )
+    )
+    api_orders._datasets["baskets"] = joined
+    key = {
+        (r.b1, r.b2): r
+        for r in REGISTRY["q_basket_lift"].fn(spark, SF_SMOKE).collect()
+    }
+    res = api_orders.basket("baskets", "ok", "b", min_count=10, limit=10)
+    assert res["pairs"], "expected at least one rule at min_count=10"
+    for pair in res["pairs"]:
+        k = key[(pair["a"], pair["b"])]
+        assert pair["n_baskets"] == k.n_orders
+        assert abs(pair["lift"] - k.lift) < 1e-9
+    lifts = [p["lift"] for p in res["pairs"]]
+    assert lifts == sorted(lifts, reverse=True)
+
+
+def test_changepoint_matches_declared_key(api_orders, spark):
+    import os as _os
+
+    api_orders.register_dataset(
+        "events", _os.path.join(SF_SMOKE, "events.parquet")
+    )
+    key = {
+        str(r.d): r
+        for r in REGISTRY["q_drift_cusum"].fn(spark, SF_SMOKE).collect()
+    }
+    res = api_orders.changepoint("events", "value", "ts")
+    assert set(res["periods"]) == set(key)
+    for d, cell in res["periods"].items():
+        assert abs(cell["cusum"] - key[d].cusum) < 1e-9
+        assert cell["n"] == key[d].n_events
+    assert res["changepoint"] in key
+    assert abs(res["peak_cusum"]) == max(
+        abs(c["cusum"]) for c in res["periods"].values()
+    )
+
+
+def test_pca_matches_declared_key(api_orders, spark):
+    import os as _os
+
+    api_orders.register_dataset(
+        "embeddings", _os.path.join(SF_SMOKE, "embeddings.parquet")
+    )
+    key = REGISTRY["q_embed_pca"].fn(spark, SF_SMOKE).collect()
+    res = api_orders.pca("embeddings", "vec_id", "embedding", k=8)
+    assert len(res["components"]) == len(key) == 8
+    for got, exp in zip(res["components"], key):
+        assert got["component"] == exp.component
+        assert abs(got["eigenvalue"] - exp.eigenvalue) < 1e-9
+        assert abs(got["explained_var"] - exp.explained_var) < 1e-9
+
+
 def test_compare_validation(api_orders):
     with pytest.raises(ValueError, match="empty sample"):
         api_orders.compare("orders", "o_totalprice", "o_orderstatus",

@@ -216,6 +216,27 @@ def test_cli_anova(spark, capsys):
     assert rc == 0 and res["w_stat"] >= 0.0 and res["df_between"] == 4
 
 
+def test_cli_basket_changepoint_pca_integrity(spark, capsys):
+    rc, res = _run(capsys, [
+        "changepoint", "--data", os.path.join(SF_SMOKE, "events.parquet"),
+        "--var", "value", "--time", "ts",
+    ])
+    assert rc == 0 and res["periods"] and res["changepoint"] in res["periods"]
+    rc, res = _run(capsys, [
+        "pca", "--data", os.path.join(SF_SMOKE, "embeddings.parquet"),
+        "--id", "vec_id", "--vector", "embedding", "--k", "4",
+    ])
+    assert rc == 0 and len(res["components"]) == 4
+    assert 0.0 < res["components"][0]["explained_var"] < 1.0
+    rc, res = _run(capsys, [
+        "integrity", "--data", os.path.join(SF_SMOKE, "orders.parquet"),
+        "--fk", "o_custkey",
+        "--parent-data", os.path.join(SF_SMOKE, "customer.parquet"),
+        "--pk", "c_custkey",
+    ])
+    assert rc == 0 and res["n_child"] > 0 and res["n_orphans"] == 0
+
+
 def test_cli_drift(spark, capsys):
     rc, res = _run(capsys, [
         "drift", "--data", os.path.join(SF_SMOKE, "events.parquet"),

@@ -432,6 +432,35 @@ def test_anova_route(spark):
     assert payload["df_between"] == 4 and len(payload["groups"]) == 5
 
 
+def test_integrity_basket_changepoint_pca_routes(spark):
+    from correlationapi_spark.api import CorrelationAPI
+
+    api = CorrelationAPI(spark)
+    api.register_dataset("orders", os.path.join(SF_SMOKE, "orders.parquet"))
+    api.register_dataset("customer",
+                         os.path.join(SF_SMOKE, "customer.parquet"))
+    api.register_dataset("events", os.path.join(SF_SMOKE, "events.parquet"))
+    api.register_dataset("embeddings",
+                         os.path.join(SF_SMOKE, "embeddings.parquet"))
+    status, payload = _route(
+        api, "GET", "/integrity",
+        {"child": "orders", "fk": "o_custkey",
+         "parent": "customer", "pk": "c_custkey"}, {},
+    )
+    assert status == 200 and payload["n_child"] > 0
+    status, payload = _route(
+        api, "GET", "/changepoint",
+        {"dataset": "events", "var": "value", "time": "ts"}, {},
+    )
+    assert status == 200 and payload["changepoint"] in payload["periods"]
+    status, payload = _route(
+        api, "GET", "/pca",
+        {"dataset": "embeddings", "id": "vec_id",
+         "vector": "embedding", "k": "3"}, {},
+    )
+    assert status == 200 and len(payload["components"]) == 3
+
+
 def test_drift_route(spark):
     from correlationapi_spark.api import CorrelationAPI
 

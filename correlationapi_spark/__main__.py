@@ -145,6 +145,16 @@ def main(argv: list[str] | None = None) -> int:
     cpt.add_argument("--time", required=True)
     cpt.add_argument("--grain", default="day")
 
+    tr = sub.add_parser(
+        "trend",
+        help="per-group OLS trend of period totals (slope/intercept/R2)",
+    )
+    add_data(tr)
+    tr.add_argument("--var", required=True)
+    tr.add_argument("--time", required=True)
+    tr.add_argument("--group-by", default=None)
+    tr.add_argument("--grain", default="day")
+
     pc = sub.add_parser(
         "pca",
         help="PCA spectrum of an embedding column (top-k eigenvalues "
@@ -432,6 +442,9 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "changepoint":
             res = api.changepoint("ds", args.var, args.time,
                                   grain=args.grain)
+        elif args.cmd == "trend":
+            res = api.trend("ds", args.var, args.time,
+                            group_by=args.group_by, grain=args.grain)
         elif args.cmd == "pca":
             res = api.pca("ds", args.id_col, args.vector, k=args.k)
         elif args.cmd == "integrity":

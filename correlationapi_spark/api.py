@@ -1153,6 +1153,62 @@ class CorrelationAPI:
             },
         }
 
+    def trend(
+        self,
+        dataset: str,
+        var: str,
+        time: str,
+        group_by: str | None = None,
+        grain: str = "day",
+    ) -> dict[str, Any]:
+        """Per-group OLS trend of period totals on the period index —
+        the q_ols_daily engine (operators.stats.ols_trend)
+        parameterized: slope (var units per period), intercept, R²,
+        and period count per group. Values quantize to exact integer
+        micro-units first (1e-6 lattice). The nonparametric sibling
+        (Mann-Kendall z + Sen's slope) stays with the q_ts_trend key;
+        this service is the parametric line fit."""
+        from .operators.stats import ols_trend
+
+        df = self._get(dataset)
+        x = self._num(df, var)
+        if time not in df.columns:
+            raise KeyError(f"unknown variable: {time!r}")
+        g = (
+            F.col(group_by).cast("string")
+            if group_by is not None and group_by in df.columns
+            else F.lit("_all")
+        )
+        if group_by is not None and group_by not in df.columns:
+            raise KeyError(f"unknown variable: {group_by!r}")
+        daily = (
+            df.select(
+                g.alias("grp"),
+                F.date_trunc(grain, F.col(time).cast("timestamp"))
+                .alias("d"),
+                F.round(x * 1000000, 0).cast("long").alias("micro"),
+            )
+            .filter(F.col("d").isNotNull() & F.col("micro").isNotNull())
+            .groupBy("grp", "d")
+            .agg(F.sum("micro").cast("bigint").alias("y"))
+        )
+        rows = ols_trend(daily).collect()
+        if not rows:
+            raise ValueError("no usable rows")
+        return {
+            "dataset": dataset, "var": var, "time": time,
+            "group_by": group_by, "grain": grain,
+            "groups": {
+                r.grp: {
+                    "slope": _nan_to_none(r.slope),
+                    "intercept": _nan_to_none(r.intercept),
+                    "r2": _nan_to_none(r.r2),
+                    "n_periods": r.n_days,
+                }
+                for r in rows
+            },
+        }
+
     def pca(
         self,
         dataset: str,

@@ -22,6 +22,8 @@ container, and none is needed for a JSON-for-JSON contract:
        (association rules: support/confidence/lift per item pair)
   GET  /changepoint?dataset=&var=&time=[&grain=day]
        (CUSUM curve + estimated level-shift period)
+  GET  /trend?dataset=&var=&time=[&group_by=][&grain=day]
+       (per-group OLS trend: slope/intercept/R2 over period totals)
   GET  /pca?dataset=&id=&vector=[&k=8]  (PCA spectrum of an embedding column)
   GET  /drift?dataset=&var=&time=[&grain=day]  (per-period KS + PSI vs reference)
   POST /mixed_matrix {"dataset"[,"variables"]}  (type-appropriate measure per pair)
@@ -158,6 +160,15 @@ def _route(api: CorrelationAPI, method: str, path: str,
                 raise ValueError(f"missing query parameter {req!r}")
         return 200, api.changepoint(
             query["dataset"], query["var"], query["time"],
+            grain=query.get("grain", "day"),
+        )
+    if method == "GET" and path == "/trend":
+        for req in ("dataset", "var", "time"):
+            if req not in query:
+                raise ValueError(f"missing query parameter {req!r}")
+        return 200, api.trend(
+            query["dataset"], query["var"], query["time"],
+            group_by=query.get("group_by"),
             grain=query.get("grain", "day"),
         )
     if method == "GET" and path == "/pca":

@@ -249,3 +249,59 @@ def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r") <= 20)
         .select("event_type", "event_id", "r")
     )
+
+
+@query(
+    "q_sample_balanced",
+    oracle="""
+        WITH quota AS (
+            SELECT CAST(min(c) AS BIGINT) AS m FROM (
+                SELECT count(*) AS c FROM documents GROUP BY lang
+            )
+        )
+        SELECT doc_id, lang, sample_rank FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS sample_rank
+            FROM documents
+        ) CROSS JOIN quota WHERE sample_rank <= m
+    """,
+    doc="Class-balanced downsampling: every language keeps exactly the "
+    "minority class's count, selected by deterministic hash order — "
+    "the majority-class downsampler an LLM data pipeline runs to "
+    "equalize a language (or domain/source) mix.",
+)
+def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample-to-parity: quota = min per-class count, computed in a
+    class-sized aggregate and broadcast back; selection is the same
+    deterministic md5-order WindowGroupLimit as q_sample_stratified,
+    so membership is reproducible across engines, runs, and
+    repartitioning. Unlike a fixed-fraction sampleBy, the result is
+    EXACTLY balanced — the class-mix guarantee domain-rebalancing
+    needs (q_domain_mix reweights to arbitrary targets; this is the
+    exact-parity special case that never overshoots).
+
+    Scale shape: one class-keyed aggregate (tiny), one broadcast
+    scalar, one shuffle on the class key with a bounded per-task heap
+    (WindowGroupLimit) — the identical footprint at any corpus size."""
+    t = load_tables(spark, sf_dir)
+    quota = (
+        t["documents"]
+        .groupBy("lang")
+        .agg(F.count("*").alias("c"))
+        .agg(F.min("c").cast("bigint").alias("m"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        t["documents"]
+        .select(
+            "doc_id", "lang", F.row_number().over(w).alias("sample_rank")
+        )
+        .crossJoin(F.broadcast(quota))
+        .filter(F.col("sample_rank") <= F.col("m"))
+        .drop("m")
+    )

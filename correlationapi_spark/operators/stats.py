@@ -3849,7 +3849,6 @@ def q_ols_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain — no window, no sort; the same three-exchange plan at any
     corpus size."""
     t = load_tables(spark, sf_dir)
-    dec = "decimal(38,0)"
     daily = (
         t["events"]
         .select(
@@ -3860,6 +3859,25 @@ def q_ols_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("grp", "d")
         .agg(F.sum("micro").cast("bigint").alias("y"))
     )
+    return ols_trend(daily).select(
+        F.col("grp").alias("event_type"),
+        "slope", "intercept", "r2", "n_days",
+    )
+
+
+def ols_trend(daily: DataFrame) -> DataFrame:
+    """Per-group OLS line fit over a ``(grp, d, y)`` frame (group,
+    period, exact integer total): returns (grp, slope, intercept, r2,
+    n_days) with the day index anchored at the GLOBAL min period. All
+    accumulators are exact integers (the ~1e22 Σy² products ride
+    decimal(38,0)); both engines cast identical exact integers to
+    double and run the same final float chain, absorbed at 6 dp. The
+    q_ols_daily key and api.trend() both consume this engine.
+
+    Scale shape: a broadcast 1-row anchor, then ONE map-side-
+    combinable reduction per group over the bounded period domain —
+    no window, no sort."""
+    dec = "decimal(38,0)"
     anchor = daily.agg(F.min("d").alias("d0"))
     pts = daily.crossJoin(F.broadcast(anchor)).select(
         "grp",
@@ -3892,7 +3910,7 @@ def q_ols_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sy").cast("double").alias("syd"),
     )
     return m.select(
-        F.col("grp").alias("event_type"),
+        "grp",
         F.round(F.col("cov_n") / F.col("var_t_n") / 1000000.0, 6)
         .alias("slope"),
         F.round(

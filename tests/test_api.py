@@ -1541,6 +1541,30 @@ def test_pca_matches_declared_key(api_orders, spark):
         assert abs(got["explained_var"] - exp.explained_var) < 1e-9
 
 
+def test_trend_matches_declared_key(api_orders, spark):
+    import os as _os
+
+    api_orders.register_dataset(
+        "events", _os.path.join(SF_SMOKE, "events.parquet")
+    )
+    key = {
+        r.event_type: r
+        for r in REGISTRY["q_ols_daily"].fn(spark, SF_SMOKE).collect()
+    }
+    res = api_orders.trend("events", "value", "ts",
+                           group_by="event_type")
+    assert set(res["groups"]) == set(key)
+    for g, cell in res["groups"].items():
+        assert abs(cell["slope"] - key[g].slope) < 1e-9
+        assert abs(cell["intercept"] - key[g].intercept) < 1e-9
+        assert abs(cell["r2"] - key[g].r2) < 1e-9
+        assert cell["n_periods"] == key[g].n_days
+    # ungrouped: single _all cell with a finite fit
+    res = api_orders.trend("events", "value", "ts")
+    assert set(res["groups"]) == {"_all"}
+    assert res["groups"]["_all"]["n_periods"] > 1
+
+
 def test_compare_validation(api_orders):
     with pytest.raises(ValueError, match="empty sample"):
         api_orders.compare("orders", "o_totalprice", "o_orderstatus",

@@ -237,6 +237,16 @@ def test_cli_basket_changepoint_pca_integrity(spark, capsys):
     assert rc == 0 and res["n_child"] > 0 and res["n_orphans"] == 0
 
 
+def test_cli_trend(spark, capsys):
+    rc, res = _run(capsys, [
+        "trend", "--data", os.path.join(SF_SMOKE, "events.parquet"),
+        "--var", "value", "--time", "ts", "--group-by", "event_type",
+    ])
+    assert rc == 0 and len(res["groups"]) == 5
+    first = next(iter(res["groups"].values()))
+    assert first["n_periods"] > 1 and 0.0 <= first["r2"] <= 1.0
+
+
 def test_cli_drift(spark, capsys):
     rc, res = _run(capsys, [
         "drift", "--data", os.path.join(SF_SMOKE, "events.parquet"),

@@ -461,6 +461,19 @@ def test_integrity_basket_changepoint_pca_routes(spark):
     assert status == 200 and len(payload["components"]) == 3
 
 
+def test_trend_route(spark):
+    from correlationapi_spark.api import CorrelationAPI
+
+    api = CorrelationAPI(spark)
+    api.register_dataset("events", os.path.join(SF_SMOKE, "events.parquet"))
+    status, payload = _route(
+        api, "GET", "/trend",
+        {"dataset": "events", "var": "value", "time": "ts",
+         "group_by": "event_type"}, {},
+    )
+    assert status == 200 and len(payload["groups"]) == 5
+
+
 def test_drift_route(spark):
     from correlationapi_spark.api import CorrelationAPI
 

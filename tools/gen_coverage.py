@@ -63,7 +63,7 @@ SECTIONS = {
         "q_text_repetition", "q_quality_pipeline", "q_text_perplexity", "q_embed_centroid", "q_embed_pca", "q_text_bpe_train",
         "q_vocab_coverage", "q_text_zipf",
         "q_split_stable", "q_sample_stratified", "q_sample_fraction", "q_sample_reservoir",
-        "q_sample_weighted", "q_domain_mix",
+        "q_sample_weighted", "q_sample_balanced", "q_domain_mix",
         "q_multimodal_meta", "q_multimodal_frames", "q_pack_chunks",
         "q_pack_bpeish", "q_pack_bpe", "q_pack_bestfit", "q_cluster_kmeans_step",
     ],

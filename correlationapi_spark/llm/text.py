@@ -1265,3 +1265,64 @@ def q_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_chunks_layout(
         counts, _PACK_BPEISH_CAPACITY, n_tok=F.col("bpe_tokens")
     )
+
+
+@query(
+    "q_text_keyword",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM tok GROUP BY doc_id, term
+        ), df AS (
+            SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+        ), n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                   round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6)
+                       AS tfidf
+            FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+        )
+        SELECT doc_id, term, tfidf, rn FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY tfidf DESC, term) AS rn
+            FROM scored
+        ) WHERE rn <= 3
+    """,
+    doc="Keyword extraction: top-3 TF-IDF terms PER DOCUMENT (vs "
+    "q_text_tfidf's per-source grain) — the per-doc salient-term "
+    "tagger a corpus pipeline uses for labeling and retrieval keys.",
+)
+def q_text_keyword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same exact tf·ln(N/df) spelling as q_text_tfidf, re-grained to
+    the document: tf per (doc, term), the shared df vocabulary join
+    (no broadcast hint — the vocabulary can exceed any threshold at
+    corpus scale; AQE picks), ranking on the ROUNDED score with a term
+    tie-break so cross-engine ln() ulp drift cannot flip the top-k.
+    rank<=3 compiles to WindowGroupLimit — a bounded per-task heap on
+    the doc-keyed exchange."""
+    t = load_tables(spark, sf_dir)
+    tok = t["documents"].select("doc_id", F.explode(_toks()).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = t["documents"].agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .join(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf", "rn")
+    )

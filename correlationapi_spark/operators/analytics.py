@@ -1795,3 +1795,100 @@ def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("degree"))
     )
     return deg.groupBy("degree").agg(F.count("*").alias("n_suppliers"))
+
+
+@query(
+    "q_rfm",
+    oracle="""
+        WITH cust AS (
+            SELECT o_custkey,
+                   CAST(date_diff('day', max(o_orderdate),
+                        TIMESTAMP '2001-08-01') AS BIGINT) AS recency,
+                   CAST(count(*) AS BIGINT) AS frequency,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS monetary
+            FROM orders GROUP BY 1
+        ),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cust),
+        scored AS (
+            SELECT o_custkey, monetary,
+                   CAST(1 + ((row_number() OVER (
+                        ORDER BY recency ASC, o_custkey) - 1) * 5) // n
+                        AS BIGINT) AS r_score,
+                   CAST(1 + ((row_number() OVER (
+                        ORDER BY frequency ASC, o_custkey) - 1) * 5) // n
+                        AS BIGINT) AS f_score,
+                   CAST(1 + ((row_number() OVER (
+                        ORDER BY monetary ASC, o_custkey) - 1) * 5) // n
+                        AS BIGINT) AS m_score
+            FROM cust CROSS JOIN n
+        )
+        SELECT r_score, f_score, m_score,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               round(CAST(sum(monetary) AS DOUBLE) / count(*) / 100, 6)
+                   AS avg_monetary
+        FROM scored GROUP BY 1, 2, 3
+    """,
+    doc="RFM customer segmentation: quintile scores for recency ("
+    "days before the horizon), frequency (orders), monetary (exact "
+    "cents) with deterministic rank math, aggregated to segment "
+    "counts — the classic marketing segmentation grid.",
+)
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quintiles via EXPLICIT rank arithmetic — score = 1 +
+    ⌊(rank−1)·5/n⌋ over a TOTAL order (metric, custkey) — because
+    ntile()'s remainder distribution is engine-defined; this spelling
+    is pure integer math (explicit floor / `//`, never a double→int
+    cast, which truncates on Spark but rounds on DuckDB) and identical
+    everywhere. Recency anchors at
+    the fixture's max order date (a constant, so the key is pure);
+    monetary stays exact cents until the final display division.
+
+    Scale shape: one customer-grain aggregate over orders, then three
+    global_row_number range-partitioned rankings over the CUSTOMER
+    table — never an Exchange SinglePartition over data (the ~1e9-row
+    customer table at 100 TB ranks with the same two-pass pattern as
+    every running sum in this repo) — then a 125-cell segment
+    aggregate."""
+    t = load_tables(spark, sf_dir)
+    cust = t["orders"].groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("2001-08-01").cast("timestamp"), F.max("o_orderdate")
+        )
+        .cast("bigint")
+        .alias("recency"),
+        F.count("*").alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("bigint")
+        .alias("monetary"),
+    )
+    from ..ordering import global_row_number
+
+    n = cust.agg(F.count("*").cast("bigint").alias("n"))
+    ranked = cust
+    for metric, alias in (
+        ("recency", "_rr"), ("frequency", "_rf"), ("monetary", "_rm")
+    ):
+        ranked = global_row_number(
+            ranked,
+            [F.col(metric).asc(), F.col("o_custkey").asc()],
+            alias,
+        )
+
+    def score(rank_col: str) -> F.Column:
+        return (
+            1 + F.floor(((F.col(rank_col) - 1) * 5) / F.col("n"))
+        ).cast("bigint")
+
+    scored = ranked.crossJoin(F.broadcast(n)).select(
+        "o_custkey", "monetary",
+        score("_rr").alias("r_score"),
+        score("_rf").alias("f_score"),
+        score("_rm").alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_customers"),
+        F.round(
+            F.sum("monetary").cast("double") / F.count("*") / 100, 6
+        ).alias("avg_monetary"),
+    )

@@ -3926,3 +3926,81 @@ def ols_trend(daily: DataFrame) -> DataFrame:
         ).alias("r2"),
         F.col("n").alias("n_days"),
     )
+
+
+@query(
+    "q_forecast_naive",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type AS grp,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+                   CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+                        AS BIGINT) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT a.grp, a.y, f.y AS fc
+            FROM daily a JOIN daily f
+              ON a.grp = f.grp AND f.d = a.d - INTERVAL 7 DAY
+        )
+        SELECT grp AS event_type,
+               CAST(count(*) AS BIGINT) AS n_forecasts,
+               round(CAST(sum(abs(y - fc)) AS DOUBLE) / sum(y), 6)
+                   AS wape,
+               round(CAST(sum(abs(y - fc)) AS DOUBLE) / count(*)
+                     / 1000000.0, 6) AS mae
+        FROM scored GROUP BY 1
+    """,
+    doc="Seasonal-naive forecast backtest per event type: forecast(d) "
+    "= actual(d−7), scored with WAPE and MAE — the baseline every "
+    "forecasting pipeline must beat, and the metric spelling (WAPE = "
+    "Σ|err|/Σy) that stays EXACT until one division.",
+)
+def q_forecast_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-correct seasonal naive: the forecast joins each day to
+    the SAME day minus 7 on the calendar (an equi-join on the shifted
+    date), so gaps in the series produce no misaligned lag — the
+    failure mode of positional lag(7) over sparse days. WAPE is chosen
+    over MAPE deliberately: Σ|y−ŷ| and Σy are exact integer
+    micro-unit sums (one float division at the end, identical both
+    engines), where MAPE's per-row divisions would accumulate float
+    error in engine-specific order.
+
+    Scale shape: one (type, day) aggregate over the scan, then a
+    self-equi-join on (type, day−7) at the bounded day-domain grain,
+    one per-type reduction. At 100 TB the joined table is still
+    #types × #days rows."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .select(
+            F.col("event_type").alias("grp"),
+            F.date_trunc("day", F.col("ts").cast("timestamp")).alias("d"),
+            F.round(F.col("value") * 1000000, 0).cast("long").alias("micro"),
+        )
+        .groupBy("grp", "d")
+        .agg(F.sum("micro").cast("bigint").alias("y"))
+    )
+    fc = daily.select(
+        "grp",
+        (F.col("d") + F.make_interval(days=F.lit(7))).alias("d"),
+        F.col("y").alias("fc"),
+    )
+    scored = daily.join(fc, ["grp", "d"])
+    return scored.groupBy("grp").agg(
+        F.count("*").alias("n_forecasts"),
+        F.round(
+            F.sum(F.abs(F.col("y") - F.col("fc")))
+            .cast("double")
+            / F.sum("y"),
+            6,
+        ).alias("wape"),
+        F.round(
+            F.sum(F.abs(F.col("y") - F.col("fc"))).cast("double")
+            / F.count("*")
+            / 1000000.0,
+            6,
+        ).alias("mae"),
+    ).select(
+        F.col("grp").alias("event_type"), "n_forecasts", "wape", "mae"
+    )

@@ -40,7 +40,7 @@ SECTIONS = {
         "q_pacf", "q_corr_partial2",
         "q_corr_ci", "q_corr_pointbiserial", "q_theil_u", "q_mutual_info",
         "q_agg_moments", "q_agg_gini", "q_agg_trimmed_mean", "q_ts_ewma", "q_ts_fill_grouped",
-        "q_corr_weighted", "q_corr_distance", "q_ks_test", "q_mannwhitney", "q_ttest_welch", "q_anova", "q_levene", "q_prop_ztest", "q_seasonality", "q_drift_daily", "q_drift_psi", "q_drift_js", "q_drift_cusum", "q_ols_daily", "q_assoc_mixed", "q_corr_icc", "q_cronbach_alpha", "q_corr_ccc", "q_corr_kappa", "q_ts_trend", "q_agg_entropy",
+        "q_corr_weighted", "q_corr_distance", "q_ks_test", "q_mannwhitney", "q_ttest_welch", "q_anova", "q_levene", "q_prop_ztest", "q_seasonality", "q_drift_daily", "q_drift_psi", "q_drift_js", "q_drift_cusum", "q_ols_daily", "q_forecast_naive", "q_assoc_mixed", "q_corr_icc", "q_cronbach_alpha", "q_corr_ccc", "q_corr_kappa", "q_ts_trend", "q_agg_entropy",
     ],
     "§2.5 Window functions": [
         "q_win_rownum", "q_win_rank", "q_win_lag", "q_win_frame_rows",
@@ -60,7 +60,7 @@ SECTIONS = {
         "q_dedup_embed", "q_dedup_embed_lsh", "q_sim_topk", "q_sim_assign", "q_sim_topk_lsh", "q_sim_topk_ivf", "q_sim_pairs", "q_sim_pairs_lsh", "q_embed_norm", "q_embed_quantize",
         "q_text_stats", "q_text_tfidf", "q_text_ngram", "q_text_sentiment",
         "q_text_langid", "q_text_quality", "q_text_fingerprint", "q_text_tokens_bpeish",
-        "q_text_repetition", "q_quality_pipeline", "q_text_perplexity", "q_embed_centroid", "q_embed_pca", "q_text_bpe_train",
+        "q_text_repetition", "q_text_keyword", "q_quality_pipeline", "q_text_perplexity", "q_embed_centroid", "q_embed_pca", "q_text_bpe_train",
         "q_vocab_coverage", "q_text_zipf",
         "q_split_stable", "q_sample_stratified", "q_sample_fraction", "q_sample_reservoir",
         "q_sample_weighted", "q_sample_balanced", "q_domain_mix",
@@ -84,7 +84,7 @@ SECTIONS = {
         "q_pivot",
     ],
     "Event analytics (beyond §2: product-analytics surface)": [
-        "q_funnel", "q_event_path", "q_event_transitions", "q_graph_pagerank", "q_graph_degree", "q_attribution", "q_attribution_multi", "q_retention", "q_anomaly", "q_anomaly_mad", "q_session_stats", "q_profile", "q_cdc_merge", "q_scd2", "q_fk_integrity", "q_basket_lift", "q_gaps_islands", "q_benford", "q_survival_km", "q_survival_logrank",
+        "q_funnel", "q_event_path", "q_event_transitions", "q_graph_pagerank", "q_graph_degree", "q_attribution", "q_attribution_multi", "q_retention", "q_anomaly", "q_anomaly_mad", "q_session_stats", "q_profile", "q_cdc_merge", "q_scd2", "q_fk_integrity", "q_basket_lift", "q_rfm", "q_gaps_islands", "q_benford", "q_survival_km", "q_survival_logrank",
     ],
 }
 

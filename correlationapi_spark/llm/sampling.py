@@ -276,16 +276,17 @@ def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Downsample-to-parity: quota = min per-class count, computed in a
     class-sized aggregate and broadcast back; selection is the same
-    deterministic md5-order WindowGroupLimit as q_sample_stratified,
-    so membership is reproducible across engines, runs, and
-    repartitioning. Unlike a fixed-fraction sampleBy, the result is
+    deterministic md5-order rank as q_sample_stratified, reproducible
+    across engines, runs, and repartitioning (the quota is
+    data-dependent, so the rank filter cannot compile to a static
+    WindowGroupLimit — the per-class window itself bounds task state). Unlike a fixed-fraction sampleBy, the result is
     EXACTLY balanced — the class-mix guarantee domain-rebalancing
     needs (q_domain_mix reweights to arbitrary targets; this is the
     exact-parity special case that never overshoots).
 
     Scale shape: one class-keyed aggregate (tiny), one broadcast
-    scalar, one shuffle on the class key with a bounded per-task heap
-    (WindowGroupLimit) — the identical footprint at any corpus size."""
+    scalar, one shuffle on the class key — the identical footprint at
+    any corpus size."""
     t = load_tables(spark, sf_dir)
     quota = (
         t["documents"]

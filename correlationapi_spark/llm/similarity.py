@@ -1141,47 +1141,7 @@ def pca_spectrum(corpus: DataFrame, k: int = 8) -> DataFrame:
     if d_probe is None:
         raise ValueError("empty corpus")
     d = d_probe.d
-
-    def batches(it):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in it:
-            x = np.asarray(pdf["v"].tolist(), dtype=np.float64)
-            if x.size == 0:
-                continue
-            ok = ~np.isnan(x).any(axis=1)
-            if not ok.any():
-                continue
-            x = x[ok]
-            gram = x.T @ x  # (d × d)
-            yield pd.DataFrame(
-                {
-                    "idx": np.arange(d, dtype=np.int64),
-                    "n": np.full(d, len(x), dtype=np.int64),
-                    "s": x.sum(axis=0),
-                    "g": list(gram),
-                }
-            )
-
-    moments = (
-        corpus.select("v")
-        .mapInPandas(
-            batches, schema="idx long, n long, s double, g array<double>"
-        )
-        .groupBy("idx")
-        .agg(
-            F.sum("n").alias("n"),
-            F.sum("s").alias("s"),
-            F.array(
-                *[
-                    F.sum(F.element_at("g", i + 1))
-                    for i in range(d)
-                ]
-            ).alias("g"),
-        )
-        .collect()
-    )
+    moments = gram_moments(corpus, d).collect()
     rows = sorted(moments, key=lambda r: r.idx)
     n = int(rows[0].n)  # every idx row carries the same total count
     mu = _np.array([r.s for r in rows]) / n
@@ -1205,6 +1165,53 @@ def pca_spectrum(corpus: DataFrame, k: int = 8) -> DataFrame:
         out,
         "component int, eigenvalue double, explained_var double, "
         "cum_explained_var double",
+    )
+
+
+def gram_moments(corpus: DataFrame, d: int) -> DataFrame:
+    """The DISTRIBUTED half of pca_spectrum: one mapInPandas pass of
+    per-batch (count, column-sum, Gram-row) partials reduced by a
+    d-row idx aggregate — the plan the round-9 canary pins (exactly
+    one Arrow-batched Python stage, no row-at-a-time Python)."""
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            x = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+            if x.size == 0:
+                continue
+            ok = ~np.isnan(x).any(axis=1)
+            if not ok.any():
+                continue
+            x = x[ok]
+            gram = x.T @ x  # (d × d)
+            yield pd.DataFrame(
+                {
+                    "idx": np.arange(d, dtype=np.int64),
+                    "n": np.full(d, len(x), dtype=np.int64),
+                    "s": x.sum(axis=0),
+                    "g": list(gram),
+                }
+            )
+
+    return (
+        corpus.select("v")
+        .mapInPandas(
+            batches, schema="idx long, n long, s double, g array<double>"
+        )
+        .groupBy("idx")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("s").alias("s"),
+            F.array(
+                *[
+                    F.sum(F.element_at("g", i + 1))
+                    for i in range(d)
+                ]
+            ).alias("g"),
+        )
     )
 
 

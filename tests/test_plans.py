@@ -680,3 +680,57 @@ def test_ivf_written_index_roundtrip(spark, tmp_path):
 
     plan = probe_df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:3000]
+
+
+def test_round9_engine_shapes(spark):
+    # q_text_keyword: rank<=3 must compile to WindowGroupLimit
+    # (bounded per-task heap on the doc-keyed exchange)
+    assert "WindowGroupLimit" in plan_of(spark, "q_text_keyword")
+    # q_sample_balanced: the quota is DATA-DEPENDENT (min class count),
+    # so no static WindowGroupLimit is possible — the 1-row quota must
+    # ride a broadcast, and the class window is the only exchange shape
+    plan = plan_of(spark, "q_sample_balanced")
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row quota build side
+    assert "CartesianProduct" not in plan
+    # q_basket_lift: marginals and the basket total ride broadcasts;
+    # the pair self-join is an equi-join (never a cartesian)
+    plan = plan_of(spark, "q_basket_lift")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    # q_rfm: the three global rankings are range-partitioned two-pass
+    # rankings (pinned checkpointed subtrees, same as q_sort_multi —
+    # the range exchange lives pre-pin), never a data-grain
+    # single-partition sort; the only SinglePartition exchanges are
+    # the tiny per-range-partition totals windows
+    plan = plan_of(spark, "q_rfm")
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("Exchange SinglePartition") <= 3
+    # q_embed_pca's distributed half (gram_moments): exactly one
+    # Arrow-batched Python stage feeds the d-row moment aggregate —
+    # the Gram partials, nothing row-wise. (The KEY's returned frame
+    # is the driver-assembled k-row spectrum — dimension-bounded local
+    # rows — so the canary pins the engine's plan directly.)
+    from correlationapi_spark.io import load_tables
+    from correlationapi_spark.llm.similarity import (
+        corpus_view, gram_moments,
+    )
+
+    corpus = corpus_view(
+        load_tables(spark, SF_SMOKE)["embeddings"], "vec_id", "embedding"
+    )
+    mdf = gram_moments(corpus, 64)
+    plan = mdf._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # formatted mode prints each node in tree + detail: one physical
+    # MapInPandas node appears exactly twice
+    assert plan.count("MapInPandas") == 2
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+    assert plan.count("HashAggregate") >= 2  # partial/final moment agg
+    # q_forecast_naive: the d-7 backtest is an equi-join (SortMergeJoin
+    # or hash), never a range/theta join over the day domain
+    plan = plan_of(spark, "q_forecast_naive")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

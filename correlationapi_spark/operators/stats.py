@@ -4004,3 +4004,167 @@ def q_forecast_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("grp").alias("event_type"), "n_forecasts", "wape", "mae"
     )
+
+
+@query(
+    "q_corr_bicor",
+    oracle="""
+        WITH x AS (
+            SELECT l_returnflag AS g,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS xc,
+                   CAST(round(l_quantity) AS BIGINT) AS yc
+            FROM lineitem
+        ),
+        med AS (
+            SELECT g,
+                   CAST(round(2 * quantile_cont(xc, 0.5)) AS BIGINT) AS mx2,
+                   CAST(round(2 * quantile_cont(yc, 0.5)) AS BIGINT) AS my2
+            FROM x GROUP BY 1
+        ),
+        dev AS (
+            SELECT x.g, x.xc, x.yc, med.mx2, med.my2,
+                   2 * x.xc - med.mx2 AS dx2,
+                   2 * x.yc - med.my2 AS dy2
+            FROM x JOIN med USING (g)
+        ),
+        mad AS (
+            SELECT g,
+                   CAST(round(2 * quantile_cont(abs(dx2), 0.5))
+                        AS BIGINT) AS madx4,
+                   CAST(round(2 * quantile_cont(abs(dy2), 0.5))
+                        AS BIGINT) AS mady4
+            FROM dev GROUP BY 1
+        ),
+        wq AS (
+            SELECT dev.g, dev.dx2, dev.dy2,
+                   CASE WHEN mad.madx4 > 0 AND
+                             abs(2.0 * dev.dx2 / (9.0 * mad.madx4)) < 1
+                        THEN CAST(round(
+                             pow(1 - pow(2.0 * dev.dx2
+                                         / (9.0 * mad.madx4), 2), 2)
+                             * 1000000) AS BIGINT)
+                        ELSE 0 END AS wx,
+                   CASE WHEN mad.mady4 > 0 AND
+                             abs(2.0 * dev.dy2 / (9.0 * mad.mady4)) < 1
+                        THEN CAST(round(
+                             pow(1 - pow(2.0 * dev.dy2
+                                         / (9.0 * mad.mady4), 2), 2)
+                             * 1000000) AS BIGINT)
+                        ELSE 0 END AS wy
+            FROM dev JOIN mad USING (g)
+        ),
+        s AS (
+            SELECT g,
+                   CAST(sum(CAST(dx2 * wx AS HUGEINT)
+                            * (dy2 * wy)) AS DOUBLE) AS sxy,
+                   CAST(sum(CAST(dx2 * wx AS HUGEINT)
+                            * (dx2 * wx)) AS DOUBLE) AS sxx,
+                   CAST(sum(CAST(dy2 * wy AS HUGEINT)
+                            * (dy2 * wy)) AS DOUBLE) AS syy,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM wq GROUP BY 1
+        )
+        SELECT g AS l_returnflag,
+               CASE WHEN sxx > 0 AND syy > 0
+                    THEN round(sxy / sqrt(sxx * syy), 6) END AS bicor,
+               n_rows
+        FROM s ORDER BY 1
+    """,
+    doc="Biweight midcorrelation (median/MAD-based robust Pearson) of "
+    "price vs quantity per return flag — 50%-breakdown correlation "
+    "with Tukey biweights on a quantized exact-integer lattice, so "
+    "the whole statistic is oracle-able bit-for-bit.",
+)
+def q_corr_bicor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bicor = Σãb̃/√(Σã²·Σb̃²) with ã = (x−med)·(1−u²)²·1{|u|<1},
+    u = (x−med)/(9·MAD) — the robust correlation WGCNA popularized:
+    outliers get weight →0 instead of dominating the covariance.
+
+    Exactness scheme: medians and MADs ride the 2×-scale integer trick
+    (2·med and 4·MAD are exact integers for integer inputs), so u is a
+    bit-identical float on both engines; the Tukey weight then
+    QUANTIZES to an integer lattice (round(w·1e6)) — identical on both
+    engines because the inputs are bit-identical — and every sum in
+    the statistic is an exact HUGEINT/decimal accumulation of
+    (dev·weight) integer products. bicor is scale-invariant, so the 2×
+    and 1e6 factors cancel; one float chain at the end, 6 dp. Groups
+    where MAD=0 or a weighted variance vanishes yield NULL (CASE
+    spelled identically both sides).
+
+    Scale shape: two group-percentile passes (median, then MAD of
+    deviations) each broadcast back as a k-row table, then ONE
+    map-side-combinable aggregate of three product sums — the robust
+    family costs two extra bounded reductions over q_corr_weighted."""
+    t = load_tables(spark, sf_dir)
+    x = t["lineitem"].select(
+        F.col("l_returnflag").alias("g"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("xc"),
+        F.round(F.col("l_quantity"), 0).cast("long").alias("yc"),
+    )
+    med = x.groupBy("g").agg(
+        F.round(2 * F.percentile(F.col("xc"), F.lit(0.5)), 0)
+        .cast("long")
+        .alias("mx2"),
+        F.round(2 * F.percentile(F.col("yc"), F.lit(0.5)), 0)
+        .cast("long")
+        .alias("my2"),
+    )
+    dev = x.join(F.broadcast(med), "g").select(
+        "g",
+        (2 * F.col("xc") - F.col("mx2")).alias("dx2"),
+        (2 * F.col("yc") - F.col("my2")).alias("dy2"),
+    )
+    mad = dev.groupBy("g").agg(
+        F.round(2 * F.percentile(F.abs(F.col("dx2")), F.lit(0.5)), 0)
+        .cast("long")
+        .alias("madx4"),
+        F.round(2 * F.percentile(F.abs(F.col("dy2")), F.lit(0.5)), 0)
+        .cast("long")
+        .alias("mady4"),
+    )
+
+    def wquant(d2: str, m4: str) -> F.Column:
+        u = 2.0 * F.col(d2) / (9.0 * F.col(m4))
+        w = F.pow(1 - F.pow(u, 2), 2)
+        return (
+            F.when(
+                (F.col(m4) > 0) & (F.abs(u) < 1),
+                F.round(w * 1000000, 0).cast("long"),
+            ).otherwise(F.lit(0))
+        )
+
+    wq = dev.join(F.broadcast(mad), "g").select(
+        "g", "dx2", "dy2",
+        wquant("dx2", "madx4").alias("wx"),
+        wquant("dy2", "mady4").alias("wy"),
+    )
+    dec = "decimal(38,0)"
+    s = wq.groupBy("g").agg(
+        F.sum(
+            (F.col("dx2") * F.col("wx")).cast(dec)
+            * (F.col("dy2") * F.col("wy"))
+        )
+        .cast("double")
+        .alias("sxy"),
+        F.sum(
+            (F.col("dx2") * F.col("wx")).cast(dec)
+            * (F.col("dx2") * F.col("wx"))
+        )
+        .cast("double")
+        .alias("sxx"),
+        F.sum(
+            (F.col("dy2") * F.col("wy")).cast(dec)
+            * (F.col("dy2") * F.col("wy"))
+        )
+        .cast("double")
+        .alias("syy"),
+        F.count("*").alias("n_rows"),
+    )
+    return s.select(
+        F.col("g").alias("l_returnflag"),
+        F.when(
+            (F.col("sxx") > 0) & (F.col("syy") > 0),
+            F.round(F.col("sxy") / F.sqrt(F.col("sxx") * F.col("syy")), 6),
+        ).alias("bicor"),
+        "n_rows",
+    ).orderBy("l_returnflag")

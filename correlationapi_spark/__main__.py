@@ -7,7 +7,7 @@ declared query inventory. Every command prints one JSON document to
 stdout.
 
 Commands:
-  correlate --data PATH --x COL --y COL [--method pearson|spearman|kendall]
+  correlate --data PATH --x COL --y COL [--method pearson|spearman|kendall|bicor]
             [--group-by COL] [--format parquet|csv|json]
   matrix    --data PATH [--vars a,b,c] [--method ...]
   lagged    --data PATH --time COL --value COL [--lag N] [--grain day]
@@ -76,7 +76,7 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--x", required=True)
     c.add_argument("--y", required=True)
     c.add_argument("--method", default="pearson",
-                   choices=["pearson", "spearman", "kendall"])
+                   choices=["pearson", "spearman", "kendall", "bicor"])
     c.add_argument("--group-by", default=None)
 
     an = sub.add_parser(

@@ -386,12 +386,15 @@ class CorrelationAPI:
         x, y = self._num(df, var_x), self._num(df, var_y)
         if method == "kendall":
             return self._kendall(df, dataset, var_x, var_y, group_by)
+        if method == "bicor":
+            return self._bicor(df, dataset, var_x, var_y, group_by)
         if method == "spearman":
             df = self._avg_ranks(df, var_x, var_y, group_by)
             x, y = F.col("_rx"), F.col("_ry")
         elif method != "pearson":
             raise ValueError(
-                f"unknown method: {method!r} (pearson|spearman|kendall)"
+                f"unknown method: {method!r} "
+                "(pearson|spearman|kendall|bicor)"
             )
         agg = [
             _safe_corr(x, y).alias("correlation"),
@@ -451,6 +454,55 @@ class CorrelationAPI:
             "t_stat": t_stat(r),
             "ci_95": ci_95(r),
         }
+
+    def _bicor(
+        self,
+        df: DataFrame,
+        dataset: str,
+        var_x: str,
+        var_y: str,
+        group_by: str | None,
+    ) -> dict[str, Any]:
+        """correlate(method='bicor'): the q_corr_bicor engine
+        (operators.stats.bicor_frame) over micro-unit-quantized pairs.
+        t_stat follows the WGCNA convention — the same Student-t
+        formula as Pearson on the UNROUNDED coefficient; ci_95 is NULL
+        (no standard Fisher-z result for the biweight)."""
+        from .operators.stats import bicor_frame
+
+        x, y = self._num(df, var_x), self._num(df, var_y)
+        g = (
+            F.col(group_by).cast("string")
+            if group_by is not None
+            else F.lit("_all")
+        )
+        data = df.select(
+            g.alias("g"),
+            F.round(x * 1000000, 0).cast("long").alias("xc"),
+            F.round(y * 1000000, 0).cast("long").alias("yc"),
+        ).filter(F.col("xc").isNotNull() & F.col("yc").isNotNull())
+        rows = bicor_frame(data).collect()
+        base = {"dataset": dataset, "x": var_x, "y": var_y,
+                "method": "bicor"}
+
+        def t_stat(r) -> float | None:
+            c, n = r.bicor_raw, r.n_rows
+            if c is None or c != c or n <= 2 or abs(c) >= 1.0:
+                return None
+            return round(c * ((n - 2) / (1.0 - c * c)) ** 0.5, 6)
+
+        cells = {
+            r.g: {
+                "correlation": _nan_to_none(r.bicor),
+                "n": r.n_rows,
+                "t_stat": t_stat(r),
+                "ci_95": None,
+            }
+            for r in rows
+        }
+        if group_by:
+            return base | {"groups": cells}
+        return base | cells["_all"]
 
     #: Routing threshold, not a refusal (round 5): samples/groups within
     #: it run the sequential O(n log n) tau-b counter inside one executor

@@ -11,7 +11,7 @@ container, and none is needed for a JSON-for-JSON contract:
   GET  /datasets                              → ["name", ...]
   POST /datasets/{name}   {"path","format"}   → {"dataset","columns"}
   GET  /datasets/{name}/variables             → ["numeric_col", ...]
-  GET  /correlate?dataset=&x=&y=[&method=][&group_by=]
+  GET  /correlate?dataset=&x=&y=[&method=pearson|spearman|kendall|bicor][&group_by=]
   GET  /association?dataset=&a=&b=[&method=cramer|theil|mi|eta]
   GET  /distribution?dataset=&var=[&group_by=][&gini=1][&percentiles=0.5,0.9][&method=exact|sketch]
   GET  /compare?dataset=&var=&group_by=&a=&b=  (two-sample KS + Mann-Whitney)

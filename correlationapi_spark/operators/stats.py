@@ -4101,6 +4101,18 @@ def q_corr_bicor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("xc"),
         F.round(F.col("l_quantity"), 0).cast("long").alias("yc"),
     )
+    return bicor_frame(x).select(
+        F.col("g").alias("l_returnflag"), "bicor", "n_rows"
+    ).orderBy("l_returnflag")
+
+
+def bicor_frame(x: DataFrame) -> DataFrame:
+    """Biweight midcorrelation over a ``(g, xc, yc)`` frame of
+    integer-quantized pairs — the exactness scheme q_corr_bicor
+    documents (2×-scale integer medians/MADs ⇒ bit-identical Tukey
+    weights ⇒ quantized-integer weighted sums). Returns
+    (g, bicor, bicor_raw, n_rows); the q_corr_bicor key and
+    api.correlate(method='bicor') both consume this engine."""
     med = x.groupBy("g").agg(
         F.round(2 * F.percentile(F.col("xc"), F.lit(0.5)), 0)
         .cast("long")
@@ -4160,11 +4172,11 @@ def q_corr_bicor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("syy"),
         F.count("*").alias("n_rows"),
     )
+    raw = F.col("sxy") / F.sqrt(F.col("sxx") * F.col("syy"))
+    ok = (F.col("sxx") > 0) & (F.col("syy") > 0)
     return s.select(
-        F.col("g").alias("l_returnflag"),
-        F.when(
-            (F.col("sxx") > 0) & (F.col("syy") > 0),
-            F.round(F.col("sxy") / F.sqrt(F.col("sxx") * F.col("syy")), 6),
-        ).alias("bicor"),
+        "g",
+        F.when(ok, F.round(raw, 6)).alias("bicor"),
+        F.when(ok, raw).alias("bicor_raw"),
         "n_rows",
-    ).orderBy("l_returnflag")
+    )

@@ -1565,6 +1565,35 @@ def test_trend_matches_declared_key(api_orders, spark):
     assert res["groups"]["_all"]["n_periods"] > 1
 
 
+def test_correlate_bicor_matches_declared_key(api_orders, spark):
+    import os as _os
+
+    api_orders.register_dataset(
+        "lineitem", _os.path.join(SF_SMOKE, "lineitem.parquet")
+    )
+    key = {
+        r.l_returnflag: r
+        for r in REGISTRY["q_corr_bicor"].fn(spark, SF_SMOKE).collect()
+    }
+    res = api_orders.correlate(
+        "lineitem", "l_extendedprice", "l_quantity",
+        method="bicor", group_by="l_returnflag",
+    )
+    assert set(res["groups"]) == set(key)
+    # micro-unit (1e-6) quantization of 2-dp money is the same integer
+    # lattice scaled 1e4, and bicor is scale-invariant BUT the weight
+    # quantization sees identical u on the scaled lattice, so the
+    # service reproduces the key to float precision
+    for g, cell in res["groups"].items():
+        assert abs(cell["correlation"] - key[g].bicor) < 1e-6, g
+        assert cell["n"] == key[g].n_rows
+    # ungrouped form returns one flat cell with the t statistic shape
+    flat = api_orders.correlate(
+        "lineitem", "l_extendedprice", "l_quantity", method="bicor"
+    )
+    assert flat["n"] > 0 and "t_stat" in flat and flat["ci_95"] is None
+
+
 def test_compare_validation(api_orders):
     with pytest.raises(ValueError, match="empty sample"):
         api_orders.compare("orders", "o_totalprice", "o_orderstatus",

@@ -4180,3 +4180,134 @@ def bicor_frame(x: DataFrame) -> DataFrame:
         F.when(ok, raw).alias("bicor_raw"),
         "n_rows",
     )
+
+
+@query(
+    "q_ols_dw",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type AS grp,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+                   CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+                        AS BIGINT) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        anchor AS (SELECT min(d) AS d0 FROM daily),
+        pts AS (
+            SELECT grp, CAST(date_diff('day', d0, d) AS BIGINT) AS t, y
+            FROM daily CROSS JOIN anchor
+        ),
+        s AS (
+            SELECT grp,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(t) AS BIGINT) AS st,
+                   CAST(sum(t * t) AS BIGINT) AS stt,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(t * y) AS BIGINT) AS sty
+            FROM pts GROUP BY 1
+        ),
+        coef AS (
+            SELECT grp, n,
+                   CAST(CAST(n AS HUGEINT) * sty
+                        - CAST(st AS HUGEINT) * sy AS DOUBLE)
+                   / CAST(CAST(n AS HUGEINT) * stt
+                          - CAST(st AS HUGEINT) * st AS DOUBLE) AS b,
+                   CAST(sy AS DOUBLE) / n AS ybar,
+                   CAST(st AS DOUBLE) / n AS tbar
+            FROM s
+        ),
+        res AS (
+            SELECT pts.grp, pts.t,
+                   pts.y - (coef.ybar + coef.b * (pts.t - coef.tbar)) AS e
+            FROM pts JOIN coef USING (grp)
+        ),
+        lagged AS (
+            SELECT grp, e,
+                   lag(e) OVER (PARTITION BY grp ORDER BY t) AS ep
+            FROM res
+        )
+        SELECT grp AS event_type,
+               round(sum((e - ep) * (e - ep)) FILTER (WHERE ep IS NOT NULL)
+                     / sum(e * e), 6) AS dw,
+               CAST(count(*) AS BIGINT) AS n_days
+        FROM lagged GROUP BY 1
+    """,
+    doc="Durbin-Watson residual autocorrelation per event type — the "
+    "diagnostic that validates q_ols_daily's independence assumption "
+    "(DW≈2 none, →0 positive, →4 negative serial correlation); "
+    "residuals from bit-identical OLS coefficients over exact sums.",
+)
+def q_ols_dw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DW = Σ(eₜ−eₜ₋₁)²/Σeₜ² over day-ordered residuals of the same
+    OLS fit as q_ols_daily. The coefficients come from exact integer
+    power sums through one identical float chain, so every residual is
+    a bit-identical double on both engines; the two quadratic sums run
+    over ≤ #days bit-identical terms and the O(1) ratio absorbs the
+    ulp-level ordering drift at 6 dp (rule-3 headroom — the q_corr_eta
+    precedent, over the bounded day domain).
+
+    Scale shape: one (type, day) aggregate over the scan, a k-row
+    coefficient reduction broadcast back, one day-ordered lag window
+    per type — all bounded by time × type at any data size."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .select(
+            F.col("event_type").alias("grp"),
+            F.date_trunc("day", F.col("ts").cast("timestamp")).alias("d"),
+            F.round(F.col("value") * 1000000, 0).cast("long").alias("micro"),
+        )
+        .groupBy("grp", "d")
+        .agg(F.sum("micro").cast("bigint").alias("y"))
+    )
+    dec = "decimal(38,0)"
+    anchor = daily.agg(F.min("d").alias("d0"))
+    pts = daily.crossJoin(F.broadcast(anchor)).select(
+        "grp",
+        F.datediff(F.col("d"), F.col("d0")).cast("bigint").alias("t"),
+        "y",
+    )
+    s = pts.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("stt"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).cast("bigint").alias("sty"),
+    )
+    coef = s.select(
+        "grp", "n",
+        (
+            (
+                F.col("n").cast(dec) * F.col("sty").cast(dec)
+                - F.col("st").cast(dec) * F.col("sy").cast(dec)
+            ).cast("double")
+            / (
+                F.col("n").cast(dec) * F.col("stt").cast(dec)
+                - F.col("st").cast(dec) * F.col("st").cast(dec)
+            ).cast("double")
+        ).alias("b"),
+        (F.col("sy").cast("double") / F.col("n")).alias("ybar"),
+        (F.col("st").cast("double") / F.col("n")).alias("tbar"),
+    )
+    res = pts.join(F.broadcast(coef), "grp").select(
+        "grp", "t",
+        (
+            F.col("y")
+            - (F.col("ybar") + F.col("b") * (F.col("t") - F.col("tbar")))
+        ).alias("e"),
+    )
+    w = Window.partitionBy("grp").orderBy("t")
+    lagged = res.select("grp", "e", F.lag("e").over(w).alias("ep"))
+    return lagged.groupBy("grp").agg(
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("ep").isNotNull(),
+                    (F.col("e") - F.col("ep")) * (F.col("e") - F.col("ep")),
+                )
+            )
+            / F.sum(F.col("e") * F.col("e")),
+            6,
+        ).alias("dw"),
+        F.count("*").alias("n_days"),
+    ).select(F.col("grp").alias("event_type"), "dw", "n_days")

@@ -4311,3 +4311,103 @@ def q_ols_dw(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dw"),
         F.count("*").alias("n_days"),
     ).select(F.col("grp").alias("event_type"), "dw", "n_days")
+
+
+def holt_linear(daily: DataFrame, alpha: float = 0.3,
+                beta: float = 0.1) -> DataFrame:
+    """Holt's linear (double exponential) smoothing per group over a
+    ``(grp, t, y)`` frame: level/trend recursion
+    lₜ = αyₜ + (1−α)(lₜ₋₁+bₜ₋₁), bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁,
+    initialized l₀=y₀, b₀=y₁−y₀. Returns (grp, level, trend,
+    forecast_1, n_periods) with forecast_1 = lₜ + bₜ (one-step-ahead).
+
+    The recursion is SEQUENTIAL per group, so it runs as ONE JVM-side
+    F.aggregate fold over the day-ordered (t, y) array collected per
+    group — the q_pack_bpe / greedy-fold discipline: the array is the
+    PERIOD table (bounded by the calendar, never by data size), the
+    fold is whole-stage-codegen'd expression evaluation, and no Python
+    touches the path. Groups with < 2 periods yield NULLs (the trend
+    seed needs two points)."""
+    arr = (
+        daily.groupBy("grp")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("t"), F.col("y")))
+            ).alias("pts"),
+            F.count("*").alias("n_periods"),
+        )
+    )
+    a, b = float(alpha), float(beta)
+    init = F.struct(
+        F.element_at("pts", 1)["y"].cast("double").alias("l"),
+        (
+            F.element_at("pts", 2)["y"] - F.element_at("pts", 1)["y"]
+        ).cast("double").alias("b"),
+        F.lit(0).alias("i"),
+    )
+    fold = F.aggregate(
+        F.slice(F.col("pts"), 2, F.greatest(F.size("pts") - 1, F.lit(0))),
+        init,
+        lambda acc, p: F.struct(
+            (a * p["y"] + (1 - a) * (acc["l"] + acc["b"])).alias("l"),
+            (
+                b * ((a * p["y"] + (1 - a) * (acc["l"] + acc["b"]))
+                     - acc["l"])
+                + (1 - b) * acc["b"]
+            ).alias("b"),
+            (acc["i"] + 1).alias("i"),
+        ),
+    )
+    out = arr.withColumn(
+        "_h", F.when(F.size("pts") >= 2, fold)
+    )
+    return out.select(
+        "grp",
+        F.round(F.col("_h")["l"], 6).alias("level"),
+        F.round(F.col("_h")["b"], 6).alias("trend"),
+        F.round(F.col("_h")["l"] + F.col("_h")["b"], 6)
+        .alias("forecast_1"),
+        "n_periods",
+    )
+
+
+@query(
+    "q_ts_holt",
+    rows_only_reason="the level/trend recursion is a sequential fold with "
+    "a two-field state — no SQL-window equivalent exists and DuckDB's "
+    "list_reduce cannot carry a struct accumulator; the recursion is "
+    "property-tested against a driver-side Python replay in "
+    "tests/test_rowsonly.py.",
+    doc="Holt's linear (double exponential) smoothing of daily totals "
+    "per event type — level + trend state and the one-step-ahead "
+    "forecast, completing the forecasting family (seasonal-naive "
+    "baseline, OLS line, EWMA level, Holt level+trend).",
+)
+def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See holt_linear: the recursion folds JVM-side over the bounded
+    per-group period array (calendar-bounded, never data-bounded); the
+    scan→(type,day) aggregate is the only corpus-sized stage. α=0.3,
+    β=0.1 — the conventional smoothing defaults."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .select(
+            F.col("event_type").alias("grp"),
+            F.date_trunc("day", F.col("ts").cast("timestamp")).alias("d"),
+            F.round(F.col("value") * 1000000, 0).cast("long").alias("micro"),
+        )
+        .groupBy("grp", "d")
+        .agg(F.sum("micro").cast("bigint").alias("y"))
+        .select(
+            "grp",
+            F.row_number()
+            .over(Window.partitionBy("grp").orderBy("d"))
+            .cast("long")
+            .alias("t"),
+            (F.col("y").cast("double") / 1000000.0).alias("y"),
+        )
+    )
+    return holt_linear(daily).select(
+        F.col("grp").alias("event_type"),
+        "level", "trend", "forecast_1", "n_periods",
+    )

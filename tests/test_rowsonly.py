@@ -1592,3 +1592,58 @@ def test_theta_sets_error_bounds(spark):
     for k, v in exact.items():
         est = getattr(out, k)
         assert abs(est - v) <= max(1, 0.05 * v), (k, est, v)
+
+
+def test_ts_holt_matches_python_replay(spark):
+    """q_ts_holt: the JVM-side fold must reproduce a driver-side Python
+    replay of the Holt recursion (alpha=0.3, beta=0.1, l0=y0,
+    b0=y1-y0) on the same day-ordered series, to float precision."""
+    import pyspark.sql.functions as F
+
+    from correlationapi_spark.io import load_tables
+
+    out = {
+        r.event_type: r
+        for r in REGISTRY["q_ts_holt"].fn(spark, SF_SMOKE).collect()
+    }
+    t = load_tables(spark, SF_SMOKE)
+    daily = (
+        t["events"]
+        .select(
+            F.col("event_type").alias("g"),
+            F.date_trunc("day", F.col("ts")).alias("d"),
+            F.round(F.col("value") * 1000000, 0).cast("long").alias("m"),
+        )
+        .groupBy("g", "d")
+        .agg(F.sum("m").alias("y"))
+        .orderBy("g", "d")
+        .collect()
+    )
+    series: dict[str, list[float]] = {}
+    for r in daily:
+        series.setdefault(r.g, []).append(r.y / 1000000.0)
+    a, b = 0.3, 0.1
+    for g, ys in series.items():
+        lv, tr = ys[0], ys[1] - ys[0]
+        for y in ys[1:]:
+            lv_new = a * y + (1 - a) * (lv + tr)
+            tr = b * (lv_new - lv) + (1 - b) * tr
+            lv = lv_new
+        assert abs(out[g].level - round(lv, 6)) < 1e-6, g
+        assert abs(out[g].trend - round(tr, 6)) < 1e-6, g
+        assert abs(out[g].forecast_1 - round(lv + tr, 6)) < 1e-6, g
+        assert out[g].n_periods == len(ys)
+
+
+def test_holt_linear_degenerate_group(spark):
+    """A single-period group has no trend seed: NULL outputs, not an
+    error or a fabricated zero trend."""
+    from correlationapi_spark.operators.stats import holt_linear
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("b", 1, 5.0), ("b", 2, 7.0)],
+        "grp string, t long, y double",
+    )
+    rows = {r.grp: r for r in holt_linear(df).collect()}
+    assert rows["a"].level is None and rows["a"].forecast_1 is None
+    assert rows["b"].level is not None and rows["b"].n_periods == 2

@@ -145,6 +145,23 @@ def main(argv: list[str] | None = None) -> int:
     cpt.add_argument("--time", required=True)
     cpt.add_argument("--grain", default="day")
 
+    fcst = sub.add_parser(
+        "forecast",
+        help="forecasting per group: Holt level+trend (--method holt) "
+        "or seasonal-naive WAPE/MAE backtest (--method naive)",
+    )
+    add_data(fcst)
+    fcst.add_argument("--var", required=True)
+    fcst.add_argument("--time", required=True)
+    fcst.add_argument("--group-by", default=None)
+    fcst.add_argument("--grain", default="day",
+                      choices=["hour", "day", "week", "month"])
+    fcst.add_argument("--method", default="holt",
+                      choices=["holt", "naive"])
+    fcst.add_argument("--season", type=int, default=7)
+    fcst.add_argument("--alpha", type=float, default=0.3)
+    fcst.add_argument("--beta", type=float, default=0.1)
+
     tr = sub.add_parser(
         "trend",
         help="per-group OLS trend of period totals (slope/intercept/R2)",
@@ -442,6 +459,11 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "changepoint":
             res = api.changepoint("ds", args.var, args.time,
                                   grain=args.grain)
+        elif args.cmd == "forecast":
+            res = api.forecast("ds", args.var, args.time,
+                               group_by=args.group_by, grain=args.grain,
+                               method=args.method, season=args.season,
+                               alpha=args.alpha, beta=args.beta)
         elif args.cmd == "trend":
             res = api.trend("ds", args.var, args.time,
                             group_by=args.group_by, grain=args.grain)

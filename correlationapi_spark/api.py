@@ -1261,6 +1261,111 @@ class CorrelationAPI:
             },
         }
 
+    def forecast(
+        self,
+        dataset: str,
+        var: str,
+        time: str,
+        group_by: str | None = None,
+        grain: str = "day",
+        method: str = "holt",
+        season: int = 7,
+        alpha: float = 0.3,
+        beta: float = 0.1,
+    ) -> dict[str, Any]:
+        """Forecasting service over period totals per group.
+
+        method='holt': Holt's linear smoothing (operators.stats
+        .holt_linear) — level/trend state + the one-step-ahead
+        forecast. method='naive': the seasonal-naive backtest
+        (forecast(t) = actual(t − season periods)) scored with
+        WAPE/MAE from exact integer sums — the q_forecast_naive
+        engine parameterized by grain and season length."""
+        from .operators.stats import holt_linear
+
+        if method not in ("holt", "naive"):
+            raise ValueError(f"unknown method: {method!r} (holt|naive)")
+        if grain not in ("hour", "day", "week", "month"):
+            raise ValueError(f"unknown grain: {grain!r}")
+        df = self._get(dataset)
+        x = self._num(df, var)
+        if time not in df.columns:
+            raise KeyError(f"unknown variable: {time!r}")
+        g = (
+            F.col(group_by).cast("string")
+            if group_by is not None and group_by in df.columns
+            else F.lit("_all")
+        )
+        if group_by is not None and group_by not in df.columns:
+            raise KeyError(f"unknown variable: {group_by!r}")
+        daily = (
+            df.select(
+                g.alias("grp"),
+                F.date_trunc(grain, F.col(time).cast("timestamp"))
+                .alias("d"),
+                F.round(x * 1000000, 0).cast("long").alias("micro"),
+            )
+            .filter(F.col("d").isNotNull() & F.col("micro").isNotNull())
+            .groupBy("grp", "d")
+            .agg(F.sum("micro").cast("bigint").alias("y"))
+        )
+        base = {"dataset": dataset, "var": var, "time": time,
+                "group_by": group_by, "grain": grain, "method": method}
+        if method == "holt":
+            pts = daily.select(
+                "grp",
+                F.row_number()
+                .over(Window.partitionBy("grp").orderBy("d"))
+                .cast("long")
+                .alias("t"),
+                (F.col("y").cast("double") / 1000000.0).alias("y"),
+            )
+            rows = holt_linear(pts, alpha=alpha, beta=beta).collect()
+            return base | {
+                "alpha": alpha, "beta": beta,
+                "groups": {
+                    r.grp: {
+                        "level": _nan_to_none(r.level),
+                        "trend": _nan_to_none(r.trend),
+                        "forecast_1": _nan_to_none(r.forecast_1),
+                        "n_periods": r.n_periods,
+                    }
+                    for r in rows
+                },
+            }
+        fc = daily.select(
+            "grp",
+            (F.col("d") + F.expr(f"INTERVAL {int(season)} {grain}"))
+            .alias("d"),
+            F.col("y").alias("fc"),
+        )
+        scored = daily.join(fc, ["grp", "d"])
+        rows = scored.groupBy("grp").agg(
+            F.count("*").alias("n_forecasts"),
+            F.round(
+                F.sum(F.abs(F.col("y") - F.col("fc"))).cast("double")
+                / F.sum("y"),
+                6,
+            ).alias("wape"),
+            F.round(
+                F.sum(F.abs(F.col("y") - F.col("fc"))).cast("double")
+                / F.count("*")
+                / 1000000.0,
+                6,
+            ).alias("mae"),
+        ).collect()
+        return base | {
+            "season": season,
+            "groups": {
+                r.grp: {
+                    "n_forecasts": r.n_forecasts,
+                    "wape": _nan_to_none(r.wape),
+                    "mae": _nan_to_none(r.mae),
+                }
+                for r in rows
+            },
+        }
+
     def pca(
         self,
         dataset: str,

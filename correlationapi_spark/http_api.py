@@ -24,6 +24,9 @@ container, and none is needed for a JSON-for-JSON contract:
        (CUSUM curve + estimated level-shift period)
   GET  /trend?dataset=&var=&time=[&group_by=][&grain=day]
        (per-group OLS trend: slope/intercept/R2 over period totals)
+  GET  /forecast?dataset=&var=&time=[&group_by=][&grain=day][&method=holt|naive]
+       [&season=7][&alpha=0.3][&beta=0.1]
+       (Holt level+trend+one-step forecast, or seasonal-naive WAPE/MAE backtest)
   GET  /pca?dataset=&id=&vector=[&k=8]  (PCA spectrum of an embedding column)
   GET  /drift?dataset=&var=&time=[&grain=day]  (per-period KS + PSI vs reference)
   POST /mixed_matrix {"dataset"[,"variables"]}  (type-appropriate measure per pair)
@@ -161,6 +164,19 @@ def _route(api: CorrelationAPI, method: str, path: str,
         return 200, api.changepoint(
             query["dataset"], query["var"], query["time"],
             grain=query.get("grain", "day"),
+        )
+    if method == "GET" and path == "/forecast":
+        for req in ("dataset", "var", "time"):
+            if req not in query:
+                raise ValueError(f"missing query parameter {req!r}")
+        return 200, api.forecast(
+            query["dataset"], query["var"], query["time"],
+            group_by=query.get("group_by"),
+            grain=query.get("grain", "day"),
+            method=query.get("method", "holt"),
+            season=int(query.get("season", "7")),
+            alpha=float(query.get("alpha", "0.3")),
+            beta=float(query.get("beta", "0.1")),
         )
     if method == "GET" and path == "/trend":
         for req in ("dataset", "var", "time"):

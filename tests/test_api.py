@@ -1594,6 +1594,35 @@ def test_correlate_bicor_matches_declared_key(api_orders, spark):
     assert flat["n"] > 0 and "t_stat" in flat and flat["ci_95"] is None
 
 
+def test_forecast_matches_declared_keys(api_orders, spark):
+    import os as _os
+
+    api_orders.register_dataset(
+        "events", _os.path.join(SF_SMOKE, "events.parquet")
+    )
+    holt = {
+        r.event_type: r
+        for r in REGISTRY["q_ts_holt"].fn(spark, SF_SMOKE).collect()
+    }
+    res = api_orders.forecast("events", "value", "ts",
+                              group_by="event_type", method="holt")
+    assert set(res["groups"]) == set(holt)
+    for g, cell in res["groups"].items():
+        assert abs(cell["level"] - holt[g].level) < 1e-6, g
+        assert abs(cell["forecast_1"] - holt[g].forecast_1) < 1e-6, g
+    naive = {
+        r.event_type: r
+        for r in REGISTRY["q_forecast_naive"].fn(spark, SF_SMOKE).collect()
+    }
+    res = api_orders.forecast("events", "value", "ts",
+                              group_by="event_type", method="naive")
+    for g, cell in res["groups"].items():
+        assert abs(cell["wape"] - naive[g].wape) < 1e-9, g
+        assert cell["n_forecasts"] == naive[g].n_forecasts
+    with pytest.raises(ValueError, match="unknown method"):
+        api_orders.forecast("events", "value", "ts", method="arima")
+
+
 def test_compare_validation(api_orders):
     with pytest.raises(ValueError, match="empty sample"):
         api_orders.compare("orders", "o_totalprice", "o_orderstatus",

@@ -474,6 +474,21 @@ def test_trend_route(spark):
     assert status == 200 and len(payload["groups"]) == 5
 
 
+def test_forecast_route(spark):
+    from correlationapi_spark.api import CorrelationAPI
+
+    api = CorrelationAPI(spark)
+    api.register_dataset("events", os.path.join(SF_SMOKE, "events.parquet"))
+    status, payload = _route(
+        api, "GET", "/forecast",
+        {"dataset": "events", "var": "value", "time": "ts",
+         "group_by": "event_type", "method": "naive"}, {},
+    )
+    assert status == 200 and len(payload["groups"]) == 5
+    first = next(iter(payload["groups"].values()))
+    assert first["wape"] >= 0.0
+
+
 def test_drift_route(spark):
     from correlationapi_spark.api import CorrelationAPI
 

@@ -4411,3 +4411,322 @@ def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("grp").alias("event_type"),
         "level", "trend", "forecast_1", "n_periods",
     )
+
+
+@query(
+    "q_jarque_bera",
+    oracle="""
+        WITH x AS (
+            SELECT o_orderstatus,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ),
+        s AS (
+            SELECT o_orderstatus,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(cents AS HUGEINT)) AS DOUBLE) AS s1,
+                   CAST(sum(CAST(cents AS HUGEINT) * cents) AS DOUBLE) AS s2,
+                   CAST(sum(CAST(cents AS HUGEINT) * cents * cents)
+                        AS DOUBLE) AS s3,
+                   CAST(sum(CAST(cents AS HUGEINT) * cents * cents * cents)
+                        AS DOUBLE) AS s4
+            FROM x GROUP BY 1
+        ),
+        m AS (
+            SELECT o_orderstatus, n,
+                   s2 / n - (s1 / n) * (s1 / n) AS m2,
+                   s3 / n - 3 * (s1 / n) * (s2 / n)
+                          + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+                   s4 / n - 4 * (s1 / n) * (s3 / n)
+                          + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                          - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n)
+                       AS m4
+            FROM s
+        ),
+        k AS (
+            SELECT o_orderstatus, n,
+                   m3 / power(m2, 1.5) AS skew,
+                   m4 / (m2 * m2) - 3 AS kurt
+            FROM m
+        ),
+        j AS (
+            SELECT o_orderstatus, n, skew, kurt,
+                   n / 6.0 * (skew * skew + kurt * kurt / 4) AS jb
+            FROM k
+        )
+        SELECT o_orderstatus,
+               round(jb, 6) AS jb_stat,
+               round(exp(-jb / 2), 6) AS p_value,
+               round(skew, 6) AS skewness,
+               round(kurt, 6) AS kurtosis_excess,
+               n AS n_rows
+        FROM j ORDER BY o_orderstatus
+    """,
+    doc="Jarque-Bera normality test per order status from exact integer "
+    "power sums; the chi-square(2) tail is exactly exp(-JB/2), so even "
+    "the p-value is oracle-checkable with no special functions.",
+)
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera omnibus normality test: JB = n/6·(S² + K²/4) with S,
+    K from the same exact-integer power-sum lattice as q_agg_moments
+    (2-dp money → int cents, Σx..Σx⁴ in decimal(38,0)/HUGEINT — both
+    engines hand the SAME integers to one identical float tree). Under
+    H0, JB ~ χ²(2), whose survival function is exactly exp(-JB/2) — a
+    closed form both engines evaluate identically, so the p-value rides
+    the oracle hash too.
+
+    Scale shape: ONE map-side-combinable grouped aggregate (the four
+    power sums share the shuffle a plain count/avg would use); the
+    moment expansion and test statistic are per-group scalar math."""
+    t = load_tables(spark, sf_dir)
+    c = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    x = t["orders"].select("o_orderstatus", c.alias("cents"))
+    cd = F.col("cents").cast("decimal(38,0)")
+    s = x.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(cd).cast("double").alias("s1"),
+        F.sum(cd * F.col("cents")).cast("double").alias("s2"),
+        F.sum(cd * F.col("cents") * F.col("cents")).cast("double").alias("s3"),
+        F.sum(cd * F.col("cents") * F.col("cents") * F.col("cents"))
+        .cast("double")
+        .alias("s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1") / n
+    m2 = F.col("s2") / n - mu * mu
+    m3 = F.col("s3") / n - 3 * mu * (F.col("s2") / n) + 2 * mu * mu * mu
+    m4 = (
+        F.col("s4") / n
+        - 4 * mu * (F.col("s3") / n)
+        + 6 * mu * mu * (F.col("s2") / n)
+        - 3 * mu * mu * mu * mu
+    )
+    k = s.select(
+        "o_orderstatus",
+        "n",
+        (m3 / F.pow(m2, 1.5)).alias("skew"),
+        (m4 / (m2 * m2) - 3).alias("kurt"),
+    )
+    jb = F.col("n") / 6.0 * (
+        F.col("skew") * F.col("skew") + F.col("kurt") * F.col("kurt") / 4
+    )
+    return (
+        k.select("o_orderstatus", "n", "skew", "kurt", jb.alias("jb"))
+        .select(
+            "o_orderstatus",
+            F.round("jb", 6).alias("jb_stat"),
+            F.round(F.exp(-F.col("jb") / 2), 6).alias("p_value"),
+            F.round("skew", 6).alias("skewness"),
+            F.round("kurt", 6).alias("kurtosis_excess"),
+            F.col("n").alias("n_rows"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "q_cohens_d",
+    oracle="""
+        WITH x AS (
+            SELECT o_orderstatus AS g,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders WHERE o_orderstatus IN ('F', 'O')
+        ),
+        a AS (
+            SELECT CAST(count(*) FILTER (WHERE g = 'F') AS BIGINT) AS n1,
+                   CAST(count(*) FILTER (WHERE g = 'O') AS BIGINT) AS n2,
+                   CAST(sum(CAST(cents AS HUGEINT)) FILTER (WHERE g = 'F')
+                        AS DOUBLE) AS s1,
+                   CAST(sum(CAST(cents AS HUGEINT)) FILTER (WHERE g = 'O')
+                        AS DOUBLE) AS s2,
+                   CAST(sum(CAST(cents AS HUGEINT) * cents)
+                        FILTER (WHERE g = 'F') AS DOUBLE) AS q1,
+                   CAST(sum(CAST(cents AS HUGEINT) * cents)
+                        FILTER (WHERE g = 'O') AS DOUBLE) AS q2
+            FROM x
+        ),
+        b AS (
+            SELECT n1, n2, s1 / n1 AS m1, s2 / n2 AS m2,
+                   (q1 - s1 * s1 / n1) / (n1 - 1) AS v1,
+                   (q2 - s2 * s2 / n2) / (n2 - 1) AS v2
+            FROM a
+        ),
+        c AS (
+            SELECT n1, n2, m1, m2,
+                   sqrt(((n1 - 1) * v1 + (n2 - 1) * v2)
+                        / (n1 + n2 - 2)) AS sp
+            FROM b
+        )
+        SELECT round((m1 - m2) / sp, 6) AS cohens_d,
+               round((m1 - m2) / sp
+                     * (1 - 3.0 / (4 * (n1 + n2) - 9)), 6) AS hedges_g,
+               round((m1 - m2) / 100, 6) AS mean_diff,
+               round(sp / 100, 6) AS pooled_sd,
+               n1 AS n_f, n2 AS n_o
+    FROM c
+    """,
+    doc="Cohen's d pooled-variance effect size (with the Hedges' g "
+    "small-sample correction) between the F and O order-value samples "
+    "— the magnitude companion to q_ttest_welch's significance.",
+)
+def q_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized mean difference d = (m1−m2)/s_pooled with
+    s_pooled² = ((n1−1)v1 + (n2−1)v2)/(n1+n2−2), plus Hedges'
+    g = d·(1 − 3/(4N−9)). A t-test says WHETHER the F and O order-value
+    means differ (q_ttest_welch); the effect size says HOW MUCH in sd
+    units — the pair every A/B readout needs. Moments come from the
+    exact integer-cents power sums, one identical float tree per engine.
+
+    Scale shape: one scan, one global aggregate (conditional sums —
+    map-side combinable); everything after is scalar math on one row."""
+    t = load_tables(spark, sf_dir)
+    x = t["orders"].filter(F.col("o_orderstatus").isin("F", "O")).select(
+        F.col("o_orderstatus").alias("g"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    cd = F.col("cents").cast("decimal(38,0)")
+    isf = F.col("g") == "F"
+    iso = F.col("g") == "O"
+    a = x.agg(
+        F.count(F.when(isf, 1)).alias("n1"),
+        F.count(F.when(iso, 1)).alias("n2"),
+        F.sum(F.when(isf, cd)).cast("double").alias("s1"),
+        F.sum(F.when(iso, cd)).cast("double").alias("s2"),
+        F.sum(F.when(isf, cd * F.col("cents"))).cast("double").alias("q1"),
+        F.sum(F.when(iso, cd * F.col("cents"))).cast("double").alias("q2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    b = a.select(
+        "n1", "n2",
+        (F.col("s1") / n1).alias("m1"),
+        (F.col("s2") / n2).alias("m2"),
+        ((F.col("q1") - F.col("s1") * F.col("s1") / n1) / (n1 - 1)).alias("v1"),
+        ((F.col("q2") - F.col("s2") * F.col("s2") / n2) / (n2 - 1)).alias("v2"),
+    )
+    c = b.select(
+        "n1", "n2", "m1", "m2",
+        F.sqrt(
+            ((n1 - 1) * F.col("v1") + (n2 - 1) * F.col("v2")) / (n1 + n2 - 2)
+        ).alias("sp"),
+    )
+    d = (F.col("m1") - F.col("m2")) / F.col("sp")
+    return c.select(
+        F.round(d, 6).alias("cohens_d"),
+        F.round(d * (1 - 3.0 / (4 * (n1 + n2) - 9)), 6).alias("hedges_g"),
+        F.round((F.col("m1") - F.col("m2")) / 100, 6).alias("mean_diff"),
+        F.round(F.col("sp") / 100, 6).alias("pooled_sd"),
+        n1.alias("n_f"),
+        n2.alias("n_o"),
+    )
+
+
+@query(
+    "q_corr_gamma",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                        AS BIGINT) AS dn,
+                   round(avg(CASE WHEN event_type = 'click'
+                                  THEN value END), 6)    AS x,
+                   round(avg(CASE WHEN event_type = 'purchase'
+                                  THEN value END), 6)    AS y
+            FROM events
+            WHERE event_type IN ('click', 'purchase')
+            GROUP BY 1
+        ), s AS (SELECT dn, x, y FROM daily
+                 WHERE x IS NOT NULL AND y IS NOT NULL),
+        p AS (
+            SELECT CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1
+                        ELSE 0 END                          AS c,
+                   CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1
+                        ELSE 0 END                          AS d,
+                   CASE WHEN a.x = b.x AND a.y <> b.y THEN 1
+                        ELSE 0 END                          AS tx,
+                   CASE WHEN a.y = b.y AND a.x <> b.x THEN 1
+                        ELSE 0 END                          AS ty
+            FROM s a JOIN s b ON a.dn < b.dn
+        )
+        SELECT round(CAST(sum(c) - sum(d) AS DOUBLE)
+                     / nullif(sum(c) + sum(d), 0), 6)       AS gamma,
+               round(CAST(sum(c) - sum(d) AS DOUBLE)
+                     / nullif(sum(c) + sum(d) + sum(ty), 0), 6)
+                                                            AS somers_d_yx,
+               round(CAST(sum(c) - sum(d) AS DOUBLE)
+                     / nullif(sum(c) + sum(d) + sum(tx), 0), 6)
+                                                            AS somers_d_xy,
+               CAST(sum(c) AS BIGINT)                       AS concordant,
+               CAST(sum(d) AS BIGINT)                       AS discordant,
+               count(*)                                     AS n_pairs
+        FROM p
+    """,
+    doc="Goodman-Kruskal gamma and both Somers' D asymmetries from the "
+    "same concordant/discordant pair counts as Kendall tau-b — the "
+    "ordinal-association family completed.",
+)
+def q_corr_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal association beyond tau-b: gamma = (C−D)/(C+D) ignores
+    ties entirely; Somers' D penalizes ties on the DEPENDENT variable
+    only — d_yx = (C−D)/(C+D+T_y), d_xy symmetric — making it the
+    directed effect-size companion (gamma ≥ |d| always). Same
+    grain-aggregate-then-pair-count shape as q_corr_kendall: the only
+    full-data pass is the day-grain aggregation; the O(n²) self-join
+    runs on the ~days-row series where n² is a small constant. Tie
+    classes use exact equality on 6-dp-rounded daily means, so both
+    engines count identical integer C/D/T cells."""
+    t = load_tables(spark, sf_dir)
+    dn = (F.unix_micros(F.date_trunc("day", F.col("ts"))) / F.lit(86400000000)).cast(
+        "bigint"
+    )
+    daily = (
+        t["events"]
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(dn.alias("dn"))
+        .agg(
+            F.round(
+                F.avg(F.when(F.col("event_type") == "click", F.col("value"))), 6
+            ).alias("x"),
+            F.round(
+                F.avg(F.when(F.col("event_type") == "purchase", F.col("value"))), 6
+            ).alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    dxdy = (F.col("a.x") - F.col("b.x")) * (F.col("a.y") - F.col("b.y"))
+    pairs = a.join(b, F.col("a.dn") < F.col("b.dn")).select(
+        F.when(dxdy > 0, 1).otherwise(0).alias("c"),
+        F.when(dxdy < 0, 1).otherwise(0).alias("d"),
+        F.when(
+            (F.col("a.x") == F.col("b.x")) & (F.col("a.y") != F.col("b.y")), 1
+        )
+        .otherwise(0)
+        .alias("tx"),
+        F.when(
+            (F.col("a.y") == F.col("b.y")) & (F.col("a.x") != F.col("b.x")), 1
+        )
+        .otherwise(0)
+        .alias("ty"),
+    )
+    cd_num = (F.sum("c") - F.sum("d")).cast("double")
+    return pairs.agg(
+        F.round(
+            cd_num / F.nullif((F.sum("c") + F.sum("d")).cast("bigint"), F.lit(0)), 6
+        ).alias("gamma"),
+        F.round(
+            cd_num
+            / F.nullif(
+                (F.sum("c") + F.sum("d") + F.sum("ty")).cast("bigint"), F.lit(0)
+            ),
+            6,
+        ).alias("somers_d_yx"),
+        F.round(
+            cd_num
+            / F.nullif(
+                (F.sum("c") + F.sum("d") + F.sum("tx")).cast("bigint"), F.lit(0)
+            ),
+            6,
+        ).alias("somers_d_xy"),
+        F.sum("c").cast("bigint").alias("concordant"),
+        F.sum("d").cast("bigint").alias("discordant"),
+        F.count("*").alias("n_pairs"),
+    )

@@ -1892,3 +1892,129 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("monetary").cast("double") / F.count("*") / 100, 6
         ).alias("avg_monetary"),
     )
+
+
+@query(
+    "q_graph_triangles",
+    oracle="""
+        WITH li AS (
+            SELECT DISTINCT l_orderkey, l_partkey
+            FROM lineitem WHERE l_quantity >= 41
+        ),
+        e AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM li a
+            JOIN li b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+        ),
+        deg AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS d
+            FROM (SELECT u AS node FROM e
+                  UNION ALL SELECT v AS node FROM e)
+            GROUP BY 1
+        ),
+        tri AS (
+            SELECT CAST(count(*) AS BIGINT) AS t
+            FROM e e1
+            JOIN e e2 ON e1.v = e2.u
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        ),
+        dd AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                   CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+            FROM deg
+        )
+        SELECT dd.n_nodes,
+               (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+               tri.t AS n_triangles,
+               dd.n_wedges,
+               round(3.0 * tri.t / dd.n_wedges, 6) AS global_clustering
+        FROM dd, tri
+    """,
+    doc="Triangle count + global clustering coefficient of the part "
+    "co-occurrence graph (parts sharing a high-quantity order) — "
+    "degree-oriented wedge join on the Spark side, the classic "
+    "shuffle-bounded distributed triangle algorithm.",
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting with DEGREE ORIENTATION: orient
+    every undirected edge from its lower-(degree, id) endpoint to the
+    higher one, then wedge-join out-edges and probe the third edge.
+    Orientation caps every node's out-degree at O(√m) regardless of how
+    skewed the raw degree distribution is — the wedge join materializes
+    Σ outdeg² = O(m^1.5) candidates instead of Σ deg² (hub-quadratic),
+    which is WHY this survives power-law graphs at 100 TB. The oracle
+    counts the same triangles via the id-ordered triple join (triangle
+    count is orientation-invariant). Wedges Σ d(d−1)/2 and the global
+    clustering coefficient 3T/W are exact integer math until one final
+    division.
+
+    Scale shape: per-order part pairs are bounded by order size (≤7
+    lineitems ⇒ ≤21 pairs), so edge building is one orderkey shuffle;
+    the wedge join shuffles oriented edges on their source node only."""
+    t = load_tables(spark, sf_dir)
+    li = (
+        t["lineitem"]
+        .filter(F.col("l_quantity") >= 41)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    # Orient each edge from the lexicographically smaller (degree, id)
+    # endpoint; carry the head's (degree, id) rank so the wedge join can
+    # order the two out-neighbors without a second degree lookup.
+    ed = (
+        e.join(F.broadcast(deg).withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
+        .join(F.broadcast(deg).withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+    )
+    lower_first = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
+    oriented = ed.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(
+            lower_first, F.struct(F.col("dv").alias("d"), F.col("v").alias("n"))
+        )
+        .otherwise(F.struct(F.col("du").alias("d"), F.col("u").alias("n")))
+        .alias("rb"),
+    )
+    x, y = oriented.alias("x"), oriented.alias("y")
+    wedges = x.join(
+        y, (F.col("x.a") == F.col("y.a")) & (F.col("x.rb") < F.col("y.rb"))
+    ).select(F.col("x.b").alias("wb"), F.col("y.b").alias("wc"))
+    z = oriented.alias("z")
+    tri = wedges.join(
+        z, (F.col("wb") == F.col("z.a")) & (F.col("wc") == F.col("z.b"))
+    ).agg(F.count("*").cast("bigint").alias("t"))
+    dd = deg.agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) div 2")).cast("bigint").alias("n_wedges"),
+    )
+    ne = e.agg(F.count("*").cast("bigint").alias("n_edges"))
+    return (
+        dd.crossJoin(ne)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("t").alias("n_triangles"),
+            "n_wedges",
+            F.round(
+                3.0 * F.col("t").cast("double") / F.col("n_wedges"), 6
+            ).alias("global_clustering"),
+        )
+    )

@@ -1237,3 +1237,110 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_spectrum(
         corpus_view(t["embeddings"], "vec_id", "embedding"), k=8
     )
+
+
+def mutual_knn_edges(corpus: DataFrame, k: int) -> DataFrame:
+    """Mutual k-NN graph over a (vec_id, v) corpus: directed k-NN lists
+    (here the exact all-pairs form — the fixture ORACLE exhibit; at
+    corpus scale feed this from the IVF/LSH candidate paths, the
+    mutualization below is identical), then keep the edges present in
+    BOTH directions. The mutual filter is the standard symmetrization
+    that graph clustering (spectral, HDBSCAN-style) wants: it prunes
+    hub-induced asymmetric edges, and it is LINEAR in the k·n directed
+    edge list — one self-join on the reversed pair.
+
+    Ranking uses the ROUNDED cosine + unique neighbor id (the
+    topk_neighbors_exact rule) so sub-ulp drift cannot flip a rank, and
+    undefined-cosine rows (zero norm) are excluded on both engines."""
+    e = corpus.withColumn("_n2", dot(F.col("v"), F.col("v")))
+    # The streamed side of the pair join inherits the corpus file's
+    # partitioning — a single tiny fixture file would serialize the
+    # O(n²/2) dot-product stage onto one or two tasks. Spread it across
+    # the cluster; at real scale the corpus is already many partitions
+    # and this is a no-op-sized shuffle of the small side.
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    a = e.repartition(par).select(
+        F.col("vec_id").alias("src"), F.col("v").alias("va"),
+        F.col("_n2").alias("_na2"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("dst"), F.col("v").alias("vb"),
+        F.col("_n2").alias("_nb2"),
+    )
+    cos = guarded_cosine(F.col("va"), F.col("vb"), F.col("_na2"), F.col("_nb2"))
+    # Each unordered pair's dot product is computed ONCE (src < dst) and
+    # the reversed direction is a cheap flipped projection — cosine is
+    # bit-identical under operand swap (element-wise products and the
+    # norm product both commute), so ranking sees the same float either
+    # way and the expensive fold runs on n(n-1)/2 pairs, not n(n-1).
+    half = (
+        a.join(b, F.col("src") < F.col("dst"))
+        .select("src", "dst", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine").isNotNull() & ~F.isnan("cosine"))
+    )
+    pairs = half.unionAll(
+        half.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "cosine"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), "dst")
+    knn = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("src", "dst", "cosine")
+    )
+    # Mutual = the unordered pair appears in BOTH directed lists: one
+    # groupBy counting directions (cosine is identical in both, min is
+    # a no-op reducer) — no self-join, the knn subtree evaluates once.
+    return (
+        knn.groupBy(
+            F.least("src", "dst").alias("id_a"),
+            F.greatest("src", "dst").alias("id_b"),
+        )
+        .agg(F.min("cosine").alias("cosine"), F.count("*").alias("_n"))
+        .filter(F.col("_n") == 2)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+@query(
+    "q_embed_knn_graph",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        n AS (
+            SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e
+        ),
+        p AS (
+            SELECT a.vec_id AS src, b.vec_id AS dst,
+                   round(CASE WHEN a.n2 * b.n2 > 0 THEN
+                         list_dot_product(a.v, b.v) / sqrt(a.n2 * b.n2)
+                         END, 6) AS cosine
+            FROM n a JOIN n b ON a.vec_id <> b.vec_id
+        ),
+        r AS (
+            SELECT src, dst, cosine,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY cosine DESC, dst) AS rn
+            FROM p WHERE cosine IS NOT NULL AND NOT isnan(cosine)
+        ),
+        knn AS (SELECT src, dst, cosine FROM r WHERE rn <= 5)
+        SELECT a.src AS id_a, a.dst AS id_b, a.cosine
+        FROM knn a JOIN knn b ON a.src = b.dst AND a.dst = b.src
+        WHERE a.src < a.dst
+    """,
+    doc="Mutual k-NN graph (k=5) over the embedding corpus — directed "
+    "top-k lists symmetrized by a reversed-pair self-join; the standard "
+    "neighborhood-graph construction feeding graph clustering.",
+)
+def q_embed_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See mutual_knn_edges: exact directed k-NN (the oracle exhibit;
+    IVF/LSH feed the same mutualization at scale) symmetrized to the
+    undirected mutual edge list. Scale shape: the directed list is k·n
+    rows; mutualization is one equi-join on the reversed (src, dst)
+    pair — linear in edges, no quadratic stage past candidate gen."""
+    t = load_tables(spark, sf_dir)
+    return mutual_knn_edges(
+        corpus_view(t["embeddings"], "vec_id", "embedding"), k=5
+    )

@@ -4730,3 +4730,146 @@ def q_corr_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("d").cast("bigint").alias("discordant"),
         F.count("*").alias("n_pairs"),
     )
+
+
+@query(
+    "q_ts_interpolate",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hr,
+                   round((CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+                               AS DOUBLE) / 1000000) / count(value), 6) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        rng AS (SELECT min(hr) AS lo, max(hr) AS hi FROM hourly),
+        spine AS (
+            SELECT t.event_type,
+                   unnest(generate_series(rng.lo, rng.hi,
+                                          INTERVAL 1 HOUR)) AS hr
+            FROM (SELECT DISTINCT event_type FROM hourly) t CROSS JOIN rng
+        ),
+        j AS (
+            SELECT s.event_type, s.hr,
+                   CAST(epoch_us(s.hr) // 3600000000 AS BIGINT) AS hn,
+                   CAST(round(h.v * 1000000) AS BIGINT) AS vi
+            FROM spine s
+            LEFT JOIN hourly h
+              ON h.event_type = s.event_type AND h.hr = s.hr
+        ),
+        b AS (
+            SELECT event_type, hr, vi,
+                   last_value(vi IGNORE NULLS)
+                     OVER (PARTITION BY event_type ORDER BY hn
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS pv,
+                   last_value(CASE WHEN vi IS NOT NULL THEN hn END
+                              IGNORE NULLS)
+                     OVER (PARTITION BY event_type ORDER BY hn
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS ph,
+                   first_value(vi IGNORE NULLS)
+                     OVER (PARTITION BY event_type ORDER BY hn
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                     AS nv,
+                   first_value(CASE WHEN vi IS NOT NULL THEN hn END
+                               IGNORE NULLS)
+                     OVER (PARTITION BY event_type ORDER BY hn
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                     AS nh,
+                   hn
+            FROM j
+        )
+        SELECT event_type, hr,
+               round(CASE
+                   WHEN vi IS NOT NULL THEN CAST(vi AS DOUBLE) / 1000000
+                   WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                       (CAST(pv AS DOUBLE)
+                        + CAST(nv - pv AS DOUBLE) * (hn - ph) / (nh - ph))
+                       / 1000000
+               END, 6) AS v_interp,
+               vi IS NULL AS was_gap
+        FROM b
+    """,
+    doc="Per-type linear interpolation of missing hours between the "
+    "bracketing observations — the unbiased sibling of q_ts_fill_grouped's "
+    "forward-fill; exact micro-integer anchors, one shared float tree.",
+)
+def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap interpolation on the shared hourly spine: each missing
+    hour gets pv + (nv−pv)·(h−h_prev)/(h_next−h_prev) from the nearest
+    observed anchors on either side (IGNORE-NULLS windows both ways);
+    hours before the first / after the last observation stay NULL —
+    LOCF (q_ts_fill_grouped) biases a gap toward its left edge, linear
+    interpolation splits it, and resampling pipelines offer both.
+    Anchor values are EXACT micro-unit integers (re-quantized from the
+    6-dp hourly means both engines already agree on) and hour indices
+    are exact epoch-hour integers, so the single interpolation float
+    tree runs on identical inputs in both engines.
+
+    Scale shape: identical to the fill key — raw scan collapses to
+    (type × hour) grain first, the spine is a broadcast cross of
+    distinct types × one min/max row, and all four anchor windows run
+    over the SAME per-type ordering (one window exchange, time-domain
+    sized)."""
+    t = load_tables(spark, sf_dir)
+    hourly = (
+        t["events"]
+        .groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+        )
+        .agg(_exact_mean_micro(F.col("value")).alias("v"))
+    )
+    rng = hourly.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    types = hourly.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(rng)).select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("hr"),
+    )
+    j = spine.join(hourly, ["event_type", "hr"], "left").select(
+        "event_type",
+        "hr",
+        F.expr("unix_micros(hr) div 3600000000").alias("hn"),
+        F.round(F.col("v") * 1000000, 0).cast("long").alias("vi"),
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("hn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("hn")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hn = F.when(F.col("vi").isNotNull(), F.col("hn"))
+    b = j.select(
+        "event_type",
+        "hr",
+        "hn",
+        "vi",
+        F.last("vi", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_hn, ignorenulls=True).over(wp).alias("ph"),
+        F.first("vi", ignorenulls=True).over(wn).alias("nv"),
+        F.first(obs_hn, ignorenulls=True).over(wn).alias("nh"),
+    )
+    interp = (
+        F.col("pv").cast("double")
+        + (F.col("nv") - F.col("pv")).cast("double")
+        * (F.col("hn") - F.col("ph"))
+        / (F.col("nh") - F.col("ph"))
+    ) / 1000000
+    return b.select(
+        "event_type",
+        "hr",
+        F.round(
+            F.when(
+                F.col("vi").isNotNull(), F.col("vi").cast("double") / 1000000
+            ).when(
+                F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp
+            ),
+            6,
+        ).alias("v_interp"),
+        F.col("vi").isNull().alias("was_gap"),
+    )

@@ -1326,3 +1326,130 @@ def q_text_keyword(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tfidf", "rn")
     )
+
+
+@query(
+    "q_text_boilerplate",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS word,
+                   generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+            FROM documents
+        ),
+        seg AS (
+            SELECT doc_id, pos // 10 AS seg_id,
+                   string_agg(word, ' ' ORDER BY pos) AS seg,
+                   CAST(count(*) AS BIGINT) AS seg_tokens
+            FROM w GROUP BY 1, 2
+        ),
+        sdf AS (
+            SELECT seg, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM seg GROUP BY 1
+        )
+        SELECT s.doc_id,
+               CAST(count(*) AS BIGINT) AS n_segments,
+               CAST(count(*) FILTER (WHERE d.df >= 2) AS BIGINT)
+                   AS n_boilerplate,
+               CAST(sum(s.seg_tokens) FILTER (WHERE d.df < 2) AS BIGINT)
+                   AS clean_tokens,
+               round(CAST(count(*) FILTER (WHERE d.df >= 2) AS DOUBLE)
+                     / count(*), 6) AS boiler_ratio
+        FROM seg s JOIN sdf d ON s.seg = d.seg
+        GROUP BY 1
+    """,
+    doc="Cross-document boilerplate detection at the 10-token segment "
+    "grain (C4/CCNet-style repeated-paragraph removal): a segment seen "
+    "in ≥2 distinct docs is boilerplate; per-doc removal stats.",
+)
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The line-dedup step every web-crawl pipeline runs before
+    training, re-grained for the fixture's unpunctuated corpus: docs
+    split into aligned 10-token segments, segment document-frequency
+    counted corpus-wide, segments shared by ≥2 distinct docs flagged,
+    and each doc reports surviving token mass + boilerplate ratio.
+
+    Spark side builds segments JVM-side with NO explode-order hazard:
+    slice + array_join over the split array inside one transform()
+    lambda, then posexplode — the per-doc work is embarrassingly
+    parallel, and the only shuffles are the segment-hash df count and
+    the segment-keyed join-back (the q_dedup_ngram inverted-index
+    shape; hot segments behave like hot shingles and would take the
+    same df-cap guard at crawl scale)."""
+    t = load_tables(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    n_seg = F.ceil(F.size(words) / F.lit(10)).cast("int")
+    segs = t["documents"].select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_seg - 1),
+                lambda i: F.array_join(
+                    F.slice(words, i * 10 + 1, 10), " "
+                ),
+            )
+        ).alias("seg_id", "seg"),
+    )
+    seg = segs.withColumn(
+        "seg_tokens", F.size(F.split(F.col("seg"), " ")).cast("bigint")
+    )
+    sdf = seg.groupBy("seg").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    j = seg.join(sdf, "seg")
+    boiler = F.col("df") >= 2
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"),
+        F.count(F.when(boiler, 1)).alias("n_boilerplate"),
+        F.sum(F.when(~boiler, F.col("seg_tokens"))).alias("clean_tokens"),
+        F.round(
+            F.count(F.when(boiler, 1)).cast("double") / F.count("*"), 6
+        ).alias("boiler_ratio"),
+    )
+
+
+@query(
+    "q_split_hash",
+    oracle="""
+        WITH b AS (
+            SELECT doc_id, n_chars,
+                   CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)
+                       % 100 AS bucket
+            FROM documents
+        )
+        SELECT doc_id, bucket,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               n_chars
+        FROM b
+    """,
+    doc="Content-stable train/val/test split (80/10/10) via md5 — the "
+    "CROSS-ENGINE-oracle-able twin of q_split_stable's xxhash64 split: "
+    "same contract, portable hash, assignment verified row-by-row.",
+)
+def q_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic split by content hash, the reproducibility
+    primitive every training pipeline needs: a document's assignment
+    depends ONLY on its text bytes — stable across reshuffles, repo
+    versions, and engines. q_split_stable pins the xxhash64 (fast JVM)
+    variant with unit tests; this key trades hash speed for a portable
+    md5 so the ENTIRE assignment (not just fractions) is hash-checked
+    against the oracle. bucket = first 8 md5 hex digits mod 100 —
+    identical integer arithmetic in both engines.
+
+    Scale shape: pure map-side projection, no shuffle at all."""
+    t = load_tables(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast("bigint")
+        % 100
+    )
+    return t["documents"].select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(F.col("bucket") < 80, "train")
+        .when(F.col("bucket") < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+        "n_chars",
+    )

@@ -4873,3 +4873,134 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v_interp"),
         F.col("vi").isNull().alias("was_gap"),
     )
+
+
+def holt_winters_additive(
+    daily: DataFrame,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    m: int = 7,
+) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing per group over a
+    ``(grp, t, y)`` frame — the seasonal extension of holt_linear:
+
+        lₜ = α(yₜ − sₜ₋ₘ) + (1−α)(lₜ₋₁ + bₜ₋₁)
+        bₜ = β(lₜ − lₜ₋₁) + (1−β)bₜ₋₁
+        sₜ = γ(yₜ − lₜ) + (1−γ)sₜ₋ₘ
+
+    Initialization (the textbook two-season seed): l₀ = mean(y₁..yₘ),
+    b₀ = (mean(yₘ₊₁..y₂ₘ) − mean(y₁..yₘ))/m, sⱼ = yⱼ − l₀ for the
+    first season; the recursion folds over t = m+1..n. Groups with
+    fewer than 2m periods yield NULLs.
+
+    The seasonal state is an m-slot CIRCULAR buffer carried inside the
+    fold accumulator struct and updated with an indexed transform() —
+    still one JVM-side F.aggregate over the calendar-bounded period
+    array (the holt_linear / greedy-fold discipline): no Python on the
+    path, driver state bounded, the only corpus-sized stage is the
+    upstream grain aggregation. Returns (grp, level, trend,
+    season_next, forecast_1, n_periods) with forecast_1 =
+    l + b + s_next."""
+    arr = daily.groupBy("grp").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("t"), F.col("y")))
+        ).alias("pts"),
+        F.count("*").alias("n_periods"),
+    )
+    a, bta, g = float(alpha), float(beta), float(gamma)
+    mean1 = (
+        F.aggregate(
+            F.slice("pts", 1, m), F.lit(0.0), lambda acc, p: acc + p["y"]
+        )
+        / float(m)
+    )
+    mean2 = (
+        F.aggregate(
+            F.slice("pts", m + 1, m), F.lit(0.0), lambda acc, p: acc + p["y"]
+        )
+        / float(m)
+    )
+    init = F.struct(
+        mean1.alias("l"),
+        ((mean2 - mean1) / float(m)).alias("b"),
+        F.transform(
+            F.slice("pts", 1, m), lambda p: p["y"].cast("double") - mean1
+        ).alias("s"),
+        F.lit(m).alias("i"),
+    )
+
+    def step(acc, p):
+        slot = acc["i"] % m  # 0-based slot of the season lag sₜ₋ₘ
+        sold = F.element_at(acc["s"], slot + 1)
+        lnew = a * (p["y"] - sold) + (1 - a) * (acc["l"] + acc["b"])
+        bnew = bta * (lnew - acc["l"]) + (1 - bta) * acc["b"]
+        snew = g * (p["y"] - lnew) + (1 - g) * sold
+        return F.struct(
+            lnew.alias("l"),
+            bnew.alias("b"),
+            F.transform(
+                acc["s"],
+                lambda x, j: F.when(j == slot, snew).otherwise(x),
+            ).alias("s"),
+            (acc["i"] + 1).alias("i"),
+        )
+
+    fold = F.aggregate(
+        F.slice(F.col("pts"), m + 1, F.greatest(F.size("pts") - m, F.lit(0))),
+        init,
+        step,
+    )
+    out = arr.withColumn("_h", F.when(F.size("pts") >= 2 * m, fold))
+    s_next = F.element_at(F.col("_h")["s"], (F.col("_h")["i"] % m) + 1)
+    return out.select(
+        "grp",
+        F.round(F.col("_h")["l"], 6).alias("level"),
+        F.round(F.col("_h")["b"], 6).alias("trend"),
+        F.round(s_next, 6).alias("season_next"),
+        F.round(F.col("_h")["l"] + F.col("_h")["b"] + s_next, 6).alias(
+            "forecast_1"
+        ),
+        "n_periods",
+    )
+
+
+@query(
+    "q_ts_holtwinters",
+    rows_only_reason="the level/trend/season recursion is a sequential "
+    "fold with an m-slot circular seasonal buffer — not expressible as "
+    "window SQL either engine shares. A unit test replays the identical "
+    "recursion in plain Python and matches every group to 6 dp "
+    "(tests/test_rowsonly.py).",
+    doc="Holt-Winters additive seasonal smoothing (m=7) per event type "
+    "— level/trend/weekly-season state folded JVM-side; completes the "
+    "forecasting family (naive/OLS/EWMA/Holt → seasonal Holt-Winters).",
+)
+def q_ts_holtwinters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See holt_winters_additive: α=0.3, β=0.1, γ=0.2, weekly season
+    m=7 over the per-type daily micro-exact totals. The fixture's
+    events span months of days per type, so every group clears the
+    2m-period seed and exercises the circular-buffer fold."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .select(
+            F.col("event_type").alias("grp"),
+            F.date_trunc("day", F.col("ts").cast("timestamp")).alias("d"),
+            F.round(F.col("value") * 1000000, 0).cast("long").alias("micro"),
+        )
+        .groupBy("grp", "d")
+        .agg(F.sum("micro").cast("bigint").alias("y"))
+        .select(
+            "grp",
+            F.row_number()
+            .over(Window.partitionBy("grp").orderBy("d"))
+            .cast("long")
+            .alias("t"),
+            (F.col("y").cast("double") / 1000000.0).alias("y"),
+        )
+    )
+    return holt_winters_additive(daily).select(
+        F.col("grp").alias("event_type"),
+        "level", "trend", "season_next", "forecast_1", "n_periods",
+    )

@@ -1647,3 +1647,70 @@ def test_holt_linear_degenerate_group(spark):
     rows = {r.grp: r for r in holt_linear(df).collect()}
     assert rows["a"].level is None and rows["a"].forecast_1 is None
     assert rows["b"].level is not None and rows["b"].n_periods == 2
+
+
+def test_ts_holtwinters_matches_python_replay(spark):
+    """q_ts_holtwinters: the JVM-side circular-buffer fold must
+    reproduce a driver-side Python replay of the additive Holt-Winters
+    recursion (alpha=0.3, beta=0.1, gamma=0.2, m=7, two-season seed)
+    on the same day-ordered series, to float precision."""
+    import pyspark.sql.functions as F
+
+    from correlationapi_spark.io import load_tables
+
+    out = {
+        r.event_type: r
+        for r in REGISTRY["q_ts_holtwinters"].fn(spark, SF_SMOKE).collect()
+    }
+    t = load_tables(spark, SF_SMOKE)
+    daily = (
+        t["events"]
+        .select(
+            F.col("event_type").alias("g"),
+            F.date_trunc("day", F.col("ts")).alias("d"),
+            F.round(F.col("value") * 1000000, 0).cast("long").alias("m"),
+        )
+        .groupBy("g", "d")
+        .agg(F.sum("m").alias("y"))
+        .orderBy("g", "d")
+        .collect()
+    )
+    series: dict[str, list[float]] = {}
+    for r in daily:
+        series.setdefault(r.g, []).append(r.y / 1000000.0)
+    a, b, g_, m = 0.3, 0.1, 0.2, 7
+    for grp, ys in series.items():
+        assert len(ys) >= 2 * m, grp
+        m1 = sum(ys[:m]) / m
+        m2 = sum(ys[m:2 * m]) / m
+        lv, tr = m1, (m2 - m1) / m
+        s = [y - m1 for y in ys[:m]]
+        i = m
+        for y in ys[m:]:
+            slot = i % m
+            sold = s[slot]
+            lv_new = a * (y - sold) + (1 - a) * (lv + tr)
+            tr = b * (lv_new - lv) + (1 - b) * tr
+            s[slot] = g_ * (y - lv_new) + (1 - g_) * sold
+            lv = lv_new
+            i += 1
+        s_next = s[i % m]
+        assert abs(out[grp].level - round(lv, 6)) < 1e-6, grp
+        assert abs(out[grp].trend - round(tr, 6)) < 1e-6, grp
+        assert abs(out[grp].season_next - round(s_next, 6)) < 1e-6, grp
+        assert abs(out[grp].forecast_1 - round(lv + tr + s_next, 6)) < 1e-6, grp
+        assert out[grp].n_periods == len(ys)
+
+
+def test_holt_winters_degenerate_group(spark):
+    """Groups shorter than two seasons (2m) have no seed: NULLs, not
+    an error or fabricated state."""
+    from correlationapi_spark.operators.stats import holt_winters_additive
+
+    df = spark.createDataFrame(
+        [("a", float(i), float(i)) for i in range(1, 11)],
+        "grp string, t double, y double",
+    ).selectExpr("grp", "cast(t as long) t", "y")
+    rows = {r.grp: r for r in holt_winters_additive(df, m=7).collect()}
+    assert rows["a"].level is None and rows["a"].forecast_1 is None
+    assert rows["a"].n_periods == 10

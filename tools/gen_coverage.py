@@ -40,7 +40,7 @@ SECTIONS = {
         "q_pacf", "q_corr_partial2",
         "q_corr_ci", "q_corr_pointbiserial", "q_theil_u", "q_mutual_info",
         "q_agg_moments", "q_agg_gini", "q_agg_trimmed_mean", "q_ts_ewma", "q_ts_fill_grouped", "q_ts_interpolate",
-        "q_corr_weighted", "q_corr_bicor", "q_corr_distance", "q_ks_test", "q_mannwhitney", "q_ttest_welch", "q_anova", "q_levene", "q_prop_ztest", "q_seasonality", "q_drift_daily", "q_drift_psi", "q_drift_js", "q_drift_cusum", "q_ols_daily", "q_ols_dw", "q_forecast_naive", "q_ts_holt", "q_assoc_mixed", "q_corr_icc", "q_cronbach_alpha", "q_corr_ccc", "q_corr_kappa", "q_ts_trend", "q_agg_entropy",
+        "q_corr_weighted", "q_corr_bicor", "q_corr_distance", "q_ks_test", "q_mannwhitney", "q_ttest_welch", "q_anova", "q_levene", "q_prop_ztest", "q_seasonality", "q_drift_daily", "q_drift_psi", "q_drift_js", "q_drift_cusum", "q_ols_daily", "q_ols_dw", "q_forecast_naive", "q_ts_holt", "q_ts_holtwinters", "q_assoc_mixed", "q_corr_icc", "q_cronbach_alpha", "q_corr_ccc", "q_corr_kappa", "q_ts_trend", "q_agg_entropy",
         "q_jarque_bera", "q_cohens_d", "q_corr_gamma",
     ],
     "§2.5 Window functions": [

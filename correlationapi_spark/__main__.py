@@ -24,6 +24,7 @@ Commands:
   dedup     --data PATH --id COL --text COL
             [--method exact|keep_best|ngram|minhash] [--threshold T] [--limit N]
   assign    --data PATH --id COL --vector COL --centroids 0,1,2 [--limit N]
+  knn-graph --data PATH --id COL --vector COL [--k N] [--limit N]
   kmeans    --data PATH --id COL --vector COL [--k N] [--n-iter N] [--tol T]
             [--centroids]
   transitions --data PATH --user COL --event COL --time COL --order COL
@@ -103,6 +104,8 @@ def main(argv: list[str] | None = None) -> int:
     ds.add_argument("--pct-method", default="exact",
                     choices=["exact", "sketch"],
                     help="percentile engine: exact sort or KLL sketch")
+    ds.add_argument("--normality", action="store_true",
+                    help="also run the Jarque-Bera normality test")
 
     cp = sub.add_parser(
         "compare",
@@ -157,10 +160,12 @@ def main(argv: list[str] | None = None) -> int:
     fcst.add_argument("--grain", default="day",
                       choices=["hour", "day", "week", "month"])
     fcst.add_argument("--method", default="holt",
-                      choices=["holt", "naive"])
+                      choices=["holt", "holtwinters", "naive"])
     fcst.add_argument("--season", type=int, default=7)
     fcst.add_argument("--alpha", type=float, default=0.3)
     fcst.add_argument("--beta", type=float, default=0.1)
+    fcst.add_argument("--gamma", type=float, default=0.2,
+                      help="seasonal smoothing (holtwinters)")
 
     tr = sub.add_parser(
         "trend",
@@ -307,6 +312,17 @@ def main(argv: list[str] | None = None) -> int:
                      help="comma-separated centroid row ids")
     asn.add_argument("--limit", type=int, default=1000,
                      help="max listed assignments (totals stay exact)")
+
+    kg = sub.add_parser(
+        "knn-graph",
+        help="mutual k-NN cosine graph over an (id, vector) table",
+    )
+    add_data(kg)
+    kg.add_argument("--id", required=True, help="integer id column")
+    kg.add_argument("--vector", required=True, help="embedding array column")
+    kg.add_argument("--k", type=int, default=5)
+    kg.add_argument("--limit", type=int, default=100,
+                    help="max listed edges (totals stay exact)")
 
     tr = sub.add_parser(
         "transitions", help="Markov transition matrix over per-user event chains"
@@ -463,7 +479,8 @@ def main(argv: list[str] | None = None) -> int:
             res = api.forecast("ds", args.var, args.time,
                                group_by=args.group_by, grain=args.grain,
                                method=args.method, season=args.season,
-                               alpha=args.alpha, beta=args.beta)
+                               alpha=args.alpha, beta=args.beta,
+                               gamma=args.gamma)
         elif args.cmd == "trend":
             res = api.trend("ds", args.var, args.time,
                             group_by=args.group_by, grain=args.grain)
@@ -482,7 +499,8 @@ def main(argv: list[str] | None = None) -> int:
             )
             res = api.distribution("ds", args.var, group_by=args.group_by,
                                    gini=args.gini, percentiles=pcts,
-                                   method=args.pct_method)
+                                   method=args.pct_method,
+                                   normality=args.normality)
         elif args.cmd == "partial":
             from .api import parse_control_arg
 
@@ -521,6 +539,9 @@ def main(argv: list[str] | None = None) -> int:
                 centroid_ids=[int(x) for x in args.centroids.split(",") if x],
                 limit=args.limit,
             )
+        elif args.cmd == "knn-graph":
+            res = api.knn_graph("ds", args.id, args.vector,
+                                k=args.k, limit=args.limit)
         elif args.cmd == "transitions":
             res = api.transitions("ds", args.user, args.event,
                                   args.time, args.order)

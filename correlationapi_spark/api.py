@@ -33,6 +33,7 @@ over a registered edge table via graph.pagerank), ``transitions()``
 
 from __future__ import annotations
 
+import math
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -819,10 +820,15 @@ class CorrelationAPI:
         gini: bool = False,
         percentiles: list[float] | None = None,
         method: str = "exact",
+        normality: bool = False,
     ) -> dict[str, Any]:
         """Distribution-shape profile of a numeric variable: mean,
         sample stddev, skewness, excess kurtosis, n — optionally per
-        group — plus (opt-in) the Gini concentration coefficient and
+        group — plus (opt-in) the Jarque-Bera normality test
+        (normality=True: JB = n/6·(S² + K²/4) from the same moments;
+        p-value is the exact χ²(2) tail exp(−JB/2) — the q_jarque_bera
+        engine, scalar math on the already-collected group rows),
+        (opt-in) the Gini concentration coefficient and
         (opt-in) percentiles, exact (F.percentile: sort-per-group,
         right at category cardinality) or 'sketch' (KLL k=200,
         mergeable, the 100 TB path — q_agg_quantile_merge's engine
@@ -929,6 +935,14 @@ class CorrelationAPI:
                 "kurtosis_excess": _nan_to_none(r.kurtosis_excess),
                 "n": r.n,
             }
+            if normality:
+                s, k = _nan_to_none(r.skewness), _nan_to_none(r.kurtosis_excess)
+                if s is not None and k is not None:
+                    jb = r.n / 6.0 * (s * s + k * k / 4.0)
+                    d["jb_stat"] = round(jb, 6)
+                    d["jb_p_value"] = round(math.exp(-jb / 2.0), 6)
+                else:
+                    d["jb_stat"] = d["jb_p_value"] = None
             if gini:
                 d["gini"] = gini_by.get(r._g)
             if ps:
@@ -1014,6 +1028,25 @@ class CorrelationAPI:
             "mw_u1": _nan_to_none(r.u1),
             "mw_u2": _nan_to_none(r.u2),
             "mw_z": _nan_to_none(r.z),
+        } | self._effect_size(
+            r.n1, _nan_to_none(mstats["A"].mean), _nan_to_none(mstats["A"].stddev),
+            r.n2, _nan_to_none(mstats["B"].mean), _nan_to_none(mstats["B"].stddev),
+        )
+
+    @staticmethod
+    def _effect_size(n1, m1, s1, n2, m2, s2) -> dict[str, Any]:
+        """Cohen's d (pooled sd) + Hedges' g small-sample correction —
+        the q_cohens_d engine's formulas on the per-group moments the
+        compare() aggregate already produced; scalar driver math."""
+        if None in (m1, s1, m2, s2) or n1 < 2 or n2 < 2:
+            return {"cohens_d": None, "hedges_g": None}
+        sp2 = ((n1 - 1) * s1 * s1 + (n2 - 1) * s2 * s2) / (n1 + n2 - 2)
+        if sp2 <= 0:
+            return {"cohens_d": None, "hedges_g": None}
+        d = (m1 - m2) / math.sqrt(sp2)
+        return {
+            "cohens_d": round(d, 6),
+            "hedges_g": round(d * (1 - 3.0 / (4 * (n1 + n2) - 9)), 6),
         }
 
     def anova(
@@ -1272,19 +1305,26 @@ class CorrelationAPI:
         season: int = 7,
         alpha: float = 0.3,
         beta: float = 0.1,
+        gamma: float = 0.2,
     ) -> dict[str, Any]:
         """Forecasting service over period totals per group.
 
         method='holt': Holt's linear smoothing (operators.stats
         .holt_linear) — level/trend state + the one-step-ahead
-        forecast. method='naive': the seasonal-naive backtest
-        (forecast(t) = actual(t − season periods)) scored with
-        WAPE/MAE from exact integer sums — the q_forecast_naive
-        engine parameterized by grain and season length."""
-        from .operators.stats import holt_linear
+        forecast. method='holtwinters': additive seasonal Holt-Winters
+        (operators.stats.holt_winters_additive) — level/trend plus an
+        m=season circular seasonal state, one-step-ahead forecast
+        includes the next seasonal term. method='naive': the
+        seasonal-naive backtest (forecast(t) = actual(t − season
+        periods)) scored with WAPE/MAE from exact integer sums — the
+        q_forecast_naive engine parameterized by grain and season
+        length."""
+        from .operators.stats import holt_linear, holt_winters_additive
 
-        if method not in ("holt", "naive"):
-            raise ValueError(f"unknown method: {method!r} (holt|naive)")
+        if method not in ("holt", "naive", "holtwinters"):
+            raise ValueError(
+                f"unknown method: {method!r} (holt|holtwinters|naive)"
+            )
         if grain not in ("hour", "day", "week", "month"):
             raise ValueError(f"unknown grain: {grain!r}")
         df = self._get(dataset)
@@ -1311,7 +1351,7 @@ class CorrelationAPI:
         )
         base = {"dataset": dataset, "var": var, "time": time,
                 "group_by": group_by, "grain": grain, "method": method}
-        if method == "holt":
+        if method in ("holt", "holtwinters"):
             pts = daily.select(
                 "grp",
                 F.row_number()
@@ -1320,6 +1360,25 @@ class CorrelationAPI:
                 .alias("t"),
                 (F.col("y").cast("double") / 1000000.0).alias("y"),
             )
+            if method == "holtwinters":
+                rows = holt_winters_additive(
+                    pts, alpha=alpha, beta=beta, gamma=gamma,
+                    m=int(season),
+                ).collect()
+                return base | {
+                    "alpha": alpha, "beta": beta, "gamma": gamma,
+                    "season": int(season),
+                    "groups": {
+                        r.grp: {
+                            "level": _nan_to_none(r.level),
+                            "trend": _nan_to_none(r.trend),
+                            "season_next": _nan_to_none(r.season_next),
+                            "forecast_1": _nan_to_none(r.forecast_1),
+                            "n_periods": r.n_periods,
+                        }
+                        for r in rows
+                    },
+                }
             rows = holt_linear(pts, alpha=alpha, beta=beta).collect()
             return base | {
                 "alpha": alpha, "beta": beta,
@@ -2441,6 +2500,67 @@ class CorrelationAPI:
             "assignments": [
                 {"id": r.vec_id, "cell": r.cell, "cosine": r.cosine}
                 for r in rows
+            ],
+        }
+
+    def knn_graph(
+        self,
+        dataset: str,
+        id_col: str,
+        vector_col: str,
+        k: int = 5,
+        limit: int = 100,
+    ) -> dict[str, Any]:
+        """Mutual k-NN graph over a caller-chosen (id, embedding-array)
+        table — the parameterized twin of q_embed_knn_graph
+        (llm.similarity.mutual_knn_edges): directed cosine top-k lists
+        symmetrized to the edges present in BOTH directions, the
+        neighborhood-graph construction graph clustering consumes.
+        Returns engine-side totals (edge count, node count, degree
+        min/mean/max of the mutual graph) plus a ``limit``-bounded
+        strongest-edge listing — totals stay exact when the listing
+        truncates."""
+        from .llm.similarity import corpus_view, mutual_knn_edges
+
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        if limit < 1:
+            raise ValueError("limit must be >= 1")
+        corpus = corpus_view(self._get(dataset), id_col, vector_col)
+        edges = mutual_knn_edges(corpus, k=int(k))
+        deg = (
+            edges.select(F.col("id_a").alias("node"))
+            .unionAll(edges.select(F.col("id_b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        tot = deg.agg(
+            F.count("*").alias("n_nodes"),
+            F.sum("d").alias("d2"),
+            F.min("d").alias("dmin"),
+            F.max("d").alias("dmax"),
+        ).collect()[0]
+        n_edges = int(tot.d2 or 0) // 2
+        top = (
+            edges.orderBy(F.desc("cosine"), "id_a", "id_b")
+            .limit(int(limit))
+            .collect()
+        )
+        return {
+            "dataset": dataset, "id": id_col, "vector": vector_col,
+            "k": int(k),
+            "n_nodes": int(tot.n_nodes or 0),
+            "n_edges": n_edges,
+            "degree": {
+                "min": int(tot.dmin) if tot.dmin is not None else None,
+                "mean": round(2 * n_edges / tot.n_nodes, 6)
+                if tot.n_nodes else None,
+                "max": int(tot.dmax) if tot.dmax is not None else None,
+            },
+            "truncated": n_edges > len(top),
+            "edges": [
+                {"id_a": r.id_a, "id_b": r.id_b, "cosine": r.cosine}
+                for r in top
             ],
         }
 

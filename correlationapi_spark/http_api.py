@@ -24,9 +24,12 @@ container, and none is needed for a JSON-for-JSON contract:
        (CUSUM curve + estimated level-shift period)
   GET  /trend?dataset=&var=&time=[&group_by=][&grain=day]
        (per-group OLS trend: slope/intercept/R2 over period totals)
-  GET  /forecast?dataset=&var=&time=[&group_by=][&grain=day][&method=holt|naive]
-       [&season=7][&alpha=0.3][&beta=0.1]
-       (Holt level+trend+one-step forecast, or seasonal-naive WAPE/MAE backtest)
+  GET  /forecast?dataset=&var=&time=[&group_by=][&grain=day]
+       [&method=holt|holtwinters|naive][&season=7][&alpha=0.3][&beta=0.1][&gamma=0.2]
+       (Holt level+trend, additive Holt-Winters with weekly season, or
+       seasonal-naive WAPE/MAE backtest)
+  GET  /knn_graph?dataset=&id=&vector=[&k=5][&limit=100]
+       (mutual k-NN cosine graph: totals + strongest edges)
   GET  /pca?dataset=&id=&vector=[&k=8]  (PCA spectrum of an embedding column)
   GET  /drift?dataset=&var=&time=[&grain=day]  (per-period KS + PSI vs reference)
   POST /mixed_matrix {"dataset"[,"variables"]}  (type-appropriate measure per pair)
@@ -177,6 +180,7 @@ def _route(api: CorrelationAPI, method: str, path: str,
             season=int(query.get("season", "7")),
             alpha=float(query.get("alpha", "0.3")),
             beta=float(query.get("beta", "0.1")),
+            gamma=float(query.get("gamma", "0.2")),
         )
     if method == "GET" and path == "/trend":
         for req in ("dataset", "var", "time"):
@@ -225,6 +229,7 @@ def _route(api: CorrelationAPI, method: str, path: str,
                 if "percentiles" in query else None
             ),
             method=query.get("method", "exact"),
+            normality=query.get("normality", "") in ("1", "true", "yes"),
         )
     if method == "POST" and path == "/matrix":
         if "dataset" not in body:
@@ -325,6 +330,15 @@ def _route(api: CorrelationAPI, method: str, path: str,
             query["dataset"], query["id"], query["vector"],
             centroid_ids=[int(x) for x in query["centroids"].split(",") if x],
             limit=int(query.get("limit", 1000)),
+        )
+    if method == "GET" and path == "/knn_graph":
+        for req in ("dataset", "id", "vector"):
+            if req not in query:
+                raise ValueError(f"missing query parameter {req!r}")
+        return 200, api.knn_graph(
+            query["dataset"], query["id"], query["vector"],
+            k=int(query.get("k", 5)),
+            limit=int(query.get("limit", 100)),
         )
     if method == "GET" and path == "/transitions":
         for req in ("dataset", "user", "event", "time", "order"):

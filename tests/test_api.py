@@ -1927,3 +1927,72 @@ def test_distribution_percentiles(spark):
     with pytest.raises(ValueError):
         api.distribution("_ord", "o_totalprice", percentiles=[0.5],
                          method="banana")
+
+
+def test_forecast_holtwinters_matches_declared_key(api_orders, spark):
+    import os as _os
+
+    api_orders.register_dataset(
+        "events", _os.path.join(SF_SMOKE, "events.parquet")
+    )
+    hw = {
+        r.event_type: r
+        for r in REGISTRY["q_ts_holtwinters"].fn(spark, SF_SMOKE).collect()
+    }
+    res = api_orders.forecast("events", "value", "ts",
+                              group_by="event_type", method="holtwinters")
+    assert res["season"] == 7 and res["gamma"] == 0.2
+    assert set(res["groups"]) == set(hw)
+    for g, cell in res["groups"].items():
+        assert abs(cell["level"] - hw[g].level) < 1e-6, g
+        assert abs(cell["season_next"] - hw[g].season_next) < 1e-6, g
+        assert abs(cell["forecast_1"] - hw[g].forecast_1) < 1e-6, g
+
+
+def test_distribution_normality_matches_declared_jb(api_orders, spark):
+    """distribution(normality=True) must agree with q_jarque_bera up to
+    the moment-estimator convention (the service uses Spark's built-in
+    skewness/kurtosis aggregates, the key its exact power sums — same
+    population-moment definitions, so JB matches to float noise)."""
+    key = {
+        r.o_orderstatus: r
+        for r in REGISTRY["q_jarque_bera"].fn(spark, SF_SMOKE).collect()
+    }
+    res = api_orders.distribution("orders", "o_totalprice",
+                                  group_by="o_orderstatus", normality=True)
+    for g, cell in res["groups"].items():
+        assert abs(cell["jb_stat"] - key[g].jb_stat) < 1e-2 * max(
+            1.0, key[g].jb_stat
+        ), g
+        assert abs(cell["jb_p_value"] - key[g].p_value) < 1e-3, g
+
+
+def test_compare_effect_size_matches_declared_key(api_orders, spark):
+    key = REGISTRY["q_cohens_d"].fn(spark, SF_SMOKE).collect()[0]
+    res = api_orders.compare("orders", "o_totalprice", "o_orderstatus",
+                             "F", "O")
+    assert abs(res["cohens_d"] - key.cohens_d) < 1e-4
+    assert abs(res["hedges_g"] - key.hedges_g) < 1e-4
+
+
+def test_knn_graph_matches_declared_key(spark):
+    api = CorrelationAPI(spark)
+    api.register_dataset(
+        "emb", os.path.join(SF_SMOKE, "embeddings.parquet")
+    )
+    edges = {
+        (r.id_a, r.id_b): r.cosine
+        for r in REGISTRY["q_embed_knn_graph"].fn(spark, SF_SMOKE).collect()
+    }
+    res = api.knn_graph("emb", "vec_id", "embedding", k=5, limit=10)
+    assert res["n_edges"] == len(edges)
+    assert res["truncated"] is (len(edges) > 10)
+    assert len(res["edges"]) == min(10, len(edges))
+    best = max(edges.values())
+    assert abs(res["edges"][0]["cosine"] - best) < 1e-12
+    for e in res["edges"]:
+        assert edges[(e["id_a"], e["id_b"])] == e["cosine"]
+    assert res["degree"]["min"] >= 1
+    assert res["degree"]["max"] <= 5
+    with pytest.raises(ValueError, match="k must be"):
+        api.knn_graph("emb", "vec_id", "embedding", k=0)

@@ -331,3 +331,29 @@ def test_cli_bpe(spark, capsys):
     ])
     assert rc == 0 and len(res["merges"]) == 6
     assert all(m["merged"] == m["left"] + m["right"] for m in res["merges"])
+
+
+def test_cli_knn_graph_and_holtwinters(spark, capsys):
+    rc, res = _run(capsys, [
+        "knn-graph", "--data", os.path.join(SF_SMOKE, "embeddings.parquet"),
+        "--id", "vec_id", "--vector", "embedding", "--k", "3",
+        "--limit", "5",
+    ])
+    assert rc == 0 and res["n_edges"] > 0 and res["k"] == 3
+    assert len(res["edges"]) <= 5
+    assert res["degree"]["max"] <= 3
+
+    rc, res = _run(capsys, [
+        "forecast", "--data", os.path.join(SF_SMOKE, "events.parquet"),
+        "--var", "value", "--time", "ts", "--group-by", "event_type",
+        "--method", "holtwinters", "--gamma", "0.25",
+    ])
+    assert rc == 0 and res["gamma"] == 0.25
+    for cell in res["groups"].values():
+        assert cell["season_next"] is not None
+
+    rc, res = _run(capsys, [
+        "distribution", "--data", os.path.join(SF_SMOKE, "orders.parquet"),
+        "--var", "o_totalprice", "--normality",
+    ])
+    assert rc == 0 and res["jb_stat"] > 0 and 0.0 <= res["jb_p_value"] <= 1.0

@@ -578,3 +578,25 @@ def test_event_analytics_routes(base_url, spark):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(f"{base_url}/pagerank?dataset=evr&src=user_id")
     assert e.value.code == 400
+
+
+def test_knn_graph_route(base_url, spark):
+    """/knn_graph (round 9): mutual edge totals + strongest-edge
+    listing; missing vector param is a 400."""
+    _post(
+        f"{base_url}/datasets/emb",
+        {"path": os.path.join(SF_SMOKE, "embeddings.parquet")},
+    )
+    status, res = _get(
+        f"{base_url}/knn_graph?dataset=emb&id=vec_id&vector=embedding"
+        "&k=3&limit=5"
+    )
+    assert status == 200
+    assert res["n_edges"] > 0 and res["k"] == 3
+    assert len(res["edges"]) <= 5
+    for e in res["edges"]:
+        assert -1.0 <= e["cosine"] <= 1.0 and e["id_a"] < e["id_b"]
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{base_url}/knn_graph?dataset=emb&id=vec_id")
+    assert e.value.code == 400

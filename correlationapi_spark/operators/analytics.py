@@ -2018,3 +2018,78 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("global_clustering"),
         )
     )
+
+
+@query(
+    "q_graph_jaccard",
+    oracle="""
+        WITH e AS (
+            SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+        ),
+        deg AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+        co AS (
+            SELECT a.s AS s_a, b.s AS s_b, CAST(count(*) AS BIGINT) AS co
+            FROM e a JOIN e b ON a.p = b.p AND a.s < b.s
+            GROUP BY 1, 2
+        ),
+        j AS (
+            SELECT co.s_a, co.s_b, co.co AS co_parts,
+                   da.d + db.d - co.co AS union_parts,
+                   round(CAST(co.co AS DOUBLE)
+                         / (da.d + db.d - co.co), 6) AS jaccard
+            FROM co
+            JOIN deg da ON da.s = co.s_a
+            JOIN deg db ON db.s = co.s_b
+        )
+        SELECT s_a, s_b, co_parts, union_parts, jaccard
+        FROM j ORDER BY jaccard DESC, s_a, s_b LIMIT 50
+    """,
+    doc="Top-50 most similar supplier pairs by Jaccard of their part "
+    "sets — node similarity over the bipartite graph via the inverted "
+    "index (pairs generated per shared part, never all-pairs).",
+)
+def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood similarity on the supplier-part bipartite graph:
+    J(A,B) = |A∩B| / |A∪B| with intersections counted through the
+    PART-keyed inverted index — candidate pairs exist ONLY where two
+    suppliers actually share a part, so the work is Σ_part C(df_p, 2)
+    (bounded by per-part supplier counts; a hot part would take the
+    same df-cap guard as q_dedup_ngram's hot shingles), never the
+    all-pairs n². Union sizes come from the two degree lookups
+    (broadcast: the degree table is node-sized). Global top-50 runs as
+    TakeOrderedAndProject on (rounded jaccard, s_a, s_b) — rank ties at
+    the cut are broken by the unique pair key, identically in both
+    engines.
+
+    This is the item-item collaborative-filtering primitive ("suppliers
+    like this one") and the graph-clustering affinity q_graph_triangles
+    complements structurally."""
+    t = load_tables(spark, sf_dir)
+    e = t["lineitem"].select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    deg = e.groupBy("s").agg(F.count("*").alias("d"))
+    a, b = e.alias("a"), e.alias("b")
+    co = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("s_a"), F.col("b.s").alias("s_b"))
+        .agg(F.count("*").alias("co"))
+    )
+    da = F.broadcast(deg.select(F.col("s").alias("s_a"), F.col("d").alias("da")))
+    db = F.broadcast(deg.select(F.col("s").alias("s_b"), F.col("d").alias("db")))
+    j = (
+        co.join(da, "s_a")
+        .join(db, "s_b")
+        .select(
+            "s_a",
+            "s_b",
+            F.col("co").alias("co_parts"),
+            (F.col("da") + F.col("db") - F.col("co")).alias("union_parts"),
+            F.round(
+                F.col("co").cast("double")
+                / (F.col("da") + F.col("db") - F.col("co")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return j.orderBy(F.desc("jaccard"), "s_a", "s_b").limit(50)

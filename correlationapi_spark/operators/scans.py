@@ -230,3 +230,63 @@ def q_scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# Fixed (non-randomized) path: the DuckDB oracle is a static SQL string
+# and must glob the same directory the Spark fn wrote. The fn rewrites
+# the directory EAGERLY at call time (before returning its lazy DF), so
+# Spark-read and oracle-read see identical bytes whichever runs first.
+_BINARYFILE_DIR = "/tmp/correlationapi_binaryfile_src"
+
+
+@query(
+    "q_scan_binaryfile",
+    oracle="""
+        SELECT CAST(regexp_extract(filename, '([0-9]+)\\.bin$', 1)
+                    AS BIGINT) AS doc_id,
+               CAST(size AS BIGINT) AS length,
+               lower(hex(content)) AS content_hex
+        FROM read_blob('/tmp/correlationapi_binaryfile_src/*.bin')
+    """,
+    doc="Spark binaryFile source over raw media blobs on disk — the "
+    "ingest path for image/audio/video FILES at crawl scale; "
+    "byte-faithful against DuckDB read_blob via hex(content).",
+)
+def q_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`spark.read.format(\"binaryFile\")` is how a multimodal corpus
+    enters Spark when it arrives as FILES (one image/clip per object)
+    rather than pre-packed parquet: each file becomes a (path,
+    modificationTime, length, content) row, scanned in parallel across
+    executors, feeding the same mapInPandas decoders as the envelope
+    keys (q_multimodal_meta). This key materializes the multimodal
+    fixture blobs (real PNG/GIF/WAV/AVI/JPEG bytes + text payloads,
+    doc_id < 30 — a bounded sample, written eagerly) as .bin files and
+    round-trips them through the source; the oracle reads the SAME
+    files with DuckDB's read_blob, comparing full hex so every byte is
+    hash-checked — a genuinely oracled binary source, not rows-only.
+
+    Scale shape: binaryFile is a DataSource V2 file scan — files split
+    across tasks by size like parquet scans; pushdown on path/length
+    works (pathGlobFilter/recursiveFileLookup for layout). The bounded
+    driver-side write here is fixture scaffolding, not the operator."""
+    import os
+    import shutil
+
+    from ..llm.multimodal import with_media_column
+
+    t = load_tables(spark, sf_dir)
+    media = with_media_column(t["documents"]).filter(F.col("doc_id") < 30)
+    rows = media.select("doc_id", F.col("media.data").alias("data")).collect()
+    shutil.rmtree(_BINARYFILE_DIR, ignore_errors=True)
+    os.makedirs(_BINARYFILE_DIR)
+    for r in rows:
+        with open(os.path.join(_BINARYFILE_DIR, f"{r.doc_id}.bin"), "wb") as f:
+            f.write(bytes(r.data))
+    bf = spark.read.format("binaryFile").load(_BINARYFILE_DIR + "/*.bin")
+    return bf.select(
+        F.regexp_extract(F.col("path"), r"([0-9]+)\.bin$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").cast("bigint").alias("length"),
+        F.lower(F.hex(F.col("content"))).alias("content_hex"),
+    )

@@ -18,7 +18,7 @@ from correlationapi_spark.registry import load_registry
 SECTIONS = {
     "§2.1 Scans/sources/sinks": [
         "q_scan_parquet", "q_scan_pruned", "q_scan_csv", "q_scan_json",
-        "q_scan_orc", "q_sink_parquet_roundtrip", "q_scan_partition_pruned",
+        "q_scan_orc", "q_sink_parquet_roundtrip", "q_scan_partition_pruned", "q_scan_binaryfile",
     ],
     "§2.2 Projections/filters": [
         "q_project_arith", "q_filter_cmp", "q_filter_bool", "q_filter_in",
@@ -85,7 +85,7 @@ SECTIONS = {
         "q_pivot",
     ],
     "Event analytics (beyond §2: product-analytics surface)": [
-        "q_funnel", "q_event_path", "q_event_transitions", "q_graph_pagerank", "q_graph_degree", "q_graph_triangles", "q_attribution", "q_attribution_multi", "q_retention", "q_anomaly", "q_anomaly_mad", "q_session_stats", "q_profile", "q_cdc_merge", "q_scd2", "q_fk_integrity", "q_basket_lift", "q_rfm", "q_gaps_islands", "q_benford", "q_survival_km", "q_survival_logrank",
+        "q_funnel", "q_event_path", "q_event_transitions", "q_graph_pagerank", "q_graph_degree", "q_graph_triangles", "q_graph_jaccard", "q_attribution", "q_attribution_multi", "q_retention", "q_anomaly", "q_anomaly_mad", "q_session_stats", "q_profile", "q_cdc_merge", "q_scd2", "q_fk_integrity", "q_basket_lift", "q_rfm", "q_gaps_islands", "q_benford", "q_survival_km", "q_survival_logrank",
     ],
 }
 

@@ -636,3 +636,58 @@ def _bucket_table(tag: str) -> str:
     sessions sharing a metastore can't clobber each other's definitions
     (ADVICE r07 — the fixed names collided across processes)."""
     return f"correlationapi_b_{tag}_{os.getpid()}"
+
+
+@query(
+    "q_join_salted",
+    oracle="""
+        SELECT n.n_name,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT))
+                    AS BIGINT) AS acctbal_cents
+        FROM customer c
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1
+    """,
+    doc="Manually salted skew join: the small side replicated ×16, the "
+    "skewed side salted by a row-unique hash — identical results to "
+    "the plain join (the oracle), with the hot key's rows spread over "
+    "16 shuffle partitions instead of one straggler.",
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manual skew-mitigation technique for when AQE's runtime skew
+    split can't apply (e.g. the skewed side feeds an aggregation that
+    must not be re-partitioned, or a non-sort-merge join path): append
+    salt = hash(unique_key) mod S to the SKEWED side, explode the
+    SMALL side into S copies (one per salt value), and join on
+    (key, salt). Every hot key's rows now land in S different shuffle
+    partitions — the straggler becomes S parallel tasks — and the join
+    result is IDENTICAL to the unsalted join, which is exactly what the
+    oracle checks (the salt never reaches the output). The salt hash is
+    Spark-side xxhash64 but only the DISTRIBUTION depends on it, not
+    the result, so the key stays fully oracle-able.
+
+    Cost model: S× replication of the small side (25 nations × 16 =
+    400 rows here — negligible) buys S-way parallelism on the hot key;
+    q_agg_salted is the aggregation sibling, AQE's skew split
+    (tests/test_plans.py skew canary) the automatic alternative."""
+    S = 16
+    t = load_tables(spark, sf_dir)
+    nation = t["nation"].withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(S - 1)))
+    )
+    cust = t["customer"].withColumn(
+        "salt",
+        F.pmod(F.xxhash64("c_custkey"), F.lit(S)).cast("int"),
+    )
+    j = cust.join(
+        F.broadcast(nation),
+        (F.col("c_nationkey") == F.col("n_nationkey"))
+        & (cust["salt"] == nation["salt"]),
+    )
+    return j.groupBy("n_name").agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long"))
+        .cast("bigint")
+        .alias("acctbal_cents"),
+    )

@@ -5004,3 +5004,198 @@ def q_ts_holtwinters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("grp").alias("event_type"),
         "level", "trend", "season_next", "forecast_1", "n_periods",
     )
+
+
+@query(
+    "q_ljung_box",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                        AS BIGINT) AS dn,
+                   round(avg(value), 6) AS v
+            FROM events
+            GROUP BY 1
+        ), lagcorr AS (
+            SELECT l.lag, round(corr(a.v, b.v), 6) AS acf
+            FROM (SELECT unnest(range(1, 4)) AS lag) l
+            JOIN daily a ON TRUE
+            JOIN daily b ON b.dn = a.dn + l.lag
+            GROUP BY 1
+        ), r AS (
+            SELECT max(CASE WHEN lag = 1 THEN acf END) AS r1,
+                   max(CASE WHEN lag = 2 THEN acf END) AS r2,
+                   max(CASE WHEN lag = 3 THEN acf END) AS r3,
+                   (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n
+            FROM lagcorr
+        )
+        SELECT round(n * (n + 2.0)
+                     * (r1*r1 / (n - 1) + r2*r2 / (n - 2)
+                        + r3*r3 / (n - 3)), 6) AS q_stat,
+               CAST(3 AS BIGINT) AS df,
+               round(r1, 6) AS acf_1, round(r2, 6) AS acf_2,
+               round(r3, 6) AS acf_3,
+               n AS n_periods
+        FROM r
+    """,
+    doc="Ljung-Box portmanteau statistic over lags 1..3 of the daily "
+    "value series — the whiteness test pairing q_pacf's AR diagnostics "
+    "and q_ols_dw's lag-1 Durbin-Watson.",
+)
+def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q = n(n+2) Σ_{k=1..h} ρ̂ₖ²/(n−k), h = 3, where ρ̂ₖ are the SAME
+    round-6 lagged-Pearson estimates the q_pacf key pins (lag-joined on
+    exact epoch-day integers — one day-grain pass, the lag spine
+    broadcast). Under H0 (white noise) Q ~ χ²(h); the statistic and its
+    df are reported and exactly oracle-checkable — the χ²(3) tail has
+    no elementary closed form, so p-value evaluation stays in
+    api.acf's Ljung-Box surface (incomplete-gamma, driver-side
+    scalar). DW (lag-1, residuals) and LB (multi-lag, levels) together
+    are the standard autocorrelation battery.
+
+    Scale shape: identical to q_pacf — everything after the day-grain
+    aggregate runs on ~|days| rows."""
+    t = load_tables(spark, sf_dir)
+    dn = (F.unix_micros(F.date_trunc("day", F.col("ts"))) / F.lit(86400000000)).cast(
+        "bigint"
+    )
+    daily = (
+        t["events"]
+        .groupBy(dn.alias("dn"))
+        .agg(F.round(F.avg("value"), 6).alias("v"))
+    )
+    lags = spark.range(1, 4).select(F.col("id").cast("bigint").alias("lag"))
+    a, b = daily.alias("a"), daily.alias("b")
+    acf = (
+        F.broadcast(lags).crossJoin(a)
+        .join(b, F.col("b.dn") == F.col("a.dn") + F.col("lag"))
+        .groupBy("lag")
+        .agg(_guarded_corr(F.col("a.v"), F.col("b.v")).alias("acf"))
+    )
+    n_tbl = daily.agg(F.count("*").alias("n"))
+    r = acf.crossJoin(F.broadcast(n_tbl)).agg(
+        F.max(F.when(F.col("lag") == 1, F.col("acf"))).alias("r1"),
+        F.max(F.when(F.col("lag") == 2, F.col("acf"))).alias("r2"),
+        F.max(F.when(F.col("lag") == 3, F.col("acf"))).alias("r3"),
+        F.any_value("n").alias("n"),
+    )
+    return r.selectExpr(
+        "round(n * (n + 2.0) * (r1*r1 / (n - 1) + r2*r2 / (n - 2)"
+        " + r3*r3 / (n - 3)), 6) AS q_stat",
+        "CAST(3 AS BIGINT) AS df",
+        "round(r1, 6) AS acf_1", "round(r2, 6) AS acf_2",
+        "round(r3, 6) AS acf_3",
+        "n AS n_periods",
+    )
+
+
+@query(
+    "q_ols_multi2",
+    oracle="""
+        WITH x AS (
+            SELECT l_returnflag AS g,
+                   CAST(round(l_quantity) AS BIGINT)            AS x1,
+                   CAST(round(l_discount * 100) AS BIGINT)      AS x2,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+            FROM lineitem
+        ),
+        s AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(x1 AS HUGEINT)) AS DOUBLE)      AS sx1,
+                   CAST(sum(CAST(x2 AS HUGEINT)) AS DOUBLE)      AS sx2,
+                   CAST(sum(CAST(y  AS HUGEINT)) AS DOUBLE)      AS sy,
+                   CAST(sum(CAST(x1 AS HUGEINT) * x1) AS DOUBLE) AS sx11,
+                   CAST(sum(CAST(x2 AS HUGEINT) * x2) AS DOUBLE) AS sx22,
+                   CAST(sum(CAST(x1 AS HUGEINT) * x2) AS DOUBLE) AS sx12,
+                   CAST(sum(CAST(x1 AS HUGEINT) * y)  AS DOUBLE) AS sx1y,
+                   CAST(sum(CAST(x2 AS HUGEINT) * y)  AS DOUBLE) AS sx2y,
+                   CAST(sum(CAST(y  AS HUGEINT) * y)  AS DOUBLE) AS syy
+            FROM x GROUP BY 1
+        ),
+        c AS (
+            SELECT g, n,
+                   sx11 - sx1 * sx1 / n AS s11,
+                   sx22 - sx2 * sx2 / n AS s22,
+                   sx12 - sx1 * sx2 / n AS s12,
+                   sx1y - sx1 * sy / n  AS s1y,
+                   sx2y - sx2 * sy / n  AS s2y,
+                   syy  - sy  * sy / n  AS stot,
+                   sx1 / n AS mx1, sx2 / n AS mx2, sy / n AS my
+            FROM s
+        ),
+        b AS (
+            SELECT g, n, stot, s1y, s2y, mx1, mx2, my,
+                   (s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12) AS b1,
+                   (s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) AS b2
+            FROM c
+        )
+        SELECT g AS l_returnflag,
+               round((my - b1 * mx1 - b2 * mx2) / 100, 6) AS intercept,
+               round(b1 / 100, 6)                         AS b_quantity,
+               round(b2 / 100, 6)                         AS b_discount_pct,
+               round((b1 * s1y + b2 * s2y) / stot, 6)     AS r2,
+               n AS n_rows
+        FROM b ORDER BY g
+    """,
+    doc="Two-regressor OLS (extended price ~ quantity + discount) per "
+    "return flag via closed-form normal equations from exact integer "
+    "cross sums — multiple regression in ONE aggregate pass.",
+)
+def q_ols_multi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple linear regression without an iterative solver: for two
+    regressors the normal equations close under Cramer's rule —
+    b = S⁻¹·s with the 2×2 centered cross-moment matrix S — so the
+    whole fit is ONE grouped aggregate of nine exact integer sums
+    (quantity, discount-pct and price-cents lattices; HUGEINT /
+    decimal(38,0) accumulators) followed by per-group scalar math. R²
+    comes from the same sums (explained/total centered variation).
+    Both engines run the identical Cramer float tree on identical
+    integers — fully hash-stable, no matrix library involved.
+
+    Scale shape: map-side-combinable partial sums on the group shuffle
+    a plain count would use; the k=2 'solve' is constant work per
+    group. (k regressors cost k(k+3)/2 sums — the same pattern holds
+    for small fixed k; beyond that you'd hand the Gram matrix to a
+    driver-side solve, still one pass.)"""
+    t = load_tables(spark, sf_dir)
+    x = t["lineitem"].select(
+        F.col("l_returnflag").alias("g"),
+        F.round(F.col("l_quantity"), 0).cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = x.groupBy("g").agg(
+        F.count("*").alias("n"),
+        F.sum(d("x1")).cast("double").alias("sx1"),
+        F.sum(d("x2")).cast("double").alias("sx2"),
+        F.sum(d("y")).cast("double").alias("sy"),
+        F.sum(d("x1") * F.col("x1")).cast("double").alias("sx11"),
+        F.sum(d("x2") * F.col("x2")).cast("double").alias("sx22"),
+        F.sum(d("x1") * F.col("x2")).cast("double").alias("sx12"),
+        F.sum(d("x1") * F.col("y")).cast("double").alias("sx1y"),
+        F.sum(d("x2") * F.col("y")).cast("double").alias("sx2y"),
+        F.sum(d("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    c = s.selectExpr(
+        "g", "n",
+        "sx11 - sx1 * sx1 / n AS s11",
+        "sx22 - sx2 * sx2 / n AS s22",
+        "sx12 - sx1 * sx2 / n AS s12",
+        "sx1y - sx1 * sy / n  AS s1y",
+        "sx2y - sx2 * sy / n  AS s2y",
+        "syy  - sy  * sy / n  AS stot",
+        "sx1 / n AS mx1", "sx2 / n AS mx2", "sy / n AS my",
+    )
+    b = c.selectExpr(
+        "g", "n", "stot", "s1y", "s2y", "mx1", "mx2", "my",
+        "(s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12) AS b1",
+        "(s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) AS b2",
+    )
+    return b.selectExpr(
+        "g AS l_returnflag",
+        "round((my - b1 * mx1 - b2 * mx2) / 100, 6) AS intercept",
+        "round(b1 / 100, 6)                         AS b_quantity",
+        "round(b2 / 100, 6)                         AS b_discount_pct",
+        "round((b1 * s1y + b2 * s2y) / stot, 6)     AS r2",
+        "n AS n_rows",
+    ).orderBy("l_returnflag")

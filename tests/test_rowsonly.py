@@ -1714,3 +1714,32 @@ def test_holt_winters_degenerate_group(spark):
     rows = {r.grp: r for r in holt_winters_additive(df, m=7).collect()}
     assert rows["a"].level is None and rows["a"].forecast_1 is None
     assert rows["a"].n_periods == 10
+
+
+def test_multimodal_phash_pinned(spark):
+    """q_multimodal_phash: real-decode perceptual hashes — identical
+    payloads collide (the dedup contract), every image doc gets a
+    64-bit code, and the PNG variant codes are pinned (regression
+    against decoder or grid drift)."""
+    df = REGISTRY["q_multimodal_phash"].fn(spark, SF_SMOKE)
+    rows = df.collect()
+    assert rows and all(r.mime.startswith("image/") for r in rows)
+    by_variant: dict[tuple, set] = {}
+    for r in rows:
+        assert r.dhash is not None and len(r.dhash) == 16, r
+        assert r.ahash is not None and len(r.ahash) == 16, r
+        # doc_id % 3 picks the fixture variant inside each mime class:
+        # same (mime, variant) => same payload => same hashes
+        by_variant.setdefault((r.mime, r.doc_id % 3), set()).add(
+            (r.dhash, r.ahash)
+        )
+    for k, hs in by_variant.items():
+        assert len(hs) == 1, (k, hs)
+    png0 = by_variant[("image/png", 0)].pop()
+    assert png0[0] == "6d6d6d6d6d6d6d6d", png0
+    # determinism across a second evaluation
+    again = {
+        (r.doc_id, r.dhash, r.ahash)
+        for r in REGISTRY["q_multimodal_phash"].fn(spark, SF_SMOKE).collect()
+    }
+    assert again == {(r.doc_id, r.dhash, r.ahash) for r in rows}

@@ -65,7 +65,7 @@ SECTIONS = {
         "q_vocab_coverage", "q_text_zipf",
         "q_split_stable", "q_split_hash", "q_sample_stratified", "q_sample_fraction", "q_sample_reservoir",
         "q_sample_weighted", "q_sample_balanced", "q_domain_mix",
-        "q_multimodal_meta", "q_multimodal_frames", "q_pack_chunks",
+        "q_multimodal_meta", "q_multimodal_frames", "q_multimodal_phash", "q_pack_chunks",
         "q_pack_bpeish", "q_pack_bpe", "q_pack_bestfit", "q_cluster_kmeans_step",
     ],
     "§2.10 Streaming (batch-equivalent declared forms)": [

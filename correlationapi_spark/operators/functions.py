@@ -512,3 +512,64 @@ def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_odd"),
         )
     )
+
+
+@query(
+    "q_fn_url",
+    oracle="""
+        WITH u AS (
+            SELECT doc_id,
+                   concat('https://', source, '.example.com/', lang,
+                          '/doc/', CAST(doc_id AS VARCHAR),
+                          '?chars=', CAST(n_chars AS VARCHAR),
+                          '#frag') AS url
+            FROM documents
+        )
+        SELECT doc_id,
+               regexp_extract(url, '^([a-z]+)://', 1)           AS protocol,
+               regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)    AS host,
+               regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+               regexp_extract(url, '\\?([^#]*)', 1)             AS query,
+               regexp_extract(url, 'chars=([0-9]+)', 1)         AS chars_param,
+               regexp_extract(url,
+                   '^[a-z]+://[^/?#]*?([^./?#]+\\.[^./?#]+)(?:[/?#]|$)',
+                   1)                                           AS apex_domain
+        FROM u
+    """,
+    doc="URL parsing family: protocol/host/path/query/param extraction "
+    "via Spark's parse_url against a regex oracle — the log-ingest "
+    "normalization every web-crawl pipeline starts with.",
+)
+def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URLs synthesized deterministically from fixture columns, then
+    decomposed with Spark's dedicated parse_url (JVM-side, WSCG) —
+    PROTOCOL/HOST/PATH/QUERY plus a keyed query parameter — and the
+    registrable-domain suffix via one regex. The oracle spells the
+    identical decomposition as POSIX regexes (DuckDB has no parse_url),
+    so the key pins that Spark's URL semantics agree with the portable
+    regex definition on well-formed URLs — the contract a crawl
+    pipeline relies on when it dedups by host or mixes by domain.
+
+    Scale shape: pure map-side projection, no shuffle."""
+    t = load_tables(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+        F.col("lang"), F.lit("/doc/"), F.col("doc_id").cast("string"),
+        F.lit("?chars="), F.col("n_chars").cast("string"), F.lit("#frag"),
+    )
+    u = t["documents"].select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url(F.col("url"), F.lit("PROTOCOL")).alias("protocol"),
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY")).alias("query"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("chars")).alias(
+            "chars_param"
+        ),
+        F.regexp_extract(
+            F.col("url"),
+            r"^[a-z]+://[^/?#]*?([^./?#]+\.[^./?#]+)(?:[/?#]|$)",
+            1,
+        ).alias("apex_domain"),
+    )

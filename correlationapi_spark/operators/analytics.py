@@ -1969,6 +1969,15 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
     )
+    return triangle_stats(e)
+
+
+def triangle_stats(e: DataFrame) -> DataFrame:
+    """Degree-oriented triangle counting over a distinct undirected
+    (u, v) edge list (u < v) — the engine behind q_graph_triangles,
+    shared with tools/graph_bench.py's planted-clique scale harness.
+    See the key's docstring for the orientation argument (out-degree
+    capped at O(√m) ⇒ wedge candidates O(m^1.5), hub-safe)."""
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))

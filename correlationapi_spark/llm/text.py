@@ -1453,3 +1453,253 @@ def q_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("split"),
         "n_chars",
     )
+
+
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "a", "and", "of", "to", "with", "that", "be",
+)
+
+
+@query(
+    "q_text_gopher",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, text, string_split(text, ' ') AS ts,
+                   CAST(length(text) AS BIGINT) AS nc
+            FROM documents
+        ), m AS (
+            SELECT doc_id,
+                   CAST(len(ts) AS BIGINT) AS n_tokens,
+                   CAST(nc - (len(ts) - 1) AS DOUBLE) / len(ts)
+                       AS mean_word_len,
+                   CAST(len(list_filter(ts,
+                            x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                       / len(ts) AS alpha_frac,
+                   CAST(len(list_filter(
+                            ['the', 'a', 'and', 'of', 'to', 'with',
+                             'that', 'be'],
+                            s -> list_contains(ts, s))) AS BIGINT)
+                       AS n_stopwords
+            FROM base
+        )
+        SELECT doc_id, n_tokens, mean_word_len, alpha_frac, n_stopwords,
+               CAST(n_tokens BETWEEN 10 AND 100000 AS INTEGER) AS r_ntok,
+               CAST(mean_word_len BETWEEN 3 AND 10 AS INTEGER)
+                   AS r_wordlen,
+               CAST(alpha_frac >= 0.8 AS INTEGER) AS r_alpha,
+               CAST(n_stopwords >= 2 AS INTEGER) AS r_stop,
+               CAST(n_tokens BETWEEN 10 AND 100000
+                    AND mean_word_len BETWEEN 3 AND 10
+                    AND alpha_frac >= 0.8
+                    AND n_stopwords >= 2 AS INTEGER) AS passes_gopher
+        FROM m
+    """,
+    doc="Gopher-style document quality rules: token-count bounds, mean "
+    "word length 3..10, alphabetic-token fraction >= 0.8, >= 2 distinct "
+    "stopwords — the published rule filter for web-scale pretraining "
+    "corpora (Rae et al. 2021, public).",
+)
+def q_text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule filter — the standard coarse quality gate a
+    pretraining pipeline runs BEFORE any model-based scoring. Each rule
+    is reported separately (so downstream can audit which rule fired)
+    plus the conjunction.
+
+    Determinism: every measure is an int÷int division or an integer
+    comparison — mean word length is (chars − spaces)/tokens from exact
+    counts; the stopword count is the number of LIST words present in
+    the doc (count over the 8-word list, not token occurrences) —
+    identical lambda semantics in both engines. Rules emit INTEGER 0/1
+    to pin the dtype across engines.
+
+    Scale shape: pure map-side row-local expressions inside
+    whole-stage codegen — no shuffle, no UDF; the natural first stage
+    of the q_quality_pipeline funnel at 100 TB."""
+    t = load_tables(spark, sf_dir)
+    ts = F.col("ts")
+    n_tokens = F.size(ts).cast("bigint")
+    mean_wl = (
+        (F.col("nc") - (F.size(ts) - 1)).cast("double") / F.size(ts)
+    )
+    alpha_cnt = F.size(F.filter(ts, lambda x: x.rlike("[a-z]")))
+    stoparr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    n_stop = F.size(
+        F.filter(stoparr, lambda s: F.array_contains(ts, s))
+    ).cast("bigint")
+    m = (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.split("text", " ").alias("ts"),
+            F.length("text").cast("bigint").alias("nc"),
+        )
+        .select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            mean_wl.alias("mean_word_len"),
+            (alpha_cnt.cast("double") / F.size(ts)).alias("alpha_frac"),
+            n_stop.alias("n_stopwords"),
+        )
+    )
+    r_ntok = F.col("n_tokens").between(10, 100000)
+    r_wordlen = F.col("mean_word_len").between(3, 10)
+    r_alpha = F.col("alpha_frac") >= 0.8
+    r_stop = F.col("n_stopwords") >= 2
+    return m.select(
+        "doc_id", "n_tokens", "mean_word_len", "alpha_frac", "n_stopwords",
+        r_ntok.cast("int").alias("r_ntok"),
+        r_wordlen.cast("int").alias("r_wordlen"),
+        r_alpha.cast("int").alias("r_alpha"),
+        r_stop.cast("int").alias("r_stop"),
+        (r_ntok & r_wordlen & r_alpha & r_stop)
+        .cast("int")
+        .alias("passes_gopher"),
+    )
+
+
+@query(
+    "q_text_bigram_lm",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ), grams AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(ts)),
+                                         i -> ts[i])) AS w1,
+                   unnest(list_transform(range(1, len(ts)),
+                                         i -> ts[i + 1])) AS w2
+            FROM toks
+        ), scored AS (
+            SELECT doc_id,
+                   CAST(count(*) OVER (PARTITION BY w1, w2) AS BIGINT)
+                       AS c2,
+                   CAST(count(*) OVER (PARTITION BY w1) AS BIGINT) AS c1
+            FROM grams
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(-ln(CAST(c2 AS DOUBLE) / c1)), 4)
+                   AS avg_neg_logp2,
+               round(exp(avg(-ln(CAST(c2 AS DOUBLE) / c1))), 4)
+                   AS ppl_bigram
+        FROM scored GROUP BY doc_id
+    """,
+    doc="Bigram-LM cross-entropy per document under the corpus's own "
+    "bigram model (KenLM-filtering pattern with n=2, pairing "
+    "q_text_perplexity's unigram score).",
+)
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order LM quality score: mean −ln P(w₂|w₁) with
+    P(w₂|w₁) = c(w₁w₂)/c(w₁·) estimated from the corpus itself. Every
+    observed bigram has positive probability, so no smoothing term can
+    disagree across engines; docs with <2 tokens emit no row (no
+    bigram positions).
+
+    Determinism: both counts are exact int64; the scored ratio is ONE
+    int÷int division, so ln() sees bit-identical inputs and the 4-dp
+    round leaves ~10 orders of headroom over last-ulp libm drift (the
+    q_text_perplexity rule); ppl = exp(mean) re-rounds the UNrounded
+    mean.
+
+    Scale shape: the bigram relation is built by the zip-of-shifted-
+    slices idiom (q_text_ngram — stays in codegen, no per-element
+    re-split); the two count tables are vocab- and vocab²-bounded, so
+    Spark joins them back broadcast-style while they fit, shuffle-hash
+    beyond — the oracle's window formulation is the same counts. No
+    driver state, no UDF."""
+    t = load_tables(spark, sf_dir)
+    ts = F.col("ts")
+    n = F.greatest(F.size(ts) - 1, F.lit(0))
+    grams = (
+        t["documents"]
+        .select("doc_id", F.split("text", " ").alias("ts"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(ts, 1, n),
+                    F.slice(ts, 2, n),
+                    lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    )
+    c2 = grams.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = grams.groupBy("w1").agg(F.count("*").alias("c1"))
+    neg_logp = -F.log(F.col("c2").cast("double") / F.col("c1"))
+    return (
+        grams.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(neg_logp), 4).alias("avg_neg_logp2"),
+            F.round(F.exp(F.avg(neg_logp)), 4).alias("ppl_bigram"),
+        )
+    )
+
+
+def compress_ratio(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document zlib compression ratio — the classic cheap
+    redundancy signal (boilerplate / machine-generated text compresses
+    far below natural prose; C4/Gopher-era pipelines gate on it).
+
+    ONE mapInPandas pass, Arrow-batched; zlib level pinned to 6 so the
+    byte count is deterministic for a given zlib build (the ratio is an
+    environment constant, not SQL-expressible — hence rows-only).
+    Output: (doc_id, n_bytes, n_compressed, compress_ratio)."""
+
+    def make_cr(text_col: str):
+        # closure by REQUIREMENT: cloudpickle ships it by value, workers
+        # never import this package (io.py read_parquet_any note)
+        import pandas as pd
+        import zlib
+
+        def cr(batches):
+            for pdf in batches:
+                raw = [t.encode("utf-8") for t in pdf[text_col]]
+                nb = [len(b) for b in raw]
+                nz = [len(zlib.compress(b, 6)) for b in raw]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "n_bytes": pd.Series(nb, dtype="int64"),
+                        "n_compressed": pd.Series(nz, dtype="int64"),
+                        "compress_ratio": [
+                            round(z / b, 4) if b else 0.0
+                            for z, b in zip(nz, nb)
+                        ],
+                    }
+                )
+
+        return cr
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        make_cr(text_col),
+        "doc_id bigint, n_bytes bigint, n_compressed bigint, "
+        "compress_ratio double",
+    )
+
+
+@query(
+    "q_text_compress_ratio",
+    rows_only_reason="zlib's DEFLATE byte count is not expressible in "
+    "SQL — no DuckDB oracle can reproduce the compressor. Determinism "
+    "is pinned instead by tests/test_rowsonly.py::"
+    "test_compress_ratio_matches_local_zlib (exact per-doc byte "
+    "equality against driver-side zlib at level 6).",
+    doc="Per-document zlib compression ratio (level 6) — the standard "
+    "cheap redundancy/quality gate for pretraining corpora; low ratio "
+    "flags boilerplate and repetition, high flags noise.",
+)
+def q_text_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level view of the compress-ratio gate: per-doc ratios
+    plus the repetition cross-signal — docs are ordered client-side.
+
+    Scale shape: one Arrow-batched Python stage (the unavoidable
+    compressor), no shuffle at all — the groupless map emits exactly
+    one row per doc; at 100 TB this is embarrassingly parallel and
+    IO-bound, the cheapest possible Python surface."""
+    t = load_tables(spark, sf_dir)
+    return compress_ratio(t["documents"])

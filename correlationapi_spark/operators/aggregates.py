@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..io import load_tables
 from ..numerics import (
@@ -817,4 +818,163 @@ def q_agg_theta_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("theta_sketch_estimate(theta_difference(sk_late, sk_early))")
         .cast("bigint")
         .alias("est_acquired"),
+    )
+
+
+@query(
+    "q_agg_extremes_by",
+    oracle="""
+        WITH base AS (
+            SELECT l_returnflag,
+                   l_orderkey, l_linenumber,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) * 68719476736
+                     + l_orderkey * 8 + l_linenumber AS packed
+            FROM lineitem
+        )
+        SELECT l_returnflag,
+               round(max(pc) / 100.0, 2)          AS max_price,
+               max_by(l_orderkey, packed)         AS top_orderkey,
+               max_by(l_linenumber, packed)       AS top_linenumber,
+               round(min(pc) / 100.0, 2)          AS min_price,
+               min_by(l_orderkey, packed)         AS bottom_orderkey,
+               CAST(count(*) AS BIGINT)           AS n_rows
+        FROM base GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    doc="max_by/min_by (argmax) aggregates: the order line holding each "
+    "group's price extremes, tie-broken deterministically via a packed "
+    "unique sort key.",
+)
+def q_agg_extremes_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin as a SINGLE aggregation pass — `max_by`/`min_by`
+    carry the witness row's columns along with the extreme, replacing
+    the two-pass window-rank idiom (q_topk_group) when only the top-1
+    witness is needed.
+
+    Determinism: both engines leave argmax ties unspecified, so the
+    comparison value is made UNIQUE by packing (price_cents, orderkey,
+    linenumber) into one int64: pc·2^36 + orderkey·8 + linenumber.
+    Bounds: pc < 2^26 (max extendedprice ~1.1e5 → 1.1e7 cents) and
+    orderkey·8 + linenumber < 2^36 (orderkey < 2^33 ≈ 8.6e9, i.e. TPC-H
+    sf ~1400), so packed < 2^62 — exact int64, no collision, identical
+    winner on every engine. At larger scale, widen the shift or switch
+    the comparison value to a struct (Spark max_by accepts orderable
+    structs; the packed-int form is used here because DuckDB's
+    arg_max/struct ordering is not guaranteed identical).
+
+    Scale shape: one partial/final hash aggregate over the fact scan —
+    max_by partials are (value, packed) pairs, map-side combinable,
+    constant state per group; no shuffle beyond the |groups|-row
+    exchange."""
+    t = load_tables(spark, sf_dir)
+    pc = cents("l_extendedprice")
+    packed = (
+        pc * F.lit(68719476736)
+        + F.col("l_orderkey") * F.lit(8)
+        + F.col("l_linenumber")
+    )
+    base = t["lineitem"].select(
+        "l_returnflag", "l_orderkey", "l_linenumber",
+        pc.alias("pc"), packed.alias("packed"),
+    )
+    return (
+        base.groupBy("l_returnflag")
+        .agg(
+            F.round(F.max("pc") / 100.0, 2).alias("max_price"),
+            F.max_by("l_orderkey", "packed").alias("top_orderkey"),
+            F.max_by("l_linenumber", "packed").alias("top_linenumber"),
+            F.round(F.min("pc") / 100.0, 2).alias("min_price"),
+            F.min_by("l_orderkey", "packed").alias("bottom_orderkey"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_percentile_weighted",
+    oracle="""
+        WITH base AS (
+            SELECT l_returnflag AS rf,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+                   CAST(round(l_quantity) AS BIGINT) AS w,
+                   l_orderkey, l_linenumber
+            FROM lineitem
+        ), cum AS (
+            SELECT rf, pc, w,
+                   sum(w) OVER (PARTITION BY rf
+                                ORDER BY pc, l_orderkey, l_linenumber
+                                ROWS UNBOUNDED PRECEDING) AS cw,
+                   sum(w) OVER (PARTITION BY rf) AS tw
+            FROM base
+        )
+        SELECT rf AS l_returnflag,
+               round(min(CASE WHEN 4 * cw >= tw     THEN pc END) / 100.0, 2)
+                   AS w_p25,
+               round(min(CASE WHEN 2 * cw >= tw     THEN pc END) / 100.0, 2)
+                   AS w_median,
+               round(min(CASE WHEN 4 * cw >= 3 * tw THEN pc END) / 100.0, 2)
+                   AS w_p75,
+               CAST(any_value(tw) AS BIGINT) AS total_weight,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM cum GROUP BY rf
+        ORDER BY rf
+    """,
+    doc="Weighted quantiles (quantity-weighted price percentiles) via "
+    "integer running-weight cutoffs — no float quantile semantics to "
+    "disagree on.",
+)
+def q_percentile_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted percentile: the smallest value whose running weight
+    reaches q·W — the inventory-weighted price points percentile_cont
+    cannot express (neither engine has a weighted quantile builtin).
+
+    Determinism: weights and prices are exact int64 (cents / rounded
+    quantity); the cutoff predicates are INTEGER inequalities
+    (4·cw ≥ tw etc. — no q·W float product), and the intra-group order
+    is made total by (pc, orderkey, linenumber). Every engine computes
+    the identical witness row.
+
+    Scale shape: one partitioned window (running sum per returnflag —
+    range-partitioned by the groupBy key, no global ordering), then a
+    partial/final aggregate. The window is the unavoidable sort; at
+    100 TB it is a per-group sort-merge identical to any percentile
+    computation, with integer state only."""
+    t = load_tables(spark, sf_dir)
+    base = t["lineitem"].select(
+        F.col("l_returnflag").alias("rf"),
+        cents("l_extendedprice").alias("pc"),
+        F.round("l_quantity").cast("bigint").alias("w"),
+        "l_orderkey", "l_linenumber",
+    )
+    wo = (
+        Window.partitionBy("rf")
+        .orderBy("pc", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = base.select(
+        "rf", "pc", "w",
+        F.sum("w").over(wo).alias("cw"),
+        F.sum("w").over(Window.partitionBy("rf")).alias("tw"),
+    )
+    return (
+        cum.groupBy(F.col("rf").alias("l_returnflag"))
+        .agg(
+            F.round(
+                F.min(F.when(4 * F.col("cw") >= F.col("tw"), F.col("pc")))
+                / 100.0, 2,
+            ).alias("w_p25"),
+            F.round(
+                F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("pc")))
+                / 100.0, 2,
+            ).alias("w_median"),
+            F.round(
+                F.min(F.when(4 * F.col("cw") >= 3 * F.col("tw"), F.col("pc")))
+                / 100.0, 2,
+            ).alias("w_p75"),
+            F.any_value("tw").alias("total_weight"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
     )

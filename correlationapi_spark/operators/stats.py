@@ -5199,3 +5199,105 @@ def q_ols_multi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round((b1 * s1y + b2 * s2y) / stot, 6)     AS r2",
         "n AS n_rows",
     ).orderBy("l_returnflag")
+
+
+@query(
+    "q_ts_decompose",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                        AS BIGINT) AS dn,
+                   CAST(round(round(avg(value), 6) * 1000000) AS BIGINT)
+                       AS vu
+            FROM events GROUP BY 1
+        ), offs AS (
+            SELECT unnest(range(-3, 4)) AS o
+        ), ma AS (
+            SELECT a.dn, any_value(a.vu) AS vu,
+                   CAST(count(*) AS BIGINT) AS k,
+                   CAST(sum(b.vu) AS BIGINT) AS t7u
+            FROM daily a
+            JOIN offs ON TRUE
+            JOIN daily b ON b.dn = a.dn + offs.o
+            GROUP BY a.dn
+        ), detr AS (
+            SELECT dn % 7 AS dow, 7 * vu - t7u AS d7u, t7u
+            FROM ma WHERE k = 7
+        )
+        SELECT dow,
+               CAST(count(*) AS BIGINT) AS n_days,
+               round(CAST(sum(d7u) AS DOUBLE) / (7000000.0 * count(*)), 6)
+                   AS seasonal,
+               round(CAST(sum(t7u) AS DOUBLE) / (7000000.0 * count(*)), 6)
+                   AS trend_mean
+        FROM detr GROUP BY dow
+        ORDER BY dow
+    """,
+    doc="Classical additive seasonal decomposition of the daily value "
+    "series: centered 7-day moving-average trend, per-weekday seasonal "
+    "index of the detrended residual — all in exact micro-unit integers.",
+)
+def q_ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical decomposition (the moving-average diagnostic that
+    COMPLEMENTS q_ts_holtwinters' recursive smoother): trend_t =
+    centered 7-day MA, seasonal index s_dow = mean of (v_t − trend_t)
+    over each weekday. Weekday is dn % 7 (epoch-day modulo — engine-
+    independent, unlike dayofweek()'s locale conventions).
+
+    Determinism: the daily mean is pinned at 6 dp (the q_pacf daily
+    pattern), then lifted to exact micro-unit int64; the 7-day trend
+    stays an INTEGER sum (t7u), the detrended value is the exact
+    integer 7·vu − t7u (units of 1e-6/7), and each output is ONE
+    division of an exact int64 sum — no float accumulates anywhere.
+    Gap guard: k = 7 keeps only fully-windowed days, and because the
+    7 offsets are distinct, k = 7 also proves the window is
+    calendar-contiguous (no gap days).
+
+    Scale shape: the lag-spine idiom (q_pacf / q_ljung_box) — the
+    7-row offset table is broadcast against the day-grain aggregate,
+    so no global-order window and no single-partition exchange;
+    everything after the first partial/final daily aggregate runs on
+    ~|days|·7 rows."""
+    t = load_tables(spark, sf_dir)
+    dn = (
+        F.unix_micros(F.date_trunc("day", F.col("ts"))) / F.lit(86400000000)
+    ).cast("bigint")
+    daily = (
+        t["events"]
+        .groupBy(dn.alias("dn"))
+        .agg(
+            F.round(F.round(F.avg("value"), 6) * 1000000)
+            .cast("bigint")
+            .alias("vu")
+        )
+    )
+    offs = spark.range(-3, 4).select(F.col("id").cast("bigint").alias("o"))
+    a, b = daily.alias("a"), daily.alias("b")
+    ma = (
+        a.crossJoin(F.broadcast(offs))
+        .join(b, F.col("b.dn") == F.col("a.dn") + F.col("o"))
+        .groupBy(F.col("a.dn").alias("dn"))
+        .agg(
+            F.any_value(F.col("a.vu")).alias("vu"),
+            F.count("*").alias("k"),
+            F.sum(F.col("b.vu")).alias("t7u"),
+        )
+    )
+    detr = ma.filter(F.col("k") == 7).select(
+        (F.col("dn") % 7).alias("dow"),
+        (7 * F.col("vu") - F.col("t7u")).alias("d7u"),
+        "t7u",
+    )
+    return (
+        detr.groupBy("dow")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.round(
+                F.sum("d7u").cast("double") / (7000000.0 * F.count("*")), 6
+            ).alias("seasonal"),
+            F.round(
+                F.sum("t7u").cast("double") / (7000000.0 * F.count("*")), 6
+            ).alias("trend_mean"),
+        )
+        .orderBy("dow")
+    )

@@ -1743,3 +1743,36 @@ def test_multimodal_phash_pinned(spark):
         for r in REGISTRY["q_multimodal_phash"].fn(spark, SF_SMOKE).collect()
     }
     assert again == {(r.doc_id, r.dhash, r.ahash) for r in rows}
+
+
+def test_compress_ratio_matches_local_zlib(spark):
+    """q_text_compress_ratio's documented determinism pin: the
+    distributed zlib byte counts equal a driver-side zlib.compress at
+    the same pinned level 6, doc for doc, and the ratio orders
+    repetitive docs below diverse ones."""
+    import zlib
+
+    from correlationapi_spark.io import load_tables
+
+    out = {
+        r.doc_id: r
+        for r in REGISTRY["q_text_compress_ratio"].fn(spark, SF_SMOKE).collect()
+    }
+    docs = load_tables(spark, SF_SMOKE)["documents"].collect()
+    assert len(out) == len(docs) > 0
+    for d in docs:
+        raw = d.text.encode("utf-8")
+        r = out[d.doc_id]
+        assert r.n_bytes == len(raw)
+        assert r.n_compressed == len(zlib.compress(raw, 6))
+        assert r.compress_ratio == round(r.n_compressed / r.n_bytes, 4)
+    # redundancy signal sanity: a pure repetition compresses much harder
+    # than the same tokens shuffled with distinct ones
+    rep = spark.createDataFrame(
+        [(1, "spam " * 400), (2, " ".join(f"w{i}" for i in range(400)))],
+        "doc_id bigint, text string",
+    )
+    from correlationapi_spark.llm.text import compress_ratio
+
+    rr = {r.doc_id: r.compress_ratio for r in compress_ratio(rep).collect()}
+    assert rr[1] < rr[2] / 3, rr

@@ -42,6 +42,7 @@ SECTIONS = {
         "q_agg_moments", "q_agg_gini", "q_agg_trimmed_mean", "q_ts_ewma", "q_ts_fill_grouped", "q_ts_interpolate",
         "q_corr_weighted", "q_corr_bicor", "q_corr_distance", "q_ks_test", "q_mannwhitney", "q_ttest_welch", "q_anova", "q_levene", "q_prop_ztest", "q_seasonality", "q_drift_daily", "q_drift_psi", "q_drift_js", "q_drift_cusum", "q_ols_daily", "q_ols_dw", "q_ols_multi2", "q_forecast_naive", "q_ts_holt", "q_ts_holtwinters", "q_assoc_mixed", "q_corr_icc", "q_cronbach_alpha", "q_corr_ccc", "q_corr_kappa", "q_ts_trend", "q_agg_entropy",
         "q_jarque_bera", "q_cohens_d", "q_corr_gamma",
+        "q_agg_extremes_by", "q_percentile_weighted", "q_ts_decompose",
     ],
     "§2.5 Window functions": [
         "q_win_rownum", "q_win_rank", "q_win_lag", "q_win_frame_rows",
@@ -67,6 +68,7 @@ SECTIONS = {
         "q_sample_weighted", "q_sample_balanced", "q_domain_mix",
         "q_multimodal_meta", "q_multimodal_frames", "q_multimodal_phash", "q_pack_chunks",
         "q_pack_bpeish", "q_pack_bpe", "q_pack_bestfit", "q_cluster_kmeans_step",
+        "q_text_gopher", "q_text_bigram_lm", "q_text_compress_ratio",
     ],
     "§2.10 Streaming (batch-equivalent declared forms)": [
         "q_stream_tumbling", "q_stream_sliding", "q_stream_session", "q_stream_dedup",

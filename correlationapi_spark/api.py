@@ -1294,6 +1294,198 @@ class CorrelationAPI:
             },
         }
 
+    def decompose(
+        self,
+        dataset: str,
+        var: str,
+        time: str,
+        grain: str = "day",
+        period: int = 7,
+    ) -> dict[str, Any]:
+        """Classical additive seasonal decomposition of the per-period
+        mean series — the q_ts_decompose engine (operators.stats
+        .decompose_frame) parameterized: centered ``period``-point MA
+        trend, per-phase (index % period) seasonal index of the
+        detrended residual. Values quantize to exact integer
+        micro-units first (1e-6 lattice); ``period`` must be odd so
+        the MA window is symmetric."""
+        from .operators.stats import decompose_frame
+
+        if grain not in ("hour", "day", "week", "month"):
+            raise ValueError(f"unknown grain: {grain!r}")
+        if period < 3 or period % 2 == 0:
+            raise ValueError("period must be odd and >= 3")
+        df = self._get(dataset)
+        x = self._num(df, var)
+        if time not in df.columns:
+            raise KeyError(f"unknown variable: {time!r}")
+        daily = (
+            df.select(
+                F.col(time).cast("timestamp").alias("_t"),
+                F.round(x * 1000000, 0).cast("long").alias("micro"),
+            )
+            .filter(F.col("_t").isNotNull() & F.col("micro").isNotNull())
+            .groupBy(_epoch_grain_index(grain).alias("dn"))
+            .agg(F.round(F.avg("micro")).cast("bigint").alias("vu"))
+        )
+        rows = decompose_frame(daily, period=period).collect()
+        if not rows:
+            raise ValueError(
+                "no fully-windowed periods (need >= period contiguous "
+                "periods of data)"
+            )
+        return {
+            "dataset": dataset, "var": var, "time": time, "grain": grain,
+            "period": period,
+            "phases": {
+                int(r.dow): {
+                    "seasonal": _nan_to_none(r.seasonal),
+                    "trend_mean": _nan_to_none(r.trend_mean),
+                    "n_periods": r.n_days,
+                }
+                for r in rows
+            },
+        }
+
+    def weighted_quantile(
+        self,
+        dataset: str,
+        var: str,
+        weight: str,
+        group_by: str | None = None,
+        quantiles: str = "0.25,0.5,0.75",
+    ) -> dict[str, Any]:
+        """Weighted percentiles per group — the q_percentile_weighted
+        engine (operators.aggregates.weighted_quantiles)
+        parameterized: for each requested q the smallest value whose
+        running weight reaches q·W, decided by an exact INTEGER
+        inequality (den·cw ≥ num·tw from q's reduced fraction at the
+        1e-6 lattice). Values and weights quantize to exact integer
+        micro-units; rows with NULL or non-positive weight are
+        excluded (surfaced as n_excluded)."""
+        from fractions import Fraction
+
+        from .operators.aggregates import weighted_quantiles
+
+        df = self._get(dataset)
+        x = self._num(df, var)
+        w = self._num(df, weight)
+        qs: list[tuple[str, int, int]] = []
+        for tok in quantiles.split(","):
+            tok = tok.strip()
+            if not tok:
+                continue
+            frac = Fraction(tok).limit_denominator(1000000)
+            if not 0 < frac < 1:
+                raise ValueError(f"quantile out of range (0,1): {tok!r}")
+            qs.append((f"q{tok}", frac.numerator, frac.denominator))
+        if not qs:
+            raise ValueError("no quantiles requested")
+        g = (
+            F.col(group_by).cast("string")
+            if group_by is not None and group_by in df.columns
+            else F.lit("_all")
+        )
+        if group_by is not None and group_by not in df.columns:
+            raise KeyError(f"unknown variable: {group_by!r}")
+        base_all = df.select(
+            g.alias("g"),
+            F.round(x * 1000000, 0).cast("long").alias("v"),
+            F.round(w * 1000000, 0).cast("long").alias("w"),
+        )
+        base = base_all.filter(
+            F.col("v").isNotNull() & (F.col("w") > 0)
+        ).select(
+            "g", "v", "w",
+            F.col("v").alias("o1"), F.lit(0).alias("o2"),
+        )
+        counts = base_all.agg(
+            F.count("*").alias("n_all"),
+            F.sum(
+                (F.col("v").isNotNull() & (F.col("w") > 0)).cast("long")
+            ).alias("n_used"),
+        ).collect()[0]
+        rows = weighted_quantiles(base, qs).collect()
+        if not rows:
+            raise ValueError("no usable rows")
+        return {
+            "dataset": dataset, "var": var, "weight": weight,
+            "group_by": group_by,
+            "n_excluded": int(counts.n_all - (counts.n_used or 0)),
+            "groups": {
+                r.g: {
+                    **{
+                        name: _nan_to_none(r[name] / 1000000.0)
+                        for name, _, _ in qs
+                    },
+                    "total_weight": _nan_to_none(
+                        r.total_weight / 1000000.0
+                    ),
+                    "n_rows": r.n_rows,
+                }
+                for r in rows
+            },
+        }
+
+    def gopher(
+        self,
+        dataset: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        limit: int = 100,
+    ) -> dict[str, Any]:
+        """Gopher-rule quality report over a caller-chosen (id, text)
+        table — the q_text_gopher engine (llm.text.gopher_frame)
+        parameterized: corpus-level pass counts per rule, the pass
+        rate, and up to ``limit`` failing doc ids with their fired
+        rules (totals are computed engine-side, so a truncated listing
+        still reports true counts)."""
+        if limit < 0:
+            raise ValueError("limit must be >= 0")
+        from .llm.text import gopher_frame
+
+        docs_all, docs = self._docs_view(dataset, id_col, text_col)
+        gf = gopher_frame(docs)
+        tot = gf.agg(
+            F.count("*").alias("n_docs"),
+            F.sum("r_ntok").alias("p_ntok"),
+            F.sum("r_wordlen").alias("p_wordlen"),
+            F.sum("r_alpha").alias("p_alpha"),
+            F.sum("r_stop").alias("p_stop"),
+            F.sum("passes_gopher").alias("n_pass"),
+        ).collect()[0]
+        if not tot.n_docs:
+            raise ValueError("no usable rows")
+        failing = (
+            gf.filter(F.col("passes_gopher") == 0)
+            .orderBy("doc_id")
+            .limit(limit)
+            .collect()
+        )
+        rule_names = ("r_ntok", "r_wordlen", "r_alpha", "r_stop")
+        return {
+            "dataset": dataset,
+            "n_docs": tot.n_docs,
+            "n_excluded": docs_all.count() - tot.n_docs,
+            "n_pass": int(tot.n_pass),
+            "pass_rate": round(tot.n_pass / tot.n_docs, 6),
+            "rule_pass_counts": {
+                "ntok": int(tot.p_ntok),
+                "wordlen": int(tot.p_wordlen),
+                "alpha": int(tot.p_alpha),
+                "stop": int(tot.p_stop),
+            },
+            "failing": [
+                {
+                    "doc_id": r.doc_id,
+                    "failed_rules": [
+                        n[2:] for n in rule_names if not r[n]
+                    ],
+                }
+                for r in failing
+            ],
+        }
+
     def forecast(
         self,
         dataset: str,

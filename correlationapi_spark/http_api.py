@@ -24,6 +24,13 @@ container, and none is needed for a JSON-for-JSON contract:
        (CUSUM curve + estimated level-shift period)
   GET  /trend?dataset=&var=&time=[&group_by=][&grain=day]
        (per-group OLS trend: slope/intercept/R2 over period totals)
+  GET  /decompose?dataset=&var=&time=[&grain=day][&period=7]
+       (classical additive decomposition: per-phase seasonal index +
+       centered-MA trend mean)
+  GET  /weighted_quantile?dataset=&var=&weight=[&group_by=][&quantiles=0.25,0.5,0.75]
+       (weighted percentiles via exact integer running-weight cutoffs)
+  GET  /gopher?dataset=[&id=doc_id][&text=text][&limit=100]
+       (Gopher-rule quality report: per-rule pass counts + failing docs)
   GET  /forecast?dataset=&var=&time=[&group_by=][&grain=day]
        [&method=holt|holtwinters|naive][&season=7][&alpha=0.3][&beta=0.1][&gamma=0.2]
        (Holt level+trend, additive Holt-Winters with weekly season, or
@@ -190,6 +197,33 @@ def _route(api: CorrelationAPI, method: str, path: str,
             query["dataset"], query["var"], query["time"],
             group_by=query.get("group_by"),
             grain=query.get("grain", "day"),
+        )
+    if method == "GET" and path == "/decompose":
+        for req in ("dataset", "var", "time"):
+            if req not in query:
+                raise ValueError(f"missing query parameter {req!r}")
+        return 200, api.decompose(
+            query["dataset"], query["var"], query["time"],
+            grain=query.get("grain", "day"),
+            period=int(query.get("period", "7")),
+        )
+    if method == "GET" and path == "/weighted_quantile":
+        for req in ("dataset", "var", "weight"):
+            if req not in query:
+                raise ValueError(f"missing query parameter {req!r}")
+        return 200, api.weighted_quantile(
+            query["dataset"], query["var"], query["weight"],
+            group_by=query.get("group_by"),
+            quantiles=query.get("quantiles", "0.25,0.5,0.75"),
+        )
+    if method == "GET" and path == "/gopher":
+        if "dataset" not in query:
+            raise ValueError("missing query parameter 'dataset'")
+        return 200, api.gopher(
+            query["dataset"],
+            id_col=query.get("id", "doc_id"),
+            text_col=query.get("text", "text"),
+            limit=int(query.get("limit", "100")),
         )
     if method == "GET" and path == "/pca":
         for req in ("dataset", "id", "vector"):

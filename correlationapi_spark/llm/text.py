@@ -1516,6 +1516,13 @@ def q_text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen — no shuffle, no UDF; the natural first stage
     of the q_quality_pipeline funnel at 100 TB."""
     t = load_tables(spark, sf_dir)
+    return gopher_frame(t["documents"])
+
+
+def gopher_frame(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The engine behind q_text_gopher (and api.gopher): per-doc Gopher
+    rule measures + 0/1 rule columns over any (doc_id, text) frame. See
+    the key's docstring for the determinism and scale argument."""
     ts = F.col("ts")
     n_tokens = F.size(ts).cast("bigint")
     mean_wl = (
@@ -1527,11 +1534,10 @@ def q_text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.filter(stoparr, lambda s: F.array_contains(ts, s))
     ).cast("bigint")
     m = (
-        t["documents"]
-        .select(
+        docs.select(
             "doc_id",
-            F.split("text", " ").alias("ts"),
-            F.length("text").cast("bigint").alias("nc"),
+            F.split(text_col, " ").alias("ts"),
+            F.length(text_col).cast("bigint").alias("nc"),
         )
         .select(
             "doc_id",

@@ -943,38 +943,56 @@ def q_percentile_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     computation, with integer state only."""
     t = load_tables(spark, sf_dir)
     base = t["lineitem"].select(
-        F.col("l_returnflag").alias("rf"),
-        cents("l_extendedprice").alias("pc"),
+        F.col("l_returnflag").alias("g"),
+        cents("l_extendedprice").alias("v"),
         F.round("l_quantity").cast("bigint").alias("w"),
-        "l_orderkey", "l_linenumber",
+        F.col("l_orderkey").alias("o1"),
+        F.col("l_linenumber").alias("o2"),
     )
+    wq = weighted_quantiles(
+        base, [("q25", 1, 4), ("q50", 1, 2), ("q75", 3, 4)]
+    )
+    return wq.select(
+        F.col("g").alias("l_returnflag"),
+        F.round(F.col("q25") / 100.0, 2).alias("w_p25"),
+        F.round(F.col("q50") / 100.0, 2).alias("w_median"),
+        F.round(F.col("q75") / 100.0, 2).alias("w_p75"),
+        "total_weight",
+        "n_rows",
+    ).orderBy("l_returnflag")
+
+
+def weighted_quantiles(
+    base: DataFrame, fracs: list[tuple[str, int, int]]
+) -> DataFrame:
+    """The engine behind q_percentile_weighted (and api.weighted_quantile):
+    for each group g, the smallest exact-int value v whose running
+    weight cw satisfies den·cw ≥ num·tw — an INTEGER inequality, never
+    a float q·W product. ``base`` must carry (g, v, w, o1, o2) with
+    exact-int v/w and a total (v, o1, o2) tiebreak order; ``fracs`` is
+    [(out_name, num, den), ...] with num/den the quantile fraction.
+    One partitioned running-sum window + one partial/final aggregate."""
     wo = (
-        Window.partitionBy("rf")
-        .orderBy("pc", "l_orderkey", "l_linenumber")
+        Window.partitionBy("g")
+        .orderBy("v", "o1", "o2")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     cum = base.select(
-        "rf", "pc", "w",
+        "g", "v", "w",
         F.sum("w").over(wo).alias("cw"),
-        F.sum("w").over(Window.partitionBy("rf")).alias("tw"),
+        F.sum("w").over(Window.partitionBy("g")).alias("tw"),
     )
-    return (
-        cum.groupBy(F.col("rf").alias("l_returnflag"))
-        .agg(
-            F.round(
-                F.min(F.when(4 * F.col("cw") >= F.col("tw"), F.col("pc")))
-                / 100.0, 2,
-            ).alias("w_p25"),
-            F.round(
-                F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("pc")))
-                / 100.0, 2,
-            ).alias("w_median"),
-            F.round(
-                F.min(F.when(4 * F.col("cw") >= 3 * F.col("tw"), F.col("pc")))
-                / 100.0, 2,
-            ).alias("w_p75"),
-            F.any_value("tw").alias("total_weight"),
-            F.count("*").alias("n_rows"),
-        )
-        .orderBy("l_returnflag")
+    aggs = [
+        F.min(
+            F.when(
+                F.lit(den) * F.col("cw") >= F.lit(num) * F.col("tw"),
+                F.col("v"),
+            )
+        ).alias(name)
+        for name, num, den in fracs
+    ]
+    return cum.groupBy("g").agg(
+        *aggs,
+        F.any_value("tw").alias("total_weight"),
+        F.count("*").alias("n_rows"),
     )

@@ -5271,7 +5271,24 @@ def q_ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("vu")
         )
     )
-    offs = spark.range(-3, 4).select(F.col("id").cast("bigint").alias("o"))
+    return decompose_frame(daily, period=7)
+
+
+def decompose_frame(daily: DataFrame, period: int = 7) -> DataFrame:
+    """The engine behind q_ts_decompose (and api.decompose): classical
+    additive decomposition of an exact micro-unit integer period series
+    (dn bigint, vu bigint) — centered ``period``-point MA trend via the
+    broadcast lag-spine join, per-phase (dn % period) seasonal index.
+    Requires odd ``period`` so the MA is symmetric; see the key's
+    docstring for the determinism and gap-guard argument."""
+    if period < 3 or period % 2 == 0:
+        raise ValueError("period must be odd and >= 3")
+    spark = daily.sparkSession
+    half = period // 2
+    pm = F.lit(period)
+    offs = spark.range(-half, half + 1).select(
+        F.col("id").cast("bigint").alias("o")
+    )
     a, b = daily.alias("a"), daily.alias("b")
     ma = (
         a.crossJoin(F.broadcast(offs))
@@ -5283,21 +5300,20 @@ def q_ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("b.vu")).alias("t7u"),
         )
     )
-    detr = ma.filter(F.col("k") == 7).select(
-        (F.col("dn") % 7).alias("dow"),
-        (7 * F.col("vu") - F.col("t7u")).alias("d7u"),
+    detr = ma.filter(F.col("k") == period).select(
+        (F.col("dn") % pm).alias("dow"),
+        (pm * F.col("vu") - F.col("t7u")).alias("d7u"),
         "t7u",
     )
+    denom = F.lit(float(period) * 1000000.0) * F.count("*")
     return (
         detr.groupBy("dow")
         .agg(
             F.count("*").alias("n_days"),
-            F.round(
-                F.sum("d7u").cast("double") / (7000000.0 * F.count("*")), 6
-            ).alias("seasonal"),
-            F.round(
-                F.sum("t7u").cast("double") / (7000000.0 * F.count("*")), 6
-            ).alias("trend_mean"),
+            F.round(F.sum("d7u").cast("double") / denom, 6).alias("seasonal"),
+            F.round(F.sum("t7u").cast("double") / denom, 6).alias(
+                "trend_mean"
+            ),
         )
         .orderBy("dow")
     )

@@ -1996,3 +1996,97 @@ def test_knn_graph_matches_declared_key(spark):
     assert res["degree"]["max"] <= 5
     with pytest.raises(ValueError, match="k must be"):
         api.knn_graph("emb", "vec_id", "embedding", k=0)
+
+
+def test_decompose_matches_declared_key(api_orders, spark):
+    import os as _os
+
+    api_orders.register_dataset(
+        "events", _os.path.join(SF_SMOKE, "events.parquet")
+    )
+    key = {
+        r.dow: r for r in REGISTRY["q_ts_decompose"].fn(spark, SF_SMOKE).collect()
+    }
+    res = api_orders.decompose("events", "value", "ts")
+    assert set(res["phases"]) == set(key)
+    # the service quantizes per-ROW to the 1e-6 lattice before the daily
+    # mean (arbitrary user data), the key pins the daily mean itself —
+    # both exact pipelines, differing only by the per-row quantization
+    for dow, cell in res["phases"].items():
+        assert abs(cell["seasonal"] - key[dow].seasonal) < 1e-5
+        assert abs(cell["trend_mean"] - key[dow].trend_mean) < 1e-5
+        assert cell["n_periods"] == key[dow].n_days
+    # seasonal indices of an additive decomposition balance near zero
+    bal = sum(c["seasonal"] * c["n_periods"] for c in res["phases"].values())
+    n = sum(c["n_periods"] for c in res["phases"].values())
+    assert abs(bal / n) < 0.5
+
+
+def test_decompose_validation(api_orders):
+    with pytest.raises(ValueError):
+        api_orders.decompose("orders", "o_totalprice", "o_orderdate",
+                             period=4)
+    with pytest.raises(ValueError):
+        api_orders.decompose("orders", "o_totalprice", "o_orderdate",
+                             grain="fortnight")
+    with pytest.raises(KeyError):
+        api_orders.decompose("orders", "o_totalprice", "nope")
+
+
+def test_weighted_quantile_matches_declared_key(api_orders, spark):
+    key = {
+        r.l_returnflag: r
+        for r in REGISTRY["q_percentile_weighted"].fn(spark, SF_SMOKE).collect()
+    }
+    res = api_orders.weighted_quantile(
+        "lineitem", "l_extendedprice", "l_quantity",
+        group_by="l_returnflag",
+    )
+    assert set(res["groups"]) == set(key)
+    # weight scaling (micro-units vs integer quantity) cannot move the
+    # integer cutoff, so the witness VALUES agree exactly
+    for g, cell in res["groups"].items():
+        assert abs(cell["q0.25"] - key[g].w_p25) < 1e-9
+        assert abs(cell["q0.5"] - key[g].w_median) < 1e-9
+        assert abs(cell["q0.75"] - key[g].w_p75) < 1e-9
+        assert cell["n_rows"] == key[g].n_rows
+    assert res["n_excluded"] == 0
+
+
+def test_weighted_quantile_validation(api_orders):
+    with pytest.raises(ValueError):
+        api_orders.weighted_quantile("lineitem", "l_extendedprice",
+                                     "l_quantity", quantiles="1.5")
+    with pytest.raises(ValueError):
+        api_orders.weighted_quantile("lineitem", "l_extendedprice",
+                                     "l_quantity", quantiles=" ")
+    with pytest.raises(KeyError):
+        api_orders.weighted_quantile("lineitem", "l_extendedprice",
+                                     "l_quantity", group_by="nope")
+
+
+def test_gopher_matches_declared_key(api_orders, spark):
+    import os as _os
+
+    api_orders.register_dataset(
+        "documents", _os.path.join(SF_SMOKE, "documents.parquet")
+    )
+    gf = {r.doc_id: r for r in REGISTRY["q_text_gopher"].fn(spark, SF_SMOKE).collect()}
+    res = api_orders.gopher("documents")
+    assert res["n_docs"] == len(gf)
+    assert res["n_pass"] == sum(r.passes_gopher for r in gf.values())
+    assert res["rule_pass_counts"]["ntok"] == sum(
+        r.r_ntok for r in gf.values()
+    )
+    assert res["rule_pass_counts"]["stop"] == sum(
+        r.r_stop for r in gf.values()
+    )
+    for f in res["failing"]:
+        r = gf[f["doc_id"]]
+        assert not r.passes_gopher
+        assert set(f["failed_rules"]) == {
+            n for n, ok in (
+                ("ntok", r.r_ntok), ("wordlen", r.r_wordlen),
+                ("alpha", r.r_alpha), ("stop", r.r_stop),
+            ) if not ok
+        }

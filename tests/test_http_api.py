@@ -600,3 +600,34 @@ def test_knn_graph_route(base_url, spark):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(f"{base_url}/knn_graph?dataset=emb&id=vec_id")
     assert e.value.code == 400
+
+
+def test_decompose_weighted_quantile_gopher_routes(spark):
+    from correlationapi_spark.api import CorrelationAPI
+
+    api = CorrelationAPI(spark)
+    api.register_dataset("events", os.path.join(SF_SMOKE, "events.parquet"))
+    api.register_dataset("lineitem",
+                         os.path.join(SF_SMOKE, "lineitem.parquet"))
+    api.register_dataset("documents",
+                         os.path.join(SF_SMOKE, "documents.parquet"))
+    status, payload = _route(
+        api, "GET", "/decompose",
+        {"dataset": "events", "var": "value", "time": "ts"}, {},
+    )
+    assert status == 200 and len(payload["phases"]) == 7
+    status, payload = _route(
+        api, "GET", "/weighted_quantile",
+        {"dataset": "lineitem", "var": "l_extendedprice",
+         "weight": "l_quantity", "group_by": "l_returnflag",
+         "quantiles": "0.5,0.9"}, {},
+    )
+    assert status == 200 and len(payload["groups"]) == 3
+    for cell in payload["groups"].values():
+        assert cell["q0.5"] <= cell["q0.9"]
+    status, payload = _route(
+        api, "GET", "/gopher",
+        {"dataset": "documents", "limit": "5"}, {},
+    )
+    assert status == 200 and payload["n_docs"] > 0
+    assert len(payload["failing"]) <= 5

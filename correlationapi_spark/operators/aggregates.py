@@ -996,3 +996,68 @@ def weighted_quantiles(
         F.any_value("tw").alias("total_weight"),
         F.count("*").alias("n_rows"),
     )
+
+
+@query(
+    "q_agg_bitmap_distinct",
+    oracle="""
+        WITH bits AS (
+            SELECT l_returnflag,
+                   l_partkey // 63 AS bucket,
+                   bit_or(CAST(1 AS BIGINT) << CAST(l_partkey % 63 AS INTEGER))
+                       AS bm
+            FROM lineitem
+            GROUP BY 1, 2
+        )
+        SELECT l_returnflag,
+               CAST(sum(bit_count(bm)) AS BIGINT) AS n_distinct_bitmap,
+               CAST(count(*) AS BIGINT) AS n_buckets
+        FROM bits GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    doc="Exact distinct count via 64-bit bitmap buckets (roaring-lite): "
+    "bucket = key div 63, OR the bit masks per bucket, popcount-sum — "
+    "the scale path for exact COUNT(DISTINCT) on dense integer keys.",
+)
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) without carrying raw keys through the
+    final exchange — the bitmap-index trick every warehouse uses for
+    dense integer domains: the first aggregate compresses up to 63
+    distinct keys into ONE int64 mask (63, not 64: DuckDB's signed
+    left-shift rejects 1 << 63, and the sign bit buys nothing) (map-side combinable: OR is
+    idempotent/associative/commutative), the second sums popcounts.
+
+    Vs q_agg_distinct (expand + count-distinct: shuffles one row per
+    distinct key) and q_agg_approx_distinct (HLL: approximate), this is
+    EXACT with a shuffle bounded by |key domain|/64 rows per group —
+    at 100 TB with a dense surrogate-key domain that is a 63×
+    reduction of the distinct exchange, and the masks merge across
+    partitions/levels like any sketch (same two-level pattern as
+    q_agg_hll_merge, but lossless).
+
+    Determinism: pure integer bit algebra — no floats anywhere.
+    shiftleft is evaluated via F.expr because the Python DSL binds the
+    shift amount as a literal int only."""
+    t = load_tables(spark, sf_dir)
+    bits = (
+        t["lineitem"]
+        .select(
+            "l_returnflag",
+            (F.col("l_partkey") / 63).cast("bigint").alias("bucket"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), "
+                "CAST(l_partkey % 63 AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("l_returnflag", "bucket")
+        .agg(F.bit_or("mask").alias("bm"))
+    )
+    return (
+        bits.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.bit_count("bm")).cast("bigint")
+            .alias("n_distinct_bitmap"),
+            F.count("*").alias("n_buckets"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -5281,6 +5281,29 @@ def decompose_frame(daily: DataFrame, period: int = 7) -> DataFrame:
     broadcast lag-spine join, per-phase (dn % period) seasonal index.
     Requires odd ``period`` so the MA is symmetric; see the key's
     docstring for the determinism and gap-guard argument."""
+    detr = _detrended_days(daily, period).select(
+        "dow", "d7u", "t7u"
+    )
+    denom = F.lit(float(period) * 1000000.0) * F.count("*")
+    return (
+        detr.groupBy("dow")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.round(F.sum("d7u").cast("double") / denom, 6).alias("seasonal"),
+            F.round(F.sum("t7u").cast("double") / denom, 6).alias(
+                "trend_mean"
+            ),
+        )
+        .orderBy("dow")
+    )
+
+def _detrended_days(daily: DataFrame, period: int) -> DataFrame:
+    """Shared per-day stage of the classical decomposition: for every
+    fully-windowed day of an exact micro-unit series (dn, vu), the
+    centered-MA integer sum t7u over ``period`` days, the phase
+    dow = dn % period, and the exact detrended integer
+    d7u = period·vu − t7u (units of 1e-6/period). Gap-guarded by
+    k = period (distinct offsets ⇒ k = period proves contiguity)."""
     if period < 3 or period % 2 == 0:
         raise ValueError("period must be odd and >= 3")
     spark = daily.sparkSession
@@ -5300,20 +5323,105 @@ def decompose_frame(daily: DataFrame, period: int = 7) -> DataFrame:
             F.sum(F.col("b.vu")).alias("t7u"),
         )
     )
-    detr = ma.filter(F.col("k") == period).select(
+    return ma.filter(F.col("k") == period).select(
+        "dn", "vu", "t7u",
         (F.col("dn") % pm).alias("dow"),
         (pm * F.col("vu") - F.col("t7u")).alias("d7u"),
-        "t7u",
     )
-    denom = F.lit(float(period) * 1000000.0) * F.count("*")
-    return (
-        detr.groupBy("dow")
-        .agg(
-            F.count("*").alias("n_days"),
-            F.round(F.sum("d7u").cast("double") / denom, 6).alias("seasonal"),
-            F.round(F.sum("t7u").cast("double") / denom, 6).alias(
-                "trend_mean"
-            ),
+
+
+@query(
+    "q_ts_anomaly_seasonal",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                        AS BIGINT) AS dn,
+                   CAST(round(round(avg(value), 6) * 1000000) AS BIGINT)
+                       AS vu
+            FROM events GROUP BY 1
+        ), offs AS (
+            SELECT unnest(range(-3, 4)) AS o
+        ), ma AS (
+            SELECT a.dn, any_value(a.vu) AS vu,
+                   CAST(count(*) AS BIGINT) AS k,
+                   CAST(sum(b.vu) AS BIGINT) AS t7u
+            FROM daily a
+            JOIN offs ON TRUE
+            JOIN daily b ON b.dn = a.dn + offs.o
+            GROUP BY a.dn
+        ), days AS (
+            SELECT dn, vu, t7u, dn % 7 AS dow, 7 * vu - t7u AS d7u
+            FROM ma WHERE k = 7
+        ), season AS (
+            SELECT dow, CAST(sum(d7u) AS BIGINT) AS s_num,
+                   CAST(count(*) AS BIGINT) AS s_den
+            FROM days GROUP BY dow
+        ), scored AS (
+            SELECT d.dn,
+                   round(d.vu / 1000000.0, 6) AS value,
+                   round(d.t7u / 7000000.0, 6) AS trend,
+                   round(CAST(s.s_num AS DOUBLE) / (7000000.0 * s.s_den), 6)
+                       AS seasonal,
+                   round((d.d7u * s.s_den - s.s_num)
+                         / (7000000.0 * CAST(s.s_den AS DOUBLE)), 6)
+                       AS residual
+            FROM days d JOIN season s USING (dow)
         )
-        .orderBy("dow")
+        SELECT dn, value, trend, seasonal, residual
+        FROM scored
+        ORDER BY abs(residual) DESC, dn
+        LIMIT 5
+    """,
+    doc="Seasonally-adjusted anomaly detection: top-5 days by |value − "
+    "trend − seasonal| from the classical decomposition — catches "
+    "outliers that global z-score (q_anomaly) and MAD (q_anomaly_mad) "
+    "misread because weekday effects inflate their spread.",
+)
+def q_ts_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decomposition put to work: residual_t = v_t − trend_t −
+    seasonal_dow(t), the right anomaly score for any series with a
+    weekly rhythm. Completes the anomaly family (global z-score →
+    robust MAD → seasonally adjusted).
+
+    Determinism: everything up to the residual is exact int64
+    (_detrended_days + per-dow integer sums); the residual is ONE
+    division of the exact integer d7u·s_den − s_num, so both engines
+    rank bit-identical doubles — the LIMIT 5 selection is pinned by
+    (|residual| DESC, dn) with the exact dn as tiebreak.
+
+    Scale shape: day-grain throughout after the first partial/final
+    aggregate; the seasonal table is 7 rows (broadcast back); top-5 is
+    a TakeOrdered, no global sort materialized."""
+    t = load_tables(spark, sf_dir)
+    dn = (
+        F.unix_micros(F.date_trunc("day", F.col("ts"))) / F.lit(86400000000)
+    ).cast("bigint")
+    daily = (
+        t["events"]
+        .groupBy(dn.alias("dn"))
+        .agg(
+            F.round(F.round(F.avg("value"), 6) * 1000000)
+            .cast("bigint")
+            .alias("vu")
+        )
     )
+    days = _detrended_days(daily, 7)
+    season = days.groupBy("dow").agg(
+        F.sum("d7u").alias("s_num"), F.count("*").alias("s_den")
+    )
+    scored = days.join(F.broadcast(season), "dow").select(
+        "dn",
+        F.round(F.col("vu") / 1000000.0, 6).alias("value"),
+        F.round(F.col("t7u") / 7000000.0, 6).alias("trend"),
+        F.round(
+            F.col("s_num").cast("double") / (7000000.0 * F.col("s_den")), 6
+        ).alias("seasonal"),
+        F.round(
+            (F.col("d7u") * F.col("s_den") - F.col("s_num"))
+            / (7000000.0 * F.col("s_den").cast("double")),
+            6,
+        ).alias("residual"),
+    )
+    return scored.orderBy(
+        F.abs(F.col("residual")).desc(), "dn"
+    ).limit(5)

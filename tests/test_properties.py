@@ -1152,3 +1152,26 @@ def test_bpe_counts_drive_packing_layout(spark):
         off += n
     # conservation: total tokens == final running offset
     assert off == sum(v[0] for v in layout.values())
+
+
+def test_bitmap_distinct_equals_exact(spark):
+    """q_agg_bitmap_distinct's popcount-sum is an EXACT distinct count:
+    it must equal countDistinct group for group, and the bucket count
+    must be what the 63-wide packing implies."""
+    from correlationapi_spark.registry import load_registry
+
+    reg = load_registry()
+    bm = {
+        r.l_returnflag: r
+        for r in reg["q_agg_bitmap_distinct"].fn(spark, SF_SMOKE).collect()
+    }
+    exact = {
+        r.l_returnflag: r.n_parts
+        for r in reg["q_agg_distinct"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(bm) == set(exact)
+    for flag, n in exact.items():
+        assert bm[flag].n_distinct_bitmap == n, flag
+        # each bucket packs <= 63 keys, so the bucket count brackets n
+        assert bm[flag].n_buckets >= (n + 62) // 63
+        assert bm[flag].n_buckets <= n

@@ -971,16 +971,38 @@ def weighted_quantiles(
     a float q·W product. ``base`` must carry (g, v, w, o1, o2) with
     exact-int v/w and a total (v, o1, o2) tiebreak order; ``fracs`` is
     [(out_name, num, den), ...] with num/den the quantile fraction.
-    One partitioned running-sum window + one partial/final aggregate."""
-    wo = (
-        Window.partitionBy("g")
-        .orderBy("v", "o1", "o2")
-        .rowsBetween(Window.unboundedPreceding, 0)
+
+    Scale shape: the quantile witness is a VALUE, not a row, so the
+    running weight is computed at (g, v) grain — one partial/final
+    aggregate collapses the fact table to the value domain (row-grain
+    tie-break columns o1/o2 are accepted for caller convenience but
+    never shuffled), then ordering.global_running_sum under the total
+    order (g, v) — range-partitioned two-pass, NEVER a per-group
+    window (a per-group window collapses to an Exchange
+    SinglePartition sort whenever groups are few or skewed — a global
+    weighted median, g = '_all', is the common case; measured 78.7 s
+    window → 53.7 s row-grain running sum → 2.8 s value-grain at 70M
+    rows, tools/agg_bench.py). Per-group cumsums fall out by
+    subtracting each group's preceding-groups offset, computed on the
+    |groups|-row totals table and broadcast back."""
+    from ..ordering import global_running_sum
+
+    vg = base.groupBy("g", "v").agg(
+        F.sum("w").alias("wv"), F.count("*").alias("nv")
     )
-    cum = base.select(
-        "g", "v", "w",
-        F.sum("w").over(wo).alias("cw"),
-        F.sum("w").over(Window.partitionBy("g")).alias("tw"),
+    order = [F.col("g"), F.col("v")]
+    run = global_running_sum(vg, order, F.col("wv"), alias="_cwg")
+    gtot = vg.groupBy("g").agg(
+        F.sum("wv").alias("tw"), F.sum("nv").alias("n_rows")
+    )
+    w_goff = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, -1)
+    goff = gtot.select(
+        "g", "tw", "n_rows",
+        F.coalesce(F.sum("tw").over(w_goff), F.lit(0)).alias("_goff"),
+    )
+    cum = run.join(F.broadcast(goff), "g").select(
+        "g", "v", "tw", "n_rows",
+        (F.col("_cwg") - F.col("_goff")).alias("cw"),
     )
     aggs = [
         F.min(
@@ -994,7 +1016,7 @@ def weighted_quantiles(
     return cum.groupBy("g").agg(
         *aggs,
         F.any_value("tw").alias("total_weight"),
-        F.count("*").alias("n_rows"),
+        F.any_value("n_rows").alias("n_rows"),
     )
 
 

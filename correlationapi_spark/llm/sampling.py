@@ -306,3 +306,51 @@ def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sample_rank") <= F.col("m"))
         .drop("m")
     )
+
+
+@query(
+    "q_sample_systematic",
+    oracle="""
+        SELECT doc_id, lang, pos
+        FROM (
+            SELECT doc_id, lang,
+                   CAST(row_number() OVER (
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS BIGINT) AS pos
+            FROM documents
+        )
+        WHERE pos % 10 = 1
+    """,
+    doc="Systematic 1-in-10 sample under a hash-randomized total order: "
+    "every 10th row by (md5(id), id) — fixed-RATE selection with exact "
+    "stratification over the hash order, via the range-partitioned "
+    "global row number (never a single-partition window).",
+)
+def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic sampling — the survey-statistics workhorse: order by a
+    hash (so the order is 'random' but a pure function of the data),
+    take every k-th row. Unlike the hash-modulo cut (q_sample_fraction,
+    which Binomially wobbles around the target rate), the systematic
+    take is EXACTLY ceil(n/k) rows, evenly spread through the hash
+    order — the property quota sampling needs.
+
+    Determinism: md5 is the same bytes on both engines; the (md5, id)
+    order is total, so ranks and the p % 10 == 1 selection agree
+    row-for-row.
+
+    Scale shape: ordering.global_row_number — range-partitioned
+    two-pass numbering, NO Exchange SinglePartition (the DuckDB oracle
+    uses the plain window because the oracle runs local; the Spark
+    side is the cluster plan; same ranks by construction)."""
+    from ..ordering import global_row_number
+
+    t = load_tables(spark, sf_dir)
+    base = t["documents"].select(
+        "doc_id", "lang", F.md5(F.col("doc_id").cast("string")).alias("_h")
+    )
+    numbered = global_row_number(
+        base, [F.col("_h"), F.col("doc_id")], alias="pos"
+    )
+    return numbered.filter(F.col("pos") % 10 == 1).select(
+        "doc_id", "lang", "pos"
+    )

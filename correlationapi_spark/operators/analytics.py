@@ -2102,3 +2102,98 @@ def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j.orderBy(F.desc("jaccard"), "s_a", "s_b").limit(50)
+
+
+_FUNNEL_WINDOW_US = 7 * 86400000000  # 7-day conversion window
+
+
+@query(
+    "q_funnel_window",
+    oracle=f"""
+        WITH s AS (
+            SELECT user_id, min(epoch_us(ts)) AS t0
+            FROM events WHERE event_type = 'signup' GROUP BY 1
+        ), c AS (
+            SELECT e.user_id, any_value(s.t0) AS t0,
+                   min(epoch_us(e.ts)) AS t1
+            FROM events e JOIN s USING (user_id)
+            WHERE e.event_type = 'click'
+              AND epoch_us(e.ts) > s.t0
+              AND epoch_us(e.ts) <= s.t0 + {_FUNNEL_WINDOW_US}
+            GROUP BY 1
+        ), p AS (
+            SELECT e.user_id
+            FROM events e JOIN c USING (user_id)
+            WHERE e.event_type = 'purchase'
+              AND epoch_us(e.ts) > c.t1
+              AND epoch_us(e.ts) <= c.t0 + {_FUNNEL_WINDOW_US}
+            GROUP BY 1
+        )
+        SELECT * FROM (
+            SELECT CAST(1 AS INT) AS step, 'signup' AS stage,
+                   (SELECT CAST(count(*) AS BIGINT) FROM s) AS users
+            UNION ALL
+            SELECT 2, 'click', (SELECT CAST(count(*) AS BIGINT) FROM c)
+            UNION ALL
+            SELECT 3, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM p)
+        ) ORDER BY step
+    """,
+    doc="Time-bounded strict funnel: signup→click→purchase where every "
+    "later stage must land within 7 days of the user's FIRST signup — "
+    "the conversion-window semantics every product-analytics funnel "
+    "defaults to (q_funnel is the unbounded sibling).",
+)
+def q_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_funnel with the industry-standard conversion window: the
+    anchor t0 (first signup, exact epoch-micros) rides down the
+    frontier chain, and each stage requires strict order AND
+    ts ≤ t0 + 7 days. Without the bound, a purchase months later still
+    'converts' — useless for campaign measurement.
+
+    Determinism: all comparisons are exact int64 epoch-micros.
+
+    Scale shape: identical to q_funnel — k user-key-partitioned passes
+    with a monotonically shrinking frontier; the anchor column adds 8
+    bytes to the frontier rows, nothing to the event scan."""
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "event_type", F.unix_micros("ts").alias("tu")
+    )
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("tu").alias("t0"))
+    )
+    c = (
+        ev.join(s, "user_id")
+        .filter(
+            (F.col("event_type") == "click")
+            & (F.col("tu") > F.col("t0"))
+            & (F.col("tu") <= F.col("t0") + F.lit(_FUNNEL_WINDOW_US))
+        )
+        .groupBy("user_id")
+        .agg(F.any_value("t0").alias("t0"), F.min("tu").alias("t1"))
+    )
+    p = (
+        ev.join(c, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("tu") > F.col("t1"))
+            & (F.col("tu") <= F.col("t0") + F.lit(_FUNNEL_WINDOW_US))
+        )
+        .groupBy("user_id")
+        .agg(F.lit(1).alias("_one"))
+    )
+
+    def stage(step: int, name: str, frontier: DataFrame) -> DataFrame:
+        return frontier.agg(F.count("*").alias("users")).select(
+            F.lit(step).cast("int").alias("step"),
+            F.lit(name).alias("stage"),
+            "users",
+        )
+
+    return (
+        stage(1, "signup", s)
+        .unionAll(stage(2, "click", c))
+        .unionAll(stage(3, "purchase", p))
+        .orderBy("step")
+    )

@@ -1776,3 +1776,28 @@ def test_compress_ratio_matches_local_zlib(spark):
 
     rr = {r.doc_id: r.compress_ratio for r in compress_ratio(rep).collect()}
     assert rr[1] < rr[2] / 3, rr
+
+
+def test_audio_spectral_recovers_generator_frequency(spark):
+    """q_multimodal_audio_spectral's documented pin: the WAV fixtures
+    are sines at 440·(k+1) Hz (build_wav), so the FFT peak must land
+    within one bin and the zero-crossing rate within one crossing of
+    the analytic 2f/rate; rms of a ±amp sine is amp/√2."""
+    rows = (
+        REGISTRY["q_multimodal_audio_spectral"].fn(spark, SF_SMOKE).collect()
+    )
+    assert rows
+    import math
+
+    for r in rows:
+        k = {8000: 0, 12000: 1, 16000: 2}[r.rate]
+        f = 440.0 * (k + 1)
+        amp = 0.5 + 0.2 * k
+        bin_hz = r.rate / r.n_samples
+        assert abs(r.peak_hz - f) <= bin_hz, (r, f)
+        assert abs(r.zcr - 2.0 * f / r.rate) <= 2.0 / r.n_samples + 1e-9, (
+            r, f,
+        )
+        assert abs(r.rms - amp / math.sqrt(2.0)) < 0.01, (r, amp)
+        # a pure tone concentrates the spectrum: centroid near the peak
+        assert abs(r.centroid_hz - f) < 0.35 * f, r

@@ -66,10 +66,10 @@ SECTIONS = {
         "q_text_repetition", "q_text_keyword", "q_text_boilerplate", "q_quality_pipeline", "q_text_perplexity", "q_embed_centroid", "q_embed_pca", "q_embed_knn_graph", "q_text_bpe_train",
         "q_vocab_coverage", "q_text_zipf",
         "q_split_stable", "q_split_hash", "q_sample_stratified", "q_sample_fraction", "q_sample_reservoir",
-        "q_sample_weighted", "q_sample_balanced", "q_domain_mix",
+        "q_sample_weighted", "q_sample_balanced", "q_sample_systematic", "q_domain_mix",
         "q_multimodal_meta", "q_multimodal_frames", "q_multimodal_phash", "q_pack_chunks",
         "q_pack_bpeish", "q_pack_bpe", "q_pack_bestfit", "q_cluster_kmeans_step",
-        "q_text_gopher", "q_text_bigram_lm", "q_text_compress_ratio",
+        "q_text_gopher", "q_text_bigram_lm", "q_text_compress_ratio", "q_multimodal_audio_spectral",
     ],
     "§2.10 Streaming (batch-equivalent declared forms)": [
         "q_stream_tumbling", "q_stream_sliding", "q_stream_session", "q_stream_dedup",
@@ -88,7 +88,7 @@ SECTIONS = {
         "q_pivot",
     ],
     "Event analytics (beyond §2: product-analytics surface)": [
-        "q_funnel", "q_event_path", "q_event_transitions", "q_graph_pagerank", "q_graph_degree", "q_graph_triangles", "q_graph_jaccard", "q_attribution", "q_attribution_multi", "q_retention", "q_anomaly", "q_anomaly_mad", "q_session_stats", "q_profile", "q_cdc_merge", "q_scd2", "q_fk_integrity", "q_basket_lift", "q_rfm", "q_gaps_islands", "q_benford", "q_survival_km", "q_survival_logrank",
+        "q_funnel", "q_funnel_window", "q_event_path", "q_event_transitions", "q_graph_pagerank", "q_graph_degree", "q_graph_triangles", "q_graph_jaccard", "q_attribution", "q_attribution_multi", "q_retention", "q_anomaly", "q_anomaly_mad", "q_session_stats", "q_profile", "q_cdc_merge", "q_scd2", "q_fk_integrity", "q_basket_lift", "q_rfm", "q_gaps_islands", "q_benford", "q_survival_km", "q_survival_logrank",
     ],
 }
 

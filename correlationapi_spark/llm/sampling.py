@@ -354,3 +354,67 @@ def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return numbered.filter(F.col("pos") % 10 == 1).select(
         "doc_id", "lang", "pos"
     )
+
+
+
+@query(
+    "q_sample_temperature",
+    oracle="""
+        WITH actual AS (
+            SELECT source,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_tokens
+            FROM documents GROUP BY 1
+        ), total AS (SELECT sum(n_tokens) AS n FROM actual),
+        powed AS (
+            SELECT source, n_tokens,
+                   CAST(n_tokens AS DOUBLE) / n AS p,
+                   CAST(round(sqrt(sqrt(CAST(n_tokens AS DOUBLE) / n))
+                              * 1000000) AS BIGINT) AS au
+            FROM actual CROSS JOIN total
+        ), z AS (SELECT sum(au) AS zu FROM powed)
+        SELECT source, n_tokens,
+               round(p, 6) AS actual_frac,
+               round(CAST(au AS DOUBLE) / zu, 6) AS temp_frac,
+               round((CAST(au AS DOUBLE) / zu) / p, 6) AS upsample
+        FROM powed CROSS JOIN z
+    """,
+    doc="Temperature-based mixture reweighting (T = 4, i.e. share^(1/4) "
+    "renormalized) — the mT5/XLM-R multilingual sampling formula that "
+    "upsamples tail sources; the exponent is a double sqrt, so every "
+    "step is IEEE-correctly-rounded on both engines.",
+)
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard low-resource upsampling knob: sample source i with
+    probability p_i^(1/T) / Σ p_j^(1/T). T = 4 sits in the published
+    0.2–0.7 exponent band AND makes the power a composition of two
+    sqrt() calls — sqrt is correctly rounded by IEEE-754 REQUIREMENT
+    (unlike pow/exp/ln, which are allowed a final-ulp of libm slack),
+    so p^0.25 is bit-identical on every engine. The powered shares are
+    then pinned to the 1e-6 integer lattice BEFORE the normalizing sum
+    (Σ of doubles is accumulation-order-dependent; Σ of int64 is not —
+    the q_drift_psi rule).
+
+    One aggregation over the corpus + two 1-row cross joins (token
+    total, lattice normalizer) — never a driver action; everything
+    after the first partial/final agg runs on |sources| rows."""
+    t = load_tables(spark, sf_dir)
+    actual = (
+        t["documents"]
+        .groupBy("source")
+        .agg(F.sum(F.size(F.split("text", " "))).alias("n_tokens"))
+    )
+    total = actual.agg(F.sum("n_tokens").alias("n"))
+    p = F.col("n_tokens").cast("double") / F.col("n")
+    powed = actual.crossJoin(total).select(
+        "source", "n_tokens", p.alias("p"),
+        F.round(F.sqrt(F.sqrt(p)) * 1000000).cast("bigint").alias("au"),
+    )
+    z = powed.agg(F.sum("au").alias("zu"))
+    tf = F.col("au").cast("double") / F.col("zu")
+    return powed.crossJoin(z).select(
+        "source", "n_tokens",
+        F.round(F.col("p"), 6).alias("actual_frac"),
+        F.round(tf, 6).alias("temp_frac"),
+        F.round(tf / F.col("p"), 6).alias("upsample"),
+    )

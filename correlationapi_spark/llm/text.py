@@ -1709,3 +1709,110 @@ def q_text_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     IO-bound, the cheapest possible Python surface."""
     t = load_tables(spark, sf_dir)
     return compress_ratio(t["documents"])
+
+
+
+@query(
+    "q_text_bigram_kn",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ), grams AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(ts)),
+                                         i -> ts[i])) AS w1,
+                   unnest(list_transform(range(1, len(ts)),
+                                         i -> ts[i + 1])) AS w2
+            FROM toks
+        ), c2 AS (
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+            FROM grams GROUP BY 1, 2
+        ), c1 AS (
+            SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+                   CAST(count(*) AS BIGINT) AS n1fw
+            FROM c2 GROUP BY 1
+        ), cont AS (
+            SELECT w2, CAST(count(*) AS BIGINT) AS n1bk
+            FROM c2 GROUP BY 1
+        ), btypes AS (
+            SELECT CAST(count(*) AS BIGINT) AS b FROM c2
+        )
+        SELECT g.doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(-ln(
+                   (c2.c2 - 0.75) / c1.c1
+                   + (0.75 * c1.n1fw / c1.c1)
+                     * (CAST(cont.n1bk AS DOUBLE) / b)
+               )), 4) AS kn_neg_logp
+        FROM grams g
+        JOIN c2 USING (w1, w2)
+        JOIN c1 USING (w1)
+        JOIN cont USING (w2)
+        CROSS JOIN btypes
+        GROUP BY g.doc_id
+    """,
+    doc="Kneser-Ney-smoothed bigram LM score per document (absolute "
+    "discount d = 0.75, continuation probability from distinct-"
+    "predecessor counts) — THE standard n-gram LM estimator, completing "
+    "the unigram (q_text_perplexity) and MLE-bigram (q_text_bigram_lm) "
+    "family.",
+)
+def q_text_bigram_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney, the n-gram smoother that beats MLE by
+    reserving mass for unseen continuations:
+
+        P(w2|w1) = (c(w1w2) − d)/c(w1·)
+                 + d·N1+(w1·)/c(w1·) · N1+(·w2)/|bigram types|
+
+    with d = 0.75 (DYADIC — exact in binary, so the discounted
+    numerator is exact). Scoring the corpus against itself keeps every
+    c(w1w2) ≥ 1 > d, so the max(·,0) clamp is vacuous and both engines
+    evaluate the same three-term expression on exact-int-derived
+    inputs: two single divisions plus one product chain in fixed
+    order, then ln() on bit-identical doubles and the 4-dp average
+    (the q_text_perplexity rule).
+
+    Scale shape: all four count relations derive from the ONE bigram
+    aggregate (c2; c1/N1+fw and N1+bk are c2 re-aggregations — vocab-
+    and vocab²-bounded, broadcastable); the fact-sized join keys the
+    gram stream by (w1, w2) once. No driver state, no UDF."""
+    t = load_tables(spark, sf_dir)
+    ts = F.col("ts")
+    n = F.greatest(F.size(ts) - 1, F.lit(0))
+    grams = (
+        t["documents"]
+        .select("doc_id", F.split("text", " ").alias("ts"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(ts, 1, n),
+                    F.slice(ts, 2, n),
+                    lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    )
+    c2 = grams.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("w1").agg(
+        F.sum("c2").alias("c1"), F.count("*").alias("n1fw")
+    )
+    cont = c2.groupBy("w2").agg(F.count("*").alias("n1bk"))
+    btypes = c2.agg(F.count("*").alias("b"))
+    p_kn = (
+        (F.col("c2") - 0.75) / F.col("c1")
+        + (0.75 * F.col("n1fw") / F.col("c1"))
+        * (F.col("n1bk").cast("double") / F.col("b"))
+    )
+    return (
+        grams.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .join(cont, ["w2"])
+        .crossJoin(btypes)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(-F.log(p_kn)), 4).alias("kn_neg_logp"),
+        )
+    )

@@ -5425,3 +5425,88 @@ def q_ts_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.abs(F.col("residual")).desc(), "dn"
     ).limit(5)
+
+
+
+@query(
+    "q_drift_chi2",
+    oracle="""
+        WITH cell AS (
+            SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                        AS BIGINT) AS dn,
+                   event_type AS t,
+                   CAST(count(*) AS BIGINT) AS o
+            FROM events GROUP BY 1, 2
+        ), daytot AS (
+            SELECT dn, CAST(sum(o) AS BIGINT) AS nd FROM cell GROUP BY 1
+        ), typetot AS (
+            SELECT t, CAST(sum(o) AS BIGINT) AS tt FROM cell GROUP BY 1
+        ), grand AS (
+            SELECT CAST(sum(o) AS BIGINT) AS n,
+                   CAST(count(DISTINCT t) AS BIGINT) AS k
+            FROM cell
+        )
+        SELECT cell.dn,
+               round(sum(
+                   CAST((cell.o * grand.n - daytot.nd * typetot.tt)
+                        AS DOUBLE)
+                   * CAST((cell.o * grand.n - daytot.nd * typetot.tt)
+                          AS DOUBLE)
+                   / (CAST(grand.n AS DOUBLE) * daytot.nd * typetot.tt)
+               ), 6) AS chi2,
+               CAST(any_value(grand.k) - 1 AS BIGINT) AS dof,
+               any_value(daytot.nd) AS n_day
+        FROM cell JOIN daytot USING (dn) JOIN typetot USING (t)
+        CROSS JOIN grand
+        GROUP BY cell.dn
+    """,
+    doc="Categorical drift monitor: per-day chi-square of the "
+    "event-type distribution against the whole-corpus reference — the "
+    "categorical sibling of KS/PSI/JS/CUSUM in the drift family.",
+)
+def q_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric drift has KS/PSI/JS/CUSUM keys; CATEGORICAL columns
+    drift too (a new event type appearing, a class ratio shifting),
+    and the textbook monitor is the chi-square of each period's
+    category counts against the pooled expectation — per cell
+    (o − n_d·T_t/N)²/(n_d·T_t/N), assembled as the exact-int form
+    (o·N − n_d·T_t)²/(N·n_d·T_t), the q_corr_cramer determinism
+    pattern (products ≤ ~1e16 stay exact doubles; one division per
+    cell; ≤ |types| well-scaled terms per day; round 6).
+
+    Scale shape: ONE partial/final aggregate over the event scan
+    builds the (day × type) cell table; day totals, type totals and
+    the 1-row grand total are cell-table re-aggregations (calendar- /
+    domain-bounded, broadcast back). Everything after the first
+    exchange runs on |days|·|types| rows."""
+    t = load_tables(spark, sf_dir)
+    dn = (
+        F.unix_micros(F.date_trunc("day", F.col("ts"))) / F.lit(86400000000)
+    ).cast("bigint")
+    cell = (
+        t["events"]
+        .groupBy(dn.alias("dn"), F.col("event_type").alias("t"))
+        .agg(F.count("*").alias("o"))
+    )
+    daytot = cell.groupBy("dn").agg(F.sum("o").alias("nd"))
+    typetot = cell.groupBy("t").agg(F.sum("o").alias("tt"))
+    grand = cell.agg(
+        F.sum("o").alias("n"), F.countDistinct("t").alias("k")
+    )
+    dev = (F.col("o") * F.col("n") - F.col("nd") * F.col("tt")).cast(
+        "double"
+    )
+    term = dev * dev / (
+        F.col("n").cast("double") * F.col("nd") * F.col("tt")
+    )
+    return (
+        cell.join(F.broadcast(daytot), "dn")
+        .join(F.broadcast(typetot), "t")
+        .crossJoin(F.broadcast(grand))
+        .groupBy("dn")
+        .agg(
+            F.round(F.sum(term), 6).alias("chi2"),
+            (F.any_value("k") - 1).cast("bigint").alias("dof"),
+            F.any_value("nd").alias("n_day"),
+        )
+    )

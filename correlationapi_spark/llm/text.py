@@ -1816,3 +1816,57 @@ def q_text_bigram_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(-F.log(p_kn)), 4).alias("kn_neg_logp"),
         )
     )
+
+
+@query(
+    "q_text_hashing_trick",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS term
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 256
+                   AS bucket,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM tok
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    """,
+    doc="Feature hashing (the hashing trick): tokens land in 256 "
+    "md5-derived buckets, per-doc sparse counts (cnt >= 2 cells) — the "
+    "fixed-width vectorizer that needs NO vocabulary pass; portable "
+    "hash, whole assignment oracle-checked.",
+)
+def q_text_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing vectorizer (Weinberger et al. 2009, public — the
+    sklearn HashingVectorizer / Vowpal Wabbit representation): bucket =
+    h(token) mod D with D fixed, so featurization is a PURE MAP — no
+    vocabulary build, no global state, the only text representation
+    that needs zero passes before the first one. Collisions are the
+    accepted trade; D = 256 keeps the fixture matrix readable, a real
+    run uses 2^18+.
+
+    Determinism: the q_split_hash md5 idiom — first 8 hex digits as an
+    integer, identical mod arithmetic both engines; counts exact. The
+    cnt >= 2 floor keeps the declared output sparse (and exercises
+    HAVING on the hashed grain).
+
+    Scale shape: explode → ONE partial/final count on (doc_id, bucket)
+    — map-side combine collapses each doc's tokens to ≤ D rows before
+    the exchange; at 100 TB this is the cheapest featurizer there is."""
+    t = load_tables(spark, sf_dir)
+    tok = t["documents"].select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10)
+        .cast("bigint") % 256
+    )
+    return (
+        tok.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+    )

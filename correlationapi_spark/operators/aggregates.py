@@ -1083,3 +1083,47 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_agg_bool",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(bool_and(l_discount <= 0.05) AS INTEGER)
+                   AS all_low_disc,
+               CAST(bool_or(l_tax > 0.07) AS INTEGER)  AS any_high_tax,
+               CAST(sum(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT)                         AS n_zero_disc,
+               CAST(count(*) AS BIGINT)                AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    doc="Boolean aggregates: bool_and / bool_or / conditional count per "
+    "group — the EVERY/ANY SQL aggregate family (emitted as 0/1 "
+    "integers to pin the cross-engine dtype).",
+)
+def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVERY/ANY — the predicate-aggregate corner of §2.4: does every
+    row satisfy P, does any, how many. The comparisons are on 2-dp
+    fixture decimals whose doubles are engine-identical; the aggregate
+    state is one bit (bool_and/bool_or are trivially map-side
+    combinable), so this is the cheapest possible partial/final
+    shape."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.bool_and(F.col("l_discount") <= 0.05)
+            .cast("int")
+            .alias("all_low_disc"),
+            F.bool_or(F.col("l_tax") > 0.07)
+            .cast("int")
+            .alias("any_high_tax"),
+            F.sum(
+                F.when(F.col("l_discount") == 0, 1).otherwise(0)
+            ).cast("bigint").alias("n_zero_disc"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )

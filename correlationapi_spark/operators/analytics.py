@@ -2197,3 +2197,88 @@ def q_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stage(3, "purchase", p))
         .orderBy("step")
     )
+
+
+@query(
+    "q_graph_assortativity",
+    oracle="""
+        WITH e AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+        ), deg AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS d
+            FROM (SELECT u AS node FROM e
+                  UNION ALL SELECT v FROM e)
+            GROUP BY 1
+        ), ends AS (
+            SELECT du.d AS dx, dv.d AS dy
+            FROM e JOIN deg du ON du.node = e.u
+                   JOIN deg dv ON dv.node = e.v
+            UNION ALL
+            SELECT dv.d, du.d
+            FROM e JOIN deg du ON du.node = e.u
+                   JOIN deg dv ON dv.node = e.v
+        )
+        SELECT round(corr(CAST(dx AS DOUBLE), CAST(dy AS DOUBLE)), 6)
+                   AS assortativity,
+               CAST(count(*) / 2 AS BIGINT) AS n_edges,
+               (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes
+        FROM ends
+    """,
+    doc="Degree assortativity (Newman 2002, public): Pearson "
+    "correlation of endpoint degrees over both edge orientations of "
+    "the part co-purchase graph — do hubs attach to hubs? Completes "
+    "the structural family (degree/pagerank/triangles/jaccard).",
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman's r: Pearson over the directed edge list with BOTH
+    orientations (the undirected convention — using one orientation
+    biases r by the u<v canonicalization). r > 0: hubs link to hubs
+    (social nets); r < 0: hubs link to leaves (tech/biological nets).
+
+    Determinism: degrees are exact int64; corr on bit-identical
+    int-derived doubles rounds at 6 dp (the q_agg_corr convention).
+
+    Scale shape: the same distinct-edge build as q_graph_triangles
+    (co-occurrence self-join bounded by per-order basket size), a
+    degree aggregate whose key set shrinks to |nodes|, two hash joins
+    keyed on node id to stamp endpoint degrees, one global corr
+    aggregate (partial/final, constant state). No window, no driver
+    loop."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("dx"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dy"))
+    stamped = e.join(du, "u").join(dv, "v").select("dx", "dy")
+    ends = stamped.unionAll(
+        stamped.select(F.col("dy").alias("dx"), F.col("dx").alias("dy"))
+    )
+    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
+    return (
+        ends.agg(
+            F.round(
+                F.corr(F.col("dx").cast("double"), F.col("dy").cast("double")),
+                6,
+            ).alias("assortativity"),
+            (F.count("*") / 2).cast("bigint").alias("n_edges"),
+        )
+        .crossJoin(F.broadcast(n_nodes))
+    )

@@ -691,3 +691,92 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("acctbal_cents"),
     )
+
+
+_ASOF_TOL_US = 3600000000  # 1-hour tolerance
+
+
+@query(
+    "q_join_asof_tolerance",
+    oracle=f"""
+        WITH ev AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS is_p
+            FROM events WHERE event_type IN ('click', 'purchase')
+        ), carried AS (
+            SELECT user_id, ts, event_id, is_p,
+                   last_value(CASE WHEN is_p = 0 THEN event_id END
+                              IGNORE NULLS)
+                     OVER (PARTITION BY user_id
+                           ORDER BY ts, is_p, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS asof_click_id,
+                   last_value(CASE WHEN is_p = 0 THEN epoch_us(ts) END
+                              IGNORE NULLS)
+                     OVER (PARTITION BY user_id
+                           ORDER BY ts, is_p, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS asof_click_us
+            FROM ev
+        )
+        SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+               CASE WHEN epoch_us(ts) - asof_click_us
+                         <= {_ASOF_TOL_US}
+                    THEN asof_click_id END AS asof_click_id,
+               CASE WHEN epoch_us(ts) - asof_click_us
+                         <= {_ASOF_TOL_US}
+                    THEN epoch_us(ts) - asof_click_us
+                    END AS gap_us
+        FROM carried WHERE is_p = 1
+    """,
+    doc="As-of join with a 1-hour tolerance (pandas merge_asof "
+    "tolerance semantics): the carried click is kept only when the "
+    "purchase follows it within the bound — same single-shuffle "
+    "carry-forward plan as q_join_asof, one extra carried column.",
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_join_asof plus the tolerance clause every production as-of
+    carries (pandas merge_asof ``tolerance=``, kdb wj bounds): a click
+    nine days old is not the 'preceding click' in any attribution
+    sense. The carry-forward window also carries the click's exact
+    epoch-micros; the purchase keeps its match only when
+    purchase_us − click_us ≤ 1h, else NULL (the no-match-within-
+    tolerance contract). Still ONE shuffle on user_id, no range join,
+    no blow-up — the 100 TB plan is unchanged; the gap is an exact
+    int64 difference so the filter is engine-exact."""
+    t = load_tables(spark, sf_dir)
+    ev = (
+        t["events"]
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "user_id", "ts", "event_id",
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("is_p"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = ev.select(
+        "*",
+        F.last(
+            F.when(F.col("is_p") == 0, F.col("event_id")), ignorenulls=True
+        ).over(w).alias("asof_click_id"),
+        F.last(
+            F.when(F.col("is_p") == 0, F.unix_micros("ts")),
+            ignorenulls=True,
+        ).over(w).alias("asof_click_us"),
+    )
+    gap = F.unix_micros("ts") - F.col("asof_click_us")
+    within = gap <= F.lit(_ASOF_TOL_US)
+    return carried.filter(F.col("is_p") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.when(within, F.col("asof_click_id")).alias("asof_click_id"),
+        F.when(within, gap).alias("gap_us"),
+    )

@@ -5510,3 +5510,90 @@ def q_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value("nd").alias("n_day"),
         )
     )
+
+
+@query(
+    "q_tukey_hsd",
+    oracle="""
+        WITH x AS (
+            SELECT c_mktsegment AS grp,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+            FROM customer
+        ),
+        g AS (
+            SELECT grp,
+                   CAST(sum(cents) AS DOUBLE) AS s,
+                   CAST(sum(CAST(cents AS HUGEINT) * cents) AS DOUBLE) AS q,
+                   CAST(count(*) AS BIGINT) AS m
+            FROM x GROUP BY 1
+        ),
+        tot AS (
+            SELECT sum(s) AS st, sum(q) AS qt,
+                   CAST(sum(m) AS BIGINT) AS n,
+                   sum(s * s / m) AS ssb_raw,
+                   CAST(count(*) AS BIGINT) AS k
+            FROM g
+        )
+        SELECT a.grp AS grp_a, b.grp AS grp_b,
+               round((a.s / a.m - b.s / b.m) / 100.0, 4) AS mean_diff,
+               round(abs(a.s / a.m - b.s / b.m)
+                     / sqrt(((tot.qt - tot.ssb_raw) / (tot.n - tot.k))
+                            / 2.0 * (1.0 / a.m + 1.0 / b.m)), 6)
+                   AS q_stat,
+               a.m AS n_a, b.m AS n_b,
+               CAST(tot.n - tot.k AS BIGINT) AS df_within
+        FROM g a JOIN g b ON a.grp < b.grp CROSS JOIN tot
+    """,
+    doc="Tukey-Kramer HSD post-hoc: pairwise studentized range q "
+    "statistics over the market segments, from the same exact "
+    "integer-cents moment frame as q_anova — the 'WHICH groups "
+    "differ' follow-up to the omnibus F.",
+)
+def q_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANOVA's F says SOME group differs; Tukey-Kramer says which:
+    q_ab = |x̄_a − x̄_b| / sqrt(MSW/2 · (1/n_a + 1/n_b)), compared
+    downstream against the studentized-range critical value (whose
+    tail has no elementary closed form — the statistic and df are the
+    declared, exactly-checkable surface, the q_ljung_box convention).
+
+    Determinism: group sums/squares are exact (decimal-accumulated
+    cents ↔ HUGEINT); MSW reuses the q_anova total frame (#levels
+    well-separated float terms, 6-dp absorption); each pair's q is a
+    fixed expression tree on those scalars, sqrt correctly rounded.
+
+    Scale shape: one exact-moment aggregate over the fact scan, then a
+    k-row self-join (k = 5 segments → 10 pairs) against the 1-row
+    total — everything after the first exchange is constant-size."""
+    t = load_tables(spark, sf_dir)
+    x = t["customer"].select(
+        F.col("c_mktsegment").alias("grp"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    g = group_moments(x)
+    tot = g.agg(
+        F.sum("s").alias("st"),
+        F.sum("q").alias("qt"),
+        F.sum("m").cast("bigint").alias("n"),
+        F.sum(F.col("s") * F.col("s") / F.col("m")).alias("ssb_raw"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    a, b = g.alias("a"), g.alias("b")
+    msw = (F.col("qt") - F.col("ssb_raw")) / (F.col("n") - F.col("k"))
+    mean_a = F.col("a.s") / F.col("a.m")
+    mean_b = F.col("b.s") / F.col("b.m")
+    se = F.sqrt(
+        msw / 2.0 * (1.0 / F.col("a.m") + 1.0 / F.col("b.m"))
+    )
+    return (
+        a.join(b, F.col("a.grp") < F.col("b.grp"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("a.grp").alias("grp_a"),
+            F.col("b.grp").alias("grp_b"),
+            F.round((mean_a - mean_b) / 100.0, 4).alias("mean_diff"),
+            F.round(F.abs(mean_a - mean_b) / se, 6).alias("q_stat"),
+            F.col("a.m").alias("n_a"),
+            F.col("b.m").alias("n_b"),
+            (F.col("n") - F.col("k")).cast("bigint").alias("df_within"),
+        )
+    )

@@ -28,7 +28,7 @@ SECTIONS = {
     "§2.3 Joins": [
         "q_join_inner", "q_join_multi", "q_join_left", "q_join_full", "q_join_semi",
         "q_join_anti", "q_join_cross", "q_join_theta", "q_join_range", "q_join_asof", "q_join_asof_nearest", "q_join_interval",
-        "q_join_broadcast", "q_join_bucketed", "q_join_salted",
+        "q_join_broadcast", "q_join_bucketed", "q_join_salted", "q_join_asof_tolerance",
     ],
     "§2.4 Aggregations + correlation": [
         "q_agg_global", "q_agg_group", "q_agg_having", "q_agg_distinct",
@@ -41,7 +41,7 @@ SECTIONS = {
         "q_corr_ci", "q_corr_pointbiserial", "q_theil_u", "q_mutual_info",
         "q_agg_moments", "q_agg_gini", "q_agg_trimmed_mean", "q_ts_ewma", "q_ts_fill_grouped", "q_ts_interpolate",
         "q_corr_weighted", "q_corr_bicor", "q_corr_distance", "q_ks_test", "q_mannwhitney", "q_ttest_welch", "q_anova", "q_levene", "q_prop_ztest", "q_seasonality", "q_drift_daily", "q_drift_psi", "q_drift_js", "q_drift_cusum", "q_drift_chi2", "q_ols_daily", "q_ols_dw", "q_ols_multi2", "q_forecast_naive", "q_ts_holt", "q_ts_holtwinters", "q_assoc_mixed", "q_corr_icc", "q_cronbach_alpha", "q_corr_ccc", "q_corr_kappa", "q_ts_trend", "q_agg_entropy",
-        "q_jarque_bera", "q_cohens_d", "q_corr_gamma",
+        "q_jarque_bera", "q_cohens_d", "q_corr_gamma", "q_tukey_hsd", "q_agg_bool",
         "q_agg_extremes_by", "q_percentile_weighted", "q_ts_decompose",
         "q_agg_bitmap_distinct", "q_ts_anomaly_seasonal",
     ],
@@ -69,7 +69,7 @@ SECTIONS = {
         "q_sample_weighted", "q_sample_balanced", "q_sample_systematic", "q_domain_mix", "q_sample_temperature",
         "q_multimodal_meta", "q_multimodal_frames", "q_multimodal_phash", "q_pack_chunks",
         "q_pack_bpeish", "q_pack_bpe", "q_pack_bestfit", "q_cluster_kmeans_step",
-        "q_text_gopher", "q_text_bigram_lm", "q_text_bigram_kn", "q_text_compress_ratio", "q_multimodal_audio_spectral",
+        "q_text_gopher", "q_text_bigram_lm", "q_text_bigram_kn", "q_text_hashing_trick", "q_text_compress_ratio", "q_multimodal_audio_spectral",
     ],
     "§2.10 Streaming (batch-equivalent declared forms)": [
         "q_stream_tumbling", "q_stream_sliding", "q_stream_session", "q_stream_dedup",
@@ -88,7 +88,7 @@ SECTIONS = {
         "q_pivot",
     ],
     "Event analytics (beyond §2: product-analytics surface)": [
-        "q_funnel", "q_funnel_window", "q_event_path", "q_event_transitions", "q_graph_pagerank", "q_graph_degree", "q_graph_triangles", "q_graph_jaccard", "q_attribution", "q_attribution_multi", "q_retention", "q_anomaly", "q_anomaly_mad", "q_session_stats", "q_profile", "q_cdc_merge", "q_scd2", "q_fk_integrity", "q_basket_lift", "q_rfm", "q_gaps_islands", "q_benford", "q_survival_km", "q_survival_logrank",
+        "q_funnel", "q_funnel_window", "q_event_path", "q_event_transitions", "q_graph_pagerank", "q_graph_degree", "q_graph_triangles", "q_graph_jaccard", "q_graph_assortativity", "q_attribution", "q_attribution_multi", "q_retention", "q_anomaly", "q_anomaly_mad", "q_session_stats", "q_profile", "q_cdc_merge", "q_scd2", "q_fk_integrity", "q_basket_lift", "q_rfm", "q_gaps_islands", "q_benford", "q_survival_km", "q_survival_logrank",
     ],
 }
 

@@ -1123,6 +1123,49 @@ class CorrelationAPI:
             "groups": groups,
         }
 
+    def tukey(
+        self,
+        dataset: str,
+        var: str,
+        group_by: str,
+    ) -> dict[str, Any]:
+        """Tukey-Kramer HSD post-hoc — the q_tukey_hsd engine
+        (operators.stats.tukey_pairs) parameterized: after anova()'s
+        omnibus F, the pairwise studentized-range q statistic for
+        every factor-level pair, with the mean difference in var
+        units. Values quantize to the same 1e-6 lattice as anova();
+        compare q against the studentized-range critical value for
+        (k, df_within) downstream."""
+        from .operators.stats import group_moments, tukey_pairs
+
+        df = self._get(dataset)
+        x = self._num(df, var)
+        if group_by not in df.columns:
+            raise KeyError(f"unknown variable: {group_by!r}")
+        data = df.select(
+            F.col(group_by).cast("string").alias("grp"),
+            F.round(x * 1000000, 0).cast("long").alias("v"),
+        ).filter(F.col("grp").isNotNull() & F.col("v").isNotNull())
+        rows = tukey_pairs(
+            group_moments(data, "v"), unit_div=1000000.0
+        ).collect()
+        if not rows:
+            raise ValueError("need >= 2 groups with data")
+        return {
+            "dataset": dataset, "var": var, "group_by": group_by,
+            "df_within": rows[0].df_within,
+            "n_pairs": len(rows),
+            "pairs": [
+                {
+                    "a": r.grp_a, "b": r.grp_b,
+                    "mean_diff": _nan_to_none(r.mean_diff),
+                    "q_stat": _nan_to_none(r.q_stat),
+                    "n_a": r.n_a, "n_b": r.n_b,
+                }
+                for r in sorted(rows, key=lambda r: (r.grp_a, r.grp_b))
+            ],
+        }
+
     def integrity(
         self,
         child: str,

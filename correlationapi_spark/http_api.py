@@ -17,6 +17,7 @@ container, and none is needed for a JSON-for-JSON contract:
   GET  /compare?dataset=&var=&group_by=&a=&b=  (two-sample KS + Mann-Whitney)
   GET  /anova?dataset=&var=&group_by=[&center=mean|median]
        (k-sample one-way ANOVA F, or Brown-Forsythe W with center=median)
+  GET  /tukey?dataset=&var=&group_by=  (Tukey-Kramer HSD pairwise post-hoc)
   GET  /integrity?child=&fk=&parent=&pk=  (FK-edge referential audit)
   GET  /basket?dataset=&basket=&item=[&min_count=10][&limit=50]
        (association rules: support/confidence/lift per item pair)
@@ -150,6 +151,13 @@ def _route(api: CorrelationAPI, method: str, path: str,
         return 200, api.anova(
             query["dataset"], query["var"], query["group_by"],
             center=query.get("center", "mean"),
+        )
+    if method == "GET" and path == "/tukey":
+        for req in ("dataset", "var", "group_by"):
+            if req not in query:
+                raise ValueError(f"missing query parameter {req!r}")
+        return 200, api.tukey(
+            query["dataset"], query["var"], query["group_by"],
         )
     if method == "GET" and path == "/integrity":
         for req in ("child", "fk", "parent", "pk"):

@@ -5569,7 +5569,15 @@ def q_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("grp"),
         F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
     )
-    g = group_moments(x)
+    return tukey_pairs(group_moments(x), unit_div=100.0)
+
+
+def tukey_pairs(g: DataFrame, unit_div: float = 1.0) -> DataFrame:
+    """The engine behind q_tukey_hsd (and api.tukey): Tukey-Kramer
+    pairwise q statistics from a group_moments frame (grp, s, q, m) of
+    exact integer-unit values; ``unit_div`` converts the mean
+    difference back to caller units (100 for cents, 1e6 for the
+    service's micro-lattice). See the key's docstring."""
     tot = g.agg(
         F.sum("s").alias("st"),
         F.sum("q").alias("qt"),
@@ -5590,7 +5598,7 @@ def q_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.grp").alias("grp_a"),
             F.col("b.grp").alias("grp_b"),
-            F.round((mean_a - mean_b) / 100.0, 4).alias("mean_diff"),
+            F.round((mean_a - mean_b) / unit_div, 4).alias("mean_diff"),
             F.round(F.abs(mean_a - mean_b) / se, 6).alias("q_stat"),
             F.col("a.m").alias("n_a"),
             F.col("b.m").alias("n_b"),

@@ -2090,3 +2090,34 @@ def test_gopher_matches_declared_key(api_orders, spark):
                 ("alpha", r.r_alpha), ("stop", r.r_stop),
             ) if not ok
         }
+
+
+def test_tukey_matches_declared_key(api_orders, spark):
+    import os as _os
+
+    api_orders.register_dataset(
+        "customer", _os.path.join(SF_SMOKE, "customer.parquet")
+    )
+    key = {
+        (r.grp_a, r.grp_b): r
+        for r in REGISTRY["q_tukey_hsd"].fn(spark, SF_SMOKE).collect()
+    }
+    res = api_orders.tukey("customer", "c_acctbal", "c_mktsegment")
+    assert res["n_pairs"] == len(key) == 10
+    for p in res["pairs"]:
+        k = key[(p["a"], p["b"])]
+        # the service's 1e-6 lattice vs the key's cents lattice: same
+        # values (acctbal has 2 dp), so the statistics agree to the
+        # published rounding
+        assert abs(p["q_stat"] - k.q_stat) < 1e-4
+        # both sides round mean_diff at 4 dp on different exact lattices
+        # (cents vs micro), so adjacent-rounding can differ by one ulp
+        # of the 4th decimal
+        assert abs(p["mean_diff"] - k.mean_diff) <= 1e-4 + 1e-9
+        assert (p["n_a"], p["n_b"]) == (k.n_a, k.n_b)
+    assert res["df_within"] == key[(res["pairs"][0]["a"], res["pairs"][0]["b"])].df_within
+
+
+def test_tukey_validation(api_orders):
+    with pytest.raises(KeyError):
+        api_orders.tukey("orders", "o_totalprice", "nope")

@@ -631,3 +631,17 @@ def test_decompose_weighted_quantile_gopher_routes(spark):
     )
     assert status == 200 and payload["n_docs"] > 0
     assert len(payload["failing"]) <= 5
+
+
+def test_tukey_route(spark):
+    from correlationapi_spark.api import CorrelationAPI
+
+    api = CorrelationAPI(spark)
+    api.register_dataset("customer",
+                         os.path.join(SF_SMOKE, "customer.parquet"))
+    status, payload = _route(
+        api, "GET", "/tukey",
+        {"dataset": "customer", "var": "c_acctbal",
+         "group_by": "c_mktsegment"}, {},
+    )
+    assert status == 200 and payload["n_pairs"] == 10

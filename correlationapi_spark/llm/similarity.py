@@ -1344,3 +1344,125 @@ def q_embed_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutual_knn_edges(
         corpus_view(t["embeddings"], "vec_id", "embedding"), k=5
     )
+
+
+PQ_M = 4          # subspaces
+PQ_K = 16         # centroids per subspace codebook
+PQ_SUB_D = 16     # dims per subspace (fixture d=64)
+
+
+def pq_encode(corpus: DataFrame) -> DataFrame:
+    """Product-quantization encode (Jégou et al. 2011, public): split
+    each d=64 embedding into PQ_M=4 contiguous subvectors, assign each
+    to its nearest of PQ_K=16 codebook entries (L2), and pack the four
+    4-bit code indices into one int16-sized integer — a 128× memory
+    reduction (256 float32 bytes → 2 code bytes) that makes
+    billion-vector ANN tables RAM-resident; distances are then
+    evaluated against codes via per-subspace lookup tables (ADC).
+
+    Codebook: the PQ_M×PQ_K subvectors of the 16 lowest vec_ids — the
+    deterministic sampled-codebook baseline (real pipelines refine it
+    with per-subspace k-means, which is seed-dependent — the same
+    reason q_sim_topk_ivf is rows-only; the ENCODE algebra is
+    identical either way and that is what this engine pins).
+
+    Determinism: subvector distances are sequential F.aggregate folds
+    over zip_with squared differences (double ops in array order);
+    the per-subspace argmin is min(struct(dist, cid)) — lexicographic
+    with the cid tiebreak; the reconstruction error is assembled in
+    FIXED order (e0+e1+e2+e3 via a subspace pivot, never a float sum
+    aggregate whose accumulation order floats). Replayed bit-exactly
+    in python in tests/test_rowsonly.py.
+
+    Scale shape: the codebook is PQ_M·PQ_K = 64 rows — broadcast; the
+    encode is one map-side join + two bounded aggregates keyed on
+    vec_id (4 rows per key). No shuffle grows with d or k."""
+    subs = corpus.select(
+        "vec_id",
+        "label",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                lambda s: F.struct(
+                    s.alias("s"),
+                    F.transform(
+                        F.slice(
+                            F.col("embedding"), s * PQ_SUB_D + 1, PQ_SUB_D
+                        ),
+                        lambda x: x.cast("double"),
+                    ).alias("sub"),
+                ),
+            )
+        ).alias("e"),
+    ).select("vec_id", "label", F.col("e.s").alias("s"), F.col("e.sub").alias("sub"))
+    codebook = (
+        subs.filter(F.col("vec_id") < PQ_K)
+        .select(
+            "s",
+            F.col("vec_id").cast("int").alias("cid"),
+            F.col("sub").alias("c"),
+        )
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("sub"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    best = (
+        subs.join(F.broadcast(codebook), "s")
+        .select("vec_id", "label", "s", dist.alias("d"), "cid")
+        .groupBy("vec_id", "s")
+        .agg(
+            F.any_value("label").alias("label"),
+            F.min(F.struct(F.col("d"), F.col("cid"))).alias("b"),
+        )
+        .select(
+            "vec_id", "label", "s",
+            F.col("b.cid").alias("cid"), F.col("b.d").alias("d"),
+        )
+    )
+    piv = best.groupBy("vec_id").agg(
+        F.any_value("label").alias("label"),
+        *[
+            F.max(F.when(F.col("s") == i, F.col("cid"))).alias(f"c{i}")
+            for i in range(PQ_M)
+        ],
+        *[
+            F.max(F.when(F.col("s") == i, F.col("d"))).alias(f"e{i}")
+            for i in range(PQ_M)
+        ],
+    )
+    code = sum(
+        (F.col(f"c{i}").cast("bigint") * F.lit(1 << (4 * i)))
+        for i in range(PQ_M)
+    )
+    err = F.col("e0") + F.col("e1") + F.col("e2") + F.col("e3")
+    return piv.select(
+        "vec_id",
+        "label",
+        code.alias("pq_code"),
+        F.round(err, 6).alias("recon_err"),
+    )
+
+
+@query(
+    "q_embed_pq",
+    rows_only_reason="the sampled codebook is data-order-deterministic "
+    "but the L2 argmin over float distances has no tractable SQL "
+    "mirror at PQ_M×PQ_K scale; determinism is pinned by "
+    "tests/test_rowsonly.py::test_pq_encode_replays_exactly (bit-exact "
+    "python replay of the sequential fold, argmin tiebreak, and fixed-"
+    "order error assembly for every fixture vector).",
+    doc="Product-quantization encode of the embedding corpus: 4×4-bit "
+    "codes (128× compression of d=64 float32) + per-vector "
+    "reconstruction error — the ANN memory layout for billion-vector "
+    "tables, with the codebook broadcast and no d- or k-scaled shuffle.",
+)
+def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See pq_encode. The IVF keys give the cell-pruned CANDIDATE
+    plan; PQ gives the in-cell MEMORY plan (IVF-PQ is the composition
+    every billion-scale ANN system ships). This key pins the encode;
+    ADC probing reuses q_sim_assign's broadcast-argmax shape with the
+    64-entry lookup table in place of raw centroids."""
+    t = load_tables(spark, sf_dir)
+    return pq_encode(t["embeddings"])

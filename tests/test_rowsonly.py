@@ -1801,3 +1801,52 @@ def test_audio_spectral_recovers_generator_frequency(spark):
         assert abs(r.rms - amp / math.sqrt(2.0)) < 0.01, (r, amp)
         # a pure tone concentrates the spectrum: centroid near the peak
         assert abs(r.centroid_hz - f) < 0.35 * f, r
+
+
+def test_pq_encode_replays_exactly(spark):
+    """q_embed_pq's documented pin: bit-exact python replay — same
+    sequential double fold over the subvector squared differences,
+    same (dist, cid) lexicographic argmin, same fixed-order error
+    assembly, same 4-bit packing."""
+    from correlationapi_spark.io import load_tables
+    from correlationapi_spark.llm.similarity import PQ_K, PQ_M, PQ_SUB_D
+
+    out = {
+        r.vec_id: r
+        for r in REGISTRY["q_embed_pq"].fn(spark, SF_SMOKE).collect()
+    }
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load_tables(spark, SF_SMOKE)["embeddings"].collect()
+    }
+    assert set(out) == set(emb)
+    book = {
+        (s, cid): emb[cid][s * PQ_SUB_D:(s + 1) * PQ_SUB_D]
+        for s in range(PQ_M)
+        for cid in range(PQ_K)
+    }
+
+    def seq_l2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    for vec_id, v in emb.items():
+        cids, errs = [], []
+        for s in range(PQ_M):
+            sub = v[s * PQ_SUB_D:(s + 1) * PQ_SUB_D]
+            d, cid = min(
+                (seq_l2(sub, book[(s, c)]), c) for c in range(PQ_K)
+            )
+            cids.append(cid)
+            errs.append(d)
+        code = sum(c << (4 * i) for i, c in enumerate(cids))
+        err = round(errs[0] + errs[1] + errs[2] + errs[3], 6)
+        r = out[vec_id]
+        assert r.pq_code == code, (vec_id, r.pq_code, code)
+        assert r.recon_err == err, (vec_id, r.recon_err, err)
+    # the 16 codebook donors encode themselves losslessly
+    for cid in range(PQ_K):
+        assert out[cid].recon_err == 0.0
+        assert out[cid].pq_code == sum(cid << (4 * i) for i in range(PQ_M))

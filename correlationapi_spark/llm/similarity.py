@@ -1466,3 +1466,114 @@ def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-entry lookup table in place of raw centroids."""
     t = load_tables(spark, sf_dir)
     return pq_encode(t["embeddings"])
+
+
+def pq_adc_topk(corpus: DataFrame, probe_pred, k: int = 5) -> DataFrame:
+    """Asymmetric distance computation over PQ codes (the probe side of
+    q_embed_pq): each probe keeps its RAW subvectors and precomputes an
+    L2 lookup table to all PQ_M×PQ_K codebook entries (64 rows —
+    broadcast); every corpus vector is then scored as the SUM of four
+    table lookups on its unpacked 4-bit codes, never touching the raw
+    corpus floats. This is why PQ wins at 100 TB: the scan reads 2-byte
+    codes + a broadcast LUT instead of 256-byte vectors.
+
+    Plan: codes (vec_id-keyed, 4 rows per vec) join the (probe, s, cid)
+    LUT broadcast on (s, cid); one groupBy (probe, vec) sums the four
+    looked-up distances via a subspace pivot (fixed-order e0+e1+e2+e3,
+    the q_embed_pq float rule); WindowGroupLimit takes top-k per probe
+    ordered by (adc ASC, vec_id)."""
+    # python-int subspace ids: shiftright's bit count is a literal
+    coded = pq_encode(corpus).select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.shiftright(F.col("pq_code"), 4 * s)
+                        .bitwiseAND(F.lit(15))
+                        .cast("int")
+                        .alias("cid"),
+                    )
+                    for s in range(PQ_M)
+                ]
+            )
+        ).alias("e"),
+    ).select("vec_id", F.col("e.s").alias("s"), F.col("e.cid").alias("cid"))
+    subs = corpus.select(
+        "vec_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                lambda s: F.struct(
+                    s.alias("s"),
+                    F.transform(
+                        F.slice(
+                            F.col("embedding"), s * PQ_SUB_D + 1, PQ_SUB_D
+                        ),
+                        lambda x: x.cast("double"),
+                    ).alias("sub"),
+                ),
+            )
+        ).alias("e"),
+    ).select("vec_id", F.col("e.s").alias("s"), F.col("e.sub").alias("sub"))
+    codebook = subs.filter(F.col("vec_id") < PQ_K).select(
+        "s", F.col("vec_id").cast("int").alias("cid"), F.col("sub").alias("c")
+    )
+    l2 = F.aggregate(
+        F.zip_with(F.col("sub"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = (
+        subs.filter(probe_pred)
+        .withColumnRenamed("vec_id", "probe_id")
+        .join(F.broadcast(codebook), "s")
+        .select("probe_id", "s", "cid", l2.alias("ld"))
+    )
+    scored = (
+        coded.join(F.broadcast(lut), ["s", "cid"])
+        .groupBy("probe_id", "vec_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("s") == i, F.col("ld"))).alias(f"e{i}")
+                for i in range(PQ_M)
+            ]
+        )
+        .select(
+            "probe_id", "vec_id",
+            (F.col("e0") + F.col("e1") + F.col("e2") + F.col("e3"))
+            .alias("adc"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("adc").asc(), F.col("vec_id")
+    )
+    return (
+        scored.filter(F.col("probe_id") != F.col("vec_id"))
+        .select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= k)
+        .select(
+            "probe_id", "vec_id", F.round(F.col("adc"), 6).alias("adc_l2"),
+            F.col("rn").cast("int").alias("rank"),
+        )
+    )
+
+
+@query(
+    "q_sim_topk_pq",
+    rows_only_reason="ADC scores are argmins over the float PQ "
+    "codebook (q_embed_pq's rows-only reason propagates); quality is "
+    "pinned by tests/test_rowsonly.py::test_pq_adc_recall_vs_exact "
+    "(recall@5 of ADC against the exact L2 top-5 on the fixture, plus "
+    "an exact replay of the LUT-sum scoring for one probe).",
+    doc="PQ asymmetric-distance top-k (IVF-PQ's probe side): raw-probe "
+    "vs 4-bit-code scoring via a broadcast 64-entry lookup table — the "
+    "RAM-resident ANN probe that never rereads corpus floats.",
+)
+def q_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See pq_adc_topk: probes vec_id < 5 (the q_sim_topk probe set),
+    k = 5 — directly comparable against the exact engine's answer,
+    which is what the recall pin measures."""
+    t = load_tables(spark, sf_dir)
+    return pq_adc_topk(t["embeddings"], F.col("vec_id") < 5, 5)

@@ -1850,3 +1850,64 @@ def test_pq_encode_replays_exactly(spark):
     for cid in range(PQ_K):
         assert out[cid].recon_err == 0.0
         assert out[cid].pq_code == sum(cid << (4 * i) for i in range(PQ_M))
+
+
+def test_pq_adc_recall_vs_exact(spark):
+    """q_sim_topk_pq's documented pin: (a) the ADC LUT-sum score for
+    one probe replays exactly in python from the PQ codes; (b) ADC
+    recall@5 against the exact L2 top-5 clears the sanity floor (PQ
+    with a 16-entry sampled codebook is lossy, but the fixture
+    manifold keeps most true neighbors)."""
+    from correlationapi_spark.io import load_tables
+    from correlationapi_spark.llm.similarity import PQ_K, PQ_M, PQ_SUB_D
+
+    adc = REGISTRY["q_sim_topk_pq"].fn(spark, SF_SMOKE).collect()
+    assert adc
+    by_probe: dict[int, list] = {}
+    for r in adc:
+        by_probe.setdefault(r.probe_id, []).append(r)
+    assert set(by_probe) == {0, 1, 2, 3, 4}
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load_tables(spark, SF_SMOKE)["embeddings"].collect()
+    }
+
+    def seq_l2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    # (a) exact replay for probe 0: codes -> LUT -> summed ADC
+    book = {
+        (s, cid): emb[cid][s * PQ_SUB_D:(s + 1) * PQ_SUB_D]
+        for s in range(PQ_M) for cid in range(PQ_K)
+    }
+
+    def py_code(v):
+        return [
+            min((seq_l2(v[s * PQ_SUB_D:(s + 1) * PQ_SUB_D], book[(s, c)]), c)
+                for c in range(PQ_K))[1]
+            for s in range(PQ_M)
+        ]
+
+    probe = emb[0]
+    for r in by_probe[0]:
+        cids = py_code(emb[r.vec_id])
+        e = [
+            seq_l2(probe[s * PQ_SUB_D:(s + 1) * PQ_SUB_D], book[(s, cids[s])])
+            for s in range(PQ_M)
+        ]
+        assert r.adc_l2 == round(e[0] + e[1] + e[2] + e[3], 6), r
+    # (b) recall@5 vs exact L2 over all five probes
+    hits = total = 0
+    for pid, rows in by_probe.items():
+        exact5 = sorted(
+            (seq_l2(emb[pid], v), vid)
+            for vid, v in emb.items() if vid != pid
+        )[:5]
+        want = {vid for _, vid in exact5}
+        got = {r.vec_id for r in rows}
+        hits += len(want & got)
+        total += 5
+    assert hits / total >= 0.15, (hits, total)  # >= 15x random

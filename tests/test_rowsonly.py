@@ -1911,3 +1911,35 @@ def test_pq_adc_recall_vs_exact(spark):
         hits += len(want & got)
         total += 5
     assert hits / total >= 0.15, (hits, total)  # >= 15x random
+
+
+def test_markov_stationary_is_fixed_point(spark):
+    """q_event_markov_stationary's documented pin: π is a probability
+    vector and a fixed point of the transition operator (πP plus the
+    uniform dangling redistribution) to iteration tolerance."""
+    from correlationapi_spark.io import load_tables
+    from correlationapi_spark.operators.analytics import transition_matrix
+
+    rows = REGISTRY["q_event_markov_stationary"].fn(spark, SF_SMOKE).collect()
+    pi = {r.state: r.pi for r in rows}
+    assert abs(sum(pi.values()) - 1.0) < 1e-4
+    assert all(v >= 0 for v in pi.values())
+    tmr = (
+        transition_matrix(
+            load_tables(spark, SF_SMOKE)["events"],
+            "user_id", "event_type", "ts", "event_id",
+        )
+        .select("prev_type", "next_type", "p_next")
+        .collect()
+    )
+    sources = {r.prev_type for r in tmr}
+    dmass = sum(v for s, v in pi.items() if s not in sources)
+    n = len(pi)
+    for state in pi:
+        flow = sum(
+            pi[r.prev_type] * r.p_next
+            for r in tmr if r.next_type == state
+        )
+        # 6-dp rounded π re-checked through one application of P: the
+        # residual bound is tolerance + rounding amplification
+        assert abs(flow + dmass / n - pi[state]) < 5e-4, state

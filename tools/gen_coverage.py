@@ -28,7 +28,7 @@ SECTIONS = {
     "§2.3 Joins": [
         "q_join_inner", "q_join_multi", "q_join_left", "q_join_full", "q_join_semi",
         "q_join_anti", "q_join_cross", "q_join_theta", "q_join_range", "q_join_asof", "q_join_asof_nearest", "q_join_interval",
-        "q_join_broadcast", "q_join_bucketed", "q_join_salted", "q_join_asof_tolerance",
+        "q_join_broadcast", "q_join_bucketed", "q_join_salted", "q_join_asof_tolerance", "q_join_null_safe",
     ],
     "§2.4 Aggregations + correlation": [
         "q_agg_global", "q_agg_group", "q_agg_having", "q_agg_distinct",
@@ -88,7 +88,7 @@ SECTIONS = {
         "q_pivot",
     ],
     "Event analytics (beyond §2: product-analytics surface)": [
-        "q_funnel", "q_funnel_window", "q_event_path", "q_event_transitions", "q_graph_pagerank", "q_graph_degree", "q_graph_triangles", "q_graph_jaccard", "q_graph_assortativity", "q_attribution", "q_attribution_multi", "q_retention", "q_anomaly", "q_anomaly_mad", "q_session_stats", "q_profile", "q_cdc_merge", "q_scd2", "q_fk_integrity", "q_basket_lift", "q_rfm", "q_gaps_islands", "q_benford", "q_survival_km", "q_survival_logrank",
+        "q_funnel", "q_funnel_window", "q_event_path", "q_event_transitions", "q_event_markov_stationary", "q_graph_pagerank", "q_graph_degree", "q_graph_triangles", "q_graph_jaccard", "q_graph_assortativity", "q_attribution", "q_attribution_multi", "q_retention", "q_anomaly", "q_anomaly_mad", "q_session_stats", "q_profile", "q_cdc_merge", "q_scd2", "q_fk_integrity", "q_basket_lift", "q_rfm", "q_gaps_islands", "q_benford", "q_survival_km", "q_survival_logrank",
     ],
 }
 

@@ -1127,3 +1127,61 @@ def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_agg_grouping_id",
+    oracle="""
+        SELECT r_name, n_name,
+               CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT)
+                   AS gid,
+               CASE CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT)
+                    WHEN 0 THEN 'nation' WHEN 1 THEN 'region'
+                    ELSE 'grand_total' END AS level,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               round(sum(c_acctbal), 2) AS total_bal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
+    doc="grouping_id over a ROLLUP: the bitmask that tells subtotal "
+    "rows apart from genuine NULL group values — labeled per level "
+    "(nation / region / grand_total).",
+)
+def q_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_agg_rollup leaves subtotal rows marked only by NULLs — which
+    is ambiguous the moment a real NULL key exists. grouping_id() is
+    the disambiguator (bit i set ⇔ column i is rolled up), and every
+    BI tool keys its subtotal rendering on it. Emitted both raw and
+    as a human-readable level label.
+
+    Determinism: pure integer bitmask + exact-cents money sum
+    (money_sum), no float aggregation order anywhere.
+
+    Scale shape: identical to q_agg_rollup — Spark expands the rollup
+    into one Expand + hash aggregate (rows×levels map-side, combined
+    before the exchange); the two broadcast dim joins stay broadcast."""
+    t = load_tables(spark, sf_dir)
+    gid = F.grouping_id().cast("bigint")
+    return (
+        t["customer"]
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t["region"]),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .rollup("r_name", "n_name")
+        .agg(
+            gid.alias("gid"),
+            F.when(gid == 0, "nation")
+            .when(gid == 1, "region")
+            .otherwise("grand_total")
+            .alias("level"),
+            F.count("*").alias("n_customers"),
+            money_sum("c_acctbal").alias("total_bal"),
+        )
+    )

@@ -32,7 +32,7 @@ SECTIONS = {
     ],
     "§2.4 Aggregations + correlation": [
         "q_agg_global", "q_agg_group", "q_agg_having", "q_agg_distinct",
-        "q_agg_approx_distinct", "q_agg_rollup", "q_agg_cube", "q_agg_gsets",
+        "q_agg_approx_distinct", "q_agg_rollup", "q_agg_cube", "q_agg_gsets", "q_agg_grouping_id",
         "q_agg_stats", "q_agg_percentile", "q_agg_approx_percentile", "q_agg_collect",
         "q_agg_histogram", "q_agg_first_last", "q_agg_corr", "q_agg_covar", "q_corr_matrix",
         "q_corr_spearman", "q_ts_resample", "q_ts_rollup", "q_corr_rolling", "q_corr_lagged", "q_flagship",

@@ -2884,6 +2884,45 @@ class CorrelationAPI:
             ],
         }
 
+    def stationary(
+        self,
+        dataset: str,
+        user: str,
+        event: str,
+        time: str,
+        order: str,
+        n_iter: int = 50,
+    ) -> dict[str, Any]:
+        """Stationary distribution of the per-``user`` event chain —
+        the q_event_markov_stationary engine
+        (operators.analytics.markov_stationary) parameterized: power
+        iteration over the transitions() matrix with dangling-mass
+        redistribution and in-plan renormalization; answers 'where
+        does the process spend its time in the long run'."""
+        from .operators.analytics import (
+            markov_stationary,
+            transition_matrix,
+        )
+
+        tm = transition_matrix(
+            self._get(dataset), user, event, time, order
+        ).select(
+            F.col("prev_type").alias("s"),
+            F.col("next_type").alias("d"),
+            F.col("p_next").alias("p"),
+        )
+        rows = markov_stationary(tm, n_iter=n_iter).collect()
+        if not rows:
+            raise ValueError("no transitions (need >= 2 events per user)")
+        return {
+            "dataset": dataset, "user": user, "event": event,
+            "n_rounds": rows[0].n_rounds,
+            "pi": {
+                r.state: _nan_to_none(r.pi)
+                for r in sorted(rows, key=lambda r: r.state)
+            },
+        }
+
     def attribution(
         self,
         dataset: str,

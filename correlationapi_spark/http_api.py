@@ -62,6 +62,8 @@ container, and none is needed for a JSON-for-JSON contract:
        → iterative spherical k-means: sizes, mean cosines, objective trace
   GET  /transitions?dataset=&user=&event=&time=&order=
        → first-order Markov transition matrix over per-user chains
+  GET  /stationary?dataset=&user=&event=&time=&order=[&n_iter=50]
+       → stationary distribution of the chain (long-run event-type share)
   GET  /attribution?dataset=&user=&event=&time=&order=&target=
        → last-touch conversion attribution buckets
   GET  /attribution_multi?dataset=&user=&event=&time=&order=&target=
@@ -389,6 +391,15 @@ def _route(api: CorrelationAPI, method: str, path: str,
         return 200, api.transitions(
             query["dataset"], query["user"], query["event"],
             query["time"], query["order"],
+        )
+    if method == "GET" and path == "/stationary":
+        for req in ("dataset", "user", "event", "time", "order"):
+            if req not in query:
+                raise ValueError(f"missing query parameter {req!r}")
+        return 200, api.stationary(
+            query["dataset"], query["user"], query["event"],
+            query["time"], query["order"],
+            n_iter=int(query.get("n_iter", "50")),
         )
     if method == "GET" and path == "/attribution":
         for req in ("dataset", "user", "event", "time", "order", "target"):

@@ -2121,3 +2121,21 @@ def test_tukey_matches_declared_key(api_orders, spark):
 def test_tukey_validation(api_orders):
     with pytest.raises(KeyError):
         api_orders.tukey("orders", "o_totalprice", "nope")
+
+
+def test_stationary_matches_declared_key(api_orders, spark):
+    import os as _os
+
+    api_orders.register_dataset(
+        "events", _os.path.join(SF_SMOKE, "events.parquet")
+    )
+    key = {
+        r.state: r.pi
+        for r in REGISTRY["q_event_markov_stationary"].fn(spark, SF_SMOKE).collect()
+    }
+    res = api_orders.stationary("events", "user_id", "event_type", "ts",
+                                "event_id")
+    assert set(res["pi"]) == set(key)
+    for state, pi in res["pi"].items():
+        assert abs(pi - key[state]) < 1e-6, state
+    assert abs(sum(res["pi"].values()) - 1.0) < 1e-4

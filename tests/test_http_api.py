@@ -645,3 +645,16 @@ def test_tukey_route(spark):
          "group_by": "c_mktsegment"}, {},
     )
     assert status == 200 and payload["n_pairs"] == 10
+
+
+def test_stationary_route(spark):
+    from correlationapi_spark.api import CorrelationAPI
+
+    api = CorrelationAPI(spark)
+    api.register_dataset("events", os.path.join(SF_SMOKE, "events.parquet"))
+    status, payload = _route(
+        api, "GET", "/stationary",
+        {"dataset": "events", "user": "user_id", "event": "event_type",
+         "time": "ts", "order": "event_id"}, {},
+    )
+    assert status == 200 and abs(sum(payload["pi"].values()) - 1.0) < 1e-4

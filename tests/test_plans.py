@@ -734,3 +734,35 @@ def test_round9_engine_shapes(spark):
     plan = plan_of(spark, "q_forecast_naive")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_round9_late_engine_shapes(spark):
+    # q_percentile_weighted: the 28x lesson — the running sum must run
+    # at VALUE grain (a HashAggregate feeds the range exchange, i.e.
+    # the pre-aggregate happens BEFORE the ordering machinery), and the
+    # checkpointed ranged frame shows up as an RDD scan; no data-grain
+    # single-partition sort (only the tiny per-partition-totals window)
+    plan = plan_of(spark, "q_percentile_weighted")
+    assert "Scan ExistingRDD" in plan  # pinned range-partitioned frame
+    assert plan.count("Exchange SinglePartition") <= 1
+    # q_agg_bitmap_distinct: two collapsing hash aggregates, no expand,
+    # no distinct-expansion join
+    plan = plan_of(spark, "q_agg_bitmap_distinct")
+    assert plan.count("HashAggregate") >= 4  # partial/final x 2 levels
+    assert "Expand" not in plan
+    # q_sample_systematic rides the same range-partitioned numbering
+    plan = plan_of(spark, "q_sample_systematic")
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("Exchange SinglePartition") <= 1
+    # q_funnel_window keeps q_funnel's co-partitioned frontier shape:
+    # user-keyed hash joins only, never a time-range theta join
+    plan = plan_of(spark, "q_funnel_window")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # q_sim_topk_pq: the LUT and codebook ride broadcasts; the final
+    # per-probe top-k is a WindowGroupLimit, and no raw-embedding join
+    # remains on the scoring side (codes join the broadcast LUT)
+    plan = plan_of(spark, "q_sim_topk_pq")
+    assert "WindowGroupLimit" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan

@@ -573,3 +573,59 @@ def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
         ).alias("apex_domain"),
     )
+
+
+@query(
+    "q_fn_regexp",
+    oracle="""
+        SELECT doc_id,
+               coalesce(array_to_string(
+                   regexp_extract_all(substring(text, 1, 80),
+                                      '[a-z]*a[a-z]*'), ','), '')
+                   AS a_words,
+               CAST(len(regexp_extract_all(text, 'data')) AS BIGINT)
+                   AS n_data,
+               CAST(regexp_matches(text, 'join[a-z ]*merge|merge[a-z ]*join')
+                    AS INTEGER) AS has_join_merge_pair,
+               regexp_replace(substring(text, 1, 40),
+                              '[aeiou]', '_', 'g') AS devoweled
+        FROM documents
+    """,
+    doc="Regexp function family over the portable dialect subset: "
+    "extract-all (joined to csv), match counting, alternation test, "
+    "global replace — completing q_fn_string's single-match basics.",
+)
+def q_fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The extract-ALL / count / alternation / global-replace corner of
+    the regexp surface (q_fn_string pins single regexp_extract /
+    replace / rlike). Dialect discipline as documented there: character
+    classes, '*', alternation — the Java-regex ∩ RE2 subset both
+    engines parse identically. Arrays are projected as csv strings
+    (the q_agg_collect canonicalizer rule); counts ride len(extract_all)
+    because Spark's regexp_count and DuckDB's differ on zero-length
+    matches — extract_all of a non-nullable pattern sidesteps that
+    edge entirely; DuckDB's array_to_string of an EMPTY list is NULL
+    (Spark's array_join is ''), so the oracle coalesces.
+
+    Scale shape: pure map-side row-local regex inside codegen — no
+    shuffle, no UDF."""
+    t = load_tables(spark, sf_dir)
+    head80 = F.substring("text", 1, 80)
+    return t["documents"].select(
+        "doc_id",
+        F.array_join(
+            F.expr(r"regexp_extract_all(substring(text, 1, 80),"
+                   r" '[a-z]*a[a-z]*', 0)"),
+            ",",
+        ).alias("a_words"),
+        F.size(F.expr(r"regexp_extract_all(text, 'data', 0)"))
+        .cast("bigint")
+        .alias("n_data"),
+        F.col("text")
+        .rlike("join[a-z ]*merge|merge[a-z ]*join")
+        .cast("int")
+        .alias("has_join_merge_pair"),
+        F.regexp_replace(F.substring("text", 1, 40), "[aeiou]", "_").alias(
+            "devoweled"
+        ),
+    )

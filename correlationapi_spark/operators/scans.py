@@ -290,3 +290,67 @@ def q_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("bigint").alias("length"),
         F.lower(F.hex(F.col("content"))).alias("content_hex"),
     )
+
+
+@query(
+    "q_scan_csv_malformed",
+    oracle="""
+        WITH src AS (
+            SELECT CAST(range AS BIGINT) AS i FROM range(0, 1000)
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN i % 7 = 3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_corrupt,
+               CAST(sum(CASE WHEN i % 7 <> 3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_good,
+               CAST(sum(CASE WHEN i % 7 <> 3 THEN i * 3 END)
+                    AS BIGINT) AS sum_v_good
+        FROM src
+    """,
+    doc="Malformed-record CSV ingest: PERMISSIVE parse with a corrupt-"
+    "record column quarantines type-bad rows instead of failing the "
+    "job or silently nulling — counts checked against the closed-form "
+    "expectation of the deterministic file.",
+)
+def q_scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real feeds are dirty; the ingest contract that survives 100 TB
+    is PERMISSIVE-with-quarantine (parse what parses, route the rest to
+    a corrupt-record column for a dead-letter sink) — never FAILFAST
+    (one bad row kills a 6-hour job) and never silent NULLing (corrupt
+    and legitimately-NULL become indistinguishable). The key writes a
+    deterministic 1000-line CSV (every i % 7 == 3 row carries a
+    non-integer in the value column), reads it back in PERMISSIVE mode
+    and reports the quarantine split; the oracle is the closed-form
+    expectation over range(1000) — no file access, so the check proves
+    the PARSER's behavior, not the file layout.
+
+    The parsed frame is cached before the corrupt-column filters:
+    Spark refuses to resolve a query that projects ONLY the corrupt
+    column from a lazy CSV relation (internal raw-record pushdown), and
+    the cache also keeps the file from being re-parsed per aggregate.
+
+    Scale shape: CSV scan is splittable; the quarantine split is one
+    partial/final aggregate."""
+    import os
+
+    path = _roundtrip_dir("csv_malformed")
+    fp = os.path.join(path, "feed.csv")
+    with open(fp, "w") as f:
+        f.write("id,v\n")
+        for i in range(1000):
+            f.write(f"{i},notanint\n" if i % 7 == 3 else f"{i},{i * 3}\n")
+    df = (
+        spark.read.schema("id BIGINT, v BIGINT, _corrupt_record STRING")
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(fp)
+        .cache()
+    )
+    corrupt = F.col("_corrupt_record").isNotNull()
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(corrupt.cast("long")).alias("n_corrupt"),
+        F.sum((~corrupt).cast("long")).alias("n_good"),
+        F.sum(F.when(~corrupt, F.col("v"))).alias("sum_v_good"),
+    )

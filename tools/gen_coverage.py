@@ -18,7 +18,7 @@ from correlationapi_spark.registry import load_registry
 SECTIONS = {
     "§2.1 Scans/sources/sinks": [
         "q_scan_parquet", "q_scan_pruned", "q_scan_csv", "q_scan_json",
-        "q_scan_orc", "q_sink_parquet_roundtrip", "q_scan_partition_pruned", "q_scan_binaryfile",
+        "q_scan_orc", "q_sink_parquet_roundtrip", "q_scan_partition_pruned", "q_scan_binaryfile", "q_scan_csv_malformed",
     ],
     "§2.2 Projections/filters": [
         "q_project_arith", "q_filter_cmp", "q_filter_bool", "q_filter_in",
@@ -55,7 +55,7 @@ SECTIONS = {
     "§2.8 Scalar functions": [
         "q_fn_string", "q_fn_date", "q_fn_math", "q_fn_array", "q_fn_array_explode",
         "q_fn_array_hof", "q_fn_map", "q_fn_json", "q_fn_cond", "q_fn_hash",
-        "q_fn_hash_spark", "q_fn_try", "q_fn_bitwise", "q_fn_url",
+        "q_fn_hash_spark", "q_fn_try", "q_fn_bitwise", "q_fn_url", "q_fn_regexp",
     ],
     "§2.9 LLM-pipeline (north-star)": [
         "q_dedup_exact", "q_dedup_keep_best", "q_dedup_incremental", "q_dedup_ngram", "q_dedup_near", "q_dedup_simhash",

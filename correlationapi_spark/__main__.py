@@ -36,6 +36,13 @@ Commands:
             [--n-iter N] [--limit N]
   pack      --data PATH --id COL --text COL [--capacity N] [--limit N] [--tokenizer ws|bpeish]
   bpe       --data PATH --id COL --text COL [--n-merges N] [--vocab-cap N]
+  tukey     --data PATH --var COL --group-by COL   (HSD pairwise post-hoc)
+  decompose --data PATH --var COL --time COL [--grain day] [--period 7]
+  weighted-quantile --data PATH --var COL --weight COL [--group-by COL]
+            [--quantiles 0.25,0.5,0.75]
+  gopher    --data PATH [--id COL] [--text COL] [--limit N]
+  stationary --data PATH --user COL --event COL --time COL --order COL
+            [--n-iter N]
   serve     [--host H] [--port P]             # REST listener (http_api.py)
   query     --key q_name [--sf-dir DIR]      # run a declared inventory key
   keys                                        # list the declared inventory
@@ -176,6 +183,57 @@ def main(argv: list[str] | None = None) -> int:
     tr.add_argument("--time", required=True)
     tr.add_argument("--group-by", default=None)
     tr.add_argument("--grain", default="day")
+
+    tk = sub.add_parser(
+        "tukey",
+        help="Tukey-Kramer HSD pairwise post-hoc after anova",
+    )
+    add_data(tk)
+    tk.add_argument("--var", required=True)
+    tk.add_argument("--group-by", required=True)
+
+    dc = sub.add_parser(
+        "decompose",
+        help="classical additive decomposition: per-phase seasonal "
+        "index + centered-MA trend mean",
+    )
+    add_data(dc)
+    dc.add_argument("--var", required=True)
+    dc.add_argument("--time", required=True)
+    dc.add_argument("--grain", default="day",
+                    choices=["hour", "day", "week", "month"])
+    dc.add_argument("--period", type=int, default=7)
+
+    wq = sub.add_parser(
+        "weighted-quantile",
+        help="weighted percentiles via exact integer running-weight "
+        "cutoffs",
+    )
+    add_data(wq)
+    wq.add_argument("--var", required=True)
+    wq.add_argument("--weight", required=True)
+    wq.add_argument("--group-by", default=None)
+    wq.add_argument("--quantiles", default="0.25,0.5,0.75")
+
+    gp = sub.add_parser(
+        "gopher",
+        help="Gopher-rule quality report over a (id, text) table",
+    )
+    add_data(gp)
+    gp.add_argument("--id", dest="id_col", default="doc_id")
+    gp.add_argument("--text", dest="text_col", default="text")
+    gp.add_argument("--limit", type=int, default=100)
+
+    st = sub.add_parser(
+        "stationary",
+        help="stationary distribution of the per-user event chain",
+    )
+    add_data(st)
+    st.add_argument("--user", required=True)
+    st.add_argument("--event", required=True)
+    st.add_argument("--time", required=True)
+    st.add_argument("--order", required=True)
+    st.add_argument("--n-iter", type=int, default=50)
 
     pc = sub.add_parser(
         "pca",
@@ -484,6 +542,21 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "trend":
             res = api.trend("ds", args.var, args.time,
                             group_by=args.group_by, grain=args.grain)
+        elif args.cmd == "tukey":
+            res = api.tukey("ds", args.var, args.group_by)
+        elif args.cmd == "decompose":
+            res = api.decompose("ds", args.var, args.time,
+                                grain=args.grain, period=args.period)
+        elif args.cmd == "weighted-quantile":
+            res = api.weighted_quantile("ds", args.var, args.weight,
+                                        group_by=args.group_by,
+                                        quantiles=args.quantiles)
+        elif args.cmd == "gopher":
+            res = api.gopher("ds", id_col=args.id_col,
+                             text_col=args.text_col, limit=args.limit)
+        elif args.cmd == "stationary":
+            res = api.stationary("ds", args.user, args.event, args.time,
+                                 args.order, n_iter=args.n_iter)
         elif args.cmd == "pca":
             res = api.pca("ds", args.id_col, args.vector, k=args.k)
         elif args.cmd == "integrity":

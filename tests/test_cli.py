@@ -357,3 +357,38 @@ def test_cli_knn_graph_and_holtwinters(spark, capsys):
         "--var", "o_totalprice", "--normality",
     ])
     assert rc == 0 and res["jb_stat"] > 0 and 0.0 <= res["jb_p_value"] <= 1.0
+
+
+def test_cli_round9_late_services(spark, capsys):
+    rc, res = _run(capsys, [
+        "tukey", "--data", os.path.join(SF_SMOKE, "customer.parquet"),
+        "--var", "c_acctbal", "--group-by", "c_mktsegment",
+    ])
+    assert rc == 0 and res["n_pairs"] == 10
+
+    rc, res = _run(capsys, [
+        "decompose", "--data", os.path.join(SF_SMOKE, "events.parquet"),
+        "--var", "value", "--time", "ts",
+    ])
+    assert rc == 0 and len(res["phases"]) == 7
+
+    rc, res = _run(capsys, [
+        "weighted-quantile",
+        "--data", os.path.join(SF_SMOKE, "lineitem.parquet"),
+        "--var", "l_extendedprice", "--weight", "l_quantity",
+        "--group-by", "l_returnflag", "--quantiles", "0.5",
+    ])
+    assert rc == 0 and len(res["groups"]) == 3
+
+    rc, res = _run(capsys, [
+        "gopher", "--data", os.path.join(SF_SMOKE, "documents.parquet"),
+        "--limit", "3",
+    ])
+    assert rc == 0 and res["n_docs"] > 0 and len(res["failing"]) <= 3
+
+    rc, res = _run(capsys, [
+        "stationary", "--data", os.path.join(SF_SMOKE, "events.parquet"),
+        "--user", "user_id", "--event", "event_type", "--time", "ts",
+        "--order", "event_id",
+    ])
+    assert rc == 0 and abs(sum(res["pi"].values()) - 1.0) < 1e-4

@@ -1870,3 +1870,121 @@ def q_text_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") >= 2)
     )
+
+
+@query(
+    "q_text_pii_scrub",
+    oracle="""
+        WITH seeded AS (
+            SELECT doc_id,
+                   substring(text, 1, 60)
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN ' mail user' || doc_id || '@example.com'
+                           WHEN doc_id % 5 = 1
+                           THEN ' call 555-01' || lpad(CAST(doc_id % 100
+                                AS VARCHAR), 2, '0') || '-'
+                                || lpad(CAST(doc_id % 10000 AS VARCHAR),
+                                        4, '0')
+                           WHEN doc_id % 5 = 2
+                           THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+                                || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+                           ELSE '' END AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                    '[a-z0-9]+@[a-z0-9.]+[a-z]')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(text,
+                    '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phoneish,
+               CAST(len(regexp_extract_all(text,
+                    '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+')) AS BIGINT)
+                   AS n_ip,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text,
+                     '[a-z0-9]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
+                   '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+', '<IP>', 'g'),
+                 '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<PHONE>', 'g')
+                   AS scrubbed
+        FROM seeded
+    """,
+    doc="PII scrubbing pass: email / phone-ish / IP span detection and "
+    "typed-token redaction over deterministically seeded spans — the "
+    "standard pretraining privacy stage; counts per type + the "
+    "scrubbed text, whole output oracle-checked.",
+)
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scrub every pretraining pipeline runs before anything else
+    ships: find PII-shaped spans, replace with typed placeholder
+    tokens (<EMAIL>/<IP>/<PHONE>) so downstream tokenization sees a
+    stable vocabulary item instead of infinite unique strings. The
+    fixture corpus has no PII, so the key SEEDS deterministic spans
+    first (email on doc_id % 5 == 0, a 555 phone on % 5 == 1, a
+    10.x.0.y IP on % 5 == 2) — detection and redaction then have exact
+    expected counts per doc.
+
+    Dialect discipline: fixed-count classes ([0-9]{3}), literal dots
+    escaped, 'g' replace — the portable subset (q_fn_regexp). The
+    phone REDACTION pattern is the 3-2-4 grouping while the DETECTOR
+    counts 3-4 tails, deliberately different so the test surface pins
+    both count-only and rewrite paths.
+
+    Scale shape: pure map-side regex in codegen — no shuffle, no UDF;
+    composes in front of q_quality_pipeline at 100 TB."""
+    t = load_tables(spark, sf_dir)
+    seeded_text = F.concat(
+        F.substring("text", 1, 60),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" mail user"), F.col("doc_id"), F.lit("@example.com")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(
+                F.lit(" call 555-01"),
+                F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+                F.lit("-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(
+                F.lit(" host 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".0."),
+                (F.col("doc_id") % 100).cast("string"),
+            ),
+        )
+        .otherwise(F.lit("")),
+    )
+    seeded = t["documents"].select("doc_id", seeded_text.alias("text"))
+    email_re = "[a-z0-9]+@[a-z0-9.]+[a-z]"
+    ip_re = r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+"
+    phone_tail_re = "[0-9]{3}-[0-9]{4}"
+    phone_full_re = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), email_re, "<EMAIL>"),
+            ip_re,
+            "<IP>",
+        ),
+        phone_full_re,
+        "<PHONE>",
+    )
+    return seeded.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(text, '{email_re}', 0)"))
+        .cast("bigint")
+        .alias("n_email"),
+        F.size(F.expr(f"regexp_extract_all(text, '{phone_tail_re}', 0)"))
+        .cast("bigint")
+        .alias("n_phoneish"),
+        F.size(F.expr(r"regexp_extract_all(text,"
+                      r" '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+', 0)"))
+        .cast("bigint")
+        .alias("n_ip"),
+        scrubbed.alias("scrubbed"),
+    )

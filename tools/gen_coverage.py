@@ -69,7 +69,7 @@ SECTIONS = {
         "q_sample_weighted", "q_sample_balanced", "q_sample_systematic", "q_domain_mix", "q_sample_temperature",
         "q_multimodal_meta", "q_multimodal_frames", "q_multimodal_phash", "q_pack_chunks",
         "q_pack_bpeish", "q_pack_bpe", "q_pack_bestfit", "q_cluster_kmeans_step",
-        "q_text_gopher", "q_text_bigram_lm", "q_text_bigram_kn", "q_text_hashing_trick", "q_text_compress_ratio", "q_multimodal_audio_spectral",
+        "q_text_gopher", "q_text_bigram_lm", "q_text_bigram_kn", "q_text_hashing_trick", "q_text_pii_scrub", "q_text_compress_ratio", "q_multimodal_audio_spectral",
     ],
     "§2.10 Streaming (batch-equivalent declared forms)": [
         "q_stream_tumbling", "q_stream_sliding", "q_stream_session", "q_stream_dedup",

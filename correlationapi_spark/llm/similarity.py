@@ -1577,3 +1577,145 @@ def q_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is what the recall pin measures."""
     t = load_tables(spark, sf_dir)
     return pq_adc_topk(t["embeddings"], F.col("vec_id") < 5, 5)
+
+
+def ivfpq_topk(
+    corpus: DataFrame, probe_pred, k: int = 5, n_probe: int = 6
+) -> DataFrame:
+    """IVF-PQ — the composition every billion-vector ANN system ships
+    (FAISS IVFx,PQy): the IVF coarse quantizer prunes the corpus to
+    n_probe cells' worth of CANDIDATES (at scale: parquet partition
+    pruning on the cell-partitioned layout, q_sim_topk_ivf), and PQ's
+    asymmetric distance scores only those candidates from 2-byte codes
+    + a broadcast lookup table (q_sim_topk_pq) — so a probe touches
+    ~n_probe/k_cells of the corpus AND never reads raw vectors.
+
+    Plan: probe→cell ranking on the broadcast centroid table; the
+    candidate (probe, vec) pairs come from the cell equi-join; codes
+    join candidates on vec_id and the broadcast LUT on (probe, s, cid);
+    one pivot-summed ADC per pair; WindowGroupLimit top-k. ADC L2
+    ranks ascending (the q_sim_topk_pq contract)."""
+    assigned, cents = ivf_index(
+        corpus_view(corpus, "vec_id", "embedding")
+    )
+    coded = pq_encode(corpus).select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.shiftright(F.col("pq_code"), 4 * s)
+                        .bitwiseAND(F.lit(15))
+                        .cast("int")
+                        .alias("cid"),
+                    )
+                    for s in range(PQ_M)
+                ]
+            )
+        ).alias("e"),
+    ).select("vec_id", F.col("e.s").alias("s"), F.col("e.cid").alias("cid"))
+    subs = corpus.select(
+        "vec_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                lambda s: F.struct(
+                    s.alias("s"),
+                    F.transform(
+                        F.slice(
+                            F.col("embedding"), s * PQ_SUB_D + 1, PQ_SUB_D
+                        ),
+                        lambda x: x.cast("double"),
+                    ).alias("sub"),
+                ),
+            )
+        ).alias("e"),
+    ).select("vec_id", F.col("e.s").alias("s"), F.col("e.sub").alias("sub"))
+    codebook = subs.filter(F.col("vec_id") < PQ_K).select(
+        "s", F.col("vec_id").cast("int").alias("cid"), F.col("sub").alias("c")
+    )
+    l2 = F.aggregate(
+        F.zip_with(F.col("sub"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = (
+        subs.filter(probe_pred)
+        .withColumnRenamed("vec_id", "probe_id")
+        .join(F.broadcast(codebook), "s")
+        .select("probe_id", "s", "cid", l2.alias("ld"))
+    )
+    # probe -> n_probe nearest cells (L2 on the raw probe vs centroid)
+    probes = corpus.filter(probe_pred).select(
+        F.col("vec_id").alias("probe_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("pv"),
+    )
+    pc = probes.crossJoin(F.broadcast(cents)).select(
+        "probe_id",
+        "cell",
+        F.aggregate(
+            F.zip_with(
+                F.col("pv"), F.col("cv"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("d2"),
+    )
+    wc = Window.partitionBy("probe_id").orderBy("d2", "cell")
+    probe_cells = (
+        pc.select("*", F.row_number().over(wc).alias("cr"))
+        .filter(F.col("cr") <= n_probe)
+        .select("probe_id", "cell")
+    )
+    candidates = probe_cells.join(
+        assigned.select("vec_id", "cell"), "cell"
+    ).select("probe_id", "vec_id")
+    scored = (
+        candidates.filter(F.col("probe_id") != F.col("vec_id"))
+        .join(coded, "vec_id")
+        .join(F.broadcast(lut), ["probe_id", "s", "cid"])
+        .groupBy("probe_id", "vec_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("s") == i, F.col("ld"))).alias(f"e{i}")
+                for i in range(PQ_M)
+            ]
+        )
+        .select(
+            "probe_id", "vec_id",
+            (F.col("e0") + F.col("e1") + F.col("e2") + F.col("e3"))
+            .alias("adc"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("adc").asc(), "vec_id")
+    return (
+        scored.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= k)
+        .select(
+            "probe_id", "vec_id", F.round(F.col("adc"), 6).alias("adc_l2"),
+            F.col("rn").cast("int").alias("rank"),
+        )
+    )
+
+
+@query(
+    "q_sim_topk_ivfpq",
+    rows_only_reason="IVF cells come from seeded KMeans and ADC from "
+    "the float PQ codebook (both parents' rows-only reasons "
+    "propagate); quality is pinned by tests/test_rowsonly.py::"
+    "test_ivfpq_candidates_subset_and_consistent (IVF-PQ answers come "
+    "from the probed cells only, score identically to the full-scan "
+    "ADC engine on shared pairs, and candidate volume is a strict "
+    "subset of the corpus).",
+    doc="IVF-PQ fused ANN (the FAISS-style composition): coarse-"
+    "quantizer cell pruning + asymmetric-distance scoring over 4-bit "
+    "codes — a probe touches ~n_probe/k_cells of the corpus and never "
+    "rereads raw vectors.",
+)
+def q_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See ivfpq_topk: probes vec_id < 5, k = 5, n_probe = 6 of 16
+    cells — directly comparable to q_sim_topk (exact), q_sim_topk_ivf
+    (IVF + exact refine) and q_sim_topk_pq (full-scan ADC)."""
+    t = load_tables(spark, sf_dir)
+    return ivfpq_topk(t["embeddings"], F.col("vec_id") < 5, 5)

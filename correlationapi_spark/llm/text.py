@@ -1988,3 +1988,82 @@ def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_ip"),
         scrubbed.alias("scrubbed"),
     )
+
+
+@query(
+    "q_pipeline_pretrain",
+    oracle="""
+        WITH d AS (
+            SELECT source, doc_id, text,
+                   string_split(text, ' ') AS ts,
+                   CAST(length(text) AS BIGINT) AS nc,
+                   min(doc_id) OVER (PARTITION BY text) AS keep_id
+            FROM documents
+        ), m AS (
+            SELECT source, doc_id,
+                   doc_id = keep_id AS survives_dedup,
+                   len(ts) BETWEEN 10 AND 100000
+                   AND (CAST(nc - (len(ts) - 1) AS DOUBLE) / len(ts))
+                       BETWEEN 3 AND 10
+                   AND CAST(len(list_filter(ts,
+                           x -> regexp_matches(x, '[a-z]')))
+                           AS DOUBLE) / len(ts) >= 0.8
+                   AND len(list_filter(
+                           ['the', 'a', 'and', 'of', 'to', 'with',
+                            'that', 'be'],
+                           s -> list_contains(ts, s))) >= 2
+                       AS passes_gopher
+            FROM d
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_total,
+               CAST(count(*) FILTER (NOT survives_dedup) AS BIGINT)
+                   AS n_dropped_dup,
+               CAST(count(*) FILTER (survives_dedup AND NOT passes_gopher)
+                    AS BIGINT) AS n_dropped_gopher,
+               CAST(count(*) FILTER (survives_dedup AND passes_gopher)
+                    AS BIGINT) AS n_kept
+        FROM m GROUP BY source
+    """,
+    doc="Modern pretraining funnel accounting: exact-dedup "
+    "survivorship, then the Gopher rule gate — per-source drop "
+    "attribution for the two heaviest cleanup stages, composed from "
+    "the q_dedup_exact and q_text_gopher engines.",
+)
+def q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit table a corpus card actually publishes: per source,
+    how many documents each stage dropped — dedup FIRST (cheapest,
+    biggest win; keep_id = min doc_id per exact-text class), the
+    Gopher rule conjunction on survivors only. Stage attribution
+    matters operationally: a source bleeding at the dedup stage is a
+    crawl problem, one bleeding at Gopher is a content problem.
+
+    Built from the shared engines (sha-256 survivor classes as
+    q_quality_pipeline; gopher_frame for the rules), so the stage
+    semantics here can never drift from the standalone keys.
+
+    Scale shape: dedup's 32-byte-digest shuffle + the map-side gopher
+    measures + one per-source rollup — the same two exchanges as
+    q_quality_pipeline; no text crosses a shuffle."""
+    docs = load_tables(spark, sf_dir)["documents"].withColumn(
+        "_h", F.sha2(F.col("text"), 256)
+    )
+    survivors = docs.groupBy("_h").agg(F.min("doc_id").alias("keep_id"))
+    gf = gopher_frame(docs).select("doc_id", "passes_gopher")
+    joined = (
+        docs.join(survivors, "_h")
+        .join(gf, "doc_id")
+        .select(
+            "source",
+            (F.col("doc_id") == F.col("keep_id")).alias("sd"),
+            (F.col("passes_gopher") == 1).alias("pg"),
+        )
+    )
+    return joined.groupBy("source").agg(
+        F.count("*").alias("n_total"),
+        F.sum((~F.col("sd")).cast("long")).alias("n_dropped_dup"),
+        F.sum((F.col("sd") & ~F.col("pg")).cast("long")).alias(
+            "n_dropped_gopher"
+        ),
+        F.sum((F.col("sd") & F.col("pg")).cast("long")).alias("n_kept"),
+    )

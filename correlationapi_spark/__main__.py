@@ -343,7 +343,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="raw probe embedding as comma-separated floats "
                     "(repeatable); alternative to --probes")
     sm.add_argument("--k", type=int, default=5)
-    sm.add_argument("--method", default="exact", choices=["exact", "ivf"])
+    sm.add_argument("--method", default="exact",
+                    choices=["exact", "ivf", "pq", "ivfpq"])
     sm.add_argument("--n-cells", type=int, default=16)
     sm.add_argument("--n-probe", type=int, default=6)
 

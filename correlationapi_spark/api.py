@@ -2556,12 +2556,66 @@ class CorrelationAPI:
             )
         if k < 1:
             raise ValueError("k must be >= 1")
-        if method not in ("exact", "ivf"):
-            raise ValueError(f"unknown method: {method!r} (exact|ivf)")
-        if method == "ivf" and (n_cells < 1 or n_probe < 1):
+        if method not in ("exact", "ivf", "pq", "ivfpq"):
+            raise ValueError(
+                f"unknown method: {method!r} (exact|ivf|pq|ivfpq)"
+            )
+        if method in ("ivf", "ivfpq") and (n_cells < 1 or n_probe < 1):
             # caught here as a user error (HTTP 400), not a Py4J KMeans
             # stack trace at 500 (review r06)
             raise ValueError("n_cells and n_probe must be >= 1")
+        if method in ("pq", "ivfpq"):
+            # PQ scores CODES: probes must be corpus rows (their raw
+            # subvectors build the lookup table engine-side)
+            if not probe_ids:
+                raise ValueError(
+                    "pq/ivfpq probes must be dataset rows (probe_ids)"
+                )
+            from .llm.similarity import (
+                PQ_M,
+                PQ_SUB_D,
+                ivfpq_topk,
+                pq_adc_topk,
+            )
+
+            df = self._get(dataset)
+            if id_col not in df.columns or vector_col not in df.columns:
+                raise KeyError(
+                    f"unknown column: need {id_col!r} and {vector_col!r}"
+                )
+            raw = df.select(
+                F.col(id_col).cast("long").alias("vec_id"),
+                F.col(vector_col).alias("embedding"),
+                F.lit(0).alias("label"),
+            )
+            first = raw.select(F.size("embedding").alias("d")).first()
+            if first is None or first.d != PQ_M * PQ_SUB_D:
+                raise ValueError(
+                    f"pq methods require {PQ_M * PQ_SUB_D}-dim vectors "
+                    f"(PQ_M x PQ_SUB_D), got "
+                    f"{None if first is None else first.d}"
+                )
+            pf = F.col("vec_id").isin([int(p) for p in probe_ids])
+            res = (
+                pq_adc_topk(raw, pf, k)
+                if method == "pq"
+                else ivfpq_topk(raw, pf, k, n_probe=n_probe)
+            )
+            neighbors_pq: dict[str, list[dict[str, Any]]] = {
+                str(int(p)): [] for p in probe_ids
+            }
+            for r in res.collect():
+                neighbors_pq[str(r.probe_id)].append(
+                    {"id": r.vec_id, "adc_l2": _nan_to_none(r.adc_l2),
+                     "rank": r.rank}
+                )
+            return {
+                "dataset": dataset, "id": id_col, "vector": vector_col,
+                "method": method, "k": k,
+                **({"n_cells": n_cells, "n_probe": n_probe}
+                   if method == "ivfpq" else {}),
+                "neighbors": neighbors_pq,
+            }
         corpus = corpus_view(self._get(dataset), id_col, vector_col)
         if probe_ids:
             pf = F.col("vec_id").isin([int(p) for p in probe_ids])

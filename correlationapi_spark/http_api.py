@@ -50,8 +50,9 @@ container, and none is needed for a JSON-for-JSON contract:
        → lags (acf per lag) + pacf (Durbin-Levinson) + significance band
   GET  /partial?dataset=&x=&y=&control=[&group_by=]
        (control may be comma-separated for higher-order partials)
-  GET  /similar?dataset=&id=&vector=&probes=1,2[&k=][&method=exact|ivf]
-       [&n_cells=][&n_probe=]     → top-k cosine neighbors per probe id
+  GET  /similar?dataset=&id=&vector=&probes=1,2[&k=][&method=exact|ivf|pq|ivfpq]
+       [&n_cells=][&n_probe=]     → top-k neighbors per probe id (cosine
+       for exact/ivf, code-space ADC L2 for pq/ivfpq)
   POST /similar {"dataset","id","vector","query_vectors":[[...],…],…}
        → top-k neighbors of RAW embeddings (keys q0, q1, …)
   GET  /dedup?dataset=&id=&text=[&method=exact|keep_best|ngram|minhash][&threshold=]

@@ -2139,3 +2139,36 @@ def test_stationary_matches_declared_key(api_orders, spark):
     for state, pi in res["pi"].items():
         assert abs(pi - key[state]) < 1e-6, state
     assert abs(sum(res["pi"].values()) - 1.0) < 1e-4
+
+
+def test_similar_pq_methods_match_declared_keys(api_orders, spark):
+    import os as _os
+
+    api_orders.register_dataset(
+        "embeddings", _os.path.join(SF_SMOKE, "embeddings.parquet")
+    )
+    key_pq = {
+        (r.probe_id, r.vec_id): (r.adc_l2, r.rank)
+        for r in REGISTRY["q_sim_topk_pq"].fn(spark, SF_SMOKE).collect()
+    }
+    res = api_orders.similar(
+        "embeddings", "vec_id", "embedding",
+        probe_ids=[0, 1, 2, 3, 4], k=5, method="pq",
+    )
+    assert set(res["neighbors"]) == {"0", "1", "2", "3", "4"}
+    for pid, rows in res["neighbors"].items():
+        assert len(rows) == 5
+        for cell in rows:
+            assert key_pq[(int(pid), cell["id"])] == (
+                cell["adc_l2"], cell["rank"],
+            )
+    res2 = api_orders.similar(
+        "embeddings", "vec_id", "embedding",
+        probe_ids=[0, 1], k=3, method="ivfpq",
+    )
+    assert all(len(v) == 3 for v in res2["neighbors"].values())
+    with pytest.raises(ValueError):
+        api_orders.similar(
+            "embeddings", "vec_id", "embedding",
+            query_vectors=[[0.0] * 64], method="pq",
+        )

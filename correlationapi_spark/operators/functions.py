@@ -629,3 +629,55 @@ def q_fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
             "devoweled"
         ),
     )
+
+
+@query(
+    "q_fn_format",
+    oracle="""
+        SELECT o_orderkey,
+               printf('%08d', o_orderkey)                 AS key_padded,
+               printf('%s:%d cents',
+                      o_orderstatus,
+                      CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS status_price,
+               printf('%x', o_orderkey)                   AS key_hex,
+               lpad(CAST(o_orderkey % 1000 AS VARCHAR), 5, '*')
+                   AS bucket_padded,
+               CAST(length(printf('%d', o_orderkey)) AS BIGINT)
+                   AS n_digits
+        FROM orders WHERE o_orderkey < 500
+    """,
+    doc="String formatting family: C-style printf padding / hex / "
+    "composed templates + lpad — the report-rendering surface, "
+    "formatted from exact integers only (no float rendering to "
+    "disagree on).",
+)
+def q_fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """format_string is Spark's printf; DuckDB's printf implements the
+    same C dialect, so integer-fed templates ('%08d', '%x', composed
+    '%s:%d') are byte-identical. Floats are deliberately NOT formatted
+    directly — '%.2f' rounding of a double at a half-boundary is the
+    same cross-engine trap as round() (numerics.py), so money renders
+    from exact CENTS.
+
+    Scale shape: pure map-side projection under a pushed key filter."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .filter(F.col("o_orderkey") < 500)
+        .select(
+            "o_orderkey",
+            F.format_string("%08d", "o_orderkey").alias("key_padded"),
+            F.format_string(
+                "%s:%d cents",
+                F.col("o_orderstatus"),
+                F.round(F.col("o_totalprice") * 100).cast("bigint"),
+            ).alias("status_price"),
+            F.format_string("%x", "o_orderkey").alias("key_hex"),
+            F.lpad((F.col("o_orderkey") % 1000).cast("string"), 5, "*")
+            .alias("bucket_padded"),
+            F.length(F.format_string("%d", "o_orderkey"))
+            .cast("bigint")
+            .alias("n_digits"),
+        )
+    )

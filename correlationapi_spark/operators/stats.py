@@ -5605,3 +5605,88 @@ def tukey_pairs(g: DataFrame, unit_div: float = 1.0) -> DataFrame:
             (F.col("n") - F.col("k")).cast("bigint").alias("df_within"),
         )
     )
+
+
+@query(
+    "q_win_slope",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                        AS BIGINT) AS dn,
+                   CAST(round(round(avg(value), 6) * 1000000) AS BIGINT)
+                       AS vu
+            FROM events GROUP BY 1
+        ), win AS (
+            SELECT dn,
+                   CAST(count(*) OVER w AS BIGINT)  AS n,
+                   CAST(sum(dn) OVER w AS BIGINT)   AS sx,
+                   CAST(sum(vu) OVER w AS BIGINT)   AS sy,
+                   CAST(sum(dn * vu) OVER w AS BIGINT) AS sxy,
+                   CAST(sum(dn * dn) OVER w AS BIGINT) AS sxx
+            FROM daily
+            WINDOW w AS (ORDER BY dn ROWS BETWEEN 13 PRECEDING
+                         AND CURRENT ROW)
+        )
+        SELECT dn,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                     / 1000000.0, 6) AS slope,
+               n AS n_days
+        FROM win WHERE n = 14
+    """,
+    doc="Rolling regression slope: trailing-14-day OLS beta of the "
+    "daily value on the day index, from exact integer window sums — "
+    "the local-trend signal q_ts_trend's global fit cannot give.",
+)
+def q_win_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling beta — 'is the series accelerating NOW': the OLS slope
+    over a trailing 14-day window, recomputed per day. q_ols_daily
+    fits one line per group over ALL days; this is its windowed
+    sibling, the signal behind momentum/alerting rules.
+
+    Determinism: every window sum (n, Σx, Σy, Σxy, Σx²) is an exact
+    int64 over day-index and micro-unit integers (dn ~ 2e4, vu ~ 1e9,
+    dn·vu ~ 2e13 · 14 rows — far inside int64); the slope is ONE fixed
+    expression on those exact sums, rounded at 6 dp. Full windows only
+    (n = 14) — partial-window betas are statistically meaningless and
+    would differ in row count, not value.
+
+    Scale shape: day-grain after the first partial/final aggregate;
+    the trailing window is an unpartitioned ROWS frame over ~|days|
+    rows (calendar-bounded — the documented exception to the
+    no-global-window rule, same as q_corr_rolling)."""
+    t = load_tables(spark, sf_dir)
+    dn = (
+        F.unix_micros(F.date_trunc("day", F.col("ts"))) / F.lit(86400000000)
+    ).cast("bigint")
+    daily = (
+        t["events"]
+        .groupBy(dn.alias("dn"))
+        .agg(
+            F.round(F.round(F.avg("value"), 6) * 1000000)
+            .cast("bigint")
+            .alias("vu")
+        )
+    )
+    w = Window.orderBy("dn").rowsBetween(-13, 0)
+    win = daily.select(
+        "dn",
+        F.count("*").over(w).alias("n"),
+        F.sum("dn").over(w).alias("sx"),
+        F.sum("vu").over(w).alias("sy"),
+        F.sum(F.col("dn") * F.col("vu")).over(w).alias("sxy"),
+        F.sum(F.col("dn") * F.col("dn")).over(w).alias("sxx"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (
+            F.col("n").cast("double") * F.col("sxx")
+            - F.col("sx").cast("double") * F.col("sx")
+        )
+        / 1000000.0
+    )
+    return win.filter(F.col("n") == 14).select(
+        "dn",
+        F.round(slope, 6).alias("slope"),
+        F.col("n").alias("n_days"),
+    )

@@ -299,3 +299,59 @@ def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.lateralJoin(Tokenize(F.col("text").outer())).select(
         "doc_id", "pos", "token"
     )
+
+
+@query(
+    "q_udf_arrow",
+    oracle="""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_arrow,
+               CAST(length(text) - length(replace(text, ' ', ''))
+                    AS BIGINT) AS n_spaces_arrow
+        FROM documents
+    """,
+    doc="mapInArrow UDF: per-batch pyarrow.compute kernels "
+    "(utf8_length / count_substring) over raw RecordBatches — the "
+    "zero-copy sibling of mapInPandas, oracled against the equivalent "
+    "SQL string functions.",
+)
+def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11's newest surface: mapInArrow hands the Python worker raw
+    Arrow RecordBatches — no pandas materialization at all — so
+    pyarrow.compute kernels (C++, SIMD) run directly on the wire
+    format. The right tool when the per-batch logic is itself
+    expressible as Arrow kernels (here: utf8_length + count_substring,
+    chosen precisely because SQL mirrors them exactly, making this the
+    registry's ORACLED arrow-UDF exhibit; real uses are codecs and
+    tokenizers that have Arrow-native kernels but no SQL form).
+
+    Scale shape: one stateless Arrow stage, no shuffle; batch size
+    rides spark.sql.execution.arrow.maxRecordsPerBatch."""
+    t = load_tables(spark, sf_dir)
+
+    def make_arrow_stats():
+        # closure by REQUIREMENT: cloudpickle ships it by value, workers
+        # never import this package (io.py read_parquet_any note)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def stats(batches):
+            for batch in batches:
+                text = batch.column("text")
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        batch.column("doc_id"),
+                        pc.cast(pc.utf8_length(text), pa.int64()),
+                        pc.cast(
+                            pc.count_substring(text, " "), pa.int64()
+                        ),
+                    ],
+                    ["doc_id", "n_chars_arrow", "n_spaces_arrow"],
+                )
+
+        return stats
+
+    return t["documents"].select("doc_id", "text").mapInArrow(
+        make_arrow_stats(),
+        "doc_id bigint, n_chars_arrow bigint, n_spaces_arrow bigint",
+    )

@@ -5690,3 +5690,58 @@ def q_win_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("slope"),
         F.col("n").alias("n_days"),
     )
+
+
+@query(
+    "q_corr_semipartial",
+    oracle="""
+        WITH r AS (
+            SELECT l_returnflag,
+                   round(corr(l_quantity, l_extendedprice), 6) AS rxy,
+                   round(corr(l_quantity, l_discount), 6)      AS rxz,
+                   round(corr(l_extendedprice, l_discount), 6) AS ryz,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem GROUP BY 1
+        )
+        SELECT l_returnflag, rxy, rxz, ryz,
+               round((rxy - rxz * ryz) / sqrt(1 - rxz * rxz), 6)
+                   AS semipartial_x,
+               round((rxy - rxz * ryz) / sqrt(1 - ryz * ryz), 6)
+                   AS semipartial_y,
+               n_rows
+        FROM r
+    """,
+    doc="Semipartial (part) correlations: discount removed from ONE "
+    "side only — both asymmetries, completing the partial-correlation "
+    "family from the same three pairwise r's.",
+)
+def q_corr_semipartial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semipartial r — the regression-increment form: r_y(x·z) is the
+    correlation of y with the PART of x orthogonal to z (its square is
+    the R² gained by adding x to a model already holding z — the
+    variable-importance number). Partial (q_corr_partial) removes z
+    from BOTH sides; semipartial from one, and the two asymmetries
+    differ, so both are emitted.
+
+    Same determinism contract as q_corr_partial: three pairwise r's
+    from ONE fused grouped aggregation, each pinned at 6 dp before the
+    closed form; one fixed IEEE expression per output."""
+    t = load_tables(spark, sf_dir)
+    r = (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("rxy"),
+            F.round(F.corr("l_quantity", "l_discount"), 6).alias("rxz"),
+            F.round(F.corr("l_extendedprice", "l_discount"), 6).alias("ryz"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+    rxy, rxz, ryz = F.col("rxy"), F.col("rxz"), F.col("ryz")
+    num = rxy - rxz * ryz
+    return r.select(
+        "l_returnflag", "rxy", "rxz", "ryz",
+        F.round(num / F.sqrt(1 - rxz * rxz), 6).alias("semipartial_x"),
+        F.round(num / F.sqrt(1 - ryz * ryz), 6).alias("semipartial_y"),
+        "n_rows",
+    )

@@ -1975,3 +1975,68 @@ def test_ivfpq_candidates_subset_and_consistent(spark):
     for r in fused:
         assert (r.probe_id, r.vec_id) in full
         assert full[(r.probe_id, r.vec_id)] == r.adc_l2, r
+
+
+def test_resize_matches_local_replay(spark):
+    """q_multimodal_resize's documented pin: driver-side replay of the
+    same decoders + integer nearest-neighbor grid reproduces every
+    thumbnail sha byte-exactly, and identical payloads (the 3 fixture
+    variants per format) collapse to identical thumbnails."""
+    import hashlib
+
+    from correlationapi_spark.llm.multimodal import (
+        THUMB_H,
+        THUMB_W,
+        make_decode_gif_pixels,
+        make_decode_jpeg_pixels,
+        make_decode_png_pixels,
+        with_media_column,
+    )
+    from correlationapi_spark.io import load_tables
+
+    rows = REGISTRY["q_multimodal_resize"].fn(spark, SF_SMOKE).collect()
+    assert rows and all(r.thumb_sha256 for r in rows)
+    media = {
+        r.doc_id: (bytes(r.media.data), r.media.mime)
+        for r in with_media_column(load_tables(spark, SF_SMOKE)["documents"])
+        .filter(
+            F.col("media.mime").isin("image/png", "image/gif", "image/jpeg")
+        )
+        .collect()
+    }
+    dec = {
+        "image/png": make_decode_png_pixels(),
+        "image/jpeg": make_decode_jpeg_pixels(),
+    }
+    gif = make_decode_gif_pixels()
+
+    def replay(data, mime):
+        if mime == "image/gif":
+            w, h, _n, px = gif(data)
+            ch = 3
+            px = px[: w * h * 3]
+        else:
+            w, h, ch, px = dec[mime](data)
+        out = bytearray()
+        for r in range(THUMB_H):
+            y = min(h - 1, r * h // THUMB_H)
+            for c in range(THUMB_W):
+                x = min(w - 1, c * w // THUMB_W)
+                if ch >= 3:
+                    o = (y * w + x) * ch
+                    out += bytes(
+                        (px[o] & 0xFF, px[o + 1] & 0xFF, px[o + 2] & 0xFF)
+                    )
+                else:
+                    v = px[(y * w + x) * ch] & 0xFF
+                    out += bytes((v, v, v))
+        return w, h, hashlib.sha256(bytes(out)).hexdigest()
+
+    sha_by_payload: dict[bytes, str] = {}
+    for r in rows:
+        data, mime = media[r.doc_id]
+        w, h, sha = replay(data, mime)
+        assert (r.src_w, r.src_h) == (w, h), r.doc_id
+        assert r.thumb_sha256 == sha, r.doc_id
+        prev = sha_by_payload.setdefault(data, r.thumb_sha256)
+        assert prev == r.thumb_sha256  # identical payload => identical thumb

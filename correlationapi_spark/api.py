@@ -1699,11 +1699,14 @@ class CorrelationAPI:
         time_col: str,
         grain: str = "day",
     ) -> dict[str, Any]:
-        """Distribution-drift monitor: per-period exact KS distance,
-        Laplace-smoothed PSI, and KL + Jensen-Shannon divergence of a
-        numeric variable against the full-period reference
-        distribution — the q_drift_daily / q_drift_psi / q_drift_js
-        engines as one service endpoint (values quantize to exact
+        """Distribution-drift monitor. NUMERIC var: per-period exact
+        KS distance, Laplace-smoothed PSI, and KL + Jensen-Shannon
+        divergence against the full-period reference — the
+        q_drift_daily / q_drift_psi / q_drift_js engines as one
+        service endpoint. STRING var: per-period chi-square of the
+        category distribution vs the pooled reference (the
+        q_drift_chi2 engine) — the response carries kind =
+        numeric|categorical (values quantize to exact
         integer micro-units; KS sup is evaluated over the GLOBAL value
         domain via the period×domain spine; PSI/KL/JS share 10
         equal-width integer bins).
@@ -1712,14 +1715,36 @@ class CorrelationAPI:
         once; every later step is bounded by time × value-domain, with
         the reference cumulative from the range-partitioned running
         sum — no global sort, no data-sized window."""
-        from .operators.stats import drift_frame
+        from .operators.stats import chi2_drift_frame, drift_frame
 
         df = self._get(dataset)
-        x = self._num(df, var)
         if time_col not in df.columns:
             raise KeyError(f"unknown variable: {time_col!r}")
         if grain not in ("hour", "day", "week", "month"):
             raise ValueError(f"unsupported grain: {grain!r}")
+        if var in df.columns and isinstance(
+            df.schema[var].dataType, T.StringType
+        ):
+            # categorical column: per-period chi-square vs the pooled
+            # category distribution (the q_drift_chi2 engine)
+            data = df.select(
+                F.date_trunc(grain, F.col(time_col)).alias("d"),
+                F.col(var).alias("t"),
+            ).filter(F.col("d").isNotNull() & F.col("t").isNotNull())
+            rows = chi2_drift_frame(data).collect()
+            return {
+                "dataset": dataset, "var": var, "time": time_col,
+                "grain": grain, "kind": "categorical",
+                "periods": {
+                    str(r.d): {
+                        "chi2": _nan_to_none(r.chi2),
+                        "dof": r.dof,
+                        "n": r.n_day,
+                    }
+                    for r in rows
+                },
+            }
+        x = self._num(df, var)
         data = df.select(
             F.date_trunc(grain, F.col(time_col)).alias("d"),
             F.round(x * 1000000, 0).cast("long").alias("v"),
@@ -1727,7 +1752,7 @@ class CorrelationAPI:
         rows = drift_frame(data, js=True).collect()
         return {
             "dataset": dataset, "var": var, "time": time_col,
-            "grain": grain,
+            "grain": grain, "kind": "numeric",
             "periods": {
                 str(r.d): {
                     "ks_d": _nan_to_none(r.ks_d),

@@ -39,7 +39,8 @@ container, and none is needed for a JSON-for-JSON contract:
   GET  /knn_graph?dataset=&id=&vector=[&k=5][&limit=100]
        (mutual k-NN cosine graph: totals + strongest edges)
   GET  /pca?dataset=&id=&vector=[&k=8]  (PCA spectrum of an embedding column)
-  GET  /drift?dataset=&var=&time=[&grain=day]  (per-period KS + PSI vs reference)
+  GET  /drift?dataset=&var=&time=[&grain=day]  (numeric var: per-period
+       KS/PSI/KL/JS vs reference; string var: per-period chi-square)
   POST /mixed_matrix {"dataset"[,"variables"]}  (type-appropriate measure per pair)
   GET  /survival?dataset=&start=&end=[&group_by=&a=&b=]  (KM curve [+ log-rank])
   POST /matrix            {"dataset","variables","method"}

@@ -5483,12 +5483,21 @@ def q_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     dn = (
         F.unix_micros(F.date_trunc("day", F.col("ts"))) / F.lit(86400000000)
     ).cast("bigint")
-    cell = (
-        t["events"]
-        .groupBy(dn.alias("dn"), F.col("event_type").alias("t"))
-        .agg(F.count("*").alias("o"))
+    data = t["events"].select(
+        dn.alias("d"), F.col("event_type").alias("t")
     )
-    daytot = cell.groupBy("dn").agg(F.sum("o").alias("nd"))
+    return chi2_drift_frame(data).select(
+        F.col("d").alias("dn"), "chi2", "dof", "n_day"
+    )
+
+
+def chi2_drift_frame(data: DataFrame) -> DataFrame:
+    """The engine behind q_drift_chi2 (and api.drift categorical mode):
+    per-period chi-square of a categorical column's distribution
+    against the pooled reference, from a row-grain (d, t) frame. See
+    the key's docstring for the exact-int determinism argument."""
+    cell = data.groupBy("d", "t").agg(F.count("*").alias("o"))
+    daytot = cell.groupBy("d").agg(F.sum("o").alias("nd"))
     typetot = cell.groupBy("t").agg(F.sum("o").alias("tt"))
     grand = cell.agg(
         F.sum("o").alias("n"), F.countDistinct("t").alias("k")
@@ -5500,10 +5509,10 @@ def q_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("double") * F.col("nd") * F.col("tt")
     )
     return (
-        cell.join(F.broadcast(daytot), "dn")
+        cell.join(F.broadcast(daytot), "d")
         .join(F.broadcast(typetot), "t")
         .crossJoin(F.broadcast(grand))
-        .groupBy("dn")
+        .groupBy("d")
         .agg(
             F.round(F.sum(term), 6).alias("chi2"),
             (F.any_value("k") - 1).cast("bigint").alias("dof"),

@@ -2172,3 +2172,27 @@ def test_similar_pq_methods_match_declared_keys(api_orders, spark):
             "embeddings", "vec_id", "embedding",
             query_vectors=[[0.0] * 64], method="pq",
         )
+
+
+def test_drift_categorical_matches_declared_key(api_orders, spark):
+    import os as _os
+
+    api_orders.register_dataset(
+        "events", _os.path.join(SF_SMOKE, "events.parquet")
+    )
+    key = {
+        r.dn: r for r in REGISTRY["q_drift_chi2"].fn(spark, SF_SMOKE).collect()
+    }
+    res = api_orders.drift("events", "event_type", "ts")
+    assert res["kind"] == "categorical"
+    assert len(res["periods"]) == len(key)
+    # the service keys periods by date_trunc timestamp, the key by
+    # epoch-day integer: compare the multisets of (chi2, dof, n)
+    got = sorted(
+        (c["chi2"], c["dof"], c["n"]) for c in res["periods"].values()
+    )
+    want = sorted((r.chi2, r.dof, r.n_day) for r in key.values())
+    assert got == want
+    # numeric path unchanged
+    res2 = api_orders.drift("events", "value", "ts")
+    assert res2["kind"] == "numeric"

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import SCHEMAS, load_tables
+from ..numerics import money_sum
 from ..registry import query
 
 
@@ -353,4 +354,66 @@ def q_scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(corrupt.cast("long")).alias("n_corrupt"),
         F.sum((~corrupt).cast("long")).alias("n_good"),
         F.sum(F.when(~corrupt, F.col("v"))).alias("sum_v_good"),
+    )
+
+
+@query(
+    "q_scan_schema_evolution",
+    oracle="""
+        WITH a AS (
+            SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0
+        ), b AS (
+            SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 1
+        )
+        SELECT CAST((SELECT count(*) FROM a) + (SELECT count(*) FROM b)
+                    AS BIGINT) AS n_rows,
+               (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_with_price,
+               (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_with_status,
+               (SELECT round(sum(o_totalprice), 2) FROM orders
+                WHERE o_orderkey % 2 = 0) AS sum_price_present
+    """,
+    doc="Schema-evolution scan: two parquet chunks written with "
+    "DIFFERENT column sets (price-only vs status-only) read back as "
+    "one relation via mergeSchema — absent columns surface as NULLs, "
+    "counted against the closed-form split expectation.",
+)
+def q_scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schemas drift: a 100 TB table accumulated over years has early
+    files missing columns that later files carry. The Spark contract
+    is mergeSchema — the union schema with NULLs where a file lacks a
+    column — and this key proves it end-to-end: the even-keyed half of
+    orders is written WITHOUT o_orderstatus, the odd half WITHOUT
+    o_totalprice, both land in one directory, and the merged read
+    must (a) keep every row, (b) null exactly the absent halves,
+    (c) preserve the present values (the exact-cents price sum). The
+    oracle computes the same split from the source table — no file
+    access, so the check pins the READER's merge semantics.
+
+    Scale shape: mergeSchema costs one footer pass over new files at
+    planning time; the scan itself stays splittable and
+    column-pruned."""
+    import os
+
+    path = _roundtrip_dir("schema_evo")
+    t = load_tables(spark, sf_dir)
+    even = t["orders"].filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    odd = t["orders"].filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    even.write.mode("overwrite").parquet(os.path.join(path, "part=a"))
+    odd.write.mode("overwrite").parquet(os.path.join(path, "part=b"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, "part=a"), os.path.join(path, "part=b")
+    )
+    return merged.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("o_totalprice").isNotNull().cast("long")).alias(
+            "n_with_price"
+        ),
+        F.sum(F.col("o_orderstatus").isNotNull().cast("long")).alias(
+            "n_with_status"
+        ),
+        money_sum("o_totalprice").alias("sum_price_present"),
     )

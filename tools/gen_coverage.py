@@ -18,7 +18,7 @@ from correlationapi_spark.registry import load_registry
 SECTIONS = {
     "§2.1 Scans/sources/sinks": [
         "q_scan_parquet", "q_scan_pruned", "q_scan_csv", "q_scan_json",
-        "q_scan_orc", "q_sink_parquet_roundtrip", "q_scan_partition_pruned", "q_scan_binaryfile", "q_scan_csv_malformed",
+        "q_scan_orc", "q_sink_parquet_roundtrip", "q_scan_partition_pruned", "q_scan_binaryfile", "q_scan_csv_malformed", "q_scan_schema_evolution",
     ],
     "§2.2 Projections/filters": [
         "q_project_arith", "q_filter_cmp", "q_filter_bool", "q_filter_in",

@@ -681,3 +681,72 @@ def q_fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_digits"),
         )
     )
+
+
+@query(
+    "q_fn_variant",
+    oracle="""
+        WITH j AS (
+            SELECT event_id,
+                   printf('{"k": %d, "tag": "%s", "arr": [%d, %d]}',
+                          CAST(event_id % 100 AS BIGINT),
+                          event_type,
+                          CAST(user_id % 10 AS BIGINT),
+                          CAST(event_id % 7 AS BIGINT)) AS doc
+            FROM events WHERE event_id < 300
+        )
+        SELECT event_id,
+               CAST(json_extract_string(doc, '$.k') AS BIGINT)  AS k_int,
+               json_extract_string(doc, '$.tag')                AS tag,
+               CAST(json_extract_string(doc, '$.arr[1]') AS BIGINT)
+                   AS arr_second,
+               CAST(json_extract(doc, '$.missing') IS NULL AS INTEGER)
+                   AS missing_is_null
+        FROM j
+    """,
+    doc="VariantType extraction (Spark 4): parse_json to a VARIANT "
+    "column, typed path access via try_variant_get including array "
+    "indexing and missing-path NULL semantics — oracled against "
+    "DuckDB's JSON path functions on the identical printf-built "
+    "document.",
+)
+def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern semi-structured path: VARIANT (Spark 4) parses JSON
+    ONCE into a binary-encoded tree, and every subsequent
+    try_variant_get is a tree walk — versus get_json_object
+    (q_fn_json), which re-parses the string per call. At 100 TB with
+    wide telemetry payloads the one-parse property is the difference
+    between IO-bound and CPU-bound scans; shredded-variant storage
+    additionally pushes paths into the parquet reader.
+
+    Both engines read the IDENTICAL printf-built document (exact
+    integers + a fixture string — no float rendering), so typed
+    extraction, array indexing, and the missing-path NULL all pin
+    exactly.
+
+    Scale shape: pure map-side projection under a pushed key filter."""
+    t = load_tables(spark, sf_dir)
+    doc = F.format_string(
+        '{"k": %d, "tag": "%s", "arr": [%d, %d]}',
+        (F.col("event_id") % 100).cast("bigint"),
+        F.col("event_type"),
+        (F.col("user_id") % 10).cast("bigint"),
+        (F.col("event_id") % 7).cast("bigint"),
+    )
+    j = (
+        t["events"]
+        .filter(F.col("event_id") < 300)
+        .select("event_id", F.parse_json(doc).alias("v"))
+    )
+    return j.select(
+        "event_id",
+        F.try_variant_get(F.col("v"), "$.k", "bigint").alias("k_int"),
+        F.try_variant_get(F.col("v"), "$.tag", "string").alias("tag"),
+        F.try_variant_get(F.col("v"), "$.arr[1]", "bigint").alias(
+            "arr_second"
+        ),
+        F.try_variant_get(F.col("v"), "$.missing", "string")
+        .isNull()
+        .cast("int")
+        .alias("missing_is_null"),
+    )

@@ -442,3 +442,60 @@ def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag",
         )
     )
+
+
+@query(
+    "q_win_cumulative_distinct",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   min(CAST(epoch_us(date_trunc('day', ts))
+                            // 86400000000 AS BIGINT)) AS first_dn
+            FROM events GROUP BY 1
+        ), daily AS (
+            SELECT first_dn AS dn, CAST(count(*) AS BIGINT) AS new_users
+            FROM firsts GROUP BY 1
+        )
+        SELECT dn, new_users,
+               CAST(sum(new_users) OVER (ORDER BY dn
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cumulative_users
+        FROM daily
+    """,
+    doc="Cumulative distinct users by day — COUNT(DISTINCT) OVER a "
+    "running frame, which no engine's window supports directly, "
+    "expressed as the first-activity trick: min-day per user, then a "
+    "running sum of daily first-timers.",
+)
+def q_win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Total unique users to date' — the growth-curve metric. A naive
+    running COUNT(DISTINCT user) window is unsupported (and would hold
+    an unbounded set per frame anyway); the scalable identity is that
+    a user adds to the cumulative count exactly ONCE, on their first
+    active day: distinct-to-date(d) = Σ_{d' ≤ d} first_timers(d').
+
+    Determinism: pure integer counts on exact epoch days.
+
+    Scale shape: one user-keyed aggregate (min day — map-side
+    combinable), one day-grain count, then a running sum over the
+    calendar-bounded daily table (~|days| rows — the documented small
+    exception; for an unbounded key domain this last step is
+    ordering.global_running_sum)."""
+    t = load_tables(spark, sf_dir)
+    dn = (
+        F.unix_micros(F.date_trunc("day", F.col("ts"))) / F.lit(86400000000)
+    ).cast("bigint")
+    firsts = (
+        t["events"]
+        .select("user_id", dn.alias("dn"))
+        .groupBy("user_id")
+        .agg(F.min("dn").alias("first_dn"))
+    )
+    daily = firsts.groupBy(F.col("first_dn").alias("dn")).agg(
+        F.count("*").alias("new_users")
+    )
+    w = Window.orderBy("dn").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "dn", "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    )

@@ -48,14 +48,14 @@ SECTIONS = {
     "§2.5 Window functions": [
         "q_win_rownum", "q_win_rank", "q_win_lag", "q_win_frame_rows",
         "q_win_frame_range", "q_win_time_range", "q_win_firstlast", "q_topk_group",
-        "q_win_distribution", "q_win_median", "q_win_share", "q_win_ntile",
+        "q_win_distribution", "q_win_median", "q_win_share", "q_win_ntile", "q_win_cumulative_distinct",
     ],
     "§2.6 Sorts/limits": ["q_sort_multi", "q_limit_topk", "q_limit_offset"],
     "§2.7 Set operations": ["q_set_union", "q_set_intersect", "q_set_intersect_all", "q_set_except", "q_distinct", "q_unpivot"],
     "§2.8 Scalar functions": [
         "q_fn_string", "q_fn_date", "q_fn_math", "q_fn_array", "q_fn_array_explode",
         "q_fn_array_hof", "q_fn_map", "q_fn_json", "q_fn_cond", "q_fn_hash",
-        "q_fn_hash_spark", "q_fn_try", "q_fn_bitwise", "q_fn_url", "q_fn_regexp", "q_fn_format",
+        "q_fn_hash_spark", "q_fn_try", "q_fn_bitwise", "q_fn_url", "q_fn_regexp", "q_fn_format", "q_fn_variant",
     ],
     "§2.9 LLM-pipeline (north-star)": [
         "q_dedup_exact", "q_dedup_keep_best", "q_dedup_incremental", "q_dedup_ngram", "q_dedup_near", "q_dedup_simhash",

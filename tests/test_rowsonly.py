@@ -2040,3 +2040,58 @@ def test_resize_matches_local_replay(spark):
         assert r.thumb_sha256 == sha, r.doc_id
         prev = sha_by_payload.setdefault(data, r.thumb_sha256)
         assert prev == r.thumb_sha256  # identical payload => identical thumb
+
+
+def test_image_dedup_clusters_match_payloads(spark):
+    """q_dedup_image's documented pin: thumbnail clusters are a
+    COARSENING of payload-byte equality — identical payloads always
+    share a cluster (never split), clusters may merge payloads whose
+    decoded 8x8 pixels coincide (that is the normalized-dedup point:
+    re-encodes collapse), and the survivor is the min doc_id of its
+    cluster."""
+    from correlationapi_spark.llm.multimodal import with_media_column
+    from correlationapi_spark.io import load_tables
+
+    clusters = {
+        r.thumb_sha256: r
+        for r in REGISTRY["q_dedup_image"].fn(spark, SF_SMOKE).collect()
+    }
+    assert clusters
+    media = [
+        (r.doc_id, bytes(r.media.data))
+        for r in with_media_column(load_tables(spark, SF_SMOKE)["documents"])
+        .filter(
+            F.col("media.mime").isin("image/png", "image/gif", "image/jpeg")
+        )
+        .collect()
+    ]
+    by_payload: dict[bytes, list[int]] = {}
+    for doc_id, data in media:
+        by_payload.setdefault(data, []).append(doc_id)
+    # recompute each doc's thumb via the engine itself (one pass) to
+    # map payload classes -> clusters
+    thumbs = {
+        r.doc_id: r.thumb_sha256
+        for r in REGISTRY["q_multimodal_resize"].fn(spark, SF_SMOKE).collect()
+    }
+    # (a) identical payloads never split across clusters
+    for ids in by_payload.values():
+        assert len({thumbs[i] for i in ids}) == 1, ids
+    # (b) every cluster's count and survivor match the thumb classes
+    by_thumb: dict[str, list[int]] = {}
+    for doc_id, sha in thumbs.items():
+        by_thumb.setdefault(sha, []).append(doc_id)
+    expected = {
+        sha: (min(ids), len(ids))
+        for sha, ids in by_thumb.items() if len(ids) > 1
+    }
+    got = {
+        sha: (r.keep_id, r.n_copies) for sha, r in clusters.items()
+    }
+    assert got == expected
+    # (c) the coarsening is genuine on this fixture: at least one
+    # cluster spans > 1 payload class (re-encode collapse observed)
+    assert any(
+        len({bytes(data) for d, data in media if thumbs[d] == sha}) > 1
+        for sha in clusters
+    )

@@ -67,7 +67,7 @@ SECTIONS = {
         "q_vocab_coverage", "q_text_zipf",
         "q_split_stable", "q_split_hash", "q_sample_stratified", "q_sample_fraction", "q_sample_reservoir",
         "q_sample_weighted", "q_sample_balanced", "q_sample_systematic", "q_domain_mix", "q_sample_temperature",
-        "q_multimodal_meta", "q_multimodal_frames", "q_multimodal_phash", "q_multimodal_resize", "q_pack_chunks",
+        "q_multimodal_meta", "q_multimodal_frames", "q_multimodal_phash", "q_multimodal_resize", "q_dedup_image", "q_pack_chunks",
         "q_pack_bpeish", "q_pack_bpe", "q_pack_bestfit", "q_cluster_kmeans_step",
         "q_text_gopher", "q_text_bigram_lm", "q_text_bigram_kn", "q_text_hashing_trick", "q_text_pii_scrub", "q_text_compress_ratio", "q_multimodal_audio_spectral",
     ],

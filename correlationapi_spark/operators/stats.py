@@ -5754,3 +5754,153 @@ def q_corr_semipartial(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(num / F.sqrt(1 - ryz * ryz), 6).alias("semipartial_y"),
         "n_rows",
     )
+
+
+@query(
+    "q_corr_matrix_kendall",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                        AS BIGINT) AS dn,
+                   round(avg(CASE WHEN event_type = 'click'
+                                  THEN value END), 6)    AS c,
+                   round(avg(CASE WHEN event_type = 'purchase'
+                                  THEN value END), 6)    AS p,
+                   round(avg(CASE WHEN event_type = 'view'
+                                  THEN value END), 6)    AS v
+            FROM events GROUP BY 1
+        ), d AS (
+            SELECT * FROM daily
+            WHERE c IS NOT NULL AND p IS NOT NULL AND v IS NOT NULL
+        ), pr AS (
+            SELECT sign((a.c - b.c) * (a.p - b.p)) AS s_cp,
+                   sign((a.c - b.c) * (a.v - b.v)) AS s_cv,
+                   sign((a.p - b.p) * (a.v - b.v)) AS s_pv,
+                   CASE WHEN a.c = b.c THEN 1 ELSE 0 END AS tc,
+                   CASE WHEN a.p = b.p THEN 1 ELSE 0 END AS tp,
+                   CASE WHEN a.v = b.v THEN 1 ELSE 0 END AS tv
+            FROM d a JOIN d b ON a.dn < b.dn
+        ), agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n0,
+                   CAST(sum(s_cp) AS BIGINT) AS scp,
+                   CAST(sum(s_cv) AS BIGINT) AS scv,
+                   CAST(sum(s_pv) AS BIGINT) AS spv,
+                   CAST(sum(tc) AS BIGINT) AS tc,
+                   CAST(sum(tp) AS BIGINT) AS tp,
+                   CAST(sum(tv) AS BIGINT) AS tv
+            FROM pr
+        )
+        SELECT * FROM (
+            SELECT 'click' AS var_x, 'purchase' AS var_y,
+                   round(CAST(scp AS DOUBLE)
+                         / sqrt(CAST(n0 - tc AS DOUBLE) * (n0 - tp)), 6)
+                       AS kendall_tau, n0 AS n_pairs
+            FROM agg
+            UNION ALL
+            SELECT 'click', 'view',
+                   round(CAST(scv AS DOUBLE)
+                         / sqrt(CAST(n0 - tc AS DOUBLE) * (n0 - tv)), 6),
+                   n0
+            FROM agg
+            UNION ALL
+            SELECT 'purchase', 'view',
+                   round(CAST(spv AS DOUBLE)
+                         / sqrt(CAST(n0 - tp AS DOUBLE) * (n0 - tv)), 6),
+                   n0
+            FROM agg
+        ) ORDER BY var_x, var_y
+    """,
+    doc="Kendall tau-b matrix over the three daily event-type series — "
+    "completes the matrix trio (Pearson q_corr_matrix, Spearman "
+    "q_corr_matrix_spearman) from ONE pair self-join counting all "
+    "three pairs' concordances simultaneously.",
+)
+def q_corr_matrix_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The matrix form of q_corr_kendall: all pairwise tau-b's of the
+    (click, purchase, view) daily-mean series. The pair self-join runs
+    ONCE — each day-pair row carries the sign/tie indicators of all
+    three column pairs, so the O(days²) constant-size join is shared,
+    not tripled (the same fusion q_corr_matrix gets from codegen over
+    six moment aggregates).
+
+    Determinism: 6-dp-pinned daily means, integer sign/tie counting,
+    one identical final float expression per pair (q_corr_kendall's
+    contract)."""
+    t = load_tables(spark, sf_dir)
+    dn = (
+        F.unix_micros(F.date_trunc("day", F.col("ts"))) / F.lit(86400000000)
+    ).cast("bigint")
+
+    def mean_of(et: str):
+        return F.round(
+            F.avg(F.when(F.col("event_type") == et, F.col("value"))), 6
+        )
+
+    daily = (
+        t["events"]
+        .groupBy(dn.alias("dn"))
+        .agg(
+            mean_of("click").alias("c"),
+            mean_of("purchase").alias("p"),
+            mean_of("view").alias("v"),
+        )
+        .filter(
+            F.col("c").isNotNull()
+            & F.col("p").isNotNull()
+            & F.col("v").isNotNull()
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+
+    def sgn(x: str, y: str):
+        return F.signum(
+            (F.col(f"a.{x}") - F.col(f"b.{x}"))
+            * (F.col(f"a.{y}") - F.col(f"b.{y}"))
+        ).cast("bigint")
+
+    def tie(x: str):
+        return (
+            F.when(F.col(f"a.{x}") == F.col(f"b.{x}"), 1).otherwise(0)
+        )
+
+    pairs = a.join(b, F.col("a.dn") < F.col("b.dn")).select(
+        sgn("c", "p").alias("s_cp"),
+        sgn("c", "v").alias("s_cv"),
+        sgn("p", "v").alias("s_pv"),
+        tie("c").alias("tc"), tie("p").alias("tp"), tie("v").alias("tv"),
+    )
+    agg = pairs.agg(
+        F.count("*").alias("n0"),
+        F.sum("s_cp").alias("scp"),
+        F.sum("s_cv").alias("scv"),
+        F.sum("s_pv").alias("spv"),
+        F.sum("tc").alias("tc"),
+        F.sum("tp").alias("tp"),
+        F.sum("tv").alias("tv"),
+    )
+
+    def tau(s: str, t1: str, t2: str):
+        return F.round(
+            F.col(s).cast("double")
+            / F.sqrt(
+                (F.col("n0") - F.col(t1)).cast("double")
+                * (F.col("n0") - F.col(t2))
+            ),
+            6,
+        )
+
+    rows = [
+        ("click", "purchase", "scp", "tc", "tp"),
+        ("click", "view", "scv", "tc", "tv"),
+        ("purchase", "view", "spv", "tp", "tv"),
+    ]
+    out = None
+    for vx, vy, s, t1, t2 in rows:
+        part = agg.select(
+            F.lit(vx).alias("var_x"),
+            F.lit(vy).alias("var_y"),
+            tau(s, t1, t2).alias("kendall_tau"),
+            F.col("n0").alias("n_pairs"),
+        )
+        out = part if out is None else out.unionAll(part)
+    return out.orderBy("var_x", "var_y")

@@ -36,7 +36,7 @@ SECTIONS = {
         "q_agg_stats", "q_agg_percentile", "q_agg_approx_percentile", "q_agg_collect",
         "q_agg_histogram", "q_agg_first_last", "q_agg_corr", "q_agg_covar", "q_corr_matrix",
         "q_corr_spearman", "q_ts_resample", "q_ts_rollup", "q_corr_rolling", "q_corr_lagged", "q_flagship",
-        "q_agg_mode", "q_agg_salted", "q_agg_weighted", "q_agg_hll_merge", "q_agg_theta_sets", "q_agg_quantile_merge", "q_agg_freq_items", "q_corr_matrix_spearman", "q_corr_xcorr", "q_corr_kendall", "q_corr_cramer", "q_corr_eta", "q_corr_partial", "q_corr_semipartial", "q_corr_spearman_grouped",
+        "q_agg_mode", "q_agg_salted", "q_agg_weighted", "q_agg_hll_merge", "q_agg_theta_sets", "q_agg_quantile_merge", "q_agg_freq_items", "q_corr_matrix_spearman", "q_corr_matrix_kendall", "q_corr_xcorr", "q_corr_kendall", "q_corr_cramer", "q_corr_eta", "q_corr_partial", "q_corr_semipartial", "q_corr_spearman_grouped",
         "q_pacf", "q_corr_partial2", "q_ljung_box", "q_win_slope",
         "q_corr_ci", "q_corr_pointbiserial", "q_theil_u", "q_mutual_info",
         "q_agg_moments", "q_agg_gini", "q_agg_trimmed_mean", "q_ts_ewma", "q_ts_fill_grouped", "q_ts_interpolate",

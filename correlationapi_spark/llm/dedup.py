@@ -765,3 +765,90 @@ def embed_near_dup_lsh(
 def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return embed_near_dup_lsh(t["embeddings"], tau=0.4)
+
+
+@query(
+    "q_dedup_url",
+    oracle="""
+        WITH raw AS (
+            SELECT doc_id,
+                   concat(
+                     'https://',
+                     CASE WHEN doc_id % 2 = 0 THEN upper(source)
+                          ELSE source END,
+                     '.example.com/page/',
+                     CAST(doc_id % 25 AS VARCHAR),
+                     CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN '?utm_source=feed' ELSE '' END,
+                     CASE WHEN doc_id % 7 = 0 THEN '#sec2' ELSE '' END
+                   ) AS url
+            FROM documents
+        ), canon AS (
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(lower(url), '#.*$', ''),
+                       '\\?utm_[a-z]+=[^&#]*', ''),
+                     '/$', '') AS curl
+            FROM raw
+        )
+        SELECT curl AS canonical_url,
+               CAST(count(*) AS BIGINT) AS n_copies,
+               min(doc_id) AS keep_id
+        FROM canon GROUP BY 1
+        HAVING count(*) > 1
+    """,
+    doc="URL-grain deduplication: canonicalize (lowercase host, strip "
+    "fragment / utm tracking params / trailing slash) then group — "
+    "the crawl-dedup stage that runs BEFORE any content hashing, on "
+    "deterministically synthesized messy URLs.",
+)
+def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl pipelines dedup by canonical URL first — it needs no
+    content fetch and kills the bulk of recrawl duplicates. The
+    canonicalization here is the standard minimal set (case-fold the
+    authority, drop fragments, drop utm_* tracking params, drop the
+    trailing slash); the fixture synthesizes the mess deterministically
+    (case via doc_id % 2, tracking via % 3, slash via % 5, fragment
+    via % 7, page identity via source × doc_id % 25) so the cluster
+    structure is a closed-form function of doc_id.
+
+    Determinism: string ops only, identical regex dialect subset
+    (q_fn_regexp's rules).
+
+    Scale shape: pure map-side canonicalization, then the
+    q_dedup_exact groupBy — canonical strings cross the shuffle once;
+    at 100 TB you'd hash them first (the sha-digest rule), identical
+    plan."""
+    t = load_tables(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://"),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.upper(F.col("source"))
+        ).otherwise(F.col("source")),
+        F.lit(".example.com/page/"),
+        (F.col("doc_id") % 25).cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, "/").otherwise(""),
+        F.when(F.col("doc_id") % 3 == 0, "?utm_source=feed").otherwise(""),
+        F.when(F.col("doc_id") % 7 == 0, "#sec2").otherwise(""),
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(url), "#.*$", ""),
+            r"\?utm_[a-z]+=[^&#]*",
+            "",
+        ),
+        "/$",
+        "",
+    )
+    return (
+        t["documents"]
+        .select("doc_id", curl.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )

@@ -1185,3 +1185,56 @@ def q_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum("c_acctbal").alias("total_bal"),
         )
     )
+
+
+@query(
+    "q_agg_regr",
+    oracle="""
+        SELECT l_returnflag,
+               round(regr_slope(l_extendedprice, l_quantity), 6)
+                   AS slope,
+               round(regr_intercept(l_extendedprice, l_quantity), 4)
+                   AS intercept,
+               round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+               CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)
+                   AS n,
+               round(regr_avgx(l_extendedprice, l_quantity), 6)
+                   AS avg_x,
+               round(regr_avgy(l_extendedprice, l_quantity), 4)
+                   AS avg_y
+        FROM lineitem GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    doc="SQL-standard linear-regression aggregates (regr_slope / "
+    "intercept / r2 / count / avgx / avgy) per group — the declarative "
+    "OLS surface both engines implement natively.",
+)
+def q_agg_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REGR_* family from SQL:2003 — one aggregate call per
+    statistic instead of hand-assembled moment algebra (q_ols_daily /
+    q_ols_multi2 keep the exact-integer forms for oracle-critical
+    pipelines; this key pins that the NATIVE aggregates agree across
+    engines at the documented rounding, which certifies them for
+    interactive use).
+
+    Determinism: both engines accumulate float moments in their own
+    order — the same exposure q_agg_corr accepts — absorbed at 6 dp
+    (4 dp for the price-scaled intercept/avgy, ~1e5 magnitudes).
+
+    Scale shape: one partial/final hash aggregate; regr_* partials are
+    constant-size moment tuples."""
+    t = load_tables(spark, sf_dir)
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.regr_slope(y, x), 6).alias("slope"),
+            F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+            F.regr_count(y, x).cast("bigint").alias("n"),
+            F.round(F.regr_avgx(y, x), 6).alias("avg_x"),
+            F.round(F.regr_avgy(y, x), 4).alias("avg_y"),
+        )
+        .orderBy("l_returnflag")
+    )

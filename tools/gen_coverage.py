@@ -39,7 +39,7 @@ SECTIONS = {
         "q_agg_mode", "q_agg_salted", "q_agg_weighted", "q_agg_hll_merge", "q_agg_theta_sets", "q_agg_quantile_merge", "q_agg_freq_items", "q_corr_matrix_spearman", "q_corr_matrix_kendall", "q_corr_xcorr", "q_corr_kendall", "q_corr_cramer", "q_corr_eta", "q_corr_partial", "q_corr_semipartial", "q_corr_spearman_grouped",
         "q_pacf", "q_corr_partial2", "q_ljung_box", "q_win_slope",
         "q_corr_ci", "q_corr_pointbiserial", "q_theil_u", "q_mutual_info",
-        "q_agg_moments", "q_agg_gini", "q_agg_trimmed_mean", "q_ts_ewma", "q_ts_fill_grouped", "q_ts_interpolate",
+        "q_agg_regr", "q_agg_moments", "q_agg_gini", "q_agg_trimmed_mean", "q_ts_ewma", "q_ts_fill_grouped", "q_ts_interpolate",
         "q_corr_weighted", "q_corr_bicor", "q_corr_distance", "q_ks_test", "q_mannwhitney", "q_ttest_welch", "q_anova", "q_levene", "q_prop_ztest", "q_seasonality", "q_drift_daily", "q_drift_psi", "q_drift_js", "q_drift_cusum", "q_drift_chi2", "q_ols_daily", "q_ols_dw", "q_ols_multi2", "q_forecast_naive", "q_ts_holt", "q_ts_holtwinters", "q_assoc_mixed", "q_corr_icc", "q_cronbach_alpha", "q_corr_ccc", "q_corr_kappa", "q_ts_trend", "q_agg_entropy",
         "q_jarque_bera", "q_cohens_d", "q_corr_gamma", "q_tukey_hsd", "q_agg_bool",
         "q_agg_extremes_by", "q_percentile_weighted", "q_ts_decompose",
@@ -59,7 +59,7 @@ SECTIONS = {
     ],
     "§2.9 LLM-pipeline (north-star)": [
         "q_dedup_exact", "q_dedup_keep_best", "q_dedup_incremental", "q_dedup_ngram", "q_dedup_near", "q_dedup_simhash",
-        "q_dedup_cluster", "q_contamination",
+        "q_dedup_cluster", "q_contamination", "q_dedup_url",
         "q_dedup_embed", "q_dedup_embed_lsh", "q_sim_topk", "q_sim_assign", "q_sim_topk_lsh", "q_sim_topk_ivf", "q_sim_topk_pq", "q_sim_topk_ivfpq", "q_sim_pairs", "q_sim_pairs_lsh", "q_embed_norm", "q_embed_quantize",
         "q_text_stats", "q_text_tfidf", "q_text_ngram", "q_text_sentiment",
         "q_text_langid", "q_text_quality", "q_text_fingerprint", "q_text_tokens_bpeish",

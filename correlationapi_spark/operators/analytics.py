@@ -2407,3 +2407,91 @@ def q_event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_next").alias("p"),
     )
     return markov_stationary(tm)
+
+
+@query(
+    "q_event_dau_wau",
+    oracle="""
+        WITH active AS (
+            SELECT DISTINCT user_id,
+                   CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                        AS BIGINT) AS dn
+            FROM events
+        ), span AS (
+            SELECT min(dn) AS lo, max(dn) AS hi FROM active
+        ), contrib AS (
+            SELECT a.user_id, a.dn + o.o AS d
+            FROM active a
+            JOIN (SELECT unnest(range(0, 7)) AS o) o ON TRUE
+        ), wau AS (
+            SELECT d, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+            FROM contrib GROUP BY 1
+        ), dau AS (
+            SELECT dn AS d, CAST(count(*) AS BIGINT) AS dau
+            FROM active GROUP BY 1
+        )
+        SELECT w.d AS dn, coalesce(dau.dau, 0) AS dau, w.wau,
+               round(CAST(coalesce(dau.dau, 0) AS DOUBLE) / w.wau, 6)
+                   AS stickiness
+        FROM wau w LEFT JOIN dau ON dau.d = w.d
+        CROSS JOIN span
+        WHERE w.d BETWEEN span.lo + 6 AND span.hi
+    """,
+    doc="DAU / trailing-7-day WAU / stickiness per day via the "
+    "contribution-explosion identity (each active day feeds the 7 "
+    "windows it belongs to) — rolling COUNT(DISTINCT) without a "
+    "distinct-over-window, which no engine supports.",
+)
+def q_event_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engagement dashboard triple: daily actives, trailing-weekly
+    actives, and DAU/WAU stickiness. Rolling distinct is the classic
+    window-function gap; the scalable identity is CONTRIBUTION
+    explosion — an active (user, day) row contributes to exactly the 7
+    window-end days day..day+6, so WAU is a plain distinct count per
+    window-end. Only fully-covered window ends are emitted (the
+    q_ts_decompose gap rule).
+
+    Determinism: pure integer counts on exact epoch days; stickiness
+    is one int/int division at 6 dp.
+
+    Scale shape: the (user, day) active table is the one data-sized
+    reduction (distinct — map-side combinable); the ×7 explosion is
+    bounded by actives×window, and the per-day distinct groups on
+    (window-end, user) — a strict refinement of the groupBy that
+    follows, so AQE coalesces onto one exchange footprint. No window
+    function, no driver state; MAU is the same plan with range(0,28)."""
+    t = load_tables(spark, sf_dir)
+    dn = (
+        F.unix_micros(F.date_trunc("day", F.col("ts"))) / F.lit(86400000000)
+    ).cast("bigint")
+    active = t["events"].select("user_id", dn.alias("dn")).distinct()
+    span = active.agg(F.min("dn").alias("lo"), F.max("dn").alias("hi"))
+    offs = active.sparkSession.range(0, 7).select(
+        F.col("id").cast("bigint").alias("o")
+    )
+    wau = (
+        active.crossJoin(F.broadcast(offs))
+        .select("user_id", (F.col("dn") + F.col("o")).alias("d"))
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    dau = active.groupBy(F.col("dn").alias("d")).agg(
+        F.count("*").alias("dau")
+    )
+    return (
+        wau.join(dau, "d", "left")
+        .crossJoin(F.broadcast(span))
+        .filter(
+            (F.col("d") >= F.col("lo") + 6) & (F.col("d") <= F.col("hi"))
+        )
+        .select(
+            F.col("d").alias("dn"),
+            F.coalesce(F.col("dau"), F.lit(0)).alias("dau"),
+            "wau",
+            F.round(
+                F.coalesce(F.col("dau"), F.lit(0)).cast("double")
+                / F.col("wau"),
+                6,
+            ).alias("stickiness"),
+        )
+    )

@@ -2495,3 +2495,84 @@ def q_event_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stickiness"),
         )
     )
+
+
+def kcore(edges: DataFrame, k: int, max_rounds: int = 60) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly drop
+    nodes with degree < k until none remain; what survives is the
+    maximal subgraph where EVERY node keeps ≥ k neighbors inside it.
+    ``edges`` is a distinct undirected (u, v) list with u < v.
+
+    The graph.py iterative discipline: the edge set is checkpointed
+    once, each round is two degree-grain aggregates + one semi-join
+    pair (drop edges touching peeled nodes), lineage truncated per
+    round, ONE scalar pulled per round (how many nodes fell below k —
+    zero terminates). Rounds are bounded by the degeneracy ordering
+    depth, ≤ |V| worst case but tiny in practice (each round peels a
+    whole frontier, not one node).
+
+    Output: (node, core_degree) for the surviving k-core."""
+    edges = edges.localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        deg = (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        ).localCheckpoint(eager=True)
+        weak = deg.filter(F.col("d") < k).select("node")
+        n_weak = weak.count()
+        if n_weak == 0:
+            return deg.select("node", F.col("d").alias("core_degree"))
+        edges = (
+            edges.join(
+                weak.withColumnRenamed("node", "u"), "u", "left_anti"
+            )
+            .join(weak.withColumnRenamed("node", "v"), "v", "left_anti")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    # max_rounds exhausted: return the current degree view (callers at
+    # fixture scale never reach this; at cluster scale raise the cap)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    return deg.filter(F.col("d") >= k).select(
+        "node", F.col("d").alias("core_degree")
+    )
+
+
+@query(
+    "q_graph_kcore",
+    rows_only_reason="iterative peeling is a fixed-point computation — "
+    "not SQL-expressible; correctness is self-certifying in tests/"
+    "test_rowsonly.py::test_kcore_is_maximal_and_consistent (every "
+    "surviving node has >= k neighbors INSIDE the core, every peeled "
+    "node would not, and the core is a fixed point of one more peel).",
+    doc="k-core decomposition (k=3) of the part co-purchase graph — "
+    "iterative frontier peeling with per-round lineage truncation; "
+    "the cohesion filter community detection and spam-graph analysis "
+    "start from.",
+)
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The densest-region filter: the 3-core keeps only parts whose
+    co-purchase neighborhood is itself cohesive (a high-degree hub
+    whose neighbors are all leaves does NOT survive — degree alone
+    (q_graph_degree) cannot express that). Same distinct-edge build
+    as q_graph_triangles."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+    return kcore(e, 3)

@@ -2095,3 +2095,48 @@ def test_image_dedup_clusters_match_payloads(spark):
         len({bytes(data) for d, data in media if thumbs[d] == sha}) > 1
         for sha in clusters
     )
+
+
+def test_kcore_is_maximal_and_consistent(spark):
+    """q_graph_kcore's documented pin: (a) every core node has >= k
+    neighbors INSIDE the core; (b) the core is a fixed point (one more
+    peel removes nothing); (c) peeled nodes genuinely fail the bound
+    when restricted to the core (maximality direction)."""
+    from correlationapi_spark.io import load_tables
+
+    K = 3
+    core = {
+        r.node: r.core_degree
+        for r in REGISTRY["q_graph_kcore"].fn(spark, SF_SMOKE).collect()
+    }
+    assert core
+    li = (
+        load_tables(spark, SF_SMOKE)["lineitem"]
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    from collections import defaultdict
+
+    orders = defaultdict(set)
+    for r in li:
+        orders[r.l_orderkey].add(r.l_partkey)
+    adj = defaultdict(set)
+    for parts in orders.values():
+        ps = sorted(parts)
+        for i, u in enumerate(ps):
+            for v in ps[i + 1:]:
+                adj[u].add(v)
+                adj[v].add(u)
+    # (a) + (b): in-core degree >= K and matches the reported degree
+    for node, d in core.items():
+        in_core = {n for n in adj[node] if n in core}
+        assert len(in_core) >= K, node
+        assert len(in_core) == d, (node, d, len(in_core))
+    # (c) reference peel: iterating locally reproduces the same core
+    ref = {n for n, ns in adj.items() if ns}
+    changed = True
+    while changed:
+        weak = {n for n in ref if len(adj[n] & ref) < K}
+        changed = bool(weak)
+        ref -= weak
+    assert ref == set(core)

@@ -418,3 +418,59 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tf, 6).alias("temp_frac"),
         F.round(tf / F.col("p"), 6).alias("upsample"),
     )
+
+
+@query(
+    "q_sample_cluster",
+    oracle="""
+        WITH picked AS (
+            SELECT DISTINCT source FROM documents
+            WHERE CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT)
+                  % 10 < 4
+        )
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN picked USING (source)
+        WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 10 < 5
+    """,
+    doc="Two-stage cluster sampling: hash-select 40% of sources "
+    "(stage 1, whole clusters), then 50% of docs within selected "
+    "sources (stage 2) — the survey-statistics design for corpora "
+    "where cluster-level costs dominate; both stages content-stable "
+    "md5 draws, whole assignment oracle-checked.",
+)
+def q_sample_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster sampling — when touching a source at ALL has a fixed
+    cost (a crawl host, a tape archive, a licensing negotiation), you
+    sample CLUSTERS first and subsample inside, accepting higher
+    variance per element for far fewer clusters touched. Both draws
+    are the deterministic md5 idiom (q_split_hash), so the sample is a
+    pure function of the data: stage 1 keeps sources with
+    h(source) % 10 < 4, stage 2 keeps docs with h(doc_id) % 10 < 5 —
+    expected overall rate 20%, exact membership reproducible anywhere.
+
+    Scale shape: the stage-1 relation is |sources| rows (broadcast
+    back); stage 2 is a map-side filter — no data-sized shuffle at
+    all."""
+    t = load_tables(spark, sf_dir)
+    src_bucket = (
+        F.conv(F.substring(F.md5(F.col("source")), 1, 8), 16, 10)
+        .cast("bigint") % 10
+    )
+    doc_bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("bigint") % 10
+    )
+    picked = (
+        t["documents"]
+        .select("source")
+        .distinct()
+        .filter(src_bucket < 4)
+    )
+    return (
+        t["documents"]
+        .join(F.broadcast(picked), "source")
+        .filter(doc_bucket < 5)
+        .select("doc_id", "source")
+    )

@@ -1238,3 +1238,72 @@ def q_agg_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_agg_mean_family",
+    oracle="""
+        WITH x AS (
+            SELECT l_returnflag,
+                   CAST(round(l_quantity) AS BIGINT) AS q
+            FROM lineitem WHERE l_quantity >= 1
+        ), r AS (
+            SELECT l_returnflag, q,
+                   CAST(round(1000000000000.0 / q) AS BIGINT) AS rq
+            FROM x
+        )
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               round(avg(CAST(q AS DOUBLE)), 6) AS mean_arith,
+               round(exp(avg(ln(CAST(q AS DOUBLE)))), 4) AS mean_geo,
+               round(count(*) * 1000000000000.0
+                     / CAST(sum(rq) AS BIGINT), 4) AS mean_harm
+        FROM r GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    doc="The Pythagorean mean family per group: arithmetic, geometric "
+    "(exp of mean log), harmonic (reciprocals pinned to an exact "
+    "integer picolattice before summing) — AM >= GM >= HM by "
+    "construction.",
+)
+def q_agg_mean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-style metrics need the right mean: growth factors compose
+    geometrically (GM), speeds/rates over fixed work harmonically
+    (HM); reporting AM for either overstates. All three from one pass.
+
+    Determinism: the quantities are exact small ints; GM is
+    exp(avg(ln(int))) — ln on bit-identical inputs, 4-dp absorption
+    (the q_text_perplexity rule); HM's reciprocal SUM is the float
+    hazard (accumulation order), so each 1/q is pinned to the exact
+    integer 1e12 lattice FIRST (q ≤ 50 ⇒ round(1e12/q) exact in
+    int64, relative error ≤ 5e-14 per term) and the sum is integer —
+    the q_sample_temperature rule.
+
+    Scale shape: one partial/final hash aggregate."""
+    t = load_tables(spark, sf_dir)
+    q = F.round("l_quantity").cast("bigint")
+    base = (
+        t["lineitem"]
+        .filter(F.col("l_quantity") >= 1)
+        .select(
+            "l_returnflag",
+            q.alias("q"),
+            F.round(F.lit(1000000000000.0) / q).cast("bigint").alias("rq"),
+        )
+    )
+    return (
+        base.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(F.col("q").cast("double")), 6).alias("mean_arith"),
+            F.round(
+                F.exp(F.avg(F.log(F.col("q").cast("double")))), 4
+            ).alias("mean_geo"),
+            F.round(
+                F.count("*") * 1000000000000.0
+                / F.sum("rq").cast("bigint"),
+                4,
+            ).alias("mean_harm"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -39,7 +39,7 @@ SECTIONS = {
         "q_agg_mode", "q_agg_salted", "q_agg_weighted", "q_agg_hll_merge", "q_agg_theta_sets", "q_agg_quantile_merge", "q_agg_freq_items", "q_corr_matrix_spearman", "q_corr_matrix_kendall", "q_corr_xcorr", "q_corr_kendall", "q_corr_cramer", "q_corr_eta", "q_corr_partial", "q_corr_semipartial", "q_corr_spearman_grouped",
         "q_pacf", "q_corr_partial2", "q_ljung_box", "q_win_slope",
         "q_corr_ci", "q_corr_pointbiserial", "q_theil_u", "q_mutual_info",
-        "q_agg_regr", "q_agg_moments", "q_agg_gini", "q_agg_trimmed_mean", "q_ts_ewma", "q_ts_fill_grouped", "q_ts_interpolate",
+        "q_agg_regr", "q_agg_mean_family", "q_agg_moments", "q_agg_gini", "q_agg_trimmed_mean", "q_ts_ewma", "q_ts_fill_grouped", "q_ts_interpolate",
         "q_corr_weighted", "q_corr_bicor", "q_corr_distance", "q_ks_test", "q_mannwhitney", "q_ttest_welch", "q_anova", "q_levene", "q_prop_ztest", "q_seasonality", "q_drift_daily", "q_drift_psi", "q_drift_js", "q_drift_cusum", "q_drift_chi2", "q_ols_daily", "q_ols_dw", "q_ols_multi2", "q_forecast_naive", "q_ts_holt", "q_ts_holtwinters", "q_assoc_mixed", "q_corr_icc", "q_cronbach_alpha", "q_corr_ccc", "q_corr_kappa", "q_ts_trend", "q_agg_entropy",
         "q_jarque_bera", "q_cohens_d", "q_corr_gamma", "q_tukey_hsd", "q_agg_bool",
         "q_agg_extremes_by", "q_percentile_weighted", "q_ts_decompose",
@@ -66,7 +66,7 @@ SECTIONS = {
         "q_text_repetition", "q_text_keyword", "q_text_boilerplate", "q_quality_pipeline", "q_pipeline_pretrain", "q_text_perplexity", "q_embed_centroid", "q_embed_pca", "q_embed_pq", "q_embed_knn_graph", "q_text_bpe_train",
         "q_vocab_coverage", "q_text_zipf",
         "q_split_stable", "q_split_hash", "q_sample_stratified", "q_sample_fraction", "q_sample_reservoir",
-        "q_sample_weighted", "q_sample_balanced", "q_sample_systematic", "q_domain_mix", "q_sample_temperature",
+        "q_sample_weighted", "q_sample_balanced", "q_sample_systematic", "q_sample_cluster", "q_domain_mix", "q_sample_temperature",
         "q_multimodal_meta", "q_multimodal_frames", "q_multimodal_phash", "q_multimodal_resize", "q_dedup_image", "q_pack_chunks",
         "q_pack_bpeish", "q_pack_bpe", "q_pack_bestfit", "q_cluster_kmeans_step",
         "q_text_gopher", "q_text_bigram_lm", "q_text_bigram_kn", "q_text_hashing_trick", "q_text_pii_scrub", "q_text_compress_ratio", "q_multimodal_audio_spectral",

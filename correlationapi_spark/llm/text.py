@@ -2067,3 +2067,130 @@ def q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum((F.col("sd") & F.col("pg")).cast("long")).alias("n_kept"),
     )
+
+
+@query(
+    "q_text_winnow",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ), grams AS (
+            SELECT doc_id,
+                   unnest(range(1, len(ts) - 1)) AS pos,
+                   list_transform(range(1, len(ts) - 1),
+                     i -> list_reduce(
+                       [CAST(0 AS BIGINT)] ||
+                       list_transform(
+                         string_split(
+                           concat(ts[i], ' ', ts[i+1], ' ', ts[i+2]), ''),
+                         ch -> CAST(ascii(ch) AS BIGINT)),
+                       (acc, x) -> (acc * 31 + x) % 1000000007)) AS hs
+            FROM toks WHERE len(ts) >= 3
+        ), hashed AS (
+            SELECT doc_id, pos, hs[pos] AS h FROM grams
+        ), winmin AS (
+            SELECT doc_id, pos, h,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                       AS wmin,
+                   count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN 3 PRECEDING
+                                           AND CURRENT ROW) AS wn
+            FROM hashed
+        ), picked AS (
+            SELECT DISTINCT doc_id, h
+            FROM winmin WHERE wn = 4 AND h = wmin
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_fingerprints,
+               CAST(sum(h) % 1000000007 AS BIGINT) AS fp_checksum,
+               CAST(min(h) AS BIGINT) AS fp_min
+        FROM picked GROUP BY doc_id
+    """,
+    doc="Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the "
+    "MOSS algorithm): 3-gram polynomial rolling hashes, window-of-4 "
+    "minima selected per position, distinct survivors summarized — "
+    "the position-robust document fingerprint for plagiarism / "
+    "contamination detection, fully oracle-checked.",
+)
+def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing GUARANTEES every shared substring of length ≥ w+k-1
+    tokens (here 6) leaves at least one common fingerprint in both
+    documents — the property plain sampled hashing lacks and the
+    reason MOSS uses it. Selection = a hash is picked where it is the
+    minimum of a length-w window of k-gram hashes; distinct picked
+    values per doc are the fingerprint set (summarized as count +
+    checksum so the declared output stays scalar — the join against
+    another corpus groups on the raw picked values, q_contamination's
+    postings shape).
+
+    Determinism: the q_text_fingerprint polynomial hash (exact int64
+    mod 1e9+7) per 3-gram; window minima over exact ints with full
+    windows only.
+
+    Scale shape: shingle positions explode once; the window is
+    doc-partitioned (the event-stream shape, never global); the
+    distinct + summary groupBys are doc-keyed — one exchange
+    footprint end to end."""
+    t = load_tables(spark, sf_dir)
+    ts = F.col("ts")
+    n = F.greatest(F.size(ts) - 2, F.lit(0))
+    gram = F.concat_ws(
+        " ",
+        F.col("g.x1"), F.col("g.x2"), F.col("g.x3"),
+    )
+    grams = (
+        t["documents"]
+        .filter(F.size(F.split("text", " ")) >= 3)
+        .select("doc_id", F.split("text", " ").alias("ts"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.zip_with(
+                    F.slice(ts, 1, n),
+                    F.zip_with(
+                        F.slice(ts, 2, n),
+                        F.slice(ts, 3, n),
+                        lambda y, z: F.struct(
+                            y.alias("x2"), z.alias("x3")
+                        ),
+                    ),
+                    lambda x, yz: F.struct(
+                        x.alias("x1"),
+                        yz.getField("x2").alias("x2"),
+                        yz.getField("x3").alias("x3"),
+                    ),
+                )
+            ).alias("p", "g"),
+        )
+        .select("doc_id", (F.col("p") + 1).alias("pos"), gram.alias("gram"))
+    )
+    codes = F.transform(
+        F.split(F.col("gram"), ""), lambda ch: F.ascii(ch).cast("bigint")
+    )
+    h = F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * 31 + x) % 1000000007,
+    )
+    hashed = grams.select("doc_id", "pos", h.alias("h"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-3, 0)
+    )
+    winmin = hashed.select(
+        "doc_id", "h",
+        F.min("h").over(w).alias("wmin"),
+        F.count("*").over(w).alias("wn"),
+    )
+    picked = (
+        winmin.filter((F.col("wn") == 4) & (F.col("h") == F.col("wmin")))
+        .select("doc_id", "h")
+        .distinct()
+    )
+    return picked.groupBy("doc_id").agg(
+        F.count("*").alias("n_fingerprints"),
+        (F.sum("h") % 1000000007).cast("bigint").alias("fp_checksum"),
+        F.min("h").cast("bigint").alias("fp_min"),
+    )

@@ -77,6 +77,9 @@ _TOUCHED: frozenset[str] = frozenset({
     "q_drift_psi",    # psi binning block was restructured under a
                       # `psi or js` guard, so both consumers' code path
                       # changed after their r8 verdicts
+    "q_graph_triangles",  # body extracted into the shared
+                      # triangle_stats engine (same logic, new code
+                      # path) after its r8 verdict
 })
 
 

@@ -2194,3 +2194,74 @@ def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("h") % 1000000007).cast("bigint").alias("fp_checksum"),
         F.min("h").cast("bigint").alias("fp_min"),
     )
+
+
+@query(
+    "q_text_readability",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, string_split(text, ' ') AS ts, text
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(ts) AS BIGINT) AS n_words,
+               CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT)
+                   AS n_syllables,
+               CAST(len(regexp_extract_all(text, '[aeiou]+')) AS DOUBLE)
+                   / len(ts) AS syllables_per_word,
+               CAST(len(list_filter(ts,
+                    t -> len(regexp_extract_all(t, '[aeiou]+')) >= 3))
+                    AS BIGINT) AS n_polysyllabic,
+               CAST(len(list_filter(ts,
+                    t -> len(regexp_extract_all(t, '[aeiou]+')) >= 3))
+                    AS DOUBLE) / len(ts) AS polysyllabic_frac
+        FROM base
+    """,
+    doc="Readability ingredients: vowel-group syllable proxy per word "
+    "and the polysyllabic-word fraction (the SMOG/Flesch inputs) — "
+    "deterministic string ops, the complexity signal beside "
+    "q_text_gopher's structural rules.",
+)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability formulas all reduce to two text-only ingredients —
+    syllables per word and the share of polysyllabic words (SMOG
+    counts the latter, Flesch weights the former); the grade-level
+    constants belong downstream. The syllable proxy is the classic
+    vowel-group count (runs of [aeiou]): exact on the fixture's
+    lowercase vocabulary and the standard cheap estimator elsewhere.
+
+    Determinism: both measures are integer counts over identical
+    regex semantics; the ratios are int/int single divisions (the
+    q_text_quality rule — no rounding needed). Whole-text vowel-group
+    counting equals the per-token sum because groups cannot span the
+    space separator.
+
+    Scale shape: pure map-side regex + array lambda in codegen — no
+    shuffle, no UDF."""
+    t = load_tables(spark, sf_dir)
+    ts = F.col("ts")
+    n_words = F.size(ts).cast("bigint")
+    n_syll = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit("[aeiou]+"), F.lit(0))
+    ).cast("bigint")
+    poly = F.size(
+        F.filter(
+            ts,
+            lambda tok: F.size(
+                F.regexp_extract_all(tok, F.lit("[aeiou]+"), F.lit(0))
+            )
+            >= 3,
+        )
+    ).cast("bigint")
+    return t["documents"].select(
+        "doc_id",
+        F.split("text", " ").alias("ts"),
+        "text",
+    ).select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_syll.alias("n_syllables"),
+        (n_syll.cast("double") / F.size(ts)).alias("syllables_per_word"),
+        poly.alias("n_polysyllabic"),
+        (poly.cast("double") / F.size(ts)).alias("polysyllabic_frac"),
+    )

@@ -2576,3 +2576,83 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return kcore(e, 3)
+
+
+@query(
+    "q_event_pareto",
+    oracle="""
+        WITH uc AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        ), tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(n) AS BIGINT) AS n_events
+            FROM uc
+        ), ranked AS (
+            SELECT n,
+                   CAST(row_number() OVER (ORDER BY n DESC, user_id)
+                        AS BIGINT) AS r,
+                   CAST(sum(n) OVER (ORDER BY n DESC, user_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM uc
+        )
+        SELECT CAST(d.decile AS BIGINT) AS user_decile,
+               max(r.cum) AS cum_events,
+               round(CAST(max(r.cum) AS DOUBLE)
+                     / any_value(tot.n_events), 6) AS cum_share
+        FROM ranked r
+        CROSS JOIN tot
+        JOIN (SELECT unnest(range(1, 11)) AS decile) d
+          ON r.r * 10 <= d.decile * tot.n_users
+        GROUP BY d.decile
+        ORDER BY user_decile
+    """,
+    doc="Pareto concentration curve: cumulative event share of the "
+    "top-k user deciles (heaviest users first) — 'do 20% of users "
+    "produce 80% of events'; exact integer decile cutoffs, the "
+    "Lorenz-curve companion to q_agg_gini.",
+)
+def q_event_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity concentration, the capacity-planning and abuse-triage
+    number: rank users by event count (descending, id tiebreak), take
+    the cumulative share at each user decile. Decile membership is the
+    INTEGER inequality r·10 ≤ decile·n_users — no float percentile to
+    disagree on (the q_percentile_weighted rule).
+
+    Scale shape: user-grain aggregate, then the ranking machinery runs
+    on |users| rows; the ranking is ordering.global_row_number +
+    global_running_sum territory at cluster scale — here the
+    user-grain table is the same reduction every engagement key
+    shares. One 1-row total broadcast; deciles are a 10-row spine.
+
+    Determinism: all integers until the final single-division share."""
+    from ..ordering import global_running_sums
+
+    t = load_tables(spark, sf_dir)
+    uc = t["events"].groupBy("user_id").agg(F.count("*").alias("n"))
+    tot = uc.agg(
+        F.count("*").alias("n_users"), F.sum("n").alias("n_events")
+    )
+    ranked = global_running_sums(
+        uc,
+        [F.col("n").desc(), F.col("user_id")],
+        [(F.lit(1), "r"), (F.col("n"), "cum")],
+    )
+    deciles = uc.sparkSession.range(1, 11).select(
+        F.col("id").cast("bigint").alias("user_decile")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(deciles),
+            F.col("r") * 10 <= F.col("user_decile") * F.col("n_users"),
+        )
+        .groupBy("user_decile")
+        .agg(
+            F.max("cum").cast("bigint").alias("cum_events"),
+            F.round(
+                F.max("cum").cast("double") / F.any_value("n_events"), 6
+            ).alias("cum_share"),
+        )
+        .orderBy("user_decile")
+    )

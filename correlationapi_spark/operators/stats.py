@@ -5904,3 +5904,87 @@ def q_corr_matrix_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionAll(part)
     return out.orderBy("var_x", "var_y")
+
+
+@query(
+    "q_win_zscore",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                        AS BIGINT) AS dn,
+                   CAST(round(round(avg(value), 6) * 1000000) AS BIGINT)
+                       AS vu
+            FROM events GROUP BY 1
+        ), win AS (
+            SELECT dn, vu,
+                   CAST(count(*) OVER w AS BIGINT)      AS n,
+                   CAST(sum(vu) OVER w AS BIGINT)       AS sx,
+                   CAST(sum(vu * vu) OVER w AS BIGINT)  AS sxx
+            FROM daily
+            WINDOW w AS (ORDER BY dn ROWS BETWEEN 13 PRECEDING
+                         AND CURRENT ROW)
+        )
+        SELECT dn,
+               round(vu / 1000000.0, 6) AS value,
+               round((n * vu - sx)
+                     / sqrt(CAST(n AS DOUBLE)
+                            * (n * sxx - CAST(sx AS DOUBLE) * sx)
+                            / (n - 1)), 6) AS rolling_z,
+               n AS n_days
+        FROM win WHERE n = 14
+    """,
+    doc="Rolling z-score: each day's value standardized against its "
+    "own trailing-14-day window (exact integer window sums) — the "
+    "self-adaptive anomaly signal beside q_win_slope's local trend.",
+)
+def q_win_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling standardization — 'how unusual is TODAY vs the recent
+    past': z_t = (x_t − mean_14)/sd_14. Global z (q_anomaly) drowns in
+    regime changes; the trailing window adapts. Algebra stays on the
+    exact integer sums: z = (n·x − Σx)/√(n·(n·Σx² − (Σx)²)/(n−1)) —
+    one fixed expression, sqrt correctly rounded.
+
+    Determinism: micro-unit int64 window sums (vu ~ 1e9, vu² ~ 1e18 —
+    ONE day's square fits int64; Σ over 14 days ~ 1.4e19 exceeds
+    int64? No: value avgs are ~1e2–1e3 ⇒ vu ~ 1e8–1e9, vu² ≤ 1e18,
+    14·vu² ≤ 1.4e19 — OVERFLOW RISK at the top of that band, so the
+    fixture's vu ~ 1e8 keeps Σ ≤ 1.4e17 with 60× headroom; for
+    arbitrary magnitudes the engine would lift to decimal(38,0), the
+    group_moments rule).
+
+    Scale shape: q_win_slope's — day-grain after one partial/final
+    aggregate, calendar-bounded trailing window."""
+    t = load_tables(spark, sf_dir)
+    dn = (
+        F.unix_micros(F.date_trunc("day", F.col("ts"))) / F.lit(86400000000)
+    ).cast("bigint")
+    daily = (
+        t["events"]
+        .groupBy(dn.alias("dn"))
+        .agg(
+            F.round(F.round(F.avg("value"), 6) * 1000000)
+            .cast("bigint")
+            .alias("vu")
+        )
+    )
+    w = Window.orderBy("dn").rowsBetween(-13, 0)
+    win = daily.select(
+        "dn", "vu",
+        F.count("*").over(w).alias("n"),
+        F.sum("vu").over(w).alias("sx"),
+        F.sum(F.col("vu") * F.col("vu")).over(w).alias("sxx"),
+    )
+    z = (F.col("n") * F.col("vu") - F.col("sx")) / F.sqrt(
+        F.col("n").cast("double")
+        * (
+            F.col("n") * F.col("sxx")
+            - F.col("sx").cast("double") * F.col("sx")
+        )
+        / (F.col("n") - 1)
+    )
+    return win.filter(F.col("n") == 14).select(
+        "dn",
+        F.round(F.col("vu") / 1000000.0, 6).alias("value"),
+        F.round(z, 6).alias("rolling_z"),
+        F.col("n").alias("n_days"),
+    )

@@ -37,7 +37,7 @@ SECTIONS = {
         "q_agg_histogram", "q_agg_first_last", "q_agg_corr", "q_agg_covar", "q_corr_matrix",
         "q_corr_spearman", "q_ts_resample", "q_ts_rollup", "q_corr_rolling", "q_corr_lagged", "q_flagship",
         "q_agg_mode", "q_agg_salted", "q_agg_weighted", "q_agg_hll_merge", "q_agg_theta_sets", "q_agg_quantile_merge", "q_agg_freq_items", "q_corr_matrix_spearman", "q_corr_matrix_kendall", "q_corr_xcorr", "q_corr_kendall", "q_corr_cramer", "q_corr_eta", "q_corr_partial", "q_corr_semipartial", "q_corr_spearman_grouped",
-        "q_pacf", "q_corr_partial2", "q_ljung_box", "q_win_slope",
+        "q_pacf", "q_corr_partial2", "q_ljung_box", "q_win_slope", "q_win_zscore",
         "q_corr_ci", "q_corr_pointbiserial", "q_theil_u", "q_mutual_info",
         "q_agg_regr", "q_agg_mean_family", "q_agg_moments", "q_agg_gini", "q_agg_trimmed_mean", "q_ts_ewma", "q_ts_fill_grouped", "q_ts_interpolate",
         "q_corr_weighted", "q_corr_bicor", "q_corr_distance", "q_ks_test", "q_mannwhitney", "q_ttest_welch", "q_anova", "q_levene", "q_prop_ztest", "q_seasonality", "q_drift_daily", "q_drift_psi", "q_drift_js", "q_drift_cusum", "q_drift_chi2", "q_ols_daily", "q_ols_dw", "q_ols_multi2", "q_forecast_naive", "q_ts_holt", "q_ts_holtwinters", "q_assoc_mixed", "q_corr_icc", "q_cronbach_alpha", "q_corr_ccc", "q_corr_kappa", "q_ts_trend", "q_agg_entropy",

@@ -70,16 +70,14 @@ _MODULES = (
 # code/oracle/fixture changed THIS round after their latest verdict, so
 # they jump back to the front of the sweep regardless of verdict age.
 _TOUCHED: frozenset[str] = frozenset({
-    # round 9 (kept minimal so the age rotation's 50-key window reaches
-    # the r04/r05 cohort the r8 verdict flagged as stalest; new keys
+    # round 10 (q_drift_daily/q_drift_psi dropped: their r9 driver
+    # verdicts postdate the round-9 drift_frame restructure; new keys
     # rank as never-verified automatically):
-    "q_drift_daily",  # drift_frame gained the js branch: the shared
-    "q_drift_psi",    # psi binning block was restructured under a
-                      # `psi or js` guard, so both consumers' code path
-                      # changed after their r8 verdicts
-    "q_graph_triangles",  # body extracted into the shared
-                      # triangle_stats engine (same logic, new code
-                      # path) after its r8 verdict
+    "q_graph_triangles",  # round-9 refactor into the shared
+                          # triangle_stats engine still has no driver
+                          # verdict postdating it (latest driver green
+                          # is r08; the r9 judge re-ran it by hand) —
+                          # stays touched until a driver sweep lands
 })
 
 
@@ -185,14 +183,23 @@ _PRIORITY_FLOOR = len(_MODULE_PRIORITY)
 def load_registry() -> dict[str, QuerySpec]:
     """Import all operator modules (side effect: they register) and return
     the full inventory, ordered so the driver's capped 50-key sweep lands
-    on the keys whose evidence is weakest/stalest:
+    on the keys whose evidence is weakest/stalest. Two cohorts, each
+    internally ordered, INTERLEAVED 1:1 (round-10 fix — the r9 verdict's
+    rotation hardening):
 
-    1. never-verified or touched-this-round keys (oracled before
-       rows-only — a hash-matched verdict is the stronger evidence —
-       then by _MODULE_PRIORITY);
-    2. everything else by ASCENDING latest-verdict round (oldest driver
-       evidence re-verifies first — it predates the most testdata
-       regenerations), same oracled/module tie-breaks within a round.
+    * **never/touched cohort** — keys with no usable driver verdict, or
+      touched this round (oracled before rows-only — a hash-matched
+      verdict is the stronger evidence — then by _MODULE_PRIORITY);
+    * **aged cohort** — everything else by ASCENDING latest-verdict
+      round (oldest driver evidence re-verifies first — it predates the
+      most testdata regenerations), same tie-breaks within a round.
+
+    The 1:1 interleave caps the never cohort at ⌈n/2⌉ of ANY n-key
+    sweep prefix (≤25 of the driver's 50), so a burst of new keys can
+    no longer displace the stalest-verdict cohort from re-certification
+    for a whole round — in round 9 the inventory grew by 94 keys and
+    the r04/r05 cohort (76 keys) lost its entire sweep window to them.
+    Pinned by tests/test_registry_rotation.py.
     """
     for mod in _MODULES:
         importlib.import_module(mod)
@@ -207,4 +214,17 @@ def load_registry() -> dict[str, QuerySpec]:
         mod_prio = _MODULE_PRIORITY.get(spec.fn.__module__, _PRIORITY_FLOOR)
         return (rnd, oracled, mod_prio, reg_index[key])
 
-    return dict(sorted(REGISTRY.items(), key=rank))
+    ranked = sorted(REGISTRY.items(), key=rank)
+    never = [kv for kv in ranked if kv[0] in _TOUCHED or kv[0] not in latest]
+    never_keys = {k for k, _ in never}
+    aged = [kv for kv in ranked if kv[0] not in never_keys]
+    out: list[tuple[str, QuerySpec]] = []
+    i = j = 0
+    while i < len(never) or j < len(aged):
+        if i < len(never):
+            out.append(never[i])
+            i += 1
+        if j < len(aged):
+            out.append(aged[j])
+            j += 1
+    return dict(out)

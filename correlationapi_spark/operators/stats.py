@@ -5988,3 +5988,142 @@ def q_win_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("rolling_z"),
         F.col("n").alias("n_days"),
     )
+
+
+def corr_matrix_gram(df: DataFrame, cols: list[str], tbl: str) -> DataFrame:
+    """WIDE Pearson correlation matrix engine: one Arrow-batched gram
+    pass, one global aggregate, zero joins — the 100s-of-columns scale
+    shape the single-pass ``q_corr_matrix`` (k(k-1)/2 corr aggregates)
+    grows out of. The pattern is llm.similarity.gram_moments (the PCA
+    engine): each mapInPandas batch emits ONE row of raw-moment
+    partials (n, Σx per column, the flattened upper-triangle Gram
+    ΣxᵢxⱼB), a single partial/final aggregate sums them, and every pair's
+    corr is a closed-form projection over that 1-row moment table:
+
+        corr(i,j) = (n·gᵢⱼ − sᵢsⱼ) / √((n·gᵢᵢ − sᵢ²)(n·gⱼⱼ − sⱼ²))
+
+    Shuffle cost is d(d+3)/2 doubles per PARTITION (constant in rows);
+    a 500-column matrix ships ~126k doubles per task, not a self-joined
+    fact table. Rows with any NULL/NaN across the selected columns drop
+    listwise in-batch (the fixtures carry none, so n matches count(*)).
+
+    Numerics: raw (uncentered) moments are safe here because every
+    fixture column has var/mean² ≥ ~0.3 (no catastrophic cancellation);
+    numpy's pairwise batch sums + the ≤#partitions-term final sum keep
+    the moment error ~1e-14 relative, absorbed by the 6-dp round on
+    both engines. A near-constant column (var/mean² → 0) would need
+    the centered two-pass variant before trusting 6 dp.
+    """
+    d = len(cols)
+    corpus = df.select(
+        F.array(*[F.col(c).cast("double") for c in cols]).alias("v")
+    )
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        iu = np.triu_indices(d)
+        for pdf in it:
+            x = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+            if x.size == 0:
+                continue
+            x = x[~np.isnan(x).any(axis=1)]
+            if not len(x):
+                continue
+            g = x.T @ x
+            yield pd.DataFrame(
+                {
+                    "bn": [len(x)],
+                    "s": [x.sum(axis=0).tolist()],
+                    "g": [g[iu].tolist()],
+                }
+            )
+
+    def tri(i: int, j: int) -> int:
+        # flattened upper-triangle offset of (i, j), i <= j
+        return i * d - i * (i - 1) // 2 + (j - i)
+
+    part = corpus.mapInPandas(
+        batches, schema="bn long, s array<double>, g array<double>"
+    )
+    mom = part.agg(
+        F.sum("bn").alias("n"),
+        *[F.sum(F.element_at("s", i + 1)).alias(f"s_{i}") for i in range(d)],
+        *[
+            F.sum(F.element_at("g", tri(i, j) + 1)).alias(f"g_{i}_{j}")
+            for i in range(d)
+            for j in range(i, d)
+        ],
+    )
+    n = F.col("n").cast("double")
+    pairs = []
+    for i in range(d):
+        for j in range(i + 1, d):
+            cov = n * F.col(f"g_{i}_{j}") - F.col(f"s_{i}") * F.col(f"s_{j}")
+            vx = n * F.col(f"g_{i}_{i}") - F.col(f"s_{i}") * F.col(f"s_{i}")
+            vy = n * F.col(f"g_{j}_{j}") - F.col(f"s_{j}") * F.col(f"s_{j}")
+            pairs.append(
+                F.struct(
+                    F.lit(cols[i]).alias("col_x"),
+                    F.lit(cols[j]).alias("col_y"),
+                    F.round(
+                        F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)),
+                        6,
+                    ).alias("corr_xy"),
+                )
+            )
+    return (
+        mom.select(
+            F.lit(tbl).alias("tbl"),
+            F.explode(F.array(*pairs)).alias("p"),
+            F.col("n").alias("n_rows"),
+        ).select("tbl", "p.col_x", "p.col_y", "p.corr_xy", "n_rows")
+    )
+
+
+_GRAM_LCOLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+]
+_GRAM_ECOLS = ["event_id", "user_id", "value"]
+
+
+def _gram_oracle() -> str:
+    def block(tbl: str, cols: list[str]) -> list[str]:
+        return [
+            f"SELECT '{tbl}' AS tbl, '{a}' AS col_x, '{b}' AS col_y, "
+            f"round(corr({a}, {b}), 6) AS corr_xy, "
+            f"count(*) AS n_rows FROM {tbl}"
+            for ai, a in enumerate(cols)
+            for b in cols[ai + 1:]
+        ]
+
+    return "\nUNION ALL\n".join(
+        block("lineitem", _GRAM_LCOLS) + block("events", _GRAM_ECOLS)
+    )
+
+
+@query(
+    "q_corr_matrix_gram",
+    oracle=_gram_oracle(),
+    doc="Full Pearson matrix over ALL numeric lineitem (8 cols, 28 "
+    "pairs) + events (3 cols, 3 pairs) columns via one-pass gram "
+    "moments — the wide-matrix scale path (shuffle constant in rows).",
+)
+def q_corr_matrix_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r9-verdict ask: the 100s-of-columns correlation-matrix story.
+    ``q_corr_matrix`` evaluates k(k-1)/2 corr AGGREGATES in one pass —
+    fine at k≈10, but each aggregate carries its own state and the
+    expression tree grows quadratically in the PLAN. This key routes
+    the same matrix through corr_matrix_gram: a single Arrow stage
+    whose shuffle payload is one (n, s[d], upper-gram[d(d+1)/2]) row
+    per partition — constant in data size, quadratic only in d — then
+    a closed-form pair projection. Long-form output (tbl, col_x,
+    col_y, corr_xy, n_rows), one exhibit block per fixture table;
+    plan canary (one aggregate exchange, zero joins, one scan per
+    block) in tests/test_plans.py::test_corr_matrix_gram_plan."""
+    t = load_tables(spark, sf_dir)
+    return corr_matrix_gram(
+        t["lineitem"], _GRAM_LCOLS, "lineitem"
+    ).unionAll(corr_matrix_gram(t["events"], _GRAM_ECOLS, "events"))

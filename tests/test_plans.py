@@ -766,3 +766,39 @@ def test_round9_late_engine_shapes(spark):
     assert "WindowGroupLimit" in plan
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_corr_matrix_gram_plan(spark):
+    # round-10 (r9 verdict item 3): the wide-matrix gram route must be
+    # one Arrow stage + one aggregate exchange per table block, with
+    # ZERO joins anywhere — the whole point over melt/self-join shapes.
+    # The key unions two blocks (lineitem + events), so per-plan totals
+    # double; joins stay zero regardless.
+    plan = plan_of(spark, "q_corr_matrix_gram")
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    # two table blocks -> two single-partition final aggregates, and no
+    # other exchange (the pair expansion is a projection, not a shuffle).
+    # Formatted mode prints each node twice (tree + detail).
+    assert plan.count("Exchange") == 4
+    assert plan.count("SinglePartition") == 2
+    assert "BatchEvalPython" not in plan  # Arrow-batched gram, not row-wise
+
+    from correlationapi_spark.io import load_tables
+    from correlationapi_spark.operators.stats import (
+        _GRAM_LCOLS, corr_matrix_gram,
+    )
+
+    one = corr_matrix_gram(
+        load_tables(spark, SF_SMOKE)["lineitem"], _GRAM_LCOLS, "lineitem"
+    )
+    p1 = one._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # single block: exactly one MapInPandas node (tree + detail = 2
+    # mentions), one scan, one aggregate exchange
+    assert p1.count("MapInPandas") == 2
+    assert p1.count("Scan parquet") == 2
+    assert p1.count("Exchange") == 2
+    assert p1.count("SinglePartition") == 1

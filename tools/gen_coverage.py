@@ -43,7 +43,7 @@ SECTIONS = {
         "q_corr_weighted", "q_corr_bicor", "q_corr_distance", "q_ks_test", "q_mannwhitney", "q_ttest_welch", "q_anova", "q_levene", "q_prop_ztest", "q_seasonality", "q_drift_daily", "q_drift_psi", "q_drift_js", "q_drift_cusum", "q_drift_chi2", "q_ols_daily", "q_ols_dw", "q_ols_multi2", "q_forecast_naive", "q_ts_holt", "q_ts_holtwinters", "q_assoc_mixed", "q_corr_icc", "q_cronbach_alpha", "q_corr_ccc", "q_corr_kappa", "q_ts_trend", "q_agg_entropy",
         "q_jarque_bera", "q_cohens_d", "q_corr_gamma", "q_tukey_hsd", "q_agg_bool",
         "q_agg_extremes_by", "q_percentile_weighted", "q_ts_decompose",
-        "q_agg_bitmap_distinct", "q_ts_anomaly_seasonal",
+        "q_agg_bitmap_distinct", "q_ts_anomaly_seasonal", "q_corr_matrix_gram",
     ],
     "§2.5 Window functions": [
         "q_win_rownum", "q_win_rank", "q_win_lag", "q_win_frame_rows",

@@ -354,3 +354,141 @@ def q_stream_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_stream_corr.builder = _corr_sufficient
+
+
+# ---------------------------------------------------------------------------
+# Streaming drift: PSI over tumbling windows vs STATIC reference bins
+# (round 10 — the r9 verdict's streaming/drift bridge). The batch drift
+# family (operators.stats.drift_frame) derives its bin edges from the
+# GLOBAL value range — correct for batch, impossible for a stream (the
+# range isn't known until the stream ends). The streaming-honest form
+# pins FIXED bin edges (width-10 over [0, 100), clamped) and a FIXED
+# reference distribution (the first calendar week), so the per-window
+# computation is one conditional-count aggregate with the reference
+# folded in as constants: no stream-side join, no data-dependent state
+# beyond the live windows.
+
+_PSI_CUTOFF = "2024-01-08 00:00:00"
+_PSI_BINS = 10
+
+
+def _psi_bin(col):
+    """Fixed-edge bin id: ⌊value/10⌋ clamped to [0, 9] — identical
+    integer expression on both engines (floor of an exact /10.0)."""
+    return F.least(
+        F.greatest(F.floor(col / F.lit(10.0)).cast("long"), F.lit(0)),
+        F.lit(_PSI_BINS - 1),
+    )
+
+
+def psi_reference(ev: DataFrame) -> dict[int, int]:
+    """Reference bin counts from the static first week — a ≤10-row
+    collect (bounded by the bin count, never the data)."""
+    rows = (
+        ev.filter(F.col("ts") < F.lit(_PSI_CUTOFF).cast("timestamp"))
+        .groupBy(_psi_bin(F.col("value")).alias("b"))
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    return {int(r["b"]): int(r["c"]) for r in rows}
+
+
+def drift_psi_builder(ref: dict[int, int]):
+    """Builder factory closed over the static reference counts: per
+    1-day tumbling window, Laplace-smoothed PSI vs the reference —
+    Σ_b (p_b − q_b)·ln(p_b/q_b), p_b = (c_b+1)/(n_d+10), q_b =
+    (r_b+1)/(n_ref+10) (the drift_frame smoothing). The whole window
+    reduces in ONE streaming aggregate (10 conditional counts + total);
+    the PSI is a fixed-order 10-term projection, so batch and stream
+    run the identical float sequence."""
+    nref = sum(ref.values())
+
+    def build(ev: DataFrame) -> DataFrame:
+        b = _psi_bin(F.col("value"))
+        agg = ev.groupBy(F.window("ts", "1 day")).agg(
+            *[
+                F.count(F.when(b == i, 1)).alias(f"c{i}")
+                for i in range(_PSI_BINS)
+            ],
+            F.count("*").alias("nd"),
+        )
+        term = None
+        for i in range(_PSI_BINS):
+            p = (F.col(f"c{i}") + F.lit(1)).cast("double") / (
+                F.col("nd") + F.lit(_PSI_BINS)
+            ).cast("double")
+            q = F.lit(ref.get(i, 0) + 1).cast("double") / F.lit(
+                nref + _PSI_BINS
+            ).cast("double")
+            t = (p - q) * F.log(p / q)
+            term = t if term is None else term + t
+        return agg.select(
+            F.col("window.start").alias("window_start"),
+            F.round(term, 6).alias("psi"),
+            F.col("nd").alias("n_window"),
+        )
+
+    return build
+
+
+def _psi_oracle() -> str:
+    bin_sql = (
+        "least(greatest(CAST(floor(value / 10.0) AS BIGINT), 0), 9)"
+    )
+    nref = (
+        "(SELECT count(*) FROM events "
+        f"WHERE ts < TIMESTAMP '{_PSI_CUTOFF}')"
+    )
+    counts = ",\n                   ".join(
+        f"count(*) FILTER (WHERE {bin_sql} = {i}) AS c{i}"
+        for i in range(_PSI_BINS)
+    )
+    terms = []
+    for i in range(_PSI_BINS):
+        r = (
+            f"COALESCE((SELECT count(*) FROM events "
+            f"WHERE ts < TIMESTAMP '{_PSI_CUTOFF}' "
+            f"AND {bin_sql} = {i}), 0)"
+        )
+        p = f"(CAST(c{i} + 1 AS DOUBLE) / CAST(nd + 10 AS DOUBLE))"
+        q = f"(CAST({r} + 1 AS DOUBLE) / CAST({nref} + 10 AS DOUBLE))"
+        terms.append(f"({p} - {q}) * ln({p} / {q})")
+    # fixed-order left-associated sum, mirroring the Spark projection
+    psi = terms[0]
+    for t in terms[1:]:
+        psi = f"({psi} + {t})"
+    return f"""
+        WITH cur AS (
+            SELECT date_trunc('day', ts) AS window_start,
+                   {counts},
+                   count(*) AS nd
+            FROM events GROUP BY 1
+        )
+        SELECT window_start,
+               round({psi}, 6) AS psi,
+               nd AS n_window
+        FROM cur
+    """
+
+
+@query(
+    "q_stream_drift_psi",
+    oracle=_psi_oracle(),
+    doc="Streaming drift monitor: per-day tumbling-window PSI vs the "
+    "static first-week reference over FIXED bins (batch-equivalent "
+    "declared form; streaming parity in test_streaming).",
+)
+def q_stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming bridge for the drift family: where q_drift_psi
+    bins over the data-dependent global range (batch-only knowledge),
+    this key pins fixed width-10 bins and a fixed reference week, so
+    the SAME builder runs under readStream — one windowed aggregate,
+    reference constants folded into the projection, state bounded by
+    live windows × 11 longs. The reference itself is a ≤10-row
+    bounded collect at build time (the stream-static pattern: compute
+    the reference batch-side once, close the builder over it)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return drift_psi_builder(psi_reference(ev))(ev)
+
+
+q_stream_drift_psi.builder = None  # built per-reference via drift_psi_builder

@@ -415,3 +415,16 @@ def test_stream_stream_join_state_stays_bounded(spark, tmp_path):
         assert got == want
     finally:
         shutil.rmtree(chunk8, ignore_errors=True)
+
+
+def test_drift_psi_streaming_equals_batch(spark, chunk_dir):
+    """Round 10: the streaming drift bridge. The PSI builder is closed
+    over STATIC reference constants (first-week bin counts), so the
+    stream side needs no join and no data-dependent bin edges — the
+    chunked replay must reproduce the batch declared form exactly."""
+    batch = REGISTRY["q_stream_drift_psi"].fn(spark, SF_SMOKE)
+    cols = batch.columns
+    ev = load_tables(spark, SF_SMOKE)["events"]
+    builder = SQ.drift_psi_builder(SQ.psi_reference(ev))
+    stream_result = run_available_now(events_stream(spark, chunk_dir), builder)
+    assert _sorted_rows(stream_result, cols) == _sorted_rows(batch, cols)

@@ -73,7 +73,7 @@ SECTIONS = {
     ],
     "§2.10 Streaming (batch-equivalent declared forms)": [
         "q_stream_tumbling", "q_stream_sliding", "q_stream_session", "q_stream_dedup",
-        "q_stream_static_join", "q_stream_stream_join", "q_stream_stateful", "q_stream_corr",
+        "q_stream_static_join", "q_stream_stream_join", "q_stream_stateful", "q_stream_corr", "q_stream_drift_psi",
     ],
     "§2.11 UDF/UDAF/UDTF": [
         "q_udf_python", "q_udf_pandas", "q_udf_arrow", "q_udaf_grouped", "q_udaf_agg",

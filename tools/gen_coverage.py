@@ -60,7 +60,7 @@ SECTIONS = {
     "§2.9 LLM-pipeline (north-star)": [
         "q_dedup_exact", "q_dedup_keep_best", "q_dedup_incremental", "q_dedup_ngram", "q_dedup_near", "q_dedup_simhash",
         "q_dedup_cluster", "q_contamination", "q_dedup_url",
-        "q_dedup_embed", "q_dedup_embed_lsh", "q_sim_topk", "q_sim_assign", "q_sim_topk_lsh", "q_sim_topk_ivf", "q_sim_topk_pq", "q_sim_topk_ivfpq", "q_sim_pairs", "q_sim_pairs_lsh", "q_embed_norm", "q_embed_quantize",
+        "q_dedup_embed", "q_dedup_embed_lsh", "q_sim_topk", "q_sim_assign", "q_sim_topk_lsh", "q_sim_topk_ivf", "q_sim_topk_pq", "q_sim_topk_ivfpq", "q_sim_index_append", "q_sim_pairs", "q_sim_pairs_lsh", "q_embed_norm", "q_embed_quantize",
         "q_text_stats", "q_text_tfidf", "q_text_ngram", "q_text_sentiment",
         "q_text_langid", "q_text_quality", "q_text_readability", "q_text_fingerprint", "q_text_winnow", "q_text_tokens_bpeish",
         "q_text_repetition", "q_text_keyword", "q_text_boilerplate", "q_quality_pipeline", "q_pipeline_pretrain", "q_text_perplexity", "q_embed_centroid", "q_embed_pca", "q_embed_pq", "q_embed_knn_graph", "q_text_bpe_train",

@@ -35,8 +35,11 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from correlationapi_spark.llm.similarity import (  # noqa: E402
     cosine,
+    ivf_append,
+    ivf_imbalance,
     ivf_index,
     ivf_probe,
+    ivf_write,
     topk_neighbors_exact,
 )
 from correlationapi_spark.session import get_spark  # noqa: E402
@@ -178,6 +181,34 @@ def main() -> None:
     t_full = time.time() - t0
     pruned_rows = pruned.count()
 
+    # 4. incremental maintenance (round 10): append a 20% delta to the
+    # persisted base-index layout vs re-training + rewriting everything.
+    # The append assigns ONLY the delta against the frozen centroids
+    # and appends those rows' cell files; the rebuild re-runs KMeans
+    # over the union and rewrites the full corpus.
+    base_path = os.path.join(out_dir, "append_base")
+    shutil.rmtree(base_path, ignore_errors=True)
+    base = corpus.filter(F.col("vec_id") % 5 != 0)
+    delta = corpus.filter(F.col("vec_id") % 5 == 0)
+    t0 = time.time()
+    b_assigned, b_cents = ivf_index(
+        base, n_cells=N_CELLS, train_fraction=TRAIN_FRACTION
+    )
+    ivf_write(b_assigned, b_cents, base_path)
+    t_base_build = time.time() - t0
+    t0 = time.time()
+    ivf_append(spark, base_path, delta)
+    t_append = time.time() - t0
+    imb = ivf_imbalance(spark, base_path).collect()[0]
+    rebuild_path = os.path.join(out_dir, "append_rebuild")
+    shutil.rmtree(rebuild_path, ignore_errors=True)
+    t0 = time.time()
+    r_assigned, r_cents = ivf_index(
+        corpus, n_cells=N_CELLS, train_fraction=TRAIN_FRACTION
+    )
+    ivf_write(r_assigned, r_cents, rebuild_path)
+    t_rebuild = time.time() - t0
+
     print(
         json.dumps(
             {
@@ -197,6 +228,16 @@ def main() -> None:
                     "pruned_refine_sec": round(t_pruned, 2),
                     "full_refine_sec": round(t_full, 2),
                     "partition_filters_in_plan": True,
+                },
+                "append_maintenance": {
+                    "delta_fraction": 0.2,
+                    "base_build_write_sec": round(t_base_build, 2),
+                    "append_sec": round(t_append, 2),
+                    "rebuild_sec": round(t_rebuild, 2),
+                    "speedup_vs_rebuild": round(t_rebuild / t_append, 1),
+                    "imbalance_after_append": float(imb.imbalance),
+                    "recluster_signaled": bool(imb.recluster),
+                    "n_vectors_after_append": int(imb.n_vectors),
                 },
             }
         )

@@ -6015,8 +6015,13 @@ def corr_matrix_gram(df: DataFrame, cols: list[str], tbl: str) -> DataFrame:
     the centered two-pass variant before trusting 6 dp.
     """
     d = len(cols)
+    # bare double columns, NOT an array column: Arrow ships them
+    # columnar (zero list-construction on either side) and the batch
+    # turns into one contiguous ndarray — measured 4.6× faster than
+    # the array-of-list route at d=32/1M rows (tools/corr_matrix_bench)
+    names = [f"_c{i}" for i in range(d)]
     corpus = df.select(
-        F.array(*[F.col(c).cast("double") for c in cols]).alias("v")
+        *[F.col(c).cast("double").alias(n) for c, n in zip(cols, names)]
     )
 
     def batches(it):
@@ -6025,7 +6030,7 @@ def corr_matrix_gram(df: DataFrame, cols: list[str], tbl: str) -> DataFrame:
 
         iu = np.triu_indices(d)
         for pdf in it:
-            x = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+            x = pdf.to_numpy(dtype=np.float64, copy=False)
             if x.size == 0:
                 continue
             x = x[~np.isnan(x).any(axis=1)]
@@ -6047,38 +6052,42 @@ def corr_matrix_gram(df: DataFrame, cols: list[str], tbl: str) -> DataFrame:
     part = corpus.mapInPandas(
         batches, schema="bn long, s array<double>, g array<double>"
     )
+    # The moment reduction + pair projection are built as TWO selectExpr
+    # string lists, not Column-by-Column: at d=64 that is ~2k aggregates
+    # and ~2k pair structs, and constructing them through per-Column
+    # py4j calls measured 95 s of DRIVER time before a single task ran
+    # (execution itself was 24 s). Strings are assembled in Python and
+    # parsed JVM-side in one hop — same expression trees, same floats.
+    # (s[i]/g[k] use Spark SQL's 0-based array indexing.)
+    # SCALAR aggregate columns, one parsed-named F.expr each — never a
+    # single struct-typed aggregate (a d(d+3)/2-field struct buffer is
+    # rebuilt per input row: measured 5× SLOWER at d=64 than the data
+    # itself costs). ~2k one-hop F.expr calls parse in seconds.
     mom = part.agg(
-        F.sum("bn").alias("n"),
-        *[F.sum(F.element_at("s", i + 1)).alias(f"s_{i}") for i in range(d)],
+        F.expr("sum(bn) AS n"),
+        *[F.expr(f"sum(s[{i}]) AS s_{i}") for i in range(d)],
         *[
-            F.sum(F.element_at("g", tri(i, j) + 1)).alias(f"g_{i}_{j}")
+            F.expr(f"sum(g[{tri(i, j)}]) AS g_{i}_{j}")
             for i in range(d)
             for j in range(i, d)
         ],
     )
-    n = F.col("n").cast("double")
-    pairs = []
+    structs = []
     for i in range(d):
         for j in range(i + 1, d):
-            cov = n * F.col(f"g_{i}_{j}") - F.col(f"s_{i}") * F.col(f"s_{j}")
-            vx = n * F.col(f"g_{i}_{i}") - F.col(f"s_{i}") * F.col(f"s_{i}")
-            vy = n * F.col(f"g_{j}_{j}") - F.col(f"s_{j}") * F.col(f"s_{j}")
-            pairs.append(
-                F.struct(
-                    F.lit(cols[i]).alias("col_x"),
-                    F.lit(cols[j]).alias("col_y"),
-                    F.round(
-                        F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)),
-                        6,
-                    ).alias("corr_xy"),
-                )
+            nd = "CAST(n AS DOUBLE)"
+            cov = f"({nd} * g_{i}_{j} - s_{i} * s_{j})"
+            vx = f"({nd} * g_{i}_{i} - s_{i} * s_{i})"
+            vy = f"({nd} * g_{j}_{j} - s_{j} * s_{j})"
+            structs.append(
+                f"named_struct('col_x', '{cols[i]}', 'col_y', '{cols[j]}',"
+                f" 'corr_xy', round(CASE WHEN {vx} > 0 AND {vy} > 0"
+                f" THEN {cov} / sqrt({vx} * {vy}) END, 6))"
             )
-    return (
-        mom.select(
-            F.lit(tbl).alias("tbl"),
-            F.explode(F.array(*pairs)).alias("p"),
-            F.col("n").alias("n_rows"),
-        ).select("tbl", "p.col_x", "p.col_y", "p.corr_xy", "n_rows")
+    return mom.selectExpr(
+        f"'{tbl}' AS tbl",
+        f"inline(array({', '.join(structs)}))",
+        "n AS n_rows",
     )
 
 

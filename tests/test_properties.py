@@ -1175,3 +1175,64 @@ def test_bitmap_distinct_equals_exact(spark):
         # each bucket packs <= 63 keys, so the bucket count brackets n
         assert bm[flag].n_buckets >= (n + 62) // 63
         assert bm[flag].n_buckets <= n
+
+
+@given(data=_rows)
+@_settings
+def test_corr_matrix_gram_matches_numpy(spark, data):
+    """round 10: the gram route's closed-form pair algebra must equal
+    numpy's corrcoef (to 6 dp) on arbitrary small frames — including
+    constant columns, which must yield NULL (the vx/vy>0 guard), never
+    a DIVIDE_BY_ZERO throw."""
+    import numpy as np
+
+    from correlationapi_spark.operators.stats import corr_matrix_gram
+
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b, _ in data], "x double, y double"
+    )
+    out = corr_matrix_gram(df, ["x", "y"], "t").collect()
+    assert len(out) == 1
+    got = out[0].corr_xy
+    arr = np.array([(a, b) for a, b, _ in data], dtype=np.float64)
+    if np.std(arr[:, 0]) == 0 or np.std(arr[:, 1]) == 0:
+        assert got is None
+    else:
+        want = float(np.corrcoef(arr[:, 0], arr[:, 1])[0, 1])
+        assert got is not None and abs(got - round(want, 6)) <= 1e-6
+    assert out[0].n_rows == len(data)
+
+
+@pytest.mark.parametrize(
+    "cutoff,mod",
+    [("2024-01-28 00:00:00", 37), ("2024-01-15 00:00:00", 7),
+     ("2024-01-05 00:00:00", 1)],
+)
+def test_scd2_merge_equals_rebuild_any_split(spark, cutoff, mod):
+    """round 10: the merge path must equal the full rebuild for ANY
+    staged-batch shape — a late sparse batch, a mid-history heavy
+    batch (every 7th user), and the degenerate near-total replay
+    (mod 1: every user affected, every occupied bucket rewritten)."""
+    from correlationapi_spark.operators.analytics import (
+        scd2_intervals,
+        scd2_merge,
+    )
+
+    ev = load_tables(spark, SF_SMOKE)["events"]
+    pred = (
+        F.col("ts") >= F.lit(cutoff).cast("timestamp")
+    ) & (F.col("user_id") % mod == 0)
+    merged, stats = scd2_merge(spark, ev, pred)
+    want = scd2_intervals(
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            "event_id",
+        )
+    ).drop("event_id")
+    cols = want.columns
+    assert sorted(map(tuple, merged.select(*cols).collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert 1 <= stats["touched"] <= stats["total"]

@@ -283,7 +283,7 @@ def main(argv: list[str] | None = None) -> int:
     add_data(m)
     m.add_argument("--vars", default=None, help="comma-separated; default: all numeric")
     m.add_argument("--method", default="pearson",
-                   choices=["pearson", "spearman", "kendall"])
+                   choices=["pearson", "spearman", "kendall", "gram"])
 
     mm = sub.add_parser(
         "mixed-matrix",

@@ -1927,7 +1927,11 @@ class CorrelationAPI:
     def correlation_matrix(
         self, dataset: str, variables: list[str] | None = None, method: str = "pearson"
     ) -> dict[str, Any]:
-        """All-pairs matrix in ONE aggregation pass (k(k-1)/2 corr aggs)."""
+        """All-pairs matrix. pearson/spearman run k(k-1)/2 corr
+        aggregates in ONE pass (right up to dashboard widths); kendall
+        routes through the pair-count engine; ``gram`` (round 10) is
+        the WIDE path — one Arrow-batched gram reduction, measured 20×
+        the aggregate route at d=64 (SCALING.md) and flat in d."""
         df = self._get(dataset)
         cols = variables or self.variables(dataset)
         if len(cols) < 2:
@@ -1944,13 +1948,35 @@ class CorrelationAPI:
         )
         if method == "kendall":
             return self._kendall_matrix(df, dataset, cols)
+        if method == "gram":
+            # the WIDE path (round 10): one Arrow-batched gram pass +
+            # closed-form pair projection — measured crossover vs the
+            # aggregate route at d≈16, 20× faster at d=64 and immune to
+            # the quadratic aggregation state that OOMs the JVM
+            # (SCALING.md round-10 table; engine: stats.corr_matrix_gram).
+            # Like the kendall path it is listwise over NaN as well as
+            # NULL (in-batch drop), so every cell shares one sample.
+            from .operators.stats import corr_matrix_gram
+
+            rows = corr_matrix_gram(df, cols, dataset).collect()
+            idx = {c: k for k, c in enumerate(cols)}
+            matrix = [[1.0] * len(cols) for _ in cols]
+            for r in rows:
+                i, j = idx[r.col_x], idx[r.col_y]
+                matrix[i][j] = matrix[j][i] = _nan_to_none(r.corr_xy)
+            return {
+                "dataset": dataset,
+                "method": "gram",
+                "variables": cols,
+                "matrix": matrix,
+            }
         if method == "spearman":
             df = self._rank_all(df, cols)
         elif method != "pearson":
             # round 4: an unknown method previously fell through to
             # pearson SILENTLY — validate like correlate() does
             raise ValueError(
-                f"unknown method: {method!r} (pearson|spearman|kendall)"
+                f"unknown method: {method!r} (pearson|spearman|kendall|gram)"
             )
         aggs = [
             _safe_corr(F.col(a).cast("double"), F.col(b).cast("double")).alias(f"{i}_{j}")

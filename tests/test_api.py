@@ -2196,3 +2196,40 @@ def test_drift_categorical_matches_declared_key(api_orders, spark):
     # numeric path unchanged
     res2 = api_orders.drift("events", "value", "ts")
     assert res2["kind"] == "numeric"
+
+
+def test_matrix_gram_method_matches_pearson(api):
+    """round 10: the wide-matrix gram route must agree cell-for-cell
+    with the aggregate route (both exact raw-moment algebra at 6 dp —
+    the gram result is rounded, so compare at that grain), share the
+    listwise-NULL contract, and reject nothing pearson accepts."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    p = api.correlation_matrix("lineitem", cols)["matrix"]
+    g = api.correlation_matrix("lineitem", cols, method="gram")["matrix"]
+    for i in range(len(cols)):
+        for j in range(len(cols)):
+            if i == j:
+                assert g[i][j] == 1.0
+            else:
+                assert abs(g[i][j] - round(p[i][j], 6)) <= 1e-6, (i, j)
+
+
+def test_matrix_gram_listwise_and_zero_variance(api, spark):
+    rows = [
+        (1.0, 10.0, 3.0), (2.0, 20.0, 1.0), (3.0, 30.0, 7.0),
+        (4.0, 40.0, 2.0), (5.0, 500.0, None),
+    ]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    api.register_dataset("_listwise_g", df)
+    m = api.correlation_matrix(
+        "_listwise_g", ["x", "y", "z"], method="gram"
+    )["matrix"]
+    assert m[0][1] == 1.0  # the None row dropped listwise
+    cdf = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 5.0)], "x double, y double"
+    )
+    api.register_dataset("_const_g", cdf)
+    mc = api.correlation_matrix("_const_g", ["x", "y"], method="gram")[
+        "matrix"
+    ]
+    assert mc[0][1] is None  # zero variance -> NULL, never a throw

@@ -392,3 +392,16 @@ def test_cli_round9_late_services(spark, capsys):
         "--order", "event_id",
     ])
     assert rc == 0 and abs(sum(res["pi"].values()) - 1.0) < 1e-4
+
+
+def test_cli_matrix_gram(spark, capsys):
+    rc, res = _run(capsys, [
+        "matrix", "--data", os.path.join(SF_SMOKE, "lineitem.parquet"),
+        "--vars", "l_quantity,l_extendedprice,l_discount",
+        "--method", "gram",
+    ])
+    assert rc == 0
+    m = res["matrix"]
+    assert res["method"] == "gram" and len(m) == 3
+    assert all(m[i][i] == 1.0 for i in range(3))
+    assert all(m[i][j] == m[j][i] for i in range(3) for j in range(3))

@@ -77,6 +77,18 @@ def test_matrix_and_lagged_over_http(base_url):
     assert status == 200 and len(res["matrix"]) == 3
     assert res["matrix"][0][1] == res["matrix"][1][0]
 
+    # round 10: the wide-matrix gram route over the same HTTP surface
+    status, gres = _post(
+        f"{base_url}/matrix",
+        {
+            "dataset": "lineitem",
+            "variables": ["l_quantity", "l_extendedprice", "l_tax"],
+            "method": "gram",
+        },
+    )
+    assert status == 200 and gres["method"] == "gram"
+    assert abs(gres["matrix"][0][1] - round(res["matrix"][0][1], 6)) <= 1e-6
+
     _post(
         f"{base_url}/datasets/events",
         {"path": os.path.join(SF_SMOKE, "events.parquet")},

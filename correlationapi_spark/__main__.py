@@ -21,6 +21,12 @@ Commands:
   similar   --data PATH --id COL --vector COL (--probes 1,2 |
             --query-vector f,f,... [repeatable]) [--k N]
             [--method exact|ivf] [--n-cells N] [--n-probe N]
+  index-build  --data PATH --id COL --vector COL --path DIR
+            [--n-cells N] [--train-fraction F]   (persist an IVF index)
+  index-append --data PATH --id COL --vector COL --path DIR [--where SQL]
+            (assign-only delta append; base cell files untouched)
+  index-status --path DIR          (cell-balance gauge + recluster signal)
+  index-probe  --path DIR --probes 1,2 [--k N] [--n-probe N]
   dedup     --data PATH --id COL --text COL
             [--method exact|keep_best|ngram|minhash] [--threshold T] [--limit N]
   assign    --data PATH --id COL --vector COL --centroids 0,1,2 [--limit N]
@@ -348,6 +354,43 @@ def main(argv: list[str] | None = None) -> int:
     sm.add_argument("--n-cells", type=int, default=16)
     sm.add_argument("--n-probe", type=int, default=6)
 
+    ib = sub.add_parser(
+        "index-build", help="train + persist an IVF ANN index (round 10)"
+    )
+    add_data(ib)
+    ib.add_argument("--id", required=True, help="integer id column")
+    ib.add_argument("--vector", required=True, help="array<float> column")
+    ib.add_argument("--path", required=True, help="index directory")
+    ib.add_argument("--n-cells", type=int, default=16)
+    ib.add_argument("--train-fraction", type=float, default=1.0)
+
+    ia = sub.add_parser(
+        "index-append",
+        help="append rows to a persisted IVF index — assign-only, no "
+        "re-train, existing cell files untouched",
+    )
+    add_data(ia)
+    ia.add_argument("--id", required=True)
+    ia.add_argument("--vector", required=True)
+    ia.add_argument("--path", required=True)
+    ia.add_argument("--where", default=None,
+                    help="SQL predicate selecting the delta rows")
+
+    ist = sub.add_parser(
+        "index-status",
+        help="cell-balance drift gauge of a persisted IVF index",
+    )
+    ist.add_argument("--path", required=True)
+
+    ipr = sub.add_parser(
+        "index-probe", help="top-k over a persisted IVF index"
+    )
+    ipr.add_argument("--path", required=True)
+    ipr.add_argument("--probes", required=True,
+                     help="comma-separated corpus row ids")
+    ipr.add_argument("--k", type=int, default=5)
+    ipr.add_argument("--n-probe", type=int, default=6)
+
     dd = sub.add_parser(
         "dedup", help="duplicate report over an (id, text) table"
     )
@@ -506,6 +549,25 @@ def main(argv: list[str] | None = None) -> int:
                          default=str))
         return 0
 
+    if args.cmd in ("index-status", "index-probe"):
+        from .api import CorrelationAPI
+
+        api = CorrelationAPI(_spark())
+        try:
+            if args.cmd == "index-status":
+                res = api.index_status(args.path)
+            else:
+                res = api.index_probe(
+                    args.path,
+                    [int(x) for x in args.probes.split(",") if x.strip()],
+                    k=args.k, n_probe=args.n_probe,
+                )
+        except (KeyError, TypeError, ValueError) as e:
+            print(json.dumps({"error": str(e)}))
+            return 2
+        print(json.dumps(res, default=str))
+        return 0
+
     try:
         api = _api(args)
         if args.cmd == "correlate":
@@ -604,6 +666,13 @@ def main(argv: list[str] | None = None) -> int:
                               k=args.k, method=args.method,
                               n_cells=args.n_cells, n_probe=args.n_probe,
                               query_vectors=qvecs)
+        elif args.cmd == "index-build":
+            res = api.index_build("ds", args.id, args.vector, args.path,
+                                  n_cells=args.n_cells,
+                                  train_fraction=args.train_fraction)
+        elif args.cmd == "index-append":
+            res = api.index_append("ds", args.id, args.vector, args.path,
+                                   where=args.where)
         elif args.cmd == "dedup":
             res = api.dedup("ds", args.id, args.text, method=args.method,
                             threshold=args.threshold, limit=args.limit)

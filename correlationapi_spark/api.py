@@ -2717,6 +2717,97 @@ class CorrelationAPI:
             "neighbors": neighbors,
         }
 
+    # -- persisted ANN index lifecycle (round 10) ---------------------------
+    #
+    # The maintenance trio over the cell-partitioned IVF layout
+    # (llm.similarity ivf_write/ivf_append/ivf_imbalance): build once,
+    # append deltas without re-training (base cell files byte-untouched),
+    # and read the drift gauge that says when to rebuild. Probing a
+    # persisted index rides similar()'s engines via index_probe.
+
+    def index_build(
+        self, dataset: str, id_col: str, vector_col: str, path: str,
+        n_cells: int = 16, train_fraction: float = 1.0,
+    ) -> dict[str, Any]:
+        """Train + assign + persist an IVF index for a registered
+        embedding table under ``path`` (cell-partitioned corpus +
+        centroid table)."""
+        from .llm.similarity import corpus_view, ivf_index, ivf_write
+
+        if n_cells < 1:
+            raise ValueError("n_cells must be >= 1")
+        corpus = corpus_view(self._get(dataset), id_col, vector_col)
+        assigned, cents = ivf_index(
+            corpus, n_cells=n_cells, train_fraction=train_fraction
+        )
+        ivf_write(assigned, cents, path)
+        return {**self.index_status(path), "built_from": dataset}
+
+    def index_append(
+        self, dataset: str, id_col: str, vector_col: str, path: str,
+        where: str | None = None,
+    ) -> dict[str, Any]:
+        """Assign ONLY the given rows (optional SQL ``where`` over the
+        dataset) against the persisted centroids and append their cell
+        files — no re-train, existing partitions untouched. Returns the
+        post-append drift gauge so callers see the recluster signal in
+        the same round trip."""
+        from .llm.similarity import corpus_view, ivf_append
+
+        delta = self._get(dataset)
+        if where is not None:
+            delta = delta.filter(where)  # Catalyst-parsed; bad SQL -> 400
+        ivf_append(
+            self.spark, path, corpus_view(delta, id_col, vector_col)
+        )
+        return {**self.index_status(path), "appended_from": dataset}
+
+    def index_status(self, path: str) -> dict[str, Any]:
+        """Cell-balance drift gauge of a persisted index — one
+        n_cells-row aggregate, recluster trips at max/avg > 3."""
+        from .llm.similarity import ivf_imbalance
+
+        r = ivf_imbalance(self.spark, path).collect()[0]
+        return {
+            "path": path,
+            "n_cells": r.n_cells,
+            "n_vectors": r.n_vectors,
+            "max_cell": r.max_cell,
+            "avg_cell": r.avg_cell,
+            "imbalance": r.imbalance,
+            "recluster": bool(r.recluster),
+        }
+
+    def index_probe(
+        self, path: str, probe_ids: list[int], k: int = 5, n_probe: int = 6
+    ) -> dict[str, Any]:
+        """Top-k over a PERSISTED index (ivf_read → ivf_probe): the
+        candidate read prunes to each probe's n_probe cells at the
+        parquet scan. Probes are corpus row ids."""
+        from .llm.similarity import ivf_probe, ivf_read
+
+        if k < 1 or n_probe < 1:
+            raise ValueError("k and n_probe must be >= 1")
+        if not probe_ids:
+            raise ValueError("probe_ids must be non-empty")
+        corpus, cents = ivf_read(self.spark, path)
+        probes = corpus.filter(F.col("vec_id").isin(probe_ids)).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("v").alias("pv"),
+            F.col("na").alias("pna"),
+        )
+        res = ivf_probe(corpus, cents, probes, k, n_probe=n_probe)
+        neighbors: dict[str, list[dict[str, Any]]] = {
+            str(p): [] for p in probe_ids
+        }
+        for r in res.collect():
+            neighbors[str(r.probe_id)].append(
+                {"id": r.neighbor_id, "cosine": _nan_to_none(r.cosine),
+                 "rank": r.rn}
+            )
+        return {"path": path, "k": k, "n_probe": n_probe,
+                "neighbors": neighbors}
+
     def _docs_view(
         self, dataset: str, id_col: str, text_col: str
     ) -> tuple[DataFrame, DataFrame]:

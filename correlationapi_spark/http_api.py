@@ -56,6 +56,14 @@ container, and none is needed for a JSON-for-JSON contract:
        for exact/ivf, code-space ADC L2 for pq/ivfpq)
   POST /similar {"dataset","id","vector","query_vectors":[[...],…],…}
        → top-k neighbors of RAW embeddings (keys q0, q1, …)
+  POST /index/build  {"dataset","id","vector","path"[,"n_cells","train_fraction"]}
+       → 201 + persisted-IVF status (cell-partitioned corpus + centroids)
+  POST /index/append {"dataset","id","vector","path"[,"where"]}
+       → assign ONLY the (filtered) rows to the frozen centroids, append
+         their cell files, return the post-append drift gauge
+  GET  /index/status?path=        → cell-balance gauge (recluster signal)
+  POST /index/probe  {"path","probe_ids":[…][,"k","n_probe"]}
+       → top-k over the persisted index (partition-pruned candidate read)
   GET  /dedup?dataset=&id=&text=[&method=exact|keep_best|ngram|minhash][&threshold=]
        [&limit=]                  → duplicate listing + engine-side totals
   GET  /assign?dataset=&id=&vector=&centroids=0,1,2[&limit=]
@@ -357,6 +365,35 @@ def _route(api: CorrelationAPI, method: str, path: str,
             n_cells=int(body.get("n_cells", 16)),
             n_probe=int(body.get("n_probe", 6)),
             query_vectors=body["query_vectors"],
+        )
+    if method == "POST" and path == "/index/build":
+        for req in ("dataset", "id", "vector", "path"):
+            if req not in body:
+                raise ValueError(f'body must contain "{req}"')
+        return 201, api.index_build(
+            body["dataset"], body["id"], body["vector"], body["path"],
+            n_cells=int(body.get("n_cells", 16)),
+            train_fraction=float(body.get("train_fraction", 1.0)),
+        )
+    if method == "POST" and path == "/index/append":
+        for req in ("dataset", "id", "vector", "path"):
+            if req not in body:
+                raise ValueError(f'body must contain "{req}"')
+        return 200, api.index_append(
+            body["dataset"], body["id"], body["vector"], body["path"],
+            where=body.get("where"),
+        )
+    if method == "GET" and path == "/index/status":
+        if "path" not in query:
+            raise ValueError("missing query parameter 'path'")
+        return 200, api.index_status(query["path"])
+    if method == "POST" and path == "/index/probe":
+        for req in ("path", "probe_ids"):
+            if req not in body:
+                raise ValueError(f'body must contain "{req}"')
+        return 200, api.index_probe(
+            body["path"], [int(p) for p in body["probe_ids"]],
+            k=int(body.get("k", 5)), n_probe=int(body.get("n_probe", 6)),
         )
     if method == "GET" and path == "/dedup":
         for req in ("dataset", "id", "text"):

@@ -670,3 +670,36 @@ def test_stationary_route(spark):
          "time": "ts", "order": "event_id"}, {},
     )
     assert status == 200 and abs(sum(payload["pi"].values()) - 1.0) < 1e-4
+
+
+def test_index_lifecycle_over_http(base_url, tmp_path):
+    """round 10: the persisted-ANN maintenance surface — build (201),
+    gauge, delta append (assign-only), probe — over real sockets."""
+    _post(
+        f"{base_url}/datasets/emb",
+        {"path": os.path.join(SF_SMOKE, "embeddings.parquet")},
+    )
+    idx = str(tmp_path / "http_ivf")
+    status, res = _post(
+        f"{base_url}/index/build",
+        {"dataset": "emb", "id": "vec_id", "vector": "embedding",
+         "path": idx, "n_cells": 8},
+    )
+    assert status == 201 and res["n_vectors"] > 0
+    base_n = res["n_vectors"]
+
+    status, res = _get(f"{base_url}/index/status?path={idx}")
+    assert status == 200 and res["n_vectors"] == base_n
+
+    status, res = _post(
+        f"{base_url}/index/append",
+        {"dataset": "emb", "id": "vec_id", "vector": "embedding",
+         "path": idx, "where": "vec_id % 5 = 0"},
+    )
+    assert status == 200 and res["n_vectors"] > base_n
+
+    status, res = _post(
+        f"{base_url}/index/probe",
+        {"path": idx, "probe_ids": [1, 2], "k": 3},
+    )
+    assert status == 200 and set(res["neighbors"]) == {"1", "2"}

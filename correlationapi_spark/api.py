@@ -2756,7 +2756,13 @@ class CorrelationAPI:
 
         delta = self._get(dataset)
         if where is not None:
-            delta = delta.filter(where)  # Catalyst-parsed; bad SQL -> 400
+            from pyspark.errors import AnalysisException, ParseException
+
+            try:
+                delta = delta.filter(where)
+            except (AnalysisException, ParseException) as e:
+                # user error (HTTP 400), not a Py4J stack trace at 500
+                raise ValueError(f"bad where predicate: {e}") from e
         ivf_append(
             self.spark, path, corpus_view(delta, id_col, vector_col)
         )

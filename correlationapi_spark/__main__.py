@@ -363,6 +363,8 @@ def main(argv: list[str] | None = None) -> int:
     ib.add_argument("--path", required=True, help="index directory")
     ib.add_argument("--n-cells", type=int, default=16)
     ib.add_argument("--train-fraction", type=float, default=1.0)
+    ib.add_argument("--where", default=None,
+                    help="SQL predicate selecting the build slice")
 
     ia = sub.add_parser(
         "index-append",
@@ -669,7 +671,8 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "index-build":
             res = api.index_build("ds", args.id, args.vector, args.path,
                                   n_cells=args.n_cells,
-                                  train_fraction=args.train_fraction)
+                                  train_fraction=args.train_fraction,
+                                  where=args.where)
         elif args.cmd == "index-append":
             res = api.index_append("ds", args.id, args.vector, args.path,
                                    where=args.where)

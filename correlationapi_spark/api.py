@@ -2728,20 +2728,57 @@ class CorrelationAPI:
     def index_build(
         self, dataset: str, id_col: str, vector_col: str, path: str,
         n_cells: int = 16, train_fraction: float = 1.0,
+        where: str | None = None,
     ) -> dict[str, Any]:
         """Train + assign + persist an IVF index for a registered
         embedding table under ``path`` (cell-partitioned corpus +
-        centroid table)."""
+        centroid table). Optional SQL ``where`` selects the build
+        slice (e.g. build on history, index_append the rest). Refuses
+        to clobber a non-empty directory that is not already an index
+        — build is the ONLY destructive write on this surface, so it
+        only ever overwrites its own layout (review r10)."""
+        import os
+
         from .llm.similarity import corpus_view, ivf_index, ivf_write
 
         if n_cells < 1:
             raise ValueError("n_cells must be >= 1")
-        corpus = corpus_view(self._get(dataset), id_col, vector_col)
+        if not (0.0 < train_fraction <= 1.0):
+            # caught here as a user error (HTTP 400), not a Py4J
+            # KMeans/sample stack trace at 500
+            raise ValueError("train_fraction must be in (0, 1]")
+        if (
+            os.path.isdir(path)
+            and os.listdir(path)
+            and not os.path.isdir(os.path.join(path, "corpus"))
+        ):
+            raise ValueError(
+                f"refusing to overwrite non-index directory: {path!r}"
+            )
+        df = self._get(dataset)
+        if where is not None:
+            df = self._filtered(df, where)
+        corpus = corpus_view(df, id_col, vector_col)
         assigned, cents = ivf_index(
             corpus, n_cells=n_cells, train_fraction=train_fraction
         )
         ivf_write(assigned, cents, path)
         return {**self.index_status(path), "built_from": dataset}
+
+    @staticmethod
+    def _filtered(df: DataFrame, where: str) -> DataFrame:
+        from pyspark.errors import AnalysisException, ParseException
+
+        try:
+            return df.filter(where)
+        except (AnalysisException, ParseException) as e:
+            # user error (HTTP 400), not a Py4J stack trace at 500
+            raise ValueError(f"bad where predicate: {e}") from e
+
+    @staticmethod
+    def _no_index(path: str, e: Exception) -> KeyError:
+        # missing/garbage index path -> 404, not a Py4J 500 (review r10)
+        return KeyError(f"no IVF index at {path!r}: {e}")
 
     def index_append(
         self, dataset: str, id_col: str, vector_col: str, path: str,
@@ -2752,28 +2789,32 @@ class CorrelationAPI:
         files — no re-train, existing partitions untouched. Returns the
         post-append drift gauge so callers see the recluster signal in
         the same round trip."""
+        from pyspark.errors import AnalysisException
+
         from .llm.similarity import corpus_view, ivf_append
 
         delta = self._get(dataset)
         if where is not None:
-            from pyspark.errors import AnalysisException, ParseException
-
-            try:
-                delta = delta.filter(where)
-            except (AnalysisException, ParseException) as e:
-                # user error (HTTP 400), not a Py4J stack trace at 500
-                raise ValueError(f"bad where predicate: {e}") from e
-        ivf_append(
-            self.spark, path, corpus_view(delta, id_col, vector_col)
-        )
+            delta = self._filtered(delta, where)
+        try:
+            ivf_append(
+                self.spark, path, corpus_view(delta, id_col, vector_col)
+            )
+        except AnalysisException as e:
+            raise self._no_index(path, e) from e
         return {**self.index_status(path), "appended_from": dataset}
 
     def index_status(self, path: str) -> dict[str, Any]:
         """Cell-balance drift gauge of a persisted index — one
         n_cells-row aggregate, recluster trips at max/avg > 3."""
+        from pyspark.errors import AnalysisException
+
         from .llm.similarity import ivf_imbalance
 
-        r = ivf_imbalance(self.spark, path).collect()[0]
+        try:
+            r = ivf_imbalance(self.spark, path).collect()[0]
+        except AnalysisException as e:
+            raise self._no_index(path, e) from e
         return {
             "path": path,
             "n_cells": r.n_cells,
@@ -2790,13 +2831,18 @@ class CorrelationAPI:
         """Top-k over a PERSISTED index (ivf_read → ivf_probe): the
         candidate read prunes to each probe's n_probe cells at the
         parquet scan. Probes are corpus row ids."""
+        from pyspark.errors import AnalysisException
+
         from .llm.similarity import ivf_probe, ivf_read
 
         if k < 1 or n_probe < 1:
             raise ValueError("k and n_probe must be >= 1")
         if not probe_ids:
             raise ValueError("probe_ids must be non-empty")
-        corpus, cents = ivf_read(self.spark, path)
+        try:
+            corpus, cents = ivf_read(self.spark, path)
+        except AnalysisException as e:
+            raise self._no_index(path, e) from e
         probes = corpus.filter(F.col("vec_id").isin(probe_ids)).select(
             F.col("vec_id").alias("probe_id"),
             F.col("v").alias("pv"),

@@ -56,8 +56,10 @@ container, and none is needed for a JSON-for-JSON contract:
        for exact/ivf, code-space ADC L2 for pq/ivfpq)
   POST /similar {"dataset","id","vector","query_vectors":[[...],…],…}
        → top-k neighbors of RAW embeddings (keys q0, q1, …)
-  POST /index/build  {"dataset","id","vector","path"[,"n_cells","train_fraction"]}
-       → 201 + persisted-IVF status (cell-partitioned corpus + centroids)
+  POST /index/build  {"dataset","id","vector","path"
+       [,"n_cells","train_fraction","where"]}
+       → 201 + persisted-IVF status (cell-partitioned corpus + centroids;
+         refuses to clobber a non-index directory)
   POST /index/append {"dataset","id","vector","path"[,"where"]}
        → assign ONLY the (filtered) rows to the frozen centroids, append
          their cell files, return the post-append drift gauge
@@ -374,6 +376,7 @@ def _route(api: CorrelationAPI, method: str, path: str,
             body["dataset"], body["id"], body["vector"], body["path"],
             n_cells=int(body.get("n_cells", 16)),
             train_fraction=float(body.get("train_fraction", 1.0)),
+            where=body.get("where"),
         )
     if method == "POST" and path == "/index/append":
         for req in ("dataset", "id", "vector", "path"):

@@ -296,30 +296,16 @@ def ivf_read(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
     )
 
 
-def ivf_append(spark: SparkSession, path: str, new_vectors: DataFrame) -> None:
-    """Incremental IVF maintenance (round 10 — the r9 verdict's ask made
-    a first-class engine instead of a convention): assign ONLY the
-    appended (vec_id, v) vectors against the PERSISTED centroids and
-    append their rows into the cell-partitioned layout. No re-train, no
-    rewrite — existing cell directories are untouched (pinned by
-    tests/test_rowsonly.py::test_ivf_append_equals_same_quantizer_rebuild),
-    so appending a day's vectors to a billion-vector index costs one
-    map-side assignment + an append write of the new rows only.
-
-    Assignment uses the same ranking ivf_probe uses for cells
-    (‖p − c‖² order via |c|² − 2·p·c on the unit sphere, cell id as
-    tie-break) — the fixed-centroid primitive whose algebra is
-    oracle-checked by q_sim_assign. Zero-norm/NaN vectors are dropped
-    under exactly ivf_index's guard, so append-then-read equals
-    assigning the union with the same quantizer.
-
-    The quality drift this leaves behind (centroids no longer centroids
-    of their cells) is what ivf_imbalance gauges — recluster when the
-    hottest cell outgrows the mean, not on a clock."""
-    import os
-
-    cents = spark.read.parquet(os.path.join(path, "centroids"))
-    e = new_vectors.withColumn(
+def ivf_assign(cents: DataFrame, vectors: DataFrame) -> DataFrame:
+    """Fixed-centroid cell assignment: stamp every (vec_id, v) row with
+    its nearest persisted centroid, returning the exact column layout
+    the cell-partitioned corpus stores (vec_id, v, na, _vn2, cell).
+    Ranking is ‖p − c‖² order via |c|² − 2·p·c on the unit sphere with
+    the cell id as tie-break — the same primitive ivf_probe ranks cells
+    with, whose algebra is oracle-checked by q_sim_assign. Zero-norm /
+    NaN vectors drop under exactly ivf_index's guard. Broadcast-k
+    nested loop: no shuffle of the vectors, embarrassingly parallel."""
+    e = vectors.withColumn(
         "_n", F.sqrt(dot(F.col("v"), F.col("v")))
     ).filter((F.col("_n") > 0) & ~F.isnan(F.col("_n")))
     env = e.withColumn("na", F.transform("v", lambda x: x / F.col("_n")))
@@ -328,7 +314,7 @@ def ivf_append(spark: SparkSession, path: str, new_vectors: DataFrame) -> None:
         dot(F.col("cv"), F.col("cv")) - 2 * dot(F.col("na"), F.col("cv")),
     )
     w = Window.partitionBy("vec_id").orderBy("d2", "cell")
-    assigned = (
+    return (
         pc.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") == 1)
         .select(
@@ -339,6 +325,52 @@ def ivf_append(spark: SparkSession, path: str, new_vectors: DataFrame) -> None:
             "cell",
         )
     )
+
+
+def ivf_append(spark: SparkSession, path: str, new_vectors: DataFrame) -> None:
+    """Incremental IVF maintenance (round 10 — the r9 verdict's ask made
+    a first-class engine instead of a convention): ivf_assign ONLY the
+    appended (vec_id, v) vectors against the PERSISTED centroids and
+    append their rows into the cell-partitioned layout. No re-train, no
+    rewrite — existing cell directories are untouched (pinned by
+    tests/test_rowsonly.py::test_ivf_append_equals_same_quantizer_rebuild),
+    so appending a day's vectors to a billion-vector index costs one
+    map-side assignment + an append write of the new rows only.
+
+    APPEND-ONLY contract: an id that already lives in the index is
+    REFUSED (ValueError) — silently appending it would duplicate the
+    vector and let index_probe burn adjacent top-k ranks on the same
+    neighbor (review r10). A changed embedding may land in a DIFFERENT
+    cell than the stored copy, so the check cannot prune to the
+    delta's target cells: it is a column-pruned id scan (vec_id only)
+    semi-joined against the delta ids — one thin column pass per
+    append. At billion-vector scale an id Bloom filter / exists index
+    beside the layout is the standard way to make this O(delta);
+    upserting a changed embedding is a delete+recluster concern, not
+    an append.
+
+    The quality drift appends leave behind (centroids no longer
+    centroids of their cells) is what ivf_imbalance gauges — recluster
+    when the hottest cell outgrows the mean, not on a clock."""
+    import os
+
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    # eager pin: the assignment feeds BOTH the collision check and the
+    # write; without it the broadcast-k pass runs twice
+    assigned = ivf_assign(cents, new_vectors).localCheckpoint(eager=True)
+    corpus = spark.read.parquet(os.path.join(path, "corpus"))
+    clash = (
+        corpus.select("vec_id")
+        .join(assigned.select("vec_id"), "vec_id", "left_semi")
+        .limit(5)
+        .collect()
+    )
+    if clash:
+        ids = sorted(r.vec_id for r in clash)
+        raise ValueError(
+            f"ivf_append is append-only: ids already indexed: {ids}"
+            + ("…" if len(clash) == 5 else "")
+        )
     assigned.write.mode("append").partitionBy("cell").parquet(
         os.path.join(path, "corpus")
     )
@@ -1795,21 +1827,12 @@ def q_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(t["embeddings"], F.col("vec_id") < 5, 5)
 
 
-_IVF_APPEND_DIRS: list[str] = []
-
-
 def _ivf_append_dir() -> str:
-    import atexit
-    import shutil
-    import tempfile
+    # the shared per-call mkdtemp + exit-time cleanup helper (the
+    # joins.py _BUCKET_DIRS lesson) — review r10: don't re-implement it
+    from ..operators.scans import _roundtrip_dir
 
-    path = tempfile.mkdtemp(prefix="correlationapi_ivf_append_")
-    if not _IVF_APPEND_DIRS:
-        atexit.register(
-            lambda: [shutil.rmtree(p, True) for p in _IVF_APPEND_DIRS]
-        )
-    _IVF_APPEND_DIRS.append(path)
-    return path
+    return _roundtrip_dir("ivf_append")
 
 
 @query(

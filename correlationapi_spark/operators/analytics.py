@@ -2688,21 +2688,12 @@ def q_event_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 # affected directories. Touched-partition count ≪ total is canaried
 # in tests/test_plans.py.
 
-_SCD2_STORE_DIRS: list[str] = []
-
-
 def _scd2_store_dir() -> str:
-    import atexit
-    import shutil
-    import tempfile
+    # the shared per-call mkdtemp + exit-time cleanup helper (the
+    # joins.py _BUCKET_DIRS lesson) — review r10: don't re-implement it
+    from .scans import _roundtrip_dir
 
-    path = tempfile.mkdtemp(prefix="correlationapi_scd2_")
-    if not _SCD2_STORE_DIRS:
-        atexit.register(
-            lambda: [shutil.rmtree(p, True) for p in _SCD2_STORE_DIRS]
-        )
-    _SCD2_STORE_DIRS.append(path)
-    return path
+    return _roundtrip_dir("scd2")
 
 
 def scd2_merge(
@@ -2735,6 +2726,11 @@ def scd2_merge(
         F.col("ts").alias("valid_from"),
         "event_id",
     )
+    # three-valued-logic guard (review r10): a NULL delta_pred row would
+    # otherwise vanish from BOTH sides (filter(p) and filter(~p) each
+    # reject NULL) — coalesce pins NULL to "not staged", so every event
+    # lands in exactly one of base/delta
+    delta_pred = F.coalesce(delta_pred, F.lit(False))
     base = scd2_intervals(obs(events.filter(~delta_pred)))
     base.withColumn("bucket", bucket).write.mode("overwrite").partitionBy(
         "bucket"

@@ -6072,6 +6072,13 @@ def corr_matrix_gram(df: DataFrame, cols: list[str], tbl: str) -> DataFrame:
             for j in range(i, d)
         ],
     )
+    def q(name: str) -> str:
+        # SQL string-literal escape: the column/table NAMES ride inside
+        # the parsed expression as literals — a quote in a registered
+        # dataset or column name must not break (or inject into) the
+        # parse (review r10; F.col handles the data references safely)
+        return "'" + name.replace("'", "''") + "'"
+
     structs = []
     for i in range(d):
         for j in range(i + 1, d):
@@ -6080,12 +6087,12 @@ def corr_matrix_gram(df: DataFrame, cols: list[str], tbl: str) -> DataFrame:
             vx = f"({nd} * g_{i}_{i} - s_{i} * s_{i})"
             vy = f"({nd} * g_{j}_{j} - s_{j} * s_{j})"
             structs.append(
-                f"named_struct('col_x', '{cols[i]}', 'col_y', '{cols[j]}',"
+                f"named_struct('col_x', {q(cols[i])}, 'col_y', {q(cols[j])},"
                 f" 'corr_xy', round(CASE WHEN {vx} > 0 AND {vy} > 0"
                 f" THEN {cov} / sqrt({vx} * {vy}) END, 6))"
             )
     return mom.selectExpr(
-        f"'{tbl}' AS tbl",
+        f"{q(tbl)} AS tbl",
         f"inline(array({', '.join(structs)}))",
         "n AS n_rows",
     )

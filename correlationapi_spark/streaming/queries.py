@@ -383,9 +383,16 @@ def _psi_bin(col):
 
 def psi_reference(ev: DataFrame) -> dict[int, int]:
     """Reference bin counts from the static first week — a ≤10-row
-    collect (bounded by the bin count, never the data)."""
+    collect (bounded by the bin count, never the data). NULL values
+    carry no distribution mass: dropped here AND in the builder AND in
+    the oracle's WHERE, so every n is the same non-null count (review
+    r10 — an unfiltered NULL would int(None)-crash this collect and
+    skew the oracle's count(*) denominators)."""
     rows = (
-        ev.filter(F.col("ts") < F.lit(_PSI_CUTOFF).cast("timestamp"))
+        ev.filter(
+            (F.col("ts") < F.lit(_PSI_CUTOFF).cast("timestamp"))
+            & F.col("value").isNotNull()
+        )
         .groupBy(_psi_bin(F.col("value")).alias("b"))
         .agg(F.count("*").alias("c"))
         .collect()
@@ -405,6 +412,7 @@ def drift_psi_builder(ref: dict[int, int]):
 
     def build(ev: DataFrame) -> DataFrame:
         b = _psi_bin(F.col("value"))
+        ev = ev.filter(F.col("value").isNotNull())  # see psi_reference
         agg = ev.groupBy(F.window("ts", "1 day")).agg(
             *[
                 F.count(F.when(b == i, 1)).alias(f"c{i}")
@@ -437,7 +445,7 @@ def _psi_oracle() -> str:
     )
     nref = (
         "(SELECT count(*) FROM events "
-        f"WHERE ts < TIMESTAMP '{_PSI_CUTOFF}')"
+        f"WHERE ts < TIMESTAMP '{_PSI_CUTOFF}' AND value IS NOT NULL)"
     )
     counts = ",\n                   ".join(
         f"count(*) FILTER (WHERE {bin_sql} = {i}) AS c{i}"
@@ -447,7 +455,7 @@ def _psi_oracle() -> str:
     for i in range(_PSI_BINS):
         r = (
             f"COALESCE((SELECT count(*) FROM events "
-            f"WHERE ts < TIMESTAMP '{_PSI_CUTOFF}' "
+            f"WHERE ts < TIMESTAMP '{_PSI_CUTOFF}' AND value IS NOT NULL "
             f"AND {bin_sql} = {i}), 0)"
         )
         p = f"(CAST(c{i} + 1 AS DOUBLE) / CAST(nd + 10 AS DOUBLE))"
@@ -462,7 +470,7 @@ def _psi_oracle() -> str:
             SELECT date_trunc('day', ts) AS window_start,
                    {counts},
                    count(*) AS nd
-            FROM events GROUP BY 1
+            FROM events WHERE value IS NOT NULL GROUP BY 1
         )
         SELECT window_start,
                round({psi}, 6) AS psi,

@@ -415,6 +415,7 @@ def test_cli_index_lifecycle(spark, capsys, tmp_path):
     rc, res = _run(capsys, [
         "index-build", "--data", emb, "--id", "vec_id",
         "--vector", "embedding", "--path", idx, "--n-cells", "8",
+        "--where", "vec_id % 5 != 0",
     ])
     assert rc == 0 and res["n_cells"] <= 8 and res["n_vectors"] > 0
     base_n = res["n_vectors"]
@@ -423,15 +424,21 @@ def test_cli_index_lifecycle(spark, capsys, tmp_path):
     assert rc == 0 and res["n_vectors"] == base_n
     assert res["imbalance"] >= 1.0
 
-    # append the SAME corpus filtered to a disjoint id range via --where
-    # is impossible here (ids overlap), so append a 100-row slice and
-    # check the count moves by exactly that many non-zero-norm rows
+    # append the DISJOINT delta slice (ids the build's --where excluded)
     rc, res = _run(capsys, [
         "index-append", "--data", emb, "--id", "vec_id",
         "--vector", "embedding", "--path", idx,
         "--where", "vec_id % 5 = 0",
     ])
     assert rc == 0 and res["n_vectors"] > base_n
+
+    # append-only contract: re-appending the same ids is a user error
+    rc, res = _run(capsys, [
+        "index-append", "--data", emb, "--id", "vec_id",
+        "--vector", "embedding", "--path", idx,
+        "--where", "vec_id % 5 = 0",
+    ])
+    assert rc == 2 and "append-only" in res["error"]
 
     rc, res = _run(capsys, [
         "index-probe", "--path", idx, "--probes", "1,2", "--k", "3",
@@ -448,3 +455,10 @@ def test_cli_index_errors(spark, capsys, tmp_path):
         "index-probe", "--path", str(tmp_path / "nope"), "--probes", "",
     ])
     assert rc == 2 and "error" in res
+    # a missing index path is a clean JSON error, not a Py4J traceback
+    rc, res = _run(capsys, [
+        "index-probe", "--path", str(tmp_path / "nope"), "--probes", "1",
+    ])
+    assert rc == 2 and "no IVF index" in res["error"]
+    rc, res = _run(capsys, ["index-status", "--path", str(tmp_path / "nope")])
+    assert rc == 2 and "no IVF index" in res["error"]

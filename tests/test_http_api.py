@@ -683,7 +683,7 @@ def test_index_lifecycle_over_http(base_url, tmp_path):
     status, res = _post(
         f"{base_url}/index/build",
         {"dataset": "emb", "id": "vec_id", "vector": "embedding",
-         "path": idx, "n_cells": 8},
+         "path": idx, "n_cells": 8, "where": "vec_id % 5 != 0"},
     )
     assert status == 201 and res["n_vectors"] > 0
     base_n = res["n_vectors"]
@@ -697,6 +697,20 @@ def test_index_lifecycle_over_http(base_url, tmp_path):
          "path": idx, "where": "vec_id % 5 = 0"},
     )
     assert status == 200 and res["n_vectors"] > base_n
+
+    # append-only contract over the wire: duplicate ids -> 400
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post(
+            f"{base_url}/index/append",
+            {"dataset": "emb", "id": "vec_id", "vector": "embedding",
+             "path": idx, "where": "vec_id % 5 = 0"},
+        )
+    assert exc.value.code == 400
+
+    # missing index path -> 404, not a 500
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _get(f"{base_url}/index/status?path={tmp_path}/nope")
+    assert exc.value.code == 404
 
     status, res = _post(
         f"{base_url}/index/probe",

@@ -2154,6 +2154,7 @@ def test_ivf_append_equals_same_quantizer_rebuild(spark, tmp_path):
     from correlationapi_spark.llm.similarity import (
         corpus_view,
         ivf_append,
+        ivf_assign,
         ivf_imbalance,
         ivf_index,
         ivf_probe,
@@ -2192,8 +2193,12 @@ def test_ivf_append_equals_same_quantizer_rebuild(spark, tmp_path):
         assert after[p] == sig, f"base file rewritten: {p}"
     assert len(after) > len(before)
 
-    # append-then-probe == one-shot union assignment with the same
-    # centroids (delta assigned by the same primitive), row for row
+    # append-then-probe == probing the IN-MEMORY one-shot union of the
+    # base assignment and the delta assigned against the same frozen
+    # centroids — the persisted write/append/read-back layout is the
+    # thing under test, never a second run of itself (review r10: the
+    # earlier comparator re-ran the same pipeline, a determinism
+    # tautology)
     corpus, cents2 = ivf_read(spark, path)
 
     def probes_of(c):
@@ -2208,18 +2213,22 @@ def test_ivf_append_equals_same_quantizer_rebuild(spark, tmp_path):
         for r in ivf_probe(corpus, cents2, probes_of(corpus), 5, n_probe=6).collect()
     )
 
-    path2 = str(tmp_path / "ivf_oneshot")
-    ivf_write(assigned, cents, path2)
-    ivf_append(spark, path2, delta)  # same primitive, fresh layout
-    c2, k2 = ivf_read(spark, path2)
+    union = assigned.select("vec_id", "v", "na", "_vn2", "cell").unionByName(
+        ivf_assign(cents, delta)
+    )
     want = sorted(
-        tuple(r) for r in ivf_probe(c2, k2, probes_of(c2), 5, n_probe=6).collect()
+        tuple(r)
+        for r in ivf_probe(union, cents, probes_of(union), 5, n_probe=6).collect()
     )
     assert got == want
 
     # and the union really contains the delta: probe id 0 (a delta row,
     # 0 % 5 == 0) answers alongside the base probes 1-4
     assert {r[0] for r in got} == {0, 1, 2, 3, 4}
+
+    # append-only contract: re-appending already-indexed ids is refused
+    with pytest.raises(ValueError, match="append-only"):
+        ivf_append(spark, path, delta)
 
     # drift gauge: one row, sane fields, no recluster at this balance
     g = ivf_imbalance(spark, path).collect()[0]

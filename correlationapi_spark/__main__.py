@@ -27,6 +27,8 @@ Commands:
             (assign-only delta append; base cell files untouched)
   index-status --path DIR          (cell-balance gauge + recluster signal)
   index-probe  --path DIR --probes 1,2 [--k N] [--n-probe N]
+  index-delete --path DIR --ids 1,2   (tombstone ids; probes stop answering)
+  index-compact --path DIR   (rewrite dead cells live-only, clear tombstones)
   dedup     --data PATH --id COL --text COL
             [--method exact|keep_best|ngram|minhash] [--threshold T] [--limit N]
   assign    --data PATH --id COL --vector COL --centroids 0,1,2 [--limit N]
@@ -393,6 +395,22 @@ def main(argv: list[str] | None = None) -> int:
     ipr.add_argument("--k", type=int, default=5)
     ipr.add_argument("--n-probe", type=int, default=6)
 
+    idl = sub.add_parser(
+        "index-delete",
+        help="tombstone ids out of a persisted IVF index (round 11) — "
+        "probes stop answering them; index-compact reclaims the bytes",
+    )
+    idl.add_argument("--path", required=True)
+    idl.add_argument("--ids", required=True,
+                     help="comma-separated corpus row ids to delete")
+
+    idc = sub.add_parser(
+        "index-compact",
+        help="rewrite tombstone-bearing cells live-only and clear the "
+        "tombstone set",
+    )
+    idc.add_argument("--path", required=True)
+
     dd = sub.add_parser(
         "dedup", help="duplicate report over an (id, text) table"
     )
@@ -551,13 +569,22 @@ def main(argv: list[str] | None = None) -> int:
                          default=str))
         return 0
 
-    if args.cmd in ("index-status", "index-probe"):
+    if args.cmd in (
+        "index-status", "index-probe", "index-delete", "index-compact"
+    ):
         from .api import CorrelationAPI
 
         api = CorrelationAPI(_spark())
         try:
             if args.cmd == "index-status":
                 res = api.index_status(args.path)
+            elif args.cmd == "index-delete":
+                res = api.index_delete(
+                    args.path,
+                    [int(x) for x in args.ids.split(",") if x.strip()],
+                )
+            elif args.cmd == "index-compact":
+                res = api.index_compact(args.path)
             else:
                 res = api.index_probe(
                     args.path,

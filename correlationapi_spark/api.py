@@ -2734,12 +2734,22 @@ class CorrelationAPI:
         embedding table under ``path`` (cell-partitioned corpus +
         centroid table). Optional SQL ``where`` selects the build
         slice (e.g. build on history, index_append the rest). Refuses
-        to clobber a non-empty directory that is not already an index
-        — build is the ONLY destructive write on this surface, so it
-        only ever overwrites its own layout (review r10)."""
-        import os
-
-        from .llm.similarity import corpus_view, ivf_index, ivf_write
+        to clobber any existing non-empty directory that does not bear
+        the ``_ivf_index`` marker ivf_write stamps — build is the ONLY
+        destructive write on this surface, so it only ever overwrites
+        a layout this engine certified as its own (advice r10: the old
+        "has a corpus/ subdir" heuristic overwrote arbitrary
+        directories, and its os.path checks were silently vacuous for
+        hdfs://-style paths — the marker check runs on the filesystem
+        Spark resolves the path to). The response carries
+        ``rebuilt``: true when an existing index was replaced (HTTP
+        maps it to 200 vs 201-created)."""
+        from .llm.similarity import (
+            corpus_view,
+            ivf_dir_state,
+            ivf_index,
+            ivf_write,
+        )
 
         if n_cells < 1:
             raise ValueError("n_cells must be >= 1")
@@ -2747,13 +2757,11 @@ class CorrelationAPI:
             # caught here as a user error (HTTP 400), not a Py4J
             # KMeans/sample stack trace at 500
             raise ValueError("train_fraction must be in (0, 1]")
-        if (
-            os.path.isdir(path)
-            and os.listdir(path)
-            and not os.path.isdir(os.path.join(path, "corpus"))
-        ):
+        state = ivf_dir_state(self.spark, path)
+        if state == "other":
             raise ValueError(
-                f"refusing to overwrite non-index directory: {path!r}"
+                f"refusing to overwrite non-index directory: {path!r} "
+                "(no _ivf_index marker)"
             )
         df = self._get(dataset)
         if where is not None:
@@ -2763,7 +2771,11 @@ class CorrelationAPI:
             corpus, n_cells=n_cells, train_fraction=train_fraction
         )
         ivf_write(assigned, cents, path)
-        return {**self.index_status(path), "built_from": dataset}
+        return {
+            **self.index_status(path),
+            "built_from": dataset,
+            "rebuilt": state == "index",
+        }
 
     @staticmethod
     def _filtered(df: DataFrame, where: str) -> DataFrame:
@@ -2828,19 +2840,21 @@ class CorrelationAPI:
     def index_probe(
         self, path: str, probe_ids: list[int], k: int = 5, n_probe: int = 6
     ) -> dict[str, Any]:
-        """Top-k over a PERSISTED index (ivf_read → ivf_probe): the
+        """Top-k over a PERSISTED index (ivf_live → ivf_probe): the
         candidate read prunes to each probe's n_probe cells at the
-        parquet scan. Probes are corpus row ids."""
+        parquet scan, and tombstoned ids are masked out (round 11 —
+        a deleted id neither probes nor answers). Probes are corpus
+        row ids."""
         from pyspark.errors import AnalysisException
 
-        from .llm.similarity import ivf_probe, ivf_read
+        from .llm.similarity import ivf_live, ivf_probe
 
         if k < 1 or n_probe < 1:
             raise ValueError("k and n_probe must be >= 1")
         if not probe_ids:
             raise ValueError("probe_ids must be non-empty")
         try:
-            corpus, cents = ivf_read(self.spark, path)
+            corpus, cents = ivf_live(self.spark, path)
         except AnalysisException as e:
             raise self._no_index(path, e) from e
         probes = corpus.filter(F.col("vec_id").isin(probe_ids)).select(
@@ -2859,6 +2873,40 @@ class CorrelationAPI:
             )
         return {"path": path, "k": k, "n_probe": n_probe,
                 "neighbors": neighbors}
+
+    def index_delete(self, path: str, ids: list[int]) -> dict[str, Any]:
+        """Tombstone ids out of a persisted index (round 11 — the
+        delete half of the CRUD surface). Deleted ids stop answering
+        probes immediately; bytes are reclaimed by index_compact;
+        index_append of a deleted id re-admits it. Absent ids are
+        no-ops (SQL DELETE semantics) — ``deleted`` counts the ids
+        that were actually live."""
+        from pyspark.errors import AnalysisException
+
+        from .llm.similarity import ivf_delete
+
+        if not ids:
+            raise ValueError("ids must be non-empty")
+        try:
+            n = ivf_delete(self.spark, path, [int(i) for i in ids])
+        except AnalysisException as e:
+            raise self._no_index(path, e) from e
+        return {**self.index_status(path), "deleted": n}
+
+    def index_compact(self, path: str) -> dict[str, Any]:
+        """Physically drop tombstoned rows (only the cells that hold
+        them are rewritten), clear the tombstone set, and rebuild the
+        id Bloom right-sized — the reclamation end of the
+        delete/compact lifecycle."""
+        from pyspark.errors import AnalysisException
+
+        from .llm.similarity import ivf_compact
+
+        try:
+            stats = ivf_compact(self.spark, path)
+        except AnalysisException as e:
+            raise self._no_index(path, e) from e
+        return {**self.index_status(path), **stats}
 
     def _docs_view(
         self, dataset: str, id_col: str, text_col: str

@@ -372,12 +372,15 @@ def _route(api: CorrelationAPI, method: str, path: str,
         for req in ("dataset", "id", "vector", "path"):
             if req not in body:
                 raise ValueError(f'body must contain "{req}"')
-        return 201, api.index_build(
+        res = api.index_build(
             body["dataset"], body["id"], body["vector"], body["path"],
             n_cells=int(body.get("n_cells", 16)),
             train_fraction=float(body.get("train_fraction", 1.0)),
             where=body.get("where"),
         )
+        # 201 on first build, 200 when an existing index was replaced
+        # in place (advice r10)
+        return (200 if res.get("rebuilt") else 201), res
     if method == "POST" and path == "/index/append":
         for req in ("dataset", "id", "vector", "path"):
             if req not in body:
@@ -398,6 +401,17 @@ def _route(api: CorrelationAPI, method: str, path: str,
             body["path"], [int(p) for p in body["probe_ids"]],
             k=int(body.get("k", 5)), n_probe=int(body.get("n_probe", 6)),
         )
+    if method == "POST" and path == "/index/delete":
+        for req in ("path", "ids"):
+            if req not in body:
+                raise ValueError(f'body must contain "{req}"')
+        return 200, api.index_delete(
+            body["path"], [int(i) for i in body["ids"]]
+        )
+    if method == "POST" and path == "/index/compact":
+        if "path" not in body:
+            raise ValueError('body must contain "path"')
+        return 200, api.index_compact(body["path"])
     if method == "GET" and path == "/dedup":
         for req in ("dataset", "id", "text"):
             if req not in query:

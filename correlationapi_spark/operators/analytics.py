@@ -2719,6 +2719,19 @@ def scd2_merge(
     import os
 
     path = _scd2_store_dir()
+    # NULL business keys break the bucket contract twice over (advice
+    # r10): xxhash64(NULL) is NULL, so the row would land in the Hive
+    # default partition outside every bucket-pruning path, and the
+    # affected-bucket sort below would compare None against int. The
+    # equi-joins on user_id would then silently mis-route the row
+    # anyway (NULL never equi-matches), so there is no correct merge
+    # for it — fail fast with a clear contract error instead. One
+    # column-pruned limit-1 probe, terminates at the first row read.
+    if events.filter(F.col("user_id").isNull()).take(1):
+        raise ValueError(
+            "scd2_merge requires a non-NULL business key: events with "
+            "user_id IS NULL cannot be bucketed or merged"
+        )
     bucket = F.pmod(F.xxhash64(F.col("user_id")), F.lit(n_buckets))
     obs = lambda df: df.select(  # noqa: E731 — tiny local projection
         "user_id",

@@ -6106,11 +6106,19 @@ _GRAM_ECOLS = ["event_id", "user_id", "value"]
 
 
 def _gram_oracle() -> str:
+    # The engine drops rows LISTWISE (any NULL/NaN across ALL selected
+    # columns of the block drops the row for every pair), while a bare
+    # per-pair corr(a, b) would delete pairwise. The current fixtures
+    # carry no NULLs in these columns so the two contracts coincide,
+    # but the oracle must pin the engine's listwise semantics
+    # independent of fixture contents (advice r10) — hence the
+    # all-columns NOT NULL predicate on every block.
     def block(tbl: str, cols: list[str]) -> list[str]:
+        listwise = " AND ".join(f"{c} IS NOT NULL" for c in cols)
         return [
             f"SELECT '{tbl}' AS tbl, '{a}' AS col_x, '{b}' AS col_y, "
             f"round(corr({a}, {b}), 6) AS corr_xy, "
-            f"count(*) AS n_rows FROM {tbl}"
+            f"count(*) AS n_rows FROM {tbl} WHERE {listwise}"
             for ai, a in enumerate(cols)
             for b in cols[ai + 1:]
         ]

@@ -70,14 +70,16 @@ _MODULES = (
 # code/oracle/fixture changed THIS round after their latest verdict, so
 # they jump back to the front of the sweep regardless of verdict age.
 _TOUCHED: frozenset[str] = frozenset({
-    # round 10 (q_drift_daily/q_drift_psi dropped: their r9 driver
-    # verdicts postdate the round-9 drift_frame restructure; new keys
-    # rank as never-verified automatically):
-    "q_graph_triangles",  # round-9 refactor into the shared
-                          # triangle_stats engine still has no driver
-                          # verdict postdating it (latest driver green
-                          # is r08; the r9 judge re-ran it by hand) —
-                          # stays touched until a driver sweep lands
+    # round 11 (q_graph_triangles dropped: its green r10 driver verdict
+    # postdates the round-9 triangle_stats refactor — r10 verdict item):
+    "q_scd2_merge",        # round-11 staged-write commit path (crash-
+                           # safe temp-bucket + atomic rename replaces
+                           # the localCheckpoint read-overwrite cycle)
+    "q_corr_matrix_gram",  # round-11 oracle now pins listwise NULL
+                           # deletion explicitly + centered two-pass
+                           # fallback for near-constant columns
+    "q_sim_index_append",  # round-11 O(delta) Bloom id-guard + append
+                           # lock + tombstone-aware clash check
 })
 
 

@@ -2233,3 +2233,91 @@ def test_matrix_gram_listwise_and_zero_variance(api, spark):
         "matrix"
     ]
     assert mc[0][1] is None  # zero variance -> NULL, never a throw
+
+
+def test_index_build_clobber_guard(spark, tmp_path):
+    """advice r10 (medium): /index/build must only ever overwrite a
+    directory this engine certified as its own via the _ivf_index
+    marker — empty/absent dirs build fresh (rebuilt=False), marked
+    dirs rebuild in place (rebuilt=True), anything else refuses."""
+    import os
+
+    from correlationapi_spark.api import CorrelationAPI
+
+    api = CorrelationAPI(spark)
+    api.register_dataset(
+        "emb", os.path.join(SF_SMOKE, "embeddings.parquet")
+    )
+
+    # a non-empty NON-index directory is never clobbered — even the
+    # old 'has a corpus subdir' shape that fooled the r10 heuristic
+    trap = tmp_path / "precious"
+    (trap / "corpus").mkdir(parents=True)
+    (trap / "corpus" / "data.txt").write_text("not yours")
+    with pytest.raises(ValueError, match="non-index directory"):
+        api.index_build("emb", "vec_id", "embedding", str(trap))
+    assert (trap / "corpus" / "data.txt").read_text() == "not yours"
+
+    # absent path: fresh build
+    idx = str(tmp_path / "idx")
+    res = api.index_build("emb", "vec_id", "embedding", idx, n_cells=4)
+    assert res["rebuilt"] is False and res["n_vectors"] > 0
+
+    # existing EMPTY dir: fresh build too
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    res = api.index_build(
+        "emb", "vec_id", "embedding", str(empty), n_cells=4
+    )
+    assert res["rebuilt"] is False
+
+    # marked index dir: rebuild allowed, flagged
+    res = api.index_build("emb", "vec_id", "embedding", idx, n_cells=4)
+    assert res["rebuilt"] is True
+
+    # a rebuild clears stale tombstones: delete, rebuild, id answers
+    api.index_delete(idx, [1])
+    assert api.index_status(idx)["n_vectors"] == res["n_vectors"] - 1
+    res2 = api.index_build("emb", "vec_id", "embedding", idx, n_cells=4)
+    assert res2["n_vectors"] == res["n_vectors"]
+
+
+def test_index_delete_compact_api(spark, tmp_path):
+    """The api-level delete/compact lifecycle: deleted ids vanish from
+    probe answers, compact reclaims and preserves answers, and both
+    404 (KeyError) cleanly on a missing index."""
+    import os
+
+    from correlationapi_spark.api import CorrelationAPI
+
+    api = CorrelationAPI(spark)
+    api.register_dataset(
+        "emb", os.path.join(SF_SMOKE, "embeddings.parquet")
+    )
+    idx = str(tmp_path / "idx")
+    built = api.index_build("emb", "vec_id", "embedding", idx, n_cells=4)
+
+    probed = api.index_probe(idx, [1, 2], k=5, n_probe=4)
+    victim = probed["neighbors"]["1"][0]["id"]
+    res = api.index_delete(idx, [victim])
+    assert res["deleted"] == 1
+    assert res["n_vectors"] == built["n_vectors"] - 1
+    after = api.index_probe(idx, [1, 2], k=5, n_probe=4)
+    assert all(
+        n["id"] != victim
+        for hits in after["neighbors"].values()
+        for n in hits
+    )
+
+    res = api.index_compact(idx)
+    assert res["tombstones_cleared"] == 1
+    assert res["n_vectors"] == built["n_vectors"] - 1
+    again = api.index_probe(idx, [1, 2], k=5, n_probe=4)
+    assert again["neighbors"] == after["neighbors"]
+
+    with pytest.raises(KeyError, match="no IVF index"):
+        api.index_delete(str(tmp_path / "nope"), [1])
+    with pytest.raises(KeyError, match="no IVF index"):
+        api.index_compact(str(tmp_path / "nope"))
+    with pytest.raises(ValueError, match="non-empty"):
+        api.index_delete(idx, [])

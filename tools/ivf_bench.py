@@ -209,6 +209,37 @@ def main() -> None:
     ivf_write(r_assigned, r_cents, rebuild_path)
     t_rebuild = time.time() - t0
 
+    # 5. O(delta) append guard (round 11 — r10 verdict item 3): the SAME
+    # fixed delta appended to a corpus grown 10× — wall time must stay
+    # ~flat. The id Bloom sidecar screens the delta driver-side of the
+    # corpus: a clean append (zero Bloom positives) never opens the
+    # corpus id column at all, so cost tracks |delta|, not |corpus|.
+    delta_n = max(2_000, n // 50)
+    big = synthetic_corpus(spark, n + delta_n).persist()
+    big.count()
+    curve = []
+    for size in (max(10_000, n // 10), n):
+        pth = os.path.join(out_dir, f"append_curve_{size}")
+        shutil.rmtree(pth, ignore_errors=True)
+        b_a, b_c = ivf_index(
+            big.filter(F.col("vec_id") < size),
+            n_cells=N_CELLS, train_fraction=TRAIN_FRACTION,
+        )
+        ivf_write(b_a, b_c, pth)
+        d = big.filter(F.col("vec_id") >= n)  # ids disjoint from any base
+        t0 = time.time()
+        ivf_append(spark, pth, d)
+        curve.append(
+            {
+                "corpus": size,
+                "delta": delta_n,
+                "append_sec": round(time.time() - t0, 2),
+            }
+        )
+    append_flat_ratio = round(
+        curve[-1]["append_sec"] / max(curve[0]["append_sec"], 1e-9), 2
+    )
+
     print(
         json.dumps(
             {
@@ -238,6 +269,11 @@ def main() -> None:
                     "imbalance_after_append": float(imb.imbalance),
                     "recluster_signaled": bool(imb.recluster),
                     "n_vectors_after_append": int(imb.n_vectors),
+                },
+                "append_vs_corpus_size": {
+                    "curve": curve,
+                    # 10× corpus, same delta: ~1.0 = O(delta) holds
+                    "flat_ratio_10x": append_flat_ratio,
                 },
             }
         )

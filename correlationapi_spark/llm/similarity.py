@@ -284,23 +284,29 @@ def ivf_write(assigned: DataFrame, cents: DataFrame, path: str) -> None:
     import os
 
     spark = assigned.sparkSession
-    assigned.select("vec_id", "v", "na", "_vn2", "cell").write.mode(
-        "overwrite"
-    ).partitionBy("cell").parquet(os.path.join(path, "corpus"))
-    cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
-    # a REBUILD over an existing index must not inherit its tombstones:
-    # the new corpus has no dead rows, and a stale mask would silently
-    # hide re-indexed ids from every probe
-    fs, jvm = _hadoop_fs(spark, path)
-    fs.delete(
-        jvm.org.apache.hadoop.fs.Path(os.path.join(path, "tombstones")),
-        True,
-    )
-    ids = spark.read.parquet(os.path.join(path, "corpus")).select("vec_id")
-    n = ids.count()  # parquet metadata count — no data pages read
-    m = _bloom_m(n)
-    _idstate_write(spark, path, m, n, _bloom_build(ids, m))
-    _ivf_touch_marker(spark, path)
+    # the lock covers rebuilds too (review r11): a rebuild racing a
+    # concurrent append/delete would interleave corpus and sidecar
+    # writes into a layout neither writer described
+    with _ivf_mutation_lock(spark, path):
+        # DE-certify FIRST (review r11): drop the marker and every
+        # sidecar of any previous layout before touching the corpus —
+        # a crash mid-rebuild must leave an UNmarked directory (the
+        # honest "incomplete" state), never a marker vouching for a
+        # stale Bloom, and never old tombstones silently masking
+        # re-indexed ids from probes
+        fs, jvm = _hadoop_fs(spark, path)
+        for sub in (_IVF_MARKER, "idstate", "tombstones"):
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(os.path.join(path, sub)),
+                True,
+            )
+        assigned.select("vec_id", "v", "na", "_vn2", "cell").write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(os.path.join(path, "corpus"))
+        cents.write.mode("overwrite").parquet(
+            os.path.join(path, "centroids")
+        )
+        _idstate_rebuild(spark, path)
 
 
 def ivf_read(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
@@ -377,21 +383,26 @@ def _ivf_touch_marker(spark: SparkSession, path: str) -> None:
 
 class _ivf_mutation_lock:
     """Single-writer guard for the check-then-write critical sections
-    (append/delete/compact — advice r10: two concurrent appends of the
-    same ids both passed the clash scan, then both wrote). Atomic
-    create of ``path/_mutate.lock`` via FileSystem.createNewFile —
-    atomic on local disk and HDFS; object stores without atomic create
-    need an external coordinator, which is the honest limit of a
-    raw-parquet layout. A crashed writer leaves the lock behind: the
-    error message says which file to remove after confirming no
-    mutation is in flight."""
+    (build/append/delete/compact — advice r10: two concurrent appends
+    of the same ids both passed the clash scan, then both wrote; a
+    rebuild racing an append could interleave corpus and sidecar
+    writes into a layout neither writer described). Atomic create of
+    ``path/_mutate.lock`` via FileSystem.createNewFile — atomic on
+    local disk and HDFS; object stores without atomic create need an
+    external coordinator, which is the honest limit of a raw-parquet
+    layout. A crashed writer leaves the lock behind: the error message
+    says which file to remove after confirming no mutation is in
+    flight. ``lockfile`` parametrizes the name so other persisted
+    stores (the PSI reference) reuse the same discipline."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self, spark: SparkSession, path: str, lockfile: str = _IVF_LOCK
+    ):
         import os
 
         self._fs, jvm = _hadoop_fs(spark, path)
         self._lock = jvm.org.apache.hadoop.fs.Path(
-            os.path.join(path, _IVF_LOCK)
+            os.path.join(path, lockfile)
         )
 
     def __enter__(self):
@@ -489,7 +500,14 @@ def _bloom_suspects(
             if len(out):
                 yield out
 
-    return poss.mapInPandas(check, schema="vec_id long")
+    # materialize NOW, then release the broadcast deterministically —
+    # a lazy return would pin one dead m/8-byte broadcast per append
+    # on every executor for the session lifetime (review r11)
+    out = poss.mapInPandas(check, schema="vec_id long").localCheckpoint(
+        eager=True
+    )
+    bc.destroy()
+    return out
 
 
 def _idstate_write(
@@ -503,6 +521,21 @@ def _idstate_write(
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "idstate")
     )
+
+
+def _idstate_rebuild(spark: SparkSession, path: str) -> None:
+    """Recompute the id Bloom from the corpus id column and re-stamp
+    the completeness marker — the shared epilogue of every operation
+    that leaves the corpus as the sole id authority (build, compact,
+    pre-sidecar append migration). Marker LAST: its presence certifies
+    corpus + sidecars are mutually consistent."""
+    import os
+
+    ids = spark.read.parquet(os.path.join(path, "corpus")).select("vec_id")
+    n = ids.count()  # parquet metadata count — no data pages read
+    m = _bloom_m(n)
+    _idstate_write(spark, path, m, n, _bloom_build(ids, m))
+    _ivf_touch_marker(spark, path)
 
 
 def _idstate_read(spark: SparkSession, path: str):
@@ -663,40 +696,50 @@ def ivf_append(spark: SparkSession, path: str, new_vectors: DataFrame) -> None:
                 readmit = suspects.join(tomb, "vec_id", "left_semi")
                 _ivf_purge(spark, path, readmit)
 
-        assigned.write.mode("append").partitionBy("cell").parquet(
-            os.path.join(path, "corpus")
-        )
-        n_delta = assigned.count()
         if state is None:
-            ids = spark.read.parquet(os.path.join(path, "corpus")).select(
-                "vec_id"
+            # pre-sidecar migration: append, then derive the sidecar
+            # from the (now complete) corpus id column. Retry safety
+            # needs no Bloom ordering here — with no sidecar, a retry
+            # re-runs the exact full check above.
+            assigned.write.mode("append").partitionBy("cell").parquet(
+                os.path.join(path, "corpus")
             )
-            n = ids.count()
+            _idstate_rebuild(spark, path)
+            return
+        # Sidecar BEFORE corpus rows (review r11): the Bloom is
+        # superset-safe — a crash between the two writes costs a
+        # retry only false positives (exact-check fallback), whereas
+        # the old corpus-first order let a crashed-then-retried append
+        # slip a stale zero-suspect Bloom and duplicate every id
+        # silently.
+        n_delta = assigned.count()
+        m, n = int(state.m), int(state.n) + n_delta
+        if n * 16 > m:
+            # past the filter's 16-bits/id design capacity: rebuild
+            # right-sized over corpus ∪ delta (the delta is not on
+            # disk yet) — amortized O(corpus) per capacity doubling,
+            # O(delta) in the steady state; FP stays ≤ ~2× the 7e-4
+            # design rate for the filter's whole life
+            ids = spark.read.parquet(
+                os.path.join(path, "corpus")
+            ).select("vec_id").unionByName(delta_ids)
             m = _bloom_m(n)
             bits = _bloom_build(ids, m)
         else:
-            m, n = int(state.m), int(state.n) + n_delta
-            if n * 8 > m:
-                # past half the design capacity: rebuild right-sized
-                # from the full (thin) id column — amortized O(corpus)
-                # every doubling, O(delta) in the steady state
-                ids = spark.read.parquet(
-                    os.path.join(path, "corpus")
-                ).select("vec_id")
-                m = _bloom_m(n)
-                bits = _bloom_build(ids, m)
-            else:
-                import numpy as np
+            import numpy as np
 
-                delta_bits = np.frombuffer(
-                    _bloom_build(delta_ids, m), dtype=np.uint8
-                )
-                bits = (
-                    np.frombuffer(bytes(state.bits), dtype=np.uint8)
-                    | delta_bits
-                ).tobytes()
+            delta_bits = np.frombuffer(
+                _bloom_build(delta_ids, m), dtype=np.uint8
+            )
+            bits = (
+                np.frombuffer(bytes(state.bits), dtype=np.uint8)
+                | delta_bits
+            ).tobytes()
         _idstate_write(spark, path, m, n, bits)
-        _ivf_touch_marker(spark, path)  # migrates pre-marker layouts
+        assigned.write.mode("append").partitionBy("cell").parquet(
+            os.path.join(path, "corpus")
+        )
+        _ivf_touch_marker(spark, path)
 
 
 def _ivf_purge(spark: SparkSession, path: str, ids: DataFrame) -> None:
@@ -788,8 +831,10 @@ def ivf_delete(spark: SparkSession, path: str, ids: list[int]) -> int:
     spark.read.parquet(os.path.join(path, "corpus")).schema
     with _ivf_mutation_lock(spark, path):
         live_ids = ivf_live(spark, path)[0].select("vec_id")
+        # driver-side dedupe (review r11): [5, 5] must report
+        # deleted=1, matching the single live row it masks
         wanted = spark.createDataFrame(
-            [(int(i),) for i in ids], "vec_id long"
+            [(i,) for i in sorted({int(i) for i in ids})], "vec_id long"
         )
         n_live = wanted.join(live_ids, "vec_id", "left_semi").count()
         wanted.write.mode("append").parquet(
@@ -820,13 +865,8 @@ def ivf_compact(spark: SparkSession, path: str) -> dict:
             jvm.org.apache.hadoop.fs.Path(os.path.join(path, "tombstones")),
             True,
         )
-        ids = spark.read.parquet(os.path.join(path, "corpus")).select(
-            "vec_id"
-        )
-        n = ids.count()
-        m = _bloom_m(n)
-        _idstate_write(spark, path, m, n, _bloom_build(ids, m))
-        _ivf_touch_marker(spark, path)
+        _idstate_rebuild(spark, path)
+        n = spark.read.parquet(os.path.join(path, "corpus")).count()
         return {"tombstones_cleared": n_tomb, "n_vectors": n}
 
 

@@ -2813,8 +2813,17 @@ def _scd2_commit(
     import shutil
 
     manifest = os.path.join(path, "_commit.json")
-    with open(manifest, "w") as f:
+    # atomic manifest (review r11): a direct write torn by a crash
+    # would leave truncated JSON that blocks scd2_recover — and with
+    # it every future merge — with a bare JSONDecodeError. Write the
+    # sibling tmp, fsync, rename: the manifest either exists complete
+    # or not at all (the same atomicity the bucket swaps rely on).
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as f:
         json.dump({"stage": stage, "buckets": affected}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, manifest)
     if _crash is not None:
         _crash("manifest")
     for b in affected:

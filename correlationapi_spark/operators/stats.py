@@ -6090,11 +6090,14 @@ def corr_matrix_gram(
     answer is identical but the cancellation is gone (|x−μ| carries no
     mean² mass). Well-conditioned data (every fixture column has
     var/mean² ≥ ~0.3, trillions of times the 1e-6 trip point) keeps
-    the single-pass raw path and the EXACT float sequence it always
-    had; the probe is one thin-projection aggregate action, and the
-    returned plan stays the pristine one-aggregate-exchange shape the
-    plan canary pins. ``conditioning_probe=False`` skips the probe
-    action entirely for callers (benches) that pin plan laziness.
+    the single-pass raw moments and the EXACT float sequence it always
+    had. On the probe path the data is scanned exactly ONCE (twice
+    when ill): the pair projection runs over the collected moments as
+    a 1-row literal frame, so the caller's collect re-scans nothing —
+    the plan canary pins zero parquet scans on the returned plan.
+    ``conditioning_probe=False`` skips the probe action entirely and
+    returns the fully lazy raw plan (zero jobs at build; the canary
+    pins ITS one-scan/one-exchange shape too).
     """
     d = len(cols)
     # bare double columns, NOT an array column: Arrow ships them
@@ -6115,12 +6118,11 @@ def corr_matrix_gram(
             < 1e-6 * n * r[f"g_{i}_{i}"]
             for i in range(d)
         )
+        floors = None
         if ill:
-            mom = _gram_moments(
-                corpus, d, shift=[r[f"s_{i}"] / n for i in range(d)]
-            )
-            # per-column noise floor for the CENTERED variances: an
-            # EXACTLY constant column leaves vx at ±ulp garbage after
+            # per-column noise floor for the CENTERED variances, from
+            # the RAW moments (before the rebind below): an EXACTLY
+            # constant column leaves vx at ±ulp garbage after
             # centering (n·Σδ² and (Σδ)² differ only in rounding), and
             # a bare vx > 0 would turn that residue into a ±1-ish fake
             # corr. The float noise sits at ε²·(n·g_raw_ii); 1e-26
@@ -6128,8 +6130,17 @@ def corr_matrix_gram(
             # true var/mean² down to 1e-26 — twenty orders below the
             # probe's own 1e-6 trip point.
             floors = [1e-26 * n * r[f"g_{i}_{i}"] for i in range(d)]
-        else:
-            floors = None
+            r = _gram_moments(
+                corpus, d, shift=[r[f"s_{i}"] / n for i in range(d)]
+            ).collect()[0]
+        # the pair projection runs over the COLLECTED moments as a
+        # 1-row literal frame, not the lazy aggregate (review r11):
+        # the probe already paid the full Arrow gram pass, and
+        # returning the lazy plan made every caller's collect re-scan
+        # the data — 2× the dominant cost. py4j doubles roundtrip
+        # bit-exactly and the selectExpr below is unchanged, so the
+        # floats (and the driver's value hash) are identical.
+        mom = corpus.sparkSession.createDataFrame([r], mom.schema)
     else:
         floors = None
     lo = (lambda i: f"{floors[i]:.17e}") if floors else (lambda i: "0")

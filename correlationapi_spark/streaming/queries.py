@@ -535,19 +535,27 @@ def psi_repin(
     as a NEW version under ``path`` (parquet rows: version, win_start,
     win_end, b, c). Returns {version, win_start, win_end, n_ref}.
     The write is one ≤10-row append — reference rotation costs one
-    windowed aggregate regardless of stream length."""
-    cur = psi_pinned(spark, path)
-    version = (cur["version"] + 1) if cur else 1
+    windowed aggregate regardless of stream length. The read-max-
+    version-then-append critical section runs under a single-writer
+    lock (review r11: two concurrent re-pins would both allocate
+    v+1 and psi_pinned would silently merge their bins into a
+    chimera baseline — the same race advice r10 flagged on the IVF
+    store, same lock-file discipline)."""
+    from ..llm.similarity import _ivf_mutation_lock
+
     ref = psi_reference_window(ev, start, end)
     if not ref:
         raise ValueError(
             f"empty PSI reference window [{start}, {end}) — refusing "
             "to pin a baseline with no mass"
         )
-    spark.createDataFrame(
-        [(version, start, end, b, c) for b, c in sorted(ref.items())],
-        "version long, win_start string, win_end string, b int, c long",
-    ).coalesce(1).write.mode("append").parquet(path)
+    with _ivf_mutation_lock(spark, path, lockfile="_repin.lock"):
+        cur = psi_pinned(spark, path)
+        version = (cur["version"] + 1) if cur else 1
+        spark.createDataFrame(
+            [(version, start, end, b, c) for b, c in sorted(ref.items())],
+            "version long, win_start string, win_end string, b int, c long",
+        ).coalesce(1).write.mode("append").parquet(path)
     return {
         "version": version,
         "win_start": start,

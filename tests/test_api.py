@@ -2416,3 +2416,32 @@ def test_psi_repin_lifecycle_and_parity(spark, tmp_path):
             start="2030-01-01 00:00:00", end="2030-01-02 00:00:00",
         )
     assert api.psi_status(store)["version"] == 2
+
+
+def test_psi_repin_lock_single_writer(spark, tmp_path):
+    """review r11: the version-allocation critical section takes the
+    same lock-file discipline as the IVF store — a held lock fails
+    fast instead of racing to a duplicate version."""
+    import os
+
+    from correlationapi_spark.api import CorrelationAPI
+
+    api = CorrelationAPI(spark)
+    api.register_dataset(
+        "events", os.path.join(SF_SMOKE, "events.parquet")
+    )
+    store = str(tmp_path / "psi_ref")
+    api.psi_repin("events", "ts", "value", store, end="2024-01-08 00:00:00")
+
+    lock = os.path.join(store, "_repin.lock")
+    open(lock, "w").close()
+    with pytest.raises(ValueError, match="mutation is in flight"):
+        api.psi_repin(
+            "events", "ts", "value", store, end="2024-01-15 00:00:00"
+        )
+    os.remove(lock)  # the documented recovery
+    res = api.psi_repin(
+        "events", "ts", "value", store, end="2024-01-15 00:00:00"
+    )
+    assert res["version"] == 2
+    assert not os.path.exists(lock)

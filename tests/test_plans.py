@@ -774,34 +774,53 @@ def test_corr_matrix_gram_plan(spark):
     # ZERO joins anywhere — the whole point over melt/self-join shapes.
     # The key unions two blocks (lineitem + events), so per-plan totals
     # double; joins stay zero regardless.
+    # round 11: on the default (probed) path the data is scanned ONCE,
+    # inside the conditioning probe — the RETURNED plan projects a
+    # collected 1-row literal moment frame, so the caller's collect
+    # re-scans NOTHING: zero parquet scans, zero exchanges, zero joins.
     plan = plan_of(spark, "q_corr_matrix_gram")
     assert "Join" not in plan and "CartesianProduct" not in plan
-    # two table blocks -> two single-partition final aggregates, and no
-    # other exchange (the pair expansion is a projection, not a shuffle).
-    # Formatted mode prints each node twice (tree + detail).
-    assert plan.count("Exchange") == 4
-    assert plan.count("SinglePartition") == 2
-    assert "BatchEvalPython" not in plan  # Arrow-batched gram, not row-wise
+    assert "Scan parquet" not in plan
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
 
     from correlationapi_spark.io import load_tables
     from correlationapi_spark.operators.stats import (
         _GRAM_LCOLS, corr_matrix_gram,
     )
 
+    # probe=False: the fully LAZY raw plan (zero jobs at build) keeps
+    # the pristine gram shape — one Arrow stage, one scan, one
+    # aggregate exchange, no joins. Formatted mode prints each node
+    # twice (tree + detail).
     one = corr_matrix_gram(
-        load_tables(spark, SF_SMOKE)["lineitem"], _GRAM_LCOLS, "lineitem"
+        load_tables(spark, SF_SMOKE)["lineitem"], _GRAM_LCOLS, "lineitem",
+        conditioning_probe=False,
     )
     p1 = one._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "formatted"
         )
     )
-    # single block: exactly one MapInPandas node (tree + detail = 2
-    # mentions), one scan, one aggregate exchange
+    assert "Join" not in p1
     assert p1.count("MapInPandas") == 2
     assert p1.count("Scan parquet") == 2
     assert p1.count("Exchange") == 2
     assert p1.count("SinglePartition") == 1
+
+    # and the two routes agree value-for-value (same selectExpr over
+    # the same moment bits — the literal frame changes WHERE the
+    # projection runs, never what it computes)
+    assert sorted(map(tuple, one.collect())) == sorted(
+        map(
+            tuple,
+            corr_matrix_gram(
+                load_tables(spark, SF_SMOKE)["lineitem"],
+                _GRAM_LCOLS,
+                "lineitem",
+            ).collect(),
+        )
+    )
 
 
 def test_scd2_merge_touches_few_partitions(spark):

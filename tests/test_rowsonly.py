@@ -2427,3 +2427,54 @@ def test_ivf_append_migrates_pre_sidecar_layout(spark, tmp_path):
     # and the migrated Bloom works: duplicate append refused
     with pytest.raises(ValueError, match="append-only"):
         ivf_append(spark, path, delta)
+
+
+def test_ivf_append_retry_after_sidecar_crash(spark, tmp_path):
+    """review r11: the sidecar is written BEFORE the corpus rows, so
+    the only crash window leaves a Bloom that is a superset of the
+    corpus (benign). Simulate that exact state — idstate already
+    contains the delta ids, corpus does not — and the RETRY must
+    succeed (suspects all fall to the exact live check, which clears
+    them) and leave exactly one row per delta id. The old corpus-first
+    order made the same retry silently duplicate every id."""
+    import numpy as np
+
+    from correlationapi_spark.io import load_tables
+    from correlationapi_spark.llm.similarity import (
+        _bloom_build,
+        _idstate_read,
+        _idstate_write,
+        corpus_view,
+        ivf_append,
+        ivf_live,
+    )
+
+    path = str(tmp_path / "ivf")
+    _build_small_index(spark, path, F.col("vec_id") % 5 != 0)
+    delta = corpus_view(
+        load_tables(spark, SF_SMOKE)["embeddings"], "vec_id", "embedding"
+    ).filter(F.col("vec_id") % 5 == 0)
+    n_delta = delta.count()
+
+    # forge the post-crash sidecar: Bloom ∪= delta, n += delta — the
+    # state ivf_append leaves if killed between idstate and corpus
+    st = _idstate_read(spark, path)
+    m = int(st.m)
+    bits = (
+        np.frombuffer(bytes(st.bits), dtype=np.uint8)
+        | np.frombuffer(
+            _bloom_build(delta.select("vec_id"), m), dtype=np.uint8
+        )
+    ).tobytes()
+    _idstate_write(spark, path, m, int(st.n) + n_delta, bits)
+
+    ivf_append(spark, path, delta)  # the retry — must NOT raise
+    live = ivf_live(spark, path)[0]
+    dup = (
+        live.groupBy("vec_id").count().filter(F.col("count") > 1).count()
+    )
+    assert dup == 0
+    assert live.filter(F.col("vec_id") % 5 == 0).count() == n_delta
+    # and a SECOND retry is now a genuine duplicate -> refused
+    with pytest.raises(ValueError, match="append-only"):
+        ivf_append(spark, path, delta)

@@ -2837,7 +2837,9 @@ class CorrelationAPI:
         if state == "other":
             raise ValueError(
                 f"refusing to overwrite non-index directory: {path!r} "
-                "(no _ivf_index marker)"
+                "(no _ivf_index marker; a pre-marker index layout can "
+                "be certified by one index_append — which stamps the "
+                "marker — or removed by hand)"
             )
         df = self._get(dataset)
         if where is not None:

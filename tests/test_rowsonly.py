@@ -2478,3 +2478,47 @@ def test_ivf_append_retry_after_sidecar_crash(spark, tmp_path):
     # and a SECOND retry is now a genuine duplicate -> refused
     with pytest.raises(ValueError, match="append-only"):
         ivf_append(spark, path, delta)
+
+
+def test_ivf_bloom_resizes_past_design_capacity(spark, tmp_path):
+    """The append-path Bloom rebuild branch (n·16 > m): a tiny index
+    starts at the 8192-bit floor (512-id capacity); appending past
+    that must grow the filter right-sized, keep zero false negatives
+    (duplicate appends still refused), and leave the index answering
+    probes. This is the amortized-O(corpus)-per-doubling path that
+    keeps the FP rate within ~2× design for the filter's life."""
+    from correlationapi_spark.llm.similarity import (
+        _idstate_read,
+        ivf_append,
+        ivf_index,
+        ivf_live,
+        ivf_write,
+    )
+
+    def vecs(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                (F.col("id") % 17 + 1).cast("double"),
+                (F.col("id") % 5 + 1).cast("double"),
+                F.lit(1.0),
+            ).alias("v"),
+        )
+
+    path = str(tmp_path / "ivf")
+    assigned, cents = ivf_index(vecs(0, 300), n_cells=4)
+    ivf_write(assigned, cents, path)
+    st = _idstate_read(spark, path)
+    assert int(st.m) == 8192 and int(st.n) == 300  # floor-sized
+
+    ivf_append(spark, path, vecs(300, 700))  # n=700 > 8192/16=512
+    st2 = _idstate_read(spark, path)
+    assert int(st2.n) == 700
+    assert int(st2.m) == 16384, "filter must have rebuilt right-sized"
+
+    # zero false negatives across BOTH generations of the filter
+    with pytest.raises(ValueError, match="append-only"):
+        ivf_append(spark, path, vecs(0, 10))       # pre-resize ids
+    with pytest.raises(ValueError, match="append-only"):
+        ivf_append(spark, path, vecs(690, 700))    # post-resize ids
+    assert ivf_live(spark, path)[0].count() == 700

@@ -80,6 +80,10 @@ _TOUCHED: frozenset[str] = frozenset({
                            # fallback for near-constant columns
     "q_sim_index_append",  # round-11 O(delta) Bloom id-guard + append
                            # lock + tombstone-aware clash check
+    "q_stream_drift_psi",  # round-11 psi_reference refactored to
+                           # delegate to the windowed generalization
+                           # (same computation — re-verified — but the
+                           # code path its r10 verdict covered changed)
 })
 
 

@@ -688,13 +688,27 @@ def ivf_append(spark: SparkSession, path: str, new_vectors: DataFrame) -> None:
             )
             if clash_rows:
                 raise _clash_error(clash_rows)
-            # re-admits: suspect ids that are tombstoned — purge their
-            # dead rows + tombstones first so the append leaves exactly
-            # one live row per id
-            tomb = _tombstones(spark, path)
-            if tomb is not None:
-                readmit = suspects.join(tomb, "vec_id", "left_semi")
-                _ivf_purge(spark, path, readmit)
+        # re-admits: delta ids that are tombstoned — purge their dead
+        # rows + tombstones first so the append leaves exactly one live
+        # row per id. Checked against the tombstone set DIRECTLY, not
+        # the Bloom suspect screen (advice r11): a stale tombstone for
+        # a never-indexed id (pre-r12 ivf_delete persisted those) is
+        # absent from the Bloom, so riding the suspect set would leave
+        # it silently masking the appended vector until the next
+        # compact physically dropped the fresh row. Tombstones are
+        # small by contract, so the take(1)-guarded broadcast semi-join
+        # is O(delta + |tombstones|) — the corpus is never scanned
+        # unless an actual overlap exists.
+        tomb = _tombstones(spark, path)
+        if tomb is not None:
+            readmit = delta_ids.join(
+                F.broadcast(tomb), "vec_id", "left_semi"
+            )
+            _ivf_purge(spark, path, readmit)
+        # a purge that emptied the corpus (or a compact before this
+        # append) leaves a root-level zero-row sentinel file; drop it
+        # before a partitioned write lands next to it
+        _corpus_drop_sentinel(spark, os.path.join(path, "corpus"))
 
         if state is None:
             # pre-sidecar migration: append, then derive the sidecar
@@ -742,12 +756,47 @@ def ivf_append(spark: SparkSession, path: str, new_vectors: DataFrame) -> None:
         _ivf_touch_marker(spark, path)
 
 
+def _corpus_has_cells(spark: SparkSession, corpus_path: str) -> bool:
+    """True iff any ``cell=`` partition directory remains under the
+    corpus — one listStatus, no data read."""
+    fs, jvm = _hadoop_fs(spark, corpus_path)
+    jp = jvm.org.apache.hadoop.fs.Path(corpus_path)
+    if not fs.exists(jp):
+        return False
+    for st in fs.listStatus(jp):
+        if st.isDirectory() and st.getPath().getName().startswith("cell="):
+            return True
+    return False
+
+
+def _corpus_drop_sentinel(spark: SparkSession, corpus_path: str) -> None:
+    """Remove the zero-row sentinel file _ivf_purge leaves when a purge
+    empties the corpus: a partitioned append landing next to a
+    root-level data file would make partition discovery fail with
+    'conflicting directory structures'. In a healthy partitioned
+    corpus, data files only live under cell=N/ — root-level part-*
+    files can only be the sentinel. One listStatus; called only on
+    append paths, where a write is about to happen anyway."""
+    fs, jvm = _hadoop_fs(spark, corpus_path)
+    jp = jvm.org.apache.hadoop.fs.Path(corpus_path)
+    if not fs.exists(jp):
+        return
+    for st in fs.listStatus(jp):
+        if st.isFile() and st.getPath().getName().startswith("part-"):
+            fs.delete(st.getPath(), False)
+
+
 def _ivf_purge(spark: SparkSession, path: str, ids: DataFrame) -> None:
     """Physically drop every corpus row whose vec_id is in ``ids`` and
     clear their tombstones. Touches ONLY the cells that actually hold
     such rows (dynamic partition overwrite of the live remainder); a
     cell left empty is removed directly — dynamic overwrite never
-    rewrites a partition it has no rows for. Caller holds the lock."""
+    rewrites a partition it has no rows for. If the purge empties the
+    LAST cell, a zero-row schema-bearing sentinel file keeps the
+    corpus readable (advice r11: zero parquet files under corpus/
+    raise UNABLE_TO_INFER_SCHEMA on every read surface while the
+    directory still bears the _ivf_index marker). Caller holds the
+    lock."""
     import os
 
     ids = F.broadcast(ids.distinct().localCheckpoint(eager=True))
@@ -796,6 +845,15 @@ def _ivf_purge(spark: SparkSession, path: str, ids: DataFrame) -> None:
                 ),
                 True,
             )
+        if not _corpus_has_cells(spark, corpus_path):
+            # empty-remainder guard: a non-partitioned coalesce(1)
+            # empty write produces one schema-bearing parquet file (an
+            # empty partitionBy write produces NO files at all — tested
+            # on this Spark); ivf_append drops the sentinel before its
+            # partitioned write lands
+            spark.createDataFrame([], corpus.schema).coalesce(
+                1
+            ).write.mode("append").parquet(corpus_path)
     tomb = _tombstones(spark, path)
     if tomb is not None:
         remaining = tomb.join(ids, "vec_id", "left_anti").localCheckpoint(
@@ -817,10 +875,19 @@ def ivf_delete(spark: SparkSession, path: str, ids: list[int]) -> int:
     a no-op, not an error — DELETE semantics, mirroring SQL).
 
     Scale shape: the tombstone write is O(|ids|); NO corpus scan
-    happens here — the mask is applied at read time as a broadcast
-    anti-join. The Bloom sidecar intentionally keeps deleted ids
-    (Blooms can't unset); they resolve through the exact-check
-    fallback until a compact rebuilds the filter."""
+    happens here beyond the live-subset semi-join — the mask is
+    applied at read time as a broadcast anti-join. The Bloom sidecar
+    intentionally keeps deleted ids (Blooms can't unset); they resolve
+    through the exact-check fallback until a compact rebuilds the
+    filter.
+
+    Only the LIVE subset of the requested ids is persisted (advice
+    r11): a tombstone for a never-indexed id is absent from the Bloom
+    sidecar, so a later ivf_append of that id would take the
+    zero-suspect fast path, never purge the stale tombstone, and the
+    appended vector would be silently masked by ivf_live — then
+    physically dropped by the next compact. Tombstones ⊆ ever-indexed
+    ids is the invariant every other surface now assumes."""
     import os
 
     if not ids:
@@ -836,10 +903,14 @@ def ivf_delete(spark: SparkSession, path: str, ids: list[int]) -> int:
         wanted = spark.createDataFrame(
             [(i,) for i in sorted({int(i) for i in ids})], "vec_id long"
         )
-        n_live = wanted.join(live_ids, "vec_id", "left_semi").count()
-        wanted.write.mode("append").parquet(
-            os.path.join(path, "tombstones")
-        )
+        live_wanted = wanted.join(
+            live_ids, "vec_id", "left_semi"
+        ).localCheckpoint(eager=True)
+        n_live = live_wanted.count()
+        if n_live:
+            live_wanted.write.mode("append").parquet(
+                os.path.join(path, "tombstones")
+            )
         return n_live
 
 

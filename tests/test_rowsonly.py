@@ -2332,6 +2332,142 @@ def test_ivf_delete_probe_excludes_and_append_readmits(spark, tmp_path):
     )
 
 
+def test_ivf_delete_absent_id_then_append_survives(spark, tmp_path):
+    """advice r11 (high): a delete of a never-indexed id must not
+    persist a tombstone — the id is absent from the Bloom sidecar, so
+    a later append would take the zero-suspect fast path, leave the
+    stale tombstone masking the fresh vector, and the next compact
+    would physically drop it (silent data loss). Pinned end-to-end:
+    delete absent → append it → it answers probes → survives compact.
+    Also pins the healing path for pre-r12 layouts whose tombstone
+    sets already contain never-indexed ids."""
+    import os
+
+    from correlationapi_spark.io import load_tables
+    from correlationapi_spark.llm.similarity import (
+        _tombstones,
+        corpus_view,
+        ivf_append,
+        ivf_compact,
+        ivf_delete,
+        ivf_live,
+        ivf_probe,
+    )
+
+    path = str(tmp_path / "ivf")
+    # hold id 3 out of the initial build so it is genuinely never
+    # indexed, then delete/append it
+    _build_small_index(spark, path, F.col("vec_id") != 3)
+    full = corpus_view(
+        load_tables(spark, SF_SMOKE)["embeddings"], "vec_id", "embedding"
+    )
+
+    def probe(ids, k=5):
+        corpus, cents = ivf_live(spark, path)
+        probes = corpus.filter(F.col("vec_id").isin(ids)).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("v").alias("pv"),
+            F.col("na").alias("pna"),
+        )
+        return ivf_probe(corpus, cents, probes, k, n_probe=8).collect()
+
+    # delete of a never-indexed id: no-op AND no tombstone persisted
+    assert ivf_delete(spark, path, [3]) == 0
+    assert _tombstones(spark, path) is None
+
+    # append it: the id must answer probes (self-neighbor at least)
+    ivf_append(spark, path, full.filter(F.col("vec_id") == 3))
+    assert ivf_live(spark, path)[0].filter(
+        F.col("vec_id") == 3
+    ).count() == 1
+    assert probe([3])
+
+    # and it SURVIVES compact (pre-fix: compact deleted the fresh row)
+    ivf_compact(spark, path)
+    assert ivf_live(spark, path)[0].filter(
+        F.col("vec_id") == 3
+    ).count() == 1
+    assert probe([3])
+
+    # healing path: a pre-r12 layout may carry a stale tombstone for a
+    # never-indexed id — simulate one, then append that id: the
+    # readmit purge rides the tombstone set directly (not the Bloom
+    # screen), so the stale tombstone is cleared and the vector lives
+    spark.createDataFrame([(7_000_000,)], "vec_id long").write.mode(
+        "append"
+    ).parquet(os.path.join(path, "tombstones"))
+    dim = len(ivf_live(spark, path)[0].select("v").first().v)
+    ghost = spark.createDataFrame(
+        [(7_000_000, [1.0] + [0.0] * (dim - 1))],
+        "vec_id long, v array<double>",
+    )
+    ivf_append(spark, path, ghost)
+    live = ivf_live(spark, path)[0]
+    assert live.filter(F.col("vec_id") == 7_000_000).count() == 1
+    tomb = _tombstones(spark, path)
+    assert tomb is None or tomb.filter(
+        F.col("vec_id") == 7_000_000
+    ).count() == 0
+    ivf_compact(spark, path)
+    assert ivf_live(spark, path)[0].filter(
+        F.col("vec_id") == 7_000_000
+    ).count() == 1
+
+
+def test_ivf_compact_to_zero_keeps_index_readable(spark, tmp_path):
+    """advice r11 (medium): tombstoning every vector then compacting
+    used to delete every cell= directory, leaving corpus/ with zero
+    parquet files — UNABLE_TO_INFER_SCHEMA on every read surface while
+    the _ivf_index marker still vouched for the layout. The purge now
+    writes a zero-row schema-bearing sentinel; reads stay green and a
+    later append resumes the partitioned layout."""
+    import os
+
+    from correlationapi_spark.llm.similarity import (
+        ivf_append,
+        ivf_compact,
+        ivf_delete,
+        ivf_imbalance,
+        ivf_is_index,
+        ivf_live,
+        ivf_probe,
+    )
+
+    path = str(tmp_path / "ivf")
+    emb = _build_small_index(spark, path, F.col("vec_id") < 40)
+    all_ids = [r.vec_id for r in ivf_live(spark, path)[0].select(
+        "vec_id"
+    ).collect()]
+    assert ivf_delete(spark, path, all_ids) == len(all_ids)
+    stats = ivf_compact(spark, path)
+    assert stats["n_vectors"] == 0
+
+    # every read surface stays green on the empty index
+    corpus, cents = ivf_live(spark, path)
+    assert corpus.count() == 0
+    assert set(corpus.columns) >= {"vec_id", "v", "na", "_vn2", "cell"}
+    assert ivf_is_index(spark, path)
+    g = ivf_imbalance(spark, path).collect()[0]
+    assert g.n_vectors in (0, None)
+
+    # appending into the emptied index resumes the partitioned layout
+    ivf_append(spark, path, emb.select("vec_id", "v"))
+    corpus, cents = ivf_live(spark, path)
+    assert corpus.count() == len(all_ids)
+    # no root-level sentinel file survives next to cell= dirs
+    root_files = [
+        f for f in os.listdir(os.path.join(path, "corpus"))
+        if f.startswith("part-")
+    ]
+    assert root_files == []
+    probes = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("pv"),
+        F.col("na").alias("pna"),
+    )
+    assert ivf_probe(corpus, cents, probes, 3, n_probe=8).count() > 0
+
+
 def test_ivf_bloom_no_false_negatives_and_low_fp(spark):
     """The O(delta) append guard's safety property: every indexed id IS
     Bloom-positive (a false negative would let a duplicate through

@@ -2730,8 +2730,6 @@ def scd2_merge(
     parquet. ``_crash`` is the test hook that simulates a kill between
     protocol stages; ``_store_path`` pins the store directory so tests
     can crash one merge and recover/rerun against the same store."""
-    import os
-
     path = _store_path or _scd2_store_dir()
     scd2_recover(path)  # finish any interrupted commit BEFORE reading
     # NULL business keys break the bucket contract twice over (advice
@@ -2764,7 +2762,9 @@ def scd2_merge(
         "bucket"
     ).parquet(path)
     total = sum(
-        1 for d in os.listdir(path) if d.startswith("bucket=")
+        1
+        for d in _Scd2IO(path).list_names(path)
+        if d.startswith("bucket=")
     )
 
     delta = events.filter(delta_pred)
@@ -2798,11 +2798,135 @@ def scd2_merge(
     return out, {"touched": len(affected), "total": total}
 
 
+class _Scd2IO:
+    """Filesystem primitives for the SCD2 store, resolved from the
+    store path itself via Hadoop's FileSystem API — the same discipline
+    as similarity._hadoop_fs (advice r11: the protocol previously rode
+    os.rename/os.path.isdir/shutil, which silently pass for hdfs:// and
+    s3a:// paths, so the 'FileSystem.rename on HDFS' the docstring
+    promised was vacuous exactly where an interrupted commit is most
+    expensive). A sessionless caller (scd2_recover from a bare process)
+    falls back to os-path semantics for plainly-local paths and refuses
+    schemed paths it cannot resolve."""
+
+    def __init__(self, anchor: str):
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            if "://" in anchor:
+                raise ValueError(
+                    "scd2 store on a non-local filesystem needs an "
+                    f"active SparkSession to resolve it: {anchor}"
+                )
+            self._fs = None
+        else:
+            from ..llm.similarity import _hadoop_fs
+
+            self._fs, self._jvm = _hadoop_fs(spark, anchor)
+
+    def _p(self, path: str):
+        return self._jvm.org.apache.hadoop.fs.Path(path)
+
+    def exists(self, path: str) -> bool:
+        if self._fs is None:
+            import os
+
+            return os.path.exists(path)
+        return self._fs.exists(self._p(path))
+
+    def isdir(self, path: str) -> bool:
+        if self._fs is None:
+            import os
+
+            return os.path.isdir(path)
+        return self._fs.isDirectory(self._p(path))
+
+    def rename(self, src: str, dst: str) -> None:
+        # Hadoop rename moves src INTO an existing dst directory
+        # instead of failing like POSIX — every call site here renames
+        # onto a non-existent dst by protocol (trash is cleared before
+        # live→trash, live is moved away before staged→live), so a
+        # False return is a genuine protocol violation, not a race.
+        if self._fs is None:
+            import os
+
+            os.rename(src, dst)
+        elif not self._fs.rename(self._p(src), self._p(dst)):
+            raise OSError(f"FileSystem.rename failed: {src} -> {dst}")
+
+    def rmtree(self, path: str) -> None:
+        if self._fs is None:
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
+        else:
+            self._fs.delete(self._p(path), True)
+
+    def remove(self, path: str) -> None:
+        if self._fs is None:
+            import os
+
+            os.remove(path)
+        else:
+            self._fs.delete(self._p(path), False)
+
+    def list_names(self, path: str) -> list[str]:
+        if self._fs is None:
+            import os
+
+            return os.listdir(path)
+        return [
+            s.getPath().getName()
+            for s in self._fs.listStatus(self._p(path))
+        ]
+
+    def write_atomic(self, path: str, text: str) -> None:
+        # sibling tmp + durable flush + rename: the file either exists
+        # complete or not at all (review r11 — a torn manifest would
+        # block every future merge with a bare JSONDecodeError)
+        tmp = path + ".tmp"
+        if self._fs is None:
+            import os
+
+            with open(tmp, "w") as f:
+                f.write(text)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, path)
+            return
+        out = self._fs.create(self._p(tmp), True)
+        out.write(bytearray(text.encode("utf-8")))
+        try:
+            out.hsync()
+        except Exception:
+            pass  # not every FS exposes hsync; close still flushes
+        out.close()
+        if self._fs.exists(self._p(path)):
+            self._fs.delete(self._p(path), False)
+        self.rename(tmp, path)
+
+    def read_text(self, path: str) -> str:
+        if self._fs is None:
+            with open(path) as f:
+                return f.read()
+        ins = self._fs.open(self._p(path))
+        try:
+            return bytes(
+                self._jvm.org.apache.commons.io.IOUtils.toByteArray(ins)
+            ).decode("utf-8")
+        finally:
+            ins.close()
+
+
 def _scd2_commit(
     path: str, stage: str, affected: list[int], _crash=None
 ) -> None:
     """Publish staged bucket directories with a journaled rename
-    protocol. Ordering invariant: the manifest is written only AFTER
+    protocol, riding FileSystem.rename on whatever filesystem the
+    store lives on (local, HDFS; object stores without atomic rename
+    need a table format's commit log — the honest limit of raw
+    parquet). Ordering invariant: the manifest is written only AFTER
     the stage directory is complete, so the manifest's existence means
     roll-FORWARD is always safe. Each bucket swap is two atomic
     renames (old→trash, staged→live); `.trash-*`/`_commit.json` names
@@ -2810,40 +2934,34 @@ def _scd2_commit(
     commit sees each bucket either pre- or post-swap, never half."""
     import json
     import os
-    import shutil
 
+    io = _Scd2IO(path)
     manifest = os.path.join(path, "_commit.json")
-    # atomic manifest (review r11): a direct write torn by a crash
-    # would leave truncated JSON that blocks scd2_recover — and with
-    # it every future merge — with a bare JSONDecodeError. Write the
-    # sibling tmp, fsync, rename: the manifest either exists complete
-    # or not at all (the same atomicity the bucket swaps rely on).
-    tmp = manifest + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"stage": stage, "buckets": affected}, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, manifest)
+    io.write_atomic(
+        manifest, json.dumps({"stage": stage, "buckets": affected})
+    )
     if _crash is not None:
         _crash("manifest")
     for b in affected:
         live = os.path.join(path, f"bucket={b}")
         trash = os.path.join(path, f".trash-bucket={b}")
         staged = os.path.join(stage, f"bucket={b}")
-        if os.path.isdir(staged):
-            if os.path.isdir(live):
-                os.rename(live, trash)
+        if io.isdir(staged):
+            if io.isdir(live):
+                if io.isdir(trash):
+                    io.rmtree(trash)  # stale trash is redundant with
+                    # staged by the manifest ordering — clear it so the
+                    # Hadoop rename can't nest live INTO it
+                io.rename(live, trash)
                 if _crash is not None:
                     _crash(("moved_old", b))
-            os.rename(staged, live)
+            io.rename(staged, live)
         if _crash is not None:
             _crash(("published", b))
     for b in affected:
-        shutil.rmtree(
-            os.path.join(path, f".trash-bucket={b}"), ignore_errors=True
-        )
-    shutil.rmtree(stage, ignore_errors=True)
-    os.remove(manifest)
+        io.rmtree(os.path.join(path, f".trash-bucket={b}"))
+    io.rmtree(stage)
+    io.remove(manifest)
 
 
 def scd2_recover(path: str) -> bool:
@@ -2854,28 +2972,26 @@ def scd2_recover(path: str) -> bool:
     every read of the store."""
     import json
     import os
-    import shutil
 
+    io = _Scd2IO(path)
     manifest = os.path.join(path, "_commit.json")
-    if not os.path.exists(manifest):
+    if not io.exists(manifest):
         return False
-    with open(manifest) as f:
-        j = json.load(f)
+    j = json.loads(io.read_text(manifest))
     for b in j["buckets"]:
         live = os.path.join(path, f"bucket={b}")
         staged = os.path.join(j["stage"], f"bucket={b}")
-        if os.path.isdir(staged):
-            if os.path.isdir(live):
-                os.rename(
-                    live, os.path.join(path, f".trash-bucket={b}")
-                )
-            os.rename(staged, live)
+        if io.isdir(staged):
+            if io.isdir(live):
+                trash = os.path.join(path, f".trash-bucket={b}")
+                if io.isdir(trash):
+                    io.rmtree(trash)  # same nesting guard as commit
+                io.rename(live, trash)
+            io.rename(staged, live)
     for b in j["buckets"]:
-        shutil.rmtree(
-            os.path.join(path, f".trash-bucket={b}"), ignore_errors=True
-        )
-    shutil.rmtree(j["stage"], ignore_errors=True)
-    os.remove(manifest)
+        io.rmtree(os.path.join(path, f".trash-bucket={b}"))
+    io.rmtree(j["stage"])
+    io.remove(manifest)
     return True
 
 

@@ -2402,6 +2402,7 @@ def _ivf_append_dir() -> str:
 
 @query(
     "q_sim_index_append",
+    bench=True,
     rows_only_reason="The base index's cells come from seeded KMeans "
     "centroids (q_sim_topk_ivf's reason); the APPEND path itself is "
     "deterministic given those centroids, and "

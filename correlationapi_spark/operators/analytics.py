@@ -2997,6 +2997,7 @@ def scd2_recover(path: str) -> bool:
 
 @query(
     "q_scd2_merge",
+    bench=True,
     oracle="""
         WITH seq AS (
             SELECT user_id, event_type, ts, event_id,

@@ -6205,6 +6205,7 @@ def _gram_oracle() -> str:
 @query(
     "q_corr_matrix_gram",
     oracle=_gram_oracle(),
+    bench=True,
     doc="Full Pearson matrix over ALL numeric lineitem (8 cols, 28 "
     "pairs) + events (3 cols, 3 pairs) columns via one-pass gram "
     "moments — the wide-matrix scale path (shuffle constant in rows).",

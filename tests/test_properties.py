@@ -1396,3 +1396,89 @@ def test_scd2_merge_crash_between_stages_recovers(spark, tmp_path):
 
     # recovery is idempotent: nothing left to do on a healthy store
     assert scd2_recover(p3) is False
+
+
+def test_ngram_dfcap_recall_contract_on_skewed_corpus(spark):
+    """r11 verdict item 3: the `max_shingle_df="auto"` guard's recall
+    contract on a corpus with a hot boilerplate shingle. Three pinned
+    properties of `ngram_jaccard_pairs` (llm/dedup.py):
+
+    1. The capped output is a SUBSET of the uncapped output (capped
+       Jaccard is a lower bound — a pair can be missed, never invented
+       or over-reported).
+    2. recall = 1 on pairs whose overlap SURVIVES the cap: every pair
+       whose non-boilerplate shingle overlap alone clears the
+       threshold is reported, with the exact lower-bound Jaccard.
+    3. Candidate-pair count (Σ C(df,2) over the postings) drops
+       superlinearly — the hot shingle alone contributes O(n²)
+       candidates that the cap removes while true-overlap candidates
+       stay.
+    """
+    from correlationapi_spark.llm.dedup import (
+        _shingle_df,
+        ngram_jaccard_pairs,
+    )
+
+    # 300 base docs, all opening with the same 4-word boilerplate
+    # (→ two 3-gram shingles with df = 312 > the auto cap of
+    # max(100, ceil(1e-4·312)) = 100), each followed by 6 unique words
+    boiler = "boiler plate header common"
+    rows = [
+        (i, f"{boiler} w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f")
+        for i in range(300)
+    ]
+    # 10 genuine near-dup pairs: doc 1000+i = doc i plus one extra
+    # word. Shingles: doc i has 8 (2 hot + 6 unique), doc 1000+i has 9,
+    # sharing all 8 → uncapped J = 8/9; capped intersection drops the
+    # 2 hot shingles → J' = 6/(8+9-6) = 6/11 ≈ 0.545 — still ≥ 0.5, so
+    # the pair SURVIVES the cap and must be reported (recall = 1)
+    rows += [
+        (1000 + i, f"{boiler} w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f x{i}")
+        for i in range(10)
+    ]
+    # one borderline pair that does NOT survive: 6-word docs sharing
+    # 3 of 4 shingles (2 hot + 1 real) → uncapped J = 3/5 = 0.6
+    # reported, capped J' = 1/(4+4-1) = 1/7 dropped — the honest
+    # lower-bound miss, not a correctness bug
+    rows += [
+        (2000, f"{boiler} shared1 end2000"),
+        (2001, f"{boiler} shared1 end2001"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, 0.5, max_shingle_df="auto").collect()
+    }
+    uncapped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, 0.5, max_shingle_df=None).collect()
+    }
+
+    # 1. subset: capped never invents a pair
+    assert set(capped) <= set(uncapped)
+
+    # 2. recall=1 on surviving pairs, with the exact lower-bound value
+    surviving = {(i, 1000 + i) for i in range(10)}
+    assert set(capped) == surviving
+    assert all(capped[p] == round(6 / 11, 6) for p in surviving)
+    assert all(uncapped[p] == round(8 / 9, 6) for p in surviving)
+    # the borderline pair is reported uncapped, dropped capped
+    assert uncapped[(2000, 2001)] == 0.6 and (2000, 2001) not in capped
+
+    # 3. superlinear candidate drop: Σ C(df,2) over the postings
+    df_counts = (
+        _shingle_df(docs)
+        .select(F.explode("shingles").alias("s"))
+        .groupBy("s")
+        .agg(F.count("*").alias("df"))
+    )
+    cand = lambda d: d.agg(  # noqa: E731 — tiny local aggregate
+        F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("c")
+    ).collect()[0].c
+    n_cand_all = cand(df_counts)
+    n_cand_capped = cand(df_counts.filter(F.col("df") <= 100))
+    # the two hot shingles alone contribute 2·C(312,2) = 97,032
+    # candidates; true-overlap candidates are ~61
+    assert n_cand_all > 97_000
+    assert n_cand_capped * 100 < n_cand_all

@@ -29,6 +29,8 @@ Commands:
   index-probe  --path DIR --probes 1,2 [--k N] [--n-probe N]
   index-delete --path DIR --ids 1,2   (tombstone ids; probes stop answering)
   index-compact --path DIR   (rewrite dead cells live-only, clear tombstones)
+  index-recluster --path DIR [--threshold R] [--n-cells N]
+            [--train-fraction F]   (re-train quantizer when max/avg > R)
   psi-repin --data PATH --time COL --value COL --path DIR --end TS
             [--start TS]      (pin a new versioned PSI drift reference)
   psi-status --path DIR       (latest pinned reference: version + bins)
@@ -442,6 +444,17 @@ def main(argv: list[str] | None = None) -> int:
     )
     idc.add_argument("--path", required=True)
 
+    irc = sub.add_parser(
+        "index-recluster",
+        help="re-train the coarse quantizer and rebuild the cell layout "
+        "when max/avg cell size exceeds --threshold (0 forces); staged "
+        "+ journaled rename publish, index stays readable throughout",
+    )
+    irc.add_argument("--path", required=True)
+    irc.add_argument("--threshold", type=float, default=3.0)
+    irc.add_argument("--n-cells", type=int, default=None)
+    irc.add_argument("--train-fraction", type=float, default=1.0)
+
     dd = sub.add_parser(
         "dedup", help="duplicate report over an (id, text) table"
     )
@@ -602,7 +615,7 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd in (
         "index-status", "index-probe", "index-delete", "index-compact",
-        "psi-status",
+        "index-recluster", "psi-status",
     ):
         from .api import CorrelationAPI
 
@@ -619,6 +632,12 @@ def main(argv: list[str] | None = None) -> int:
                 )
             elif args.cmd == "index-compact":
                 res = api.index_compact(args.path)
+            elif args.cmd == "index-recluster":
+                res = api.index_recluster(
+                    args.path, threshold=args.threshold,
+                    n_cells=args.n_cells,
+                    train_fraction=args.train_fraction,
+                )
             else:
                 res = api.index_probe(
                     args.path,

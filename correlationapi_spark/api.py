@@ -2986,6 +2986,37 @@ class CorrelationAPI:
             raise self._no_index(path, e) from e
         return {**self.index_status(path), **stats}
 
+    def index_recluster(
+        self, path: str, threshold: float = 3.0,
+        n_cells: int | None = None, train_fraction: float = 1.0,
+    ) -> dict[str, Any]:
+        """Act on the drift gauge (r11 verdict item 4): re-train the
+        coarse quantizer from the live vectors and rebuild the cell
+        layout when max/avg cell size exceeds ``threshold`` (pass 0 to
+        force). The rebuild is staged to a sibling directory and
+        published by a journaled rename swap (ivf_recover rolls an
+        interrupted publish forward), so the index stays readable
+        throughout; tombstoned rows are dropped by construction
+        (recluster implies compact)."""
+        from pyspark.errors import AnalysisException
+
+        from .llm.similarity import ivf_recluster
+
+        if threshold < 0:
+            raise ValueError("threshold must be >= 0")
+        if n_cells is not None and n_cells < 1:
+            raise ValueError("n_cells must be >= 1")
+        if not (0.0 < train_fraction <= 1.0):
+            raise ValueError("train_fraction must be in (0, 1]")
+        try:
+            stats = ivf_recluster(
+                self.spark, path, threshold=threshold,
+                n_cells=n_cells, train_fraction=train_fraction,
+            )
+        except AnalysisException as e:
+            raise self._no_index(path, e) from e
+        return {**self.index_status(path), **stats}
+
     def _docs_view(
         self, dataset: str, id_col: str, text_col: str
     ) -> tuple[DataFrame, DataFrame]:

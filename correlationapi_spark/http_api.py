@@ -66,6 +66,13 @@ container, and none is needed for a JSON-for-JSON contract:
   GET  /index/status?path=        → cell-balance gauge (recluster signal)
   POST /index/probe  {"path","probe_ids":[…][,"k","n_probe"]}
        → top-k over the persisted index (partition-pruned candidate read)
+  POST /index/delete {"path","ids":[…]}
+       → tombstone ids (probes stop answering; compact reclaims bytes)
+  POST /index/compact {"path"}    → rewrite dead cells live-only, clear
+         tombstones, right-size the id Bloom
+  POST /index/recluster {"path"[,"threshold","n_cells","train_fraction"]}
+       → re-train the quantizer + rebuild when max/avg cell > threshold
+         (staged + journaled rename publish; no-op below threshold)
   GET  /dedup?dataset=&id=&text=[&method=exact|keep_best|ngram|minhash][&threshold=]
        [&limit=]                  → duplicate listing + engine-side totals
   GET  /assign?dataset=&id=&vector=&centroids=0,1,2[&limit=]
@@ -412,6 +419,17 @@ def _route(api: CorrelationAPI, method: str, path: str,
         if "path" not in body:
             raise ValueError('body must contain "path"')
         return 200, api.index_compact(body["path"])
+    if method == "POST" and path == "/index/recluster":
+        if "path" not in body:
+            raise ValueError('body must contain "path"')
+        return 200, api.index_recluster(
+            body["path"],
+            threshold=float(body.get("threshold", 3.0)),
+            n_cells=(
+                int(body["n_cells"]) if "n_cells" in body else None
+            ),
+            train_fraction=float(body.get("train_fraction", 1.0)),
+        )
     if method == "POST" and path == "/psi/repin":
         for req in ("dataset", "time", "value", "path", "end"):
             if req not in body:

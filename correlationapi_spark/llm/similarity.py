@@ -664,6 +664,7 @@ def ivf_append(spark: SparkSession, path: str, new_vectors: DataFrame) -> None:
     assigned = ivf_assign(cents, new_vectors).localCheckpoint(eager=True)
     delta_ids = assigned.select("vec_id")
     with _ivf_mutation_lock(spark, path):
+        _recluster_publish_if_pending(spark, path)
         state = _idstate_read(spark, path)
         if state is None:
             # pre-sidecar layout: one-time migration — exact full check
@@ -897,6 +898,7 @@ def ivf_delete(spark: SparkSession, path: str, ids: list[int]) -> int:
     # directories as a side effect of taking the lock
     spark.read.parquet(os.path.join(path, "corpus")).schema
     with _ivf_mutation_lock(spark, path):
+        _recluster_publish_if_pending(spark, path)
         live_ids = ivf_live(spark, path)[0].select("vec_id")
         # driver-side dedupe (review r11): [5, 5] must report
         # deleted=1, matching the single live row it masks
@@ -927,6 +929,7 @@ def ivf_compact(spark: SparkSession, path: str) -> dict:
 
     spark.read.parquet(os.path.join(path, "corpus")).schema  # 404 probe
     with _ivf_mutation_lock(spark, path):
+        _recluster_publish_if_pending(spark, path)
         tomb = _tombstones(spark, path)
         n_tomb = tomb.count() if tomb is not None else 0
         if n_tomb:
@@ -965,6 +968,193 @@ def ivf_imbalance(spark: SparkSession, path: str, recluster_above: float = 3.0) 
             "recluster"
         ),
     )
+
+
+_RECLUSTER_MANIFEST = "_recluster.json"
+_RECLUSTER_STAGE = ".recluster-stage"
+
+
+def _recluster_publish(spark: SparkSession, path: str, _crash=None) -> None:
+    """Idempotent publish/roll-forward half of ivf_recluster: swap the
+    staged layout into place via FileSystem renames, derived entirely
+    from the manifest — rerunnable from any crash point (the SCD2
+    manifest discipline: the manifest lands only AFTER the stage is
+    complete, so its existence means roll-FORWARD is always safe)."""
+    import json
+    import os
+
+    fs, jvm = _hadoop_fs(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    manifest = P(os.path.join(path, _RECLUSTER_MANIFEST))
+    ins = fs.open(manifest)
+    try:
+        stage = json.loads(
+            bytes(
+                jvm.org.apache.commons.io.IOUtils.toByteArray(ins)
+            ).decode("utf-8")
+        )["stage"]
+    finally:
+        ins.close()
+    # de-certify first: marker and every sidecar describing the OLD
+    # layout go before any rename — a crash mid-swap leaves an
+    # unmarked (honestly incomplete) directory, never a marker
+    # vouching for a half-swapped corpus. Tombstones drop here: the
+    # staged corpus was built from the LIVE view, so every tombstoned
+    # id is already physically absent (recluster implies compact).
+    for sub in (_IVF_MARKER, "idstate", "tombstones"):
+        fs.delete(P(os.path.join(path, sub)), True)
+    if _crash is not None:
+        _crash("decertified")
+    for sub in ("corpus", "centroids"):
+        staged = P(os.path.join(stage, sub))
+        live = P(os.path.join(path, sub))
+        trash = P(os.path.join(path, f".trash-{sub}"))
+        if fs.isDirectory(staged):
+            if fs.isDirectory(live):
+                fs.delete(trash, True)  # Hadoop rename nests into an
+                # existing dst dir instead of failing — clear first
+                if not fs.rename(live, trash):
+                    raise OSError(f"rename failed: {live} -> {trash}")
+                if _crash is not None:
+                    _crash(("moved_old", sub))
+            if not fs.rename(staged, live):
+                raise OSError(f"rename failed: {staged} -> {live}")
+        if _crash is not None:
+            _crash(("published", sub))
+    for sub in ("corpus", "centroids"):
+        fs.delete(P(os.path.join(path, f".trash-{sub}")), True)
+    fs.delete(P(stage), True)
+    if _crash is not None:
+        _crash("swapped")
+    _idstate_rebuild(spark, path)  # fresh Bloom; marker stamped LAST
+    fs.delete(manifest, False)
+
+
+def ivf_recover(spark: SparkSession, path: str) -> bool:
+    """Roll an interrupted ivf_recluster publish forward (resume the
+    same idempotent swap from the manifest, then re-certify). Returns
+    True when there was a publish to finish. The crashed writer's
+    mutation lock must be cleared first (the documented recovery);
+    this call takes its own."""
+    import os
+
+    fs, jvm = _hadoop_fs(spark, path)
+    if not fs.exists(
+        jvm.org.apache.hadoop.fs.Path(os.path.join(path, _RECLUSTER_MANIFEST))
+    ):
+        return False
+    with _ivf_mutation_lock(spark, path):
+        _recluster_publish(spark, path)
+    return True
+
+
+def ivf_recluster(
+    spark: SparkSession,
+    path: str,
+    threshold: float = 3.0,
+    n_cells: int | None = None,
+    seed: int = 42,
+    train_fraction: float = 1.0,
+    _crash=None,
+) -> dict:
+    """Re-train the coarse quantizer of a persisted IVF index and
+    rebuild the cell layout — the maintenance act ivf_imbalance's
+    gauge calls for (r11 verdict item 4: the gauge existed, nothing
+    acted on it). No-op (``reclustered: False``) while the live
+    max/avg cell ratio is ≤ ``threshold``; pass ``threshold=0`` to
+    force. ``n_cells`` defaults to the current centroid count;
+    ``train_fraction`` < 1 fits KMeans on a sample (the 100 TB
+    posture — assignment still stamps every row).
+
+    Crash safety: the new layout is trained FROM the live view and
+    staged to a sibling directory first (the index stays fully
+    readable and probe-consistent throughout — training and staging
+    only read), then published by the SCD2 manifest discipline:
+    `_recluster.json` lands only after the stage write completes, the
+    swap is per-subdirectory FileSystem renames with the marker and
+    sidecars de-certified first, and ivf_recover rolls any
+    interrupted publish FORWARD. A de-certify-then-overwrite rebuild
+    (index_build's shape) would be unsound here: recluster's only
+    data source is the corpus it replaces, and an eager checkpoint
+    does not survive the crash. Tombstoned rows are dropped by
+    construction (the stage is built from ivf_live), so recluster
+    implies compact. Runs under the single-writer mutation lock.
+
+    Honest gauge note: on genuinely skewed DATA the post-recluster
+    imbalance can stay high or rise — KMeans correctly gives a dense
+    cluster its own large cell, and max/avg then measures the data,
+    not quantizer drift. The quality recluster actually buys is
+    centroid PLACEMENT: probe recall at fixed n_probe (measured
+    0.86 → 0.97 on a drifted-append fixture, pinned in
+    tests/test_rowsonly.py); returned imbalance_before/after let the
+    caller see both."""
+    import json
+    import os
+
+    spark.read.parquet(os.path.join(path, "corpus")).schema  # 404 probe
+    with _ivf_mutation_lock(spark, path):
+        _recluster_publish_if_pending(spark, path)
+        before = ivf_imbalance(spark, path, recluster_above=threshold)
+        b = before.collect()[0]
+        stats = {
+            "n_vectors": b.n_vectors or 0,
+            "imbalance_before": b.imbalance,
+        }
+        if b.n_vectors is None or b.n_vectors == 0 or not b.recluster:
+            return {**stats, "reclustered": False}
+        live = ivf_live(spark, path)[0].select("vec_id", "v")
+        k = n_cells or ivf_read(spark, path)[1].count()
+        assigned, cents = ivf_index(
+            live, n_cells=int(k), seed=seed, train_fraction=train_fraction
+        )
+        stage = os.path.join(path, _RECLUSTER_STAGE)
+        fs, jvm = _hadoop_fs(spark, path)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(stage), True)  # stale
+        assigned.select("vec_id", "v", "na", "_vn2", "cell").write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(os.path.join(stage, "corpus"))
+        cents.write.mode("overwrite").parquet(
+            os.path.join(stage, "centroids")
+        )
+        if _crash is not None:
+            _crash("staged")
+        # manifest AFTER the stage is complete (tmp + hsync + rename —
+        # it either exists complete or not at all)
+        manifest = os.path.join(path, _RECLUSTER_MANIFEST)
+        tmp = manifest + ".tmp"
+        out = fs.create(jvm.org.apache.hadoop.fs.Path(tmp), True)
+        out.write(bytearray(json.dumps({"stage": stage}).encode("utf-8")))
+        try:
+            out.hsync()
+        except Exception:
+            pass
+        out.close()
+        fs.rename(
+            jvm.org.apache.hadoop.fs.Path(tmp),
+            jvm.org.apache.hadoop.fs.Path(manifest),
+        )
+        if _crash is not None:
+            _crash("manifest")
+        _recluster_publish(spark, path, _crash=_crash)
+        a = ivf_imbalance(spark, path).collect()[0]
+        return {
+            **stats,
+            "reclustered": True,
+            "n_cells": int(k),
+            "imbalance_after": a.imbalance,
+        }
+
+
+def _recluster_publish_if_pending(spark: SparkSession, path: str) -> None:
+    """Finish any interrupted publish before reading the store —
+    scd2_merge's recover-first discipline; caller holds the lock."""
+    import os
+
+    fs, jvm = _hadoop_fs(spark, path)
+    if fs.exists(
+        jvm.org.apache.hadoop.fs.Path(os.path.join(path, _RECLUSTER_MANIFEST))
+    ):
+        _recluster_publish(spark, path)
 
 
 def topk_neighbors_ivf(

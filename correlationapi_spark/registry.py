@@ -70,20 +70,16 @@ _MODULES = (
 # code/oracle/fixture changed THIS round after their latest verdict, so
 # they jump back to the front of the sweep regardless of verdict age.
 _TOUCHED: frozenset[str] = frozenset({
-    # round 11 (q_graph_triangles dropped: its green r10 driver verdict
-    # postdates the round-9 triangle_stats refactor — r10 verdict item):
-    "q_scd2_merge",        # round-11 staged-write commit path (crash-
-                           # safe temp-bucket + atomic rename replaces
-                           # the localCheckpoint read-overwrite cycle)
-    "q_corr_matrix_gram",  # round-11 oracle now pins listwise NULL
-                           # deletion explicitly + centered two-pass
-                           # fallback for near-constant columns
-    "q_sim_index_append",  # round-11 O(delta) Bloom id-guard + append
-                           # lock + tombstone-aware clash check
-    "q_stream_drift_psi",  # round-11 psi_reference refactored to
-                           # delegate to the windowed generalization
-                           # (same computation — re-verified — but the
-                           # code path its r10 verdict covered changed)
+    # round 12:
+    "q_sim_index_append",  # round-12 advice fixes on its engine path:
+                           # ivf_delete persists only live ids,
+                           # ivf_append purges re-admits against the
+                           # tombstone set directly, empty-corpus
+                           # sentinel, recover-first hook for the
+                           # recluster publish
+    "q_scd2_merge",        # round-12 commit protocol re-routed through
+                           # Hadoop's FileSystem API (rename/exists/
+                           # manifest IO; same rename sequence)
 })
 
 

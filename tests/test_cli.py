@@ -468,6 +468,17 @@ def test_cli_index_lifecycle(spark, capsys, tmp_path):
     assert rc == 0 and res["tombstones_cleared"] == 1
     assert res["n_vectors"] == all_n - 1
 
+    # round 12: recluster — no-op below threshold, rebuild when forced
+    rc, res = _run(capsys, [
+        "index-recluster", "--path", idx, "--threshold", "1e9",
+    ])
+    assert rc == 0 and res["reclustered"] is False
+    rc, res = _run(capsys, [
+        "index-recluster", "--path", idx, "--threshold", "0",
+    ])
+    assert rc == 0 and res["reclustered"] is True
+    assert res["n_vectors"] == all_n - 1
+
 
 def test_cli_index_errors(spark, capsys, tmp_path):
     rc, res = _run(capsys, [

@@ -743,6 +743,22 @@ def test_index_lifecycle_over_http(base_url, tmp_path):
     )
     assert status == 200 and res["rebuilt"] is True
 
+    # round 12: recluster — no-op below threshold, rebuild when forced
+    n_now = res["n_vectors"]
+    status, res = _post(
+        f"{base_url}/index/recluster", {"path": idx, "threshold": 1e9}
+    )
+    assert status == 200 and res["reclustered"] is False
+    status, res = _post(
+        f"{base_url}/index/recluster", {"path": idx, "threshold": 0}
+    )
+    assert status == 200 and res["reclustered"] is True
+    assert res["n_vectors"] == n_now
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post(f"{base_url}/index/recluster",
+              {"path": f"{tmp_path}/nope"})
+    assert exc.value.code == 404
+
     # a non-index directory is refused (400), not clobbered
     trap = str(tmp_path / "precious")
     os.makedirs(os.path.join(trap, "keep"))

@@ -2658,3 +2658,204 @@ def test_ivf_bloom_resizes_past_design_capacity(spark, tmp_path):
     with pytest.raises(ValueError, match="append-only"):
         ivf_append(spark, path, vecs(690, 700))    # post-resize ids
     assert ivf_live(spark, path)[0].count() == 700
+
+
+def _synthetic_index(spark, tmp_path, n_base=240, n_delta=600, n_cells=6):
+    """A persisted index whose appends drifted: spread base corpus,
+    then a tight off-distribution cluster appended — the maintenance
+    scenario ivf_imbalance's gauge exists for."""
+    import numpy as np
+
+    from correlationapi_spark.llm.similarity import (
+        ivf_append,
+        ivf_index,
+        ivf_write,
+    )
+
+    rng = np.random.RandomState(7)
+    d = 8
+    base = rng.normal(size=(n_base, d))
+    u = rng.normal(size=d)
+    u /= np.linalg.norm(u)
+    delta = u[None, :] * 5.0 + rng.normal(scale=0.15, size=(n_delta, d))
+
+    def mkdf(vs, start):
+        return spark.createDataFrame(
+            [(start + i, [float(x) for x in v]) for i, v in enumerate(vs)],
+            "vec_id long, v array<double>",
+        )
+
+    path = str(tmp_path / "ivf")
+    a, c = ivf_index(mkdf(base, 0), n_cells=n_cells)
+    ivf_write(a, c, path)
+    ivf_append(spark, path, mkdf(delta, 10000))
+    return path
+
+
+def _probe_recall(spark, path, n_probe=1, k=5):
+    from correlationapi_spark.llm.similarity import (
+        ivf_live,
+        ivf_probe,
+        topk_neighbors_exact,
+    )
+
+    corpus, cents = ivf_live(spark, path)
+    probe_ids = list(range(10000, 10010)) + list(range(0, 5))
+    probes = corpus.filter(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("pv"),
+        F.col("na").alias("pna"),
+    )
+    approx = {
+        (r.probe_id, r.neighbor_id)
+        for r in ivf_probe(corpus, cents, probes, k, n_probe=n_probe).collect()
+    }
+    exact = {
+        (r.probe_id, r.neighbor_id)
+        for r in topk_neighbors_exact(
+            corpus, F.col("vec_id").isin(probe_ids), k
+        ).collect()
+    }
+    return len(approx & exact) / len(exact)
+
+
+def test_ivf_recluster_improves_recall_and_preserves_ids(spark, tmp_path):
+    """r11 verdict item 4: the recluster act behind the imbalance
+    gauge. On a drifted-append corpus: the gauge trips, recluster
+    re-trains + rebuilds, the live id set is byte-preserved, probe
+    recall at fixed n_probe improves (the honest quality metric —
+    post-recluster IMBALANCE may stay high because the data itself is
+    skewed and KMeans correctly gives the dense cluster a large cell),
+    tombstones are gone (recluster implies compact), and below the
+    threshold it is a no-op."""
+    from correlationapi_spark.llm.similarity import (
+        _tombstones,
+        ivf_delete,
+        ivf_imbalance,
+        ivf_is_index,
+        ivf_live,
+        ivf_recluster,
+    )
+
+    path = _synthetic_index(spark, tmp_path)
+    g = ivf_imbalance(spark, path).collect()[0]
+    assert bool(g.recluster) and g.imbalance > 3.0
+
+    # a couple of tombstoned ids to prove recluster-implies-compact
+    assert ivf_delete(spark, path, [0, 1]) == 2
+    ids_before = {
+        r.vec_id for r in ivf_live(spark, path)[0].select("vec_id").collect()
+    }
+    recall_before = _probe_recall(spark, path)
+
+    stats = ivf_recluster(spark, path, threshold=3.0)
+    assert stats["reclustered"] is True
+    assert stats["n_cells"] == 6
+    assert stats["imbalance_before"] > 3.0
+
+    ids_after = {
+        r.vec_id for r in ivf_live(spark, path)[0].select("vec_id").collect()
+    }
+    assert ids_after == ids_before  # nothing lost, nothing resurrected
+    assert _tombstones(spark, path) is None
+    assert ivf_is_index(spark, path)
+    recall_after = _probe_recall(spark, path)
+    # measured 0.86 -> 0.97 on this fixture; pin a margin, not the dp
+    assert recall_after >= recall_before
+    assert recall_after >= 0.9
+
+    # below threshold (or rather: same threshold, already acted) the
+    # next call may or may not trip on data skew — force-path and
+    # no-op path are both explicit:
+    assert ivf_recluster(spark, path, threshold=1e9)["reclustered"] is False
+    forced = ivf_recluster(spark, path, threshold=0.0)
+    assert forced["reclustered"] is True
+
+
+def test_ivf_recluster_kill_windows_roll_forward(spark, tmp_path):
+    """The SCD2-style kill-window contract for the recluster publish:
+    a crash before the manifest leaves the OLD index fully intact and
+    certified; a crash anywhere after the manifest leaves a
+    roll-forward-able store that ivf_recover (or the next mutation's
+    recover-first hook) makes whole; recovery is idempotent."""
+    from correlationapi_spark.llm.similarity import (
+        _RECLUSTER_MANIFEST,
+        ivf_compact,
+        ivf_is_index,
+        ivf_live,
+        ivf_recluster,
+        ivf_recover,
+    )
+
+    class Boom(Exception):
+        pass
+
+    def crash_at(stage):
+        def hook(s):
+            if s == stage:
+                raise Boom(str(s))
+
+        return hook
+
+    path = _synthetic_index(
+        spark, tmp_path, n_base=60, n_delta=150, n_cells=4
+    )
+    ids = {
+        r.vec_id for r in ivf_live(spark, path)[0].select("vec_id").collect()
+    }
+
+    import os
+
+    # 1) crash after staging, BEFORE the manifest: the old index is
+    #    untouched and still certified; no recovery needed
+    with pytest.raises(Boom):
+        ivf_recluster(spark, path, threshold=0.0, _crash=crash_at("staged"))
+    assert ivf_is_index(spark, path)
+    assert not os.path.exists(os.path.join(path, _RECLUSTER_MANIFEST))
+    assert {
+        r.vec_id for r in ivf_live(spark, path)[0].select("vec_id").collect()
+    } == ids
+    assert ivf_recover(spark, path) is False
+
+    # 2) crash right after the manifest lands: roll forward via
+    #    ivf_recover — the staged layout is complete by contract
+    with pytest.raises(Boom):
+        ivf_recluster(spark, path, threshold=0.0, _crash=crash_at("manifest"))
+    assert os.path.exists(os.path.join(path, _RECLUSTER_MANIFEST))
+    assert ivf_recover(spark, path) is True
+    assert ivf_is_index(spark, path)
+    assert {
+        r.vec_id for r in ivf_live(spark, path)[0].select("vec_id").collect()
+    } == ids
+    assert ivf_recover(spark, path) is False  # idempotent
+
+    # 3) crash MID-SWAP (old corpus in the trash, staged not yet
+    #    published): the store is visibly torn and DE-certified —
+    #    no marker vouches for it — and recovery makes it whole
+    with pytest.raises(Boom):
+        ivf_recluster(
+            spark, path, threshold=0.0,
+            _crash=crash_at(("moved_old", "corpus")),
+        )
+    assert not ivf_is_index(spark, path)  # honest incomplete state
+    assert ivf_recover(spark, path) is True
+    assert ivf_is_index(spark, path)
+    assert {
+        r.vec_id for r in ivf_live(spark, path)[0].select("vec_id").collect()
+    } == ids
+
+    # 4) the next MUTATION heals a pending publish on its own
+    #    (recover-first discipline, scd2_merge's shape)
+    with pytest.raises(Boom):
+        ivf_recluster(
+            spark, path, threshold=0.0,
+            _crash=crash_at(("published", "corpus")),
+        )
+    assert os.path.exists(os.path.join(path, _RECLUSTER_MANIFEST))
+    stats = ivf_compact(spark, path)
+    assert stats["n_vectors"] == len(ids)
+    assert not os.path.exists(os.path.join(path, _RECLUSTER_MANIFEST))
+    assert ivf_is_index(spark, path)
+    assert {
+        r.vec_id for r in ivf_live(spark, path)[0].select("vec_id").collect()
+    } == ids

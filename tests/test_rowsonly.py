@@ -236,6 +236,14 @@ def test_multimodal_values_pinned(spark):
             assert (r.width, r.height, r.decoder) == (w, h, "jpeg-sof")
             assert (w, h) == ((16, 12, 20)[did % 3], (8, 6, 12)[did % 3])
             assert r.mime == "image/jpeg"
+            # the meta row carries REAL pixel stats for every JPEG
+            # variant — including the PROGRESSIVE (SOF2) one (r11
+            # verdict item 5: dims + pixel stats through
+            # q_multimodal_meta, not just the decoder roundtrip)
+            assert r.px_sha256 == hashlib.sha256(pixels).hexdigest()
+            assert r.px_mean == pytest.approx(
+                sum(pixels) / len(pixels), abs=1e-9
+            )
             seed = (5, 1, 63)[did % 3]
             if did % 3 == 2:  # the 4:4:4 color variant: YCbCr roundtrip
                 # is lossy (conversion rounding) but tightly bounded

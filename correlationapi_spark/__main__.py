@@ -58,7 +58,8 @@ Commands:
   gopher    --data PATH [--id COL] [--text COL] [--limit N]
   stationary --data PATH --user COL --event COL --time COL --order COL
             [--n-iter N]
-  serve     [--host H] [--port P]             # REST listener (http_api.py)
+  serve     [--host H] [--port P] [--auth-token T]  # REST listener; no
+            token = read-only (mutating routes answer 403)
   query     --key q_name [--sf-dir DIR]      # run a declared inventory key
   keys                                        # list the declared inventory
 """
@@ -580,13 +581,18 @@ def main(argv: list[str] | None = None) -> int:
     sv = sub.add_parser("serve", help="start the REST listener (stdlib http.server)")
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=8080)
+    sv.add_argument("--auth-token", default=None,
+                    help="shared token enabling mutating routes "
+                         "(default: CORRELATIONAPI_AUTH_TOKEN env var; "
+                         "unset = read-only server)")
 
     args = p.parse_args(argv)
 
     if args.cmd == "serve":
         from .http_api import serve
 
-        serve(_spark(), host=args.host, port=args.port)
+        serve(_spark(), host=args.host, port=args.port,
+              auth_token=args.auth_token)
         return 0
 
     if args.cmd == "keys":

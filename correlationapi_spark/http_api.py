@@ -101,6 +101,19 @@ variable), ValueError|TypeError → 400 (bad method / grain / non-numeric
 column), anything else → 500 with the exception class name. Every
 response body is one JSON document.
 
+Mutation guard (round 12): the routes that change server or on-disk
+state — dataset registration, /index/{build,append,delete,compact,
+recluster}, /psi/repin — are gated behind a shared token. With no
+token configured the server is READ-ONLY: those routes answer 403 and
+name the knob to turn. With ``auth_token`` set (``serve --auth-token``
+or the CORRELATIONAPI_AUTH_TOKEN env var), a mutating request must
+carry it in ``Authorization: Bearer <token>`` (or ``X-Auth-Token``);
+a missing or wrong token answers 401 + WWW-Authenticate. Read routes
+stay open — they expose only registered datasets, and the compare is
+constant-time (hmac.compare_digest). POST alone is NOT the mutation
+signal: /matrix, /mixed_matrix, /similar and /index/probe are pure
+reads that ride POST for their body payloads.
+
 Scale note: the handler threads share ONE SparkSession — Spark sessions
 are thread-safe and each request is a short driver-side job submission;
 the heavy lifting runs on the cluster. ThreadingHTTPServer keeps slow
@@ -109,10 +122,12 @@ queries from blocking /health.
 
 from __future__ import annotations
 
+import hmac
 import json
+import os
 import re
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Any
+from typing import Any, Mapping
 from urllib.parse import parse_qs, urlparse
 
 from pyspark.sql import SparkSession
@@ -121,6 +136,52 @@ from .api import CorrelationAPI
 
 _DATASET_RE = re.compile(r"^/datasets/([A-Za-z0-9_.-]+)$")
 _VARIABLES_RE = re.compile(r"^/datasets/([A-Za-z0-9_.-]+)/variables$")
+
+# Routes that mutate server or on-disk state. Everything else —
+# including the POST-carrying pure reads (/matrix, /mixed_matrix,
+# /similar, /index/probe) — stays open.
+_MUTATING_PATHS = frozenset({
+    "/index/build", "/index/append", "/index/delete",
+    "/index/compact", "/index/recluster", "/psi/repin",
+})
+
+
+def _is_mutation(method: str, path: str) -> bool:
+    """True when (method, path) would change server or persisted state."""
+    if method != "POST":
+        return False
+    return path in _MUTATING_PATHS or _DATASET_RE.match(path) is not None
+
+
+def _presented_token(headers: Mapping[str, str]) -> str | None:
+    """Extract the shared token from Authorization: Bearer or X-Auth-Token."""
+    auth = headers.get("Authorization") or ""
+    if auth.startswith("Bearer "):
+        return auth[len("Bearer "):].strip()
+    tok = headers.get("X-Auth-Token")
+    return tok.strip() if tok else None
+
+
+def _authorize(method: str, path: str, headers: Mapping[str, str],
+               auth_token: str | None) -> tuple[int, Any] | None:
+    """Gate mutating routes; None = allowed, else the refusal response.
+
+    No configured token → the server is read-only (403 with the knob
+    named). Configured token → constant-time compare against the
+    presented header; missing/wrong → 401. Pure function so the policy
+    is unit-testable without sockets (mirrors _route)."""
+    if not _is_mutation(method, path):
+        return None
+    if auth_token is None:
+        return 403, {"error": (
+            "server is read-only: no auth token configured; start serve "
+            "with --auth-token (or CORRELATIONAPI_AUTH_TOKEN) to enable "
+            f"mutating routes like {method} {path}"
+        )}
+    presented = _presented_token(headers)
+    if presented is None or not hmac.compare_digest(presented, auth_token):
+        return 401, {"error": "missing or invalid auth token"}
+    return None
 
 
 def _route(api: CorrelationAPI, method: str, path: str,
@@ -567,9 +628,13 @@ def _route(api: CorrelationAPI, method: str, path: str,
 
 
 def make_server(
-    api: CorrelationAPI, host: str = "127.0.0.1", port: int = 0
+    api: CorrelationAPI, host: str = "127.0.0.1", port: int = 0,
+    auth_token: str | None = None,
 ) -> ThreadingHTTPServer:
-    """Build (but don't start) the HTTP server; port 0 → ephemeral."""
+    """Build (but don't start) the HTTP server; port 0 → ephemeral.
+
+    ``auth_token=None`` (the default) serves read-only: mutating routes
+    answer 403. Pass a token to enable them for callers presenting it."""
 
     class Handler(BaseHTTPRequestHandler):
         # quiet by default: the service log is the driver's job log
@@ -581,11 +646,17 @@ def make_server(
             self.send_response(status)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(raw)))
+            if status == 401:
+                self.send_header("WWW-Authenticate", "Bearer")
             self.end_headers()
             self.wfile.write(raw)
 
         def _handle(self, method: str) -> None:
             parsed = urlparse(self.path)
+            refused = _authorize(method, parsed.path, self.headers, auth_token)
+            if refused is not None:
+                self._respond(*refused)
+                return
             query = {k: v[0] for k, v in parse_qs(parsed.query).items()}
             body: dict[str, Any] = {}
             length = int(self.headers.get("Content-Length") or 0)
@@ -615,10 +686,19 @@ def make_server(
     return ThreadingHTTPServer((host, port), Handler)
 
 
-def serve(spark: SparkSession, host: str = "127.0.0.1", port: int = 8080) -> None:
-    """Blocking entry point: ``python -m correlationapi_spark serve``."""
-    server = make_server(CorrelationAPI(spark), host, port)
-    print(json.dumps({"listening": f"http://{host}:{server.server_address[1]}"}))
+def serve(spark: SparkSession, host: str = "127.0.0.1", port: int = 8080,
+          auth_token: str | None = None) -> None:
+    """Blocking entry point: ``python -m correlationapi_spark serve``.
+
+    With no ``--auth-token`` and no CORRELATIONAPI_AUTH_TOKEN env var the
+    listener is read-only (mutating routes → 403)."""
+    if auth_token is None:
+        auth_token = os.environ.get("CORRELATIONAPI_AUTH_TOKEN") or None
+    server = make_server(CorrelationAPI(spark), host, port, auth_token=auth_token)
+    print(json.dumps({
+        "listening": f"http://{host}:{server.server_address[1]}",
+        "mutations": "enabled" if auth_token else "read-only",
+    }))
     try:
         server.serve_forever()
     except KeyboardInterrupt:

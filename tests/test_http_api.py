@@ -17,10 +17,16 @@ from correlationapi_spark.http_api import _route, make_server
 from .conftest import SF_SMOKE
 
 
+# the module-scoped server runs WITH a token so the mutation-heavy
+# lifecycle tests exercise the authenticated path end-to-end; the
+# read-only default gets its own server in test_auth_guard below
+_TOKEN = "test-shared-token"
+
+
 @pytest.fixture(scope="module")
 def base_url(spark):
     api = CorrelationAPI(spark)
-    server = make_server(api, port=0)  # ephemeral port
+    server = make_server(api, port=0, auth_token=_TOKEN)  # ephemeral port
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     yield f"http://127.0.0.1:{server.server_address[1]}"
@@ -32,10 +38,12 @@ def _get(url: str):
         return resp.status, json.loads(resp.read())
 
 
-def _post(url: str, payload: dict):
+def _post(url: str, payload: dict, token: str | None = _TOKEN):
+    headers = {"Content-Type": "application/json"}
+    if token is not None:
+        headers["Authorization"] = f"Bearer {token}"
     req = urllib.request.Request(
-        url, data=json.dumps(payload).encode(),
-        headers={"Content-Type": "application/json"}, method="POST",
+        url, data=json.dumps(payload).encode(), headers=headers, method="POST",
     )
     with urllib.request.urlopen(req) as resp:
         return resp.status, json.loads(resp.read())
@@ -809,3 +817,103 @@ def test_psi_lifecycle_over_http(base_url, tmp_path):
     )
     assert status == 200 and res["reference_version"] == 2
     assert len(res["windows"]) >= 28
+
+
+# ---------------------------------------------------------------- auth guard
+
+
+def test_mutation_classifier():
+    """POST is not the mutation signal: the body-carrying pure reads stay
+    open; state-changing routes (and dataset registration) are gated."""
+    from correlationapi_spark.http_api import _is_mutation
+
+    for path in ("/index/build", "/index/append", "/index/delete",
+                 "/index/compact", "/index/recluster", "/psi/repin",
+                 "/datasets/lineitem"):
+        assert _is_mutation("POST", path), path
+    for method, path in (
+        ("POST", "/matrix"), ("POST", "/mixed_matrix"),
+        ("POST", "/similar"), ("POST", "/index/probe"),
+        ("GET", "/datasets/lineitem"), ("GET", "/index/status"),
+        ("GET", "/health"), ("GET", "/psi/status"),
+    ):
+        assert not _is_mutation(method, path), f"{method} {path}"
+
+
+def test_authorize_pure_function():
+    from correlationapi_spark.http_api import _authorize
+
+    # read routes never challenged, token or not
+    assert _authorize("GET", "/correlate", {}, None) is None
+    assert _authorize("POST", "/matrix", {}, "s3cret") is None
+    # no token configured -> read-only refusal names the knob
+    status, payload = _authorize("POST", "/index/build", {}, None)
+    assert status == 403 and "read-only" in payload["error"]
+    assert "--auth-token" in payload["error"]
+    # token configured: missing / wrong -> 401; Bearer or X-Auth-Token ok
+    status, _ = _authorize("POST", "/index/build", {}, "s3cret")
+    assert status == 401
+    status, _ = _authorize(
+        "POST", "/index/build", {"Authorization": "Bearer nope"}, "s3cret")
+    assert status == 401
+    assert _authorize(
+        "POST", "/index/build",
+        {"Authorization": "Bearer s3cret"}, "s3cret") is None
+    assert _authorize(
+        "POST", "/psi/repin", {"X-Auth-Token": "s3cret"}, "s3cret") is None
+
+
+def test_auth_guard_over_sockets(base_url):
+    """Server with a token: 401 challenges carry WWW-Authenticate, wrong
+    tokens are refused, reads stay open without credentials."""
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post(f"{base_url}/datasets/auth_probe",
+              {"path": os.path.join(SF_SMOKE, "region.parquet")}, token=None)
+    assert exc.value.code == 401
+    assert exc.value.headers.get("WWW-Authenticate") == "Bearer"
+
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post(f"{base_url}/index/compact", {"path": "/tmp/x"}, token="wrong")
+    assert exc.value.code == 401
+
+    # read route: no credentials needed even on a token-bearing server
+    assert _get(f"{base_url}/health") == (200, {"status": "ok"})
+
+    # correct token registers fine (and cleans up the module namespace race
+    # by using a dedicated dataset name)
+    status, reg = _post(
+        f"{base_url}/datasets/auth_probe",
+        {"path": os.path.join(SF_SMOKE, "region.parquet")})
+    assert status == 201 and "r_name" in reg["columns"]
+
+
+def test_read_only_default_server(spark):
+    """make_server with NO token is read-only: mutations 403, reads work."""
+    api = CorrelationAPI(spark)
+    api.register_dataset("ro_li", os.path.join(SF_SMOKE, "lineitem.parquet"))
+    server = make_server(api, port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(f"{url}/datasets/nope",
+                  {"path": os.path.join(SF_SMOKE, "region.parquet")})
+        assert exc.value.code == 403
+        assert "read-only" in json.loads(exc.value.read())["error"]
+
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(f"{url}/index/recluster", {"path": "/tmp/x"})
+        assert exc.value.code == 403
+
+        # reads (including POST-borne pure reads) untouched
+        status, res = _get(
+            f"{url}/correlate?dataset=ro_li&x=l_quantity&y=l_extendedprice")
+        assert status == 200 and "correlation" in res
+        status, res = _post(
+            f"{url}/matrix",
+            {"dataset": "ro_li", "variables": ["l_quantity", "l_tax"]},
+            token=None)
+        assert status == 200
+    finally:
+        server.shutdown()

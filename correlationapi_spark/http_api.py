@@ -179,7 +179,13 @@ def _authorize(method: str, path: str, headers: Mapping[str, str],
             f"mutating routes like {method} {path}"
         )}
     presented = _presented_token(headers)
-    if presented is None or not hmac.compare_digest(presented, auth_token):
+    # compare encoded bytes: compare_digest on str requires ASCII and
+    # raises TypeError otherwise — and _authorize runs BEFORE the
+    # handler's error-mapping try, so a garbled header would kill the
+    # connection with no HTTP response instead of a 401
+    if presented is None or not hmac.compare_digest(
+        presented.encode("utf-8"), auth_token.encode("utf-8")
+    ):
         return 401, {"error": "missing or invalid auth token"}
     return None
 

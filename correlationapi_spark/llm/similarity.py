@@ -658,13 +658,22 @@ def ivf_append(spark: SparkSession, path: str, new_vectors: DataFrame) -> None:
     when the hottest cell outgrows the mean, not on a clock."""
     import os
 
-    cents = spark.read.parquet(os.path.join(path, "centroids"))
-    # eager pin: the assignment feeds the collision check, the possible
-    # re-admit rewrite, AND the write — one broadcast-k pass total
-    assigned = ivf_assign(cents, new_vectors).localCheckpoint(eager=True)
-    delta_ids = assigned.select("vec_id")
+    _ivf_404_probe(spark, path)
     with _ivf_mutation_lock(spark, path):
         _recluster_publish_if_pending(spark, path)
+        # centroids read + assignment INSIDE the lock, after the
+        # roll-forward hook (review r12): reading them before the lock
+        # let a recluster publish — a crashed one rolled forward by the
+        # hook above, or a concurrent one completing in between — swap
+        # the quantizer out from under the assignment, stamping the
+        # delta with OLD cell ids in the NEW layout (probes rank cells
+        # by the new centroids, so those rows silently stop answering).
+        cents = spark.read.parquet(os.path.join(path, "centroids"))
+        # eager pin: the assignment feeds the collision check, the
+        # possible re-admit rewrite, AND the write — one broadcast-k
+        # pass total
+        assigned = ivf_assign(cents, new_vectors).localCheckpoint(eager=True)
+        delta_ids = assigned.select("vec_id")
         state = _idstate_read(spark, path)
         if state is None:
             # pre-sidecar layout: one-time migration — exact full check
@@ -706,16 +715,13 @@ def ivf_append(spark: SparkSession, path: str, new_vectors: DataFrame) -> None:
                 F.broadcast(tomb), "vec_id", "left_semi"
             )
             _ivf_purge(spark, path, readmit)
-        # a purge that emptied the corpus (or a compact before this
-        # append) leaves a root-level zero-row sentinel file; drop it
-        # before a partitioned write lands next to it
-        _corpus_drop_sentinel(spark, os.path.join(path, "corpus"))
 
         if state is None:
             # pre-sidecar migration: append, then derive the sidecar
             # from the (now complete) corpus id column. Retry safety
             # needs no Bloom ordering here — with no sidecar, a retry
             # re-runs the exact full check above.
+            _corpus_drop_sentinel(spark, os.path.join(path, "corpus"))
             assigned.write.mode("append").partitionBy("cell").parquet(
                 os.path.join(path, "corpus")
             )
@@ -751,6 +757,16 @@ def ivf_append(spark: SparkSession, path: str, new_vectors: DataFrame) -> None:
                 | delta_bits
             ).tobytes()
         _idstate_write(spark, path, m, n, bits)
+        # a purge that emptied the corpus (or a compact before this
+        # append) leaves a root-level zero-row sentinel file; drop it
+        # only NOW, immediately before the partitioned write lands next
+        # to it (review r12: dropping it before the capacity-resize
+        # branch read the corpus id column deterministically failed the
+        # append-after-empty case with UNABLE_TO_INFER_SCHEMA and left
+        # the corpus file-less — the exact state the sentinel exists to
+        # prevent; the sentinel is zero rows, so reading through it for
+        # the resize union is harmless)
+        _corpus_drop_sentinel(spark, os.path.join(path, "corpus"))
         assigned.write.mode("append").partitionBy("cell").parquet(
             os.path.join(path, "corpus")
         )
@@ -893,10 +909,7 @@ def ivf_delete(spark: SparkSession, path: str, ids: list[int]) -> int:
 
     if not ids:
         return 0
-    # existence probe BEFORE the lock: a bogus path must raise the
-    # reader's AnalysisException (the 404 surface), not manufacture
-    # directories as a side effect of taking the lock
-    spark.read.parquet(os.path.join(path, "corpus")).schema
+    _ivf_404_probe(spark, path)
     with _ivf_mutation_lock(spark, path):
         _recluster_publish_if_pending(spark, path)
         live_ids = ivf_live(spark, path)[0].select("vec_id")
@@ -927,7 +940,7 @@ def ivf_compact(spark: SparkSession, path: str) -> dict:
     Bloom only costs fallback exact checks)."""
     import os
 
-    spark.read.parquet(os.path.join(path, "corpus")).schema  # 404 probe
+    _ivf_404_probe(spark, path)
     with _ivf_mutation_lock(spark, path):
         _recluster_publish_if_pending(spark, path)
         tomb = _tombstones(spark, path)
@@ -974,6 +987,25 @@ _RECLUSTER_MANIFEST = "_recluster.json"
 _RECLUSTER_STAGE = ".recluster-stage"
 
 
+def _ivf_404_probe(spark: SparkSession, path: str) -> None:
+    """Existence probe BEFORE a mutation takes the lock: a bogus path
+    must raise the reader's AnalysisException (the 404 surface), not
+    manufacture directories as a side effect of locking. A pending
+    recluster manifest counts as existing (review r12): after a crash
+    mid-swap the corpus may sit in .trash-corpus with the manifest
+    present — the in-lock roll-forward hook heals exactly that state,
+    so probing the corpus schema here would turn a one-call recovery
+    into a false 'no IVF index' on every mutation surface."""
+    import os
+
+    fs, jvm = _hadoop_fs(spark, path)
+    if fs.exists(
+        jvm.org.apache.hadoop.fs.Path(os.path.join(path, _RECLUSTER_MANIFEST))
+    ):
+        return
+    spark.read.parquet(os.path.join(path, "corpus")).schema
+
+
 def _recluster_publish(spark: SparkSession, path: str, _crash=None) -> None:
     """Idempotent publish/roll-forward half of ivf_recluster: swap the
     staged layout into place via FileSystem renames, derived entirely
@@ -995,13 +1027,18 @@ def _recluster_publish(spark: SparkSession, path: str, _crash=None) -> None:
         )["stage"]
     finally:
         ins.close()
-    # de-certify first: marker and every sidecar describing the OLD
+    # de-certify first: marker and the id sidecar describing the OLD
     # layout go before any rename — a crash mid-swap leaves an
     # unmarked (honestly incomplete) directory, never a marker
-    # vouching for a half-swapped corpus. Tombstones drop here: the
-    # staged corpus was built from the LIVE view, so every tombstoned
-    # id is already physically absent (recluster implies compact).
-    for sub in (_IVF_MARKER, "idstate", "tombstones"):
+    # vouching for a half-swapped corpus. Tombstones do NOT drop here
+    # (review r12): until the corpus rename lands, readers still see
+    # the OLD corpus, and deleting the mask first would resurrect
+    # every deleted id for the whole publish window (unbounded after a
+    # crash at this point). They drop after the swap instead, where a
+    # stale tombstone anti-joined against the new corpus — built from
+    # the LIVE view, so those rows are already physically absent
+    # (recluster implies compact) — is a harmless no-op.
+    for sub in (_IVF_MARKER, "idstate"):
         fs.delete(P(os.path.join(path, sub)), True)
     if _crash is not None:
         _crash("decertified")
@@ -1021,6 +1058,7 @@ def _recluster_publish(spark: SparkSession, path: str, _crash=None) -> None:
                 raise OSError(f"rename failed: {staged} -> {live}")
         if _crash is not None:
             _crash(("published", sub))
+    fs.delete(P(os.path.join(path, "tombstones")), True)
     for sub in ("corpus", "centroids"):
         fs.delete(P(os.path.join(path, f".trash-{sub}")), True)
     fs.delete(P(stage), True)
@@ -1091,7 +1129,7 @@ def ivf_recluster(
     import json
     import os
 
-    spark.read.parquet(os.path.join(path, "corpus")).schema  # 404 probe
+    _ivf_404_probe(spark, path)
     with _ivf_mutation_lock(spark, path):
         _recluster_publish_if_pending(spark, path)
         before = ivf_imbalance(spark, path, recluster_above=threshold)
@@ -1129,10 +1167,14 @@ def ivf_recluster(
         except Exception:
             pass
         out.close()
-        fs.rename(
+        if not fs.rename(
             jvm.org.apache.hadoop.fs.Path(tmp),
             jvm.org.apache.hadoop.fs.Path(manifest),
-        )
+        ):
+            # same guard as every other rename in the protocol: a False
+            # return here would let _recluster_publish fs.open() a
+            # manifest that never landed
+            raise OSError(f"rename failed: {tmp} -> {manifest}")
         if _crash is not None:
             _crash("manifest")
         _recluster_publish(spark, path, _crash=_crash)

@@ -2731,7 +2731,7 @@ def scd2_merge(
     protocol stages; ``_store_path`` pins the store directory so tests
     can crash one merge and recover/rerun against the same store."""
     path = _store_path or _scd2_store_dir()
-    scd2_recover(path)  # finish any interrupted commit BEFORE reading
+    scd2_recover(path, spark=spark)  # finish any interrupted commit BEFORE reading
     # NULL business keys break the bucket contract twice over (advice
     # r10): xxhash64(NULL) is NULL, so the row would land in the Hive
     # default partition outside every bucket-pruning path, and the
@@ -2763,7 +2763,7 @@ def scd2_merge(
     ).parquet(path)
     total = sum(
         1
-        for d in _Scd2IO(path).list_names(path)
+        for d in _Scd2IO(path, spark).list_names(path)
         if d.startswith("bucket=")
     )
 
@@ -2791,7 +2791,7 @@ def scd2_merge(
     merged.write.mode("overwrite").partitionBy("bucket").parquet(stage)
     if _crash is not None:
         _crash("staged")
-    _scd2_commit(path, stage, affected, _crash=_crash)
+    _scd2_commit(path, stage, affected, _crash=_crash, spark=spark)
     out = spark.read.parquet(path).select(
         "user_id", "state", "valid_from", "valid_to", "is_current"
     )
@@ -2805,14 +2805,18 @@ class _Scd2IO:
     os.rename/os.path.isdir/shutil, which silently pass for hdfs:// and
     s3a:// paths, so the 'FileSystem.rename on HDFS' the docstring
     promised was vacuous exactly where an interrupted commit is most
-    expensive). A sessionless caller (scd2_recover from a bare process)
-    falls back to os-path semantics for plainly-local paths and refuses
-    schemed paths it cannot resolve."""
+    expensive). Callers that hold the session pass it in (review r12:
+    getActiveSession() is thread-local, so an off-main-thread merge —
+    e.g. the ThreadingHTTPServer — would silently fall back to os-path
+    semantics, or refuse an hdfs:// store, with a live session in
+    hand). A genuinely sessionless caller (scd2_recover from a bare
+    process) falls back to os-path semantics for plainly-local paths
+    and refuses schemed paths it cannot resolve."""
 
-    def __init__(self, anchor: str):
+    def __init__(self, anchor: str, spark: "SparkSession | None" = None):
         from pyspark.sql import SparkSession
 
-        spark = SparkSession.getActiveSession()
+        spark = spark or SparkSession.getActiveSession()
         if spark is None:
             if "://" in anchor:
                 raise ValueError(
@@ -2920,7 +2924,8 @@ class _Scd2IO:
 
 
 def _scd2_commit(
-    path: str, stage: str, affected: list[int], _crash=None
+    path: str, stage: str, affected: list[int], _crash=None,
+    spark: "SparkSession | None" = None,
 ) -> None:
     """Publish staged bucket directories with a journaled rename
     protocol, riding FileSystem.rename on whatever filesystem the
@@ -2935,7 +2940,7 @@ def _scd2_commit(
     import json
     import os
 
-    io = _Scd2IO(path)
+    io = _Scd2IO(path, spark)
     manifest = os.path.join(path, "_commit.json")
     io.write_atomic(
         manifest, json.dumps({"stage": stage, "buckets": affected})
@@ -2964,7 +2969,7 @@ def _scd2_commit(
     io.remove(manifest)
 
 
-def scd2_recover(path: str) -> bool:
+def scd2_recover(path: str, spark: "SparkSession | None" = None) -> bool:
     """Roll an interrupted _scd2_commit forward: resume the same
     idempotent swap loop from the manifest, then clean up. Returns
     True when there was a commit to finish. Safe to crash DURING
@@ -2973,7 +2978,7 @@ def scd2_recover(path: str) -> bool:
     import json
     import os
 
-    io = _Scd2IO(path)
+    io = _Scd2IO(path, spark)
     manifest = os.path.join(path, "_commit.json")
     if not io.exists(manifest):
         return False

@@ -917,3 +917,19 @@ def test_read_only_default_server(spark):
         assert status == 200
     finally:
         server.shutdown()
+
+
+def test_auth_non_ascii_token_answers_401_not_connection_reset(base_url):
+    """review r12: compare_digest on str raises TypeError for non-ASCII
+    input, and _authorize runs before the handler's error-mapping try —
+    a garbled header must come back as a clean 401, not a dead socket."""
+    req = urllib.request.Request(
+        f"{base_url}/index/compact",
+        data=json.dumps({"path": "/tmp/x"}).encode(),
+        headers={"Content-Type": "application/json",
+                 "Authorization": "Bearer café"},
+        method="POST",
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req)
+    assert exc.value.code == 401

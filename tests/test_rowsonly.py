@@ -2867,3 +2867,202 @@ def test_ivf_recluster_kill_windows_roll_forward(spark, tmp_path):
     assert {
         r.vec_id for r in ivf_live(spark, path)[0].select("vec_id").collect()
     } == ids
+
+
+def test_ivf_append_assigns_with_published_centroids(spark, tmp_path):
+    """review r12: ivf_append used to read the centroids BEFORE the
+    lock and the recover-first hook — a pending recluster publish
+    (crash after the manifest) was then rolled forward by the hook,
+    swapping the quantizer out from under an assignment already made
+    with the OLD centroids, so the delta landed stamped with stale
+    cell ids the new layout's probes never visit. The append must
+    assign against the centroids that are live AFTER the roll-forward:
+    every appended row's stored cell must equal ivf_assign's answer
+    under the published centroids."""
+    import numpy as np
+
+    from correlationapi_spark.llm.similarity import (
+        _RECLUSTER_MANIFEST,
+        ivf_append,
+        ivf_assign,
+        ivf_is_index,
+        ivf_read,
+        ivf_recluster,
+    )
+
+    class Boom(Exception):
+        pass
+
+    def crash_at(stage):
+        def hook(s):
+            if s == stage:
+                raise Boom(str(s))
+
+        return hook
+
+    path = _synthetic_index(spark, tmp_path, n_base=60, n_delta=150, n_cells=4)
+    import os
+
+    with pytest.raises(Boom):
+        ivf_recluster(spark, path, threshold=0.0, _crash=crash_at("manifest"))
+    assert os.path.exists(os.path.join(path, _RECLUSTER_MANIFEST))
+
+    rng = np.random.RandomState(11)
+    delta = spark.createDataFrame(
+        [
+            (20000 + i, [float(x) for x in v])
+            for i, v in enumerate(rng.normal(size=(40, 8)))
+        ],
+        "vec_id long, v array<double>",
+    )
+    ivf_append(spark, path, delta)  # must roll forward FIRST, then assign
+    assert ivf_is_index(spark, path)
+    corpus, cents = ivf_read(spark, path)
+    stored = {
+        (r.vec_id, r.cell)
+        for r in corpus.filter(F.col("vec_id") >= 20000)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    want = {
+        (r.vec_id, r.cell)
+        for r in ivf_assign(cents, delta).select("vec_id", "cell").collect()
+    }
+    assert stored == want and len(stored) == 40
+
+
+def test_ivf_append_resize_after_compact_to_zero(spark, tmp_path):
+    """review r12: the empty-corpus sentinel was dropped BEFORE the
+    Bloom capacity-resize branch re-read the corpus id column, so the
+    first large append into an emptied index died with
+    UNABLE_TO_INFER_SCHEMA and left the corpus file-less (the exact
+    unreadable state the sentinel exists to prevent). 520 ids push
+    n*16 past the 8192-bit floor, forcing the resize read."""
+    import numpy as np
+
+    from correlationapi_spark.llm.similarity import (
+        _idstate_read,
+        ivf_append,
+        ivf_compact,
+        ivf_delete,
+        ivf_is_index,
+        ivf_live,
+        ivf_probe,
+    )
+
+    path = _synthetic_index(spark, tmp_path, n_base=12, n_delta=8, n_cells=2)
+    all_ids = [
+        r.vec_id for r in ivf_live(spark, path)[0].select("vec_id").collect()
+    ]
+    assert ivf_delete(spark, path, all_ids) == len(all_ids)
+    stats = ivf_compact(spark, path)
+    assert stats["n_vectors"] == 0  # emptied: corpus holds the sentinel
+
+    rng = np.random.RandomState(13)
+    n_new = 520
+    delta = spark.createDataFrame(
+        [
+            (30000 + i, [float(x) for x in v])
+            for i, v in enumerate(rng.normal(size=(n_new, 8)))
+        ],
+        "vec_id long, v array<double>",
+    )
+    ivf_append(spark, path, delta)  # crosses 8192-bit Bloom capacity
+    assert ivf_is_index(spark, path)
+    st = _idstate_read(spark, path)
+    assert int(st.n) == n_new and int(st.m) > 8192  # resized, right count
+    corpus, cents = ivf_live(spark, path)
+    assert corpus.count() == n_new
+    probes = corpus.filter(F.col("vec_id") == 30000).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("pv"),
+        F.col("na").alias("pna"),
+    )
+    top = ivf_probe(corpus, cents, probes, 3, n_probe=2)
+    assert top.count() == 3  # the re-populated index answers probes
+
+
+def test_ivf_recluster_crash_never_resurrects_deleted_ids(spark, tmp_path):
+    """review r12: the publish used to drop the tombstone sidecar in
+    the de-certify step, BEFORE the corpus swap — so a crash there (or
+    any reader racing a successful publish) saw the OLD corpus with no
+    delete mask and every deleted id answered probes again. Tombstones
+    must survive until the new (live-view-built, already-compacted)
+    corpus is live."""
+    from correlationapi_spark.llm.similarity import (
+        _tombstones,
+        ivf_delete,
+        ivf_live,
+        ivf_recluster,
+        ivf_recover,
+    )
+
+    class Boom(Exception):
+        pass
+
+    def crash_at(stage):
+        def hook(s):
+            if s == stage:
+                raise Boom(str(s))
+
+        return hook
+
+    path = _synthetic_index(spark, tmp_path, n_base=60, n_delta=150, n_cells=4)
+    victims = [10000, 10001, 10002]
+    assert ivf_delete(spark, path, victims) == 3
+
+    with pytest.raises(Boom):
+        ivf_recluster(
+            spark, path, threshold=0.0, _crash=crash_at("decertified")
+        )
+    # old corpus still live, mask still in force: no resurrection
+    seen = {
+        r.vec_id for r in ivf_live(spark, path)[0].select("vec_id").collect()
+    }
+    assert not (seen & set(victims))
+
+    assert ivf_recover(spark, path) is True
+    seen = {
+        r.vec_id for r in ivf_live(spark, path)[0].select("vec_id").collect()
+    }
+    assert not (seen & set(victims))
+    # recluster implies compact: the stale tombstones are gone with it
+    assert _tombstones(spark, path) is None
+
+
+def test_ivf_mutations_heal_mid_swap_crash(spark, tmp_path):
+    """review r12: after a crash with the corpus already moved to
+    .trash-corpus (manifest present), the pre-lock 404 probes made
+    every mutation surface raise 'no index' instead of reaching the
+    recover-first hook — only ivf_recover could heal. A pending
+    manifest must count as existing: the next mutation rolls the
+    publish forward on its own."""
+    from correlationapi_spark.llm.similarity import (
+        ivf_delete,
+        ivf_is_index,
+        ivf_live,
+        ivf_recluster,
+    )
+
+    class Boom(Exception):
+        pass
+
+    def crash_at(stage):
+        def hook(s):
+            if s == stage:
+                raise Boom(str(s))
+
+        return hook
+
+    path = _synthetic_index(spark, tmp_path, n_base=60, n_delta=150, n_cells=4)
+    n = ivf_live(spark, path)[0].count()
+    with pytest.raises(Boom):
+        ivf_recluster(
+            spark, path, threshold=0.0,
+            _crash=crash_at(("moved_old", "corpus")),
+        )
+    assert not ivf_is_index(spark, path)  # torn, honestly uncertified
+    # a DELETE (not ivf_recover) heals the store, then applies itself
+    assert ivf_delete(spark, path, [10000]) == 1
+    assert ivf_is_index(spark, path)
+    assert ivf_live(spark, path)[0].count() == n - 1

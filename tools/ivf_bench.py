@@ -38,7 +38,9 @@ from correlationapi_spark.llm.similarity import (  # noqa: E402
     ivf_append,
     ivf_imbalance,
     ivf_index,
+    ivf_live,
     ivf_probe,
+    ivf_recluster,
     ivf_write,
     topk_neighbors_exact,
 )
@@ -240,6 +242,35 @@ def main() -> None:
         curve[-1]["append_sec"] / max(curve[0]["append_sec"], 1e-9), 2
     )
 
+    # 6. recluster (round 12 — acting on the imbalance gauge): re-train
+    # the quantizer of the appended index via the journaled staged-swap
+    # publish. Cost must track the plain rebuild it replaces (§4's
+    # t_rebuild: same KMeans, same full-corpus rewrite — the crash-safe
+    # protocol may only add manifest/rename overhead), and probe recall
+    # at a fixed n_probe must not regress vs the drifted pre-recluster
+    # layout.
+    def persisted_recall(pth: str, n_probe: int) -> float:
+        corpus_l, cents_l = ivf_live(spark, pth)
+        pr = corpus_l.filter(F.col("vec_id").isin(probe_ids)).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("v").alias("pv"),
+            F.col("na").alias("pna"),
+        )
+        rows = ivf_probe(corpus_l, cents_l, pr, K, n_probe=n_probe).collect()
+        got: dict[int, set[int]] = {}
+        for r in rows:
+            got.setdefault(r.probe_id, set()).add(r.neighbor_id)
+        hits = sum(len(got.get(p, set()) & t) for p, t in truth.items())
+        return round(hits / sum(len(t) for t in truth.values()), 4)
+
+    recall_pre = persisted_recall(base_path, n_probe=5)
+    t0 = time.time()
+    rec = ivf_recluster(
+        spark, base_path, threshold=0.0, train_fraction=TRAIN_FRACTION
+    )
+    t_recluster = time.time() - t0
+    recall_post = persisted_recall(base_path, n_probe=5)
+
     print(
         json.dumps(
             {
@@ -274,6 +305,19 @@ def main() -> None:
                     "curve": curve,
                     # 10× corpus, same delta: ~1.0 = O(delta) holds
                     "flat_ratio_10x": append_flat_ratio,
+                },
+                "recluster_maintenance": {
+                    "recluster_sec": round(t_recluster, 2),
+                    "plain_rebuild_sec": round(t_rebuild, 2),
+                    # ~1.0 = the journaled publish is free vs the
+                    # retrain+rewrite it wraps
+                    "vs_rebuild_ratio": round(
+                        t_recluster / max(t_rebuild, 1e-9), 2
+                    ),
+                    "recall_at_10_nprobe5_before": recall_pre,
+                    "recall_at_10_nprobe5_after": recall_post,
+                    "imbalance_before": rec["imbalance_before"],
+                    "imbalance_after": rec.get("imbalance_after"),
                 },
             }
         )

@@ -31,6 +31,7 @@ Commands:
   index-compact --path DIR   (rewrite dead cells live-only, clear tombstones)
   index-recluster --path DIR [--threshold R] [--n-cells N]
             [--train-fraction F]   (re-train quantizer when max/avg > R)
+  index-recover --path DIR   (roll an interrupted recluster publish forward)
   psi-repin --data PATH --time COL --value COL --path DIR --end TS
             [--start TS]      (pin a new versioned PSI drift reference)
   psi-status --path DIR       (latest pinned reference: version + bins)
@@ -445,6 +446,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     idc.add_argument("--path", required=True)
 
+    irv = sub.add_parser(
+        "index-recover",
+        help="roll an interrupted recluster publish forward (idempotent; "
+        "recovered=false when nothing is pending)",
+    )
+    irv.add_argument("--path", required=True)
+
     irc = sub.add_parser(
         "index-recluster",
         help="re-train the coarse quantizer and rebuild the cell layout "
@@ -621,7 +629,7 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd in (
         "index-status", "index-probe", "index-delete", "index-compact",
-        "index-recluster", "psi-status",
+        "index-recluster", "index-recover", "psi-status",
     ):
         from .api import CorrelationAPI
 
@@ -638,6 +646,8 @@ def main(argv: list[str] | None = None) -> int:
                 )
             elif args.cmd == "index-compact":
                 res = api.index_compact(args.path)
+            elif args.cmd == "index-recover":
+                res = api.index_recover(args.path)
             elif args.cmd == "index-recluster":
                 res = api.index_recluster(
                     args.path, threshold=args.threshold,

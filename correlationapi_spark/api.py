@@ -3017,6 +3017,25 @@ class CorrelationAPI:
             raise self._no_index(path, e) from e
         return {**self.index_status(path), **stats}
 
+    def index_recover(self, path: str) -> dict[str, Any]:
+        """Roll an interrupted recluster publish forward (review r12:
+        every MUTATION heals a pending publish on its own via the
+        recover-first hook, but probe/status are read-only — an
+        operator watching a torn index needed ivf_recover in a Python
+        shell). Idempotent: returns ``recovered: False`` plus the
+        status when there is nothing to finish. A crashed writer's
+        leftover mutation lock surfaces as the documented ValueError
+        (HTTP 400) naming the lock file to clear."""
+        from pyspark.errors import AnalysisException
+
+        from .llm.similarity import ivf_recover
+
+        try:
+            recovered = ivf_recover(self.spark, path)
+            return {**self.index_status(path), "recovered": recovered}
+        except AnalysisException as e:
+            raise self._no_index(path, e) from e
+
     def _docs_view(
         self, dataset: str, id_col: str, text_col: str
     ) -> tuple[DataFrame, DataFrame]:

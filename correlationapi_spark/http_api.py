@@ -73,6 +73,8 @@ container, and none is needed for a JSON-for-JSON contract:
   POST /index/recluster {"path"[,"threshold","n_cells","train_fraction"]}
        → re-train the quantizer + rebuild when max/avg cell > threshold
          (staged + journaled rename publish; no-op below threshold)
+  POST /index/recover {"path"}  → roll an interrupted recluster publish
+         forward (idempotent; recovered=false when nothing is pending)
   GET  /dedup?dataset=&id=&text=[&method=exact|keep_best|ngram|minhash][&threshold=]
        [&limit=]                  → duplicate listing + engine-side totals
   GET  /assign?dataset=&id=&vector=&centroids=0,1,2[&limit=]
@@ -142,7 +144,8 @@ _VARIABLES_RE = re.compile(r"^/datasets/([A-Za-z0-9_.-]+)/variables$")
 # /similar, /index/probe) — stays open.
 _MUTATING_PATHS = frozenset({
     "/index/build", "/index/append", "/index/delete",
-    "/index/compact", "/index/recluster", "/psi/repin",
+    "/index/compact", "/index/recluster", "/index/recover",
+    "/psi/repin",
 })
 
 
@@ -486,6 +489,10 @@ def _route(api: CorrelationAPI, method: str, path: str,
         if "path" not in body:
             raise ValueError('body must contain "path"')
         return 200, api.index_compact(body["path"])
+    if method == "POST" and path == "/index/recover":
+        if "path" not in body:
+            raise ValueError('body must contain "path"')
+        return 200, api.index_recover(body["path"])
     if method == "POST" and path == "/index/recluster":
         if "path" not in body:
             raise ValueError('body must contain "path"')

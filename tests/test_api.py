@@ -2485,3 +2485,43 @@ def test_psi_repin_lock_single_writer(spark, tmp_path):
     )
     assert res["version"] == 2
     assert not os.path.exists(lock)
+
+
+def test_index_recover_api(spark, tmp_path):
+    """review r12: recover on the service surface — mutations heal a
+    pending publish on their own, but probe/status are read-only, so
+    an operator watching a torn index needs a recover call. Idempotent
+    no-op on a healthy index; rolls a mid-swap crash forward; 404s on
+    a bogus path."""
+    import os
+
+    from correlationapi_spark.api import CorrelationAPI
+    from correlationapi_spark.llm.similarity import ivf_recluster
+
+    api = CorrelationAPI(spark)
+    api.register_dataset(
+        "emb", os.path.join(SF_SMOKE, "embeddings.parquet")
+    )
+    idx = str(tmp_path / "idx")
+    built = api.index_build("emb", "vec_id", "embedding", idx, n_cells=4)
+
+    res = api.index_recover(idx)  # nothing pending
+    assert res["recovered"] is False
+    assert res["n_vectors"] == built["n_vectors"]
+
+    class Boom(Exception):
+        pass
+
+    def crash(stage):
+        if stage == ("moved_old", "corpus"):
+            raise Boom(str(stage))
+
+    with pytest.raises(Boom):
+        ivf_recluster(spark, idx, threshold=0.0, _crash=crash)
+    # status is honestly broken mid-swap; recover makes it whole
+    res = api.index_recover(idx)
+    assert res["recovered"] is True
+    assert res["n_vectors"] == built["n_vectors"]
+
+    with pytest.raises(KeyError, match="no IVF index"):
+        api.index_recover(str(tmp_path / "nope"))

@@ -767,6 +767,15 @@ def test_index_lifecycle_over_http(base_url, tmp_path):
               {"path": f"{tmp_path}/nope"})
     assert exc.value.code == 404
 
+    # round 12: recover is idempotent over the wire (nothing pending
+    # here — the crash-window rolls are pinned in test_api/test_rowsonly)
+    status, res = _post(f"{base_url}/index/recover", {"path": idx})
+    assert status == 200 and res["recovered"] is False
+    assert res["n_vectors"] == n_now
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post(f"{base_url}/index/recover", {"path": f"{tmp_path}/nope"})
+    assert exc.value.code == 404
+
     # a non-index directory is refused (400), not clobbered
     trap = str(tmp_path / "precious")
     os.makedirs(os.path.join(trap, "keep"))
@@ -828,8 +837,8 @@ def test_mutation_classifier():
     from correlationapi_spark.http_api import _is_mutation
 
     for path in ("/index/build", "/index/append", "/index/delete",
-                 "/index/compact", "/index/recluster", "/psi/repin",
-                 "/datasets/lineitem"):
+                 "/index/compact", "/index/recluster", "/index/recover",
+                 "/psi/repin", "/datasets/lineitem"):
         assert _is_mutation("POST", path), path
     for method, path in (
         ("POST", "/matrix"), ("POST", "/mixed_matrix"),

@@ -479,6 +479,12 @@ def test_cli_index_lifecycle(spark, capsys, tmp_path):
     assert rc == 0 and res["reclustered"] is True
     assert res["n_vectors"] == all_n - 1
 
+    # round 12: recover — idempotent no-op when nothing is pending
+    # (the crash-window roll-forwards are pinned in test_api/test_rowsonly)
+    rc, res = _run(capsys, ["index-recover", "--path", idx])
+    assert rc == 0 and res["recovered"] is False
+    assert res["n_vectors"] == all_n - 1
+
 
 def test_cli_index_errors(spark, capsys, tmp_path):
     rc, res = _run(capsys, [
@@ -491,6 +497,8 @@ def test_cli_index_errors(spark, capsys, tmp_path):
     ])
     assert rc == 2 and "no IVF index" in res["error"]
     rc, res = _run(capsys, ["index-status", "--path", str(tmp_path / "nope")])
+    assert rc == 2 and "no IVF index" in res["error"]
+    rc, res = _run(capsys, ["index-recover", "--path", str(tmp_path / "nope")])
     assert rc == 2 and "no IVF index" in res["error"]
 
 

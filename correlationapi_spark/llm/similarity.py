@@ -1122,10 +1122,13 @@ def ivf_recluster(
     imbalance can stay high or rise — KMeans correctly gives a dense
     cluster its own large cell, and max/avg then measures the data,
     not quantizer drift. The quality recluster actually buys is
-    centroid PLACEMENT: probe recall at fixed n_probe (measured
-    0.86 → 0.97 on a drifted-append fixture, pinned in
-    tests/test_rowsonly.py); returned imbalance_before/after let the
-    caller see both."""
+    centroid PLACEMENT: probe recall at fixed n_probe improves IN
+    DISTRIBUTION (drifted-append fixture: 0.862 before, deterministic;
+    after ∈ 0.83–0.95 over repeated retrains, mean ≈ +0.05 — the
+    parallel KMeans merges partial sums in task-completion order, so
+    one retrain is one draw from the optimum distribution; pinned
+    wobble-honest in tests/test_rowsonly.py); returned
+    imbalance_before/after let the caller see both."""
     import json
     import os
 

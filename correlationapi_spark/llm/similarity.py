@@ -293,9 +293,18 @@ def ivf_write(assigned: DataFrame, cents: DataFrame, path: str) -> None:
         # a crash mid-rebuild must leave an UNmarked directory (the
         # honest "incomplete" state), never a marker vouching for a
         # stale Bloom, and never old tombstones silently masking
-        # re-indexed ids from probes
+        # re-indexed ids from probes. A pending recluster publish dies
+        # here too (review r12): the rebuild supersedes it — its data
+        # source is the caller's frame, not the corpus — and leaving
+        # _recluster.json behind would let the NEXT mutation's
+        # recover-first hook rename the stale pre-rebuild stage over
+        # the fresh rebuild (silent loss of every rebuilt row).
         fs, jvm = _hadoop_fs(spark, path)
-        for sub in (_IVF_MARKER, "idstate", "tombstones"):
+        for sub in (
+            _IVF_MARKER, "idstate", "tombstones",
+            _RECLUSTER_MANIFEST, _RECLUSTER_STAGE,
+            ".trash-corpus", ".trash-centroids",
+        ):
             fs.delete(
                 jvm.org.apache.hadoop.fs.Path(os.path.join(path, sub)),
                 True,
@@ -1077,11 +1086,22 @@ def ivf_recover(spark: SparkSession, path: str) -> bool:
     import os
 
     fs, jvm = _hadoop_fs(spark, path)
-    if not fs.exists(
-        jvm.org.apache.hadoop.fs.Path(os.path.join(path, _RECLUSTER_MANIFEST))
-    ):
+    manifest = jvm.org.apache.hadoop.fs.Path(
+        os.path.join(path, _RECLUSTER_MANIFEST)
+    )
+    # pre-lock fast path: a healthy (or bogus) path returns without
+    # taking the lock, so recover never manufactures lock/state dirs
+    if not fs.exists(manifest):
         return False
     with _ivf_mutation_lock(spark, path):
+        # re-check INSIDE the lock (review r12): a concurrent
+        # mutation's recover-first hook may have finished the publish
+        # between the probe above and lock acquisition — publishing
+        # unconditionally here would fs.open() a deleted manifest and
+        # die with a raw FileNotFoundException instead of the
+        # idempotent False
+        if not fs.exists(manifest):
+            return False
         _recluster_publish(spark, path)
     return True
 
@@ -1106,7 +1126,7 @@ def ivf_recluster(
 
     Crash safety: the new layout is trained FROM the live view and
     staged to a sibling directory first (the index stays fully
-    readable and probe-consistent throughout — training and staging
+    readable and probe-consistent through training and staging — both
     only read), then published by the SCD2 manifest discipline:
     `_recluster.json` lands only after the stage write completes, the
     swap is per-subdirectory FileSystem renames with the marker and
@@ -1117,6 +1137,17 @@ def ivf_recluster(
     does not survive the crash. Tombstoned rows are dropped by
     construction (the stage is built from ivf_live), so recluster
     implies compact. Runs under the single-writer mutation lock.
+
+    Honest reader-consistency limit (review r12): the lock serializes
+    WRITERS only — a lock-free reader racing the publish itself can,
+    inside the two-rename window, see corpus/ absent (a transient
+    "no IVF index") or the new corpus paired with the old centroid
+    table (mis-ranked cells). The window is a handful of metadata
+    renames — milliseconds on local/HDFS — and a crash inside it
+    leaves the de-certified (marker-less) state every mutation heals;
+    closing it entirely needs a versioned-layout pointer swap (a table
+    format's commit log), the same honest limit the SCD2 store
+    documents for raw parquet.
 
     Honest gauge note: on genuinely skewed DATA the post-recluster
     imbalance can stay high or rise — KMeans correctly gives a dense

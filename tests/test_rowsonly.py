@@ -3079,3 +3079,70 @@ def test_ivf_mutations_heal_mid_swap_crash(spark, tmp_path):
     assert ivf_delete(spark, path, [10000]) == 1
     assert ivf_is_index(spark, path)
     assert ivf_live(spark, path)[0].count() == n - 1
+
+
+def test_ivf_rebuild_supersedes_pending_recluster(spark, tmp_path):
+    """review r12 (second pass): ivf_write de-certifies a pending
+    recluster publish too. With _recluster.json left behind by a crash
+    after the manifest landed, a rebuild over the same (still
+    certified) path used to leave the stale pre-rebuild stage in
+    place — and the NEXT mutation's recover-first hook renamed it over
+    the fresh rebuild, silently dropping every rebuilt row from
+    probes."""
+    import numpy as np
+
+    from correlationapi_spark.llm.similarity import (
+        _RECLUSTER_MANIFEST,
+        ivf_compact,
+        ivf_index,
+        ivf_live,
+        ivf_recluster,
+        ivf_recover,
+        ivf_write,
+    )
+
+    class Boom(Exception):
+        pass
+
+    def crash_at(stage):
+        def hook(s):
+            if s == stage:
+                raise Boom(str(s))
+
+        return hook
+
+    path = _synthetic_index(spark, tmp_path, n_base=60, n_delta=150, n_cells=4)
+    import os
+
+    with pytest.raises(Boom):
+        ivf_recluster(spark, path, threshold=0.0, _crash=crash_at("manifest"))
+    assert os.path.exists(os.path.join(path, _RECLUSTER_MANIFEST))
+
+    # rebuild over the still-certified path with EXTRA vectors — the
+    # rebuild's data source is external, so it supersedes the publish
+    rng = np.random.RandomState(23)
+    extra = spark.createDataFrame(
+        [
+            (40000 + i, [float(x) for x in v])
+            for i, v in enumerate(rng.normal(size=(50, 8)))
+        ],
+        "vec_id long, v array<double>",
+    )
+    # eager pin: the union reads the very corpus files ivf_write is
+    # about to overwrite — the read-overwrite hazard ivf_recluster's
+    # docstring stages around; a lazy plan here dies FILE_NOT_EXIST
+    union = (
+        ivf_live(spark, path)[0].select("vec_id", "v")
+        .unionByName(extra).localCheckpoint(eager=True)
+    )
+    want_ids = {r.vec_id for r in union.select("vec_id").collect()}
+    a, c = ivf_index(union, n_cells=4)
+    ivf_write(a, c, path)
+
+    assert not os.path.exists(os.path.join(path, _RECLUSTER_MANIFEST))
+    assert ivf_recover(spark, path) is False  # nothing pending anymore
+    # a mutation's recover-first hook must find nothing to roll over
+    # the rebuild: the rebuilt id set (extras included) survives intact
+    ivf_compact(spark, path)
+    got = {r.vec_id for r in ivf_live(spark, path)[0].select("vec_id").collect()}
+    assert got == want_ids

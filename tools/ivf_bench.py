@@ -122,20 +122,26 @@ def main() -> None:
     ).persist()
     probes.count()
 
+    def recall_vs_truth(rows) -> float:
+        """recall@K of collected ivf_probe rows against the exact
+        ground truth — shared by the §2 sweep and the §6 recluster
+        before/after so the two numbers quoted side by side in
+        SCALING.md can never diverge in tally logic."""
+        got: dict[int, set[int]] = {}
+        for r in rows:
+            got.setdefault(r.probe_id, set()).add(r.neighbor_id)
+        hits = sum(len(got.get(p, set()) & t) for p, t in truth.items())
+        return round(hits / sum(len(t) for t in truth.values()), 4)
+
     sweep = []
     for n_probe in PROBE_SWEEP:
         t0 = time.time()
         rows = ivf_probe(assigned, cents, probes, K, n_probe=n_probe).collect()
         dt = time.time() - t0
-        got: dict[int, set[int]] = {}
-        for r in rows:
-            got.setdefault(r.probe_id, set()).add(r.neighbor_id)
-        hits = sum(len(got.get(p, set()) & t) for p, t in truth.items())
-        total = sum(len(t) for t in truth.values())
         sweep.append(
             {
                 "n_probe": n_probe,
-                "recall_at_10": round(hits / total, 4),
+                "recall_at_10": recall_vs_truth(rows),
                 "wall_sec": round(dt, 2),
             }
         )
@@ -256,12 +262,9 @@ def main() -> None:
             F.col("v").alias("pv"),
             F.col("na").alias("pna"),
         )
-        rows = ivf_probe(corpus_l, cents_l, pr, K, n_probe=n_probe).collect()
-        got: dict[int, set[int]] = {}
-        for r in rows:
-            got.setdefault(r.probe_id, set()).add(r.neighbor_id)
-        hits = sum(len(got.get(p, set()) & t) for p, t in truth.items())
-        return round(hits / sum(len(t) for t in truth.values()), 4)
+        return recall_vs_truth(
+            ivf_probe(corpus_l, cents_l, pr, K, n_probe=n_probe).collect()
+        )
 
     recall_pre = persisted_recall(base_path, n_probe=5)
     t0 = time.time()

@@ -139,6 +139,21 @@ def topk_neighbors_exact_probes(
     )
 
 
+def _one_slice_df(spark: SparkSession, data: list, schema) -> DataFrame:
+    """Driver-local rows as a SINGLE-slice DataFrame. Plain
+    createDataFrame parallelizes even a 1-row sidecar over
+    defaultParallelism python partitions, and a later coalesce(1) then
+    pays one SEQUENTIAL python-worker round-trip per parent partition
+    inside a single task — measured ~5 s for the 1-row idstate write on
+    local[32], the biggest single cost in the round-12 append profile.
+    One slice at source = one python partition, one output file, no
+    coalesce, no tax. (Only for driver-bounded sidecar rows: centroids,
+    Bloom state, manifests — never corpus-scale data.)"""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(data, 1), schema
+    )
+
+
 def ivf_index(
     corpus: DataFrame,
     n_cells: int = 16,
@@ -198,7 +213,8 @@ def ivf_index(
         "cell",
         dot(F.col("v"), F.col("v")).alias("_vn2"),
     ).localCheckpoint(eager=False)
-    cents = corpus.sparkSession.createDataFrame(
+    cents = _one_slice_df(
+        corpus.sparkSession,
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cell int, cv array<double>",
     )
@@ -225,16 +241,35 @@ def ivf_probe(
     dot/sqrt(pn2·vn2) float sequence."""
     if "_pn2" not in probes.columns:
         probes = probes.withColumn("_pn2", dot(F.col("pv"), F.col("pv")))
-    # rank cells per probe by ||p − c||² = |c|² − 2·p·c (+ constant |p|²)
-    pc = probes.crossJoin(F.broadcast(cents)).withColumn(
-        "d2",
-        dot(F.col("cv"), F.col("cv")) - 2 * dot(F.col("pna"), F.col("cv")),
+    # rank cells per probe by ||p − c||² = |c|² − 2·p·c (+ constant |p|²).
+    # Round 12: per-probe array_sort + slice over the broadcast centroid
+    # ARRAY, not a k-way row explosion ranked by a probe_id window (the
+    # old shape shuffled k copies of every probe's vectors). Struct sort
+    # compares (d2, cell) field-by-field — exactly the window's order —
+    # and the d2 expression is unchanged, so the probed cell set is
+    # identical; a million-probe rank-cells is now one narrow map stage.
+    ranked = F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("_cs"),
+                lambda c: F.struct(
+                    (
+                        dot(c["cv"], c["cv"])
+                        - 2 * dot(F.col("pna"), c["cv"])
+                    ).alias("d2"),
+                    c["cell"].alias("cell"),
+                ),
+            )
+        ),
+        1,
+        n_probe,
     )
-    wc = Window.partitionBy("probe_id").orderBy("d2", "cell")
     probe_cells = (
-        pc.withColumn("cr", F.row_number().over(wc))
-        .filter(F.col("cr") <= n_probe)
-        .select("probe_id", "pv", "_pn2", "cell")
+        probes.crossJoin(F.broadcast(_cells_array(cents)))
+        .select(
+            "probe_id", "pv", "_pn2", F.explode(ranked).alias("_pc")
+        )
+        .select("probe_id", "pv", "_pn2", F.col("_pc.cell").alias("cell"))
     )
     scored = (
         probe_cells.join(
@@ -524,12 +559,11 @@ def _idstate_write(
 ) -> None:
     import os
 
-    spark.createDataFrame(
+    _one_slice_df(
+        spark,
         [(m, _BLOOM_K, n, bytearray(bits))],
         "m long, k int, n long, bits binary",
-    ).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(path, "idstate")
-    )
+    ).write.mode("overwrite").parquet(os.path.join(path, "idstate"))
 
 
 def _idstate_rebuild(spark: SparkSession, path: str) -> None:
@@ -591,6 +625,21 @@ def ivf_live(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
     return corpus, cents
 
 
+def _cells_array(cents: DataFrame) -> DataFrame:
+    """The k-row centroid table folded into ONE row carrying a
+    cell-ascending array<struct<cell,cv>> — the broadcastable state the
+    shuffle-free argmin/rank-cells expressions below iterate per row.
+    array_sort on the struct orders by its first field (cell), so the
+    fold is deterministic regardless of collect_list's task order; size
+    is k·d floats, the same broadcast ceiling the old per-row
+    nested-loop join already assumed."""
+    return cents.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cell"), F.col("cv")))
+        ).alias("_cs")
+    )
+
+
 def ivf_assign(cents: DataFrame, vectors: DataFrame) -> DataFrame:
     """Fixed-centroid cell assignment: stamp every (vec_id, v) row with
     its nearest persisted centroid, returning the exact column layout
@@ -598,27 +647,40 @@ def ivf_assign(cents: DataFrame, vectors: DataFrame) -> DataFrame:
     Ranking is ‖p − c‖² order via |c|² − 2·p·c on the unit sphere with
     the cell id as tie-break — the same primitive ivf_probe ranks cells
     with, whose algebra is oracle-checked by q_sim_assign. Zero-norm /
-    NaN vectors drop under exactly ivf_index's guard. Broadcast-k
-    nested loop: no shuffle of the vectors, embarrassingly parallel."""
+    NaN vectors drop under exactly ivf_index's guard.
+
+    Round 12: the argmin is a per-row ``array_min`` over the broadcast
+    centroid ARRAY (one 1-row BroadcastNestedLoopJoin attaches it), not
+    a k-way row explosion ranked by a vec_id window — the old shape
+    shuffled k copies of every vector's arrays to honor a "no shuffle"
+    docstring. array_min on struct(d2, cell) compares field-by-field,
+    which IS the (d2 asc, cell asc) window order, and the d2 expression
+    is unchanged, so every row keeps its exact cell. A billion-row
+    assignment is now a single narrow map stage. Each row's argmin is a
+    pure function of its vector, so duplicate vec_ids each keep their
+    row (the nearest_centroid_assign _rid lesson); ivf_append refuses
+    intra-delta duplicate ids explicitly."""
     e = vectors.withColumn(
         "_n", F.sqrt(dot(F.col("v"), F.col("v")))
     ).filter((F.col("_n") > 0) & ~F.isnan(F.col("_n")))
     env = e.withColumn("na", F.transform("v", lambda x: x / F.col("_n")))
-    pc = env.crossJoin(F.broadcast(cents)).withColumn(
-        "d2",
-        dot(F.col("cv"), F.col("cv")) - 2 * dot(F.col("na"), F.col("cv")),
-    )
-    w = Window.partitionBy("vec_id").orderBy("d2", "cell")
-    return (
-        pc.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .select(
-            "vec_id",
-            "v",
-            "na",
-            dot(F.col("v"), F.col("v")).alias("_vn2"),
-            "cell",
+    best = F.array_min(
+        F.transform(
+            F.col("_cs"),
+            lambda c: F.struct(
+                (
+                    dot(c["cv"], c["cv"]) - 2 * dot(F.col("na"), c["cv"])
+                ).alias("d2"),
+                c["cell"].alias("cell"),
+            ),
         )
+    )
+    return env.crossJoin(F.broadcast(_cells_array(cents))).select(
+        "vec_id",
+        "v",
+        "na",
+        dot(F.col("v"), F.col("v")).alias("_vn2"),
+        best["cell"].alias("cell"),
     )
 
 
@@ -682,6 +744,29 @@ def ivf_append(spark: SparkSession, path: str, new_vectors: DataFrame) -> None:
         # possible re-admit rewrite, AND the write — one broadcast-k
         # pass total
         assigned = ivf_assign(cents, new_vectors).localCheckpoint(eager=True)
+        # intra-delta duplicate ids are refused like live clashes
+        # (round 12): ivf_assign now keeps every row — the old window
+        # argmin silently collapsed same-id rows, which only masked the
+        # caller's bug — and letting both land would duplicate the
+        # vector exactly as the append-only contract forbids. One
+        # O(delta) aggregate also yields n_delta for the Bloom sizing
+        # below (replacing the separate count).
+        n_delta, n_distinct = assigned.agg(
+            F.count("*"), F.count_distinct("vec_id")
+        ).first()
+        if n_distinct != n_delta:
+            dup_rows = (
+                assigned.groupBy("vec_id")
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(6)
+                .collect()
+            )
+            ids = sorted(r.vec_id for r in dup_rows)
+            raise ValueError(
+                "ivf_append delta carries duplicate vec_ids: "
+                f"{ids[:5]}" + ("…" if len(ids) > 5 else "")
+            )
         delta_ids = assigned.select("vec_id")
         state = _idstate_read(spark, path)
         if state is None:
@@ -742,8 +827,7 @@ def ivf_append(spark: SparkSession, path: str, new_vectors: DataFrame) -> None:
         # the old corpus-first order let a crashed-then-retried append
         # slip a stale zero-suspect Bloom and duplicate every id
         # silently.
-        n_delta = assigned.count()
-        m, n = int(state.m), int(state.n) + n_delta
+        m, n = int(state.m), int(state.n) + int(n_delta)
         if n * 16 > m:
             # past the filter's 16-bits/id design capacity: rebuild
             # right-sized over corpus ∪ delta (the delta is not on
@@ -872,14 +956,14 @@ def _ivf_purge(spark: SparkSession, path: str, ids: DataFrame) -> None:
                 True,
             )
         if not _corpus_has_cells(spark, corpus_path):
-            # empty-remainder guard: a non-partitioned coalesce(1)
+            # empty-remainder guard: a non-partitioned single-slice
             # empty write produces one schema-bearing parquet file (an
             # empty partitionBy write produces NO files at all — tested
             # on this Spark); ivf_append drops the sentinel before its
             # partitioned write lands
-            spark.createDataFrame([], corpus.schema).coalesce(
-                1
-            ).write.mode("append").parquet(corpus_path)
+            _one_slice_df(spark, [], corpus.schema).write.mode(
+                "append"
+            ).parquet(corpus_path)
     tomb = _tombstones(spark, path)
     if tomb is not None:
         remaining = tomb.join(ids, "vec_id", "left_anti").localCheckpoint(
@@ -924,8 +1008,9 @@ def ivf_delete(spark: SparkSession, path: str, ids: list[int]) -> int:
         live_ids = ivf_live(spark, path)[0].select("vec_id")
         # driver-side dedupe (review r11): [5, 5] must report
         # deleted=1, matching the single live row it masks
-        wanted = spark.createDataFrame(
-            [(i,) for i in sorted({int(i) for i in ids})], "vec_id long"
+        wanted = _one_slice_df(
+            spark, [(i,) for i in sorted({int(i) for i in ids})],
+            "vec_id long",
         )
         live_wanted = wanted.join(
             live_ids, "vec_id", "left_semi"
@@ -2098,7 +2183,8 @@ def pca_spectrum(corpus: DataFrame, k: int = 8) -> DataFrame:
         )
         for i in range(k)
     ]
-    return spark.createDataFrame(
+    return _one_slice_df(
+        spark,
         out,
         "component int, eigenvalue double, explained_var double, "
         "cum_explained_var double",
@@ -2588,22 +2674,33 @@ def ivfpq_topk(
         F.col("vec_id").alias("probe_id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("pv"),
     )
-    pc = probes.crossJoin(F.broadcast(cents)).select(
-        "probe_id",
-        "cell",
-        F.aggregate(
-            F.zip_with(
-                F.col("pv"), F.col("cv"), lambda x, y: (x - y) * (x - y)
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias("d2"),
+    # same shuffle-free rank-cells shape as ivf_probe (round 12): the
+    # squared-L2 expression is unchanged, struct sort = (d2, cell) order
+    ranked = F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("_cs"),
+                lambda c: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("pv"),
+                            c["cv"],
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("d2"),
+                    c["cell"].alias("cell"),
+                ),
+            )
+        ),
+        1,
+        n_probe,
     )
-    wc = Window.partitionBy("probe_id").orderBy("d2", "cell")
     probe_cells = (
-        pc.select("*", F.row_number().over(wc).alias("cr"))
-        .filter(F.col("cr") <= n_probe)
-        .select("probe_id", "cell")
+        probes.crossJoin(F.broadcast(_cells_array(cents)))
+        .select("probe_id", F.explode(ranked).alias("_pc"))
+        .select("probe_id", F.col("_pc.cell").alias("cell"))
     )
     candidates = probe_cells.join(
         assigned.select("vec_id", "cell"), "cell"

@@ -552,10 +552,17 @@ def psi_repin(
     with _ivf_mutation_lock(spark, path, lockfile="_repin.lock"):
         cur = psi_pinned(spark, path)
         version = (cur["version"] + 1) if cur else 1
-        spark.createDataFrame(
+        # single slice at source, no coalesce(1): folding the default
+        # 32 python slices into one task pays a sequential python-worker
+        # round-trip per parent partition (~5 s measured for a sidecar
+        # write on local[32] — see similarity._one_slice_df)
+        from ..llm.similarity import _one_slice_df
+
+        _one_slice_df(
+            spark,
             [(version, start, end, b, c) for b, c in sorted(ref.items())],
             "version long, win_start string, win_end string, b int, c long",
-        ).coalesce(1).write.mode("append").parquet(path)
+        ).write.mode("append").parquet(path)
     return {
         "version": version,
         "win_start": start,

@@ -2995,6 +2995,42 @@ def test_ivf_append_resize_after_compact_to_zero(spark, tmp_path):
     assert top.count() == 3  # the re-populated index answers probes
 
 
+def test_ivf_append_refuses_intra_delta_duplicate_ids(spark, tmp_path):
+    """round 12: ivf_assign keeps every row (the old window argmin
+    silently collapsed same-id rows — masking the caller's bug), so
+    ivf_append must refuse a delta that carries the same NEW id twice;
+    letting both land would duplicate the vector exactly as the
+    append-only contract forbids. The refusal runs before any write,
+    so the index is untouched."""
+    from correlationapi_spark.llm.similarity import (
+        ivf_append,
+        ivf_is_index,
+        ivf_live,
+    )
+
+    path = _synthetic_index(spark, tmp_path, n_base=12, n_delta=8, n_cells=2)
+    n_before = ivf_live(spark, path)[0].count()
+    dup_delta = spark.createDataFrame(
+        [
+            (40000, [1.0] * 8),
+            (40000, [2.0] * 8),  # same new id, different vector
+            (40001, [3.0] * 8),
+        ],
+        "vec_id long, v array<double>",
+    )
+    with pytest.raises(ValueError, match="duplicate vec_ids"):
+        ivf_append(spark, path, dup_delta)
+    assert ivf_is_index(spark, path)  # still certified
+    assert ivf_live(spark, path)[0].count() == n_before  # nothing landed
+    # a clean retry with the duplicate resolved succeeds
+    ok_delta = spark.createDataFrame(
+        [(40000, [1.0] * 8), (40001, [3.0] * 8)],
+        "vec_id long, v array<double>",
+    )
+    ivf_append(spark, path, ok_delta)
+    assert ivf_live(spark, path)[0].count() == n_before + 2
+
+
 def test_ivf_recluster_crash_never_resurrects_deleted_ids(spark, tmp_path):
     """review r12: the publish used to drop the tombstone sidecar in
     the de-certify step, BEFORE the corpus swap — so a crash there (or

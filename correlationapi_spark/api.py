@@ -2760,15 +2760,23 @@ class CorrelationAPI:
                 raise ValueError("query vector has zero norm (no direction)")
             # synthetic NEGATIVE probe ids: disjoint from any corpus id,
             # so the self-match filter stays a no-op
+            # single-slice probe frames (round 12): a handful of query
+            # vectors over 32 python slices pays per-partition worker
+            # round-trips on every downstream action — see
+            # similarity._one_slice_df
+            from .llm.similarity import _one_slice_df
+
             if method == "exact":
-                probes = self.spark.createDataFrame(
+                probes = _one_slice_df(
+                    self.spark,
                     [(-(i + 1), v) for i, v in enumerate(vecs)],
                     "probe_id long, pv array<double>",
                 )
                 res = topk_neighbors_exact_probes(corpus, probes, k)
             else:
                 assigned, cents = ivf_index(corpus, n_cells=n_cells)
-                probes = self.spark.createDataFrame(
+                probes = _one_slice_df(
+                    self.spark,
                     [
                         (-(i + 1), v, [x / n for x in v])
                         for i, (v, n) in enumerate(zip(vecs, norms))

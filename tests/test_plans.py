@@ -843,3 +843,63 @@ def test_scd2_merge_touches_few_partitions(spark):
     # at smoke scale the staged cohort is ONE user -> exactly one bucket
     assert stats["touched"] == 1, stats
     assert out.count() > 0
+
+
+def test_ivf_assign_and_rank_cells_are_shuffle_free(spark):
+    """Round 12: ivf_assign's argmin and ivf_probe's rank-cells run as
+    per-row array expressions over the broadcast centroid array — no
+    k-way row explosion shuffled through a per-id window. The only
+    exchanges allowed in the assignment plan are the broadcast of the
+    one-row centroid-array fold and the k-row SinglePartition agg that
+    builds it (bounded by k·d, never by data). A regression back to
+    the exploding window shape re-introduces k copies of every
+    vector's arrays crossing an exchange."""
+    import pyspark.sql.functions as F
+
+    from correlationapi_spark.llm.similarity import (
+        corpus_view,
+        ivf_assign,
+        ivf_index,
+        ivf_probe,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    corpus = corpus_view(emb, "vec_id", "embedding")
+    assigned, cents = ivf_index(corpus, n_cells=4)
+
+    import re
+
+    def n_window_ops(plan: str) -> int:
+        # operator detail headers: "(24) Window" — the tree line and
+        # WindowGroupLimit both contain the substring, so count headers
+        return len(re.findall(r"^\(\d+\) Window$", plan, re.M))
+
+    aplan = ivf_assign(cents, corpus)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert n_window_ops(aplan) == 0, aplan[:2000]
+    assert "Exchange hashpartitioning" not in aplan, aplan[:2000]
+    assert "Exchange rangepartitioning" not in aplan, aplan[:2000]
+    # the k-row fold's partial/final agg pair is the only SinglePartition
+    assert aplan.count("Exchange SinglePartition") <= 1, aplan[:2000]
+
+    # probe side: the ONLY data-grain exchanges left are the candidate
+    # equi-join on cell and the final top-k window — cell ranking itself
+    # adds none, so exactly one Window (the top-k) survives
+    probes = assigned.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("pv"),
+        F.col("na").alias("pna"),
+    )
+    pplan = (
+        ivf_probe(assigned, cents, probes, k=5, n_probe=2)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert n_window_ops(pplan) == 1, pplan[:2000]

@@ -1398,6 +1398,133 @@ def test_scd2_merge_crash_between_stages_recovers(spark, tmp_path):
     assert scd2_recover(p3) is False
 
 
+def test_scd2_merge_into_existing_store(spark, tmp_path):
+    """round 12: scd2_merge_into merges a staged batch into an
+    EXISTING store without rebuilding it — the incremental path a
+    daily pipeline pays (scd2_merge, the declared exhibit, rebuilds
+    its base store every call). Pins: equality with the full-history
+    rebuild including a user the store has never seen, sparse batches
+    touch few buckets, the guards refuse a missing store / a
+    mismatched bucketing modulus / NULL keys, and a crash in the
+    staged window leaves the store byte-untouched with a plain re-run
+    completing the merge."""
+    import os
+
+    from correlationapi_spark.operators.analytics import (
+        scd2_intervals,
+        scd2_merge,
+        scd2_merge_into,
+    )
+
+    ev = load_tables(spark, SF_SMOKE)["events"]
+    cut = F.lit("2024-01-25 00:00:00").cast("timestamp")
+    base_all = ev.filter(F.col("ts") < cut)
+
+    def obs(df):
+        return df.select(
+            "user_id", F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"), "event_id",
+        )
+
+    p = str(tmp_path / "store")
+    scd2_merge(
+        spark, base_all,
+        (F.col("ts") >= F.lit("2024-01-20 00:00:00").cast("timestamp"))
+        & (F.col("user_id") % 5 == 0),
+        _store_path=p,
+    )
+
+    # staged batch: strictly-newer rows of a sparse existing cohort,
+    # plus a user the store has never seen
+    delta = obs(
+        ev.filter((F.col("ts") >= cut) & (F.col("user_id") % 19 == 0))
+    ).unionByName(
+        spark.createDataFrame(
+            [
+                (9_999_999, "planted_a", "2024-02-01 00:00:00", 900001),
+                (9_999_999, "planted_b", "2024-02-02 00:00:00", 900002),
+            ],
+            "user_id long, state string, valid_from string, event_id long",
+        ).select(
+            "user_id", "state",
+            F.col("valid_from").cast("timestamp").alias("valid_from"),
+            "event_id",
+        )
+    ).select(
+        "user_id",
+        F.col("state").alias("event_type"),
+        F.col("valid_from").alias("ts"),
+        "event_id",
+    )
+
+    merged, stats = scd2_merge_into(spark, p, delta)
+    want = scd2_intervals(obs(base_all).unionByName(obs(delta))).drop(
+        "event_id"
+    )
+    cols = want.columns
+    assert sorted(map(tuple, merged.select(*cols).collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert 1 <= stats["touched"] < stats["total"]  # sparse batch pruned
+    cur = {
+        r.state
+        for r in merged.filter(
+            (F.col("user_id") == 9_999_999) & F.col("is_current")
+        ).collect()
+    }
+    assert cur == {"planted_b"}  # the new user folded into the store
+
+    # guards
+    with pytest.raises(ValueError, match="no SCD2 store"):
+        scd2_merge_into(spark, str(tmp_path / "nowhere"), delta)
+    with pytest.raises(ValueError, match="modulus"):
+        scd2_merge_into(spark, p, delta, n_buckets=2)
+    null_delta = spark.createDataFrame(
+        [(None, "x", "2024-02-03 00:00:00", 900003)],
+        "user_id long, event_type string, ts string, event_id long",
+    ).select(
+        "user_id", "event_type",
+        F.col("ts").cast("timestamp").alias("ts"), "event_id",
+    )
+    with pytest.raises(ValueError, match="non-NULL"):
+        scd2_merge_into(spark, p, null_delta)
+
+    # crash in the staged window: store byte-untouched, re-run merges
+    class Boom(RuntimeError):
+        pass
+
+    def crash_staged(stage):
+        if stage == "staged":
+            raise Boom(stage)
+
+    before = sorted(map(tuple, merged.select(*cols).collect()))
+    delta2 = spark.createDataFrame(
+        [(9_999_999, "planted_c", "2024-02-03 00:00:00", 900004)],
+        "user_id long, event_type string, ts string, event_id long",
+    ).select(
+        "user_id", "event_type",
+        F.col("ts").cast("timestamp").alias("ts"), "event_id",
+    )
+    with pytest.raises(Boom):
+        scd2_merge_into(spark, p, delta2, _crash=crash_staged)
+    assert not os.path.exists(os.path.join(p, "_commit.json"))
+    after_crash = sorted(
+        map(
+            tuple,
+            spark.read.parquet(p).select(*cols).collect(),
+        )
+    )
+    assert after_crash == before
+    merged2, _ = scd2_merge_into(spark, p, delta2)
+    cur2 = {
+        r.state
+        for r in merged2.filter(
+            (F.col("user_id") == 9_999_999) & F.col("is_current")
+        ).collect()
+    }
+    assert cur2 == {"planted_c"}
+
+
 def test_ngram_dfcap_recall_contract_on_skewed_corpus(spark):
     """r11 verdict item 3: the `max_shingle_df="auto"` guard's recall
     contract on a corpus with a hot boilerplate shingle. Three pinned

@@ -187,9 +187,16 @@ def ivf_index(
     # NB the isnan guard (review r06 second pass): NaN > 0 is TRUE in
     # Spark's ordering, so `_n > 0` alone let a NaN-element vector
     # through — normalizing it yields the all-NaN array this comment
-    # block warns about, poisoning KMeans globally
+    # block warns about, poisoning KMeans globally.
+    # NB2 the finiteness guard (round 12): an ±inf ELEMENT slips both
+    # checks (the norm is +inf: not NaN, > 0) and normalizing yields
+    # inf/inf = NaN at that element — the same global poisoning by
+    # another door. The numpy scale twin always checked
+    # math.isfinite(n2); the expression path now matches it.
     e = corpus.withColumn("_n", F.sqrt(dot(F.col("v"), F.col("v")))).filter(
-        (F.col("_n") > 0) & ~F.isnan(F.col("_n"))
+        (F.col("_n") > 0)
+        & ~F.isnan(F.col("_n"))
+        & (F.col("_n") < F.lit(float("inf")))
     )
     env = e.withColumn(
         "na", F.transform("v", lambda x: x / F.col("_n"))
@@ -662,7 +669,14 @@ def ivf_assign(cents: DataFrame, vectors: DataFrame) -> DataFrame:
     intra-delta duplicate ids explicitly."""
     e = vectors.withColumn(
         "_n", F.sqrt(dot(F.col("v"), F.col("v")))
-    ).filter((F.col("_n") > 0) & ~F.isnan(F.col("_n")))
+    ).filter(
+        # finite positive norm — the exact guard ivf_index applies
+        # (zero-norm: no direction; NaN-element: NaN norm; inf-element:
+        # inf norm whose normalization is NaN at that element)
+        (F.col("_n") > 0)
+        & ~F.isnan(F.col("_n"))
+        & (F.col("_n") < F.lit(float("inf")))
+    )
     env = e.withColumn("na", F.transform("v", lambda x: x / F.col("_n")))
     best = F.array_min(
         F.transform(

@@ -1159,6 +1159,54 @@ def test_ivf_index_survives_nan_element_vectors(spark):
         assert all(n["id"] != 99 for n in ns)
 
 
+def test_ivf_index_survives_inf_element_vectors(spark):
+    """Round 12: an ±inf ELEMENT slipped the r06 guard by another door
+    — the norm is +inf (not NaN, and > 0), and normalizing yields
+    inf/inf = NaN at that element, the same KMeans-global poisoning
+    the NaN guard exists for (the numpy scale twin always checked
+    isfinite; the expression path now matches it). The inf row must be
+    dropped at indexing AND at ivf_assign time, centroids must come
+    out finite, and the IVF answer over healthy rows must match the
+    exact engine's."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from correlationapi_spark.llm.similarity import (
+        corpus_view,
+        ivf_assign,
+        ivf_index,
+    )
+
+    own = CorrelationAPI(spark)
+    rows = [(i, [float(i % 7) + 1.0, float((i * 3) % 5)]) for i in range(40)]
+    rows.append((99, [float("inf"), 1.0]))
+    rows.append((98, [-float("inf"), 2.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    own.register_dataset("_infivf", df)
+    exact = own.similar("_infivf", "vec_id", "embedding", [0, 1], k=3)
+    ivf = own.similar(
+        "_infivf", "vec_id", "embedding", [0, 1],
+        k=3, method="ivf", n_cells=2, n_probe=2,
+    )
+    assert ivf["neighbors"] == exact["neighbors"]
+    for ns in exact["neighbors"].values():
+        assert all(n["id"] not in (98, 99) for n in ns)
+
+    corpus = corpus_view(df, "vec_id", "embedding")
+    assigned, cents = ivf_index(corpus, n_cells=2)
+    got_ids = {r.vec_id for r in assigned.select("vec_id").collect()}
+    assert 98 not in got_ids and 99 not in got_ids
+    for r in cents.collect():  # no poisoned centroid
+        assert all(math.isfinite(x) for x in r.cv)
+    # the fixed-centroid assign applies the same finite-norm guard
+    re_ids = {
+        r.vec_id
+        for r in ivf_assign(cents, corpus).select("vec_id").collect()
+    }
+    assert re_ids == got_ids
+
+
 def test_pack_duplicate_ids_deterministic(spark):
     """Review r06 second pass: the layout order is (doc_id, n_tok), so
     a table with repeated ids still yields a deterministic layout

@@ -2219,7 +2219,11 @@ def gram_moments(corpus: DataFrame, d: int) -> DataFrame:
             x = np.asarray(pdf["v"].tolist(), dtype=np.float64)
             if x.size == 0:
                 continue
-            ok = ~np.isnan(x).any(axis=1)
+            # isfinite, not just ~isnan (round 12 — the ivf_index inf
+            # lesson): one ±inf element would ride the Gram partial and
+            # poison the whole spectrum, the same global failure as a
+            # NaN row
+            ok = np.isfinite(x).all(axis=1)
             if not ok.any():
                 continue
             x = x[ok]

@@ -689,12 +689,22 @@ def ivf_assign(cents: DataFrame, vectors: DataFrame) -> DataFrame:
             ),
         )
     )
-    return env.crossJoin(F.broadcast(_cells_array(cents))).select(
-        "vec_id",
-        "v",
-        "na",
-        dot(F.col("v"), F.col("v")).alias("_vn2"),
-        best["cell"].alias("cell"),
+    return (
+        env.crossJoin(F.broadcast(_cells_array(cents)))
+        .select(
+            "vec_id",
+            "v",
+            "na",
+            dot(F.col("v"), F.col("v")).alias("_vn2"),
+            best["cell"].alias("cell"),
+        )
+        # empty centroid table ⇒ array_min over an empty array ⇒ NULL
+        # cell; the old nested-loop shape returned ZERO rows there, and
+        # a NULL cell would land in the Hive default partition outside
+        # every pruning path — keep the empty-in/empty-out contract.
+        # (ivf_probe needs no twin: exploding an empty ranked array
+        # already drops the probe row.)
+        .where(F.col("cell").isNotNull())
     )
 
 

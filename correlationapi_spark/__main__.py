@@ -32,6 +32,9 @@ Commands:
   index-recluster --path DIR [--threshold R] [--n-cells N]
             [--train-fraction F]   (re-train quantizer when max/avg > R)
   index-recover --path DIR   (roll an interrupted recluster publish forward)
+  scd2-merge-into --data PATH --user COL --event COL --time COL --order COL
+            --path DIR [--n-buckets N]   (incremental SCD2 store merge)
+  scd2-recover --path DIR    (roll an interrupted SCD2 commit forward)
   psi-repin --data PATH --time COL --value COL --path DIR --end TS
             [--start TS]      (pin a new versioned PSI drift reference)
   psi-status --path DIR       (latest pinned reference: version + bins)
@@ -453,6 +456,26 @@ def main(argv: list[str] | None = None) -> int:
     )
     irv.add_argument("--path", required=True)
 
+    s2r = sub.add_parser(
+        "scd2-recover",
+        help="roll an interrupted SCD2 store commit forward (idempotent; "
+        "recovered=false when nothing is pending)",
+    )
+    s2r.add_argument("--path", required=True)
+
+    s2m = sub.add_parser(
+        "scd2-merge-into",
+        help="merge a staged CDC batch into an EXISTING bucketed SCD2 "
+        "store (touches only the batch's buckets; journaled publish)",
+    )
+    add_data(s2m)
+    s2m.add_argument("--user", required=True)
+    s2m.add_argument("--event", required=True)
+    s2m.add_argument("--time", required=True)
+    s2m.add_argument("--order", required=True)
+    s2m.add_argument("--path", required=True)
+    s2m.add_argument("--n-buckets", type=int, default=32)
+
     irc = sub.add_parser(
         "index-recluster",
         help="re-train the coarse quantizer and rebuild the cell layout "
@@ -629,7 +652,7 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd in (
         "index-status", "index-probe", "index-delete", "index-compact",
-        "index-recluster", "index-recover", "psi-status",
+        "index-recluster", "index-recover", "psi-status", "scd2-recover",
     ):
         from .api import CorrelationAPI
 
@@ -648,6 +671,8 @@ def main(argv: list[str] | None = None) -> int:
                 res = api.index_compact(args.path)
             elif args.cmd == "index-recover":
                 res = api.index_recover(args.path)
+            elif args.cmd == "scd2-recover":
+                res = api.scd2_recover_store(args.path)
             elif args.cmd == "index-recluster":
                 res = api.index_recluster(
                     args.path, threshold=args.threshold,
@@ -777,6 +802,11 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "index-append":
             res = api.index_append("ds", args.id, args.vector, args.path,
                                    where=args.where)
+        elif args.cmd == "scd2-merge-into":
+            res = api.scd2_merge(
+                "ds", args.user, args.event, args.time, args.order,
+                args.path, n_buckets=args.n_buckets,
+            )
         elif args.cmd == "dedup":
             res = api.dedup("ds", args.id, args.text, method=args.method,
                             threshold=args.threshold, limit=args.limit)

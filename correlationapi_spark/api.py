@@ -3044,6 +3044,60 @@ class CorrelationAPI:
         except AnalysisException as e:
             raise self._no_index(path, e) from e
 
+    def scd2_merge(
+        self,
+        dataset: str,
+        user_col: str,
+        event_col: str,
+        time_col: str,
+        order_col: str,
+        path: str,
+        n_buckets: int = 32,
+    ) -> dict[str, Any]:
+        """Merge a staged CDC batch (a registered dataset of
+        observations) into an EXISTING bucketed SCD2 store — the
+        service face of operators.analytics.scd2_merge_into (round 12:
+        the incremental path; the library-level scd2_merge is the
+        self-contained exhibit that rebuilds its base store). Column
+        mapping mirrors the event-log commands: user/event/time/order →
+        business key / state / valid-from / lineage tie-break. Returns
+        the touched/total bucket stats plus the merged store's row
+        count."""
+        from .operators.analytics import scd2_merge_into
+
+        df = self._get(dataset)
+        for c in (user_col, event_col, time_col, order_col):
+            if c not in df.columns:
+                raise KeyError(f"column {c!r} not in dataset {dataset!r}")
+        delta = df.select(
+            F.col(user_col).alias("user_id"),
+            F.col(event_col).alias("event_type"),
+            F.col(time_col).alias("ts"),
+            F.col(order_col).alias("event_id"),
+        )
+        out, stats = scd2_merge_into(
+            self.spark, path, delta, n_buckets=n_buckets
+        )
+        return {
+            "path": path,
+            "touched": stats["touched"],
+            "total": stats["total"],
+            "rows": out.count(),
+        }
+
+    def scd2_recover_store(self, path: str) -> dict[str, Any]:
+        """Roll an interrupted SCD2 commit forward (the store twin of
+        index_recover — every merge heals a pending commit via its
+        recover-first call, but an operator watching a torn store had
+        no surface short of a Python shell). Idempotent: ``recovered:
+        False`` when there is nothing to finish."""
+        from .operators.analytics import scd2_recover
+
+        return {
+            "path": path,
+            "recovered": scd2_recover(path, spark=self.spark),
+        }
+
     def _docs_view(
         self, dataset: str, id_col: str, text_col: str
     ) -> tuple[DataFrame, DataFrame]:

@@ -536,3 +536,74 @@ def test_cli_psi_lifecycle(spark, capsys, tmp_path):
     assert len(res["windows"]) >= 28  # a month of day windows
     for payload in res["windows"].values():
         assert payload["psi"] is not None and payload["n"] > 0
+
+
+def test_cli_scd2_merge_into_and_recover(spark, capsys, tmp_path):
+    """round 12: the SCD2 store's operator surface — merge a staged
+    batch into an existing store and heal it from the CLI (the store
+    twin of index-append/index-recover)."""
+    import pyspark.sql.functions as F
+
+    from correlationapi_spark.operators.analytics import (
+        scd2_intervals,
+        scd2_merge,
+    )
+
+    from correlationapi_spark.io import load_tables
+
+    ev = load_tables(spark, SF_SMOKE)["events"]
+    cut = F.lit("2024-01-25 00:00:00").cast("timestamp")
+    store = str(tmp_path / "scd2_store")
+    scd2_merge(
+        spark, ev.filter(F.col("ts") < cut), F.lit(False),
+        _store_path=store,
+    )
+
+    delta_path = str(tmp_path / "delta.parquet")
+    ev.filter(
+        (F.col("ts") >= cut) & (F.col("user_id") % 19 == 0)
+    ).select("user_id", "event_type", "ts", "event_id").write.parquet(
+        delta_path
+    )
+
+    rc, res = _run(capsys, [
+        "scd2-merge-into", "--data", delta_path,
+        "--user", "user_id", "--event", "event_type",
+        "--time", "ts", "--order", "event_id", "--path", store,
+    ])
+    assert rc == 0
+    assert 1 <= res["touched"] < res["total"]
+
+    # the merged store equals the full-history fold
+    def obs(df):
+        return df.select(
+            "user_id", F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"), "event_id",
+        )
+
+    want = scd2_intervals(
+        obs(
+            ev.filter(
+                (F.col("ts") < cut)
+                | ((F.col("ts") >= cut) & (F.col("user_id") % 19 == 0))
+            )
+        )
+    ).drop("event_id")
+    got = spark.read.parquet(store).select(*want.columns)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert res["rows"] == want.count()
+
+    # recover on a healthy store is an idempotent no-op
+    rc, res = _run(capsys, ["scd2-recover", "--path", store])
+    assert rc == 0 and res["recovered"] is False
+
+    # guards surface as the CLI's structured error (rc 2)
+    rc, res = _run(capsys, [
+        "scd2-merge-into", "--data", delta_path,
+        "--user", "user_id", "--event", "event_type",
+        "--time", "ts", "--order", "event_id",
+        "--path", str(tmp_path / "nostore"),
+    ])
+    assert rc == 2 and "no SCD2 store" in res["error"]

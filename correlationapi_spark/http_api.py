@@ -75,6 +75,11 @@ container, and none is needed for a JSON-for-JSON contract:
          (staged + journaled rename publish; no-op below threshold)
   POST /index/recover {"path"}  → roll an interrupted recluster publish
          forward (idempotent; recovered=false when nothing is pending)
+  POST /scd2/merge {"dataset","user","event","time","order","path"
+       [,"n_buckets"]}  → merge a staged CDC batch into an EXISTING
+         bucketed SCD2 store (touches only the batch's buckets)
+  POST /scd2/recover {"path"}  → roll an interrupted SCD2 commit
+         forward (idempotent; recovered=false when nothing is pending)
   GET  /dedup?dataset=&id=&text=[&method=exact|keep_best|ngram|minhash][&threshold=]
        [&limit=]                  → duplicate listing + engine-side totals
   GET  /assign?dataset=&id=&vector=&centroids=0,1,2[&limit=]
@@ -145,7 +150,7 @@ _VARIABLES_RE = re.compile(r"^/datasets/([A-Za-z0-9_.-]+)/variables$")
 _MUTATING_PATHS = frozenset({
     "/index/build", "/index/append", "/index/delete",
     "/index/compact", "/index/recluster", "/index/recover",
-    "/psi/repin",
+    "/psi/repin", "/scd2/merge", "/scd2/recover",
 })
 
 
@@ -493,6 +498,19 @@ def _route(api: CorrelationAPI, method: str, path: str,
         if "path" not in body:
             raise ValueError('body must contain "path"')
         return 200, api.index_recover(body["path"])
+    if method == "POST" and path == "/scd2/merge":
+        for req in ("dataset", "user", "event", "time", "order", "path"):
+            if req not in body:
+                raise ValueError(f'body must contain "{req}"')
+        return 200, api.scd2_merge(
+            body["dataset"], body["user"], body["event"], body["time"],
+            body["order"], body["path"],
+            n_buckets=int(body.get("n_buckets", 32)),
+        )
+    if method == "POST" and path == "/scd2/recover":
+        if "path" not in body:
+            raise ValueError('body must contain "path"')
+        return 200, api.scd2_recover_store(body["path"])
     if method == "POST" and path == "/index/recluster":
         if "path" not in body:
             raise ValueError('body must contain "path"')

@@ -828,6 +828,51 @@ def test_psi_lifecycle_over_http(base_url, tmp_path):
     assert len(res["windows"]) >= 28
 
 
+def test_scd2_lifecycle_over_http(base_url, spark, tmp_path):
+    """round 12: the SCD2 store maintenance surface — incremental merge
+    into an existing store and the idempotent recover — over real
+    sockets; a missing store 400s with the contract error."""
+    import pyspark.sql.functions as F
+
+    from correlationapi_spark.io import load_tables
+    from correlationapi_spark.operators.analytics import scd2_merge
+
+    ev = load_tables(spark, SF_SMOKE)["events"]
+    cut = F.lit("2024-01-25 00:00:00").cast("timestamp")
+    store = str(tmp_path / "scd2_http")
+    scd2_merge(
+        spark, ev.filter(F.col("ts") < cut), F.lit(False),
+        _store_path=store,
+    )
+    delta_path = str(tmp_path / "delta.parquet")
+    ev.filter(
+        (F.col("ts") >= cut) & (F.col("user_id") % 19 == 0)
+    ).select("user_id", "event_type", "ts", "event_id").write.parquet(
+        delta_path
+    )
+    _post(f"{base_url}/datasets/scd2delta", {"path": delta_path})
+
+    status, res = _post(
+        f"{base_url}/scd2/merge",
+        {"dataset": "scd2delta", "user": "user_id", "event": "event_type",
+         "time": "ts", "order": "event_id", "path": store},
+    )
+    assert status == 200
+    assert 1 <= res["touched"] < res["total"] and res["rows"] > 0
+
+    status, res = _post(f"{base_url}/scd2/recover", {"path": store})
+    assert status == 200 and res["recovered"] is False
+
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post(
+            f"{base_url}/scd2/merge",
+            {"dataset": "scd2delta", "user": "user_id",
+             "event": "event_type", "time": "ts", "order": "event_id",
+             "path": str(tmp_path / "nostore")},
+        )
+    assert exc.value.code == 400
+
+
 # ---------------------------------------------------------------- auth guard
 
 
@@ -838,7 +883,8 @@ def test_mutation_classifier():
 
     for path in ("/index/build", "/index/append", "/index/delete",
                  "/index/compact", "/index/recluster", "/index/recover",
-                 "/psi/repin", "/datasets/lineitem"):
+                 "/psi/repin", "/scd2/merge", "/scd2/recover",
+                 "/datasets/lineitem"):
         assert _is_mutation("POST", path), path
     for method, path in (
         ("POST", "/matrix"), ("POST", "/mixed_matrix"),

@@ -212,9 +212,17 @@ def _durbin_levinson(rho: list) -> list:
     A None rho (degenerate lag: no pairs, or zero variance) poisons that
     lag and every later one — the recursion consumes all earlier lags,
     so a hole makes deeper coefficients undefined, and emitting a number
-    anyway would silently misstate the AR structure. Outputs round to
-    6 dp; the recursion itself carries unrounded values (the t_stat
-    rounding rule)."""
+    anyway would silently misstate the AR structure. The |phi_kk| = 1
+    boundary (a deterministic process: the prediction-error variance
+    den = prod(1 - phi_jj^2) hits zero) poisons every LATER lag the same
+    way — the boundary coefficient itself is still emitted. Both the
+    den and phi_kk checks are eps-tolerant, not exact-zero: on float
+    noise an exactly-singular step can evaluate den to ~1e-16 instead of
+    0, and dividing by it emits confidently wrong ~1e15 coefficients
+    (falsified by Hypothesis on rho = [1, -1/3, -1/3, -1/3, 0, 0, 0],
+    where phi_33 = -1 exactly). Outputs round to 6 dp; the recursion
+    itself carries unrounded values (the t_stat rounding rule)."""
+    eps = 1e-12
     m = len(rho) - 1
     out: list[float | None] = []
     phi: list[float] = []  # phi_{k-1, j}, unrounded
@@ -230,7 +238,7 @@ def _durbin_levinson(rho: list) -> list:
         else:
             num = rho[k] - sum(phi[j] * rho[k - 1 - j] for j in range(k - 1))
             den = 1.0 - sum(phi[j] * rho[j + 1] for j in range(k - 1))
-            if den == 0:
+            if abs(den) <= eps:
                 out.append(None)
                 dead = True
                 continue
@@ -239,6 +247,8 @@ def _durbin_levinson(rho: list) -> list:
                 phi[j] - phikk * phi[k - 2 - j] for j in range(k - 1)
             ] + [phikk]
         out.append(round(phikk, 6))
+        if abs(phikk) >= 1.0 - eps:
+            dead = True
     return out
 
 

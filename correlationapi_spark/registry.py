@@ -70,22 +70,17 @@ _MODULES = (
 # code/oracle/fixture changed THIS round after their latest verdict, so
 # they jump back to the front of the sweep regardless of verdict age.
 _TOUCHED: frozenset[str] = frozenset({
-    # round 12:
-    "q_sim_index_append",  # round-12 advice fixes on its engine path
-                           # (live-only tombstones, direct re-admit
-                           # purge, empty-corpus sentinel, recover-first
-                           # hook) + the perf pass: shuffle-free
-                           # ivf_assign/rank-cells, single-slice sidecar
-                           # writes, intra-delta duplicate refusal
-    "q_sim_topk_ivf",      # ivf_probe rank-cells rewritten shuffle-free
-                           # (array_sort over the broadcast centroid
-                           # array; same d2 + tie-break)
-    "q_sim_topk_ivfpq",    # same rank-cells rewrite on the IVF-PQ probe
-    "q_embed_pca",         # spectrum frame now built single-slice
-                           # (identical rows, no 32-slice python scan)
-    "q_scd2_merge",        # round-12 commit protocol re-routed through
-                           # Hadoop's FileSystem API (rename/exists/
-                           # manifest IO; same rename sequence)
+    # round 13:
+    "q_pacf",              # _durbin_levinson boundary guard now
+                           # eps-tolerant (abs(den) <= 1e-12 and
+                           # |phi_kk| >= 1 poison deeper lags) — the
+                           # r12 judge's Hypothesis finding; real
+                           # sample ACFs are unaffected but the code
+                           # path changed
+    "q_scd2_merge",        # scd2 store metadata file (persisted bucket
+                           # modulus + key type), per-store mutation
+                           # lock, delta-schema cast before the
+                           # affected-bucket computation
 })
 
 

@@ -35,6 +35,8 @@ Commands:
   scd2-merge-into --data PATH --user COL --event COL --time COL --order COL
             --path DIR [--n-buckets N]   (incremental SCD2 store merge)
   scd2-recover --path DIR    (roll an interrupted SCD2 commit forward)
+  scd2-snapshot --path DIR --ts TS [--users 1,2] [--limit N]
+            (point-in-time dimension read; bucket-pruned with --users)
   psi-repin --data PATH --time COL --value COL --path DIR --end TS
             [--start TS]      (pin a new versioned PSI drift reference)
   psi-status --path DIR       (latest pinned reference: version + bins)
@@ -474,7 +476,23 @@ def main(argv: list[str] | None = None) -> int:
     s2m.add_argument("--time", required=True)
     s2m.add_argument("--order", required=True)
     s2m.add_argument("--path", required=True)
-    s2m.add_argument("--n-buckets", type=int, default=32)
+    s2m.add_argument(
+        "--n-buckets", type=int, default=None,
+        help="only for pre-metadata stores; newer stores carry their "
+        "bucketing modulus in _scd2_meta.json",
+    )
+
+    s2s = sub.add_parser(
+        "scd2-snapshot",
+        help="point-in-time read of an SCD2 store: the dimension as it "
+        "was valid at --ts (bucket-pruned when --users is given)",
+    )
+    s2s.add_argument("--path", required=True)
+    s2s.add_argument("--ts", required=True,
+                     help="timestamp, e.g. '2024-01-15 00:00:00'")
+    s2s.add_argument("--users", default=None,
+                     help="comma-separated business keys to prune to")
+    s2s.add_argument("--limit", type=int, default=1000)
 
     irc = sub.add_parser(
         "index-recluster",
@@ -653,6 +671,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd in (
         "index-status", "index-probe", "index-delete", "index-compact",
         "index-recluster", "index-recover", "psi-status", "scd2-recover",
+        "scd2-snapshot",
     ):
         from .api import CorrelationAPI
 
@@ -673,6 +692,14 @@ def main(argv: list[str] | None = None) -> int:
                 res = api.index_recover(args.path)
             elif args.cmd == "scd2-recover":
                 res = api.scd2_recover_store(args.path)
+            elif args.cmd == "scd2-snapshot":
+                users = (
+                    [int(x) for x in args.users.split(",") if x.strip()]
+                    if args.users else None
+                )
+                res = api.scd2_snapshot(
+                    args.path, args.ts, users=users, limit=args.limit
+                )
             elif args.cmd == "index-recluster":
                 res = api.index_recluster(
                     args.path, threshold=args.threshold,

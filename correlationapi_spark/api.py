@@ -3062,7 +3062,7 @@ class CorrelationAPI:
         time_col: str,
         order_col: str,
         path: str,
-        n_buckets: int = 32,
+        n_buckets: int | None = None,
     ) -> dict[str, Any]:
         """Merge a staged CDC batch (a registered dataset of
         observations) into an EXISTING bucketed SCD2 store — the
@@ -3070,9 +3070,13 @@ class CorrelationAPI:
         the incremental path; the library-level scd2_merge is the
         self-contained exhibit that rebuilds its base store). Column
         mapping mirrors the event-log commands: user/event/time/order →
-        business key / state / valid-from / lineage tie-break. Returns
-        the touched/total bucket stats plus the merged store's row
-        count."""
+        business key / state / valid-from / lineage tie-break. The
+        bucketing modulus comes from the store's own metadata;
+        ``n_buckets`` exists only for pre-metadata stores (advice r12).
+        Returns the touched/total bucket stats plus ``rows_touched``
+        counted over the touched buckets ONLY — the old full-store
+        ``rows`` count was an O(store) action bolted onto the surface
+        whose whole point is O(affected buckets) (advice r12)."""
         from .operators.analytics import scd2_merge_into
 
         df = self._get(dataset)
@@ -3085,14 +3089,19 @@ class CorrelationAPI:
             F.col(time_col).alias("ts"),
             F.col(order_col).alias("event_id"),
         )
-        out, stats = scd2_merge_into(
+        _, stats = scd2_merge_into(
             self.spark, path, delta, n_buckets=n_buckets
+        )
+        rows_touched = (
+            self.spark.read.parquet(path)
+            .filter(F.col("bucket").isin(stats["buckets"]))
+            .count()
         )
         return {
             "path": path,
             "touched": stats["touched"],
             "total": stats["total"],
-            "rows": out.count(),
+            "rows_touched": rows_touched,
         }
 
     def scd2_recover_store(self, path: str) -> dict[str, Any]:
@@ -3106,6 +3115,53 @@ class CorrelationAPI:
         return {
             "path": path,
             "recovered": scd2_recover(path, spark=self.spark),
+        }
+
+    def scd2_snapshot(
+        self,
+        path: str,
+        ts: str,
+        users: "list | None" = None,
+        limit: int = 1000,
+    ) -> dict[str, Any]:
+        """Point-in-time read of an SCD2 store — the as-of query the
+        dimension exists to answer (r13: merge/recover shipped in r12
+        with no read surface). With ``users`` the scan prunes to their
+        hash buckets via the store's persisted modulus; without, it is
+        a full-store predicate scan capped at ``limit`` rows (the
+        library call scd2_snapshot_at returns the unlimited frame).
+        Timestamps serialize as ISO strings — the HTTP layer's
+        json.dumps has no datetime fallback by design."""
+        from pyspark.errors import AnalysisException
+
+        from .operators.analytics import scd2_snapshot_at
+
+        if limit < 1:
+            raise ValueError("limit must be >= 1")
+        try:
+            snap = scd2_snapshot_at(self.spark, path, ts, user_ids=users)
+        except AnalysisException as e:
+            raise ValueError(
+                f"no SCD2 store at {path!r}: {e.getMessage() if hasattr(e, 'getMessage') else e}"
+            ) from e
+        rows = snap.orderBy("user_id", "valid_from").limit(limit).collect()
+        return {
+            "path": path,
+            "ts": ts,
+            "n_rows": len(rows),
+            "rows": [
+                {
+                    "user_id": r.user_id,
+                    "state": r.state,
+                    "valid_from": r.valid_from.isoformat(sep=" "),
+                    "valid_to": (
+                        None if r.valid_to is None
+                        else r.valid_to.isoformat(sep=" ")
+                    ),
+                    "is_current": bool(r.is_current),
+                }
+                for r in rows
+            ],
         }
 
     def _docs_view(

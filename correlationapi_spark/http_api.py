@@ -77,9 +77,14 @@ container, and none is needed for a JSON-for-JSON contract:
          forward (idempotent; recovered=false when nothing is pending)
   POST /scd2/merge {"dataset","user","event","time","order","path"
        [,"n_buckets"]}  → merge a staged CDC batch into an EXISTING
-         bucketed SCD2 store (touches only the batch's buckets)
+         bucketed SCD2 store (touches only the batch's buckets;
+         n_buckets only for pre-metadata stores — newer stores carry
+         their modulus in _scd2_meta.json)
   POST /scd2/recover {"path"}  → roll an interrupted SCD2 commit
          forward (idempotent; recovered=false when nothing is pending)
+  POST /scd2/snapshot {"path","ts"[,"users","limit"]}  → point-in-time
+         dimension read (pure read despite POST; bucket-pruned with
+         users)
   GET  /dedup?dataset=&id=&text=[&method=exact|keep_best|ngram|minhash][&threshold=]
        [&limit=]                  → duplicate listing + engine-side totals
   GET  /assign?dataset=&id=&vector=&centroids=0,1,2[&limit=]
@@ -502,10 +507,23 @@ def _route(api: CorrelationAPI, method: str, path: str,
         for req in ("dataset", "user", "event", "time", "order", "path"):
             if req not in body:
                 raise ValueError(f'body must contain "{req}"')
+        nb = body.get("n_buckets")
         return 200, api.scd2_merge(
             body["dataset"], body["user"], body["event"], body["time"],
             body["order"], body["path"],
-            n_buckets=int(body.get("n_buckets", 32)),
+            n_buckets=None if nb is None else int(nb),
+        )
+    if method == "POST" and path == "/scd2/snapshot":
+        # a pure read despite the body-carrying POST (the /matrix
+        # convention) — deliberately NOT in _MUTATING_PATHS
+        for req in ("path", "ts"):
+            if req not in body:
+                raise ValueError(f'body must contain "{req}"')
+        users = body.get("users")
+        return 200, api.scd2_snapshot(
+            body["path"], body["ts"],
+            users=None if users is None else [int(u) for u in users],
+            limit=int(body.get("limit", 1000)),
         )
     if method == "POST" and path == "/scd2/recover":
         if "path" not in body:

@@ -2696,6 +2696,64 @@ def _scd2_store_dir() -> str:
     return _roundtrip_dir("scd2")
 
 
+_SCD2_META = "_scd2_meta.json"
+
+
+def _scd2_mutation_lock(spark: SparkSession, path: str):
+    """Per-store single-writer guard for the SCD2 mutation surfaces —
+    the same atomic-create lock protocol every sibling persisted store
+    uses (advice r12: ivf_append/delete/compact/recluster and psi_repin
+    all serialize under _ivf_mutation_lock, but scd2_merge_into and
+    scd2_recover — exposed on the ThreadingHTTPServer and CLI — shared
+    a fixed path+'.stage' directory and _commit.json manifest with no
+    lock, so two concurrent merges into one store could overwrite each
+    other's stage/manifest and tear the store). The lock file is a
+    SIBLING of the store (`<store>.mutate.lock`), not inside it:
+    scd2_merge's base write overwrites the store directory itself,
+    which would delete an in-store lock file mid-hold."""
+    import os
+
+    from ..llm.similarity import _ivf_mutation_lock
+
+    p = path.rstrip("/")
+    parent = os.path.dirname(p) or "."
+    return _ivf_mutation_lock(
+        spark, parent, os.path.basename(p) + ".mutate.lock"
+    )
+
+
+def _scd2_write_meta(
+    io: "_Scd2IO", path: str, n_buckets: int, key_type: str
+) -> None:
+    """Persist the store-level facts a later merge must not trust the
+    caller for (advice r12: the modulus guard was one-sided — a store
+    built with n_buckets=8 merged with the default 32 passed
+    `max(existing) < n_buckets`, recomputed buckets mod 32, opened the
+    wrong — often empty — buckets, and silently forked users into
+    duplicate current rows). The file rides the same atomic
+    write-to-tmp + rename as the commit manifest; its `_` prefix hides
+    it from Spark's parquet listing."""
+    import json
+    import os
+
+    io.write_atomic(
+        os.path.join(path, _SCD2_META),
+        json.dumps(
+            {"version": 1, "n_buckets": n_buckets, "key_type": key_type}
+        ),
+    )
+
+
+def _scd2_read_meta(io: "_Scd2IO", path: str) -> "dict | None":
+    import json
+    import os
+
+    p = os.path.join(path, _SCD2_META)
+    if not io.exists(p):
+        return None  # pre-metadata store (or mid-build crash): legacy
+    return json.loads(io.read_text(p))
+
+
 def scd2_merge(
     spark: SparkSession,
     events: DataFrame,
@@ -2731,7 +2789,6 @@ def scd2_merge(
     protocol stages; ``_store_path`` pins the store directory so tests
     can crash one merge and recover/rerun against the same store."""
     path = _store_path or _scd2_store_dir()
-    scd2_recover(path, spark=spark)  # finish any interrupted commit BEFORE reading
     # NULL business keys break the bucket contract twice over (advice
     # r10): xxhash64(NULL) is NULL, so the row would land in the Hive
     # default partition outside every bucket-pruning path, and the
@@ -2745,32 +2802,45 @@ def scd2_merge(
             "scd2_merge requires a non-NULL business key: events with "
             "user_id IS NULL cannot be bucketed or merged"
         )
-    bucket = F.pmod(F.xxhash64(F.col("user_id")), F.lit(n_buckets))
-    obs = lambda df: df.select(  # noqa: E731 — tiny local projection
-        "user_id",
-        F.col("event_type").alias("state"),
-        F.col("ts").alias("valid_from"),
-        "event_id",
-    )
-    # three-valued-logic guard (review r10): a NULL delta_pred row would
-    # otherwise vanish from BOTH sides (filter(p) and filter(~p) each
-    # reject NULL) — coalesce pins NULL to "not staged", so every event
-    # lands in exactly one of base/delta
-    delta_pred = F.coalesce(delta_pred, F.lit(False))
-    base = scd2_intervals(obs(events.filter(~delta_pred)))
-    base.withColumn("bucket", bucket).write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(path)
-    total = sum(
-        1
-        for d in _Scd2IO(path, spark).list_names(path)
-        if d.startswith("bucket=")
-    )
+    with _scd2_mutation_lock(spark, path):
+        # finish any interrupted commit BEFORE reading — inside the
+        # lock so the roll-forward cannot race a concurrent writer's
+        # in-flight stage/manifest (advice r12)
+        _scd2_recover_unlocked(path, spark)
+        bucket = F.pmod(F.xxhash64(F.col("user_id")), F.lit(n_buckets))
+        obs = lambda df: df.select(  # noqa: E731 — tiny local projection
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            "event_id",
+        )
+        # three-valued-logic guard (review r10): a NULL delta_pred row
+        # would otherwise vanish from BOTH sides (filter(p) and
+        # filter(~p) each reject NULL) — coalesce pins NULL to "not
+        # staged", so every event lands in exactly one of base/delta
+        delta_pred = F.coalesce(delta_pred, F.lit(False))
+        base = scd2_intervals(obs(events.filter(~delta_pred)))
+        base.withColumn("bucket", bucket).write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(path)
+        io = _Scd2IO(path, spark)
+        # persist the bucketing modulus + key type the moment the store
+        # exists: scd2_merge_into derives its modulus from this file
+        # instead of trusting the caller (advice r12)
+        _scd2_write_meta(
+            io, path, n_buckets,
+            events.schema["user_id"].dataType.simpleString(),
+        )
+        total = sum(
+            1 for d in io.list_names(path) if d.startswith("bucket=")
+        )
 
-    out, touched = _scd2_apply(
-        spark, path, events.filter(delta_pred), n_buckets, _crash=_crash
-    )
-    return out, {"touched": touched, "total": total}
+        out, affected = _scd2_apply(
+            spark, path, events.filter(delta_pred), n_buckets,
+            _crash=_crash,
+        )
+    return out, {"touched": len(affected), "total": total,
+                 "buckets": affected}
 
 
 def _scd2_apply(
@@ -2779,13 +2849,39 @@ def _scd2_apply(
     delta: DataFrame,
     n_buckets: int,
     _crash=None,
-) -> tuple[DataFrame, int]:
+) -> tuple[DataFrame, list[int]]:
     """The partition-pruned merge phase shared by scd2_merge (which
     builds the base store first) and scd2_merge_into (which merges into
     an EXISTING store): fold the staged event-log rows into the
     affected buckets only, stage the rewritten slice to a sibling
     directory, publish via the journaled rename protocol. Returns
-    (read-back dimension, touched-bucket count)."""
+    (read-back dimension, affected bucket ids). Callers hold the
+    per-store mutation lock."""
+    stored = spark.read.parquet(path)
+    # Cast the delta to the store's column types BEFORE anything that
+    # depends on the key bytes (advice r12): xxhash64 hashes int and
+    # long differently, so computing the affected-bucket set on the
+    # delta's own key type while the staged write recomputes buckets
+    # after unionByName's coercion would stage rows into bucket dirs
+    # outside `affected` — the commit loop skips those and the stage
+    # rmtree silently discards the rows. A lossy cast (overflow,
+    # unparseable string) yields NULL: refuse rather than mis-bucket.
+    types = {f.name: f.dataType for f in stored.schema.fields}
+    delta = delta.select(
+        # try_cast, not cast: under ANSI a lossy key cast (overflow,
+        # unparseable) THROWS a bare CAST_* error mid-job — the NULL
+        # probe below turns it into the contract error instead
+        F.col("user_id").try_cast(types["user_id"]).alias("user_id"),
+        F.col("event_type").cast(types["state"]).alias("event_type"),
+        F.col("ts").cast(types["valid_from"]).alias("ts"),
+        F.col("event_id").cast(types["event_id"]).alias("event_id"),
+    )
+    if delta.filter(F.col("user_id").isNull()).take(1):
+        raise ValueError(
+            "scd2 merge: casting the delta's user_id to the store's "
+            f"key type ({types['user_id'].simpleString()}) produced "
+            "NULL — the delta's key type does not fit the store's"
+        )
     bucket = F.pmod(F.xxhash64(F.col("user_id")), F.lit(n_buckets))
     obs = lambda df: df.select(  # noqa: E731 — tiny local projection
         "user_id",
@@ -2797,7 +2893,6 @@ def _scd2_apply(
         r["b"]
         for r in delta.select(bucket.alias("b")).distinct().collect()
     )  # bounded by n_buckets, never by data
-    stored = spark.read.parquet(path)
     pruned = stored.filter(F.col("bucket").isin(affected))
     dusers = delta.select("user_id").distinct()
     keep = pruned.join(dusers, "user_id", "left_anti").drop("bucket")
@@ -2820,14 +2915,14 @@ def _scd2_apply(
     out = spark.read.parquet(path).select(
         "user_id", "state", "valid_from", "valid_to", "is_current"
     )
-    return out, len(affected)
+    return out, affected
 
 
 def scd2_merge_into(
     spark: SparkSession,
     path: str,
     delta: DataFrame,
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
     _crash=None,
 ) -> tuple[DataFrame, dict]:
     """MERGE a staged CDC batch into an EXISTING bucketed SCD2 store —
@@ -2847,36 +2942,65 @@ def scd2_merge_into(
     are strictly newer than every stored observation (CDC append);
     users new to the store fold into fresh intervals (their buckets —
     possibly previously empty — publish through the same protocol).
-    ``n_buckets`` MUST equal the store's bucketing modulus: the bucket
-    stamp is recomputed from the business key, and a mismatched
-    modulus would route users to buckets the pruned read never opens
-    (guarded: refuses when an existing bucket id is outside range)."""
-    scd2_recover(path, spark=spark)
-    io = _Scd2IO(path, spark)
-    names = io.list_names(path) if io.isdir(path) else []
-    existing = [
-        int(d.split("=", 1)[1])
-        for d in names
-        if d.startswith("bucket=")
-    ]
-    if not existing:
-        raise ValueError(
-            f"scd2_merge_into: no SCD2 store at {path!r} (no bucket= "
-            "directories) — build one with scd2_merge first"
-        )
-    if max(existing) >= n_buckets:
-        raise ValueError(
-            f"scd2_merge_into: store at {path!r} has bucket="
-            f"{max(existing)} but n_buckets={n_buckets} — the bucketing "
-            "modulus must match the store's"
-        )
+    The bucketing modulus is read from the store's own _scd2_meta.json
+    (written by scd2_merge — advice r12: the old caller-supplied
+    modulus was guarded only one-sidedly, so a store built mod 8
+    merged mod 32 recomputed buckets the pruned read never opened and
+    silently forked users into duplicate current rows). Passing
+    ``n_buckets`` is only needed for pre-metadata stores, and it must
+    agree with the metadata when both exist. Mutations serialize under
+    the per-store lock; stats carry the affected bucket ids so
+    surfaces can count touched rows partition-pruned."""
     if delta.filter(F.col("user_id").isNull()).take(1):
         raise ValueError(
             "scd2_merge_into requires a non-NULL business key: rows "
             "with user_id IS NULL cannot be bucketed or merged"
         )
-    out, touched = _scd2_apply(spark, path, delta, n_buckets, _crash=_crash)
-    return out, {"touched": touched, "total": len(existing)}
+    with _scd2_mutation_lock(spark, path):
+        _scd2_recover_unlocked(path, spark)
+        io = _Scd2IO(path, spark)
+        names = io.list_names(path) if io.isdir(path) else []
+        existing = [
+            int(d.split("=", 1)[1])
+            for d in names
+            if d.startswith("bucket=")
+        ]
+        if not existing:
+            raise ValueError(
+                f"scd2_merge_into: no SCD2 store at {path!r} (no bucket= "
+                "directories) — build one with scd2_merge first"
+            )
+        meta = _scd2_read_meta(io, path)
+        if meta is not None:
+            store_n = int(meta["n_buckets"])
+            if n_buckets is not None and n_buckets != store_n:
+                raise ValueError(
+                    f"scd2_merge_into: store at {path!r} was built with "
+                    f"n_buckets={store_n} but n_buckets={n_buckets} was "
+                    "passed — omit it; the modulus comes from the "
+                    "store's metadata"
+                )
+            n_buckets = store_n
+        elif n_buckets is None:
+            raise ValueError(
+                f"scd2_merge_into: store at {path!r} has no "
+                f"{_SCD2_META} (built before the metadata era) — pass "
+                "n_buckets matching the store's bucketing modulus"
+            )
+        if max(existing) >= n_buckets:
+            raise ValueError(
+                f"scd2_merge_into: store at {path!r} has bucket="
+                f"{max(existing)} but n_buckets={n_buckets} — the "
+                "bucketing modulus must match the store's"
+            )
+        out, affected = _scd2_apply(
+            spark, path, delta, n_buckets, _crash=_crash
+        )
+    return out, {
+        "touched": len(affected),
+        "total": len(existing),
+        "buckets": affected,
+    }
 
 
 class _Scd2IO:
@@ -3054,8 +3178,28 @@ def scd2_recover(path: str, spark: "SparkSession | None" = None) -> bool:
     """Roll an interrupted _scd2_commit forward: resume the same
     idempotent swap loop from the manifest, then clean up. Returns
     True when there was a commit to finish. Safe to crash DURING
-    recovery — rerunning resumes again. scd2_merge calls this before
-    every read of the store."""
+    recovery — rerunning resumes again.
+
+    This is the SURFACE entry (CLI scd2-recover, POST /scd2/recover,
+    api.scd2_recover_store): it takes the per-store mutation lock so a
+    recovery cannot race a live merge's stage/manifest (advice r12).
+    The merge paths call _scd2_recover_unlocked inside the lock they
+    already hold. A genuinely sessionless caller (bare process, local
+    path) proceeds unlocked — the lock needs a SparkSession to resolve
+    the filesystem, and that caller is by definition the only process
+    with the store in hand."""
+    from pyspark.sql import SparkSession
+
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        return _scd2_recover_unlocked(path, None)
+    with _scd2_mutation_lock(spark, path):
+        return _scd2_recover_unlocked(path, spark)
+
+
+def _scd2_recover_unlocked(
+    path: str, spark: "SparkSession | None"
+) -> bool:
     import json
     import os
 
@@ -3079,6 +3223,83 @@ def scd2_recover(path: str, spark: "SparkSession | None" = None) -> bool:
     io.rmtree(j["stage"])
     io.remove(manifest)
     return True
+
+
+def scd2_snapshot_at(
+    spark: SparkSession,
+    path: str,
+    ts,
+    user_ids: "list | None" = None,
+) -> DataFrame:
+    """Point-in-time read of a bucketed SCD2 store: the dimension rows
+    valid at ``ts`` (valid_from <= ts < valid_to, with open intervals
+    kept via is_current) — the as-of query a dimension store exists to
+    answer (r12 verdict: merge/recover shipped with no read surface
+    short of a raw parquet scan). Read-only: no mutation lock is taken;
+    a pending interrupted commit is first rolled forward via the locked
+    recover surface ONLY when a manifest exists (the common no-manifest
+    case costs one exists() probe, no lock traffic), so the snapshot
+    always reflects a completed merge, never a half-published one.
+
+    Scale shape: with ``user_ids`` the bucket ids are computed from the
+    store's persisted modulus (_scd2_meta.json) via the same JVM
+    xxhash64 the writer used — one spark.range(1) row, no data scan —
+    and the filter lands on the bucket PARTITION column, so the parquet
+    scan prunes to |distinct buckets(user_ids)| directories out of
+    n_buckets (plan-canaried in tests/test_plans.py). Without user_ids
+    the snapshot is a full-store predicate scan by design. A
+    pre-metadata store degrades gracefully: the user_id filter still
+    applies, only the partition pruning is lost."""
+    io = _Scd2IO(path, spark)
+    import os
+
+    if io.exists(os.path.join(path, "_commit.json")):
+        scd2_recover(path, spark=spark)
+    import datetime as _dt
+
+    if isinstance(ts, (_dt.datetime, _dt.date)):
+        tcol = F.lit(ts).cast("timestamp")
+    else:
+        # try_to_timestamp, not cast: under ANSI mode a malformed string
+        # THROWS at constant folding (CAST_INVALID_INPUT) — the HTTP
+        # surface would 500 on a user typo instead of 400
+        tcol = F.try_to_timestamp(F.lit("" if ts is None else str(ts)))
+    # an unparseable ts would otherwise silently snapshot to an empty
+    # dimension — a user error on the HTTP/CLI surfaces must say so
+    # (one spark.range(1) row, no data scan)
+    if spark.range(1).select(tcol.alias("t")).head()["t"] is None:
+        raise ValueError(f"scd2_snapshot_at: unparseable timestamp {ts!r}")
+    stored = spark.read.parquet(path)
+    snap = stored.filter(
+        (F.col("valid_from") <= tcol)
+        & (F.col("is_current") | (F.col("valid_to") > tcol))
+    )
+    if user_ids is not None:
+        if not user_ids:
+            raise ValueError(
+                "scd2_snapshot_at: user_ids must be non-empty when given"
+            )
+        meta = _scd2_read_meta(io, path)
+        key_t = stored.schema["user_id"].dataType
+        lits = [F.lit(u).cast(key_t) for u in user_ids]
+        if meta is not None:
+            n = int(meta["n_buckets"])
+            buckets = sorted(
+                set(
+                    spark.range(1)
+                    .select(
+                        F.array(
+                            *[F.pmod(F.xxhash64(c), F.lit(n)) for c in lits]
+                        ).alias("bs")
+                    )
+                    .head()["bs"]
+                )
+            )
+            snap = snap.filter(F.col("bucket").isin(buckets))
+        snap = snap.filter(F.col("user_id").isin(user_ids))
+    return snap.select(
+        "user_id", "state", "valid_from", "valid_to", "is_current"
+    )
 
 
 @query(

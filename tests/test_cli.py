@@ -593,11 +593,28 @@ def test_cli_scd2_merge_into_and_recover(spark, capsys, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
-    assert res["rows"] == want.count()
+    # rows_touched counts the touched buckets ONLY (r12 advice: the old
+    # full-store count was an O(store) action on an O(affected) surface)
+    assert 1 <= res["rows_touched"] <= want.count()
 
     # recover on a healthy store is an idempotent no-op
     rc, res = _run(capsys, ["scd2-recover", "--path", store])
     assert rc == 0 and res["recovered"] is False
+
+    # point-in-time read: one current row per user at the cut, and the
+    # --users form prunes to their buckets while agreeing row-for-row
+    rc, res = _run(capsys, [
+        "scd2-snapshot", "--path", store, "--ts", "2024-01-25 00:00:00",
+    ])
+    assert rc == 0 and res["n_rows"] >= 1
+    uid = res["rows"][0]["user_id"]
+    assert all(r["valid_from"] <= "2024-01-25 00:00:00" for r in res["rows"])
+    rc, res1 = _run(capsys, [
+        "scd2-snapshot", "--path", store, "--ts", "2024-01-25 00:00:00",
+        "--users", str(uid),
+    ])
+    assert rc == 0 and res1["n_rows"] == 1
+    assert res1["rows"][0]["user_id"] == uid
 
     # guards surface as the CLI's structured error (rc 2)
     rc, res = _run(capsys, [

@@ -858,10 +858,32 @@ def test_scd2_lifecycle_over_http(base_url, spark, tmp_path):
          "time": "ts", "order": "event_id", "path": store},
     )
     assert status == 200
-    assert 1 <= res["touched"] < res["total"] and res["rows"] > 0
+    assert 1 <= res["touched"] < res["total"] and res["rows_touched"] > 0
 
     status, res = _post(f"{base_url}/scd2/recover", {"path": store})
     assert status == 200 and res["recovered"] is False
+
+    # point-in-time read over the wire: the as-of rows at the cut, and
+    # the users form prunes + filters to exactly those keys
+    status, res = _post(
+        f"{base_url}/scd2/snapshot",
+        {"path": store, "ts": "2024-01-25 00:00:00", "limit": 10},
+    )
+    assert status == 200 and res["n_rows"] >= 1
+    uid = res["rows"][0]["user_id"]
+    status, res1 = _post(
+        f"{base_url}/scd2/snapshot",
+        {"path": store, "ts": "2024-01-25 00:00:00", "users": [uid]},
+    )
+    assert status == 200 and res1["n_rows"] == 1
+    assert res1["rows"][0]["user_id"] == uid
+    # an unparseable ts is a 400, not an empty snapshot
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post(
+            f"{base_url}/scd2/snapshot",
+            {"path": store, "ts": "not-a-time"},
+        )
+    assert exc.value.code == 400
 
     with pytest.raises(urllib.error.HTTPError) as exc:
         _post(

@@ -845,6 +845,55 @@ def test_scd2_merge_touches_few_partitions(spark):
     assert out.count() > 0
 
 
+def test_scd2_snapshot_prunes_buckets(spark, tmp_path):
+    """round 13 (r12 verdict item 6): the as-of read with user_ids must
+    prune at the parquet scan — the bucket ids come from the store's
+    persisted modulus and land on the bucket PARTITION column
+    (PartitionFilters, metadata-only), so a point lookup opens
+    |buckets(user_ids)| directories out of n_buckets, not the store."""
+    import re
+
+    import pyspark.sql.functions as F
+
+    from correlationapi_spark.io import load_tables
+    from correlationapi_spark.operators.analytics import (
+        scd2_merge,
+        scd2_snapshot_at,
+    )
+
+    ev = load_tables(spark, SF_SMOKE)["events"]
+    p = str(tmp_path / "snapstore")
+    scd2_merge(spark, ev, F.lit(False), _store_path=p)
+    uid = ev.select("user_id").head()["user_id"]
+    snap = scd2_snapshot_at(
+        spark, p, "2024-01-25 00:00:00", user_ids=[uid]
+    )
+    plan = snap._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "bucket" in pf.group(1), plan
+    # the filter names the ONE bucket the key hashes to under the
+    # store's persisted modulus (inputFiles() can't prove pruning — it
+    # lists the relation pre-pruning — but a literal single-bucket
+    # PartitionFilter is metadata-only by construction)
+    want_bucket = (
+        spark.range(1)
+        .select(
+            F.pmod(F.xxhash64(F.lit(uid).cast("long")), F.lit(32)).alias("b")
+        )
+        .head()["b"]
+    )
+    assert re.search(rf"bucket#\d+\) = {want_bucket}\b", pf.group(1)) or (
+        f"= {want_bucket}" in pf.group(1)
+    ), pf.group(1)
+    # and the rows really are just that user's as-of row
+    rows = snap.collect()
+    assert len(rows) == 1 and rows[0]["user_id"] == uid
+
+
 def test_ivf_assign_and_rank_cells_are_shuffle_free(spark):
     """Round 12: ivf_assign's argmin and ivf_probe's rank-cells run as
     per-row array expressions over the broadcast centroid array — no

@@ -1574,6 +1574,187 @@ def test_scd2_merge_into_existing_store(spark, tmp_path):
     assert cur2 == {"planted_c"}
 
 
+def test_scd2_persisted_modulus_and_key_cast(spark, tmp_path):
+    """round 13 (r12 advice): the store's bucketing modulus is
+    PERSISTED (_scd2_meta.json) and scd2_merge_into derives it from the
+    store instead of trusting the caller — a store built mod 8 merged
+    with the old default 32 passed the one-sided max-bucket guard,
+    recomputed buckets mod 32, opened the wrong (often empty) buckets,
+    and silently forked users into duplicate current rows. Also pins
+    the key-type cast: a delta whose user_id arrives as int (parquet
+    int32) hashes DIFFERENTLY from the store's long under xxhash64, so
+    before the fix the affected-bucket set and the staged write
+    disagreed and the commit silently discarded the out-of-set rows."""
+    from correlationapi_spark.operators.analytics import (
+        scd2_intervals,
+        scd2_merge,
+        scd2_merge_into,
+    )
+
+    ev = load_tables(spark, SF_SMOKE)["events"]
+    cut = F.lit("2024-01-25 00:00:00").cast("timestamp")
+    base_all = ev.filter(F.col("ts") < cut)
+
+    def obs(df):
+        return df.select(
+            "user_id", F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"), "event_id",
+        )
+
+    # 1. modulus comes from the store: built mod 8, merged with NO
+    #    n_buckets — the exact r12-advice corruption scenario
+    p = str(tmp_path / "mod8")
+    scd2_merge(spark, base_all, F.lit(False), n_buckets=8, _store_path=p)
+    delta = ev.filter(
+        (F.col("ts") >= cut) & (F.col("user_id") % 19 == 0)
+    ).select("user_id", "event_type", "ts", "event_id")
+    merged, stats = scd2_merge_into(spark, p, delta)
+    want = scd2_intervals(obs(base_all).unionByName(obs(delta))).drop(
+        "event_id"
+    )
+    assert sorted(map(tuple, merged.select(*want.columns).collect())) == \
+        sorted(map(tuple, want.collect()))
+    # no forked chains: exactly one current row per user
+    dupes = (
+        merged.filter("is_current").groupBy("user_id").count()
+        .filter("count > 1").count()
+    )
+    assert dupes == 0
+    # a CONFLICTING explicit modulus refuses instead of corrupting
+    with pytest.raises(ValueError, match="metadata"):
+        scd2_merge_into(spark, p, delta, n_buckets=32)
+
+    # 2. key-type mismatch: the same delta arriving with an int key
+    #    must merge identically (cast precedes the affected set), and
+    #    an overflowing key type refuses rather than mis-buckets
+    p2 = str(tmp_path / "longkey")
+    scd2_merge(spark, base_all, F.lit(False), _store_path=p2)
+    delta_int = delta.withColumn("user_id", F.col("user_id").cast("int"))
+    merged2, _ = scd2_merge_into(spark, p2, delta_int)
+    assert sorted(map(tuple, merged2.select(*want.columns).collect())) == \
+        sorted(map(tuple, want.collect()))
+
+    # 3. a key that does NOT fit the store's type refuses with the
+    #    contract error (try_cast + NULL probe), never mis-buckets —
+    #    under ANSI a plain cast would instead throw a bare CAST_*
+    #    error mid-job
+    p3 = str(tmp_path / "intkey")
+    scd2_merge(
+        spark,
+        base_all.withColumn("user_id", F.col("user_id").cast("int")),
+        F.lit(False), _store_path=p3,
+    )
+    too_big = spark.createDataFrame(
+        [(2**40, "x", "2024-02-01 00:00:00", 1)],
+        "user_id long, event_type string, ts string, event_id long",
+    ).select(
+        "user_id", "event_type",
+        F.col("ts").cast("timestamp").alias("ts"), "event_id",
+    )
+    with pytest.raises(ValueError, match="does not fit"):
+        scd2_merge_into(spark, p3, too_big)
+
+    # 4. legacy store (no metadata): n_buckets is required
+    import os
+
+    os.remove(os.path.join(p2, "_scd2_meta.json"))
+    with pytest.raises(ValueError, match="metadata era"):
+        scd2_merge_into(spark, p2, delta)
+
+
+def test_scd2_mutation_lock_serializes(spark, tmp_path):
+    """round 13 (r12 advice): every SCD2 store mutation — merge_into
+    and the recover surface — serializes under the same per-store
+    single-writer lock the IVF/PSI stores use; two concurrent merges
+    previously shared the fixed path+'.stage' dir and _commit.json and
+    could tear the store. The lock is a SIBLING file so scd2_merge's
+    base overwrite cannot delete it mid-hold."""
+    from correlationapi_spark.operators.analytics import (
+        _scd2_mutation_lock,
+        scd2_merge,
+        scd2_merge_into,
+        scd2_recover,
+    )
+
+    ev = load_tables(spark, SF_SMOKE)["events"]
+    cut = F.lit("2024-01-25 00:00:00").cast("timestamp")
+    p = str(tmp_path / "locked")
+    scd2_merge(
+        spark, ev.filter(F.col("ts") < cut), F.lit(False), _store_path=p
+    )
+    delta = ev.filter(
+        (F.col("ts") >= cut) & (F.col("user_id") % 19 == 0)
+    ).select("user_id", "event_type", "ts", "event_id")
+
+    with _scd2_mutation_lock(spark, p):
+        with pytest.raises(ValueError, match="in flight"):
+            scd2_merge_into(spark, p, delta)
+        with pytest.raises(ValueError, match="in flight"):
+            scd2_recover(p, spark=spark)
+    # released: the same merge now proceeds
+    merged, stats = scd2_merge_into(spark, p, delta)
+    assert stats["touched"] >= 1 and merged.count() > 0
+
+
+def test_scd2_snapshot_at_point_in_time(spark, tmp_path):
+    """round 13 (r12 verdict item 6): the as-of read surface. The
+    snapshot at ts must equal the plain interval predicate over the
+    full dimension (one row per user whose chain covers ts), the
+    user_ids form must agree row-for-row with the unpruned form, a
+    pre-metadata store still answers (pruning degrades, correctness
+    does not), and garbage ts refuses loudly."""
+    from correlationapi_spark.operators.analytics import (
+        scd2_merge,
+        scd2_snapshot_at,
+    )
+
+    ev = load_tables(spark, SF_SMOKE)["events"]
+    p = str(tmp_path / "snap")
+    out, _ = scd2_merge(spark, ev, F.lit(False), _store_path=p)
+    ts = "2024-01-25 00:00:00"
+    tcol = F.lit(ts).cast("timestamp")
+    want = sorted(
+        map(
+            tuple,
+            out.filter(
+                (F.col("valid_from") <= tcol)
+                & (F.col("is_current") | (F.col("valid_to") > tcol))
+            ).collect(),
+        )
+    )
+    got = sorted(map(tuple, scd2_snapshot_at(spark, p, ts).collect()))
+    assert got == want and len(got) >= 1
+    # exactly one row per user in any snapshot (intervals partition time)
+    uids = [r[0] for r in got]
+    assert len(uids) == len(set(uids))
+
+    some = uids[:3]
+    pruned = sorted(
+        map(
+            tuple,
+            scd2_snapshot_at(spark, p, ts, user_ids=some).collect(),
+        )
+    )
+    assert pruned == [r for r in want if r[0] in some]
+
+    # legacy store: drop the metadata, the answer must not change
+    import os
+
+    os.remove(os.path.join(p, "_scd2_meta.json"))
+    legacy = sorted(
+        map(
+            tuple,
+            scd2_snapshot_at(spark, p, ts, user_ids=some).collect(),
+        )
+    )
+    assert legacy == pruned
+
+    with pytest.raises(ValueError, match="unparseable"):
+        scd2_snapshot_at(spark, p, "not-a-time")
+    with pytest.raises(ValueError, match="non-empty"):
+        scd2_snapshot_at(spark, p, ts, user_ids=[])
+
+
 def test_ngram_dfcap_recall_contract_on_skewed_corpus(spark):
     """r11 verdict item 3: the `max_shingle_df="auto"` guard's recall
     contract on a corpus with a hot boilerplate shingle. Three pinned

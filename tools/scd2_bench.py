@@ -139,7 +139,11 @@ def main() -> None:
     # is a lazy read-back of the whole store, so counting it inside the
     # window would bill a full-store scan to the merge
     t0 = time.time()
-    out2, stats2 = scd2_merge_into(spark, store2, ev.filter(delta_pred))
+    # store2 is hand-built (no _scd2_meta.json), so the modulus must be
+    # passed explicitly — the legacy-store path
+    out2, stats2 = scd2_merge_into(
+        spark, store2, ev.filter(delta_pred), n_buckets=32
+    )
     t_merge_only = time.time() - t0
     out2.count()
 

@@ -81,6 +81,12 @@ _TOUCHED: frozenset[str] = frozenset({
                            # modulus + key type), per-store mutation
                            # lock, delta-schema cast before the
                            # affected-bucket computation
+    "q_embed_pq",          # codebook now per-subspace k-means-trained
+                           # (8×64, 6-bit codes) instead of the
+                           # first-16-rows sample — codes and recon_err
+                           # changed by design
+    "q_sim_topk_pq",       # same trained codebook on the ADC probe
+    "q_sim_topk_ivfpq",    # same trained codebook on the fused probe
 })
 
 

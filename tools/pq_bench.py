@@ -72,6 +72,8 @@ def main() -> int:
         .localCheckpoint(eager=True)
     )
 
+    from correlationapi_spark.llm.similarity import PQ_BITS
+
     t0 = time.time()
     enc = pq_encode(corpus)
     stats = enc.agg(
@@ -80,11 +82,11 @@ def main() -> int:
         F.sum(
             F.when(
                 F.col("vec_id") >= PQ_K,  # donors (< PQ_K) code to
-                (                          # (c,c,c,c) — checked below
+                (                          # (c,c,...,c) — checked below
                     F.col("pq_code")
                     != sum(
                         (((F.col("vec_id") * (s + 1)) % PQ_K)
-                         .cast("bigint") * F.lit(1 << (4 * s)))
+                         .cast("bigint") * F.lit(1 << (PQ_BITS * s)))
                         for s in range(PQ_M)
                     )
                 ).cast("long"),
@@ -93,7 +95,7 @@ def main() -> int:
                     F.col("pq_code")
                     != sum(
                         (F.col("vec_id").cast("bigint")
-                         * F.lit(1 << (4 * s)))
+                         * F.lit(1 << (PQ_BITS * s)))
                         for s in range(PQ_M)
                     )
                 ).cast("long")
@@ -103,12 +105,19 @@ def main() -> int:
     t_enc = time.time() - t0
     assert stats.n == n
     assert stats.miscoded == 0, stats
+    # round 13: the codebook is k-means-trained on the vec_id-ordered
+    # sample, so centroids sit BETWEEN the exact planted entries and
+    # the offset copies — per-vector error is no longer the closed-form
+    # M*subd*offset^2, but it stays bounded by it up to the centroid
+    # drift (the cluster gap is 1.0 >> 0.01, so the planted ASSIGNMENT
+    # invariant above is unchanged and still exact)
     exp_err = round(PQ_M * 0.01 * 0.01 * PQ_SUB_D, 6)
-    assert abs(stats.max_err - exp_err) < 1e-6, (stats.max_err, exp_err)
+    assert 0.0 <= stats.max_err <= 2 * exp_err, (stats.max_err, exp_err)
     print(
-        f"pq_encode: {n} vectors d={PQ_M * PQ_SUB_D} -> 4x4-bit codes in "
-        f"{t_enc:.2f}s; 0 miscoded vs planted codebook, recon_err == "
-        f"{exp_err} exactly (= M*subd*offset^2)"
+        f"pq_encode: {n} vectors d={PQ_M * PQ_SUB_D} -> "
+        f"{PQ_M}x{PQ_BITS}-bit codes in {t_enc:.2f}s; 0 miscoded vs "
+        f"planted codebook, max recon_err {stats.max_err} <= "
+        f"2*{exp_err} (trained-centroid drift bound)"
     )
 
     t0 = time.time()
@@ -117,17 +126,16 @@ def main() -> int:
     t_adc = time.time() - t0
     assert len(rows) == 30
     # every returned neighbor shares the probe's full planted code, and
-    # the ADC distance is exactly the probe's own offset energy
-    # (raw probe vs exact codebook reconstruction = M*subd*offset²)
+    # the ADC distance stays within the offset-energy drift bound
     for r in rows:
-        assert r.adc_l2 == exp_err, r
+        assert 0.0 <= r.adc_l2 <= 2 * exp_err, r
         for s in range(PQ_M):
             assert (r.vec_id * (s + 1)) % PQ_K == \
                    (r.probe_id * (s + 1)) % PQ_K, r
     print(
         f"pq_adc_topk: 3 probes x top-10 over {n} codes in {t_adc:.2f}s; "
         f"every neighbor shares the probe's planted code and "
-        f"adc == {exp_err} exactly (probe offset energy)"
+        f"adc <= 2*{exp_err} (probe offset energy + centroid drift)"
     )
     return 0
 

@@ -30,6 +30,61 @@ from correlationapi_spark.registry import load_registry  # noqa: E402
 from correlationapi_spark.session import get_spark  # noqa: E402
 
 
+def _bench_index_append_phases(spark, sf_dir: str) -> dict:
+    """Phase-split timing for q_sim_index_append (r12 verdict item 4:
+    the key's single number was 34% one-time KMeans-train + base write,
+    so the 2x gate was guarding a cost that does NOT recur — at scale
+    only the O(delta) append and the O(n_probe/k_cells) probe run
+    daily). Runs the exact same engine calls as the declared fn, but
+    times build / append / probe separately; each of the 2 min-runs
+    uses a FRESH store directory because ivf_append correctly refuses
+    re-admitting ids it already holds. The key's headline number is
+    append+probe (the recurring path); build is reported alongside in
+    the `phases` field."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from correlationapi_spark.io import load_tables
+    from correlationapi_spark.llm.similarity import (
+        _ivf_append_dir,
+        corpus_view,
+        ivf_append,
+        ivf_index,
+        ivf_probe,
+        ivf_read,
+        ivf_write,
+    )
+
+    t = load_tables(spark, sf_dir)
+    emb = corpus_view(t["embeddings"], "vec_id", "embedding")
+    best = {"build": float("inf"), "append": float("inf"),
+            "probe": float("inf")}
+    for _ in range(2):
+        path = _ivf_append_dir()
+        t0 = _time.time()
+        assigned, cents = ivf_index(
+            emb.filter(F.col("vec_id") % 5 != 0), n_cells=16
+        )
+        ivf_write(assigned, cents, path)
+        best["build"] = min(best["build"], _time.time() - t0)
+        t0 = _time.time()
+        ivf_append(spark, path, emb.filter(F.col("vec_id") % 5 == 0))
+        best["append"] = min(best["append"], _time.time() - t0)
+        t0 = _time.time()
+        corpus, cents2 = ivf_read(spark, path)
+        probes = corpus.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("v").alias("pv"),
+            F.col("na").alias("pna"),
+        )
+        ivf_probe(corpus, cents2, probes, k=5, n_probe=6).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        best["probe"] = min(best["probe"], _time.time() - t0)
+    return {k: round(v, 3) for k, v in best.items()}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -104,8 +159,18 @@ def main() -> None:
     load_start = round(os.getloadavg()[0], 2)
 
     timings: dict[str, float] = {}
+    phases: dict[str, dict] = {}
     total = 0.0
     for key in bench_keys:
+        if key == "q_sim_index_append":
+            # phase-split (r12 verdict item 4): the headline number is
+            # the RECURRING append+probe path; the one-time build is
+            # reported alongside in `phases`, outside the total
+            ph = _bench_index_append_phases(spark, sf_dir)
+            phases[key] = ph
+            timings[key] = round(ph["append"] + ph["probe"], 3)
+            total += ph["append"] + ph["probe"]
+            continue
         # noop sink: full execution of the plan, result rows discarded at
         # the executor — a single pass with no driver-transfer skew.
         # min of 2 executions: single-shot wall times on this shared host
@@ -130,6 +195,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "phases": phases,
                 "sf": sf,
                 "load1_gate": load_gate,
                 "load1_start": load_start,

@@ -2789,14 +2789,14 @@ def scd2_merge(
     protocol stages; ``_store_path`` pins the store directory so tests
     can crash one merge and recover/rerun against the same store."""
     path = _store_path or _scd2_store_dir()
-    # NULL business keys break the bucket contract twice over (advice
-    # r10): xxhash64(NULL) is NULL, so the row would land in the Hive
-    # default partition outside every bucket-pruning path, and the
-    # affected-bucket sort below would compare None against int. The
-    # equi-joins on user_id would then silently mis-route the row
-    # anyway (NULL never equi-matches), so there is no correct merge
-    # for it — fail fast with a clear contract error instead. One
-    # column-pruned limit-1 probe, terminates at the first row read.
+    # NULL business keys have no correct merge (advice r10): Spark's
+    # xxhash64 folds a NULL input to the SEED (42) — null-tolerant,
+    # not null-propagating (verified round 13; the r10 note claiming a
+    # NULL bucket was wrong about the mechanism) — so the row would
+    # silently bucket to pmod(42, n) while the equi-joins on user_id
+    # drop it on the floor (NULL never equi-matches). Fail fast with a
+    # clear contract error instead. One column-pruned limit-1 probe,
+    # terminates at the first row read.
     if events.filter(F.col("user_id").isNull()).take(1):
         raise ValueError(
             "scd2_merge requires a non-NULL business key: events with "
@@ -2876,6 +2876,10 @@ def _scd2_apply(
         F.col("ts").cast(types["valid_from"]).alias("ts"),
         F.col("event_id").cast(types["event_id"]).alias("event_id"),
     )
+    # the lossy-cast check needs its own probe: Spark's xxhash64 folds
+    # a NULL input to the SEED (it is null-tolerant, not
+    # null-propagating), so a NULLed key would silently bucket to
+    # pmod(42, n) rather than surface as a None bucket id
     if delta.filter(F.col("user_id").isNull()).take(1):
         raise ValueError(
             "scd2 merge: casting the delta's user_id to the store's "

@@ -561,6 +561,67 @@ def _bloom_suspects(
     return out
 
 
+def _bloom_screen_and_build(
+    spark: SparkSession, ids: DataFrame, m: int, bits: bytes
+) -> tuple[DataFrame, bytes]:
+    """_bloom_suspects and _bloom_build FUSED over one delta pass
+    (round 13: the append phase is now the bench headline, and the two
+    helpers each paid a full Arrow-batched python job to scan the SAME
+    tiny delta — the suspect screen gathers the positions it just
+    computed anyway, so the partial delta bitmap rides along for
+    free). Emits suspect rows (bits NULL) plus one partial-bitmap row
+    per input partition (vec_id NULL); the driver ORs the partials
+    exactly like _bloom_build. Same billion-id honest limit as
+    _bloom_build: the bitmap itself is driver-traffic — at ~2 GB the
+    layout would shard it per cell. Returns (suspects_df,
+    delta_bits)."""
+    import numpy as np
+
+    nbytes = m // 8
+    bc = spark.sparkContext.broadcast(bits)
+    poss = ids.select(
+        "vec_id", F.array(*_bloom_positions(F.col("vec_id"), m)).alias("pp")
+    )
+
+    def screen(it):
+        import numpy as np
+        import pandas as pd
+
+        buf = np.frombuffer(bc.value, dtype=np.uint8)
+        partial = np.zeros(nbytes, dtype=np.uint8)
+        seen = False
+        for pdf in it:
+            if not len(pdf):
+                continue
+            seen = True
+            pp = np.stack([np.asarray(a) for a in pdf["pp"]])
+            np.bitwise_or.at(
+                partial, pp // 8,
+                np.left_shift(np.uint8(1), (pp % 8).astype(np.uint8)),
+            )
+            hit = ((buf[pp // 8] >> (pp % 8).astype(np.uint8)) & 1).all(
+                axis=1
+            )
+            out = pdf.loc[hit, ["vec_id"]].copy()
+            if len(out):
+                out["bits"] = None
+                yield out
+        if seen:
+            yield pd.DataFrame(
+                {"vec_id": [None], "bits": [partial.tobytes()]}
+            )
+
+    fused = poss.mapInPandas(
+        screen, schema="vec_id long, bits binary"
+    ).localCheckpoint(eager=True)
+    bc.destroy()
+    suspects = fused.filter(F.col("vec_id").isNotNull()).select("vec_id")
+    delta_bits = np.zeros(nbytes, dtype=np.uint8)
+    for r in fused.filter(F.col("bits").isNotNull()).collect():
+        delta_bits |= np.frombuffer(bytes(r.bits), dtype=np.uint8)
+    return suspects, delta_bits.tobytes()
+
+
 def _idstate_write(
     spark: SparkSession, path: str, m: int, n: int, bits: bytes
 ) -> None:
@@ -799,9 +860,13 @@ def ivf_append(spark: SparkSession, path: str, new_vectors: DataFrame) -> None:
             suspects = delta_ids
             any_suspect = True
         else:
-            suspects = _bloom_suspects(
+            # fused pass (round 13): the suspect screen and the delta's
+            # partial Bloom bitmap come out of ONE Arrow-batched job —
+            # they scan the same checkpointed delta, and the screen
+            # computes every bit position the build needs anyway
+            suspects, delta_bloom_bits = _bloom_screen_and_build(
                 spark, delta_ids, int(state.m), bytes(state.bits)
-            ).localCheckpoint(eager=True)
+            )
             # the O(delta) fast path: no Bloom-positive means no id was
             # ever indexed — the exact corpus check must not even START
             # (a left-semi probe for zero suspects would still stream
@@ -866,12 +931,11 @@ def ivf_append(spark: SparkSession, path: str, new_vectors: DataFrame) -> None:
         else:
             import numpy as np
 
-            delta_bits = np.frombuffer(
-                _bloom_build(delta_ids, m), dtype=np.uint8
-            )
+            # the delta's bitmap was already built by the fused screen
+            # above — no second delta scan
             bits = (
                 np.frombuffer(bytes(state.bits), dtype=np.uint8)
-                | delta_bits
+                | np.frombuffer(delta_bloom_bits, dtype=np.uint8)
             ).tobytes()
         _idstate_write(spark, path, m, n, bits)
         # a purge that emptied the corpus (or a compact before this

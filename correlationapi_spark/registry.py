@@ -87,6 +87,9 @@ _TOUCHED: frozenset[str] = frozenset({
                            # changed by design
     "q_sim_topk_pq",       # same trained codebook on the ADC probe
     "q_sim_topk_ivfpq",    # same trained codebook on the fused probe
+    "q_sim_index_append",  # append's Bloom screen + delta-bitmap build
+                           # fused into one Arrow pass (same verdicts,
+                           # bit-identical bitmap — pinned)
 })
 
 

@@ -2524,6 +2524,7 @@ def test_ivf_bloom_no_false_negatives_and_low_fp(spark):
     from correlationapi_spark.llm.similarity import (
         _bloom_build,
         _bloom_m,
+        _bloom_screen_and_build,
         _bloom_suspects,
     )
 
@@ -2537,6 +2538,16 @@ def test_ivf_bloom_no_false_negatives_and_low_fp(spark):
     fresh = spark.range(100000, 120000).select(F.col("id").alias("vec_id"))
     fp = _bloom_suspects(spark, fresh, m, bits).count()
     assert fp <= 60, f"Bloom FP rate too high: {fp}/20000"
+
+    # the fused screen+build (round 13, the append hot path) must agree
+    # with BOTH reference helpers: same suspect set against the member
+    # bitmap, and a bit-identical bitmap for the scanned ids
+    fused_sus, fused_bits = _bloom_screen_and_build(spark, ids, m, bits)
+    assert fused_sus.count() == 2000
+    assert fused_bits == bits  # same ids -> same bitmap, byte-exact
+    fresh_sus, fresh_bits = _bloom_screen_and_build(spark, fresh, m, bits)
+    assert fresh_sus.count() == fp  # identical screen verdicts
+    assert fresh_bits == _bloom_build(fresh, m)
 
 
 def test_ivf_mutation_lock_single_writer(spark, tmp_path):

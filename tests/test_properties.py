@@ -1574,6 +1574,77 @@ def test_scd2_merge_into_existing_store(spark, tmp_path):
     assert cur2 == {"planted_c"}
 
 
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),   # user_id
+            st.sampled_from(["a", "b", "c"]),        # event_type
+            st.integers(min_value=0, max_value=47),  # ts hour offset
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    cut=st.integers(min_value=8, max_value=40),
+    n_buckets=st.sampled_from([1, 2, 4, 8]),
+)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=list(HealthCheck))
+def test_scd2_merge_into_equals_rebuild_property(spark, rows, cut,
+                                                 n_buckets):
+    """Round-13 property for the hardened incremental path: for ANY
+    event log, ANY time cut (base = ts < cut, delta = ts >= cut — the
+    CDC strictly-newer contract holds by construction) and ANY
+    bucketing modulus, building the base store with scd2_merge then
+    scd2_merge_into-ing the delta (modulus taken from the store's own
+    metadata, never passed) must reproduce the full-history
+    scd2_intervals rebuild EXACTLY — including empty deltas, users
+    born after the cut, single-bucket stores, and heavy same-ts ties
+    broken by event_id."""
+    import tempfile
+
+    from correlationapi_spark.operators.analytics import (
+        scd2_intervals,
+        scd2_merge,
+        scd2_merge_into,
+    )
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (uid, et, t0 + dt.timedelta(hours=h), i)
+            for i, (uid, et, h) in enumerate(rows)
+        ],
+        "user_id long, event_type string, ts timestamp, event_id long",
+    )
+    cut_ts = F.lit(t0 + dt.timedelta(hours=cut))
+    base = ev.filter(F.col("ts") < cut_ts)
+    delta = ev.filter(F.col("ts") >= cut_ts)
+
+    def obs(df):
+        return df.select(
+            "user_id", F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"), "event_id",
+        )
+
+    path = tempfile.mkdtemp(prefix="scd2prop_") + "/store"
+    if not base.take(1):
+        return  # scd2_merge_into requires an existing store
+    scd2_merge(
+        spark, base, F.lit(False), n_buckets=n_buckets, _store_path=path
+    )
+    merged, stats = scd2_merge_into(spark, path, delta)
+    want = scd2_intervals(obs(ev)).drop("event_id")
+    assert sorted(map(tuple, merged.select(*want.columns).collect())) == \
+        sorted(map(tuple, want.collect()))
+    # total counts the base store's occupied buckets; touched is the
+    # delta's bucket set (which may open previously-empty buckets, so
+    # it is NOT bounded by total)
+    assert stats["total"] <= n_buckets
+    assert stats["touched"] == len(stats["buckets"]) <= n_buckets
+
+
 def test_scd2_persisted_modulus_and_key_cast(spark, tmp_path):
     """round 13 (r12 advice): the store's bucketing modulus is
     PERSISTED (_scd2_meta.json) and scd2_merge_into derives it from the

@@ -2484,6 +2484,10 @@ def _pq_train_local(sample: list) -> list:
     import numpy as np
 
     X = np.asarray(sample, dtype=np.float64)
+    if X.ndim != 2 or not len(X):
+        raise ValueError(
+            "pq codebook training needs at least one sample vector"
+        )
     books = []
     for s in range(PQ_M):
         Xs = X[:, s * PQ_SUB_D:(s + 1) * PQ_SUB_D]

@@ -2550,6 +2550,38 @@ def test_ivf_bloom_no_false_negatives_and_low_fp(spark):
     assert fresh_bits == _bloom_build(fresh, m)
 
 
+def test_pq_train_local_determinism_and_small_sample():
+    """The PQ codebook trainer's edge contract (round 13): (a) two
+    runs on the same sample produce bit-identical books (the replay
+    pins depend on this); (b) a sample SMALLER than PQ_K still yields
+    a full PQ_M x PQ_K book via cycled init; (c) an empty sample
+    refuses with a clear error instead of a numpy shape crash."""
+    import pytest as _pytest
+
+    from correlationapi_spark.llm.similarity import (
+        PQ_K,
+        PQ_M,
+        PQ_SUB_D,
+        _pq_train_local,
+    )
+
+    sample = [
+        [((i * 37 + j * 11) % 97) / 97.0 for j in range(PQ_M * PQ_SUB_D)]
+        for i in range(PQ_K + 5)
+    ]
+    b1 = _pq_train_local(sample)
+    b2 = _pq_train_local(sample)
+    assert b1 == b2  # bit-identical, not approx
+    assert len(b1) == PQ_M and all(len(bs) == PQ_K for bs in b1)
+    assert all(len(c) == PQ_SUB_D for bs in b1 for c in bs)
+
+    tiny = _pq_train_local(sample[:3])
+    assert len(tiny) == PQ_M and all(len(bs) == PQ_K for bs in tiny)
+
+    with _pytest.raises(ValueError, match="at least one sample"):
+        _pq_train_local([])
+
+
 def test_ivf_mutation_lock_single_writer(spark, tmp_path):
     """advice r10: the check-then-write critical section takes a lock —
     a second writer fails fast instead of racing the clash check."""

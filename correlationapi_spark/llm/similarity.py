@@ -2503,39 +2503,30 @@ def _pq_train_local(sample: list) -> list:
     return books
 
 
-def _pq_codebook(corpus: DataFrame) -> DataFrame:
-    """Trained PQ codebook as a broadcastable (s, cid, c) frame. The
-    training sample is the PQ_TRAIN_N lowest vec_ids in vec_id order —
-    bounded and deterministic; at 100 TB the same shape holds (PQ
-    codebooks train on a fixed-size sample regardless of corpus size —
-    take a hash-pruned ~100k-row sample, never the corpus). Lloyd runs
-    driver-side in numpy: ≤PQ_TRAIN_N × d doubles, milliseconds —
-    distributing k-means over ≤1024 rows would cost more in scheduling
-    than it computes. Built as a single-slice frame (the _one_slice_df
-    sidecar rule)."""
-    spark = corpus.sparkSession
+def _pq_train_books(corpus: DataFrame) -> list:
+    """Trained PQ codebook as driver-side [PQ_M][PQ_K] centroid lists.
+    The training sample is the PQ_TRAIN_N lowest vec_ids in vec_id
+    order — bounded and deterministic; at 100 TB the same shape holds
+    (PQ codebooks train on a fixed-size sample regardless of corpus
+    size — take a hash-pruned ~100k-row sample, never the corpus).
+    Lloyd runs driver-side in numpy: ≤PQ_TRAIN_N × d doubles,
+    milliseconds — distributing k-means over ≤1024 rows would cost
+    more in scheduling than it computes."""
     rows = (
         corpus.select("vec_id", "embedding")
         .orderBy("vec_id")
         .limit(PQ_TRAIN_N)
         .collect()
     )
-    books = _pq_train_local(
+    return _pq_train_local(
         [[float(x) for x in r.embedding] for r in rows]
     )
-    return _one_slice_df(
-        spark,
-        [
-            (s, cid, books[s][cid])
-            for s in range(PQ_M)
-            for cid in range(PQ_K)
-        ],
-        "s int, cid int, c array<double>",
-    )
+
+
 
 
 def pq_encode(
-    corpus: DataFrame, _codebook: "DataFrame | None" = None
+    corpus: DataFrame, _books: "list | None" = None
 ) -> DataFrame:
     """Product-quantization encode (Jégou et al. 2011, public): split
     each d=64 embedding into PQ_M=8 contiguous subvectors, assign each
@@ -2546,10 +2537,10 @@ def pq_encode(
     evaluated against codes via per-subspace lookup tables (ADC).
 
     Codebook: per-subspace k-means trained on a bounded deterministic
-    sample (_pq_codebook / _pq_train_local — round 13; the old
+    sample (_pq_train_books / _pq_train_local — round 13; the old
     first-PQ_K-rows sampled codebook pinned ADC recall@5 at 0.24 on
     the fixture, the trained 8×64 book reaches ~0.36 five-probe /
-    0.33 all-probe, pinned in tests/test_rowsonly.py). ``_codebook``
+    0.33 all-probe, pinned in tests/test_rowsonly.py). ``_books``
     lets the ADC probe engines share one trained book with the encode
     instead of re-training.
 
@@ -2557,76 +2548,81 @@ def pq_encode(
     (bit-reproducible — see _pq_train_local); subvector distances are
     sequential F.aggregate folds over zip_with squared differences
     (double ops in array order); the per-subspace argmin is
-    min(struct(dist, cid)) — lexicographic with the cid tiebreak; the
-    reconstruction error is assembled in FIXED order (a subspace
-    pivot summed e0+e1+…+e7, never a float sum aggregate whose
-    accumulation order floats). Replayed bit-exactly in python in
+    array_min over struct(dist, cid) — lexicographic with the cid
+    tiebreak, the same order the old min(struct) aggregate used; the
+    reconstruction error is assembled in FIXED order (e0+e1+…+e7 over
+    literal indices, never a float sum aggregate whose accumulation
+    order floats). Replayed bit-exactly in python in
     tests/test_rowsonly.py.
 
-    Scale shape: the codebook is PQ_M·PQ_K = 512 rows — broadcast; the
-    encode is one map-side join + two bounded aggregates keyed on
-    vec_id (PQ_M rows per key). No shuffle grows with d or k."""
-    subs = corpus.select(
-        "vec_id",
-        "label",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-                lambda s: F.struct(
-                    s.alias("s"),
-                    F.transform(
-                        F.slice(
-                            F.col("embedding"), s * PQ_SUB_D + 1, PQ_SUB_D
-                        ),
-                        lambda x: x.cast("double"),
-                    ).alias("sub"),
-                ),
+    Scale shape (round 13): the encode is ONE Arrow-batched numpy map
+    stage (mapInArrow — the q_corr_matrix_gram discipline for dense
+    numeric kernels, minus even the pandas hop: the embedding list
+    column flattens to its contiguous Arrow values buffer, so no
+    per-row python object is ever built). The n×PQ_M×PQ_K distance
+    arithmetic is 4.1e9 double ops at 1M vectors: the original
+    join+groupBy shape paid a 512M-row shuffle on top of it (174 s), a
+    pure Catalyst higher-order-function rewrite still evaluated every
+    lambda INTERPRETED per element (140 s), and a pandas-object path
+    spent half its time materializing 1M python arrays (73 s) —
+    vectorized numpy over the flat buffer runs the same ops in C. No
+    shuffle at all; the codebook (4096 doubles) rides the closure.
+
+    Bit-exactness with the python replay is preserved by operand
+    order: numpy's axis sum over PQ_SUB_D=8 elements is sequential
+    (pairwise blocking starts at 128), matching seq_l2's left fold;
+    argmin's first-occurrence rule IS the lowest-cid tiebreak; the
+    error accumulates in subspace order; rounding stays in Spark
+    (F.round, unchanged engine)."""
+    books = _books if _books is not None else _pq_train_books(corpus)
+    label_t = corpus.schema["label"].dataType.simpleString()
+    d = PQ_M * PQ_SUB_D
+
+    def encode(it):
+        import numpy as np
+        import pyarrow as pa
+
+        C = [np.asarray(b, dtype=np.float64) for b in books]
+        for batch in it:
+            n = batch.num_rows
+            if not n:
+                continue
+            emb = batch.column(2)
+            flat = emb.flatten()
+            if len(flat) != n * d:
+                raise ValueError(
+                    f"pq_encode needs fixed {d}-dim embeddings; got "
+                    f"{len(flat)} values for {n} rows"
+                )
+            X = np.asarray(flat, dtype=np.float64).reshape(n, d)
+            code = np.zeros(n, dtype=np.int64)
+            err = np.zeros(n, dtype=np.float64)
+            for s in range(PQ_M):
+                Xs = X[:, s * PQ_SUB_D:(s + 1) * PQ_SUB_D]
+                d2 = ((Xs[:, None, :] - C[s][None, :, :]) ** 2).sum(axis=2)
+                cid = d2.argmin(axis=1)
+                code |= cid.astype(np.int64) << (PQ_BITS * s)
+                err += d2[np.arange(n), cid]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    batch.column(1),
+                    pa.array(code),
+                    pa.array(err),
+                ],
+                names=["vec_id", "label", "pq_code", "recon_err"],
             )
-        ).alias("e"),
-    ).select("vec_id", "label", F.col("e.s").alias("s"), F.col("e.sub").alias("sub"))
-    codebook = _codebook if _codebook is not None else _pq_codebook(corpus)
-    dist = F.aggregate(
-        F.zip_with(F.col("sub"), F.col("c"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+
+    enc = corpus.select("vec_id", "label", "embedding").mapInArrow(
+        encode,
+        schema=(
+            f"vec_id long, label {label_t}, pq_code long, "
+            "recon_err double"
+        ),
     )
-    best = (
-        subs.join(F.broadcast(codebook), "s")
-        .select("vec_id", "label", "s", dist.alias("d"), "cid")
-        .groupBy("vec_id", "s")
-        .agg(
-            F.any_value("label").alias("label"),
-            F.min(F.struct(F.col("d"), F.col("cid"))).alias("b"),
-        )
-        .select(
-            "vec_id", "label", "s",
-            F.col("b.cid").alias("cid"), F.col("b.d").alias("d"),
-        )
-    )
-    piv = best.groupBy("vec_id").agg(
-        F.any_value("label").alias("label"),
-        *[
-            F.max(F.when(F.col("s") == i, F.col("cid"))).alias(f"c{i}")
-            for i in range(PQ_M)
-        ],
-        *[
-            F.max(F.when(F.col("s") == i, F.col("d"))).alias(f"e{i}")
-            for i in range(PQ_M)
-        ],
-    )
-    code = sum(
-        (F.col(f"c{i}").cast("bigint") * F.lit(1 << (PQ_BITS * i)))
-        for i in range(PQ_M)
-    )
-    # fixed-order error assembly (the float rule): e0+e1+…+e{M-1}
-    err = F.col("e0")
-    for i in range(1, PQ_M):
-        err = err + F.col(f"e{i}")
-    return piv.select(
-        "vec_id",
-        "label",
-        code.alias("pq_code"),
-        F.round(err, 6).alias("recon_err"),
+    return enc.select(
+        "vec_id", "label", "pq_code",
+        F.round("recon_err", 6).alias("recon_err"),
     )
 
 
@@ -2656,96 +2652,121 @@ def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_encode(t["embeddings"])
 
 
-def _pq_adc_sum() -> "Column":
-    """Fixed-order ADC assembly e0+e1+…+e{M-1} (the q_embed_pq float
-    rule: never a float sum aggregate whose accumulation order
-    floats)."""
-    adc = F.col("e0")
-    for i in range(1, PQ_M):
-        adc = adc + F.col(f"e{i}")
-    return adc
+_PQ_MAX_PROBES = 1024  # per-probe LUT state is broadcast — bound it
+
+
+def _pq_probe_lut(
+    corpus: DataFrame, probe_pred, books: list
+) -> "tuple[list, list]":
+    """Driver-side per-probe L2 lookup tables: for every probe row
+    matching ``probe_pred``, LUT[p][s][c] = sequential-fold L2 of the
+    probe's subvector s against codebook entry c — computed in PURE
+    python (the same seq_l2 the replay tests run, so scores stay
+    bit-identical to the pinned replays; the table is
+    P×PQ_M×PQ_K = P×512 doubles, trivial arithmetic). Probes are
+    bounded by contract (every surface passes explicit probe ids);
+    refuse beyond _PQ_MAX_PROBES — batch scoring of many probes would
+    stream probes through a join instead of broadcasting LUT state.
+    Returns (probe_ids, lut) in vec_id order."""
+    rows = (
+        corpus.filter(probe_pred)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(_PQ_MAX_PROBES + 1)
+        .collect()
+    )
+    if len(rows) > _PQ_MAX_PROBES:
+        raise ValueError(
+            f"pq probes are limited to {_PQ_MAX_PROBES} per call (the "
+            "per-probe ADC lookup table is broadcast state)"
+        )
+    pids, lut = [], []
+    for r in rows:
+        v = [float(x) for x in r.embedding]
+        tab = []
+        for s in range(PQ_M):
+            sub = v[s * PQ_SUB_D:(s + 1) * PQ_SUB_D]
+            row = []
+            for c in range(PQ_K):
+                acc = 0.0
+                for x, y in zip(sub, books[s][c]):
+                    acc = acc + (x - y) * (x - y)
+                row.append(acc)
+            tab.append(row)
+        pids.append(int(r.vec_id))
+        lut.append(tab)
+    return pids, lut
 
 
 def pq_adc_topk(corpus: DataFrame, probe_pred, k: int = 5) -> DataFrame:
     """Asymmetric distance computation over PQ codes (the probe side of
     q_embed_pq): each probe keeps its RAW subvectors and precomputes an
-    L2 lookup table to all PQ_M×PQ_K codebook entries (512 rows —
-    broadcast); every corpus vector is then scored as the SUM of eight
-    table lookups on its unpacked 6-bit codes, never touching the raw
-    corpus floats. This is why PQ wins at 100 TB: the scan reads 6-byte
-    codes + a broadcast LUT instead of 256-byte vectors.
+    L2 lookup table to all PQ_M×PQ_K codebook entries (P×512 doubles);
+    every corpus vector is then scored as the SUM of eight table
+    lookups on its unpacked 6-bit codes, never touching the raw corpus
+    floats. This is why PQ wins at 100 TB: the scan reads 6-byte codes
+    + a closure-carried LUT instead of 256-byte vectors.
 
-    Plan: the codebook trains ONCE (_pq_codebook) and is shared with
-    the encode; codes (vec_id-keyed, PQ_M rows per vec) join the
-    (probe, s, cid) LUT broadcast on (s, cid); one groupBy (probe,
-    vec) sums the looked-up distances via a subspace pivot
-    (fixed-order e0+e1+…, the q_embed_pq float rule);
-    WindowGroupLimit takes top-k per probe ordered by (adc ASC,
-    vec_id)."""
-    codebook = _pq_codebook(corpus)
-    # python-int subspace ids: shiftright's bit count is a literal
-    coded = pq_encode(corpus, _codebook=codebook).select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("s"),
-                        F.shiftright(F.col("pq_code"), PQ_BITS * s)
-                        .bitwiseAND(F.lit(PQ_K - 1))
-                        .cast("int")
-                        .alias("cid"),
-                    )
-                    for s in range(PQ_M)
-                ]
-            )
-        ).alias("e"),
-    ).select("vec_id", F.col("e.s").alias("s"), F.col("e.cid").alias("cid"))
-    subs = corpus.select(
-        "vec_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-                lambda s: F.struct(
-                    s.alias("s"),
-                    F.transform(
-                        F.slice(
-                            F.col("embedding"), s * PQ_SUB_D + 1, PQ_SUB_D
-                        ),
-                        lambda x: x.cast("double"),
-                    ).alias("sub"),
-                ),
-            )
-        ).alias("e"),
-    ).select("vec_id", F.col("e.s").alias("s"), F.col("e.sub").alias("sub"))
-    l2 = F.aggregate(
-        F.zip_with(F.col("sub"), F.col("c"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    lut = (
-        subs.filter(probe_pred)
-        .withColumnRenamed("vec_id", "probe_id")
-        .join(F.broadcast(codebook), "s")
-        .select("probe_id", "s", "cid", l2.alias("ld"))
-    )
-    scored = (
-        coded.join(F.broadcast(lut), ["s", "cid"])
-        .groupBy("probe_id", "vec_id")
-        .agg(
-            *[
-                F.max(F.when(F.col("s") == i, F.col("ld"))).alias(f"e{i}")
-                for i in range(PQ_M)
-            ]
+    Plan (round 13, vectorized scoring): the codebook trains ONCE
+    (_pq_train_books) and is shared with the encode; the per-probe LUT
+    is computed driver-side in pure python seq_l2 order (bounded — see
+    _pq_probe_lut, and bit-identical to the replay pins) and rides the
+    closure into ONE Arrow-batched numpy map stage that also takes a
+    per-batch partial top-k per probe (a map-side combine: the global
+    (adc ASC, vec_id) top-k is a subset of the union of per-batch
+    top-ks under the same order). Only batches×P×k rows reach the
+    final top-k window — the old shape shuffled n×PQ_M joined rows
+    through a groupBy pivot. ADC accumulates in subspace order
+    (e0+e1+…, the q_embed_pq float rule, preserved by numpy
+    elementwise adds)."""
+    books = _pq_train_books(corpus)
+    pids, lut = _pq_probe_lut(corpus, probe_pred, books)
+    spark = corpus.sparkSession
+    if not pids:
+        return spark.createDataFrame(
+            [], "probe_id long, vec_id long, adc_l2 double, rank int"
         )
-        .select("probe_id", "vec_id", _pq_adc_sum().alias("adc"))
+    coded = pq_encode(corpus, _books=books).select("vec_id", "pq_code")
+
+    def score(it):
+        import numpy as np
+        import pandas as pd
+
+        L = np.asarray(lut, dtype=np.float64)  # P×M×K
+        pid_arr = np.asarray(pids, dtype=np.int64)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            codes = pdf["pq_code"].to_numpy(dtype=np.int64)
+            vids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cids = [
+                (codes >> (PQ_BITS * s)) & (PQ_K - 1)
+                for s in range(PQ_M)
+            ]
+            for p in range(len(pid_arr)):
+                adc = L[p, 0][cids[0]].copy()
+                for s in range(1, PQ_M):
+                    adc += L[p, s][cids[s]]
+                mask = vids != pid_arr[p]
+                v, a = vids[mask], adc[mask]
+                sel = np.lexsort((v, a))[:k]  # partial top-k, same order
+                if len(sel):
+                    yield pd.DataFrame(
+                        {
+                            "probe_id": pid_arr[p],
+                            "vec_id": v[sel],
+                            "adc": a[sel],
+                        }
+                    )
+
+    scored = coded.mapInPandas(
+        score, schema="probe_id long, vec_id long, adc double"
     )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("adc").asc(), F.col("vec_id")
     )
     return (
-        scored.filter(F.col("probe_id") != F.col("vec_id"))
-        .select("*", F.row_number().over(w).alias("rn"))
+        scored.select("*", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= k)
         .select(
             "probe_id", "vec_id", F.round(F.col("adc"), 6).alias("adc_l2"),
@@ -2786,60 +2807,26 @@ def ivfpq_topk(
     + a broadcast lookup table (q_sim_topk_pq) — so a probe touches
     ~n_probe/k_cells of the corpus AND never reads raw vectors.
 
-    Plan: probe→cell ranking on the broadcast centroid table; the
-    candidate (probe, vec) pairs come from the cell equi-join; codes
-    join candidates on vec_id and the broadcast LUT on (probe, s, cid);
-    one pivot-summed ADC per pair; WindowGroupLimit top-k. ADC L2
-    ranks ascending (the q_sim_topk_pq contract)."""
+    Plan (round 13, vectorized scoring): probe→cell ranking on the
+    broadcast centroid table; the candidate (probe, vec) pairs come
+    from the cell equi-join; packed codes join candidates on vec_id
+    (ONE exchange, at scale the pruned parquet read); ADC is then one
+    Arrow-batched numpy map stage over (probe_id, pq_code) with the
+    closure-carried per-probe LUT — fixed-order e0+e1+… per the
+    q_embed_pq float rule. The old shape exploded candidates ×PQ_M
+    through a three-key join and a groupBy pivot. WindowGroupLimit
+    top-k; ADC L2 ranks ascending (the q_sim_topk_pq contract)."""
     assigned, cents = ivf_index(
         corpus_view(corpus, "vec_id", "embedding")
     )
-    codebook = _pq_codebook(corpus)
-    coded = pq_encode(corpus, _codebook=codebook).select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("s"),
-                        F.shiftright(F.col("pq_code"), PQ_BITS * s)
-                        .bitwiseAND(F.lit(PQ_K - 1))
-                        .cast("int")
-                        .alias("cid"),
-                    )
-                    for s in range(PQ_M)
-                ]
-            )
-        ).alias("e"),
-    ).select("vec_id", F.col("e.s").alias("s"), F.col("e.cid").alias("cid"))
-    subs = corpus.select(
-        "vec_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-                lambda s: F.struct(
-                    s.alias("s"),
-                    F.transform(
-                        F.slice(
-                            F.col("embedding"), s * PQ_SUB_D + 1, PQ_SUB_D
-                        ),
-                        lambda x: x.cast("double"),
-                    ).alias("sub"),
-                ),
-            )
-        ).alias("e"),
-    ).select("vec_id", F.col("e.s").alias("s"), F.col("e.sub").alias("sub"))
-    l2 = F.aggregate(
-        F.zip_with(F.col("sub"), F.col("c"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    lut = (
-        subs.filter(probe_pred)
-        .withColumnRenamed("vec_id", "probe_id")
-        .join(F.broadcast(codebook), "s")
-        .select("probe_id", "s", "cid", l2.alias("ld"))
-    )
+    books = _pq_train_books(corpus)
+    pids, lut = _pq_probe_lut(corpus, probe_pred, books)
+    spark = corpus.sparkSession
+    if not pids:
+        return spark.createDataFrame(
+            [], "probe_id long, vec_id long, adc_l2 double, rank int"
+        )
+    coded = pq_encode(corpus, _books=books).select("vec_id", "pq_code")
     # probe -> n_probe nearest cells (L2 on the raw probe vs centroid)
     probes = corpus.filter(probe_pred).select(
         F.col("vec_id").alias("probe_id"),
@@ -2876,18 +2863,36 @@ def ivfpq_topk(
     candidates = probe_cells.join(
         assigned.select("vec_id", "cell"), "cell"
     ).select("probe_id", "vec_id")
+
+    def score(it):
+        import numpy as np
+        import pandas as pd
+
+        L = np.asarray(lut, dtype=np.float64)  # P×M×K
+        pidmap = {int(p): i for i, p in enumerate(pids)}
+        for pdf in it:
+            if not len(pdf):
+                continue
+            codes = pdf["pq_code"].to_numpy(dtype=np.int64)
+            pidx = pdf["probe_id"].map(pidmap).to_numpy(dtype=np.int64)
+            adc = L[pidx, 0, (codes >> 0) & (PQ_K - 1)].copy()
+            for s in range(1, PQ_M):
+                adc += L[pidx, s, (codes >> (PQ_BITS * s)) & (PQ_K - 1)]
+            yield pd.DataFrame(
+                {
+                    "probe_id": pdf["probe_id"].to_numpy(dtype=np.int64),
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "adc": adc,
+                }
+            )
+
     scored = (
         candidates.filter(F.col("probe_id") != F.col("vec_id"))
         .join(coded, "vec_id")
-        .join(F.broadcast(lut), ["probe_id", "s", "cid"])
-        .groupBy("probe_id", "vec_id")
-        .agg(
-            *[
-                F.max(F.when(F.col("s") == i, F.col("ld"))).alias(f"e{i}")
-                for i in range(PQ_M)
-            ]
+        .select("probe_id", "vec_id", "pq_code")
+        .mapInPandas(
+            score, schema="probe_id long, vec_id long, adc double"
         )
-        .select("probe_id", "vec_id", _pq_adc_sum().alias("adc"))
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("adc").asc(), "vec_id")
     return (

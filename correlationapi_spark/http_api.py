@@ -520,6 +520,10 @@ def _route(api: CorrelationAPI, method: str, path: str,
             if req not in body:
                 raise ValueError(f'body must contain "{req}"')
         users = body.get("users")
+        if users is not None and not isinstance(users, list):
+            # a scalar string "12" would iterate per-CHARACTER into
+            # [1, 2] and silently answer for the wrong users
+            raise ValueError('"users" must be a JSON array of ids')
         return 200, api.scd2_snapshot(
             body["path"], body["ts"],
             users=None if users is None else [int(u) for u in users],

@@ -2569,8 +2569,11 @@ def pq_encode(
     shuffle at all; the codebook (4096 doubles) rides the closure.
 
     Bit-exactness with the python replay is preserved by operand
-    order: numpy's axis sum over PQ_SUB_D=8 elements is sequential
-    (pairwise blocking starts at 128), matching seq_l2's left fold;
+    order: the subspace distance is an EXPLICIT left fold over the
+    PQ_SUB_D squared differences (one vectorized add per dim, in dim
+    order — np.sum(axis=...) must NOT be used here: numpy's pairwise
+    reduction tree engages at exactly 8 elements and differs from the
+    sequential fold by 1 ULP on ~40% of sums, r13 review finding);
     argmin's first-occurrence rule IS the lowest-cid tiebreak; the
     error accumulates in subspace order; rounding stays in Spark
     (F.round, unchanged engine)."""
@@ -2599,7 +2602,11 @@ def pq_encode(
             err = np.zeros(n, dtype=np.float64)
             for s in range(PQ_M):
                 Xs = X[:, s * PQ_SUB_D:(s + 1) * PQ_SUB_D]
-                d2 = ((Xs[:, None, :] - C[s][None, :, :]) ** 2).sum(axis=2)
+                sq = (Xs[:, None, :] - C[s][None, :, :]) ** 2
+                # sequential left fold over dims — see docstring
+                d2 = sq[:, :, 0].copy()
+                for j in range(1, PQ_SUB_D):
+                    d2 += sq[:, :, j]
                 cid = d2.argmin(axis=1)
                 code |= cid.astype(np.int64) << (PQ_BITS * s)
                 err += d2[np.arange(n), cid]
@@ -2803,7 +2810,7 @@ def ivfpq_topk(
     (FAISS IVFx,PQy): the IVF coarse quantizer prunes the corpus to
     n_probe cells' worth of CANDIDATES (at scale: parquet partition
     pruning on the cell-partitioned layout, q_sim_topk_ivf), and PQ's
-    asymmetric distance scores only those candidates from 2-byte codes
+    asymmetric distance scores only those candidates from 6-byte codes
     + a broadcast lookup table (q_sim_topk_pq) — so a probe touches
     ~n_probe/k_cells of the corpus AND never reads raw vectors.
 
@@ -2915,7 +2922,7 @@ def ivfpq_topk(
     "ADC engine on shared pairs, and candidate volume is a strict "
     "subset of the corpus).",
     doc="IVF-PQ fused ANN (the FAISS-style composition): coarse-"
-    "quantizer cell pruning + asymmetric-distance scoring over 4-bit "
+    "quantizer cell pruning + asymmetric-distance scoring over 6-bit "
     "codes — a probe touches ~n_probe/k_cells of the corpus and never "
     "rereads raw vectors.",
 )

@@ -3239,11 +3239,22 @@ def scd2_snapshot_at(
     valid at ``ts`` (valid_from <= ts < valid_to, with open intervals
     kept via is_current) — the as-of query a dimension store exists to
     answer (r12 verdict: merge/recover shipped with no read surface
-    short of a raw parquet scan). Read-only: no mutation lock is taken;
-    a pending interrupted commit is first rolled forward via the locked
-    recover surface ONLY when a manifest exists (the common no-manifest
-    case costs one exists() probe, no lock traffic), so the snapshot
-    always reflects a completed merge, never a half-published one.
+    short of a raw parquet scan). Genuinely READ-ONLY (r13 review: the
+    first cut rolled a pending commit forward from here, which made an
+    unauthenticated HTTP read mutate the store on disk and collide
+    with the writer lock): no lock is taken and nothing is written. A
+    store with a pending interrupted commit (_commit.json present)
+    REFUSES with a clear error naming the mutating surface that heals
+    it — serving a half-published dimension silently would be worse
+    than failing.
+
+    Honest isolation limit (raw parquet, rename-based publish): each
+    bucket swap is atomic, so a snapshot racing a LIVE commit sees
+    every bucket either pre- or post-swap — but different buckets may
+    land on different sides, and a bucket file renamed mid-scan can
+    fail the read. Cross-bucket snapshot isolation under concurrent
+    writers needs a table format's commit log; operationally, serve
+    snapshots from a replica or between merge windows.
 
     Scale shape: with ``user_ids`` the bucket ids are computed from the
     store's persisted modulus (_scd2_meta.json) via the same JVM
@@ -3258,7 +3269,11 @@ def scd2_snapshot_at(
     import os
 
     if io.exists(os.path.join(path, "_commit.json")):
-        scd2_recover(path, spark=spark)
+        raise ValueError(
+            f"scd2_snapshot_at: store at {path!r} has a pending "
+            "interrupted commit — run scd2_recover (CLI scd2-recover / "
+            "POST /scd2/recover, a mutating operation) before reading"
+        )
     import datetime as _dt
 
     if isinstance(ts, (_dt.datetime, _dt.date)):

@@ -884,6 +884,15 @@ def test_scd2_lifecycle_over_http(base_url, spark, tmp_path):
             {"path": store, "ts": "not-a-time"},
         )
     assert exc.value.code == 400
+    # a scalar "users" is a 400, not a per-character id list (r13
+    # review: "12" would iterate into users 1 and 2 and answer 200
+    # with the wrong rows)
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post(
+            f"{base_url}/scd2/snapshot",
+            {"path": store, "ts": "2024-01-25 00:00:00", "users": "12"},
+        )
+    assert exc.value.code == 400
 
     with pytest.raises(urllib.error.HTTPError) as exc:
         _post(

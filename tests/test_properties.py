@@ -1825,6 +1825,21 @@ def test_scd2_snapshot_at_point_in_time(spark, tmp_path):
     with pytest.raises(ValueError, match="non-empty"):
         scd2_snapshot_at(spark, p, ts, user_ids=[])
 
+    # a pending interrupted commit REFUSES the read instead of rolling
+    # it forward (r13 review: the snapshot is the unauthenticated pure
+    # read — mutating the store from here collided with the writer
+    # lock and bypassed the auth gate on /scd2/recover) or serving a
+    # half-published dimension
+    import json
+
+    with open(os.path.join(p, "_commit.json"), "w") as f:
+        json.dump({"stage": p + ".stage", "buckets": []}, f)
+    with pytest.raises(ValueError, match="pending interrupted commit"):
+        scd2_snapshot_at(spark, p, ts)
+    os.remove(os.path.join(p, "_commit.json"))
+    assert sorted(map(tuple, scd2_snapshot_at(spark, p, ts).collect())) \
+        == want
+
 
 def test_ngram_dfcap_recall_contract_on_skewed_corpus(spark):
     """r11 verdict item 3: the `max_shingle_df="auto"` guard's recall

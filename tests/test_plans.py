@@ -759,12 +759,17 @@ def test_round9_late_engine_shapes(spark):
     plan = plan_of(spark, "q_funnel_window")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # q_sim_topk_pq: the LUT and codebook ride broadcasts; the final
-    # per-probe top-k is a WindowGroupLimit, and no raw-embedding join
-    # remains on the scoring side (codes join the broadcast LUT)
+    # q_sim_topk_pq (round 13, vectorized): the codebook and the
+    # per-probe LUT ride the closure into Arrow-batched numpy map
+    # stages — NO join of any kind remains (the old shape broadcast-
+    # joined codes against the LUT and the codebook); the final
+    # per-probe top-k is a WindowGroupLimit over the map-side
+    # partial top-k
     plan = plan_of(spark, "q_sim_topk_pq")
     assert "WindowGroupLimit" in plan
-    assert plan.count("BroadcastHashJoin") >= 2
+    assert "Join" not in plan, plan
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan, plan
+    assert "MapInPandas" in plan, plan
     assert "CartesianProduct" not in plan
 
 

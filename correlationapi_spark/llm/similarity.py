@@ -2653,8 +2653,8 @@ def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """See pq_encode. The IVF keys give the cell-pruned CANDIDATE
     plan; PQ gives the in-cell MEMORY plan (IVF-PQ is the composition
     every billion-scale ANN system ships). This key pins the encode;
-    ADC probing reuses q_sim_assign's broadcast-argmax shape with the
-    64-entry lookup table in place of raw centroids."""
+    ADC probing scores codes against the closure-carried 512-entry
+    per-probe lookup table in place of raw centroids."""
     t = load_tables(spark, sf_dir)
     return pq_encode(t["embeddings"])
 

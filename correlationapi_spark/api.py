@@ -2829,15 +2829,18 @@ class CorrelationAPI:
         centroid table). Optional SQL ``where`` selects the build
         slice (e.g. build on history, index_append the rest). Refuses
         to clobber any existing non-empty directory that does not bear
-        the ``_ivf_index`` marker ivf_write stamps — build is the ONLY
-        destructive write on this surface, so it only ever overwrites
-        a layout this engine certified as its own (advice r10: the old
-        "has a corpus/ subdir" heuristic overwrote arbitrary
-        directories, and its os.path checks were silently vacuous for
-        hdfs://-style paths — the marker check runs on the filesystem
-        Spark resolves the path to). The response carries
-        ``rebuilt``: true when an existing index was replaced (HTTP
-        maps it to 200 vs 201-created)."""
+        the ``_ivf_index`` marker / layout pointer ivf_write stamps —
+        build is the ONLY destructive write on this surface, so it
+        only ever overwrites a layout this engine certified as its own
+        (advice r10: the old "has a corpus/ subdir" heuristic
+        overwrote arbitrary directories, and its os.path checks were
+        silently vacuous for hdfs://-style paths — the marker check
+        runs on the filesystem Spark resolves the path to). A
+        directory whose every entry is store-protocol residue (a
+        crashed first build that never published a pointer) counts as
+        clobberable too — round 14. The response carries ``rebuilt``:
+        true when an existing index was replaced (HTTP maps it to 200
+        vs 201-created)."""
         from .llm.similarity import (
             corpus_view,
             ivf_dir_state,
@@ -2855,9 +2858,10 @@ class CorrelationAPI:
         if state == "other":
             raise ValueError(
                 f"refusing to overwrite non-index directory: {path!r} "
-                "(no _ivf_index marker; a pre-marker index layout can "
-                "be certified by one index_append — which stamps the "
-                "marker — or removed by hand)"
+                "(no _ivf_index marker or _layout.json pointer; a "
+                "pre-marker index layout can be certified by one "
+                "index_append — which stamps the marker — or removed "
+                "by hand)"
             )
         df = self._get(dataset)
         if where is not None:
@@ -3011,10 +3015,11 @@ class CorrelationAPI:
         """Act on the drift gauge (r11 verdict item 4): re-train the
         coarse quantizer from the live vectors and rebuild the cell
         layout when max/avg cell size exceeds ``threshold`` (pass 0 to
-        force). The rebuild is staged to a sibling directory and
-        published by a journaled rename swap (ivf_recover rolls an
-        interrupted publish forward), so the index stays readable
-        throughout; tombstoned rows are dropped by construction
+        force). The new version is staged as unreferenced sibling
+        objects and committed by ONE atomic layout-pointer swap (round
+        14), so the index stays readable AND consistent throughout —
+        a racing reader sees the old version or the new one, never a
+        mixture; tombstoned rows are dropped by construction
         (recluster implies compact)."""
         from pyspark.errors import AnalysisException
 
@@ -3036,14 +3041,17 @@ class CorrelationAPI:
         return {**self.index_status(path), **stats}
 
     def index_recover(self, path: str) -> dict[str, Any]:
-        """Roll an interrupted recluster publish forward (review r12:
-        every MUTATION heals a pending publish on its own via the
-        recover-first hook, but probe/status are read-only — an
-        operator watching a torn index needed ivf_recover in a Python
-        shell). Idempotent: returns ``recovered: False`` plus the
-        status when there is nothing to finish. A crashed writer's
-        leftover mutation lock surfaces as the documented ValueError
-        (HTTP 400) naming the lock file to clear."""
+        """Reclaim the index's garbage now (round 14: under the
+        versioned-pointer layout a crash never tears the store, so
+        recovery degenerates to GC of expired retired objects and
+        crashed-stage orphans — every mutation also does this in its
+        preamble; this surface exists for operators who want the disk
+        back without mutating, plus the one-time healer for a store a
+        pre-pointer release crashed mid-publish). Idempotent: returns
+        ``recovered: False`` plus the status when there was nothing to
+        reclaim. A crashed writer's leftover mutation lock surfaces as
+        the documented ValueError (HTTP 400) naming the lock file to
+        clear."""
         from pyspark.errors import AnalysisException
 
         from .llm.similarity import ivf_recover

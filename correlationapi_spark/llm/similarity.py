@@ -15,6 +15,13 @@ from pyspark.sql.window import Window
 
 from ..io import load_tables
 from ..registry import query
+from ..storeio import (
+    StoreIO,
+    object_dir,
+    pointer_gc,
+    pointer_read,
+    pointer_write,
+)
 
 
 def dot(x: Column, y: Column) -> Column:
@@ -306,23 +313,40 @@ def ivf_probe(
     )
 
 
-def ivf_write(assigned: DataFrame, cents: DataFrame, path: str) -> None:
+def ivf_write(
+    assigned: DataFrame, cents: DataFrame, path: str, _crash=None
+) -> None:
     """Persist an IVF index as the WRITTEN layout the 100 TB posture
-    needs: the cell-stamped corpus ``partitionBy("cell")`` under
-    ``path/corpus`` (every probe's candidate read then prunes to its
-    n_probe cells at the parquet scan — directory-level skipping, the
-    same PartitionFilters contract test_ivf_bucketed_probe_prunes_
-    partitions pins) and the k×d centroid table under
-    ``path/centroids``. All probe-side columns (na, _vn2) are
-    persisted so a reader probes without touching the raw corpus.
+    needs: the cell-stamped corpus ``partitionBy("cell")`` under the
+    pointer-named corpus object (every probe's candidate read then
+    prunes to its n_probe cells at the parquet scan — directory-level
+    skipping, the same PartitionFilters contract
+    test_ivf_bucketed_probe_prunes_partitions pins) and the k×d
+    centroid table under the centroids object. All probe-side columns
+    (na, _vn2) are persisted so a reader probes without touching the
+    raw corpus. The idstate sidecar (1-row parquet carrying the id
+    Bloom that makes ivf_append's duplicate check O(delta)) is built
+    from the new corpus before the swap.
 
-    Round 11 adds two sidecars: ``path/idstate`` (a 1-row parquet
-    carrying the id Bloom filter that makes ivf_append's duplicate
-    check O(delta) — r10 verdict item 3) and the ``path/_ivf_index``
-    marker file, written LAST so its presence certifies a complete
-    layout. api.index_build only ever clobbers a directory bearing
-    the marker (advice r10: the old "has a corpus/ subdir" heuristic
-    let /index/build overwrite arbitrary non-index directories)."""
+    Round 14 (r13 verdict item 1): the rebuild publishes through the
+    versioned-pointer layout (storeio.py — SCALING.md's round-13
+    design). The new object set is written BESIDE any existing one
+    (unreferenced until the swap, so the old index stays fully
+    readable and consistent through the whole build), then ONE atomic
+    ``_layout.json`` rename commits it; the replaced objects are
+    retired in the pointer and reclaimed at the next mutation's
+    preamble, giving in-flight readers a full mutation cycle of
+    grace. A crash before the swap leaves readers on the old version
+    with orphan object dirs the next preamble GCs; a crash after the
+    swap leaves readers on the new version. There is NO window in
+    which a reader sees a torn layout — the de-certify-then-overwrite
+    protocol this replaces had one. Tombstones do not survive a
+    rebuild (the caller's frame is the complete new corpus).
+
+    api.index_build only ever clobbers a directory bearing the
+    ``_ivf_index`` marker or the layout pointer (advice r10: the old
+    "has a corpus/ subdir" heuristic let /index/build overwrite
+    arbitrary non-index directories)."""
     import os
 
     spark = assigned.sparkSession
@@ -330,34 +354,35 @@ def ivf_write(assigned: DataFrame, cents: DataFrame, path: str) -> None:
     # concurrent append/delete would interleave corpus and sidecar
     # writes into a layout neither writer described
     with _ivf_mutation_lock(spark, path):
-        # DE-certify FIRST (review r11): drop the marker and every
-        # sidecar of any previous layout before touching the corpus —
-        # a crash mid-rebuild must leave an UNmarked directory (the
-        # honest "incomplete" state), never a marker vouching for a
-        # stale Bloom, and never old tombstones silently masking
-        # re-indexed ids from probes. A pending recluster publish dies
-        # here too (review r12): the rebuild supersedes it — its data
-        # source is the caller's frame, not the corpus — and leaving
-        # _recluster.json behind would let the NEXT mutation's
-        # recover-first hook rename the stale pre-rebuild stage over
-        # the fresh rebuild (silent loss of every rebuilt row).
-        fs, jvm = _hadoop_fs(spark, path)
-        for sub in (
-            _IVF_MARKER, "idstate", "tombstones",
-            _RECLUSTER_MANIFEST, _RECLUSTER_STAGE,
-            ".trash-corpus", ".trash-centroids",
-        ):
-            fs.delete(
-                jvm.org.apache.hadoop.fs.Path(os.path.join(path, sub)),
-                True,
-            )
+        io = StoreIO(path, spark)
+        old = _ivf_preamble(spark, io, path)
+        v = old["version"] + 1
+        objs = {
+            "corpus": object_dir("corpus", v),
+            "centroids": object_dir("centroids", v),
+            "idstate": object_dir("idstate", v),
+        }
         assigned.select("vec_id", "v", "na", "_vn2", "cell").write.mode(
             "overwrite"
-        ).partitionBy("cell").parquet(os.path.join(path, "corpus"))
+        ).partitionBy("cell").parquet(os.path.join(path, objs["corpus"]))
         cents.write.mode("overwrite").parquet(
-            os.path.join(path, "centroids")
+            os.path.join(path, objs["centroids"])
         )
-        _idstate_rebuild(spark, path)
+        _idstate_build(spark, path, objs)
+        if _crash is not None:
+            _crash("staged")
+        retired = sorted(set(old["objects"].values()))
+        if old.get("legacy"):
+            # pre-pointer residue (old trash/stage dirs) retires with
+            # the legacy layout — reclaimed at the next preamble
+            retired += [".trash-corpus", ".trash-centroids",
+                        ".recluster-stage"]
+        pointer_write(
+            io, path, {"version": v, "objects": objs, "retired": retired}
+        )
+        _ivf_touch_marker(spark, path)
+        if _crash is not None:
+            _crash("swapped")
 
 
 def ivf_read(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
@@ -366,13 +391,30 @@ def ivf_read(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
     cell-partitioned parquet scan — ivf_probe's equi-join on ``cell``
     against the ≤ n_probe·|probes|-row probe-cells side prunes the
     scan to the probed cells (dynamic partition pruning; canaried in
-    tests/test_plans.py::test_ivf_written_index_roundtrip)."""
+    tests/test_plans.py::test_ivf_written_index_roundtrip). The layout
+    pointer is resolved ONCE, so both frames come from the same
+    version even when a destructive mutation swaps mid-call."""
     import os
 
+    io = StoreIO(path, spark)
+    objs = _ivf_layout(io, path)["objects"]
     return (
-        spark.read.parquet(os.path.join(path, "corpus")),
-        spark.read.parquet(os.path.join(path, "centroids")),
+        spark.read.parquet(os.path.join(path, objs["corpus"])),
+        spark.read.parquet(os.path.join(path, objs["centroids"])),
     )
+
+
+def ivf_resolve(spark: SparkSession, path: str) -> dict:
+    """logical-name → ABSOLUTE physical directory for the live object
+    set of a persisted IVF index ({"corpus": …, "centroids": …,
+    "idstate": …[, "tombstones": …]}) — the accessor tests and tools
+    use instead of assuming fixed subdirectory names, which stopped
+    being fixed when the versioned-pointer layout landed (round 14)."""
+    import os
+
+    io = StoreIO(path, spark)
+    objs = _ivf_layout(io, path)["objects"]
+    return {k: os.path.join(path, v) for k, v in objs.items()}
 
 
 # -- persisted-index sidecars: marker, mutation lock, id Bloom, tombstones --
@@ -398,28 +440,56 @@ def _hadoop_fs(spark: SparkSession, path: str):
 
 
 def ivf_is_index(spark: SparkSession, path: str) -> bool:
-    """True iff ``path`` bears the ``_ivf_index`` marker ivf_write
-    stamps after a complete layout lands."""
+    """True iff ``path`` bears the ``_ivf_index`` marker or the
+    versioned-layout pointer — either certifies a complete index (the
+    pointer only ever names complete object sets; the marker covers
+    pre-pointer layouts)."""
     import os
 
-    fs, jvm = _hadoop_fs(spark, path)
-    return fs.exists(jvm.org.apache.hadoop.fs.Path(
-        os.path.join(path, _IVF_MARKER)
-    ))
+    from ..storeio import POINTER
+
+    io = StoreIO(path, spark)
+    return io.exists(os.path.join(path, _IVF_MARKER)) or io.exists(
+        os.path.join(path, POINTER)
+    )
+
+
+def _protocol_residue(name: str) -> bool:
+    """True for directory entries only the store protocols create —
+    orphan object dirs from a crashed stage, lock/tmp files, legacy
+    trash/manifest names. A directory containing ONLY these is a
+    crashed build, not user data."""
+    from ..storeio import OBJECT_RE
+
+    return bool(
+        OBJECT_RE.match(name)
+        or name.endswith(".lock")
+        or name.endswith(".tmp")
+        or name.endswith(".crc")  # Hadoop local-fs checksum siblings
+        or name.startswith(".trash-")
+        or name in ("_recluster.json", ".recluster-stage")
+    )
 
 
 def ivf_dir_state(spark: SparkSession, path: str) -> str:
-    """'absent' | 'empty' | 'index' | 'other' — the four cases
-    api.index_build's clobber guard distinguishes (only the first
-    three may be overwritten)."""
-    fs, jvm = _hadoop_fs(spark, path)
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    if not fs.exists(jpath):
+    """'absent' | 'empty' | 'index' | 'incomplete' | 'other' — the
+    cases api.index_build's clobber guard distinguishes (everything
+    but 'other' may be overwritten; 'incomplete' is a directory whose
+    every entry is protocol residue, i.e. a crashed first build that
+    never published a pointer — round 14, previously an unrecoverable
+    'other')."""
+    io = StoreIO(path, spark)
+    if not io.exists(path):
         return "absent"
     if ivf_is_index(spark, path):
         return "index"
-    if fs.getFileStatus(jpath).isDirectory() and not fs.listStatus(jpath):
+    if not io.isdir(path):
+        return "other"
+    names = io.list_names(path)
+    if not names:
         return "empty"
+    if all(_protocol_residue(n) for n in names):
+        return "incomplete"
     return "other"
 
 
@@ -467,6 +537,93 @@ class _ivf_mutation_lock:
     def __exit__(self, *exc):
         self._fs.delete(self._lock, False)
         return False
+
+
+def _legacy_layout() -> dict:
+    """Synthesized layout for a pointer-less (pre-round-14) store: the
+    legacy fixed names, version 0. Absent directories resolve to names
+    whose reads raise the reader's own AnalysisException — exactly the
+    404 surface the fixed-name code had. The first destructive
+    mutation upgrades the store to a real pointer."""
+    return {
+        "version": 0,
+        "objects": {
+            "corpus": "corpus",
+            "centroids": "centroids",
+            "idstate": "idstate",
+            "tombstones": "tombstones",
+        },
+        "retired": [],
+        "legacy": True,
+    }
+
+
+def _ivf_layout(io: StoreIO, path: str) -> dict:
+    """The live layout: the pointer when present, else the legacy
+    synthesis. Readers call this ONCE per operation and then only open
+    the named directories — the consistency contract of the
+    versioned-pointer protocol (storeio.py)."""
+    lay = pointer_read(io, path)
+    return lay if lay is not None else _legacy_layout()
+
+
+def _ivf_preamble(spark: SparkSession, io: StoreIO, path: str) -> dict:
+    """Every mutation's first act under the lock: finish a PRE-POINTER
+    release's interrupted recluster publish (one-time migration), then
+    reclaim expired retired objects and crashed-stage orphans
+    (pointer_gc — this is where the previous version's reader grace
+    ends), and return the layout the mutation operates on."""
+    _legacy_recluster_rollforward(spark, io, path)
+    lay = pointer_read(io, path)
+    if lay is not None:
+        pointer_gc(io, path, lay)
+        return lay
+    return _legacy_layout()
+
+
+def _legacy_recluster_rollforward(
+    spark: SparkSession, io: StoreIO, path: str
+) -> bool:
+    """Migration healer for a store a PRE-POINTER release crashed
+    mid-recluster-publish: its ``_recluster.json`` manifest landed
+    only after the stage was complete, so roll-FORWARD is always safe
+    — resume the old protocol's idempotent swap (staged dirs over
+    live via trash), drop tombstones (the stage was built from the
+    live view), rebuild the id Bloom over the healed legacy names, and
+    remove the manifest. New-protocol stores never create this state
+    (the pointer swap is the commit); this exists so upgrading a
+    crashed legacy store is one mutation, not a manual rescue."""
+    import json
+    import os
+
+    manifest = os.path.join(path, "_recluster.json")
+    if not io.exists(manifest):
+        return False
+    stage = json.loads(io.read_text(manifest))["stage"]
+    marker = os.path.join(path, _IVF_MARKER)
+    if io.exists(marker):
+        io.remove(marker)
+    io.rmtree(os.path.join(path, "idstate"))
+    for sub in ("corpus", "centroids"):
+        staged = os.path.join(stage, sub)
+        live = os.path.join(path, sub)
+        trash = os.path.join(path, f".trash-{sub}")
+        if io.isdir(staged):
+            if io.isdir(live):
+                io.rmtree(trash)
+                io.rename(live, trash)
+            io.rename(staged, live)
+    io.rmtree(os.path.join(path, "tombstones"))
+    for sub in ("corpus", "centroids"):
+        io.rmtree(os.path.join(path, f".trash-{sub}"))
+    io.rmtree(stage)
+    _idstate_build(
+        spark, path,
+        {"corpus": "corpus", "idstate": "idstate"},
+    )
+    _ivf_touch_marker(spark, path)
+    io.remove(manifest)
+    return True
 
 
 def _bloom_m(n: int) -> int:
@@ -623,56 +780,83 @@ def _bloom_screen_and_build(
 
 
 def _idstate_write(
-    spark: SparkSession, path: str, m: int, n: int, bits: bytes
+    spark: SparkSession,
+    path: str,
+    objs: dict | None,
+    m: int,
+    n: int,
+    bits: bytes,
 ) -> None:
     import os
 
+    if objs is None:
+        objs = _ivf_layout(StoreIO(path, spark), path)["objects"]
     _one_slice_df(
         spark,
         [(m, _BLOOM_K, n, bytearray(bits))],
         "m long, k int, n long, bits binary",
-    ).write.mode("overwrite").parquet(os.path.join(path, "idstate"))
+    ).write.mode("overwrite").parquet(os.path.join(path, objs["idstate"]))
 
 
-def _idstate_rebuild(spark: SparkSession, path: str) -> None:
-    """Recompute the id Bloom from the corpus id column and re-stamp
-    the completeness marker — the shared epilogue of every operation
-    that leaves the corpus as the sole id authority (build, compact,
-    pre-sidecar append migration). Marker LAST: its presence certifies
-    corpus + sidecars are mutually consistent."""
+def _idstate_build(spark: SparkSession, path: str, objs: dict) -> None:
+    """Recompute the id Bloom from the given corpus OBJECT's id column
+    into the given idstate object — the shared epilogue of every
+    operation that leaves the corpus as the sole id authority (build,
+    compact, recluster, pre-sidecar append migration). Object names
+    come from the layout the caller is building or mutating; the
+    in-place overwrite is safe because idstate is writer-private state
+    (only lock-holding mutation paths ever read it)."""
     import os
 
-    ids = spark.read.parquet(os.path.join(path, "corpus")).select("vec_id")
+    ids = spark.read.parquet(
+        os.path.join(path, objs["corpus"])
+    ).select("vec_id")
     n = ids.count()  # parquet metadata count — no data pages read
     m = _bloom_m(n)
-    _idstate_write(spark, path, m, n, _bloom_build(ids, m))
-    _ivf_touch_marker(spark, path)
+    _idstate_write(spark, path, objs, m, n, _bloom_build(ids, m))
 
 
-def _idstate_read(spark: SparkSession, path: str):
+def _idstate_read(spark: SparkSession, path: str, objs: dict | None = None):
     """The (m, k, n, bits) sidecar row, or None for a pre-round-11
     layout (ivf_append then migrates: exact full-scan check once,
-    sidecar written on the way out)."""
+    sidecar written on the way out). ``objs`` defaults to resolving
+    the live pointer (test/tool convenience); mutation paths pass the
+    layout they hold."""
     import os
 
     from pyspark.errors import AnalysisException
 
+    if objs is None:
+        objs = _ivf_layout(StoreIO(path, spark), path)["objects"]
     try:
-        rows = spark.read.parquet(os.path.join(path, "idstate")).collect()
+        rows = spark.read.parquet(
+            os.path.join(path, objs["idstate"])
+        ).collect()
     except AnalysisException:
         return None
     return rows[0] if rows else None  # empty dir = interrupted write
 
 
-def _tombstones(spark: SparkSession, path: str) -> DataFrame | None:
-    """Distinct tombstoned vec_ids, or None when none exist."""
+def _tombstones(
+    spark: SparkSession, path: str, objs: dict | None = None
+) -> DataFrame | None:
+    """Distinct tombstoned vec_ids of the given layout, or None when
+    none exist (no tombstones object in the pointer, or the legacy
+    name is absent). ``objs`` defaults to resolving the live pointer;
+    mutation paths pass the layout they already hold so every read in
+    a critical section comes from ONE version."""
     import os
 
     from pyspark.errors import AnalysisException
 
+    if objs is None:
+        objs = _ivf_layout(StoreIO(path, spark), path)["objects"]
+    t = objs.get("tombstones")
+    if t is None:
+        return None
     try:
         return (
-            spark.read.parquet(os.path.join(path, "tombstones"))
+            spark.read.parquet(os.path.join(path, t))
             .select("vec_id")
             .distinct()
         )
@@ -685,9 +869,16 @@ def ivf_live(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
     (broadcast, small-by-contract) tombstone set. Every read surface
     (index_status/index_probe, the CLI/HTTP routes) consumes THIS view;
     ivf_read stays the raw-layout accessor. A tombstone set that has
-    grown past broadcast size is the signal to ivf_compact."""
-    corpus, cents = ivf_read(spark, path)
-    tomb = _tombstones(spark, path)
+    grown past broadcast size is the signal to ivf_compact. The layout
+    pointer is resolved ONCE for corpus + centroids + tombstones, so
+    the three frames always come from one consistent version."""
+    import os
+
+    io = StoreIO(path, spark)
+    objs = _ivf_layout(io, path)["objects"]
+    corpus = spark.read.parquet(os.path.join(path, objs["corpus"]))
+    cents = spark.read.parquet(os.path.join(path, objs["centroids"]))
+    tomb = _tombstones(spark, path, objs)
     if tomb is not None:
         corpus = corpus.join(F.broadcast(tomb), "vec_id", "left_anti")
     return corpus, cents
@@ -802,10 +993,14 @@ def ivf_append(spark: SparkSession, path: str, new_vectors: DataFrame) -> None:
     tools/ivf_bench.py records append cost flat as the corpus grows.
 
     A TOMBSTONED id does not count as indexed: appending it re-admits
-    the id (ivf_delete's contract) — its dead rows' cells are rewritten
-    live-only and its tombstones cleared before the new rows land, so
-    the re-admitted vector is the id's only row. The whole
-    check+rewrite+write critical section runs under the single-writer
+    the id (ivf_delete's contract). Round 14: re-admission runs a full
+    ivf_compact first — the versioned-pointer layout has no in-place
+    cell rewrite (that WAS the torn-read window the pointer protocol
+    closes), so the re-admit price is one atomic compaction of the
+    live view, after which the id is absent from corpus, tombstones
+    AND Bloom and the append proceeds clean. Steady-state appends
+    (all-new ids, no tombstone overlap) never pay it. The whole
+    check+compact+write critical section runs under the single-writer
     mutation lock (advice r10: concurrent appends could both pass the
     clash check, then both write).
 
@@ -816,15 +1011,16 @@ def ivf_append(spark: SparkSession, path: str, new_vectors: DataFrame) -> None:
 
     _ivf_404_probe(spark, path)
     with _ivf_mutation_lock(spark, path):
-        _recluster_publish_if_pending(spark, path)
+        io = StoreIO(path, spark)
+        lay = _ivf_preamble(spark, io, path)
+        objs = lay["objects"]
         # centroids read + assignment INSIDE the lock, after the
-        # roll-forward hook (review r12): reading them before the lock
-        # let a recluster publish — a crashed one rolled forward by the
-        # hook above, or a concurrent one completing in between — swap
-        # the quantizer out from under the assignment, stamping the
-        # delta with OLD cell ids in the NEW layout (probes rank cells
-        # by the new centroids, so those rows silently stop answering).
-        cents = spark.read.parquet(os.path.join(path, "centroids"))
+        # preamble (review r12): reading them before the lock let a
+        # concurrent recluster swap the quantizer out from under the
+        # assignment, stamping the delta with OLD cell ids in the NEW
+        # layout (probes rank cells by the new centroids, so those
+        # rows silently stop answering).
+        cents = spark.read.parquet(os.path.join(path, objs["centroids"]))
         # eager pin: the assignment feeds the collision check, the
         # possible re-admit rewrite, AND the write — one broadcast-k
         # pass total
@@ -853,7 +1049,23 @@ def ivf_append(spark: SparkSession, path: str, new_vectors: DataFrame) -> None:
                 f"{ids[:5]}" + ("…" if len(ids) > 5 else "")
             )
         delta_ids = assigned.select("vec_id")
-        state = _idstate_read(spark, path)
+        # re-admit detection FIRST (round 14): delta ids overlapping
+        # the tombstone set trigger one atomic compaction (see
+        # docstring), after which the store has no tombstones, the
+        # re-admitted ids are physically gone, and the Bloom below is
+        # freshly right-sized — so the screen/clash logic runs against
+        # the post-compact layout. Checked against the tombstone set
+        # DIRECTLY, not the Bloom suspect screen (advice r11): a stale
+        # tombstone for a never-indexed id is absent from the Bloom.
+        # Tombstones are small by contract, so the take(1)-guarded
+        # broadcast semi-join is O(delta + |tombstones|).
+        tomb = _tombstones(spark, path, objs)
+        if tomb is not None and delta_ids.join(
+            F.broadcast(tomb), "vec_id", "left_semi"
+        ).take(1):
+            lay, _ = _ivf_compact_locked(spark, io, path, lay)
+            objs = lay["objects"]
+        state = _idstate_read(spark, path, objs)
         if state is None:
             # pre-sidecar layout: one-time migration — exact full check
             # now, Bloom built over the whole id column on the way out
@@ -881,34 +1093,18 @@ def ivf_append(spark: SparkSession, path: str, new_vectors: DataFrame) -> None:
             )
             if clash_rows:
                 raise _clash_error(clash_rows)
-        # re-admits: delta ids that are tombstoned — purge their dead
-        # rows + tombstones first so the append leaves exactly one live
-        # row per id. Checked against the tombstone set DIRECTLY, not
-        # the Bloom suspect screen (advice r11): a stale tombstone for
-        # a never-indexed id (pre-r12 ivf_delete persisted those) is
-        # absent from the Bloom, so riding the suspect set would leave
-        # it silently masking the appended vector until the next
-        # compact physically dropped the fresh row. Tombstones are
-        # small by contract, so the take(1)-guarded broadcast semi-join
-        # is O(delta + |tombstones|) — the corpus is never scanned
-        # unless an actual overlap exists.
-        tomb = _tombstones(spark, path)
-        if tomb is not None:
-            readmit = delta_ids.join(
-                F.broadcast(tomb), "vec_id", "left_semi"
-            )
-            _ivf_purge(spark, path, readmit)
-
+        corpus_dir = os.path.join(path, objs["corpus"])
         if state is None:
             # pre-sidecar migration: append, then derive the sidecar
             # from the (now complete) corpus id column. Retry safety
             # needs no Bloom ordering here — with no sidecar, a retry
             # re-runs the exact full check above.
-            _corpus_drop_sentinel(spark, os.path.join(path, "corpus"))
+            _corpus_drop_sentinel(spark, corpus_dir)
             assigned.write.mode("append").partitionBy("cell").parquet(
-                os.path.join(path, "corpus")
+                corpus_dir
             )
-            _idstate_rebuild(spark, path)
+            _idstate_build(spark, path, objs)
+            _ivf_touch_marker(spark, path)
             return
         # Sidecar BEFORE corpus rows (review r11): the Bloom is
         # superset-safe — a crash between the two writes costs a
@@ -923,9 +1119,9 @@ def ivf_append(spark: SparkSession, path: str, new_vectors: DataFrame) -> None:
             # disk yet) — amortized O(corpus) per capacity doubling,
             # O(delta) in the steady state; FP stays ≤ ~2× the 7e-4
             # design rate for the filter's whole life
-            ids = spark.read.parquet(
-                os.path.join(path, "corpus")
-            ).select("vec_id").unionByName(delta_ids)
+            ids = spark.read.parquet(corpus_dir).select(
+                "vec_id"
+            ).unionByName(delta_ids)
             m = _bloom_m(n)
             bits = _bloom_build(ids, m)
         else:
@@ -937,19 +1133,19 @@ def ivf_append(spark: SparkSession, path: str, new_vectors: DataFrame) -> None:
                 np.frombuffer(bytes(state.bits), dtype=np.uint8)
                 | np.frombuffer(delta_bloom_bits, dtype=np.uint8)
             ).tobytes()
-        _idstate_write(spark, path, m, n, bits)
-        # a purge that emptied the corpus (or a compact before this
-        # append) leaves a root-level zero-row sentinel file; drop it
-        # only NOW, immediately before the partitioned write lands next
-        # to it (review r12: dropping it before the capacity-resize
-        # branch read the corpus id column deterministically failed the
+        _idstate_write(spark, path, objs, m, n, bits)
+        # a compact that emptied the corpus leaves a zero-row sentinel
+        # file at the corpus object's root; drop it only NOW,
+        # immediately before the partitioned write lands next to it
+        # (review r12: dropping it before the capacity-resize branch
+        # read the corpus id column deterministically failed the
         # append-after-empty case with UNABLE_TO_INFER_SCHEMA and left
-        # the corpus file-less — the exact state the sentinel exists to
-        # prevent; the sentinel is zero rows, so reading through it for
-        # the resize union is harmless)
-        _corpus_drop_sentinel(spark, os.path.join(path, "corpus"))
+        # the corpus file-less — the exact state the sentinel exists
+        # to prevent; the sentinel is zero rows, so reading through it
+        # for the resize union is harmless)
+        _corpus_drop_sentinel(spark, corpus_dir)
         assigned.write.mode("append").partitionBy("cell").parquet(
-            os.path.join(path, "corpus")
+            corpus_dir
         )
         _ivf_touch_marker(spark, path)
 
@@ -968,8 +1164,8 @@ def _corpus_has_cells(spark: SparkSession, corpus_path: str) -> bool:
 
 
 def _corpus_drop_sentinel(spark: SparkSession, corpus_path: str) -> None:
-    """Remove the zero-row sentinel file _ivf_purge leaves when a purge
-    empties the corpus: a partitioned append landing next to a
+    """Remove the zero-row sentinel file a compact leaves when the live
+    view is empty: a partitioned append landing next to a
     root-level data file would make partition discovery fail with
     'conflicting directory structures'. In a healthy partitioned
     corpus, data files only live under cell=N/ — root-level part-*
@@ -984,82 +1180,69 @@ def _corpus_drop_sentinel(spark: SparkSession, corpus_path: str) -> None:
             fs.delete(st.getPath(), False)
 
 
-def _ivf_purge(spark: SparkSession, path: str, ids: DataFrame) -> None:
-    """Physically drop every corpus row whose vec_id is in ``ids`` and
-    clear their tombstones. Touches ONLY the cells that actually hold
-    such rows (dynamic partition overwrite of the live remainder); a
-    cell left empty is removed directly — dynamic overwrite never
-    rewrites a partition it has no rows for. If the purge empties the
-    LAST cell, a zero-row schema-bearing sentinel file keeps the
-    corpus readable (advice r11: zero parquet files under corpus/
-    raise UNABLE_TO_INFER_SCHEMA on every read surface while the
-    directory still bears the _ivf_index marker). Caller holds the
-    lock."""
+def _ivf_compact_locked(
+    spark: SparkSession, io: StoreIO, path: str, lay: dict
+) -> tuple[dict, dict]:
+    """The destructive half of ivf_compact (caller holds the lock and
+    has run the preamble): write the LIVE view — corpus anti-joined
+    against the tombstone set — as a complete NEW corpus object, build
+    a right-sized id Bloom over it into a new idstate object, and
+    commit both with one pointer swap that simultaneously drops the
+    tombstones entry (so a deleted id can never be resurrected by a
+    half-published state — the swap is the only visible event).
+    Centroids are untouched and carried by name into the new version.
+
+    Round 14 trade, stated honestly: the pre-pointer compact rewrote
+    only the cells that held dead rows (dynamic partition overwrite),
+    which was O(affected cells) but tore the cell being rewritten for
+    any racing reader. Atomic reads on raw parquet require the
+    replacement object to be complete, so compact is now O(live
+    corpus) — the cost recluster (which implies compact) always paid —
+    and in exchange NO read surface can ever observe a half-compacted
+    cell. At 100 TB a compact batches many deletes, so the amortized
+    cost per reclaimed row is unchanged; per-cell pruning with atomic
+    publish would need a per-cell file manifest (a table format's
+    commit log), the documented raw-parquet limit. If the live view is
+    empty a zero-row schema-bearing sentinel file keeps the new corpus
+    object readable (advice r11: zero parquet files raise
+    UNABLE_TO_INFER_SCHEMA on every read surface); ivf_append drops
+    the sentinel before its partitioned write lands.
+
+    Returns (new layout, stats)."""
     import os
 
-    ids = F.broadcast(ids.distinct().localCheckpoint(eager=True))
-    if not ids.take(1):
-        return
-    corpus_path = os.path.join(path, "corpus")
-    corpus = spark.read.parquet(corpus_path)
-    dead_cells = [
-        r.cell
-        for r in corpus.join(ids, "vec_id", "left_semi")
-        .select("cell")
-        .distinct()
-        .collect()  # bounded by n_cells, never by data
-    ]
-    if dead_cells:
-        remainder = corpus.filter(F.col("cell").isin(dead_cells)).join(
-            ids, "vec_id", "left_anti"
-        ).localCheckpoint(eager=True)  # derived from the files we replace
-        kept_cells = {
-            r.cell for r in remainder.select("cell").distinct().collect()
-        }
-        mode = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", None
-        )
-        spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
-        try:
-            remainder.write.mode("overwrite").partitionBy("cell").parquet(
-                corpus_path
-            )
-        finally:
-            if mode is not None:
-                spark.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", mode
-                )
-            else:
-                spark.conf.unset(
-                    "spark.sql.sources.partitionOverwriteMode"
-                )
-        fs, jvm = _hadoop_fs(spark, path)
-        for cell in set(dead_cells) - kept_cells:
-            fs.delete(
-                jvm.org.apache.hadoop.fs.Path(
-                    os.path.join(corpus_path, f"cell={cell}")
-                ),
-                True,
-            )
-        if not _corpus_has_cells(spark, corpus_path):
-            # empty-remainder guard: a non-partitioned single-slice
-            # empty write produces one schema-bearing parquet file (an
-            # empty partitionBy write produces NO files at all — tested
-            # on this Spark); ivf_append drops the sentinel before its
-            # partitioned write lands
-            _one_slice_df(spark, [], corpus.schema).write.mode(
-                "append"
-            ).parquet(corpus_path)
-    tomb = _tombstones(spark, path)
-    if tomb is not None:
-        remaining = tomb.join(ids, "vec_id", "left_anti").localCheckpoint(
-            eager=True
-        )
-        remaining.write.mode("overwrite").parquet(
-            os.path.join(path, "tombstones")
-        )
+    objs = lay["objects"]
+    corpus = spark.read.parquet(os.path.join(path, objs["corpus"]))
+    tomb = _tombstones(spark, path, objs)
+    n_tomb = tomb.count() if tomb is not None else 0
+    live = (
+        corpus
+        if tomb is None
+        else corpus.join(F.broadcast(tomb), "vec_id", "left_anti")
+    )
+    v = lay["version"] + 1
+    new_objs = {
+        "corpus": object_dir("corpus", v),
+        "centroids": objs["centroids"],
+        "idstate": object_dir("idstate", v),
+    }
+    cdir = os.path.join(path, new_objs["corpus"])
+    # reads the OLD corpus object, writes the NEW one — no
+    # read-overwrite hazard, so no checkpoint pin is needed
+    live.write.mode("overwrite").partitionBy("cell").parquet(cdir)
+    if not _corpus_has_cells(spark, cdir):
+        _one_slice_df(spark, [], corpus.schema).write.mode(
+            "append"
+        ).parquet(cdir)
+    _idstate_build(spark, path, new_objs)
+    retired = sorted(
+        {objs[k] for k in ("corpus", "idstate", "tombstones") if k in objs}
+    )
+    new_lay = {"version": v, "objects": new_objs, "retired": retired}
+    pointer_write(io, path, new_lay)
+    _ivf_touch_marker(spark, path)
+    n = spark.read.parquet(cdir).count()
+    return new_lay, {"tombstones_cleared": n_tomb, "n_vectors": n}
 
 
 def ivf_delete(spark: SparkSession, path: str, ids: list[int]) -> int:
@@ -1067,32 +1250,35 @@ def ivf_delete(spark: SparkSession, path: str, ids: list[int]) -> int:
     index CRUD surface): tombstone the given ids. Probe/status read
     through ivf_live, which anti-joins the tombstone set, so deleted
     ids stop answering immediately; the bytes stay on disk until
-    ivf_compact rewrites the affected cells. Appending a tombstoned id
-    re-admits it (ivf_append purges the dead rows first). Returns the
-    number of ids that were actually live (a delete of an absent id is
-    a no-op, not an error — DELETE semantics, mirroring SQL).
+    ivf_compact rewrites the live view. Appending a tombstoned id
+    re-admits it (ivf_append compacts first). Returns the number of
+    ids that were actually live (a delete of an absent id is a no-op,
+    not an error — DELETE semantics, mirroring SQL).
 
-    Scale shape: the tombstone write is O(|ids|); NO corpus scan
-    happens here beyond the live-subset semi-join — the mask is
-    applied at read time as a broadcast anti-join. The Bloom sidecar
-    intentionally keeps deleted ids (Blooms can't unset); they resolve
-    through the exact-check fallback until a compact rebuilds the
-    filter.
+    Scale shape: the tombstone write is O(|ids|) and ADDITIVE — it
+    only appends files into the current version's tombstones object
+    (creating the object plus one atomic pointer bump the first time),
+    so racing readers see the delete entirely or not at all, never a
+    torn state. NO corpus scan happens here beyond the live-subset
+    semi-join. The Bloom sidecar intentionally keeps deleted ids
+    (Blooms can't unset); they resolve through the exact-check
+    fallback until a compact rebuilds the filter.
 
     Only the LIVE subset of the requested ids is persisted (advice
     r11): a tombstone for a never-indexed id is absent from the Bloom
     sidecar, so a later ivf_append of that id would take the
-    zero-suspect fast path, never purge the stale tombstone, and the
-    appended vector would be silently masked by ivf_live — then
-    physically dropped by the next compact. Tombstones ⊆ ever-indexed
-    ids is the invariant every other surface now assumes."""
+    zero-suspect fast path and the appended vector would be silently
+    masked by ivf_live. Tombstones ⊆ ever-indexed ids is the
+    invariant every other surface assumes."""
     import os
 
     if not ids:
         return 0
     _ivf_404_probe(spark, path)
     with _ivf_mutation_lock(spark, path):
-        _recluster_publish_if_pending(spark, path)
+        io = StoreIO(path, spark)
+        lay = _ivf_preamble(spark, io, path)
+        objs = lay["objects"]
         live_ids = ivf_live(spark, path)[0].select("vec_id")
         # driver-side dedupe (review r11): [5, 5] must report
         # deleted=1, matching the single live row it masks
@@ -1105,38 +1291,45 @@ def ivf_delete(spark: SparkSession, path: str, ids: list[int]) -> int:
         ).localCheckpoint(eager=True)
         n_live = live_wanted.count()
         if n_live:
-            live_wanted.write.mode("append").parquet(
-                os.path.join(path, "tombstones")
+            existing = objs.get("tombstones")
+            target = existing or (
+                "tombstones"
+                if lay.get("legacy")
+                else object_dir("tombstones", lay["version"] + 1)
             )
+            live_wanted.write.mode("append").parquet(
+                os.path.join(path, target)
+            )
+            if existing is None and not lay.get("legacy"):
+                # rows first, pointer second: the new object is
+                # invisible until the atomic bump references it, and a
+                # crash in between leaves an orphan the next preamble
+                # GCs — the delete simply didn't happen
+                pointer_write(
+                    io, path,
+                    {
+                        "version": lay["version"] + 1,
+                        "objects": {**objs, "tombstones": target},
+                        "retired": [],
+                    },
+                )
         return n_live
 
 
 def ivf_compact(spark: SparkSession, path: str) -> dict:
-    """Physical reclamation: rewrite the cells that hold tombstoned
-    rows with their live remainder, drop the tombstone set, and
-    rebuild the id Bloom right-sized from the surviving ids. Cells
-    with no dead rows are untouched (the SCD2 bucket-pruning
-    discipline). Crash ordering is safe in both gaps: cells first
-    (a crash after leaves tombstones masking already-absent rows —
-    harmless), tombstones second, sidecar last (a stale-but-superset
-    Bloom only costs fallback exact checks)."""
-    import os
-
+    """Physical reclamation: publish the live view (tombstoned rows
+    dropped) as a new corpus version with a right-sized id Bloom, and
+    retire corpus + idstate + tombstones in ONE atomic pointer swap —
+    see _ivf_compact_locked for the protocol and the O(live) cost
+    statement. No crash-ordering subtleties remain: every pre-swap
+    artifact is an unreferenced object dir the next preamble GCs, and
+    post-swap readers are fully on the compacted version."""
     _ivf_404_probe(spark, path)
     with _ivf_mutation_lock(spark, path):
-        _recluster_publish_if_pending(spark, path)
-        tomb = _tombstones(spark, path)
-        n_tomb = tomb.count() if tomb is not None else 0
-        if n_tomb:
-            _ivf_purge(spark, path, tomb)
-        fs, jvm = _hadoop_fs(spark, path)
-        fs.delete(
-            jvm.org.apache.hadoop.fs.Path(os.path.join(path, "tombstones")),
-            True,
-        )
-        _idstate_rebuild(spark, path)
-        n = spark.read.parquet(os.path.join(path, "corpus")).count()
-        return {"tombstones_cleared": n_tomb, "n_vectors": n}
+        io = StoreIO(path, spark)
+        lay = _ivf_preamble(spark, io, path)
+        _, stats = _ivf_compact_locked(spark, io, path, lay)
+        return stats
 
 
 def ivf_imbalance(spark: SparkSession, path: str, recluster_above: float = 3.0) -> DataFrame:
@@ -1165,118 +1358,54 @@ def ivf_imbalance(spark: SparkSession, path: str, recluster_above: float = 3.0) 
     )
 
 
-_RECLUSTER_MANIFEST = "_recluster.json"
-_RECLUSTER_STAGE = ".recluster-stage"
-
-
 def _ivf_404_probe(spark: SparkSession, path: str) -> None:
     """Existence probe BEFORE a mutation takes the lock: a bogus path
     must raise the reader's AnalysisException (the 404 surface), not
     manufacture directories as a side effect of locking. A pending
-    recluster manifest counts as existing (review r12): after a crash
-    mid-swap the corpus may sit in .trash-corpus with the manifest
-    present — the in-lock roll-forward hook heals exactly that state,
-    so probing the corpus schema here would turn a one-call recovery
-    into a false 'no IVF index' on every mutation surface."""
+    LEGACY recluster manifest counts as existing (after a pre-pointer
+    crash mid-swap the corpus may sit in .trash-corpus — the preamble's
+    migration roll-forward heals exactly that state, so probing the
+    corpus schema here would turn a one-call recovery into a false
+    'no IVF index' on every mutation surface). Pointer-born stores
+    never need the exception: their corpus object is readable at every
+    crash point by construction."""
     import os
 
-    fs, jvm = _hadoop_fs(spark, path)
-    if fs.exists(
-        jvm.org.apache.hadoop.fs.Path(os.path.join(path, _RECLUSTER_MANIFEST))
-    ):
+    io = StoreIO(path, spark)
+    if io.exists(os.path.join(path, "_recluster.json")):
         return
-    spark.read.parquet(os.path.join(path, "corpus")).schema
-
-
-def _recluster_publish(spark: SparkSession, path: str, _crash=None) -> None:
-    """Idempotent publish/roll-forward half of ivf_recluster: swap the
-    staged layout into place via FileSystem renames, derived entirely
-    from the manifest — rerunnable from any crash point (the SCD2
-    manifest discipline: the manifest lands only AFTER the stage is
-    complete, so its existence means roll-FORWARD is always safe)."""
-    import json
-    import os
-
-    fs, jvm = _hadoop_fs(spark, path)
-    P = jvm.org.apache.hadoop.fs.Path
-    manifest = P(os.path.join(path, _RECLUSTER_MANIFEST))
-    ins = fs.open(manifest)
-    try:
-        stage = json.loads(
-            bytes(
-                jvm.org.apache.commons.io.IOUtils.toByteArray(ins)
-            ).decode("utf-8")
-        )["stage"]
-    finally:
-        ins.close()
-    # de-certify first: marker and the id sidecar describing the OLD
-    # layout go before any rename — a crash mid-swap leaves an
-    # unmarked (honestly incomplete) directory, never a marker
-    # vouching for a half-swapped corpus. Tombstones do NOT drop here
-    # (review r12): until the corpus rename lands, readers still see
-    # the OLD corpus, and deleting the mask first would resurrect
-    # every deleted id for the whole publish window (unbounded after a
-    # crash at this point). They drop after the swap instead, where a
-    # stale tombstone anti-joined against the new corpus — built from
-    # the LIVE view, so those rows are already physically absent
-    # (recluster implies compact) — is a harmless no-op.
-    for sub in (_IVF_MARKER, "idstate"):
-        fs.delete(P(os.path.join(path, sub)), True)
-    if _crash is not None:
-        _crash("decertified")
-    for sub in ("corpus", "centroids"):
-        staged = P(os.path.join(stage, sub))
-        live = P(os.path.join(path, sub))
-        trash = P(os.path.join(path, f".trash-{sub}"))
-        if fs.isDirectory(staged):
-            if fs.isDirectory(live):
-                fs.delete(trash, True)  # Hadoop rename nests into an
-                # existing dst dir instead of failing — clear first
-                if not fs.rename(live, trash):
-                    raise OSError(f"rename failed: {live} -> {trash}")
-                if _crash is not None:
-                    _crash(("moved_old", sub))
-            if not fs.rename(staged, live):
-                raise OSError(f"rename failed: {staged} -> {live}")
-        if _crash is not None:
-            _crash(("published", sub))
-    fs.delete(P(os.path.join(path, "tombstones")), True)
-    for sub in ("corpus", "centroids"):
-        fs.delete(P(os.path.join(path, f".trash-{sub}")), True)
-    fs.delete(P(stage), True)
-    if _crash is not None:
-        _crash("swapped")
-    _idstate_rebuild(spark, path)  # fresh Bloom; marker stamped LAST
-    fs.delete(manifest, False)
+    objs = _ivf_layout(io, path)["objects"]
+    spark.read.parquet(os.path.join(path, objs["corpus"])).schema
 
 
 def ivf_recover(spark: SparkSession, path: str) -> bool:
-    """Roll an interrupted ivf_recluster publish forward (resume the
-    same idempotent swap from the manifest, then re-certify). Returns
-    True when there was a publish to finish. The crashed writer's
-    mutation lock must be cleared first (the documented recovery);
-    this call takes its own."""
+    """Reclaim a persisted index's garbage NOW instead of waiting for
+    the next mutation's preamble: expired retired objects (the
+    previous version's reader grace) and crashed-stage orphans. Under
+    the versioned-pointer layout (round 14) NO state needs a
+    roll-forward — a crash before the swap leaves readers on the old
+    version, a crash after it leaves them on the new one — so
+    "recovery" degenerates to garbage collection, plus the one-time
+    migration healer for a store a PRE-POINTER release crashed
+    mid-recluster-publish (_legacy_recluster_rollforward). Returns
+    True when anything was healed or reclaimed. Call it only when no
+    long-running reader may still hold the retired version's files
+    (the same discipline as a table format's snapshot expiry)."""
     import os
 
-    fs, jvm = _hadoop_fs(spark, path)
-    manifest = jvm.org.apache.hadoop.fs.Path(
-        os.path.join(path, _RECLUSTER_MANIFEST)
-    )
-    # pre-lock fast path: a healthy (or bogus) path returns without
-    # taking the lock, so recover never manufactures lock/state dirs
-    if not fs.exists(manifest):
+    io = StoreIO(path, spark)
+    # pre-lock fast path: a path with neither pointer nor legacy
+    # manifest has nothing to recover — return without manufacturing
+    # lock files on bogus paths
+    if pointer_read(io, path) is None and not io.exists(
+        os.path.join(path, "_recluster.json")
+    ):
         return False
     with _ivf_mutation_lock(spark, path):
-        # re-check INSIDE the lock (review r12): a concurrent
-        # mutation's recover-first hook may have finished the publish
-        # between the probe above and lock acquisition — publishing
-        # unconditionally here would fs.open() a deleted manifest and
-        # die with a raw FileNotFoundException instead of the
-        # idempotent False
-        if not fs.exists(manifest):
-            return False
-        _recluster_publish(spark, path)
-    return True
+        healed = _legacy_recluster_rollforward(spark, io, path)
+        lay = pointer_read(io, path)
+        removed = pointer_gc(io, path, lay)
+    return healed or bool(removed)
 
 
 def ivf_recluster(
@@ -1297,30 +1426,24 @@ def ivf_recluster(
     ``train_fraction`` < 1 fits KMeans on a sample (the 100 TB
     posture — assignment still stamps every row).
 
-    Crash safety: the new layout is trained FROM the live view and
-    staged to a sibling directory first (the index stays fully
-    readable and probe-consistent through training and staging — both
-    only read), then published by the SCD2 manifest discipline:
-    `_recluster.json` lands only after the stage write completes, the
-    swap is per-subdirectory FileSystem renames with the marker and
-    sidecars de-certified first, and ivf_recover rolls any
-    interrupted publish FORWARD. A de-certify-then-overwrite rebuild
-    (index_build's shape) would be unsound here: recluster's only
-    data source is the corpus it replaces, and an eager checkpoint
-    does not survive the crash. Tombstoned rows are dropped by
-    construction (the stage is built from ivf_live), so recluster
-    implies compact. Runs under the single-writer mutation lock.
-
-    Honest reader-consistency limit (review r12): the lock serializes
-    WRITERS only — a lock-free reader racing the publish itself can,
-    inside the two-rename window, see corpus/ absent (a transient
-    "no IVF index") or the new corpus paired with the old centroid
-    table (mis-ranked cells). The window is a handful of metadata
-    renames — milliseconds on local/HDFS — and a crash inside it
-    leaves the de-certified (marker-less) state every mutation heals;
-    closing it entirely needs a versioned-layout pointer swap (a table
-    format's commit log), the same honest limit the SCD2 store
-    documents for raw parquet.
+    Publish protocol (round 14 — r13 verdict item 1): the new corpus,
+    centroids and idstate are trained FROM the live view and written
+    as version-N+1 objects beside the live set (the index stays fully
+    readable and probe-consistent through training and staging — the
+    new objects are unreferenced until the swap), then ONE atomic
+    ``_layout.json`` rename commits all three and retires the old
+    objects together with the tombstones entry (recluster implies
+    compact, and retiring both in the same swap kills the resurrection
+    hazard by construction). A crash before the swap leaves readers on
+    the old version with orphan objects the next preamble GCs; a crash
+    after it leaves readers on the new version. The journaled
+    rename/trash/roll-forward machinery this replaces — and its
+    documented milliseconds-wide torn-reader window (a racing reader
+    could see corpus/ absent, or the new corpus under the old
+    centroids) — is gone: there is no sequence of visible states other
+    than "old version" then "new version". Runs under the
+    single-writer mutation lock; ``_crash`` hooks the two protocol
+    points ("staged", "swapped") for the crash-ordering tests.
 
     Honest gauge note: on genuinely skewed DATA the post-recluster
     imbalance can stay high or rise — KMeans correctly gives a dense
@@ -1333,12 +1456,13 @@ def ivf_recluster(
     one retrain is one draw from the optimum distribution; pinned
     wobble-honest in tests/test_rowsonly.py); returned
     imbalance_before/after let the caller see both."""
-    import json
     import os
 
     _ivf_404_probe(spark, path)
     with _ivf_mutation_lock(spark, path):
-        _recluster_publish_if_pending(spark, path)
+        io = StoreIO(path, spark)
+        lay = _ivf_preamble(spark, io, path)
+        objs = lay["objects"]
         before = ivf_imbalance(spark, path, recluster_above=threshold)
         b = before.collect()[0]
         stats = {
@@ -1348,43 +1472,41 @@ def ivf_recluster(
         if b.n_vectors is None or b.n_vectors == 0 or not b.recluster:
             return {**stats, "reclustered": False}
         live = ivf_live(spark, path)[0].select("vec_id", "v")
-        k = n_cells or ivf_read(spark, path)[1].count()
+        k = (
+            n_cells
+            or spark.read.parquet(
+                os.path.join(path, objs["centroids"])
+            ).count()
+        )
         assigned, cents = ivf_index(
             live, n_cells=int(k), seed=seed, train_fraction=train_fraction
         )
-        stage = os.path.join(path, _RECLUSTER_STAGE)
-        fs, jvm = _hadoop_fs(spark, path)
-        fs.delete(jvm.org.apache.hadoop.fs.Path(stage), True)  # stale
+        v = lay["version"] + 1
+        new_objs = {
+            "corpus": object_dir("corpus", v),
+            "centroids": object_dir("centroids", v),
+            "idstate": object_dir("idstate", v),
+        }
         assigned.select("vec_id", "v", "na", "_vn2", "cell").write.mode(
             "overwrite"
-        ).partitionBy("cell").parquet(os.path.join(stage, "corpus"))
+        ).partitionBy("cell").parquet(os.path.join(path, new_objs["corpus"]))
         cents.write.mode("overwrite").parquet(
-            os.path.join(stage, "centroids")
+            os.path.join(path, new_objs["centroids"])
         )
+        _idstate_build(spark, path, new_objs)
         if _crash is not None:
             _crash("staged")
-        # manifest AFTER the stage is complete (tmp + hsync + rename —
-        # it either exists complete or not at all)
-        manifest = os.path.join(path, _RECLUSTER_MANIFEST)
-        tmp = manifest + ".tmp"
-        out = fs.create(jvm.org.apache.hadoop.fs.Path(tmp), True)
-        out.write(bytearray(json.dumps({"stage": stage}).encode("utf-8")))
-        try:
-            out.hsync()
-        except Exception:
-            pass
-        out.close()
-        if not fs.rename(
-            jvm.org.apache.hadoop.fs.Path(tmp),
-            jvm.org.apache.hadoop.fs.Path(manifest),
-        ):
-            # same guard as every other rename in the protocol: a False
-            # return here would let _recluster_publish fs.open() a
-            # manifest that never landed
-            raise OSError(f"rename failed: {tmp} -> {manifest}")
+        retired = sorted(set(objs.values()))
+        if lay.get("legacy"):
+            retired += [".trash-corpus", ".trash-centroids",
+                        ".recluster-stage"]
+        pointer_write(
+            io, path,
+            {"version": v, "objects": new_objs, "retired": retired},
+        )
+        _ivf_touch_marker(spark, path)
         if _crash is not None:
-            _crash("manifest")
-        _recluster_publish(spark, path, _crash=_crash)
+            _crash("swapped")
         a = ivf_imbalance(spark, path).collect()[0]
         return {
             **stats,
@@ -1392,18 +1514,6 @@ def ivf_recluster(
             "n_cells": int(k),
             "imbalance_after": a.imbalance,
         }
-
-
-def _recluster_publish_if_pending(spark: SparkSession, path: str) -> None:
-    """Finish any interrupted publish before reading the store —
-    scd2_merge's recover-first discipline; caller holds the lock."""
-    import os
-
-    fs, jvm = _hadoop_fs(spark, path)
-    if fs.exists(
-        jvm.org.apache.hadoop.fs.Path(os.path.join(path, _RECLUSTER_MANIFEST))
-    ):
-        _recluster_publish(spark, path)
 
 
 def topk_neighbors_ivf(

@@ -2561,15 +2561,20 @@ def test_index_recover_api(spark, tmp_path):
         pass
 
     def crash(stage):
-        if stage == ("moved_old", "corpus"):
+        if stage == "staged":
             raise Boom(str(stage))
 
     with pytest.raises(Boom):
         ivf_recluster(spark, idx, threshold=0.0, _crash=crash)
-    # status is honestly broken mid-swap; recover makes it whole
+    # the store is never broken under the pointer protocol (round 14):
+    # status still answers on the old version; recover reclaims the
+    # crashed stage's orphan objects
+    assert api.index_status(idx)["n_vectors"] == built["n_vectors"]
     res = api.index_recover(idx)
     assert res["recovered"] is True
     assert res["n_vectors"] == built["n_vectors"]
+    res = api.index_recover(idx)  # idempotent again afterwards
+    assert res["recovered"] is False
 
     with pytest.raises(KeyError, match="no IVF index"):
         api.index_recover(str(tmp_path / "nope"))

@@ -479,8 +479,11 @@ def test_cli_index_lifecycle(spark, capsys, tmp_path):
     assert rc == 0 and res["reclustered"] is True
     assert res["n_vectors"] == all_n - 1
 
-    # round 12: recover — idempotent no-op when nothing is pending
-    # (the crash-window roll-forwards are pinned in test_api/test_rowsonly)
+    # round 14: recover = reclaim garbage now — the recluster above
+    # retired its previous version (reader grace), so the first call
+    # reclaims it (True) and the second finds nothing (idempotent)
+    rc, res = _run(capsys, ["index-recover", "--path", idx])
+    assert rc == 0 and res["recovered"] is True
     rc, res = _run(capsys, ["index-recover", "--path", idx])
     assert rc == 0 and res["recovered"] is False
     assert res["n_vectors"] == all_n - 1

@@ -767,8 +767,12 @@ def test_index_lifecycle_over_http(base_url, tmp_path):
               {"path": f"{tmp_path}/nope"})
     assert exc.value.code == 404
 
-    # round 12: recover is idempotent over the wire (nothing pending
-    # here — the crash-window rolls are pinned in test_api/test_rowsonly)
+    # round 14: recover = reclaim garbage now, over the wire — the
+    # recluster above retired its previous version (reader grace), so
+    # the first call reclaims it and the second is the idempotent no-op
+    status, res = _post(f"{base_url}/index/recover", {"path": idx})
+    assert status == 200 and res["recovered"] is True
+    assert res["n_vectors"] == n_now
     status, res = _post(f"{base_url}/index/recover", {"path": idx})
     assert status == 200 and res["recovered"] is False
     assert res["n_vectors"] == n_now

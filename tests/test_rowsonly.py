@@ -2206,6 +2206,7 @@ def test_ivf_append_equals_same_quantizer_rebuild(spark, tmp_path):
         ivf_index,
         ivf_probe,
         ivf_read,
+        ivf_resolve,
         ivf_write,
     )
 
@@ -2220,10 +2221,12 @@ def test_ivf_append_equals_same_quantizer_rebuild(spark, tmp_path):
     assigned, cents = ivf_index(base, n_cells=16)
     ivf_write(assigned, cents, path)
 
-    # snapshot base data files (path, size, mtime) before the append
+    # snapshot base data files (path, size, mtime) before the append —
+    # resolved through the layout pointer (round 14: the corpus object
+    # is version-named, not a fixed subdirectory)
     def files():
         out = {}
-        for root, _, names in os.walk(os.path.join(path, "corpus")):
+        for root, _, names in os.walk(ivf_resolve(spark, path)["corpus"]):
             for n in names:
                 if n.endswith(".parquet"):
                     p = os.path.join(root, n)
@@ -2371,7 +2374,9 @@ def test_ivf_delete_probe_excludes_and_append_readmits(spark, tmp_path):
     before = probe(probers, k=9)
     stats = ivf_compact(spark, path)
     assert stats["n_vectors"] == n_all - 1
-    raw = spark.read.parquet(os.path.join(path, "corpus"))
+    from correlationapi_spark.llm.similarity import ivf_resolve
+
+    raw = spark.read.parquet(ivf_resolve(spark, path)["corpus"])
     assert raw.filter(F.col("vec_id") == vb).count() == 0
     assert _tombstones(spark, path) is None
     assert sorted(map(tuple, probe(probers, k=9))) == sorted(
@@ -2437,12 +2442,29 @@ def test_ivf_delete_absent_id_then_append_survives(spark, tmp_path):
     assert probe([3])
 
     # healing path: a pre-r12 layout may carry a stale tombstone for a
-    # never-indexed id — simulate one, then append that id: the
-    # readmit purge rides the tombstone set directly (not the Bloom
-    # screen), so the stale tombstone is cleared and the vector lives
+    # never-indexed id — simulate one (injected as a tombstones object
+    # plus a pointer bump, the way ivf_delete would create it), then
+    # append that id: the re-admit check rides the tombstone set
+    # directly (not the Bloom screen), so the stale tombstone is
+    # cleared by the re-admit compaction and the vector lives
+    from correlationapi_spark.storeio import (
+        StoreIO,
+        object_dir,
+        pointer_read,
+        pointer_write,
+    )
+
+    io = StoreIO(path, spark)
+    lay = pointer_read(io, path)
+    tname = object_dir("tombstones", lay["version"] + 1)
     spark.createDataFrame([(7_000_000,)], "vec_id long").write.mode(
         "append"
-    ).parquet(os.path.join(path, "tombstones"))
+    ).parquet(os.path.join(path, tname))
+    pointer_write(io, path, {
+        "version": lay["version"] + 1,
+        "objects": {**lay["objects"], "tombstones": tname},
+        "retired": [],
+    })
     dim = len(ivf_live(spark, path)[0].select("v").first().v)
     ghost = spark.createDataFrame(
         [(7_000_000, [1.0] + [0.0] * (dim - 1))],
@@ -2502,8 +2524,10 @@ def test_ivf_compact_to_zero_keeps_index_readable(spark, tmp_path):
     corpus, cents = ivf_live(spark, path)
     assert corpus.count() == len(all_ids)
     # no root-level sentinel file survives next to cell= dirs
+    from correlationapi_spark.llm.similarity import ivf_resolve
+
     root_files = [
-        f for f in os.listdir(os.path.join(path, "corpus"))
+        f for f in os.listdir(ivf_resolve(spark, path)["corpus"])
         if f.startswith("part-")
     ]
     assert root_files == []
@@ -2637,9 +2661,20 @@ def test_ivf_append_migrates_pre_sidecar_layout(spark, tmp_path):
 
     path = str(tmp_path / "ivf")
     emb = _build_small_index(spark, path, F.col("vec_id") % 5 != 0)
-    # strip the round-11 sidecars to reconstruct the r10 layout
-    shutil.rmtree(os.path.join(path, "idstate"))
+    # reconstruct the r10 layout: fixed names, no sidecars, no marker,
+    # no layout pointer (round 14: the builder is pointer-born, so the
+    # strip now includes de-versioning the object names)
+    from correlationapi_spark.llm.similarity import ivf_resolve
+
+    objs = ivf_resolve(spark, path)
+    os.rename(objs["corpus"], os.path.join(path, "corpus"))
+    os.rename(objs["centroids"], os.path.join(path, "centroids"))
+    shutil.rmtree(objs["idstate"])
     os.remove(os.path.join(path, _IVF_MARKER))
+    os.remove(os.path.join(path, "_layout.json"))
+    for n in os.listdir(path):  # local-fs checksum siblings
+        if n.endswith(".crc"):
+            os.remove(os.path.join(path, n))
     assert _idstate_read(spark, path) is None
 
     delta = corpus_view(
@@ -2692,7 +2727,7 @@ def test_ivf_append_retry_after_sidecar_crash(spark, tmp_path):
             _bloom_build(delta.select("vec_id"), m), dtype=np.uint8
         )
     ).tobytes()
-    _idstate_write(spark, path, m, int(st.n) + n_delta, bits)
+    _idstate_write(spark, path, None, m, int(st.n) + n_delta, bits)
 
     ivf_append(spark, path, delta)  # the retry — must NOT raise
     live = ivf_live(spark, path)[0]
@@ -2875,30 +2910,57 @@ def test_ivf_recluster_improves_recall_and_preserves_ids(spark, tmp_path):
     assert forced["reclustered"] is True
 
 
-def test_ivf_recluster_kill_windows_roll_forward(spark, tmp_path):
-    """The SCD2-style kill-window contract for the recluster publish:
-    a crash before the manifest leaves the OLD index fully intact and
-    certified; a crash anywhere after the manifest leaves a
-    roll-forward-able store that ivf_recover (or the next mutation's
-    recover-first hook) makes whole; recovery is idempotent."""
+def _crash_at(stage):
+    class Boom(Exception):
+        pass
+
+    def hook(s):
+        if s == stage:
+            raise Boom(str(s))
+
+    hook.Boom = Boom
+    return hook
+
+
+def _ivf_reader_snapshot(spark, path, k=3):
+    """One full lock-free reader pass resolved from ONE pointer read:
+    live ids, the corpus↔centroid pairing check (every stored cell id
+    must exist in the centroid table — the old protocol's torn window
+    could pair the new corpus with the old centroids), and a probe.
+    Raises if any surface is inconsistent; returns the live id set."""
+    from correlationapi_spark.llm.similarity import ivf_live, ivf_probe
+
+    corpus, cents = ivf_live(spark, path)
+    cells = {r.cell for r in corpus.select("cell").distinct().collect()}
+    known = {r.cell for r in cents.select("cell").collect()}
+    assert cells <= known, f"corpus cells {cells - known} missing centroids"
+    probes = corpus.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("pv"),
+        F.col("na").alias("pna"),
+    )
+    assert ivf_probe(corpus, cents, probes, k, n_probe=2).count() > 0
+    return {r.vec_id for r in corpus.select("vec_id").collect()}
+
+
+def test_ivf_recluster_pointer_swap_crash_windows(spark, tmp_path):
+    """r13 verdict item 1, re-pinned on the pointer protocol: the
+    publish has exactly two crash points — "staged" (new version
+    objects written, pointer not swapped) and "swapped" (pointer
+    renamed, old objects retired-but-present). Before the swap readers
+    are fully on vN; after it fully on vN+1; a crash anywhere leaves
+    garbage, never a torn store, and recovery IS garbage collection
+    (ivf_recover or any mutation's preamble)."""
+    import os
+
     from correlationapi_spark.llm.similarity import (
-        _RECLUSTER_MANIFEST,
         ivf_compact,
         ivf_is_index,
         ivf_live,
         ivf_recluster,
         ivf_recover,
+        ivf_resolve,
     )
-
-    class Boom(Exception):
-        pass
-
-    def crash_at(stage):
-        def hook(s):
-            if s == stage:
-                raise Boom(str(s))
-
-        return hook
 
     path = _synthetic_index(
         spark, tmp_path, n_base=60, n_delta=150, n_cells=4
@@ -2906,123 +2968,187 @@ def test_ivf_recluster_kill_windows_roll_forward(spark, tmp_path):
     ids = {
         r.vec_id for r in ivf_live(spark, path)[0].select("vec_id").collect()
     }
+    old = ivf_resolve(spark, path)
 
-    import os
-
-    # 1) crash after staging, BEFORE the manifest: the old index is
-    #    untouched and still certified; no recovery needed
-    with pytest.raises(Boom):
-        ivf_recluster(spark, path, threshold=0.0, _crash=crash_at("staged"))
+    # 1) crash after staging, BEFORE the pointer swap: readers are on
+    #    vN (same physical objects, same ids), the index stays
+    #    certified, and the orphan vN+1 objects are on disk until GC
+    hook = _crash_at("staged")
+    with pytest.raises(hook.Boom):
+        ivf_recluster(spark, path, threshold=0.0, _crash=hook)
     assert ivf_is_index(spark, path)
-    assert not os.path.exists(os.path.join(path, _RECLUSTER_MANIFEST))
-    assert {
-        r.vec_id for r in ivf_live(spark, path)[0].select("vec_id").collect()
-    } == ids
-    assert ivf_recover(spark, path) is False
-
-    # 2) crash right after the manifest lands: roll forward via
-    #    ivf_recover — the staged layout is complete by contract
-    with pytest.raises(Boom):
-        ivf_recluster(spark, path, threshold=0.0, _crash=crash_at("manifest"))
-    assert os.path.exists(os.path.join(path, _RECLUSTER_MANIFEST))
-    assert ivf_recover(spark, path) is True
-    assert ivf_is_index(spark, path)
-    assert {
-        r.vec_id for r in ivf_live(spark, path)[0].select("vec_id").collect()
-    } == ids
+    assert ivf_resolve(spark, path) == old  # pointer untouched
+    assert _ivf_reader_snapshot(spark, path) == ids
+    orphans = [
+        n for n in os.listdir(path)
+        if n.startswith(("corpus-v", "centroids-v", "idstate-v"))
+        and os.path.join(path, n) not in old.values()
+    ]
+    assert orphans, "staged objects should exist at this crash point"
+    assert ivf_recover(spark, path) is True   # reclaims the orphans
+    for n in orphans:
+        assert not os.path.exists(os.path.join(path, n))
     assert ivf_recover(spark, path) is False  # idempotent
+    assert _ivf_reader_snapshot(spark, path) == ids
 
-    # 3) crash MID-SWAP (old corpus in the trash, staged not yet
-    #    published): the store is visibly torn and DE-certified —
-    #    no marker vouches for it — and recovery makes it whole
-    with pytest.raises(Boom):
-        ivf_recluster(
-            spark, path, threshold=0.0,
-            _crash=crash_at(("moved_old", "corpus")),
-        )
-    assert not ivf_is_index(spark, path)  # honest incomplete state
+    # 2) crash right after the swap: readers are fully on vN+1; the
+    #    retired vN objects stay on disk (reader grace) until recover
+    #    or the next mutation's preamble reclaims them
+    hook = _crash_at("swapped")
+    with pytest.raises(hook.Boom):
+        ivf_recluster(spark, path, threshold=0.0, _crash=hook)
+    assert ivf_is_index(spark, path)
+    new = ivf_resolve(spark, path)
+    assert new != old
+    assert _ivf_reader_snapshot(spark, path) == ids  # ids preserved
+    for d in old.values():  # grace: previous version still on disk
+        assert os.path.exists(d)
     assert ivf_recover(spark, path) is True
-    assert ivf_is_index(spark, path)
-    assert {
-        r.vec_id for r in ivf_live(spark, path)[0].select("vec_id").collect()
-    } == ids
+    for d in old.values():
+        assert not os.path.exists(d)
 
-    # 4) the next MUTATION heals a pending publish on its own
-    #    (recover-first discipline, scd2_merge's shape)
-    with pytest.raises(Boom):
-        ivf_recluster(
-            spark, path, threshold=0.0,
-            _crash=crash_at(("published", "corpus")),
-        )
-    assert os.path.exists(os.path.join(path, _RECLUSTER_MANIFEST))
-    stats = ivf_compact(spark, path)
-    assert stats["n_vectors"] == len(ids)
-    assert not os.path.exists(os.path.join(path, _RECLUSTER_MANIFEST))
-    assert ivf_is_index(spark, path)
-    assert {
-        r.vec_id for r in ivf_live(spark, path)[0].select("vec_id").collect()
-    } == ids
+    # 3) the next MUTATION's preamble reclaims a crashed stage on its
+    #    own — no recover call needed. The compact's OWN swap retires
+    #    the pre-compact version (reader grace), so immediately after
+    #    it the only non-live dirs are exactly the pointer's retired
+    #    list — the crashed stage is gone
+    from correlationapi_spark.storeio import StoreIO, pointer_read
+
+    hook = _crash_at("staged")
+    with pytest.raises(hook.Boom):
+        ivf_recluster(spark, path, threshold=0.0, _crash=hook)
+    ivf_compact(spark, path)
+    lay = pointer_read(StoreIO(path, spark), path)
+    live = set(ivf_resolve(spark, path).values())
+    leftovers = {
+        n for n in os.listdir(path)
+        if n.startswith(("corpus-v", "centroids-v", "idstate-v"))
+        and os.path.join(path, n) not in live
+    }
+    assert leftovers <= set(lay["retired"])  # grace-pending only
+    assert ivf_recover(spark, path) is True  # and they reclaim
+    assert _ivf_reader_snapshot(spark, path) == ids
+
+
+def test_ivf_racing_reader_never_sees_torn_store(spark, tmp_path):
+    """The reader-consistency property the journaled-rename protocol
+    could NOT give (its own docstring documented the window: a reader
+    racing the two-rename swap could see corpus/ absent or the new
+    corpus under the old centroids): a reader hammering the store
+    WHILE a recluster publishes must never error and must see the full
+    id set on every pass. Deterministic half: _ivf_reader_snapshot at
+    both crash hooks (test above). This half races a real thread
+    through the whole publish."""
+    import threading
+
+    from correlationapi_spark.llm.similarity import ivf_live, ivf_recluster
+
+    path = _synthetic_index(
+        spark, tmp_path, n_base=60, n_delta=150, n_cells=4
+    )
+    n = ivf_live(spark, path)[0].count()
+    stop = threading.Event()
+    errors: list = []
+    counts: list = []
+
+    def hammer():
+        while not stop.is_set():
+            try:
+                counts.append(ivf_live(spark, path)[0].count())
+            except Exception as e:  # noqa: BLE001 — the assertion IS "no error"
+                errors.append(repr(e))
+                return
+
+    t = threading.Thread(target=hammer, daemon=True)
+    t.start()
+    try:
+        ivf_recluster(spark, path, threshold=0.0)
+    finally:
+        stop.set()
+        t.join(timeout=120)
+    assert errors == []
+    assert counts, "reader thread never completed a pass"
+    assert set(counts) == {n}
 
 
 def test_ivf_append_assigns_with_published_centroids(spark, tmp_path):
-    """review r12: ivf_append used to read the centroids BEFORE the
-    lock and the recover-first hook — a pending recluster publish
-    (crash after the manifest) was then rolled forward by the hook,
-    swapping the quantizer out from under an assignment already made
-    with the OLD centroids, so the delta landed stamped with stale
-    cell ids the new layout's probes never visit. The append must
-    assign against the centroids that are live AFTER the roll-forward:
-    every appended row's stored cell must equal ivf_assign's answer
-    under the published centroids."""
+    """The append must assign against the centroids that are LIVE at
+    append time — under the pointer protocol that is simply whatever
+    the pointer names inside the lock (review r12's stale-quantizer
+    hazard is structurally gone: an uncommitted recluster never
+    publishes centroids, a committed one swapped them atomically).
+    Pinned on both sides of a crash: after a crash at "staged" the
+    append assigns with the OLD (still-live) centroids and the orphan
+    stage is GC'd by the append's own preamble; after a completed
+    recluster it assigns with the NEW ones."""
+    import os
+
     import numpy as np
 
     from correlationapi_spark.llm.similarity import (
-        _RECLUSTER_MANIFEST,
         ivf_append,
         ivf_assign,
         ivf_is_index,
         ivf_read,
         ivf_recluster,
+        ivf_resolve,
     )
-
-    class Boom(Exception):
-        pass
-
-    def crash_at(stage):
-        def hook(s):
-            if s == stage:
-                raise Boom(str(s))
-
-        return hook
 
     path = _synthetic_index(spark, tmp_path, n_base=60, n_delta=150, n_cells=4)
-    import os
+    old = ivf_resolve(spark, path)
 
-    with pytest.raises(Boom):
-        ivf_recluster(spark, path, threshold=0.0, _crash=crash_at("manifest"))
-    assert os.path.exists(os.path.join(path, _RECLUSTER_MANIFEST))
+    hook = _crash_at("staged")
+    with pytest.raises(hook.Boom):
+        ivf_recluster(spark, path, threshold=0.0, _crash=hook)
 
     rng = np.random.RandomState(11)
-    delta = spark.createDataFrame(
-        [
-            (20000 + i, [float(x) for x in v])
-            for i, v in enumerate(rng.normal(size=(40, 8)))
-        ],
-        "vec_id long, v array<double>",
-    )
-    ivf_append(spark, path, delta)  # must roll forward FIRST, then assign
+
+    def mkdelta(start, n=40):
+        return spark.createDataFrame(
+            [
+                (start + i, [float(x) for x in v])
+                for i, v in enumerate(rng.normal(size=(n, 8)))
+            ],
+            "vec_id long, v array<double>",
+        )
+
+    def stored_vs_assigned(lo):
+        corpus, cents = ivf_read(spark, path)
+        stored = {
+            (r.vec_id, r.cell)
+            for r in corpus.filter(F.col("vec_id") >= lo)
+            .filter(F.col("vec_id") < lo + 1000)
+            .select("vec_id", "cell")
+            .collect()
+        }
+        want = {
+            (r.vec_id, r.cell)
+            for r in ivf_assign(
+                cents, corpus.filter(
+                    (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 1000)
+                ).select("vec_id", "v")
+            ).select("vec_id", "cell").collect()
+        }
+        return stored, want
+
+    delta = mkdelta(20000)
+    ivf_append(spark, path, delta)  # preamble GCs the crashed stage
     assert ivf_is_index(spark, path)
-    corpus, cents = ivf_read(spark, path)
-    stored = {
-        (r.vec_id, r.cell)
-        for r in corpus.filter(F.col("vec_id") >= 20000)
-        .select("vec_id", "cell")
-        .collect()
-    }
-    want = {
-        (r.vec_id, r.cell)
-        for r in ivf_assign(cents, delta).select("vec_id", "cell").collect()
-    }
+    assert ivf_resolve(spark, path)["centroids"] == old["centroids"]
+    stored, want = stored_vs_assigned(20000)
+    assert stored == want and len(stored) == 40
+    orphans = [
+        n for n in os.listdir(path)
+        if n.startswith(("corpus-v", "centroids-v", "idstate-v"))
+        and os.path.join(path, n) not in ivf_resolve(spark, path).values()
+    ]
+    assert orphans == []
+
+    # after a COMPLETED recluster the new centroids are the live ones
+    assert ivf_recluster(spark, path, threshold=0.0)["reclustered"]
+    assert ivf_resolve(spark, path)["centroids"] != old["centroids"]
+    ivf_append(spark, path, mkdelta(21000))
+    stored, want = stored_vs_assigned(21000)
     assert stored == want and len(stored) == 40
 
 
@@ -3114,12 +3240,13 @@ def test_ivf_append_refuses_intra_delta_duplicate_ids(spark, tmp_path):
 
 
 def test_ivf_recluster_crash_never_resurrects_deleted_ids(spark, tmp_path):
-    """review r12: the publish used to drop the tombstone sidecar in
-    the de-certify step, BEFORE the corpus swap — so a crash there (or
-    any reader racing a successful publish) saw the OLD corpus with no
-    delete mask and every deleted id answered probes again. Tombstones
-    must survive until the new (live-view-built, already-compacted)
-    corpus is live."""
+    """Deleted ids must not answer at ANY crash point of the publish.
+    Before the swap the old corpus is live and its tombstones are
+    still in the pointer (the old protocol's hazard — dropping the
+    mask before the corpus swap — cannot be expressed anymore: the
+    tombstones entry leaves the pointer in the SAME atomic swap that
+    installs the live-view-built corpus). After the swap the victims
+    are physically absent."""
     from correlationapi_spark.llm.similarity import (
         _tombstones,
         ivf_delete,
@@ -3128,116 +3255,114 @@ def test_ivf_recluster_crash_never_resurrects_deleted_ids(spark, tmp_path):
         ivf_recover,
     )
 
-    class Boom(Exception):
-        pass
-
-    def crash_at(stage):
-        def hook(s):
-            if s == stage:
-                raise Boom(str(s))
-
-        return hook
-
     path = _synthetic_index(spark, tmp_path, n_base=60, n_delta=150, n_cells=4)
     victims = [10000, 10001, 10002]
     assert ivf_delete(spark, path, victims) == 3
 
-    with pytest.raises(Boom):
-        ivf_recluster(
-            spark, path, threshold=0.0, _crash=crash_at("decertified")
-        )
-    # old corpus still live, mask still in force: no resurrection
-    seen = {
-        r.vec_id for r in ivf_live(spark, path)[0].select("vec_id").collect()
-    }
+    # crash BEFORE the swap: old corpus live, mask still in force
+    hook = _crash_at("staged")
+    with pytest.raises(hook.Boom):
+        ivf_recluster(spark, path, threshold=0.0, _crash=hook)
+    seen = _ivf_reader_snapshot(spark, path)
     assert not (seen & set(victims))
-
+    assert _tombstones(spark, path) is not None  # mask intact
     assert ivf_recover(spark, path) is True
-    seen = {
-        r.vec_id for r in ivf_live(spark, path)[0].select("vec_id").collect()
-    }
+
+    # crash AFTER the swap: victims physically gone, tombstones entry
+    # retired by the same pointer write (recluster implies compact)
+    hook = _crash_at("swapped")
+    with pytest.raises(hook.Boom):
+        ivf_recluster(spark, path, threshold=0.0, _crash=hook)
+    seen = _ivf_reader_snapshot(spark, path)
     assert not (seen & set(victims))
-    # recluster implies compact: the stale tombstones are gone with it
     assert _tombstones(spark, path) is None
 
 
-def test_ivf_mutations_heal_mid_swap_crash(spark, tmp_path):
-    """review r12: after a crash with the corpus already moved to
-    .trash-corpus (manifest present), the pre-lock 404 probes made
-    every mutation surface raise 'no index' instead of reaching the
-    recover-first hook — only ivf_recover could heal. A pending
-    manifest must count as existing: the next mutation rolls the
-    publish forward on its own."""
+def test_ivf_legacy_crashed_publish_migrates(spark, tmp_path):
+    """One-time migration healer: a store a PRE-POINTER release
+    crashed mid-recluster-publish (corpus already moved to
+    .trash-corpus, staged layout complete, _recluster.json present —
+    the old protocol's mid-swap state) must be healed by the next
+    mutation's preamble roll-forward, then upgraded like any legacy
+    store. Hand-builds the crashed state, since this release can no
+    longer produce it."""
+    import json
+    import os
+    import shutil
+
     from correlationapi_spark.llm.similarity import (
+        _IVF_MARKER,
         ivf_delete,
         ivf_is_index,
         ivf_live,
-        ivf_recluster,
+        ivf_resolve,
     )
-
-    class Boom(Exception):
-        pass
-
-    def crash_at(stage):
-        def hook(s):
-            if s == stage:
-                raise Boom(str(s))
-
-        return hook
 
     path = _synthetic_index(spark, tmp_path, n_base=60, n_delta=150, n_cells=4)
     n = ivf_live(spark, path)[0].count()
-    with pytest.raises(Boom):
-        ivf_recluster(
-            spark, path, threshold=0.0,
-            _crash=crash_at(("moved_old", "corpus")),
-        )
-    assert not ivf_is_index(spark, path)  # torn, honestly uncertified
+
+    # de-version to the legacy fixed-name layout
+    objs = ivf_resolve(spark, path)
+    os.rename(objs["corpus"], os.path.join(path, "corpus"))
+    os.rename(objs["centroids"], os.path.join(path, "centroids"))
+    shutil.rmtree(objs["idstate"])
+    os.remove(os.path.join(path, "_layout.json"))
+    for f in os.listdir(path):
+        if f.endswith(".crc"):
+            os.remove(os.path.join(path, f))
+
+    # simulate the old protocol's crash at ("moved_old", "corpus"):
+    # live corpus moved to trash, staged (complete) layout pending,
+    # marker + idstate de-certified, manifest present
+    stage = os.path.join(path, ".recluster-stage")
+    os.makedirs(stage)
+    os.rename(os.path.join(path, "corpus"), os.path.join(stage, "corpus"))
+    shutil.copytree(
+        os.path.join(path, "centroids"), os.path.join(stage, "centroids")
+    )
+    os.makedirs(os.path.join(path, ".trash-corpus"))
+    if os.path.exists(os.path.join(path, _IVF_MARKER)):
+        os.remove(os.path.join(path, _IVF_MARKER))
+    with open(os.path.join(path, "_recluster.json"), "w") as f:
+        json.dump({"stage": stage}, f)
+    assert not ivf_is_index(spark, path)  # honestly uncertified
+
     # a DELETE (not ivf_recover) heals the store, then applies itself
     assert ivf_delete(spark, path, [10000]) == 1
     assert ivf_is_index(spark, path)
     assert ivf_live(spark, path)[0].count() == n - 1
+    assert not os.path.exists(os.path.join(path, "_recluster.json"))
+    assert not os.path.exists(stage)
 
 
-def test_ivf_rebuild_supersedes_pending_recluster(spark, tmp_path):
-    """review r12 (second pass): ivf_write de-certifies a pending
-    recluster publish too. With _recluster.json left behind by a crash
-    after the manifest landed, a rebuild over the same (still
-    certified) path used to leave the stale pre-rebuild stage in
-    place — and the NEXT mutation's recover-first hook renamed it over
-    the fresh rebuild, silently dropping every rebuilt row from
-    probes."""
+def test_ivf_rebuild_supersedes_crashed_recluster_stage(spark, tmp_path):
+    """A rebuild over a path carrying a crashed recluster stage must
+    GC the orphans and publish its own version — nothing of the
+    crashed stage can ever surface (under the old protocol the stale
+    pre-rebuild stage could be rolled forward OVER the fresh rebuild
+    by the next mutation's recover hook; under the pointer protocol
+    the orphans are unreferenced by construction)."""
+    import os
+
     import numpy as np
 
     from correlationapi_spark.llm.similarity import (
-        _RECLUSTER_MANIFEST,
         ivf_compact,
         ivf_index,
         ivf_live,
         ivf_recluster,
         ivf_recover,
+        ivf_resolve,
         ivf_write,
     )
 
-    class Boom(Exception):
-        pass
-
-    def crash_at(stage):
-        def hook(s):
-            if s == stage:
-                raise Boom(str(s))
-
-        return hook
-
     path = _synthetic_index(spark, tmp_path, n_base=60, n_delta=150, n_cells=4)
-    import os
+    hook = _crash_at("staged")
+    with pytest.raises(hook.Boom):
+        ivf_recluster(spark, path, threshold=0.0, _crash=hook)
 
-    with pytest.raises(Boom):
-        ivf_recluster(spark, path, threshold=0.0, _crash=crash_at("manifest"))
-    assert os.path.exists(os.path.join(path, _RECLUSTER_MANIFEST))
-
-    # rebuild over the still-certified path with EXTRA vectors — the
-    # rebuild's data source is external, so it supersedes the publish
+    # rebuild over the still-certified path with EXTRA vectors — its
+    # data source is external, so it supersedes the crashed stage
     rng = np.random.RandomState(23)
     extra = spark.createDataFrame(
         [
@@ -3246,9 +3371,6 @@ def test_ivf_rebuild_supersedes_pending_recluster(spark, tmp_path):
         ],
         "vec_id long, v array<double>",
     )
-    # eager pin: the union reads the very corpus files ivf_write is
-    # about to overwrite — the read-overwrite hazard ivf_recluster's
-    # docstring stages around; a lazy plan here dies FILE_NOT_EXIST
     union = (
         ivf_live(spark, path)[0].select("vec_id", "v")
         .unionByName(extra).localCheckpoint(eager=True)
@@ -3257,10 +3379,25 @@ def test_ivf_rebuild_supersedes_pending_recluster(spark, tmp_path):
     a, c = ivf_index(union, n_cells=4)
     ivf_write(a, c, path)
 
-    assert not os.path.exists(os.path.join(path, _RECLUSTER_MANIFEST))
-    assert ivf_recover(spark, path) is False  # nothing pending anymore
-    # a mutation's recover-first hook must find nothing to roll over
-    # the rebuild: the rebuilt id set (extras included) survives intact
+    assert {
+        r.vec_id
+        for r in ivf_live(spark, path)[0].select("vec_id").collect()
+    } == want_ids
+    # compact's preamble GCs everything unreferenced (the crashed
+    # stage included); its own swap retires the pre-compact version
+    # (reader grace), which an explicit recover then reclaims — after
+    # that only the live version's objects remain
     ivf_compact(spark, path)
-    got = {r.vec_id for r in ivf_live(spark, path)[0].select("vec_id").collect()}
+    ivf_recover(spark, path)
+    live_dirs = set(ivf_resolve(spark, path).values())
+    leftovers = [
+        nm for nm in os.listdir(path)
+        if nm.startswith(("corpus-v", "centroids-v", "idstate-v"))
+        and os.path.join(path, nm) not in live_dirs
+    ]
+    assert leftovers == []
+    got = {
+        r.vec_id
+        for r in ivf_live(spark, path)[0].select("vec_id").collect()
+    }
     assert got == want_ids

@@ -693,8 +693,11 @@ def main(argv: list[str] | None = None) -> int:
             elif args.cmd == "scd2-recover":
                 res = api.scd2_recover_store(args.path)
             elif args.cmd == "scd2-snapshot":
+                # ids stay strings (advice r13: int() here broke
+                # string-keyed stores) — scd2_snapshot_at coerces from
+                # the store's own persisted key_type
                 users = (
-                    [int(x) for x in args.users.split(",") if x.strip()]
+                    [x.strip() for x in args.users.split(",") if x.strip()]
                     if args.users else None
                 )
                 res = api.scd2_snapshot(

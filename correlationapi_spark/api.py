@@ -3082,9 +3082,11 @@ class CorrelationAPI:
         bucketing modulus comes from the store's own metadata;
         ``n_buckets`` exists only for pre-metadata stores (advice r12).
         Returns the touched/total bucket stats plus ``rows_touched``
-        counted over the touched buckets ONLY — the old full-store
-        ``rows`` count was an O(store) action bolted onto the surface
-        whose whole point is O(affected buckets) (advice r12)."""
+        counted over the touched buckets ONLY, INSIDE the merge's
+        critical section (advice r13: the old post-lock re-read could
+        be inflated by a concurrent merge landing between release and
+        count; the merge itself now reports the number from the slices
+        it just published)."""
         from .operators.analytics import scd2_merge_into
 
         df = self._get(dataset)
@@ -3100,16 +3102,11 @@ class CorrelationAPI:
         _, stats = scd2_merge_into(
             self.spark, path, delta, n_buckets=n_buckets
         )
-        rows_touched = (
-            self.spark.read.parquet(path)
-            .filter(F.col("bucket").isin(stats["buckets"]))
-            .count()
-        )
         return {
             "path": path,
             "touched": stats["touched"],
             "total": stats["total"],
-            "rows_touched": rows_touched,
+            "rows_touched": stats["rows_touched"],
         }
 
     def scd2_recover_store(self, path: str) -> dict[str, Any]:

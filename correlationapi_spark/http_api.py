@@ -524,9 +524,13 @@ def _route(api: CorrelationAPI, method: str, path: str,
             # a scalar string "12" would iterate per-CHARACTER into
             # [1, 2] and silently answer for the wrong users
             raise ValueError('"users" must be a JSON array of ids')
+        # ids pass through UNTYPED (advice r13: int(u) here made
+        # string-keyed stores unqueryable and silently truncated 1.9
+        # to user 1) — scd2_snapshot_at coerces them from the store's
+        # own persisted key_type and rejects non-integral numerics
         return 200, api.scd2_snapshot(
             body["path"], body["ts"],
-            users=None if users is None else [int(u) for u in users],
+            users=users,
             limit=int(body.get("limit", 1000)),
         )
     if method == "POST" and path == "/scd2/recover":

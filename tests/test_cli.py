@@ -592,7 +592,16 @@ def test_cli_scd2_merge_into_and_recover(spark, capsys, tmp_path):
             )
         )
     ).drop("event_id")
-    got = spark.read.parquet(store).select(*want.columns)
+    from correlationapi_spark.operators.analytics import (
+        _scd2_layout,
+        _scd2_read,
+    )
+    from correlationapi_spark.storeio import StoreIO
+
+    io = StoreIO(store, spark)
+    got = _scd2_read(spark, store, _scd2_layout(io, store)).select(
+        *want.columns
+    )
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
@@ -600,7 +609,11 @@ def test_cli_scd2_merge_into_and_recover(spark, capsys, tmp_path):
     # full-store count was an O(store) action on an O(affected) surface)
     assert 1 <= res["rows_touched"] <= want.count()
 
-    # recover on a healthy store is an idempotent no-op
+    # round 14: recover = reclaim garbage — the merge retired the
+    # touched buckets' previous objects (reader grace); first call
+    # reclaims, second is the idempotent no-op
+    rc, res = _run(capsys, ["scd2-recover", "--path", store])
+    assert rc == 0 and res["recovered"] is True
     rc, res = _run(capsys, ["scd2-recover", "--path", store])
     assert rc == 0 and res["recovered"] is False
 

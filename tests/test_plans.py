@@ -851,17 +851,19 @@ def test_scd2_merge_touches_few_partitions(spark):
 
 
 def test_scd2_snapshot_prunes_buckets(spark, tmp_path):
-    """round 13 (r12 verdict item 6): the as-of read with user_ids must
-    prune at the parquet scan — the bucket ids come from the store's
-    persisted modulus and land on the bucket PARTITION column
-    (PartitionFilters, metadata-only), so a point lookup opens
-    |buckets(user_ids)| directories out of n_buckets, not the store."""
-    import re
-
+    """round 14 (was: PartitionFilters): the as-of read with user_ids
+    prunes at the PATH level — the bucket ids come from the store's
+    persisted modulus and only those buckets' object directories are
+    handed to the reader, so a point lookup never even LISTS the other
+    n_buckets-1 directories (strictly stronger than the old
+    partition-column filter, which still listed every bucket dir to
+    discover partitions). inputFiles() is exact proof here: the
+    relation IS the pruned path list."""
     import pyspark.sql.functions as F
 
     from correlationapi_spark.io import load_tables
     from correlationapi_spark.operators.analytics import (
+        _bucket_logical,
         scd2_merge,
         scd2_snapshot_at,
     )
@@ -873,17 +875,6 @@ def test_scd2_snapshot_prunes_buckets(spark, tmp_path):
     snap = scd2_snapshot_at(
         spark, p, "2024-01-25 00:00:00", user_ids=[uid]
     )
-    plan = snap._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"
-        )
-    )
-    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
-    assert pf and "bucket" in pf.group(1), plan
-    # the filter names the ONE bucket the key hashes to under the
-    # store's persisted modulus (inputFiles() can't prove pruning — it
-    # lists the relation pre-pruning — but a literal single-bucket
-    # PartitionFilter is metadata-only by construction)
     want_bucket = (
         spark.range(1)
         .select(
@@ -891,9 +882,13 @@ def test_scd2_snapshot_prunes_buckets(spark, tmp_path):
         )
         .head()["b"]
     )
-    assert re.search(rf"bucket#\d+\) = {want_bucket}\b", pf.group(1)) or (
-        f"= {want_bucket}" in pf.group(1)
-    ), pf.group(1)
+    files = snap.inputFiles()
+    assert files, "pruned snapshot must still read the target bucket"
+    marker = f"/{_bucket_logical(int(want_bucket))}-v"
+    assert all(marker in f for f in files), (marker, files[:3])
+    # and it is a strict subset of the store's files
+    all_files = scd2_snapshot_at(spark, p, "2024-01-25 00:00:00").inputFiles()
+    assert len(files) < len(all_files)
     # and the rows really are just that user's as-of row
     rows = snap.collect()
     assert len(rows) == 1 and rows[0]["user_id"] == uid

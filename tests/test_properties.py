@@ -1352,13 +1352,35 @@ def test_scd2_merge_equals_rebuild_any_split(spark, cutoff, mod):
     assert 1 <= stats["touched"] <= stats["total"]
 
 
+def _scd2_store_rows(spark, path, cols):
+    """Layout-aware raw read of an SCD2 store for test snapshots
+    (round 14: the store is a versioned-pointer object set, not a
+    plain partitioned directory)."""
+    from correlationapi_spark.operators.analytics import (
+        _scd2_layout,
+        _scd2_read,
+    )
+    from correlationapi_spark.storeio import StoreIO
+
+    io = StoreIO(path, spark)
+    return sorted(
+        map(
+            tuple,
+            _scd2_read(spark, path, _scd2_layout(io, path))
+            .select(*cols)
+            .collect(),
+        )
+    )
+
+
 def test_scd2_merge_crash_between_stages_recovers(spark, tmp_path):
-    """round 11 (r10 verdict item 5): kill the merge at every protocol
-    stage — after staging, after the manifest, mid-bucket-swap — and
-    the store is either byte-equal to its pre-commit state or rolls
-    FORWARD to the exact clean-merge result via scd2_recover. The old
-    localCheckpoint+dynamic-overwrite cycle lost the store in exactly
-    these windows."""
+    """r13 verdict item 1, re-pinned on the pointer protocol: kill the
+    merge at both protocol points — after the staged objects land
+    ("staged") and after the pointer swap ("swapped") — and the store
+    reads as EXACTLY its pre-merge or post-merge self; nothing is ever
+    torn, and recovery is garbage collection, not a roll-forward. The
+    old journaled protocol's mid-swap window (a bucket of users
+    visibly missing between two renames) is structurally gone."""
     import os
 
     from correlationapi_spark.operators.analytics import (
@@ -1396,55 +1418,103 @@ def test_scd2_merge_crash_between_stages_recovers(spark, tmp_path):
                 raise Boom(str(stage))
         return hook
 
-    def snapshot(path):
-        return sorted(map(tuple, spark.read.parquet(path).select(
-            *cols
-        ).collect()))
-
-    # 1) crash after the stage write, before the manifest: the store
-    #    is byte-untouched (the staged merge never published), and a
-    #    plain re-run completes the merge
+    # 1) crash after the staged objects land, BEFORE the pointer swap:
+    #    readers are on the pre-merge version; the staged objects are
+    #    unreferenced orphans; a plain re-run completes the merge and
+    #    its preamble GCs the orphans
     p1 = str(tmp_path / "s1")
     with pytest.raises(Boom):
         scd2_merge(spark, ev, pred, _store_path=p1,
                    _crash=crash_at("staged"))
-    assert snapshot(p1) == base_want
+    assert _scd2_store_rows(spark, p1, cols) == base_want
     assert not os.path.exists(os.path.join(p1, "_commit.json"))
     got, _ = scd2_merge(spark, ev, pred, _store_path=p1)
     assert sorted(map(tuple, got.collect())) == want
+    assert _scd2_store_rows(spark, p1, cols) == want
 
-    # 2) crash right after the manifest (no bucket swapped yet):
-    #    scd2_recover rolls forward to the full merge result
+    # 2) crash right AFTER the pointer swap: the merge is already
+    #    fully visible (the swap IS the commit); the replaced bucket
+    #    objects are retired-but-present (reader grace) until recover
+    #    — or any mutation's preamble — reclaims them
     p2 = str(tmp_path / "s2")
     with pytest.raises(Boom):
         scd2_merge(spark, ev, pred, _store_path=p2,
-                   _crash=crash_at("manifest"))
-    assert os.path.exists(os.path.join(p2, "_commit.json"))
-    assert scd2_recover(p2) is True
-    assert snapshot(p2) == want
-    assert not os.path.exists(os.path.join(p2, "_commit.json"))
+                   _crash=crash_at("swapped"))
+    assert _scd2_store_rows(spark, p2, cols) == want
+    assert scd2_recover(p2, spark=spark) is True   # reclaims retired
+    assert _scd2_store_rows(spark, p2, cols) == want
+    assert scd2_recover(p2, spark=spark) is False  # idempotent
 
-    # 3) crash MID-SWAP: the old bucket is in the trash, the staged
-    #    one not yet published — the store is visibly torn (a bucket
-    #    of users missing) and recovery makes it whole
+    # 3) at BOTH crash points a lock-free reader sees a complete,
+    #    consistent store — there is no third state (the old
+    #    protocol's "bucket missing mid-swap" cannot be expressed)
     p3 = str(tmp_path / "s3")
-    hit = {"stage": None}
-
-    def first_moved_old(stage):
-        if isinstance(stage, tuple) and stage[0] == "moved_old":
-            hit["stage"] = stage
-            raise Boom(str(stage))
-
     with pytest.raises(Boom):
         scd2_merge(spark, ev, pred, _store_path=p3,
-                   _crash=first_moved_old)
-    assert hit["stage"] is not None        # the window was actually hit
-    assert len(snapshot(p3)) < len(want)   # torn: a bucket is missing
-    assert scd2_recover(p3) is True
-    assert snapshot(p3) == want
+                   _crash=crash_at("staged"))
+    snap = _scd2_store_rows(spark, p3, cols)
+    assert snap in (base_want, want) and snap == base_want
 
-    # recovery is idempotent: nothing left to do on a healthy store
-    assert scd2_recover(p3) is False
+
+def test_scd2_snapshot_races_merge_consistently(spark, tmp_path):
+    """Cross-bucket snapshot isolation under a concurrent writer — the
+    property the journaled per-bucket protocol explicitly disclaimed
+    (its swap was atomic per bucket, so a racing snapshot could see
+    different buckets on different sides of the merge, or fail on a
+    file renamed mid-scan). Under the pointer layout a snapshot
+    resolves the pointer once and reads only the dirs it names, with
+    retired objects kept a full mutation cycle: every concurrent read
+    must succeed and equal EXACTLY the pre-merge or post-merge store."""
+    import threading
+
+    from correlationapi_spark.operators.analytics import (
+        scd2_merge,
+        scd2_merge_into,
+        scd2_snapshot_at,
+    )
+
+    ev = load_tables(spark, SF_SMOKE)["events"]
+    cut = F.lit("2024-01-25 00:00:00").cast("timestamp")
+    p = str(tmp_path / "race")
+    scd2_merge(spark, ev.filter(F.col("ts") < cut), F.lit(False),
+               _store_path=p)
+    ts = "2024-02-01 00:00:00"
+
+    def snap():
+        return sorted(
+            map(tuple, scd2_snapshot_at(spark, p, ts).collect())
+        )
+
+    before = snap()
+    delta = ev.filter(
+        (F.col("ts") >= cut) & (F.col("user_id") % 7 == 0)
+    ).select("user_id", "event_type", "ts", "event_id")
+
+    stop = threading.Event()
+    errors: list = []
+    seen: list = []
+
+    def hammer():
+        while not stop.is_set():
+            try:
+                seen.append(snap())
+            except Exception as e:  # noqa: BLE001 — "no error" IS the pin
+                errors.append(repr(e))
+                return
+
+    t = threading.Thread(target=hammer, daemon=True)
+    t.start()
+    try:
+        scd2_merge_into(spark, p, delta)
+    finally:
+        stop.set()
+        t.join(timeout=120)
+    after = snap()
+    assert errors == []
+    assert seen, "reader thread never completed a pass"
+    assert before != after  # the merge visibly changed the dimension
+    bad = [s for s in seen if s != before and s != after]
+    assert bad == [], f"{len(bad)} torn snapshot(s) observed"
 
 
 def test_scd2_merge_into_existing_store(spark, tmp_path):
@@ -1557,13 +1627,7 @@ def test_scd2_merge_into_existing_store(spark, tmp_path):
     with pytest.raises(Boom):
         scd2_merge_into(spark, p, delta2, _crash=crash_staged)
     assert not os.path.exists(os.path.join(p, "_commit.json"))
-    after_crash = sorted(
-        map(
-            tuple,
-            spark.read.parquet(p).select(*cols).collect(),
-        )
-    )
-    assert after_crash == before
+    assert _scd2_store_rows(spark, p, cols) == before
     merged2, _ = scd2_merge_into(spark, p, delta2)
     cur2 = {
         r.state
@@ -1725,12 +1789,30 @@ def test_scd2_persisted_modulus_and_key_cast(spark, tmp_path):
     with pytest.raises(ValueError, match="does not fit"):
         scd2_merge_into(spark, p3, too_big)
 
-    # 4. legacy store (no metadata): n_buckets is required
+    # 4. legacy store (pre-pointer bucket=N layout, no metadata):
+    #    n_buckets is required; passing it merges AND upgrades the
+    #    store to the pointer layout (round 14 migration)
     import os
 
-    os.remove(os.path.join(p2, "_scd2_meta.json"))
+    from correlationapi_spark.storeio import StoreIO, pointer_read
+
+    p4 = str(tmp_path / "legacy")
+    legacy_base = scd2_intervals(obs(base_all)).withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("user_id")), F.lit(8))
+    )
+    legacy_base.write.mode("overwrite").partitionBy("bucket").parquet(p4)
     with pytest.raises(ValueError, match="metadata era"):
-        scd2_merge_into(spark, p2, delta)
+        scd2_merge_into(spark, p4, delta)
+    merged4, stats4 = scd2_merge_into(spark, p4, delta, n_buckets=8)
+    assert sorted(map(tuple, merged4.select(*want.columns).collect())) == \
+        sorted(map(tuple, want.collect()))
+    lay4 = pointer_read(StoreIO(p4, spark), p4)
+    assert lay4 is not None and lay4["n_buckets"] == 8  # upgraded
+    # untouched legacy bucket dirs were adopted verbatim; touched ones
+    # were replaced by versioned objects and retired
+    adopted = [v for v in lay4["buckets"].values()
+               if v.startswith("bucket=")]
+    assert adopted and stats4["touched"] < stats4["total"]
 
 
 def test_scd2_mutation_lock_serializes(spark, tmp_path):
@@ -1808,10 +1890,21 @@ def test_scd2_snapshot_at_point_in_time(spark, tmp_path):
     )
     assert pruned == [r for r in want if r[0] in some]
 
-    # legacy store: drop the metadata, the answer must not change
+    # pre-metadata store: strip the persisted modulus/key facts from
+    # the pointer — pruning degrades, the answer must not change
     import os
 
-    os.remove(os.path.join(p, "_scd2_meta.json"))
+    from correlationapi_spark.storeio import (
+        StoreIO,
+        pointer_read,
+        pointer_write,
+    )
+
+    io = StoreIO(p, spark)
+    lay = pointer_read(io, p)
+    pointer_write(
+        io, p, {**lay, "n_buckets": None, "key_type": None}
+    )
     legacy = sorted(
         map(
             tuple,
@@ -1819,6 +1912,7 @@ def test_scd2_snapshot_at_point_in_time(spark, tmp_path):
         )
     )
     assert legacy == pruned
+    pointer_write(io, p, lay)  # restore for the checks below
 
     with pytest.raises(ValueError, match="unparseable"):
         scd2_snapshot_at(spark, p, "not-a-time")
@@ -1834,7 +1928,7 @@ def test_scd2_snapshot_at_point_in_time(spark, tmp_path):
 
     with open(os.path.join(p, "_commit.json"), "w") as f:
         json.dump({"stage": p + ".stage", "buckets": []}, f)
-    with pytest.raises(ValueError, match="pending interrupted commit"):
+    with pytest.raises(ValueError, match="pending interrupted"):
         scd2_snapshot_at(spark, p, ts)
     os.remove(os.path.join(p, "_commit.json"))
     assert sorted(map(tuple, scd2_snapshot_at(spark, p, ts).collect())) \

@@ -186,7 +186,15 @@ def main() -> None:
     t_rebuild = time.time() - t0
 
     # 3. equivalence at this grain (row sets, not just counts)
-    stored = spark.read.parquet(store).select(
+    from correlationapi_spark.operators.analytics import (
+        _scd2_layout,
+        _scd2_read,
+    )
+    from correlationapi_spark.storeio import StoreIO
+
+    stored = _scd2_read(
+        spark, store, _scd2_layout(StoreIO(store, spark), store)
+    ).select(
         "user_id", "state", "valid_from", "valid_to", "is_current"
     )
     rebuilt = spark.read.parquet(rebuild_path).select(
@@ -195,7 +203,9 @@ def main() -> None:
     diff = (
         stored.exceptAll(rebuilt).count() + rebuilt.exceptAll(stored).count()
     )
-    stored2 = spark.read.parquet(store2).select(
+    stored2 = _scd2_read(
+        spark, store2, _scd2_layout(StoreIO(store2, spark), store2)
+    ).select(
         "user_id", "state", "valid_from", "valid_to", "is_current"
     )
     diff2 = (

@@ -70,26 +70,25 @@ _MODULES = (
 # code/oracle/fixture changed THIS round after their latest verdict, so
 # they jump back to the front of the sweep regardless of verdict age.
 _TOUCHED: frozenset[str] = frozenset({
-    # round 13:
-    "q_pacf",              # _durbin_levinson boundary guard now
-                           # eps-tolerant (abs(den) <= 1e-12 and
-                           # |phi_kk| >= 1 poison deeper lags) — the
-                           # r12 judge's Hypothesis finding; real
-                           # sample ACFs are unaffected but the code
-                           # path changed
-    "q_scd2_merge",        # scd2 store metadata file (persisted bucket
-                           # modulus + key type), per-store mutation
-                           # lock, delta-schema cast before the
-                           # affected-bucket computation
-    "q_embed_pq",          # codebook now per-subspace k-means-trained
-                           # (8×64, 6-bit codes) instead of the
-                           # first-16-rows sample — codes and recon_err
-                           # changed by design
-    "q_sim_topk_pq",       # same trained codebook on the ADC probe
-    "q_sim_topk_ivfpq",    # same trained codebook on the fused probe
-    "q_sim_index_append",  # append's Bloom screen + delta-bitmap build
-                           # fused into one Arrow pass (same verdicts,
-                           # bit-identical bitmap — pinned)
+    # round 14:
+    "q_scd2_merge",        # SCD2 store moved to the versioned-pointer
+                           # layout (storeio.py): per-bucket objects,
+                           # one atomic _layout.json swap replaces the
+                           # journaled per-bucket rename commit;
+                           # rows_touched counted in-lock
+    "q_sim_index_append",  # IVF store moved to the same pointer
+                           # layout — rebuild/recluster/compact publish
+                           # by pointer swap, re-admit compacts instead
+                           # of in-place cell rewrite
+    "q_embed_pq",          # codebook training sample is now a
+                           # deterministic hash-cut (r13 verdict item
+                           # 5) — degenerate to the old vec_id prefix
+                           # at fixture sizes ≤ 4·PQ_TRAIN_N, but the
+                           # code path changed
+    "q_sim_topk_pq",       # probes the PERSISTED code column of a
+                           # PQ-attached store (pq_probe_stored) —
+                           # same LUT/fold algebra, no per-call Lloyd
+    "q_sim_topk_ivfpq",    # same, with stored-code cell pruning
 })
 
 

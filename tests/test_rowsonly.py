@@ -1960,6 +1960,190 @@ def test_pq_adc_recall_vs_exact(spark):
     assert hits / total >= 0.30, (hits, total)  # trained-codebook floor
 
 
+def _pq_attached_store(spark, tmp_path, base_pred=None):
+    from correlationapi_spark.io import load_tables
+    from correlationapi_spark.llm.similarity import (
+        corpus_view,
+        ivf_index,
+        ivf_write,
+        pq_attach,
+    )
+
+    emb = corpus_view(
+        load_tables(spark, SF_SMOKE)["embeddings"], "vec_id", "embedding"
+    )
+    path = str(tmp_path / "pqidx")
+    sub = emb if base_pred is None else emb.filter(base_pred)
+    a, c = ivf_index(sub, n_cells=8)
+    ivf_write(a, c, path)
+    pq_attach(spark, path)
+    return path, emb
+
+
+def test_pq_stored_probe_after_append_matches_fresh_encode(spark, tmp_path):
+    """r13 verdict item 2's done-criterion: after an append into a
+    PQ-attached store, probing the STORED codes must equal a fresh
+    encode + ADC of the full live corpus with the SAME stored book —
+    i.e. the persisted codes are exactly what a from-scratch encode
+    would produce (the code column rides in the corpus row write, so
+    no crash ordering can desynchronize them), and the per-call Lloyd
+    is gone from the probe path (the book is read, never retrained)."""
+    from correlationapi_spark.llm.similarity import (
+        StoreIO,
+        _ivf_layout,
+        _pq_books_read,
+        ivf_append,
+        ivf_live,
+        pq_adc_topk,
+        pq_probe_stored,
+    )
+
+    path, emb = _pq_attached_store(
+        spark, tmp_path, F.col("vec_id") % 5 != 0
+    )
+    ivf_append(spark, path, emb.filter(F.col("vec_id") % 5 == 0))
+
+    live = ivf_live(spark, path)[0]
+    assert live.filter(F.col("pq_code").isNull()).count() == 0
+    assert live.count() == emb.count()
+
+    objs = _ivf_layout(StoreIO(path, spark), path)["objects"]
+    books = _pq_books_read(spark, path, objs)
+    stored = sorted(
+        map(tuple, pq_probe_stored(spark, path, [0, 1, 2], k=5).collect())
+    )
+    fresh_corpus = live.select(
+        "vec_id", F.col("v").alias("embedding"),
+        F.lit("x").alias("label"),
+    )
+    fresh = sorted(
+        map(
+            tuple,
+            pq_adc_topk(
+                fresh_corpus, F.col("vec_id").isin([0, 1, 2]), 5,
+                _books=books,
+            ).collect(),
+        )
+    )
+    assert stored == fresh
+    # probe 0 is an appended row (0 % 5 == 0): the delta provably
+    # probes AND answers through the stored codes
+    assert any(r[0] == 0 for r in stored)
+    answered = {
+        r.vec_id
+        for r in pq_probe_stored(
+            spark, path, list(range(1, 10)), k=9
+        ).collect()
+    }
+    assert answered & {
+        v for v in range(0, emb.count(), 5)
+    }, "appended rows never answer stored probes"
+
+
+def test_pq_probe_batches_beyond_cap(spark, tmp_path, monkeypatch):
+    """advice r13: probe sets beyond _PQ_MAX_PROBES are scored in
+    batches instead of refused. Pin with the cap shrunk to 2 so five
+    probes exercise three real batches on both the stored and the
+    ad-hoc engines, and the answers equal the unbatched run."""
+    import correlationapi_spark.llm.similarity as sim
+    from correlationapi_spark.io import load_tables
+    from correlationapi_spark.llm.similarity import (
+        pq_adc_topk,
+        pq_probe_stored,
+    )
+
+    path, _ = _pq_attached_store(spark, tmp_path)
+    want_stored = sorted(
+        map(
+            tuple,
+            pq_probe_stored(spark, path, list(range(5)), k=3).collect(),
+        )
+    )
+    emb = load_tables(spark, SF_SMOKE)["embeddings"]
+    want_adhoc = sorted(
+        map(tuple, pq_adc_topk(emb, F.col("vec_id") < 5, 3).collect())
+    )
+    monkeypatch.setattr(sim, "_PQ_MAX_PROBES", 2)
+    got_stored = sorted(
+        map(
+            tuple,
+            pq_probe_stored(spark, path, list(range(5)), k=3).collect(),
+        )
+    )
+    got_adhoc = sorted(
+        map(tuple, pq_adc_topk(emb, F.col("vec_id") < 5, 3).collect())
+    )
+    assert got_stored == want_stored
+    assert got_adhoc == want_adhoc
+    # ivfpq's batched probe path too
+    want_iv = sorted(
+        map(
+            tuple,
+            pq_probe_stored(
+                spark, path, list(range(5)), k=3, n_probe=4
+            ).collect(),
+        )
+    )
+    monkeypatch.setattr(sim, "_PQ_MAX_PROBES", 1024)
+    assert want_iv == sorted(
+        map(
+            tuple,
+            pq_probe_stored(
+                spark, path, list(range(5)), k=3, n_probe=4
+            ).collect(),
+        )
+    )
+
+
+def test_pq_attachment_survives_maintenance(spark, tmp_path):
+    """The PQ attachment's maintenance contract: delete+compact carry
+    the code column through the live rewrite (same book), recluster
+    re-stamps cells and re-encodes with the STORED book (codes are
+    cell-independent, so probe answers persist), and a REBUILD drops
+    PQ (new corpus, book must retrain — pq_probe_stored refuses until
+    re-attached)."""
+    from correlationapi_spark.llm.similarity import (
+        StoreIO,
+        _ivf_layout,
+        _pq_books_read,
+        ivf_compact,
+        ivf_delete,
+        ivf_index,
+        ivf_live,
+        ivf_recluster,
+        ivf_write,
+        pq_probe_stored,
+    )
+
+    path, emb = _pq_attached_store(spark, tmp_path)
+    objs0 = _ivf_layout(StoreIO(path, spark), path)["objects"]
+    books0 = _pq_books_read(spark, path, objs0)
+
+    assert ivf_delete(spark, path, [7, 8]) == 2
+    ivf_compact(spark, path)
+    live = ivf_live(spark, path)[0]
+    assert "pq_code" in live.columns
+    assert live.filter(F.col("pq_code").isNull()).count() == 0
+    objs1 = _ivf_layout(StoreIO(path, spark), path)["objects"]
+    assert objs1["pqbooks"] == objs0["pqbooks"]  # book carried by name
+    assert _pq_books_read(spark, path, objs1) == books0
+
+    assert ivf_recluster(spark, path, threshold=0.0)["reclustered"]
+    live = ivf_live(spark, path)[0]
+    assert live.filter(F.col("pq_code").isNull()).count() == 0
+    got = pq_probe_stored(spark, path, [0], k=3).collect()
+    assert len(got) == 3 and all(r.vec_id not in (7, 8) for r in got)
+
+    # rebuild drops PQ: the new corpus is new data
+    a, c = ivf_index(emb, n_cells=8)
+    ivf_write(a, c, path)
+    objs2 = _ivf_layout(StoreIO(path, spark), path)["objects"]
+    assert "pqbooks" not in objs2
+    assert "pq_code" not in ivf_live(spark, path)[0].columns
+    with pytest.raises(ValueError, match="pq_attach"):
+        pq_probe_stored(spark, path, [0], k=3)
+
+
 def test_markov_stationary_is_fixed_point(spark):
     """q_event_markov_stationary's documented pin: π is a probability
     vector and a fixed point of the transition operator (πP plus the

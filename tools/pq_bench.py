@@ -72,10 +72,36 @@ def main() -> int:
         .localCheckpoint(eager=True)
     )
 
-    from correlationapi_spark.llm.similarity import PQ_BITS
+    from correlationapi_spark.llm.similarity import (
+        PQ_BITS,
+        _pq_train_books,
+    )
+
+    # the PLANTED codebook, passed explicitly: entry c of subspace s is
+    # (c+1) at the subspace's anchor dim. Round 14: _pq_train_books now
+    # hash-cut-samples the corpus (r13 verdict item 5), so the trained
+    # book's centroid INDEXING no longer inherits the donors-at-init
+    # identity this bench's closed-form expectation needs — the bench
+    # measures the encode/ADC kernels, so it pins the book and times
+    # the sampler separately below.
+    books = [
+        [
+            [float(c + 1) if j == 0 else 0.0 for j in range(PQ_SUB_D)]
+            for c in range(PQ_K)
+        ]
+        for _ in range(PQ_M)
+    ]
+    t0 = time.time()
+    _pq_train_books(corpus)  # the hash-cut sample + driver Lloyd cost
+    t_train = time.time() - t0
+    print(
+        f"_pq_train_books: hash-cut sample + driver Lloyd over {n} "
+        f"vectors in {t_train:.2f}s (one count + one filter scan — no "
+        f"corpus-wide top-k)"
+    )
 
     t0 = time.time()
-    enc = pq_encode(corpus)
+    enc = pq_encode(corpus, _books=books)
     stats = enc.agg(
         F.count("*").alias("n"),
         F.max("recon_err").alias("max_err"),
@@ -105,12 +131,8 @@ def main() -> int:
     t_enc = time.time() - t0
     assert stats.n == n
     assert stats.miscoded == 0, stats
-    # round 13: the codebook is k-means-trained on the vec_id-ordered
-    # sample, so centroids sit BETWEEN the exact planted entries and
-    # the offset copies — per-vector error is no longer the closed-form
-    # M*subd*offset^2, but it stays bounded by it up to the centroid
-    # drift (the cluster gap is 1.0 >> 0.01, so the planted ASSIGNMENT
-    # invariant above is unchanged and still exact)
+    # with the planted book pinned, per-vector error is bounded by the
+    # closed-form M·subd·offset² (donor rows code exactly: error 0)
     exp_err = round(PQ_M * 0.01 * 0.01 * PQ_SUB_D, 6)
     assert 0.0 <= stats.max_err <= 2 * exp_err, (stats.max_err, exp_err)
     print(
@@ -121,7 +143,9 @@ def main() -> int:
     )
 
     t0 = time.time()
-    topk = pq_adc_topk(corpus, F.col("vec_id").isin(100, 101, 102), 10)
+    topk = pq_adc_topk(
+        corpus, F.col("vec_id").isin(100, 101, 102), 10, _books=books
+    )
     rows = topk.collect()
     t_adc = time.time() - t0
     assert len(rows) == 30
@@ -136,6 +160,56 @@ def main() -> int:
         f"pq_adc_topk: 3 probes x top-10 over {n} codes in {t_adc:.2f}s; "
         f"every neighbor shares the probe's planted code and "
         f"adc <= 2*{exp_err} (probe offset energy + centroid drift)"
+    )
+
+    # round 14 (r13 verdict item 2): the PERSISTED path — pq_attach
+    # pays the train+encode ONCE into the store; pq_probe_stored then
+    # scores stored codes with the stored book, so probe cost is
+    # decoupled from encode cost (the ad-hoc t_adc above re-trains and
+    # re-encodes the whole corpus per call).
+    import tempfile
+
+    from correlationapi_spark.llm.similarity import (
+        ivf_index,
+        ivf_write,
+        pq_attach,
+        pq_probe_stored,
+    )
+
+    store = tempfile.mkdtemp(prefix="pq_bench_store_") + "/idx"
+    vecs = corpus.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    t0 = time.time()
+    a, c = ivf_index(vecs, n_cells=64, train_fraction=0.1)
+    ivf_write(a, c, store)
+    t_build = time.time() - t0
+    t0 = time.time()
+    pq_attach(spark, store, _books=books)
+    t_attach = time.time() - t0
+    t0 = time.time()
+    rows2 = pq_probe_stored(
+        spark, store, [100, 101, 102], k=10
+    ).collect()
+    t_probe = time.time() - t0
+    assert len(rows2) == 30
+    for r in rows2:
+        assert 0.0 <= r.adc_l2 <= 2 * exp_err, r
+        for s in range(PQ_M):
+            assert (r.vec_id * (s + 1)) % PQ_K == \
+                   (r.probe_id * (s + 1)) % PQ_K, r
+    t0 = time.time()
+    rows3 = pq_probe_stored(
+        spark, store, [100, 101, 102], k=10, n_probe=8
+    ).collect()
+    t_probe_ivf = time.time() - t0
+    print(
+        f"pq_probe_stored: ivf build {t_build:.2f}s + one-time attach "
+        f"(train+encode+rewrite) {t_attach:.2f}s; then full-ADC probe "
+        f"{t_probe:.2f}s and 8-of-64-cell IVF-PQ probe "
+        f"{t_probe_ivf:.2f}s over {n} stored codes ({len(rows3)} rows) "
+        f"— vs {t_adc:.2f}s for the ad-hoc retrain+re-encode probe"
     )
     return 0
 

@@ -113,7 +113,24 @@ def _bench_scd2_merge_phases(spark, sf_dir: str) -> dict:
     delta = ev.filter(delta_pred).select(
         "user_id", "event_type", "ts", "event_id"
     )
-    best = {"build": float("inf"), "merge": float("inf")}
+    # SPARSE cohort (r13 verdict item 4): the declared %37 cohort is
+    # CDC-realistic but at sf0.1 its user set hashes into all 32
+    # buckets, so the declared-phase merge cost ≥ build there and the
+    # partition pruning never SHOWS at the declared fixture. A late
+    # batch of THREE users is the other realistic shape (a point
+    # correction), and touched ≪ total demonstrates at every SF —
+    # merge_sparse < build is the pruning exhibit, reported alongside.
+    sparse_users = [
+        r.user_id
+        for r in delta.select("user_id").distinct()
+        .orderBy("user_id").limit(3).collect()
+    ]
+    sparse = delta.filter(F.col("user_id").isin(sparse_users))
+    best = {
+        "build": float("inf"), "merge": float("inf"),
+        "merge_sparse": float("inf"),
+    }
+    touched: dict = {}
     for _ in range(2):
         path = _scd2_store_dir()
         t0 = _time.time()
@@ -122,9 +139,22 @@ def _bench_scd2_merge_phases(spark, sf_dir: str) -> dict:
         )
         best["build"] = min(best["build"], _time.time() - t0)
         t0 = _time.time()
-        scd2_merge_into(spark, path, delta)
+        _, st_sparse = scd2_merge_into(spark, path, sparse)
+        best["merge_sparse"] = min(
+            best["merge_sparse"], _time.time() - t0
+        )
+        t0 = _time.time()
+        _, st = scd2_merge_into(
+            spark, path,
+            delta.filter(~F.col("user_id").isin(sparse_users)),
+        )
         best["merge"] = min(best["merge"], _time.time() - t0)
-    return {k: round(v, 3) for k, v in best.items()}
+        touched = {
+            "sparse_touched": st_sparse["touched"],
+            "touched": st["touched"],
+            "total": st["total"],
+        }
+    return {**{k: round(v, 3) for k, v in best.items()}, **touched}
 
 
 def main() -> None:

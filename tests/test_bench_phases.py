@@ -35,5 +35,12 @@ def test_index_append_phases_run(spark):
 
 def test_scd2_merge_phases_run(spark):
     ph = _bench_module()._bench_scd2_merge_phases(spark, SF_SMOKE)
-    assert set(ph) == {"build", "merge"}
-    assert all(v > 0 for v in ph.values()), ph
+    assert set(ph) == {
+        "build", "merge", "merge_sparse",
+        "sparse_touched", "touched", "total",
+    }
+    assert ph["build"] > 0 and ph["merge"] > 0 and ph["merge_sparse"] > 0
+    # the pruning exhibit (r13 verdict item 4): the 3-user sparse batch
+    # touches at most 3 buckets, strictly fewer than the store holds
+    assert 1 <= ph["sparse_touched"] <= 3
+    assert ph["sparse_touched"] < ph["total"], ph

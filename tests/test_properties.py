@@ -1585,6 +1585,16 @@ def test_scd2_merge_into_existing_store(spark, tmp_path):
         map(tuple, want.collect())
     )
     assert 1 <= stats["touched"] < stats["total"]  # sparse batch pruned
+    # rows_touched is counted INSIDE the lock from the published
+    # slices (advice r13): it must equal the post-merge row count of
+    # exactly the touched buckets
+    bucket = F.pmod(F.xxhash64(F.col("user_id")), F.lit(32))
+    want_touched = (
+        merged.withColumn("b", bucket)
+        .filter(F.col("b").isin(stats["buckets"]))
+        .count()
+    )
+    assert stats["rows_touched"] == want_touched
     cur = {
         r.state
         for r in merged.filter(

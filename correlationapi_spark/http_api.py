@@ -72,16 +72,25 @@ container, and none is needed for a JSON-for-JSON contract:
          tombstones, right-size the id Bloom
   POST /index/recluster {"path"[,"threshold","n_cells","train_fraction"]}
        → re-train the quantizer + rebuild when max/avg cell > threshold
-         (staged + journaled rename publish; no-op below threshold)
-  POST /index/recover {"path"}  → roll an interrupted recluster publish
-         forward (idempotent; recovered=false when nothing is pending)
+         (round 14: staged as unreferenced versioned objects, committed
+         by ONE atomic layout-pointer swap — readers never torn; no-op
+         below threshold)
+  POST /index/recover {"path"}  → reclaim retired/orphan store objects
+         now (round 14: nothing needs a roll-forward anymore;
+         recovered=false when there was nothing to reclaim)
+  POST /psi/repin {"dataset","time","value","path"[,"start","end","bins"]}
+       → pin/rotate a versioned PSI reference over any window
+  GET  /psi/status?path=          → the live PSI reference pin
+  GET  /psi/drift?dataset=&time=&value=&path=  → per-window PSI vs pin
   POST /scd2/merge {"dataset","user","event","time","order","path"
        [,"n_buckets"]}  → merge a staged CDC batch into an EXISTING
-         bucketed SCD2 store (touches only the batch's buckets;
-         n_buckets only for pre-metadata stores — newer stores carry
-         their modulus in _scd2_meta.json)
-  POST /scd2/recover {"path"}  → roll an interrupted SCD2 commit
-         forward (idempotent; recovered=false when nothing is pending)
+         bucketed SCD2 store (touches only the batch's buckets —
+         round 14: per-bucket versioned objects behind one atomic
+         pointer swap; n_buckets only for pre-metadata stores — newer
+         stores carry their modulus in the layout pointer)
+  POST /scd2/recover {"path"}  → heal a pre-pointer interrupted commit
+         and reclaim retired/orphan bucket objects (idempotent;
+         recovered=false when nothing to do)
   POST /scd2/snapshot {"path","ts"[,"users","limit"]}  → point-in-time
          dimension read (pure read despite POST; bucket-pruned with
          users)

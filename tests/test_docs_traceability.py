@@ -60,3 +60,25 @@ def test_oracle_type_rule_documented_and_enforced():
     from correlationapi_spark.testing import _canon_cell
 
     assert _canon_cell(32) != _canon_cell(32.0)  # the r6 failure mode
+
+
+def test_every_http_route_documented():
+    """r13 verdict item 7: README lagged the service surface for two
+    rounds because nothing pinned it. The route inventory is extracted
+    from the handler source itself (the `path == "/x"` dispatch), so a
+    route added without documenting it in BOTH the http_api module
+    docstring and README fails here, not at review time."""
+    import re
+
+    src = _read(os.path.join("correlationapi_spark", "http_api.py"))
+    routes = sorted(
+        set(re.findall(r'path == "(/[^"]+)"', src))
+        | set(re.findall(r'path\.startswith\("(/[^"]+?)/?"', src))
+    )
+    assert len(routes) >= 50, routes  # the dispatch regex still matches
+    docstring = src.split('"""')[1]
+    readme = _read("README.md")
+    missing_doc = [r for r in routes if r not in docstring]
+    missing_readme = [r for r in routes if r not in readme]
+    assert not missing_doc, f"routes absent from http_api doc: {missing_doc}"
+    assert not missing_readme, f"routes absent from README: {missing_readme}"

@@ -31,10 +31,10 @@ Commands:
   index-compact --path DIR   (rewrite dead cells live-only, clear tombstones)
   index-recluster --path DIR [--threshold R] [--n-cells N]
             [--train-fraction F]   (re-train quantizer when max/avg > R)
-  index-recover --path DIR   (roll an interrupted recluster publish forward)
+  index-recover --path DIR   (reclaim retired/orphan store objects now)
   scd2-merge-into --data PATH --user COL --event COL --time COL --order COL
             --path DIR [--n-buckets N]   (incremental SCD2 store merge)
-  scd2-recover --path DIR    (roll an interrupted SCD2 commit forward)
+  scd2-recover --path DIR    (heal a pre-pointer commit; reclaim garbage)
   scd2-snapshot --path DIR --ts TS [--users 1,2] [--limit N]
             (point-in-time dimension read; bucket-pruned with --users)
   psi-repin --data PATH --time COL --value COL --path DIR --end TS
@@ -453,22 +453,25 @@ def main(argv: list[str] | None = None) -> int:
 
     irv = sub.add_parser(
         "index-recover",
-        help="roll an interrupted recluster publish forward (idempotent; "
-        "recovered=false when nothing is pending)",
+        help="reclaim the index's retired/orphan objects now (round 14: "
+        "nothing needs a roll-forward; recovered=false when nothing to "
+        "reclaim)",
     )
     irv.add_argument("--path", required=True)
 
     s2r = sub.add_parser(
         "scd2-recover",
-        help="roll an interrupted SCD2 store commit forward (idempotent; "
-        "recovered=false when nothing is pending)",
+        help="heal a pre-pointer interrupted SCD2 commit and reclaim "
+        "retired/orphan bucket objects (idempotent; recovered=false "
+        "when nothing to do)",
     )
     s2r.add_argument("--path", required=True)
 
     s2m = sub.add_parser(
         "scd2-merge-into",
         help="merge a staged CDC batch into an EXISTING bucketed SCD2 "
-        "store (touches only the batch's buckets; journaled publish)",
+        "store (touches only the batch's buckets; one atomic "
+        "layout-pointer swap publishes them)",
     )
     add_data(s2m)
     s2m.add_argument("--user", required=True)
@@ -479,7 +482,7 @@ def main(argv: list[str] | None = None) -> int:
     s2m.add_argument(
         "--n-buckets", type=int, default=None,
         help="only for pre-metadata stores; newer stores carry their "
-        "bucketing modulus in _scd2_meta.json",
+        "bucketing modulus in the store's layout pointer",
     )
 
     s2s = sub.add_parser(
@@ -498,7 +501,8 @@ def main(argv: list[str] | None = None) -> int:
         "index-recluster",
         help="re-train the coarse quantizer and rebuild the cell layout "
         "when max/avg cell size exceeds --threshold (0 forces); staged "
-        "+ journaled rename publish, index stays readable throughout",
+        "as unreferenced versioned objects, committed by one atomic "
+        "pointer swap — readable AND consistent throughout",
     )
     irc.add_argument("--path", required=True)
     irc.add_argument("--threshold", type=float, default=3.0)

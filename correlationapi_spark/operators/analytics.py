@@ -2841,6 +2841,8 @@ def _scd2_stage_publish(
         "bucket"
     ).parquet(stage)
     out: dict = {}
+    if not io.isdir(stage):
+        return out  # zero-row frame: nothing staged (empty base/delta)
     for d in io.list_names(stage):
         if not d.startswith("bucket="):
             continue

@@ -759,18 +759,29 @@ def test_round9_late_engine_shapes(spark):
     plan = plan_of(spark, "q_funnel_window")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # q_sim_topk_pq (round 13, vectorized): the codebook and the
-    # per-probe LUT ride the closure into Arrow-batched numpy map
-    # stages — NO join of any kind remains (the old shape broadcast-
-    # joined codes against the LUT and the codebook); the final
-    # per-probe top-k is a WindowGroupLimit over the map-side
-    # partial top-k
+    # q_sim_topk_pq (round 14, persisted codes): the probe scores the
+    # STORED pq_code column of the attached index — the plan is one
+    # column-pruned parquet scan (vec_id/cell/pq_code; NEVER the raw
+    # v/na float arrays — the 6-byte-per-row read that makes PQ win)
+    # into the Arrow-batched LUT scorer, then a WindowGroupLimit over
+    # the map-side partial top-k. NO join of any kind, and NO encode
+    # stage (MapInArrow belonged to the per-call encode the persisted
+    # index retired — r13 verdict item 2): a MapInArrow reappearing
+    # here means the probe path is re-encoding the corpus per call.
     plan = plan_of(spark, "q_sim_topk_pq")
     assert "WindowGroupLimit" in plan
     assert "Join" not in plan, plan
-    assert "MapInArrow" in plan or "ArrowEvalPython" in plan, plan
     assert "MapInPandas" in plan, plan
+    assert "MapInArrow" not in plan, plan  # no per-call encode
     assert "CartesianProduct" not in plan
+    import re as _re
+
+    schemas = _re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    code_scans = [s for s in schemas if "pq_code" in s]
+    assert code_scans, plan  # the stored-code scan is in the plan
+    assert all(
+        "v:" not in s and "na:" not in s for s in code_scans
+    ), code_scans  # raw vectors never read on the code-scoring scan
 
 
 def test_corr_matrix_gram_plan(spark):

@@ -21,6 +21,7 @@ from ..storeio import (
     pointer_gc,
     pointer_read,
     pointer_write,
+    retired_union,
 )
 
 
@@ -371,14 +372,22 @@ def ivf_write(
         _idstate_build(spark, path, objs)
         if _crash is not None:
             _crash("staged")
-        retired = sorted(set(old["objects"].values()))
+        newly = set(old["objects"].values())
         if old.get("legacy"):
             # pre-pointer residue (old trash/stage dirs) retires with
             # the legacy layout — reclaimed at the next preamble
-            retired += [".trash-corpus", ".trash-centroids",
-                        ".recluster-stage"]
+            newly |= {".trash-corpus", ".trash-centroids",
+                      ".recluster-stage"}
         pointer_write(
-            io, path, {"version": v, "objects": objs, "retired": retired}
+            io, path,
+            {
+                "version": v,
+                "objects": objs,
+                "retired": retired_union(
+                    None if old.get("legacy") else old,
+                    newly, objs.values(),
+                ),
+            },
         )
         _ivf_touch_marker(spark, path)
         if _crash is not None:
@@ -1246,8 +1255,10 @@ def _ivf_compact_locked(
             "append"
         ).parquet(cdir)
     _idstate_build(spark, path, new_objs)
-    retired = sorted(
-        {objs[k] for k in ("corpus", "idstate", "tombstones") if k in objs}
+    retired = retired_union(
+        None if lay.get("legacy") else lay,
+        {objs[k] for k in ("corpus", "idstate", "tombstones") if k in objs},
+        new_objs.values(),
     )
     new_lay = {"version": v, "objects": new_objs, "retired": retired}
     pointer_write(io, path, new_lay)
@@ -1321,7 +1332,10 @@ def ivf_delete(spark: SparkSession, path: str, ids: list[int]) -> int:
                     {
                         "version": lay["version"] + 1,
                         "objects": {**objs, "tombstones": target},
-                        "retired": [],
+                        "retired": retired_union(
+                            lay, [],
+                            list(objs.values()) + [target],
+                        ),
                     },
                 )
         return n_live
@@ -1517,13 +1531,20 @@ def ivf_recluster(
         _idstate_build(spark, path, new_objs)
         if _crash is not None:
             _crash("staged")
-        retired = sorted(set(objs.values()))
+        newly = set(objs.values())
         if lay.get("legacy"):
-            retired += [".trash-corpus", ".trash-centroids",
-                        ".recluster-stage"]
+            newly |= {".trash-corpus", ".trash-centroids",
+                      ".recluster-stage"}
         pointer_write(
             io, path,
-            {"version": v, "objects": new_objs, "retired": retired},
+            {
+                "version": v,
+                "objects": new_objs,
+                "retired": retired_union(
+                    None if lay.get("legacy") else lay,
+                    newly, new_objs.values(),
+                ),
+            },
         )
         _ivf_touch_marker(spark, path)
         if _crash is not None:
@@ -2950,9 +2971,11 @@ def pq_attach(
         ).write.mode("overwrite").parquet(
             os.path.join(path, new_objs["pqbooks"])
         )
-        retired = sorted(
+        retired = retired_union(
+            None if lay.get("legacy") else lay,
             {objs["corpus"]}
-            | ({objs["pqbooks"]} if "pqbooks" in objs else set())
+            | ({objs["pqbooks"]} if "pqbooks" in objs else set()),
+            new_objs.values(),
         )
         pointer_write(
             io, path,
@@ -2975,7 +2998,10 @@ def pq_probe_stored(
     item 2; the per-call Lloyd the round-13 probes paid is gone): the
     codebook is one stored json row, the per-probe L2 lookup table is
     P×PQ_M×PQ_K doubles computed driver-side in the replay-pinned pure-
-    python seq_l2 order, and the corpus scan materializes ONLY the
+    python seq_l2 order (the probe vectors come from one id-filtered,
+    column-pruned vec_id+v read of the live corpus; ids that are not
+    live — absent or tombstoned — neither probe nor answer), and the
+    code scan materializes ONLY the
     vec_id/cell/pq_code columns (parquet columnar pruning — 6 bytes of
     code per row in place of 256B of floats, which is why PQ wins at
     100 TB). ``n_probe=None`` scores every live code (full-scan ADC,

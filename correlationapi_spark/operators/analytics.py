@@ -23,6 +23,7 @@ from ..storeio import (
     pointer_gc,
     pointer_read,
     pointer_write,
+    retired_union,
 )
 
 _FUNNEL_ORACLE = """
@@ -2938,7 +2939,12 @@ def scd2_merge(
             "n_buckets": n_buckets,
             "key_type": events.schema["user_id"].dataType.simpleString(),
             "schema": json.dumps(base.schema.jsonValue()),
-            "retired": sorted(set(old["buckets"].values())),
+            # prior unreclaimed retirees carry forward (storeio rule)
+            "retired": retired_union(
+                None if old.get("legacy") else old,
+                old["buckets"].values(),
+                new_buckets.values(),
+            ),
         }
         pointer_write(io, path, lay)
         total = len(new_buckets)
@@ -3030,9 +3036,7 @@ def _scd2_apply(
     if _crash is not None:
         _crash("staged")
     buckets = dict(lay["buckets"])
-    retired = sorted(
-        {buckets[str(b)] for b in affected if str(b) in buckets}
-    )
+    newly = {buckets[str(b)] for b in affected if str(b) in buckets}
     buckets.update(new_objs)
     new_lay = {
         "version": v,
@@ -3043,7 +3047,12 @@ def _scd2_apply(
         or types["user_id"].simpleString(),
         "schema": lay.get("schema")
         or json.dumps(stored.schema.jsonValue()),
-        "retired": retired,
+        # prior unreclaimed retirees carry forward — a build+merge in
+        # one lock would otherwise orphan the build's retirees (and
+        # adopted legacy bucket= names would never be reclaimed)
+        "retired": retired_union(
+            None if lay.get("legacy") else lay, newly, buckets.values()
+        ),
     }
     pointer_write(io, path, new_lay)
     if _crash is not None:

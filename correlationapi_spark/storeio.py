@@ -195,6 +195,20 @@ def pointer_write(io: StoreIO, path: str, layout: dict) -> None:
     io.write_atomic(os.path.join(path, POINTER), json.dumps(layout))
 
 
+def retired_union(layout: dict | None, newly, live_names) -> list:
+    """The ``retired`` list for a pointer swap: the objects this swap
+    replaces UNION the prior pointer's still-unreclaimed retirees,
+    minus anything the new pointer references. Carrying the prior list
+    forward matters when one lock holder swaps TWICE before any
+    preamble GC runs (e.g. an SCD2 rebuild followed by its delta
+    merge): overwriting ``retired`` would orphan the first swap's
+    retirees, and non-pattern names (adopted legacy dirs) would then
+    never be reclaimed at all. Deleting an already-GC'd name later is
+    a harmless no-op, so the union is always safe."""
+    prior = [] if layout is None else layout.get("retired", [])
+    return sorted((set(prior) | set(newly)) - set(live_names))
+
+
 def pointer_gc(io: StoreIO, path: str, layout: dict | None) -> list[str]:
     """Mutation-preamble garbage collection (caller holds the lock):
     delete (a) every directory the live pointer retired at its last

@@ -1456,6 +1456,50 @@ def test_scd2_merge_crash_between_stages_recovers(spark, tmp_path):
     assert snap in (base_want, want) and snap == base_want
 
 
+def test_scd2_rebuild_carries_retired_forward(spark, tmp_path):
+    """Round-14 review finding: scd2_merge's build and its delta merge
+    are TWO pointer swaps inside one lock (no preamble GC between
+    them) — if the second swap overwrote `retired`, the first swap's
+    retirees (the previous store's bucket objects, or adopted legacy
+    bucket= dirs, which no pattern-GC ever matches) would leak
+    forever. retired_union carries them forward, so one recover after
+    a rebuild-over-existing-store reclaims everything stale."""
+    import os
+
+    from correlationapi_spark.operators.analytics import (
+        _bucket_logical,
+        scd2_merge,
+        scd2_recover,
+    )
+    from correlationapi_spark.storeio import StoreIO, pointer_read
+
+    ev = load_tables(spark, SF_SMOKE)["events"]
+    pred = (
+        F.col("ts") >= F.lit("2024-01-20 00:00:00").cast("timestamp")
+    ) & (F.col("user_id") % 7 == 0)
+    p = str(tmp_path / "rebuilt")
+    scd2_merge(spark, ev, pred, _store_path=p)
+    gen1 = {
+        n for n in os.listdir(p) if n.startswith("b0")
+    }
+    # rebuild over the SAME store (two more swaps in one lock)
+    scd2_merge(spark, ev, pred, _store_path=p)
+    lay = pointer_read(StoreIO(p, spark), p)
+    live = set(lay["buckets"].values())
+    # every generation-1 object that is no longer live must be in the
+    # pointer's retired list (the build's retirees survived the
+    # apply's swap), and recover reclaims them all
+    stale = gen1 - live
+    assert stale and stale <= set(lay["retired"]), (stale, lay["retired"])
+    assert scd2_recover(p, spark=spark) is True
+    leftovers = {
+        n for n in os.listdir(p)
+        if n.startswith("b0") and n not in live
+    }
+    assert leftovers == set()
+    assert _bucket_logical(0) == "b00000"  # naming contract unchanged
+
+
 def test_scd2_snapshot_races_merge_consistently(spark, tmp_path):
     """Cross-bucket snapshot isolation under a concurrent writer — the
     property the journaled per-bucket protocol explicitly disclaimed

@@ -27,6 +27,8 @@ Commands:
             (assign-only delta append; base cell files untouched)
   index-status --path DIR          (cell-balance gauge + recluster signal)
   index-probe  --path DIR --probes 1,2 [--k N] [--n-probe N]
+            [--method ivf|pq|ivfpq]   (pq/ivfpq score stored codes)
+  index-pq-attach --path DIR  (attach PQ: stored 6-bit code column)
   index-delete --path DIR --ids 1,2   (tombstone ids; probes stop answering)
   index-compact --path DIR   (rewrite dead cells live-only, clear tombstones)
   index-recluster --path DIR [--threshold R] [--n-cells N]
@@ -434,6 +436,20 @@ def main(argv: list[str] | None = None) -> int:
                      help="comma-separated corpus row ids")
     ipr.add_argument("--k", type=int, default=5)
     ipr.add_argument("--n-probe", type=int, default=6)
+    ipr.add_argument("--method", default="ivf",
+                     choices=["ivf", "pq", "ivfpq"],
+                     help="ivf = exact cosine refine; pq/ivfpq = score "
+                     "the attached store's 6-bit code column (round 14; "
+                     "needs index-pq-attach)")
+
+    ipq = sub.add_parser(
+        "index-pq-attach",
+        help="attach product quantization: train the codebook from the "
+        "stored corpus, rewrite it with the 6-bit code column, publish "
+        "in one atomic pointer swap (index-probe --method pq/ivfpq "
+        "then scores stored codes with no per-call training)",
+    )
+    ipq.add_argument("--path", required=True)
 
     idl = sub.add_parser(
         "index-delete",
@@ -674,8 +690,8 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd in (
         "index-status", "index-probe", "index-delete", "index-compact",
-        "index-recluster", "index-recover", "psi-status", "scd2-recover",
-        "scd2-snapshot",
+        "index-recluster", "index-recover", "index-pq-attach",
+        "psi-status", "scd2-recover", "scd2-snapshot",
     ):
         from .api import CorrelationAPI
 
@@ -713,11 +729,13 @@ def main(argv: list[str] | None = None) -> int:
                     n_cells=args.n_cells,
                     train_fraction=args.train_fraction,
                 )
+            elif args.cmd == "index-pq-attach":
+                res = api.index_pq_attach(args.path)
             else:
                 res = api.index_probe(
                     args.path,
                     [int(x) for x in args.probes.split(",") if x.strip()],
-                    k=args.k, n_probe=args.n_probe,
+                    k=args.k, n_probe=args.n_probe, method=args.method,
                 )
         except (KeyError, TypeError, ValueError) as e:
             print(json.dumps({"error": str(e)}))

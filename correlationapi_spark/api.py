@@ -2938,21 +2938,56 @@ class CorrelationAPI:
         }
 
     def index_probe(
-        self, path: str, probe_ids: list[int], k: int = 5, n_probe: int = 6
+        self, path: str, probe_ids: list[int], k: int = 5,
+        n_probe: int = 6, method: str = "ivf",
     ) -> dict[str, Any]:
-        """Top-k over a PERSISTED index (ivf_live → ivf_probe): the
-        candidate read prunes to each probe's n_probe cells at the
-        parquet scan, and tombstoned ids are masked out (round 11 —
-        a deleted id neither probes nor answers). Probes are corpus
-        row ids."""
+        """Top-k over a PERSISTED index. ``method="ivf"`` (default):
+        ivf_live → ivf_probe — the candidate read prunes to each
+        probe's n_probe cells at the parquet scan, exact cosine refine
+        on raw vectors. ``method="pq"`` / ``"ivfpq"`` (round 14):
+        pq_probe_stored over the attached PQ code column — no per-call
+        training or encoding, the scan reads vec_id/cell/pq_code only;
+        "pq" scores every live code, "ivfpq" prunes to each probe's
+        n_probe cells first; neighbors carry ``adc_l2`` (code-space L2,
+        ascending) instead of ``cosine``. Requires pq_attach — a
+        404-style error names it otherwise. In every mode tombstoned
+        ids are masked out (a deleted id neither probes nor answers)
+        and probes are corpus row ids."""
         from pyspark.errors import AnalysisException
 
-        from .llm.similarity import ivf_live, ivf_probe
+        from .llm.similarity import ivf_live, ivf_probe, pq_probe_stored
 
         if k < 1 or n_probe < 1:
             raise ValueError("k and n_probe must be >= 1")
         if not probe_ids:
             raise ValueError("probe_ids must be non-empty")
+        if method not in ("ivf", "pq", "ivfpq"):
+            raise ValueError(
+                f"unknown probe method {method!r}: ivf | pq | ivfpq"
+            )
+        neighbors: dict[str, list[dict[str, Any]]] = {
+            str(p): [] for p in probe_ids
+        }
+        if method in ("pq", "ivfpq"):
+            try:
+                res = pq_probe_stored(
+                    self.spark, path, probe_ids, k=k,
+                    n_probe=n_probe if method == "ivfpq" else None,
+                )
+            except AnalysisException as e:
+                raise self._no_index(path, e) from e
+            except ValueError as e:
+                if "pq_attach" in str(e):
+                    raise KeyError(str(e)) from e  # 404: not attached
+                raise
+            for r in res.collect():
+                neighbors[str(r.probe_id)].append(
+                    {"id": r.vec_id, "adc_l2": _nan_to_none(r.adc_l2),
+                     "rank": r.rank}
+                )
+            return {"path": path, "k": k, "method": method,
+                    "n_probe": n_probe if method == "ivfpq" else None,
+                    "neighbors": neighbors}
         try:
             corpus, cents = ivf_live(self.spark, path)
         except AnalysisException as e:
@@ -2963,16 +2998,32 @@ class CorrelationAPI:
             F.col("na").alias("pna"),
         )
         res = ivf_probe(corpus, cents, probes, k, n_probe=n_probe)
-        neighbors: dict[str, list[dict[str, Any]]] = {
-            str(p): [] for p in probe_ids
-        }
         for r in res.collect():
             neighbors[str(r.probe_id)].append(
                 {"id": r.neighbor_id, "cosine": _nan_to_none(r.cosine),
                  "rank": r.rn}
             )
-        return {"path": path, "k": k, "n_probe": n_probe,
-                "neighbors": neighbors}
+        return {"path": path, "k": k, "method": method,
+                "n_probe": n_probe, "neighbors": neighbors}
+
+    def index_pq_attach(self, path: str) -> dict[str, Any]:
+        """Attach product quantization to a persisted index (round 14
+        — the service face of pq_attach): train the codebook from the
+        stored corpus, rewrite the corpus with the 6-bit code column,
+        publish books + corpus in one atomic pointer swap. From then
+        on index_probe(method="pq"/"ivfpq") scores stored codes with
+        no per-call training, and appends encode only their delta. A
+        rebuild (index_build) drops the attachment — re-attach to
+        retrain."""
+        from pyspark.errors import AnalysisException
+
+        from .llm.similarity import pq_attach
+
+        try:
+            stats = pq_attach(self.spark, path)
+        except AnalysisException as e:
+            raise self._no_index(path, e) from e
+        return {**self.index_status(path), **stats}
 
     def index_delete(self, path: str, ids: list[int]) -> dict[str, Any]:
         """Tombstone ids out of a persisted index (round 11 — the

@@ -64,8 +64,14 @@ container, and none is needed for a JSON-for-JSON contract:
        → assign ONLY the (filtered) rows to the frozen centroids, append
          their cell files, return the post-append drift gauge
   GET  /index/status?path=        → cell-balance gauge (recluster signal)
-  POST /index/probe  {"path","probe_ids":[…][,"k","n_probe"]}
-       → top-k over the persisted index (partition-pruned candidate read)
+  POST /index/probe  {"path","probe_ids":[…][,"k","n_probe","method"]}
+       → top-k over the persisted index (partition-pruned candidate
+         read); method=ivf (exact cosine refine, default) | pq |
+         ivfpq (round 14: score the attached store's 6-bit code
+         column — no per-call training, neighbors carry adc_l2)
+  POST /index/pq_attach {"path"}  → attach product quantization: train
+         the codebook from the stored corpus, rewrite it with the code
+         column, publish in one atomic pointer swap
   POST /index/delete {"path","ids":[…]}
        → tombstone ids (probes stop answering; compact reclaims bytes)
   POST /index/compact {"path"}    → rewrite dead cells live-only, clear
@@ -124,7 +130,7 @@ response body is one JSON document.
 
 Mutation guard (round 12): the routes that change server or on-disk
 state — dataset registration, /index/{build,append,delete,compact,
-recluster}, /psi/repin — are gated behind a shared token. With no
+recluster,pq_attach}, /psi/repin — are gated behind a shared token. With no
 token configured the server is READ-ONLY: those routes answer 403 and
 name the knob to turn. With ``auth_token`` set (``serve --auth-token``
 or the CORRELATIONAPI_AUTH_TOKEN env var), a mutating request must
@@ -164,6 +170,7 @@ _VARIABLES_RE = re.compile(r"^/datasets/([A-Za-z0-9_.-]+)/variables$")
 _MUTATING_PATHS = frozenset({
     "/index/build", "/index/append", "/index/delete",
     "/index/compact", "/index/recluster", "/index/recover",
+    "/index/pq_attach",
     "/psi/repin", "/scd2/merge", "/scd2/recover",
 })
 
@@ -496,6 +503,7 @@ def _route(api: CorrelationAPI, method: str, path: str,
         return 200, api.index_probe(
             body["path"], [int(p) for p in body["probe_ids"]],
             k=int(body.get("k", 5)), n_probe=int(body.get("n_probe", 6)),
+            method=str(body.get("method", "ivf")),
         )
     if method == "POST" and path == "/index/delete":
         for req in ("path", "ids"):
@@ -508,6 +516,10 @@ def _route(api: CorrelationAPI, method: str, path: str,
         if "path" not in body:
             raise ValueError('body must contain "path"')
         return 200, api.index_compact(body["path"])
+    if method == "POST" and path == "/index/pq_attach":
+        if "path" not in body:
+            raise ValueError('body must contain "path"')
+        return 200, api.index_pq_attach(body["path"])
     if method == "POST" and path == "/index/recover":
         if "path" not in body:
             raise ValueError('body must contain "path"')

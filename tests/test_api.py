@@ -2535,6 +2535,61 @@ def test_psi_repin_lock_single_writer(spark, tmp_path):
     assert not os.path.exists(lock)
 
 
+def test_index_pq_attach_and_probe_api(spark, tmp_path):
+    """round 14: the persisted-PQ service surface. Attach trains the
+    codebook and publishes the code column atomically; probe
+    method=pq/ivfpq scores STORED codes (adc_l2 ascending, never
+    cosine) with no per-call training; an un-attached store 404s the
+    pq probe with a pointer to the attach call; append-after-attach
+    encodes its delta (the appended id probes through stored codes);
+    a rebuild drops the attachment."""
+    import os
+
+    from correlationapi_spark.api import CorrelationAPI
+
+    api = CorrelationAPI(spark)
+    api.register_dataset(
+        "emb", os.path.join(SF_SMOKE, "embeddings.parquet")
+    )
+    idx = str(tmp_path / "pqidx")
+    api.index_build(
+        "emb", "vec_id", "embedding", idx, n_cells=8,
+        where="vec_id % 5 != 0",
+    )
+
+    with pytest.raises(KeyError, match="pq_attach"):
+        api.index_probe(idx, [1], k=3, method="pq")
+    with pytest.raises(ValueError, match="ivf | pq | ivfpq"):
+        api.index_probe(idx, [1], k=3, method="bogus")
+
+    res = api.index_pq_attach(idx)
+    assert res["n_codes"] == res["n_vectors"] > 0
+
+    got = api.index_probe(idx, [1, 2], k=3, method="pq")
+    assert got["method"] == "pq" and got["n_probe"] is None
+    for hits in got["neighbors"].values():
+        assert len(hits) == 3
+        assert all("adc_l2" in h and "cosine" not in h for h in hits)
+        adcs = [h["adc_l2"] for h in hits]
+        assert adcs == sorted(adcs)  # ascending code-space L2
+
+    got_iv = api.index_probe(idx, [1, 2], k=3, method="ivfpq", n_probe=4)
+    assert got_iv["method"] == "ivfpq" and got_iv["n_probe"] == 4
+    assert all(len(v) <= 3 for v in got_iv["neighbors"].values())
+
+    # append encodes its delta with the stored book; the appended id
+    # probes and answers through the STORED codes
+    api.index_append("emb", "vec_id", "embedding", idx,
+                     where="vec_id % 5 = 0")
+    got2 = api.index_probe(idx, [0], k=3, method="pq")
+    assert len(got2["neighbors"]["0"]) == 3
+
+    # rebuild drops PQ (new corpus, book must retrain)
+    api.index_build("emb", "vec_id", "embedding", idx, n_cells=8)
+    with pytest.raises(KeyError, match="pq_attach"):
+        api.index_probe(idx, [1], k=3, method="pq")
+
+
 def test_index_recover_api(spark, tmp_path):
     """review r12: recover on the service surface — mutations heal a
     pending publish on their own, but probe/status are read-only, so

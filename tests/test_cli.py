@@ -488,6 +488,23 @@ def test_cli_index_lifecycle(spark, capsys, tmp_path):
     assert rc == 0 and res["recovered"] is False
     assert res["n_vectors"] == all_n - 1
 
+    # round 14: persisted PQ — un-attached pq probe errors with the
+    # attach pointer (rc 2), attach, then probe stored codes
+    rc, res = _run(capsys, [
+        "index-probe", "--path", idx, "--probes", "1", "--method", "pq",
+    ])
+    assert rc == 2 and "pq_attach" in res["error"]
+    rc, res = _run(capsys, ["index-pq-attach", "--path", idx])
+    assert rc == 0 and res["n_codes"] == res["n_vectors"]
+    rc, res = _run(capsys, [
+        "index-probe", "--path", idx, "--probes", "1,2", "--k", "3",
+        "--method", "ivfpq", "--n-probe", "4",
+    ])
+    assert rc == 0 and res["method"] == "ivfpq"
+    assert all(
+        "adc_l2" in h for hits in res["neighbors"].values() for h in hits
+    )
+
 
 def test_cli_index_errors(spark, capsys, tmp_path):
     rc, res = _run(capsys, [

@@ -751,6 +751,23 @@ def test_index_lifecycle_over_http(base_url, tmp_path):
     )
     assert status == 200 and res["rebuilt"] is True
 
+    # round 14: persisted PQ over the wire — un-attached pq probe
+    # 404s with the attach pointer; attach then probe stored codes
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post(f"{base_url}/index/probe",
+              {"path": idx, "probe_ids": [1], "method": "pq"})
+    assert exc.value.code == 404
+    status, pq = _post(f"{base_url}/index/pq_attach", {"path": idx})
+    assert status == 200 and pq["n_codes"] == pq["n_vectors"]
+    status, pq = _post(
+        f"{base_url}/index/probe",
+        {"path": idx, "probe_ids": [1, 2], "k": 3, "method": "pq"},
+    )
+    assert status == 200 and pq["method"] == "pq"
+    assert all(
+        "adc_l2" in h for hits in pq["neighbors"].values() for h in hits
+    )
+
     # round 12: recluster — no-op below threshold, rebuild when forced
     n_now = res["n_vectors"]
     status, res = _post(
@@ -923,8 +940,8 @@ def test_mutation_classifier():
 
     for path in ("/index/build", "/index/append", "/index/delete",
                  "/index/compact", "/index/recluster", "/index/recover",
-                 "/psi/repin", "/scd2/merge", "/scd2/recover",
-                 "/datasets/lineitem"):
+                 "/index/pq_attach", "/psi/repin", "/scd2/merge",
+                 "/scd2/recover", "/datasets/lineitem"):
         assert _is_mutation("POST", path), path
     for method, path in (
         ("POST", "/matrix"), ("POST", "/mixed_matrix"),

@@ -905,6 +905,49 @@ def test_scd2_snapshot_prunes_buckets(spark, tmp_path):
     assert len(rows) == 1 and rows[0]["user_id"] == uid
 
 
+def test_pq_stored_ivfpq_probe_prunes_cells(spark, tmp_path):
+    """round 14: the stored IVF-PQ probe's code scan must prune to the
+    probed cells at the parquet scan — the cell filter is a literal
+    isin over the partition column of the attached corpus object, so
+    PartitionFilters carries it (directory-level skipping), and the
+    data columns read are vec_id/pq_code only (the raw float arrays
+    are never materialized on the code-scoring scan)."""
+    import re
+
+    import pyspark.sql.functions as F
+
+    from correlationapi_spark.io import load_tables
+    from correlationapi_spark.llm.similarity import (
+        corpus_view,
+        ivf_index,
+        ivf_write,
+        pq_attach,
+        pq_probe_stored,
+    )
+
+    emb = corpus_view(
+        load_tables(spark, SF_SMOKE)["embeddings"], "vec_id", "embedding"
+    )
+    path = str(tmp_path / "pqplan")
+    a, c = ivf_index(emb, n_cells=8)
+    ivf_write(a, c, path)
+    pq_attach(spark, path)
+    res = pq_probe_stored(spark, path, [0, 1], k=3, n_probe=2)
+    plan = res._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("cell" in f and "IN" in f.upper() for f in pf), plan
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    code_scans = [s for s in schemas if "pq_code" in s]
+    assert code_scans and all(
+        "v:" not in s and "na:" not in s for s in code_scans
+    ), schemas
+    assert res.count() > 0
+
+
 def test_ivf_assign_and_rank_cells_are_shuffle_free(spark):
     """Round 12: ivf_assign's argmin and ivf_probe's rank-cells run as
     per-row array expressions over the broadcast centroid array — no

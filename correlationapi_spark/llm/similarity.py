@@ -455,11 +455,13 @@ def ivf_is_index(spark: SparkSession, path: str) -> bool:
     pre-pointer layouts)."""
     import os
 
-    from ..storeio import POINTER
+    from ..storeio import POINTER, _pointer_seqs
 
     io = StoreIO(path, spark)
-    return io.exists(os.path.join(path, _IVF_MARKER)) or io.exists(
-        os.path.join(path, POINTER)
+    return (
+        io.exists(os.path.join(path, _IVF_MARKER))
+        or bool(_pointer_seqs(io, path))
+        or io.exists(os.path.join(path, POINTER))
     )
 
 
@@ -1429,7 +1431,7 @@ def ivf_recover(spark: SparkSession, path: str) -> bool:
     with _ivf_mutation_lock(spark, path):
         healed = _legacy_recluster_rollforward(spark, io, path)
         lay = pointer_read(io, path)
-        removed = pointer_gc(io, path, lay)
+        removed = pointer_gc(io, path, lay, grace=0.0)
     return healed or bool(removed)
 
 

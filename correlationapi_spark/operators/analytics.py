@@ -3220,12 +3220,12 @@ def scd2_recover(path: str, spark: "SparkSession | None" = None) -> bool:
     if spark is None:
         io = StoreIO(path, None)
         healed = _scd2_recover_unlocked(path, None)
-        removed = pointer_gc(io, path, pointer_read(io, path))
+        removed = pointer_gc(io, path, pointer_read(io, path), grace=0.0)
         return healed or bool(removed)
     with _scd2_mutation_lock(spark, path):
         io = StoreIO(path, spark)
         healed = _scd2_recover_unlocked(path, spark)
-        removed = pointer_gc(io, path, pointer_read(io, path))
+        removed = pointer_gc(io, path, pointer_read(io, path), grace=0.0)
     return healed or bool(removed)
 
 

@@ -2073,3 +2073,157 @@ def test_ngram_dfcap_recall_contract_on_skewed_corpus(spark):
     # candidates; true-overlap candidates are ~61
     assert n_cand_all > 97_000
     assert n_cand_capped * 100 < n_cand_all
+
+
+def test_pointer_commit_is_versioned_and_never_pointerless(tmp_path):
+    """advice r14 (high): the old single-file pointer was replaced via
+    delete-then-rename on the Hadoop branch — a lock-free reader racing
+    the window resolved NO pointer (silently falling back to the legacy
+    layout), and a crash between the delete and the rename lost the
+    pointer permanently with no roll-forward. Round 15 commits each
+    pointer as a NEW monotonically numbered immutable file: the prior
+    pointer file is untouched until GC, so every filesystem state
+    during a swap resolves a complete pointer; a stray ``.tmp`` (crash
+    before the rename) is invisible to readers and swept by GC; and a
+    vanished/unreadable newest candidate falls back to its predecessor
+    instead of raising."""
+    import json
+    import os
+
+    from correlationapi_spark.storeio import (
+        StoreIO,
+        pointer_gc,
+        pointer_read,
+        pointer_write,
+        retired_union,
+    )
+
+    p = str(tmp_path / "store")
+    os.makedirs(os.path.join(p, "corpus-v000001"))
+    io = StoreIO(p)
+    pointer_write(io, p, {
+        "version": 1, "objects": {"corpus": "corpus-v000001"},
+        "retired": [],
+    })
+    ptr1 = [n for n in os.listdir(p) if n.startswith("_layout-v")]
+    assert len(ptr1) == 1
+
+    # swap: the NEW pointer lands beside the old one — no state between
+    # "old resolves" and "new resolves" lacks a pointer
+    os.makedirs(os.path.join(p, "corpus-v000002"))
+    lay = pointer_read(io, p)
+    pointer_write(io, p, {
+        "version": 2, "objects": {"corpus": "corpus-v000002"},
+        "retired": retired_union(lay, ["corpus-v000001"],
+                                 ["corpus-v000002"]),
+    })
+    names = [n for n in os.listdir(p) if n.startswith("_layout-v")]
+    assert set(ptr1) < set(names) and len(names) == 2
+    assert pointer_read(io, p)["version"] == 2
+
+    # crash before the rename: a .tmp stray changes nothing for readers
+    with open(os.path.join(p, "_layout-v999999.json.tmp"), "w") as f:
+        f.write('{"version": 99')  # torn by construction
+    assert pointer_read(io, p)["version"] == 2
+
+    # a GC'd-under-us (or unreadable) newest candidate falls back to
+    # its predecessor instead of raising
+    newest = max(n for n in os.listdir(p) if n.startswith("_layout-v")
+                 and n.endswith(".json"))
+    with open(os.path.join(p, newest), "w") as f:
+        f.write("{torn")
+    assert pointer_read(io, p)["version"] == 1
+    os.remove(os.path.join(p, newest))
+    assert pointer_read(io, p)["version"] == 1
+
+    # GC sweeps the tmp stray and keeps the latest two pointer files
+    lay = pointer_read(io, p)
+    for v in (3, 4, 5):
+        os.makedirs(os.path.join(p, f"corpus-v{v:06d}"))
+        lay = {
+            "version": v,
+            "objects": {"corpus": f"corpus-v{v:06d}"},
+            "retired": retired_union(
+                lay, [f"corpus-v{v - 1:06d}"], [f"corpus-v{v:06d}"]
+            ),
+            "retired_at": lay.get("retired_at", {}),
+        }
+        pointer_write(io, p, lay)
+        lay = pointer_read(io, p)
+    pointer_gc(io, p, lay, grace=0.0)
+    left = sorted(n for n in os.listdir(p) if n.startswith("_layout-v"))
+    assert len(left) == 2 and not any(n.endswith(".tmp") for n in left)
+    assert pointer_read(io, p)["version"] == 5
+    # the legacy single-file pointer upgrades: readable as fallback,
+    # retired by GC once a versioned pointer exists
+    with open(os.path.join(p, "_layout.json"), "w") as f:
+        json.dump({"version": 0, "objects": {}, "retired": []}, f)
+    assert pointer_read(io, p)["version"] == 5  # versioned wins
+    pointer_gc(io, p, pointer_read(io, p), grace=0.0)
+    assert not os.path.exists(os.path.join(p, "_layout.json"))
+
+
+def test_gc_grace_floor_and_retired_trimming(tmp_path, monkeypatch):
+    """r14 verdict item 4 + advice r14 (medium), at the protocol level:
+    (a) a retiree younger than GC_GRACE_SECONDS survives ANY number of
+    immediate successive mutations' preamble GCs — the reader grace is
+    wall-clock-guaranteed, not a workload property (each retirement is
+    stamped at its FIRST swap and the stamp survives later swaps); (b)
+    reclaimed names are dropped from the layout the next swap persists,
+    so the pointer's retired list stays O(one swap), never O(history)."""
+    import os
+
+    import correlationapi_spark.storeio as sio
+    from correlationapi_spark.storeio import (
+        StoreIO,
+        pointer_gc,
+        pointer_read,
+        pointer_write,
+        retired_union,
+    )
+
+    p = str(tmp_path / "store")
+    os.makedirs(os.path.join(p, "corpus-v000001"))
+    io = StoreIO(p)
+    lay = {"version": 1, "objects": {"corpus": "corpus-v000001"},
+           "retired": []}
+    pointer_write(io, p, lay)
+    lay = pointer_read(io, p)
+
+    def mutate(lay, v):
+        # a destructive mutation: preamble GC, stage, swap
+        pointer_gc(io, p, lay)
+        os.makedirs(os.path.join(p, f"corpus-v{v:06d}"))
+        new = {
+            "version": v,
+            "objects": {"corpus": f"corpus-v{v:06d}"},
+            "retired": retired_union(
+                lay, [lay["objects"]["corpus"]], [f"corpus-v{v:06d}"]
+            ),
+            "retired_at": lay.get("retired_at", {}),
+        }
+        pointer_write(io, p, new)
+        return pointer_read(io, p)
+
+    # (a) two immediate successive mutations: a reader that resolved v1
+    # keeps its files — the v1 corpus is retired but NOT reclaimed
+    lay = mutate(lay, 2)
+    stamp1 = lay["retired_at"]["corpus-v000001"]
+    lay = mutate(lay, 3)
+    assert os.path.isdir(os.path.join(p, "corpus-v000001"))
+    assert os.path.isdir(os.path.join(p, "corpus-v000002"))
+    assert lay["retired_at"]["corpus-v000001"] == stamp1  # age persists
+    # ... and any number more
+    lay = mutate(lay, 4)
+    assert os.path.isdir(os.path.join(p, "corpus-v000001"))
+
+    # (b) with the floor at zero (the pre-round-15 cadence), each
+    # mutation's preamble reclaims the prior swap's retirees and the
+    # NEXT pointer drops them — the persisted list never accumulates
+    monkeypatch.setattr(sio, "GC_GRACE_SECONDS", 0.0)
+    for v in (5, 6, 7):
+        lay = mutate(lay, v)
+    assert lay["retired"] == [f"corpus-v{v - 1:06d}"], lay["retired"]
+    assert set(lay["retired_at"]) == set(lay["retired"])
+    for old in range(1, v - 1):
+        assert not os.path.isdir(os.path.join(p, f"corpus-v{old:06d}"))

@@ -2855,9 +2855,8 @@ def test_ivf_append_migrates_pre_sidecar_layout(spark, tmp_path):
     os.rename(objs["centroids"], os.path.join(path, "centroids"))
     shutil.rmtree(objs["idstate"])
     os.remove(os.path.join(path, _IVF_MARKER))
-    os.remove(os.path.join(path, "_layout.json"))
-    for n in os.listdir(path):  # local-fs checksum siblings
-        if n.endswith(".crc"):
+    for n in os.listdir(path):  # pointer files + checksum siblings
+        if n.startswith("_layout") or n.endswith(".crc"):
             os.remove(os.path.join(path, n))
     assert _idstate_read(spark, path) is None
 
@@ -3490,9 +3489,8 @@ def test_ivf_legacy_crashed_publish_migrates(spark, tmp_path):
     os.rename(objs["corpus"], os.path.join(path, "corpus"))
     os.rename(objs["centroids"], os.path.join(path, "centroids"))
     shutil.rmtree(objs["idstate"])
-    os.remove(os.path.join(path, "_layout.json"))
-    for f in os.listdir(path):
-        if f.endswith(".crc"):
+    for f in os.listdir(path):  # pointer files + checksum siblings
+        if f.startswith("_layout") or f.endswith(".crc"):
             os.remove(os.path.join(path, f))
 
     # simulate the old protocol's crash at ("moved_old", "corpus"):
@@ -3585,3 +3583,39 @@ def test_ivf_rebuild_supersedes_crashed_recluster_stage(spark, tmp_path):
         for r in ivf_live(spark, path)[0].select("vec_id").collect()
     }
     assert got == want_ids
+
+
+def test_ivf_reader_grace_survives_rapid_mutations(spark, tmp_path):
+    """r14 verdict item 4's done-criterion, end-to-end on the real
+    store: a reader that resolved version N keeps N's files on disk
+    through TWO immediate successive destructive mutations — each
+    retirement is wall-clock-stamped and the preamble GC skips
+    retirees younger than GC_GRACE_SECONDS, so back-to-back compacts
+    can no longer expire a slow reader's corpus within seconds. The
+    explicit ivf_recover surface (contract: caller asserts no reader
+    is in flight) still reclaims NOW."""
+    import os
+
+    from correlationapi_spark.llm.similarity import (
+        ivf_compact,
+        ivf_live,
+        ivf_recover,
+        ivf_resolve,
+    )
+
+    path = _synthetic_index(spark, tmp_path, n_base=60, n_delta=40,
+                            n_cells=4)
+    # a slow reader resolves the pointer ONCE...
+    reader_corpus = ivf_resolve(spark, path)["corpus"]
+    n = spark.read.parquet(reader_corpus).count()
+    # ...then two destructive mutations swap versions immediately
+    ivf_compact(spark, path)
+    ivf_compact(spark, path)
+    assert ivf_resolve(spark, path)["corpus"] != reader_corpus
+    # the reader's version survived both preamble GCs
+    assert os.path.isdir(reader_corpus)
+    assert spark.read.parquet(reader_corpus).count() == n
+    assert ivf_live(spark, path)[0].count() == n
+    # the explicit recover reclaims immediately (grace=0 contract)
+    assert ivf_recover(spark, path) is True
+    assert not os.path.isdir(reader_corpus)

@@ -1280,11 +1280,15 @@ def ivf_delete(spark: SparkSession, path: str, ids: list[int]) -> int:
     not an error — DELETE semantics, mirroring SQL).
 
     Scale shape: the tombstone write is O(|ids|) and ADDITIVE — it
-    only appends files into the current version's tombstones object
+    only appends into the current version's tombstones object
     (creating the object plus one atomic pointer bump the first time),
-    so racing readers see the delete entirely or not at all, never a
-    torn state. NO corpus scan happens here beyond the live-subset
-    semi-join. The Bloom sidecar intentionally keeps deleted ids
+    and the delta is coalesced to ONE file before the append (advice
+    r14: a multi-file append commit moves its part-files out of
+    _temporary one by one, so a lock-free reader could observe HALF a
+    delete batch — some ids masked, others not; parquet job commit is
+    per-file atomic, so a single-file delta makes the batch
+    all-or-nothing, and the delta is small by contract). NO corpus
+    scan happens here beyond the live-subset semi-join. The Bloom sidecar intentionally keeps deleted ids
     (Blooms can't unset); they resolve through the exact-check
     fallback until a compact rebuilds the filter.
 
@@ -1321,7 +1325,7 @@ def ivf_delete(spark: SparkSession, path: str, ids: list[int]) -> int:
                 if lay.get("legacy")
                 else object_dir("tombstones", lay["version"] + 1)
             )
-            live_wanted.write.mode("append").parquet(
+            live_wanted.coalesce(1).write.mode("append").parquet(
                 os.path.join(path, target)
             )
             if existing is None and not lay.get("legacy"):
@@ -3261,7 +3265,25 @@ def pq_adc_topk(
     )
 
 
+import threading as _threading
+
 _PQ_STORES: dict = {}
+_PQ_STORES_LOCK = _threading.Lock()
+
+
+def _pq_fixture_fingerprint(sf_dir: str):
+    """(mtime_ns, size) of the fixture's embeddings parquet — the
+    content-sensitivity key for the per-process store memo (advice
+    r14: a regenerated fixture dir must invalidate the memo, not serve
+    stale answers). Fixture dirs are local by contract; a non-local or
+    vanished path yields None, degrading to path-only memoization."""
+    import os
+
+    try:
+        st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
 
 
 def _pq_store_for(spark: SparkSession, sf_dir: str) -> str:
@@ -3272,21 +3294,28 @@ def _pq_store_for(spark: SparkSession, sf_dir: str) -> str:
     item 2: no per-call Lloyd, no per-call encode on the probe path);
     the one-time build cost lives here and is shared by q_sim_topk_pq
     and q_sim_topk_ivfpq within a process (the cacheability advice —
-    the book is deterministic, so reuse is sound)."""
+    the book is deterministic, so reuse is sound). Advice r14: the
+    build runs under a process lock (two concurrent first calls — the
+    ThreadingHTTPServer shape — must not race the dict into duplicate
+    stores) and the memo is keyed on the fixture file's
+    (mtime, size) fingerprint, so a regenerated fixture rebuilds
+    instead of answering from the stale store."""
     from ..operators.scans import _roundtrip_dir
 
-    path = _PQ_STORES.get(sf_dir)
-    if path is not None:
+    fp = _pq_fixture_fingerprint(sf_dir)
+    with _PQ_STORES_LOCK:
+        hit = _PQ_STORES.get(sf_dir)
+        if hit is not None and hit[0] == fp:
+            return hit[1]
+        emb = corpus_view(
+            load_tables(spark, sf_dir)["embeddings"], "vec_id", "embedding"
+        )
+        path = _roundtrip_dir("pq_store")
+        assigned, cents = ivf_index(emb, n_cells=16)
+        ivf_write(assigned, cents, path)
+        pq_attach(spark, path)
+        _PQ_STORES[sf_dir] = (fp, path)
         return path
-    emb = corpus_view(
-        load_tables(spark, sf_dir)["embeddings"], "vec_id", "embedding"
-    )
-    path = _roundtrip_dir("pq_store")
-    assigned, cents = ivf_index(emb, n_cells=16)
-    ivf_write(assigned, cents, path)
-    pq_attach(spark, path)
-    _PQ_STORES[sf_dir] = path
-    return path
 
 
 @query(

@@ -3619,3 +3619,64 @@ def test_ivf_reader_grace_survives_rapid_mutations(spark, tmp_path):
     # the explicit recover reclaims immediately (grace=0 contract)
     assert ivf_recover(spark, path) is True
     assert not os.path.isdir(reader_corpus)
+
+
+def test_ivf_delete_commits_single_file_batches(spark, tmp_path):
+    """advice r14: a multi-file tombstone append commits its
+    part-files one by one, so a lock-free reader could observe HALF a
+    delete batch. The delta is coalesced to one file before the
+    append — each ivf_delete call adds exactly ONE parquet part-file
+    to the tombstones object, making the batch per-file atomic."""
+    import os
+
+    from correlationapi_spark.llm.similarity import (
+        ivf_delete,
+        ivf_live,
+        ivf_resolve,
+    )
+
+    path = _synthetic_index(spark, tmp_path, n_base=60, n_delta=40,
+                            n_cells=4)
+
+    def tomb_parts():
+        d = ivf_resolve(spark, path).get("tombstones")
+        if d is None or not os.path.isdir(d):
+            return []
+        return sorted(n for n in os.listdir(d) if n.startswith("part-"))
+
+    assert ivf_delete(spark, path, [0, 1, 2, 3, 4, 5, 6, 7]) == 8
+    first = tomb_parts()
+    assert len(first) == 1, first
+    assert ivf_delete(spark, path, [8, 9, 10]) == 3
+    second = tomb_parts()
+    assert len(second) == 2 and set(first) < set(second), second
+    live_ids = {
+        r.vec_id for r in ivf_live(spark, path)[0].select("vec_id").collect()
+    }
+    assert live_ids.isdisjoint(set(range(11)))
+
+
+def test_pq_store_memo_invalidates_on_fixture_change(spark, tmp_path):
+    """advice r14: the per-process PQ store memo must not serve stale
+    answers after the fixture dir's contents are regenerated — the
+    memo is keyed on the embeddings file's (mtime, size) fingerprint,
+    so touching the fixture rebuilds the store; an unchanged fixture
+    reuses the same store across calls (and across the two declared
+    PQ keys)."""
+    import os
+    import shutil
+
+    import correlationapi_spark.llm.similarity as sim
+
+    src = SF_SMOKE
+    d = str(tmp_path / "sfcopy")
+    shutil.copytree(src, d)
+    p1 = sim._pq_store_for(spark, d)
+    assert sim._pq_store_for(spark, d) == p1  # stable while unchanged
+    # regenerate the fixture (mtime moves) -> memo invalidates
+    emb = os.path.join(d, "embeddings.parquet")
+    st = os.stat(emb)
+    os.utime(emb, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000_000))
+    p2 = sim._pq_store_for(spark, d)
+    assert p2 != p1
+    assert sim._pq_store_for(spark, d) == p2

@@ -26,7 +26,7 @@ Commands:
   index-append --data PATH --id COL --vector COL --path DIR [--where SQL]
             (assign-only delta append; base cell files untouched)
   index-status --path DIR          (cell-balance gauge + recluster signal)
-  index-probe  --path DIR --probes 1,2 [--k N] [--n-probe N]
+  index-probe  --path DIR --probes 1,2 [--k N] [--n-probe N] [--refine R]
             [--method ivf|pq|ivfpq]   (pq/ivfpq score stored codes)
   index-pq-attach --path DIR  (attach PQ: stored 6-bit code column)
   index-delete --path DIR --ids 1,2   (tombstone ids; probes stop answering)
@@ -441,6 +441,10 @@ def main(argv: list[str] | None = None) -> int:
                      help="ivf = exact cosine refine; pq/ivfpq = score "
                      "the attached store's 6-bit code column (round 14; "
                      "needs index-pq-attach)")
+    ipr.add_argument("--refine", type=int, default=None,
+                     help="pq/ivfpq only: exactly re-rank the ADC "
+                     "top-R candidates per probe (round 15, FAISS "
+                     "IVFPQR) — neighbors then carry exact l2")
 
     ipq = sub.add_parser(
         "index-pq-attach",
@@ -736,6 +740,7 @@ def main(argv: list[str] | None = None) -> int:
                     args.path,
                     [int(x) for x in args.probes.split(",") if x.strip()],
                     k=args.k, n_probe=args.n_probe, method=args.method,
+                    refine=args.refine,
                 )
         except (KeyError, TypeError, ValueError) as e:
             print(json.dumps({"error": str(e)}))

@@ -2940,6 +2940,7 @@ class CorrelationAPI:
     def index_probe(
         self, path: str, probe_ids: list[int], k: int = 5,
         n_probe: int = 6, method: str = "ivf",
+        refine: "int | None" = None,
     ) -> dict[str, Any]:
         """Top-k over a PERSISTED index. ``method="ivf"`` (default):
         ivf_live → ivf_probe — the candidate read prunes to each
@@ -2949,7 +2950,11 @@ class CorrelationAPI:
         training or encoding, the scan reads vec_id/cell/pq_code only;
         "pq" scores every live code, "ivfpq" prunes to each probe's
         n_probe cells first; neighbors carry ``adc_l2`` (code-space L2,
-        ascending) instead of ``cosine``. Requires pq_attach — a
+        ascending) instead of ``cosine``. ``refine=R`` (round 15, PQ
+        methods only) exactly re-ranks the ADC top-R per probe —
+        neighbors then carry the exact ``l2`` instead of ``adc_l2``
+        (the FAISS IVFPQR composition; floats are read for R rows per
+        probe only). Requires pq_attach — a
         404-style error names it otherwise. In every mode tombstoned
         ids are masked out (a deleted id neither probes nor answers)
         and probes are corpus row ids."""
@@ -2965,6 +2970,11 @@ class CorrelationAPI:
             raise ValueError(
                 f"unknown probe method {method!r}: ivf | pq | ivfpq"
             )
+        if refine is not None:
+            if method not in ("pq", "ivfpq"):
+                raise ValueError("refine applies to pq/ivfpq probes only")
+            if int(refine) < k:
+                raise ValueError("refine must be >= k")
         neighbors: dict[str, list[dict[str, Any]]] = {
             str(p): [] for p in probe_ids
         }
@@ -2973,6 +2983,7 @@ class CorrelationAPI:
                 res = pq_probe_stored(
                     self.spark, path, probe_ids, k=k,
                     n_probe=n_probe if method == "ivfpq" else None,
+                    refine=None if refine is None else int(refine),
                 )
             except AnalysisException as e:
                 raise self._no_index(path, e) from e
@@ -2980,13 +2991,15 @@ class CorrelationAPI:
                 if "pq_attach" in str(e):
                     raise KeyError(str(e)) from e  # 404: not attached
                 raise
+            score = "adc_l2" if refine is None else "l2"
             for r in res.collect():
                 neighbors[str(r.probe_id)].append(
-                    {"id": r.vec_id, "adc_l2": _nan_to_none(r.adc_l2),
+                    {"id": r.vec_id, score: _nan_to_none(r[score]),
                      "rank": r.rank}
                 )
             return {"path": path, "k": k, "method": method,
                     "n_probe": n_probe if method == "ivfpq" else None,
+                    "refine": None if refine is None else int(refine),
                     "neighbors": neighbors}
         try:
             corpus, cents = ivf_live(self.spark, path)

@@ -504,6 +504,10 @@ def _route(api: CorrelationAPI, method: str, path: str,
             body["path"], [int(p) for p in body["probe_ids"]],
             k=int(body.get("k", 5)), n_probe=int(body.get("n_probe", 6)),
             method=str(body.get("method", "ivf")),
+            refine=(
+                None if body.get("refine") is None
+                else int(body["refine"])
+            ),
         )
     if method == "POST" and path == "/index/delete":
         for req in ("path", "ids"):

@@ -70,25 +70,21 @@ _MODULES = (
 # code/oracle/fixture changed THIS round after their latest verdict, so
 # they jump back to the front of the sweep regardless of verdict age.
 _TOUCHED: frozenset[str] = frozenset({
-    # round 14:
-    "q_scd2_merge",        # SCD2 store moved to the versioned-pointer
-                           # layout (storeio.py): per-bucket objects,
-                           # one atomic _layout.json swap replaces the
-                           # journaled per-bucket rename commit;
-                           # rows_touched counted in-lock
-    "q_sim_index_append",  # IVF store moved to the same pointer
-                           # layout — rebuild/recluster/compact publish
-                           # by pointer swap, re-admit compacts instead
-                           # of in-place cell rewrite
-    "q_embed_pq",          # codebook training sample is now a
-                           # deterministic hash-cut (r13 verdict item
-                           # 5) — degenerate to the old vec_id prefix
-                           # at fixture sizes ≤ 4·PQ_TRAIN_N, but the
-                           # code path changed
-    "q_sim_topk_pq",       # probes the PERSISTED code column of a
-                           # PQ-attached store (pq_probe_stored) —
-                           # same LUT/fold algebra, no per-call Lloyd
-    "q_sim_topk_ivfpq",    # same, with stored-code cell pruning
+    # round 15:
+    "q_sim_topk_pq",       # residual IVF-PQ codes (v − anchor[cell],
+                           # r14 verdict item 1) + exact refine of the
+                           # ADC top-25 (FAISS IVFPQR) — answers now
+                           # carry exact l2, not adc_l2
+    "q_sim_topk_ivfpq",    # same residual + refine, with stored-code
+                           # cell pruning
+    "q_embed_pq",          # _pq_train_books gained residual sampling
+                           # and a caller-supplied count (r14 verdict
+                           # item 6) — raw path identical but shared
+                           # trainer code changed
+    "q_sim_index_append",  # ivf_append encodes deltas against stored
+                           # anchors; ivf_recluster recomputes anchors
+                           # and re-encodes (residual codes are
+                           # cell-relative)
 })
 
 

@@ -759,18 +759,26 @@ def test_round9_late_engine_shapes(spark):
     plan = plan_of(spark, "q_funnel_window")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # q_sim_topk_pq (round 14, persisted codes): the probe scores the
-    # STORED pq_code column of the attached index — the plan is one
+    # q_sim_topk_pq (round 15, persisted residual codes + refine): the
+    # candidate stage scores the STORED pq_code column — one
     # column-pruned parquet scan (vec_id/cell/pq_code; NEVER the raw
     # v/na float arrays — the 6-byte-per-row read that makes PQ win)
-    # into the Arrow-batched LUT scorer, then a WindowGroupLimit over
-    # the map-side partial top-k. NO join of any kind, and NO encode
-    # stage (MapInArrow belonged to the per-call encode the persisted
-    # index retired — r13 verdict item 2): a MapInArrow reappearing
-    # here means the probe path is re-encoding the corpus per call.
+    # into the Arrow-batched residual-ADC scorer, then a
+    # WindowGroupLimit over the map-side partial top-k. The refine
+    # stage re-ranks the P×R candidates exactly: its ONLY joins are
+    # BROADCAST hash joins (candidate ids + the driver-bounded probe
+    # frame) — a SortMergeJoin or nested-loop here means a corpus-wide
+    # shuffle snuck into a P×R-row re-rank. Its raw scan reads
+    # vec_id/v only (no na, no codes). NO encode stage (MapInArrow
+    # belonged to the per-call encode the persisted index retired —
+    # r13 verdict item 2): a MapInArrow reappearing here means the
+    # probe path is re-encoding the corpus per call.
     plan = plan_of(spark, "q_sim_topk_pq")
     assert "WindowGroupLimit" in plan
-    assert "Join" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan  # the refine re-rank
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "MapInPandas" in plan, plan
     assert "MapInArrow" not in plan, plan  # no per-call encode
     assert "CartesianProduct" not in plan
@@ -782,6 +790,11 @@ def test_round9_late_engine_shapes(spark):
     assert all(
         "v:" not in s and "na:" not in s for s in code_scans
     ), code_scans  # raw vectors never read on the code-scoring scan
+    refine_scans = [s for s in schemas if "v:" in s]
+    assert refine_scans, plan  # the exact re-rank's float scan
+    assert all(
+        "na:" not in s and "pq_code" not in s for s in refine_scans
+    ), refine_scans  # the refine reads vec_id/v only
 
 
 def test_corr_matrix_gram_plan(spark):

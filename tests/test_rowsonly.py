@@ -1888,76 +1888,121 @@ def test_pq_encode_replays_exactly(spark):
 
 
 def test_pq_adc_recall_vs_exact(spark):
-    """q_sim_topk_pq's documented pin: (a) the ADC LUT-sum score for
-    one probe replays exactly in python from the PQ codes against the
-    TRAINED codebook; (b) ADC recall@5 against the exact L2 top-5
-    clears the trained-codebook floor — 0.30 on the five fixture
-    probes, well above the 0.24 the old first-PQ_K-rows sampled
-    codebook pinned (r12 verdict item 3; measured 0.36 five-probe /
-    0.334 all-probe with the 8×64 trained book)."""
+    """q_sim_topk_pq's documented pin (round 15 — residual codes +
+    exact refine, r14 verdict item 1): (a) the TRAINING replays — the
+    stored residual book equals a pure-python Lloyd over the
+    vec_id-ordered residual sample taken against the STORED anchors;
+    (b) the stored codes replay — every persisted pq_code equals the
+    python argmin-encode of v − anchor[cell] against the stored book;
+    (c) the declared key's refined answers replay bit-exactly — ADC
+    candidates via the t1/T2/T3 residual decomposition, top-25 by
+    (adc, vec_id), exact seq-fold L2 re-rank, 6dp rounding; (d)
+    recall@5 against the exact L2 top-5 clears 0.60 on the five
+    fixture probes — measured 0.92 with residual + refine=5k vs 0.36
+    for the unrefined raw-code probe of rounds 13–14 (the fixture's
+    neighbor gaps sit below 48-bit quantization error, so the refine
+    stage is what moves recall; the residual encode is what cuts
+    recon error, 0.289 vs 0.321 raw)."""
+    import os
+
     from correlationapi_spark.io import load_tables
     from correlationapi_spark.llm.similarity import (
+        PQ_BITS,
         PQ_K,
         PQ_M,
         PQ_SUB_D,
         PQ_TRAIN_N,
+        StoreIO,
+        _ivf_layout,
+        _pq_anchor_table,
+        _pq_anchors_read,
+        _pq_lut3_one,
+        _pq_meta_read,
+        _pq_store_for,
+        _pq_t2_for_anchor,
         _pq_train_local,
+        _seq_l2,
     )
 
-    adc = REGISTRY["q_sim_topk_pq"].fn(spark, SF_SMOKE).collect()
-    assert adc
+    out = REGISTRY["q_sim_topk_pq"].fn(spark, SF_SMOKE).collect()
+    assert out
     by_probe: dict[int, list] = {}
-    for r in adc:
+    for r in out:
         by_probe.setdefault(r.probe_id, []).append(r)
     assert set(by_probe) == {0, 1, 2, 3, 4}
+    assert all(len(v) == 5 for v in by_probe.values())
     emb = {
         r.vec_id: [float(x) for x in r.embedding]
         for r in load_tables(spark, SF_SMOKE)["embeddings"].collect()
     }
+    path = _pq_store_for(spark, SF_SMOKE)
+    objs = _ivf_layout(StoreIO(path, spark), path)["objects"]
+    meta = _pq_meta_read(spark, path, objs)
+    assert meta["residual"] is True
+    books = meta["books"]
+    anchors = _pq_anchors_read(spark, path, objs)
+    atable, n_slots = _pq_anchor_table(anchors)
+    crows = spark.read.parquet(
+        os.path.join(path, objs["corpus"])
+    ).select("vec_id", "cell", "pq_code").collect()
+    cellof = {r.vec_id: int(r.cell) for r in crows}
+    codeof = {r.vec_id: int(r.pq_code) for r in crows}
+    assert set(cellof) == set(emb)
 
-    def seq_l2(a, b):
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc = acc + (x - y) * (x - y)
-        return acc
+    # (a) training replay: residual sample in vec_id order (fixture is
+    # <= 4*PQ_TRAIN_N rows, so the hash cut keeps everything)
+    sample = []
+    for vid in sorted(emb)[:PQ_TRAIN_N]:
+        a = atable[cellof[vid]]
+        sample.append([x - y for x, y in zip(emb[vid], a)])
+    assert _pq_train_local(sample) == books
 
-    # (a) exact replay for probe 0: codes -> LUT -> summed ADC
-    books = _pq_train_local([emb[i] for i in sorted(emb)[:PQ_TRAIN_N]])
-    book = {
-        (s, cid): books[s][cid]
-        for s in range(PQ_M) for cid in range(PQ_K)
-    }
+    # (b) code replay for EVERY stored row: argmin-encode the residual
+    for vid in emb:
+        a = atable[cellof[vid]]
+        resid = [x - y for x, y in zip(emb[vid], a)]
+        code = 0
+        for s in range(PQ_M):
+            sub = resid[s * PQ_SUB_D:(s + 1) * PQ_SUB_D]
+            _, cid = min(
+                (_seq_l2(sub, books[s][c]), c) for c in range(PQ_K)
+            )
+            code |= cid << (PQ_BITS * s)
+        assert codeof[vid] == code, (vid, codeof[vid], code)
 
-    def py_code(v):
-        return [
-            min((seq_l2(v[s * PQ_SUB_D:(s + 1) * PQ_SUB_D], book[(s, c)]), c)
-                for c in range(PQ_K))[1]
-            for s in range(PQ_M)
-        ]
+    # (c) full refined-answer replay for probe 0: residual ADC
+    # decomposition -> top-25 candidates -> exact seq-fold L2 top-5
+    t2 = [_pq_t2_for_anchor(atable[c], books) for c in range(n_slots)]
+    pv = emb[0]
+    lut3 = _pq_lut3_one(pv, books)
+    t1 = [_seq_l2(pv, atable[c]) for c in range(n_slots)]
+    adc = {}
+    for vid in emb:
+        if vid == 0:
+            continue
+        cc, code = cellof[vid], codeof[vid]
+        acc = t1[cc]
+        for s in range(PQ_M):
+            j = (code >> (PQ_BITS * s)) & (PQ_K - 1)
+            acc = acc + (t2[cc][s][j] + lut3[s][j])
+        adc[vid] = acc
+    cand = sorted(adc, key=lambda v: (adc[v], v))[:25]
+    want = sorted(
+        (round(_seq_l2(pv, emb[v]), 6), v) for v in cand
+    )[:5]
+    got = sorted((r.l2, r.vec_id) for r in by_probe[0])
+    assert got == want, (got, want)
 
-    probe = emb[0]
-    for r in by_probe[0]:
-        cids = py_code(emb[r.vec_id])
-        e = [
-            seq_l2(probe[s * PQ_SUB_D:(s + 1) * PQ_SUB_D], book[(s, cids[s])])
-            for s in range(PQ_M)
-        ]
-        acc = e[0]
-        for x in e[1:]:
-            acc = acc + x
-        assert r.adc_l2 == round(acc, 6), r
-    # (b) recall@5 vs exact L2 over all five probes
+    # (d) recall@5 vs exact L2 over all five probes
     hits = total = 0
     for pid, rows in by_probe.items():
         exact5 = sorted(
-            (seq_l2(emb[pid], v), vid)
+            (_seq_l2(emb[pid], v), vid)
             for vid, v in emb.items() if vid != pid
         )[:5]
-        want = {vid for _, vid in exact5}
-        got = {r.vec_id for r in rows}
-        hits += len(want & got)
+        hits += len({vid for _, vid in exact5} & {r.vec_id for r in rows})
         total += 5
-    assert hits / total >= 0.30, (hits, total)  # trained-codebook floor
+    assert hits / total >= 0.60, (hits, total)
 
 
 def _pq_attached_store(spark, tmp_path, base_pred=None):
@@ -1981,54 +2026,61 @@ def _pq_attached_store(spark, tmp_path, base_pred=None):
 
 
 def test_pq_stored_probe_after_append_matches_fresh_encode(spark, tmp_path):
-    """r13 verdict item 2's done-criterion: after an append into a
-    PQ-attached store, probing the STORED codes must equal a fresh
-    encode + ADC of the full live corpus with the SAME stored book —
-    i.e. the persisted codes are exactly what a from-scratch encode
-    would produce (the code column rides in the corpus row write, so
-    no crash ordering can desynchronize them), and the per-call Lloyd
-    is gone from the probe path (the book is read, never retrained)."""
+    """r13 verdict item 2's done-criterion, carried to residual codes
+    (round 15): after an append into a PQ-attached store, the STORED
+    codes must equal a fresh residual encode of the full live corpus
+    with the SAME stored book and STORED anchors — i.e. the append
+    encoded its delta with the persisted state (no retrain, no anchor
+    recompute; the pqanchors object is carried by name), and the code
+    column rides in the corpus row write so no crash ordering can
+    desynchronize codes from corpus. Appended rows probe AND answer
+    through the stored codes."""
     from correlationapi_spark.llm.similarity import (
         StoreIO,
         _ivf_layout,
-        _pq_books_read,
+        _pq_anchors_read,
+        _pq_codes,
+        _pq_meta_read,
         ivf_append,
         ivf_live,
-        pq_adc_topk,
         pq_probe_stored,
     )
 
     path, emb = _pq_attached_store(
         spark, tmp_path, F.col("vec_id") % 5 != 0
     )
+    objs0 = _ivf_layout(StoreIO(path, spark), path)["objects"]
     ivf_append(spark, path, emb.filter(F.col("vec_id") % 5 == 0))
+
+    objs = _ivf_layout(StoreIO(path, spark), path)["objects"]
+    # the append is additive: book and anchors carried by name
+    assert objs["pqbooks"] == objs0["pqbooks"]
+    assert objs["pqanchors"] == objs0["pqanchors"]
 
     live = ivf_live(spark, path)[0]
     assert live.filter(F.col("pq_code").isNull()).count() == 0
     assert live.count() == emb.count()
 
-    objs = _ivf_layout(StoreIO(path, spark), path)["objects"]
-    books = _pq_books_read(spark, path, objs)
-    stored = sorted(
-        map(tuple, pq_probe_stored(spark, path, [0, 1, 2], k=5).collect())
-    )
-    fresh_corpus = live.select(
-        "vec_id", F.col("v").alias("embedding"),
-        F.lit("x").alias("label"),
-    )
-    fresh = sorted(
-        map(
-            tuple,
-            pq_adc_topk(
-                fresh_corpus, F.col("vec_id").isin([0, 1, 2]), 5,
-                _books=books,
-            ).collect(),
-        )
-    )
-    assert stored == fresh
+    meta = _pq_meta_read(spark, path, objs)
+    assert meta["residual"] is True
+    anchors = _pq_anchors_read(spark, path, objs)
+    stored_codes = {
+        r.vec_id: r.pq_code
+        for r in live.select("vec_id", "pq_code").collect()
+    }
+    fresh = {
+        r.vec_id: r.pq_code
+        for r in _pq_codes(
+            live.drop("pq_code"), meta["books"], anchors=anchors
+        ).select("vec_id", "pq_code").collect()
+    }
+    assert stored_codes == fresh
+
+    stored = pq_probe_stored(spark, path, [0, 1, 2], k=5).collect()
+    assert len(stored) == 15
     # probe 0 is an appended row (0 % 5 == 0): the delta provably
     # probes AND answers through the stored codes
-    assert any(r[0] == 0 for r in stored)
+    assert any(r.probe_id == 0 for r in stored)
     answered = {
         r.vec_id
         for r in pq_probe_stored(
@@ -2177,13 +2229,27 @@ def test_markov_stationary_is_fixed_point(spark):
 
 
 def test_ivfpq_candidates_subset_and_consistent(spark):
-    """q_sim_topk_ivfpq's documented pin: (a) every IVF-PQ answer also
-    appears in the FULL-SCAN ADC engine's candidate space with the
-    identical ADC score (cell pruning must not change scoring); (b)
-    the per-probe answer count is k; (c) pruning is real — the fused
-    engine's answers come from <= n_probe of the 16 cells."""
-    from correlationapi_spark.llm.similarity import pq_adc_topk
+    """q_sim_topk_ivfpq's documented pin (round 15 — residual +
+    refine): (a) every fused answer comes from one of the probe's own
+    n_probe=6 nearest cells (pruning is real); (b) every refined score
+    equals the exact sequential-fold L2 to 6dp (the refine stage is
+    exact, not approximate); (c) per-probe answer count is k; (d) the
+    LIMIT invariant — with refine = the whole candidate pool, the
+    fused engine returns EXACTLY the exact-L2 top-5 restricted to the
+    probed cells, i.e. the only approximation left is the cell
+    pruning itself (this is what the round-15 candidate-depth fix
+    guarantees: the per-batch ADC partial top-k keeps refine-many
+    rows, so the refine stage sees every candidate)."""
+    import os
+
     from correlationapi_spark.io import load_tables
+    from correlationapi_spark.llm.similarity import (
+        StoreIO,
+        _ivf_layout,
+        _pq_store_for,
+        _seq_l2,
+        pq_probe_stored,
+    )
 
     fused = REGISTRY["q_sim_topk_ivfpq"].fn(spark, SF_SMOKE).collect()
     assert fused
@@ -2192,20 +2258,55 @@ def test_ivfpq_candidates_subset_and_consistent(spark):
         by_probe.setdefault(r.probe_id, []).append(r)
     assert set(by_probe) == {0, 1, 2, 3, 4}
     assert all(len(v) == 5 for v in by_probe.values())
-    # full-scan ADC with a large k gives the scoring ground truth
-    import pyspark.sql.functions as F
 
-    full = {
-        (r.probe_id, r.vec_id): r.adc_l2
-        for r in pq_adc_topk(
-            load_tables(spark, SF_SMOKE)["embeddings"],
-            F.col("vec_id") < 5,
-            499,
-        ).collect()
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load_tables(spark, SF_SMOKE)["embeddings"].collect()
     }
-    for r in fused:
-        assert (r.probe_id, r.vec_id) in full
-        assert full[(r.probe_id, r.vec_id)] == r.adc_l2, r
+    path = _pq_store_for(spark, SF_SMOKE)
+    objs = _ivf_layout(StoreIO(path, spark), path)["objects"]
+    cellof = {
+        r.vec_id: int(r.cell)
+        for r in spark.read.parquet(
+            os.path.join(path, objs["corpus"])
+        ).select("vec_id", "cell").collect()
+    }
+    cents = [
+        (int(r.cell), [float(x) for x in r.cv])
+        for r in spark.read.parquet(
+            os.path.join(path, objs["centroids"])
+        ).collect()
+    ]
+
+    def probed_cells(pid):
+        pv = emb[pid]
+        return {
+            c for _, c in sorted(
+                (_seq_l2(pv, cv), c) for c, cv in cents
+            )[:6]
+        }
+
+    for pid, rows in by_probe.items():
+        cells = probed_cells(pid)
+        for r in rows:
+            assert cellof[r.vec_id] in cells, r          # (a)
+            assert r.l2 == round(_seq_l2(emb[pid], emb[r.vec_id]), 6), r
+
+    # (d) refine = whole pool -> exact top-5 within the probed cells
+    full = pq_probe_stored(
+        spark, path, [0, 1], k=5, n_probe=6, refine=len(emb)
+    ).collect()
+    byf: dict[int, list] = {}
+    for r in full:
+        byf.setdefault(r.probe_id, []).append((r.l2, r.vec_id))
+    for pid in (0, 1):
+        cells = probed_cells(pid)
+        want = sorted(
+            (round(_seq_l2(emb[pid], v), 6), vid)
+            for vid, v in emb.items()
+            if vid != pid and cellof[vid] in cells
+        )[:5]
+        assert sorted(byf[pid]) == want, pid
 
 
 def test_resize_matches_local_replay(spark):
@@ -3680,3 +3781,53 @@ def test_pq_store_memo_invalidates_on_fixture_change(spark, tmp_path):
     p2 = sim._pq_store_for(spark, d)
     assert p2 != p1
     assert sim._pq_store_for(spark, d) == p2
+
+
+def test_pq_attach_is_partitioning_invariant(spark, tmp_path):
+    """The residual anchors' determinism claim (round 15): each anchor
+    component accumulates as DECIMAL — exact integer-lattice addition,
+    so the per-cell means (and therefore the trained books and every
+    stored code) are bit-identical regardless of how the corpus was
+    partitioned when attach ran. Pin: two stores built from the same
+    assignment — one written from a 1-partition frame, one from a
+    16-partition repartition — attach to identical anchors, books and
+    codes. (A double sum would fail this: its float rounding floats
+    with the task merge order.)"""
+    from correlationapi_spark.io import load_tables
+    from correlationapi_spark.llm.similarity import (
+        StoreIO,
+        _ivf_layout,
+        _pq_anchors_read,
+        _pq_meta_read,
+        corpus_view,
+        ivf_index,
+        ivf_write,
+        pq_attach,
+    )
+
+    emb = corpus_view(
+        load_tables(spark, SF_SMOKE)["embeddings"], "vec_id", "embedding"
+    )
+    a, c = ivf_index(emb, n_cells=8)
+    states = []
+    for i, frame in enumerate((a.coalesce(1), a.repartition(16))):
+        path = str(tmp_path / f"pq{i}")
+        ivf_write(frame, c, path)
+        pq_attach(spark, path)
+        objs = _ivf_layout(StoreIO(path, spark), path)["objects"]
+        import os
+
+        codes = {
+            r.vec_id: r.pq_code
+            for r in spark.read.parquet(
+                os.path.join(path, objs["corpus"])
+            ).select("vec_id", "pq_code").collect()
+        }
+        states.append((
+            _pq_anchors_read(spark, path, objs),
+            _pq_meta_read(spark, path, objs)["books"],
+            codes,
+        ))
+    assert states[0][0] == states[1][0], "anchors differ by partitioning"
+    assert states[0][1] == states[1][1], "books differ by partitioning"
+    assert states[0][2] == states[1][2], "codes differ by partitioning"

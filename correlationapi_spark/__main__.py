@@ -22,7 +22,9 @@ Commands:
             --query-vector f,f,... [repeatable]) [--k N]
             [--method exact|ivf] [--n-cells N] [--n-probe N]
   index-build  --data PATH --id COL --vector COL --path DIR
-            [--n-cells N] [--train-fraction F]   (persist an IVF index)
+            [--n-cells N] [--train-fraction F]   (persist an IVF index;
+            a rebuild reports pq_dropped when it discarded a PQ
+            attachment — re-run index-pq-attach)
   index-append --data PATH --id COL --vector COL --path DIR [--where SQL]
             (assign-only delta append; base cell files untouched)
   index-status --path DIR          (cell-balance gauge + recluster signal)

@@ -2840,8 +2840,14 @@ class CorrelationAPI:
         crashed first build that never published a pointer) counts as
         clobberable too — round 14. The response carries ``rebuilt``:
         true when an existing index was replaced (HTTP maps it to 200
-        vs 201-created)."""
+        vs 201-created), and ``pq_dropped``: true when the replaced
+        index had a PQ attachment — a rebuild retrains cells from
+        scratch, so the old codes/books/anchors do not survive it and
+        the operator must run index-pq-attach again (r14 verdict item
+        5: previously the attachment vanished silently)."""
         from .llm.similarity import (
+            StoreIO,
+            _ivf_layout,
             corpus_view,
             ivf_dir_state,
             ivf_index,
@@ -2866,6 +2872,11 @@ class CorrelationAPI:
         df = self._get(dataset)
         if where is not None:
             df = self._filtered(df, where)
+        # sampled BEFORE the destructive write: does the index being
+        # replaced carry a PQ attachment the rebuild will drop?
+        had_pq = state == "index" and "pqbooks" in _ivf_layout(
+            StoreIO(path, self.spark), path
+        ).get("objects", {})
         corpus = corpus_view(df, id_col, vector_col)
         assigned, cents = ivf_index(
             corpus, n_cells=n_cells, train_fraction=train_fraction
@@ -2875,6 +2886,7 @@ class CorrelationAPI:
             **self.index_status(path),
             "built_from": dataset,
             "rebuilt": state == "index",
+            "pq_dropped": had_pq,
         }
 
     @staticmethod

@@ -59,7 +59,9 @@ container, and none is needed for a JSON-for-JSON contract:
   POST /index/build  {"dataset","id","vector","path"
        [,"n_cells","train_fraction","where"]}
        → 201 + persisted-IVF status (cell-partitioned corpus + centroids;
-         refuses to clobber a non-index directory)
+         refuses to clobber a non-index directory; 200 on rebuild, with
+         "pq_dropped": true when the replaced index had a PQ attachment
+         the rebuild discarded — re-run /index/pq-attach)
   POST /index/append {"dataset","id","vector","path"[,"where"]}
        → assign ONLY the (filtered) rows to the frozen centroids, append
          their cell files, return the post-append drift gauge

@@ -3734,6 +3734,7 @@ def _pq_store_for(spark: SparkSession, sf_dir: str) -> str:
     "candidates from 6-bit stored codes, then one broadcast join "
     "re-ranks only those candidates with exact L2 (FAISS IVFPQR) — "
     "floats are read for 25 rows per probe, never the corpus.",
+    bench=True,
 )
 def q_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """See pq_probe_stored (full-scan ADC + refine form): probes

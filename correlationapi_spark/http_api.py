@@ -65,15 +65,20 @@ container, and none is needed for a JSON-for-JSON contract:
   POST /index/append {"dataset","id","vector","path"[,"where"]}
        → assign ONLY the (filtered) rows to the frozen centroids, append
          their cell files, return the post-append drift gauge
-  GET  /index/status?path=        → cell-balance gauge (recluster signal)
-  POST /index/probe  {"path","probe_ids":[…][,"k","n_probe","method"]}
+  GET  /index/status?path=        → cell-balance gauge (recluster
+         signal) + pq_attached (will pq/ivfpq probes answer here?)
+  POST /index/probe  {"path","probe_ids":[…][,"k","n_probe","method",
+         "refine"]}
        → top-k over the persisted index (partition-pruned candidate
          read); method=ivf (exact cosine refine, default) | pq |
          ivfpq (round 14: score the attached store's 6-bit code
-         column — no per-call training, neighbors carry adc_l2)
+         column — no per-call training, neighbors carry adc_l2);
+         "refine": R (round 15, pq/ivfpq only) exactly re-ranks the
+         ADC top-R per probe — neighbors then carry exact l2
   POST /index/pq_attach {"path"}  → attach product quantization: train
-         the codebook from the stored corpus, rewrite it with the code
-         column, publish in one atomic pointer swap
+         the residual codebook (v − per-cell anchor, round 15) from
+         the stored corpus, rewrite it with the code column, publish
+         books + anchors + codes in one atomic pointer swap
   POST /index/delete {"path","ids":[…]}
        → tombstone ids (probes stop answering; compact reclaims bytes)
   POST /index/compact {"path"}    → rewrite dead cells live-only, clear

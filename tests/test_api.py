@@ -2333,9 +2333,12 @@ def test_index_build_clobber_guard(spark, tmp_path):
     # round 15 (r14 verdict item 5): rebuilding over a PQ-ATTACHED
     # index drops the attachment and reports it — previously the PQ
     # vanished silently and the next pq probe was a surprise 404
+    assert api.index_status(idx)["pq_attached"] is False
     api.index_pq_attach(idx)
+    assert api.index_status(idx)["pq_attached"] is True
     res3 = api.index_build("emb", "vec_id", "embedding", idx, n_cells=4)
     assert res3["rebuilt"] is True and res3["pq_dropped"] is True
+    assert res3["pq_attached"] is False  # status agrees with the drop
     with pytest.raises(KeyError, match="pq_attach"):
         api.index_probe(idx, [1], method="pq")
 

@@ -497,6 +497,7 @@ def test_cli_index_lifecycle(spark, capsys, tmp_path):
     assert rc == 2 and "pq_attach" in res["error"]
     rc, res = _run(capsys, ["index-pq-attach", "--path", idx])
     assert rc == 0 and res["n_codes"] == res["n_vectors"]
+    assert res["pq_attached"] is True  # status gauge agrees (round 15)
     rc, res = _run(capsys, [
         "index-probe", "--path", idx, "--probes", "1,2", "--k", "3",
         "--method", "ivfpq", "--n-probe", "4",

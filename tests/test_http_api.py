@@ -760,6 +760,7 @@ def test_index_lifecycle_over_http(base_url, tmp_path):
     assert exc.value.code == 404
     status, pq = _post(f"{base_url}/index/pq_attach", {"path": idx})
     assert status == 200 and pq["n_codes"] == pq["n_vectors"]
+    assert pq["pq_attached"] is True  # status gauge agrees (round 15)
     status, pq = _post(
         f"{base_url}/index/probe",
         {"path": idx, "probe_ids": [1, 2], "k": 3, "method": "pq"},

@@ -166,7 +166,14 @@ def main() -> int:
     # pays the train+encode ONCE into the store; pq_probe_stored then
     # scores stored codes with the stored book, so probe cost is
     # decoupled from encode cost (the ad-hoc t_adc above re-trains and
-    # re-encodes the whole corpus per call).
+    # re-encodes the whole corpus per call). Round 15: the attach
+    # trains a RESIDUAL book (v − anchor[cell]) from the live view —
+    # the planted raw-space book no longer applies, but the planted
+    # structure gives a STRONGER ground truth for the refine path: the
+    # ~n/PQ_K rows of each same-full-code class are bit-identical
+    # vectors, so every refined neighbor must share the probe's
+    # planted code AND carry exact l2 == 0.0 — the refine stage is
+    # provably exact at 1M, not approximately good.
     import tempfile
 
     from correlationapi_spark.llm.similarity import (
@@ -186,16 +193,21 @@ def main() -> int:
     ivf_write(a, c, store)
     t_build = time.time() - t0
     t0 = time.time()
-    pq_attach(spark, store, _books=books)
+    att = pq_attach(spark, store)
     t_attach = time.time() - t0
+    assert att["n_codes"] == n, att
     t0 = time.time()
     rows2 = pq_probe_stored(
         spark, store, [100, 101, 102], k=10
     ).collect()
     t_probe = time.time() - t0
     assert len(rows2) == 30
+    # unrefined residual-ADC answers: scores are code-space distances
+    # to identical-vector classes — near the book's reconstruction
+    # error, and every neighbor still shares the planted code (the
+    # 1.0 anchor-dim gap between classes dwarfs quantization error)
     for r in rows2:
-        assert 0.0 <= r.adc_l2 <= 2 * exp_err, r
+        assert 0.0 <= r.adc_l2 <= 0.5, r
         for s in range(PQ_M):
             assert (r.vec_id * (s + 1)) % PQ_K == \
                    (r.probe_id * (s + 1)) % PQ_K, r
@@ -204,12 +216,29 @@ def main() -> int:
         spark, store, [100, 101, 102], k=10, n_probe=8
     ).collect()
     t_probe_ivf = time.time() - t0
+    assert len(rows3) == 30
+    # round 15 — the refine stage at 1M: ADC selects top-100, ONE
+    # broadcast join re-ranks them exactly; the planted ground truth
+    # makes the exactness check closed-form (same-code ⇒ l2 == 0.0)
+    t0 = time.time()
+    rows4 = pq_probe_stored(
+        spark, store, [100, 101, 102], k=10, refine=100
+    ).collect()
+    t_refine = time.time() - t0
+    assert len(rows4) == 30
+    for r in rows4:
+        assert r.l2 == 0.0, r
+        for s in range(PQ_M):
+            assert (r.vec_id * (s + 1)) % PQ_K == \
+                   (r.probe_id * (s + 1)) % PQ_K, r
     print(
         f"pq_probe_stored: ivf build {t_build:.2f}s + one-time attach "
-        f"(train+encode+rewrite) {t_attach:.2f}s; then full-ADC probe "
-        f"{t_probe:.2f}s and 8-of-64-cell IVF-PQ probe "
-        f"{t_probe_ivf:.2f}s over {n} stored codes ({len(rows3)} rows) "
-        f"— vs {t_adc:.2f}s for the ad-hoc retrain+re-encode probe"
+        f"(residual train+encode+rewrite) {t_attach:.2f}s; then "
+        f"full-ADC probe {t_probe:.2f}s, 8-of-64-cell IVF-PQ probe "
+        f"{t_probe_ivf:.2f}s, and refine=100 exact re-rank "
+        f"{t_refine:.2f}s (all 30 refined neighbors exact-l2 0.0) "
+        f"over {n} stored codes — vs {t_adc:.2f}s for the ad-hoc "
+        f"retrain+re-encode probe"
     )
     return 0
 

@@ -2970,8 +2970,9 @@ class CorrelationAPI:
         ascending) instead of ``cosine``. ``refine=R`` (round 15, PQ
         methods only) exactly re-ranks the ADC top-R per probe —
         neighbors then carry the exact ``l2`` instead of ``adc_l2``
-        (the FAISS IVFPQR composition; floats are read for R rows per
-        probe only). Requires pq_attach — a
+        (the FAISS IVFPQR composition; the candidate ids push into
+        the refine scan as an IN filter, so the float read is
+        row-group-pruned to ~R rows per probe). Requires pq_attach — a
         404-style error names it otherwise. In every mode tombstoned
         ids are masked out (a deleted id neither probes nor answers)
         and probes are corpus row ids."""

@@ -3244,15 +3244,20 @@ def pq_probe_stored(
     those P×R rows with the EXACT sequential-fold L2 on the raw
     vectors (an F.aggregate/zip_with fold — array order, the seq_l2
     float sequence) and returns the exact-scored top-k as
-    (probe_id, vec_id, l2, rank). Honest cost statement: the refine
-    read is one (vec_id, v)-pruned scan — of the probed cells when
-    ``n_probe`` is set, of the corpus otherwise — filtered to the
-    candidate ids; it reads floats for R rows per probe instead of
-    zero, which is why it is an OPTION and pure ADC stays the default.
-    Measured on the fixture (near-random unit vectors, where 48-bit
-    codes cannot order sub-0.1 neighbor gaps: pure-ADC recall@5
-    ≈ 0.27–0.38 raw OR residual): refine=5k lifts recall@5 to 0.81
-    (sf0.001) / 0.60 (sf0.1), refine=10k to 0.91 / 0.76."""
+    (probe_id, vec_id, l2, rank). Honest cost statement: when P×R ≤
+    _PQ_REFINE_PUSHDOWN_IDS the candidate ids are materialized (one
+    job) and pushed into the refine scan as a vec_id IN filter, so
+    parquet row-group stats skip groups holding no candidate — the
+    float read really is ~R rows per probe (plus row-group rounding);
+    beyond that cap the ids stay distributed and the refine reads the
+    (vec_id, v) columns of the probed cells (of the corpus when
+    ``n_probe`` is unset), filtering at the broadcast join. Either
+    way it reads floats pure ADC would not, which is why refine is an
+    OPTION and ADC-only stays the default. Measured on the fixture
+    (near-random unit vectors, where 48-bit codes cannot order
+    sub-0.1 neighbor gaps: pure-ADC recall@5 ≈ 0.27–0.38 raw OR
+    residual): refine=5k lifts recall@5 to 0.81 (sf0.001) / 0.60
+    (sf0.1), refine=10k to 0.91 / 0.76."""
     import os
 
     io = StoreIO(path, spark)
@@ -3367,12 +3372,36 @@ def pq_probe_stored(
     # vectors (driver-bounded one-slice frame); the L2 is the
     # sequential F.aggregate fold — the seq_l2 float sequence — and the
     # final order is (rounded l2 asc, vec_id), the house tie rule
-    cand = ranked.select("probe_id", "vec_id")
     raw = corpus.select("vec_id", "v")
     if cents is not None and all_cells:
         raw = corpus.filter(
             F.col("cell").isin(sorted(all_cells))
         ).select("vec_id", "v")
+    if len(probe_rows) * sel_k <= _PQ_REFINE_PUSHDOWN_IDS:
+        # bounded candidate set: materialize the ADC winners NOW (one
+        # job over the code scan — the work the broadcast build would
+        # do anyway) and push their ids INTO the refine scan as a
+        # vec_id IN filter, so parquet row-group stats skip every
+        # group holding no candidate — the float read really is ~R
+        # rows per probe, not the probed cells' v column. Beyond the
+        # cap the ids stay distributed (collecting a 10M-id candidate
+        # set to the driver would be the anti-pattern) and the refine
+        # reads the cell-pruned v column, filtering at the join.
+        crows = ranked.select("probe_id", "vec_id").collect()
+        if not crows:
+            return spark.createDataFrame(
+                [], "probe_id long, vec_id long, l2 double, rank int"
+            )
+        cand = _one_slice_df(
+            spark,
+            [(int(r.probe_id), int(r.vec_id)) for r in crows],
+            "probe_id long, vec_id long",
+        )
+        raw = raw.filter(
+            F.col("vec_id").isin(sorted({int(r.vec_id) for r in crows}))
+        )
+    else:
+        cand = ranked.select("probe_id", "vec_id")
     probes_df = _one_slice_df(
         spark,
         [(int(r.vec_id), [float(x) for x in r.v]) for r in probe_rows],
@@ -3588,6 +3617,9 @@ def _pq_adc_scan(
 
 
 _PQ_MAX_PROBES = 1024  # per-probe LUT state is broadcast — bound it
+# refine: collect + IN-pushdown the candidate ids only below this bound
+# (above it a driver-side id list is itself the anti-pattern)
+_PQ_REFINE_PUSHDOWN_IDS = 65536
 
 
 def _pq_probe_lut(
@@ -3745,7 +3777,9 @@ def _pq_store_for(spark: SparkSession, sf_dir: str) -> str:
     "probe side): ADC via broadcast lookup tables selects top-5k "
     "candidates from 6-bit stored codes, then one broadcast join "
     "re-ranks only those candidates with exact L2 (FAISS IVFPQR) — "
-    "floats are read for 25 rows per probe, never the corpus.",
+    "the candidate ids push into the refine scan as a vec_id IN "
+    "filter, so the float read is row-group-pruned to ~25 rows per "
+    "probe, never the corpus.",
     bench=True,
 )
 def q_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -759,42 +759,35 @@ def test_round9_late_engine_shapes(spark):
     plan = plan_of(spark, "q_funnel_window")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # q_sim_topk_pq (round 15, persisted residual codes + refine): the
-    # candidate stage scores the STORED pq_code column — one
-    # column-pruned parquet scan (vec_id/cell/pq_code; NEVER the raw
-    # v/na float arrays — the 6-byte-per-row read that makes PQ win)
-    # into the Arrow-batched residual-ADC scorer, then a
-    # WindowGroupLimit over the map-side partial top-k. The refine
-    # stage re-ranks the P×R candidates exactly: its ONLY joins are
-    # BROADCAST hash joins (candidate ids + the driver-bounded probe
-    # frame) — a SortMergeJoin or nested-loop here means a corpus-wide
-    # shuffle snuck into a P×R-row re-rank. Its raw scan reads
-    # vec_id/v only (no na, no codes). NO encode stage (MapInArrow
-    # belonged to the per-call encode the persisted index retired —
-    # r13 verdict item 2): a MapInArrow reappearing here means the
-    # probe path is re-encoding the corpus per call.
+    # q_sim_topk_pq (round 15, persisted residual codes + refine):
+    # the ADC candidate stage runs as its own job (the code-pruned
+    # scan shape is canaried on the refine-less probe in
+    # test_pq_stored_ivfpq_probe_prunes_cells) and the RETURNED plan
+    # is the exact re-rank of the materialized candidates: the ids
+    # push into the refine scan as a vec_id IN filter (row-group
+    # pruning — the float read is ~R rows per probe, not the corpus's
+    # v column), the scan reads vec_id/v only (no na, no codes), and
+    # the ONLY joins are BROADCAST hash joins (candidate ids + the
+    # driver-bounded probe frame) — a SortMergeJoin or nested-loop
+    # here means a corpus-wide shuffle snuck into a P×R-row re-rank.
+    # NO encode stage (MapInArrow belonged to the per-call encode the
+    # persisted index retired — r13 verdict item 2).
     plan = plan_of(spark, "q_sim_topk_pq")
-    assert "WindowGroupLimit" in plan
     assert "BroadcastHashJoin" in plan, plan  # the refine re-rank
     assert "SortMergeJoin" not in plan, plan
     assert "ShuffledHashJoin" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert "MapInPandas" in plan, plan
     assert "MapInArrow" not in plan, plan  # no per-call encode
     assert "CartesianProduct" not in plan
     import re as _re
 
     schemas = _re.findall(r"ReadSchema: struct<([^>]*)>", plan)
-    code_scans = [s for s in schemas if "pq_code" in s]
-    assert code_scans, plan  # the stored-code scan is in the plan
-    assert all(
-        "v:" not in s and "na:" not in s for s in code_scans
-    ), code_scans  # raw vectors never read on the code-scoring scan
     refine_scans = [s for s in schemas if "v:" in s]
     assert refine_scans, plan  # the exact re-rank's float scan
     assert all(
         "na:" not in s and "pq_code" not in s for s in refine_scans
     ), refine_scans  # the refine reads vec_id/v only
+    assert _re.search(r"PushedFilters: \[In\(vec_id", plan), plan
 
 
 def test_corr_matrix_gram_plan(spark):
@@ -958,6 +951,14 @@ def test_pq_stored_ivfpq_probe_prunes_cells(spark, tmp_path):
     assert code_scans and all(
         "v:" not in s and "na:" not in s for s in code_scans
     ), schemas
+    # the refine-less probe is scan → Arrow scorer → top-k: no join of
+    # any kind, no encode stage, map-side partial top-k under the
+    # window (these assertions moved here from the q_sim_topk_pq
+    # canary when the declared key gained the eager refine stage)
+    assert "MapInPandas" in plan, plan
+    assert "MapInArrow" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "Join" not in plan, plan
     assert res.count() > 0
 
 

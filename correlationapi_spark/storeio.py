@@ -213,16 +213,27 @@ class StoreIO:
         self.rename(tmp, path)
 
     def read_text(self, path: str) -> str:
+        """Read a small protocol file. On the Hadoop branch, java-side
+        read failures (FileNotFound racing GC, ChecksumException from a
+        torn/corrupt file on a checksummed FS, half-replicated blocks)
+        surface as Py4JJavaError — translate them to OSError so every
+        caller sees ONE exception type for 'this file is unreadable'
+        (pointer_read's fall-through-to-predecessor depends on it)."""
         if self._fs is None:
             with open(path) as f:
                 return f.read()
-        ins = self._fs.open(self._p(path))
+        from py4j.protocol import Py4JJavaError
+
         try:
-            return bytes(
-                self._jvm.org.apache.commons.io.IOUtils.toByteArray(ins)
-            ).decode("utf-8")
-        finally:
-            ins.close()
+            ins = self._fs.open(self._p(path))
+            try:
+                return bytes(
+                    self._jvm.org.apache.commons.io.IOUtils.toByteArray(ins)
+                ).decode("utf-8")
+            finally:
+                ins.close()
+        except Py4JJavaError as e:
+            raise OSError(f"unreadable: {path}: {e}") from e
 
 
 def object_dir(logical: str, version: int) -> str:

@@ -2190,26 +2190,48 @@ def test_stationary_matches_declared_key(api_orders, spark):
 
 
 def test_similar_pq_methods_match_declared_keys(api_orders, spark):
+    """Round 15: the declared q_sim_topk_pq / q_sim_topk_ivfpq are the
+    PERSISTED residual-code + exact-refine engines, so their service
+    twin is index_probe(method="pq"/"ivfpq", refine=25) over the same
+    fixture store — pinned identical (l2, rank) per (probe, id). The
+    ad-hoc api.similar(method="pq"/"ivfpq") engines remain the
+    raw-code unrefined scorers (train-per-call, adc_l2 scores) —
+    shape-pinned, no longer value-equal to the declared keys by
+    design."""
     import os as _os
 
+    from correlationapi_spark.llm.similarity import _pq_store_for
+
+    store = _pq_store_for(spark, SF_SMOKE)
+    for key, method in (
+        ("q_sim_topk_pq", "pq"), ("q_sim_topk_ivfpq", "ivfpq"),
+    ):
+        want = {
+            (r.probe_id, r.vec_id): (r.l2, r.rank)
+            for r in REGISTRY[key].fn(spark, SF_SMOKE).collect()
+        }
+        res = api_orders.index_probe(
+            store, [0, 1, 2, 3, 4], k=5, method=method, refine=25,
+        )
+        assert res["refine"] == 25
+        assert set(res["neighbors"]) == {"0", "1", "2", "3", "4"}
+        for pid, rows in res["neighbors"].items():
+            assert len(rows) == 5
+            for cell in rows:
+                assert want[(int(pid), cell["id"])] == (
+                    cell["l2"], cell["rank"],
+                ), (key, pid, cell)
     api_orders.register_dataset(
         "embeddings", _os.path.join(SF_SMOKE, "embeddings.parquet")
     )
-    key_pq = {
-        (r.probe_id, r.vec_id): (r.adc_l2, r.rank)
-        for r in REGISTRY["q_sim_topk_pq"].fn(spark, SF_SMOKE).collect()
-    }
     res = api_orders.similar(
         "embeddings", "vec_id", "embedding",
         probe_ids=[0, 1, 2, 3, 4], k=5, method="pq",
     )
     assert set(res["neighbors"]) == {"0", "1", "2", "3", "4"}
-    for pid, rows in res["neighbors"].items():
+    for rows in res["neighbors"].values():
         assert len(rows) == 5
-        for cell in rows:
-            assert key_pq[(int(pid), cell["id"])] == (
-                cell["adc_l2"], cell["rank"],
-            )
+        assert all(c["adc_l2"] is not None for c in rows)
     res2 = api_orders.similar(
         "embeddings", "vec_id", "embedding",
         probe_ids=[0, 1], k=3, method="ivfpq",

@@ -358,6 +358,18 @@ def ngram_jaccard_pairs(
         sh.select("doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("s"))
         .select("doc_id", "n", F.xxhash64("s").alias("s"))
     )
+    # materialize() the postings (round 15): the self-join consumes
+    # ``inv`` on BOTH sides (and the df-cap branch a third time), and
+    # Catalyst cannot share the diamond — each consumer re-ran the
+    # scan + tokenize + shingle + explode + xxhash chain, the CPU-heavy
+    # half of the key. One lazy localCheckpoint computes the postings
+    # once; every consumer reads the same executor-local (doc_id, n,
+    # s-hash) blocks — 24 B/posting, far smaller than re-reading and
+    # re-exploding the text corpus. Measured at sf0.1: 1.35 s → 0.54 s
+    # warm. Row-identical output (deterministic subtree).
+    from ..ordering import materialize
+
+    inv = materialize(inv)
     if max_shingle_df is not None:
         # one aggregate on the postings finds the hot keys (few by
         # definition → AQE broadcasts the anti-join build side); sizes n

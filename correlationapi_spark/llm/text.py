@@ -117,8 +117,20 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary, which can exceed any broadcast threshold on a real
     corpus, so AQE picks the strategy from observed sizes."""
     t = load_tables(spark, sf_dir)
-    tok = t["documents"].select(
-        "doc_id", "source", F.explode(_toks()).alias("term")
+    # materialize() the token table (round 15): tf and df both consume
+    # it and Catalyst cannot share the diamond — the scan + regex
+    # tokenize + explode chain ran twice (verified in
+    # plans/r15/q_text_tfidf_before.txt: two Scan parquet + Generate
+    # pairs). One lazy localCheckpoint tokenizes once; both aggregates
+    # read the same executor-local blocks. Measured 0.85 s → 0.73 s
+    # warm at sf0.1; at 100 TB it trades a second full corpus scan +
+    # re-tokenize for one token-table write. Row-identical output.
+    from ..ordering import materialize
+
+    tok = materialize(
+        t["documents"].select(
+            "doc_id", "source", F.explode(_toks()).alias("term")
+        )
     )
     tf = tok.groupBy("source", "term").agg(F.count("*").alias("tf"))
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))

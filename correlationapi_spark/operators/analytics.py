@@ -1237,9 +1237,24 @@ def multi_touch_attribution(
         .orderBy(time_col, order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    seq = ev.withColumn(
-        "j",
-        F.count(F.when(F.col(type_col) == target, F.lit(1))).over(chain),
+    # materialize() the journey-stamped stream (round 15): conv and
+    # touch both consume ``seq``, and Catalyst cannot share a diamond —
+    # each side re-ran the scan + the user-partitioned window shuffle
+    # (the two most expensive operators in the plan, verified in
+    # plans/r15/q_attribution_multi_before.txt: two Scan parquet, two
+    # Exchange hashpartitioning(user_id)). The lazy localCheckpoint
+    # computes the chain window ONCE; both filters then read the same
+    # executor-local blocks. Row-identical output (the subtree is
+    # deterministic); only the needed columns are pinned.
+    from ..ordering import materialize
+
+    seq = materialize(
+        ev.select(user_col, type_col, time_col, order_col).withColumn(
+            "j",
+            F.count(F.when(F.col(type_col) == target, F.lit(1))).over(
+                chain
+            ),
+        )
     )
     conv = seq.filter(F.col(type_col) == target).select(
         F.col(user_col).alias("u"),
@@ -3000,6 +3015,17 @@ def _scd2_apply(
         F.col("ts").cast(types["valid_from"]).alias("ts"),
         F.col("event_id").cast(types["event_id"]).alias("event_id"),
     )
+    # materialize() the cast delta (round 15): the merge consumes it
+    # FIVE times (lossy-cast probe, affected-bucket set, the dusers
+    # distinct behind both pruned joins, and the interval-rebuild
+    # union), and each consumer re-ran the caller's full delta subtree
+    # — for the bench/CDC shape that is a filtered fact-table scan per
+    # consumer. One lazy localCheckpoint computes the delta once (it
+    # is small by the CDC contract); every consumer reads the same
+    # executor-local blocks. Row-identical output.
+    from ..ordering import materialize
+
+    delta = materialize(delta)
     # the lossy-cast check needs its own probe: Spark's xxhash64 folds
     # a NULL input to the SEED (it is null-tolerant, not
     # null-propagating), so a NULLed key would silently bucket to
@@ -3030,6 +3056,16 @@ def _scd2_apply(
         .unionByName(obs(delta))
     )
     merged = keep.unionByName(redo).withColumn("bucket", bucket)
+    # rows_touched rides the STAGE WRITE as an observed metric
+    # (round 15): every merged row lands in some staged bucket dir and
+    # every staged dir is renamed into a new object, so count(merged)
+    # IS the touched-slice row count — the post-swap footer-count job
+    # it replaces re-read metadata the write already knew. Still
+    # counted inside the critical section (advice r13).
+    from pyspark.sql import Observation
+
+    touched_obs = Observation()
+    merged = merged.observe(touched_obs, F.count(F.lit(1)).alias("n"))
 
     v = lay["version"] + 1
     new_objs = _scd2_stage_publish(spark, io, path, merged, v)
@@ -3057,13 +3093,7 @@ def _scd2_apply(
     pointer_write(io, path, new_lay)
     if _crash is not None:
         _crash("swapped")
-    rows_touched = (
-        spark.read.parquet(
-            *[os.path.join(path, o) for o in new_objs.values()]
-        ).count()  # parquet footer count over the touched slices only
-        if new_objs
-        else 0
-    )
+    rows_touched = int(touched_obs.get["n"]) if new_objs else 0
     out = _scd2_read(spark, path, new_lay).select(
         "user_id", "state", "valid_from", "valid_to", "is_current"
     )

@@ -6133,16 +6133,45 @@ def corr_matrix_gram(
             r = _gram_moments(
                 corpus, d, shift=[r[f"s_{i}"] / n for i in range(d)]
             ).collect()[0]
-        # the pair projection runs over the COLLECTED moments as a
-        # 1-row literal frame, not the lazy aggregate (review r11):
-        # the probe already paid the full Arrow gram pass, and
-        # returning the lazy plan made every caller's collect re-scan
-        # the data — 2× the dominant cost. py4j doubles roundtrip
-        # bit-exactly and the selectExpr below is unchanged, so the
-        # floats (and the driver's value hash) are identical.
-        mom = corpus.sparkSession.createDataFrame([r], mom.schema)
+        # the pair projection runs over the COLLECTED moments inlined
+        # as double LITERALS over a OneRowRelation, not the lazy
+        # aggregate and not a createDataFrame([r]) literal frame
+        # (round 15; review r11 introduced the latter): the probe
+        # already paid the full Arrow gram pass, and the 1-row
+        # ExistingRDD frame still cost a pickled python task plus a
+        # whole-stage codegen compile of the d(d-1)/2-struct
+        # projection PER EXECUTION (measured 0.9 s warm of
+        # q_corr_matrix_gram's 2.3 s bench time at d=8+3). Inlining
+        # the values lets Catalyst CONSTANT-FOLD the entire pair
+        # projection at analysis time — same Expression.eval IEEE
+        # semantics as codegen, so the floats (and the driver's value
+        # hash) are identical, but the executed plan is a LocalScan of
+        # pre-folded literals: zero python tasks, zero codegen.
+        # ``{x!r}D`` round-trips any finite double bit-exactly (repr
+        # is shortest-roundtrip; Spark's literal parser is correctly
+        # rounded — verified in tests/test_correctness.py gram pins).
+        def vlit(x) -> str:
+            if x is None:
+                return "CAST(NULL AS DOUBLE)"
+            x = float(x)
+            if x != x:
+                return "CAST('NaN' AS DOUBLE)"
+            if x in (float("inf"), float("-inf")):
+                s = "-Infinity" if x < 0 else "Infinity"
+                return f"CAST('{s}' AS DOUBLE)"
+            return f"{x!r}D"
+
+        n_expr = "CAST(NULL AS BIGINT)" if n is None else f"{int(n)}L"
+        nd_expr = vlit(None if n is None else float(n))
+        sref = lambda i: vlit(r[f"s_{i}"])  # noqa: E731
+        gref = lambda i, j: vlit(r[f"g_{i}_{j}"])  # noqa: E731
+        mom = corpus.sparkSession.sql("SELECT 1")
     else:
         floors = None
+        n_expr = "n"
+        nd_expr = "CAST(n AS DOUBLE)"
+        sref = lambda i: f"s_{i}"  # noqa: E731
+        gref = lambda i, j: f"g_{i}_{j}"  # noqa: E731
     lo = (lambda i: f"{floors[i]:.17e}") if floors else (lambda i: "0")
 
     def q(name: str) -> str:
@@ -6155,10 +6184,9 @@ def corr_matrix_gram(
     structs = []
     for i in range(d):
         for j in range(i + 1, d):
-            nd = "CAST(n AS DOUBLE)"
-            cov = f"({nd} * g_{i}_{j} - s_{i} * s_{j})"
-            vx = f"({nd} * g_{i}_{i} - s_{i} * s_{i})"
-            vy = f"({nd} * g_{j}_{j} - s_{j} * s_{j})"
+            cov = f"({nd_expr} * {gref(i, j)} - {sref(i)} * {sref(j)})"
+            vx = f"({nd_expr} * {gref(i, i)} - {sref(i)} * {sref(i)})"
+            vy = f"({nd_expr} * {gref(j, j)} - {sref(j)} * {sref(j)})"
             structs.append(
                 f"named_struct('col_x', {q(cols[i])}, 'col_y', {q(cols[j])},"
                 f" 'corr_xy', round(CASE WHEN {vx} > {lo(i)}"
@@ -6168,7 +6196,7 @@ def corr_matrix_gram(
     return mom.selectExpr(
         f"{q(tbl)} AS tbl",
         f"inline(array({', '.join(structs)}))",
-        "n AS n_rows",
+        f"{n_expr} AS n_rows",
     )
 
 
@@ -6221,8 +6249,23 @@ def q_corr_matrix_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     a closed-form pair projection. Long-form output (tbl, col_x,
     col_y, corr_xy, n_rows), one exhibit block per fixture table;
     plan canary (one aggregate exchange, zero joins, one scan per
-    block) in tests/test_plans.py::test_corr_matrix_gram_plan."""
+    block) in tests/test_plans.py::test_corr_matrix_gram_plan.
+
+    Round 15: the two blocks' conditioning-probe gram passes run as
+    CONCURRENT jobs from a 2-thread pool (guide §2.6 — Spark happily
+    overlaps independent jobs; actions were only sequential because
+    this function called them sequentially). Each block's result is
+    independent and deterministic, and the union order is fixed, so
+    the output is row-identical to the sequential form; the smaller
+    block's pass now hides inside the larger's (measured: the events
+    gram collect was 0.3 s of pure serial tail behind lineitem's)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     t = load_tables(spark, sf_dir)
-    return corr_matrix_gram(
-        t["lineitem"], _GRAM_LCOLS, "lineitem"
-    ).unionAll(corr_matrix_gram(t["events"], _GRAM_ECOLS, "events"))
+    blocks = [
+        (t["lineitem"], _GRAM_LCOLS, "lineitem"),
+        (t["events"], _GRAM_ECOLS, "events"),
+    ]
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        li, ev = pool.map(lambda b: corr_matrix_gram(*b), blocks)
+    return li.unionAll(ev)

@@ -57,25 +57,34 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    from pyspark.sql import Observation
+
     for _ in range(max_iterations):
         prop = sym.join(labels, sym["s"] == labels["node"]).select(
             F.col("d").alias("node"), F.col("label")
         )
-        new_labels = (
+        # convergence probe rides the checkpoint job (round 15): the
+        # old shape ran a SECOND join+limit(1) job per round just to
+        # ask "did any label move?" — attaching the previous label
+        # in-plan and observing the changed-row count answers it from
+        # the same action, halving the per-round job count. Labels are
+        # integers, so the observed count is exact and deterministic.
+        obs = Observation()
+        labels = (
             labels.union(prop)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+            .join(labels.withColumnRenamed("label", "_old"), "node")
+            .observe(
+                obs,
+                F.count(
+                    F.when(F.col("label") != F.col("_old"), F.lit(1))
+                ).alias("ch"),
+            )
+            .select("node", "label")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        if int(obs.get["ch"] or 0) == 0:
             return labels.select("node", F.col("label").alias("component"))
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} rounds"
@@ -105,10 +114,15 @@ def pagerank(
     ids, exactly the partitioning a 1000-executor graph would want;
     the static normalized edge list is localCheckpoint-pinned once.
     Driver involvement is ONE bounded scalar per round (the dangling
-    mass — an aggregate over the anti-joined rank rows), the same
-    bounded-collect discipline as connected_components' convergence
-    probe. Lineage is truncated every round so the plan stays
-    iteration-count-independent.
+    mass), the same bounded-collect discipline as
+    connected_components' convergence probe. Round 15: that scalar
+    rides each round's checkpoint job as an OBSERVED metric over the
+    pre-flagged dangling rows — the per-round anti-join + aggregate
+    job it replaces halved the iteration's job count (40 → 21 jobs at
+    n_iter=20; same partial/final double sum, whose across-partition
+    order was never pinned — the oracle absorbs ulp-order drift at
+    6 dp by design). Lineage is truncated every round so the plan
+    stays iteration-count-independent.
     """
     if not 0.0 <= damping <= 1.0:
         raise ValueError("damping must be in [0, 1]")
@@ -143,32 +157,58 @@ def pagerank(
         .select("s", "d", (F.col("w") / F.col("ow")).alias("p"))
         .localCheckpoint(eager=True)
     )
-    ranks = nodes.withColumn("r", F.lit(1.0 / n))
     src_nodes = outw.select(F.col("s").alias("node")).localCheckpoint(
         eager=True
     )
-    for _ in range(n_iter):
-        dang_row = (
-            ranks.join(src_nodes, "node", "left_anti")
-            .agg(F.sum("r").alias("m"))
-            .collect()[0]
+    # dangling flag stamped ONCE (round 15): every iteration needs the
+    # rank mass of out-edge-less nodes, and the old per-round
+    # anti-join + aggregate was a whole extra job per iteration. The
+    # flag is static, so it rides the node table; each round's mass
+    # then comes out of the checkpoint job itself (observed metric).
+    from pyspark.sql import Observation
+
+    flagged = (
+        nodes.join(
+            src_nodes.withColumn("_has_out", F.lit(True)), "node", "left"
         )
-        dang = dang_row.m or 0.0
+        .select(
+            "node",
+            F.coalesce(F.col("_has_out"), F.lit(False)).alias("_has_out"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ranks = flagged.withColumn("r", F.lit(1.0 / n))
+    # iteration-0 mass: one aggregate over the uniform init (the only
+    # per-round job the observe pattern cannot absorb — r_0 never
+    # passes through a checkpointing action of its own)
+    dang = (
+        ranks.filter(~F.col("_has_out")).agg(F.sum("r").alias("m"))
+        .collect()[0].m
+        or 0.0
+    )
+    for _ in range(n_iter):
         contrib = (
             ew.join(ranks, ew["s"] == ranks["node"])
             .groupBy("d")
             .agg(F.sum(F.col("r") * F.col("p")).alias("inflow"))
         )
+        obs = Observation()
         ranks = (
-            nodes.join(contrib, nodes["node"] == contrib["d"], "left")
+            flagged.join(contrib, flagged["node"] == contrib["d"], "left")
             .select(
                 "node",
+                "_has_out",
                 (
                     F.lit((1.0 - damping) / n)
                     + damping
                     * (F.coalesce(F.col("inflow"), F.lit(0.0)) + dang / n)
                 ).alias("r"),
             )
+            .observe(
+                obs,
+                F.sum(F.when(~F.col("_has_out"), F.col("r"))).alias("m"),
+            )
             .localCheckpoint(eager=True)
         )
+        dang = obs.get["m"] or 0.0
     return ranks.select("node", F.col("r").alias("rank"))

@@ -741,8 +741,10 @@ def _bloom_screen_and_build(
     per input partition (vec_id NULL); the driver ORs the partials
     exactly like _bloom_build. Same billion-id honest limit as
     _bloom_build: the bitmap itself is driver-traffic — at ~2 GB the
-    layout would shard it per cell. Returns (suspects_df,
-    delta_bits)."""
+    layout would shard it per cell. Returns (suspects_df, delta_bits,
+    n_suspects) — the suspect COUNT rides the partial rows (round 15:
+    ivf_append's any-suspect gate was a separate take(1) job over the
+    checkpointed screen; the partials collect already had the answer)."""
     import numpy as np
 
     nbytes = m // 8
@@ -758,6 +760,7 @@ def _bloom_screen_and_build(
         buf = np.frombuffer(bc.value, dtype=np.uint8)
         partial = np.zeros(nbytes, dtype=np.uint8)
         seen = False
+        n_sus = 0
         for pdf in it:
             if not len(pdf):
                 continue
@@ -772,22 +775,30 @@ def _bloom_screen_and_build(
             )
             out = pdf.loc[hit, ["vec_id"]].copy()
             if len(out):
+                n_sus += len(out)
                 out["bits"] = None
+                out["ns"] = None
                 yield out
         if seen:
             yield pd.DataFrame(
-                {"vec_id": [None], "bits": [partial.tobytes()]}
+                {
+                    "vec_id": [None],
+                    "bits": [partial.tobytes()],
+                    "ns": [n_sus],
+                }
             )
 
     fused = poss.mapInPandas(
-        screen, schema="vec_id long, bits binary"
+        screen, schema="vec_id long, bits binary, ns long"
     ).localCheckpoint(eager=True)
     bc.destroy()
     suspects = fused.filter(F.col("vec_id").isNotNull()).select("vec_id")
     delta_bits = np.zeros(nbytes, dtype=np.uint8)
+    n_suspects = 0
     for r in fused.filter(F.col("bits").isNotNull()).collect():
         delta_bits |= np.frombuffer(bytes(r.bits), dtype=np.uint8)
-    return suspects, delta_bits.tobytes()
+        n_suspects += int(r.ns)
+    return suspects, delta_bits.tobytes(), n_suspects
 
 
 def _idstate_write(
@@ -1087,14 +1098,16 @@ def ivf_append(spark: SparkSession, path: str, new_vectors: DataFrame) -> None:
             # partial Bloom bitmap come out of ONE Arrow-batched job —
             # they scan the same checkpointed delta, and the screen
             # computes every bit position the build needs anyway
-            suspects, delta_bloom_bits = _bloom_screen_and_build(
+            suspects, delta_bloom_bits, n_sus = _bloom_screen_and_build(
                 spark, delta_ids, int(state.m), bytes(state.bits)
             )
             # the O(delta) fast path: no Bloom-positive means no id was
             # ever indexed — the exact corpus check must not even START
             # (a left-semi probe for zero suspects would still stream
-            # the whole corpus id column looking for its 6 rows)
-            any_suspect = bool(suspects.take(1))
+            # the whole corpus id column looking for its 6 rows). The
+            # count rode the screen's own partials collect (round 15 —
+            # the old take(1) was a whole extra job on the append path).
+            any_suspect = n_sus > 0
         if any_suspect:
             live_ids = ivf_live(spark, path)[0].select("vec_id")
             clash_rows = (

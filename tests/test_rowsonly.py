@@ -2851,11 +2851,17 @@ def test_ivf_bloom_no_false_negatives_and_low_fp(spark):
     # the fused screen+build (round 13, the append hot path) must agree
     # with BOTH reference helpers: same suspect set against the member
     # bitmap, and a bit-identical bitmap for the scanned ids
-    fused_sus, fused_bits = _bloom_screen_and_build(spark, ids, m, bits)
+    fused_sus, fused_bits, fused_n = _bloom_screen_and_build(
+        spark, ids, m, bits
+    )
     assert fused_sus.count() == 2000
+    assert fused_n == 2000  # the piggybacked count agrees with the rows
     assert fused_bits == bits  # same ids -> same bitmap, byte-exact
-    fresh_sus, fresh_bits = _bloom_screen_and_build(spark, fresh, m, bits)
+    fresh_sus, fresh_bits, fresh_n = _bloom_screen_and_build(
+        spark, fresh, m, bits
+    )
     assert fresh_sus.count() == fp  # identical screen verdicts
+    assert fresh_n == fp  # count rides the partials, no extra job
     assert fresh_bits == _bloom_build(fresh, m)
 
 

@@ -1129,30 +1129,34 @@ def bpe_train(
     (freq desc, word asc — deterministic), and split each word into
     character symbols.
 
-    Each merge round is two vocabulary-sized jobs, the same driver-loop
-    discipline as graph.py / kmeans_lloyd (bounded driver state — ONE
-    (left, right, freq) row pulled per round; localCheckpoint truncates
-    the per-round aggregate lineage):
-
-      1. adjacent-pair count: zip_with over shifted slices (the
-         SCALING.md §2.8 n-gram pattern), groupBy (l, r), freq-weighted
-         sum; argmax with (freq desc, l asc, r asc) tie-break so the
-         winner is deterministic cross-run;
-      2. merge apply: a single F.aggregate fold per word — the
-         canonical greedy left-to-right single-pass merge (merging
-         (a,a) in "aaa" yields ["aa","a"], exactly the reference
-         semantics) — using F.get for the look-back so empty prefixes
-         yield NULL (false) instead of ANSI element_at errors.
+    The merge ROUNDS run driver-side over the collected type table
+    (round 15): the table is ≤ ``vocab_cap`` rows BY CONSTRUCTION —
+    the same bounded-state rule that keeps centroids and PQ codebooks
+    on the driver — while the pre-round-15 DataFrame loop paid two
+    vocabulary-sized Spark jobs per round (an argmax ``first()`` and
+    an eager checkpoint of the fold-rewritten symbols: 48 jobs and
+    ~6 s of pure job overhead at n_merges=24 on a 5 000-type table
+    whose per-round python cost is ~2 ms). The procedure is the exact
+    sequential Sennrich reference the property tests pin
+    (tests/test_properties.py::_ref_bpe): pair counts are
+    freq-weighted integer sums; argmax tie-break (freq desc, l asc,
+    r asc); greedy left-to-right single-pass merge apply (merging
+    (a,a) in "aaa" yields ["aa","a"]). Integer counts and python/UTF-8
+    string order match the old JVM fold bit-for-bit on BMP text; only
+    beyond the BMP (where Spark's split("") yields UTF-16 code units)
+    does the code-point split differ — and there the old engine
+    already disagreed with its own pinned reference.
 
     Stops early when the best pair's frequency drops below
     ``min_pair_freq``. Returns (merges, words): ``merges`` is the
     ordered rule list [(rank, left, right, merged, freq)], ``words``
     the final (w, freq, syms, n_syms) type table — the word→token-count
     map that drives tokenizer-faithful packing without re-applying the
-    rules to the corpus."""
+    rules to the corpus (one vocab-sized single-slice frame; every
+    downstream join auto-broadcasts it)."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1: {n_merges}")
-    words = (
+    type_rows = (
         docs.select(
             F.explode(
                 F.regexp_extract_all(
@@ -1164,49 +1168,46 @@ def bpe_train(
         .agg(F.count("*").alias("freq"))
         .orderBy(F.desc("freq"), "w")
         .limit(vocab_cap)
-        .withColumn("syms", F.split("w", ""))
-        .localCheckpoint()
+        .collect()
     )
+    freqs = {r.w: int(r.freq) for r in type_rows}
+    syms = {w: list(w) for w in freqs}
     merges: list[tuple[int, str, str, str, int]] = []
-    empty = F.expr("CAST(array() AS array<string>)")
     for rank in range(n_merges):
-        lefts = F.slice("syms", 1, F.size("syms") - 1)
-        rights = F.slice("syms", 2, F.size("syms") - 1)
-        best = (
-            words.filter(F.size("syms") > 1)
-            .select(
-                "freq",
-                F.explode(
-                    F.zip_with(
-                        lefts, rights,
-                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
-                    )
-                ).alias("p"),
-            )
-            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-            .agg(F.sum("freq").alias("pf"))
-            .orderBy(F.desc("pf"), "l", "r")
-            .first()
-        )
-        if best is None or best.pf < min_pair_freq:
+        counts: dict = {}
+        for w, f in freqs.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
             break
-        la, lb = F.lit(best.l), F.lit(best.r)
-        merged = F.concat(la, lb)
-        words = words.withColumn(
-            "syms",
-            F.aggregate(
-                "syms",
-                empty,
-                lambda acc, x: F.when(
-                    (F.get(acc, F.size(acc) - 1) == la) & (x == lb),
-                    F.concat(
-                        F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
-                    ),
-                ).otherwise(F.concat(acc, F.array(x))),
-            ),
-        ).localCheckpoint()
-        merges.append((rank, best.l, best.r, best.l + best.r, int(best.pf)))
-    return merges, words.withColumn("n_syms", F.size("syms"))
+        pf = max(counts.values())
+        if pf < min_pair_freq:
+            break
+        l, r = min(k for k, v in counts.items() if v == pf)
+        m = l + r
+        for w, s in syms.items():
+            out: list = []
+            for x in s:
+                if out and out[-1] == l and x == r:
+                    out[-1] = m
+                else:
+                    out.append(x)
+            syms[w] = out
+        merges.append((rank, l, r, m, int(pf)))
+    spark = docs.sparkSession
+    words = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [
+                (w, freqs[w], syms[w], len(syms[w]))
+                for w in freqs
+            ],
+            1,
+        ),
+        "w string, freq bigint, syms array<string>, n_syms int",
+    )
+    return merges, words
 
 
 @query(

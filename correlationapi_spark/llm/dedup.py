@@ -361,12 +361,15 @@ def ngram_jaccard_pairs(
     # materialize() the postings (round 15): the self-join consumes
     # ``inv`` on BOTH sides (and the df-cap branch a third time), and
     # Catalyst cannot share the diamond — each consumer re-ran the
-    # scan + tokenize + shingle + explode + xxhash chain, the CPU-heavy
-    # half of the key. One lazy localCheckpoint computes the postings
-    # once; every consumer reads the same executor-local (doc_id, n,
-    # s-hash) blocks — 24 B/posting, far smaller than re-reading and
-    # re-exploding the text corpus. Measured at sf0.1: 1.35 s → 0.54 s
-    # warm. Row-identical output (deterministic subtree).
+    # scan + tokenize + shingle + explode + xxhash chain. One lazy
+    # localCheckpoint computes the postings once; every consumer reads
+    # the same executor-local (doc_id, n, s-hash) blocks — 24
+    # B/posting, far smaller than re-reading and re-exploding the text
+    # corpus, which is the 100 TB rationale (tokenize/shingle is the
+    # CPU-heavy half). At fixture scale the two shapes measure within
+    # noise of each other (fresh-plan min-of-4 at sf0.1: 1.49–1.64 s
+    # plain vs 1.54–1.59 s pinned), so the pin is a scale choice, not
+    # a bench tune. Row-identical output (deterministic subtree).
     from ..ordering import materialize
 
     inv = materialize(inv)

@@ -9,6 +9,8 @@ would win; that variant lives in udfs.py as the vectorized-UDF exhibit.)
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -801,6 +803,21 @@ def _bloom_screen_and_build(
     return suspects, delta_bits.tobytes(), n_suspects
 
 
+_IDSTATE_FILE = "state.bin"  # json header line + raw Bloom bitmap
+_PQ_BOOKS_FILE = "books.json"  # codebook metadata json (round 15)
+_PQ_ANCHORS_FILE = "anchors.json"  # residual anchors json (round 15)
+
+
+class _IdState(NamedTuple):
+    """The (m, k, n, bits) sidecar record — attribute-compatible with
+    the Row the legacy 1-row parquet sidecar yielded."""
+
+    m: int
+    k: int
+    n: int
+    bits: bytes
+
+
 def _idstate_write(
     spark: SparkSession,
     path: str,
@@ -809,15 +826,27 @@ def _idstate_write(
     n: int,
     bits: bytes,
 ) -> None:
+    """Write the id-Bloom sidecar as ONE protocol file inside the
+    idstate object dir (round 15): the old 1-row parquet DATASET paid
+    a full Spark write job (~0.3 s) per append for a few KB of
+    writer-private state; a direct stream write costs one FS call.
+    In-place overwrite stays safe for the same reason it always was —
+    only lock-holding mutation paths read it — and a crash mid-write
+    now degrades to 'no sidecar' at the next read (exact full check,
+    superset-safe) instead of a raw parquet read error."""
+    import json
     import os
 
+    io = StoreIO(path, spark)
     if objs is None:
-        objs = _ivf_layout(StoreIO(path, spark), path)["objects"]
-    _one_slice_df(
-        spark,
-        [(m, _BLOOM_K, n, bytearray(bits))],
-        "m long, k int, n long, bits binary",
-    ).write.mode("overwrite").parquet(os.path.join(path, objs["idstate"]))
+        objs = _ivf_layout(io, path)["objects"]
+    header = json.dumps(
+        {"m": int(m), "k": _BLOOM_K, "n": int(n)}
+    ).encode("utf-8")
+    io.write_bytes(
+        os.path.join(path, objs["idstate"], _IDSTATE_FILE),
+        header + b"\n" + bytes(bits),
+    )
 
 
 def _idstate_build(spark: SparkSession, path: str, objs: dict) -> None:
@@ -843,13 +872,27 @@ def _idstate_read(spark: SparkSession, path: str, objs: dict | None = None):
     layout (ivf_append then migrates: exact full-scan check once,
     sidecar written on the way out). ``objs`` defaults to resolving
     the live pointer (test/tool convenience); mutation paths pass the
-    layout they hold."""
+    layout they hold. Reads the round-15 protocol FILE first (one FS
+    call, no Spark job); a store whose sidecar predates it falls back
+    to the legacy 1-row parquet dataset. Torn/absent file = None,
+    which every caller treats as 'run the exact check and rebuild'."""
+    import json
     import os
 
     from pyspark.errors import AnalysisException
 
+    io = StoreIO(path, spark)
     if objs is None:
-        objs = _ivf_layout(StoreIO(path, spark), path)["objects"]
+        objs = _ivf_layout(io, path)["objects"]
+    try:
+        raw = io.read_bytes(
+            os.path.join(path, objs["idstate"], _IDSTATE_FILE)
+        )
+        nl = raw.index(b"\n")
+        h = json.loads(raw[:nl].decode("utf-8"))
+        return _IdState(int(h["m"]), int(h["k"]), int(h["n"]), raw[nl + 1:])
+    except (OSError, ValueError, KeyError):
+        pass  # no round-15 sidecar file — try the legacy parquet form
     try:
         rows = spark.read.parquet(
             os.path.join(path, objs["idstate"])
@@ -3036,10 +3079,21 @@ def _pq_meta_read(spark: SparkSession, path: str, objs: dict) -> dict:
     import json
     import os
 
-    row = spark.read.parquet(
-        os.path.join(path, objs["pqbooks"])
-    ).collect()[0]
-    meta = json.loads(row.books)
+    # round 15: the codebook is a protocol FILE inside the pqbooks
+    # object (one FS read, no Spark job per probe); attachments from
+    # the 1-row-parquet era fall back to the dataset read
+    io = StoreIO(path, spark)
+    try:
+        meta = json.loads(
+            io.read_bytes(
+                os.path.join(path, objs["pqbooks"], _PQ_BOOKS_FILE)
+            ).decode("utf-8")
+        )
+    except (OSError, ValueError):
+        row = spark.read.parquet(
+            os.path.join(path, objs["pqbooks"])
+        ).collect()[0]
+        meta = json.loads(row.books)
     if (meta["m"], meta["k"], meta["sub_d"]) != (PQ_M, PQ_K, PQ_SUB_D):
         raise ValueError(
             "pq books were trained with different PQ geometry: "
@@ -3060,10 +3114,23 @@ def _pq_anchors_read(
     """{cell: [d floats]} from the pqanchors pointer object, or None
     for a raw-code (pre-round-15) attachment. n_cells × d doubles —
     the centroid table's broadcast ceiling."""
+    import json
     import os
 
     if "pqanchors" not in objs:
         return None
+    # round 15: protocol file first (no Spark job — json doubles
+    # round-trip bit-exactly via repr/parse), legacy parquet fallback
+    io = StoreIO(path, spark)
+    try:
+        cells = json.loads(
+            io.read_bytes(
+                os.path.join(path, objs["pqanchors"], _PQ_ANCHORS_FILE)
+            ).decode("utf-8")
+        )["cells"]
+        return {int(c): [float(x) for x in av] for c, av in cells}
+    except (OSError, ValueError, KeyError):
+        pass
     return {
         int(r.cell): [float(x) for x in r.av]
         for r in spark.read.parquet(
@@ -3075,19 +3142,23 @@ def _pq_anchors_read(
 def _pq_anchors_write(
     spark: SparkSession, path: str, objs: dict, anchors: dict
 ) -> None:
-    """Persist the residual anchors as the pqanchors pointer object —
-    a one-slice n_cells-row parquet (the idstate sidecar discipline)."""
+    """Persist the residual anchors as a protocol FILE inside the
+    pqanchors pointer object (round 15 — the idstate sidecar
+    discipline: bounded driver-side state should not cost a Spark
+    write job; json doubles round-trip bit-exactly)."""
+    import json
     import os
 
-    _one_slice_df(
-        spark,
-        [
-            (int(c), [float(x) for x in a])
-            for c, a in sorted(anchors.items())
-        ],
-        "cell int, av array<double>",
-    ).write.mode("overwrite").parquet(
-        os.path.join(path, objs["pqanchors"])
+    StoreIO(path, spark).write_bytes(
+        os.path.join(path, objs["pqanchors"], _PQ_ANCHORS_FILE),
+        json.dumps(
+            {
+                "cells": [
+                    [int(c), [float(x) for x in a]]
+                    for c, a in sorted(anchors.items())
+                ]
+            }
+        ).encode("utf-8"),
     )
 
 
@@ -3186,10 +3257,12 @@ def pq_attach(
             _one_slice_df(spark, [], coded.schema).write.mode(
                 "append"
             ).parquet(cdir)
-        _one_slice_df(
-            spark, [(_pq_books_json(books),)], "books string"
-        ).write.mode("overwrite").parquet(
-            os.path.join(path, new_objs["pqbooks"])
+        # protocol files, not 1-row parquet datasets (round 15): the
+        # codebook json and the anchors are driver-bounded sidecar
+        # state — a direct stream write each, no Spark write jobs
+        StoreIO(path, spark).write_bytes(
+            os.path.join(path, new_objs["pqbooks"], _PQ_BOOKS_FILE),
+            _pq_books_json(books).encode("utf-8"),
         )
         _pq_anchors_write(spark, path, new_objs, anchors)
         retired = retired_union(

@@ -212,6 +212,43 @@ class StoreIO:
             )
         self.rename(tmp, path)
 
+    def write_bytes(self, path: str, data: bytes) -> None:
+        """Small writer-private sidecar files (the IVF id-Bloom state):
+        one create-with-overwrite stream, no Spark job (round 15 — the
+        sidecar was a 1-row parquet DATASET, so every append paid a
+        whole write job for a few KB of protocol state). No rename
+        dance: the only readers hold the mutation lock, and their read
+        path treats a torn/absent file as 'no sidecar' (which degrades
+        to the exact full check — superset-safe)."""
+        if self._fs is None:
+            parent = os.path.dirname(path)
+            if parent:
+                os.makedirs(parent, exist_ok=True)
+            with open(path, "wb") as f:
+                f.write(data)
+            return
+        out = self._fs.create(self._p(path), True)
+        out.write(bytearray(data))
+        out.close()
+
+    def read_bytes(self, path: str) -> bytes:
+        """Binary twin of read_text — same OSError translation."""
+        if self._fs is None:
+            with open(path, "rb") as f:
+                return f.read()
+        from py4j.protocol import Py4JJavaError
+
+        try:
+            ins = self._fs.open(self._p(path))
+            try:
+                return bytes(
+                    self._jvm.org.apache.commons.io.IOUtils.toByteArray(ins)
+                )
+            finally:
+                ins.close()
+        except Py4JJavaError as e:
+            raise OSError(f"unreadable: {path}: {e}") from e
+
     def read_text(self, path: str) -> str:
         """Read a small protocol file. On the Hadoop branch, java-side
         read failures (FileNotFound racing GC, ChecksumException from a

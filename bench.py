@@ -289,6 +289,9 @@ def main() -> None:
     phases: dict[str, dict] = {}
     total = 0.0
     for key in bench_keys:
+        # label the jobs (guide §1.5) so a UI/event-log reading of a
+        # bench run attributes every stage to its query
+        spark.sparkContext.setJobDescription(f"bench:{key}")
         if key == "q_sim_index_append":
             # phase-split (r12 verdict item 4): the headline number is
             # the RECURRING append+probe path; the one-time build is
@@ -331,6 +334,7 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[key] = round(best, 3)
         total += best
+    spark.sparkContext.setJobDescription(None)
 
     load_end = round(os.getloadavg()[0], 2)
     print(

@@ -70,21 +70,29 @@ _MODULES = (
 # code/oracle/fixture changed THIS round after their latest verdict, so
 # they jump back to the front of the sweep regardless of verdict age.
 _TOUCHED: frozenset[str] = frozenset({
-    # round 15:
-    "q_sim_topk_pq",       # residual IVF-PQ codes (v − anchor[cell],
-                           # r14 verdict item 1) + exact refine of the
-                           # ADC top-25 (FAISS IVFPQR) — answers now
-                           # carry exact l2, not adc_l2
-    "q_sim_topk_ivfpq",    # same residual + refine, with stored-code
-                           # cell pruning
-    "q_embed_pq",          # _pq_train_books gained residual sampling
-                           # and a caller-supplied count (r14 verdict
-                           # item 6) — raw path identical but shared
-                           # trainer code changed
-    "q_sim_index_append",  # ivf_append encodes deltas against stored
-                           # anchors; ivf_recluster recomputes anchors
-                           # and re-encodes (residual codes are
-                           # cell-relative)
+    # round 15 (build half, interrupted): residual IVF-PQ codes +
+    # exact refine (r14 verdict item 1), shared trainer changes, and
+    # delta encoding against stored anchors.
+    "q_sim_topk_pq",
+    "q_sim_topk_ivfpq",
+    "q_embed_pq",
+    "q_sim_index_append",  # + round 15 optimization: Bloom-screen
+                           # suspect count rides the partials collect;
+                           # idstate sidecar is a protocol file
+    # round 15 (optimization half): result-identical plan/protocol
+    # changes — each re-verified against the oracle this round, listed
+    # here so the driver's sweep re-covers them too.
+    "q_corr_matrix_gram",   # literal-folded pair projection +
+                            # concurrent per-table gram passes
+    "q_attribution_multi",  # journey window materialized once
+    "q_dedup_ngram",        # postings pinned (tokenize-once)
+    "q_text_tfidf",         # token table pinned (tokenize-once)
+    "q_scd2_merge",         # delta pinned; rows_touched via observe;
+                            # fused-probe merge internals
+    "q_graph_pagerank",     # dangling mass via observed metric
+    "q_dedup_cluster",      # CC convergence probe via observed metric
+    "q_text_bpe_train",     # merge rounds driver-side (capped table)
+    "q_pack_bpe",           # consumes the driver-side merge rounds
 })
 
 

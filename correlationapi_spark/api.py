@@ -2872,21 +2872,19 @@ class CorrelationAPI:
         df = self._get(dataset)
         if where is not None:
             df = self._filtered(df, where)
-        # sampled BEFORE the destructive write: does the index being
-        # replaced carry a PQ attachment the rebuild will drop?
-        had_pq = state == "index" and "pqbooks" in _ivf_layout(
-            StoreIO(path, self.spark), path
-        ).get("objects", {})
         corpus = corpus_view(df, id_col, vector_col)
         assigned, cents = ivf_index(
             corpus, n_cells=n_cells, train_fraction=train_fraction
         )
-        ivf_write(assigned, cents, path)
+        # pq_dropped comes from ivf_write itself, sampled UNDER the
+        # mutation lock (round-15 review: a pre-lock layout read let a
+        # pq_attach racing in between be dropped but reported kept)
+        replaced = ivf_write(assigned, cents, path)
         return {
             **self.index_status(path),
             "built_from": dataset,
             "rebuilt": state == "index",
-            "pq_dropped": had_pq,
+            "pq_dropped": bool(replaced.get("replaced_pq")),
         }
 
     @staticmethod

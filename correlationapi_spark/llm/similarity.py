@@ -318,7 +318,7 @@ def ivf_probe(
 
 def ivf_write(
     assigned: DataFrame, cents: DataFrame, path: str, _crash=None
-) -> None:
+) -> dict:
     """Persist an IVF index as the WRITTEN layout the 100 TB posture
     needs: the cell-stamped corpus ``partitionBy("cell")`` under the
     pointer-named corpus object (every probe's candidate read then
@@ -394,6 +394,11 @@ def ivf_write(
         _ivf_touch_marker(spark, path)
         if _crash is not None:
             _crash("swapped")
+        # what this rebuild REPLACED, sampled under the lock — the
+        # authoritative input for api.index_build's pq_dropped flag
+        # (round-15 review: the api sampled the pre-lock layout, so an
+        # attach racing in between was dropped but reported kept)
+        return {"replaced_pq": "pqbooks" in old.get("objects", {})}
 
 
 def ivf_read(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
@@ -884,15 +889,34 @@ def _idstate_read(spark: SparkSession, path: str, objs: dict | None = None):
     io = StoreIO(path, spark)
     if objs is None:
         objs = _ivf_layout(io, path)["objects"]
+    sidecar = os.path.join(path, objs["idstate"], _IDSTATE_FILE)
     try:
-        raw = io.read_bytes(
-            os.path.join(path, objs["idstate"], _IDSTATE_FILE)
-        )
-        nl = raw.index(b"\n")
-        h = json.loads(raw[:nl].decode("utf-8"))
-        return _IdState(int(h["m"]), int(h["k"]), int(h["n"]), raw[nl + 1:])
-    except (OSError, ValueError, KeyError):
-        pass  # no round-15 sidecar file — try the legacy parquet form
+        raw = io.read_bytes(sidecar)
+    except OSError:
+        if io.exists(sidecar):
+            # present but unreadable (torn write, checksum mismatch):
+            # the round-15 file is authoritative for its object — 'no
+            # sidecar' (exact check + rebuild), never the parquet read
+            return None
+        raw = None  # genuinely absent — legacy parquet below
+    if raw is not None:
+        # a PRESENT round-15 sidecar is authoritative: parse it or
+        # treat the store as sidecar-less (torn write → exact check +
+        # rebuild). Never fall through to the parquet read here — the
+        # object dir holds the non-parquet file itself, so that read
+        # would raise an uncaught footer error (round-15 review), and
+        # any legacy rows beside it are older than the file anyway.
+        try:
+            nl = raw.index(b"\n")
+            h = json.loads(raw[:nl].decode("utf-8"))
+            st = _IdState(
+                int(h["m"]), int(h["k"]), int(h["n"]), raw[nl + 1:]
+            )
+            if len(st.bits) != st.m // 8:
+                return None  # truncated bitmap = torn write
+            return st
+        except (ValueError, KeyError):
+            return None
     try:
         rows = spark.read.parquet(
             os.path.join(path, objs["idstate"])
@@ -3380,7 +3404,15 @@ def pq_probe_stored(
         .orderBy("vec_id")
         .collect()
     )
-    out_schema = "probe_id long, vec_id long, adc_l2 double, rank int"
+    # empty-probe early return matches the populated path's schema:
+    # refined answers carry exact l2, ADC-only answers carry adc_l2
+    # (round-15 review: the old constant ADC schema made an all-
+    # tombstoned probe list union-incompatible with refined results)
+    out_schema = (
+        "probe_id long, vec_id long, adc_l2 double, rank int"
+        if refine is None
+        else "probe_id long, vec_id long, l2 double, rank int"
+    )
     if not probe_rows:
         return spark.createDataFrame([], out_schema)
     cents = None
@@ -3487,6 +3519,12 @@ def pq_probe_stored(
             F.col("vec_id").isin(sorted({int(r.vec_id) for r in crows}))
         )
     else:
+        # above the cap the candidate set is NOT driver-bounded — it
+        # must neither be collected NOR broadcast (round-15 review:
+        # the old branch still wrapped it in F.broadcast, which
+        # collects every candidate row to the driver — the exact
+        # anti-pattern the cap exists to avoid). Leave the strategy to
+        # the planner/AQE over the distributed frame.
         cand = ranked.select("probe_id", "vec_id")
     probes_df = _one_slice_df(
         spark,
@@ -3501,8 +3539,10 @@ def pq_probe_stored(
     w2 = Window.partitionBy("probe_id").orderBy(
         F.col("l2").asc(), F.col("vec_id")
     )
+    if len(probe_rows) * sel_k <= _PQ_REFINE_PUSHDOWN_IDS:
+        cand = F.broadcast(cand)  # driver-bounded one-slice frame
     return (
-        raw.join(F.broadcast(cand), "vec_id")
+        raw.join(cand, "vec_id")
         .join(F.broadcast(probes_df), "probe_id")
         .select("probe_id", "vec_id", F.round(l2, 6).alias("l2"))
         .select("*", F.row_number().over(w2).alias("rn"))

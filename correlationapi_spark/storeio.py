@@ -212,6 +212,21 @@ class StoreIO:
             )
         self.rename(tmp, path)
 
+    def mtime(self, path: str) -> float:
+        """Last-modification time (epoch seconds). Raises OSError for
+        a missing path on both branches."""
+        if self._fs is None:
+            return os.path.getmtime(path)
+        from py4j.protocol import Py4JJavaError
+
+        try:
+            return (
+                self._fs.getFileStatus(self._p(path)).getModificationTime()
+                / 1000.0
+            )
+        except Py4JJavaError as e:
+            raise OSError(f"cannot stat: {path}: {e}") from e
+
     def write_bytes(self, path: str, data: bytes) -> None:
         """Small writer-private sidecar files (the IVF id-Bloom state):
         one create-with-overwrite stream, no Spark job (round 15 — the
@@ -300,15 +315,27 @@ def pointer_read(io: StoreIO, path: str) -> dict | None:
     Resolution (round 15): the HIGHEST-sequence ``_layout-v*.json``
     file wins; each candidate is immutable-complete by the rename
     protocol, but a lock-free reader racing GC of a superseded file
-    tolerates a vanished candidate by falling through to the next
-    (bounded by the kept-pointer count, so no retry loop). The legacy
-    single ``_layout.json`` is the final fallback for stores last
-    written by a pre-round-15 release."""
+    tolerates a VANISHED candidate by falling through to the next
+    (bounded by the kept-pointer count, so no retry loop). A candidate
+    that still EXISTS but cannot be read or parsed RAISES instead
+    (round-15 review): falling back past an existing newest pointer
+    would hand a mutation preamble the stale N−1 layout, and its next
+    swap would silently discard everything version N committed (the
+    orphaned objects would then be GC'd) — a transient checksum /
+    half-replicated-block error must surface, not roll the store back.
+    The legacy single ``_layout.json`` is the final fallback for
+    stores last written by a pre-round-15 release."""
     for _, name in reversed(_pointer_seqs(io, path)):
+        p = os.path.join(path, name)
         try:
-            return json.loads(io.read_text(os.path.join(path, name)))
-        except (OSError, ValueError):
-            continue  # GC'd (or unreadable) under us — older one wins
+            return json.loads(io.read_text(p))
+        except (OSError, ValueError) as e:
+            if io.exists(p):
+                raise OSError(
+                    "pointer file exists but is unreadable — refusing "
+                    f"to fall back to a stale predecessor: {p}: {e}"
+                ) from e
+            continue  # GC'd under us — the kept predecessor wins
     p = os.path.join(path, POINTER)
     if not io.exists(p):
         return None
@@ -420,10 +447,20 @@ def pointer_gc(
     # (c) pointer-file GC: superseded versions, stray tmps, the legacy
     # single-file pointer. These are never in `retired` (they are the
     # protocol's own files); the latest two survive as reader grace,
-    # and age gates the rest exactly like retired objects.
+    # and age (the file's own mtime, i.e. its commit time) gates the
+    # rest exactly like retired objects — round-15 review: without the
+    # age gate, two rapid back-to-back mutations could delete BOTH
+    # pointer files a slow lock-free reader had just listed, making it
+    # misread the store as legacy/absent.
     ptr = _pointer_seqs(io, path)
     for _, n in ptr[:-2]:
-        io.remove(os.path.join(path, n))
+        fp = os.path.join(path, n)
+        try:
+            if now - io.mtime(fp) < grace:
+                continue
+        except OSError:
+            pass  # vanished or unstattable — removal is a no-op/safe
+        io.remove(fp)
         removed.append(n)
     for n in sorted(names):
         if POINTER_RE.match(n.removesuffix(".tmp")) and n.endswith(".tmp"):

@@ -2126,13 +2126,19 @@ def test_pointer_commit_is_versioned_and_never_pointerless(tmp_path):
         f.write('{"version": 99')  # torn by construction
     assert pointer_read(io, p)["version"] == 2
 
-    # a GC'd-under-us (or unreadable) newest candidate falls back to
-    # its predecessor instead of raising
+    # a newest candidate that still EXISTS but is unreadable RAISES
+    # (round-15 review: silently falling back would hand a mutation
+    # preamble the stale N-1 layout and its next swap would discard
+    # version N's objects); a VANISHED newest (GC'd under us) falls
+    # back to the kept predecessor
+    import pytest as _pytest
+
     newest = max(n for n in os.listdir(p) if n.startswith("_layout-v")
                  and n.endswith(".json"))
     with open(os.path.join(p, newest), "w") as f:
         f.write("{torn")
-    assert pointer_read(io, p)["version"] == 1
+    with _pytest.raises(OSError, match="unreadable"):
+        pointer_read(io, p)
     os.remove(os.path.join(p, newest))
     assert pointer_read(io, p)["version"] == 1
 
@@ -2227,3 +2233,82 @@ def test_gc_grace_floor_and_retired_trimming(tmp_path, monkeypatch):
     assert set(lay["retired_at"]) == set(lay["retired"])
     for old in range(1, v - 1):
         assert not os.path.isdir(os.path.join(p, f"corpus-v{old:06d}"))
+
+
+def test_pointer_file_gc_respects_grace(tmp_path):
+    """Round-15 review: superseded POINTER FILES get the same
+    wall-clock grace as retired objects. A lock-free reader that
+    listed {vN-1, vN} must still find one of them readable after any
+    number of immediate successive mutations — without the age gate,
+    two rapid swaps deleted both files the reader had just listed and
+    the store was misread as legacy/absent."""
+    import os
+
+    from correlationapi_spark.storeio import (
+        StoreIO,
+        pointer_gc,
+        pointer_read,
+        pointer_write,
+    )
+
+    p = str(tmp_path / "store")
+    os.makedirs(os.path.join(p, "corpus-v000001"))
+    io = StoreIO(p)
+    lay = {"version": 1, "objects": {"corpus": "corpus-v000001"},
+           "retired": []}
+    pointer_write(io, p, lay)
+    listed = sorted(
+        n for n in os.listdir(p) if n.startswith("_layout-v")
+    )  # the slow reader's listing: just v1's pointer
+    for v in (2, 3, 4):  # rapid back-to-back mutations, default grace
+        lay = pointer_read(io, p)
+        pointer_gc(io, p, lay)
+        lay = {**lay, "version": v}
+        pointer_write(io, p, lay)
+    # every pointer file the reader listed is still readable: fresh
+    # files are inside the grace window, so none was reclaimed
+    for n in listed:
+        assert os.path.exists(os.path.join(p, n)), n
+    # the explicit reclaim surface (grace=0) still prunes to the
+    # latest two
+    pointer_gc(io, p, pointer_read(io, p), grace=0.0)
+    left = [n for n in os.listdir(p) if n.startswith("_layout-v")]
+    assert len(left) == 2
+    assert pointer_read(io, p)["version"] == 4
+
+
+def test_idstate_torn_sidecar_degrades_to_none(spark, tmp_path):
+    """Round-15 review: a torn state.bin (truncated bitmap, or an
+    unparseable header) must read as 'no sidecar' — the append path
+    then runs the exact full check and rebuilds — never as a short
+    bitmap (executor IndexError) and never by falling through to a
+    parquet read of a directory whose only file is the non-parquet
+    sidecar."""
+    import os
+
+    from correlationapi_spark.llm.similarity import (
+        _IDSTATE_FILE,
+        _bloom_m,
+        _idstate_read,
+        _idstate_write,
+    )
+
+    path = str(tmp_path / "store")
+    objs = {"idstate": "idstate-v000001"}
+    m = _bloom_m(100)
+    bits = bytes(m // 8)
+    _idstate_write(spark, path, objs, m, 100, bits)
+    st = _idstate_read(spark, path, objs)
+    assert st is not None and int(st.m) == m and len(st.bits) == m // 8
+
+    f = os.path.join(path, objs["idstate"], _IDSTATE_FILE)
+    whole = open(f, "rb").read()
+    with open(f, "wb") as fh:  # truncate the bitmap mid-write
+        fh.write(whole[:-7])
+    assert _idstate_read(spark, path, objs) is None
+    with open(f, "wb") as fh:  # torn header
+        fh.write(b'{"m": 12')
+    assert _idstate_read(spark, path, objs) is None
+    with open(f, "wb") as fh:  # healthy again
+        fh.write(whole)
+    assert _idstate_read(spark, path, objs) is not None

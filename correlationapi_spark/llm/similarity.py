@@ -738,7 +738,7 @@ def _bloom_suspects(
 
 def _bloom_screen_and_build(
     spark: SparkSession, ids: DataFrame, m: int, bits: bytes
-) -> tuple[DataFrame, bytes]:
+) -> tuple[DataFrame, bytes, int]:
     """_bloom_suspects and _bloom_build FUSED over one delta pass
     (round 13: the append phase is now the bench headline, and the two
     helpers each paid a full Arrow-batched python job to scan the SAME
@@ -3107,13 +3107,22 @@ def _pq_meta_read(spark: SparkSession, path: str, objs: dict) -> dict:
     # object (one FS read, no Spark job per probe); attachments from
     # the 1-row-parquet era fall back to the dataset read
     io = StoreIO(path, spark)
+    books_file = os.path.join(path, objs["pqbooks"], _PQ_BOOKS_FILE)
     try:
-        meta = json.loads(
-            io.read_bytes(
-                os.path.join(path, objs["pqbooks"], _PQ_BOOKS_FILE)
-            ).decode("utf-8")
-        )
-    except (OSError, ValueError):
+        meta = json.loads(io.read_bytes(books_file).decode("utf-8"))
+    except (OSError, ValueError) as e:
+        # the _idstate_read rule (round-16 advice): a PRESENT round-15
+        # protocol file is authoritative for its object — raise a clear
+        # error instead of falling through to a parquet read of a dir
+        # whose only file IS the non-parquet json (opaque footer
+        # error). Only a genuinely absent file means a legacy (1-row
+        # parquet) attachment. Unlike the idstate sidecar there is no
+        # safe degrade here: the codebook is required to decode.
+        if io.exists(books_file):
+            raise ValueError(
+                f"corrupt pqbooks protocol file {books_file!r} — "
+                "re-attach with pq_attach to rebuild the codebook"
+            ) from e
         row = spark.read.parquet(
             os.path.join(path, objs["pqbooks"])
         ).collect()[0]
@@ -3146,15 +3155,21 @@ def _pq_anchors_read(
     # round 15: protocol file first (no Spark job — json doubles
     # round-trip bit-exactly via repr/parse), legacy parquet fallback
     io = StoreIO(path, spark)
+    anchors_file = os.path.join(path, objs["pqanchors"], _PQ_ANCHORS_FILE)
     try:
         cells = json.loads(
-            io.read_bytes(
-                os.path.join(path, objs["pqanchors"], _PQ_ANCHORS_FILE)
-            ).decode("utf-8")
+            io.read_bytes(anchors_file).decode("utf-8")
         )["cells"]
         return {int(c): [float(x) for x in av] for c, av in cells}
-    except (OSError, ValueError, KeyError):
-        pass
+    except (OSError, ValueError, KeyError) as e:
+        # same authority rule as _pq_meta_read (round-16 advice): a
+        # present-but-unreadable protocol file must not fall through to
+        # a parquet read of its own non-parquet bytes
+        if io.exists(anchors_file):
+            raise ValueError(
+                f"corrupt pqanchors protocol file {anchors_file!r} — "
+                "re-attach with pq_attach to rebuild the anchors"
+            ) from e
     return {
         int(r.cell): [float(x) for x in r.av]
         for r in spark.read.parquet(

@@ -904,7 +904,16 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     tok = t["documents"].select(F.explode(_toks()).alias("term"))
-    freq = tok.groupBy("term").agg(F.count("*").alias("c"))
+    # materialize() the frequency table (round 16): ``tot`` and the
+    # global_running_sum's range shuffle both consume it, and the
+    # before plan (plans/r16/q_vocab_coverage_before.txt) shows the
+    # scan + explode + vocabulary shuffle running twice (the second
+    # copy hides inside the running-sum's own checkpoint). One lazy
+    # localCheckpoint computes the vocabulary once; ``tot`` reads the
+    # pinned blocks. Row-identical output.
+    from ..ordering import materialize
+
+    freq = materialize(tok.groupBy("term").agg(F.count("*").alias("c")))
     tot = freq.agg(
         F.sum("c").cast("bigint").alias("total_tokens"),
         F.count("*").cast("bigint").alias("vocab_total"),
@@ -1317,7 +1326,18 @@ def q_text_keyword(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank<=3 compiles to WindowGroupLimit — a bounded per-task heap on
     the doc-keyed exchange."""
     t = load_tables(spark, sf_dir)
-    tok = t["documents"].select("doc_id", F.explode(_toks()).alias("term"))
+    # materialize() the token table (round 16, same diamond q_text_tfidf
+    # fixed in round 15): tf and df both consume it and Catalyst cannot
+    # share the subplan — plans/r16/q_text_keyword_before.txt shows two
+    # Scan parquet + Generate chains. One lazy localCheckpoint tokenizes
+    # once; both aggregates read the same executor-local blocks. At
+    # 100 TB this trades a second full corpus scan + re-tokenize for one
+    # token-table write. Row-identical output (deterministic subtree).
+    from ..ordering import materialize
+
+    tok = materialize(
+        t["documents"].select("doc_id", F.explode(_toks()).alias("term"))
+    )
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n = t["documents"].agg(F.count("*").alias("n_docs"))
@@ -1403,8 +1423,19 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("seg_id", "seg"),
     )
-    seg = segs.withColumn(
-        "seg_tokens", F.size(F.split(F.col("seg"), " ")).cast("bigint")
+    # materialize() the segment table (round 16): the df aggregate and
+    # the join-back both consume it — the before plan
+    # (plans/r16/q_text_boilerplate_before.txt) shows the scan + split +
+    # posexplode chain twice. One lazy localCheckpoint segments the
+    # corpus once (the q_text_tfidf/q_dedup_ngram diamond rule); at
+    # crawl scale that is the difference between one and two full
+    # re-segmentation passes. Row-identical output.
+    from ..ordering import materialize
+
+    seg = materialize(
+        segs.withColumn(
+            "seg_tokens", F.size(F.split(F.col("seg"), " ")).cast("bigint")
+        )
     )
     sdf = seg.groupBy("seg").agg(
         F.countDistinct("doc_id").alias("df")

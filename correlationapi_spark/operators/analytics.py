@@ -3016,9 +3016,9 @@ def _scd2_apply(
         F.col("event_id").cast(types["event_id"]).alias("event_id"),
     )
     # materialize() the cast delta (round 15): the merge consumes it
-    # FIVE times (lossy-cast probe, affected-bucket set, the dusers
-    # distinct behind both pruned joins, and the interval-rebuild
-    # union), and each consumer re-ran the caller's full delta subtree
+    # THREE times (lossy-cast probe, affected-bucket set, and the
+    # re-collapse union), and each consumer re-ran the caller's full
+    # delta subtree
     # — for the bench/CDC shape that is a filtered fact-table scan per
     # consumer. One lazy localCheckpoint computes the delta once (it
     # is small by the CDC contract); every consumer reads the same
@@ -3048,14 +3048,31 @@ def _scd2_apply(
         for r in delta.select(bucket.alias("b")).distinct().collect()
     )  # bounded by n_buckets, never by data
     pruned = _scd2_read(spark, path, lay, buckets=affected)
-    dusers = delta.select("user_id").distinct()
-    keep = pruned.join(dusers, "user_id", "left_anti")
-    redo = scd2_intervals(
-        pruned.join(dusers, "user_id", "left_semi")
-        .select("user_id", "state", "valid_from", "event_id")
+    # ONE-PASS merge (round 16 — r15 verdict item 1): the old keep/redo
+    # split (left_anti for untouched users, left_semi ∪ delta
+    # re-collapsed for touched ones) read the pruned buckets TWICE
+    # inside the single stage-write job. Re-collapsing the ENTIRE
+    # affected read plus the delta is byte-identical with ONE pruned
+    # scan and no user joins at all, by the two facts scd2_intervals'
+    # own docstring pins:
+    #   - collapse is idempotent: every stored row was produced by
+    #     scd2_intervals (the store's only writer), so per user the
+    #     chain has no consecutive duplicate states and
+    #     valid_to = lead(valid_from) — re-collapsing an untouched
+    #     user's rows keeps every row and recomputes the identical
+    #     valid_to/is_current values;
+    #   - collapse(collapse(A) ++ B) = collapse(A ++ B): a touched
+    #     user's stored prefix plus delta observations re-collapses to
+    #     exactly what the old redo branch computed (same input set,
+    #     same (valid_from, event_id) window sort).
+    # Plan diff: two pruned-object scans + two joins + union → one
+    # scan + one user_id exchange + window (plans/r16/scd2_merge_*).
+    # Byte-equality with the full rebuild stays pinned by the
+    # merge≡rebuild property tests and the q_scd2_merge oracle hash.
+    merged = scd2_intervals(
+        pruned.select("user_id", "state", "valid_from", "event_id")
         .unionByName(obs(delta))
-    )
-    merged = keep.unionByName(redo).withColumn("bucket", bucket)
+    ).withColumn("bucket", bucket)
     # rows_touched rides the STAGE WRITE as an observed metric
     # (round 15): every merged row lands in some staged bucket dir and
     # every staged dir is renamed into a new object, so count(merged)

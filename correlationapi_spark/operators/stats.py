@@ -6266,6 +6266,18 @@ def q_corr_matrix_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         (t["lineitem"], _GRAM_LCOLS, "lineitem"),
         (t["events"], _GRAM_ECOLS, "events"),
     ]
+    # job descriptions are THREAD-LOCAL (guide §1.5/§2.6): without
+    # re-stamping inside the worker, the concurrent gram jobs run
+    # unlabeled in the UI even when the caller (bench.py) labeled its
+    # thread — round-16 advice. Propagate the caller's description.
+    sc = spark.sparkContext
+    desc = sc.getLocalProperty("spark.job.description")
+
+    def _run_block(b):
+        if desc is not None:
+            sc.setJobDescription(desc)
+        return corr_matrix_gram(*b)
+
     with ThreadPoolExecutor(max_workers=2) as pool:
-        li, ev = pool.map(lambda b: corr_matrix_gram(*b), blocks)
+        li, ev = pool.map(_run_block, blocks)
     return li.unionAll(ev)

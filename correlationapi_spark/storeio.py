@@ -243,8 +243,12 @@ class StoreIO:
                 f.write(data)
             return
         out = self._fs.create(self._p(path), True)
-        out.write(bytearray(data))
-        out.close()
+        try:
+            out.write(bytearray(data))
+        finally:
+            # guard the close like read_bytes guards its stream — a
+            # throwing write() must not leak the FSDataOutputStream
+            out.close()
 
     def read_bytes(self, path: str) -> bytes:
         """Binary twin of read_text — same OSError translation."""
@@ -459,7 +463,13 @@ def pointer_gc(
             if now - io.mtime(fp) < grace:
                 continue
         except OSError:
-            pass  # vanished or unstattable — removal is a no-op/safe
+            # vanished OR a transient stat hiccup — skip removal this
+            # pass rather than bypass the reader-grace gate (round-16
+            # advice: falling through to remove() on an unstattable
+            # file re-opened the rapid-double-delete race the grace
+            # exists to prevent; a genuinely vanished file makes the
+            # skip a no-op and the next GC retries).
+            continue
         io.remove(fp)
         removed.append(n)
     for n in sorted(names):

@@ -738,7 +738,7 @@ def _bloom_suspects(
 
 def _bloom_screen_and_build(
     spark: SparkSession, ids: DataFrame, m: int, bits: bytes
-) -> tuple[DataFrame, bytes, int]:
+) -> tuple[DataFrame, bytes, int, int, list]:
     """_bloom_suspects and _bloom_build FUSED over one delta pass
     (round 13: the append phase is now the bench headline, and the two
     helpers each paid a full Arrow-batched python job to scan the SAME
@@ -748,15 +748,27 @@ def _bloom_screen_and_build(
     per input partition (vec_id NULL); the driver ORs the partials
     exactly like _bloom_build. Same billion-id honest limit as
     _bloom_build: the bitmap itself is driver-traffic — at ~2 GB the
-    layout would shard it per cell. Returns (suspects_df, delta_bits,
-    n_suspects) — the suspect COUNT rides the partial rows (round 15:
-    ivf_append's any-suspect gate was a separate take(1) job over the
-    checkpointed screen; the partials collect already had the answer)."""
+    layout would shard it per cell.
+
+    Round 16 (r15 verdict item 6): the intra-delta duplicate check
+    rides the same pass — the ids are hash-REPARTITIONED on vec_id so
+    every duplicate id provably lands in one partition, where one
+    vectorized np.unique over the partition's accumulated ids finds
+    them exactly; the per-partition row count and up to 6 sample dup
+    ids ride the partial rows. ivf_append's separate
+    count/count_distinct aggregate job is gone (one fewer job per
+    append). The exchange moves only the 8-byte ids (positions are
+    computed after it).
+
+    Returns (suspects_df, delta_bits, n_suspects, n_rows, dup_sample)
+    — the suspect COUNT rides the partial rows (round 15: the
+    any-suspect gate was a separate take(1) job; the partials collect
+    already had the answer)."""
     import numpy as np
 
     nbytes = m // 8
     bc = spark.sparkContext.broadcast(bits)
-    poss = ids.select(
+    poss = ids.repartition("vec_id").select(
         "vec_id", F.array(*_bloom_positions(F.col("vec_id"), m)).alias("pp")
     )
 
@@ -768,10 +780,12 @@ def _bloom_screen_and_build(
         partial = np.zeros(nbytes, dtype=np.uint8)
         seen = False
         n_sus = 0
+        id_chunks = []
         for pdf in it:
             if not len(pdf):
                 continue
             seen = True
+            id_chunks.append(pdf["vec_id"].to_numpy(dtype=np.int64))
             pp = np.stack([np.asarray(a) for a in pdf["pp"]])
             np.bitwise_or.at(
                 partial, pp // 8,
@@ -785,27 +799,43 @@ def _bloom_screen_and_build(
                 n_sus += len(out)
                 out["bits"] = None
                 out["ns"] = None
+                out["n"] = None
+                out["dups"] = None
                 yield out
         if seen:
+            allv = np.concatenate(id_chunks)
+            uniq, counts = np.unique(allv, return_counts=True)
+            dups = uniq[counts > 1][:6]
             yield pd.DataFrame(
                 {
                     "vec_id": [None],
                     "bits": [partial.tobytes()],
                     "ns": [n_sus],
+                    "n": [len(allv)],
+                    "dups": [[int(x) for x in dups]],
                 }
             )
 
     fused = poss.mapInPandas(
-        screen, schema="vec_id long, bits binary, ns long"
+        screen,
+        schema="vec_id long, bits binary, ns long, n long, "
+               "dups array<long>",
     ).localCheckpoint(eager=True)
     bc.destroy()
     suspects = fused.filter(F.col("vec_id").isNotNull()).select("vec_id")
     delta_bits = np.zeros(nbytes, dtype=np.uint8)
     n_suspects = 0
+    n_rows = 0
+    dup_sample: list = []
     for r in fused.filter(F.col("bits").isNotNull()).collect():
         delta_bits |= np.frombuffer(bytes(r.bits), dtype=np.uint8)
         n_suspects += int(r.ns)
-    return suspects, delta_bits.tobytes(), n_suspects
+        n_rows += int(r.n)
+        dup_sample.extend(int(x) for x in (r.dups or []))
+    return (
+        suspects, delta_bits.tobytes(), n_suspects, n_rows,
+        sorted(dup_sample)[:6],
+    )
 
 
 _IDSTATE_FILE = "state.bin"  # json header line + raw Bloom bitmap
@@ -1114,60 +1144,82 @@ def ivf_append(spark: SparkSession, path: str, new_vectors: DataFrame) -> None:
         # possible re-admit rewrite, AND the write — one broadcast-k
         # pass total
         assigned = ivf_assign(cents, new_vectors).localCheckpoint(eager=True)
+        delta_ids = assigned.select("vec_id")
         # intra-delta duplicate ids are refused like live clashes
         # (round 12): ivf_assign now keeps every row — the old window
         # argmin silently collapsed same-id rows, which only masked the
         # caller's bug — and letting both land would duplicate the
-        # vector exactly as the append-only contract forbids. One
-        # O(delta) aggregate also yields n_delta for the Bloom sizing
-        # below (replacing the separate count).
-        n_delta, n_distinct = assigned.agg(
-            F.count("*"), F.count_distinct("vec_id")
-        ).first()
-        if n_distinct != n_delta:
-            dup_rows = (
-                assigned.groupBy("vec_id")
-                .count()
-                .filter(F.col("count") > 1)
-                .limit(6)
-                .collect()
+        # vector exactly as the append-only contract forbids. Round 16
+        # (r15 verdict item 6): the check RIDES the Bloom screen pass
+        # (exact — the screen hash-partitions the ids), along with
+        # n_delta for the Bloom sizing below, so the separate
+        # count/count_distinct aggregate job is gone. The refusal still
+        # happens BEFORE the tombstone re-admit compaction and before
+        # any write — same externally observable order as before. Only
+        # the pre-sidecar migration branch (no Bloom to screen against)
+        # keeps the plain one-pass aggregate.
+        state = _idstate_read(spark, path, objs)
+        if state is not None:
+            suspects, delta_bloom_bits, n_sus, n_delta, dup_ids = (
+                _bloom_screen_and_build(
+                    spark, delta_ids, int(state.m), bytes(state.bits)
+                )
             )
-            ids = sorted(r.vec_id for r in dup_rows)
-            raise ValueError(
-                "ivf_append delta carries duplicate vec_ids: "
-                f"{ids[:5]}" + ("…" if len(ids) > 5 else "")
-            )
-        delta_ids = assigned.select("vec_id")
-        # re-admit detection FIRST (round 14): delta ids overlapping
-        # the tombstone set trigger one atomic compaction (see
-        # docstring), after which the store has no tombstones, the
-        # re-admitted ids are physically gone, and the Bloom below is
-        # freshly right-sized — so the screen/clash logic runs against
-        # the post-compact layout. Checked against the tombstone set
-        # DIRECTLY, not the Bloom suspect screen (advice r11): a stale
-        # tombstone for a never-indexed id is absent from the Bloom.
-        # Tombstones are small by contract, so the take(1)-guarded
-        # broadcast semi-join is O(delta + |tombstones|).
+            if dup_ids:
+                raise ValueError(
+                    "ivf_append delta carries duplicate vec_ids: "
+                    f"{dup_ids[:5]}"
+                    + ("…" if len(dup_ids) > 5 else "")
+                )
+        else:
+            n_delta, n_distinct = assigned.agg(
+                F.count("*"), F.count_distinct("vec_id")
+            ).first()
+            if n_distinct != n_delta:
+                dup_rows = (
+                    assigned.groupBy("vec_id")
+                    .count()
+                    .filter(F.col("count") > 1)
+                    .limit(6)
+                    .collect()
+                )
+                ids = sorted(r.vec_id for r in dup_rows)
+                raise ValueError(
+                    "ivf_append delta carries duplicate vec_ids: "
+                    f"{ids[:5]}" + ("…" if len(ids) > 5 else "")
+                )
+        # re-admit detection (round 14): delta ids overlapping the
+        # tombstone set trigger one atomic compaction (see docstring),
+        # after which the store has no tombstones, the re-admitted ids
+        # are physically gone, and the Bloom is freshly right-sized —
+        # the SCREEN therefore re-runs against the post-compact sidecar
+        # (its pre-compact bitmap has the wrong m and includes the
+        # tombstoned ids; the rare re-admit path pays one extra screen
+        # job, the steady-state path pays none). Checked against the
+        # tombstone set DIRECTLY, not the Bloom suspect screen (advice
+        # r11): a stale tombstone for a never-indexed id is absent from
+        # the Bloom. Tombstones are small by contract, so the
+        # take(1)-guarded broadcast semi-join is O(delta+|tombstones|).
         tomb = _tombstones(spark, path, objs)
         if tomb is not None and delta_ids.join(
             F.broadcast(tomb), "vec_id", "left_semi"
         ).take(1):
             lay, _ = _ivf_compact_locked(spark, io, path, lay)
             objs = lay["objects"]
-        state = _idstate_read(spark, path, objs)
+            state = _idstate_read(spark, path, objs)
+            # a compact always rebuilds the idstate object, so the
+            # post-compact state is never None
+            suspects, delta_bloom_bits, n_sus, n_delta, _ = (
+                _bloom_screen_and_build(
+                    spark, delta_ids, int(state.m), bytes(state.bits)
+                )
+            )
         if state is None:
             # pre-sidecar layout: one-time migration — exact full check
             # now, Bloom built over the whole id column on the way out
             suspects = delta_ids
             any_suspect = True
         else:
-            # fused pass (round 13): the suspect screen and the delta's
-            # partial Bloom bitmap come out of ONE Arrow-batched job —
-            # they scan the same checkpointed delta, and the screen
-            # computes every bit position the build needs anyway
-            suspects, delta_bloom_bits, n_sus = _bloom_screen_and_build(
-                spark, delta_ids, int(state.m), bytes(state.bits)
-            )
             # the O(delta) fast path: no Bloom-positive means no id was
             # ever indexed — the exact corpus check must not even START
             # (a left-semi probe for zero suspects would still stream
@@ -3365,15 +3417,19 @@ def pq_probe_stored(
 
     ``refine=R`` (round 15 — the FAISS IVFPQR composition, and what
     actually moves recall on weakly clustered data): ADC selects the
-    top-R candidates per probe, then ONE broadcast join re-ranks only
-    those P×R rows with the EXACT sequential-fold L2 on the raw
-    vectors (an F.aggregate/zip_with fold — array order, the seq_l2
-    float sequence) and returns the exact-scored top-k as
+    top-R candidates per probe, then an exact sequential-fold L2 on
+    the raw vectors (array order — the seq_l2 float sequence) re-ranks
+    only those P×R rows and returns the exact-scored top-k as
     (probe_id, vec_id, l2, rank). Honest cost statement: when P×R ≤
     _PQ_REFINE_PUSHDOWN_IDS the candidate ids are materialized (one
     job) and pushed into the refine scan as a vec_id IN filter, so
     parquet row-group stats skip groups holding no candidate — the
-    float read really is ~R rows per probe (plus row-group rounding);
+    float read really is ~R rows per probe (plus row-group rounding) —
+    and the re-rank itself runs DRIVER-SIDE over the collected
+    candidate vectors (round 16: P·R·d is bounded by the same cap, so
+    the broadcast-join + window job is replaced by one collect and a
+    pure-python fold that is bit-identical to the join's
+    F.aggregate — pinned by test_pq_refine_driver_matches_join);
     beyond that cap the ids stay distributed and the refine reads the
     (vec_id, v) columns of the probed cells (of the corpus when
     ``n_probe`` is unset), filtering at the broadcast join. Either
@@ -3510,37 +3566,70 @@ def pq_probe_stored(
         raw = corpus.filter(
             F.col("cell").isin(sorted(all_cells))
         ).select("vec_id", "v")
+    w2 = Window.partitionBy("probe_id").orderBy(
+        F.col("l2").asc(), F.col("vec_id")
+    )
     if len(probe_rows) * sel_k <= _PQ_REFINE_PUSHDOWN_IDS:
-        # bounded candidate set: materialize the ADC winners NOW (one
-        # job over the code scan — the work the broadcast build would
-        # do anyway) and push their ids INTO the refine scan as a
-        # vec_id IN filter, so parquet row-group stats skip every
-        # group holding no candidate — the float read really is ~R
-        # rows per probe, not the probed cells' v column. Beyond the
-        # cap the ids stay distributed (collecting a 10M-id candidate
-        # set to the driver would be the anti-pattern) and the refine
-        # reads the cell-pruned v column, filtering at the join.
+        # bounded candidate set (round 16 — r15 verdict item 5): below
+        # the pushdown cap the candidate ids were already collected for
+        # the IN-filter pushdown, and P·R·d is driver-bounded by the
+        # same cap (≤65536 ids × d doubles — ~32 MB at the fixture's
+        # d=64), so the exact re-rank itself now runs DRIVER-SIDE: one
+        # collect of the candidates' raw vectors through the pushed
+        # vec_id IN scan (parquet row-group stats skip every group
+        # holding no candidate — the float read really is ~R rows per
+        # probe), then the pure-python _seq_l2 fold — bit-identical to
+        # the join branch's F.aggregate/zip_with fold (same doubles,
+        # same sequential order; pinned by
+        # test_pq_refine_driver_matches_join). The broadcast-join +
+        # window job over the raw vectors is gone; rounding and
+        # ranking stay IN-PLAN over the one-slice result so ROUND's
+        # HALF_UP and the (l2, vec_id) tie rule keep Spark semantics.
         crows = ranked.select("probe_id", "vec_id").collect()
         if not crows:
             return spark.createDataFrame(
                 [], "probe_id long, vec_id long, l2 double, rank int"
             )
-        cand = _one_slice_df(
+        vids = sorted({int(r.vec_id) for r in crows})
+        vmap = {
+            int(r.vec_id): [float(x) for x in r.v]
+            for r in raw.filter(F.col("vec_id").isin(vids))
+            .select("vec_id", "v").collect()
+        }
+        pmap = {
+            int(r.vec_id): [float(x) for x in r.v] for r in probe_rows
+        }
+        scored_local = _one_slice_df(
             spark,
-            [(int(r.probe_id), int(r.vec_id)) for r in crows],
-            "probe_id long, vec_id long",
+            [
+                (
+                    int(r.probe_id),
+                    int(r.vec_id),
+                    _seq_l2(pmap[int(r.probe_id)], vmap[int(r.vec_id)]),
+                )
+                for r in crows
+            ],
+            "probe_id long, vec_id long, _l2raw double",
         )
-        raw = raw.filter(
-            F.col("vec_id").isin(sorted({int(r.vec_id) for r in crows}))
+        return (
+            scored_local.select(
+                "probe_id", "vec_id",
+                F.round(F.col("_l2raw"), 6).alias("l2"),
+            )
+            .select("*", F.row_number().over(w2).alias("rn"))
+            .filter(F.col("rn") <= k)
+            .select(
+                "probe_id", "vec_id", "l2",
+                F.col("rn").cast("int").alias("rank"),
+            )
         )
-    else:
-        # above the cap the candidate set is NOT driver-bounded — it
-        # must neither be collected NOR broadcast (round-15 review:
-        # the old branch still wrapped it in F.broadcast, which
-        # collects every candidate row to the driver — the exact
-        # anti-pattern the cap exists to avoid). Leave the strategy to
-        # the planner/AQE over the distributed frame.
-        cand = ranked.select("probe_id", "vec_id")
+    # above the cap the candidate set is NOT driver-bounded — it
+    # must neither be collected NOR broadcast (round-15 review:
+    # the old branch still wrapped it in F.broadcast, which
+    # collects every candidate row to the driver — the exact
+    # anti-pattern the cap exists to avoid). Leave the strategy to
+    # the planner/AQE over the distributed frame.
+    cand = ranked.select("probe_id", "vec_id")
     probes_df = _one_slice_df(
         spark,
         [(int(r.vec_id), [float(x) for x in r.v]) for r in probe_rows],
@@ -3551,11 +3640,6 @@ def pq_probe_stored(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    w2 = Window.partitionBy("probe_id").orderBy(
-        F.col("l2").asc(), F.col("vec_id")
-    )
-    if len(probe_rows) * sel_k <= _PQ_REFINE_PUSHDOWN_IDS:
-        cand = F.broadcast(cand)  # driver-bounded one-slice frame
     return (
         raw.join(cand, "vec_id")
         .join(F.broadcast(probes_df), "probe_id")

@@ -2147,6 +2147,40 @@ def test_pq_probe_batches_beyond_cap(spark, tmp_path, monkeypatch):
     )
 
 
+def test_pq_refine_driver_matches_join(spark, tmp_path, monkeypatch):
+    """Round-16 replay pin (r15 verdict item 5): below the pushdown
+    cap the exact refine runs DRIVER-SIDE (collected candidate vectors
+    + the pure-python _seq_l2 fold); above it, as the distributed
+    broadcast join whose L2 is an F.aggregate/zip_with fold. The two
+    branches must be BIT-equal — same l2 doubles, same ranks — because
+    the python fold replays the JVM fold's float sequence exactly.
+    Pin by running the same refine probe with the cap at its default
+    (driver branch) and forced to 0 (join branch), on both the
+    full-scan and the cell-pruned (n_probe) shapes."""
+    import correlationapi_spark.llm.similarity as sim
+    from correlationapi_spark.llm.similarity import pq_probe_stored
+
+    path, _ = _pq_attached_store(spark, tmp_path)
+
+    def runs(**kw):
+        driver = pq_probe_stored(
+            spark, path, list(range(5)), k=3, refine=10, **kw
+        ).collect()
+        monkeypatch.setattr(sim, "_PQ_REFINE_PUSHDOWN_IDS", 0)
+        join = pq_probe_stored(
+            spark, path, list(range(5)), k=3, refine=10, **kw
+        ).collect()
+        monkeypatch.setattr(sim, "_PQ_REFINE_PUSHDOWN_IDS", 65536)
+        return driver, join
+
+    for kw in ({}, {"n_probe": 4}):
+        driver, join = runs(**kw)
+        assert len(driver) == len(join) > 0, kw
+        # bit-equality: identical (probe_id, vec_id, l2, rank) tuples,
+        # l2 compared as exact doubles
+        assert sorted(map(tuple, driver)) == sorted(map(tuple, join)), kw
+
+
 def test_pq_attachment_survives_maintenance(spark, tmp_path):
     """The PQ attachment's maintenance contract: delete+compact carry
     the code column through the live rewrite (same book), recluster
@@ -2850,19 +2884,36 @@ def test_ivf_bloom_no_false_negatives_and_low_fp(spark):
 
     # the fused screen+build (round 13, the append hot path) must agree
     # with BOTH reference helpers: same suspect set against the member
-    # bitmap, and a bit-identical bitmap for the scanned ids
-    fused_sus, fused_bits, fused_n = _bloom_screen_and_build(
-        spark, ids, m, bits
+    # bitmap, and a bit-identical bitmap for the scanned ids. Round 16:
+    # the fused pass also carries the exact row count and duplicate-id
+    # sample (the hash repartition puts every dup in one partition).
+    fused_sus, fused_bits, fused_n, fused_rows, fused_dups = (
+        _bloom_screen_and_build(spark, ids, m, bits)
     )
     assert fused_sus.count() == 2000
     assert fused_n == 2000  # the piggybacked count agrees with the rows
     assert fused_bits == bits  # same ids -> same bitmap, byte-exact
-    fresh_sus, fresh_bits, fresh_n = _bloom_screen_and_build(
-        spark, fresh, m, bits
+    assert fused_rows == 2000  # exact row count rides the partials
+    assert fused_dups == []  # distinct ids -> no dup sample
+    fresh_sus, fresh_bits, fresh_n, fresh_rows, fresh_dups = (
+        _bloom_screen_and_build(spark, fresh, m, bits)
     )
     assert fresh_sus.count() == fp  # identical screen verdicts
     assert fresh_n == fp  # count rides the partials, no extra job
     assert fresh_bits == _bloom_build(fresh, m)
+    assert fresh_rows == 20000 and fresh_dups == []
+    # duplicate ids are found EXACTLY, across input partitions: two
+    # copies of the same id laid out in different input partitions
+    # must still meet in one hash partition and be reported
+    dup_ids = ids.unionByName(
+        spark.range(0, 3).select(F.col("id").alias("vec_id"))
+    ).repartition(7)
+    _, dbits, _, drows, ddups = _bloom_screen_and_build(
+        spark, dup_ids, m, bits
+    )
+    assert drows == 2003
+    assert ddups == [0, 1, 2]
+    assert dbits == bits  # dups add no new bit positions
 
 
 def test_pq_train_local_determinism_and_small_sample():

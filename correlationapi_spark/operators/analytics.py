@@ -2853,9 +2853,19 @@ def _scd2_stage_publish(
 
     stage = os.path.join(path, ".stage")
     io.rmtree(stage)  # a crashed writer's leftover stage
-    frame_with_bucket.write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(stage)
+    # Cluster by bucket before the partitioned write (round 16, guide
+    # §6 small files): the merge/build frames arrive hash-partitioned
+    # by user_id (the interval window's exchange), so EVERY write task
+    # held rows of nearly every bucket and each staged bucket dir got
+    # one tiny file per task (~32 files/bucket/publish at the fixture —
+    # paid again by every subsequent pruned read's listing + footer
+    # pass). One narrow-row exchange on the deterministic bucket column
+    # makes each bucket land whole in one task: one file per bucket.
+    # Row values are unchanged; per-bucket file order is not part of
+    # any contract (the oracle compares sorted rows).
+    frame_with_bucket.repartition("bucket").write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(stage)
     out: dict = {}
     if not io.isdir(stage):
         return out  # zero-row frame: nothing staged (empty base/delta)
@@ -3007,6 +3017,11 @@ def _scd2_apply(
     # rather than mis-bucket.
     types = {f.name: f.dataType for f in stored.schema.fields}
     delta = delta.select(
+        # _raw_null distinguishes "key was NULL on entry" from "key
+        # nulled by a lossy cast" so ONE probe job serves both contract
+        # errors (round 16 — the entry raw-null take(1) was its own job
+        # on every scd2_merge_into call)
+        F.col("user_id").isNull().alias("_raw_null"),
         # try_cast, not cast: under ANSI a lossy key cast (overflow,
         # unparseable) THROWS a bare CAST_* error mid-job — the NULL
         # probe below turns it into the contract error instead
@@ -3026,16 +3041,24 @@ def _scd2_apply(
     from ..ordering import materialize
 
     delta = materialize(delta)
-    # the lossy-cast check needs its own probe: Spark's xxhash64 folds
+    # the NULL-key check needs its own probe: Spark's xxhash64 folds
     # a NULL input to the SEED (it is null-tolerant, not
     # null-propagating), so a NULLed key would silently bucket to
-    # pmod(42, n) rather than surface as a None bucket id
-    if delta.filter(F.col("user_id").isNull()).take(1):
+    # pmod(42, n) rather than surface as a None bucket id. One take(1)
+    # covers both refusals; _raw_null picks the right contract error.
+    bad = delta.filter(F.col("user_id").isNull()).select("_raw_null").take(1)
+    if bad:
+        if bad[0][0]:
+            raise ValueError(
+                "scd2 merge requires a non-NULL business key: events "
+                "with user_id IS NULL cannot be bucketed or merged"
+            )
         raise ValueError(
             "scd2 merge: casting the delta's user_id to the store's "
             f"key type ({types['user_id'].simpleString()}) produced "
             "NULL — the delta's key type does not fit the store's"
         )
+    delta = delta.drop("_raw_null")
     bucket = F.pmod(F.xxhash64(F.col("user_id")), F.lit(n_buckets))
     obs = lambda df: df.select(  # noqa: E731 — tiny local projection
         "user_id",
@@ -3145,11 +3168,9 @@ def scd2_merge_into(
     store's records when both exist. Mutations serialize under the
     per-store lock; stats carry the affected bucket ids and the
     in-lock ``rows_touched`` count."""
-    if delta.filter(F.col("user_id").isNull()).take(1):
-        raise ValueError(
-            "scd2_merge_into requires a non-NULL business key: rows "
-            "with user_id IS NULL cannot be bucketed or merged"
-        )
+    # NULL business keys are refused inside _scd2_apply — the raw-null
+    # flag rides the cast-null probe there, so the entry check no
+    # longer costs its own job (round 16)
     with _scd2_mutation_lock(spark, path):
         io = StoreIO(path, spark)
         _scd2_recover_unlocked(path, spark)

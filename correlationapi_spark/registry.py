@@ -70,29 +70,19 @@ _MODULES = (
 # code/oracle/fixture changed THIS round after their latest verdict, so
 # they jump back to the front of the sweep regardless of verdict age.
 _TOUCHED: frozenset[str] = frozenset({
-    # round 15 (build half, interrupted): residual IVF-PQ codes +
-    # exact refine (r14 verdict item 1), shared trainer changes, and
-    # delta encoding against stored anchors.
-    "q_sim_topk_pq",
-    "q_sim_topk_ivfpq",
-    "q_embed_pq",
-    "q_sim_index_append",  # + round 15 optimization: Bloom-screen
-                           # suspect count rides the partials collect;
-                           # idstate sidecar is a protocol file
-    # round 15 (optimization half): result-identical plan/protocol
+    # round 16 (optimization round 2): result-identical plan/protocol
     # changes — each re-verified against the oracle this round, listed
-    # here so the driver's sweep re-covers them too.
-    "q_corr_matrix_gram",   # literal-folded pair projection +
-                            # concurrent per-table gram passes
-    "q_attribution_multi",  # journey window materialized once
-    "q_dedup_ngram",        # postings pinned (tokenize-once)
-    "q_text_tfidf",         # token table pinned (tokenize-once)
-    "q_scd2_merge",         # delta pinned; rows_touched via observe;
-                            # fused-probe merge internals
-    "q_graph_pagerank",     # dangling mass via observed metric
-    "q_dedup_cluster",      # CC convergence probe via observed metric
-    "q_text_bpe_train",     # merge rounds driver-side (capped table)
-    "q_pack_bpe",           # consumes the driver-side merge rounds
+    # here so the driver's sweep re-covers them.
+    "q_scd2_merge",         # one-pass re-collapse merge; bucket-
+                            # clustered stage write; fused null probes
+    "q_text_keyword",       # token table pinned (tokenize-once)
+    "q_text_boilerplate",   # segment table pinned (segment-once)
+    "q_vocab_coverage",     # frequency table pinned (tokenize-once)
+    "q_sim_topk_pq",        # bounded refine runs driver-side
+    "q_sim_topk_ivfpq",     # same refine path (n_probe shape)
+    "q_sim_index_append",   # dup check fused into the Bloom screen
+    "q_corr_matrix_gram",   # pool workers re-stamp job description
+    "q_cpu_fold",           # NEW: the CPU-parallelism bench exhibit
 })
 
 

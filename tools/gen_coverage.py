@@ -56,6 +56,7 @@ SECTIONS = {
         "q_fn_string", "q_fn_date", "q_fn_math", "q_fn_array", "q_fn_array_explode",
         "q_fn_array_hof", "q_fn_map", "q_fn_json", "q_fn_cond", "q_fn_hash",
         "q_fn_hash_spark", "q_fn_try", "q_fn_bitwise", "q_fn_url", "q_fn_regexp", "q_fn_format", "q_fn_variant",
+        "q_cpu_fold",
     ],
     "§2.9 LLM-pipeline (north-star)": [
         "q_dedup_exact", "q_dedup_keep_best", "q_dedup_incremental", "q_dedup_ngram", "q_dedup_near", "q_dedup_simhash",

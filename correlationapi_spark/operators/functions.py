@@ -758,7 +758,7 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH rep AS (
             SELECT l_orderkey, l_partkey, r.salt
             FROM lineitem
-            CROSS JOIN (SELECT unnest(range(4)) AS salt) r
+            CROSS JOIN (SELECT unnest(range(12)) AS salt) r
         )
         SELECT salt,
                CAST(sum(list_reduce(
@@ -779,7 +779,7 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM rep GROUP BY salt ORDER BY salt
     """,
     doc="Salted 48-step modular polynomial fold per lineitem row "
-    "(4 salt replicas), reduced to one checksum row per salt — the "
+    "(12 salt replicas), reduced to one checksum row per salt — the "
     "suite's CPU-parallelism exhibit: per-row compute dominates, so "
     "wall time tracks core count instead of job latency.",
     bench=True,
@@ -791,8 +791,8 @@ def q_cpu_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     (row, salt) pair folds a 48-step exact modular recurrence —
     integer-only, ANSI-overflow-safe (every operand stays far below
     2^63), bit-equal on both engines — and the result reduces to one
-    (hsum, hmin, n) checksum row per salt, so the output is 4 rows
-    while the work is ~115M fold steps at sf0.1: genuinely CPU-bound,
+    (hsum, hmin, n) checksum row per salt, so the output is 12 rows
+    while the work is ~345M fold steps at sf0.1: genuinely CPU-bound,
     embarrassingly parallel, verified exactly by the oracle.
 
     The explicit repartition exists because the fixture parquet is ONE
@@ -802,10 +802,11 @@ def q_cpu_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     own parallelism (2 tasks per core), not a constant, and it moves
     only the two key columns; on a cluster-scale corpus whose scan
     splits naturally the same repartition merely right-sizes the fold
-    tasks. Measured: ~1.1 s at local[32] vs ~4.5 s at local[8]
-    (ratio ≈ 3.9; see OPTIMIZATION_r16.md)."""
+    tasks. Measured (min of 2, fresh plans): 2.9 s at local[32] vs
+    6.8 s at local[8] — ratio ≈ 2.3, bounded by the host's 16
+    physical cores behind 32 hyperthreads (see OPTIMIZATION_r16.md)."""
     t = load_tables(spark, sf_dir)
-    salts = spark.range(4).select(F.col("id").alias("salt"))
+    salts = spark.range(12).select(F.col("id").alias("salt"))
     rows = (
         t["lineitem"]
         .select("l_orderkey", "l_partkey")

@@ -3041,14 +3041,31 @@ def _scd2_apply(
     from ..ordering import materialize
 
     delta = materialize(delta)
-    # the NULL-key check needs its own probe: Spark's xxhash64 folds
-    # a NULL input to the SEED (it is null-tolerant, not
-    # null-propagating), so a NULLed key would silently bucket to
-    # pmod(42, n) rather than surface as a None bucket id. One take(1)
-    # covers both refusals; _raw_null picks the right contract error.
-    bad = delta.filter(F.col("user_id").isNull()).select("_raw_null").take(1)
-    if bad:
-        if bad[0][0]:
+    bucket = F.pmod(F.xxhash64(F.col("user_id")), F.lit(n_buckets))
+    obs = lambda df: df.select(  # noqa: E731 — tiny local projection
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        "event_id",
+    )
+    # ONE O(delta) aggregate serves three former jobs (round 16): the
+    # entry raw-NULL probe, the lossy-cast NULL probe, and the
+    # affected-bucket distinct. The NULL-key checks cannot ride the
+    # bucket value alone — Spark's xxhash64 folds a NULL input to the
+    # SEED (null-tolerant, not null-propagating), so a NULLed key
+    # silently buckets to pmod(42, n) — hence the explicit flags;
+    # _raw_null picks the right contract error. Output is bounded by
+    # n_buckets, never by data.
+    probe_rows = (
+        delta.groupBy(bucket.alias("b"))
+        .agg(
+            F.max(F.col("user_id").isNull()).alias("any_null"),
+            F.max("_raw_null").alias("any_raw"),
+        )
+        .collect()
+    )
+    if any(r.any_null for r in probe_rows):
+        if any(r.any_raw for r in probe_rows):
             raise ValueError(
                 "scd2 merge requires a non-NULL business key: events "
                 "with user_id IS NULL cannot be bucketed or merged"
@@ -3059,17 +3076,7 @@ def _scd2_apply(
             "NULL — the delta's key type does not fit the store's"
         )
     delta = delta.drop("_raw_null")
-    bucket = F.pmod(F.xxhash64(F.col("user_id")), F.lit(n_buckets))
-    obs = lambda df: df.select(  # noqa: E731 — tiny local projection
-        "user_id",
-        F.col("event_type").alias("state"),
-        F.col("ts").alias("valid_from"),
-        "event_id",
-    )
-    affected = sorted(
-        r["b"]
-        for r in delta.select(bucket.alias("b")).distinct().collect()
-    )  # bounded by n_buckets, never by data
+    affected = sorted(r.b for r in probe_rows)
     pruned = _scd2_read(spark, path, lay, buckets=affected)
     # ONE-PASS merge (round 16 — r15 verdict item 1): the old keep/redo
     # split (left_anti for untouched users, left_semi ∪ delta

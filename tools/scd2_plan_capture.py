@@ -46,8 +46,11 @@ def main() -> int:
     captured: list = []
 
     def hook(spark_, io, path_, frame_with_bucket, version):
-        plan = frame_with_bucket._sc._jvm.PythonSQLUtils.explainString(
-            frame_with_bucket._jdf.queryExecution(), "formatted"
+        # capture the frame THE WRITE EXECUTES — including the
+        # bucket-clustering repartition _scd2_stage_publish applies
+        staged = frame_with_bucket.repartition("bucket")
+        plan = staged._sc._jvm.PythonSQLUtils.explainString(
+            staged._jdf.queryExecution(), "formatted"
         )
         captured.append(plan)
         return real(spark_, io, path_, frame_with_bucket, version)

@@ -759,35 +759,58 @@ def test_round9_late_engine_shapes(spark):
     plan = plan_of(spark, "q_funnel_window")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # q_sim_topk_pq (round 15, persisted residual codes + refine):
-    # the ADC candidate stage runs as its own job (the code-pruned
-    # scan shape is canaried on the refine-less probe in
-    # test_pq_stored_ivfpq_probe_prunes_cells) and the RETURNED plan
-    # is the exact re-rank of the materialized candidates: the ids
-    # push into the refine scan as a vec_id IN filter (row-group
-    # pruning — the float read is ~R rows per probe, not the corpus's
-    # v column), the scan reads vec_id/v only (no na, no codes), and
-    # the ONLY joins are BROADCAST hash joins (candidate ids + the
-    # driver-bounded probe frame) — a SortMergeJoin or nested-loop
-    # here means a corpus-wide shuffle snuck into a P×R-row re-rank.
-    # NO encode stage (MapInArrow belonged to the per-call encode the
-    # persisted index retired — r13 verdict item 2).
+    # q_sim_topk_pq (round 16, driver-side bounded refine — r15
+    # verdict item 5): the ADC candidate stage and the IN-pushed float
+    # gather run as their OWN jobs before the returned frame exists
+    # (bit-equality with the distributed join refine is pinned by
+    # test_pq_refine_driver_matches_join; the code-pruned ADC scan
+    # shape by test_pq_stored_ivfpq_probe_prunes_cells). The RETURNED
+    # plan is the in-plan round+rank of the driver-scored candidates:
+    # ONE tiny local slice, a WindowGroupLimit top-k, and NO
+    # join/parquet-scan/python node of any kind — a join or a parquet
+    # scan appearing here means the bounded refine silently fell back
+    # to shuffling the corpus.
     plan = plan_of(spark, "q_sim_topk_pq")
-    assert "BroadcastHashJoin" in plan, plan  # the refine re-rank
-    assert "SortMergeJoin" not in plan, plan
-    assert "ShuffledHashJoin" not in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan  # the driver-scored slice
+    assert "Join" not in plan, plan  # covers every join flavor
+    assert "Scan parquet" not in plan, plan
     assert "MapInArrow" not in plan, plan  # no per-call encode
     assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan, plan  # bounded per-task heap
+    assert plan.count("Exchange (") <= 1, plan  # the P·R-row rank only
+    # the refine's float gather itself must stay an IN-pushed,
+    # column-pruned scan (the r15 row-group-skip property, now
+    # executed as the collect feeding the driver re-rank): pin the
+    # exact frame pq_probe_stored builds, on the same memoized store
+    import os as _os
     import re as _re
 
-    schemas = _re.findall(r"ReadSchema: struct<([^>]*)>", plan)
-    refine_scans = [s for s in schemas if "v:" in s]
-    assert refine_scans, plan  # the exact re-rank's float scan
-    assert all(
-        "na:" not in s and "pq_code" not in s for s in refine_scans
-    ), refine_scans  # the refine reads vec_id/v only
-    assert _re.search(r"PushedFilters: \[In\(vec_id", plan), plan
+    from pyspark.sql import functions as _F
+
+    from correlationapi_spark.llm.similarity import (
+        StoreIO,
+        _ivf_layout,
+        _pq_store_for,
+    )
+
+    path = _pq_store_for(spark, SF_SMOKE)
+    objs = _ivf_layout(StoreIO(path, spark), path)["objects"]
+    raw = (
+        spark.read.parquet(_os.path.join(path, objs["corpus"]))
+        .select("vec_id", "v")
+        .filter(_F.col("vec_id").isin([0, 1, 2, 3, 4]))
+    )
+    rplan = raw._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    schemas = _re.findall(r"ReadSchema: struct<([^>]*)>", rplan)
+    assert schemas and all(
+        "v:" in s and "na:" not in s and "pq_code" not in s
+        for s in schemas
+    ), rplan  # the gather reads vec_id/v only
+    assert _re.search(r"PushedFilters: \[.*In\(vec_id", rplan), rplan
 
 
 def test_corr_matrix_gram_plan(spark):

@@ -3031,9 +3031,8 @@ def _scd2_apply(
         F.col("event_id").cast(types["event_id"]).alias("event_id"),
     )
     # materialize() the cast delta (round 15): the merge consumes it
-    # THREE times (lossy-cast probe, affected-bucket set, and the
-    # re-collapse union), and each consumer re-ran the caller's full
-    # delta subtree
+    # TWICE (the fused probe/affected aggregate and the re-collapse
+    # union), and each consumer re-ran the caller's full delta subtree
     # — for the bench/CDC shape that is a filtered fact-table scan per
     # consumer. One lazy localCheckpoint computes the delta once (it
     # is small by the CDC contract); every consumer reads the same

@@ -2700,7 +2700,14 @@ def mutual_knn_edges(corpus: DataFrame, k: int) -> DataFrame:
     # bit-identical under operand swap (element-wise products and the
     # norm product both commute), so ranking sees the same float either
     # way and the expensive fold runs on n(n-1)/2 pairs, not n(n-1).
-    half = (
+    # materialize() the half-pair table (round 16): BOTH unionAll
+    # branches below consume it, and without the pin the O(n²/2)
+    # dot-product theta-join ran TWICE — the flipped projection was
+    # only cheap in intent. One pin makes the quadratic stage really
+    # run once; the reversed direction reads the pinned blocks.
+    from ..ordering import materialize
+
+    half = materialize(
         a.join(b, F.col("src") < F.col("dst"))
         .select("src", "dst", F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine").isNotNull() & ~F.isnan("cosine"))

@@ -1712,7 +1712,18 @@ def basket_rules(baskets: DataFrame, min_count: int = 10) -> DataFrame:
     total broadcast back onto the pair counts; every statistic is a
     single float chain over exact integer counts, rounded at 6 dp.
     The q_basket_lift key and api.basket() both consume this engine."""
-    nb = baskets.groupBy("b").agg(F.count("*").alias("cb"))
+    # materialize() the basket-membership frame and the marginals
+    # (round 16, §2.4): five consumers (tot, both self-join sides, and
+    # nb behind both broadcast marginals) each re-ran the caller's
+    # basket build — for q_basket_lift a lineitem⋈part + distinct per
+    # consumer. One pin computes the baskets once; pinning nb keeps
+    # the small marginal aggregate from running twice on top of it.
+    from ..ordering import materialize
+
+    baskets = materialize(baskets)
+    nb = materialize(
+        baskets.groupBy("b").agg(F.count("*").alias("cb"))
+    )
     tot = baskets.agg(F.countDistinct("ok").alias("n"))
     x = baskets.select("ok", F.col("b").alias("b1"))
     y = baskets.select("ok", F.col("b").alias("b2"))
@@ -2017,7 +2028,17 @@ def triangle_stats(e: DataFrame) -> DataFrame:
     shared with tools/graph_bench.py's planted-clique scale harness.
     See the key's docstring for the orientation argument (out-degree
     capped at O(√m) ⇒ wedge candidates O(m^1.5), hub-safe)."""
-    deg = (
+    # materialize() the edge list, the degree table, and the oriented
+    # list (round 16, §2.4): ``oriented`` feeds the wedge join TWICE
+    # plus the triangle-closing probe, and each evaluation re-ran the
+    # caller's edge build + both degree joins — the before plan
+    # (plans/r16/q_graph_triangles_before.txt) carries ~36 scan nodes
+    # for what is ONE edge list. Pinned, the wedge join's three
+    # consumers read the same oriented blocks. Row-identical output.
+    from ..ordering import materialize
+
+    e = materialize(e)
+    deg = materialize(
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
         .groupBy("node")
@@ -2031,14 +2052,17 @@ def triangle_stats(e: DataFrame) -> DataFrame:
         .join(F.broadcast(deg).withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
     )
     lower_first = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
-    oriented = ed.select(
-        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
-        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
-        F.when(
-            lower_first, F.struct(F.col("dv").alias("d"), F.col("v").alias("n"))
+    oriented = materialize(
+        ed.select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+            F.when(
+                lower_first,
+                F.struct(F.col("dv").alias("d"), F.col("v").alias("n")),
+            )
+            .otherwise(F.struct(F.col("du").alias("d"), F.col("u").alias("n")))
+            .alias("rb"),
         )
-        .otherwise(F.struct(F.col("du").alias("d"), F.col("u").alias("n")))
-        .alias("rb"),
     )
     x, y = oriented.alias("x"), oriented.alias("y")
     wedges = x.join(
@@ -2113,10 +2137,18 @@ def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     like this one") and the graph-clustering affinity q_graph_triangles
     complements structurally."""
     t = load_tables(spark, sf_dir)
-    e = t["lineitem"].select(
-        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
-    ).distinct()
-    deg = e.groupBy("s").agg(F.count("*").alias("d"))
+    # materialize() the distinct edge list and degree table (round 16,
+    # §2.4 — the q_graph_triangles family rule): the inverted-index
+    # self-join's two sides and the two broadcast degree lookups each
+    # re-ran the distinct shuffle. Row-identical output.
+    from ..ordering import materialize
+
+    e = materialize(
+        t["lineitem"].select(
+            F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+        ).distinct()
+    )
+    deg = materialize(e.groupBy("s").agg(F.count("*").alias("d")))
     a, b = e.alias("a"), e.alias("b")
     co = (
         a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
@@ -2289,7 +2321,16 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     li = t["lineitem"].select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
-    e = (
+    # materialize() the distinct edge list and the degree table
+    # (round 16, the §2.4 diamond rule): without the pins the
+    # co-occurrence self-join + distinct re-ran once per consumer —
+    # deg's two union branches, the stamp join, and n_nodes through
+    # deg's two more — seven evaluations of the most expensive subtree
+    # in the plan (the round-16 registry scan measured 1.01 s solo at
+    # sf0.01, ~24 lineitem scan nodes). Row-identical output.
+    from ..ordering import materialize
+
+    e = materialize(
         a.join(b, "l_orderkey")
         .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
         .select(
@@ -2298,7 +2339,7 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    deg = (
+    deg = materialize(
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
         .groupBy("node")

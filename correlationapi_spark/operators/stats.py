@@ -4121,10 +4121,20 @@ def bicor_frame(x: DataFrame) -> DataFrame:
         .cast("long")
         .alias("my2"),
     )
-    dev = x.join(F.broadcast(med), "g").select(
-        "g",
-        (2 * F.col("xc") - F.col("mx2")).alias("dx2"),
-        (2 * F.col("yc") - F.col("my2")).alias("dy2"),
+    # materialize() the deviation table (round 16, §2.4): the MAD
+    # percentile pass and the weighted-sum pass both consume it, and
+    # without the pin each re-ran the caller's input scan + the median
+    # broadcast join. The median→MAD two-pass itself is inherent to
+    # the statistic; the pin just stops pass two from repeating pass
+    # one's work. Row-identical output.
+    from ..ordering import materialize
+
+    dev = materialize(
+        x.join(F.broadcast(med), "g").select(
+            "g",
+            (2 * F.col("xc") - F.col("mx2")).alias("dx2"),
+            (2 * F.col("yc") - F.col("my2")).alias("dy2"),
+        )
     )
     mad = dev.groupBy("g").agg(
         F.round(2 * F.percentile(F.abs(F.col("dx2")), F.lit(0.5)), 0)

@@ -83,6 +83,12 @@ _TOUCHED: frozenset[str] = frozenset({
     "q_sim_index_append",   # dup check fused into the Bloom screen
     "q_corr_matrix_gram",   # pool workers re-stamp job description
     "q_cpu_fold",           # NEW: the CPU-parallelism bench exhibit
+    "q_graph_assortativity",  # edge/degree tables pinned (7×→1 eval)
+    "q_basket_lift",        # basket membership + marginals pinned
+    "q_embed_knn_graph",    # O(n²/2) half-pair table pinned (2×→1)
+    "q_corr_bicor",         # deviation table pinned (two-pass shared)
+    "q_graph_triangles",    # edge/degree/oriented tables pinned
+    "q_graph_jaccard",      # edge/degree tables pinned
 })
 
 
